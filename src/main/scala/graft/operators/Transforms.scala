@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+import graft.model.Envelope
+
+/** Record-at-a-time transforms over the envelope DataFrame — the engine's
+  * equivalent of the reference's single-message-transform chain (reference
+  * `debezium-embedded/src/main/java/io/debezium/embedded/Transformations.java:30,92`).
+  * Every transform is `DataFrame => DataFrame` so a chain stays one Catalyst
+  * plan: projections fuse into a single whole-stage-codegen'd select, and a
+  * transform never forces a shuffle.
+  */
+object Transforms {
+
+  private def payloadFields(df: DataFrame): Seq[String] =
+    df.schema("after").dataType.asInstanceOf[StructType].fieldNames.toSeq
+
+  // --- T1: table include/exclude filter (reference `relational/Selectors.java`) ---
+  def tableFilter(df: DataFrame, include: Option[String],
+                  exclude: Option[String]): DataFrame = {
+    val inc = include.map(r => col("source.table").rlike(r)).getOrElse(lit(true))
+    val exc = exclude.map(r => !col("source.table").rlike(r)).getOrElse(lit(true))
+    df.filter(inc && exc)
+  }
+
+  // --- T2: column include/exclude projection on before/after
+  //     (reference `TableSchemaBuilder.java:155-203`) ---
+  def columnFilter(df: DataFrame, keep: String => Boolean): DataFrame = {
+    val dropped = payloadFields(df).filterNot(keep)
+    if (dropped.isEmpty) df
+    else df
+      .withColumn("before", col("before").dropFields(dropped: _*))
+      .withColumn("after", col("after").dropFields(dropped: _*))
+  }
+
+  // --- T3: column masking — constant stars or salted SHA-256
+  //     (reference `relational/mapping/MaskStrings.java:34,111-122`) ---
+  def maskConstant(df: DataFrame, column: String, mask: String = "***"): DataFrame =
+    mapPayloadField(df, column, _ => lit(mask))
+
+  def maskHash(df: DataFrame, column: String, salt: String): DataFrame =
+    mapPayloadField(df, column, c => sha2(concat(lit(salt), c.cast(StringType)), 256))
+
+  // --- T4: column truncation (reference `relational/mapping/TruncateColumn.java`) ---
+  def truncateColumn(df: DataFrame, column: String, length: Int): DataFrame =
+    mapPayloadField(df, column, c => substring(c, 1, length))
+
+  /** Apply `f` to one payload field in both row images (null-struct-safe:
+    * `withField` on a null struct stays null).
+    */
+  def mapPayloadField(df: DataFrame, column: String, f: Column => Column): DataFrame =
+    df
+      .withColumn("before", col("before").withField(column, f(col(s"before.`$column`"))))
+      .withColumn("after", col("after").withField(column, f(col(s"after.`$column`"))))
+
+  // --- T6: expression filter (replaces the reference's scripted Filter SMT,
+  //     `debezium-scripting/.../transforms/Filter.java` — Spark SQL `expr`
+  //     is the sandboxed, Catalyst-optimized replacement) ---
+  def filterExpr(df: DataFrame, sqlExpr: String): DataFrame =
+    df.filter(expr(sqlExpr))
+
+  // --- T7: content-based router (reference `ContentBasedRouter.java:23-35`) ---
+  def contentRouter(df: DataFrame, topicExpr: Column): DataFrame =
+    df.withColumn("topic", topicExpr)
+
+  // --- T8: ExtractNewRecordState — unwrap envelope to a flat row (reference
+  //     `debezium-connect-plugins/.../ExtractNewRecordState.java:53,105-167`).
+  //     deleteMode: "rewrite" keeps deletes with __deleted=true using the
+  //     before image; "drop" removes them; "none" passes after (null fields). ---
+  def unwrap(df: DataFrame, deleteMode: String = "rewrite",
+             addFields: Seq[String] = Nil): DataFrame = {
+    val fields = payloadFields(df)
+    val isDelete = col("op") === Envelope.OpDelete
+    val base0 = deleteMode match {
+      case "drop" => df.filter(!isDelete)
+      case _      => df
+    }
+    val image = when(isDelete, col("before")).otherwise(col("after"))
+    val flat = fields.map(f => image.getField(f).as(f))
+    val added = addFields.map {
+      case "op"    => col("op").as("__op")
+      case "ts_ms" => col("ts_ms").as("__ts_ms")
+      case s if s.startsWith("source.") =>
+        col(s).as("__" + s.stripPrefix("source."))
+      case other => col(other).as("__" + other)
+    }
+    val deleted =
+      if (deleteMode == "rewrite")
+        Seq(isDelete.cast(StringType).as("__deleted"))
+      else Nil
+    base0.select(flat ++ deleted ++ added: _*)
+  }
+
+  // --- T10: ExtractChangedRecordState — names of fields that differ between
+  //     before and after (reference `ExtractChangedRecordState.java:36-68`).
+  //     Emitted as a sorted comma-joined string for stable comparison. ---
+  def changedFields(df: DataFrame): DataFrame = {
+    val fields = payloadFields(df)
+    val changed = array(fields.map { f =>
+      when(!(col(s"before.`$f`") <=> col(s"after.`$f`")), lit(f))
+        .otherwise(lit(null).cast(StringType))
+    }: _*)
+    df.withColumn("changed_fields",
+      array_join(array_sort(filter(changed, _.isNotNull)), ","))
+  }
+
+  // --- T13: EnforceRecordSize (reference `EnforceRecordSize.java:48`).
+  //     Record size := total length of all payload fields rendered as text
+  //     (deterministic, engine-independent definition). ---
+  def recordSize(df: DataFrame): Column = {
+    val fields = payloadFields(df)
+    val image = when(col("op") === Envelope.OpDelete, col("before")).otherwise(col("after"))
+    fields.map(f => coalesce(length(image.getField(f).cast(StringType)), lit(0)))
+      .reduce(_ + _)
+  }
+
+  def enforceRecordSize(df: DataFrame, maxSize: Int): DataFrame =
+    df.filter(recordSize(df) <= maxSize)
+
+  // --- T14: TimezoneConverter (reference `TimezoneConverter.java:57-128`):
+  //     shift designated timestamp payload fields to a target zone. ---
+  def convertTimezone(df: DataFrame, columns: Seq[String], tz: String): DataFrame =
+    columns.foldLeft(df)((d, c) =>
+      mapPayloadField(d, c, x => from_utc_timestamp(x, tz)))
+
+  // --- T16: ReadToInsertEvent (reference
+  //     `debezium-connector-mysql/.../ReadToInsertEvent.java`) ---
+  def readToInsert(df: DataFrame): DataFrame =
+    df.withColumn("op",
+      when(col("op") === Envelope.OpRead, Envelope.OpCreate).otherwise(col("op")))
+
+  // --- P11: skipped operations (reference `CommonConnectorConfig.java:865-872`,
+  //     default skips truncate) ---
+  def skipOperations(df: DataFrame, skipped: Seq[String] = Seq("t")): DataFrame =
+    df.filter(!col("op").isin(skipped: _*))
+
+  // --- T5: propagate source metadata into field metadata (reference
+  //     `relational/mapping/PropagateSourceMetadataToSchemaParameter.java`) ---
+  def propagateSourceMetadata(schema: StructType, table: String,
+                              nativeTypes: Map[String, String]): StructType =
+    StructType(schema.fields.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+        .putString("__graft.source.table", table)
+      nativeTypes.get(f.name).foreach(t => mb.putString("__graft.source.column.type", t))
+      f.copy(metadata = mb.build())
+    })
+}
