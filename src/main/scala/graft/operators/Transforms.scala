@@ -109,15 +109,16 @@ object Transforms {
   // --- T13: EnforceRecordSize (reference `EnforceRecordSize.java:48`).
   //     Record size := total length of all payload fields rendered as text
   //     (deterministic, engine-independent definition). ---
-  def recordSize(df: DataFrame): Column = {
-    val fields = payloadFields(df)
+  def recordSize(df: DataFrame, sized: Seq[String] = Nil): Column = {
+    val fields = if (sized.nonEmpty) sized else payloadFields(df)
     val image = when(col("op") === Envelope.OpDelete, col("before")).otherwise(col("after"))
     fields.map(f => coalesce(length(image.getField(f).cast(StringType)), lit(0)))
       .reduce(_ + _)
   }
 
-  def enforceRecordSize(df: DataFrame, maxSize: Int): DataFrame =
-    df.filter(recordSize(df) <= maxSize)
+  def enforceRecordSize(df: DataFrame, maxSize: Int,
+                        sized: Seq[String] = Nil): DataFrame =
+    df.filter(recordSize(df, sized) <= maxSize)
 
   // --- T14: TimezoneConverter (reference `TimezoneConverter.java:57-128`):
   //     shift designated timestamp payload fields to a target zone. ---

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The added analytics surface (SURVEY §2.6): aggregations, joins, windows,
+  * sorts, set ops over the star schema — all declarative so Catalyst handles
+  * pushdown/pruning/join strategy; small dimensions broadcast.
+  */
+object AnalyticsQueries extends QueryGroup {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: map-side partial aggregation, 4 groups
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1997-06-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Multi-way join with broadcast dims: revenue per nation
+    // (nation/region are tiny → broadcast; the only shuffle is the
+    // customer⋈orders⋈lineitem key exchange)
+    "q05_revenue_by_nation" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"), col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Window + top-k: 3 highest-value orders per customer segment
+    "q18_topk_per_segment" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      joined.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
+          col("o_totalprice"))
+    }),
+
+    // Set ops + semi/anti joins: customers with orders but no high-value order
+    "q_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      val high = o.filter(col("o_totalprice") > 400000)
+      withOrders.join(high, c("c_custkey") === high("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // Streaming-style event-time windowed aggregation over the events table
+    // (ns timestamps arrive as epoch-ns longs; window = 1h tumbling)
+    "q_event_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("hour_bucket", floor(col("ts") / lit(3600000000000L)).cast("long"))
+        .groupBy(col("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1997-06-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q05_revenue_by_nation" ->
+      """SELECT n_name, r_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name""".stripMargin,
+
+    "q18_topk_per_segment" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        | SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders JOIN customer ON o_custkey = c_custkey) x
+        |WHERE rk <= 3""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        | AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+
+    "q_event_window" ->
+      """SELECT CAST(floor(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_bucket,
+        | event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+
+  override val duckdbOnly: Set[String] = Set("q_event_window")
+}

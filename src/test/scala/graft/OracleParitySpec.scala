@@ -14,7 +14,7 @@ class OracleParitySpec extends AnyFunSuite {
 
   def registerTables(): Unit =
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { n =>
+      "lineitem", "events", "documents", "embeddings").foreach { n =>
       spark.read.parquet(s"$sfDir/$n.parquet").createOrReplaceTempView(n)
     }
 
@@ -27,7 +27,8 @@ class OracleParitySpec extends AnyFunSuite {
   test("every oracle-declared query matches its oracle when run in Spark") {
     registerTables()
     val qs = SparkEntry.queries
-    SparkEntry.oracleSql.foreach { case (name, sql) =>
+    val skip = SparkEntry.duckdbOnlyOracles
+    SparkEntry.oracleSql.filterNot(kv => skip(kv._1)).foreach { case (name, sql) =>
       assert(qs.contains(name), s"oracleSql entry $name has no query")
       val got = canon(qs(name)(spark, sfDir))
       val want = canon(spark.sql(sql))
@@ -46,7 +47,9 @@ class OracleParitySpec extends AnyFunSuite {
   }
 
   test("queries without oracle still run and return rows") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    registerTables()
+    val noOracle = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) ++
+      SparkEntry.duckdbOnlyOracles
     noOracle.foreach { name =>
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       assert(n > 0, s"$name returned zero rows")
