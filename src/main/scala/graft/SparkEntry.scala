@@ -17,7 +17,8 @@ import graft.sources.Tables
 object SparkEntry {
 
   val groups: Seq[QueryGroup] =
-    Seq(CoreCdcQueries, TransformQueries, RoutingQueries, AnalyticsQueries)
+    Seq(CoreCdcQueries, TransformQueries, RoutingQueries, AnalyticsQueries,
+      CorpusQueries)
 
   /** Flagship: materialize the orders change stream into latest table state
     * on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,147 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for corpus pipelines: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. Designed so the only shuffles are keyed by content
+  * hash / band bucket — no cross joins of the full corpus at scale.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id as the
+    * canonical representative. One map-side-combinable aggregation.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Token-set Jaccard similarity of two text columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ta = array_distinct(split(a, " "))
+    val tb = array_distinct(split(b, " "))
+    size(array_intersect(ta, tb)).cast("double") /
+      size(array_union(ta, tb)).cast("double")
+  }
+
+  /** Candidate-pair Jaccard within blocking buckets: only pairs sharing
+    * `bucket` are compared (at scale: one shuffle on the bucket key; bucket
+    * by LSH band or fingerprint prefix, never a full cross join).
+    */
+  def jaccardPairs(docs: DataFrame, bucket: Column, minJaccard: Double): DataFrame = {
+    val d = docs.select(bucket.as("bucket"), col("doc_id"), col("text"))
+    val l = d.select(col("bucket"), col("doc_id").as("id_a"), col("text").as("text_a"))
+    val r = d.select(col("bucket").as("bucket_r"), col("doc_id").as("id_b"),
+      col("text").as("text_b"))
+    l.join(r, col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(jaccard(col("text_a"), col("text_b")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** `n`-token shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** Shingle-set Jaccard — the similarity MinHash approximates (must use
+    * the same shingle size as the signature stage).
+    */
+  def jaccardShingles(a: Column, b: Column, n: Int): Column = {
+    val sa = shingles(a, n)
+    val sb = shingles(b, n)
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
+
+  /** MinHash signatures: `numPerm` permutations simulated as
+    * xxhash64(seed_i, shingle); signature_i = min over shingles. One
+    * explode + one grouped aggregation (map-side combinable mins).
+    */
+  def minhashSignatures(docs: DataFrame, shingleSize: Int, numPerm: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(shingles(col("text"), shingleSize)).as("sh"))
+    val mins = (0 until numPerm).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash+LSH candidate pairs verified by exact Jaccard: signatures are
+    * banded (`numPerm = bands * rowsPerBand`); docs sharing any band bucket
+    * are candidates; candidates are verified with the true token-set
+    * Jaccard. Shuffles: one per grouped agg + one on band bucket — never
+    * O(n²).
+    */
+  def minhashLshPairs(docs: DataFrame, shingleSize: Int, bands: Int,
+                      rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    val numPerm = bands * rowsPerBand
+    val sig = minhashSignatures(docs, shingleSize, numPerm)
+    val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
+          .as("sig"))
+    }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+    val texts = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(texts.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("text", "text_b"), "id_b")
+      .withColumn("jaccard",
+        round(jaccardShingles(col("text_a"), col("text_b"), shingleSize), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
+    * One explode + one aggregation of 64 conditional sums.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val votes = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"v$b")
+    }
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a: Column, c: Column) => a.bitwiseOR(c)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 4 16-bit sub-bands (a pair within
+    * hamming distance 3 shares at least one identical band), verify true
+    * hamming distance ≤ `maxHamming`.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bits"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"),
+        col("bs.band").as("band"), col("bs.bits").as("bits"))
+    val pairs = banded.as("l").join(banded.as("r"),
+      col("l.band") === col("r.band") && col("l.bits") === col("r.bits") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+        col("l.simhash").as("sa"), col("r.simhash").as("sb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

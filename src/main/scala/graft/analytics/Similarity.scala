@@ -1,0 +1,74 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`) — the
+  * scale-path complement to the reference's embedding enrichment
+  * (`debezium-ai/debezium-ai-embeddings/.../FieldToEmbedding.java:51-72`).
+  *
+  * Dot products cast each float to double BEFORE multiplying and fold
+  * sequentially (deterministic, engine-comparable). At 100 TB the
+  * brute-force form is a broadcast-join of a small query set against the
+  * corpus — one scan, no shuffle of the big side; the LSH form buckets the
+  * corpus once and joins bucket-to-bucket.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dotD(a, a))
+
+  def cosine(a: Column, b: Column): Column = dotD(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: a small query set against the full corpus.
+    * The query side is broadcast; the corpus is scanned once; ranking is a
+    * per-query window (k small ⇒ tiny state).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Random-hyperplane LSH bucketing: `nBits` deterministic pseudo-random
+    * hyperplanes (component h_{b,d} derived from xxhash64(b,d), zero-mean);
+    * the bucket id is the sign pattern. Candidate pairs share a bucket —
+    * the scale path: one shuffle on bucket id instead of a cross join.
+    */
+  def lshBucket(e: Column, dims: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { b =>
+      // hyperplane component: hash -> [-0.5, 0.5)
+      val proj = (0 until dims).map { d =>
+        val h = (pmod(xxhash64(lit(b * 10007 + d)), lit(1000)).cast("double") / 1000.0) - 0.5
+        element_at(e, d + 1).cast("double") * h
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN via LSH: exact cosine only within shared buckets. */
+  def annLsh(corpus: DataFrame, dims: Int, nBits: Int, minSim: Double): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dims, nBits).as("bucket"))
+    val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val r = b.select(col("bucket").as("bucket_r"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    l.join(r, col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("sim"), col("bucket"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale corpus pipelines: token statistics,
+  * language identification, quality scoring, fingerprinting. All pure
+  * column expressions (codegen-eligible, no UDFs) over the `documents`
+  * table shape (doc_id, text, lang, source, n_chars).
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Characters excluding separators, divided by token count. */
+  def avgTokenLen(text: Column): Column =
+    (length(text) - tokenCount(text) + 1).cast("double") / tokenCount(text)
+
+  /** Ratio of tokens found in `stopwords`. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordHits(text, stopwords).cast("double") / tokenCount(text)
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny and deterministic.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "y", "una", "por"))
+
+  /** Language-ID: argmax of stopword-hit counts; ties resolve in list
+    * order (en > de > fr > es > unknown).
+    */
+  def langId(text: Column): Column = {
+    val scores = langStopwords.map { case (l, sw) => l -> stopwordHits(text, sw) }
+    val best = scores.map(_._2).reduce((a, b) => when(a >= b, a).otherwise(b))
+    scores.foldRight(lit("unknown"): Column) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1]: length factor, stopword presence,
+    * token-length normality. Deterministic and SQL-expressible.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenFactor = least(nTok / 50.0, lit(1.0))
+    val stopFactor = least(
+      stopwordRatio(text, langStopwords.flatMap(_._2)) * 5.0, lit(1.0))
+    val shapeFactor = greatest(
+      lit(1.0) - abs(avgTokenLen(text) - 5.0) / 10.0, lit(0.0))
+    // floor-quantize instead of round(): Spark rounds the shortest decimal
+    // repr of the double, DuckDB the binary value — they disagree on exact
+    // .xxxx5 boundaries. floor over identical doubles is engine-stable.
+    floor((lenFactor * 0.4 + stopFactor * 0.3 + shapeFactor * 0.3) * 10000) / 10000.0
+  }
+
+  /** Content fingerprint (exact-dup key): md5 of the raw text. */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Shingle fingerprint: md5 over the first `n` tokens — a cheap
+    * prefix-stability fingerprint for near-dup blocking.
+    */
+  def prefixFingerprint(text: Column, n: Int): Column =
+    md5(array_join(slice(tokens(text), 1, n), " "))
+
+  /** Approximate BPE-ish token count: words plus an extra token per 4 chars
+    * of long words (mirrors subword splitting cost).
+    */
+  def tokenCountBpeIsh(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => acc + lit(1L) + floor(length(w) / 5.0).cast("long"))
+}

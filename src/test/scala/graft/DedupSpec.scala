@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analytics.{Dedup, Similarity}
+
+/** Verifies the approximate dedup/ANN operators against their exact
+  * counterparts on sf0.001 (the operators the DuckDB oracle can't express).
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Exact all-pairs Jaccard >= j (500 docs → 125k pairs, fine locally).
+    * shingleN = 1 → token-set Jaccard; >1 → shingle Jaccard (MinHash metric).
+    */
+  def exactPairs(minJ: Double, shingleN: Int = 1): Set[(Long, Long)] = {
+    val d = docs.select(col("doc_id"), col("text"))
+    val l = d.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val r = d.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    val j = if (shingleN <= 1) Dedup.jaccard(col("text_a"), col("text_b"))
+            else Dedup.jaccardShingles(col("text_a"), col("text_b"), shingleN)
+    l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .withColumn("j", j)
+      .filter(col("j") >= minJ)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+  }
+
+  test("minhash-LSH finds most true near-dup pairs, no false positives") {
+    val truth = exactPairs(0.8, shingleN = 3)
+    val got = Dedup.minhashLshPairs(docs, 3, 8, 4, 0.8)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(truth.nonEmpty, "test data should contain near-dups")
+    // final Jaccard verification makes precision exact
+    assert(got.subsetOf(truth), s"false positives: ${(got -- truth).take(5)}")
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall too low (${got.size}/${truth.size})")
+  }
+
+  test("simhash pairs are mostly high-jaccard") {
+    val pairs = Dedup.simhashPairs(docs, 3)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs.nonEmpty, "expected some simhash-close pairs")
+    val loose = exactPairs(0.5)
+    val precision = pairs.count(loose).toDouble / pairs.size
+    assert(precision >= 0.8, s"simhash precision vs jaccard>=0.5 was $precision")
+  }
+
+  test("LSH ANN returns a subset of true high-similarity pairs") {
+    val e = embs.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val f = embs.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val truth = e.crossJoin(f).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("sim") >= 0.3)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got = Similarity.annLsh(embs, 64, 8, 0.3)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got.subsetOf(truth), s"ANN false positives: ${(got -- truth).take(5)}")
+    assert(got.nonEmpty, "LSH buckets should capture some close pairs")
+  }
+}
