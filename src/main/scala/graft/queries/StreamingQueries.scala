@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Heartbeat, IncrementalSnapshot}
+import graft.streaming.{StreamingMaterialize, TxReassembly}
+
+/** Structured Streaming pipeline + incremental snapshot operators
+  * (SURVEY S3/S4, P3, P5, P9/S10, K2-streaming). The streaming entries run
+  * real AvailableNow streaming queries (multi-micro-batch via
+  * maxFilesPerTrigger) and return their final materialized results, so the
+  * DuckDB oracle checks full pipeline semantics, not just one batch.
+  */
+object StreamingQueries extends QueryGroup {
+
+  private val ordersLatest =
+    """SELECT o_orderkey, o_custkey,
+      | CASE WHEN o_orderkey%7=3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+      | o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderkey%13<>6""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P3/K2: snapshot + stream through micro-batched MERGE sink
+    "stream_k2_materialize" -> ((s, dir) =>
+      StreamingMaterialize.materializeFeed(s, feed(s, dir, "orders"))),
+
+    // P9/S10: buffered transaction reassembly (commit-marker release)
+    "stream_tx_reassembly" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders").filter(col("op") =!= "r")
+      val events = fd.select(col("source.txId").as("txId"),
+        col("key.o_orderkey").cast("long").as("k"), col("op"),
+        col("source.pos").as("pos"))
+      val markers = events
+        .select(col("txId"), (floor(col("k") / 100)).cast("long").as("t"))
+        .distinct()
+        .select(col("txId"), lit(-1L).as("k"), lit("m").as("op"),
+          ((col("t") * 100 + 99) * 10 + 9).as("pos"))
+      val transport = java.nio.file.Files
+        .createTempDirectory("graft-tx-transport").toString
+      StreamingMaterialize.writeTransport(
+        events.unionByName(markers).select(col("txId"), col("k"), col("op"),
+          col("pos")),
+        transport, orderCol = "pos")
+      TxReassembly.runOnTransport(s, transport)
+        .select(col("txId").as("tx_id"), col("k"), col("op"), col("pos"),
+          col("commitPos").as("commit_pos"))
+    }),
+
+    // S4: chunked keyset pagination — per-chunk stats
+    "s4_chunk_stats" -> ((s, dir) =>
+      IncrementalSnapshot.chunkStats(
+        t(s, dir, "orders").select(col("o_orderkey")),
+        col("o_orderkey"), 1024)),
+
+    // S3: chunked backfill merged with the concurrent stream (watermark
+    // dedup invariant: newer stream position wins over the chunk row)
+    "s3_incremental_merge" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val state = IncrementalSnapshot.mergeWithStream(
+        fd.filter(col("op") === "r"), fd.filter(col("op") =!= "r"))
+      val chunks = IncrementalSnapshot.chunked(
+        t(s, dir, "orders").select(col("o_orderkey")),
+        Seq(col("o_orderkey")), 1024)
+      state.join(chunks, "o_orderkey")
+    }),
+
+    // P5: heartbeat record per covered position interval
+    "p5_heartbeat" -> ((s, dir) =>
+      Heartbeat.intervals(feed(s, dir, "orders"), 10000L))
+  )
+
+  private val txExpr = "concat('tx', CAST(floor(o_orderkey/100) AS BIGINT))"
+
+  def oracles: Map[String, String] = Map(
+    "stream_k2_materialize" -> ordersLatest,
+
+    "stream_tx_reassembly" ->
+      s"""WITH ev AS (
+         | SELECT $txExpr AS tx_id, o_orderkey AS k, 'u' AS op, o_orderkey*10+1 AS pos
+         |  FROM orders WHERE o_orderkey%7=3
+         | UNION ALL
+         | SELECT $txExpr, o_orderkey, 'd', o_orderkey*10+2
+         |  FROM orders WHERE o_orderkey%13=6)
+         |SELECT tx_id, k, op, pos,
+         | (CAST(floor(k/100) AS BIGINT)*100+99)*10+9 AS commit_pos
+         |FROM ev""".stripMargin,
+
+    "s4_chunk_stats" ->
+      """SELECT chunk, count(*) AS n, min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        |FROM (SELECT o_orderkey,
+        |  CAST(floor((row_number() OVER (ORDER BY o_orderkey)-1)/1024) AS BIGINT) AS chunk
+        | FROM orders) x
+        |GROUP BY chunk""".stripMargin,
+
+    "s3_incremental_merge" ->
+      """WITH ranked AS (SELECT o_orderkey,
+        |  CAST(floor((row_number() OVER (ORDER BY o_orderkey)-1)/1024) AS BIGINT) AS chunk
+        | FROM orders)
+        |SELECT o.o_orderkey, o.o_custkey,
+        | CASE WHEN o.o_orderkey%7=3 THEN 'U' ELSE o.o_orderstatus END AS o_orderstatus,
+        | o.o_totalprice, o.o_orderdate, o.o_orderpriority, r.chunk
+        |FROM orders o JOIN ranked r ON o.o_orderkey = r.o_orderkey
+        |WHERE o.o_orderkey%13<>6""".stripMargin,
+
+    "p5_heartbeat" ->
+      """SELECT DISTINCT CAST(floor(o_orderkey/1000) AS BIGINT) AS interval,
+        | (CAST(floor(o_orderkey/1000) AS BIGINT)+1)*10000-1 AS hb_pos, 'm' AS op
+        |FROM orders""".stripMargin
+  )
+
+  // `interval` is a reserved word in Spark SQL's parser context here
+  override val duckdbOnly: Set[String] = Set("p5_heartbeat")
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end streaming CDC pipeline: change-feed transport → Structured
+  * Streaming micro-batches → foreachBatch MERGE (SURVEY §3.1's Spark shape:
+  * the reference's queue/poll loop collapses into micro-batch planning, the
+  * offset store into the checkpoint location).
+  */
+object StreamingMaterialize {
+
+  /** Write a batch feed DataFrame to a parquet "transport" directory,
+    * range-partitioned by position so file order == log order (stands in
+    * for a Kafka topic / binlog transport; file listing order is the
+    * replayable offset axis).
+    */
+  def writeTransport(feed: DataFrame, dir: String, files: Int = 4,
+                     orderCol: String = "source.pos"): Unit =
+    feed.repartitionByRange(files, col(orderCol))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Stream the transport into a MergeSink, `filesPerTrigger` files per
+    * micro-batch, until all available data is processed. Returns the
+    * materialized view.
+    */
+  def run(spark: SparkSession, transportDir: String, sinkDir: String,
+          filesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(transportDir).schema
+    val sink = new MergeSink(sinkDir)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(transportDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        sink.merge(batch, epochId)
+      }
+      .start()
+    q.awaitTermination()
+    sink.view(spark)
+  }
+
+  /** Convenience: full pipeline from an in-memory feed. */
+  def materializeFeed(spark: SparkSession, feed: DataFrame): DataFrame = {
+    val transport = Files.createTempDirectory("graft-transport").toString
+    val sinkDir = Files.createTempDirectory("graft-sink").toString
+    writeTransport(feed, transport)
+    run(spark, transport, sinkDir)
+  }
+}

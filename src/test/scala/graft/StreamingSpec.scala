@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{ChangeFeedGen, Tables}
+import graft.streaming.{MergeSink, StreamingMaterialize}
+
+/** Streaming pipeline invariants: replay idempotence (P10) and batch-size
+  * independence of the merge sink.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  val sfDir = "/root/testdata/sf0.001"
+
+  def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.map(col): _*).collect().map(_.mkString("|")).sorted.toSeq
+  }
+
+  test("replaying the whole transport into an existing sink is a no-op") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "orders"), "orders")
+    val transport = Files.createTempDirectory("t").toString
+    val sinkDir = Files.createTempDirectory("s").toString
+    StreamingMaterialize.writeTransport(feed, transport)
+    val first = canon(StreamingMaterialize.run(spark, transport, sinkDir))
+    // fresh checkpoint → the stream replays from scratch into the same sink
+    val second = canon(StreamingMaterialize.run(spark, transport, sinkDir))
+    assert(first == second, "replay changed materialized state")
+  }
+
+  test("merge result independent of micro-batch slicing") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "customer"), "customer")
+    val transport = Files.createTempDirectory("t").toString
+    StreamingMaterialize.writeTransport(feed, transport, files = 6)
+    val one = canon(StreamingMaterialize.run(spark, transport,
+      Files.createTempDirectory("s1").toString, filesPerTrigger = 1))
+    val three = canon(StreamingMaterialize.run(spark, transport,
+      Files.createTempDirectory("s3").toString, filesPerTrigger = 3))
+    assert(one == three, "batch slicing changed state")
+    // and equals the batch-mode materialization
+    val batch = canon(graft.operators.Materialize.latestState(feed))
+    assert(one == batch, "streaming state != batch latestState")
+  }
+
+  test("out-of-order delivery converges to the same state (pos precedence)") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "supplier"), "supplier")
+    val sinkDir = Files.createTempDirectory("s").toString
+    val sink = new MergeSink(sinkDir)
+    // deliver the stream events FIRST, snapshot afterwards (stale writes)
+    sink.merge(feed.filter(col("op") =!= "r"), 0L)
+    sink.merge(feed.filter(col("op") === "r"), 1L)
+    val got = canon(sink.view(spark))
+    val want = canon(graft.operators.Materialize.latestState(feed))
+    assert(got == want, "stale snapshot rows overwrote newer stream state")
+  }
+}
