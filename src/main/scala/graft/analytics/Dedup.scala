@@ -29,12 +29,18 @@ object Dedup {
     * by LSH band or fingerprint prefix, never a full cross join).
     */
   def jaccardPairs(docs: DataFrame, bucket: Column, minJaccard: Double): DataFrame = {
-    val d = docs.select(bucket.as("bucket"), col("doc_id"), col("text"))
-    val l = d.select(col("bucket"), col("doc_id").as("id_a"), col("text").as("text_a"))
+    // tokenize ONCE per document before the self-join — at bucket size B the
+    // join emits O(B²) pairs per bucket, and re-splitting text per pair
+    // would multiply the tokenization cost by B.
+    val d = docs.select(bucket.as("bucket"), col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val l = d.select(col("bucket"), col("doc_id").as("id_a"), col("toks").as("ta"))
     val r = d.select(col("bucket").as("bucket_r"), col("doc_id").as("id_b"),
-      col("text").as("text_b"))
+      col("toks").as("tb"))
     l.join(r, col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(jaccard(col("text_a"), col("text_b")), 4))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double"), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

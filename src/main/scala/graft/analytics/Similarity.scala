@@ -47,13 +47,25 @@ object Similarity {
     * the bucket id is the sign pattern. Candidate pairs share a bucket —
     * the scale path: one shuffle on bucket id instead of a cross join.
     */
+  /** Deterministic pseudo-random hyperplane components in [-0.5, 0.5),
+    * generated driver-side by a fixed LCG (no data dependence, fixed seed).
+    */
+  private def hyperplane(bit: Int, dims: Int): Seq[Double] = {
+    var s = 0x9E3779B97F4A7C15L ^ (bit * 0x5851F42D4C957F2DL)
+    Seq.fill(dims) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+  }
+
   def lshBucket(e: Column, dims: Int, nBits: Int): Column = {
     val bits = (0 until nBits).map { b =>
-      // hyperplane component: hash -> [-0.5, 0.5)
-      val proj = (0 until dims).map { d =>
-        val h = (pmod(xxhash64(lit(b * 10007 + d)), lit(1000)).cast("double") / 1000.0) - 0.5
-        element_at(e, d + 1).cast("double") * h
-      }.reduce(_ + _)
+      // one array literal + one fold per bit (compact expression tree;
+      // the naive per-dimension form is dims×nBits nodes and kills codegen)
+      val h = typedLit(hyperplane(b, dims))
+      val proj = aggregate(
+        zip_with(e, h, (x, hc) => x.cast("double") * hc),
+        lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
