@@ -26,6 +26,15 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dotD(a, b) / (norm(a) * norm(b))
 
+  /** Native-expression cosine (graft.expressions.CosineSimilarity): same
+    * double-sequential accumulation as `cosine`, evaluated as a codegen
+    * loop — use on hot paths. Registers the function on first use.
+    */
+  def cosineNative(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    graft.expressions.GraftFunctions.cosine(a, b)
+  }
+
   /** Brute-force cosine top-k: a small query set against the full corpus.
     * The query side is broadcast; the corpus is scanned once; ranking is a
     * per-query window (k small ⇒ tiny state).
@@ -34,7 +43,7 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qe"), col("ce")), 6))
+      .withColumn("sim", round(cosineNative(corpus)(col("qe"), col("ce")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -79,7 +88,7 @@ object Similarity {
     val r = b.select(col("bucket").as("bucket_r"), col("vec_id").as("id_b"),
       col("embedding").as("eb"))
     l.join(r, col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
+      .withColumn("sim", round(cosineNative(corpus)(col("ea"), col("eb")), 6))
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("sim"), col("bucket"))
   }

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{CloudEvents, Geo, Names, Vectors}
+import graft.operators.{Embeddings, Materialize, MultiModal, SchemaEvolution, Signals}
+import graft.sources.ChangeFeedGen
+
+/** Type-system kernels, converters and multimodal plumbing (SURVEY §1.3,
+  * §2.7-2.9, T17-T19, K4, P6).
+  */
+object FunctionQueries extends QueryGroup {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T17/§1.3 geometry: WKB encode→decode roundtrip recovers coordinates
+    "f_geo_roundtrip" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("value"))
+      val pts = e.select(col("event_id"),
+        Geo.point(col("value"), col("value") * 2, lit(4326)).as("geom"))
+      pts.select(col("event_id"),
+        Geo.pointX(col("geom")).as("x"), Geo.pointY(col("geom")).as("y"))
+    }),
+
+    // T17 axis-order swap
+    "f_geo_swap" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("value"))
+      val pts = e.select(col("event_id"),
+        Geo.point(col("value"), col("value") * 2, lit(4326)).as("geom"))
+      val sw = pts.select(col("event_id"),
+        Geo.swapCoordinates(col("geom")).as("geom"))
+      sw.select(col("event_id"),
+        Geo.pointX(col("geom")).as("sx"), Geo.pointY(col("geom")).as("sy"))
+    }),
+
+    // §1.3 vectors: pg-text render→parse roundtrip is the identity
+    "f_vector_roundtrip" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+        Vectors.parseFloatVector(Vectors.toText(col("embedding")))
+          .as("embedding"))),
+
+    // sparse vector projection: dims, nnz, value checksum
+    "f_vector_sparse" -> ((s, dir) => {
+      val sp = t(s, dir, "embeddings").select(col("vec_id"),
+        Vectors.toSparse(col("embedding"), 0.3).as("sv"))
+      sp.select(col("vec_id"),
+        col("sv.dimensions").as("dims"),
+        size(map_values(col("sv.vector"))).as("nnz"),
+        round(aggregate(map_values(col("sv.vector")), lit(0.0), _ + _), 4)
+          .as("checksum"))
+    }),
+
+    // §2.8 CloudEvents converter attributes
+    "f_cloudevents" -> ((s, dir) =>
+      CloudEvents.attributes(feed(s, dir, "orders"))
+        .select(col("ce_id"), col("ce_source"), col("ce_specversion"),
+          col("ce_type"), col("ce_time_ms"))),
+
+    // §2.7 SchemaNameAdjuster
+    "f_name_adjust" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_type")).distinct()
+        .select(col("p_type"), Names.avroSafe(col("p_type")).as("avro_safe"))),
+
+    // K4/§2.9: schema evolution — v2 adds a column; union + materialize
+    "k4_schema_evolution" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val v1 = c.filter(col("c_custkey") % 2 === 1)
+      val v2 = c.filter(col("c_custkey") % 2 === 0)
+        .withColumn("c_tier", concat(lit("T"), col("c_custkey") % 3))
+      def env(df: DataFrame) = ChangeFeedGen.feed(df, "customer",
+        df("c_custkey").cast("long"), Map.empty).filter(col("op") === "r")
+      val merged = SchemaEvolution.unionEvolved(Seq(env(v1), env(v2)))
+      Materialize.latestState(merged)
+    }),
+
+    // P6 signal actions (signals derived from the events control stream)
+    "p6_signal_actions" -> ((s, dir) => {
+      val sig = t(s, dir, "events").select(
+        col("event_id").cast("string").as("id"),
+        when(col("event_type") === "signup", lit("execute-snapshot"))
+          .when(col("event_type") === "error", lit("stop-snapshot"))
+          .when(col("event_type") === "view", lit("log"))
+          .otherwise(lit("bogus-type")).as("type"),
+        concat(lit("{\"data-collections\":[\"orders\"],\"type\":\"incremental\",\"k\":"),
+          get_json_object(col("props"), "$.k"), lit("}")).as("data"))
+      Signals.parse(sig)
+    }),
+
+    // multimodal: binary columns + stubbed decode via per-partition session
+    "m_multimodal_meta" -> ((s, dir) => {
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      MultiModal.decodeMeta(bin, "blob")
+        .select(col("doc_id"), col("byte_len"), col("format"),
+          col("width"), col("height"))
+    }),
+
+    // multimodal frame sampling (explode-shaped)
+    "m_frame_sample" -> ((s, dir) => {
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      MultiModal.sampleFrames(bin, "blob", "doc_id", 64)
+    }),
+
+    // T19 field→embedding (stub model, real partition-session plumbing):
+    // embeddings are L2-normalized, so the self-cosine is 1 and norms are 1
+    "a_field_to_embedding" -> ((s, dir) => {
+      val emb = Embeddings.fieldToEmbedding(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "emb", dims = 64)
+      emb.select(col("doc_id"), size(col("emb")).as("dim"),
+        round(graft.analytics.Similarity.norm(col("emb")), 4).as("norm"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "f_geo_roundtrip" ->
+      "SELECT event_id, value AS x, value*2 AS y FROM events",
+
+    "f_geo_swap" ->
+      "SELECT event_id, value*2 AS sx, value AS sy FROM events",
+
+    "f_vector_roundtrip" ->
+      "SELECT vec_id, embedding FROM embeddings",
+
+    "f_vector_sparse" ->
+      """SELECT vec_id, len(embedding) AS dims,
+        | len(list_filter(embedding::DOUBLE[], x -> abs(x) > 0.3)) AS nnz,
+        | round(coalesce(list_sum(list_filter(embedding::DOUBLE[], x -> abs(x) > 0.3)), 0.0), 4) AS checksum
+        |FROM embeddings""".stripMargin,
+
+    "f_cloudevents" ->
+      """SELECT concat('orders-', o_orderkey*10) AS ce_id, '/graft/testdb/orders' AS ce_source,
+        | '1.0' AS ce_specversion, 'io.graft.orders.r' AS ce_type,
+        | 1700000000000 + o_orderkey*10 AS ce_time_ms FROM orders
+        |UNION ALL
+        |SELECT concat('orders-', o_orderkey*10+1), '/graft/testdb/orders', '1.0',
+        | 'io.graft.orders.u', 1700000000000 + o_orderkey*10+1 FROM orders WHERE o_orderkey%7=3
+        |UNION ALL
+        |SELECT concat('orders-', o_orderkey*10+2), '/graft/testdb/orders', '1.0',
+        | 'io.graft.orders.d', 1700000000000 + o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6""".stripMargin,
+
+    "f_name_adjust" ->
+      """SELECT DISTINCT p_type,
+        | regexp_replace(p_type, '[^A-Za-z0-9_]', '_', 'g') AS avro_safe
+        |FROM part""".stripMargin,
+
+    "k4_schema_evolution" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        | CASE WHEN c_custkey%2=0 THEN concat('T', c_custkey%3) ELSE NULL END AS c_tier
+        |FROM customer""".stripMargin,
+
+    "p6_signal_actions" ->
+      """SELECT CAST(event_id AS VARCHAR) AS signal_id,
+        | CASE WHEN event_type='signup' THEN 'execute-snapshot'
+        |      WHEN event_type='error' THEN 'stop-snapshot'
+        |      WHEN event_type='view' THEN 'log'
+        |      ELSE 'ignore' END AS action,
+        | 'orders' AS collection, 'incremental' AS snapshot_type
+        |FROM events""".stripMargin,
+
+    "m_multimodal_meta" ->
+      """SELECT doc_id, length(text) AS byte_len,
+        | CASE WHEN length(text)%3=0 THEN 'png'
+        |      WHEN length(text)%3=1 THEN 'jpeg' ELSE 'webp' END AS format,
+        | 16 + length(text)%640 AS width,
+        | 16 + (length(text)*7)%480 AS height
+        |FROM documents""".stripMargin,
+
+    "m_frame_sample" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_no, CAST(f*64 AS INT) AS frame_off
+        |FROM (SELECT doc_id,
+        |  unnest(range(0, greatest(CAST(floor(length(text)/64.0) AS BIGINT), 1))) AS f
+        | FROM documents) x""".stripMargin,
+
+    "a_field_to_embedding" ->
+      "SELECT doc_id, 64 AS dim, CAST(1.0 AS DOUBLE) AS norm FROM documents"
+  )
+
+  override val duckdbOnly: Set[String] = Set(
+    "f_vector_sparse", "f_name_adjust", "p6_signal_actions", "m_frame_sample")
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analytics.Similarity
+import graft.expressions.GraftFunctions
+import graft.functions.{Geo, Names, Vectors}
+import graft.operators.{Embeddings, SchemaEvolution}
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("native cosine expression matches the declarative formulation exactly") {
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val l = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val r = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = l.join(r, col("ia") < col("ib") && col("ia") % 29 === 0)
+    val diff = pairs
+      .withColumn("c1", Similarity.cosine(col("ea"), col("eb")))
+      .withColumn("c2", GraftFunctions.cosine(col("ea"), col("eb")))
+      .filter(col("c1") =!= col("c2"))
+      .count()
+    assert(diff == 0, "native expression drifted from declarative cosine")
+  }
+
+  test("WKB point roundtrip is exact, including byte-order handling") {
+    assert(Geo.decodePointWkb(Geo.encodePointWkb(1.5, -2.25)) ===
+      Some((1.5, -2.25)))
+    // big-endian variant decodes too
+    val be = java.nio.ByteBuffer.allocate(21)
+    be.put(0.toByte); be.putInt(1); be.putDouble(3.0); be.putDouble(4.0)
+    assert(Geo.decodePointWkb(be.array()) === Some((3.0, 4.0)))
+    assert(Geo.decodePointWkb(Array[Byte](1, 2, 3)) === None)
+  }
+
+  test("sparse vector text parse") {
+    import spark.implicits._
+    val df = Seq("{0:0.5,3:-1.25}/8").toDF("s")
+      .select(Vectors.parseSparseVector(col("s")).as("v"))
+    val row = df.select(col("v.dimensions"), size(map_values(col("v.vector"))),
+      element_at(col("v.vector"), 3)).head()
+    assert(row.getInt(0) == 8 && row.getInt(1) == 2 && row.getDouble(2) == -1.25)
+  }
+
+  test("schema evolution: add/widen/drop, narrow rejected") {
+    import SchemaEvolution._
+    val base = StructType(Seq(StructField("a", IntegerType),
+      StructField("b", StringType)))
+    val evolved = applyAll(base, Seq(
+      AddColumn("c", DoubleType), WidenColumn("a", LongType), DropColumn("b")))
+    assert(evolved.fieldNames.toSeq == Seq("a", "c"))
+    assert(evolved("a").dataType == LongType)
+    intercept[IllegalArgumentException](
+      apply(evolved, WidenColumn("a", IntegerType)))
+    intercept[IllegalArgumentException](apply(evolved, DropColumn("zz")))
+  }
+
+  test("field->embedding is deterministic, normalized, partition-independent") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def run(parts: Int) = Embeddings
+      .fieldToEmbedding(docs.repartition(parts), "text", "emb")
+      .select(col("doc_id"), col("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val a = run(2); val b = run(7)
+    assert(a == b, "embedding depends on partitioning")
+    assert(a.values.forall(v => v.length == 64))
+  }
+
+  test("avroSafe column and scala twins agree") {
+    import spark.implicits._
+    val samples = Seq("PROMO BURNISHED", "9abc", "x-y.z", "ok_name")
+    val fromCol = samples.toDF("s").select(Names.avroSafe(col("s")))
+      .collect().map(_.getString(0)).toSeq
+    assert(fromCol == samples.map(Names.avroSafe))
+  }
+}
