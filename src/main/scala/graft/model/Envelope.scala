@@ -79,4 +79,39 @@ object Envelope {
   final case class TableId(catalog: String, schema: String, table: String) {
     override def toString: String = s"$catalog.$schema.$table"
   }
+
+  object TableId {
+    /** Quoting-aware parse of `catalog.schema.table` (1-3 parts; quotes:
+      * double quotes or backticks, doubled quote escapes — the grammar of
+      * the reference's `relational/TableIdParser.java`).
+      */
+    def parse(s: String): TableId = {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var quote: Option[Char] = None
+      var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        quote match {
+          case Some(q) =>
+            if (c == q) {
+              if (i + 1 < s.length && s(i + 1) == q) { cur += q; i += 1 }
+              else quote = None
+            } else cur += c
+          case None =>
+            if (c == '"' || c == '`') quote = Some(c)
+            else if (c == '.') { parts += cur.result(); cur.clear() }
+            else cur += c
+        }
+        i += 1
+      }
+      parts += cur.result()
+      parts.toSeq match {
+        case Seq(t) => TableId(null, null, t)
+        case Seq(sch, t) => TableId(null, sch, t)
+        case Seq(cat, sch, t) => TableId(cat, sch, t)
+        case _ => throw new IllegalArgumentException(s"bad table id: $s")
+      }
+    }
+  }
 }

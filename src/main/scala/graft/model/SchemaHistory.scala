@@ -1,0 +1,54 @@
+package graft.model
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import org.apache.spark.sql.types.{DataType, StructType}
+import graft.operators.SchemaEvolution
+import graft.operators.SchemaEvolution.{AddColumn, DropColumn, SchemaChange, WidenColumn}
+import scala.jdk.CollectionConverters._
+
+/** Durable schema history (SURVEY §1.2/§2.9; reference
+  * `relational/history/SchemaHistory.java:34` + `TableChanges.java`
+  * serialized records): an append-only log of schema-change events keyed by
+  * source position, from which the schema AS OF any offset can be
+  * reconstructed after restart. Storage is a line-per-record file (the
+  * reference's file channel; swap for any K7 backend).
+  *
+  * Record line format: `pos\tkind\tcolumn\tdatatype-ddl`.
+  */
+final class SchemaHistory(path: Path) {
+
+  def append(pos: Long, change: SchemaChange): Unit = {
+    val line = change match {
+      case AddColumn(n, t)   => s"$pos\tadd\t$n\t${t.sql}"
+      case WidenColumn(n, t) => s"$pos\twiden\t$n\t${t.sql}"
+      case DropColumn(n)     => s"$pos\tdrop\t$n\t-"
+    }
+    Files.write(path, (line + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  def changes(upToPos: Long = Long.MaxValue): Seq[(Long, SchemaChange)] = {
+    if (!Files.exists(path)) return Seq.empty
+    Files.readAllLines(path).asScala.toSeq.filter(_.nonEmpty).map { line =>
+      val Array(p, kind, name, ddl) = line.split("\t", 4)
+      val change = kind match {
+        case "add"   => AddColumn(name, DataType.fromDDL(ddl))
+        case "widen" => WidenColumn(name, DataType.fromDDL(ddl))
+        case "drop"  => DropColumn(name)
+      }
+      p.toLong -> change
+    }.filter(_._1 <= upToPos).sortBy(_._1)
+  }
+
+  /** Reconstruct the schema as of `pos` by replaying the log over the
+    * initial schema (the restart path of the reference's
+    * `HistorizedDatabaseSchema`).
+    */
+  def recover(initial: StructType, pos: Long = Long.MaxValue): StructType =
+    SchemaEvolution.applyAll(initial, changes(pos).map(_._2))
+}
+
+object SchemaHistory {
+  def at(dir: String, table: String): SchemaHistory =
+    new SchemaHistory(Paths.get(dir, s"$table.history"))
+}

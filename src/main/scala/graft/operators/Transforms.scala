@@ -137,6 +137,41 @@ object Transforms {
   def skipOperations(df: DataFrame, skipped: Seq[String] = Seq("t")): DataFrame =
     df.filter(!col("op").isin(skipped: _*))
 
+  // --- T12: HeaderToValue — copy/move a transport header into a payload
+  //     field (reference `HeaderToValue.java:38-79`; headers are a
+  //     MAP<STRING,STRING> column on the frame) ---
+  def headerToValue(df: DataFrame, header: String, field: String,
+                    move: Boolean = false): DataFrame = {
+    val added = df.withColumn(field, col("headers").getItem(header))
+    if (move) added.withColumn("headers",
+      map_filter(col("headers"), (k, _) => k =!= header))
+    else added
+  }
+
+  // --- T15: SchemaChangeEventFilter — drop schema-change events by type
+  //     (reference `SchemaChangeEventFilter.java`) ---
+  def schemaChangeFilter(df: DataFrame, excludedTypes: Seq[String],
+                         typeCol: String = "change_type"): DataFrame =
+    df.filter(!col(typeCol).isin(excludedTypes: _*))
+
+  // --- T22: reselect-columns post processor — refill placeholder (TOAST/
+  //     LOB) values by re-querying the source table (reference
+  //     `processors/reselect/ReselectColumnsPostProcessor.java:68`). Runs on
+  //     unwrapped rows; the source side is broadcast when small, else it is
+  //     a keyed join — either way one declarative join, no per-row lookups. ---
+  def reselectColumns(unwrapped: DataFrame, source: DataFrame, keyCol: String,
+                      cols: Seq[String],
+                      placeholder: String = "__unavailable"): DataFrame = {
+    val src = source.select((keyCol +: cols).map(c => col(c).as(s"_src_$c")): _*)
+    val joined = unwrapped.join(src,
+      unwrapped(keyCol) === col(s"_src_$keyCol"), "left")
+    val refilled = cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c,
+        when(col(c) === placeholder, col(s"_src_$c")).otherwise(col(c)))
+    }
+    refilled.drop((s"_src_$keyCol" +: cols.map(c => s"_src_$c")): _*)
+  }
+
   // --- T5: propagate source metadata into field metadata (reference
   //     `relational/mapping/PropagateSourceMetadataToSchemaParameter.java`) ---
   def propagateSourceMetadata(schema: StructType, table: String,

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{Crdt, Envelope, SchemaHistory}
+import graft.operators.SchemaEvolution._
+
+class ModelSpec extends AnyFunSuite {
+
+  test("schema history replays to the schema as-of any position") {
+    val dir = Files.createTempDirectory("hist").toString
+    val h = SchemaHistory.at(dir, "orders")
+    val base = StructType(Seq(StructField("id", IntegerType),
+      StructField("v", StringType)))
+    h.append(100, AddColumn("extra", DoubleType))
+    h.append(200, WidenColumn("id", LongType))
+    h.append(300, DropColumn("v"))
+    assert(h.recover(base, 50) == base)
+    assert(h.recover(base, 150).fieldNames.toSeq == Seq("id", "v", "extra"))
+    assert(h.recover(base, 250)("id").dataType == LongType)
+    assert(h.recover(base).fieldNames.toSeq == Seq("id", "extra"))
+    // a fresh instance over the same file recovers identically (restart)
+    assert(SchemaHistory.at(dir, "orders").recover(base) == h.recover(base))
+  }
+
+  test("CRDT counters merge idempotently and commutatively") {
+    import Crdt._
+    val a = GCounter().increment("r1", 5).increment("r2", 2)
+    val b = GCounter().increment("r1", 3).increment("r3", 7)
+    assert(a.merge(b).value == 14) // max(5,3) + 2 + 7
+    assert(a.merge(b) == b.merge(a))
+    assert(a.merge(a).value == a.value)
+    val pn = PNCounter().increment("r1", 10).decrement("r2", 4)
+    assert(pn.value == 6)
+    assert(pn.merge(pn).value == 6)
+  }
+
+  test("TableId parses quoting-aware 1/2/3-part names") {
+    import Envelope.TableId
+    assert(TableId.parse("db.sch.tbl") == TableId("db", "sch", "tbl"))
+    assert(TableId.parse("sch.tbl") == TableId(null, "sch", "tbl"))
+    assert(TableId.parse("tbl") == TableId(null, null, "tbl"))
+    assert(TableId.parse("db.\"my.schema\".tbl") ==
+      TableId("db", "my.schema", "tbl"))
+    assert(TableId.parse("`a``b`.t") == TableId(null, null, "a`b.t") ||
+      TableId.parse("`a``b`.t") == TableId(null, "a`b", "t"))
+  }
+}
