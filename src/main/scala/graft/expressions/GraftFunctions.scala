@@ -14,9 +14,17 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_latest_by_pos",
+      exprs => LatestByPos(exprs(0), exprs(1)).toAggregateExpression(),
+      "built-in")
     registered = true
   }
 
   /** Cosine similarity via the native expression (register(spark) first). */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** Latest-struct-by-position aggregate (register(spark) first). */
+  def latestByPos(value: Column, pos: Column): Column =
+    call_function("graft_latest_by_pos", value, pos)
 }

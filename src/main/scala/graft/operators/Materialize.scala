@@ -22,14 +22,17 @@ object Materialize {
     * `DeduplicatingBuffer` semantics: last event per PK wins, ordered by the
     * source position).
     */
-  def reduceByKey(feed: DataFrame): DataFrame =
+  def reduceByKey(feed: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(feed.sparkSession)
     feed
       .groupBy(col("key"))
-      .agg(max_by(struct(col("before"), col("after"), col("op"), col("source"),
-        col("transaction"), col("ts_ms")), col("source.pos")).as("e"))
+      .agg(graft.expressions.GraftFunctions.latestByPos(
+        struct(col("before"), col("after"), col("op"), col("source"),
+          col("transaction"), col("ts_ms")), col("source.pos")).as("e"))
       .select(col("key"), col("e.before").as("before"), col("e.after").as("after"),
         col("e.op").as("op"), col("e.source").as("source"),
         col("e.transaction").as("transaction"), col("e.ts_ms").as("ts_ms"))
+  }
 
   /** Apply the full feed: latest row per PK, deletes drop the row, survivors
     * project the `after` image — i.e. replaying c/u/d/r == final table state
@@ -38,9 +41,15 @@ object Materialize {
   def latestState(feed: DataFrame): DataFrame = {
     val payloadCols = feed.schema("after").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    // LatestByPos (TypedImperativeAggregate) instead of max_by: max_by's
+    // struct buffer forces SortAggregate; the typed aggregate runs under
+    // ObjectHashAggregate — no per-partition sort before the shuffle.
+    graft.expressions.GraftFunctions.register(feed.sparkSession)
     feed
       .groupBy(col("key"))
-      .agg(max_by(struct(col("op"), col("after")), col("source.pos")).as("last"))
+      .agg(graft.expressions.GraftFunctions
+        .latestByPos(struct(col("op"), col("after")), col("source.pos"))
+        .as("last"))
       .filter(col("last.op") =!= Envelope.OpDelete)
       .select(payloadCols.map(c => col(s"last.after.`$c`").as(c)): _*)
   }

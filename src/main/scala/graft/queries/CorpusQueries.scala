@@ -69,7 +69,7 @@ object CorpusQueries extends QueryGroup {
       val r = b.select(col("bucket").as("bucket_r"), col("vec_id").as("id_b"),
         col("embedding").as("eb"))
       l.join(r, col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
-        .withColumn("sim", round(Similarity.cosine(col("ea"), col("eb")), 6))
+        .withColumn("sim", round(Similarity.cosineNative(e)(col("ea"), col("eb")), 6))
         .filter(col("sim") >= 0.3)
         .select(col("id_a"), col("id_b"), col("sim"))
     }),

@@ -41,7 +41,7 @@ object StreamingQueries extends QueryGroup {
         events.unionByName(markers).select(col("txId"), col("k"), col("op"),
           col("pos")),
         transport, orderCol = "pos")
-      TxReassembly.runOnTransport(s, transport)
+      TxReassembly.runOnTransport(s, transport, filesPerTrigger = 2)
         .select(col("txId").as("tx_id"), col("k"), col("op"), col("pos"),
           col("commitPos").as("commit_pos"))
     }),

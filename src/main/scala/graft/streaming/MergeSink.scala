@@ -53,9 +53,11 @@ class MergeSink(dir: String) {
     val merged = state(spark) match {
       case None => reduced
       case Some(prev) =>
+        graft.expressions.GraftFunctions.register(spark)
         prev.unionAll(reduced)
           .groupBy(col("key"))
-          .agg(max_by(struct(col("after"), col("op"), col("pos")), col("pos")).as("e"))
+          .agg(graft.expressions.GraftFunctions.latestByPos(
+            struct(col("after"), col("op"), col("pos")), col("pos")).as("e"))
           .select(col("key"), col("e.after").as("after"), col("e.op").as("op"),
             col("e.pos").as("pos"))
     }

@@ -46,11 +46,14 @@ object StreamingMaterialize {
     sink.view(spark)
   }
 
-  /** Convenience: full pipeline from an in-memory feed. */
+  /** Convenience: full pipeline from an in-memory feed. 4 transport files
+    * in 2-file micro-batches: multiple batches exercise cross-batch state
+    * without paying one full-state merge per file.
+    */
   def materializeFeed(spark: SparkSession, feed: DataFrame): DataFrame = {
     val transport = Files.createTempDirectory("graft-transport").toString
     val sinkDir = Files.createTempDirectory("graft-sink").toString
     writeTransport(feed, transport)
-    run(spark, transport, sinkDir)
+    run(spark, transport, sinkDir, filesPerTrigger = 2)
   }
 }
