@@ -66,13 +66,27 @@ object StreamingQueries extends QueryGroup {
 
     // P5: heartbeat record per covered position interval
     "p5_heartbeat" -> ((s, dir) =>
-      Heartbeat.intervals(feed(s, dir, "orders"), 10000L))
+      Heartbeat.intervals(feed(s, dir, "orders"), 10000L)),
+
+    // S8: DSv2 MicroBatchStream change-log tail (record-index offsets) →
+    // parse wire → MERGE; the full log-protocol source shape end-to-end
+    "stream_dsv2_changelog" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val wire = java.nio.file.Files.createTempDirectory("graft-wire").toString
+      val sinkDir = java.nio.file.Files.createTempDirectory("graft-wire-sink").toString
+      graft.streaming.ChangeLogPipeline.writeWire(feed(s, dir, "orders"), wire)
+      graft.streaming.ChangeLogPipeline.run(s, wire, sinkDir,
+        org.apache.spark.sql.types.StructType(
+          Seq(orders.schema("o_orderkey"))),
+        orders.schema)
+    })
   )
 
   private val txExpr = "concat('tx', CAST(floor(o_orderkey/100) AS BIGINT))"
 
   def oracles: Map[String, String] = Map(
     "stream_k2_materialize" -> ordersLatest,
+    "stream_dsv2_changelog" -> ordersLatest,
 
     "stream_tx_reassembly" ->
       s"""WITH ev AS (

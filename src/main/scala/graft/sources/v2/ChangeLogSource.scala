@@ -1,0 +1,141 @@
+package graft.sources.v2
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 micro-batch streaming source for a change-log transport (the
+  * engine's stand-in for a binlog/WAL tail — SURVEY S8/S9's Spark shape:
+  * "custom DSv2 MicroBatchStream; offset = log position").
+  *
+  * Wire format: a directory of `*.log` text files, one record per line,
+  * TAB-separated: `table \t op \t pos \t keyJson \t payloadJson`. Files are
+  * consumed in lexicographic order; the stream offset is the global record
+  * index, so restarts resume exactly and replays are deterministic
+  * (reference offset semantics: `BinlogOffsetContext`/`PostgresOffsetContext`).
+  *
+  * Usage: `spark.readStream.format(classOf[ChangeLogSource].getName)
+  *   .option("path", dir).load()`
+  */
+class ChangeLogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangeLogSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ChangeLogTable(properties.get("path"))
+}
+
+object ChangeLogSource {
+  val schema: StructType = StructType(Seq(
+    StructField("table", StringType),
+    StructField("op", StringType),
+    StructField("pos", LongType),
+    StructField("key_json", StringType),
+    StructField("payload_json", StringType)))
+
+  /** Sorted data files of the transport directory. */
+  def logFiles(dir: String): Seq[Path] = {
+    val d = Paths.get(dir)
+    if (!Files.exists(d)) Seq.empty
+    else Files.list(d).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .toSeq.sortBy(_.getFileName.toString)
+  }
+
+  def countLines(p: Path): Long =
+    Files.lines(p).count()
+}
+
+class ChangeLogTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"changelog($path)"
+  override def schema(): StructType = ChangeLogSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = ChangeLogSource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new ChangeLogMicroBatchStream(path)
+    }
+}
+
+/** Offset = number of records consumed so far (global, file-order). */
+case class ChangeLogOffset(recordIndex: Long) extends Offset {
+  override def json(): String = recordIndex.toString
+}
+
+class ChangeLogMicroBatchStream(path: String) extends MicroBatchStream {
+  // file line counts are immutable once written (append-only log segments)
+  private val counts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def fileCounts: Seq[(Path, Long)] =
+    ChangeLogSource.logFiles(path).map { p =>
+      (p, counts.computeIfAbsent(p.toString, _ => ChangeLogSource.countLines(p)))
+    }
+
+  override def initialOffset(): Offset = ChangeLogOffset(0L)
+  override def latestOffset(): Offset =
+    ChangeLogOffset(fileCounts.map(_._2).sum)
+  override def deserializeOffset(json: String): Offset =
+    ChangeLogOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ChangeLogOffset].recordIndex
+    val e = end.asInstanceOf[ChangeLogOffset].recordIndex
+    var base = 0L
+    val parts = Seq.newBuilder[InputPartition]
+    fileCounts.foreach { case (p, n) =>
+      val fileStart = math.max(s - base, 0L)
+      val fileEnd = math.min(e - base, n)
+      if (fileEnd > fileStart)
+        parts += ChangeLogInputPartition(p.toString, fileStart, fileEnd)
+      base += n
+    }
+    parts.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val part = partition.asInstanceOf[ChangeLogInputPartition]
+      new ChangeLogPartitionReader(part)
+    }
+}
+
+case class ChangeLogInputPartition(file: String, startLine: Long, endLine: Long)
+  extends InputPartition
+
+class ChangeLogPartitionReader(part: ChangeLogInputPartition)
+  extends PartitionReader[InternalRow] {
+  private val lines = Files.lines(Paths.get(part.file))
+  private val it = lines.skip(part.startLine)
+    .limit(part.endLine - part.startLine).iterator()
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    val f = it.next().split("\t", 5)
+    current = InternalRow(
+      UTF8String.fromString(f(0)), UTF8String.fromString(f(1)),
+      f(2).toLong,
+      UTF8String.fromString(f(3)), UTF8String.fromString(f(4)))
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.v2._
+
+/** Offset/partition mechanics of the DSv2 change-log source. */
+class ChangeLogSourceSpec extends AnyFunSuite {
+
+  def mkWire(lines: Seq[Seq[String]]): String = {
+    val dir = Files.createTempDirectory("wire").toString
+    lines.zipWithIndex.foreach { case (ls, i) =>
+      Files.writeString(Paths.get(dir, f"part-$i%05d.log"),
+        ls.mkString("", "\n", "\n"))
+    }
+    dir
+  }
+
+  def line(pos: Long): String = s"orders\tr\t$pos\t{}\t{}"
+
+  test("latestOffset counts all records across files") {
+    val dir = mkWire(Seq(Seq(line(1), line(2)), Seq(line(3))))
+    val s = new ChangeLogMicroBatchStream(dir)
+    assert(s.initialOffset() == ChangeLogOffset(0))
+    assert(s.latestOffset() == ChangeLogOffset(3))
+    assert(s.deserializeOffset("2") == ChangeLogOffset(2))
+  }
+
+  test("planInputPartitions slices ranges across file boundaries") {
+    val dir = mkWire(Seq(Seq(line(1), line(2)), Seq(line(3), line(4), line(5))))
+    val s = new ChangeLogMicroBatchStream(dir)
+    val parts = s.planInputPartitions(ChangeLogOffset(1), ChangeLogOffset(4))
+      .map(_.asInstanceOf[ChangeLogInputPartition])
+    // record 1 (second line of file 0) + records 2,3 (lines 0,1 of file 1)
+    assert(parts.length == 2)
+    assert(parts(0).startLine == 1 && parts(0).endLine == 2)
+    assert(parts(1).startLine == 0 && parts(1).endLine == 2)
+    // empty range → no partitions
+    assert(s.planInputPartitions(ChangeLogOffset(4), ChangeLogOffset(4)).isEmpty)
+  }
+
+  test("reader returns exactly the sliced lines") {
+    val dir = mkWire(Seq(Seq(line(10), line(20), line(30))))
+    val part = ChangeLogInputPartition(
+      ChangeLogSource.logFiles(dir).head.toString, 1, 3)
+    val r = new ChangeLogPartitionReader(part)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (r.next()) seen += r.get().getLong(2)
+    r.close()
+    assert(seen.toSeq == Seq(20L, 30L))
+  }
+
+  test("new log segments extend the offset (tail behavior)") {
+    val dir = mkWire(Seq(Seq(line(1))))
+    val s = new ChangeLogMicroBatchStream(dir)
+    assert(s.latestOffset() == ChangeLogOffset(1))
+    Files.writeString(Paths.get(dir, "part-99999.log"), line(2) + "\n")
+    assert(s.latestOffset() == ChangeLogOffset(2))
+  }
+}
