@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.{Materialize, Router, Transforms}
+
+/** The engine's user-facing configuration surface (SURVEY §7.1): a pipeline
+  * spec mirroring the reference's connector-config options (include lists,
+  * masks, truncation, skipped ops, scripted filter, unwrap, routing, sink
+  * mode — reference `RelationalDatabaseConnectorConfig` /
+  * `CommonConnectorConfig` keys), compiled into ONE DataFrame expression
+  * chain so Catalyst optimizes across every stage. Stage order follows the
+  * reference SMT chain semantics: filters first, then per-column mappers,
+  * then unwrap/route, then sink.
+  */
+object Pipeline {
+
+  sealed trait SnapshotMode
+  object SnapshotMode {
+    /** backfill + stream (reference `initial`) */
+    case object Initial extends SnapshotMode
+    /** backfill only (reference `initial_only`) */
+    case object InitialOnly extends SnapshotMode
+    /** stream only (reference `no_data`) */
+    case object NoData extends SnapshotMode
+  }
+
+  sealed trait Mask
+  object Mask {
+    case class Constant(value: String = "***") extends Mask
+    case class SaltedHash(salt: String) extends Mask
+  }
+
+  final case class Spec(
+      tableInclude: Option[String] = None,
+      tableExclude: Option[String] = None,
+      snapshotMode: SnapshotMode = SnapshotMode.Initial,
+      columnExclude: Set[String] = Set.empty,
+      masks: Map[String, Mask] = Map.empty,
+      truncates: Map[String, Int] = Map.empty,
+      skippedOperations: Seq[String] = Seq("t"),
+      filterExpr: Option[String] = None,
+      topicExpr: Option[Column] = None,
+      unwrapDeleteMode: Option[String] = None,
+      unwrapAddFields: Seq[String] = Nil)
+
+  /** Compile the spec over an envelope feed. Returns the transformed feed
+    * (or flat rows when unwrap is configured).
+    */
+  def apply(feed: DataFrame, spec: Spec): DataFrame = {
+    var df = feed
+    df = Transforms.tableFilter(df, spec.tableInclude, spec.tableExclude)
+    df = spec.snapshotMode match {
+      case SnapshotMode.Initial => df
+      case SnapshotMode.InitialOnly => df.filter(col("op") === "r")
+      case SnapshotMode.NoData => df.filter(col("op") =!= "r")
+    }
+    df = Transforms.skipOperations(df, spec.skippedOperations)
+    if (spec.columnExclude.nonEmpty)
+      df = Transforms.columnFilter(df, c => !spec.columnExclude(c))
+    df = spec.masks.foldLeft(df) {
+      case (d, (c, Mask.Constant(v)))   => Transforms.maskConstant(d, c, v)
+      case (d, (c, Mask.SaltedHash(s))) => Transforms.maskHash(d, c, s)
+    }
+    df = spec.truncates.foldLeft(df) { case (d, (c, n)) =>
+      Transforms.truncateColumn(d, c, n)
+    }
+    df = spec.filterExpr.map(Transforms.filterExpr(df, _)).getOrElse(df)
+    df = spec.topicExpr.map(Transforms.contentRouter(df, _)).getOrElse(df)
+    spec.unwrapDeleteMode match {
+      case Some(mode) => Transforms.unwrap(df, mode, spec.unwrapAddFields)
+      case None => df
+    }
+  }
+
+  /** Spec + materialization: the full source→table path. */
+  def materialize(feed: DataFrame, spec: Spec): DataFrame =
+    Materialize.latestState(apply(feed, spec.copy(unwrapDeleteMode = None)))
+}

@@ -45,6 +45,20 @@ object Router {
   def repartitionBy(df: DataFrame, n: Int, fields: Seq[String]): DataFrame =
     df.repartition(n, fields.map(col): _*)
 
+  /** R4: TimescaleDB router (reference
+    * `postgresql/transforms/timescaledb/TimescaleDb.java:33-48`): remap
+    * physical chunk tables `_hyper_<ht>_<n>_chunk` to their logical
+    * hypertable topic, keeping the physical name as provenance.
+    */
+  def timescale(df: DataFrame, chunkTableCol: Column,
+                hypertableNames: Column => Column = id =>
+                  concat(lit("metrics_"), id)): DataFrame = {
+    val htId = regexp_extract(chunkTableCol, "_hyper_(\\d+)_", 1)
+    df
+      .withColumn("hypertable", hypertableNames(htId))
+      .withColumn("physical_table", chunkTableCol)
+  }
+
   /** R3: outbox event router (reference `outbox/EventRouterDelegate.java:59,96,164`):
     * rows of an outbox-shaped table route by aggregate type; key becomes the
     * aggregate id; value becomes the payload.

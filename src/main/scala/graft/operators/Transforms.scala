@@ -137,6 +137,16 @@ object Transforms {
   def skipOperations(df: DataFrame, skipped: Seq[String] = Seq("t")): DataFrame =
     df.filter(!col("op").isin(skipped: _*))
 
+  // --- T11: ExtractSchemaToNewRecord — copy source schema metadata into a
+  //     sub-struct of the record (reference `ExtractSchemaToNewRecord.java`) ---
+  def extractSchemaInfo(df: DataFrame): DataFrame = {
+    val fields = payloadFields(df)
+    df.withColumn("__schema", struct(
+      col("source.table").as("table"),
+      lit(fields.mkString(",")).as("fields"),
+      lit(fields.size).as("n_fields")))
+  }
+
   // --- T12: HeaderToValue — copy/move a transport header into a payload
   //     field (reference `HeaderToValue.java:38-79`; headers are a
   //     MAP<STRING,STRING> column on the frame) ---

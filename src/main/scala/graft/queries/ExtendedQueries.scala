@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Pipeline
+import graft.operators.{Docling, IncrementalSnapshot, Router, Transforms}
+import graft.streaming.{MergeSink, Notifications}
+
+/** Pipeline DSL, sink insert modes, remaining converters and the sketch /
+  * grouping analytics (SURVEY §7.1, K3, T11, T20, R4, P7, §2.6 extras).
+  */
+object ExtendedQueries extends QueryGroup {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §7.1: full connector-config pipeline compiled to one Catalyst chain
+    "pl_pipeline_dsl" -> ((s, dir) =>
+      Pipeline(feed(s, dir, "customer"), Pipeline.Spec(
+        columnExclude = Set("c_nationkey"),
+        masks = Map("c_name" -> Pipeline.Mask.SaltedHash("s")),
+        truncates = Map("c_mktsegment" -> 4),
+        filterExpr = Some("coalesce(after.c_acctbal, before.c_acctbal) > 0"),
+        unwrapDeleteMode = Some("rewrite"),
+        unwrapAddFields = Seq("op", "source.pos")))),
+
+    // K3: insert modes — upsert, then update-only, then insert-only
+    "k3_insert_modes" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def env(df: DataFrame, status: org.apache.spark.sql.Column,
+              posOff: Long, op: String) = df.select(
+        struct(col("o_orderkey")).as("key"),
+        lit(null).cast(o.schema).as("before"),
+        struct(col("o_orderkey"), col("o_custkey"), status.as("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+          .as("after"),
+        lit(op).as("op"),
+        struct((col("o_orderkey") + posOff).as("pos")).as("source"),
+        lit(null).cast("string").as("transaction"),
+        (col("o_orderkey") + posOff).as("ts_ms"))
+      val sinkDir = java.nio.file.Files.createTempDirectory("k3-sink").toString
+      val sink = new MergeSink(sinkDir)
+      sink.merge(env(o.filter(col("o_orderkey") % 2 === 0),
+        col("o_orderstatus"), 0L, "r"), 0L, "upsert")
+      sink.merge(env(o, lit("U2"), 1000000000L, "u"), 1L, "update")
+      sink.merge(env(o, lit("I"), 2000000000L, "c"), 2L, "insert")
+      sink.view(s)
+    }),
+
+    // T11: schema metadata into a sub-struct
+    "t11_extract_schema" -> ((s, dir) =>
+      Transforms.extractSchemaInfo(feed(s, dir, "orders"))
+        .filter(col("op") === "r")
+        .select(col("key.o_orderkey").as("o_orderkey"), col("__schema.*"))),
+
+    // T20: docling conversion via partition-session stub client
+    "t20_docling" -> ((s, dir) => {
+      val md = Docling.fieldToDocling(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", "markdown")
+      md.select(col("doc_id"), md5(col("markdown")).as("md_hash"),
+        length(col("markdown")).as("md_len"))
+    }),
+
+    // R4: TimescaleDB chunk→hypertable routing
+    "r4_timescale_router" -> ((s, dir) => {
+      val chunks = t(s, dir, "part").select(col("p_partkey"),
+        concat(lit("_hyper_"), col("p_size") % 5, lit("_"), col("p_partkey"),
+          lit("_chunk")).as("chunk_table"))
+      Router.timescale(chunks, col("chunk_table"))
+        .select(col("p_partkey"), col("physical_table"), col("hypertable"))
+    }),
+
+    // P7: snapshot progress notifications
+    "p7_notifications" -> ((s, dir) =>
+      Notifications.snapshotNotifications(
+        IncrementalSnapshot.chunked(
+          t(s, dir, "orders").select(col("o_orderkey")),
+          Seq(col("o_orderkey")), 1024))),
+
+    // §2.6: exact distinct counts (approx twin asserted in spec)
+    "q_distinct_users" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))),
+
+    // §2.6: hierarchical rollup aggregation
+    "q_rollup" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .rollup(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.6: quantile summary (exact interpolated percentiles)
+    "q_stats_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "pl_pipeline_dsl" ->
+      """SELECT c_custkey, sha256('s' || c_name) AS c_name, c_acctbal,
+        |  substring(c_mktsegment,1,4) AS c_mktsegment,
+        |  'false' AS __deleted, 'r' AS __op, c_custkey*10 AS __pos
+        | FROM customer WHERE c_acctbal > 0
+        |UNION ALL
+        |SELECT c_custkey, sha256('s' || c_name), c_acctbal + 100.0,
+        |  substring(c_mktsegment,1,4), 'false', 'u', c_custkey*10+1
+        | FROM customer WHERE c_custkey%7=3 AND c_acctbal + 100.0 > 0
+        |UNION ALL
+        |SELECT c_custkey, sha256('s' || c_name), c_acctbal,
+        |  substring(c_mktsegment,1,4), 'true', 'd', c_custkey*10+2
+        | FROM customer WHERE c_custkey%13=6 AND c_acctbal > 0""".stripMargin,
+
+    "k3_insert_modes" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey%2=0 THEN 'U2' ELSE 'I' END AS o_orderstatus,
+        | o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
+
+    "t11_extract_schema" ->
+      """SELECT o_orderkey, 'orders' AS table,
+        | 'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority' AS fields,
+        | 6 AS n_fields
+        |FROM orders""".stripMargin,
+
+    "t20_docling" ->
+      """SELECT doc_id,
+        | md5('# doc ' || doc_id || chr(10) || chr(10) || text) AS md_hash,
+        | 8 + length(CAST(doc_id AS VARCHAR)) + length(text) AS md_len
+        |FROM documents""".stripMargin,
+
+    "r4_timescale_router" ->
+      """SELECT p_partkey,
+        | '_hyper_' || (p_size%5) || '_' || p_partkey || '_chunk' AS physical_table,
+        | 'metrics_' || (p_size%5) AS hypertable
+        |FROM part""".stripMargin,
+
+    "p7_notifications" ->
+      """SELECT 'snapshot-started' AS notification_type, CAST(-1 AS BIGINT) AS chunk,
+        | CAST(0 AS BIGINT) AS row_count
+        |UNION ALL
+        |SELECT 'snapshot-in-progress', chunk, count(*) FROM (
+        | SELECT CAST(floor((row_number() OVER (ORDER BY o_orderkey)-1)/1024) AS BIGINT) AS chunk
+        | FROM orders) x GROUP BY chunk
+        |UNION ALL
+        |SELECT 'snapshot-completed', -1, count(*) FROM orders""".stripMargin,
+
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)""".stripMargin,
+
+    "q_stats_summary" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
+
+  override val duckdbOnly: Set[String] = Set(
+    "pl_pipeline_dsl", "t20_docling", "r4_timescale_router",
+    "q_stats_summary", "t11_extract_schema")
+}

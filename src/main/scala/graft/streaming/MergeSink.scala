@@ -45,21 +45,40 @@ class MergeSink(dir: String) {
     s.filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
   }
 
-  /** Merge one micro-batch of envelope rows. */
-  def merge(batch: DataFrame, epochId: Long): Unit = {
+  /** Merge one micro-batch of envelope rows.
+    *
+    * `mode` mirrors the reference JDBC sink's insert modes
+    * (`JdbcSinkConnectorConfig.java:333`):
+    *   - "upsert" (default): newer position wins, deletes tombstone
+    *   - "insert": append-only — keys already in state are never replaced
+    *   - "update": matched-only — keys NOT already in state are dropped
+    */
+  def merge(batch: DataFrame, epochId: Long, mode: String = "upsert"): Unit = {
     val spark = batch.sparkSession
-    val reduced = Materialize.reduceByKey(batch)
+    val reduced0 = Materialize.reduceByKey(batch)
       .select(col("key"), col("after"), col("op"), col("source.pos").as("pos"))
     val merged = state(spark) match {
-      case None => reduced
+      case None =>
+        if (mode == "update") reduced0.limit(0) else reduced0
       case Some(prev) =>
         graft.expressions.GraftFunctions.register(spark)
-        prev.unionAll(reduced)
-          .groupBy(col("key"))
-          .agg(graft.expressions.GraftFunctions.latestByPos(
-            struct(col("after"), col("op"), col("pos")), col("pos")).as("e"))
-          .select(col("key"), col("e.after").as("after"), col("e.op").as("op"),
-            col("e.pos").as("pos"))
+        mode match {
+          case "insert" =>
+            // append-only: existing keys keep their state untouched
+            prev.unionAll(
+              reduced0.join(prev.select(col("key")), Seq("key"), "left_anti"))
+          case m =>
+            val reduced =
+              if (m == "update")
+                reduced0.join(prev.select(col("key")), Seq("key"), "left_semi")
+              else reduced0
+            prev.unionAll(reduced)
+              .groupBy(col("key"))
+              .agg(graft.expressions.GraftFunctions.latestByPos(
+                struct(col("after"), col("op"), col("pos")), col("pos")).as("e"))
+              .select(col("key"), col("e.after").as("after"),
+                col("e.op").as("op"), col("e.pos").as("pos"))
+        }
     }
     val vname = s"v$epochId"
     merged.write.mode("overwrite").parquet(root.resolve(vname).toString)

@@ -45,6 +45,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(one == batch, "streaming state != batch latestState")
   }
 
+  test("progress listener collects per-batch notifications (P7)") {
+    val collector = graft.streaming.Notifications.collect(spark)
+    try {
+      val feed = ChangeFeedGen.standardFeed(
+        Tables.load(spark, sfDir, "nation"), "nation")
+      val transport = Files.createTempDirectory("t").toString
+      StreamingMaterialize.writeTransport(feed, transport)
+      StreamingMaterialize.run(spark, transport,
+        Files.createTempDirectory("s").toString)
+      // listener delivery is async; wait briefly for the bus to drain
+      spark.streams.awaitAnyTermination(1)
+      val deadline = System.currentTimeMillis() + 10000
+      while (collector.progress.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(collector.progress.nonEmpty, "no progress events collected")
+      assert(collector.progress.map(_._3).sum > 0, "no input rows reported")
+    } finally spark.streams.removeListener(collector)
+  }
+
+  test("approximate sketches track exact counts (error bounds)") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val rows = e.groupBy(col("event_type")).agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).collect()
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble; val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx_count_distinct off by >10%: $exact vs $approx")
+    }
+    val q = e.agg(
+      expr("percentile(value, 0.5)").as("exact"),
+      expr("percentile_approx(value, 0.5, 1000)").as("approx")).head()
+    assert(math.abs(q.getDouble(0) - q.getDouble(1)) <
+      math.max(1.0, q.getDouble(0) * 0.05))
+  }
+
   test("out-of-order delivery converges to the same state (pos precedence)") {
     val feed = ChangeFeedGen.standardFeed(
       Tables.load(spark, sfDir, "supplier"), "supplier")
