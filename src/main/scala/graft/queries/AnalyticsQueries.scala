@@ -65,6 +65,29 @@ object AnalyticsQueries extends QueryGroup {
         .select(col("c_custkey"), col("c_mktsegment"))
     }),
 
+    // Full outer join with aggregated sides
+    "q_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = t(s, dir, "supplier").groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, c("c_nationkey") === sup("s_nationkey"), "full_outer")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+    }),
+
+    // Running cumulative revenue per customer (ordered window frame)
+    "q_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("running_total"))
+    }),
+
     // Streaming-style event-time windowed aggregation over the events table
     // (ns timestamps arrive as epoch-ns longs; window = 1h tumbling)
     "q_event_window" -> ((s, dir) =>
@@ -112,6 +135,20 @@ object AnalyticsQueries extends QueryGroup {
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)
         | AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT coalesce(a.c_nationkey, b.s_nationkey) AS nationkey,
+        | a.n_cust, b.n_supp
+        |FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) a
+        |FULL JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) b
+        |  ON a.c_nationkey = b.s_nationkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2)
+        |   AS running_total
+        |FROM orders""".stripMargin,
 
     "q_event_window" ->
       """SELECT CAST(floor(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_bucket,

@@ -68,6 +68,29 @@ object StreamingQueries extends QueryGroup {
     "p5_heartbeat" -> ((s, dir) =>
       Heartbeat.intervals(feed(s, dir, "orders"), 10000L)),
 
+    // Structured Streaming event-time windowed aggregation with a watermark
+    // (real readStream over the events table; ns longs → µs timestamps)
+    "stream_windowed_agg" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      val name = s"win_${System.nanoTime()}"
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet") // source dir holds all tables
+        .parquet(dir)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(unix_micros(col("window.start")).as("bucket_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     // S8: DSv2 MicroBatchStream change-log tail (record-index offsets) →
     // parse wire → MERGE; the full log-protocol source shape end-to-end
     "stream_dsv2_changelog" -> ((s, dir) => {
@@ -87,6 +110,11 @@ object StreamingQueries extends QueryGroup {
   def oracles: Map[String, String] = Map(
     "stream_k2_materialize" -> ordersLatest,
     "stream_dsv2_changelog" -> ordersLatest,
+
+    "stream_windowed_agg" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+        | count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "stream_tx_reassembly" ->
       s"""WITH ev AS (
@@ -122,6 +150,6 @@ object StreamingQueries extends QueryGroup {
         |FROM orders""".stripMargin
   )
 
-  // `interval` is a reserved word in Spark SQL's parser context here
-  override val duckdbOnly: Set[String] = Set("p5_heartbeat")
+  // `interval` is reserved in Spark SQL; epoch_us is DuckDB-only
+  override val duckdbOnly: Set[String] = Set("p5_heartbeat", "stream_windowed_agg")
 }
