@@ -65,6 +65,19 @@ object AnalyticsQueries extends QueryGroup {
         .select(col("c_custkey"), col("c_mktsegment"))
     }),
 
+    // TPC-H Q10-style: revenue from returned items per customer, top 20
+    "q10_returned_items" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Full outer join with aggregated sides
     "q_outer_join" -> ((s, dir) => {
       val c = t(s, dir, "customer").groupBy(col("c_nationkey"))
@@ -135,6 +148,15 @@ object AnalyticsQueries extends QueryGroup {
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)
         | AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_mktsegment
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q_outer_join" ->
       """SELECT coalesce(a.c_nationkey, b.s_nationkey) AS nationkey,

@@ -70,6 +70,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.values.forall(v => v.length == 64))
   }
 
+  test("source metadata propagates into field metadata (T5)") {
+    import graft.operators.Transforms
+    val base = StructType(Seq(StructField("a", IntegerType),
+      StructField("b", StringType)))
+    val out = Transforms.propagateSourceMetadata(base, "orders",
+      Map("a" -> "NUMBER(10)"))
+    assert(out("a").metadata.getString("__graft.source.table") == "orders")
+    assert(out("a").metadata.getString("__graft.source.column.type") == "NUMBER(10)")
+    assert(out("b").metadata.getString("__graft.source.table") == "orders")
+    assert(!out("b").metadata.contains("__graft.source.column.type"))
+  }
+
   test("avroSafe column and scala twins agree") {
     import spark.implicits._
     val samples = Seq("PROMO BURNISHED", "9abc", "x-y.z", "ok_name")
