@@ -65,6 +65,25 @@ object AnalyticsQueries extends QueryGroup {
         .select(col("c_custkey"), col("c_mktsegment"))
     }),
 
+    // Set operators: INTERSECT / EXCEPT over key sets
+    "q_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val o = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val both = c.intersect(o).withColumn("side", lit("with_orders"))
+      val none = c.except(o).withColumn("side", lit("no_orders"))
+      both.unionAll(none)
+    }),
+
+    // Pivot: order counts per segment pivoted by order status
+    "q_pivot" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .count()
+        .na.fill(0) // pivot yields null for empty cells; oracle counts 0
+    }),
+
     // TPC-H Q10-style: revenue from returned items per customer, top 20
     "q10_returned_items" -> ((s, dir) => {
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
@@ -158,6 +177,21 @@ object AnalyticsQueries extends QueryGroup {
         |GROUP BY c_custkey, c_name, c_mktsegment
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
+    "q_set_ops" ->
+      """SELECT k, 'with_orders' AS side FROM
+        | (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders) a
+        |UNION ALL
+        |SELECT k, 'no_orders' FROM
+        | (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders) b""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT c_mktsegment,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
     "q_outer_join" ->
       """SELECT coalesce(a.c_nationkey, b.s_nationkey) AS nationkey,
         | a.n_cust, b.n_supp
@@ -178,5 +212,6 @@ object AnalyticsQueries extends QueryGroup {
         |FROM events GROUP BY 1, 2""".stripMargin
   )
 
-  override val duckdbOnly: Set[String] = Set("q_event_window")
+  // q_pivot: FILTER-with-quoted-identifiers oracle is DuckDB dialect
+  override val duckdbOnly: Set[String] = Set("q_event_window", "q_pivot")
 }

@@ -68,6 +68,26 @@ object StreamingQueries extends QueryGroup {
     "p5_heartbeat" -> ((s, dir) =>
       Heartbeat.intervals(feed(s, dir, "orders"), 10000L)),
 
+    // Streaming deduplication with cross-batch state: the same source read
+    // twice (duplicate delivery) collapses via dropDuplicates on the key
+    "stream_dedup" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .select(col("event_id"), col("event_type"))
+      val name = s"dedup_${System.nanoTime()}"
+      val q = src.union(src)
+        .dropDuplicates("event_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
+
     // Structured Streaming event-time windowed aggregation with a watermark
     // (real readStream over the events table; ns longs → µs timestamps)
     "stream_windowed_agg" -> ((s, dir) => {
@@ -110,6 +130,9 @@ object StreamingQueries extends QueryGroup {
   def oracles: Map[String, String] = Map(
     "stream_k2_materialize" -> ordersLatest,
     "stream_dsv2_changelog" -> ordersLatest,
+
+    "stream_dedup" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
 
     "stream_windowed_agg" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
