@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -68,7 +68,8 @@ class ChangeLogTable(path: String) extends Table with SupportsRead {
     () => new Scan {
       override def readSchema(): StructType = ChangeLogSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new ChangeLogMicroBatchStream(path)
+        new ChangeLogMicroBatchStream(path,
+          Option(options.get("maxRecordsPerTrigger")).map(_.toLong))
     }
 }
 
@@ -77,7 +78,13 @@ case class ChangeLogOffset(recordIndex: Long) extends Offset {
   override def json(): String = recordIndex.toString
 }
 
-class ChangeLogMicroBatchStream(path: String) extends MicroBatchStream {
+/** @param maxRecordsPerTrigger admission control — the reference's
+  *   `max.batch.size` (default 2048) analog: a micro-batch admits at most
+  *   this many records (`CommonConnectorConfig.java:641`).
+  */
+class ChangeLogMicroBatchStream(path: String,
+                                maxRecordsPerTrigger: Option[Long] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
   // file line counts are immutable once written (append-only log segments)
   private val counts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
@@ -89,6 +96,22 @@ class ChangeLogMicroBatchStream(path: String) extends MicroBatchStream {
   override def initialOffset(): Offset = ChangeLogOffset(0L)
   override def latestOffset(): Offset =
     ChangeLogOffset(fileCounts.map(_._2).sum)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRecordsPerTrigger.map(n => ReadLimit.maxRows(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val available = fileCounts.map(_._2).sum
+    val s = start.asInstanceOf[ChangeLogOffset].recordIndex
+    limit match {
+      case m: ReadMaxRows => ChangeLogOffset(math.min(available, s + m.maxRows()))
+      case _ => ChangeLogOffset(available)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
   override def deserializeOffset(json: String): Offset =
     ChangeLogOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()

@@ -50,6 +50,34 @@ class ChangeLogSourceSpec extends AnyFunSuite {
     assert(seen.toSeq == Seq(20L, 30L))
   }
 
+  test("admission control caps each batch at maxRecordsPerTrigger") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = mkWire(Seq(Seq(line(1), line(2), line(3), line(4), line(5))))
+    val s = new ChangeLogMicroBatchStream(dir, Some(2L))
+    assert(s.getDefaultReadLimit.toString == ReadLimit.maxRows(2).toString)
+    val b1 = s.latestOffset(ChangeLogOffset(0), s.getDefaultReadLimit)
+    assert(b1 == ChangeLogOffset(2))
+    val b2 = s.latestOffset(b1, s.getDefaultReadLimit)
+    assert(b2 == ChangeLogOffset(4))
+    val b3 = s.latestOffset(b2, s.getDefaultReadLimit)
+    assert(b3 == ChangeLogOffset(5), "final partial batch")
+  }
+
+  test("streaming with maxRecordsPerTrigger consumes everything in small batches") {
+    val spark = SparkTestSession.get
+    val dir = mkWire(Seq((1L to 7L).map(line)))
+    val name = s"adm_${System.nanoTime()}"
+    val q = spark.readStream
+      .format(classOf[graft.sources.v2.ChangeLogSource].getName)
+      .option("path", dir).option("maxRecordsPerTrigger", "3")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table(name).count() == 7)
+  }
+
   test("new log segments extend the offset (tail behavior)") {
     val dir = mkWire(Seq(Seq(line(1))))
     val s = new ChangeLogMicroBatchStream(dir)
