@@ -68,6 +68,17 @@ object StreamingQueries extends QueryGroup {
     "p5_heartbeat" -> ((s, dir) =>
       Heartbeat.intervals(feed(s, dir, "orders"), 10000L)),
 
+    // K2 through the bucket-partitioned MERGE sink: only touched buckets
+    // are rewritten per batch (file-pruned MERGE, the 100 TB path)
+    "k2_bucketed_materialize" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val sink = new graft.streaming.BucketedMergeSink(
+        java.nio.file.Files.createTempDirectory("bsink").toString, buckets = 16)
+      sink.merge(fd.filter(col("op") === "r"), 0L)
+      sink.merge(fd.filter(col("op") =!= "r"), 1L)
+      sink.view(s)
+    }),
+
     // Streaming deduplication with cross-batch state: the same source read
     // twice (duplicate delivery) collapses via dropDuplicates on the key
     "stream_dedup" -> ((s, dir) => {
@@ -130,6 +141,8 @@ object StreamingQueries extends QueryGroup {
   def oracles: Map[String, String] = Map(
     "stream_k2_materialize" -> ordersLatest,
     "stream_dsv2_changelog" -> ordersLatest,
+
+    "k2_bucketed_materialize" -> ordersLatest,
 
     "stream_dedup" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",

@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Materialize
+import graft.sources.{ChangeFeedGen, Tables}
+import graft.streaming.BucketedMergeSink
+
+class BucketedMergeSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  val sfDir = "/root/testdata/sf0.001"
+
+  def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.map(col): _*).collect().map(_.mkString("|")).sorted.toSeq
+  }
+
+  test("bucketed merge matches latestState semantics") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "orders"), "orders")
+    val sink = new BucketedMergeSink(
+      Files.createTempDirectory("bsink").toString, buckets = 8)
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    sink.merge(feed.filter(col("op") =!= "r"), 1L)
+    assert(canon(sink.view(spark)) == canon(Materialize.latestState(feed)))
+  }
+
+  test("a narrow batch rewrites only the buckets it touches") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "customer"), "customer")
+    val sink = new BucketedMergeSink(
+      Files.createTempDirectory("bsink").toString, buckets = 16)
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    val m0 = sink.manifest
+    assert(m0.size == 16, s"snapshot should populate all buckets, got ${m0.size}")
+    // narrow update batch: a handful of keys → a few buckets
+    val narrow = feed.filter(col("op") === "u" && col("key.c_custkey") < 20)
+    assert(narrow.count() > 0)
+    sink.merge(narrow, 1L)
+    val m1 = sink.manifest
+    val rewritten = m1.count { case (b, p) => m0(b) != p }
+    assert(rewritten < 16, "narrow batch rewrote every bucket")
+    assert(m1.exists { case (b, p) => m0(b) == p },
+      "no untouched bucket kept its old files")
+    // and the merged view is still exactly right
+    val want = Materialize.latestState(
+      feed.filter(col("op") === "r").unionAll(narrow))
+    assert(canon(sink.view(spark)) == canon(want))
+  }
+
+  test("replay of an old batch cannot regress newer state (pos precedence)") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "supplier"), "supplier")
+    val sink = new BucketedMergeSink(
+      Files.createTempDirectory("bsink").toString, buckets = 4)
+    sink.merge(feed, 0L)
+    sink.merge(feed.filter(col("op") === "r"), 1L) // stale replay
+    assert(canon(sink.view(spark)) == canon(Materialize.latestState(feed)))
+  }
+}
