@@ -76,7 +76,18 @@ object CorpusQueries extends QueryGroup {
 
     "a_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(t(s, dir, "embeddings"), dims = 64, nBits = 8,
-        minSim = 0.3))
+        minSim = 0.3)),
+
+    // IVF ANN: k-means cells fitted on a bounded sample, nprobe-cell search
+    // (rows-only for the driver; recall vs brute force asserted in
+    // CoordinatorIvfSpec)
+    "a_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = graft.analytics.Ivf.fitCentroids(e, "vec_id",
+        "embedding", k = 16)
+      graft.analytics.Ivf.searchTopK(e, e.filter(col("vec_id") % 100 === 0),
+        centroids, k = 5, nprobe = 4)
+    })
   )
 
   private val enIn = enList.map(w => s"'$w'").mkString("(", ",", ")")
