@@ -72,7 +72,11 @@ class MergeSink(dir: String) {
               if (m == "update")
                 reduced0.join(prev.select(col("key")), Seq("key"), "left_semi")
               else reduced0
-            prev.unionAll(reduced)
+            // unionByName + allowMissingColumns: a batch written under an
+            // evolved payload schema (added columns) merges into older
+            // state, old rows reading the new columns as null — the sink
+            // half of K4 schema evolution (Delta mergeSchema semantics)
+            prev.unionByName(reduced, allowMissingColumns = true)
               .groupBy(col("key"))
               .agg(graft.expressions.GraftFunctions.latestByPos(
                 struct(col("after"), col("op"), col("pos")), col("pos")).as("e"))
