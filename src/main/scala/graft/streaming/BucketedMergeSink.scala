@@ -56,42 +56,46 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) {
     val reduced = Materialize.reduceByKey(batch)
       .select(col("key"), col("after"), col("op"), col("source.pos").as("pos"))
       .withColumn("_bucket", bucketCol)
-    reduced.cache()
-    try {
-      // driver learns WHICH buckets are touched (tiny: ≤ `buckets` rows)
-      val touched = reduced.select(col("_bucket")).distinct()
-        .collect().map(_.getLong(0).toInt).toSet
-      val prevManifest = manifest
-      val prevTouched = readBuckets(spark,
-        prevManifest.filter(kv => touched(kv._1)).values.toSeq.distinct)
-        // older versions may hold rows of untouched buckets in shared dirs;
-        // keep only touched buckets' rows
-        .map(_.withColumn("_bucket", bucketCol)
-          .filter(col("_bucket").isin(touched.toSeq.map(_.toLong): _*)))
-      val merged = prevTouched match {
-        case None => reduced
-        case Some(prev) =>
-          prev.unionAll(reduced)
-            .groupBy(col("key"))
-            .agg(graft.expressions.GraftFunctions.latestByPos(
-              struct(col("after"), col("op"), col("pos"), col("_bucket")),
-              col("pos")).as("e"))
-            .select(col("key"), col("e.after").as("after"), col("e.op").as("op"),
-              col("e.pos").as("pos"), col("e._bucket").as("_bucket"))
-      }
-      val vdir = root.resolve(s"v$epochId").toString
-      merged.write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
-      val newManifest = prevManifest ++
-        touched.map(b => b -> s"$vdir/_bucket=$b").toMap
-      val mfName = s"m$epochId.manifest"
-      Files.createDirectories(root)
-      Files.writeString(root.resolve(mfName),
-        newManifest.toSeq.sortBy(_._1)
-          .map { case (b, p) => s"$b\t$p" }.mkString("", "\n", "\n"))
-      val tmp = root.resolve(s"CURRENT.tmp$epochId")
-      Files.writeString(tmp, mfName)
-      Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
-    } finally reduced.unpersist()
+    // driver learns WHICH buckets are touched (tiny: ≤ `buckets` rows)
+    // from the RAW batch — a cheap partial-aggregated distinct, no need
+    // to materialize the reduced form twice
+    val touched = batch.select(bucketCol.as("_bucket")).distinct()
+      .collect().map(_.getLong(0).toInt).toSet
+    val prevManifest = manifest
+    val prevTouched = readBuckets(spark,
+      prevManifest.filter(kv => touched(kv._1)).values.toSeq.distinct)
+      // older versions may hold rows of untouched buckets in shared dirs;
+      // keep only touched buckets' rows
+      .map(_.withColumn("_bucket", bucketCol)
+        .filter(col("_bucket").isin(touched.toSeq.map(_.toLong): _*)))
+    val merged = prevTouched match {
+      case None => reduced
+      case Some(prev) =>
+        prev.unionAll(reduced)
+          .groupBy(col("key"))
+          .agg(graft.expressions.GraftFunctions.latestByPos(
+            struct(col("after"), col("op"), col("pos"), col("_bucket")),
+            col("pos")).as("e"))
+          .select(col("key"), col("e.after").as("after"), col("e.op").as("op"),
+            col("e.pos").as("pos"), col("e._bucket").as("_bucket"))
+    }
+    val vdir = root.resolve(s"v$epochId").toString
+    // cluster by bucket before the partitioned write: without it every agg
+    // task opens a writer per bucket (tasks × buckets small files); with it
+    // each bucket is one file
+    merged.repartition(touched.size.max(1), col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+    val newManifest = prevManifest ++
+      touched.map(b => b -> s"$vdir/_bucket=$b").toMap
+    val mfName = s"m$epochId.manifest"
+    Files.createDirectories(root)
+    Files.writeString(root.resolve(mfName),
+      newManifest.toSeq.sortBy(_._1)
+        .map { case (b, p) => s"$b\t$p" }.mkString("", "\n", "\n"))
+    val tmp = root.resolve(s"CURRENT.tmp$epochId")
+    Files.writeString(tmp, mfName)
+    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
   }
 }
+
