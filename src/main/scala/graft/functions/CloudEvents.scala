@@ -27,6 +27,6 @@ object CloudEvents {
   def toJsonWire(df: DataFrame): DataFrame = {
     val a = attributes(df)
     a.select(col("ce_id"),
-      to_json(struct(a.columns.map(col): _*)).as("ce_json"))
+      to_json(struct(a.columns.toIndexedSeq.map(col): _*)).as("ce_json"))
   }
 }

@@ -51,7 +51,7 @@ object Materialize {
         .latestByPos(struct(col("op"), col("after")), col("source.pos"))
         .as("last"))
       .filter(col("last.op") =!= Envelope.OpDelete)
-      .select(payloadCols.map(c => col(s"last.after.`$c`").as(c)): _*)
+      .select(payloadCols.toIndexedSeq.map(c => col(s"last.after.`$c`").as(c)): _*)
   }
 
   /** Restart / at-least-once dedup: a replayed prefix of the feed (same

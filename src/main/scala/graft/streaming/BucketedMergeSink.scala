@@ -18,7 +18,7 @@ import graft.operators.Materialize
   * table and one that rewrites ~|batch keys| / |table keys| of it; bucket
   * count scales with table size (here small for tests).
   */
-class BucketedMergeSink(dir: String, buckets: Int = 16) {
+class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
   private val root = Paths.get(dir)
   private val pointer = root.resolve("CURRENT")
 

@@ -27,7 +27,13 @@ import graft.operators.Materialize
   * is the same shape a 1000-executor MERGE would run — only the commit
   * protocol is simplified.
   */
-class MergeSink(dir: String) {
+/** Common contract of the MERGE sinks (full-state and bucketed). */
+trait CdcSink {
+  def merge(batch: DataFrame, epochId: Long): Unit
+  def view(spark: SparkSession): DataFrame
+}
+
+class MergeSink(dir: String) extends CdcSink {
   private val root = Paths.get(dir)
   private val pointer = root.resolve("CURRENT")
 
@@ -45,6 +51,9 @@ class MergeSink(dir: String) {
     s.filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
   }
 
+  override def merge(batch: DataFrame, epochId: Long): Unit =
+    merge(batch, epochId, "upsert")
+
   /** Merge one micro-batch of envelope rows.
     *
     * `mode` mirrors the reference JDBC sink's insert modes
@@ -53,7 +62,7 @@ class MergeSink(dir: String) {
     *   - "insert": append-only — keys already in state are never replaced
     *   - "update": matched-only — keys NOT already in state are dropped
     */
-  def merge(batch: DataFrame, epochId: Long, mode: String = "upsert"): Unit = {
+  def merge(batch: DataFrame, epochId: Long, mode: String): Unit = {
     val spark = batch.sparkSession
     val reduced0 = Materialize.reduceByKey(batch)
       .select(col("key"), col("after"), col("op"), col("source.pos").as("pos"))

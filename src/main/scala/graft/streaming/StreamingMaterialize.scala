@@ -27,9 +27,10 @@ object StreamingMaterialize {
     * materialized view.
     */
   def run(spark: SparkSession, transportDir: String, sinkDir: String,
-          filesPerTrigger: Int = 1): DataFrame = {
+          filesPerTrigger: Int = 1, sinkFactory: String => CdcSink =
+            d => new MergeSink(d)): DataFrame = {
     val schema = spark.read.parquet(transportDir).schema
-    val sink = new MergeSink(sinkDir)
+    val sink = sinkFactory(sinkDir)
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
     val q = spark.readStream
       .schema(schema)

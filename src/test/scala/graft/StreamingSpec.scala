@@ -82,6 +82,19 @@ class StreamingSpec extends AnyFunSuite {
       math.max(1.0, q.getDouble(0) * 0.05))
   }
 
+  test("streaming pipeline over the bucketed sink matches full-state sink") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "part"), "part")
+    val transport = Files.createTempDirectory("t").toString
+    StreamingMaterialize.writeTransport(feed, transport)
+    val full = canon(StreamingMaterialize.run(spark, transport,
+      Files.createTempDirectory("sf").toString))
+    val bucketed = canon(StreamingMaterialize.run(spark, transport,
+      Files.createTempDirectory("sb").toString,
+      sinkFactory = d => new graft.streaming.BucketedMergeSink(d, buckets = 8)))
+    assert(bucketed == full, "bucketed streaming state differs")
+  }
+
   test("out-of-order delivery converges to the same state (pos precedence)") {
     val feed = ChangeFeedGen.standardFeed(
       Tables.load(spark, sfDir, "supplier"), "supplier")
