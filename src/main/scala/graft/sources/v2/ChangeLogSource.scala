@@ -1,12 +1,13 @@
 package graft.sources.v2
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -58,11 +59,13 @@ object ChangeLogSource {
     Files.lines(p).count()
 }
 
-class ChangeLogTable(path: String) extends Table with SupportsRead {
+class ChangeLogTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"changelog($path)"
   override def schema(): StructType = ChangeLogSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
@@ -70,7 +73,81 @@ class ChangeLogTable(path: String) extends Table with SupportsRead {
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new ChangeLogMicroBatchStream(path,
           Option(options.get("maxRecordsPerTrigger")).map(_.toLong))
+      override def toBatch: Batch = new Batch {
+        override def planInputPartitions(): Array[InputPartition] = {
+          val stream = new ChangeLogMicroBatchStream(path)
+          stream.planInputPartitions(ChangeLogOffset(0L), stream.latestOffset())
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          (p: InputPartition) =>
+            new ChangeLogPartitionReader(p.asInstanceOf[ChangeLogInputPartition])
+      }
     }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new ChangeLogBatchWrite(path)
+      }
+    }
+}
+
+/** Batch write: tasks stage `part-*.log.staged` files; commit renames them
+  * into place atomically (per-file), abort deletes the staging leftovers.
+  */
+class ChangeLogBatchWrite(path: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    ChangeLogWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case StagedLogFile(staged, dest) if staged.nonEmpty =>
+        Files.move(Paths.get(staged), Paths.get(dest),
+          StandardCopyOption.ATOMIC_MOVE)
+      case _ => ()
+    }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case StagedLogFile(staged, _) if staged.nonEmpty =>
+        Files.deleteIfExists(Paths.get(staged))
+      case _ => ()
+    }
+}
+
+case class StagedLogFile(staged: String, dest: String) extends WriterCommitMessage
+
+case class ChangeLogWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ChangeLogDataWriter(path, partitionId, taskId)
+}
+
+class ChangeLogDataWriter(dir: String, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+  private val dest = Paths.get(dir, f"part-$partitionId%05d-$taskId.log")
+  private val staged = Paths.get(dir, f".part-$partitionId%05d-$taskId.staged")
+  private var out: java.io.BufferedWriter = _
+
+  override def write(r: InternalRow): Unit = {
+    if (out == null) {
+      Files.createDirectories(Paths.get(dir))
+      out = Files.newBufferedWriter(staged)
+    }
+    out.write(s"${r.getUTF8String(0)}\t${r.getUTF8String(1)}\t${r.getLong(2)}" +
+      s"\t${r.getUTF8String(3)}\t${r.getUTF8String(4)}\n")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out == null) StagedLogFile("", "")
+    else { out.close(); StagedLogFile(staged.toString, dest.toString) }
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    Files.deleteIfExists(staged)
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Offset = number of records consumed so far (global, file-order). */

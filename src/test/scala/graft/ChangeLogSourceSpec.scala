@@ -78,6 +78,32 @@ class ChangeLogSourceSpec extends AnyFunSuite {
     assert(spark.table(name).count() == 7)
   }
 
+  test("DSv2 batch write + batch read round-trips the wire format") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wire-w").toString
+    val rows = Seq(
+      ("orders", "r", 10L, """{"k":1}""", """{"v":1}"""),
+      ("orders", "u", 11L, """{"k":1}""", """{"v":2}"""),
+      ("orders", "d", 12L, """{"k":2}""", "null"))
+    rows.toDF("table", "op", "pos", "key_json", "payload_json")
+      .repartition(2)
+      .write.format(classOf[graft.sources.v2.ChangeLogSource].getName)
+      .option("path", dir).mode("append").save()
+    val back = spark.read
+      .format(classOf[graft.sources.v2.ChangeLogSource].getName)
+      .option("path", dir).load()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(back == rows.toSet, s"round-trip mismatch: $back")
+    // no staging leftovers after commit
+    import scala.jdk.CollectionConverters._
+    val leftovers = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".staged"))
+    assert(leftovers == 0)
+  }
+
   test("new log segments extend the offset (tail behavior)") {
     val dir = mkWire(Seq(Seq(line(1))))
     val s = new ChangeLogMicroBatchStream(dir)
