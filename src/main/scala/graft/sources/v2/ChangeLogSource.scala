@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,7 +66,8 @@ class ChangeLogTable(path: String) extends Table
   override def schema(): StructType = ChangeLogSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
@@ -88,7 +90,34 @@ class ChangeLogTable(path: String) extends Table
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new ChangeLogBatchWrite(path)
+        override def toStreaming: StreamingWrite = new ChangeLogStreamingWrite(path)
       }
+    }
+}
+
+/** Streaming write: one log segment per (epoch, partition, task), staged
+  * then committed by rename. Re-committing a replayed epoch is a no-op
+  * (destination exists ⇒ discard stage) — idempotent sink semantics.
+  */
+class ChangeLogStreamingWrite(path: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    ChangeLogStreamingWriterFactory(path)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case StagedLogFile(staged, dest) if staged.nonEmpty =>
+        if (Files.exists(Paths.get(dest))) Files.deleteIfExists(Paths.get(staged))
+        else Files.move(Paths.get(staged), Paths.get(dest),
+          StandardCopyOption.ATOMIC_MOVE)
+      case _ => ()
+    }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case StagedLogFile(staged, _) if staged.nonEmpty =>
+        Files.deleteIfExists(Paths.get(staged))
+      case _ => ()
     }
 }
 
@@ -117,15 +146,27 @@ class ChangeLogBatchWrite(path: String) extends BatchWrite {
 
 case class StagedLogFile(staged: String, dest: String) extends WriterCommitMessage
 
+case class ChangeLogStreamingWriterFactory(path: String)
+  extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new ChangeLogDataWriter(path, partitionId, taskId, Some(epochId))
+}
+
 case class ChangeLogWriterFactory(path: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ChangeLogDataWriter(path, partitionId, taskId)
 }
 
-class ChangeLogDataWriter(dir: String, partitionId: Int, taskId: Long)
+class ChangeLogDataWriter(dir: String, partitionId: Int, taskId: Long,
+                          epochId: Option[Long] = None)
   extends DataWriter[InternalRow] {
-  private val dest = Paths.get(dir, f"part-$partitionId%05d-$taskId.log")
-  private val staged = Paths.get(dir, f".part-$partitionId%05d-$taskId.staged")
+  private val stem = epochId match {
+    case Some(e) => f"part-e$e%06d-$partitionId%05d" // epoch-keyed: replays collide
+    case None => f"part-$partitionId%05d-$taskId"
+  }
+  private val dest = Paths.get(dir, s"$stem.log")
+  private val staged = Paths.get(dir, s".$stem-$taskId.staged")
   private var out: java.io.BufferedWriter = _
 
   override def write(r: InternalRow): Unit = {

@@ -50,6 +50,25 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
     s.filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
   }
 
+  /** Delete version directories no longer referenced by the current
+    * manifest (the sink's VACUUM). Bucket dirs live under `v<epoch>/`;
+    * a version dir is live while ANY bucket still points into it.
+    */
+  def vacuum(): Int = {
+    val live = manifest.values
+      .map(p => Paths.get(p).getParent.getFileName.toString).toSet
+    val versionDirs = Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("v"))
+      .toSeq
+    val dead = versionDirs.filterNot(p => live(p.getFileName.toString))
+    dead.foreach { d =>
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(Files.delete(_))
+    }
+    dead.size
+  }
+
   def merge(batch: DataFrame, epochId: Long): Unit = {
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)

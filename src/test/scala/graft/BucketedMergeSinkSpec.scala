@@ -49,6 +49,22 @@ class BucketedMergeSinkSpec extends AnyFunSuite {
     assert(canon(sink.view(spark)) == canon(want))
   }
 
+  test("vacuum removes unreferenced versions, state still readable") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "nation"), "nation")
+    val sink = new BucketedMergeSink(
+      Files.createTempDirectory("bsink").toString, buckets = 4)
+    // every merge touches all 4 buckets → each older version dies entirely
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    sink.merge(feed, 1L)
+    sink.merge(feed, 2L)
+    val before = canon(sink.view(spark))
+    val removed = sink.vacuum()
+    assert(removed >= 1, "expected at least one dead version dir")
+    assert(canon(sink.view(spark)) == before, "vacuum broke live state")
+    assert(sink.vacuum() == 0, "second vacuum should be a no-op")
+  }
+
   test("replay of an old batch cannot regress newer state (pos precedence)") {
     val feed = ChangeFeedGen.standardFeed(
       Tables.load(spark, sfDir, "supplier"), "supplier")

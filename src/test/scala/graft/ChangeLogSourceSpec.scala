@@ -104,6 +104,33 @@ class ChangeLogSourceSpec extends AnyFunSuite {
     assert(leftovers == 0)
   }
 
+  test("streaming write: stream in one wire dir, out another, exactly-once") {
+    val spark = SparkTestSession.get
+    val src = mkWire(Seq((1L to 6L).map(line)))
+    val dst = Files.createTempDirectory("wire-out").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", src).option("maxRecordsPerTrigger", "2").load()
+        .writeStream
+        .format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", dst).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // re-run from the same checkpoint: nothing new, nothing duplicated
+    runOnce()
+    val out = spark.read
+      .format(classOf[graft.sources.v2.ChangeLogSource].getName)
+      .option("path", dst).load()
+    assert(out.count() == 6, s"expected 6 records, got ${out.count()}")
+    assert(out.select("pos").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 6L).toSeq)
+  }
+
   test("new log segments extend the offset (tail behavior)") {
     val dir = mkWire(Seq(Seq(line(1))))
     val s = new ChangeLogMicroBatchStream(dir)
