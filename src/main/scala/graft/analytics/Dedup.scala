@@ -38,9 +38,11 @@ object Dedup {
     val r = d.select(col("bucket").as("bucket_r"), col("doc_id").as("id_b"),
       col("toks").as("tb"))
     l.join(r, col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(
+      // floor-quantize (engine-stable), not round() (.xxxx5 disagreement)
+      .withColumn("jaccard", floor(
         size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          size(array_union(col("ta"), col("tb"))).cast("double"), 4))
+          size(array_union(col("ta"), col("tb"))).cast("double") * 10000)
+        / 10000.0)
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -103,39 +105,58 @@ object Dedup {
         .withColumnRenamed("text", "text_a"), "id_a")
       .join(texts.withColumnRenamed("doc_id", "id_b")
         .withColumnRenamed("text", "text_b"), "id_b")
+      // floor-quantize, not round(): identical IEEE quotients floor the
+      // same in every engine; round() disagrees at exact .xxxx5 boundaries
       .withColumn("jaccard",
-        round(jaccardShingles(col("text_a"), col("text_b"), shingleSize), 4))
+        floor(jaccardShingles(col("text_a"), col("text_b"), shingleSize)
+          * 10000) / 10000.0)
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
-    * One explode + one aggregation of 64 conditional sums.
+  /** Portable 32-bit token hash: the first 8 hex chars of md5. Any engine
+    * with md5 reproduces it exactly (oracle parity); use xxhash64 on hot
+    * paths where cross-engine reproducibility is not needed.
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** `bits`-wide SimHash over tokens: per-bit majority vote of token
+    * hashes. One explode + one aggregation of `bits` conditional sums.
+    * The token hash is pluggable: xxhash64 (default, fast) or `md5Hash32`
+    * (portable — bit-exact in any engine with md5).
+    */
+  def simhash(docs: DataFrame, bits: Int = 64,
+              tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val votes = (0 until 64).map { b =>
+      .withColumn("h", tokenHash(col("w")))
+    val votes = (0 until bits).map { b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"v$b")
     }
     tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b =>
+        (0 until bits).map(b =>
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce((a: Column, c: Column) => a.bitwiseOR(c)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on 4 16-bit sub-bands (a pair within
-    * hamming distance 3 shares at least one identical band), verify true
-    * hamming distance ≤ `maxHamming`.
+  /** SimHash near-dup pairs: block on `nBands` equal sub-bands (by the
+    * pigeonhole principle a pair within hamming distance `nBands - 1`
+    * shares at least one identical band — recall 1.0 for
+    * `maxHamming < nBands`), verify true hamming ≤ `maxHamming`.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sh = simhash(docs)
+  def simhashPairs(docs: DataFrame, maxHamming: Int, bits: Int = 64,
+                   nBands: Int = 4,
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val bandBits = bits / nBands
+    val bandMask = (1L << bandBits) - 1
+    val sh = simhash(docs, bits, tokenHash)
     val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bits"))
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(bandMask))
+            .as("bits"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("simhash"),
         col("bs.band").as("band"), col("bs.bits").as("bits"))

@@ -22,14 +22,50 @@ object Ivf {
     s
   }
 
+  private def unit(v: Centroid): Centroid = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** L2-normalized copy of an embedding column (cast to double). The
+    * search metric is cosine, so cells are fitted and probed on the unit
+    * sphere — for unit vectors L2 ordering equals cosine ordering
+    * (spherical k-means); clustering raw magnitudes would put a query's
+    * cosine neighbors in far-away cells.
+    */
+  private def normalized(emb: Column): Column = {
+    val n = sqrt(aggregate(emb,
+      lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    transform(emb, x => x.cast("double") / n)
+  }
+
+  /** Deterministic "pretrained" unit centroids from a fixed-seed LCG.
+    * Production IVF separates training (offline) from search (online):
+    * `searchTopK` takes centroids as a parameter either way. These
+    * data-independent cells let an external oracle reproduce the exact
+    * cell geometry from literals; `fitCentroids` is the data-fitted
+    * (higher-recall) trainer.
+    */
+  def pretrainedCentroids(k: Int, dims: Int): Seq[Centroid] =
+    (0 until k).map { c =>
+      var s = 0x517CC1B727220A95L ^ (c * 0x9E3779B97F4A7C15L)
+      unit(Array.fill(dims) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+      })
+    }
+
   /** Deterministic Lloyd's k-means on a bounded sample (first `sampleN`
-    * vectors in vec_id order; init = first k distinct vectors).
+    * vectors in vec_id order; init = first k distinct vectors), on the
+    * unit sphere.
     */
   def fitCentroids(corpus: DataFrame, idCol: String, embCol: String,
                    k: Int, iters: Int = 10, sampleN: Int = 2000): Seq[Centroid] = {
     val sample = corpus.orderBy(col(idCol)).limit(sampleN)
       .select(col(embCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(r => unit(r.getSeq[Float](0).map(_.toDouble).toArray))
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
     var centroids: Array[Centroid] = sample.take(k).map(_.clone())
     for (_ <- 0 until iters) {
@@ -53,40 +89,67 @@ object Ivf {
     centroids.toSeq
   }
 
-  /** Column: index (0-based) of the nearest centroid by L2 distance. */
-  def cellOf(emb: Column, centroids: Seq[Centroid]): Column = {
-    val dists = array(centroids.map { c =>
-      val cl = typedLit(c.toSeq)
-      aggregate(zip_with(emb, cl, (x, y) => {
-        val d = x.cast("double") - y; d * d
-      }), lit(0.0), (acc, x) => acc + x)
-    }: _*)
+  /** Squared L2 distances to every centroid: ONE matrix literal + one
+    * `transform` loop — not `centroids.size` unrolled aggregates, whose
+    * expression tree (k × dims literal nodes, each re-inlining the
+    * normalization subtree) blows past codegen limits and falls back to
+    * interpreted evaluation.
+    */
+  private def distsFromNe(ne: Column, centroids: Seq[Centroid]): Column =
+    transform(typedLit(centroids.map(_.toSeq)), c =>
+      aggregate(zip_with(ne, c, (x, y) => {
+        val d = x - y; d * d
+      }), lit(0.0), (acc, x) => acc + x))
+
+  private def cellOfNe(ne: Column, centroids: Seq[Centroid]): Column = {
+    val dists = distsFromNe(ne, centroids)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
-  /** Columns: indices of the `nprobe` nearest centroids. */
-  def probeCells(emb: Column, centroids: Seq[Centroid], nprobe: Int): Column = {
-    val dists = array(centroids.map { c =>
-      val cl = typedLit(c.toSeq)
-      aggregate(zip_with(emb, cl, (x, y) => {
-        val d = x.cast("double") - y; d * d
-      }), lit(0.0), (acc, x) => acc + x)
-    }: _*)
+  private def probeCellsNe(ne: Column, centroids: Seq[Centroid],
+                           nprobe: Int): Column = {
+    val dists = distsFromNe(ne, centroids)
     slice(transform(array_sort(
       zip_with(dists, sequence(lit(0), lit(centroids.length - 1)),
         (d, i) => struct(d.as("d"), i.as("i")))),
       e => e.getField("i")), 1, nprobe)
   }
 
-  /** Top-k per query, probing `nprobe` cells. */
+  /** Column: index (0-based) of the nearest centroid by L2 distance on
+    * the unit sphere (= cosine order). Interpreted form — prefer
+    * `cellOfNative` on the corpus-side hot path.
+    */
+  def cellOf(emb: Column, centroids: Seq[Centroid]): Column =
+    cellOfNe(normalized(emb), centroids)
+
+  /** Corpus-side cell assignment as a native codegen expression —
+    * bit-identical to `cellOf` but a tight loop per row instead of
+    * k × dims interpreted lambdas (higher-order functions never codegen).
+    */
+  def cellOfNative(df: DataFrame)(emb: Column, centroids: Seq[Centroid]): Column = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    graft.expressions.GraftFunctions.nearestCell(emb, centroids.map(_.toSeq))
+      .cast("int")
+  }
+
+  /** Columns: indices of the `nprobe` nearest centroids. */
+  def probeCells(emb: Column, centroids: Seq[Centroid], nprobe: Int): Column =
+    probeCellsNe(normalized(emb), centroids, nprobe)
+
+  /** Top-k per query, probing `nprobe` cells. The normalized vector is
+    * projected once per row and shared by all centroid distances.
+    */
   def searchTopK(corpus: DataFrame, queries: DataFrame,
                  centroids: Seq[Centroid], k: Int, nprobe: Int): DataFrame = {
-    val cell = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ce"),
-      cellOf(col("embedding"), centroids).as("cell"))
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qe"),
-      explode(probeCells(col("embedding"), centroids, nprobe)).as("cell"))
+    val cell = corpus
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"),
+        cellOfNative(corpus)(col("embedding"), centroids).as("cell"))
+    val q = queries
+      .withColumn("_ne", normalized(col("embedding")))
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"),
+        explode(probeCellsNe(col("_ne"), centroids, nprobe)).as("cell"))
     val scored = cell.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",

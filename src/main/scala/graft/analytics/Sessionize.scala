@@ -34,5 +34,8 @@ object Sessionize {
       .agg(count(lit(1)).as("n_events"),
         min(ts).as("session_start"),
         max(ts).as("session_end"),
-        round(sum(value), 4).as("sum_value"))
+        // per-element quantization to long, then an exact integer sum:
+        // order-independent under partial aggregation (a double sum's fold
+        // order differs between Spark partials and a sequential engine)
+        (sum(floor(value * 10000).cast("long")) / 10000.0).as("sum_value"))
 }

@@ -58,8 +58,9 @@ object Similarity {
     */
   /** Deterministic pseudo-random hyperplane components in [-0.5, 0.5),
     * generated driver-side by a fixed LCG (no data dependence, fixed seed).
+    * Public so oracles can inline the exact same literals.
     */
-  private def hyperplane(bit: Int, dims: Int): Seq[Double] = {
+  def hyperplane(bit: Int, dims: Int): Seq[Double] = {
     var s = 0x9E3779B97F4A7C15L ^ (bit * 0x5851F42D4C957F2DL)
     Seq.fill(dims) {
       s = s * 6364136223846793005L + 1442695040888963407L

@@ -18,6 +18,17 @@ object GraftFunctions {
       "graft_latest_by_pos",
       exprs => LatestByPos(exprs(0), exprs(1)).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nearest_cell", exprs => {
+        // 2nd arg must be a foldable array<array<double>> literal — the
+        // centroid matrix is evaluated once at plan time, not per row
+        require(exprs(1).foldable, "nearest_cell centroids must be a literal")
+        val ad = exprs(1).eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+        val mat = Array.tabulate(ad.numElements())(i =>
+          ad.getArray(i).toDoubleArray())
+        NearestCell(exprs(0), mat)
+      }, "built-in")
     registered = true
   }
 
@@ -27,4 +38,11 @@ object GraftFunctions {
   /** Latest-struct-by-position aggregate (register(spark) first). */
   def latestByPos(value: Column, pos: Column): Column =
     call_function("graft_latest_by_pos", value, pos)
+
+  /** Nearest-centroid cell id via the native expression
+    * (register(spark) first).
+    */
+  def nearestCell(emb: Column, centroids: Seq[Seq[Double]]): Column =
+    call_function("graft_nearest_cell", emb,
+      org.apache.spark.sql.functions.typedLit(centroids))
 }

@@ -19,7 +19,10 @@ object CorpusQueries extends QueryGroup {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        round(TextAnalysis.avgTokenLen(col("text")), 4).as("avg_token_len"),
+        // floor-quantize, not round(): both engines compute the identical
+        // IEEE quotient, but round() disagrees at exact .xxxx5 boundaries
+        (floor(TextAnalysis.avgTokenLen(col("text")) * 10000) / 10000.0)
+          .as("avg_token_len"),
         TextAnalysis.stopwordHits(col("text"), enList).as("stop_hits_en"),
         TextAnalysis.tokenCountBpeIsh(col("text")).as("bpe_ish_tokens"))),
 
@@ -39,16 +42,26 @@ object CorpusQueries extends QueryGroup {
     "a_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"))),
 
+    // content-based blocking: docs sharing an 8-token prefix fingerprint
+    // are candidates — finds real near-dups regardless of id locality
     "a_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"),
-        floor(col("doc_id") / 100).cast("long"), 0.9)),
+        TextAnalysis.prefixFingerprint(col("text"), 8), 0.9)),
 
+    // LSH is a candidate *generator*; the emitted pairs are verified by
+    // exact shingle-Jaccard, so with enough bands the result equals the
+    // exact all-pairs computation — which is what the oracle computes.
     "a_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"),
-        shingleSize = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.8)),
+        shingleSize = 3, bands = 16, rowsPerBand = 2, minJaccard = 0.8)),
 
+    // Portable 32-bit simhash (md5-derived token hash) in 4 bands of 8
+    // bits: hamming <= 3 < nBands pairs provably share a band (recall 1.0),
+    // so the output is exactly the all-pairs hamming computation the
+    // oracle reproduces bit-for-bit in SQL.
     "a_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3,
+        bits = 32, nBands = 4, tokenHash = Dedup.md5Hash32)),
 
     "a_embed_norms" -> ((s, dir) =>
       t(s, dir, "embeddings").select(col("vec_id"), col("label"),
@@ -78,13 +91,13 @@ object CorpusQueries extends QueryGroup {
       Similarity.annLsh(t(s, dir, "embeddings"), dims = 64, nBits = 8,
         minSim = 0.3)),
 
-    // IVF ANN: k-means cells fitted on a bounded sample, nprobe-cell search
-    // (rows-only for the driver; recall vs brute force asserted in
-    // CoordinatorIvfSpec)
+    // IVF ANN with pretrained cells: the oracle replays the identical
+    // cell-assignment + probe + rank computation from centroid literals
+    // (the data-fitted k-means trainer is exercised by CoordinatorIvfSpec,
+    // which bounds its recall vs brute force)
     "a_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val centroids = graft.analytics.Ivf.fitCentroids(e, "vec_id",
-        "embedding", k = 16)
+      val centroids = graft.analytics.Ivf.pretrainedCentroids(k = 16, dims = 64)
       graft.analytics.Ivf.searchTopK(e, e.filter(col("vec_id") % 100 === 0),
         centroids, k = 5, nprobe = 4)
     })
@@ -94,12 +107,105 @@ object CorpusQueries extends QueryGroup {
   private val allStop = TextAnalysis.langStopwords.flatMap(_._2)
     .map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** Exact all-pairs 3-shingle Jaccard — the ground truth `a_minhash_lsh`
+    * must equal (its candidates are exact-verified, its bands catch every
+    * qualifying pair at these parameters).
+    */
+  private def minhashOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      | s AS (SELECT doc_id,
+      |   list_distinct([array_to_string(toks[i:i+2],' ')
+      |     for i in range(1, greatest(len(toks)-2, 1)+1)]) AS sh
+      |  FROM t)
+      |SELECT id_a, id_b, jaccard FROM (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  floor(len(list_intersect(a.sh, b.sh))::DOUBLE
+      |    / len(list_distinct(list_concat(a.sh, b.sh))) * 10000) / 10000.0 AS jaccard
+      | FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+      |WHERE jaccard >= 0.8""".stripMargin
+
+  /** Bit-exact 32-bit simhash reproduced in SQL: md5-hex token hash →
+    * per-bit majority vote → all-pairs hamming <= 3.
+    */
+  private def simhashOracle: String = {
+    val bits = 32
+    val votes = (0 until bits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val combine = (0 until bits).map(b =>
+      s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id,
+       |   unnest(list_distinct(string_split(text,' '))) AS w FROM documents),
+       | hh AS (SELECT doc_id,
+       |   list_sum([ (strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1)::BIGINT
+       |     << ((8-i)*4) for i in range(1, 9)]) AS h FROM tok),
+       | v AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id),
+       | s AS (SELECT doc_id, $combine AS simhash FROM v)
+       |SELECT id_a, id_b, hamming FROM (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       | FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+       |WHERE hamming <= 3""".stripMargin
+  }
+
+  /** The full IVF search replayed in SQL from the pretrained-centroid
+    * literals: unit-normalize, L2 cell assignment (argmin), nprobe nearest
+    * cells, exact cosine within probed cells, per-query ranking — the same
+    * computation `Ivf.searchTopK` runs, step for step.
+    */
+  private def annIvfOracle: String = {
+    val k = 16; val dims = 64; val nprobe = 4; val topK = 5
+    val cents = graft.analytics.Ivf.pretrainedCentroids(k, dims)
+    val distList = cents.map { c =>
+      val lit = c.mkString("[", ",", "]")
+      s"list_sum(list_transform(list_zip(ne, $lit::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    }.mkString("[", ", ", "]")
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |   list_transform(embedding::DOUBLE[], x ->
+       |     x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS ne
+       |  FROM embeddings),
+       | d AS (SELECT vec_id, emb, $distList AS dists FROM n),
+       | cells AS (SELECT vec_id AS neighbor_id, emb AS ce,
+       |   list_indexof(dists, list_min(dists)) - 1 AS cell FROM d),
+       | probes AS (SELECT vec_id AS query_id, emb AS qe,
+       |   unnest(list_transform(list_sort(list_zip(dists, range(0, $k))),
+       |     p -> p[2])[1:$nprobe]) AS cell
+       |  FROM d WHERE vec_id % 100 = 0),
+       | sc AS (SELECT query_id, neighbor_id,
+       |   round(list_cosine_similarity(ce, qe), 6) AS sim
+       |  FROM cells JOIN probes USING (cell) WHERE query_id <> neighbor_id)
+       |SELECT query_id,
+       | CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rk,
+       | neighbor_id, sim
+       |FROM sc QUALIFY rk <= $topK""".stripMargin
+  }
+
+  /** Hyperplane-LSH buckets reproduced with the exact literal hyperplanes
+    * the Spark side uses (deterministic fixed-seed LCG), then exact cosine
+    * within shared buckets.
+    */
+  private def annLshOracle: String = {
+    val dims = 64
+    val nBits = 8
+    val bucket = (0 until nBits).map { b =>
+      val h = Similarity.hyperplane(b, dims).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(e, $h::DOUBLE[]) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |  $bucket AS bucket FROM embeddings)
+       |SELECT id_a, id_b, sim, bucket FROM (
+       | SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |  round(list_cosine_similarity(a.e, c.e), 6) AS sim, a.bucket AS bucket
+       | FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) p
+       |WHERE sim >= 0.3""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "a_text_stats" ->
       s"""SELECT doc_id,
          | len(string_split(text,' ')) AS n_tokens,
-         | round((length(text) - len(string_split(text,' ')) + 1)*1.0
-         |   / len(string_split(text,' ')), 4) AS avg_token_len,
+         | floor((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
+         |   / len(string_split(text,' ')) * 10000) / 10000.0 AS avg_token_len,
          | len(list_filter(string_split(text,' '), w -> w IN $enIn)) AS stop_hits_en,
          | list_sum(list_transform(string_split(text,' '),
          |   w -> 1 + CAST(floor(length(w)/5.0) AS BIGINT))) AS bpe_ish_tokens
@@ -142,12 +248,13 @@ object CorpusQueries extends QueryGroup {
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "a_jaccard_pairs" ->
-      """WITH s AS (SELECT doc_id, CAST(floor(doc_id/100) AS BIGINT) AS b,
+      """WITH s AS (SELECT doc_id,
+        |  md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS b,
         |  list_distinct(string_split(text,' ')) AS toks FROM documents)
         |SELECT id_a, id_b, jaccard FROM (
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_intersect(a.toks, b.toks))*1.0
-        |    / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        |  floor(len(list_intersect(a.toks, b.toks))::DOUBLE
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) * 10000) / 10000.0 AS jaccard
         | FROM s a JOIN s b ON a.b = b.b AND a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.9""".stripMargin,
 
@@ -175,10 +282,19 @@ object CorpusQueries extends QueryGroup {
         | SELECT a.vec_id AS id_a, c.vec_id AS id_b,
         |  round(list_cosine_similarity(a.e, c.e), 6) AS sim
         | FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) p
-        |WHERE sim >= 0.3""".stripMargin
+        |WHERE sim >= 0.3""".stripMargin,
+
+    "a_minhash_lsh" -> minhashOracle,
+
+    "a_ann_ivf" -> annIvfOracle,
+
+    "a_simhash_pairs" -> simhashOracle,
+
+    "a_ann_lsh" -> annLshOracle
   )
 
   override val duckdbOnly: Set[String] = Set(
     "a_text_stats", "a_lang_id", "a_quality_score", "a_fingerprint",
-    "a_jaccard_pairs", "a_embed_norms", "a_ann_topk", "a_cosine_pairs")
+    "a_jaccard_pairs", "a_embed_norms", "a_ann_topk", "a_cosine_pairs",
+    "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh", "a_ann_ivf")
 }

@@ -32,11 +32,16 @@ object FunctionQueries extends QueryGroup {
         Geo.pointX(col("geom")).as("sx"), Geo.pointY(col("geom")).as("sy"))
     }),
 
-    // §1.3 vectors: pg-text render→parse roundtrip is the identity
-    "f_vector_roundtrip" -> ((s, dir) =>
+    // §1.3 vectors: pg-text render→parse roundtrip is the identity.
+    // Projected to scalars (dims + checksum) — raw list columns are not
+    // hashable by the driver's comparator.
+    "f_vector_roundtrip" -> ((s, dir) => {
+      val rt = Vectors.parseFloatVector(Vectors.toText(col("embedding")))
       t(s, dir, "embeddings").select(col("vec_id"),
-        Vectors.parseFloatVector(Vectors.toText(col("embedding")))
-          .as("embedding"))),
+        size(rt).as("dims"),
+        round(aggregate(rt, lit(0.0), (acc, x) => acc + x.cast("double")), 4)
+          .as("checksum"))
+    }),
 
     // sparse vector projection: dims, nnz, value checksum
     "f_vector_sparse" -> ((s, dir) => {
@@ -120,7 +125,9 @@ object FunctionQueries extends QueryGroup {
       "SELECT event_id, value*2 AS sx, value AS sy FROM events",
 
     "f_vector_roundtrip" ->
-      "SELECT vec_id, embedding FROM embeddings",
+      """SELECT vec_id, len(embedding) AS dims,
+        | round(list_sum(embedding::DOUBLE[]), 4) AS checksum
+        |FROM embeddings""".stripMargin,
 
     "f_vector_sparse" ->
       """SELECT vec_id, len(embedding) AS dims,
@@ -177,5 +184,6 @@ object FunctionQueries extends QueryGroup {
   )
 
   override val duckdbOnly: Set[String] = Set(
-    "f_vector_sparse", "f_name_adjust", "p6_signal_actions", "m_frame_sample")
+    "f_vector_roundtrip", "f_vector_sparse", "f_name_adjust",
+    "p6_signal_actions", "m_frame_sample")
 }

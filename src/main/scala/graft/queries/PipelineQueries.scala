@@ -220,7 +220,7 @@ object PipelineQueries extends QueryGroup {
         |  FROM s)
         |SELECT user_id AS key, session_id, count(*) AS n_events,
         | min(t) AS session_start, max(t) AS session_end,
-        | round(sum(value), 4) AS sum_value
+        | sum(CAST(floor(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
         |FROM g GROUP BY user_id, session_id""".stripMargin,
 
     "a_salted_agg" ->

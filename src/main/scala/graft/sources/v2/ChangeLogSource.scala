@@ -3,10 +3,11 @@ package graft.sources.v2
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -19,10 +20,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * "custom DSv2 MicroBatchStream; offset = log position").
   *
   * Wire format: a directory of `*.log` text files, one record per line,
-  * TAB-separated: `table \t op \t pos \t keyJson \t payloadJson`. Files are
-  * consumed in lexicographic order; the stream offset is the global record
-  * index, so restarts resume exactly and replays are deterministic
-  * (reference offset semantics: `BinlogOffsetContext`/`PostgresOffsetContext`).
+  * TAB-separated: `table \t op \t pos \t keyJson \t payloadJson`. Segments
+  * are immutable once visible and consumed in lexicographic name order.
+  *
+  * The stream offset is the SEGMENT FRONTIER — the name of the last fully
+  * consumed segment. Everything the driver needs is file metadata:
+  *   - `latestOffset` lists the directory (no content reads — at 100 TB of
+  *     log the driver never touches record data);
+  *   - the writer embeds each segment's record count in its committed name
+  *     (`-n<count>.log`), so record-capped admission control is also pure
+  *     name arithmetic (counting lines is a cached fallback for foreign
+  *     files only);
+  *   - readers consume whole segments — no prefix re-streaming, no seeks.
+  * Restart resumes at the frontier exactly (reference offset semantics:
+  * `BinlogOffsetContext`/`PostgresOffsetContext`).
+  *
+  * Commit assigns each segment a monotonic generation number
+  * (`part-g<gen>-...`), so arrival order == lexicographic order even when
+  * batch and streaming writers interleave on one directory.
   *
   * Usage: `spark.readStream.format(classOf[ChangeLogSource].getName)
   *   .option("path", dir).load()`
@@ -44,20 +59,53 @@ object ChangeLogSource {
     StructField("key_json", StringType),
     StructField("payload_json", StringType)))
 
-  /** Sorted data files of the transport directory. */
+  /** Sorted data files of the transport directory (stream closed). */
   def logFiles(dir: String): Seq[Path] = {
     val d = Paths.get(dir)
     if (!Files.exists(d)) Seq.empty
-    else Files.list(d).iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-      .toSeq.sortBy(_.getFileName.toString)
+    else Using.resource(Files.list(d)) { s =>
+      s.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        .toSeq
+    }.sortBy(_.getFileName.toString)
   }
 
   def countLines(p: Path): Long =
-    Files.lines(p).count()
+    Using.resource(Files.lines(p))(_.count())
+
+  private val CountInName = """.*-n(\d+)\.log$""".r
+  private val GenInName = """^part-g(\d+)-.*""".r
+
+  /** Record count from the committed segment name, if our writer named it. */
+  def countFromName(name: String): Option[Long] = name match {
+    case CountInName(n) => Some(n.toLong)
+    case _ => None
+  }
+
+  /** Next commit generation: max over `part-g<gen>-*` names + 1 (metadata
+    * only; one listing per commit).
+    */
+  def nextGeneration(dir: String): Long = {
+    val gens = logFiles(dir).map(_.getFileName.toString).collect {
+      case GenInName(g) => g.toLong
+    }
+    if (gens.isEmpty) 1L else gens.max + 1L
+  }
+
+  def segmentName(gen: Long, epochId: Option[Long], partitionId: Int,
+                  count: Long): String = {
+    val mid = epochId.map(e => f"e$e%06d").getOrElse("b")
+    f"part-g$gen%012d-$mid-p$partitionId%05d-n$count.log"
+  }
+
+  /** Token identifying a streaming (epoch, partition) in a committed name —
+    * the replay-idempotence check.
+    */
+  def epochToken(epochId: Long, partitionId: Int): String =
+    f"-e$epochId%06d-p$partitionId%05d-"
 }
 
 class ChangeLogTable(path: String) extends Table
@@ -78,7 +126,8 @@ class ChangeLogTable(path: String) extends Table
       override def toBatch: Batch = new Batch {
         override def planInputPartitions(): Array[InputPartition] = {
           val stream = new ChangeLogMicroBatchStream(path)
-          stream.planInputPartitions(ChangeLogOffset(0L), stream.latestOffset())
+          stream.planInputPartitions(ChangeLogOffset(""),
+            stream.latestOffset())
         }
         override def createReaderFactory(): PartitionReaderFactory =
           (p: InputPartition) =>
@@ -95,56 +144,67 @@ class ChangeLogTable(path: String) extends Table
     }
 }
 
-/** Streaming write: one log segment per (epoch, partition, task), staged
-  * then committed by rename. Re-committing a replayed epoch is a no-op
-  * (destination exists ⇒ discard stage) — idempotent sink semantics.
+/** Driver-side commit: assign the next generation, name segments with
+  * their record counts, rename staged files into place. Streaming epochs
+  * are idempotent — a partition already committed under this epoch (name
+  * carries the epoch token) discards its staged replay.
   */
+object ChangeLogCommit {
+  def commit(dir: String, messages: Array[WriterCommitMessage],
+             epochId: Option[Long]): Unit = {
+    val staged = messages.collect {
+      case s: StagedLogFile if s.staged.nonEmpty => s
+    }.sortBy(_.partitionId)
+    if (staged.isEmpty) return
+    val existing = ChangeLogSource.logFiles(dir).map(_.getFileName.toString)
+    val gen = ChangeLogSource.nextGeneration(dir)
+    staged.foreach { m =>
+      val replayed = epochId.exists(e =>
+        existing.exists(_.contains(ChangeLogSource.epochToken(e, m.partitionId))))
+      if (replayed) Files.deleteIfExists(Paths.get(m.staged))
+      else Files.move(Paths.get(m.staged),
+        Paths.get(dir, ChangeLogSource.segmentName(gen, epochId,
+          m.partitionId, m.count)),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case StagedLogFile(staged, _, _) if staged.nonEmpty =>
+        Files.deleteIfExists(Paths.get(staged))
+      case _ => ()
+    }
+}
+
 class ChangeLogStreamingWrite(path: String) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     ChangeLogStreamingWriterFactory(path)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case StagedLogFile(staged, dest) if staged.nonEmpty =>
-        if (Files.exists(Paths.get(dest))) Files.deleteIfExists(Paths.get(staged))
-        else Files.move(Paths.get(staged), Paths.get(dest),
-          StandardCopyOption.ATOMIC_MOVE)
-      case _ => ()
-    }
+    ChangeLogCommit.commit(path, messages, Some(epochId))
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case StagedLogFile(staged, _) if staged.nonEmpty =>
-        Files.deleteIfExists(Paths.get(staged))
-      case _ => ()
-    }
+    ChangeLogCommit.abort(messages)
 }
 
-/** Batch write: tasks stage `part-*.log.staged` files; commit renames them
-  * into place atomically (per-file), abort deletes the staging leftovers.
-  */
 class ChangeLogBatchWrite(path: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     ChangeLogWriterFactory(path)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case StagedLogFile(staged, dest) if staged.nonEmpty =>
-        Files.move(Paths.get(staged), Paths.get(dest),
-          StandardCopyOption.ATOMIC_MOVE)
-      case _ => ()
-    }
+    ChangeLogCommit.commit(path, messages, None)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case StagedLogFile(staged, _) if staged.nonEmpty =>
-        Files.deleteIfExists(Paths.get(staged))
-      case _ => ()
-    }
+    ChangeLogCommit.abort(messages)
 }
 
-case class StagedLogFile(staged: String, dest: String) extends WriterCommitMessage
+/** @param count records in the staged segment (the writer knows — commit
+  *   bakes it into the segment name so readers never have to count)
+  */
+case class StagedLogFile(staged: String, partitionId: Int, count: Long)
+  extends WriterCommitMessage
 
 case class ChangeLogStreamingWriterFactory(path: String)
   extends StreamingDataWriterFactory {
@@ -161,13 +221,12 @@ case class ChangeLogWriterFactory(path: String) extends DataWriterFactory {
 class ChangeLogDataWriter(dir: String, partitionId: Int, taskId: Long,
                           epochId: Option[Long] = None)
   extends DataWriter[InternalRow] {
-  private val stem = epochId match {
-    case Some(e) => f"part-e$e%06d-$partitionId%05d" // epoch-keyed: replays collide
-    case None => f"part-$partitionId%05d-$taskId"
-  }
-  private val dest = Paths.get(dir, s"$stem.log")
-  private val staged = Paths.get(dir, s".$stem-$taskId.staged")
+  // staged name is task-unique (speculative retries cannot collide); the
+  // final name is assigned at commit time by the driver
+  private val staged = Paths.get(dir,
+    f".stage-p$partitionId%05d-t$taskId-e${epochId.getOrElse(-1L)}")
   private var out: java.io.BufferedWriter = _
+  private var n = 0L
 
   override def write(r: InternalRow): Unit = {
     if (out == null) {
@@ -176,11 +235,12 @@ class ChangeLogDataWriter(dir: String, partitionId: Int, taskId: Long,
     }
     out.write(s"${r.getUTF8String(0)}\t${r.getUTF8String(1)}\t${r.getLong(2)}" +
       s"\t${r.getUTF8String(3)}\t${r.getUTF8String(4)}\n")
+    n += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    if (out == null) StagedLogFile("", "")
-    else { out.close(); StagedLogFile(staged.toString, dest.toString) }
+    if (out == null) StagedLogFile("", partitionId, 0L)
+    else { out.close(); StagedLogFile(staged.toString, partitionId, n) }
   }
 
   override def abort(): Unit = {
@@ -191,63 +251,109 @@ class ChangeLogDataWriter(dir: String, partitionId: Int, taskId: Long,
   override def close(): Unit = ()
 }
 
-/** Offset = number of records consumed so far (global, file-order). */
-case class ChangeLogOffset(recordIndex: Long) extends Offset {
-  override def json(): String = recordIndex.toString
+/** Offset = segment frontier: every segment with name <= `file` is fully
+  * consumed ("" = nothing consumed). Pure metadata — no content position.
+  */
+case class ChangeLogOffset(file: String) extends Offset {
+  override def json(): String = s"""{"file":"$file"}"""
+}
+
+object ChangeLogOffset {
+  private val FromJson = """\{"file":"(.*)"\}""".r
+  def fromJson(json: String): ChangeLogOffset = json.trim match {
+    case FromJson(f) => ChangeLogOffset(f)
+    case other => throw new IllegalArgumentException(
+      s"not a changelog offset: $other")
+  }
 }
 
 /** @param maxRecordsPerTrigger admission control — the reference's
-  *   `max.batch.size` (default 2048) analog: a micro-batch admits at most
-  *   this many records (`CommonConnectorConfig.java:641`).
+  *   `max.batch.size` analog (`CommonConnectorConfig.java:641`): a
+  *   micro-batch admits whole segments until the record cap is reached
+  *   (always at least one segment, so an oversize segment still makes
+  *   progress). Counts come from segment names; foreign files fall back
+  *   to one cached line count.
   */
 class ChangeLogMicroBatchStream(path: String,
                                 maxRecordsPerTrigger: Option[Long] = None)
-  extends MicroBatchStream with SupportsAdmissionControl {
-  // file line counts are immutable once written (append-only log segments)
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+  // fallback line counts for foreign (non-engine-written) segments —
+  // immutable once visible, so cache forever
   private val counts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  @volatile private var availableNowTarget: Option[String] = None
 
-  private def fileCounts: Seq[(Path, Long)] =
-    ChangeLogSource.logFiles(path).map { p =>
-      (p, counts.computeIfAbsent(p.toString, _ => ChangeLogSource.countLines(p)))
+  private def countOf(p: Path): Long =
+    ChangeLogSource.countFromName(p.getFileName.toString).getOrElse(
+      counts.computeIfAbsent(p.toString, _ => ChangeLogSource.countLines(p)))
+
+  /** Visible segments, capped at the Trigger.AvailableNow target if set. */
+  private def visible(): Seq[Path] = {
+    val fs = ChangeLogSource.logFiles(path)
+    availableNowTarget match {
+      case Some(t) => fs.filter(_.getFileName.toString <= t)
+      case None => fs
     }
+  }
 
-  override def initialOffset(): Offset = ChangeLogOffset(0L)
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = ChangeLogSource.logFiles(path).lastOption
+      .map(_.getFileName.toString).orElse(Some(""))
+
+  override def initialOffset(): Offset = ChangeLogOffset("")
+
   override def latestOffset(): Offset =
-    ChangeLogOffset(fileCounts.map(_._2).sum)
+    visible().lastOption.map(p => ChangeLogOffset(p.getFileName.toString))
+      .getOrElse(ChangeLogOffset(""))
 
   override def getDefaultReadLimit: ReadLimit =
     maxRecordsPerTrigger.map(n => ReadLimit.maxRows(n))
       .getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val available = fileCounts.map(_._2).sum
-    val s = start.asInstanceOf[ChangeLogOffset].recordIndex
+    val s = start.asInstanceOf[ChangeLogOffset].file
+    val pending = visible().filter(_.getFileName.toString > s)
     limit match {
-      case m: ReadMaxRows => ChangeLogOffset(math.min(available, s + m.maxRows()))
-      case _ => ChangeLogOffset(available)
+      case m: ReadMaxRows =>
+        var admitted = s
+        var total = 0L
+        var first = true
+        pending.foreach { p =>
+          val c = countOf(p)
+          if (first || total + c <= m.maxRows()) {
+            admitted = p.getFileName.toString
+            total += c
+            first = false
+          }
+        }
+        ChangeLogOffset(admitted)
+      case _ =>
+        pending.lastOption.map(p => ChangeLogOffset(p.getFileName.toString))
+          .getOrElse(start.asInstanceOf[ChangeLogOffset])
     }
   }
 
   override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
-    ChangeLogOffset(json.trim.toLong)
+    ChangeLogOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  /** One partition per segment in (start, end] — readers consume whole
+    * immutable segments, never a sliced range.
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[ChangeLogOffset].recordIndex
-    val e = end.asInstanceOf[ChangeLogOffset].recordIndex
-    var base = 0L
-    val parts = Seq.newBuilder[InputPartition]
-    fileCounts.foreach { case (p, n) =>
-      val fileStart = math.max(s - base, 0L)
-      val fileEnd = math.min(e - base, n)
-      if (fileEnd > fileStart)
-        parts += ChangeLogInputPartition(p.toString, fileStart, fileEnd)
-      base += n
-    }
-    parts.result().toArray
+    val s = start.asInstanceOf[ChangeLogOffset].file
+    val e = end.asInstanceOf[ChangeLogOffset].file
+    ChangeLogSource.logFiles(path)
+      .map(_.toString)
+      .filter { p =>
+        val n = Paths.get(p).getFileName.toString
+        n > s && n <= e
+      }
+      .map(ChangeLogInputPartition(_): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -257,14 +363,12 @@ class ChangeLogMicroBatchStream(path: String,
     }
 }
 
-case class ChangeLogInputPartition(file: String, startLine: Long, endLine: Long)
-  extends InputPartition
+case class ChangeLogInputPartition(file: String) extends InputPartition
 
 class ChangeLogPartitionReader(part: ChangeLogInputPartition)
   extends PartitionReader[InternalRow] {
   private val lines = Files.lines(Paths.get(part.file))
-  private val it = lines.skip(part.startLine)
-    .limit(part.endLine - part.startLine).iterator()
+  private val it = lines.iterator()
   private var current: InternalRow = _
 
   override def next(): Boolean = {

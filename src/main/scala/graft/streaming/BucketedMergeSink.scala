@@ -38,7 +38,9 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
   private def readBuckets(spark: SparkSession, paths: Seq[String]): Option[DataFrame] = {
     val existing = paths.filter(p => Files.exists(Paths.get(p)))
     if (existing.isEmpty) None
-    else Some(spark.read.parquet(existing: _*))
+    // mergeSchema: buckets written under different payload-schema versions
+    // (K4 evolution) must union, older files reading new columns as null
+    else Some(spark.read.option("mergeSchema", "true").parquet(existing: _*))
   }
 
   def state(spark: SparkSession): Option[DataFrame] =
@@ -90,7 +92,10 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
     val merged = prevTouched match {
       case None => reduced
       case Some(prev) =>
-        prev.unionAll(reduced)
+        // by-name union with missing columns allowed: same evolution
+        // semantics as MergeSink (a batch under an evolved schema merges
+        // into older state)
+        prev.unionByName(reduced, allowMissingColumns = true)
           .groupBy(col("key"))
           .agg(graft.expressions.GraftFunctions.latestByPos(
             struct(col("after"), col("op"), col("pos"), col("_bucket")),

@@ -8,29 +8,41 @@ import org.apache.spark.sql.types.StructType
 import graft.sources.v2.ChangeLogSource
 
 /** End-to-end pipeline over the DSv2 change-log source: envelope frames are
-  * serialized to the wire format (the "binlog"), tailed by
-  * ChangeLogSource as a real MicroBatchStream with record-index offsets,
-  * parsed back into envelope frames, and merged into the sink.
+  * serialized to the wire format (the "binlog") through the DSv2 writer,
+  * tailed by ChangeLogSource as a real MicroBatchStream with
+  * segment-frontier offsets, parsed back into envelope frames, and merged
+  * into the sink (bucketed by default — only touched buckets rewrite).
   */
 object ChangeLogPipeline {
 
-  /** Serialize an envelope feed to wire files (TAB fields; pos order). */
+  /** Serialize an envelope feed to wire segments via the DSv2 batch
+    * writer (pos order; committed names carry record counts, so the
+    * tailing source needs no content reads for offsets or admission).
+    */
   def writeWire(feed: DataFrame, dir: String, files: Int = 3): Unit =
     feed
       .repartitionByRange(files, col("source.pos"))
       .sortWithinPartitions(col("source.pos"))
-      // concat_ws silently drops nulls — a delete's absent after-image must
-      // still occupy its wire field
-      .select(concat_ws("\t",
-        col("source.table"), col("op"), col("source.pos"),
-        coalesce(to_json(col("key")), lit("null")),
-        coalesce(to_json(col("after")), lit("null"))).as("value"))
-      .write.mode("overwrite").text(dir)
+      .select(
+        col("source.table").as("table"), col("op"),
+        col("source.pos").as("pos"),
+        // coalesce: a delete's absent after-image must still occupy its
+        // wire field
+        coalesce(to_json(col("key")), lit("null")).as("key_json"),
+        coalesce(to_json(col("after")), lit("null")).as("payload_json"))
+      .write.format(classOf[ChangeLogSource].getName)
+      .option("path", dir).mode("append").save()
 
-  /** Tail the wire directory through the DSv2 source and materialize. */
+  /** Tail the wire directory through the DSv2 source and materialize.
+    * The default sink is the bucket-partitioned MERGE (touched-bucket
+    * rewrite — the 100 TB path); pass `d => new MergeSink(d)` for the
+    * full-state variant.
+    */
   def run(spark: SparkSession, wireDir: String, sinkDir: String,
-          keySchema: StructType, payloadSchema: StructType): DataFrame = {
-    val sink = new MergeSink(sinkDir)
+          keySchema: StructType, payloadSchema: StructType,
+          sinkFactory: String => CdcSink =
+            d => new BucketedMergeSink(d)): DataFrame = {
+    val sink = sinkFactory(sinkDir)
     val ckpt = Files.createTempDirectory("graft-wire-ckpt").toString
     val q = spark.readStream
       .format(classOf[ChangeLogSource].getName)

@@ -4,9 +4,12 @@ import java.nio.file.{Files, Paths}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.v2._
 
-/** Offset/partition mechanics of the DSv2 change-log source. */
+/** Offset/partition mechanics of the DSv2 change-log source
+  * (segment-frontier offsets: metadata-only, whole-segment reads).
+  */
 class ChangeLogSourceSpec extends AnyFunSuite {
 
+  /** Foreign segments (no count in name — exercises the fallback). */
   def mkWire(lines: Seq[Seq[String]]): String = {
     val dir = Files.createTempDirectory("wire").toString
     lines.zipWithIndex.foreach { case (ls, i) =>
@@ -18,54 +21,87 @@ class ChangeLogSourceSpec extends AnyFunSuite {
 
   def line(pos: Long): String = s"orders\tr\t$pos\t{}\t{}"
 
-  test("latestOffset counts all records across files") {
+  def fileNames(dir: String): Seq[String] =
+    ChangeLogSource.logFiles(dir).map(_.getFileName.toString)
+
+  test("latestOffset is the newest segment name — metadata only") {
     val dir = mkWire(Seq(Seq(line(1), line(2)), Seq(line(3))))
     val s = new ChangeLogMicroBatchStream(dir)
-    assert(s.initialOffset() == ChangeLogOffset(0))
-    assert(s.latestOffset() == ChangeLogOffset(3))
-    assert(s.deserializeOffset("2") == ChangeLogOffset(2))
+    assert(s.initialOffset() == ChangeLogOffset(""))
+    assert(s.latestOffset() == ChangeLogOffset("part-00001.log"))
+    val off = ChangeLogOffset("part-00042.log")
+    assert(s.deserializeOffset(off.json()) == off)
   }
 
-  test("planInputPartitions slices ranges across file boundaries") {
-    val dir = mkWire(Seq(Seq(line(1), line(2)), Seq(line(3), line(4), line(5))))
+  test("planInputPartitions selects whole segments in (start, end]") {
+    val dir = mkWire(Seq(Seq(line(1)), Seq(line(2)), Seq(line(3))))
     val s = new ChangeLogMicroBatchStream(dir)
-    val parts = s.planInputPartitions(ChangeLogOffset(1), ChangeLogOffset(4))
+    val parts = s.planInputPartitions(
+      ChangeLogOffset("part-00000.log"), ChangeLogOffset("part-00002.log"))
       .map(_.asInstanceOf[ChangeLogInputPartition])
-    // record 1 (second line of file 0) + records 2,3 (lines 0,1 of file 1)
     assert(parts.length == 2)
-    assert(parts(0).startLine == 1 && parts(0).endLine == 2)
-    assert(parts(1).startLine == 0 && parts(1).endLine == 2)
-    // empty range → no partitions
-    assert(s.planInputPartitions(ChangeLogOffset(4), ChangeLogOffset(4)).isEmpty)
+    assert(parts.map(p => Paths.get(p.file).getFileName.toString).toSeq ==
+      Seq("part-00001.log", "part-00002.log"))
+    assert(s.planInputPartitions(ChangeLogOffset("part-00002.log"),
+      ChangeLogOffset("part-00002.log")).isEmpty)
   }
 
-  test("reader returns exactly the sliced lines") {
+  test("reader returns every record of its segment") {
     val dir = mkWire(Seq(Seq(line(10), line(20), line(30))))
     val part = ChangeLogInputPartition(
-      ChangeLogSource.logFiles(dir).head.toString, 1, 3)
+      ChangeLogSource.logFiles(dir).head.toString)
     val r = new ChangeLogPartitionReader(part)
     val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (r.next()) seen += r.get().getLong(2)
     r.close()
-    assert(seen.toSeq == Seq(20L, 30L))
+    assert(seen.toSeq == Seq(10L, 20L, 30L))
   }
 
-  test("admission control caps each batch at maxRecordsPerTrigger") {
+  test("admission control admits whole segments up to the record cap") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
-    val dir = mkWire(Seq(Seq(line(1), line(2), line(3), line(4), line(5))))
-    val s = new ChangeLogMicroBatchStream(dir, Some(2L))
-    assert(s.getDefaultReadLimit.toString == ReadLimit.maxRows(2).toString)
-    val b1 = s.latestOffset(ChangeLogOffset(0), s.getDefaultReadLimit)
-    assert(b1 == ChangeLogOffset(2))
+    val dir = mkWire(Seq(
+      Seq(line(1), line(2)), Seq(line(3), line(4)), Seq(line(5), line(6), line(7))))
+    val s = new ChangeLogMicroBatchStream(dir, Some(4L))
+    assert(s.getDefaultReadLimit.toString == ReadLimit.maxRows(4).toString)
+    val b1 = s.latestOffset(ChangeLogOffset(""), s.getDefaultReadLimit)
+    assert(b1 == ChangeLogOffset("part-00001.log"), "two 2-record segments fit in 4")
     val b2 = s.latestOffset(b1, s.getDefaultReadLimit)
-    assert(b2 == ChangeLogOffset(4))
-    val b3 = s.latestOffset(b2, s.getDefaultReadLimit)
-    assert(b3 == ChangeLogOffset(5), "final partial batch")
+    assert(b2 == ChangeLogOffset("part-00002.log"), "final segment")
+    // an oversize FIRST segment is still admitted — progress over strictness
+    val tight = new ChangeLogMicroBatchStream(dir, Some(1L))
+    val t1 = tight.latestOffset(ChangeLogOffset(""), tight.getDefaultReadLimit)
+    assert(t1 == ChangeLogOffset("part-00000.log"))
   }
 
-  test("streaming with maxRecordsPerTrigger consumes everything in small batches") {
+  test("committed segment names carry record counts and sort by generation") {
     val spark = SparkTestSession.get
-    val dir = mkWire(Seq((1L to 7L).map(line)))
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wire-gen").toString
+    def writeBatch(rows: Seq[(String, String, Long, String, String)]): Unit =
+      rows.toDF("table", "op", "pos", "key_json", "payload_json")
+        .coalesce(1)
+        .write.format(classOf[ChangeLogSource].getName)
+        .option("path", dir).mode("append").save()
+    writeBatch(Seq(("orders", "r", 1L, "{}", "{}"), ("orders", "r", 2L, "{}", "{}")))
+    writeBatch(Seq(("orders", "u", 3L, "{}", "{}")))
+    val names = fileNames(dir)
+    assert(names.length == 2)
+    assert(names.forall(_.matches("""part-g\d{12}-b-p\d{5}-n\d+\.log""")), names)
+    // counts baked into names match the actual contents
+    ChangeLogSource.logFiles(dir).foreach { p =>
+      assert(ChangeLogSource.countFromName(p.getFileName.toString)
+        .contains(ChangeLogSource.countLines(p)))
+    }
+    // second write's generation sorts strictly after the first — arrival
+    // order == lexicographic order even across jobs
+    assert(names == names.sorted && names.head < names.last)
+    assert(ChangeLogSource.countFromName(names.head).contains(2L))
+    assert(ChangeLogSource.countFromName(names.last).contains(1L))
+  }
+
+  test("streaming with maxRecordsPerTrigger consumes everything") {
+    val spark = SparkTestSession.get
+    val dir = mkWire(Seq((1L to 4L).map(line), (5L to 7L).map(line)))
     val name = s"adm_${System.nanoTime()}"
     val q = spark.readStream
       .format(classOf[graft.sources.v2.ChangeLogSource].getName)
@@ -100,7 +136,7 @@ class ChangeLogSourceSpec extends AnyFunSuite {
     // no staging leftovers after commit
     import scala.jdk.CollectionConverters._
     val leftovers = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
-      .count(_.getFileName.toString.endsWith(".staged"))
+      .count(_.getFileName.toString.startsWith(".stage"))
     assert(leftovers == 0)
   }
 
@@ -134,8 +170,39 @@ class ChangeLogSourceSpec extends AnyFunSuite {
   test("new log segments extend the offset (tail behavior)") {
     val dir = mkWire(Seq(Seq(line(1))))
     val s = new ChangeLogMicroBatchStream(dir)
-    assert(s.latestOffset() == ChangeLogOffset(1))
+    assert(s.latestOffset() == ChangeLogOffset("part-00000.log"))
     Files.writeString(Paths.get(dir, "part-99999.log"), line(2) + "\n")
-    assert(s.latestOffset() == ChangeLogOffset(2))
+    assert(s.latestOffset() == ChangeLogOffset("part-99999.log"))
+  }
+
+  test("restart: segments appended while down resume exactly from the frontier") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val dir = Files.createTempDirectory("wire-restart").toString
+    def writeBatch(pos: Seq[Long]): Unit =
+      pos.map(p => ("orders", "r", p, "{}", "{}"))
+        .toDF("table", "op", "pos", "key_json", "payload_json")
+        .coalesce(1)
+        .write.format(classOf[ChangeLogSource].getName)
+        .option("path", dir).mode("append").save()
+    writeBatch(Seq(1L, 2L))
+    val s = new ChangeLogMicroBatchStream(dir, Some(2L))
+    val consumed = s.latestOffset(ChangeLogOffset(""), s.getDefaultReadLimit)
+    // "crash"; two more commits land while the stream is down — their
+    // generations sort strictly after the consumed frontier
+    writeBatch(Seq(3L))
+    writeBatch(Seq(4L, 5L))
+    val s2 = new ChangeLogMicroBatchStream(dir) // fresh stream, same dir
+    val end = s2.latestOffset(consumed,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    val parts = s2.planInputPartitions(consumed, end)
+      .map(_.asInstanceOf[ChangeLogInputPartition])
+    val seen = parts.flatMap { p =>
+      val r = new ChangeLogPartitionReader(p)
+      val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (r.next()) b += r.get().getLong(2)
+      r.close(); b
+    }.sorted.toSeq
+    assert(seen == Seq(3L, 4L, 5L), s"resume lost or duplicated records: $seen")
   }
 }
