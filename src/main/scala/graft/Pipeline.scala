@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.operators.{Materialize, Router, Transforms}
+import graft.model.Snapshotter
+import graft.operators.{CustomConverter, CustomConverterRegistry, Materialize, Transforms, TypeHandling}
 
 /** The engine's user-facing configuration surface (SURVEY §7.1): a pipeline
   * spec mirroring the reference's connector-config options (include lists,
@@ -15,15 +16,12 @@ import graft.operators.{Materialize, Router, Transforms}
   */
 object Pipeline {
 
-  sealed trait SnapshotMode
-  object SnapshotMode {
-    /** backfill + stream (reference `initial`) */
-    case object Initial extends SnapshotMode
-    /** backfill only (reference `initial_only`) */
-    case object InitialOnly extends SnapshotMode
-    /** stream only (reference `no_data`) */
-    case object NoData extends SnapshotMode
-  }
+  /** Start-time state the snapshotter decides from (ref
+    * `Snapshotter.shouldSnapshotData(offsetsExist, snapshotCompleted)`).
+    * Defaults model a fresh connector start.
+    */
+  final case class SnapshotContext(offsetsExist: Boolean = false,
+                                   snapshotComplete: Boolean = false)
 
   sealed trait Mask
   object Mask {
@@ -34,13 +32,26 @@ object Pipeline {
   final case class Spec(
       tableInclude: Option[String] = None,
       tableExclude: Option[String] = None,
-      snapshotMode: SnapshotMode = SnapshotMode.Initial,
+      /** snapshot.mode — any `graft.model.Snapshotter`, incl. custom SPI
+        * impls (ref debezium-core `snapshot.mode` package)
+        */
+      snapshotter: Snapshotter = Snapshotter.Initial,
+      snapshotContext: SnapshotContext = SnapshotContext(),
       columnExclude: Set[String] = Set.empty,
       masks: Map[String, Mask] = Map.empty,
       truncates: Map[String, Int] = Map.empty,
       skippedOperations: Seq[String] = Seq("t"),
       filterExpr: Option[String] = None,
       topicExpr: Option[Column] = None,
+      /** decimal/time/binary handling modes (ref
+        * `RelationalDatabaseConnectorConfig.java:337,419`)
+        */
+      typeHandling: Option[TypeHandling.Config] = None,
+      /** per-column CustomConverter SPI overrides (ref
+        * `CustomConverter.java:18-48`); resolved against `tableName`
+        */
+      converters: Seq[CustomConverter] = Nil,
+      tableName: String = "",
       unwrapDeleteMode: Option[String] = None,
       unwrapAddFields: Seq[String] = Nil)
 
@@ -50,10 +61,14 @@ object Pipeline {
   def apply(feed: DataFrame, spec: Spec): DataFrame = {
     var df = feed
     df = Transforms.tableFilter(df, spec.tableInclude, spec.tableExclude)
-    df = spec.snapshotMode match {
-      case SnapshotMode.Initial => df
-      case SnapshotMode.InitialOnly => df.filter(col("op") === "r")
-      case SnapshotMode.NoData => df.filter(col("op") =!= "r")
+    val snap = spec.snapshotter
+    val ctx = spec.snapshotContext
+    df = (snap.shouldSnapshotData(ctx.offsetsExist, ctx.snapshotComplete),
+          snap.shouldStream) match {
+      case (true, true)   => df
+      case (true, false)  => df.filter(col("op") === "r")
+      case (false, true)  => df.filter(col("op") =!= "r")
+      case (false, false) => df.filter(lit(false))
     }
     df = Transforms.skipOperations(df, spec.skippedOperations)
     if (spec.columnExclude.nonEmpty)
@@ -65,6 +80,10 @@ object Pipeline {
     df = spec.truncates.foldLeft(df) { case (d, (c, n)) =>
       Transforms.truncateColumn(d, c, n)
     }
+    if (spec.converters.nonEmpty)
+      df = new CustomConverterRegistry(spec.converters)
+        .convertEnvelope(df, spec.tableName)
+    df = spec.typeHandling.map(TypeHandling.convertEnvelope(df, _)).getOrElse(df)
     df = spec.filterExpr.map(Transforms.filterExpr(df, _)).getOrElse(df)
     df = spec.topicExpr.map(Transforms.contentRouter(df, _)).getOrElse(df)
     spec.unwrapDeleteMode match {

@@ -29,6 +29,11 @@ object Envelope {
   val OpDelete = "d"
   val OpTruncate = "t"
   val OpMessage = "m"
+  /** Post-delete tombstone (ref `tombstones.on.delete`,
+    * `CommonConnectorConfig.java:690`): key only, both images null — a
+    * compaction marker, ignored by state-materializing sinks.
+    */
+  val OpTombstone = "x"
 
   /** Provenance struct schema. `pos` is the monotonic total-order position
     * standing in for lsn/scn/binlog-pos; `txId` groups events into source

@@ -25,6 +25,10 @@ object Materialize {
   def reduceByKey(feed: DataFrame): DataFrame = {
     graft.expressions.GraftFunctions.register(feed.sparkSession)
     feed
+      // tombstones are compaction markers for log-compacted transports;
+      // a state-materializing sink ignores them (the delete they follow
+      // already tombstoned the key)
+      .filter(col("op") =!= Envelope.OpTombstone)
       .groupBy(col("key"))
       .agg(graft.expressions.GraftFunctions.latestByPos(
         struct(col("before"), col("after"), col("op"), col("source"),
@@ -46,6 +50,7 @@ object Materialize {
     // ObjectHashAggregate — no per-partition sort before the shuffle.
     graft.expressions.GraftFunctions.register(feed.sparkSession)
     feed
+      .filter(col("op") =!= Envelope.OpTombstone) // see reduceByKey
       .groupBy(col("key"))
       .agg(graft.expressions.GraftFunctions
         .latestByPos(struct(col("op"), col("after")), col("source.pos"))

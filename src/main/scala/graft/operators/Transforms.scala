@@ -116,9 +116,40 @@ object Transforms {
       .reduce(_ + _)
   }
 
+  /** `mode` mirrors the reference's two behaviors: "drop" filters
+    * oversize records out; "fail" aborts the job on the first oversize
+    * record (ref `EnforceRecordSize.java:48`). Fail mode rides on
+    * `assert_true` inside the filter condition so Catalyst cannot prune
+    * the check away.
+    */
   def enforceRecordSize(df: DataFrame, maxSize: Int,
-                        sized: Seq[String] = Nil): DataFrame =
-    df.filter(recordSize(df, sized) <= maxSize)
+                        sized: Seq[String] = Nil,
+                        mode: String = "drop"): DataFrame = {
+    val sz = recordSize(df, sized)
+    mode match {
+      case "fail" =>
+        df.filter(coalesce(
+          assert_true(sz <= maxSize,
+            concat(lit(s"record exceeds $maxSize bytes: "), sz.cast(StringType)))
+            .cast("boolean"),
+          lit(true)))
+      case _ => df.filter(sz <= maxSize)
+    }
+  }
+
+  // --- T9 (inference form): extract a schemaless JSON document column by
+  //     inferring its struct schema from a bounded sample of the data —
+  //     the engine's answer to the reference's Mongo document schema
+  //     inference (`transforms/MongoDataConverter.java`): Spark's JSON
+  //     reader unions field types across sampled documents. ---
+  def extractDocumentInferred(df: DataFrame, jsonCol: String,
+                              sampleN: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df.select(col(jsonCol)).limit(sampleN).as[String]
+    val schema = spark.read.json(sample).schema
+    df.withColumn("__doc", from_json(col(jsonCol), schema))
+  }
 
   // --- T14: TimezoneConverter (reference `TimezoneConverter.java:57-128`):
   //     shift designated timestamp payload fields to a target zone. ---

@@ -1,0 +1,296 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
+import graft.Pipeline
+import graft.model.{Envelope, Snapshotter}
+import graft.operators.{CustomConverter, Materialize, TypeHandling}
+import graft.sources.ChangeFeedGen
+
+/** Connector type/config surface: decimal/time/binary handling modes,
+  * CustomConverter SPI, tombstones-on-delete, message.key.columns and the
+  * snapshot-mode matrix (SURVEY §2.1 S7, §2.8; reference
+  * `RelationalDatabaseConnectorConfig.java:323,337,419`,
+  * `CommonConnectorConfig.java:690`, `spi/converter/CustomConverter.java`,
+  * `spi/snapshot/Snapshotter.java`).
+  */
+object ConfigQueries extends QueryGroup {
+  import TypeHandling._
+
+  private def readsFeed(s: SparkSession, df: DataFrame): DataFrame =
+    ChangeFeedGen.feed(df, "orders", df("o_orderkey").cast("long"), Map.empty,
+      Some(Seq("o_orderkey"))).filter(col("op") === "r")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // decimal.handling.mode: precise payload rendered as double AND string
+    "c_decimal_handling" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+      val fd = ChangeFeedGen.feed(o, "orders", o("o_orderkey").cast("long"),
+        Map.empty, Some(Seq("o_orderkey"))).filter(col("op") === "r")
+      val dbl = convertEnvelope(fd, Config(decimalMode = DecimalMode.AsDouble))
+        .select(col("after.o_orderkey").as("o_orderkey"),
+          col("after.price").as("price_double"))
+      val str = convertEnvelope(fd, Config(decimalMode = DecimalMode.AsString))
+        .select(col("after.o_orderkey").as("o_orderkey"),
+          col("after.price").as("price_string"))
+      dbl.join(str, "o_orderkey")
+    }),
+
+    // time.precision.mode: adaptive (µs) vs connect (ms)
+    "c_time_precision" -> ((s, dir) => {
+      val fd = readsFeed(s, t(s, dir, "orders"))
+      val adaptive = convertEnvelope(fd,
+        Config(timePrecision = TimePrecisionMode.Adaptive))
+        .select(col("after.o_orderkey").as("o_orderkey"),
+          col("after.o_orderdate").as("ts_adaptive_us"))
+      val connect = convertEnvelope(fd,
+        Config(timePrecision = TimePrecisionMode.Connect))
+        .select(col("after.o_orderkey").as("o_orderkey"),
+          col("after.o_orderdate").as("ts_connect_ms"))
+      adaptive.join(connect, "o_orderkey")
+    }),
+
+    // binary.handling.mode: base64 and hex renderings of a binary payload
+    "c_binary_handling" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").cast("binary").as("prio_bin"))
+      val fd = ChangeFeedGen.feed(o, "orders", o("o_orderkey").cast("long"),
+        Map.empty, Some(Seq("o_orderkey"))).filter(col("op") === "r")
+      val b64 = convertEnvelope(fd, Config(binaryMode = BinaryMode.Base64))
+        .select(col("after.o_orderkey").as("o_orderkey"),
+          col("after.prio_bin").as("prio_base64"))
+      val hx = convertEnvelope(fd, Config(binaryMode = BinaryMode.Hex))
+        .select(col("after.o_orderkey").as("o_orderkey"),
+          col("after.prio_bin").as("prio_hex"))
+      b64.join(hx, "o_orderkey")
+    }),
+
+    // CustomConverter SPI: a user converter overrides one temporal column
+    "c_custom_converter" -> ((s, dir) => {
+      val isoDates = new CustomConverter {
+        def converterFor(table: String, field: StructField) =
+          if (table == "orders" && field.name == "o_orderdate")
+            Some((c: org.apache.spark.sql.Column) =>
+              date_format(c, "yyyy-MM-dd"))
+          else None
+      }
+      Pipeline(feed(s, dir, "orders"), Pipeline.Spec(
+        converters = Seq(isoDates), tableName = "orders"))
+        .filter(col("op") === "r")
+        .select(col("after.o_orderkey").as("o_orderkey"),
+          col("after.o_orderdate").as("order_date_iso"))
+    }),
+
+    // tombstones.on.delete: the emitted post-delete tombstone records
+    "k_tombstone_records" -> ((s, dir) =>
+      ChangeFeedGen.standardFeed(t(s, dir, "orders"), "orders",
+        tombstonesOnDelete = true)
+        .filter(col("op") === Envelope.OpTombstone)
+        .select(col("key.o_orderkey").as("o_orderkey"), col("op"),
+          col("source.pos").as("pos"),
+          col("before").isNull.as("before_null"),
+          col("after").isNull.as("after_null"))),
+
+    // ...and the sink dropping them: state with tombstones == state without
+    "k_tombstones" -> ((s, dir) =>
+      Materialize.latestState(
+        ChangeFeedGen.standardFeed(t(s, dir, "orders"), "orders",
+          tombstonesOnDelete = true))),
+
+    // message.key.columns: record keys built from the override, not the PK
+    "k_key_override" -> ((s, dir) =>
+      ChangeFeedGen.standardFeed(t(s, dir, "orders"), "orders",
+        pkOverride = Some(Seq("o_custkey", "o_orderkey")))
+        .filter(col("op") === "r")
+        .select(col("key.*"), col("op"), col("source.pos").as("pos"))),
+
+    // T9 inference form: schemaless JSON extracted via sampled inference
+    "t9_document_infer" -> ((s, dir) =>
+      graft.operators.Transforms.extractDocumentInferred(
+        t(s, dir, "events"), "props")
+        .select(col("event_id"), col("__doc.k").as("k"))),
+
+    // T5: source metadata propagated into field metadata, surfaced as rows
+    "t5_metadata_propagation" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+      val schema = graft.operators.Transforms.propagateSourceMetadata(
+        df.schema, "orders",
+        Map("o_orderkey" -> "int8", "o_orderdate" -> "timestamp(3)"))
+      import s.implicits._
+      schema.fields.toSeq.map { f =>
+        (f.name, f.metadata.getString("__graft.source.table"),
+          if (f.metadata.contains("__graft.source.column.type"))
+            f.metadata.getString("__graft.source.column.type") else "")
+      }.toDF("field", "source_table", "native_type")
+    }),
+
+    // K7: schema history — append changes, recover the schema as of
+    // several positions (restart path)
+    "k7_schema_history" -> ((s, dir) => {
+      import graft.model.SchemaHistory
+      import graft.operators.SchemaEvolution.{AddColumn, DropColumn}
+      val hdir = java.nio.file.Files.createTempDirectory("k7-history").toString
+      val h = SchemaHistory.at(hdir, "orders")
+      val initial = t(s, dir, "orders").schema
+      h.append(100L, AddColumn("c_tier",
+        org.apache.spark.sql.types.StringType))
+      h.append(200L, DropColumn("o_orderpriority"))
+      h.append(300L, AddColumn("x_new",
+        org.apache.spark.sql.types.LongType))
+      import s.implicits._
+      Seq(0L, 150L, 250L, 400L).map { pos =>
+        val rec = h.recover(initial, pos)
+        (pos, rec.fields.length.toLong, rec.fieldNames.mkString(","))
+      }.toDF("as_of_pos", "n_fields", "fields")
+    }),
+
+    // P1: record-capped admission control through the DSv2 source — each
+    // micro-batch admits whole segments up to the cap (cap 1 => one
+    // segment per batch), nothing lost or duplicated
+    "p1_admission_batches" -> ((s, dir) => {
+      val wire = java.nio.file.Files.createTempDirectory("p1-wire").toString
+      graft.streaming.ChangeLogPipeline.writeWire(
+        feed(s, dir, "orders"), wire, files = 4)
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = s.readStream
+        .format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", wire).option("maxRecordsPerTrigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          batches += b.count(); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import s.implicits._
+      Seq((batches.size.toLong, batches.sum))
+        .toDF("n_batches", "n_records")
+    }),
+
+    // snapshot.mode matrix: each mode × start-state → which phases run
+    "s7_snapshot_matrix" -> ((s, dir) => {
+      import Pipeline.SnapshotContext
+      val customStreamOnly = new Snapshotter {
+        val name = "custom_stream_only"
+        def shouldSnapshotData(offsetsExist: Boolean, snapshotComplete: Boolean) = false
+        val shouldStream = true
+      }
+      val cases: Seq[(String, Snapshotter, SnapshotContext)] = Seq(
+        ("always_resume", Snapshotter.Always, SnapshotContext(true, true)),
+        ("initial_fresh", Snapshotter.Initial, SnapshotContext(false, false)),
+        ("initial_resume", Snapshotter.Initial, SnapshotContext(true, true)),
+        ("initial_only_fresh", Snapshotter.InitialOnly, SnapshotContext(false, false)),
+        ("no_data", Snapshotter.NoData, SnapshotContext(false, false)),
+        ("when_needed_resume", Snapshotter.WhenNeeded, SnapshotContext(true, true)),
+        ("when_needed_incomplete", Snapshotter.WhenNeeded, SnapshotContext(true, false)),
+        ("recovery_resume", Snapshotter.Recovery, SnapshotContext(true, true)),
+        ("config_data_only",
+          Snapshotter.ConfigurationBased(snapshotData = true,
+            snapshotSchema = true, stream = false),
+          SnapshotContext(true, true)),
+        ("custom_stream_only", customStreamOnly, SnapshotContext(false, false)))
+      val fd = feed(s, dir, "orders")
+      cases.map { case (nm, sn, ctx) =>
+        Pipeline(fd, Pipeline.Spec(snapshotter = sn, snapshotContext = ctx))
+          .agg(
+            coalesce(sum(when(col("op") === "r", 1L).otherwise(0L)), lit(0L))
+              .as("n_read"),
+            coalesce(sum(when(col("op") =!= "r", 1L).otherwise(0L)), lit(0L))
+              .as("n_stream"))
+          .select(lit(nm).as("mode"), col("n_read"), col("n_stream"))
+      }.reduce(_ unionAll _)
+    })
+  )
+
+  private val ordersLatest =
+    """SELECT o_orderkey, o_custkey,
+      | CASE WHEN o_orderkey%7=3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+      | o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderkey%13<>6""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "c_decimal_handling" ->
+      """SELECT o_orderkey,
+        | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_double,
+        | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_string
+        |FROM orders""".stripMargin,
+
+    "c_time_precision" ->
+      """SELECT o_orderkey, epoch_us(o_orderdate) AS ts_adaptive_us,
+        | epoch_ms(o_orderdate) AS ts_connect_ms
+        |FROM orders""".stripMargin,
+
+    "c_binary_handling" ->
+      """SELECT o_orderkey, base64(o_orderpriority::BLOB) AS prio_base64,
+        | upper(hex(o_orderpriority::BLOB)) AS prio_hex
+        |FROM orders""".stripMargin,
+
+    "c_custom_converter" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date_iso
+        |FROM orders""".stripMargin,
+
+    "k_tombstone_records" ->
+      """SELECT o_orderkey, 'x' AS op, o_orderkey*10+3 AS pos,
+        | true AS before_null, true AS after_null
+        |FROM orders WHERE o_orderkey%13=6""".stripMargin,
+
+    "k_tombstones" -> ordersLatest,
+
+    "k_key_override" ->
+      "SELECT o_custkey, o_orderkey, 'r' AS op, o_orderkey*10 AS pos FROM orders",
+
+    "t9_document_infer" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "t5_metadata_propagation" ->
+      """SELECT * FROM (VALUES
+        | ('o_orderkey','orders','int8'),
+        | ('o_custkey','orders',''),
+        | ('o_orderstatus','orders',''),
+        | ('o_totalprice','orders',''),
+        | ('o_orderdate','orders','timestamp(3)'),
+        | ('o_orderpriority','orders','')) t(field, source_table, native_type)""".stripMargin,
+
+    "k7_schema_history" ->
+      """SELECT * FROM (VALUES
+        | (CAST(0 AS BIGINT), CAST(6 AS BIGINT),
+        |  'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority'),
+        | (150, 7,
+        |  'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority,c_tier'),
+        | (250, 6,
+        |  'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,c_tier'),
+        | (400, 7,
+        |  'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,c_tier,x_new'))
+        | t(as_of_pos, n_fields, fields)""".stripMargin,
+
+    "p1_admission_batches" ->
+      """SELECT CAST(4 AS BIGINT) AS n_batches,
+        | (SELECT count(*) FROM orders)
+        | + (SELECT count(*) FROM orders WHERE o_orderkey%7=3)
+        | + (SELECT count(*) FROM orders WHERE o_orderkey%13=6) AS n_records""".stripMargin,
+
+    "s7_snapshot_matrix" ->
+      """WITH c AS (SELECT count(*) AS r,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey%7=3)
+        |  + (SELECT count(*) FROM orders WHERE o_orderkey%13=6) AS st
+        | FROM orders)
+        |SELECT 'always_resume' AS mode, r AS n_read, st AS n_stream FROM c
+        |UNION ALL SELECT 'initial_fresh', r, st FROM c
+        |UNION ALL SELECT 'initial_resume', 0, st FROM c
+        |UNION ALL SELECT 'initial_only_fresh', r, 0 FROM c
+        |UNION ALL SELECT 'no_data', 0, st FROM c
+        |UNION ALL SELECT 'when_needed_resume', 0, st FROM c
+        |UNION ALL SELECT 'when_needed_incomplete', r, st FROM c
+        |UNION ALL SELECT 'recovery_resume', 0, st FROM c
+        |UNION ALL SELECT 'config_data_only', r, 0 FROM c
+        |UNION ALL SELECT 'custom_stream_only', 0, st FROM c""".stripMargin
+  )
+
+  override val duckdbOnly: Set[String] = Set(
+    "c_decimal_handling", "c_time_precision", "c_binary_handling",
+    "c_custom_converter", "t9_document_infer")
+}

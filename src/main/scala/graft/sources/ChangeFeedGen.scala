@@ -33,10 +33,19 @@ object ChangeFeedGen {
     case _          => Map.empty
   }
 
-  /** Full feed: snapshot (op=r) + scripted stream (u, d). */
+  /** Full feed: snapshot (op=r) + scripted stream (u, d).
+    *
+    * @param pkOverride the `message.key.columns` override (ref
+    *   `RelationalDatabaseConnectorConfig.java:323`): key struct columns
+    *   instead of the table's declared PK
+    * @param tombstonesOnDelete emit a post-delete tombstone record (key
+    *   only, null images, pos = delete pos + 1) per delete — ref
+    *   `tombstones.on.delete` (`CommonConnectorConfig.java:690`)
+    */
   def feed(df: DataFrame, table: String, k: Column,
            mutations: Map[String, Column],
-           pkOverride: Option[Seq[String]] = None): DataFrame = {
+           pkOverride: Option[Seq[String]] = None,
+           tombstonesOnDelete: Boolean = false): DataFrame = {
     val payloadCols = df.columns.toSeq
     val pk = pkOverride.orElse(Tables.defs.get(table).map(_.pk))
       .getOrElse(payloadCols.take(1))
@@ -68,12 +77,18 @@ object ChangeFeedGen {
       payload, mutated, snap = false)
     val deletes = env(df.filter(k % 13 === 6), Envelope.OpDelete, k * 10 + 2,
       payload, nullPayload, snap = false)
-    reads.unionAll(updates).unionAll(deletes)
+    val base = reads.unionAll(updates).unionAll(deletes)
+    if (!tombstonesOnDelete) base
+    else base.unionAll(
+      env(df.filter(k % 13 === 6), Envelope.OpTombstone, k * 10 + 3,
+        nullPayload, nullPayload, snap = false))
   }
 
   /** Feed with the standard mutation script for a named test table. */
-  def standardFeed(df: DataFrame, table: String): DataFrame = {
+  def standardFeed(df: DataFrame, table: String,
+                   pkOverride: Option[Seq[String]] = None,
+                   tombstonesOnDelete: Boolean = false): DataFrame = {
     val k = Tables.defs(table).surrogate(df)
-    feed(df, table, k, mutationsFor(table, df))
+    feed(df, table, k, mutationsFor(table, df), pkOverride, tombstonesOnDelete)
   }
 }

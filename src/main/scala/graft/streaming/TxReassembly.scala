@@ -31,27 +31,49 @@ object TxReassembly {
     * after their tx's marker (file-source batch order ties are not
     * deterministic) release immediately against the remembered commit
     * position, so the emitted set is independent of micro-batch slicing.
+    *
+    * With `retentionMs > 0` state is bounded (processing time): a
+    * committed tx's remembered commit position is dropped once no late
+    * event has arrived for the window, and an uncommitted tx that never
+    * sees its marker is evicted the same way — the reference's
+    * abandoned-transaction retention
+    * (`log.mining.transaction.retention.ms`). Without it a long-running
+    * stream accumulates one state entry per txId forever. Retention
+    * requires a repeating trigger: under a bounded AvailableNow replay,
+    * pending processing-time timeouts make Spark schedule batches until
+    * they fire, so bounded harnesses pass 0 (no timeout).
     */
-  def reassemble(events: Dataset[TxEvent]): Dataset[Committed] = {
+  def reassemble(events: Dataset[TxEvent],
+                 retentionMs: Long = 0L): Dataset[Committed] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (retentionMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.txId)
       .flatMapGroupsWithState[TxBuffer, Committed](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (txId: String, batch: Iterator[TxEvent], state: GroupState[TxBuffer]) =>
-          val incoming = batch.toSeq
-          val (markers, data) = incoming.partition(_.op == "m")
-          val prev = state.getOption.getOrElse(TxBuffer(Seq.empty, None))
-          val buffered = prev.events ++ data
-          val commitPos = (markers.map(_.pos) ++ prev.committedPos).reduceOption(_ max _)
-          commitPos match {
-            case Some(cp) =>
-              state.update(TxBuffer(Seq.empty, Some(cp)))
-              buffered.sortBy(_.pos).iterator
-                .map(e => Committed(txId, e.k, e.op, e.pos, cp))
-            case None =>
-              state.update(TxBuffer(buffered, None))
-              Iterator.empty
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = batch.toSeq
+            val (markers, data) = incoming.partition(_.op == "m")
+            val prev = state.getOption.getOrElse(TxBuffer(Seq.empty, None))
+            val buffered = prev.events ++ data
+            val commitPos = (markers.map(_.pos) ++ prev.committedPos).reduceOption(_ max _)
+            val out = commitPos match {
+              case Some(cp) =>
+                state.update(TxBuffer(Seq.empty, Some(cp)))
+                buffered.sortBy(_.pos).iterator
+                  .map(e => Committed(txId, e.k, e.op, e.pos, cp))
+              case None =>
+                state.update(TxBuffer(buffered, None))
+                Iterator.empty
+            }
+            if (retentionMs > 0) state.setTimeoutDuration(retentionMs)
+            out
           }
       }
   }

