@@ -79,6 +79,30 @@ object StreamingQueries extends QueryGroup {
       sink.view(s)
     }),
 
+    // K2 bench pair: ten ~0.014%-key update batches merged after one full
+    // snapshot — the steady-state CDC shape. The full-state sink rewrites
+    // the WHOLE table once per epoch (O(|table|) I/O, linear in data
+    // size); the bucketed sink rewrites only each epoch's ~21 touched
+    // buckets (bounded by the batch, not the table). Honest local
+    // reading: at sf0.1 the table is ~40 MB, so the bucketed path's fixed
+    // per-epoch cost (touched-bucket probe job + partitioned write of ~21
+    // files, ~0.8 s) exceeds the ~0.5 s a full rewrite costs, and the
+    // full sink WINS this bench. The pair exists to track the trend: the
+    // full sink's per-epoch time grows linearly with table size while the
+    // bucketed sink's stays ~flat, crossing over around a few GB of
+    // state — at 100 TB the full rewrite is 6 orders of magnitude more
+    // I/O per epoch.
+    "k2_small_batch_full" -> ((s, dir) =>
+      smallBatchRun(feed(s, dir, "orders"),
+        new graft.streaming.MergeSink(
+          java.nio.file.Files.createTempDirectory("k2sb-full").toString))),
+
+    "k2_small_batch_bucketed" -> ((s, dir) =>
+      smallBatchRun(feed(s, dir, "orders"),
+        new graft.streaming.BucketedMergeSink(
+          java.nio.file.Files.createTempDirectory("k2sb-bkt").toString,
+          buckets = 128))),
+
     // Streaming deduplication with cross-batch state: the same source read
     // twice (duplicate delivery) collapses via dropDuplicates on the key
     "stream_dedup" -> ((s, dir) => {
@@ -136,6 +160,17 @@ object StreamingQueries extends QueryGroup {
     })
   )
 
+  /** Snapshot epoch + 10 disjoint ~21-key update epochs through `sink`. */
+  private def smallBatchRun(fd: DataFrame,
+                            sink: graft.streaming.CdcSink): DataFrame = {
+    sink.merge(fd.filter(col("op") === "r"), 0L)
+    (1 to 10).foreach { e =>
+      sink.merge(fd.filter(col("op") === "u" &&
+        col("key.o_orderkey") % 1000 === (e - 1)), e.toLong)
+    }
+    sink.view(fd.sparkSession)
+  }
+
   private val txExpr = "concat('tx', CAST(floor(o_orderkey/100) AS BIGINT))"
 
   def oracles: Map[String, String] = Map(
@@ -143,6 +178,20 @@ object StreamingQueries extends QueryGroup {
     "stream_dsv2_changelog" -> ordersLatest,
 
     "k2_bucketed_materialize" -> ordersLatest,
+
+    "k2_small_batch_full" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey%7=3 AND o_orderkey%1000 < 10 THEN 'U'
+        |      ELSE o_orderstatus END AS o_orderstatus,
+        | o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
+
+    "k2_small_batch_bucketed" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey%7=3 AND o_orderkey%1000 < 10 THEN 'U'
+        |      ELSE o_orderstatus END AS o_orderstatus,
+        | o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
 
     "stream_dedup" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",

@@ -24,27 +24,45 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
 
   private def bucketCol = pmod(xxhash64(col("key")), lit(buckets))
 
-  /** bucket -> data directory of its current version */
-  def manifest: Map[Int, String] =
+  /** bucket -> (data directory, schema DDL) of its current version. The
+    * DDL travels in the manifest so reads never open parquet footers to
+    * discover schemas — at thousands of buckets a mergeSchema footer
+    * sweep per micro-batch is a driver-side scale killer.
+    */
+  def manifest: Map[Int, (String, String)] =
     if (!Files.exists(pointer)) Map.empty
     else {
       val mf = root.resolve(Files.readString(pointer).trim)
       Files.readAllLines(mf).asScala.filter(_.nonEmpty).map { l =>
-        val Array(b, p) = l.split("\t", 2)
-        b.toInt -> p
+        l.split("\t", 3) match {
+          case Array(b, p, ddl) => b.toInt -> (p, ddl)
+          case Array(b, p) => b.toInt -> (p, "") // pre-DDL manifest
+        }
       }.toMap
     }
 
-  private def readBuckets(spark: SparkSession, paths: Seq[String]): Option[DataFrame] = {
-    val existing = paths.filter(p => Files.exists(Paths.get(p)))
-    if (existing.isEmpty) None
-    // mergeSchema: buckets written under different payload-schema versions
-    // (K4 evolution) must union, older files reading new columns as null
-    else Some(spark.read.option("mergeSchema", "true").parquet(existing: _*))
+  /** Read bucket dirs grouped by schema version: one schema-known read
+    * per distinct DDL (zero footer I/O), `unionByName` across versions —
+    * K4 evolution semantics without mergeSchema's cost.
+    */
+  private def readBuckets(spark: SparkSession,
+                          dirs: Seq[(String, String)]): Option[DataFrame] = {
+    val existing = dirs.distinct.filter(d => Files.exists(Paths.get(d._1)))
+    if (existing.isEmpty) return None
+    val byDdl = existing.groupBy(_._2)
+    val parts = byDdl.toSeq.sortBy(_._1).map { case (ddl, ds) =>
+      val paths = ds.map(_._1)
+      if (ddl.isEmpty) // legacy dirs without recorded schema
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      else
+        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          .parquet(paths: _*)
+    }
+    Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
   def state(spark: SparkSession): Option[DataFrame] =
-    readBuckets(spark, manifest.values.toSeq.distinct)
+    readBuckets(spark, manifest.values.toSeq)
 
   def view(spark: SparkSession): DataFrame = {
     val s = state(spark).getOrElse(
@@ -58,7 +76,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
     */
   def vacuum(): Int = {
     val live = manifest.values
-      .map(p => Paths.get(p).getParent.getFileName.toString).toSet
+      .map { case (p, _) => Paths.get(p).getParent.getFileName.toString }.toSet
     val versionDirs = Files.list(root).iterator().asScala
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("v"))
@@ -74,52 +92,63 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
   def merge(batch: DataFrame, epochId: Long): Unit = {
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)
+    // persist the reduced batch: the touched-bucket probe AND the merge
+    // both consume it — without the cache the feed would be scanned twice
+    // per epoch
     val reduced = Materialize.reduceByKey(batch)
       .select(col("key"), col("after"), col("op"), col("source.pos").as("pos"))
       .withColumn("_bucket", bucketCol)
-    // driver learns WHICH buckets are touched (tiny: ≤ `buckets` rows)
-    // from the RAW batch — a cheap partial-aggregated distinct, no need
-    // to materialize the reduced form twice
-    val touched = batch.select(bucketCol.as("_bucket")).distinct()
-      .collect().map(_.getLong(0).toInt).toSet
-    val prevManifest = manifest
-    val prevTouched = readBuckets(spark,
-      prevManifest.filter(kv => touched(kv._1)).values.toSeq.distinct)
-      // older versions may hold rows of untouched buckets in shared dirs;
-      // keep only touched buckets' rows
-      .map(_.withColumn("_bucket", bucketCol)
-        .filter(col("_bucket").isin(touched.toSeq.map(_.toLong): _*)))
-    val merged = prevTouched match {
-      case None => reduced
-      case Some(prev) =>
-        // by-name union with missing columns allowed: same evolution
-        // semantics as MergeSink (a batch under an evolved schema merges
-        // into older state)
-        prev.unionByName(reduced, allowMissingColumns = true)
-          .groupBy(col("key"))
-          .agg(graft.expressions.GraftFunctions.latestByPos(
-            struct(col("after"), col("op"), col("pos"), col("_bucket")),
-            col("pos")).as("e"))
-          .select(col("key"), col("e.after").as("after"), col("e.op").as("op"),
-            col("e.pos").as("pos"), col("e._bucket").as("_bucket"))
-    }
-    val vdir = root.resolve(s"v$epochId").toString
-    // cluster by bucket before the partitioned write: without it every agg
-    // task opens a writer per bucket (tasks × buckets small files); with it
-    // each bucket is one file
-    merged.repartition(touched.size.max(1), col("_bucket"))
-      .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
-    val newManifest = prevManifest ++
-      touched.map(b => b -> s"$vdir/_bucket=$b").toMap
-    val mfName = s"m$epochId.manifest"
-    Files.createDirectories(root)
-    Files.writeString(root.resolve(mfName),
-      newManifest.toSeq.sortBy(_._1)
-        .map { case (b, p) => s"$b\t$p" }.mkString("", "\n", "\n"))
-    val tmp = root.resolve(s"CURRENT.tmp$epochId")
-    Files.writeString(tmp, mfName)
-    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+      .persist()
+    try {
+      // driver learns WHICH buckets are touched (tiny: ≤ `buckets` rows)
+      val touched = reduced.select(col("_bucket")).distinct()
+        .collect().map(_.getLong(0).toInt).toSet
+      val prevManifest = manifest
+      val prevTouched = readBuckets(spark,
+        prevManifest.filter(kv => touched(kv._1)).values.toSeq)
+        // older versions may hold rows of untouched buckets in shared
+        // dirs; keep only touched buckets' rows
+        .map(_.withColumn("_bucket", bucketCol)
+          .filter(col("_bucket").isin(touched.toSeq.map(_.toLong): _*)))
+      val merged = prevTouched match {
+        case None => reduced
+        case Some(prev) =>
+          // by-name union with missing columns allowed: same evolution
+          // semantics as MergeSink (a batch under an evolved schema merges
+          // into older state)
+          prev.unionByName(reduced, allowMissingColumns = true)
+            .groupBy(col("key"))
+            .agg(graft.expressions.GraftFunctions.latestByPos(
+              struct(col("after"), col("op"), col("pos"), col("_bucket")),
+              col("pos")).as("e"))
+            .select(col("key"), col("e.after").as("after"), col("e.op").as("op"),
+              col("e.pos").as("pos"), col("e._bucket").as("_bucket"))
+      }
+      val vdir = root.resolve(s"v$epochId").toString
+      val ddl = org.apache.spark.sql.types.StructType(
+        merged.schema.filterNot(_.name == "_bucket")).toDDL
+      // cluster by bucket, then SORT within write tasks: a task holding
+      // several buckets streams them through ONE rolling writer (sorted
+      // dynamic-partition write), so write parallelism is bounded by the
+      // cluster, not the bucket count — 10k buckets must not mean 10k
+      // write tasks, nor tasks × buckets open writers
+      val writeTasks = math.min(touched.size.max(1),
+        spark.sparkContext.defaultParallelism * 2)
+      merged.repartition(writeTasks, col("_bucket"))
+        .sortWithinPartitions(col("_bucket"))
+        .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+      val newManifest = prevManifest ++
+        touched.map(b => b -> (s"$vdir/_bucket=$b", ddl)).toMap
+      val mfName = s"m$epochId.manifest"
+      Files.createDirectories(root)
+      Files.writeString(root.resolve(mfName),
+        newManifest.toSeq.sortBy(_._1)
+          .map { case (b, (p, d)) => s"$b\t$p\t$d" }.mkString("", "\n", "\n"))
+      val tmp = root.resolve(s"CURRENT.tmp$epochId")
+      Files.writeString(tmp, mfName)
+      Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    } finally reduced.unpersist()
   }
 }
 
