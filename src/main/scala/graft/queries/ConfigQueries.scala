@@ -146,6 +146,31 @@ object ConfigQueries extends QueryGroup {
       }.toDF("as_of_pos", "n_fields", "fields")
     }),
 
+    // §2.9: DDL-text intake — ALTER statements parsed onto the structured
+    // SchemaChange model and replayed over the catalog schema
+    "k7_ddl_intake" -> ((s, dir) => {
+      import graft.model.DdlParser
+      import graft.operators.SchemaEvolution
+      val initial = t(s, dir, "orders").schema
+      val stmts = Seq(
+        "ALTER TABLE public.orders ADD COLUMN c_tier VARCHAR(8)",
+        "ALTER TABLE public.orders ADD discount DECIMAL(10,2) NOT NULL, " +
+          "DROP COLUMN o_orderpriority",
+        "ALTER TABLE \"public\".\"orders\" ALTER COLUMN discount TYPE DECIMAL(12,4)")
+      val states = stmts.zipWithIndex.scanLeft(("initial", initial)) {
+        case ((_, sch), (sql, i)) =>
+          DdlParser.parse(sql) match {
+            case DdlParser.AlterTable(_, changes) =>
+              (s"stmt_$i", SchemaEvolution.applyAll(sch, changes))
+            case DdlParser.CreateTable(_, schema) => (s"stmt_$i", schema)
+          }
+      }
+      import s.implicits._
+      states.map { case (nm, sch) =>
+        (nm, sch.fields.length.toLong, sch.fieldNames.mkString(","))
+      }.toDF("stmt", "n_fields", "fields")
+    }),
+
     // P1: record-capped admission control through the DSv2 source — each
     // micro-batch admits whole segments up to the cap (cap 1 => one
     // segment per batch), nothing lost or duplicated
@@ -266,6 +291,18 @@ object ConfigQueries extends QueryGroup {
         | (400, 7,
         |  'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,c_tier,x_new'))
         | t(as_of_pos, n_fields, fields)""".stripMargin,
+
+    "k7_ddl_intake" ->
+      """SELECT * FROM (VALUES
+        | ('initial', CAST(6 AS BIGINT),
+        |  'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority'),
+        | ('stmt_0', 7,
+        |  'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority,c_tier'),
+        | ('stmt_1', 7,
+        |  'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,c_tier,discount'),
+        | ('stmt_2', 7,
+        |  'o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,c_tier,discount'))
+        | t(stmt, n_fields, fields)""".stripMargin,
 
     "p1_admission_batches" ->
       """SELECT CAST(4 AS BIGINT) AS n_batches,

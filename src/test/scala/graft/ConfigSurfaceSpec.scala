@@ -148,6 +148,43 @@ class ConfigSurfaceSpec extends AnyFunSuite {
     assert(out.filter(col("k").isNull).isEmpty, "every doc has k")
   }
 
+  test("DDL parser: CREATE/ALTER subset onto the SchemaChange model") {
+    import graft.model.DdlParser
+    import graft.model.DdlParser.{AlterTable, CreateTable}
+    import graft.operators.SchemaEvolution.{AddColumn, DropColumn, WidenColumn}
+    import org.apache.spark.sql.types._
+    DdlParser.parse(
+      """CREATE TABLE IF NOT EXISTS db.s.t (
+        | `id` BIGINT NOT NULL,
+        | "name" VARCHAR(64) DEFAULT 'x',
+        | price DECIMAL(10, 2),
+        | ts TIMESTAMP(6),
+        | payload BLOB,
+        | PRIMARY KEY (id))""".stripMargin) match {
+      case CreateTable(tid, schema) =>
+        assert(tid.toString == "db.s.t")
+        assert(schema == StructType(Seq(
+          StructField("id", LongType), StructField("name", StringType),
+          StructField("price", DecimalType(10, 2)),
+          StructField("ts", TimestampType),
+          StructField("payload", BinaryType))))
+      case other => fail(s"expected CreateTable, got $other")
+    }
+    DdlParser.parse(
+      "ALTER TABLE t ADD COLUMN a INT, DROP b, MODIFY c DOUBLE") match {
+      case AlterTable(_, changes) =>
+        assert(changes == Seq(AddColumn("a", IntegerType), DropColumn("b"),
+          WidenColumn("c", DoubleType)))
+      case other => fail(s"expected AlterTable, got $other")
+    }
+    assertThrows[IllegalArgumentException] {
+      DdlParser.parse("DROP TABLE t")
+    }
+    assertThrows[IllegalArgumentException] {
+      DdlParser.parse("ALTER TABLE t RENAME TO u")
+    }
+  }
+
   test("tombstones: emitted after deletes, ignored by materialization") {
     val df = spark.read.parquet(s"$sfDir/orders.parquet")
     val plain = ChangeFeedGen.standardFeed(df, "orders")
