@@ -55,4 +55,31 @@ object IncrementalSnapshot {
     */
   def mergeWithStream(chunkRows: DataFrame, stream: DataFrame): DataFrame =
     Materialize.latestState(chunkRows.unionAll(stream))
+
+  /** S5: READ-ONLY incremental snapshot — the DBLog watermark-window
+    * algorithm (reference
+    * `mysql/.../MySqlReadOnlyIncrementalSnapshotChangeEventSource.java`:
+    * GTID-set watermarks captured around each chunk SELECT instead of
+    * signal-table writes). Chunk rows cannot carry comparable log
+    * positions, so precedence is decided by the WINDOW: a chunk row whose
+    * key saw ANY stream event inside its chunk's [lo, hi) bracket is
+    * discarded (the stream already reflects that row); survivors union
+    * with the stream and materialize.
+    *
+    * `windows`: one row per chunk — (chunk, lo_pos, hi_pos). Shuffles:
+    * one keyed anti-join + the materialize aggregation; the windows side
+    * is broadcast-size (one row per chunk).
+    */
+  def readOnlyChunkMerge(chunkRows: DataFrame, windows: DataFrame,
+                         stream: DataFrame): DataFrame = {
+    val wc = chunkRows.join(broadcast(windows), "chunk")
+    val streamKeys = stream.select(col("key").as("_sk"),
+      col("source.pos").as("_spos"))
+    val survivors = wc.join(streamKeys,
+      wc("key") === col("_sk") &&
+        col("_spos") >= col("lo_pos") && col("_spos") < col("hi_pos"),
+      "left_anti")
+      .drop("chunk", "lo_pos", "hi_pos")
+    Materialize.latestState(survivors.unionByName(stream))
+  }
 }

@@ -68,6 +68,21 @@ object StreamingQueries extends QueryGroup {
     "p5_heartbeat" -> ((s, dir) =>
       Heartbeat.intervals(feed(s, dir, "orders"), 10000L)),
 
+    // S5: read-only incremental snapshot — watermark-window dedup (DBLog):
+    // chunk rows with any in-window stream event for their key are
+    // discarded, no signal writes, no comparable snapshot positions
+    "s5_readonly_incremental" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val chunkRows = IncrementalSnapshot.chunked(
+        fd.filter(col("op") === "r"), Seq(col("source.pos")), 1024)
+      // window per chunk: the log bracket its keys' events land in
+      val windows = chunkRows.groupBy(col("chunk")).agg(
+        min(col("source.pos")).as("lo_pos"),
+        (max(col("source.pos")) + 10).as("hi_pos"))
+      IncrementalSnapshot.readOnlyChunkMerge(chunkRows, windows,
+        fd.filter(col("op") =!= "r"))
+    }),
+
     // K2 through the bucket-partitioned MERGE sink: only touched buckets
     // are rewritten per batch (file-pruned MERGE, the 100 TB path)
     "k2_bucketed_materialize" -> ((s, dir) => {
@@ -176,6 +191,7 @@ object StreamingQueries extends QueryGroup {
   def oracles: Map[String, String] = Map(
     "stream_k2_materialize" -> ordersLatest,
     "stream_dsv2_changelog" -> ordersLatest,
+    "s5_readonly_incremental" -> ordersLatest,
 
     "k2_bucketed_materialize" -> ordersLatest,
 
