@@ -52,4 +52,18 @@ class PlanSpec extends AnyFunSuite {
     // batched (vectorized parquet reader)
     assert(p.contains("Batched: true"))
   }
+
+  test("IVF corpus cell assignment runs as the native codegen expression") {
+    val p = plan("a_ann_ivf")
+    assert(p.contains("nearestcell") || p.contains("NearestCell"),
+      "corpus side should use the native NearestCell expression")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-probe side should broadcast against the corpus")
+  }
+
+  test("read-only incremental merge broadcasts the per-chunk window side") {
+    val p = plan("s5_readonly_incremental")
+    assert(p.contains("BroadcastHashJoin"), "window side should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
