@@ -76,6 +76,27 @@ object ExtendedQueries extends QueryGroup {
           t(s, dir, "orders").select(col("o_orderkey")),
           Seq(col("o_orderkey")), 1024))),
 
+    // §1.4 CRDT counters, distributed: per-replica G-Counter states with
+    // at-least-once delivery (every 3rd state re-delivered); merge = MAX
+    // per replica then SUM — double delivery must not double-count, so
+    // the merged value equals the exact event count. Two map-side-
+    // combinable aggregations, no window state at merge time.
+    "q_crdt_counters" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type").as("k"),
+        pmod(col("user_id"), lit(8)).as("replica"), col("ts"),
+        col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k"), col("replica"))
+        .orderBy(col("ts"), col("event_id"))
+      val states = e.withColumn("cum",
+        count(lit(1)).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val delivered = states.unionAll(states.filter(col("cum") % 3 === 0))
+      delivered.groupBy(col("k"), col("replica"))
+        .agg(max(col("cum")).as("m"))
+        .groupBy(col("k")).agg(sum(col("m")).as("value"))
+    }),
+
     // §2.6: exact distinct counts (approx twin asserted in spec)
     "q_distinct_users" -> ((s, dir) =>
       t(s, dir, "events").groupBy(col("event_type"))
@@ -145,6 +166,9 @@ object ExtendedQueries extends QueryGroup {
         | FROM orders) x GROUP BY chunk
         |UNION ALL
         |SELECT 'snapshot-completed', -1, count(*) FROM orders""".stripMargin,
+
+    "q_crdt_counters" ->
+      "SELECT event_type AS k, count(*) AS value FROM events GROUP BY event_type",
 
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
