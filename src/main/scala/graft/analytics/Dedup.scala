@@ -65,23 +65,25 @@ object Dedup {
       size(array_union(sa, sb)).cast("double")
   }
 
-  /** MinHash signatures: `numPerm` permutations simulated as
-    * xxhash64(seed_i, shingle); signature_i = min over shingles. One
-    * explode + one grouped aggregation (map-side combinable mins).
+  /** MinHash signatures via the native one-pass expression
+    * (`graft.expressions.MinHashSignature`): each shingle hashed once,
+    * permutations derived by universal hashing — a map-only projection,
+    * no explode and no aggregation shuffle. (The previous explode +
+    * per-permutation `min` agg shuffled `docs × shingles` rows — a
+    * 10-100× amplification of the corpus at the signature stage.)
     */
   def minhashSignatures(docs: DataFrame, shingleSize: Int, numPerm: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(shingles(col("text"), shingleSize)).as("sh"))
-    val mins = (0 until numPerm).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      graft.expressions.GraftFunctions
+        .minhash(shingles(col("text"), shingleSize), numPerm).as("sig"))
   }
 
   /** MinHash+LSH candidate pairs verified by exact Jaccard: signatures are
     * banded (`numPerm = bands * rowsPerBand`); docs sharing any band bucket
-    * are candidates; candidates are verified with the true token-set
-    * Jaccard. Shuffles: one per grouped agg + one on band bucket — never
-    * O(n²).
+    * are candidates; candidates are verified with the true shingle
+    * Jaccard. Shuffles: one on band bucket + the verify joins — never
+    * O(n²), and the signature stage itself is shuffle-free.
     */
   def minhashLshPairs(docs: DataFrame, shingleSize: Int, bands: Int,
                       rowsPerBand: Int, minJaccard: Double): DataFrame = {
@@ -89,8 +91,7 @@ object Dedup {
     val sig = minhashSignatures(docs, shingleSize, numPerm)
     val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*)
-          .as("sig"))
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("sig"))
     }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = banded.as("l")

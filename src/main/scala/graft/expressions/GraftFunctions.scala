@@ -19,6 +19,12 @@ object GraftFunctions {
       exprs => LatestByPos(exprs(0), exprs(1)).toAggregateExpression(),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => {
+        require(exprs(1).foldable, "minhash numPerm must be a literal")
+        MinHashSignature(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nearest_cell", exprs => {
         // 2nd arg must be a foldable array<array<double>> literal — the
         // centroid matrix is evaluated once at plan time, not per row
@@ -45,4 +51,9 @@ object GraftFunctions {
   def nearestCell(emb: Column, centroids: Seq[Seq[Double]]): Column =
     call_function("graft_nearest_cell", emb,
       org.apache.spark.sql.functions.typedLit(centroids))
+
+  /** One-pass MinHash signature array (register(spark) first). */
+  def minhash(shingles: Column, numPerm: Int): Column =
+    call_function("graft_minhash", shingles,
+      org.apache.spark.sql.functions.lit(numPerm))
 }
