@@ -1,21 +1,23 @@
 package graft.model
 
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.nio.file.{Path, Paths}
 import org.apache.spark.sql.types.{DataType, StructType}
 import graft.operators.SchemaEvolution
 import graft.operators.SchemaEvolution.{AddColumn, DropColumn, SchemaChange, WidenColumn}
-import scala.jdk.CollectionConverters._
 
 /** Durable schema history (SURVEY §1.2/§2.9; reference
   * `relational/history/SchemaHistory.java:34` + `TableChanges.java`
   * serialized records): an append-only log of schema-change events keyed by
   * source position, from which the schema AS OF any offset can be
-  * reconstructed after restart. Storage is a line-per-record file (the
-  * reference's file channel; swap for any K7 backend).
+  * reconstructed after restart. Storage is pluggable via [[HistoryStorage]]
+  * (the K7 backend SPI — reference `debezium-storage-*`); the default is
+  * the reference's file channel.
   *
   * Record line format: `pos\tkind\tcolumn\tdatatype-ddl`.
   */
-final class SchemaHistory(path: Path) {
+final class SchemaHistory(storage: HistoryStorage) {
+
+  def this(path: Path) = this(new FileHistoryStorage(path))
 
   def append(pos: Long, change: SchemaChange): Unit = {
     val line = change match {
@@ -23,13 +25,11 @@ final class SchemaHistory(path: Path) {
       case WidenColumn(n, t) => s"$pos\twiden\t$n\t${t.sql}"
       case DropColumn(n)     => s"$pos\tdrop\t$n\t-"
     }
-    Files.write(path, (line + "\n").getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    storage.append(line)
   }
 
   def changes(upToPos: Long = Long.MaxValue): Seq[(Long, SchemaChange)] = {
-    if (!Files.exists(path)) return Seq.empty
-    Files.readAllLines(path).asScala.toSeq.filter(_.nonEmpty).map { line =>
+    storage.readAll().map { line =>
       val Array(p, kind, name, ddl) = line.split("\t", 4)
       val change = kind match {
         case "add"   => AddColumn(name, DataType.fromDDL(ddl))
@@ -51,4 +51,6 @@ final class SchemaHistory(path: Path) {
 object SchemaHistory {
   def at(dir: String, table: String): SchemaHistory =
     new SchemaHistory(Paths.get(dir, s"$table.history"))
+
+  def inMemory(): SchemaHistory = new SchemaHistory(new MemoryHistoryStorage)
 }

@@ -128,6 +128,28 @@ object ConfigQueries extends QueryGroup {
 
     // K7: schema history — append changes, recover the schema as of
     // several positions (restart path)
+    // K7: offset storage backends — offsets written through the file
+    // store survive a "restart" (a fresh store over the same file) and
+    // resuming the feed from the recovered offset yields exactly the
+    // events past the cut (reference FileOffsetBackingStore semantics)
+    "k7_offset_store" -> ((s, dir) => {
+      import graft.model.FileOffsetBackingStore
+      val fd = feed(s, dir, "orders")
+      // consume everything up to cut = max(k)*5 (≈ half the feed), then
+      // record the offset and "crash"
+      val cut = t(s, dir, "orders")
+        .agg(max(col("o_orderkey")).cast("long")).head.getLong(0) * 5
+      val f = java.nio.file.Files.createTempDirectory("k7-off")
+        .resolve("offsets.dat")
+      new FileOffsetBackingStore(f).set("orders", cut.toString)
+      // restart: a new store instance recovers the committed offset
+      val recovered = new FileOffsetBackingStore(f).get("orders").get.toLong
+      fd.filter(col("source.pos") > recovered)
+        .groupBy(col("op")).agg(count(lit(1)).as("n"),
+          min(col("source.pos")).as("min_pos"),
+          max(col("source.pos")).as("max_pos"))
+    }),
+
     "k7_schema_history" -> ((s, dir) => {
       import graft.model.SchemaHistory
       import graft.operators.SchemaEvolution.{AddColumn, DropColumn}
@@ -279,6 +301,17 @@ object ConfigQueries extends QueryGroup {
         | ('o_totalprice','orders',''),
         | ('o_orderdate','orders','timestamp(3)'),
         | ('o_orderpriority','orders','')) t(field, source_table, native_type)""".stripMargin,
+
+    "k7_offset_store" ->
+      """WITH c AS (SELECT CAST(max(o_orderkey)*5 AS BIGINT) AS cut FROM orders),
+        | ev AS (
+        |  SELECT 'r' AS op, o_orderkey*10 AS pos FROM orders
+        |  UNION ALL
+        |  SELECT 'u', o_orderkey*10+1 FROM orders WHERE o_orderkey%7=3
+        |  UNION ALL
+        |  SELECT 'd', o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6)
+        |SELECT op, count(*) AS n, min(pos) AS min_pos, max(pos) AS max_pos
+        |FROM ev, c WHERE pos > cut GROUP BY op""".stripMargin,
 
     "k7_schema_history" ->
       """SELECT * FROM (VALUES

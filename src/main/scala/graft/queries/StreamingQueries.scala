@@ -118,6 +118,30 @@ object StreamingQueries extends QueryGroup {
           java.nio.file.Files.createTempDirectory("k2sb-bkt").toString,
           buckets = 128))),
 
+    // Third member of the pair: the LSM sink appends each epoch as an
+    // O(|batch|) delta (no probe, no state read) and folds deltas into
+    // touched buckets every `compactEvery` epochs — per-epoch cost tracks
+    // the CHANGE RATE, not the table, at every scale (no crossover to
+    // wait for, unlike the eager bucketed sink).
+    "k2_small_batch_lsm" -> ((s, dir) =>
+      smallBatchRun(feed(s, dir, "orders"),
+        new graft.streaming.LsmMergeSink(
+          java.nio.file.Files.createTempDirectory("k2sb-lsm").toString,
+          buckets = 128, compactEvery = 8))),
+
+    // K2 through the LSM sink with compaction forced mid-run
+    // (compactEvery=2): snapshot delta + stream delta → compaction →
+    // view reads compacted base only
+    "k2_lsm_materialize" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val sink = new graft.streaming.LsmMergeSink(
+        java.nio.file.Files.createTempDirectory("lsink").toString,
+        buckets = 16, compactEvery = 2)
+      sink.merge(fd.filter(col("op") === "r"), 0L)
+      sink.merge(fd.filter(col("op") =!= "r"), 1L)
+      sink.view(s)
+    }),
+
     // Streaming deduplication with cross-batch state: the same source read
     // twice (duplicate delivery) collapses via dropDuplicates on the key
     "stream_dedup" -> ((s, dir) => {
@@ -194,6 +218,15 @@ object StreamingQueries extends QueryGroup {
     "s5_readonly_incremental" -> ordersLatest,
 
     "k2_bucketed_materialize" -> ordersLatest,
+
+    "k2_lsm_materialize" -> ordersLatest,
+
+    "k2_small_batch_lsm" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey%7=3 AND o_orderkey%1000 < 10 THEN 'U'
+        |      ELSE o_orderstatus END AS o_orderstatus,
+        | o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
 
     "k2_small_batch_full" ->
       """SELECT o_orderkey, o_custkey,

@@ -1,0 +1,207 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.model.Envelope
+import graft.operators.Materialize
+
+/** LSM-style (merge-on-read) MERGE sink: each epoch appends its reduced
+  * batch as an immutable DELTA — O(|batch|) write I/O, no read of prior
+  * state, no probe job — and the latest-row-per-key merge is deferred to
+  * read time across base buckets + outstanding deltas. Once the delta
+  * count reaches `compactEvery`, a compaction folds all deltas into the
+  * buckets they touch (and only those), resetting read amplification.
+  *
+  * This is the log-structured half of the sink family (reference JDBC
+  * sink buffering semantics, `JdbcChangeEventSink.java:89-186`, realized
+  * the way Hudi MOR / Paimon / log-compacted topics do): the
+  * [[BucketedMergeSink]] pays a bounded-but-fixed merge cost EVERY epoch
+  * (probe + touched-bucket rewrite), which dominates when batches are
+  * small; this sink makes the per-epoch cost proportional to the batch
+  * alone and amortizes the merge over `compactEvery` epochs. At 100 TB
+  * with high-frequency triggers this is the difference between a sink
+  * whose steady-state cost tracks the CHANGE RATE and one that tracks
+  * the table.
+  *
+  * Layout under `dir`: `d<epoch>/` delta dirs and `v<epoch>/` compacted
+  * bucket dirs (both parquet, partitioned by `_bucket`), `m<epoch>
+  * .manifest` version files, `CURRENT` pointer (atomic swap). Manifest
+  * lines: `B <bucket> <path> <ddl>` for base buckets, `D <seq> <path>
+  * <ddl> <b0,b1,...>` for deltas in arrival order; the bucket list lets
+  * compaction and bucket-pruned reads enumerate leaf dirs with no
+  * listing or footer I/O.
+  */
+class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
+    extends CdcSink {
+  private val root = Paths.get(dir)
+  private val pointer = root.resolve("CURRENT")
+
+  private def bucketCol = pmod(xxhash64(col("key")), lit(buckets))
+
+  case class Manifest(base: Map[Int, (String, String)],
+                      deltas: Seq[(Long, String, String, Seq[Int])]) {
+    def deltaLeafs: Seq[(String, String)] = deltas.flatMap {
+      case (_, p, ddl, bs) => bs.map(b => (s"$p/_bucket=$b", ddl))
+    }
+  }
+
+  def manifest: Manifest =
+    if (!Files.exists(pointer)) Manifest(Map.empty, Seq.empty)
+    else {
+      val mf = root.resolve(Files.readString(pointer).trim)
+      val lines = Files.readAllLines(mf).asScala.filter(_.nonEmpty)
+      val base = lines.filter(_.startsWith("B\t")).map { l =>
+        val Array(_, b, p, ddl) = l.split("\t", 4)
+        b.toInt -> (p, ddl)
+      }.toMap
+      val deltas = lines.filter(_.startsWith("D\t")).map { l =>
+        val Array(_, seq, p, ddl, bs) = l.split("\t", 5)
+        (seq.toLong, p, ddl,
+          bs.split(",").iterator.filter(_.nonEmpty).map(_.toInt).toSeq)
+      }.toSeq.sortBy(_._1)
+      Manifest(base, deltas)
+    }
+
+  /** One schema-known read per distinct DDL, `unionByName` across schema
+    * versions (K4 evolution without per-read footer merging).
+    */
+  private def readByDdl(spark: SparkSession,
+                        dirs: Seq[(String, String)]): Option[DataFrame] = {
+    val existing = dirs.distinct.filter(d => Files.exists(Paths.get(d._1)))
+    if (existing.isEmpty) return None
+    val parts = existing.groupBy(_._2).toSeq.sortBy(_._1).map { case (ddl, ds) =>
+      spark.read.schema(StructType.fromDDL(ddl)).parquet(ds.map(_._1): _*)
+    }
+    Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /** Merge-on-read state: base buckets + outstanding deltas, latest event
+    * per key by position (one keyed shuffle — the read-side cost the
+    * write side deferred).
+    */
+  def state(spark: SparkSession): Option[DataFrame] = {
+    graft.expressions.GraftFunctions.register(spark)
+    val m = manifest
+    readByDdl(spark, m.base.values.toSeq ++ m.deltaLeafs).map { all =>
+      if (m.deltas.isEmpty && m.base.nonEmpty) all // compacted: already 1/key
+      else all.groupBy(col("key"))
+        .agg(graft.expressions.GraftFunctions.latestByPos(
+          struct(col("after"), col("op"), col("pos")), col("pos")).as("e"))
+        .select(col("key"), col("e.after").as("after"),
+          col("e.op").as("op"), col("e.pos").as("pos"))
+    }
+  }
+
+  def view(spark: SparkSession): DataFrame = {
+    val s = state(spark).getOrElse(
+      throw new IllegalStateException(s"no committed state in $dir"))
+    s.filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
+  }
+
+  def merge(batch: DataFrame, epochId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
+    val reduced = Materialize.reduceByKey(batch)
+      .select(col("key"), col("after"), col("op"), col("source.pos").as("pos"))
+      .withColumn("_bucket", bucketCol)
+    val ddl = StructType(reduced.schema.filterNot(_.name == "_bucket")).toDDL
+    val ddir = root.resolve(s"d$epochId")
+    // bounded write tasks (see BucketedMergeSink): tasks stream their
+    // buckets through one rolling writer via the sorted partitioned write
+    val writeTasks = math.min(buckets.max(1),
+      spark.sparkContext.defaultParallelism * 2)
+    reduced.repartition(writeTasks, col("_bucket"))
+      .sortWithinPartitions(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(ddir.toString)
+    // touched buckets from the written directory names — driver metadata
+    // listing of <= `buckets` entries, no data read
+    val touched = Using.resource(Files.list(ddir)) { st =>
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_bucket=")).map(_.stripPrefix("_bucket=").toInt)
+        .toSeq
+    }.sorted
+    if (touched.isEmpty) { deleteRecursively(ddir); return }
+    val m = manifest
+    val nextSeq = (m.deltas.map(_._1) :+ 0L).max + 1
+    val withDelta = m.copy(deltas =
+      m.deltas :+ ((nextSeq, ddir.toString, ddl, touched)))
+    if (withDelta.deltas.size >= compactEvery) compact(spark, withDelta, epochId)
+    else writeManifest(withDelta, epochId)
+  }
+
+  /** Fold all outstanding deltas into the buckets they touch: read ONLY
+    * touched base buckets + the deltas, merge latest-per-key, rewrite
+    * those buckets. Untouched buckets keep their files byte-for-byte.
+    */
+  private def compact(spark: SparkSession, m: Manifest, epochId: Long): Unit = {
+    val touched = m.deltas.flatMap(_._4).toSet
+    val prevTouched = readByDdl(spark,
+      m.base.filter(kv => touched(kv._1)).values.toSeq)
+      .map(_.withColumn("_bucket", bucketCol)
+        .filter(col("_bucket").isin(touched.toSeq.map(_.toLong): _*)))
+    val deltaRows = readByDdl(spark, m.deltaLeafs).get
+    val all = prevTouched match {
+      case None => deltaRows
+      case Some(prev) => prev.drop("_bucket")
+        .unionByName(deltaRows, allowMissingColumns = true)
+    }
+    val merged = all.groupBy(col("key"))
+      .agg(graft.expressions.GraftFunctions.latestByPos(
+        struct(col("after"), col("op"), col("pos")), col("pos")).as("e"))
+      .select(col("key"), col("e.after").as("after"), col("e.op").as("op"),
+        col("e.pos").as("pos"))
+      .withColumn("_bucket", bucketCol)
+    val vdir = root.resolve(s"v$epochId").toString
+    val ddl = StructType(merged.schema.filterNot(_.name == "_bucket")).toDDL
+    val writeTasks = math.min(touched.size.max(1),
+      spark.sparkContext.defaultParallelism * 2)
+    merged.repartition(writeTasks, col("_bucket"))
+      .sortWithinPartitions(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+    val newBase = m.base ++ touched.map(b => b -> (s"$vdir/_bucket=$b", ddl))
+    writeManifest(Manifest(newBase, Seq.empty), epochId)
+  }
+
+  private def writeManifest(m: Manifest, epochId: Long): Unit = {
+    val mfName = s"m$epochId.manifest"
+    Files.createDirectories(root)
+    val baseLines = m.base.toSeq.sortBy(_._1).map {
+      case (b, (p, d)) => s"B\t$b\t$p\t$d"
+    }
+    val deltaLines = m.deltas.map {
+      case (seq, p, d, bs) => s"D\t$seq\t$p\t$d\t${bs.mkString(",")}"
+    }
+    Files.writeString(root.resolve(mfName),
+      (baseLines ++ deltaLines).mkString("", "\n", "\n"))
+    val tmp = root.resolve(s"CURRENT.tmp$epochId")
+    Files.writeString(tmp, mfName)
+    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Delete `d*`/`v*` dirs not referenced by the current manifest. */
+  def vacuum(): Int = {
+    val m = manifest
+    val live = (m.base.values.map(p => Paths.get(p._1).getParent) ++
+      m.deltas.map(d => Paths.get(d._2))).map(_.getFileName.toString).toSet
+    val dead = Using.resource(Files.list(root)) { st =>
+      st.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isDirectory(p) && (n.startsWith("v") || n.startsWith("d")) &&
+          !live(n)
+      }.toSeq
+    }
+    dead.foreach(deleteRecursively)
+    dead.size
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    Using.resource(Files.walk(p)) { st =>
+      st.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(Files.delete(_))
+    }
+}

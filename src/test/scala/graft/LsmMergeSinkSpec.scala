@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Materialize
+import graft.sources.{ChangeFeedGen, Tables}
+import graft.streaming.LsmMergeSink
+
+class LsmMergeSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  val sfDir = "/root/testdata/sf0.001"
+
+  def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.map(col): _*).collect().map(_.mkString("|")).sorted.toSeq
+  }
+
+  test("merge-on-read matches latestState before any compaction") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "orders"), "orders")
+    val sink = new LsmMergeSink(
+      Files.createTempDirectory("lsink").toString, buckets = 8,
+      compactEvery = 100) // never compacts in this test
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    sink.merge(feed.filter(col("op") =!= "r"), 1L)
+    assert(sink.manifest.deltas.size == 2, "both epochs should be deltas")
+    assert(sink.manifest.base.isEmpty)
+    assert(canon(sink.view(spark)) == canon(Materialize.latestState(feed)))
+  }
+
+  test("compaction folds deltas into base; view unchanged; deltas cleared") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "orders"), "orders")
+    val sink = new LsmMergeSink(
+      Files.createTempDirectory("lsink").toString, buckets = 8,
+      compactEvery = 2)
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    assert(sink.manifest.deltas.size == 1)
+    sink.merge(feed.filter(col("op") =!= "r"), 1L) // triggers compaction
+    val m = sink.manifest
+    assert(m.deltas.isEmpty, "compaction must clear the delta list")
+    assert(m.base.nonEmpty)
+    assert(canon(sink.view(spark)) == canon(Materialize.latestState(feed)))
+  }
+
+  test("delta epochs leave untouched base buckets byte-identical") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "customer"), "customer")
+    val sink = new LsmMergeSink(
+      Files.createTempDirectory("lsink").toString, buckets = 16,
+      compactEvery = 2)
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    sink.merge(feed.filter(col("op") === "u"), 1L) // compacts → all base
+    val m0 = sink.manifest
+    assert(m0.deltas.isEmpty && m0.base.size == 16)
+    // narrow delta epoch: no base rewrite at all
+    val narrow = feed.filter(col("op") === "u" && col("key.c_custkey") < 20)
+    assert(narrow.count() > 0)
+    sink.merge(narrow, 2L)
+    val m1 = sink.manifest
+    assert(m1.base == m0.base, "a delta epoch must not rewrite any bucket")
+    assert(m1.deltas.size == 1)
+    assert(m1.deltas.head._4.nonEmpty &&
+      m1.deltas.head._4.size < 16,
+      s"narrow delta should touch few buckets, got ${m1.deltas.head._4.size}")
+    val want = Materialize.latestState(
+      feed.filter(col("op") === "r").unionAll(feed.filter(col("op") === "u")))
+    assert(canon(sink.view(spark)) == canon(want))
+  }
+
+  test("deletes tombstone through deltas and compaction") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "nation"), "nation")
+    val sink = new LsmMergeSink(
+      Files.createTempDirectory("lsink").toString, buckets = 4,
+      compactEvery = 100)
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    val dels = feed.filter(col("op") === "d")
+    assert(dels.count() > 0)
+    sink.merge(dels, 1L)
+    assert(canon(sink.view(spark)) == canon(Materialize.latestState(
+      feed.filter(col("op") === "r").unionAll(dels))))
+  }
+
+  test("vacuum keeps referenced delta and base dirs, removes folded ones") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "nation"), "nation")
+    val dir = Files.createTempDirectory("lsink").toString
+    val sink = new LsmMergeSink(dir, buckets = 4, compactEvery = 2)
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    sink.merge(feed, 1L)  // compaction: d0,d1 folded into v1
+    sink.merge(feed.filter(col("op") === "u"), 2L) // live delta d2
+    val removed = sink.vacuum()
+    assert(removed == 2, s"expected d0,d1 removed, got $removed")
+    assert(canon(sink.view(spark)) ==
+      canon(Materialize.latestState(feed)))
+  }
+}

@@ -24,6 +24,32 @@ class ModelSpec extends AnyFunSuite {
     assert(SchemaHistory.at(dir, "orders").recover(base) == h.recover(base))
   }
 
+  test("K7 offset stores: file store survives restart, atomic rewrite") {
+    import graft.model.{FileOffsetBackingStore, MemoryOffsetBackingStore}
+    val f = Files.createTempDirectory("off").resolve("offsets.dat")
+    val st = new FileOffsetBackingStore(f)
+    assert(st.get("orders").isEmpty)
+    st.set("orders", "1234")
+    st.set("customer", "99")
+    st.set("orders", "5678") // overwrite
+    // restart: fresh instance over the same file
+    val st2 = new FileOffsetBackingStore(f)
+    assert(st2.get("orders").contains("5678"))
+    assert(st2.snapshot == Map("orders" -> "5678", "customer" -> "99"))
+    // no stray temp file left behind
+    assert(!Files.exists(f.resolveSibling("offsets.dat.tmp")))
+    val mem = new MemoryOffsetBackingStore
+    mem.set("a", "1"); assert(mem.get("a").contains("1"))
+  }
+
+  test("K7 schema history runs over the in-memory backend too") {
+    val h = SchemaHistory.inMemory()
+    val base = StructType(Seq(StructField("id", IntegerType)))
+    h.append(10, AddColumn("x", StringType))
+    assert(h.recover(base).fieldNames.toSeq == Seq("id", "x"))
+    assert(h.recover(base, 5) == base)
+  }
+
   test("CRDT counters merge idempotently and commutatively") {
     import Crdt._
     val a = GCounter().increment("r1", 5).increment("r2", 2)
