@@ -14,8 +14,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JVM/codegen/scan init should not be billed to the first query
     spark.read.parquet(s"$sfDir/orders.parquet").count()
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write forces FULL evaluation of every output column —
       // count() lets Catalyst prune projections, under-measuring
@@ -31,8 +35,55 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val ioJson = sinkIo(spark, sfDir)
+      .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sink_io_bytes":$ioJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Bytes physically written by each MERGE-sink flavor across the same
+    * snapshot + 10 narrow-batch run (the k2_small_batch trio's workload):
+    * wall-clock at local scale is dominated by fixed per-epoch costs, but
+    * write I/O is the quantity that scales with table size — the full
+    * sink's is O(epochs x table), the bucketed sink's O(epochs x touched
+    * buckets), the LSM sink's O(epochs x batch + compactions). Measured
+    * as the total size of every file ever written under the sink dir
+    * (dead versions included — vacuum is not run).
+    */
+  private def sinkIo(spark: org.apache.spark.sql.SparkSession,
+                     sfDir: String): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{ChangeFeedGen, Tables}
+    val fd = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "orders"), "orders").cache()
+    try {
+      fd.count()
+      def run(mk: String => graft.streaming.CdcSink): Long = {
+        val dir = java.nio.file.Files.createTempDirectory("bench-sink")
+        val sink = mk(dir.toString)
+        sink.merge(fd.filter(col("op") === "r"), 0L)
+        (1 to 10).foreach { e =>
+          sink.merge(fd.filter(col("op") === "u" &&
+            col("key.o_orderkey") % 1000 === (e - 1)), e.toLong)
+        }
+        val total = scala.util.Using.resource(
+          java.nio.file.Files.walk(dir)) { st =>
+          st.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+        }
+        scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(java.nio.file.Files.delete(_))
+        }
+        total
+      }
+      Seq(
+        "full" -> run(d => new graft.streaming.MergeSink(d)),
+        "bucketed" -> run(d =>
+          new graft.streaming.BucketedMergeSink(d, buckets = 128)),
+        "lsm" -> run(d =>
+          new graft.streaming.LsmMergeSink(d, buckets = 128, compactEvery = 8)))
+    } finally fd.unpersist()
   }
 }

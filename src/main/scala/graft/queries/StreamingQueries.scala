@@ -94,19 +94,20 @@ object StreamingQueries extends QueryGroup {
       sink.view(s)
     }),
 
-    // K2 bench pair: ten ~0.014%-key update batches merged after one full
-    // snapshot — the steady-state CDC shape. The full-state sink rewrites
-    // the WHOLE table once per epoch (O(|table|) I/O, linear in data
-    // size); the bucketed sink rewrites only each epoch's ~21 touched
-    // buckets (bounded by the batch, not the table). Honest local
-    // reading: at sf0.1 the table is ~40 MB, so the bucketed path's fixed
-    // per-epoch cost (touched-bucket probe job + partitioned write of ~21
-    // files, ~0.8 s) exceeds the ~0.5 s a full rewrite costs, and the
-    // full sink WINS this bench. The pair exists to track the trend: the
-    // full sink's per-epoch time grows linearly with table size while the
-    // bucketed sink's stays ~flat, crossing over around a few GB of
-    // state — at 100 TB the full rewrite is 6 orders of magnitude more
-    // I/O per epoch.
+    // K2 bench trio: ten ~0.014%-key update batches merged after one full
+    // snapshot — the steady-state CDC shape — through all three sink
+    // designs. The full-state sink rewrites the WHOLE table once per
+    // epoch (O(|table|) I/O); the eager bucketed sink rewrites each
+    // epoch's ~21 touched buckets; the LSM sink appends O(|batch|)
+    // deltas and compacts every 8 epochs. Honest local reading: at sf0.1
+    // the table is ~40 MB, so fixed per-epoch costs dominate wall-clock
+    // and the full sink still wins it; the LSM sink beats the eager
+    // bucketed one (no probe job, no state read per epoch). The quantity
+    // that scales is measured directly by BENCH's `sink_io_bytes` (bytes
+    // physically written across the identical run): full ~40 MB,
+    // bucketed ~13.5 MB, LSM ~11 MB at sf0.1 — and only the full sink's
+    // grows with table size, which at 100 TB is 6 orders of magnitude
+    // more write I/O per epoch.
     "k2_small_batch_full" -> ((s, dir) =>
       smallBatchRun(feed(s, dir, "orders"),
         new graft.streaming.MergeSink(
