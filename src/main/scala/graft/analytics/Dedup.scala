@@ -85,6 +85,23 @@ object Dedup {
     * Jaccard. Shuffles: one on band bucket + the verify joins — never
     * O(n²), and the signature stage itself is shuffle-free.
     */
+  /** Ordered in-bucket member pairs in ONE pass: group by the bucket
+    * key, emit each bucket's pairwise combinations from the sorted
+    * member list. Replaces a bucket SELF-JOIN, which evaluates the
+    * (expensive) upstream signature pipeline once per join side — the
+    * grouped form computes signatures exactly once and shuffles each
+    * bucketed row once. Quadratic only within a bucket, which is the
+    * inherent LSH candidate set.
+    */
+  private def bucketPairs(banded: DataFrame, bucketCols: Seq[Column],
+                          member: Column): DataFrame =
+    banded.groupBy(bucketCols: _*)
+      .agg(sort_array(collect_list(member)).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+
   def minhashLshPairs(docs: DataFrame, shingleSize: Int, bands: Int,
                       rowsPerBand: Int, minJaccard: Double): DataFrame = {
     val numPerm = bands * rowsPerBand
@@ -94,18 +111,23 @@ object Dedup {
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("sig"))
     }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cand = banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+    val cand = bucketPairs(banded, Seq(col("band"), col("sig")), col("doc_id"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
+    // fetch candidate texts with ONE scan of the corpus: melt each pair
+    // into its two member ids, broadcast-probe the (tiny) side table
+    // against the streamed corpus, regroup per pair — instead of two
+    // separate joins each re-scanning the text column
     val texts = docs.select(col("doc_id"), col("text"))
-    cand
-      .join(texts.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("text", "text_a"), "id_a")
-      .join(texts.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("text", "text_b"), "id_b")
+    val sides = cand.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+    sides.join(texts, Seq("doc_id"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        first(when(col("doc_id") === col("id_a"), col("text")),
+          ignoreNulls = true).as("text_a"),
+        first(when(col("doc_id") === col("id_b"), col("text")),
+          ignoreNulls = true).as("text_b"))
       // floor-quantize, not round(): identical IEEE quotients floor the
       // same in every engine; round() disagrees at exact .xxxx5 boundaries
       .withColumn("jaccard",
@@ -152,7 +174,16 @@ object Dedup {
                    tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val bandBits = bits / nBands
     val bandMask = (1L << bandBits) - 1
+    // persist the per-doc signature (16 bytes/doc, spillable): the band
+    // self-join below evaluates its input once per leg, and without the
+    // persist each leg re-runs the token-explode aggregation — the
+    // expensive stage — twice. (MLlib's LSH approxSimilarityJoin caches
+    // its transformed datasets for the same reason.) The coarse 2^bandBits
+    // band buckets stay as a JOIN, not grouped pair-combos: with only 256
+    // distinct bucket values a grouped form would materialize a bucket's
+    // whole quadratic candidate product inside single rows.
     val sh = simhash(docs, bits, tokenHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
