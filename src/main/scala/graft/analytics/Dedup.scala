@@ -47,6 +47,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS — the step a dedup
+    * pipeline actually acts on: every document gets a `cluster_id` (the
+    * minimum doc_id of its connected component in the pair graph) and a
+    * keep/drop verdict (`is_canonical` = it IS that minimum). Connected
+    * components by iterative min-label propagation: each round every
+    * node adopts the smallest label among itself and its neighbors;
+    * rounds needed = graph diameter (near-dup clusters are tiny, so a
+    * handful). Each round is one join + one aggregation over the EDGE
+    * list only (docs outside any pair never enter the loop), with an
+    * eager localCheckpoint per round to truncate lineage — the same
+    * shape GraphX/GraphFrames connected components uses, minus the
+    * framework.
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+                    maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = neighborLabels.unionAll(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev")).isEmpty
+      labels = next
+      it += 1
+    }
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
   /** `n`-token shingles of a text column. */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")

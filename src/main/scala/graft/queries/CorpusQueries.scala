@@ -48,6 +48,17 @@ object CorpusQueries extends QueryGroup {
       Dedup.jaccardPairs(t(s, dir, "documents"),
         TextAnalysis.prefixFingerprint(col("text"), 8), 0.9)),
 
+    // Pair lists become an actionable keep/drop set: connected components
+    // over the near-dup pair graph, canonical = min doc_id per cluster
+    "a_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs,
+        TextAnalysis.prefixFingerprint(col("text"), 8), 0.9)
+      Dedup.dedupClusters(docs, pairs)
+        .select(col("doc_id"), col("cluster_id"),
+          col("is_canonical").cast("int").as("is_canonical"))
+    }),
+
     // LSH is a candidate *generator*; the emitted pairs are verified by
     // exact shingle-Jaccard, so with enough bands the result equals the
     // exact all-pairs computation — which is what the oracle computes.
@@ -284,6 +295,29 @@ object CorpusQueries extends QueryGroup {
         | FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) p
         |WHERE sim >= 0.3""".stripMargin,
 
+    // Components via transitive closure: `reach` enumerates every node
+    // reachable from each node (bounded by the tiny cluster sizes);
+    // cluster = min reachable id. Same pair derivation as a_jaccard_pairs.
+    "a_dedup_clusters" ->
+      """WITH RECURSIVE s AS (SELECT doc_id,
+        |  md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS b,
+        |  list_distinct(string_split(text,' ')) AS toks FROM documents),
+        | pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.b = b.b AND a.doc_id < b.doc_id
+        |  WHERE floor(len(list_intersect(a.toks, b.toks))::DOUBLE
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) * 10000) / 10000.0 >= 0.9),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION ALL SELECT id_b, id_a FROM pr),
+        | reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+        |SELECT d.doc_id,
+        | coalesce(min(reach.r), d.doc_id) AS cluster_id,
+        | CAST(d.doc_id = coalesce(min(reach.r), d.doc_id) AS INTEGER) AS is_canonical
+        |FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
+
     "a_minhash_lsh" -> minhashOracle,
 
     "a_ann_ivf" -> annIvfOracle,
@@ -295,6 +329,7 @@ object CorpusQueries extends QueryGroup {
 
   override val duckdbOnly: Set[String] = Set(
     "a_text_stats", "a_lang_id", "a_quality_score", "a_fingerprint",
-    "a_jaccard_pairs", "a_embed_norms", "a_ann_topk", "a_cosine_pairs",
-    "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh", "a_ann_ivf")
+    "a_jaccard_pairs", "a_dedup_clusters", "a_embed_norms", "a_ann_topk",
+    "a_cosine_pairs", "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh",
+    "a_ann_ivf")
 }

@@ -29,6 +29,30 @@ class DedupSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getLong(1))).toSet
   }
 
+  test("dedupClusters resolves pair graphs to min-id components") {
+    import spark.implicits._
+    // two chains and a singleton: {1,2,3} via 1-2,2-3; {5,6}; 4 and 7 alone
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val docs = (1L to 7L).toDF("doc_id")
+    val got = Dedup.dedupClusters(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false), (7L, 7L, true)))
+  }
+
+  test("dedupClusters converges on a long path (diameter > 1 round)") {
+    import spark.implicits._
+    // path 10-11-12-...-17: one component, min label must traverse 7 hops
+    val pairs = (10L until 17L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val docs = (10L to 17L).toDF("doc_id")
+    val got = Dedup.dedupClusters(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((10L to 17L).forall(got(_) == 10L))
+  }
+
   test("minhash-LSH finds most true near-dup pairs, no false positives") {
     val truth = exactPairs(0.8, shingleN = 3)
     val got = Dedup.minhashLshPairs(docs, 3, 8, 4, 0.8)
