@@ -9,32 +9,42 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Name → builder for every native function; single source of truth for
+    * both per-session registration ([[register]]) and config-driven
+    * injection ([[graft.GraftSparkExtensions]]).
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" ->
+      ((exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
+    "graft_latest_by_pos" ->
+      ((exprs: Seq[Expression]) =>
+        LatestByPos(exprs(0), exprs(1)).toAggregateExpression()),
+    "graft_minhash" -> ((exprs: Seq[Expression]) => {
+      require(exprs(1).foldable, "minhash numPerm must be a literal")
+      MinHashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())
+    }),
+    "graft_nearest_cell" -> ((exprs: Seq[Expression]) => {
+      // 2nd arg must be a foldable array<array<double>> literal — the
+      // centroid matrix is evaluated once at plan time, not per row
+      require(exprs(1).foldable, "nearest_cell centroids must be a literal")
+      val ad = exprs(1).eval().asInstanceOf[
+        org.apache.spark.sql.catalyst.util.ArrayData]
+      val mat = Array.tabulate(ad.numElements())(i =>
+        ad.getArray(i).toDoubleArray())
+      NearestCell(exprs(0), mat)
+    })
+  )
+
   @volatile private var registered = false
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_latest_by_pos",
-      exprs => LatestByPos(exprs(0), exprs(1)).toAggregateExpression(),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash", exprs => {
-        require(exprs(1).foldable, "minhash numPerm must be a literal")
-        MinHashSignature(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue())
-      }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_nearest_cell", exprs => {
-        // 2nd arg must be a foldable array<array<double>> literal — the
-        // centroid matrix is evaluated once at plan time, not per row
-        require(exprs(1).foldable, "nearest_cell centroids must be a literal")
-        val ad = exprs(1).eval().asInstanceOf[
-          org.apache.spark.sql.catalyst.util.ArrayData]
-        val mat = Array.tabulate(ad.numElements())(i =>
-          ad.getArray(i).toDoubleArray())
-        NearestCell(exprs(0), mat)
-      }, "built-in")
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
     registered = true
   }
 

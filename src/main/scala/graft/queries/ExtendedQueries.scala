@@ -115,7 +115,19 @@ object ExtendedQueries extends QueryGroup {
     "q_stats_summary" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price")))
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))),
+
+    // §2.8 serde: typed Dataset[ChangeEvent[K, V]] consumption (the
+    // DebeziumSerdes equivalent) — lambdas over case-class views, deletes
+    // unwrapped to None by `value`
+    "f_serde_values" -> ((s, dir) => {
+      import s.implicits._
+      graft.serde.ChangeEvents
+        .events[OrderKey, OrderPayload](feed(s, dir, "orders"))
+        .flatMap(e => e.value.map(v =>
+          (e.key.o_orderkey, v.o_orderstatus, e.source.pos, e.op)))
+        .toDF("o_orderkey", "o_orderstatus", "pos", "op")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -183,10 +195,24 @@ object ExtendedQueries extends QueryGroup {
       """SELECT l_returnflag,
         | round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "f_serde_values" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderkey*10 AS pos, 'r' AS op
+        | FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'U' AS o_orderstatus, o_orderkey*10+1 AS pos,
+        | 'u' AS op FROM orders WHERE o_orderkey%7=3""".stripMargin
   )
 
   override val duckdbOnly: Set[String] = Set(
     "pl_pipeline_dsl", "t20_docling", "r4_timescale_router",
     "q_stats_summary", "t11_extract_schema")
 }
+
+/** Typed key/payload views for the serde query (by-name subsets of the
+  * orders envelope structs).
+  */
+final case class OrderKey(o_orderkey: Long)
+final case class OrderPayload(o_orderkey: Long, o_custkey: Long,
+    o_orderstatus: String, o_totalprice: Double)
