@@ -29,7 +29,12 @@ object Bench {
         errors += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries that persist intermediates (LSH signatures, feeds) must
+      // not degrade later queries via storage-memory pressure: billed
+      // eviction inside a query is real cost, leftover blocks are not
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
