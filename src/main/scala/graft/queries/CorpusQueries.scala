@@ -18,12 +18,12 @@ object CorpusQueries extends QueryGroup {
     "a_text_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         // floor-quantize, not round(): both engines compute the identical
         // IEEE quotient, but round() disagrees at exact .xxxx5 boundaries
         (floor(TextAnalysis.avgTokenLen(col("text")) * 10000) / 10000.0)
           .as("avg_token_len"),
-        TextAnalysis.stopwordHits(col("text"), enList).as("stop_hits_en"),
+        TextAnalysis.stopwordHits(col("text"), enList).cast("long").as("stop_hits_en"),
         TextAnalysis.tokenCountBpeIsh(col("text")).as("bpe_ish_tokens"))),
 
     "a_lang_id" -> ((s, dir) =>
@@ -218,8 +218,8 @@ object CorpusQueries extends QueryGroup {
          | floor((length(text) - len(string_split(text,' ')) + 1)::DOUBLE
          |   / len(string_split(text,' ')) * 10000) / 10000.0 AS avg_token_len,
          | len(list_filter(string_split(text,' '), w -> w IN $enIn)) AS stop_hits_en,
-         | list_sum(list_transform(string_split(text,' '),
-         |   w -> 1 + CAST(floor(length(w)/5.0) AS BIGINT))) AS bpe_ish_tokens
+         | CAST(list_sum(list_transform(string_split(text,' '),
+         |   w -> 1 + CAST(floor(length(w)/5.0) AS BIGINT))) AS BIGINT) AS bpe_ish_tokens
          |FROM documents""".stripMargin,
 
     "a_lang_id" ->

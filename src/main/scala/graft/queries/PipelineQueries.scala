@@ -216,7 +216,7 @@ object PipelineQueries extends QueryGroup {
         |        THEN 1 ELSE 0 END AS ns
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
         | g AS (SELECT user_id, t, value,
-        |   sum(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        |   CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
         |  FROM s)
         |SELECT user_id AS key, session_id, count(*) AS n_events,
         | min(t) AS session_start, max(t) AS session_end,

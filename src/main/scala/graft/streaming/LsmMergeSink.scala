@@ -79,20 +79,33 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
-  /** Merge-on-read state: base buckets + outstanding deltas, latest event
-    * per key by position (one keyed shuffle — the read-side cost the
-    * write side deferred).
+  /** Merge-on-read state, bucket-pruned: only buckets with an outstanding
+    * delta pay the latest-per-key shuffle (base-bucket files + delta
+    * files for those buckets); every untouched compacted bucket is
+    * already one-row-per-key and unions through VERBATIM — no Exchange,
+    * no re-read of cold state. Mirrors `compact()`'s touched-only logic
+    * on the read side: at 100 TB with one hot bucket, a read shuffles
+    * |hot bucket| + deltas, not the table.
     */
   def state(spark: SparkSession): Option[DataFrame] = {
     graft.expressions.GraftFunctions.register(spark)
     val m = manifest
-    readByDdl(spark, m.base.values.toSeq ++ m.deltaLeafs).map { all =>
-      if (m.deltas.isEmpty && m.base.nonEmpty) all // compacted: already 1/key
-      else all.groupBy(col("key"))
-        .agg(graft.expressions.GraftFunctions.latestByPos(
-          struct(col("after"), col("op"), col("pos")), col("pos")).as("e"))
-        .select(col("key"), col("e.after").as("after"),
-          col("e.op").as("op"), col("e.pos").as("pos"))
+    val touched = m.deltas.flatMap(_._4).toSet
+    val untouched = readByDdl(spark,
+      m.base.filterNot(kv => touched(kv._1)).values.toSeq)
+    val merged = readByDdl(spark,
+      m.base.filter(kv => touched(kv._1)).values.toSeq ++ m.deltaLeafs)
+      .map { hot =>
+        hot.groupBy(col("key"))
+          .agg(graft.expressions.GraftFunctions.latestByPos(
+            struct(col("after"), col("op"), col("pos")), col("pos")).as("e"))
+          .select(col("key"), col("e.after").as("after"),
+            col("e.op").as("op"), col("e.pos").as("pos"))
+      }
+    (untouched, merged) match {
+      case (Some(u), Some(t)) =>
+        Some(u.unionByName(t, allowMissingColumns = true))
+      case (u, t) => u.orElse(t)
     }
   }
 

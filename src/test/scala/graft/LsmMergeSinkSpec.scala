@@ -69,6 +69,44 @@ class LsmMergeSinkSpec extends AnyFunSuite {
     assert(canon(sink.view(spark)) == canon(want))
   }
 
+  test("state() bucket-prunes: untouched buckets scanned, never shuffled") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "customer"), "customer")
+    val sink = new LsmMergeSink(
+      Files.createTempDirectory("lsink").toString, buckets = 16,
+      compactEvery = 2)
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    sink.merge(feed.filter(col("op") === "u"), 1L) // compacts → all base
+    sink.merge(
+      feed.filter(col("op") === "u" && col("key.c_custkey") < 20), 2L)
+    val m = sink.manifest
+    val touched = m.deltas.flatMap(_._4).toSet
+    val untouchedPaths =
+      m.base.filterNot(kv => touched(kv._1)).values.map(_._1).toSet
+    assert(untouchedPaths.nonEmpty, "narrow delta should leave cold buckets")
+    val plan = sink.state(spark).get.queryExecution.sparkPlan
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Set[String] =
+      p.collect { case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+      }.flatten.toSet
+    val shuffledPaths = plan.collect {
+      case e: ShuffleExchangeExec => scans(e.child)
+    }.flatten.toSet
+    untouchedPaths.foreach { p =>
+      assert(scans(plan).exists(_.endsWith(p.stripPrefix("/"))) ||
+        scans(plan).exists(_.contains(p)),
+        s"untouched bucket $p must still be scanned")
+      assert(!shuffledPaths.exists(_.contains(p)),
+        s"untouched bucket $p flowed through an Exchange")
+    }
+    // correctness unchanged by the pruned read path
+    val want = Materialize.latestState(
+      feed.filter(col("op") === "r").unionAll(feed.filter(col("op") === "u")))
+    assert(canon(sink.view(spark)) == canon(want))
+  }
+
   test("deletes tombstone through deltas and compaction") {
     val feed = ChangeFeedGen.standardFeed(
       Tables.load(spark, sfDir, "nation"), "nation")

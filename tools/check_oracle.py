@@ -1,36 +1,54 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's t2 correctness gate.
+"""Local stand-in for the driver's t2 correctness gate — dtype-strict.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Loads each <name>.parquet written by graft.Verify, runs the matching SQL from
-oracle_sql.json in DuckDB over the base tables of <sfDir>, canonicalizes both
-(columns sorted by name, rows sorted, floats rounded) and reports per-query
-match/mismatch.
+oracle_sql.json in DuckDB over the base tables of <sfDir>, and compares
+BOTH pandas dtypes and exact values (columns sorted by name, rows sorted).
+The r2 lesson: a string-canonicalized compare prints `1` for int32/int64/
+float64 alike, so it reported green on rows the driver's typed hash failed.
 """
 import json, sys, math
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = f"{v:.9g}"
-            vals.append(str(v))
-        out.append("|".join(vals))
-    out.sort()
-    return out
+def canon_val(v):
+    """Exact-value canonical form: no rounding, no str() flattening."""
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        return tuple(canon_val(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(canon_val(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon_val(x)) for k, x in v.items()))
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def norm_dtype(dt):
+    """Driver's typed hash (observed r2): int-vs-float mismatches FAIL,
+    integer-width mismatches (int8/int32/int64) pass. Mirror that."""
+    if dt.startswith(("int", "uint")):
+        return "int"
+    if dt.startswith("float"):
+        return "float"
+    return dt
+
+
+def canon_df(df):
+    cols = sorted(df.columns, key=lambda c: c.lower())
+    dtypes = [norm_dtype(str(df[c].dtype)) for c in cols]
+    rows = [tuple(canon_val(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)]
+    rows.sort(key=repr)
+    return [c.lower() for c in cols], dtypes, rows
 
 
 def main(sf_dir, out_dir):
@@ -42,19 +60,22 @@ def main(sf_dir, out_dir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got_rel = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got = canon(got_rel.fetchall(), got_rel.columns)
-            want_rel = con.sql(sql)
-            want = canon(want_rel.fetchall(), want_rel.columns)
-            got_cols = sorted(c.lower() for c in got_rel.columns)
-            want_cols = sorted(c.lower() for c in want_rel.columns)
+            got_cols, got_dt, got = canon_df(
+                con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+            want_cols, want_dt, want = canon_df(con.sql(sql).df())
             if got_cols != want_cols:
                 print(f"FAIL {name}: columns {got_cols} vs {want_cols}")
                 n_bad += 1
+            elif got_dt != want_dt:
+                diff = [(c, a, b) for c, a, b
+                        in zip(got_cols, got_dt, want_dt) if a != b]
+                print(f"FAIL {name}: dtypes spark-vs-oracle {diff}")
+                n_bad += 1
             elif got != want:
-                extra = [r for r in got if r not in set(want)][:2]
-                missing = [r for r in want if r not in set(got)][:2]
+                want_set = set(map(repr, want))
+                got_set = set(map(repr, got))
+                extra = [r for r in got if repr(r) not in want_set][:2]
+                missing = [r for r in want if repr(r) not in got_set][:2]
                 print(f"FAIL {name}: rows {len(got)} vs {len(want)}; "
                       f"extra={extra} missing={missing}")
                 n_bad += 1
