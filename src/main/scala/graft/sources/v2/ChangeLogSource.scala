@@ -76,7 +76,20 @@ object ChangeLogSource {
   def countLines(p: Path): Long =
     Using.resource(Files.lines(p))(_.count())
 
-  private val CountInName = """.*-n(\d+)\.log$""".r
+  /** Record count of a segment of any wire format (fallback when the
+    * committed name carries no `-n<count>` — foreign files only).
+    */
+  def countRecords(p: Path): Long = {
+    val n = p.getFileName.toString
+    if (n.endsWith(".pgo"))
+      graft.sources.wire.PgOutput.segmentRows(Files.readAllBytes(p)).size.toLong
+    else if (n.endsWith(".blog"))
+      graft.sources.wire.MySqlBinlog.segmentRows(
+        Files.readAllBytes(p), Map.empty).size.toLong
+    else countLines(p)
+  }
+
+  private val CountInName = """.*-n(\d+)\.(?:log|pgo|blog)$""".r
   private val GenInName = """^part-g(\d+)-.*""".r
 
   /** Record count from the committed segment name, if our writer named it. */
@@ -285,7 +298,7 @@ class ChangeLogMicroBatchStream(path: String,
 
   private def countOf(p: Path): Long =
     ChangeLogSource.countFromName(p.getFileName.toString).getOrElse(
-      counts.computeIfAbsent(p.toString, _ => ChangeLogSource.countLines(p)))
+      counts.computeIfAbsent(p.toString, _ => ChangeLogSource.countRecords(p)))
 
   /** Visible segments, capped at the Trigger.AvailableNow target if set. */
   private def visible(): Seq[Path] = {
@@ -365,22 +378,50 @@ class ChangeLogMicroBatchStream(path: String,
 
 case class ChangeLogInputPartition(file: String) extends InputPartition
 
+/** Whole-segment reader, format by extension: `.log` = TSV text, `.pgo` =
+  * recorded pgoutput frames (self-describing — Relation messages carry
+  * names and key flags), `.blog` = recorded binlog events (positional —
+  * column names default `c<i>`, key = column 0; name resolution belongs
+  * to the schema-history layer, as in the reference). Each segment decodes
+  * independently inside its own Spark task — the binary parse is
+  * distributed with the data, never on the driver.
+  */
 class ChangeLogPartitionReader(part: ChangeLogInputPartition)
   extends PartitionReader[InternalRow] {
-  private val lines = Files.lines(Paths.get(part.file))
-  private val it = lines.iterator()
+  private val path = Paths.get(part.file)
+  private val name = path.getFileName.toString
+
+  private var lines: java.util.stream.Stream[String] = _
+  private val it: Iterator[InternalRow] =
+    if (name.endsWith(".pgo"))
+      graft.sources.wire.PgOutput.segmentRows(Files.readAllBytes(path))
+        .map(wireRow)
+    else if (name.endsWith(".blog"))
+      graft.sources.wire.MySqlBinlog.segmentRows(
+        Files.readAllBytes(path), Map.empty).map(wireRow)
+    else {
+      lines = Files.lines(path)
+      lines.iterator().asScala.map { l =>
+        val f = l.split("\t", 5)
+        InternalRow(
+          UTF8String.fromString(f(0)), UTF8String.fromString(f(1)),
+          f(2).toLong,
+          UTF8String.fromString(f(3)), UTF8String.fromString(f(4)))
+      }
+    }
   private var current: InternalRow = _
+
+  private def wireRow(r: graft.sources.wire.PgOutput.WireRow): InternalRow =
+    InternalRow(
+      UTF8String.fromString(r.table), UTF8String.fromString(r.op), r.pos,
+      UTF8String.fromString(r.keyJson), UTF8String.fromString(r.payloadJson))
 
   override def next(): Boolean = {
     if (!it.hasNext) return false
-    val f = it.next().split("\t", 5)
-    current = InternalRow(
-      UTF8String.fromString(f(0)), UTF8String.fromString(f(1)),
-      f(2).toLong,
-      UTF8String.fromString(f(3)), UTF8String.fromString(f(4)))
+    current = it.next()
     true
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = lines.close()
+  override def close(): Unit = if (lines != null) lines.close()
 }

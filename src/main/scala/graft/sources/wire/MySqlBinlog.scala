@@ -1,0 +1,351 @@
+package graft.sources.wire
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Binary decoder for MySQL binlog row events — the TABLE_MAP +
+  * WRITE/UPDATE/DELETE_ROWS(v2) byte layouts published in the MySQL
+  * internals manual ("Binary Log — Row Based Replication events") and
+  * parsed by the reference connector's shaded binlog client (reference
+  * `debezium-connector-binlog/.../event/RowDeserializers.java:1-698`,
+  * `TableMapEventDataDeserializer`).
+  *
+  * Everything here is little-endian except where noted. A "segment" is a
+  * binlog FILE: the 4-byte magic `0xfe 'b' 'i' 'n'` followed by events
+  * back-to-back. Events are framed by the 19-byte v4 header:
+  *   timestamp(4) type(1) serverId(4) eventSize(4) nextPos(4) flags(2)
+  * Fixtures are recorded with `binlog_checksum = NONE`, so there is no
+  * trailing CRC32 (the decoder consumes to the eventSize boundary).
+  *
+  * Event bodies handled:
+  *   - TABLE_MAP (19):     tableId(6) flags(2) schemaLen(1) schema NUL
+  *                         tableLen(1) table NUL colCount(lenenc)
+  *                         colTypes(n) metaLen(lenenc) meta nullable((n+7)/8)
+  *   - WRITE_ROWS_v2 (30), UPDATE_ROWS_v2 (31), DELETE_ROWS_v2 (32):
+  *                         tableId(6) flags(2) extraLen(2, self-inclusive)
+  *                         extra colCount(lenenc) present((n+7)/8)
+  *                         [presentAfter((n+7)/8) for UPDATE]
+  *                         rows*: nullBitmap((present+7)/8) + values
+  *                         (UPDATE rows carry before- then after-image)
+  *   - XID (16):           xid(8) — transaction commit marker
+  *   - QUERY (2), FORMAT_DESCRIPTION (15), ROTATE (4): skipped
+  *
+  * Column types (the common relational subset): LONG(3) = int32,
+  * LONGLONG(8) = int64, VARCHAR(15) with 2-byte max-length metadata and a
+  * 1- or 2-byte length prefix depending on that metadata.
+  */
+object MySqlBinlog {
+
+  val Magic: Array[Byte] = Array(0xfe.toByte, 'b'.toByte, 'i'.toByte, 'n'.toByte)
+
+  // event type codes
+  val QUERY = 2; val ROTATE = 4; val XID = 16; val FORMAT_DESCRIPTION = 15
+  val TABLE_MAP = 19
+  val WRITE_ROWS_V2 = 30; val UPDATE_ROWS_V2 = 31; val DELETE_ROWS_V2 = 32
+
+  // column type codes
+  val TYPE_LONG = 3; val TYPE_LONGLONG = 8; val TYPE_VARCHAR = 15
+
+  final case class TableMap(tableId: Long, schema: String, table: String,
+                            colTypes: Seq[Int], colMeta: Seq[Int])
+
+  final case class Row(cells: Seq[Option[Any]])
+
+  sealed trait Event { def nextPos: Long }
+  final case class TableMapEvent(nextPos: Long, map: TableMap) extends Event
+  final case class RowsEvent(nextPos: Long, kind: Int, tableId: Long,
+                             rows: Seq[Row], afterRows: Seq[Row]) extends Event
+  final case class XidEvent(nextPos: Long, xid: Long) extends Event
+  final case class SkippedEvent(nextPos: Long, kind: Int) extends Event
+
+  // ---------------------------------------------------------------- decode
+
+  private def lenenc(b: ByteBuffer): Long = (b.get() & 0xff) match {
+    case v if v < 0xfb => v
+    case 0xfc => b.getShort() & 0xffff
+    case 0xfd => (b.get() & 0xff) | ((b.get() & 0xff) << 8) | ((b.get() & 0xff) << 16)
+    case 0xfe => b.getLong()
+    case v => throw new IllegalArgumentException(s"bad length-encoded int 0x${v.toHexString}")
+  }
+
+  private def uint48(b: ByteBuffer): Long = {
+    var v = 0L
+    (0 until 6).foreach(i => v |= (b.get() & 0xffL) << (8 * i))
+    v
+  }
+
+  private def bitmap(b: ByteBuffer, bits: Int): Array[Boolean] = {
+    val bytes = new Array[Byte]((bits + 7) / 8)
+    b.get(bytes)
+    Array.tabulate(bits)(i => (bytes(i / 8) & (1 << (i % 8))) != 0)
+  }
+
+  private def cell(b: ByteBuffer, colType: Int, meta: Int): Any = colType match {
+    case TYPE_LONG => b.getInt()
+    case TYPE_LONGLONG => b.getLong()
+    case TYPE_VARCHAR =>
+      val len = if (meta < 256) b.get() & 0xff else b.getShort() & 0xffff
+      val bytes = new Array[Byte](len)
+      b.get(bytes)
+      new String(bytes, StandardCharsets.UTF_8)
+    case other => throw new IllegalArgumentException(
+      s"unsupported column type $other (subset decoder: LONG/LONGLONG/VARCHAR)")
+  }
+
+  private def rowImage(b: ByteBuffer, map: TableMap,
+                       present: Array[Boolean]): Row = {
+    val nPresent = present.count(identity)
+    val nulls = bitmap(b, nPresent)
+    var pi = 0
+    val cells = map.colTypes.indices.map { i =>
+      if (!present(i)) None
+      else {
+        val isNull = nulls(pi); pi += 1
+        if (isNull) None
+        else Some(cell(b, map.colTypes(i), map.colMeta(i)))
+      }
+    }
+    Row(cells)
+  }
+
+  /** Decode one binlog file (magic + events) into an event iterator.
+    * TABLE_MAP state is carried by the caller via `segmentRows`; here each
+    * rows-event needs the latest map for its tableId to parse values, so
+    * decoding is single-pass with an internal map registry.
+    */
+  def readSegment(bytes: Array[Byte]): Iterator[Event] = {
+    require(bytes.length >= 4 && java.util.Arrays.equals(bytes.slice(0, 4), Magic),
+      "not a binlog segment (bad magic)")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(4)
+    val maps = scala.collection.mutable.Map[Long, TableMap]()
+    new Iterator[Event] {
+      def hasNext: Boolean = buf.remaining() >= 19
+      def next(): Event = {
+        val start = buf.position()
+        /* timestamp */ buf.getInt()
+        val kind = buf.get() & 0xff
+        /* serverId */ buf.getInt()
+        val eventSize = buf.getInt()
+        val nextPos = buf.getInt().toLong & 0xffffffffL
+        /* flags */ buf.getShort()
+        val end = start + eventSize
+        val ev = kind match {
+          case TABLE_MAP =>
+            val tableId = uint48(buf)
+            buf.getShort() // flags
+            val schemaLen = buf.get() & 0xff
+            val schemaB = new Array[Byte](schemaLen); buf.get(schemaB); buf.get()
+            val tableLen = buf.get() & 0xff
+            val tableB = new Array[Byte](tableLen); buf.get(tableB); buf.get()
+            val nCols = lenenc(buf).toInt
+            val types = (0 until nCols).map(_ => buf.get() & 0xff)
+            val metaLen = lenenc(buf).toInt
+            val metaEnd = buf.position() + metaLen
+            val meta = types.map {
+              case TYPE_VARCHAR => buf.getShort() & 0xffff
+              case _ => 0
+            }
+            require(buf.position() == metaEnd, "metadata block length mismatch")
+            bitmap(buf, nCols) // nullability — unused by the row parser
+            val m = TableMap(tableId, new String(schemaB, StandardCharsets.UTF_8),
+              new String(tableB, StandardCharsets.UTF_8), types, meta)
+            maps(tableId) = m
+            TableMapEvent(nextPos, m)
+          case WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 =>
+            val tableId = uint48(buf)
+            buf.getShort() // flags
+            val extraLen = buf.getShort() & 0xffff
+            buf.position(buf.position() + (extraLen - 2))
+            val map = maps.getOrElse(tableId, throw new IllegalStateException(
+              s"rows event for unmapped table id $tableId"))
+            val nCols = lenenc(buf).toInt
+            require(nCols == map.colTypes.size, "column count mismatch vs TABLE_MAP")
+            val present = bitmap(buf, nCols)
+            val presentAfter =
+              if (kind == UPDATE_ROWS_V2) bitmap(buf, nCols) else present
+            val before = scala.collection.mutable.ArrayBuffer[Row]()
+            val after = scala.collection.mutable.ArrayBuffer[Row]()
+            while (buf.position() < end) {
+              if (kind == UPDATE_ROWS_V2) {
+                before += rowImage(buf, map, present)
+                after += rowImage(buf, map, presentAfter)
+              } else before += rowImage(buf, map, present)
+            }
+            RowsEvent(nextPos, kind, tableId, before.toSeq, after.toSeq)
+          case XID =>
+            XidEvent(nextPos, buf.getLong())
+          case other =>
+            SkippedEvent(nextPos, other)
+        }
+        buf.position(end)
+        ev
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- encode
+  // Fixture author + round-trip oracle for the decoder (not a server).
+
+  private def leBuf(size: Int) = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+
+  private def putLenenc(b: ByteBuffer, v: Long): Unit =
+    if (v < 0xfb) b.put(v.toByte)
+    else if (v <= 0xffff) { b.put(0xfc.toByte); b.putShort(v.toShort) }
+    else { b.put(0xfe.toByte); b.putLong(v) }
+
+  private def putUint48(b: ByteBuffer, v: Long): Unit =
+    (0 until 6).foreach(i => b.put(((v >> (8 * i)) & 0xff).toByte))
+
+  private def putBitmap(b: ByteBuffer, bits: Seq[Boolean]): Unit = {
+    val bytes = new Array[Byte]((bits.size + 7) / 8)
+    bits.zipWithIndex.foreach { case (set, i) =>
+      if (set) bytes(i / 8) = (bytes(i / 8) | (1 << (i % 8))).toByte
+    }
+    b.put(bytes)
+  }
+
+  private def putCell(b: ByteBuffer, colType: Int, meta: Int, v: Any): Unit =
+    (colType, v) match {
+      case (TYPE_LONG, i: Int) => b.putInt(i)
+      case (TYPE_LONGLONG, l: Long) => b.putLong(l)
+      case (TYPE_VARCHAR, s: String) =>
+        val bytes = s.getBytes(StandardCharsets.UTF_8)
+        if (meta < 256) b.put(bytes.length.toByte) else b.putShort(bytes.length.toShort)
+        b.put(bytes)
+      case other => throw new IllegalArgumentException(s"can't encode $other")
+    }
+
+  private def putRow(b: ByteBuffer, map: TableMap, present: Seq[Boolean],
+                     row: Row): Unit = {
+    val presentCells = row.cells.indices.filter(present)
+    putBitmap(b, presentCells.map(i => row.cells(i).isEmpty))
+    presentCells.foreach { i =>
+      row.cells(i).foreach(v => putCell(b, map.colTypes(i), map.colMeta(i), v))
+    }
+  }
+
+  private def event(kind: Int, nextPos: Long, body: Array[Byte]): Array[Byte] = {
+    val b = leBuf(19 + body.length)
+    b.putInt(1700000000)            // timestamp
+    b.put(kind.toByte)
+    b.putInt(1)                     // server id
+    b.putInt(19 + body.length)      // event size
+    b.putInt(nextPos.toInt)
+    b.putShort(0)                   // flags
+    b.put(body)
+    b.array()
+  }
+
+  def encodeTableMap(nextPos: Long, map: TableMap): Array[Byte] = {
+    val b = leBuf(4096)
+    putUint48(b, map.tableId); b.putShort(1)
+    val sb = map.schema.getBytes(StandardCharsets.UTF_8)
+    val tb = map.table.getBytes(StandardCharsets.UTF_8)
+    b.put(sb.length.toByte); b.put(sb); b.put(0.toByte)
+    b.put(tb.length.toByte); b.put(tb); b.put(0.toByte)
+    putLenenc(b, map.colTypes.size)
+    map.colTypes.foreach(t => b.put(t.toByte))
+    val metaBytes = leBuf(2 * map.colTypes.size)
+    map.colTypes.zip(map.colMeta).foreach {
+      case (TYPE_VARCHAR, m) => metaBytes.putShort(m.toShort)
+      case _ => ()
+    }
+    val meta = new Array[Byte](metaBytes.position()); metaBytes.flip(); metaBytes.get(meta)
+    putLenenc(b, meta.length); b.put(meta)
+    putBitmap(b, map.colTypes.map(_ => true)) // all nullable
+    val body = new Array[Byte](b.position()); b.flip(); b.get(body)
+    event(TABLE_MAP, nextPos, body)
+  }
+
+  def encodeRows(kind: Int, nextPos: Long, map: TableMap,
+                 rows: Seq[Row], afterRows: Seq[Row] = Seq.empty): Array[Byte] = {
+    val b = leBuf(1 << 20)
+    putUint48(b, map.tableId); b.putShort(0)
+    b.putShort(2) // extraLen: no extra payload
+    putLenenc(b, map.colTypes.size)
+    val present = map.colTypes.map(_ => true)
+    putBitmap(b, present)
+    if (kind == UPDATE_ROWS_V2) putBitmap(b, present)
+    if (kind == UPDATE_ROWS_V2)
+      rows.zip(afterRows).foreach { case (before, after) =>
+        putRow(b, map, present, before); putRow(b, map, present, after)
+      }
+    else rows.foreach(putRow(b, map, present, _))
+    val body = new Array[Byte](b.position()); b.flip(); b.get(body)
+    event(kind, nextPos, body)
+  }
+
+  def encodeXid(nextPos: Long, xid: Long): Array[Byte] = {
+    val b = leBuf(8); b.putLong(xid)
+    event(XID, nextPos, b.array())
+  }
+
+  def writeSegment(events: Seq[Array[Byte]]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write(Magic)
+    events.foreach(o.write)
+    o.toByteArray
+  }
+
+  // ------------------------------------------------- wire-row projection
+
+  private def jsonString(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').result()
+  }
+
+  private def jsonCell(v: Option[Any]): String = v match {
+    case None => "null"
+    case Some(i: Int) => i.toString
+    case Some(l: Long) => l.toString
+    case Some(s: String) => jsonString(s)
+    case Some(other) => jsonString(other.toString)
+  }
+
+  private def jsonObject(names: Seq[String], row: Row,
+                         only: Option[Set[Int]] = None): String =
+    names.zipWithIndex
+      .filter { case (_, i) => only.forall(_.contains(i)) }
+      .map { case (n, i) => s"${jsonString(n)}:${jsonCell(row.cells(i))}" }
+      .mkString("{", ",", "}")
+
+  /** Project a binlog segment to ChangeLogSource wire rows.
+    *
+    * The binlog carries NO key metadata (TABLE_MAP has types only — the
+    * reference resolves primary keys from its schema history); `keyCols`
+    * supplies per-table key column indices, defaulting to column 0, and
+    * `colNames` the column names (binlog row events are positional).
+    * `pos` is the event's end-position (`nextPos`), monotonic in a file.
+    */
+  def segmentRows(bytes: Array[Byte],
+                  colNames: Map[String, Seq[String]],
+                  keyCols: Map[String, Seq[Int]] = Map.empty): Iterator[PgOutput.WireRow] = {
+    val maps = scala.collection.mutable.Map[Long, TableMap]()
+    readSegment(bytes).flatMap {
+      case TableMapEvent(_, m) => maps(m.tableId) = m; Nil
+      case RowsEvent(pos, kind, tableId, rows, afterRows) =>
+        val m = maps(tableId)
+        val full = s"${m.schema}.${m.table}"
+        val names = colNames.getOrElse(full, m.colTypes.indices.map(i => s"c$i"))
+        val kidx = keyCols.getOrElse(full, Seq(0)).toSet
+        kind match {
+          case WRITE_ROWS_V2 => rows.map(r => PgOutput.WireRow(full, "c", pos,
+            jsonObject(names, r, Some(kidx)), jsonObject(names, r)))
+          case UPDATE_ROWS_V2 => afterRows.map(r => PgOutput.WireRow(full, "u", pos,
+            jsonObject(names, r, Some(kidx)), jsonObject(names, r)))
+          case DELETE_ROWS_V2 => rows.map(r => PgOutput.WireRow(full, "d", pos,
+            jsonObject(names, r, Some(kidx)), "null"))
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+  }
+}

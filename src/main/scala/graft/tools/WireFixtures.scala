@@ -1,0 +1,115 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import graft.sources.wire.{MySqlBinlog, PgOutput}
+
+/** Deterministic recorded-wire fixtures — the byte streams a replication
+  * client would have captured from a live server, authored once and
+  * committed under `src/main/resources/graft/fixtures/`. The data is
+  * FORMULA-derived (`i`, `i*7`, `'item_'||i` …) so the DuckDB oracle can
+  * regenerate the expected decode output from `range()` with no parquet
+  * input — the decoder is checked against an independent reconstruction,
+  * not against itself.
+  *
+  * `main` re-emits the files; a spec asserts the committed bytes equal
+  * this builder's output, so fixture and builder cannot drift apart.
+  */
+object WireFixtures {
+
+  // ------------------------------------------------------------- pgoutput
+  // Two relations, three transactions, TOAST marker, delete-by-key,
+  // truncate, and a logical decoding message.
+
+  val ItemsRel: PgOutput.Relation = PgOutput.Relation(5001, "public", "cdc_items", 'd',
+    Seq(PgOutput.Column(1, "id", 23, -1),      // int4, key
+      PgOutput.Column(0, "qty", 20, -1),       // int8
+      PgOutput.Column(0, "label", 25, -1)))    // text
+
+  val TagsRel: PgOutput.Relation = PgOutput.Relation(5002, "public", "cdc_tags", 'd',
+    Seq(PgOutput.Column(1, "id", 23, -1),
+      PgOutput.Column(0, "tag", 25, -1)))
+
+  def pgoutputSegment: Array[Byte] = {
+    import PgOutput._
+    val frames = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+    def f(wal: Long, m: Message): Unit = frames += ((wal, encode(m)))
+
+    f(999, Begin(1999, 770000000000000L, 501))
+    f(999, ItemsRel)
+    (0 until 40).foreach { i =>
+      f(1000L + i, Insert(5001, Seq(
+        VText(i.toString), VText((i * 7).toString), VText(s"item_$i"))))
+    }
+    f(1999, Commit(0, 1999, 2000, 770000000000000L))
+
+    f(1999, Begin(2999, 770000001000000L, 502))
+    (0 until 40).filter(_ % 5 == 0).foreach { i =>
+      val label = if (i % 10 == 5) VUnchangedToast else VText(s"item_$i")
+      f(2000L + i, Update(5001, None, None, Seq(
+        VText(i.toString), VText((i * 7 + 1000).toString), label)))
+    }
+    f(2099, TagsRel)
+    (0 until 10).foreach { i =>
+      f(2100L + i, Insert(5002, Seq(
+        VText(i.toString), VText(s"tag_${i % 3}"))))
+    }
+    f(2999, Commit(0, 2999, 3000, 770000001000000L))
+
+    f(2999, Begin(4999, 770000002000000L, 503))
+    (0 until 40).filter(_ % 6 == 0).foreach { i =>
+      f(3000L + i, Delete(5001, 'K', Seq(
+        VText(i.toString), VNull, VNull)))
+    }
+    f(4000, Truncate(0, Seq(5002)))
+    f(4100, LogicalMessage(1, 4100, "graft", "hello".getBytes("UTF-8")))
+    f(4999, Commit(0, 4999, 5000, 770000002000000L))
+
+    writeSegment(frames.toSeq)
+  }
+
+  /** Wire rows the pgoutput fixture decodes to (count for segment names). */
+  def pgoutputRowCount: Long =
+    PgOutput.segmentRows(pgoutputSegment).size.toLong
+
+  // --------------------------------------------------------------- binlog
+  // One table, multi-row events (10 rows per WRITE event), an UPDATE with
+  // before+after images and a NULL in the after image, a DELETE, an XID.
+
+  val BlMap: MySqlBinlog.TableMap = MySqlBinlog.TableMap(901L, "testdb", "bl_items",
+    Seq(MySqlBinlog.TYPE_LONG, MySqlBinlog.TYPE_LONGLONG, MySqlBinlog.TYPE_VARCHAR),
+    Seq(0, 0, 40))
+
+  def binlogSegment: Array[Byte] = {
+    import MySqlBinlog._
+    def row(i: Int): Row =
+      Row(Seq(Some(i), Some(i * 11L), Some(s"bl_$i")))
+    val events = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    events += encodeTableMap(400, BlMap)
+    (0 until 3).foreach { k =>
+      events += encodeRows(WRITE_ROWS_V2, 500L + k, BlMap,
+        (k * 10 until (k + 1) * 10).map(row))
+    }
+    val upd = (0 until 30).filter(_ % 4 == 0)
+    events += encodeRows(UPDATE_ROWS_V2, 600, BlMap,
+      upd.map(row),
+      upd.map(i => Row(Seq(Some(i), Some(i * 11L + 7),
+        if (i % 8 == 4) None else Some(s"bl_$i")))))
+    events += encodeRows(DELETE_ROWS_V2, 700, BlMap,
+      (0 until 30).filter(_ % 9 == 0).map(row))
+    events += encodeXid(800, 9001L)
+    writeSegment(events.toSeq)
+  }
+
+  def binlogRowCount: Long =
+    MySqlBinlog.segmentRows(binlogSegment, Map.empty).size.toLong
+
+  val FixtureDir = "src/main/resources/graft/fixtures"
+
+  def main(args: Array[String]): Unit = {
+    val dir = Paths.get(if (args.nonEmpty) args(0) else FixtureDir)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("pgoutput_segment.pgo"), pgoutputSegment)
+    Files.write(dir.resolve("binlog_segment.blog"), binlogSegment)
+    println(s"wrote pgoutput rows=$pgoutputRowCount binlog rows=$binlogRowCount to $dir")
+  }
+}
