@@ -29,6 +29,13 @@ object TypeHandling {
     case object Connect extends TimePrecisionMode
     /** keep native timestamp columns untouched */
     case object Native extends TimePrecisionMode
+    /** 3.x structured temporals: calendar/clock components preserved as a
+      * struct, no epoch conversion (ref `time/StructuredTimestamp.java:27-36`,
+      * `time/StructuredDate.java`) — year int32, month..second int8,
+      * nanos int32, plus `special_value` (±infinity markers) and the
+      * source column's declared fractional `precision`.
+      */
+    case object Structured extends TimePrecisionMode
   }
 
   /** ref `binary.handling.mode`: bytes | base64 | hex. */
@@ -42,7 +49,38 @@ object TypeHandling {
   final case class Config(
       decimalMode: DecimalMode = DecimalMode.Precise,
       timePrecision: TimePrecisionMode = TimePrecisionMode.Native,
-      binaryMode: BinaryMode = BinaryMode.Bytes)
+      binaryMode: BinaryMode = BinaryMode.Bytes,
+      /** declared fractional-seconds precision recorded in structured
+        * temporals; <0 = unknown (field null), matching the reference's
+        * omit-when-negative (`time/StructuredTemporal.withPrecision`). */
+      temporalPrecision: Int = -1)
+
+  private def precisionCol(cfg: Config): Column =
+    if (cfg.temporalPrecision >= 0) lit(cfg.temporalPrecision)
+    else lit(null).cast(IntegerType)
+
+  /** `io.debezium.time.StructuredTimestamp` as a Spark struct column:
+    * calendar and clock components, sub-second nanos, special-value
+    * marker, declared precision.
+    */
+  def structuredTimestamp(ts: Column, cfg: Config): Column = struct(
+    year(ts).as("year"),
+    month(ts).cast(ByteType).as("month"),
+    dayofmonth(ts).cast(ByteType).as("day"),
+    hour(ts).cast(ByteType).as("hour"),
+    minute(ts).cast(ByteType).as("minute"),
+    second(ts).cast(ByteType).as("second"),
+    (pmod(unix_micros(ts), lit(1000000L)) * 1000L).cast(IntegerType).as("nanos"),
+    lit(null).cast(StringType).as("special_value"),
+    precisionCol(cfg).as("precision"))
+
+  /** `io.debezium.time.StructuredDate`: calendar components only. */
+  def structuredDate(d: Column, cfg: Config): Column = struct(
+    year(d).as("year"),
+    month(d).cast(ByteType).as("month"),
+    dayofmonth(d).cast(ByteType).as("day"),
+    lit(null).cast(StringType).as("special_value"),
+    precisionCol(cfg).as("precision"))
 
   /** Per-field representation under the config. */
   def convertField(c: Column, dt: DataType, cfg: Config): Column = dt match {
@@ -55,10 +93,12 @@ object TypeHandling {
       case TimePrecisionMode.Native => c
       case TimePrecisionMode.Adaptive => unix_micros(c.cast(TimestampType))
       case TimePrecisionMode.Connect => unix_millis(c.cast(TimestampType))
+      case TimePrecisionMode.Structured => structuredTimestamp(c.cast(TimestampType), cfg)
     }
     case DateType => cfg.timePrecision match {
       case TimePrecisionMode.Native => c
-      // both temporal modes surface DATE as epoch days (ref `data/Date`)
+      case TimePrecisionMode.Structured => structuredDate(c, cfg)
+      // both epoch modes surface DATE as epoch days (ref `data/Date`)
       case _ => datediff(c, lit("1970-01-01")).cast(IntegerType)
     }
     case BinaryType => cfg.binaryMode match {

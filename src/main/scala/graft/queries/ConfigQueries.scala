@@ -52,6 +52,29 @@ object ConfigQueries extends QueryGroup {
       adaptive.join(connect, "o_orderkey")
     }),
 
+    // 3.x structured temporals: value+precision calendar struct, no epoch
+    // conversion (ref time/StructuredTimestamp.java) — flattened here so
+    // the oracle checks every component; ts2 adds per-row sub-day and
+    // sub-second parts so hour/minute/second/nanos are all exercised
+    "c_structured_temporal" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        timestamp_micros(unix_micros(col("o_orderdate").cast("timestamp")) +
+          col("o_orderkey") * 1000001L).as("ts2"))
+      val fd = ChangeFeedGen.feed(o, "orders", o("o_orderkey").cast("long"),
+        Map.empty, Some(Seq("o_orderkey"))).filter(col("op") === "r")
+      val st = convertEnvelope(fd, Config(
+        timePrecision = TimePrecisionMode.Structured, temporalPrecision = 6))
+      st.select(col("after.o_orderkey").as("o_orderkey"),
+        col("after.ts2.year").as("y"),
+        col("after.ts2.month").cast("int").as("mo"),
+        col("after.ts2.day").cast("int").as("d"),
+        col("after.ts2.hour").cast("int").as("h"),
+        col("after.ts2.minute").cast("int").as("mi"),
+        col("after.ts2.second").cast("int").as("sec"),
+        col("after.ts2.nanos").as("ns"),
+        col("after.ts2.precision").as("prec"))
+    }),
+
     // binary.handling.mode: base64 and hex renderings of a binary payload
     "c_binary_handling" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderkey"),
@@ -270,6 +293,16 @@ object ConfigQueries extends QueryGroup {
         | epoch_ms(o_orderdate) AS ts_connect_ms
         |FROM orders""".stripMargin,
 
+    "c_structured_temporal" ->
+      """WITH x AS (SELECT o_orderkey,
+        |  make_timestamp(epoch_us(o_orderdate) + o_orderkey*1000001) AS ts2
+        | FROM orders)
+        |SELECT o_orderkey, year(ts2) AS y, month(ts2) AS mo, day(ts2) AS d,
+        | hour(ts2) AS h, minute(ts2) AS mi, second(ts2) AS sec,
+        | CAST((microsecond(ts2) % 1000000) * 1000 AS BIGINT) AS ns,
+        | 6 AS prec
+        |FROM x""".stripMargin,
+
     "c_binary_handling" ->
       """SELECT o_orderkey, base64(o_orderpriority::BLOB) AS prio_base64,
         | upper(hex(o_orderpriority::BLOB)) AS prio_hex
@@ -362,5 +395,5 @@ object ConfigQueries extends QueryGroup {
 
   override val duckdbOnly: Set[String] = Set(
     "c_decimal_handling", "c_time_precision", "c_binary_handling",
-    "c_custom_converter", "t9_document_infer")
+    "c_custom_converter", "c_structured_temporal", "t9_document_infer")
 }

@@ -163,12 +163,47 @@ class ChangeLogTable(path: String) extends Table
   * carries the epoch token) discards its staged replay.
   */
 object ChangeLogCommit {
+  /** Serialize commits to one wire directory across JVMs: the generation
+    * assignment is a read-modify-write (list names → max gen + 1 → rename),
+    * so two drivers committing concurrently could claim the same
+    * generation and interleave their segments in partition-id order
+    * rather than arrival order. An atomic `_commit.lock` create
+    * (O_EXCL — a filesystem CAS) makes list+claim+rename one critical
+    * section; underscore names are invisible to readers. The lock is held
+    * only for driver-side metadata work (a listing plus O(partitions)
+    * renames), never while data is written, so it does not serialize the
+    * distributed write path.
+    */
+  private def withDirLock[T](dir: String)(body: => T): T = {
+    Files.createDirectories(Paths.get(dir))
+    val lock = Paths.get(dir, "_commit.lock")
+    var acquired = false
+    var waitedMs = 0L
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          waitedMs += 5
+          if (waitedMs > 30000) throw new IllegalStateException(
+            s"commit lock $lock held > 30s — concurrent committer hung, " +
+              "or a crashed driver left a stale lock (delete it to recover)")
+          Thread.sleep(5)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
   def commit(dir: String, messages: Array[WriterCommitMessage],
              epochId: Option[Long]): Unit = {
     val staged = messages.collect {
       case s: StagedLogFile if s.staged.nonEmpty => s
     }.sortBy(_.partitionId)
     if (staged.isEmpty) return
+    withDirLock(dir) { commitLocked(dir, staged, epochId) }
+  }
+
+  private def commitLocked(dir: String, staged: Array[StagedLogFile],
+                           epochId: Option[Long]): Unit = {
     val existing = ChangeLogSource.logFiles(dir).map(_.getFileName.toString)
     val gen = ChangeLogSource.nextGeneration(dir)
     staged.foreach { m =>

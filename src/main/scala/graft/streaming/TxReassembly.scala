@@ -58,24 +58,71 @@ object TxReassembly {
             state.remove()
             Iterator.empty
           } else {
-            val incoming = batch.toSeq
-            val (markers, data) = incoming.partition(_.op == "m")
-            val prev = state.getOption.getOrElse(TxBuffer(Seq.empty, None))
-            val buffered = prev.events ++ data
-            val commitPos = (markers.map(_.pos) ++ prev.committedPos).reduceOption(_ max _)
-            val out = commitPos match {
-              case Some(cp) =>
-                state.update(TxBuffer(Seq.empty, Some(cp)))
-                buffered.sortBy(_.pos).iterator
-                  .map(e => Committed(txId, e.k, e.op, e.pos, cp))
-              case None =>
-                state.update(TxBuffer(buffered, None))
-                Iterator.empty
-            }
+            val out = handleBatch(txId, batch.toSeq, state)
             if (retentionMs > 0) state.setTimeoutDuration(retentionMs)
             out
           }
       }
+  }
+
+  /** Event carrying its event time (derived from the log position — the
+    * wire's total order IS the event-time axis for a change log).
+    */
+  case class TxEventTs(txId: String, k: Long, op: String, pos: Long,
+                       ets: java.sql.Timestamp)
+
+  /** Event-time retention variant: state eviction is driven by the
+    * WATERMARK, not the wall clock, so it also runs to completion under
+    * bounded AvailableNow replays (processing-time timeouts cannot — they
+    * need the stream to stay up; see `reassemble`'s caveat). A tx whose
+    * marker never arrives is evicted once the watermark passes its last
+    * event + `retention`, and its buffered events are emitted with
+    * `commitPos = -1` — the reference's abandoned-transaction path
+    * (`log.mining.transaction.retention.ms`), made observable instead of
+    * silently logged.
+    */
+  def reassembleEventTime(events: Dataset[TxEvent],
+                          retention: String): Dataset[Committed] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ets", timestamp_micros(col("pos")))
+      .as[TxEventTs]
+      .withWatermark("ets", retention)
+      .groupByKey(_.txId)
+      .flatMapGroupsWithState[TxBuffer, Committed](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (txId: String, batch: Iterator[TxEventTs], state: GroupState[TxBuffer]) =>
+          if (state.hasTimedOut) {
+            val abandoned = state.getOption.toSeq.flatMap(_.events)
+            state.remove()
+            abandoned.sortBy(_.pos).iterator
+              .map(e => Committed(txId, e.k, e.op, e.pos, -1L))
+          } else {
+            val incoming = batch.map(e => TxEvent(e.txId, e.k, e.op, e.pos)).toSeq
+            val maxTsMs = incoming.map(_.pos).max / 1000L // µs → ms
+            val out = handleBatch(txId, incoming, state)
+            state.setTimeoutTimestamp(maxTsMs, retention)
+            out
+          }
+      }
+  }
+
+  /** Shared marker/buffer logic of both retention modes. */
+  private def handleBatch(txId: String, incoming: Seq[TxEvent],
+                          state: GroupState[TxBuffer]): Iterator[Committed] = {
+    val (markers, data) = incoming.partition(_.op == "m")
+    val prev = state.getOption.getOrElse(TxBuffer(Seq.empty, None))
+    val buffered = prev.events ++ data
+    val commitPos = (markers.map(_.pos) ++ prev.committedPos).reduceOption(_ max _)
+    commitPos match {
+      case Some(cp) =>
+        state.update(TxBuffer(Seq.empty, Some(cp)))
+        buffered.sortBy(_.pos).iterator
+          .map(e => Committed(txId, e.k, e.op, e.pos, cp))
+      case None =>
+        state.update(TxBuffer(buffered, None))
+        Iterator.empty
+    }
   }
 
   /** Batch-mode harness: run the reassembly over a transport directory as

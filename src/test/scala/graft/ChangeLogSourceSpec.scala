@@ -205,4 +205,32 @@ class ChangeLogSourceSpec extends AnyFunSuite {
     }.sorted.toSeq
     assert(seen == Seq(3L, 4L, 5L), s"resume lost or duplicated records: $seen")
   }
+
+  test("concurrent committers serialize on the dir lock: unique generations") {
+    val dir = Files.createTempDirectory("wire-conc").toString
+    val nThreads = 4; val commitsEach = 8
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        try {
+          (0 until commitsEach).foreach { c =>
+            val staged = Files.createTempFile("staged", ".log")
+            Files.writeString(staged, line(t * 100L + c) + "\n")
+            ChangeLogCommit.commit(dir,
+              Array(StagedLogFile(staged.toString, partitionId = 0, count = 1L)),
+              epochId = None)
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"commit failed: ${errors.peek()}")
+    val names = fileNames(dir)
+    assert(names.size == nThreads * commitsEach,
+      s"lost segments: ${names.size} of ${nThreads * commitsEach}")
+    val gens = names.map(_.split("-")(1).stripPrefix("g").toLong)
+    assert(gens.distinct.size == gens.size,
+      s"duplicate generation claimed under concurrency: ${gens.sorted}")
+    assert(!Files.exists(Paths.get(dir, "_commit.lock")), "lock leaked")
+  }
 }

@@ -52,6 +52,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time retention evicts abandoned txs under bounded AvailableNow") {
+    import spark.implicits._
+    import graft.streaming.TxReassembly
+    val dir = Files.createTempDirectory("tx-evret").toString
+    def writeSeg(rows: Seq[(String, Long, String, Long)]): Unit = {
+      rows.toDF("txId", "k", "op", "pos").coalesce(1)
+        .write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    }
+    // ta never sees its marker (abandoned, event time ~1s); tb and tc
+    // commit at 60s and 120s, advancing the watermark past ta's
+    // last-event + retention so the EVENT-TIME timeout fires inside the
+    // bounded replay — the thing processing-time retention cannot do
+    writeSeg(Seq(("ta", 1L, "u", 1000000L)))
+    writeSeg(Seq(("tb", 2L, "u", 60000000L), ("tb", -1L, "m", 61000000L)))
+    writeSeg(Seq(("tc", 3L, "u", 120000000L), ("tc", -1L, "m", 121000000L)))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[TxReassembly.TxEvent]
+    val name = s"txevret_${System.nanoTime()}"
+    val q = TxReassembly.reassembleEventTime(stream, "5 seconds")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getLong(4))).toSet
+    assert(rows.contains(("tb", 61000000L)) && rows.contains(("tc", 121000000L)),
+      s"committed txs must release: $rows")
+    assert(rows.contains(("ta", -1L)),
+      s"abandoned tx must be evicted by the watermark and surfaced: $rows")
+  }
+
   test("replaying the whole transport into an existing sink is a no-op") {
     val feed = ChangeFeedGen.standardFeed(
       Tables.load(spark, sfDir, "orders"), "orders")
