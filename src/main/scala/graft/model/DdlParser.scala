@@ -111,6 +111,30 @@ object DdlParser {
         s"unsupported DDL (only CREATE/ALTER TABLE): ${other.take(80)}")
   }
 
+  /** Primary-key column names of a CREATE TABLE statement: per-column
+    * `PRIMARY KEY` options plus table-level `[CONSTRAINT x] PRIMARY KEY
+    * (a, b)` clauses — the key metadata a binlog consumer must resolve
+    * from schema history, since row events carry none (ref
+    * `relational/TableSchemaBuilder` key resolution).
+    */
+  def primaryKeyOf(sql: String): Seq[String] = sql match {
+    case Create(_, _, body) =>
+      splitTop(body).flatMap { part =>
+        val up = part.toUpperCase
+        val name = unquote(part.trim.split("\\s+")(0))
+        if (name.equalsIgnoreCase("PRIMARY") || up.startsWith("CONSTRAINT")) {
+          val i = up.indexOf("PRIMARY KEY")
+          val tail = if (i < 0) "" else part.substring(i)
+          val open = tail.indexOf('('); val close = tail.indexOf(')')
+          if (i < 0 || open < 0 || close < open) Nil
+          else tail.substring(open + 1, close).split(",")
+            .map(s => unquote(s.trim)).toSeq
+        } else if (up.contains("PRIMARY KEY")) Seq(name)
+        else Nil
+      }
+    case _ => Nil
+  }
+
   /** Drop trailing column options (NOT NULL, DEFAULT …, comments). */
   private def stripColumnOptions(rest: String): String = {
     val stop = Seq("NOT NULL", "NULL", "DEFAULT", "COMMENT", "PRIMARY",

@@ -17,6 +17,17 @@ object IncrementalSnapshot {
     * drives per-partition counts + prefix sums through the driver — O(P)
     * driver state, never the data). This is the scalable form of
     * `row_number() OVER (ORDER BY k)`.
+    *
+    * Why the RDD hop, not `monotonically_increasing_id` + a prefix-offset
+    * join (which would stay in Tungsten): that shape needs TWO jobs over
+    * the range-partitioned plan (one to count partitions, one to index),
+    * and `repartitionByRange` draws its sampling seed from the RDD id —
+    * each job can pick slightly different range boundaries, so the
+    * offsets of job 1 mis-assign the rows of job 2 (observed: chunks
+    * snapped to partition edges). `zipWithIndex` runs its count pass and
+    * its map pass on the SAME RDD instance, so the boundaries are pinned
+    * by construction; the InternalRow→Row conversion it pays is the
+    * price of that consistency without caching the whole snapshot.
     */
   def withGlobalIndex(df: DataFrame, order: Seq[Column], partitions: Int = 32,
                       idxCol: String = "_idx"): DataFrame = {

@@ -4,7 +4,6 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.sources.wire.{MySqlBinlog, PgOutput}
 import graft.tools.WireFixtures
 
 /** SURVEY S8/S9 — real wire-protocol decoders, fixture-driven: recorded
@@ -80,28 +79,19 @@ object WireQueries extends QueryGroup {
       sink.view(s)
     }),
 
-    // S9: recorded binlog events (TABLE_MAP + ROWS v2) decoded with
-    // column names resolved from schema history DDL — the reference's
-    // split between positional row images and named schemas
+    // S9: recorded binlog events (TABLE_MAP + ROWS v2) through the DSv2
+    // source; row images are positional, so names + primary key resolve
+    // from schema-history DDL passed as a source option (the reference's
+    // split between row events and replayed schema history). The binary
+    // parse runs in each segment's partition reader, never on the driver.
     "s9_binlog_decode" -> ((s, _) => {
-      import s.implicits._
       val dir = stageFixture("binlog_segment.blog", "blog",
         WireFixtures.binlogRowCount)
-      // binlog row images are positional; names come from the DDL intake
-      // (K7 schema history), exactly as the reference resolves them
-      val ddl = "CREATE TABLE testdb.bl_items (id INT PRIMARY KEY, qty BIGINT, label VARCHAR(40))"
-      val parsed = graft.model.DdlParser.parse(ddl)
-        .asInstanceOf[graft.model.DdlParser.CreateTable]
-      val full = s"${parsed.table.schema}.${parsed.table.table}"
-      val names = Map(full -> parsed.schema.fieldNames.toSeq)
-      val keys = Map(full -> Seq(parsed.schema.fieldIndex("id")))
-      // one task per segment file: the binary parse runs where the bytes
-      // are (binaryFile → flatMap), never on the driver
-      s.read.format("binaryFile").load(dir)
-        .select(col("content"))
-        .as[Array[Byte]]
-        .flatMap(bytes => MySqlBinlog.segmentRows(bytes, names, keys))
-        .toDF("table", "op", "pos", "key_json", "payload_json")
+      s.read.format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", dir)
+        .option("binlogDdl",
+          "CREATE TABLE testdb.bl_items (id INT PRIMARY KEY, qty BIGINT, label VARCHAR(40))")
+        .load()
     })
   )
 

@@ -132,13 +132,16 @@ class ChangeLogTable(path: String) extends Table
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
+      // schema-history DDL for positional binlog segments (see
+      // MySqlBinlog.schemasFromDdl); empty → c<i>/col-0-key defaults
+      private val binlogDdl = Option(options.get("binlogDdl")).getOrElse("")
       override def readSchema(): StructType = ChangeLogSource.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new ChangeLogMicroBatchStream(path,
-          Option(options.get("maxRecordsPerTrigger")).map(_.toLong))
+          Option(options.get("maxRecordsPerTrigger")).map(_.toLong), binlogDdl)
       override def toBatch: Batch = new Batch {
         override def planInputPartitions(): Array[InputPartition] = {
-          val stream = new ChangeLogMicroBatchStream(path)
+          val stream = new ChangeLogMicroBatchStream(path, None, binlogDdl)
           stream.planInputPartitions(ChangeLogOffset(""),
             stream.latestOffset())
         }
@@ -323,7 +326,8 @@ object ChangeLogOffset {
   *   to one cached line count.
   */
 class ChangeLogMicroBatchStream(path: String,
-                                maxRecordsPerTrigger: Option[Long] = None)
+                                maxRecordsPerTrigger: Option[Long] = None,
+                                binlogDdl: String = "")
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
   // fallback line counts for foreign (non-engine-written) segments —
@@ -400,7 +404,7 @@ class ChangeLogMicroBatchStream(path: String,
         val n = Paths.get(p).getFileName.toString
         n > s && n <= e
       }
-      .map(ChangeLogInputPartition(_): InputPartition)
+      .map(ChangeLogInputPartition(_, binlogDdl): InputPartition)
       .toArray
   }
 
@@ -411,7 +415,8 @@ class ChangeLogMicroBatchStream(path: String,
     }
 }
 
-case class ChangeLogInputPartition(file: String) extends InputPartition
+case class ChangeLogInputPartition(file: String, binlogDdl: String = "")
+  extends InputPartition
 
 /** Whole-segment reader, format by extension: `.log` = TSV text, `.pgo` =
   * recorded pgoutput frames (self-describing — Relation messages carry
@@ -431,9 +436,14 @@ class ChangeLogPartitionReader(part: ChangeLogInputPartition)
     if (name.endsWith(".pgo"))
       graft.sources.wire.PgOutput.segmentRows(Files.readAllBytes(path))
         .map(wireRow)
-    else if (name.endsWith(".blog"))
+    else if (name.endsWith(".blog")) {
+      val (names, keys) =
+        if (part.binlogDdl.nonEmpty)
+          graft.sources.wire.MySqlBinlog.schemasFromDdl(part.binlogDdl)
+        else (Map.empty[String, Seq[String]], Map.empty[String, Seq[Int]])
       graft.sources.wire.MySqlBinlog.segmentRows(
-        Files.readAllBytes(path), Map.empty).map(wireRow)
+        Files.readAllBytes(path), names, keys).map(wireRow)
+    }
     else {
       lines = Files.lines(path)
       lines.iterator().asScala.map { l =>

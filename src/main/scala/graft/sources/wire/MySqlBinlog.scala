@@ -317,6 +317,27 @@ object MySqlBinlog {
       .map { case (n, i) => s"${jsonString(n)}:${jsonCell(row.cells(i))}" }
       .mkString("{", ",", "}")
 
+  /** Resolve binlog column names + key indices from schema-history DDL
+    * (semicolon-separated CREATE TABLE statements) — the reference's
+    * split: row events are positional, names and keys live in the
+    * replayed schema history (`relational/history/SchemaHistory`).
+    */
+  def schemasFromDdl(ddl: String): (Map[String, Seq[String]], Map[String, Seq[Int]]) = {
+    val created = ddl.split(";").map(_.trim).filter(_.nonEmpty).flatMap { s =>
+      graft.model.DdlParser.parse(s) match {
+        case ct: graft.model.DdlParser.CreateTable =>
+          val full = Seq(Option(ct.table.catalog), Option(ct.table.schema),
+            Some(ct.table.table)).flatten.mkString(".")
+          val names = ct.schema.fieldNames.toSeq
+          val pk = graft.model.DdlParser.primaryKeyOf(s)
+            .map(names.indexOf).filter(_ >= 0)
+          Some((full, names, if (pk.nonEmpty) pk else Seq(0)))
+        case _ => None
+      }
+    }
+    (created.map(c => c._1 -> c._2).toMap, created.map(c => c._1 -> c._3).toMap)
+  }
+
   /** Project a binlog segment to ChangeLogSource wire rows.
     *
     * The binlog carries NO key metadata (TABLE_MAP has types only — the
