@@ -90,7 +90,10 @@ object WireQueries extends QueryGroup {
       s.read.format(classOf[graft.sources.v2.ChangeLogSource].getName)
         .option("path", dir)
         .option("binlogDdl",
-          "CREATE TABLE testdb.bl_items (id INT PRIMARY KEY, qty BIGINT, label VARCHAR(40))")
+          "CREATE TABLE testdb.bl_items (id INT PRIMARY KEY, qty BIGINT, label VARCHAR(40));" +
+            "CREATE TABLE testdb.bl_types (id INT PRIMARY KEY, t TINYINT, s SMALLINT," +
+            " i3 MEDIUMINT, f REAL, d DOUBLE, y SMALLINT, dt DATE, ts DATETIME," +
+            " dec DECIMAL(12,3), b BLOB)")
         .load()
     })
   )
@@ -138,7 +141,20 @@ object WireQueries extends QueryGroup {
         | FROM range(30) t(i) WHERE i%4=0
         |UNION ALL
         |SELECT 'testdb.bl_items', 'd', 700, '{"id":'||i||'}', 'null'
-        | FROM range(30) t(i) WHERE i%9=0""".stripMargin
+        | FROM range(30) t(i) WHERE i%9=0
+        |UNION ALL
+        |SELECT 'testdb.bl_types', 'c', 901, '{"id":'||i||'}',
+        |  '{"id":'||i||',"t":'||(i-5)||',"s":'||(i*100-500)||
+        |  ',"i3":'||(i*10000-50000)||',"f":'||((i+0.5)::DOUBLE)||
+        |  ',"d":'||((i*2.25)::DOUBLE)||',"y":'||(1990+i)||
+        |  ',"dt":"2020-01-'||lpad((i+1)::VARCHAR,2,'0')||'"'||
+        |  ',"ts":"2021-02-03 04:05:'||lpad(i::VARCHAR,2,'0')||'.'||
+        |    lpad((i*100000)::VARCHAR,6,'0')||'"'||
+        |  ',"dec":'||(CASE WHEN i%3=2 THEN '-' ELSE '' END)||(i*12345)||'.'||
+        |    lpad((i*37)::VARCHAR,3,'0')||
+        |  ',"b":"'||base64((chr((i+1)::INT)||chr((i+2)::INT)||
+        |    chr((i*7+1)::INT))::BLOB)||'"}'
+        | FROM range(10) t(i)""".stripMargin
   )
 
   // range()/string-concat dialect is DuckDB-only

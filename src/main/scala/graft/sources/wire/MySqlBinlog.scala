@@ -44,8 +44,28 @@ object MySqlBinlog {
   val TABLE_MAP = 19
   val WRITE_ROWS_V2 = 30; val UPDATE_ROWS_V2 = 31; val DELETE_ROWS_V2 = 32
 
-  // column type codes
-  val TYPE_LONG = 3; val TYPE_LONGLONG = 8; val TYPE_VARCHAR = 15
+  // column type codes (MYSQL_TYPE_*)
+  val TYPE_TINY = 1; val TYPE_SHORT = 2; val TYPE_LONG = 3
+  val TYPE_FLOAT = 4; val TYPE_DOUBLE = 5; val TYPE_LONGLONG = 8
+  val TYPE_INT24 = 9; val TYPE_DATE = 10; val TYPE_YEAR = 13
+  val TYPE_VARCHAR = 15; val TYPE_DATETIME2 = 18
+  val TYPE_NEWDECIMAL = 246; val TYPE_BLOB = 252
+
+  /** A decoded DATE/DATETIME2 value, kept symbolic (no timezone walk). */
+  final case class Dt(year: Int, month: Int, day: Int,
+                      hour: Int = -1, minute: Int = 0, second: Int = 0,
+                      micros: Int = 0, fsp: Int = 0) {
+    override def toString: String =
+      if (hour < 0) f"$year%04d-$month%02d-$day%02d"
+      else {
+        val base = f"$year%04d-$month%02d-$day%02d $hour%02d:$minute%02d:$second%02d"
+        if (fsp <= 0) base
+        else base + "." + f"$micros%06d".take(fsp)
+      }
+  }
+
+  /** Decoded NEWDECIMAL, exact digits (no float detour). */
+  final case class Dec(text: String)
 
   final case class TableMap(tableId: Long, schema: String, table: String,
                             colTypes: Seq[Int], colMeta: Seq[Int])
@@ -81,16 +101,115 @@ object MySqlBinlog {
     Array.tabulate(bits)(i => (bytes(i / 8) & (1 << (i % 8))) != 0)
   }
 
+  // NEWDECIMAL packing (MySQL `decimal2bin`): digits in big-endian groups
+  // of 9 per 4 bytes, partial leading/trailing groups in the minimum
+  // byte count; first byte's sign bit XORed; negative values stored as
+  // the bitwise NOT of the positive image (ref
+  // `RowDeserializers.deserializeNewDecimal`).
+  private val DigitBytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+
+  private def decimalByteLen(precision: Int, scale: Int): Int = {
+    val intDigits = precision - scale
+    DigitBytes(intDigits % 9) + (intDigits / 9) * 4 +
+      (scale / 9) * 4 + DigitBytes(scale % 9)
+  }
+
+  private def readGroup(bytes: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L
+    (0 until n).foreach(i => v = (v << 8) | (bytes(off + i) & 0xffL))
+    v
+  }
+
+  private def decodeDecimal(b: ByteBuffer, precision: Int, scale: Int): Dec = {
+    val len = decimalByteLen(precision, scale)
+    val raw = new Array[Byte](len)
+    b.get(raw)
+    val positive = (raw(0) & 0x80) != 0
+    if (!positive) raw.indices.foreach(i => raw(i) = (~raw(i)).toByte)
+    raw(0) = (raw(0) ^ 0x80).toByte
+    val intDigits = precision - scale
+    val sb = new StringBuilder
+    var off = 0
+    val leadDigits = intDigits % 9
+    if (leadDigits > 0) {
+      val n = DigitBytes(leadDigits)
+      sb.append(readGroup(raw, off, n).toString.reverse.padTo(leadDigits, '0').reverse)
+      off += n
+    }
+    (0 until intDigits / 9).foreach { _ =>
+      sb.append(f"${readGroup(raw, off, 4)}%09d"); off += 4
+    }
+    val intText = {
+      val t = sb.result().dropWhile(_ == '0')
+      if (t.isEmpty) "0" else t
+    }
+    val fb = new StringBuilder
+    (0 until scale / 9).foreach { _ =>
+      fb.append(f"${readGroup(raw, off, 4)}%09d"); off += 4
+    }
+    val tailDigits = scale % 9
+    if (tailDigits > 0) {
+      val n = DigitBytes(tailDigits)
+      fb.append(readGroup(raw, off, n).toString.reverse.padTo(tailDigits, '0').reverse)
+      off += n
+    }
+    val sign = if (positive) "" else "-"
+    Dec(if (scale > 0) s"$sign$intText.${fb.result()}" else s"$sign$intText")
+  }
+
+  private def fracBytes(fsp: Int): Int = (fsp + 1) / 2
+
+  private def decodeDatetime2(b: ByteBuffer, fsp: Int): Dt = {
+    // 5-byte big-endian packed: sign(1) yearMonth(17) day(5) hour(5)
+    // minute(6) second(6); fractional appended big-endian, unit by fsp
+    val raw = new Array[Byte](5)
+    b.get(raw)
+    var v = 0L
+    raw.foreach(x => v = (v << 8) | (x & 0xffL))
+    val yearMonth = ((v >> 22) & 0x1ffff).toInt
+    val micros = fracBytes(fsp) match {
+      case 0 => 0
+      case n =>
+        val fraw = new Array[Byte](n); b.get(fraw)
+        var f = 0L; fraw.foreach(x => f = (f << 8) | (x & 0xffL))
+        (f * (n match { case 1 => 10000L; case 2 => 100L; case _ => 1L })).toInt
+    }
+    Dt(yearMonth / 13, yearMonth % 13, ((v >> 17) & 0x1f).toInt,
+      ((v >> 12) & 0x1f).toInt, ((v >> 6) & 0x3f).toInt, (v & 0x3f).toInt,
+      micros, fsp)
+  }
+
   private def cell(b: ByteBuffer, colType: Int, meta: Int): Any = colType match {
+    case TYPE_TINY => b.get().toInt
+    case TYPE_SHORT => b.getShort().toInt
     case TYPE_LONG => b.getInt()
     case TYPE_LONGLONG => b.getLong()
+    case TYPE_INT24 =>
+      val v = (b.get() & 0xff) | ((b.get() & 0xff) << 8) | ((b.get() & 0xff) << 16)
+      (v << 8) >> 8 // sign-extend 24 bits
+    case TYPE_FLOAT => java.lang.Float.intBitsToFloat(b.getInt())
+    case TYPE_DOUBLE => java.lang.Double.longBitsToDouble(b.getLong())
+    case TYPE_YEAR =>
+      val v = b.get() & 0xff
+      if (v == 0) 0 else 1900 + v
+    case TYPE_DATE =>
+      val v = (b.get() & 0xff) | ((b.get() & 0xff) << 8) | ((b.get() & 0xff) << 16)
+      Dt(v >> 9, (v >> 5) & 0xf, v & 0x1f)
+    case TYPE_DATETIME2 => decodeDatetime2(b, meta)
+    case TYPE_NEWDECIMAL => decodeDecimal(b, meta >> 8, meta & 0xff)
+    case TYPE_BLOB =>
+      var len = 0L
+      (0 until meta).foreach(i => len |= (b.get() & 0xffL) << (8 * i))
+      val bytes = new Array[Byte](len.toInt)
+      b.get(bytes)
+      bytes
     case TYPE_VARCHAR =>
       val len = if (meta < 256) b.get() & 0xff else b.getShort() & 0xffff
       val bytes = new Array[Byte](len)
       b.get(bytes)
       new String(bytes, StandardCharsets.UTF_8)
     case other => throw new IllegalArgumentException(
-      s"unsupported column type $other (subset decoder: LONG/LONGLONG/VARCHAR)")
+      s"unsupported column type $other")
   }
 
   private def rowImage(b: ByteBuffer, map: TableMap,
@@ -145,6 +264,10 @@ object MySqlBinlog {
             val metaEnd = buf.position() + metaLen
             val meta = types.map {
               case TYPE_VARCHAR => buf.getShort() & 0xffff
+              case TYPE_FLOAT | TYPE_DOUBLE | TYPE_BLOB | TYPE_DATETIME2 =>
+                buf.get() & 0xff
+              case TYPE_NEWDECIMAL => // precision byte, scale byte
+                ((buf.get() & 0xff) << 8) | (buf.get() & 0xff)
               case _ => 0
             }
             require(buf.position() == metaEnd, "metadata block length mismatch")
@@ -206,10 +329,65 @@ object MySqlBinlog {
     b.put(bytes)
   }
 
+  private def writeGroup(b: ByteBuffer, v: Long, n: Int): Unit =
+    ((n - 1) to 0 by -1).foreach(i => b.put(((v >> (8 * i)) & 0xff).toByte))
+
+  private def encodeDecimal(b: ByteBuffer, precision: Int, scale: Int,
+                            text: String): Unit = {
+    val negative = text.startsWith("-")
+    val t = text.stripPrefix("-")
+    val (ip, fp) = t.span(_ != '.')
+    val intDigits = precision - scale
+    val intStr = ip.reverse.padTo(intDigits, '0').reverse
+    val fracStr = fp.stripPrefix(".").padTo(scale, '0')
+    val start = b.position()
+    val leadDigits = intDigits % 9
+    if (leadDigits > 0)
+      writeGroup(b, intStr.take(leadDigits).toLong, DigitBytes(leadDigits))
+    intStr.drop(leadDigits).grouped(9).foreach(g => writeGroup(b, g.toLong, 4))
+    fracStr.take((scale / 9) * 9).grouped(9).foreach(g => writeGroup(b, g.toLong, 4))
+    val tailDigits = scale % 9
+    if (tailDigits > 0)
+      writeGroup(b, fracStr.drop((scale / 9) * 9).toLong, DigitBytes(tailDigits))
+    b.put(start, (b.get(start) ^ 0x80).toByte)
+    if (negative)
+      (start until b.position()).foreach(i => b.put(i, (~b.get(i)).toByte))
+  }
+
+  private def encodeDatetime2(b: ByteBuffer, dt: Dt): Unit = {
+    val v = (1L << 39) | ((dt.year * 13L + dt.month) << 22) |
+      (dt.day.toLong << 17) | (dt.hour.toLong << 12) |
+      (dt.minute.toLong << 6) | dt.second.toLong
+    writeGroup(b, v, 5)
+    fracBytes(dt.fsp) match {
+      case 0 => ()
+      case 1 => writeGroup(b, dt.micros / 10000L, 1)
+      case 2 => writeGroup(b, dt.micros / 100L, 2)
+      case _ => writeGroup(b, dt.micros.toLong, 3)
+    }
+  }
+
   private def putCell(b: ByteBuffer, colType: Int, meta: Int, v: Any): Unit =
     (colType, v) match {
+      case (TYPE_TINY, i: Int) => b.put(i.toByte)
+      case (TYPE_SHORT, i: Int) => b.putShort(i.toShort)
       case (TYPE_LONG, i: Int) => b.putInt(i)
       case (TYPE_LONGLONG, l: Long) => b.putLong(l)
+      case (TYPE_INT24, i: Int) =>
+        b.put((i & 0xff).toByte); b.put(((i >> 8) & 0xff).toByte)
+        b.put(((i >> 16) & 0xff).toByte)
+      case (TYPE_FLOAT, f: Float) => b.putInt(java.lang.Float.floatToIntBits(f))
+      case (TYPE_DOUBLE, d: Double) => b.putLong(java.lang.Double.doubleToLongBits(d))
+      case (TYPE_YEAR, y: Int) => b.put((if (y == 0) 0 else y - 1900).toByte)
+      case (TYPE_DATE, dt: Dt) =>
+        val v = (dt.year << 9) | (dt.month << 5) | dt.day
+        b.put((v & 0xff).toByte); b.put(((v >> 8) & 0xff).toByte)
+        b.put(((v >> 16) & 0xff).toByte)
+      case (TYPE_DATETIME2, dt: Dt) => encodeDatetime2(b, dt)
+      case (TYPE_NEWDECIMAL, Dec(t)) => encodeDecimal(b, meta >> 8, meta & 0xff, t)
+      case (TYPE_BLOB, bytes: Array[Byte]) =>
+        (0 until meta).foreach(i => b.put(((bytes.length >> (8 * i)) & 0xff).toByte))
+        b.put(bytes)
       case (TYPE_VARCHAR, s: String) =>
         val bytes = s.getBytes(StandardCharsets.UTF_8)
         if (meta < 256) b.put(bytes.length.toByte) else b.putShort(bytes.length.toShort)
@@ -250,6 +428,10 @@ object MySqlBinlog {
     val metaBytes = leBuf(2 * map.colTypes.size)
     map.colTypes.zip(map.colMeta).foreach {
       case (TYPE_VARCHAR, m) => metaBytes.putShort(m.toShort)
+      case (TYPE_FLOAT | TYPE_DOUBLE | TYPE_BLOB | TYPE_DATETIME2, m) =>
+        metaBytes.put(m.toByte)
+      case (TYPE_NEWDECIMAL, m) =>
+        metaBytes.put(((m >> 8) & 0xff).toByte); metaBytes.put((m & 0xff).toByte)
       case _ => ()
     }
     val meta = new Array[Byte](metaBytes.position()); metaBytes.flip(); metaBytes.get(meta)
@@ -306,6 +488,12 @@ object MySqlBinlog {
     case None => "null"
     case Some(i: Int) => i.toString
     case Some(l: Long) => l.toString
+    case Some(f: Float) => f.toString
+    case Some(d: Double) => d.toString
+    case Some(Dec(t)) => t            // exact digits, unquoted
+    case Some(dt: Dt) => jsonString(dt.toString)
+    case Some(b: Array[Byte]) =>
+      jsonString(java.util.Base64.getEncoder.encodeToString(b))
     case Some(s: String) => jsonString(s)
     case Some(other) => jsonString(other.toString)
   }

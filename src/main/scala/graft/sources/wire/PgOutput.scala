@@ -269,6 +269,9 @@ object PgOutput {
     case VText(s) => typeOid match {
       case 16 => if (s == "t") "true" else "false"
       case 20 | 21 | 23 | 26 | 700 | 701 | 1700 => s
+      case 17 if s.startsWith("\\x") => // bytea hex text rep → base64
+        "\"" + java.util.Base64.getEncoder.encodeToString(
+          s.drop(2).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray) + "\""
       case _ => jsonString(s)
     }
   }

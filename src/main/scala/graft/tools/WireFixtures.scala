@@ -79,6 +79,32 @@ object WireFixtures {
     Seq(MySqlBinlog.TYPE_LONG, MySqlBinlog.TYPE_LONGLONG, MySqlBinlog.TYPE_VARCHAR),
     Seq(0, 0, 40))
 
+  /** Full relational type gamut of the row decoder: signed TINY/SHORT/
+    * INT24, IEEE FLOAT/DOUBLE, YEAR, packed DATE, packed DATETIME2(6)
+    * with microseconds, packed NEWDECIMAL(12,3) incl. negatives, BLOB
+    * with a 2-byte length prefix.
+    */
+  val TypesMap: MySqlBinlog.TableMap = {
+    import MySqlBinlog._
+    TableMap(902L, "testdb", "bl_types",
+      Seq(TYPE_LONG, TYPE_TINY, TYPE_SHORT, TYPE_INT24, TYPE_FLOAT,
+        TYPE_DOUBLE, TYPE_YEAR, TYPE_DATE, TYPE_DATETIME2, TYPE_NEWDECIMAL,
+        TYPE_BLOB),
+      Seq(0, 0, 0, 0, 4, 8, 0, 0, 6, (12 << 8) | 3, 2))
+  }
+
+  def typesRow(i: Int): MySqlBinlog.Row = {
+    import MySqlBinlog._
+    val sign = if (i % 3 == 2) "-" else ""
+    Row(Seq(
+      Some(i), Some(i - 5), Some(i * 100 - 500), Some(i * 10000 - 50000),
+      Some(i + 0.5f), Some(i * 2.25),
+      Some(1990 + i), Some(Dt(2020, 1, i + 1)),
+      Some(Dt(2021, 2, 3, 4, 5, i, i * 100000, 6)),
+      Some(Dec(f"$sign${i * 12345}%d.${i * 37}%03d")),
+      Some(Array[Byte]((i + 1).toByte, (i + 2).toByte, (i * 7 + 1).toByte))))
+  }
+
   def binlogSegment: Array[Byte] = {
     import MySqlBinlog._
     def row(i: Int): Row =
@@ -97,6 +123,9 @@ object WireFixtures {
     events += encodeRows(DELETE_ROWS_V2, 700, BlMap,
       (0 until 30).filter(_ % 9 == 0).map(row))
     events += encodeXid(800, 9001L)
+    events += encodeTableMap(900, TypesMap)
+    events += encodeRows(WRITE_ROWS_V2, 901, TypesMap, (0 until 10).map(typesRow))
+    events += encodeXid(902, 9002L)
     writeSegment(events.toSeq)
   }
 

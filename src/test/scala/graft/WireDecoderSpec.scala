@@ -82,6 +82,19 @@ class WireDecoderSpec extends AnyFunSuite {
     }
   }
 
+  test("pgoutput bytea text representation renders as base64 in wire rows") {
+    import PgOutput._
+    val rel = Relation(9001, "public", "bins", 'd', Seq(
+      Column(1, "id", 23, -1), Column(0, "payload", 17, -1)))
+    val seg = writeSegment(Seq(
+      (1L, encode(rel)),
+      (2L, encode(Insert(9001, Seq(VText("7"), VText("\\x01ff10")))))))
+    val row = segmentRows(seg).next()
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      Array[Byte](0x01, 0xff.toByte, 0x10))
+    assert(row.payloadJson == s"""{"id":7,"payload":"$b64"}""")
+  }
+
   test("pgoutput fixture: committed bytes equal the builder's output") {
     val in = getClass.getResourceAsStream("/graft/fixtures/pgoutput_segment.pgo")
     assert(in != null, "fixture missing from classpath")
@@ -171,17 +184,66 @@ class WireDecoderSpec extends AnyFunSuite {
   }
 
   test("binlog segmentRows: positional images named via supplied schema") {
-    val names = Map("testdb.bl_items" -> Seq("id", "qty", "label"))
+    val names = Map(
+      "testdb.bl_items" -> Seq("id", "qty", "label"),
+      "testdb.bl_types" -> Seq("id", "t", "s", "i3", "f", "d", "y", "dt",
+        "ts", "dec", "b"))
     val rows = MySqlBinlog.segmentRows(WireFixtures.binlogSegment, names).toSeq
     assert(rows.size == WireFixtures.binlogRowCount)
     val byOp = rows.groupBy(_.op).view.mapValues(_.size).toMap
-    assert(byOp == Map("c" -> 30, "u" -> 8, "d" -> 4))
-    val w12 = rows.find(r => r.op == "c" &&
+    assert(byOp == Map("c" -> 40, "u" -> 8, "d" -> 4))
+    val w12 = rows.find(r => r.op == "c" && r.table == "testdb.bl_items" &&
       r.keyJson == """{"id":12}""").get
     assert(w12.pos == 501) // second WRITE event (rows 10..19)
     assert(w12.payloadJson == """{"id":12,"qty":132,"label":"bl_12"}""")
     val u4 = rows.find(r => r.op == "u" && r.keyJson == """{"id":4}""").get
     assert(u4.payloadJson == """{"id":4,"qty":51,"label":null}""")
+  }
+
+  test("binlog type gamut: TINY/SHORT/INT24/FLOAT/DOUBLE/YEAR/DATE/DATETIME2/NEWDECIMAL/BLOB") {
+    val names = Map("testdb.bl_types" -> Seq("id", "t", "s", "i3", "f", "d",
+      "y", "dt", "ts", "dec", "b"))
+    val rows = MySqlBinlog.segmentRows(WireFixtures.binlogSegment, names)
+      .filter(_.table == "testdb.bl_types").toSeq
+    assert(rows.size == 10)
+    val r4 = rows.find(_.keyJson == """{"id":4}""").get
+    assert(r4.payloadJson ==
+      """{"id":4,"t":-1,"s":-100,"i3":-10000,"f":4.5,"d":9.0,"y":1994,""" +
+        """"dt":"2020-01-05","ts":"2021-02-03 04:05:04.400000",""" +
+        """"dec":49380.148,"b":"BQYd"}""")
+    val r2 = rows.find(_.keyJson == """{"id":2}""").get // negative decimal
+    assert(r2.payloadJson.contains(""""dec":-24690.074"""))
+  }
+
+  test("NEWDECIMAL decodes from hand-built packed bytes (sign-bit + NOT)") {
+    import MySqlBinlog._
+    // DECIMAL(12,3) 1234.567: int group 1234 -> 4B big-endian 0x000004D2,
+    // frac 567 -> 2B 0x0237; first byte sign-bit XOR -> 0x80 00 04 D2 02 37.
+    // Negative: bitwise NOT of every byte.
+    val pos = Array(0x80, 0x00, 0x04, 0xD2, 0x02, 0x37).map(_.toByte)
+    val neg = pos.map(b => (~b).toByte)
+    def rowsEvent(decBytes: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 6).foreach(i => b.put(((903L >> (8 * i)) & 0xff).toByte))
+      b.putShort(0)            // flags
+      b.putShort(2)            // extra len (self-inclusive)
+      b.put(1.toByte)          // col count (lenenc)
+      b.put(1.toByte)          // columns-present bitmap: col 0
+      b.put(0.toByte)          // row null bitmap: not null
+      b.put(decBytes)
+      val body = new Array[Byte](b.position()); b.flip(); b.get(body)
+      val ev = ByteBuffer.allocate(19 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      ev.putInt(0); ev.put(30.toByte); ev.putInt(1)
+      ev.putInt(19 + body.length); ev.putInt(0); ev.putShort(0); ev.put(body)
+      ev.array()
+    }
+    val map = TableMap(903L, "t", "d1", Seq(TYPE_NEWDECIMAL), Seq((12 << 8) | 3))
+    val seg = writeSegment(Seq(encodeTableMap(10, map), rowsEvent(pos),
+      rowsEvent(neg)))
+    val vals = readSegment(seg).collect {
+      case RowsEvent(_, WRITE_ROWS_V2, _, rs, _) => rs.head.cells.head.get
+    }.toSeq
+    assert(vals == Seq(Dec("1234.567"), Dec("-1234.567")))
   }
 
   // ------------------------------------------------------ DSv2 streaming
