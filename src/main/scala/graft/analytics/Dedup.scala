@@ -24,16 +24,36 @@ object Dedup {
       size(array_union(ta, tb)).cast("double")
   }
 
+  /** Character n-gram (shingle) set of a text column — the
+    * tokenization-robust dedup unit: catches near-dups that word-level
+    * Jaccard misses under punctuation/whitespace drift. Pure codegen
+    * (sequence + transform + substr), no UDF; texts shorter than `n`
+    * contribute their whole text as the single shingle.
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
   /** Candidate-pair Jaccard within blocking buckets: only pairs sharing
     * `bucket` are compared (at scale: one shuffle on the bucket key; bucket
     * by LSH band or fingerprint prefix, never a full cross join).
+    * Word-token variant; see `jaccardPairsBy` for other shingle units.
     */
-  def jaccardPairs(docs: DataFrame, bucket: Column, minJaccard: Double): DataFrame = {
-    // tokenize ONCE per document before the self-join — at bucket size B the
-    // join emits O(B²) pairs per bucket, and re-splitting text per pair
-    // would multiply the tokenization cost by B.
+  def jaccardPairs(docs: DataFrame, bucket: Column, minJaccard: Double): DataFrame =
+    jaccardPairsBy(docs, bucket,
+      array_distinct(split(col("text"), " ")), minJaccard)
+
+  /** Jaccard candidate pairs over an arbitrary shingle-set expression
+    * (word tokens, char n-grams, …) within blocking buckets.
+    */
+  def jaccardPairsBy(docs: DataFrame, bucket: Column, shingles: Column,
+                     minJaccard: Double): DataFrame = {
+    // shingle ONCE per document before the self-join — at bucket size B the
+    // join emits O(B²) pairs per bucket, and re-shingling text per pair
+    // would multiply that cost by B.
     val d = docs.select(bucket.as("bucket"), col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("toks"))
+      shingles.as("toks"))
     val l = d.select(col("bucket"), col("doc_id").as("id_a"), col("toks").as("ta"))
     val r = d.select(col("bucket").as("bucket_r"), col("doc_id").as("id_b"),
       col("toks").as("tb"))

@@ -48,6 +48,13 @@ object CorpusQueries extends QueryGroup {
       Dedup.jaccardPairs(t(s, dir, "documents"),
         TextAnalysis.prefixFingerprint(col("text"), 8), 0.9)),
 
+    // Char-3-gram Jaccard: shingle-level near-dup detection, robust to
+    // tokenization drift (same content-based blocking, shingles differ)
+    "a_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairsBy(t(s, dir, "documents"),
+        TextAnalysis.prefixFingerprint(col("text"), 8),
+        Dedup.charNgrams(col("text"), 3), 0.8)),
+
     // Pair lists become an actionable keep/drop set: connected components
     // over the near-dup pair graph, canonical = min doc_id per cluster
     "a_dedup_clusters" -> ((s, dir) => {
@@ -222,6 +229,19 @@ object CorpusQueries extends QueryGroup {
          |   w -> 1 + CAST(floor(length(w)/5.0) AS BIGINT))) AS BIGINT) AS bpe_ish_tokens
          |FROM documents""".stripMargin,
 
+    "a_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+        |  md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS bucket,
+        |  list_distinct(list_transform(range(1, greatest(length(text)-2, 1)+1),
+        |    i -> substring(text, i::INT, 3))) AS gs
+        | FROM documents)
+        |SELECT * FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  floor(len(list_intersect(a.gs, b.gs))*1.0
+        |    / len(list_distinct(list_concat(a.gs, b.gs))) * 10000) / 10000.0 AS jaccard
+        | FROM t a JOIN t b ON a.bucket = b.bucket AND a.doc_id < b.doc_id) p
+        |WHERE jaccard >= 0.8""".stripMargin,
+
     "a_lang_id" ->
       """WITH sc AS (SELECT doc_id,
         |  len(list_filter(string_split(text,' '), w -> w IN ('the','a','and','of','to'))) AS en,
@@ -329,7 +349,8 @@ object CorpusQueries extends QueryGroup {
 
   override val duckdbOnly: Set[String] = Set(
     "a_text_stats", "a_lang_id", "a_quality_score", "a_fingerprint",
-    "a_jaccard_pairs", "a_dedup_clusters", "a_embed_norms", "a_ann_topk",
+    "a_jaccard_pairs", "a_ngram_jaccard", "a_dedup_clusters",
+    "a_embed_norms", "a_ann_topk",
     "a_cosine_pairs", "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh",
     "a_ann_ivf")
 }
