@@ -79,6 +79,37 @@ object WireQueries extends QueryGroup {
       sink.view(s)
     }),
 
+    // S8 protocol v2: STREAMED in-progress transactions (pg14
+    // streaming=on) — interleaved S..E chunks with xid-tagged data
+    // messages, decoded to tx-attributed events in executors and
+    // released through TxReassembly's buffered-commit semantics:
+    // stream-committed tx 601 emits with its commit LSN, stream-aborted
+    // tx 602 never emits. Goes beyond the reference decoder, which
+    // requires streaming=off.
+    "s8_pgoutput_tx_stream" -> ((s, _) => {
+      import s.implicits._
+      val dir = stageFixture("pgoutput_streamed.pgo", "pgo",
+        WireFixtures.pgoutputStreamedRowCount)
+      val events = s.read.format("binaryFile").load(dir)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(bytes => graft.sources.wire.PgOutput.segmentTxEvents(bytes)
+          .map { case (tx, r) => (tx, r.op, r.pos, r.keyJson) })
+        .toDF("txId", "op", "pos", "key_json")
+        .select(col("txId"),
+          coalesce(get_json_object(col("key_json"), "$.id").cast("long"),
+            lit(-1L)).as("k"),
+          col("op"), col("pos"))
+      val transport = Files.createTempDirectory("pgo-txstream").toString
+      events.repartitionByRange(3, col("pos"))
+        .sortWithinPartitions(col("pos"))
+        .select(col("txId"), col("k"), col("op"), col("pos"))
+        .write.mode("overwrite").parquet(transport)
+      graft.streaming.TxReassembly.runOnTransport(s, transport,
+        filesPerTrigger = 2)
+        .select(col("txId").as("tx_id"), col("k"), col("op"), col("pos"),
+          col("commitPos").as("commit_pos"))
+    }),
+
     // S9: recorded binlog events (TABLE_MAP + ROWS v2) through the DSv2
     // source; row images are positional, so names + primary key resolve
     // from schema-history DDL passed as a source option (the reference's
@@ -128,6 +159,11 @@ object WireQueries extends QueryGroup {
         |      ELSE 'item_'||i END AS label
         |FROM range(40) t(i) WHERE i%6<>0""".stripMargin,
 
+    "s8_pgoutput_tx_stream" ->
+      """SELECT 'tx601' AS tx_id, 100+i AS k, 'c' AS op, 6000+i AS pos,
+        | 7000 AS commit_pos
+        |FROM range(10) t(i)""".stripMargin,
+
     "s9_binlog_decode" ->
       """SELECT 'testdb.bl_items' AS "table", 'c' AS op,
         |  500+CAST(floor(i/10) AS BIGINT) AS pos,
@@ -159,5 +195,6 @@ object WireQueries extends QueryGroup {
 
   // range()/string-concat dialect is DuckDB-only
   override val duckdbOnly: Set[String] =
-    Set("s8_pgoutput_decode", "s8_pgoutput_materialize", "s9_binlog_decode")
+    Set("s8_pgoutput_decode", "s8_pgoutput_materialize",
+      "s8_pgoutput_tx_stream", "s9_binlog_decode")
 }

@@ -60,6 +60,19 @@ object PgOutput {
   final case class LogicalMessage(flags: Int, lsn: Long, prefix: String,
                                   content: Array[Byte]) extends Message
 
+  // Protocol v2 (PostgreSQL 14+) streamed in-progress transactions: large
+  // txs stream BEFORE commit as S..E chunks, interleaved across xids;
+  // every in-stream data message carries its xid after the tag. 'c'
+  // (StreamCommit) releases a streamed tx, 'A' (StreamAbort) discards it
+  // — the exact shape TxReassembly's buffered release consumes.
+  final case class StreamStart(xid: Long, firstSegment: Boolean) extends Message
+  case object StreamStop extends Message
+  final case class StreamCommit(xid: Long, flags: Int, commitLsn: Long,
+                                endLsn: Long, commitTsMicros: Long) extends Message
+  final case class StreamAbort(xid: Long, subXid: Long) extends Message
+  /** An in-stream data message with the xid it belongs to. */
+  final case class Streamed(xid: Long, inner: Message) extends Message
+
   /** Debezium surfaces unchanged-TOAST columns as a sentinel value the
     * downstream must re-select (ref `UnchangedToastedReplicationMessageColumn`).
     */
@@ -96,10 +109,33 @@ object PgOutput {
     }
   }
 
-  /** Decode one pgoutput message (the payload of an XLogData frame). */
-  def decode(payload: Array[Byte]): Message = {
+  private def uint32(b: ByteBuffer): Long = b.getInt().toLong & 0xffffffffL
+
+  /** Decode one pgoutput message (the payload of an XLogData frame).
+    * `inStream` = the segment cursor is between StreamStart and
+    * StreamStop, where protocol v2 prefixes every data message with its
+    * xid (streamed txs interleave, so each chunk must self-identify).
+    */
+  def decode(payload: Array[Byte], inStream: Boolean = false): Message = {
     val b = ByteBuffer.wrap(payload) // network order = ByteBuffer default
-    b.get().toChar match {
+    val tag = b.get().toChar
+    tag match {
+      case 'S' => return StreamStart(uint32(b), b.get() == 1)
+      case 'E' => return StreamStop
+      case 'c' => return StreamCommit(uint32(b), b.get().toInt, b.getLong(),
+        b.getLong(), b.getLong())
+      case 'A' => return StreamAbort(uint32(b), uint32(b))
+      case _ => ()
+    }
+    if (inStream) {
+      val xid = uint32(b)
+      return Streamed(xid, decodeBody(tag, b))
+    }
+    decodeBody(tag, b)
+  }
+
+  private def decodeBody(tag: Char, b: ByteBuffer): Message = {
+    tag match {
       case 'B' => Begin(b.getLong(), b.getLong(), b.getInt().toLong & 0xffffffffL)
       case 'C' => Commit(b.get().toInt, b.getLong(), b.getLong(), b.getLong())
       case 'O' => Origin(b.getLong(), cstr(b))
@@ -219,6 +255,24 @@ object PgOutput {
       val b = out(prefix.length + content.length + 32); b.put('M'.toByte)
       b.put(flags.toByte); b.putLong(lsn); putCstr(b, prefix)
       b.putInt(content.length); b.put(content); bytesOf(b)
+    case StreamStart(xid, first) =>
+      val b = out(); b.put('S'.toByte); b.putInt(xid.toInt)
+      b.put(if (first) 1.toByte else 0.toByte); bytesOf(b)
+    case StreamStop =>
+      Array('E'.toByte)
+    case StreamCommit(xid, flags, clsn, elsn, ts) =>
+      val b = out(); b.put('c'.toByte); b.putInt(xid.toInt)
+      b.put(flags.toByte); b.putLong(clsn); b.putLong(elsn); b.putLong(ts)
+      bytesOf(b)
+    case StreamAbort(xid, subXid) =>
+      val b = out(); b.put('A'.toByte); b.putInt(xid.toInt)
+      b.putInt(subXid.toInt); bytesOf(b)
+    case Streamed(xid, inner) =>
+      // v2 in-stream framing: tag, xid, then the regular message body
+      val e = encode(inner)
+      val b = out(e.length + 8)
+      b.put(e(0)); b.putInt(xid.toInt); b.put(e, 1, e.length - 1)
+      bytesOf(b)
   }
 
   // ------------------------------------------------------------- segments
@@ -246,12 +300,19 @@ object PgOutput {
     require(java.util.Arrays.equals(magic, Magic),
       "not a pgoutput segment (bad magic)")
     new Iterator[(Long, Message)] {
+      private var inStream = false
       def hasNext: Boolean = b.remaining() >= 12
       def next(): (Long, Message) = {
         val wal = b.getLong(); val len = b.getInt()
         val payload = new Array[Byte](len)
         b.get(payload)
-        (wal, decode(payload))
+        val m = decode(payload, inStream)
+        m match {
+          case _: StreamStart => inStream = true
+          case StreamStop => inStream = false
+          case _ => ()
+        }
+        (wal, m)
       }
     }
   }
@@ -299,48 +360,86 @@ object PgOutput {
   final case class WireRow(table: String, op: String, pos: Long,
                            keyJson: String, payloadJson: String)
 
+  private def dataRows(msg: Message, wal: Long,
+                       relations: scala.collection.mutable.Map[Int, Relation]): Seq[WireRow] = {
+    def rel(id: Int): Relation = relations.getOrElse(id,
+      throw new IllegalStateException(
+        s"data message for unknown relation $id (segment not self-contained)"))
+    def keyOf(r: Relation, vs: Seq[Value]): String = {
+      val kc = r.columns.zip(vs).filter(_._1.isKey)
+      jsonObject(kc.map(_._1), kc.map(_._2))
+    }
+    msg match {
+      case Insert(id, nt) =>
+        val r = rel(id)
+        Seq(WireRow(s"${r.namespace}.${r.name}", "c", wal,
+          keyOf(r, nt), jsonObject(r.columns, nt)))
+      case Update(id, _, _, nt) =>
+        val r = rel(id)
+        Seq(WireRow(s"${r.namespace}.${r.name}", "u", wal,
+          keyOf(r, nt), jsonObject(r.columns, nt)))
+      case Delete(id, _, ot) =>
+        val r = rel(id)
+        Seq(WireRow(s"${r.namespace}.${r.name}", "d", wal,
+          keyOf(r, ot), "null"))
+      case Truncate(_, relIds) =>
+        relIds.map { id =>
+          val r = rel(id)
+          WireRow(s"${r.namespace}.${r.name}", "t", wal, "null", "null")
+        }
+      case LogicalMessage(_, _, prefix, content) =>
+        Seq(WireRow("", "m", wal, "null",
+          s"""{"prefix":${jsonString(prefix)},"content":${
+            jsonString(new String(content, StandardCharsets.UTF_8))}}"""))
+      case _ => Nil
+    }
+  }
+
   /** Project a recorded segment to wire rows. Relation messages must
     * precede the data messages that reference them (pgoutput guarantees
     * this per connection; recorded segments are self-contained so each
     * Spark partition reader is independent — the distributed analog).
-    * Begin/Commit/Origin/Type frames carry no row; key columns are the
-    * relation's flagged identity columns (REPLICA IDENTITY).
+    * Begin/Commit/Origin/Type and stream-control frames carry no row;
+    * key columns are the relation's flagged identity columns (REPLICA
+    * IDENTITY). Streamed data messages contribute rows like plain ones
+    * (tx attribution lives in `segmentTxEvents`).
     */
   def segmentRows(bytes: Array[Byte]): Iterator[WireRow] = {
     val relations = scala.collection.mutable.Map[Int, Relation]()
-    readSegment(bytes).flatMap { case (wal, msg) =>
-      def rel(id: Int): Relation = relations.getOrElse(id,
-        throw new IllegalStateException(
-          s"data message for unknown relation $id (segment not self-contained)"))
-      def keyOf(r: Relation, vs: Seq[Value]): String = {
-        val kc = r.columns.zip(vs).filter(_._1.isKey)
-        jsonObject(kc.map(_._1), kc.map(_._2))
-      }
-      msg match {
-        case r: Relation => relations(r.relId) = r; Nil
-        case _: Begin | _: Commit | _: Origin | _: TypeMsg => Nil
-        case Insert(id, nt) =>
-          val r = rel(id)
-          Seq(WireRow(s"${r.namespace}.${r.name}", "c", wal,
-            keyOf(r, nt), jsonObject(r.columns, nt)))
-        case Update(id, _, _, nt) =>
-          val r = rel(id)
-          Seq(WireRow(s"${r.namespace}.${r.name}", "u", wal,
-            keyOf(r, nt), jsonObject(r.columns, nt)))
-        case Delete(id, _, ot) =>
-          val r = rel(id)
-          Seq(WireRow(s"${r.namespace}.${r.name}", "d", wal,
-            keyOf(r, ot), "null"))
-        case Truncate(_, relIds) =>
-          relIds.map { id =>
-            val r = rel(id)
-            WireRow(s"${r.namespace}.${r.name}", "t", wal, "null", "null")
-          }
-        case LogicalMessage(_, _, prefix, content) =>
-          Seq(WireRow("", "m", wal, "null",
-            s"""{"prefix":${jsonString(prefix)},"content":${
-              jsonString(new String(content, StandardCharsets.UTF_8))}}"""))
-      }
+    readSegment(bytes).flatMap {
+      case (_, r: Relation) => relations(r.relId) = r; Nil
+      case (_, Streamed(_, r: Relation)) => relations(r.relId) = r; Nil
+      case (wal, Streamed(_, inner)) => dataRows(inner, wal, relations)
+      case (wal, msg) => dataRows(msg, wal, relations)
+    }
+  }
+
+  /** Transaction-attributed projection: every data row is tagged with
+    * the xid it belongs to — plain messages with the enclosing
+    * Begin..Commit xid, streamed (v2) messages with their own embedded
+    * xid — and commit boundaries surface as `op = "m"` marker rows at
+    * the commit LSN (StreamCommit for streamed txs, Commit for plain
+    * ones). A StreamAbort emits NOTHING: its buffered events simply
+    * never see a marker, which is exactly the contract
+    * `TxReassembly.reassemble` consumes (release on marker, abandoned
+    * otherwise).
+    */
+  def segmentTxEvents(bytes: Array[Byte]): Iterator[(String, WireRow)] = {
+    val relations = scala.collection.mutable.Map[Int, Relation]()
+    var currentXid = -1L
+    readSegment(bytes).flatMap {
+      case (_, r: Relation) => relations(r.relId) = r; Nil
+      case (_, Streamed(_, r: Relation)) => relations(r.relId) = r; Nil
+      case (_, Begin(_, _, xid)) => currentXid = xid; Nil
+      case (_, Commit(_, commitLsn, _, _)) =>
+        Seq((s"tx$currentXid", WireRow("", "m", commitLsn, "null", "null")))
+      case (_, StreamCommit(xid, _, commitLsn, _, _)) =>
+        Seq((s"tx$xid", WireRow("", "m", commitLsn, "null", "null")))
+      case (_, _: StreamAbort) => Nil
+      case (wal, Streamed(xid, inner)) =>
+        dataRows(inner, wal, relations).map((s"tx$xid", _))
+      case (wal, msg) =>
+        dataRows(msg, wal, relations).map((s"tx$currentXid", _))
     }
   }
 }

@@ -71,6 +71,39 @@ object WireFixtures {
   def pgoutputRowCount: Long =
     PgOutput.segmentRows(pgoutputSegment).size.toLong
 
+  /** Protocol v2 streamed-transaction fixture: txs 601 and 602 stream
+    * their inserts in interleaved S..E chunks BEFORE any commit; 601
+    * stream-commits at LSN 7000, 602 stream-aborts — its rows must
+    * never release.
+    */
+  def pgoutputStreamedSegment: Array[Byte] = {
+    import PgOutput._
+    val frames = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+    def f(wal: Long, m: Message): Unit = frames += ((wal, encode(m)))
+    def ins(id: Int): Message = Insert(5001, Seq(
+      VText(id.toString), VText((id * 3).toString), VText(s"s_$id")))
+
+    f(5000, ItemsRel)
+    f(5001, StreamStart(601, firstSegment = true))
+    (0 until 5).foreach(i => f(6000L + i, Streamed(601, ins(100 + i))))
+    f(5002, StreamStop)
+    f(5003, StreamStart(602, firstSegment = true))
+    (0 until 5).foreach(i => f(6500L + i, Streamed(602, ins(200 + i))))
+    f(5004, StreamStop)
+    f(5005, StreamStart(601, firstSegment = false))
+    (5 until 10).foreach(i => f(6000L + i, Streamed(601, ins(100 + i))))
+    f(5006, StreamStop)
+    f(7000, StreamCommit(601, 0, 7000, 7001, 770000003000000L))
+    f(5007, StreamStart(602, firstSegment = false))
+    (5 until 8).foreach(i => f(6500L + i, Streamed(602, ins(200 + i))))
+    f(5008, StreamStop)
+    f(7100, StreamAbort(602, 602))
+    writeSegment(frames.toSeq)
+  }
+
+  def pgoutputStreamedRowCount: Long =
+    PgOutput.segmentRows(pgoutputStreamedSegment).size.toLong
+
   // --------------------------------------------------------------- binlog
   // One table, multi-row events (10 rows per WRITE event), an UPDATE with
   // before+after images and a NULL in the after image, a DELETE, an XID.
@@ -138,7 +171,10 @@ object WireFixtures {
     val dir = Paths.get(if (args.nonEmpty) args(0) else FixtureDir)
     Files.createDirectories(dir)
     Files.write(dir.resolve("pgoutput_segment.pgo"), pgoutputSegment)
+    Files.write(dir.resolve("pgoutput_streamed.pgo"), pgoutputStreamedSegment)
     Files.write(dir.resolve("binlog_segment.blog"), binlogSegment)
-    println(s"wrote pgoutput rows=$pgoutputRowCount binlog rows=$binlogRowCount to $dir")
+    println(s"wrote pgoutput rows=$pgoutputRowCount " +
+      s"streamed rows=$pgoutputStreamedRowCount " +
+      s"binlog rows=$binlogRowCount to $dir")
   }
 }

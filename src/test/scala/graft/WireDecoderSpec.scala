@@ -119,6 +119,42 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(del6.keyJson == """{"id":6}""" && del6.payloadJson == "null")
   }
 
+  test("pgoutput v2 stream control messages round-trip") {
+    import PgOutput._
+    val msgs = Seq(StreamStart(601, firstSegment = true), StreamStop,
+      StreamCommit(601, 0, 7000, 7001, 99L), StreamAbort(602, 602))
+    msgs.foreach(m => assert(decode(encode(m)) == m))
+    // in-stream data message: tag, then xid, then the regular body
+    val streamed = Streamed(601L, Insert(5001, Seq(VText("1"))))
+    assert(decode(encode(streamed), inStream = true) == streamed)
+  }
+
+  test("pgoutput streamed fixture: interleaved chunks attribute by xid; abort drops") {
+    val events = PgOutput.segmentTxEvents(
+      WireFixtures.pgoutputStreamedSegment).toSeq
+    val byTx = events.groupBy(_._1)
+    // tx601: 10 inserts + 1 commit marker; tx602: 8 inserts, NO marker
+    assert(byTx("tx601").count(_._2.op == "c") == 10)
+    assert(byTx("tx601").count(_._2.op == "m") == 1)
+    assert(byTx("tx601").find(_._2.op == "m").get._2.pos == 7000)
+    assert(byTx("tx602").count(_._2.op == "c") == 8)
+    assert(!byTx("tx602").exists(_._2.op == "m"),
+      "aborted tx must not produce a commit marker")
+    // interleaving: a tx601 row decoded from the chunk AFTER tx602's
+    // first chunk still lands on tx601
+    val late601 = events.find { case (tx, r) =>
+      tx == "tx601" && r.keyJson == """{"id":107}""" }
+    assert(late601.isDefined)
+  }
+
+  test("pgoutput streamed fixture: committed bytes equal the builder's output") {
+    val in = getClass.getResourceAsStream("/graft/fixtures/pgoutput_streamed.pgo")
+    assert(in != null, "fixture missing from classpath")
+    val committed = try in.readAllBytes() finally in.close()
+    assert(committed.sameElements(WireFixtures.pgoutputStreamedSegment),
+      "committed fixture drifted from WireFixtures builder")
+  }
+
   // -------------------------------------------------------------- binlog
 
   test("binlog header and TABLE_MAP decode from hand-built LE bytes") {
