@@ -186,6 +186,35 @@ object StreamingQueries extends QueryGroup {
       s.table(name)
     }),
 
+    // Structured Streaming SESSION windows: dynamic-gap stateful
+    // sessionization over the event stream (the streaming counterpart of
+    // the batch a_sessionize); session = events within a 1h gap, session
+    // end = last event + gap. Complete mode so the bounded replay emits
+    // every session including the tail ones a watermark would hold back.
+    "stream_session_window" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      val name = s"sess_${System.nanoTime()}"
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .groupBy(session_window(col("ets"), "1 hour"), col("user_id"))
+        // integer-quantized sum (deterministic under any agg order)
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 10000)).as("qsum"))
+        .select(col("user_id").as("key"),
+          unix_micros(col("session_window.start")).as("session_start"),
+          unix_micros(col("session_window.end")).as("session_end"),
+          col("n_events"), (col("qsum") / 10000.0).as("sum_value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     // S8: DSv2 MicroBatchStream change-log tail (record-index offsets) →
     // parse wire → MERGE; the full log-protocol source shape end-to-end
     "stream_dsv2_changelog" -> ((s, dir) => {
@@ -246,6 +275,24 @@ object StreamingQueries extends QueryGroup {
     "stream_dedup" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
 
+    // session_window semantics reconstructed independently: new session
+    // when the gap REACHES 1h (window end is exclusive), session_end =
+    // last event + gap
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+        | s AS (SELECT user_id, t, value,
+        |   CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= 3600000000
+        |        THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        | g AS (SELECT user_id, t, value,
+        |   CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM s)
+        |SELECT user_id AS key, min(t) AS session_start,
+        | max(t) + 3600000000 AS session_end, count(*) AS n_events,
+        | sum(CAST(floor(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
     "stream_windowed_agg" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
         | count(*) AS n, round(sum(value), 4) AS sum_value
@@ -286,5 +333,6 @@ object StreamingQueries extends QueryGroup {
   )
 
   // `interval` is reserved in Spark SQL; epoch_us is DuckDB-only
-  override val duckdbOnly: Set[String] = Set("p5_heartbeat", "stream_windowed_agg")
+  override val duckdbOnly: Set[String] =
+    Set("p5_heartbeat", "stream_windowed_agg", "stream_session_window")
 }
