@@ -31,6 +31,19 @@ object WireQueries extends QueryGroup {
     dir
   }
 
+  /** Copy a classpath fixture verbatim into a temp file (for decoders
+    * that read the recording directly rather than via the DSv2 source).
+    */
+  private def stageResource(resource: String): String = {
+    val dir = Files.createTempDirectory("graft-wirefix")
+    val in = getClass.getResourceAsStream(s"/graft/fixtures/$resource")
+    require(in != null, s"fixture $resource not on classpath")
+    val bytes = try in.readAllBytes() finally in.close()
+    val f = dir.resolve(resource)
+    Files.write(f, bytes)
+    f.toString
+  }
+
   private def wireSchema = StructType(Seq(
     StructField("id", IntegerType), StructField("qty", LongType),
     StructField("label", StringType)))
@@ -110,6 +123,32 @@ object WireQueries extends QueryGroup {
           col("commitPos").as("commit_pos"))
     }),
 
+    // S11: recorded poll of a SQL Server CDC change table
+    // (cdc.fn_cdc_get_all_changes_<capture> shape): one shuffle groups
+    // the update before/after pair, mask bits drive the changed-column
+    // list and the max-type unavailable-value substitution, and binary
+    // LSNs render to the canonical 8:8:2 hex form
+    "s11_cdc_tables_decode" -> ((s, _) => {
+      val path = stageResource("sqlserver_ct.jsonl")
+      val ctSchema = StructType(Seq(
+        StructField("__$start_lsn", StringType),
+        StructField("__$seqval", StringType),
+        StructField("__$operation", IntegerType),
+        StructField("__$update_mask", StringType),
+        StructField("id", IntegerType), StructField("name", StringType),
+        StructField("price", DoubleType), StructField("notes", StringType)))
+      val ct = s.read.schema(ctSchema).json(path)
+        .select(
+          unbase64(col("`__$start_lsn`")).as("__$start_lsn"),
+          unbase64(col("`__$seqval`")).as("__$seqval"),
+          col("`__$operation`").as("__$operation"),
+          unbase64(col("`__$update_mask`")).as("__$update_mask"),
+          col("id"), col("name"), col("price"), col("notes"))
+      graft.sources.wire.SqlServerCdc
+        .decode(ct, "dbo.products", Seq("id"), maxTypeCols = Seq("notes"))
+        .withColumn("changed_cols", array_join(col("changed_cols"), ","))
+    }),
+
     // S9: recorded binlog events (TABLE_MAP + ROWS v2) through the DSv2
     // source; row images are positional, so names + primary key resolve
     // from schema-history DDL passed as a source option (the reference's
@@ -164,6 +203,41 @@ object WireQueries extends QueryGroup {
         | 7000 AS commit_pos
         |FROM range(10) t(i)""".stripMargin,
 
+    "s11_cdc_tables_decode" ->
+      """SELECT 'dbo.products' AS "table", 'c' AS op,
+        |  printf('%08x:%08x:%04x', 37, 256 + i//4, 3) AS commit_lsn,
+        |  printf('%08x:%08x:%04x', 0, i, 1) AS seqval,
+        |  '{"id":'||i||'}' AS key_json,
+        |  CAST(NULL AS VARCHAR) AS before_json,
+        |  '{"id":'||i||',"name":"prod_'||i||'","price":'||(i*2.5)::DOUBLE||
+        |    ',"notes":"note_'||i||'"}' AS after_json,
+        |  CAST(NULL AS VARCHAR) AS changed_cols
+        | FROM range(40) t(i)
+        |UNION ALL
+        |SELECT 'dbo.products', 'u',
+        |  printf('%08x:%08x:%04x', 37, 512 + i, 3),
+        |  printf('%08x:%08x:%04x', 0, i, 2),
+        |  '{"id":'||i||'}',
+        |  '{"id":'||i||',"name":"prod_'||i||'","price":'||(i*2.5)::DOUBLE||
+        |    ',"notes":'||(CASE WHEN i%8=0 THEN '"__unavailable"'
+        |                       ELSE '"note_'||i||'"' END)||'}',
+        |  CASE WHEN i%8=0
+        |    THEN '{"id":'||i||',"name":"prod_'||i||'","price":'||
+        |      (i*2.5+100)::DOUBLE||',"notes":"__unavailable"}'
+        |    ELSE '{"id":'||i||',"name":null,"price":'||
+        |      (i*2.5+100)::DOUBLE||',"notes":"edited_'||i||'"}' END,
+        |  CASE WHEN i%8=0 THEN 'price' ELSE 'name,price,notes' END
+        | FROM range(40) t(i) WHERE i%4=0
+        |UNION ALL
+        |SELECT 'dbo.products', 'd',
+        |  printf('%08x:%08x:%04x', 37, 768 + i, 3),
+        |  printf('%08x:%08x:%04x', 0, i, 3),
+        |  '{"id":'||i||'}',
+        |  '{"id":'||i||',"name":"prod_'||i||'","price":'||(i*2.5)::DOUBLE||
+        |    ',"notes":"note_'||i||'"}',
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        | FROM range(40) t(i) WHERE i%6=3""".stripMargin,
+
     "s9_binlog_decode" ->
       """SELECT 'testdb.bl_items' AS "table", 'c' AS op,
         |  500+CAST(floor(i/10) AS BIGINT) AS pos,
@@ -196,5 +270,5 @@ object WireQueries extends QueryGroup {
   // range()/string-concat dialect is DuckDB-only
   override val duckdbOnly: Set[String] =
     Set("s8_pgoutput_decode", "s8_pgoutput_materialize",
-      "s8_pgoutput_tx_stream", "s9_binlog_decode")
+      "s8_pgoutput_tx_stream", "s9_binlog_decode", "s11_cdc_tables_decode")
 }

@@ -1,5 +1,7 @@
 package graft.tools
 
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import graft.sources.wire.{MySqlBinlog, PgOutput}
 
@@ -165,6 +167,57 @@ object WireFixtures {
   def binlogRowCount: Long =
     MySqlBinlog.segmentRows(binlogSegment, Map.empty).size.toLong
 
+  // ------------------------------------------- SQL Server CDC change table
+  // Recorded poll of cdc.fn_cdc_get_all_changes_dbo_products: 40 inserts
+  // (4-row transactions), 10 update pairs (max-type `notes` column NULL +
+  // mask-bit-clear for i%8==0 — the unavailable-value path; explicit
+  // name=NULL for i%8==4 — the JSON-null path), 7 deletes. Binary LSN /
+  // seqval / mask columns are base64 in the JSONL recording.
+
+  private val b64 = java.util.Base64.getEncoder
+
+  /** 10-byte SQL Server LSN: vlf(4) block(4) slot(2), big-endian. */
+  def sqlServerLsn(vlf: Int, block: Int, slot: Int): Array[Byte] =
+    ByteBuffer.allocate(10).putInt(vlf).putInt(block)
+      .putShort(slot.toShort).array()
+
+  def sqlServerCtJsonl: String = {
+    def jl(lsn: Array[Byte], seq: Array[Byte], op: Int, mask: Array[Byte],
+           id: Int, name: Option[String], price: Double,
+           notes: Option[String]): String = {
+      def str(v: Option[String]) = v.map("\"" + _ + "\"").getOrElse("null")
+      s"""{"__$$start_lsn":"${b64.encodeToString(lsn)}",""" +
+        s""""__$$seqval":"${b64.encodeToString(seq)}",""" +
+        s""""__$$operation":$op,""" +
+        s""""__$$update_mask":"${b64.encodeToString(mask)}",""" +
+        s""""id":$id,"name":${str(name)},"price":$price,"notes":${str(notes)}}"""
+    }
+    val all = Array[Byte](0x0F) // insert/delete masks cover every column
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    (0 until 40).foreach { i =>
+      lines += jl(sqlServerLsn(0x25, 0x100 + i / 4, 3), sqlServerLsn(0, i, 1),
+        2, all, i, Some(s"prod_$i"), i * 2.5, Some(s"note_$i"))
+    }
+    (0 until 40).filter(_ % 4 == 0).foreach { i =>
+      val cl = sqlServerLsn(0x25, 0x200 + i, 3)
+      val sv = sqlServerLsn(0, i, 2)
+      if (i % 8 == 0) { // only price changed; notes (max-type) not captured
+        val m = Array[Byte](0x04)
+        lines += jl(cl, sv, 3, m, i, Some(s"prod_$i"), i * 2.5, None)
+        lines += jl(cl, sv, 4, m, i, Some(s"prod_$i"), i * 2.5 + 100, None)
+      } else { // name set to NULL, price + notes rewritten
+        val m = Array[Byte](0x0E)
+        lines += jl(cl, sv, 3, m, i, Some(s"prod_$i"), i * 2.5, Some(s"note_$i"))
+        lines += jl(cl, sv, 4, m, i, None, i * 2.5 + 100, Some(s"edited_$i"))
+      }
+    }
+    (0 until 40).filter(_ % 6 == 3).foreach { i =>
+      lines += jl(sqlServerLsn(0x25, 0x300 + i, 3), sqlServerLsn(0, i, 3),
+        1, all, i, Some(s"prod_$i"), i * 2.5, Some(s"note_$i"))
+    }
+    lines.mkString("", "\n", "\n")
+  }
+
   val FixtureDir = "src/main/resources/graft/fixtures"
 
   def main(args: Array[String]): Unit = {
@@ -173,6 +226,8 @@ object WireFixtures {
     Files.write(dir.resolve("pgoutput_segment.pgo"), pgoutputSegment)
     Files.write(dir.resolve("pgoutput_streamed.pgo"), pgoutputStreamedSegment)
     Files.write(dir.resolve("binlog_segment.blog"), binlogSegment)
+    Files.write(dir.resolve("sqlserver_ct.jsonl"),
+      sqlServerCtJsonl.getBytes(StandardCharsets.UTF_8))
     println(s"wrote pgoutput rows=$pgoutputRowCount " +
       s"streamed rows=$pgoutputStreamedRowCount " +
       s"binlog rows=$binlogRowCount to $dir")

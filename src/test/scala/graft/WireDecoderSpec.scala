@@ -297,4 +297,81 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(got.filter(org.apache.spark.sql.functions.col("op") === "d")
       .count() == 7)
   }
+
+  // ------------------------------------------- SQL Server CDC change table
+
+  import org.apache.spark.sql.functions._
+  import graft.sources.wire.SqlServerCdc
+
+  private def ctFixtureDf = {
+    import org.apache.spark.sql.types._
+    val path = java.nio.file.Files.createTempFile("ct", ".jsonl")
+    java.nio.file.Files.write(path,
+      WireFixtures.sqlServerCtJsonl.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("__$start_lsn", StringType),
+      StructField("__$seqval", StringType),
+      StructField("__$operation", IntegerType),
+      StructField("__$update_mask", StringType),
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("price", DoubleType), StructField("notes", StringType)))
+    spark.read.schema(schema).json(path.toString)
+      .select(
+        unbase64(col("`__$start_lsn`")).as("__$start_lsn"),
+        unbase64(col("`__$seqval`")).as("__$seqval"),
+        col("`__$operation`").as("__$operation"),
+        unbase64(col("`__$update_mask`")).as("__$update_mask"),
+        col("id"), col("name"), col("price"), col("notes"))
+  }
+
+  test("sqlserver CT: update pair folds to one event; mask drives changed cols") {
+    val out = SqlServerCdc.decode(ctFixtureDf, "dbo.products", Seq("id"),
+      maxTypeCols = Seq("notes")).cache()
+    assert(out.count() == 57) // 40 c + 10 u + 7 d
+    val u0 = out.filter(col("op") === "u" && col("key_json") === """{"id":0}""")
+      .head()
+    // i=0: only price changed; max-type notes NULL + bit clear → placeholder
+    assert(u0.getAs[scala.collection.Seq[String]]("changed_cols").toList ==
+      List("price"))
+    assert(u0.getAs[String]("after_json").contains("\"notes\":\"__unavailable\""))
+    assert(u0.getAs[String]("before_json").contains("\"notes\":\"__unavailable\""))
+    val u4 = out.filter(col("op") === "u" && col("key_json") === """{"id":4}""")
+      .head()
+    // i=4: name explicitly NULLed (bit set) → JSON null, not placeholder
+    assert(u4.getAs[scala.collection.Seq[String]]("changed_cols").toList ==
+      List("name", "price", "notes"))
+    assert(u4.getAs[String]("after_json").contains("\"name\":null"))
+    out.unpersist(); ()
+  }
+
+  test("sqlserver CT: LSN-window poll is exclusive-low, inclusive-high") {
+    val ct = ctFixtureDf
+    // window covering exactly insert transactions block 0x100..0x102
+    val from = WireFixtures.sqlServerLsn(0x25, 0x100, 3) // exclusive → skips tx 0x100
+    val to = WireFixtures.sqlServerLsn(0x25, 0x102, 3)
+    val polled = SqlServerCdc.pollWindow(ct, from, to)
+    assert(polled.count() == 8) // txs 0x101, 0x102 × 4 inserts each
+    // pushdown: binary comparisons reach the scan as data filters
+    val plan = polled.queryExecution.executedPlan.toString
+    assert(plan.contains("Filter"))
+  }
+
+  test("sqlserver CT: short or null masks count every column as changed") {
+    // ref SqlServerChangeTablePointer.java:199-217 — absent/short mask ⇒ true
+    val df = ctFixtureDf.limit(1)
+      .select(SqlServerCdc.maskBitSet(lit(null).cast("binary"), 5).as("nullMask"),
+        SqlServerCdc.maskBitSet(lit(Array[Byte](0x01)), 9).as("shortMask"),
+        SqlServerCdc.maskBitSet(lit(Array[Byte](0x01)), 1).as("clearBit"),
+        SqlServerCdc.maskBitSet(lit(Array[Byte](0x02)), 1).as("setBit"))
+    val r = df.head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2) && r.getBoolean(3))
+  }
+
+  test("sqlserver CT fixture: committed bytes equal the builder's output") {
+    val in = getClass.getResourceAsStream("/graft/fixtures/sqlserver_ct.jsonl")
+    assert(in != null, "fixture missing from resources")
+    val committed = try in.readAllBytes() finally in.close()
+    assert(java.util.Arrays.equals(committed,
+      WireFixtures.sqlServerCtJsonl.getBytes("UTF-8")))
+  }
 }
