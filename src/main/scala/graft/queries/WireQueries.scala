@@ -149,6 +149,28 @@ object WireQueries extends QueryGroup {
         .withColumn("changed_cols", array_join(col("changed_cols"), ","))
     }),
 
+    // S10: recorded V$LOGMNR_CONTENTS poll → committed change events.
+    // CSF chunks regroup declaratively, partial rollbacks cancel via
+    // anti-join, only committed txs emit (commit SCN attached), and the
+    // redo-SQL text parses per-row in executors
+    "s10_logminer_decode" -> ((s, _) => {
+      val path = stageResource("logminer_contents.jsonl")
+      val schema = StructType(Seq(
+        StructField("rownum", LongType), StructField("scn", LongType),
+        StructField("opcode", IntegerType), StructField("xid", StringType),
+        StructField("csf", IntegerType), StructField("rbk", IntegerType),
+        StructField("row_id", StringType), StructField("rs_id", StringType),
+        StructField("seg_owner", StringType),
+        StructField("table_name", StringType),
+        StructField("sql_redo", StringType)))
+      graft.sources.wire.LogMiner.decode(
+        s.read.schema(schema).json(path),
+        schemas = Map("ORA.PRODUCTS" -> Seq(
+          "ID" -> "long", "NAME" -> "string", "PRICE" -> "double",
+          "CREATED" -> "timestamp")),
+        keys = Map("ORA.PRODUCTS" -> Seq("ID")))
+    }),
+
     // S9: recorded binlog events (TABLE_MAP + ROWS v2) through the DSv2
     // source; row images are positional, so names + primary key resolve
     // from schema-history DDL passed as a source option (the reference's
@@ -238,6 +260,38 @@ object WireQueries extends QueryGroup {
         |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
         | FROM range(40) t(i) WHERE i%6=3""".stripMargin,
 
+    "s10_logminer_decode" ->
+      """SELECT 'ORA.PRODUCTS' AS "table", 'c' AS op,
+        |  5001+i AS scn, 5100 AS commit_scn, '0A0001' AS xid,
+        |  '{"ID":'||i||'}' AS key_json,
+        |  CAST(NULL AS VARCHAR) AS before_json,
+        |  '{"ID":'||i||',"NAME":'||
+        |    (CASE WHEN i=7 THEN '"it''s_7"' ELSE '"ora_'||i||'"' END)||
+        |  ',"PRICE":'||(CASE WHEN i=11 THEN '"__unavailable"'
+        |                     ELSE i||'.25' END)||
+        |  ',"CREATED":'||(CASE WHEN i=11 THEN 'null'
+        |    ELSE '"2021-03-15 10:00:'||lpad(i::VARCHAR,2,'0')||'"' END)||
+        |  '}' AS after_json
+        | FROM range(30) t(i)
+        |UNION ALL
+        |SELECT 'ORA.PRODUCTS', 'u', 5200+i, 5300, '0B0002',
+        |  '{"ID":'||i||'}',
+        |  '{"ID":'||i||',"NAME":"ora_'||i||'","PRICE":'||i||'.25'||
+        |    ',"CREATED":"2021-03-15 10:00:'||lpad(i::VARCHAR,2,'0')||'"}',
+        |  '{"ID":'||i||',"NAME":null,"PRICE":'||(i+100)||'.25'||
+        |    ',"CREATED":"2021-03-15 10:00:'||lpad(i::VARCHAR,2,'0')||'"}'
+        | FROM range(30) t(i) WHERE i%5=0 AND i<>15
+        |UNION ALL
+        |SELECT 'ORA.PRODUCTS', 'd', 5400+i, 5500, '0C0003',
+        |  '{"ID":'||i||'}',
+        |  '{"ID":'||i||',"NAME":'||
+        |    (CASE WHEN i=0 THEN 'null' WHEN i=7 THEN '"it''s_7"'
+        |          ELSE '"ora_'||i||'"' END)||
+        |  ',"PRICE":'||(CASE WHEN i=0 THEN '100.25' ELSE i||'.25' END)||
+        |  ',"CREATED":"2021-03-15 10:00:'||lpad(i::VARCHAR,2,'0')||'"}',
+        |  CAST(NULL AS VARCHAR)
+        | FROM range(30) t(i) WHERE i%7=0""".stripMargin,
+
     "s9_binlog_decode" ->
       """SELECT 'testdb.bl_items' AS "table", 'c' AS op,
         |  500+CAST(floor(i/10) AS BIGINT) AS pos,
@@ -270,5 +324,6 @@ object WireQueries extends QueryGroup {
   // range()/string-concat dialect is DuckDB-only
   override val duckdbOnly: Set[String] =
     Set("s8_pgoutput_decode", "s8_pgoutput_materialize",
-      "s8_pgoutput_tx_stream", "s9_binlog_decode", "s11_cdc_tables_decode")
+      "s8_pgoutput_tx_stream", "s9_binlog_decode", "s10_logminer_decode",
+      "s11_cdc_tables_decode")
 }

@@ -218,6 +218,86 @@ object WireFixtures {
     lines.mkString("", "\n", "\n")
   }
 
+  // ----------------------------------------------- Oracle LogMiner poll
+  // Recorded V$LOGMNR_CONTENTS result set: tx1 = 30 inserts (one split
+  // across 3 CSF chunks, one with Unsupported Type + NULL), tx2 = 6
+  // updates with full supplemental-logging where-clauses (one cancelled
+  // by a partial-rollback compensating row), tx3 = 5 deletes (one of a
+  // previously-updated row, exercising IS NULL), tx4 = inserts ended by
+  // ROLLBACK(36) — never emitted.
+
+  def logMinerContentsJsonl: String = {
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    var rn = 0L
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def row(scn: Long, opcode: Int, xid: String, csf: Int, rbk: Int,
+            rowId: String, rsId: String, sql: String): Unit = {
+      rn += 1
+      lines += s"""{"rownum":$rn,"scn":$scn,"opcode":$opcode,""" +
+        s""""xid":"$xid","csf":$csf,"rbk":$rbk,"row_id":"$rowId",""" +
+        s""""rs_id":"$rsId","seg_owner":"ORA","table_name":"PRODUCTS",""" +
+        s""""sql_redo":"${esc(sql)}"}"""
+    }
+    def ss(i: Int) = f"${i % 60}%02d"
+    def nameSql(i: Int) = if (i == 7) "it''s_7" else s"ora_$i"
+    def created(i: Int) =
+      s"TO_DATE('2021-03-15 10:00:${ss(i)}', 'YYYY-MM-DD HH24:MI:SS')"
+    def rid(i: Int) = f"AAA$i%03d"
+
+    val (tx1, tx2, tx3, tx4) = ("0A0001", "0B0002", "0C0003", "0D0004")
+    row(5000, 6, tx1, 0, 0, "", "R5000", "start transaction")
+    (0 until 30).foreach { i =>
+      val values =
+        if (i == 11) s"('$i','${nameSql(i)}',Unsupported Type,NULL)"
+        else s"('$i','${nameSql(i)}','$i.25',${created(i)})"
+      val sql = "insert into \"ORA\".\"PRODUCTS\"(\"ID\",\"NAME\"," +
+        s""""PRICE","CREATED") values $values;"""
+      if (i == 7) // CSF continuation: one statement over three rows
+        sql.grouped(40).toSeq match {
+          case chunks =>
+            chunks.zipWithIndex.foreach { case (chunk, k) =>
+              row(5001 + i, 1, tx1, if (k == chunks.size - 1) 0 else 1, 0,
+                rid(i), s"R${5001 + i}", chunk)
+            }
+        }
+      else row(5001 + i, 1, tx1, 0, 0, rid(i), s"R${5001 + i}", sql)
+    }
+    row(5100, 7, tx1, 0, 0, "", "R5100", "commit;")
+
+    (0 until 30).filter(_ % 5 == 0).foreach { i =>
+      val sql = "update \"ORA\".\"PRODUCTS\" set \"PRICE\" = " +
+        s"'${i + 100}.25', " + "\"NAME\" = NULL where \"ID\" = " +
+        s"'$i' and " + "\"NAME\" = " + s"'${nameSql(i)}' and " +
+        "\"PRICE\" = " + s"'$i.25' and " + "\"CREATED\" = " +
+        s"${created(i)};"
+      row(5200 + i, 3, tx2, 0, 0, rid(i), s"R${5200 + i}", sql)
+    }
+    // partial rollback: compensating record cancels the i=15 update
+    row(5216, 3, tx2, 0, 1, rid(15), "R5216",
+      "update \"ORA\".\"PRODUCTS\" set \"PRICE\" = '15.25' where \"ID\" = '15';")
+    row(5300, 7, tx2, 0, 0, "", "R5300", "commit;")
+
+    (0 until 30).filter(_ % 7 == 0).foreach { i =>
+      val (nameCond, price) =
+        if (i == 0) ("\"NAME\" IS NULL", s"${i + 100}.25") // updated row
+        else ("\"NAME\" = " + s"'${nameSql(i)}'", s"$i.25")
+      val sql = "delete from \"ORA\".\"PRODUCTS\" where \"ID\" = " +
+        s"'$i' and $nameCond and " + "\"PRICE\" = " + s"'$price' and " +
+        "\"CREATED\" = " + s"${created(i)};"
+      row(5400 + i, 2, tx3, 0, 0, rid(i), s"R${5400 + i}", sql)
+    }
+    row(5500, 7, tx3, 0, 0, "", "R5500", "commit;")
+
+    (100 to 104).foreach { j =>
+      val sql = "insert into \"ORA\".\"PRODUCTS\"(\"ID\",\"NAME\"," +
+        s""""PRICE","CREATED") values ('$j','dead_$j','1.25',${created(0)});"""
+      row(5500 + j, 1, tx4, 0, 0, f"AAA$j%03d", s"R${5500 + j}", sql)
+    }
+    row(5700, 36, tx4, 0, 0, "", "R5700", "rollback;")
+    lines.mkString("", "\n", "\n")
+  }
+
   val FixtureDir = "src/main/resources/graft/fixtures"
 
   def main(args: Array[String]): Unit = {
@@ -228,6 +308,8 @@ object WireFixtures {
     Files.write(dir.resolve("binlog_segment.blog"), binlogSegment)
     Files.write(dir.resolve("sqlserver_ct.jsonl"),
       sqlServerCtJsonl.getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("logminer_contents.jsonl"),
+      logMinerContentsJsonl.getBytes(StandardCharsets.UTF_8))
     println(s"wrote pgoutput rows=$pgoutputRowCount " +
       s"streamed rows=$pgoutputStreamedRowCount " +
       s"binlog rows=$binlogRowCount to $dir")

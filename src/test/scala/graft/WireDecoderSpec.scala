@@ -367,11 +367,88 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2) && r.getBoolean(3))
   }
 
+  // ---------------------------------------------------- Oracle LogMiner
+
+  import graft.sources.wire.LogMiner
+
+  test("logminer parser: insert with functions, NULL and Unsupported Type") {
+    // shape from ref LogMinerDmlParserTest.java:65-82
+    val e = LogMiner.parseDml(
+      """insert into "DBZ"."T"("ID","NAME","TS","UT","C1") values """ +
+        "('1','Acme',TO_TIMESTAMP('2020-02-01 00:00:00.'),Unsupported Type,NULL);")
+    assert(e.op == "c" && e.owner == "DBZ" && e.table == "T")
+    assert(e.after("ID").contains("1") && e.after("NAME").contains("Acme"))
+    assert(e.after("TS").contains("TO_TIMESTAMP('2020-02-01 00:00:00.')"))
+    assert(e.after("UT").contains(LogMiner.UnavailableValue))
+    assert(e.after("C1").isEmpty)
+  }
+
+  test("logminer parser: update reconciles SET over WHERE; '' unescapes") {
+    val e = LogMiner.parseDml(
+      """update "DBZ"."T" set "COL1" = 'I love ''Oracle''', "COL2" = NULL """ +
+        """where "COL1" = 'old' and "COL2" = '2' and "COL3" IS NULL;""")
+    assert(e.op == "u")
+    assert(e.after("COL1").contains("I love 'Oracle'"))
+    assert(e.after("COL2").isEmpty)           // explicitly cleared
+    assert(e.after("COL3").isEmpty)           // copied from before (null)
+    assert(e.before("COL1").contains("old") && e.before("COL2").contains("2"))
+  }
+
+  test("logminer parser: delete where-clause becomes the before image") {
+    val e = LogMiner.parseDml(
+      """delete from "DBZ"."T" where "ID" = '5' and "D" = """ +
+        "TO_DATE('2020-02-01 00:00:00', 'YYYY-MM-DD HH24:MI:SS');")
+    assert(e.op == "d" && e.after.isEmpty)
+    assert(e.before("ID").contains("5"))
+    assert(e.before("D").contains(
+      "TO_DATE('2020-02-01 00:00:00', 'YYYY-MM-DD HH24:MI:SS')"))
+  }
+
+  test("logminer decode: CSF chunks, partial rollback, uncommitted tx") {
+    import org.apache.spark.sql.types._
+    val path = java.nio.file.Files.createTempFile("lm", ".jsonl")
+    java.nio.file.Files.write(path,
+      WireFixtures.logMinerContentsJsonl.getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("rownum", LongType), StructField("scn", LongType),
+      StructField("opcode", IntegerType), StructField("xid", StringType),
+      StructField("csf", IntegerType), StructField("rbk", IntegerType),
+      StructField("row_id", StringType), StructField("rs_id", StringType),
+      StructField("seg_owner", StringType),
+      StructField("table_name", StringType),
+      StructField("sql_redo", StringType)))
+    val out = LogMiner.decode(spark.read.schema(schema).json(path.toString),
+      schemas = Map("ORA.PRODUCTS" -> Seq("ID" -> "long", "NAME" -> "string",
+        "PRICE" -> "double", "CREATED" -> "timestamp")),
+      keys = Map("ORA.PRODUCTS" -> Seq("ID"))).cache()
+    assert(out.count() == 40) // 30 c + 5 u (1 rolled back) + 5 d
+    // the CSF-split insert (i=7) reassembled and parsed
+    val i7 = out.filter(col("op") === "c" && col("key_json") === """{"ID":7}""")
+    assert(i7.head().getAs[String]("after_json").contains("it's_7"))
+    // the partially-rolled-back update (i=15) never emits
+    assert(out.filter(col("op") === "u" &&
+      col("key_json") === """{"ID":15}""").isEmpty)
+    // tx4 (ids 100+) ended in ROLLBACK(36): no commit row, no events
+    assert(out.filter(col("scn") >= 5600).isEmpty)
+    // commit SCN attached from the commit record
+    assert(out.filter(col("op") === "u").head()
+      .getAs[Long]("commit_scn") == 5300L)
+    out.unpersist(); ()
+  }
+
   test("sqlserver CT fixture: committed bytes equal the builder's output") {
     val in = getClass.getResourceAsStream("/graft/fixtures/sqlserver_ct.jsonl")
     assert(in != null, "fixture missing from resources")
     val committed = try in.readAllBytes() finally in.close()
     assert(java.util.Arrays.equals(committed,
       WireFixtures.sqlServerCtJsonl.getBytes("UTF-8")))
+  }
+
+  test("logminer fixture: committed bytes equal the builder's output") {
+    val in = getClass.getResourceAsStream("/graft/fixtures/logminer_contents.jsonl")
+    assert(in != null, "fixture missing from resources")
+    val committed = try in.readAllBytes() finally in.close()
+    assert(java.util.Arrays.equals(committed,
+      WireFixtures.logMinerContentsJsonl.getBytes("UTF-8")))
   }
 }
