@@ -171,6 +171,16 @@ object WireQueries extends QueryGroup {
         keys = Map("ORA.PRODUCTS" -> Seq("ID")))
     }),
 
+    // S12: recorded MongoDB change-stream cursor (JSONL): pure-column
+    // get_json_object extraction, split-event fragments reassembled by
+    // ONE groupBy on the resume-token position prefix, reference op
+    // mapping (insert→c, update/replace→u, delete→d), collection-level
+    // events filtered exactly as the server-side pipeline does
+    "s12_change_stream_decode" -> ((s, _) => {
+      val path = stageResource("mongo_changestream.jsonl")
+      graft.sources.wire.MongoChangeStream.decode(s.read.text(path))
+    }),
+
     // S9: recorded binlog events (TABLE_MAP + ROWS v2) through the DSv2
     // source; row images are positional, so names + primary key resolve
     // from schema-history DDL passed as a source option (the reference's
@@ -292,6 +302,52 @@ object WireQueries extends QueryGroup {
         |  CAST(NULL AS VARCHAR)
         | FROM range(30) t(i) WHERE i%7=0""".stripMargin,
 
+    "s12_change_stream_decode" ->
+      s"""SELECT 'shop.items' AS "table", 'c' AS op,
+         |  printf('%016x%04x', (1680000000+i)*4294967296+1, 0) AS resume_token,
+         |  (1680000000+i)*4294967296+1 AS ord,
+         |  '{"_id":'||i||'}' AS key_json,
+         |  '{"_id":'||i||',"sku":"sku_'||i||'","qty":'||(i*7)||
+         |    ',"price":'||(i*1.5)||'}' AS after_json,
+         |  CAST(NULL AS VARCHAR) AS updated_json,
+         |  CAST(NULL AS VARCHAR) AS removed_fields
+         | FROM range(40) t(i)
+         |UNION ALL
+         |SELECT 'shop.items', 'u',
+         |  printf('%016x%04x', (1680000100+i)*4294967296+1, 0),
+         |  (1680000100+i)*4294967296+1,
+         |  '{"_id":'||i||'}',
+         |  CASE WHEN i%10=5
+         |    THEN '{"_id":'||i||',"sku":"sku_'||i||'","qty":'||(i*7+1000)||'}'
+         |    ELSE '{"_id":'||i||',"sku":"sku_'||i||'","qty":'||(i*7+1000)||
+         |      ',"price":'||(i*1.5)||'}' END,
+         |  '{"qty":'||(i*7+1000)||'}',
+         |  CASE WHEN i%10=5 THEN 'price' ELSE '' END
+         | FROM range(40) t(i) WHERE i%5=0
+         |UNION ALL
+         |SELECT 'shop.items', 'u',
+         |  printf('%016x%04x', (1680000200+i)*4294967296+1, 0),
+         |  (1680000200+i)*4294967296+1,
+         |  '{"_id":'||i||'}',
+         |  '{"_id":'||i||',"sku":"sku_'||i||'_v2","qty":'||(i*7)||
+         |    ',"price":'||(i*1.5+10)||'}',
+         |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         | FROM range(40) t(i) WHERE i%10=7
+         |UNION ALL
+         |SELECT 'shop.items', 'd',
+         |  printf('%016x%04x', (1680000300+i)*4294967296+1, 0),
+         |  (1680000300+i)*4294967296+1,
+         |  '{"_id":'||i||'}', CAST(NULL AS VARCHAR),
+         |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         | FROM range(40) t(i) WHERE i%6=0
+         |UNION ALL
+         |SELECT 'shop.items', 'c',
+         |  printf('%016x%04x', 1680000500*4294967296+1, 3),
+         |  1680000500*4294967296+1,
+         |  '{"_id":999}',
+         |  '{"_id":999,"sku":"sku_big","qty":0,"blob":"${"x" * 64}"}',
+         |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)""".stripMargin,
+
     "s9_binlog_decode" ->
       """SELECT 'testdb.bl_items' AS "table", 'c' AS op,
         |  500+CAST(floor(i/10) AS BIGINT) AS pos,
@@ -325,5 +381,5 @@ object WireQueries extends QueryGroup {
   override val duckdbOnly: Set[String] =
     Set("s8_pgoutput_decode", "s8_pgoutput_materialize",
       "s8_pgoutput_tx_stream", "s9_binlog_decode", "s10_logminer_decode",
-      "s11_cdc_tables_decode")
+      "s11_cdc_tables_decode", "s12_change_stream_decode")
 }

@@ -1,0 +1,101 @@
+package graft.sources.wire
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Decoder for MongoDB change streams — SURVEY S12. The wire format is
+  * the sequence of change-stream event documents a `watch()` cursor
+  * returns (here a JSONL recording of that cursor): each event carries a
+  * resume token (`_id._data`, a hex string whose byte order is the
+  * stream's total order), `clusterTime` (`{t: seconds, i: increment}`),
+  * `operationType`, `ns.{db,coll}`, `documentKey`, and depending on the
+  * operation `fullDocument` and/or `updateDescription`
+  * (`updatedFields` / `removedFields`).
+  *
+  * Reference semantics:
+  *  - operation mapping insert→c, update→u, replace→u, delete→d —
+  *    `recordemitter/MongoDbChangeRecordEmitter.java:43-46`; the server
+  *    pipeline filters to exactly those four types
+  *    (`ChangeStreamPipelineFactory.java`), so collection-level events
+  *    (drop/rename/invalidate) never become data events;
+  *  - events larger than 16 MB arrive split into fragments (each with
+  *    its own resume token and a `splitEvent: {fragment, of}` marker)
+  *    that must be reassembled before emitting —
+  *    `events/SplitEventHandler.java:33-60`; fragments partition the
+  *    top-level fields of the original event, and their resume tokens
+  *    share the event's position prefix (the fragment ordinal is the
+  *    token's suffix);
+  *  - the event order / offset is the resume token; `clusterTime`
+  *    provides `source.ts_ms` (`MongoDbOffsetContext`).
+  *
+  * Spark-first shape: the recording is a text DataFrame, every field
+  * extraction is a `get_json_object` column expression (codegen, no
+  * UDFs), and fragment reassembly is ONE map-side-combinable
+  * `groupBy(position-prefix)` — fields are disjoint across fragments so
+  * `max` of each column merges them; unsplit events are singleton
+  * groups in the same aggregation. No ordering assumption beyond the
+  * resume-token prefix rule, so a 100 TB recording decodes with a
+  * single shuffle keyed by event identity.
+  */
+object MongoChangeStream {
+
+  /** Hex digits of the resume token that encode the event position
+    * (the remainder distinguishes fragments of a split event).
+    */
+  val TokenPositionLen = 16
+
+  /** Decode a recorded change-stream cursor (one JSON event document
+    * per line in `lines.value`) into change events:
+    * `(table, op, resume_token, ord, key_json, after_json,
+    * updated_json, removed_fields)`.
+    *
+    * `after_json` is the full post-image when the capture mode recorded
+    * one (inserts, replaces, and updates under update-lookup);
+    * update events additionally carry the patch (`updated_json` +
+    * `removed_fields`), mirroring the reference's change-streams
+    * capture modes.
+    */
+  def decode(lines: DataFrame): DataFrame = {
+    val v = col("value")
+    val parsed = lines.select(
+      get_json_object(v, "$._id._data").as("token"),
+      get_json_object(v, "$.operationType").as("op_type"),
+      get_json_object(v, "$.ns.db").as("db"),
+      get_json_object(v, "$.ns.coll").as("coll"),
+      (get_json_object(v, "$.clusterTime.t").cast("long") * lit(4294967296L) +
+        get_json_object(v, "$.clusterTime.i").cast("long")).as("ord"),
+      get_json_object(v, "$.documentKey").as("key_json"),
+      get_json_object(v, "$.fullDocument").as("after_json"),
+      get_json_object(v, "$.updateDescription.updatedFields").as("updated_json"),
+      get_json_object(v, "$.updateDescription.removedFields").as("removed_json"))
+
+    // Fragment reassembly: group on the token's position prefix; the
+    // split fields are disjoint, so max() collapses each to its single
+    // non-null value. max(token) is the last fragment's token — the one
+    // a client resumes from (SplitEventHandler buffers until `of`).
+    val merged = parsed
+      .groupBy(substring(col("token"), 1, TokenPositionLen).as("pos_prefix"))
+      .agg(
+        max(col("token")).as("resume_token"),
+        max(col("op_type")).as("op_type"),
+        max(col("db")).as("db"), max(col("coll")).as("coll"),
+        max(col("ord")).as("ord"),
+        max(col("key_json")).as("key_json"),
+        max(col("after_json")).as("after_json"),
+        max(col("updated_json")).as("updated_json"),
+        max(col("removed_json")).as("removed_json"))
+
+    merged
+      .filter(col("op_type").isin("insert", "update", "replace", "delete"))
+      .select(
+        concat_ws(".", col("db"), col("coll")).as("table"),
+        when(col("op_type") === "insert", "c")
+          .when(col("op_type") === "delete", "d")
+          .otherwise("u").as("op"),
+        col("resume_token"), col("ord"), col("key_json"), col("after_json"),
+        col("updated_json"),
+        array_join(from_json(col("removed_json"), ArrayType(StringType)), ",")
+          .as("removed_fields"))
+  }
+}

@@ -298,6 +298,65 @@ object WireFixtures {
     lines.mkString("", "\n", "\n")
   }
 
+  // ------------------------------------------- MongoDB change stream
+  // Recorded watch() cursor (JSONL): 40 inserts, 8 updates with
+  // updateDescription (+ full post-image; i%10==5 also removes `price`),
+  // 4 replaces, 7 deletes, one collection `drop` (server-filtered by the
+  // reference pipeline, must not decode), and one insert split into 3
+  // fragments ($changeStreamSplitLargeEvent) whose disjoint top-level
+  // fields reassemble on the resume-token position prefix.
+
+  /** Resume token: 16 hex digits of position, 4 of fragment ordinal. */
+  def mongoToken(ord: Long, frag: Int): String = f"$ord%016x$frag%04x"
+
+  def mongoOrd(tSec: Long): Long = tSec * 4294967296L + 1L
+
+  def mongoChangeStreamJsonl: String = {
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    def ev(tSec: Long, opType: String, parts: String*): Unit = {
+      val tok = mongoToken(mongoOrd(tSec), 0)
+      lines += (s"""{"_id":{"_data":"$tok"},"operationType":"$opType",""" +
+        s""""clusterTime":{"t":$tSec,"i":1},""" +
+        s""""ns":{"db":"shop","coll":"items"}""" +
+        parts.map("," + _).mkString + "}")
+    }
+    (0 until 40).foreach { i =>
+      ev(1680000000L + i, "insert",
+        s""""documentKey":{"_id":$i}""",
+        s""""fullDocument":{"_id":$i,"sku":"sku_$i","qty":${i * 7},"price":${i * 1.5}}""")
+    }
+    (0 until 40).filter(_ % 5 == 0).foreach { i =>
+      val removed = if (i % 10 == 5) """["price"]""" else "[]"
+      val doc =
+        if (i % 10 == 5) s"""{"_id":$i,"sku":"sku_$i","qty":${i * 7 + 1000}}"""
+        else s"""{"_id":$i,"sku":"sku_$i","qty":${i * 7 + 1000},"price":${i * 1.5}}"""
+      ev(1680000100L + i, "update",
+        s""""documentKey":{"_id":$i}""",
+        s""""fullDocument":$doc""",
+        s""""updateDescription":{"updatedFields":{"qty":${i * 7 + 1000}},"removedFields":$removed}""")
+    }
+    (0 until 40).filter(_ % 10 == 7).foreach { i =>
+      ev(1680000200L + i, "replace",
+        s""""documentKey":{"_id":$i}""",
+        s""""fullDocument":{"_id":$i,"sku":"sku_${i}_v2","qty":${i * 7},"price":${i * 1.5 + 10}}""")
+    }
+    (0 until 40).filter(_ % 6 == 0).foreach { i =>
+      ev(1680000300L + i, "delete", s""""documentKey":{"_id":$i}""")
+    }
+    ev(1680000400L, "drop")
+    val splitOrd = mongoOrd(1680000500L)
+    lines += (s"""{"_id":{"_data":"${mongoToken(splitOrd, 1)}"},""" +
+      """"splitEvent":{"fragment":1,"of":3},"operationType":"insert",""" +
+      """"clusterTime":{"t":1680000500,"i":1}}""")
+    lines += (s"""{"_id":{"_data":"${mongoToken(splitOrd, 2)}"},""" +
+      """"splitEvent":{"fragment":2,"of":3},""" +
+      """"ns":{"db":"shop","coll":"items"},"documentKey":{"_id":999}}""")
+    lines += (s"""{"_id":{"_data":"${mongoToken(splitOrd, 3)}"},""" +
+      """"splitEvent":{"fragment":3,"of":3},""" +
+      s""""fullDocument":{"_id":999,"sku":"sku_big","qty":0,"blob":"${"x" * 64}"}}""")
+    lines.mkString("", "\n", "\n")
+  }
+
   val FixtureDir = "src/main/resources/graft/fixtures"
 
   def main(args: Array[String]): Unit = {
@@ -310,6 +369,8 @@ object WireFixtures {
       sqlServerCtJsonl.getBytes(StandardCharsets.UTF_8))
     Files.write(dir.resolve("logminer_contents.jsonl"),
       logMinerContentsJsonl.getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("mongo_changestream.jsonl"),
+      mongoChangeStreamJsonl.getBytes(StandardCharsets.UTF_8))
     println(s"wrote pgoutput rows=$pgoutputRowCount " +
       s"streamed rows=$pgoutputStreamedRowCount " +
       s"binlog rows=$binlogRowCount to $dir")

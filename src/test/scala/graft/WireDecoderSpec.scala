@@ -451,4 +451,53 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(committed,
       WireFixtures.logMinerContentsJsonl.getBytes("UTF-8")))
   }
+
+  // ------------------------------------------- MongoDB change stream
+
+  import graft.sources.wire.MongoChangeStream
+
+  private def mongoFixtureDf = {
+    val path = java.nio.file.Files.createTempFile("mongo", ".jsonl")
+    java.nio.file.Files.write(path,
+      WireFixtures.mongoChangeStreamJsonl.getBytes("UTF-8"))
+    spark.read.text(path.toString)
+  }
+
+  test("mongo change stream: op mapping, patch fields, drop filtered") {
+    val out = MongoChangeStream.decode(mongoFixtureDf).cache()
+    // 40 inserts + 1 split insert, 8 updates + 4 replaces, 7 deletes; drop gone
+    val byOp = out.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp == Map("c" -> 41L, "u" -> 12L, "d" -> 7L))
+    val u5 = out.filter(col("op") === "u" && col("key_json") === """{"_id":5}""")
+      .head()
+    assert(u5.getAs[String]("updated_json") == """{"qty":1035}""")
+    assert(u5.getAs[String]("removed_fields") == "price")
+    assert(!u5.getAs[String]("after_json").contains("price"),
+      "removed field must be absent from the post-image")
+    val d0 = out.filter(col("op") === "d" && col("key_json") === """{"_id":0}""")
+      .head()
+    assert(d0.getAs[String]("after_json") == null)
+    out.unpersist(); ()
+  }
+
+  test("mongo change stream: split-event fragments reassemble on token prefix") {
+    val out = MongoChangeStream.decode(mongoFixtureDf)
+    val big = out.filter(col("key_json") === """{"_id":999}""").head()
+    assert(big.getAs[String]("op") == "c")
+    assert(big.getAs[String]("table") == "shop.items")
+    // resume token = LAST fragment's token (what a client resumes from)
+    assert(big.getAs[String]("resume_token") ==
+      WireFixtures.mongoToken(WireFixtures.mongoOrd(1680000500L), 3))
+    assert(big.getAs[String]("after_json").contains("sku_big"))
+    assert(big.getAs[Long]("ord") == WireFixtures.mongoOrd(1680000500L))
+  }
+
+  test("mongo fixture: committed bytes equal the builder's output") {
+    val in = getClass.getResourceAsStream("/graft/fixtures/mongo_changestream.jsonl")
+    assert(in != null, "fixture missing from resources")
+    val committed = try in.readAllBytes() finally in.close()
+    assert(java.util.Arrays.equals(committed,
+      WireFixtures.mongoChangeStreamJsonl.getBytes("UTF-8")))
+  }
 }
