@@ -1,0 +1,46 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for corpus curation: per-stratum rates (e.g.
+  * language rebalancing) and reproducible dataset splits, both driven
+  * by a content-stable hash of the document id — NOT `rand()`, so
+  * membership is a pure function of the row, stable across reruns,
+  * retries, and cluster sizes.
+  *
+  * 100 TB shape: sampling is a stateless filter on a hash expression —
+  * no shuffle, no driver state, prunes before any downstream work, and
+  * composes with partition pruning. The md5-derived uniform is portable
+  * (bit-identical in any engine with md5), which is what makes the
+  * sample auditable outside Spark.
+  */
+object Sampling {
+
+  /** Uniform [0, 100) bucket from the first 6 md5 hex digits of `id`. */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long") % 100
+
+  /** Keep rows whose stratum has a configured rate and whose hash
+    * bucket falls under it: `rates` maps stratum value → percentage
+    * [0, 100]. Strata without a rate are dropped (explicit allowlist).
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+                       rates: Map[String, Int]): DataFrame = {
+    val rate = rates.foldLeft(lit(-1)) { case (acc, (k, v)) =>
+      when(stratum === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(id) < rate)
+  }
+
+  /** Deterministic named splits (train/valid/test …): `cuts` maps split
+    * name → cumulative upper percentage, evaluated in ascending order.
+    * E.g. `Seq("valid" -> 1, "test" -> 2, "train" -> 100)` sends 1% to
+    * valid, 1% to test, the rest to train.
+    */
+  def splitColumn(id: Column, cuts: Seq[(String, Int)]): Column =
+    cuts.sortBy(_._2).foldRight(lit(null).cast("string")) {
+      case ((name, upper), acc) =>
+        when(hashBucket(id) < upper, lit(name)).otherwise(acc)
+    }
+}

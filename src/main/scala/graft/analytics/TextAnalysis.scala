@@ -76,4 +76,41 @@ object TextAnalysis {
   def tokenCountBpeIsh(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, w) => acc + lit(1L) + floor(length(w) / 5.0).cast("long"))
+
+  /** Distinct `n`-token shingles (windows truncate at the tail; docs
+    * shorter than `n` yield their whole token list as one shingle).
+    */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(tokens(text)) - (n - 1), lit(1))),
+      i => array_join(slice(tokens(text), i, lit(n)), " ")))
+
+  // --- Repetition signals (Gopher-style quality filters): high values
+  // mark boilerplate/spam documents. Pure column expressions; each is
+  // floor-quantized to 1e-4 so any engine computing the same IEEE
+  // quotient agrees exactly.
+
+  private def q4(c: Column): Column = floor(c * 10000) / 10000.0
+
+  /** Fraction of tokens that are repeats of an earlier token. */
+  def dupTokenFrac(text: Column): Column = {
+    val tk = tokens(text)
+    q4(lit(1.0) - size(array_distinct(tk)).cast("double") / size(tk))
+  }
+
+  /** Frequency share of the single most common token. */
+  def topTokenFrac(text: Column): Column = {
+    val tk = tokens(text)
+    val top = array_max(transform(array_distinct(tk),
+      w => size(filter(tk, t => t === w))))
+    q4(top.cast("double") / size(tk))
+  }
+
+  /** Fraction of 2-token windows that occur more than once. */
+  def dup2gramFrac(text: Column): Column = {
+    val tk = tokens(text)
+    val grams = transform(sequence(lit(1), greatest(size(tk) - 1, lit(1))),
+      i => array_join(slice(tk, i, lit(2)), " "))
+    q4(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+  }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analytics.{Decontaminate, Sampling, SequencePack, TextAnalysis}
+
+/** Invariant tests for the corpus-curation operators (decontamination,
+  * repetition signals, sequence packing, deterministic sampling); the
+  * value-level ground truth is the DuckDB oracle gate.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "a b c d e f g h i j"),        // 10 distinct tokens
+    (1L, "a b c d e f g h i j"),        // exact dup of 0
+    (2L, "x x x x x x x x"),            // maximal repetition
+    (3L, "p q r s t u v w a b c d e f g h k l m n")) // shares 8-gram a..h
+    .toDF("doc_id", "text")
+
+  test("decontaminate: exact dup and embedded 8-gram flagged; others clean") {
+    val out = Decontaminate.contaminatedDocs(
+      docs.filter(col("doc_id") =!= 0), docs.filter(col("doc_id") === 0), n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(1L), "exact duplicate must be contaminated")
+    assert(out.contains(3L), "doc embedding a benchmark 8-gram must be flagged")
+    assert(!out.contains(2L), "unrelated doc must not be flagged")
+    // doc 1 shares all 3 distinct 8-shingles of doc 0
+    assert(out(1L) == 3L && out(3L) == 1L)
+  }
+
+  test("repetition signals: distinct text scores 0, repeated text scores high") {
+    val r = docs.select(col("doc_id"),
+      TextAnalysis.dupTokenFrac(col("text")).as("dup"),
+      TextAnalysis.topTokenFrac(col("text")).as("top"),
+      TextAnalysis.dup2gramFrac(col("text")).as("g2"))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r(0L) == ((0.0, 0.1, 0.0)))
+    assert(r(2L)._1 == 0.875 && r(2L)._2 == 1.0 && r(2L)._3 > 0.8)
+  }
+
+  test("sequence packing: offsets stay under budget, packs fill in doc order") {
+    val many = spark.range(100).select(col("id").as("doc_id"),
+      lit("w " * 99 + "w").as("text")) // 100 tokens each
+    val packed = SequencePack.pack(many,
+      TextAnalysis.tokenCount(col("text")), budget = 256, shards = 4)
+    val rows = packed.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(r => r.getAs[Long]("pack_offset") >= 0 &&
+      r.getAs[Long]("pack_offset") < 256))
+    // within a shard, pack ids are non-decreasing in doc order
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("pack_id"))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b })
+    }
+    // 25 docs/shard × 100 tokens / 256 budget → packs 0..9 per shard
+    assert(rows.map(_.getAs[Long]("pack_id")).max == 9)
+  }
+
+  test("sampling: deterministic, rate-monotone, splits partition the corpus") {
+    val ids = spark.range(1000).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    val r40 = Sampling.stratifiedSample(ids, col("lang"), col("doc_id"),
+      Map("en" -> 40)).collect().map(_.getLong(0)).toSet
+    val r80 = Sampling.stratifiedSample(ids, col("lang"), col("doc_id"),
+      Map("en" -> 80)).collect().map(_.getLong(0)).toSet
+    assert(r40.subsetOf(r80), "lower rate must be a subset of higher rate")
+    assert(r80.forall(_ % 2 == 0), "unlisted stratum must be dropped")
+    // rate ~ requested percentage of the en stratum (500 docs)
+    assert(math.abs(r40.size - 200) < 60 && math.abs(r80.size - 400) < 60)
+
+    val splits = ids.select(Sampling.splitColumn(col("doc_id"),
+      Seq("valid" -> 5, "test" -> 10, "train" -> 100)).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum == 1000, "splits must partition the corpus")
+    assert(splits.keySet == Set("valid", "test", "train"))
+    assert(splits("train") > splits("test") && splits("test") >= splits("valid"))
+  }
+}
