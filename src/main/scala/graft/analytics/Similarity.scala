@@ -35,6 +35,37 @@ object Similarity {
     graft.expressions.GraftFunctions.cosine(a, b)
   }
 
+  /** SemDeDup-style embedding near-dup resolution: IVF cells provide
+    * CONTENT-based blocking (vectors land with their geometric
+    * neighbours regardless of id order), candidate pairs are the
+    * within-cell combinations above `minSim` cosine, and the pair graph
+    * resolves to keep/drop clusters via [[Dedup.dedupClusters]]
+    * (canonical = min vec_id).
+    *
+    * 100 TB shape: cell assignment is the native codegen `NearestCell`
+    * expression (map-only), the self-join shuffles once on the cell id,
+    * and the quadratic term is bounded by cell size — cells are the
+    * k-means partition, so growing the corpus grows k, not the
+    * per-cell pair count. No all-pairs stage anywhere.
+    */
+  def semanticDedup(corpus: DataFrame, centroids: Seq[Ivf.Centroid],
+                    minSim: Double): DataFrame = {
+    val cells = corpus.select(col("vec_id"), col("embedding"),
+      Ivf.cellOfNative(corpus)(col("embedding"), centroids).as("cell"))
+    val l = cells.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val r = cells.select(col("cell").as("cell_r"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    val pairs = l
+      .join(r, col("cell") === col("cell_r") && col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosineNative(corpus)(col("ea"), col("eb")), 6))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"))
+    Dedup.dedupClusters(corpus.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("is_canonical").cast("int").as("is_canonical"))
+  }
+
   /** Brute-force cosine top-k: a small query set against the full corpus.
     * The query side is broadcast; the corpus is scanned once; ranking is a
     * per-query window (k small ⇒ tiny state).

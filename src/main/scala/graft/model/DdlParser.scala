@@ -1,7 +1,7 @@
 package graft.model
 
 import org.apache.spark.sql.types._
-import graft.operators.SchemaEvolution.{AddColumn, DropColumn, SchemaChange, WidenColumn}
+import graft.operators.SchemaEvolution.{AddColumn, DropColumn, RenameColumn, SchemaChange, WidenColumn}
 
 /** Minimal DDL-text intake — the reference parses log-embedded DDL with
   * full ANTLR grammars (`debezium-ddl-parser`, interface
@@ -19,6 +19,10 @@ object DdlParser {
                                schema: StructType) extends Parsed
   final case class AlterTable(table: Envelope.TableId,
                               changes: Seq[SchemaChange]) extends Parsed
+  final case class DropTable(table: Envelope.TableId) extends Parsed
+  final case class TruncateTable(table: Envelope.TableId) extends Parsed
+  final case class RenameTable(table: Envelope.TableId,
+                               to: Envelope.TableId) extends Parsed
 
   /** SQL type name → Spark type (the common relational spellings). */
   def sqlType(t: String): DataType = {
@@ -89,6 +93,14 @@ object DdlParser {
 
   private val Create =
     """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\S+)\s*\((.*)\)\s*;?\s*""".r
+  private val Drop =
+    """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\S+?);?\s*""".r
+  private val Truncate =
+    """(?is)\s*TRUNCATE\s+(?:TABLE\s+)?(\S+?);?\s*""".r
+  private val RenameTo = // MySQL RENAME TABLE a TO b / ALTER TABLE a RENAME [TO] b
+    """(?is)\s*RENAME\s+TABLE\s+(\S+)\s+TO\s+(\S+?);?\s*""".r
+  private val AlterRename =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+RENAME\s+(?!COLUMN\s)(?:TO\s+)?([^;\s]+);?\s*""".r
   private val Alter =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+(.*?);?\s*""".r
 
@@ -103,12 +115,22 @@ object DdlParser {
         else Some(StructField(colName, sqlType(stripColumnOptions(parts(1)))))
       }
       CreateTable(Envelope.TableId.parse(unquote(name)), StructType(fields))
+    case Drop(_, name) =>
+      DropTable(Envelope.TableId.parse(unquote(name)))
+    case RenameTo(from, to) =>
+      RenameTable(Envelope.TableId.parse(unquote(from)),
+        Envelope.TableId.parse(unquote(to)))
+    case AlterRename(from, to) =>
+      RenameTable(Envelope.TableId.parse(unquote(from)),
+        Envelope.TableId.parse(unquote(to)))
     case Alter(name, actions) =>
       val changes = splitTop(actions).map(parseAction)
       AlterTable(Envelope.TableId.parse(unquote(name)), changes)
+    case Truncate(name) =>
+      TruncateTable(Envelope.TableId.parse(unquote(name)))
     case other =>
       throw new IllegalArgumentException(
-        s"unsupported DDL (only CREATE/ALTER TABLE): ${other.take(80)}")
+        s"unsupported DDL (CREATE/ALTER/DROP/RENAME/TRUNCATE TABLE): ${other.take(80)}")
   }
 
   /** Primary-key column names of a CREATE TABLE statement: per-column
@@ -152,10 +174,19 @@ object DdlParser {
     """(?is)MODIFY\s+(?:COLUMN\s+)?(\S+)\s+(.+)""".r
   private val AlterColType = // Postgres ALTER COLUMN c TYPE t
     """(?is)ALTER\s+(?:COLUMN\s+)?(\S+)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+)""".r
+  private val RenameCol = // Postgres/MySQL 8 RENAME COLUMN a TO b
+    """(?is)RENAME\s+COLUMN\s+(\S+)\s+TO\s+(\S+)""".r
+  private val ChangeCol = // MySQL CHANGE [COLUMN] old new type (rename keeps type in this subset)
+    """(?is)CHANGE\s+(?:COLUMN\s+)?(\S+)\s+(\S+)\s+(.+)""".r
 
   private def parseAction(action: String): SchemaChange = action match {
     case AlterColType(n, t) => WidenColumn(unquote(n), sqlType(stripColumnOptions(t)))
+    case RenameCol(f, to)   => RenameColumn(unquote(f), unquote(to))
     case ModifyCol(n, t)    => WidenColumn(unquote(n), sqlType(stripColumnOptions(t)))
+    case ChangeCol(f, to, t) =>
+      if (unquote(f) == unquote(to))
+        WidenColumn(unquote(f), sqlType(stripColumnOptions(t)))
+      else RenameColumn(unquote(f), unquote(to))
     case AddCol(n, t)       => AddColumn(unquote(n), sqlType(stripColumnOptions(t)))
     case DropCol(n)         => DropColumn(unquote(n))
     case other =>

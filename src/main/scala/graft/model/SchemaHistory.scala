@@ -3,7 +3,7 @@ package graft.model
 import java.nio.file.{Path, Paths}
 import org.apache.spark.sql.types.{DataType, StructType}
 import graft.operators.SchemaEvolution
-import graft.operators.SchemaEvolution.{AddColumn, DropColumn, SchemaChange, WidenColumn}
+import graft.operators.SchemaEvolution.{AddColumn, DropColumn, RenameColumn, SchemaChange, WidenColumn}
 
 /** Durable schema history (SURVEY §1.2/§2.9; reference
   * `relational/history/SchemaHistory.java:34` + `TableChanges.java`
@@ -23,7 +23,8 @@ final class SchemaHistory(storage: HistoryStorage) {
     val line = change match {
       case AddColumn(n, t)   => s"$pos\tadd\t$n\t${t.sql}"
       case WidenColumn(n, t) => s"$pos\twiden\t$n\t${t.sql}"
-      case DropColumn(n)     => s"$pos\tdrop\t$n\t-"
+      case DropColumn(n)       => s"$pos\tdrop\t$n\t-"
+      case RenameColumn(f, to) => s"$pos\trename\t$f\t$to"
     }
     storage.append(line)
   }
@@ -34,7 +35,8 @@ final class SchemaHistory(storage: HistoryStorage) {
       val change = kind match {
         case "add"   => AddColumn(name, DataType.fromDDL(ddl))
         case "widen" => WidenColumn(name, DataType.fromDDL(ddl))
-        case "drop"  => DropColumn(name)
+        case "drop"   => DropColumn(name)
+        case "rename" => RenameColumn(name, ddl)
       }
       p.toLong -> change
     }.filter(_._1 <= upToPos).sortBy(_._1)

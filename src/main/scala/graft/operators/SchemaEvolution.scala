@@ -18,6 +18,7 @@ object SchemaEvolution {
   final case class DropColumn(name: String) extends SchemaChange
   /** widen only: int→long, float→double, decimal scale growth */
   final case class WidenColumn(name: String, to: DataType) extends SchemaChange
+  final case class RenameColumn(from: String, to: String) extends SchemaChange
 
   private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
     case (IntegerType, LongType) | (ShortType, IntegerType | LongType) |
@@ -43,6 +44,10 @@ object SchemaEvolution {
         .getOrElse(throw new IllegalArgumentException(s"column $n missing"))
       require(widens(f.dataType, to), s"cannot narrow ${f.dataType} to $to")
       StructType(schema.fields.map(x => if (x.name == n) x.copy(dataType = to) else x))
+    case RenameColumn(from, to) =>
+      require(schema.fieldNames.contains(from), s"column $from does not exist")
+      require(!schema.fieldNames.contains(to), s"column $to already exists")
+      StructType(schema.fields.map(x => if (x.name == from) x.copy(name = to) else x))
   }
 
   def applyAll(schema: StructType, changes: Seq[SchemaChange]): StructType =

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analytics.{Dedup, Similarity, TextAnalysis}
+import graft.analytics.{Decontaminate, Dedup, Sampling, SequencePack, Similarity, TextAnalysis}
 
 /** LLM-training-corpus operators over `documents` / `embeddings`:
   * deduplication (exact, Jaccard, MinHash+LSH, SimHash), similarity search
@@ -81,6 +81,46 @@ object CorpusQueries extends QueryGroup {
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3,
         bits = 32, nBands = 4, tokenHash = Dedup.md5Hash32)),
 
+    // Benchmark decontamination: training docs sharing any 5-token
+    // shingle with the eval set (doc_id%11==0 stands in for a benchmark
+    // suite); eval shingles broadcast, corpus side never shuffles
+    "a_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.contaminatedDocs(
+        docs.filter(col("doc_id") % 11 =!= 0),
+        docs.filter(col("doc_id") % 11 === 0), n = 5)
+    }),
+
+    // Gopher-style repetition signals: high duplicate-token /
+    // top-token / duplicate-2-gram fractions mark boilerplate
+    "a_repetition_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.dupTokenFrac(col("text")).as("dup_token_frac"),
+        TextAnalysis.topTokenFrac(col("text")).as("top_token_frac"),
+        TextAnalysis.dup2gramFrac(col("text")).as("dup_2gram_frac"))),
+
+    // Concatenate-and-chunk sequence packing: 8 independent shard
+    // streams, 2048-token windows, deterministic pack ids + offsets
+    "a_sequence_pack" -> ((s, dir) =>
+      SequencePack.pack(t(s, dir, "documents"),
+        TextAnalysis.tokenCount(col("text")), budget = 2048, shards = 8)),
+
+    // Deterministic per-language sampling: md5-bucket under a
+    // per-stratum rate — a pure filter, no shuffle, rerun-stable
+    "a_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), col("lang"),
+        col("doc_id"),
+        Map("en" -> 60, "de" -> 40, "fr" -> 40, "es" -> 20, "zh" -> 20))
+        .select(col("doc_id"), col("lang"),
+          Sampling.hashBucket(col("doc_id")).as("bucket"))),
+
+    // Reproducible named splits from the same hash bucket
+    "a_train_split" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        Sampling.splitColumn(col("doc_id"),
+          Seq("valid" -> 5, "test" -> 10, "train" -> 100)).as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))),
+
     "a_embed_norms" -> ((s, dir) =>
       t(s, dir, "embeddings").select(col("vec_id"), col("label"),
         size(col("embedding")).as("dim"),
@@ -107,6 +147,14 @@ object CorpusQueries extends QueryGroup {
 
     "a_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(t(s, dir, "embeddings"), dims = 64, nBits = 8,
+        minSim = 0.3)),
+
+    // SemDeDup: embedding near-dups via IVF-cell blocking (content-based,
+    // unlike a_cosine_pairs' id-range buckets) resolved to keep/drop
+    // clusters — the embedding-space analogue of a_dedup_clusters
+    "a_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"),
+        graft.analytics.Ivf.pretrainedCentroids(k = 16, dims = 64),
         minSim = 0.3)),
 
     // IVF ANN with pretrained cells: the oracle replays the identical
@@ -196,6 +244,41 @@ object CorpusQueries extends QueryGroup {
        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rk,
        | neighbor_id, sim
        |FROM sc QUALIFY rk <= $topK""".stripMargin
+  }
+
+  /** The full SemDeDup computation replayed in SQL: unit-normalize, L2
+    * cell assignment from the pretrained-centroid literals, within-cell
+    * cosine pairs, then EXACT transitive closure (the oracle's connected
+    * components, vs the engine's bounded min-label propagation).
+    */
+  private def semanticDedupOracle: String = {
+    val k = 16; val dims = 64; val minSim = 0.3
+    val cents = graft.analytics.Ivf.pretrainedCentroids(k, dims)
+    val distList = cents.map { c =>
+      val lit = c.mkString("[", ",", "]")
+      s"list_sum(list_transform(list_zip(ne, $lit::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    }.mkString("[", ", ", "]")
+    s"""WITH RECURSIVE n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |   list_transform(embedding::DOUBLE[], x ->
+       |     x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS ne
+       |  FROM embeddings),
+       | d AS (SELECT vec_id, emb, $distList AS dists FROM n),
+       | cells AS (SELECT vec_id, emb,
+       |   list_indexof(dists, list_min(dists)) - 1 AS cell FROM d),
+       | pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= $minSim),
+       | e AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |  UNION ALL SELECT id_b, id_a FROM pr),
+       | reach(id, r) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+       |SELECT v.vec_id,
+       | coalesce(min(reach.r), v.vec_id) AS cluster_id,
+       | CAST(v.vec_id = coalesce(min(reach.r), v.vec_id) AS INTEGER) AS is_canonical
+       |FROM embeddings v LEFT JOIN reach ON reach.id = v.vec_id
+       |GROUP BY v.vec_id""".stripMargin
   }
 
   /** Hyperplane-LSH buckets reproduced with the exact literal hyperplanes
@@ -289,6 +372,63 @@ object CorpusQueries extends QueryGroup {
         | FROM s a JOIN s b ON a.b = b.b AND a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.9""".stripMargin,
 
+    "a_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        | sh AS (SELECT doc_id, unnest(list_distinct(
+        |   [array_to_string(tk[i:i+4],' ')
+        |    for i in range(1, greatest(len(tk)-4, 1)+1)])) AS sh FROM tk),
+        | bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id%11=0)
+        |SELECT s.doc_id, count(*) AS contaminated_shingles
+        |FROM sh s JOIN bench USING (sh) WHERE s.doc_id%11<>0
+        |GROUP BY s.doc_id""".stripMargin,
+
+    "a_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        | g AS (SELECT doc_id, tk,
+        |   [array_to_string(tk[i:i+1],' ')
+        |    for i in range(1, greatest(len(tk)-1, 1)+1)] AS g2 FROM t)
+        |SELECT doc_id,
+        | floor((1.0 - len(list_distinct(tk))*1.0/len(tk)) * 10000)/10000.0
+        |   AS dup_token_frac,
+        | floor((list_max(list_transform(list_distinct(tk),
+        |     w -> len(list_filter(tk, x -> x = w))))*1.0/len(tk)) * 10000)/10000.0
+        |   AS top_token_frac,
+        | floor((1.0 - len(list_distinct(g2))*1.0/len(g2)) * 10000)/10000.0
+        |   AS dup_2gram_frac
+        |FROM g""".stripMargin,
+
+    "a_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  len(string_split(text,' '))::BIGINT AS n_tokens FROM documents),
+        | c AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        | CAST(floor((cum - n_tokens)/2048) AS BIGINT) AS pack_id,
+        | (cum - n_tokens) % 2048 AS pack_offset
+        |FROM c""".stripMargin,
+
+    "a_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(doc_id::VARCHAR), i, 1))-1)::BIGINT
+        |      << (4*(6-i)) for i in range(1, 7)]) AS BIGINT) % 100 AS bucket
+        | FROM documents)
+        |SELECT doc_id, lang, bucket FROM h
+        |WHERE bucket < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40
+        |  WHEN 'fr' THEN 40 WHEN 'es' THEN 20 WHEN 'zh' THEN 20
+        |  ELSE -1 END""".stripMargin,
+
+    "a_train_split" ->
+      """WITH h AS (SELECT doc_id,
+        |  CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(doc_id::VARCHAR), i, 1))-1)::BIGINT
+        |      << (4*(6-i)) for i in range(1, 7)]) AS BIGINT) % 100 AS bucket
+        | FROM documents)
+        |SELECT CASE WHEN bucket < 5 THEN 'valid' WHEN bucket < 10 THEN 'test'
+        |  ELSE 'train' END AS split, count(*) AS n_docs
+        |FROM h GROUP BY 1""".stripMargin,
+
     "a_embed_norms" ->
       """SELECT vec_id, label, len(embedding) AS dim,
         | round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS norm
@@ -340,6 +480,8 @@ object CorpusQueries extends QueryGroup {
 
     "a_minhash_lsh" -> minhashOracle,
 
+    "a_semantic_dedup" -> semanticDedupOracle,
+
     "a_ann_ivf" -> annIvfOracle,
 
     "a_simhash_pairs" -> simhashOracle,
@@ -350,7 +492,9 @@ object CorpusQueries extends QueryGroup {
   override val duckdbOnly: Set[String] = Set(
     "a_text_stats", "a_lang_id", "a_quality_score", "a_fingerprint",
     "a_jaccard_pairs", "a_ngram_jaccard", "a_dedup_clusters",
+    "a_decontaminate", "a_repetition_stats", "a_sequence_pack",
+    "a_stratified_sample", "a_train_split",
     "a_embed_norms", "a_ann_topk",
     "a_cosine_pairs", "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh",
-    "a_ann_ivf")
+    "a_ann_ivf", "a_semantic_dedup")
 }

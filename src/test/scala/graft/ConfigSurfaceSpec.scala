@@ -177,11 +177,29 @@ class ConfigSurfaceSpec extends AnyFunSuite {
           WidenColumn("c", DoubleType)))
       case other => fail(s"expected AlterTable, got $other")
     }
-    assertThrows[IllegalArgumentException] {
-      DdlParser.parse("DROP TABLE t")
+    import graft.model.DdlParser.{DropTable, RenameTable, TruncateTable}
+    import graft.operators.SchemaEvolution.RenameColumn
+    assert(DdlParser.parse("DROP TABLE IF EXISTS db.t") ==
+      DropTable(graft.model.Envelope.TableId.parse("db.t")))
+    assert(DdlParser.parse("TRUNCATE TABLE db.t") ==
+      TruncateTable(graft.model.Envelope.TableId.parse("db.t")))
+    assert(DdlParser.parse("RENAME TABLE t TO u") ==
+      DdlParser.parse("ALTER TABLE t RENAME TO u"))
+    DdlParser.parse("ALTER TABLE t RENAME TO u") match {
+      case RenameTable(from, to) =>
+        assert(from.table == "t" && to.table == "u")
+      case other => fail(s"expected RenameTable, got $other")
+    }
+    DdlParser.parse(
+      "ALTER TABLE t RENAME COLUMN a TO b, CHANGE COLUMN c d BIGINT," +
+        " CHANGE e e BIGINT") match {
+      case AlterTable(_, changes) =>
+        assert(changes == Seq(RenameColumn("a", "b"), RenameColumn("c", "d"),
+          WidenColumn("e", LongType)))
+      case other => fail(s"expected AlterTable, got $other")
     }
     assertThrows[IllegalArgumentException] {
-      DdlParser.parse("ALTER TABLE t RENAME TO u")
+      DdlParser.parse("GRANT SELECT ON t TO role")
     }
   }
 

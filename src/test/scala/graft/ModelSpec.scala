@@ -16,10 +16,12 @@ class ModelSpec extends AnyFunSuite {
     h.append(100, AddColumn("extra", DoubleType))
     h.append(200, WidenColumn("id", LongType))
     h.append(300, DropColumn("v"))
+    h.append(400, RenameColumn("extra", "bonus"))
     assert(h.recover(base, 50) == base)
     assert(h.recover(base, 150).fieldNames.toSeq == Seq("id", "v", "extra"))
     assert(h.recover(base, 250)("id").dataType == LongType)
-    assert(h.recover(base).fieldNames.toSeq == Seq("id", "extra"))
+    assert(h.recover(base, 350).fieldNames.toSeq == Seq("id", "extra"))
+    assert(h.recover(base).fieldNames.toSeq == Seq("id", "bonus"))
     // a fresh instance over the same file recovers identically (restart)
     assert(SchemaHistory.at(dir, "orders").recover(base) == h.recover(base))
   }
