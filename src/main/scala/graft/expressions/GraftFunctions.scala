@@ -26,6 +26,16 @@ object GraftFunctions {
       MinHashSignature(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())
     }),
+    // Spark's internal runtime-filter bloom expressions surfaced as
+    // callable functions: build over xxhash64 values, probe with a
+    // foldable serialized-filter literal. Both codegen; no UDFs.
+    "graft_bloom_agg" -> ((exprs: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression()),
+    "graft_bloom_might_contain" -> ((exprs: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))),
     "graft_nearest_cell" -> ((exprs: Seq[Expression]) => {
       // 2nd arg must be a foldable array<array<double>> literal — the
       // centroid matrix is evaluated once at plan time, not per row
@@ -66,4 +76,16 @@ object GraftFunctions {
   def minhash(shingles: Column, numPerm: Int): Column =
     call_function("graft_minhash", shingles,
       org.apache.spark.sql.functions.lit(numPerm))
+
+  /** Bloom filter over an xxhash64 column (register(spark) first):
+    * aggregate to ONE binary value (serialized filter).
+    */
+  def bloomAgg(hash64: Column, expectedItems: Long, numBits: Long): Column =
+    call_function("graft_bloom_agg", hash64,
+      org.apache.spark.sql.functions.lit(expectedItems),
+      org.apache.spark.sql.functions.lit(numBits))
+
+  /** Probe a serialized bloom filter literal with an xxhash64 column. */
+  def bloomMightContain(bloom: Column, hash64: Column): Column =
+    call_function("graft_bloom_might_contain", bloom, hash64)
 }

@@ -149,6 +149,17 @@ object CorpusQueries extends QueryGroup {
       Similarity.annLsh(t(s, dir, "embeddings"), dims = 64, nBits = 8,
         minSim = 0.3)),
 
+    // Incremental crawl dedup: new half (doc_id>=250) against history
+    // (doc_id<250) on the 8-token prefix fingerprint — bloom prefilter
+    // (map-only) then exact verify, result equals the exact anti-join
+    "a_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") >= 250),
+        docs.filter(col("doc_id") < 250),
+        TextAnalysis.prefixFingerprint(col("text"), 8))
+    }),
+
     // SemDeDup: embedding near-dups via IVF-cell blocking (content-based,
     // unlike a_cosine_pairs' id-range buckets) resolved to keep/drop
     // clusters — the embedding-space analogue of a_dedup_clusters
@@ -482,6 +493,14 @@ object CorpusQueries extends QueryGroup {
 
     "a_semantic_dedup" -> semanticDedupOracle,
 
+    "a_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(array_to_string(string_split(text,' ')[1:8],' ')) AS fp
+        | FROM documents),
+        | h AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250)
+        |SELECT doc_id, CAST(fp IN (SELECT fp FROM h) AS INT) AS is_dup
+        |FROM f WHERE doc_id >= 250""".stripMargin,
+
     "a_ann_ivf" -> annIvfOracle,
 
     "a_simhash_pairs" -> simhashOracle,
@@ -492,7 +511,8 @@ object CorpusQueries extends QueryGroup {
   override val duckdbOnly: Set[String] = Set(
     "a_text_stats", "a_lang_id", "a_quality_score", "a_fingerprint",
     "a_jaccard_pairs", "a_ngram_jaccard", "a_dedup_clusters",
-    "a_decontaminate", "a_repetition_stats", "a_sequence_pack",
+    "a_decontaminate", "a_incremental_dedup", "a_repetition_stats",
+    "a_sequence_pack",
     "a_stratified_sample", "a_train_split",
     "a_embed_norms", "a_ann_topk",
     "a_cosine_pairs", "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh",

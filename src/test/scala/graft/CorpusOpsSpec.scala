@@ -58,6 +58,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("pack_id")).max == 9)
   }
 
+  test("incremental dedup: bloom prefilter has no false negatives; verify is exact") {
+    import graft.analytics.Dedup
+    val history = Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("doc_id", "text")
+    val fresh = Seq((10L, "alpha beta"), (11L, "epsilon zeta"),
+      (12L, "gamma delta"), (13L, "eta theta")).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(fresh, history, col("text"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(10L -> 1, 11L -> 0, 12L -> 1, 13L -> 0))
+  }
+
   test("sampling: deterministic, rate-monotone, splits partition the corpus") {
     val ids = spark.range(1000).select(col("id").as("doc_id"),
       when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
