@@ -48,7 +48,11 @@ object Similarity {
     * k-means partition, so growing the corpus grows k, not the
     * per-cell pair count. No all-pairs stage anywhere.
     */
-  def semanticDedup(corpus: DataFrame, centroids: Seq[Ivf.Centroid],
+  /** The candidate stage of [[semanticDedup]]: within-cell cosine pairs
+    * above `minSim` — exposed separately so callers (and plan guards)
+    * can audit the pair computation before cluster resolution.
+    */
+  def semanticPairs(corpus: DataFrame, centroids: Seq[Ivf.Centroid],
                     minSim: Double): DataFrame = {
     val cells = corpus.select(col("vec_id"), col("embedding"),
       Ivf.cellOfNative(corpus)(col("embedding"), centroids).as("cell"))
@@ -56,10 +60,15 @@ object Similarity {
       col("embedding").as("ea"))
     val r = cells.select(col("cell").as("cell_r"), col("vec_id").as("id_b"),
       col("embedding").as("eb"))
-    val pairs = l
-      .join(r, col("cell") === col("cell_r") && col("id_a") < col("id_b"))
+    l.join(r, col("cell") === col("cell_r") && col("id_a") < col("id_b"))
       .withColumn("sim", round(cosineNative(corpus)(col("ea"), col("eb")), 6))
       .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  def semanticDedup(corpus: DataFrame, centroids: Seq[Ivf.Centroid],
+                    minSim: Double): DataFrame = {
+    val pairs = semanticPairs(corpus, centroids, minSim)
       .select(col("id_a"), col("id_b"))
     Dedup.dedupClusters(corpus.select(col("vec_id").as("doc_id")), pairs)
       .select(col("doc_id").as("vec_id"), col("cluster_id"),

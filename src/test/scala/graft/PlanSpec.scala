@@ -66,4 +66,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "window side should broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("decontamination broadcasts the benchmark shingles; corpus side map-only") {
+    val p = plan("a_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval shingles should broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus side must not shuffle for the contamination join")
+  }
+
+  test("sequence packing shuffles once, on the shard key") {
+    val p = plan("a_sequence_pack")
+    // formatted mode lists each node twice (tree + details)
+    assert("Exchange".r.findAllIn(p).size == 2,
+      "packing should cost exactly one hash shuffle")
+    assert(p.contains("Window"), "running offset should be a window function")
+  }
+
+  test("stratified sampling is a pure filter — no shuffle at all") {
+    val p = plan("a_stratified_sample")
+    assert(!p.contains("Exchange"), "sampling must not shuffle")
+  }
+
+  test("semantic dedup assigns cells natively and never cross-joins") {
+    // assert on the candidate stage: the full query checkpoints the pair
+    // graph eagerly, which hides the cell computation from its final plan
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = graft.analytics.Similarity.semanticPairs(e,
+      graft.analytics.Ivf.pretrainedCentroids(16, 64), 0.3)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("nearestcell") || p.contains("NearestCell"),
+      "cell assignment should use the native NearestCell expression")
+    assert(!p.contains("CartesianProduct"), "no all-pairs stage allowed")
+  }
 }
