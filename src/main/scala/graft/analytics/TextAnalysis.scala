@@ -85,6 +85,20 @@ object TextAnalysis {
       sequence(lit(1), greatest(size(tokens(text)) - (n - 1), lit(1))),
       i => array_join(slice(tokens(text), i, lit(n)), " ")))
 
+  /** PII scrubbing: emails, phone-shaped digit runs, and IPv4 literals
+    * replaced with typed placeholders. Pure `regexp_replace` chain
+    * (codegen, replaces every occurrence); patterns use the portable
+    * regex subset (no lookaround), so external engines can reproduce
+    * the redaction byte-for-byte.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]")
+    regexp_replace(ip, "\\+?\\d[\\d -]{7,}\\d", "[PHONE]")
+  }
+
   // --- Repetition signals (Gopher-style quality filters): high values
   // mark boilerplate/spam documents. Pure column expressions; each is
   // floor-quantized to 1e-4 so any engine computing the same IEEE

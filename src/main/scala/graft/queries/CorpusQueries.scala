@@ -149,6 +149,59 @@ object CorpusQueries extends QueryGroup {
       Similarity.annLsh(t(s, dir, "embeddings"), dims = 64, nBits = 8,
         minSim = 0.3)),
 
+    // PII scrubbing: deterministic synthetic PII (emails, phones, IPs)
+    // appended per doc, then the regexp_replace redaction chain; had_pii
+    // flags rows the chain touched
+    "a_pii_redact" -> ((s, dir) => {
+      val raw = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" call +1 555 0123 4567 or 10.0.0."), col("doc_id") % 256))
+          .otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.redactPii(raw).as("clean"),
+        (raw =!= TextAnalysis.redactPii(raw)).cast("int").as("had_pii"))
+    }),
+
+    // Corpus roll-up: per-language doc/token/source counts plus an
+    // integer-exact quality sum (floor-quantized per doc, so the sum is
+    // order-independent — no float accumulation drift)
+    "a_corpus_stats" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("total_tokens"),
+        max(TextAnalysis.tokenCount(col("text"))).cast("long")
+          .as("max_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(floor(TextAnalysis.qualityScore(col("text")) * 10000)
+          .cast("long")).as("quality_sum_q4"))),
+
+    // End-to-end curation pipeline: quality filter → prefix-fingerprint
+    // dedup (keep min doc_id) → stratified sample → sequence packing.
+    // One shuffle per stage boundary that needs one (fp window, shard
+    // window); the filters and sampling are map-only
+    "a_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = docs
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.6)
+        .withColumn("fp", TextAnalysis.prefixFingerprint(col("text"), 8))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rk") === 1)
+      val sampled = Sampling.stratifiedSample(kept, col("lang"),
+        col("doc_id"),
+        Map("en" -> 60, "de" -> 40, "fr" -> 40, "es" -> 20, "zh" -> 20))
+      SequencePack.pack(sampled, TextAnalysis.tokenCount(col("text")),
+        budget = 1024, shards = 4)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("shard"), col("pack_id"),
+          col("pack_offset"))
+    }),
+
     // Incremental crawl dedup: new half (doc_id>=250) against history
     // (doc_id<250) on the 8-token prefix fingerprint — bloom prefilter
     // (map-only) then exact verify, result equals the exact anti-join
@@ -493,6 +546,74 @@ object CorpusQueries extends QueryGroup {
 
     "a_semantic_dedup" -> semanticDedupOracle,
 
+    "a_pii_redact" ->
+      """WITH raw AS (SELECT doc_id, text ||
+        |  (CASE WHEN doc_id%7=0
+        |     THEN ' contact user'||doc_id||'@example.com' ELSE '' END) ||
+        |  (CASE WHEN doc_id%13=0
+        |     THEN ' call +1 555 0123 4567 or 10.0.0.'||(doc_id%256)
+        |     ELSE '' END) AS r
+        | FROM documents),
+        | red AS (SELECT doc_id, r,
+        |  regexp_replace(regexp_replace(regexp_replace(r,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |    '\+?\d[\d -]{7,}\d', '[PHONE]', 'g') AS clean
+        | FROM raw)
+        |SELECT doc_id, clean, CAST(r <> clean AS INT) AS had_pii
+        |FROM red""".stripMargin,
+
+    "a_corpus_stats" ->
+      s"""WITH b AS (SELECT lang, source,
+         |  len(string_split(text,' ')) AS nt_i,
+         |  len(string_split(text,' '))*1.0 AS nt,
+         |  len(list_filter(string_split(text,' '), w -> w IN $allStop))*1.0 AS sh,
+         |  length(text)*1.0 AS lc
+         | FROM documents),
+         | q AS (SELECT lang, source, nt_i,
+         |  floor((least(nt/50.0, 1.0)*0.4 + least((sh/nt)*5.0, 1.0)*0.3
+         |   + greatest(1.0 - abs(((lc-nt+1)/nt) - 5.0)/10.0, 0.0)*0.3)
+         |   * 10000) / 10000.0 AS quality FROM b)
+         |SELECT lang, count(*) AS n_docs,
+         | CAST(sum(nt_i) AS BIGINT) AS total_tokens,
+         | CAST(max(nt_i) AS BIGINT) AS max_tokens,
+         | count(DISTINCT source) AS n_sources,
+         | CAST(sum(CAST(floor(quality*10000) AS BIGINT)) AS BIGINT)
+         |   AS quality_sum_q4
+         |FROM q GROUP BY lang""".stripMargin,
+
+    "a_curation_pipeline" ->
+      s"""WITH b AS (SELECT doc_id, lang, text,
+         |  len(string_split(text,' '))*1.0 AS nt,
+         |  len(list_filter(string_split(text,' '), w -> w IN $allStop))*1.0 AS sh,
+         |  length(text)*1.0 AS lc
+         | FROM documents),
+         | q AS (SELECT doc_id, lang, text FROM b
+         |  WHERE floor((least(nt/50.0, 1.0)*0.4 + least((sh/nt)*5.0, 1.0)*0.3
+         |   + greatest(1.0 - abs(((lc-nt+1)/nt) - 5.0)/10.0, 0.0)*0.3)
+         |   * 10000) / 10000.0 >= 0.6),
+         | fp AS (SELECT doc_id, lang, text,
+         |   md5(array_to_string(string_split(text,' ')[1:8],' ')) AS fp FROM q),
+         | ded AS (SELECT doc_id, lang, text FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+         |   FROM fp) WHERE rk = 1),
+         | samp AS (SELECT doc_id, lang, text FROM ded
+         |  WHERE CAST(list_sum([(strpos('0123456789abcdef',
+         |      substr(md5(doc_id::VARCHAR), i, 1))-1)::BIGINT
+         |      << (4*(6-i)) for i in range(1, 7)]) AS BIGINT) % 100
+         |    < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40
+         |      WHEN 'fr' THEN 40 WHEN 'es' THEN 20 WHEN 'zh' THEN 20
+         |      ELSE -1 END),
+         | tok AS (SELECT doc_id, lang, doc_id % 4 AS shard,
+         |   len(string_split(text,' '))::BIGINT AS n_tokens FROM samp),
+         | c AS (SELECT doc_id, lang, shard, n_tokens,
+         |   CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM tok)
+         |SELECT doc_id, lang, shard,
+         | CAST(floor((cum - n_tokens)/1024) AS BIGINT) AS pack_id,
+         | (cum - n_tokens) % 1024 AS pack_offset
+         |FROM c""".stripMargin,
+
     "a_incremental_dedup" ->
       """WITH f AS (SELECT doc_id,
         |  md5(array_to_string(string_split(text,' ')[1:8],' ')) AS fp
@@ -512,7 +633,8 @@ object CorpusQueries extends QueryGroup {
     "a_text_stats", "a_lang_id", "a_quality_score", "a_fingerprint",
     "a_jaccard_pairs", "a_ngram_jaccard", "a_dedup_clusters",
     "a_decontaminate", "a_incremental_dedup", "a_repetition_stats",
-    "a_sequence_pack",
+    "a_sequence_pack", "a_pii_redact", "a_corpus_stats",
+    "a_curation_pipeline",
     "a_stratified_sample", "a_train_split",
     "a_embed_norms", "a_ann_topk",
     "a_cosine_pairs", "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh",
