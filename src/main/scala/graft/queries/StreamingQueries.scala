@@ -20,6 +20,51 @@ object StreamingQueries extends QueryGroup {
       |FROM orders WHERE o_orderkey%13<>6""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Streaming curation: the corpus pipeline running INCREMENTALLY over
+    // a multi-epoch document stream. Per epoch: quality filter
+    // (map-only), prefix fingerprint, envelope with pos = -doc_id so the
+    // FIRST doc per fingerprint wins across epochs through the bucketed
+    // sink's latest-by-pos merge — cross-epoch dedup state lives in the
+    // sink, replay-idempotent, no unbounded executor state
+    "stream_curation" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import graft.analytics.TextAnalysis
+      val afterSchema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType)))
+      val transport = java.nio.file.Files
+        .createTempDirectory("curation-transport").toString
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(transport)
+      val sink = new graft.streaming.BucketedMergeSink(
+        java.nio.file.Files.createTempDirectory("curation-sink").toString,
+        buckets = 8)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("curation-ckpt").toString
+      val schema = s.read.parquet(transport).schema
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(transport)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          val env = batch
+            .filter(TextAnalysis.qualityScore(col("text")) >= 0.6)
+            .select(
+              struct(TextAnalysis.prefixFingerprint(col("text"), 8).as("fp"))
+                .as("key"),
+              lit(null).cast(afterSchema).as("before"),
+              struct(col("doc_id"), col("lang")).as("after"),
+              lit("c").as("op"),
+              struct((-col("doc_id")).as("pos")).as("source"),
+              lit(null).cast("string").as("transaction"),
+              col("doc_id").as("ts_ms"))
+          sink.merge(env, epochId): Unit
+        }
+        .start()
+      q.awaitTermination()
+      sink.view(s)
+    }),
+
     // P3/K2: snapshot + stream through micro-batched MERGE sink
     "stream_k2_materialize" -> ((s, dir) =>
       StreamingMaterialize.materializeFeed(s, feed(s, dir, "orders"))),
@@ -329,10 +374,32 @@ object StreamingQueries extends QueryGroup {
     "p5_heartbeat" ->
       """SELECT DISTINCT CAST(floor(o_orderkey/1000) AS BIGINT) AS interval,
         | (CAST(floor(o_orderkey/1000) AS BIGINT)+1)*10000-1 AS hb_pos, 'm' AS op
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    // min doc per fingerprint among quality-passing docs — what the
+    // incremental run must converge to regardless of epoch boundaries
+    "stream_curation" ->
+      """WITH b AS (SELECT doc_id, lang, text,
+        |  len(string_split(text,' '))*1.0 AS nt,
+        |  len(list_filter(string_split(text,' '), w -> w IN
+        |   ('the','a','and','of','to','der','die','das','und','ist',
+        |    'le','la','et','les','des','el','los','y','una','por')))*1.0 AS sh,
+        |  length(text)*1.0 AS lc
+        | FROM documents),
+        | q AS (SELECT doc_id, lang, text FROM b
+        |  WHERE floor((least(nt/50.0, 1.0)*0.4 + least((sh/nt)*5.0, 1.0)*0.3
+        |   + greatest(1.0 - abs(((lc-nt+1)/nt) - 5.0)/10.0, 0.0)*0.3)
+        |   * 10000) / 10000.0 >= 0.6),
+        | fp AS (SELECT doc_id, lang,
+        |   md5(array_to_string(string_split(text,' ')[1:8],' ')) AS fp FROM q)
+        |SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM fp)
+        |WHERE rk = 1""".stripMargin
   )
 
   // `interval` is reserved in Spark SQL; epoch_us is DuckDB-only
   override val duckdbOnly: Set[String] =
-    Set("p5_heartbeat", "stream_windowed_agg", "stream_session_window")
+    Set("p5_heartbeat", "stream_windowed_agg", "stream_session_window",
+      "stream_curation")
 }
