@@ -195,7 +195,8 @@ object WireQueries extends QueryGroup {
           "CREATE TABLE testdb.bl_items (id INT PRIMARY KEY, qty BIGINT, label VARCHAR(40));" +
             "CREATE TABLE testdb.bl_types (id INT PRIMARY KEY, t TINYINT, s SMALLINT," +
             " i3 MEDIUMINT, f REAL, d DOUBLE, y SMALLINT, dt DATE, ts DATETIME," +
-            " dec DECIMAL(12,3), b BLOB)")
+            " dec DECIMAL(12,3), b BLOB);" +
+            "CREATE TABLE testdb.bl_json (id INT PRIMARY KEY, j JSON)")
         .load()
     })
   )
@@ -221,7 +222,12 @@ object WireQueries extends QueryGroup {
         | FROM range(40) t(i) WHERE i%6=0
         |UNION ALL SELECT 'public.cdc_tags', 't', 4000, 'null', 'null'
         |UNION ALL SELECT '', 'm', 4100, 'null',
-        |  '{"prefix":"graft","content":"hello"}'""".stripMargin,
+        |  '{"prefix":"graft","content":"hello"}'
+        |UNION ALL
+        |SELECT 'public.cdc_arrays', 'c', 4200+i, '{"id":'||i||'}',
+        |  '{"id":'||i||',"nums":['||i||','||(i*10)||',null]'||
+        |  ',"tags":["a b","q\"'||i||'","plain'||i||'"]}'
+        | FROM range(5) t(i)""".stripMargin,
 
     "s8_pgoutput_materialize" ->
       """SELECT i AS id,
@@ -374,6 +380,14 @@ object WireQueries extends QueryGroup {
         |    lpad((i*37)::VARCHAR,3,'0')||
         |  ',"b":"'||base64((chr((i+1)::INT)||chr((i+2)::INT)||
         |    chr((i*7+1)::INT))::BLOB)||'"}'
+        | FROM range(10) t(i)
+        |UNION ALL
+        |SELECT 'testdb.bl_json', 'c', 951, '{"id":'||i||'}',
+        |  '{"id":'||i||',"j":{"id":'||i||',"name":"js_'||i||'"'||
+        |  ',"flags":['||(CASE WHEN i%2=0 THEN 'true' ELSE 'false' END)||
+        |    ',null,'||(i*1000)||']'||
+        |  ',"nested":{"depth":2,"big":'||(100000+i)||'}'||
+        |  ',"huge":'||(3000000000+i)||'}}'
         | FROM range(10) t(i)""".stripMargin
   )
 

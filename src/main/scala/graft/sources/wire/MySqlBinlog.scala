@@ -49,7 +49,7 @@ object MySqlBinlog {
   val TYPE_FLOAT = 4; val TYPE_DOUBLE = 5; val TYPE_LONGLONG = 8
   val TYPE_INT24 = 9; val TYPE_DATE = 10; val TYPE_YEAR = 13
   val TYPE_VARCHAR = 15; val TYPE_DATETIME2 = 18
-  val TYPE_NEWDECIMAL = 246; val TYPE_BLOB = 252
+  val TYPE_NEWDECIMAL = 246; val TYPE_JSON = 245; val TYPE_BLOB = 252
 
   /** A decoded DATE/DATETIME2 value, kept symbolic (no timezone walk). */
   final case class Dt(year: Int, month: Int, day: Int,
@@ -179,6 +179,186 @@ object MySqlBinlog {
       micros, fsp)
   }
 
+  // --------------------------------------------------- MySQL binary JSON
+  // The json_binary format JSON columns arrive in (MySQL json_binary.h;
+  // the reference delegates to the binlog client's JsonBinary —
+  // `jdbc/BinlogValueConverters.java:458`): one type byte then a value;
+  // containers store [count][size] headers, fixed-width key/value entry
+  // tables (2-byte offsets in the "small" variants, 4-byte in "large"),
+  // then key bytes and out-of-line nested values; literals/int16/uint16
+  // (plus int32/uint32 in large) inline into the value-entry slot.
+
+  /** A decoded JSON column value: rendered compact JSON text. */
+  final case class Js(text: String)
+
+  /** Typed JSON tree for fixture building (encoder input). */
+  sealed trait JsonVal
+  case object JNull extends JsonVal
+  final case class JBool(b: Boolean) extends JsonVal
+  final case class JInt(l: Long) extends JsonVal
+  final case class JStr(s: String) extends JsonVal
+  final case class JArr(items: Seq[JsonVal]) extends JsonVal
+  final case class JObj(fields: Seq[(String, JsonVal)]) extends JsonVal
+
+  private val JT_SMALL_OBJ = 0x00; private val JT_LARGE_OBJ = 0x01
+  private val JT_SMALL_ARR = 0x02; private val JT_LARGE_ARR = 0x03
+  private val JT_LITERAL = 0x04
+  private val JT_INT16 = 0x05; private val JT_UINT16 = 0x06
+  private val JT_INT32 = 0x07; private val JT_UINT32 = 0x08
+  private val JT_INT64 = 0x09; private val JT_UINT64 = 0x0a
+  private val JT_DOUBLE = 0x0b; private val JT_STRING = 0x0c
+
+  private def jsLe(b: Array[Byte], off: Int, n: Int): Long = {
+    var v = 0L
+    (0 until n).foreach(i => v |= (b(off + i) & 0xffL) << (8 * i))
+    v
+  }
+
+  /** Decode one json_binary value to compact JSON text. `off` points at
+    * the value body; `t` is its type byte (read by the caller — inlined
+    * values have no body of their own).
+    */
+  private def jsRender(b: Array[Byte], t: Int, off: Int): String = t match {
+    case JT_LITERAL => (b(off) & 0xff) match {
+      case 0 => "null"; case 1 => "true"; case 2 => "false"
+      case x => throw new IllegalArgumentException(s"bad literal $x")
+    }
+    case JT_INT16 => jsLe(b, off, 2).toShort.toString
+    case JT_UINT16 => (jsLe(b, off, 2) & 0xffff).toString
+    case JT_INT32 => jsLe(b, off, 4).toInt.toString
+    case JT_UINT32 => (jsLe(b, off, 4) & 0xffffffffL).toString
+    case JT_INT64 => jsLe(b, off, 8).toString
+    case JT_UINT64 => java.lang.Long.toUnsignedString(jsLe(b, off, 8))
+    case JT_DOUBLE =>
+      java.lang.Double.longBitsToDouble(jsLe(b, off, 8)).toString
+    case JT_STRING =>
+      // varlen: 7-bit little-endian groups, high bit = continuation
+      var len = 0; var shift = 0; var p = off
+      var cont = true
+      while (cont) {
+        val x = b(p) & 0xff; p += 1
+        len |= (x & 0x7f) << shift; shift += 7; cont = (x & 0x80) != 0
+      }
+      jsonString(new String(b, p, len, StandardCharsets.UTF_8))
+    case JT_SMALL_OBJ | JT_LARGE_OBJ | JT_SMALL_ARR | JT_LARGE_ARR =>
+      val large = t == JT_LARGE_OBJ || t == JT_LARGE_ARR
+      val isObj = t == JT_SMALL_OBJ || t == JT_LARGE_OBJ
+      val w = if (large) 4 else 2
+      val count = jsLe(b, off, w).toInt
+      val entryBase = off + 2 * w
+      val keyEntrySize = w + 2           // key offset + u16 key length
+      val valEntrySize = 1 + w           // type byte + offset-or-inline
+      def valueAt(slot: Int): String = {
+        val vt = b(slot) & 0xff
+        val inlined = vt == JT_LITERAL || vt == JT_INT16 || vt == JT_UINT16 ||
+          (large && (vt == JT_INT32 || vt == JT_UINT32))
+        if (inlined) jsRender(b, vt, slot + 1)
+        else jsRender(b, vt, off + jsLe(b, slot + 1, w).toInt)
+      }
+      if (isObj) {
+        val valBase = entryBase + count * keyEntrySize
+        (0 until count).map { i =>
+          val ke = entryBase + i * keyEntrySize
+          val kOff = off + jsLe(b, ke, w).toInt
+          val kLen = jsLe(b, ke + w, 2).toInt
+          val key = new String(b, kOff, kLen, StandardCharsets.UTF_8)
+          s"${jsonString(key)}:${valueAt(valBase + i * valEntrySize)}"
+        }.mkString("{", ",", "}")
+      } else {
+        (0 until count).map(i => valueAt(entryBase + i * valEntrySize))
+          .mkString("[", ",", "]")
+      }
+    case other => throw new IllegalArgumentException(s"json type $other")
+  }
+
+  def decodeJsonBinary(bytes: Array[Byte]): String =
+    jsRender(bytes, bytes(0) & 0xff, 1)
+
+  /** Encode a JSON tree in the SMALL container variants (fixture
+    * builder; decode handles large too).
+    */
+  def encodeJsonBinary(v: JsonVal): Array[Byte] = {
+    val (t, body) = jsEncode(v)
+    Array(t.toByte) ++ body
+  }
+
+  private def jsEncode(v: JsonVal): (Int, Array[Byte]) = v match {
+    case JNull => (JT_LITERAL, Array(0.toByte))
+    case JBool(x) => (JT_LITERAL, Array(if (x) 1.toByte else 2.toByte))
+    case JInt(l) if l >= Short.MinValue && l <= Short.MaxValue =>
+      (JT_INT16, Array((l & 0xff).toByte, ((l >> 8) & 0xff).toByte))
+    case JInt(l) if l >= Int.MinValue && l <= Int.MaxValue =>
+      (JT_INT32, (0 until 4).map(i => ((l >> (8 * i)) & 0xff).toByte).toArray)
+    case JInt(l) =>
+      (JT_INT64, (0 until 8).map(i => ((l >> (8 * i)) & 0xff).toByte).toArray)
+    case JStr(s) =>
+      val sb = s.getBytes(StandardCharsets.UTF_8)
+      var len = sb.length
+      val pre = scala.collection.mutable.ArrayBuffer[Byte]()
+      while (len > 0x7f) { pre += ((len & 0x7f) | 0x80).toByte; len >>= 7 }
+      pre += len.toByte
+      (JT_STRING, pre.toArray ++ sb)
+    case JArr(items) =>
+      val parts = items.map(jsEncode)
+      val valEntrySize = 3
+      var tail = 4 + items.size * valEntrySize
+      val entries = leBuf(items.size * valEntrySize)
+      val outline = scala.collection.mutable.ArrayBuffer[Byte]()
+      parts.foreach { case (t, body) =>
+        entries.put(t.toByte)
+        if (t == JT_LITERAL || t == JT_INT16) {
+          entries.putShort(if (t == JT_LITERAL) (body(0) & 0xff).toShort
+            else jsLe(body, 0, 2).toShort)
+        } else {
+          // outlined: entry holds type + offset; the body (no type byte)
+          // lands after the entry table, offsets relative to body start
+          entries.putShort(tail.toShort)
+          outline ++= body
+          tail += body.length
+        }
+      }
+      val b = leBuf(4 + entries.position() + outline.size)
+      b.putShort(items.size.toShort); b.putShort(tail.toShort)
+      val e = new Array[Byte](entries.position()); entries.flip(); entries.get(e)
+      b.put(e); b.put(outline.toArray)
+      val out = new Array[Byte](b.position()); b.flip(); b.get(out)
+      (JT_SMALL_ARR, out)
+    case JObj(fields) =>
+      val keys = fields.map(_._1.getBytes(StandardCharsets.UTF_8))
+      val parts = fields.map(f => jsEncode(f._2))
+      val keyEntrySize = 4; val valEntrySize = 3
+      var tail = 4 + fields.size * (keyEntrySize + valEntrySize)
+      val keyEntries = leBuf(fields.size * keyEntrySize)
+      keys.foreach { k =>
+        keyEntries.putShort(tail.toShort); keyEntries.putShort(k.length.toShort)
+        tail += k.length
+      }
+      val valEntries = leBuf(fields.size * valEntrySize)
+      val outline = scala.collection.mutable.ArrayBuffer[Byte]()
+      val outlined = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+      parts.foreach { case (t, body) =>
+        valEntries.put(t.toByte)
+        if (t == JT_LITERAL || t == JT_INT16) {
+          valEntries.putShort(if (t == JT_LITERAL) (body(0) & 0xff).toShort
+            else jsLe(body, 0, 2).toShort)
+        } else {
+          valEntries.putShort(tail.toShort)
+          outlined += ((t, body))
+          tail += body.length
+        }
+      }
+      outlined.foreach { case (_, body) => outline ++= body }
+      val b = leBuf(tail)
+      b.putShort(fields.size.toShort); b.putShort(tail.toShort)
+      val ke = new Array[Byte](keyEntries.position()); keyEntries.flip(); keyEntries.get(ke)
+      val ve = new Array[Byte](valEntries.position()); valEntries.flip(); valEntries.get(ve)
+      b.put(ke); b.put(ve)
+      keys.foreach(b.put)
+      b.put(outline.toArray)
+      val out = new Array[Byte](b.position()); b.flip(); b.get(out)
+      (JT_SMALL_OBJ, out)
+  }
+
   private def cell(b: ByteBuffer, colType: Int, meta: Int): Any = colType match {
     case TYPE_TINY => b.get().toInt
     case TYPE_SHORT => b.getShort().toInt
@@ -203,6 +383,12 @@ object MySqlBinlog {
       val bytes = new Array[Byte](len.toInt)
       b.get(bytes)
       bytes
+    case TYPE_JSON =>
+      var len = 0L
+      (0 until meta).foreach(i => len |= (b.get() & 0xffL) << (8 * i))
+      val bytes = new Array[Byte](len.toInt)
+      b.get(bytes)
+      Js(decodeJsonBinary(bytes))
     case TYPE_VARCHAR =>
       val len = if (meta < 256) b.get() & 0xff else b.getShort() & 0xffff
       val bytes = new Array[Byte](len)
@@ -264,7 +450,8 @@ object MySqlBinlog {
             val metaEnd = buf.position() + metaLen
             val meta = types.map {
               case TYPE_VARCHAR => buf.getShort() & 0xffff
-              case TYPE_FLOAT | TYPE_DOUBLE | TYPE_BLOB | TYPE_DATETIME2 =>
+              case TYPE_FLOAT | TYPE_DOUBLE | TYPE_BLOB | TYPE_DATETIME2 |
+                   TYPE_JSON =>
                 buf.get() & 0xff
               case TYPE_NEWDECIMAL => // precision byte, scale byte
                 ((buf.get() & 0xff) << 8) | (buf.get() & 0xff)
@@ -388,6 +575,10 @@ object MySqlBinlog {
       case (TYPE_BLOB, bytes: Array[Byte]) =>
         (0 until meta).foreach(i => b.put(((bytes.length >> (8 * i)) & 0xff).toByte))
         b.put(bytes)
+      case (TYPE_JSON, jv: JsonVal) =>
+        val bytes = encodeJsonBinary(jv)
+        (0 until meta).foreach(i => b.put(((bytes.length >> (8 * i)) & 0xff).toByte))
+        b.put(bytes)
       case (TYPE_VARCHAR, s: String) =>
         val bytes = s.getBytes(StandardCharsets.UTF_8)
         if (meta < 256) b.put(bytes.length.toByte) else b.putShort(bytes.length.toShort)
@@ -428,7 +619,8 @@ object MySqlBinlog {
     val metaBytes = leBuf(2 * map.colTypes.size)
     map.colTypes.zip(map.colMeta).foreach {
       case (TYPE_VARCHAR, m) => metaBytes.putShort(m.toShort)
-      case (TYPE_FLOAT | TYPE_DOUBLE | TYPE_BLOB | TYPE_DATETIME2, m) =>
+      case (TYPE_FLOAT | TYPE_DOUBLE | TYPE_BLOB | TYPE_DATETIME2 |
+            TYPE_JSON, m) =>
         metaBytes.put(m.toByte)
       case (TYPE_NEWDECIMAL, m) =>
         metaBytes.put(((m >> 8) & 0xff).toByte); metaBytes.put((m & 0xff).toByte)
@@ -491,6 +683,7 @@ object MySqlBinlog {
     case Some(f: Float) => f.toString
     case Some(d: Double) => d.toString
     case Some(Dec(t)) => t            // exact digits, unquoted
+    case Some(Js(text)) => text       // decoded JSON subtree, verbatim
     case Some(dt: Dt) => jsonString(dt.toString)
     case Some(b: Array[Byte]) =>
       jsonString(java.util.Base64.getEncoder.encodeToString(b))

@@ -323,6 +323,11 @@ object PgOutput {
     * (text-format tuple values carry PostgreSQL's canonical text
     * representation; numeric/bool OIDs embed unquoted).
     */
+  // array type OID → element OID (the common relational element types)
+  private val ArrayElemOid = Map(
+    1000 -> 16, 1005 -> 21, 1007 -> 23, 1016 -> 20, 1021 -> 700,
+    1022 -> 701, 1009 -> 25, 1231 -> 1700)
+
   private def jsonValue(v: Value, typeOid: Int): String = v match {
     case VNull => "null"
     case VUnchangedToast => "\"" + UnchangedToastSentinel + "\""
@@ -333,8 +338,45 @@ object PgOutput {
       case 17 if s.startsWith("\\x") => // bytea hex text rep → base64
         "\"" + java.util.Base64.getEncoder.encodeToString(
           s.drop(2).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray) + "\""
+      case oid if ArrayElemOid.contains(oid) =>
+        arrayJson(s, ArrayElemOid(oid))
       case _ => jsonString(s)
     }
+  }
+
+  /** PostgreSQL array text form → JSON array: `{1,2,3}` /
+    * `{a,"q\"x",NULL}` — elements split on top-level commas, double
+    * quotes unwrap with `\"`/`\\` escapes, bare NULL is SQL null, nested
+    * `{…}` recurse (multi-dimensional arrays).
+    */
+  private def arrayJson(s: String, elemOid: Int): String = {
+    require(s.startsWith("{") && s.endsWith("}"), s"bad array text: $s")
+    val body = s.substring(1, s.length - 1)
+    if (body.isEmpty) return "[]"
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0; var inQ = false; var esc = false
+    body.foreach { c =>
+      if (esc) { cur += c; esc = false }
+      else c match {
+        case '\\' if inQ => cur += c; esc = true
+        case '"' => cur += c; inQ = !inQ
+        case '{' if !inQ => depth += 1; cur += c
+        case '}' if !inQ => depth -= 1; cur += c
+        case ',' if !inQ && depth == 0 => parts += cur.result(); cur.clear()
+        case _ => cur += c
+      }
+    }
+    parts += cur.result()
+    parts.map { raw =>
+      if (raw.startsWith("{")) arrayJson(raw, elemOid)
+      else if (raw == "NULL") "null"
+      else if (raw.startsWith("\"")) {
+        val unq = raw.substring(1, raw.length - 1)
+          .replace("\\\"", "\"").replace("\\\\", "\\")
+        jsonValue(VText(unq), elemOid)
+      } else jsonValue(VText(raw), elemOid)
+    }.mkString("[", ",", "]")
   }
 
   private def jsonString(s: String): String = {

@@ -31,6 +31,15 @@ object WireFixtures {
     Seq(PgOutput.Column(1, "id", 23, -1),
       PgOutput.Column(0, "tag", 25, -1)))
 
+  /** Array columns: int8[] (1016) and text[] (1009) — the canonical pg
+    * array text forms (quoting, escapes, NULL, nesting) render as typed
+    * JSON arrays.
+    */
+  val ArraysRel: PgOutput.Relation = PgOutput.Relation(5003, "public", "cdc_arrays", 'd',
+    Seq(PgOutput.Column(1, "id", 23, -1),
+      PgOutput.Column(0, "nums", 1016, -1),
+      PgOutput.Column(0, "tags", 1009, -1)))
+
   def pgoutputSegment: Array[Byte] = {
     import PgOutput._
     val frames = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
@@ -64,6 +73,13 @@ object WireFixtures {
     }
     f(4000, Truncate(0, Seq(5002)))
     f(4100, LogicalMessage(1, 4100, "graft", "hello".getBytes("UTF-8")))
+    f(4150, ArraysRel)
+    (0 until 5).foreach { i =>
+      f(4200L + i, Insert(5003, Seq(
+        VText(i.toString),
+        VText(s"{$i,${i * 10},NULL}"),
+        VText(s"""{"a b","q\\"$i",plain$i}"""))))
+    }
     f(4999, Commit(0, 4999, 5000, 770000002000000L))
 
     writeSegment(frames.toSeq)
@@ -140,6 +156,22 @@ object WireFixtures {
       Some(Array[Byte]((i + 1).toByte, (i + 2).toByte, (i * 7 + 1).toByte))))
   }
 
+  /** JSON column (MySQL json_binary payload): nested object/array,
+    * inlined literals/int16, outlined string/int32/int64.
+    */
+  val JsonMap: MySqlBinlog.TableMap = MySqlBinlog.TableMap(903L, "testdb", "bl_json",
+    Seq(MySqlBinlog.TYPE_LONG, MySqlBinlog.TYPE_JSON), Seq(0, 4))
+
+  def jsonRow(i: Int): MySqlBinlog.Row = {
+    import MySqlBinlog._
+    Row(Seq(Some(i), Some(JObj(Seq(
+      "id" -> JInt(i),
+      "name" -> JStr(s"js_$i"),
+      "flags" -> JArr(Seq(JBool(i % 2 == 0), JNull, JInt(i * 1000))),
+      "nested" -> JObj(Seq("depth" -> JInt(2), "big" -> JInt(100000L + i))),
+      "huge" -> JInt(3000000000L + i))))))
+  }
+
   def binlogSegment: Array[Byte] = {
     import MySqlBinlog._
     def row(i: Int): Row =
@@ -161,6 +193,9 @@ object WireFixtures {
     events += encodeTableMap(900, TypesMap)
     events += encodeRows(WRITE_ROWS_V2, 901, TypesMap, (0 until 10).map(typesRow))
     events += encodeXid(902, 9002L)
+    events += encodeTableMap(950, JsonMap)
+    events += encodeRows(WRITE_ROWS_V2, 951, JsonMap, (0 until 10).map(jsonRow))
+    events += encodeXid(952, 9003L)
     writeSegment(events.toSeq)
   }
 

@@ -107,7 +107,12 @@ class WireDecoderSpec extends AnyFunSuite {
     val rows = PgOutput.segmentRows(WireFixtures.pgoutputSegment).toSeq
     assert(rows.size == WireFixtures.pgoutputRowCount)
     val byOp = rows.groupBy(_.op).view.mapValues(_.size).toMap
-    assert(byOp == Map("c" -> 50, "u" -> 8, "d" -> 7, "t" -> 1, "m" -> 1))
+    assert(byOp == Map("c" -> 55, "u" -> 8, "d" -> 7, "t" -> 1, "m" -> 1))
+    // array columns: pg text form → typed JSON arrays (quotes, escapes, NULL)
+    val arr3 = rows.find(r => r.table == "public.cdc_arrays" &&
+      r.keyJson == """{"id":3}""").get
+    assert(arr3.payloadJson ==
+      """{"id":3,"nums":[3,30,null],"tags":["a b","q\"3","plain3"]}""")
     val ins5 = rows.find(r => r.op == "c" && r.pos == 1005).get
     assert(ins5.table == "public.cdc_items")
     assert(ins5.keyJson == """{"id":5}""")
@@ -223,11 +228,12 @@ class WireDecoderSpec extends AnyFunSuite {
     val names = Map(
       "testdb.bl_items" -> Seq("id", "qty", "label"),
       "testdb.bl_types" -> Seq("id", "t", "s", "i3", "f", "d", "y", "dt",
-        "ts", "dec", "b"))
+        "ts", "dec", "b"),
+      "testdb.bl_json" -> Seq("id", "j"))
     val rows = MySqlBinlog.segmentRows(WireFixtures.binlogSegment, names).toSeq
     assert(rows.size == WireFixtures.binlogRowCount)
     val byOp = rows.groupBy(_.op).view.mapValues(_.size).toMap
-    assert(byOp == Map("c" -> 40, "u" -> 8, "d" -> 4))
+    assert(byOp == Map("c" -> 50, "u" -> 8, "d" -> 4))
     val w12 = rows.find(r => r.op == "c" && r.table == "testdb.bl_items" &&
       r.keyJson == """{"id":12}""").get
     assert(w12.pos == 501) // second WRITE event (rows 10..19)
@@ -249,6 +255,47 @@ class WireDecoderSpec extends AnyFunSuite {
         """"dec":49380.148,"b":"BQYd"}""")
     val r2 = rows.find(_.keyJson == """{"id":2}""").get // negative decimal
     assert(r2.payloadJson.contains(""""dec":-24690.074"""))
+  }
+
+  test("json_binary decodes from hand-built bytes (inline int16 + outlined string)") {
+    // {"a":5,"st":"hi"} in the SMALL object layout, laid out by hand from
+    // MySQL json_binary.h — not via our encoder
+    val bytes = Array[Int](
+      0x00,                   // type: small object
+      0x02, 0x00,             // count = 2
+      0x18, 0x00,             // size = 24
+      0x12, 0x00, 0x01, 0x00, // key "a"  @18 len 1
+      0x13, 0x00, 0x02, 0x00, // key "st" @19 len 2
+      0x05, 0x05, 0x00,       // value: int16 inline = 5
+      0x0c, 0x15, 0x00,       // value: string @21
+      'a', 's', 't',
+      0x02, 'h', 'i').map(_.toByte)
+    assert(MySqlBinlog.decodeJsonBinary(bytes) == """{"a":5,"st":"hi"}""")
+  }
+
+  test("json_binary encode/decode round-trips nesting, literals, int widths") {
+    import MySqlBinlog._
+    val v = JObj(Seq(
+      "n" -> JNull, "t" -> JBool(true), "f" -> JBool(false),
+      "small" -> JInt(-7), "mid" -> JInt(1 << 20), "big" -> JInt(1L << 40),
+      "s" -> JStr("""quote " and \ back"""),
+      "arr" -> JArr(Seq(JInt(1), JStr("x"), JArr(Seq(JBool(false))))),
+      "obj" -> JObj(Seq("k" -> JStr("v")))))
+    val got = decodeJsonBinary(encodeJsonBinary(v))
+    assert(got == """{"n":null,"t":true,"f":false,"small":-7,"mid":1048576,""" +
+      """"big":1099511627776,"s":"quote \" and \\ back",""" +
+      """"arr":[1,"x",[false]],"obj":{"k":"v"}}""")
+  }
+
+  test("binlog JSON column rows decode through segmentRows") {
+    val names = Map("testdb.bl_json" -> Seq("id", "j"))
+    val rows = MySqlBinlog.segmentRows(WireFixtures.binlogSegment, names)
+      .filter(_.table == "testdb.bl_json").toSeq
+    assert(rows.size == 10)
+    val r3 = rows.find(_.keyJson == """{"id":3}""").get
+    assert(r3.payloadJson ==
+      """{"id":3,"j":{"id":3,"name":"js_3","flags":[false,null,3000],""" +
+        """"nested":{"depth":2,"big":100003},"huge":3000000003}}""")
   }
 
   test("NEWDECIMAL decodes from hand-built packed bytes (sign-bit + NOT)") {
