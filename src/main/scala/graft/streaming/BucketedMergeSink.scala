@@ -64,6 +64,52 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
   def state(spark: SparkSession): Option[DataFrame] =
     readBuckets(spark, manifest.values.toSeq)
 
+  /** Committed epoch ids whose manifests are still on disk, ascending —
+    * the sink's time-travel index (every commit keeps its manifest; only
+    * `vacuum()` erodes what the older ones can read).
+    */
+  def versions: Seq[Long] =
+    if (!Files.exists(root)) Nil
+    else Files.list(root).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("m") && s.endsWith(".manifest") =>
+        s.stripPrefix("m").stripSuffix(".manifest").toLong }
+      .toSeq.sorted
+
+  /** The manifest as of `epochId`: the newest committed version ≤ it
+    * (Delta/Iceberg VERSION AS OF semantics).
+    */
+  def manifestAt(epochId: Long): Map[Int, (String, String)] = {
+    val v = versions.filter(_ <= epochId)
+    if (v.isEmpty) Map.empty
+    else {
+      val mf = root.resolve(s"m${v.last}.manifest")
+      Files.readAllLines(mf).asScala.filter(_.nonEmpty).map { l =>
+        val Array(b, p, ddl) = l.split("\t", 3)
+        b.toInt -> (p, ddl)
+      }.toMap
+    }
+  }
+
+  /** Time-travel read: full state AS OF `epochId`. Strict about erosion:
+    * a version directory vacuumed away raises instead of silently
+    * returning partial state.
+    */
+  def stateAt(spark: SparkSession, epochId: Long): Option[DataFrame] = {
+    val m = manifestAt(epochId)
+    if (m.isEmpty) return None
+    val gone = m.values.map(_._1).filterNot(p => Files.exists(Paths.get(p)))
+    require(gone.isEmpty,
+      s"version data vacuumed away for epoch $epochId: ${gone.take(3).mkString(", ")}")
+    readBuckets(spark, m.values.toSeq)
+  }
+
+  /** Latest-row view AS OF `epochId` (tombstoned deletes excluded). */
+  def viewAt(spark: SparkSession, epochId: Long): DataFrame =
+    stateAt(spark, epochId).getOrElse(
+      throw new IllegalStateException(s"no committed state at epoch $epochId"))
+      .filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
+
   def view(spark: SparkSession): DataFrame = {
     val s = state(spark).getOrElse(
       throw new IllegalStateException(s"no committed state in $dir"))

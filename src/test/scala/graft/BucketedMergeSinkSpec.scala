@@ -65,6 +65,25 @@ class BucketedMergeSinkSpec extends AnyFunSuite {
     assert(sink.vacuum() == 0, "second vacuum should be a no-op")
   }
 
+  test("time travel: viewAt reads any committed epoch; vacuum makes it strict") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "region"), "region")
+    val sink = new BucketedMergeSink(
+      Files.createTempDirectory("bsink").toString, buckets = 4)
+    sink.merge(feed.filter(col("op") === "r"), 0L)  // snapshot only
+    sink.merge(feed, 2L)                            // full feed (c/u/d applied)
+    assert(sink.versions == Seq(0L, 2L))
+    // as-of 0: snapshot state; as-of 1: VERSION AS OF semantics → still 0
+    val snap = canon(sink.viewAt(spark, 0L))
+    assert(snap == canon(feed.filter(col("op") === "r").select(col("after.*"))))
+    assert(canon(sink.viewAt(spark, 1L)) == snap)
+    assert(canon(sink.viewAt(spark, 2L)) == canon(sink.view(spark)))
+    assert(sink.stateAt(spark, -1L).isEmpty)
+    // vacuum erodes epoch-0 data (all buckets rewritten at 2) → strict error
+    if (sink.vacuum() > 0)
+      assertThrows[IllegalArgumentException](sink.viewAt(spark, 0L).collect())
+  }
+
   test("replay of an old batch cannot regress newer state (pos precedence)") {
     val feed = ChangeFeedGen.standardFeed(
       Tables.load(spark, sfDir, "supplier"), "supplier")
