@@ -139,6 +139,18 @@ object StreamingQueries extends QueryGroup {
       sink.view(s)
     }),
 
+    // K2 time travel: two committed epochs, read back AS OF the first —
+    // the manifest-versioned sink reproduces the pre-update snapshot
+    // byte-for-byte (the reproducible-training-snapshot story)
+    "k2_time_travel" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val sink = new graft.streaming.BucketedMergeSink(
+        java.nio.file.Files.createTempDirectory("bsink").toString, buckets = 16)
+      sink.merge(fd.filter(col("op") === "r"), 0L)
+      sink.merge(fd.filter(col("op") =!= "r"), 1L)
+      sink.viewAt(s, 0L)
+    }),
+
     // K2 bench trio: ten ~0.014%-key update batches merged after one full
     // snapshot — the steady-state CDC shape — through all three sink
     // designs. The full-state sink rewrites the WHOLE table once per
@@ -293,6 +305,12 @@ object StreamingQueries extends QueryGroup {
     "s5_readonly_incremental" -> ordersLatest,
 
     "k2_bucketed_materialize" -> ordersLatest,
+
+    // as-of epoch 0 = the plain snapshot, updates/deletes not yet applied
+    "k2_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
 
     "k2_lsm_materialize" -> ordersLatest,
 
