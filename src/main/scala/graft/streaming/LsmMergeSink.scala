@@ -51,20 +51,55 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
 
   def manifest: Manifest =
     if (!Files.exists(pointer)) Manifest(Map.empty, Seq.empty)
-    else {
-      val mf = root.resolve(Files.readString(pointer).trim)
-      val lines = Files.readAllLines(mf).asScala.filter(_.nonEmpty)
-      val base = lines.filter(_.startsWith("B\t")).map { l =>
-        val Array(_, b, p, ddl) = l.split("\t", 4)
-        b.toInt -> (p, ddl)
-      }.toMap
-      val deltas = lines.filter(_.startsWith("D\t")).map { l =>
-        val Array(_, seq, p, ddl, bs) = l.split("\t", 5)
-        (seq.toLong, p, ddl,
-          bs.split(",").iterator.filter(_.nonEmpty).map(_.toInt).toSeq)
-      }.toSeq.sortBy(_._1)
-      Manifest(base, deltas)
-    }
+    else parseManifest(root.resolve(Files.readString(pointer).trim))
+
+  /** Committed epoch ids with retained manifests, ascending (time-travel
+    * index; `vacuum()` erodes what old versions can still read).
+    */
+  def versions: Seq[Long] =
+    if (!Files.exists(root)) Nil
+    else Files.list(root).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("m") && s.endsWith(".manifest") =>
+        s.stripPrefix("m").stripSuffix(".manifest").toLong }
+      .toSeq.sorted
+
+  /** Manifest as of `epochId` (newest committed ≤ it — VERSION AS OF). */
+  def manifestAt(epochId: Long): Manifest = {
+    val v = versions.filter(_ <= epochId)
+    if (v.isEmpty) Manifest(Map.empty, Seq.empty)
+    else parseManifest(root.resolve(s"m${v.last}.manifest"))
+  }
+
+  /** Merge-on-read state AS OF `epochId`; strict about vacuumed data. */
+  def stateAt(spark: SparkSession, epochId: Long): Option[DataFrame] = {
+    val m = manifestAt(epochId)
+    if (m.base.isEmpty && m.deltas.isEmpty) return None
+    val refs = m.base.values.map(_._1) ++ m.deltaLeafs.map(_._1)
+    val gone = refs.filterNot(p => Files.exists(Paths.get(p)))
+    require(gone.isEmpty,
+      s"version data vacuumed away for epoch $epochId: ${gone.take(3).mkString(", ")}")
+    stateOf(spark, m)
+  }
+
+  def viewAt(spark: SparkSession, epochId: Long): DataFrame =
+    stateAt(spark, epochId).getOrElse(
+      throw new IllegalStateException(s"no committed state at epoch $epochId"))
+      .filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
+
+  private def parseManifest(mf: java.nio.file.Path): Manifest = {
+    val lines = Files.readAllLines(mf).asScala.filter(_.nonEmpty)
+    val base = lines.filter(_.startsWith("B\t")).map { l =>
+      val Array(_, b, p, ddl) = l.split("\t", 4)
+      b.toInt -> (p, ddl)
+    }.toMap
+    val deltas = lines.filter(_.startsWith("D\t")).map { l =>
+      val Array(_, seq, p, ddl, bs) = l.split("\t", 5)
+      (seq.toLong, p, ddl,
+        bs.split(",").iterator.filter(_.nonEmpty).map(_.toInt).toSeq)
+    }.toSeq.sortBy(_._1)
+    Manifest(base, deltas)
+  }
 
   /** One schema-known read per distinct DDL, `unionByName` across schema
     * versions (K4 evolution without per-read footer merging).
@@ -87,9 +122,11 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     * on the read side: at 100 TB with one hot bucket, a read shuffles
     * |hot bucket| + deltas, not the table.
     */
-  def state(spark: SparkSession): Option[DataFrame] = {
+  def state(spark: SparkSession): Option[DataFrame] =
+    stateOf(spark, manifest)
+
+  private def stateOf(spark: SparkSession, m: Manifest): Option[DataFrame] = {
     graft.expressions.GraftFunctions.register(spark)
-    val m = manifest
     val touched = m.deltas.flatMap(_._4).toSet
     val untouched = readByDdl(spark,
       m.base.filterNot(kv => touched(kv._1)).values.toSeq)

@@ -107,6 +107,22 @@ class LsmMergeSinkSpec extends AnyFunSuite {
     assert(canon(sink.view(spark)) == canon(want))
   }
 
+  test("time travel: viewAt reproduces any committed epoch across deltas") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "region"), "region")
+    val sink = new LsmMergeSink(
+      Files.createTempDirectory("lsink").toString, buckets = 4,
+      compactEvery = 100)
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    sink.merge(feed, 3L)
+    assert(sink.versions == Seq(0L, 3L))
+    val snap = canon(sink.viewAt(spark, 0L))
+    assert(snap == canon(feed.filter(col("op") === "r").select(col("after.*"))))
+    assert(canon(sink.viewAt(spark, 2L)) == snap) // VERSION AS OF → still 0
+    assert(canon(sink.viewAt(spark, 3L)) == canon(sink.view(spark)))
+    assert(sink.stateAt(spark, -1L).isEmpty)
+  }
+
   test("deletes tombstone through deltas and compaction") {
     val feed = ChangeFeedGen.standardFeed(
       Tables.load(spark, sfDir, "nation"), "nation")
