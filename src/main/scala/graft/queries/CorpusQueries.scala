@@ -149,6 +149,13 @@ object CorpusQueries extends QueryGroup {
       Similarity.annLsh(t(s, dir, "embeddings"), dims = 64, nBits = 8,
         minSim = 0.3)),
 
+    // Vocabulary coverage: integer-exact LM-quality proxy (rare-token
+    // and top-vocab hit counts; no float log-probs, so it reproduces
+    // bit-for-bit across engines)
+    "a_vocab_coverage" -> ((s, dir) =>
+      graft.analytics.Vocabulary.coverage(t(s, dir, "documents"),
+        rareBelow = 200L, topM = 10)),
+
     // PII scrubbing: deterministic synthetic PII (emails, phones, IPs)
     // appended per doc, then the regexp_replace redaction chain; had_pii
     // flags rows the chain touched
@@ -546,6 +553,20 @@ object CorpusQueries extends QueryGroup {
 
     "a_semantic_dedup" -> semanticDedupOracle,
 
+    "a_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+        |  FROM documents),
+        | tf AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+        | top AS (SELECT w FROM (SELECT w,
+        |   row_number() OVER (ORDER BY cnt DESC, w) AS rk FROM tf)
+        |  WHERE rk <= 10)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(CASE WHEN cnt < 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS rare_tokens,
+        | CAST(sum(CASE WHEN w IN (SELECT w FROM top) THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS top_hits
+        |FROM tok JOIN tf USING (w) GROUP BY doc_id""".stripMargin,
+
     "a_pii_redact" ->
       """WITH raw AS (SELECT doc_id, text ||
         |  (CASE WHEN doc_id%7=0
@@ -634,7 +655,7 @@ object CorpusQueries extends QueryGroup {
     "a_jaccard_pairs", "a_ngram_jaccard", "a_dedup_clusters",
     "a_decontaminate", "a_incremental_dedup", "a_repetition_stats",
     "a_sequence_pack", "a_pii_redact", "a_corpus_stats",
-    "a_curation_pipeline",
+    "a_curation_pipeline", "a_vocab_coverage",
     "a_stratified_sample", "a_train_split",
     "a_embed_norms", "a_ann_topk",
     "a_cosine_pairs", "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh",
