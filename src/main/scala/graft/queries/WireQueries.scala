@@ -181,6 +181,17 @@ object WireQueries extends QueryGroup {
       graft.sources.wire.MongoChangeStream.decode(s.read.text(path))
     }),
 
+    // S12 through the DSv2 source: the recording tails as a `.cs`
+    // segment; the cursor-order decode (with SplitEventHandler-style
+    // fragment buffering) runs inside the partition reader, so Mongo
+    // recordings drop into the same streaming pipeline as pgoutput/binlog
+    "s12_change_stream_dsv2" -> ((s, _) => {
+      val dir = stageFixture("mongo_changestream.jsonl", "cs",
+        WireFixtures.mongoRowCount)
+      s.read.format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", dir).load()
+    }),
+
     // S9: recorded binlog events (TABLE_MAP + ROWS v2) through the DSv2
     // source; row images are positional, so names + primary key resolve
     // from schema-history DDL passed as a source option (the reference's
@@ -354,6 +365,36 @@ object WireQueries extends QueryGroup {
          |  '{"_id":999,"sku":"sku_big","qty":0,"blob":"${"x" * 64}"}',
          |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)""".stripMargin,
 
+    "s12_change_stream_dsv2" ->
+      s"""SELECT 'shop.items' AS "table", 'c' AS op,
+         |  (1680000000+i)*4294967296+1 AS pos,
+         |  '{"_id":'||i||'}' AS key_json,
+         |  '{"_id":'||i||',"sku":"sku_'||i||'","qty":'||(i*7)||
+         |    ',"price":'||(i*1.5)||'}' AS payload_json
+         | FROM range(40) t(i)
+         |UNION ALL
+         |SELECT 'shop.items', 'u', (1680000100+i)*4294967296+1,
+         |  '{"_id":'||i||'}',
+         |  CASE WHEN i%10=5
+         |    THEN '{"_id":'||i||',"sku":"sku_'||i||'","qty":'||(i*7+1000)||'}'
+         |    ELSE '{"_id":'||i||',"sku":"sku_'||i||'","qty":'||(i*7+1000)||
+         |      ',"price":'||(i*1.5)||'}' END
+         | FROM range(40) t(i) WHERE i%5=0
+         |UNION ALL
+         |SELECT 'shop.items', 'u', (1680000200+i)*4294967296+1,
+         |  '{"_id":'||i||'}',
+         |  '{"_id":'||i||',"sku":"sku_'||i||'_v2","qty":'||(i*7)||
+         |    ',"price":'||(i*1.5+10)||'}'
+         | FROM range(40) t(i) WHERE i%10=7
+         |UNION ALL
+         |SELECT 'shop.items', 'd', (1680000300+i)*4294967296+1,
+         |  '{"_id":'||i||'}', 'null'
+         | FROM range(40) t(i) WHERE i%6=0
+         |UNION ALL
+         |SELECT 'shop.items', 'c', 1680000500*4294967296+1,
+         |  '{"_id":999}',
+         |  '{"_id":999,"sku":"sku_big","qty":0,"blob":"${"x" * 64}"}'""".stripMargin,
+
     "s9_binlog_decode" ->
       """SELECT 'testdb.bl_items' AS "table", 'c' AS op,
         |  500+CAST(floor(i/10) AS BIGINT) AS pos,
@@ -395,5 +436,6 @@ object WireQueries extends QueryGroup {
   override val duckdbOnly: Set[String] =
     Set("s8_pgoutput_decode", "s8_pgoutput_materialize",
       "s8_pgoutput_tx_stream", "s9_binlog_decode", "s10_logminer_decode",
-      "s11_cdc_tables_decode", "s12_change_stream_decode")
+      "s11_cdc_tables_decode", "s12_change_stream_decode",
+      "s12_change_stream_dsv2")
 }

@@ -86,10 +86,14 @@ object ChangeLogSource {
     else if (n.endsWith(".blog"))
       graft.sources.wire.MySqlBinlog.segmentRows(
         Files.readAllBytes(p), Map.empty).size.toLong
+    else if (n.endsWith(".cs"))
+      Using.resource(Files.lines(p))(s =>
+        graft.sources.wire.MongoChangeStream
+          .segmentRows(s.iterator().asScala).size.toLong)
     else countLines(p)
   }
 
-  private val CountInName = """.*-n(\d+)\.(?:log|pgo|blog)$""".r
+  private val CountInName = """.*-n(\d+)\.(?:log|pgo|blog|cs)$""".r
   private val GenInName = """^part-g(\d+)-.*""".r
 
   /** Record count from the committed segment name, if our writer named it. */
@@ -443,6 +447,11 @@ class ChangeLogPartitionReader(part: ChangeLogInputPartition)
         else (Map.empty[String, Seq[String]], Map.empty[String, Seq[Int]])
       graft.sources.wire.MySqlBinlog.segmentRows(
         Files.readAllBytes(path), names, keys).map(wireRow)
+    }
+    else if (name.endsWith(".cs")) {
+      lines = Files.lines(path)
+      graft.sources.wire.MongoChangeStream
+        .segmentRows(lines.iterator().asScala).map(wireRow)
     }
     else {
       lines = Files.lines(path)

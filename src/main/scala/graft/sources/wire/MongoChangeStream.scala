@@ -98,4 +98,64 @@ object MongoChangeStream {
         array_join(from_json(col("removed_json"), ArrayType(StringType)), ",")
           .as("removed_fields"))
   }
+
+  // ------------------------------------------------- cursor-order decode
+
+  /** Decode a change-stream cursor in ARRIVAL order into wire rows for
+    * the DSv2 change-log source — the executor-side counterpart of
+    * [[decode]] for `.cs` segments: split-event fragments buffer until
+    * the final fragment and merge field-wise, exactly the reference's
+    * `SplitEventHandler.handle` (`events/SplitEventHandler.java:33-60`,
+    * including its missing-fragment error). `pos` is the clusterTime
+    * order; the payload is the post-image when recorded, else the
+    * updateDescription patch document.
+    */
+  def segmentRows(lines: Iterator[String]): Iterator[PgOutput.WireRow] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val buffer = scala.collection.mutable.ArrayBuffer[
+      com.fasterxml.jackson.databind.node.ObjectNode]()
+    lines.filter(_.nonEmpty).flatMap { line =>
+      val node = mapper.readTree(line)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val split = node.get("splitEvent")
+      val complete =
+        if (split == null) {
+          if (buffer.nonEmpty)
+            throw new IllegalStateException("missing event fragment")
+          Some(node)
+        } else {
+          buffer += node
+          if (split.get("fragment").asInt() == split.get("of").asInt()) {
+            val out = mapper.createObjectNode()
+            // fields are disjoint across fragments (explicit type arg:
+            // Jackson's generic return otherwise infers Unit and miscasts)
+            buffer.foreach(f =>
+              out.setAll[com.fasterxml.jackson.databind.node.ObjectNode](f))
+            buffer.clear()
+            out.remove("splitEvent")
+            Some(out)
+          } else None
+        }
+      complete.flatMap(toWireRow)
+    }
+  }
+
+  private def toWireRow(ev: com.fasterxml.jackson.databind.node.ObjectNode)
+      : Option[PgOutput.WireRow] = {
+    val op = ev.path("operationType").asText("") match {
+      case "insert" => "c"
+      case "update" | "replace" => "u"
+      case "delete" => "d"
+      case _ => return None // collection-level events never become data
+    }
+    val ns = ev.get("ns")
+    val table = s"${ns.get("db").asText()}.${ns.get("coll").asText()}"
+    val ct = ev.get("clusterTime")
+    val ord = ct.get("t").asLong() * 4294967296L + ct.get("i").asLong()
+    val key = Option(ev.get("documentKey")).map(_.toString).getOrElse("null")
+    val payload = Option(ev.get("fullDocument")).map(_.toString)
+      .orElse(Option(ev.get("updateDescription")).map(_.toString))
+      .getOrElse("null")
+    Some(PgOutput.WireRow(table, op, ord, key, payload))
+  }
 }

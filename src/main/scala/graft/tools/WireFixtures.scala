@@ -392,6 +392,11 @@ object WireFixtures {
     lines.mkString("", "\n", "\n")
   }
 
+  /** Wire rows the mongo recording decodes to (for `.cs` segment names). */
+  def mongoRowCount: Long =
+    graft.sources.wire.MongoChangeStream
+      .segmentRows(mongoChangeStreamJsonl.linesIterator).size.toLong
+
   val FixtureDir = "src/main/resources/graft/fixtures"
 
   def main(args: Array[String]): Unit = {

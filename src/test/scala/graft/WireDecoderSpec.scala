@@ -540,6 +540,26 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(big.getAs[Long]("ord") == WireFixtures.mongoOrd(1680000500L))
   }
 
+  test("mongo cursor-order segmentRows: fragment buffering, op filter, payloads") {
+    val rows = MongoChangeStream.segmentRows(
+      WireFixtures.mongoChangeStreamJsonl.linesIterator).toSeq
+    assert(rows.size == WireFixtures.mongoRowCount)
+    val byOp = rows.groupBy(_.op).view.mapValues(_.size).toMap
+    assert(byOp == Map("c" -> 41, "u" -> 12, "d" -> 7)) // drop filtered out
+    val big = rows.find(_.keyJson == """{"_id":999}""").get
+    assert(big.op == "c" && big.payloadJson.contains("sku_big"))
+    assert(big.pos == WireFixtures.mongoOrd(1680000500L))
+    val d0 = rows.find(r => r.op == "d" && r.keyJson == """{"_id":0}""").get
+    assert(d0.payloadJson == "null")
+    // a lone fragment followed by a plain event is a protocol error
+    assertThrows[IllegalStateException] {
+      MongoChangeStream.segmentRows(Iterator(
+        """{"_id":{"_data":"aa"},"splitEvent":{"fragment":1,"of":2}}""",
+        """{"_id":{"_data":"bb"},"operationType":"insert","ns":{"db":"d","coll":"c"},"clusterTime":{"t":1,"i":1},"documentKey":{"_id":1},"fullDocument":{}}"""))
+        .toSeq
+    }
+  }
+
   test("mongo fixture: committed bytes equal the builder's output") {
     val in = getClass.getResourceAsStream("/graft/fixtures/mongo_changestream.jsonl")
     assert(in != null, "fixture missing from resources")
