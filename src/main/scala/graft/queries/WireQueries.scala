@@ -192,6 +192,46 @@ object WireQueries extends QueryGroup {
         .option("path", dir).load()
     }),
 
+    // S12 end-to-end: mongo recording tailed as a STREAM through the
+    // DSv2 source, post-images parsed to a typed envelope in executors
+    // and merged into the bucketed sink — recorded cursor to queryable
+    // latest-state table with no Mongo client anywhere
+    "s12_change_stream_materialize" -> ((s, _) => {
+      val dir = stageFixture("mongo_changestream.jsonl", "cs",
+        WireFixtures.mongoRowCount)
+      val docSchema = StructType(Seq(
+        StructField("_id", LongType), StructField("sku", StringType),
+        StructField("qty", LongType), StructField("price", DoubleType)))
+      val sink = new graft.streaming.BucketedMergeSink(
+        Files.createTempDirectory("cs-sink").toString, buckets = 8)
+      val ckpt = Files.createTempDirectory("cs-ckpt").toString
+      val q = s.readStream
+        .format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", dir).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          val env = batch
+            .filter(col("table") === "shop.items" &&
+              col("op").isin("c", "u", "d") &&
+              // drop the oversized split doc: schemaless extras stay out
+              // of the typed table (its blob field has no column)
+              get_json_object(col("key_json"), "$._id").cast("long") < 900)
+            .select(
+              from_json(col("key_json"), StructType(Seq(
+                StructField("_id", LongType)))).as("key"),
+              lit(null).cast(docSchema).as("before"),
+              from_json(col("payload_json"), docSchema).as("after"),
+              col("op"), struct(col("pos")).as("source"),
+              lit(null).cast("string").as("transaction"),
+              col("pos").as("ts_ms"))
+          sink.merge(env, epochId): Unit
+        }
+        .start()
+      q.awaitTermination()
+      sink.view(s)
+    }),
+
     // S9: recorded binlog events (TABLE_MAP + ROWS v2) through the DSv2
     // source; row images are positional, so names + primary key resolve
     // from schema-history DDL passed as a source option (the reference's
@@ -395,6 +435,15 @@ object WireQueries extends QueryGroup {
          |  '{"_id":999}',
          |  '{"_id":999,"sku":"sku_big","qty":0,"blob":"${"x" * 64}"}'""".stripMargin,
 
+    "s12_change_stream_materialize" ->
+      """SELECT i AS _id,
+        | CASE WHEN i%10=7 THEN 'sku_'||i||'_v2' ELSE 'sku_'||i END AS sku,
+        | CASE WHEN i%5=0 THEN i*7+1000 ELSE i*7 END AS qty,
+        | CASE WHEN i%10=5 THEN NULL
+        |      WHEN i%10=7 THEN i*1.5+10
+        |      ELSE i*1.5 END AS price
+        |FROM range(40) t(i) WHERE i%6<>0""".stripMargin,
+
     "s9_binlog_decode" ->
       """SELECT 'testdb.bl_items' AS "table", 'c' AS op,
         |  500+CAST(floor(i/10) AS BIGINT) AS pos,
@@ -437,5 +486,5 @@ object WireQueries extends QueryGroup {
     Set("s8_pgoutput_decode", "s8_pgoutput_materialize",
       "s8_pgoutput_tx_stream", "s9_binlog_decode", "s10_logminer_decode",
       "s11_cdc_tables_decode", "s12_change_stream_decode",
-      "s12_change_stream_dsv2")
+      "s12_change_stream_dsv2", "s12_change_stream_materialize")
 }
