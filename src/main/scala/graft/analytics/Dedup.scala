@@ -46,26 +46,34 @@ object Dedup {
 
   /** Jaccard candidate pairs over an arbitrary shingle-set expression
     * (word tokens, char n-grams, …) within blocking buckets.
+    *
+    * Same shape as the LSH candidate stage: shingle ONCE, shuffle each
+    * doc once on its bucket, emit each bucket's pairwise combinations
+    * from the grouped member list — a bucket self-join would evaluate
+    * the shingling in both branches and shuffle twice. Each bucket's
+    * members materialize in one aggregation row, which content-based
+    * blocking keeps small (a bucket IS a near-dup candidate set);
+    * quadratic work per bucket is inherent either way.
     */
   def jaccardPairsBy(docs: DataFrame, bucket: Column, shingles: Column,
-                     minJaccard: Double): DataFrame = {
-    // shingle ONCE per document before the self-join — at bucket size B the
-    // join emits O(B²) pairs per bucket, and re-shingling text per pair
-    // would multiply that cost by B.
-    val d = docs.select(bucket.as("bucket"), col("doc_id"),
-      shingles.as("toks"))
-    val l = d.select(col("bucket"), col("doc_id").as("id_a"), col("toks").as("ta"))
-    val r = d.select(col("bucket").as("bucket_r"), col("doc_id").as("id_b"),
-      col("toks").as("tb"))
-    l.join(r, col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
+                     minJaccard: Double): DataFrame =
+    docs
+      .select(bucket.as("bucket"),
+        struct(col("doc_id"), shingles.as("toks")).as("m"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
       // floor-quantize (engine-stable), not round() (.xxxx5 disagreement)
       .withColumn("jaccard", floor(
-        size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          size(array_union(col("ta"), col("tb"))).cast("double") * 10000)
-        / 10000.0)
+        size(array_intersect(col("p.a.toks"), col("p.b.toks"))).cast("double") /
+          size(array_union(col("p.a.toks"), col("p.b.toks"))).cast("double")
+          * 10000) / 10000.0)
       .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+      .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
+        col("jaccard"))
 
   /** Resolve near-dup PAIRS into duplicate CLUSTERS — the step a dedup
     * pipeline actually acts on: every document gets a `cluster_id` (the
