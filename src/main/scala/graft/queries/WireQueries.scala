@@ -149,6 +149,78 @@ object WireQueries extends QueryGroup {
         .withColumn("changed_cols", array_join(col("changed_cols"), ","))
     }),
 
+    // S11 end-to-end, the POLL-source shape: three successive LSN-window
+    // polls of the change table each decode DECLARATIVELY and append to
+    // the change-log transport via the DSv2 WRITE path; the wire dir
+    // then streams into the bucketed sink, and T22 reselect refills the
+    // max-type unavailable placeholders from the insert-phase images —
+    // poll → decode → transport → merge → reselect, no JDBC anywhere
+    "s11_cdc_poll_stream" -> ((s, _) => {
+      import graft.sources.wire.SqlServerCdc
+      import graft.tools.WireFixtures.sqlServerLsn
+      val path = stageResource("sqlserver_ct.jsonl")
+      val ctSchema = StructType(Seq(
+        StructField("__$start_lsn", StringType),
+        StructField("__$seqval", StringType),
+        StructField("__$operation", IntegerType),
+        StructField("__$update_mask", StringType),
+        StructField("id", IntegerType), StructField("name", StringType),
+        StructField("price", DoubleType), StructField("notes", StringType)))
+      val ct = s.read.schema(ctSchema).json(path)
+        .select(
+          unbase64(col("`__$start_lsn`")).as("__$start_lsn"),
+          unbase64(col("`__$seqval`")).as("__$seqval"),
+          col("`__$operation`").as("__$operation"),
+          unbase64(col("`__$update_mask`")).as("__$update_mask"),
+          col("id"), col("name"), col("price"), col("notes"))
+      val wireDir = Files.createTempDirectory("ct-wire").toString
+      def poll(from: Array[Byte], to: Array[Byte]): Unit =
+        SqlServerCdc.decode(SqlServerCdc.pollWindow(ct, from, to),
+          "dbo.products", Seq("id"), maxTypeCols = Seq("notes"))
+          .select(col("table"), col("op"),
+            // total order from the LSN pair: commit block, row, slot
+            (conv(substring(col("commit_lsn"), 10, 8), 16, 10).cast("long")
+              * (1L << 24) +
+              conv(substring(col("seqval"), 10, 8), 16, 10).cast("long") * 256L +
+              conv(substring(col("seqval"), 19, 4), 16, 10).cast("long"))
+              .as("pos"),
+            col("key_json"),
+            coalesce(col("after_json"), lit("null")).as("payload_json"))
+          .write.format(classOf[graft.sources.v2.ChangeLogSource].getName)
+          .option("path", wireDir).mode("append").save()
+      poll(sqlServerLsn(0, 0, 0), sqlServerLsn(0x25, 0x1ff, 0xffff))
+      poll(sqlServerLsn(0x25, 0x1ff, 0xffff), sqlServerLsn(0x25, 0x2ff, 0xffff))
+      poll(sqlServerLsn(0x25, 0x2ff, 0xffff), sqlServerLsn(0x25, 0x3ff, 0xffff))
+      val rowSchema = StructType(Seq(
+        StructField("id", IntegerType), StructField("name", StringType),
+        StructField("price", DoubleType), StructField("notes", StringType)))
+      val sink = new graft.streaming.BucketedMergeSink(
+        Files.createTempDirectory("ct-sink").toString, buckets = 8)
+      val ckpt = Files.createTempDirectory("ct-ckpt").toString
+      val q = s.readStream
+        .format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", wireDir).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          val env = batch.select(
+            from_json(col("key_json"), StructType(Seq(
+              StructField("id", IntegerType)))).as("key"),
+            lit(null).cast(rowSchema).as("before"),
+            from_json(col("payload_json"), rowSchema).as("after"),
+            col("op"), struct(col("pos")).as("source"),
+            lit(null).cast("string").as("transaction"),
+            col("pos").as("ts_ms"))
+          sink.merge(env, epochId): Unit
+        }
+        .start()
+      q.awaitTermination()
+      val inserts = ct.filter(col("`__$operation`") === 2)
+        .select(col("id"), col("notes"))
+      graft.operators.Transforms.reselectColumns(
+        sink.view(s), inserts, "id", Seq("notes"))
+    }),
+
     // S10: recorded V$LOGMNR_CONTENTS poll → committed change events.
     // CSF chunks regroup declaratively, partial rollbacks cancel via
     // anti-join, only committed txs emit (commit SCN attached), and the
@@ -327,6 +399,14 @@ object WireQueries extends QueryGroup {
         |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
         | FROM range(40) t(i) WHERE i%6=3""".stripMargin,
 
+    "s11_cdc_poll_stream" ->
+      """SELECT i AS id,
+        | CASE WHEN i%4=0 AND i%8<>0 THEN NULL ELSE 'prod_'||i END AS name,
+        | CASE WHEN i%4=0 THEN i*2.5+100 ELSE i*2.5 END AS price,
+        | CASE WHEN i%4=0 AND i%8<>0 THEN 'edited_'||i
+        |      ELSE 'note_'||i END AS notes
+        |FROM range(40) t(i) WHERE i%6<>3""".stripMargin,
+
     "s10_logminer_decode" ->
       """SELECT 'ORA.PRODUCTS' AS "table", 'c' AS op,
         |  5001+i AS scn, 5100 AS commit_scn, '0A0001' AS xid,
@@ -485,6 +565,7 @@ object WireQueries extends QueryGroup {
   override val duckdbOnly: Set[String] =
     Set("s8_pgoutput_decode", "s8_pgoutput_materialize",
       "s8_pgoutput_tx_stream", "s9_binlog_decode", "s10_logminer_decode",
-      "s11_cdc_tables_decode", "s12_change_stream_decode",
-      "s12_change_stream_dsv2", "s12_change_stream_materialize")
+      "s11_cdc_tables_decode", "s11_cdc_poll_stream",
+      "s12_change_stream_decode", "s12_change_stream_dsv2",
+      "s12_change_stream_materialize")
 }
