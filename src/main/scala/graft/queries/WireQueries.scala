@@ -304,11 +304,109 @@ object WireQueries extends QueryGroup {
       sink.view(s)
     }),
 
+    // S10 end-to-end, same POLL shape as S11: three SCN-window polls of
+    // the LogMiner recording (each window holds whole transactions),
+    // declaratively decoded (committed-only) and appended to the DSv2
+    // transport, then streamed into the bucketed sink. Unavailable
+    // values ("Unsupported Type" redo) surface as JSON nulls in the
+    // typed table.
+    "s10_logminer_poll_stream" -> ((s, _) => {
+      val path = stageResource("logminer_contents.jsonl")
+      val schema = StructType(Seq(
+        StructField("rownum", LongType), StructField("scn", LongType),
+        StructField("opcode", IntegerType), StructField("xid", StringType),
+        StructField("csf", IntegerType), StructField("rbk", IntegerType),
+        StructField("row_id", StringType), StructField("rs_id", StringType),
+        StructField("seg_owner", StringType),
+        StructField("table_name", StringType),
+        StructField("sql_redo", StringType)))
+      val contents = s.read.schema(schema).json(path)
+      val wireDir = Files.createTempDirectory("lm-wire").toString
+      def poll(fromScn: Long, toScn: Long): Unit =
+        graft.sources.wire.LogMiner.decode(
+          contents.filter(col("scn") >= fromScn && col("scn") <= toScn),
+          schemas = Map("ORA.PRODUCTS" -> Seq(
+            "ID" -> "long", "NAME" -> "string", "PRICE" -> "double",
+            "CREATED" -> "timestamp")),
+          keys = Map("ORA.PRODUCTS" -> Seq("ID")))
+          .select(col("table"), col("op"), col("scn").as("pos"),
+            col("key_json"),
+            // unavailable-value placeholder → JSON null for the typed read
+            coalesce(regexp_replace(col("after_json"),
+              "\"__unavailable\"", "null"), lit("null")).as("payload_json"))
+          .write.format(classOf[graft.sources.v2.ChangeLogSource].getName)
+          .option("path", wireDir).mode("append").save()
+      poll(5000L, 5199L); poll(5200L, 5399L); poll(5400L, 6000L)
+      val rowSchema = StructType(Seq(
+        StructField("ID", LongType), StructField("NAME", StringType),
+        StructField("PRICE", DoubleType), StructField("CREATED", TimestampType)))
+      val sink = new graft.streaming.BucketedMergeSink(
+        Files.createTempDirectory("lm-sink").toString, buckets = 8)
+      val ckpt = Files.createTempDirectory("lm-ckpt").toString
+      val q = s.readStream
+        .format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", wireDir).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          val env = batch.select(
+            from_json(col("key_json"), StructType(Seq(
+              StructField("ID", LongType)))).as("key"),
+            lit(null).cast(rowSchema).as("before"),
+            from_json(col("payload_json"), rowSchema).as("after"),
+            col("op"), struct(col("pos")).as("source"),
+            lit(null).cast("string").as("transaction"),
+            col("pos").as("ts_ms"))
+          sink.merge(env, epochId): Unit
+        }
+        .start()
+      q.awaitTermination()
+      sink.view(s)
+    }),
+
     // S9: recorded binlog events (TABLE_MAP + ROWS v2) through the DSv2
     // source; row images are positional, so names + primary key resolve
     // from schema-history DDL passed as a source option (the reference's
     // split between row events and replayed schema history). The binary
     // parse runs in each segment's partition reader, never on the driver.
+    // S9 end-to-end: recorded binlog tailed as a STREAM (names + PK from
+    // schema-history DDL), decoded per segment in executors and merged
+    // into the bucketed sink — binlog bytes to queryable latest state
+    "s9_binlog_materialize" -> ((s, _) => {
+      val dir = stageFixture("binlog_segment.blog", "blog",
+        WireFixtures.binlogRowCount)
+      val rowSchema = StructType(Seq(
+        StructField("id", IntegerType), StructField("qty", LongType),
+        StructField("label", StringType)))
+      val sink = new graft.streaming.BucketedMergeSink(
+        Files.createTempDirectory("bl-sink").toString, buckets = 8)
+      val ckpt = Files.createTempDirectory("bl-ckpt").toString
+      val q = s.readStream
+        .format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", dir)
+        .option("binlogDdl",
+          "CREATE TABLE testdb.bl_items (id INT PRIMARY KEY, qty BIGINT, label VARCHAR(40))")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          val env = batch
+            .filter(col("table") === "testdb.bl_items")
+            .select(
+              from_json(col("key_json"), StructType(Seq(
+                StructField("id", IntegerType)))).as("key"),
+              lit(null).cast(rowSchema).as("before"),
+              from_json(col("payload_json"), rowSchema).as("after"),
+              col("op"), struct(col("pos")).as("source"),
+              lit(null).cast("string").as("transaction"),
+              col("pos").as("ts_ms"))
+          sink.merge(env, epochId): Unit
+        }
+        .start()
+      q.awaitTermination()
+      sink.view(s)
+    }),
+
     "s9_binlog_decode" -> ((s, _) => {
       val dir = stageFixture("binlog_segment.blog", "blog",
         WireFixtures.binlogRowCount)
@@ -406,6 +504,17 @@ object WireQueries extends QueryGroup {
         | CASE WHEN i%4=0 AND i%8<>0 THEN 'edited_'||i
         |      ELSE 'note_'||i END AS notes
         |FROM range(40) t(i) WHERE i%6<>3""".stripMargin,
+
+    "s10_logminer_poll_stream" ->
+      """SELECT i AS "ID",
+        | CASE WHEN i IN (5,10,20,25) THEN NULL
+        |      WHEN i=7 THEN 'it''s_7' ELSE 'ora_'||i END AS "NAME",
+        | CASE WHEN i IN (5,10,20,25) THEN i+100.25
+        |      WHEN i=11 THEN NULL ELSE i+0.25 END AS "PRICE",
+        | CASE WHEN i=11 THEN NULL
+        |      ELSE ('2021-03-15 10:00:'||lpad(i::VARCHAR,2,'0'))::TIMESTAMP
+        | END AS "CREATED"
+        |FROM range(30) t(i) WHERE i%7<>0""".stripMargin,
 
     "s10_logminer_decode" ->
       """SELECT 'ORA.PRODUCTS' AS "table", 'c' AS op,
@@ -524,6 +633,12 @@ object WireQueries extends QueryGroup {
         |      ELSE i*1.5 END AS price
         |FROM range(40) t(i) WHERE i%6<>0""".stripMargin,
 
+    "s9_binlog_materialize" ->
+      """SELECT i AS id,
+        | CASE WHEN i%4=0 THEN i*11+7 ELSE i*11 END AS qty,
+        | CASE WHEN i%4=0 AND i%8=4 THEN NULL ELSE 'bl_'||i END AS label
+        |FROM range(30) t(i) WHERE i%9<>0""".stripMargin,
+
     "s9_binlog_decode" ->
       """SELECT 'testdb.bl_items' AS "table", 'c' AS op,
         |  500+CAST(floor(i/10) AS BIGINT) AS pos,
@@ -564,7 +679,9 @@ object WireQueries extends QueryGroup {
   // range()/string-concat dialect is DuckDB-only
   override val duckdbOnly: Set[String] =
     Set("s8_pgoutput_decode", "s8_pgoutput_materialize",
-      "s8_pgoutput_tx_stream", "s9_binlog_decode", "s10_logminer_decode",
+      "s8_pgoutput_tx_stream", "s9_binlog_decode", "s9_binlog_materialize",
+      "s10_logminer_decode",
+      "s10_logminer_poll_stream",
       "s11_cdc_tables_decode", "s11_cdc_poll_stream",
       "s12_change_stream_decode", "s12_change_stream_dsv2",
       "s12_change_stream_materialize")
