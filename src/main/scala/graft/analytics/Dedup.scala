@@ -241,18 +241,37 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int, bits: Int = 64,
                    nBands: Int = 4,
-                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    simhashPairsFrom(simhash(docs, bits, tokenHash), maxHamming, bits, nBands)
+
+  /** One-pass native signature (map-only, no explode/agg shuffle —
+    * [[graft.expressions.SimHashSignature]]); bit-identical to
+    * `simhash(docs, bits, xxhash64|md5Hash32)`.
+    */
+  def simhashNative(docs: DataFrame, bits: Int, useMd5: Boolean): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      graft.expressions.GraftFunctions.simhash(
+        array_distinct(split(col("text"), " ")), bits, useMd5).as("simhash"))
+  }
+
+  def simhashPairsNative(docs: DataFrame, maxHamming: Int, bits: Int,
+                         nBands: Int, useMd5: Boolean): DataFrame =
+    simhashPairsFrom(simhashNative(docs, bits, useMd5), maxHamming, bits, nBands)
+
+  private def simhashPairsFrom(signatures: DataFrame, maxHamming: Int,
+                               bits: Int, nBands: Int): DataFrame = {
     val bandBits = bits / nBands
     val bandMask = (1L << bandBits) - 1
     // persist the per-doc signature (16 bytes/doc, spillable): the band
     // self-join below evaluates its input once per leg, and without the
-    // persist each leg re-runs the token-explode aggregation — the
-    // expensive stage — twice. (MLlib's LSH approxSimilarityJoin caches
-    // its transformed datasets for the same reason.) The coarse 2^bandBits
+    // persist each leg re-runs the signature stage twice. (MLlib's LSH
+    // approxSimilarityJoin caches its transformed datasets for the same
+    // reason.) The coarse 2^bandBits
     // band buckets stay as a JOIN, not grouped pair-combos: with only 256
     // distinct bucket values a grouped form would materialize a bucket's
     // whole quadratic candidate product inside single rows.
-    val sh = simhash(docs, bits, tokenHash)
+    val sh = signatures
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until nBands).map { b =>

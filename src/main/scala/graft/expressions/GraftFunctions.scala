@@ -36,6 +36,13 @@ object GraftFunctions {
     "graft_bloom_might_contain" -> ((exprs: Seq[Expression]) =>
       org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1))),
+    "graft_simhash" -> ((exprs: Seq[Expression]) => {
+      require(exprs(1).foldable && exprs(2).foldable,
+        "simhash bits/useMd5 must be literals")
+      SimHashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Boolean])
+    }),
     "graft_nearest_cell" -> ((exprs: Seq[Expression]) => {
       // 2nd arg must be a foldable array<array<double>> literal — the
       // centroid matrix is evaluated once at plan time, not per row
@@ -76,6 +83,12 @@ object GraftFunctions {
   def minhash(shingles: Column, numPerm: Int): Column =
     call_function("graft_minhash", shingles,
       org.apache.spark.sql.functions.lit(numPerm))
+
+  /** One-pass SimHash of a token-set column (register(spark) first). */
+  def simhash(tokens: Column, bits: Int, useMd5: Boolean): Column =
+    call_function("graft_simhash", tokens,
+      org.apache.spark.sql.functions.lit(bits),
+      org.apache.spark.sql.functions.lit(useMd5))
 
   /** Bloom filter over an xxhash64 column (register(spark) first):
     * aggregate to ONE binary value (serialized filter).

@@ -76,10 +76,11 @@ object CorpusQueries extends QueryGroup {
     // Portable 32-bit simhash (md5-derived token hash) in 4 bands of 8
     // bits: hamming <= 3 < nBands pairs provably share a band (recall 1.0),
     // so the output is exactly the all-pairs hamming computation the
-    // oracle reproduces bit-for-bit in SQL.
+    // oracle reproduces bit-for-bit in SQL. Signature = native one-pass
+    // codegen expression (no explode/agg shuffle).
     "a_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3,
-        bits = 32, nBands = 4, tokenHash = Dedup.md5Hash32)),
+      Dedup.simhashPairsNative(t(s, dir, "documents"), maxHamming = 3,
+        bits = 32, nBands = 4, useMd5 = true)),
 
     // Benchmark decontamination: training docs sharing any 5-token
     // shingle with the eval set (doc_id%11==0 stands in for a benchmark

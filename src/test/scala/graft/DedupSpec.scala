@@ -75,6 +75,19 @@ class DedupSpec extends AnyFunSuite {
     assert(precision >= 0.8, s"simhash precision vs jaccard>=0.5 was $precision")
   }
 
+  test("native simhash expression equals the explode+agg formulation, both hashes") {
+    val byAgg64 = Dedup.simhash(docs, 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native64 = Dedup.simhashNative(docs, 64, useMd5 = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native64 == byAgg64)
+    val byAgg32 = Dedup.simhash(docs, 32, Dedup.md5Hash32).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native32 = Dedup.simhashNative(docs, 32, useMd5 = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native32 == byAgg32)
+  }
+
   test("LSH ANN returns a subset of true high-similarity pairs") {
     val e = embs.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val f = embs.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
