@@ -287,6 +287,53 @@ class WireDecoderSpec extends AnyFunSuite {
       """"arr":[1,"x",[false]],"obj":{"k":"v"}}""")
   }
 
+  test("json_binary property: decode(encode(tree)) equals an independent renderer") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import MySqlBinlog._
+    val genScalar: Gen[JsonVal] = Gen.oneOf(
+      Gen.const(JNull),
+      Gen.oneOf(true, false).map(JBool),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(JInt(_)),
+      Gen.chooseNum(-40000L, 40000L).map(JInt(_)), // exercise int16/int32
+      Gen.alphaNumStr.map(s => JStr(s.take(8))),
+      Gen.oneOf("q\"x", "b\\s", "ué中", "").map(JStr))
+    def genTree(depth: Int): Gen[JsonVal] =
+      if (depth == 0) genScalar
+      else Gen.frequency(
+        3 -> genScalar,
+        1 -> Gen.listOfN(3, genTree(depth - 1)).map(JArr(_)),
+        1 -> Gen.listOfN(3, Gen.zip(Gen.alphaLowerStr.map(_.take(5)),
+          genTree(depth - 1))).map(JObj(_)))
+
+    def esc(s: String): String = {
+      val sb = new StringBuilder
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.result()
+    }
+    def render(v: JsonVal): String = v match {
+      case JNull => "null"
+      case JBool(b) => b.toString
+      case JInt(l) => l.toString
+      case JStr(s) => "\"" + esc(s) + "\""
+      case JArr(xs) => xs.map(render).mkString("[", ",", "]")
+      case JObj(fs) =>
+        fs.map { case (k, x) => "\"" + esc(k) + "\":" + render(x) }
+          .mkString("{", ",", "}")
+    }
+
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(genTree(3)) { v =>
+        decodeJsonBinary(encodeJsonBinary(v)) == render(v)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("binlog JSON column rows decode through segmentRows") {
     val names = Map("testdb.bl_json" -> Seq("id", "j"))
     val rows = MySqlBinlog.segmentRows(WireFixtures.binlogSegment, names)
