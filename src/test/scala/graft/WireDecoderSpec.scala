@@ -95,6 +95,50 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(row.payloadJson == s"""{"id":7,"payload":"$b64"}""")
   }
 
+  test("pgoutput array-text property: quoting/escapes/NULL/nesting render to JSON") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import PgOutput._
+    val rel = Relation(9100, "public", "arr", 'd', Seq(
+      Column(1, "id", 23, -1), Column(0, "ts", 1009, -1),
+      Column(0, "ns", 1016, -1)))
+    def needsQuote(s: String): Boolean =
+      s.isEmpty || s == "NULL" ||
+        s.exists(c => c == ',' || c == '"' || c == '\\' || c == '{' ||
+          c == '}' || c == ' ')
+    def pgElem(s: String, forceQuote: Boolean): String =
+      if (forceQuote || needsQuote(s))
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      else s
+    def jsonStr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val genElem: Gen[String] = Gen.listOf(Gen.oneOf(
+      'a', 'b', ' ', ',', '"', '\\', '{', '}')).map(_.take(6).mkString)
+    val genText = for {
+      elems <- Gen.listOf(genElem).map(_.take(5))
+      force <- Gen.oneOf(true, false)
+    } yield (elems, force)
+    val genNums = Gen.listOf(
+      Gen.oneOf(Gen.chooseNum(-99L, 99L).map(_.toString),
+        Gen.const("NULL"))).map(_.take(5))
+
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(150),
+      Prop.forAll(genText, genNums) { case ((elems, force), nums) =>
+        val tsLit = elems.map(pgElem(_, force)).mkString("{", ",", "}")
+        val nsLit = nums.mkString("{", ",", "}")
+        val seg = writeSegment(Seq(
+          (1L, encode(rel)),
+          (2L, encode(Insert(9100, Seq(
+            VText("1"), VText(tsLit), VText(nsLit)))))))
+        val row = segmentRows(seg).next()
+        val wantTs = elems.map(jsonStr).mkString("[", ",", "]")
+        val wantNs = nums.map(n => if (n == "NULL") "null" else n)
+          .mkString("[", ",", "]")
+        row.payloadJson == s"""{"id":1,"ts":$wantTs,"ns":$wantNs}"""
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("pgoutput fixture: committed bytes equal the builder's output") {
     val in = getClass.getResourceAsStream("/graft/fixtures/pgoutput_segment.pgo")
     assert(in != null, "fixture missing from classpath")
