@@ -34,4 +34,31 @@ object Decontaminate {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("contaminated_shingles"))
   }
+
+  /** FUZZY decontamination: training docs NEAR-duplicating any document
+    * of the eval split (MinHash-LSH candidates exact-verified at
+    * `minJaccard`) — catches paraphrased/lightly-edited benchmark
+    * leakage that exact shingle collision misses. `isBenchmark` marks
+    * the eval side within `corpus`; output is one row per contaminated
+    * TRAINING doc with its match count and worst (highest) Jaccard.
+    *
+    * Scale shape inherits [[Dedup.minhashLshPairs]] wholesale: map-only
+    * native signatures, banded buckets, one corpus scan in the verify —
+    * the side filter adds nothing.
+    */
+  def nearDupContaminated(corpus: DataFrame,
+                          isBenchmark: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                          shingleSize: Int, bands: Int, rowsPerBand: Int,
+                          minJaccard: Double): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(corpus, shingleSize, bands,
+      rowsPerBand, minJaccard)
+    pairs
+      .filter(isBenchmark(col("id_a")) =!= isBenchmark(col("id_b")))
+      .select(
+        when(isBenchmark(col("id_a")), col("id_b")).otherwise(col("id_a"))
+          .as("doc_id"),
+        col("jaccard"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("max_jaccard"))
+  }
 }

@@ -92,6 +92,14 @@ object CorpusQueries extends QueryGroup {
         docs.filter(col("doc_id") % 11 === 0), n = 5)
     }),
 
+    // Fuzzy decontamination: training docs NEAR-duplicating the eval
+    // split (MinHash candidates, exact-Jaccard verified) — catches the
+    // paraphrased leakage a_decontaminate's exact collisions miss
+    "a_neardup_decontaminate" -> ((s, dir) =>
+      Decontaminate.nearDupContaminated(t(s, dir, "documents"),
+        isBenchmark = c => c % 11 === 0,
+        shingleSize = 3, bands = 16, rowsPerBand = 2, minJaccard = 0.8)),
+
     // Gopher-style repetition signals: high duplicate-token /
     // top-token / duplicate-2-gram fractions mark boilerplate
     "a_repetition_stats" -> ((s, dir) =>
@@ -552,6 +560,15 @@ object CorpusQueries extends QueryGroup {
 
     "a_minhash_lsh" -> minhashOracle,
 
+    // cross-side restriction + per-training-doc aggregation of the exact
+    // all-pairs computation a_minhash_lsh equals
+    "a_neardup_decontaminate" ->
+      s"""SELECT CASE WHEN id_a%11=0 THEN id_b ELSE id_a END AS doc_id,
+         | count(*) AS n_matches, max(jaccard) AS max_jaccard
+         |FROM ($minhashOracle) p
+         |WHERE (id_a%11=0) <> (id_b%11=0)
+         |GROUP BY 1""".stripMargin,
+
     "a_semantic_dedup" -> semanticDedupOracle,
 
     "a_vocab_coverage" ->
@@ -654,7 +671,8 @@ object CorpusQueries extends QueryGroup {
   override val duckdbOnly: Set[String] = Set(
     "a_text_stats", "a_lang_id", "a_quality_score", "a_fingerprint",
     "a_jaccard_pairs", "a_ngram_jaccard", "a_dedup_clusters",
-    "a_decontaminate", "a_incremental_dedup", "a_repetition_stats",
+    "a_decontaminate", "a_neardup_decontaminate", "a_incremental_dedup",
+    "a_repetition_stats",
     "a_sequence_pack", "a_pii_redact", "a_corpus_stats",
     "a_curation_pipeline", "a_vocab_coverage",
     "a_stratified_sample", "a_train_split",
