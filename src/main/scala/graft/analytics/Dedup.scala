@@ -54,12 +54,18 @@ object Dedup {
     * members materialize in one aggregation row, which content-based
     * blocking keeps small (a bucket IS a near-dup candidate set);
     * quadratic work per bucket is inherent either way.
+    *
+    * A NULL bucket means "no blocking key" (e.g. empty text): such docs
+    * are candidates of nothing, matching the self-join formulation where
+    * `null === null` never matches — filtered out before the groupBy so
+    * the null group doesn't become an accidental all-pairs bucket.
     */
   def jaccardPairsBy(docs: DataFrame, bucket: Column, shingles: Column,
                      minJaccard: Double): DataFrame =
     docs
       .select(bucket.as("bucket"),
         struct(col("doc_id"), shingles.as("toks")).as("m"))
+      .filter(col("bucket").isNotNull)
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(col("m"))).as("ms"))
       .filter(size(col("ms")) > 1)

@@ -668,11 +668,11 @@ object WireQueries extends QueryGroup {
         | FROM range(10) t(i)
         |UNION ALL
         |SELECT 'testdb.bl_json', 'c', 951, '{"id":'||i||'}',
-        |  '{"id":'||i||',"j":{"id":'||i||',"name":"js_'||i||'"'||
+        |  '{"id":'||i||',"j":{"id":'||i||',"huge":'||(3000000000+i)||
+        |  ',"name":"js_'||i||'"'||
         |  ',"flags":['||(CASE WHEN i%2=0 THEN 'true' ELSE 'false' END)||
         |    ',null,'||(i*1000)||']'||
-        |  ',"nested":{"depth":2,"big":'||(100000+i)||'}'||
-        |  ',"huge":'||(3000000000+i)||'}}'
+        |  ',"nested":{"big":'||(100000+i)||',"depth":2}}}'
         | FROM range(10) t(i)""".stripMargin
   )
 

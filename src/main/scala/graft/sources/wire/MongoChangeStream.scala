@@ -31,19 +31,27 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   *
   * Spark-first shape: the recording is a text DataFrame, every field
   * extraction is a `get_json_object` column expression (codegen, no
-  * UDFs), and fragment reassembly is ONE map-side-combinable
-  * `groupBy(position-prefix)` — fields are disjoint across fragments so
-  * `max` of each column merges them; unsplit events are singleton
-  * groups in the same aggregation. No ordering assumption beyond the
-  * resume-token prefix rule, so a 100 TB recording decodes with a
-  * single shuffle keyed by event identity.
+  * UDFs). Only rows carrying a `splitEvent` marker enter the fragment
+  * reassembly — ONE map-side-combinable `groupBy(position-prefix)`
+  * (fields are disjoint across fragments so `max` of each column merges
+  * them); ordinary events bypass the aggregation entirely, so the
+  * common path is map-only and two distinct unsplit events can never be
+  * merged no matter how their tokens collide. No ordering assumption
+  * beyond the resume-token prefix rule, so a 100 TB recording decodes
+  * with a shuffle only over the (rare, >16 MB) split fragments.
   */
 object MongoChangeStream {
 
-  /** Hex digits of the resume token that encode the event position
-    * (the remainder distinguishes fragments of a split event).
+  /** Hex digits of the resume token that encode the event position for
+    * fragment grouping. Real `_data` v1 tokens open with the `82`
+    * canonical-type header followed by the 8-byte BsonTimestamp, so 18
+    * chars cover the full (t, i) identity — one second with many events
+    * still separates, because the increment's low byte sits at chars
+    * 17-18. (The recorded-fixture layout — 16 hex of position + 4 of
+    * fragment ordinal — also groups correctly under this prefix: the
+    * ordinal's two high chars are constant across fragments.)
     */
-  val TokenPositionLen = 16
+  val TokenPositionLen = 18
 
   /** Decode a recorded change-stream cursor (one JSON event document
     * per line in `lines.value`) into change events:
@@ -68,13 +76,20 @@ object MongoChangeStream {
       get_json_object(v, "$.documentKey").as("key_json"),
       get_json_object(v, "$.fullDocument").as("after_json"),
       get_json_object(v, "$.updateDescription.updatedFields").as("updated_json"),
-      get_json_object(v, "$.updateDescription.removedFields").as("removed_json"))
+      get_json_object(v, "$.updateDescription.removedFields").as("removed_json"),
+      get_json_object(v, "$.splitEvent").isNotNull.as("is_split"))
 
-    // Fragment reassembly: group on the token's position prefix; the
-    // split fields are disjoint, so max() collapses each to its single
-    // non-null value. max(token) is the last fragment's token — the one
-    // a client resumes from (SplitEventHandler buffers until `of`).
-    val merged = parsed
+    val whole = parsed.filter(!col("is_split")).select(
+      col("token").as("resume_token"), col("op_type"), col("db"),
+      col("coll"), col("ord"), col("key_json"), col("after_json"),
+      col("updated_json"), col("removed_json"))
+
+    // Fragment reassembly — split rows ONLY: group on the token's
+    // position prefix; the split fields are disjoint, so max() collapses
+    // each to its single non-null value. max(token) is the last
+    // fragment's token — the one a client resumes from
+    // (SplitEventHandler buffers until `of`).
+    val reassembled = parsed.filter(col("is_split"))
       .groupBy(substring(col("token"), 1, TokenPositionLen).as("pos_prefix"))
       .agg(
         max(col("token")).as("resume_token"),
@@ -85,8 +100,9 @@ object MongoChangeStream {
         max(col("after_json")).as("after_json"),
         max(col("updated_json")).as("updated_json"),
         max(col("removed_json")).as("removed_json"))
+      .drop("pos_prefix")
 
-    merged
+    whole.unionByName(reassembled)
       .filter(col("op_type").isin("insert", "update", "replace", "delete"))
       .select(
         concat_ws(".", col("db"), col("coll")).as("table"),

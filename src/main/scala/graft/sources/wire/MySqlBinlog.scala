@@ -282,6 +282,16 @@ object MySqlBinlog {
     Array(t.toByte) ++ body
   }
 
+  /** SMALL containers address with 16-bit offsets: anything whose layout
+    * exceeds `Short.MaxValue` would silently wrap `tail.toShort` and
+    * produce bytes no server ever emits — fail fast instead (the encoder
+    * is a fixture builder; LARGE-variant encode is out of scope, decode
+    * handles both).
+    */
+  private def requireSmall(tail: Long): Unit =
+    require(tail <= Short.MaxValue,
+      s"container layout $tail bytes exceeds SMALL variant 16-bit offsets")
+
   private def jsEncode(v: JsonVal): (Int, Array[Byte]) = v match {
     case JNull => (JT_LITERAL, Array(0.toByte))
     case JBool(x) => (JT_LITERAL, Array(if (x) 1.toByte else 2.toByte))
@@ -317,13 +327,22 @@ object MySqlBinlog {
           tail += body.length
         }
       }
+      requireSmall(tail)
       val b = leBuf(4 + entries.position() + outline.size)
       b.putShort(items.size.toShort); b.putShort(tail.toShort)
       val e = new Array[Byte](entries.position()); entries.flip(); entries.get(e)
       b.put(e); b.put(outline.toArray)
       val out = new Array[Byte](b.position()); b.flip(); b.get(out)
       (JT_SMALL_ARR, out)
-    case JObj(fields) =>
+    case JObj(rawFields) =>
+      // The server stores object keys sorted by (length, bytes) — memcmp
+      // order, json_binary.cc — so a fixture laid out in insertion order
+      // would diverge from genuine server bytes. Sort here; the decoder
+      // renders stored order, which is then exactly what MySQL returns.
+      val fields = rawFields.sortBy { f =>
+        val kb = f._1.getBytes(StandardCharsets.UTF_8)
+        (kb.length, kb.map(b => (b & 0xff).toChar).mkString)
+      }
       val keys = fields.map(_._1.getBytes(StandardCharsets.UTF_8))
       val parts = fields.map(f => jsEncode(f._2))
       val keyEntrySize = 4; val valEntrySize = 3
@@ -348,6 +367,7 @@ object MySqlBinlog {
         }
       }
       outlined.foreach { case (_, body) => outline ++= body }
+      requireSmall(tail)
       val b = leBuf(tail)
       b.putShort(fields.size.toShort); b.putShort(tail.toShort)
       val ke = new Array[Byte](keyEntries.position()); keyEntries.flip(); keyEntries.get(ke)

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Envelope
@@ -70,11 +71,13 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
     */
   def versions: Seq[Long] =
     if (!Files.exists(root)) Nil
-    else Files.list(root).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("m") && s.endsWith(".manifest") =>
-        s.stripPrefix("m").stripSuffix(".manifest").toLong }
-      .toSeq.sorted
+    else Using.resource(Files.list(root)) { st =>
+      val M = """m(\d+)\.manifest""".r
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case M(epoch) => epoch.toLong }
+        .toSeq
+    }.sorted
 
   /** The manifest as of `epochId`: the newest committed version ≤ it
     * (Delta/Iceberg VERSION AS OF semantics).
@@ -123,10 +126,12 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
   def vacuum(): Int = {
     val live = manifest.values
       .map { case (p, _) => Paths.get(p).getParent.getFileName.toString }.toSet
-    val versionDirs = Files.list(root).iterator().asScala
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("v"))
-      .toSeq
+    val versionDirs = Using.resource(Files.list(root)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("v"))
+        .toSeq
+    }
     val dead = versionDirs.filterNot(p => live(p.getFileName.toString))
     dead.foreach { d =>
       Files.walk(d).sorted(java.util.Comparator.reverseOrder())

@@ -58,11 +58,13 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     */
   def versions: Seq[Long] =
     if (!Files.exists(root)) Nil
-    else Files.list(root).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("m") && s.endsWith(".manifest") =>
-        s.stripPrefix("m").stripSuffix(".manifest").toLong }
-      .toSeq.sorted
+    else Using.resource(Files.list(root)) { st =>
+      val M = """m(\d+)\.manifest""".r
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case M(epoch) => epoch.toLong }
+        .toSeq
+    }.sorted
 
   /** Manifest as of `epochId` (newest committed ≤ it — VERSION AS OF). */
   def manifestAt(epochId: Long): Manifest = {

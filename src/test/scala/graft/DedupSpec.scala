@@ -29,6 +29,22 @@ class DedupSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getLong(1))).toSet
   }
 
+  test("jaccardPairsBy: NULL buckets are candidates of nothing") {
+    import spark.implicits._
+    // identical texts, but bucket is null (no blocking key) — must emit
+    // no pairs, matching the self-join formulation where null === null
+    // never matches (the null group must not become an all-pairs bucket)
+    val d = Seq((1L, "same text here"), (2L, "same text here"),
+      (3L, "same text here")).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsBy(d, lit(null).cast("string"),
+      array_distinct(split(col("text"), " ")), 0.1)
+    assert(got.count() == 0)
+    // sanity: a real bucket still pairs them
+    val paired = Dedup.jaccardPairsBy(d, lit("b"),
+      array_distinct(split(col("text"), " ")), 0.1)
+    assert(paired.count() == 3)
+  }
+
   test("dedupClusters resolves pair graphs to min-id components") {
     import spark.implicits._
     // two chains and a singleton: {1,2,3} via 1-2,2-3; {5,6}; 4 and 7 alone

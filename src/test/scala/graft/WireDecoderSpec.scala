@@ -326,9 +326,10 @@ class WireDecoderSpec extends AnyFunSuite {
       "arr" -> JArr(Seq(JInt(1), JStr("x"), JArr(Seq(JBool(false))))),
       "obj" -> JObj(Seq("k" -> JStr("v")))))
     val got = decodeJsonBinary(encodeJsonBinary(v))
-    assert(got == """{"n":null,"t":true,"f":false,"small":-7,"mid":1048576,""" +
-      """"big":1099511627776,"s":"quote \" and \\ back",""" +
-      """"arr":[1,"x",[false]],"obj":{"k":"v"}}""")
+    // keys come back in the server's (length, bytes) storage order
+    assert(got == """{"f":false,"n":null,"s":"quote \" and \\ back",""" +
+      """"t":true,"arr":[1,"x",[false]],"big":1099511627776,""" +
+      """"mid":1048576,"obj":{"k":"v"},"small":-7}""")
   }
 
   test("json_binary property: decode(encode(tree)) equals an independent renderer") {
@@ -366,7 +367,11 @@ class WireDecoderSpec extends AnyFunSuite {
       case JStr(s) => "\"" + esc(s) + "\""
       case JArr(xs) => xs.map(render).mkString("[", ",", "]")
       case JObj(fs) =>
-        fs.map { case (k, x) => "\"" + esc(k) + "\":" + render(x) }
+        // independently reproduce the server's (length, bytes) key order
+        fs.sortBy { case (k, _) =>
+          val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (kb.length, kb.map(b => (b & 0xff).toChar).mkString)
+        }.map { case (k, x) => "\"" + esc(k) + "\":" + render(x) }
           .mkString("{", ",", "}")
     }
 
@@ -385,8 +390,8 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(rows.size == 10)
     val r3 = rows.find(_.keyJson == """{"id":3}""").get
     assert(r3.payloadJson ==
-      """{"id":3,"j":{"id":3,"name":"js_3","flags":[false,null,3000],""" +
-        """"nested":{"depth":2,"big":100003},"huge":3000000003}}""")
+      """{"id":3,"j":{"id":3,"huge":3000000003,"name":"js_3",""" +
+        """"flags":[false,null,3000],"nested":{"big":100003,"depth":2}}}""")
   }
 
   test("NEWDECIMAL decodes from hand-built packed bytes (sign-bit + NOT)") {
@@ -629,6 +634,34 @@ class WireDecoderSpec extends AnyFunSuite {
       WireFixtures.mongoToken(WireFixtures.mongoOrd(1680000500L), 3))
     assert(big.getAs[String]("after_json").contains("sku_big"))
     assert(big.getAs[Long]("ord") == WireFixtures.mongoOrd(1680000500L))
+  }
+
+  test("mongo decode: distinct unsplit events in one second never merge") {
+    // Real v1 `_data` tokens: '82' header + 8-byte BsonTimestamp. Two
+    // events in the same second (i=1 vs i=2) share their first 16 hex
+    // chars — only rows carrying a splitEvent marker may be grouped, so
+    // these must decode as two events, not one field-wise merge.
+    def ev(i: Int): String =
+      s"""{"_id":{"_data":"825a5a5a5a0000000${i}29295a1004"},""" +
+        s""""operationType":"insert","clusterTime":{"t":1516000000,"i":$i},""" +
+        s""""ns":{"db":"d","coll":"c"},"documentKey":{"_id":$i},""" +
+        s""""fullDocument":{"_id":$i}}"""
+    val path = java.nio.file.Files.createTempFile("mongo2", ".jsonl")
+    java.nio.file.Files.write(path, s"${ev(1)}\n${ev(2)}\n".getBytes("UTF-8"))
+    val out = MongoChangeStream.decode(spark.read.text(path.toString)).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[String]("key_json")).toSet ==
+      Set("""{"_id":1}""", """{"_id":2}"""))
+  }
+
+  test("json_binary encode fails fast past SMALL-container 16-bit offsets") {
+    import MySqlBinlog._
+    assertThrows[IllegalArgumentException] {
+      encodeJsonBinary(JObj(Seq("k" -> JStr("x" * 40000))))
+    }
+    assertThrows[IllegalArgumentException] {
+      encodeJsonBinary(JArr(Seq(JStr("x" * 40000))))
+    }
   }
 
   test("mongo cursor-order segmentRows: fragment buffering, op filter, payloads") {
