@@ -1,0 +1,76 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring — the CCNet/KenLM-style filter:
+  * train a bigram model ON the corpus, then score every document by its
+  * average smoothed bigram probability. Low scores mark documents whose
+  * word transitions are atypical for the corpus (gibberish, wrong
+  * language, boilerplate soup) — the classic perplexity-filter signal.
+  *
+  * Model: add-one smoothing, `P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)`
+  * with `c(w)` the corpus unigram count and `V` the vocabulary size.
+  *
+  * Cross-engine exactness: scores stay in the PROBABILITY domain and
+  * every per-bigram probability is floor-quantized to 1e-9 BEFORE the
+  * per-document sum. Both factors of the quantization — one IEEE
+  * division of two exactly-representable integers, one multiply by 1e9
+  * — are correctly rounded, so Spark and any oracle engine produce the
+  * same integers bit-for-bit. A log-domain score would thread `ln`
+  * through two different libm implementations (not correctly rounded)
+  * and make verification flaky at quantization boundaries; the ranking
+  * the filter acts on is insensitive to the choice. (`avg(log p)` ranks
+  * nearly identically to this for filtering; pipelines that need true
+  * perplexity can apply `ln` to the released probabilities downstream.)
+  *
+  * 100 TB shape: unigram and bigram counts are map-side-combinable
+  * aggregations (two corpus scans, or one with re-exploding); scoring is
+  * two shuffle joins keyed by bigram and by history token. The count
+  * tables follow a Zipf law — hot function-word keys — which is the
+  * textbook AQE skew-join case; the vocabulary scalar broadcasts.
+  */
+object LanguageModel {
+
+  /** `(doc_id, n_bigrams, prob_q9_sum, avg_prob_q9)` per document —
+    * add-one-smoothed bigram probabilities quantized to 1e-9 and summed
+    * exactly as integers. Documents of fewer than two tokens score 0
+    * over 0 bigrams.
+    */
+  def bigramScore(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val tokens = docs.select(col("doc_id"), explode(toks).as("w"))
+    val uni = tokens.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+
+    val bigrams = docs.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+    val big = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+
+    val scored = bigrams
+      .join(big, Seq("w1", "w2"))
+      .join(uni, col("w1") === uni("w"))
+      .crossJoin(broadcast(vocab))
+      // (cb+1)/(cu+V): one correctly-rounded IEEE division; ×1e9 and
+      // floor are exact — identical integers on every engine
+      .withColumn("q", floor((col("cb") + 1).cast("double") /
+        (col("cu") + col("v")) * 1e9).cast("long"))
+
+    val agg = scored.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(col("q")).as("prob_q9_sum"))
+
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("prob_q9_sum"), lit(0L)).as("prob_q9_sum"))
+      .withColumn("avg_prob_q9",
+        floor(col("prob_q9_sum").cast("double") /
+          greatest(col("n_bigrams"), lit(1L))).cast("long"))
+  }
+}

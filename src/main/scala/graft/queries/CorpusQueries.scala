@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analytics.{Decontaminate, Dedup, Sampling, SequencePack, Similarity, TextAnalysis}
+import graft.analytics.{Boilerplate, Decontaminate, Dedup, LanguageModel, Sampling, SequencePack, Similarity, TextAnalysis}
 
 /** LLM-training-corpus operators over `documents` / `embeddings`:
   * deduplication (exact, Jaccard, MinHash+LSH, SimHash), similarity search
@@ -236,6 +236,42 @@ object CorpusQueries extends QueryGroup {
       Similarity.semanticDedup(t(s, dir, "embeddings"),
         graft.analytics.Ivf.pretrainedCentroids(k = 16, dims = 64),
         minSim = 0.3)),
+
+    // Cross-document passage (boilerplate) dedup, the CCNet paragraph
+    // shape: passages occurring in >= 2 distinct docs are dropped and
+    // the survivors reassemble in document order (empty text kept for
+    // fully-boilerplate docs)
+    "a_passage_dedup" -> ((s, dir) =>
+      Boilerplate.removeBoilerplate(t(s, dir, "documents"),
+        width = 16, minDocs = 2)),
+
+    // KenLM-style corpus-LM quality score: add-one-smoothed bigram
+    // probabilities (trained on the corpus itself), per-term quantized
+    // to 1e-9 then summed exactly — see LanguageModel for why the score
+    // stays in the probability domain
+    "a_lm_score" -> ((s, dir) =>
+      LanguageModel.bigramScore(t(s, dir, "documents"))),
+
+    // Near-dup overlap matrix across sources: where is the duplication
+    // coming from? (the report a crawl-curation run starts from)
+    "a_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs,
+        TextAnalysis.prefixFingerprint(col("text"), 8), 0.9)
+      val src = docs.select(col("doc_id"), col("source"))
+      // pair list is tiny relative to the corpus: broadcast it through
+      // both id->source lookups so the corpus never shuffles
+      broadcast(broadcast(pairs)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          "id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          "id_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          max(col("jaccard")).as("max_jaccard"))
+    }),
 
     // IVF ANN with pretrained cells: the oracle replays the identical
     // cell-assignment + probe + rank computation from centroid literals
@@ -665,7 +701,64 @@ object CorpusQueries extends QueryGroup {
 
     "a_simhash_pairs" -> simhashOracle,
 
-    "a_ann_lsh" -> annLshOracle
+    "a_ann_lsh" -> annLshOracle,
+
+    // 16-token windows; a window text seen in >= 2 distinct docs is
+    // boilerplate; survivors string_agg back in window order
+    "a_passage_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        | w AS (SELECT doc_id,
+        |   unnest(range(0, CAST(ceil(len(tk)/16.0) AS BIGINT))) AS widx,
+        |   unnest([array_to_string(tk[(i*16+1):(i*16+16)],' ')
+        |     for i in range(0, CAST(ceil(len(tk)/16.0) AS BIGINT))]) AS wtext
+        |  FROM t),
+        | c AS (SELECT wtext, count(DISTINCT doc_id) AS nd FROM w GROUP BY wtext),
+        | kept AS (SELECT doc_id, widx, wtext
+        |  FROM w JOIN c USING (wtext) WHERE nd < 2),
+        | rb AS (SELECT doc_id, string_agg(wtext, ' ' ORDER BY widx) AS clean_text,
+        |   count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(rb.clean_text, '') AS clean_text,
+        | CAST(ceil(len(t.tk)/16.0) AS BIGINT) AS n_windows,
+        | CAST(ceil(len(t.tk)/16.0) AS BIGINT) - coalesce(rb.n_kept, 0) AS n_dropped
+        |FROM t LEFT JOIN rb USING (doc_id)""".stripMargin,
+
+    // identical add-one bigram model: integer counts, one IEEE division
+    // per term, floor-quantize at 1e-9, exact integer sums
+    "a_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        | tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+        | cu AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+        | v AS (SELECT count(*) AS v FROM cu),
+        | bg AS (SELECT doc_id,
+        |   unnest([tk[i] for i in range(1, len(tk))]) AS w1,
+        |   unnest([tk[i+1] for i in range(1, len(tk))]) AS w2
+        |  FROM t),
+        | cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        | q AS (SELECT bg.doc_id,
+        |   CAST(floor((cb.cb + 1)::DOUBLE / (cu.cu + v.v) * 1e9) AS BIGINT) AS q
+        |  FROM bg JOIN cb USING (w1, w2) JOIN cu ON bg.w1 = cu.w, v),
+        | agg AS (SELECT doc_id, count(*) AS n_bigrams,
+        |   CAST(sum(q) AS BIGINT) AS prob_q9_sum FROM q GROUP BY doc_id)
+        |SELECT t.doc_id,
+        | coalesce(agg.n_bigrams, 0) AS n_bigrams,
+        | coalesce(agg.prob_q9_sum, 0) AS prob_q9_sum,
+        | CAST(floor(coalesce(agg.prob_q9_sum, 0)::DOUBLE
+        |   / greatest(coalesce(agg.n_bigrams, 0), 1)) AS BIGINT) AS avg_prob_q9
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // same pair derivation as a_jaccard_pairs, rolled up by source pair
+    "a_source_overlap" ->
+      """WITH s AS (SELECT doc_id, source,
+        |  md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS b,
+        |  list_distinct(string_split(text,' ')) AS toks FROM documents),
+        | pr AS (SELECT a.source AS sa, b.source AS sb,
+        |  floor(len(list_intersect(a.toks, b.toks))::DOUBLE
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) * 10000) / 10000.0 AS jaccard
+        | FROM s a JOIN s b ON a.b = b.b AND a.doc_id < b.doc_id)
+        |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+        | count(*) AS n_pairs, max(jaccard) AS max_jaccard
+        |FROM pr WHERE jaccard >= 0.9
+        |GROUP BY 1, 2""".stripMargin
   )
 
   override val duckdbOnly: Set[String] = Set(
@@ -678,5 +771,6 @@ object CorpusQueries extends QueryGroup {
     "a_stratified_sample", "a_train_split",
     "a_embed_norms", "a_ann_topk",
     "a_cosine_pairs", "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh",
-    "a_ann_ivf", "a_semantic_dedup")
+    "a_ann_ivf", "a_semantic_dedup",
+    "a_passage_dedup", "a_lm_score", "a_source_overlap")
 }

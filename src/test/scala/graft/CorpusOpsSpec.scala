@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.analytics.{Decontaminate, Sampling, SequencePack, TextAnalysis}
+import graft.analytics.{Boilerplate, Decontaminate, LanguageModel, Sampling, SequencePack, TextAnalysis}
 
 /** Invariant tests for the corpus-curation operators (decontamination,
   * repetition signals, sequence packing, deterministic sampling); the
@@ -38,6 +38,43 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2), x.getDouble(3))).toMap
     assert(r(0L) == ((0.0, 0.1, 0.0)))
     assert(r(2L)._1 == 0.875 && r(2L)._2 == 1.0 && r(2L)._3 > 0.8)
+  }
+
+  test("passage dedup: cross-doc windows drop, unique docs survive intact") {
+    // width 4: docs 0 and 1 share their first window; doc 2 is unique
+    val d = Seq(
+      (0L, "a b c d e f g h"),     // windows: [a b c d], [e f g h]
+      (1L, "a b c d x y z w"),     // shares window [a b c d]
+      (2L, "p q r s t u v w")      // fully unique
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.removeBoilerplate(d, width = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == (("e f g h", 2L, 1L)))
+    assert(out(1L) == (("x y z w", 2L, 1L)))
+    assert(out(2L) == (("p q r s t u v w", 2L, 0L)))
+    // a fully-boilerplate doc stays present with empty text
+    val all = Seq((0L, "a b c d"), (1L, "a b c d")).toDF("doc_id", "text")
+    val kept = Boilerplate.removeBoilerplate(all, width = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept == Map(0L -> "", 1L -> ""))
+  }
+
+  test("LM score: corpus-typical transitions outrank novel ones") {
+    // "a b" appears 3x, so docs made of common bigrams score higher
+    // than a doc of one-off transitions; identical docs score equal
+    val d = Seq(
+      (0L, "a b a b a b"),
+      (1L, "a b a b a b"),
+      (2L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.bigramScore(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == out(1L), "identical docs must score identically")
+    assert(out(0L)._1 == 5 && out(2L)._1 == 5, "n-1 bigrams per doc")
+    assert(out(0L)._3 > out(2L)._3,
+      "common-transition doc must outscore the novel-transition doc")
   }
 
   test("sequence packing: offsets stay under budget, packs fill in doc order") {

@@ -87,6 +87,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "sampling must not shuffle")
   }
 
+  test("source-overlap rollup broadcasts the pair list; corpus never shuffles") {
+    val p = plan("a_source_overlap")
+    assert(p.contains("BroadcastHashJoin"),
+      "pair list should broadcast through the id->source lookups")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus side must not shuffle for the source joins")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("passage dedup: no cartesian, boilerplate counts partially aggregate") {
+    val p = plan("a_passage_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"),
+      "window counts should be a hash aggregation (map-side combinable)")
+  }
+
+  test("LM scoring never cross-joins; vocab scalar broadcasts") {
+    val p = plan("a_lm_score")
+    assert(!p.contains("CartesianProduct"),
+      "the vocab scalar must broadcast, not cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "expected a broadcast for the 1-row vocab side")
+  }
+
   test("semantic dedup assigns cells natively and never cross-joins") {
     // assert on the candidate stage: the full query checkpoints the pair
     // graph eagerly, which hides the cell computation from its final plan
