@@ -92,6 +92,17 @@ object WireQueries extends QueryGroup {
       sink.view(s)
     }),
 
+    // S8 binary-format subscriptions (pg14 `binary = true`): tuple
+    // columns arrive as the types' send() wire bytes — bool, int2/int8,
+    // float8, numeric (base-10000), text, bytea, date, timestamp, uuid
+    // all decode to typed JSON per the Relation's type OIDs
+    "s8_pgoutput_binary_decode" -> ((s, _) => {
+      val dir = stageFixture("pgoutput_binary.pgo", "pgo",
+        WireFixtures.pgoutputBinaryRowCount)
+      s.read.format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", dir).load()
+    }),
+
     // S8 protocol v2: STREAMED in-progress transactions (pg14
     // streaming=on) — interleaved S..E chunks with xid-tagged data
     // messages, decoded to tx-attributed events in executors and
@@ -450,6 +461,25 @@ object WireQueries extends QueryGroup {
         |  ',"tags":["a b","q\"'||i||'","plain'||i||'"]}'
         | FROM range(5) t(i)""".stripMargin,
 
+    "s8_pgoutput_binary_decode" ->
+      """SELECT 'public.cdc_bin' AS "table", 'c' AS op, 8000+i AS pos,
+        |  '{"id":'||i||'}' AS key_json,
+        |  '{"id":'||i||
+        |  ',"flag":'||(CASE WHEN i%2=0 THEN 'true' ELSE 'false' END)||
+        |  ',"s2":'||(i*3-5)||',"i8":'||(3000000000+i)||
+        |  ',"f8":'||((i+0.5)::DOUBLE)||
+        |  ',"dec":'||(CASE WHEN i%4=3 THEN '-' ELSE '' END)||(i*1234+7)||'.'||
+        |    lpad((i*37)::VARCHAR,3,'0')||
+        |  ',"name":"bin_'||i||'"'||
+        |  ',"raw":"'||base64((chr((i+1)::INT)||chr((i+2)::INT)||
+        |    chr((i*7+1)::INT))::BLOB)||'"'||
+        |  ',"d":"'||(DATE '2022-03-01' + i::INTEGER)::VARCHAR||'"'||
+        |  ',"ts":"2023-05-06 07:08:'||lpad(i::VARCHAR,2,'0')||'.'||
+        |    lpad((i*80000+40)::VARCHAR,6,'0')||'"'||
+        |  ',"uid":"11223344-5566-7788-0000-'||lpad(i::VARCHAR,12,'0')||'"}'
+        |  AS payload_json
+        | FROM range(12) t(i)""".stripMargin,
+
     "s8_pgoutput_materialize" ->
       """SELECT i AS id,
         | CASE WHEN i%5=0 THEN i*7+1000 ELSE i*7 END AS qty,
@@ -679,6 +709,7 @@ object WireQueries extends QueryGroup {
   // range()/string-concat dialect is DuckDB-only
   override val duckdbOnly: Set[String] =
     Set("s8_pgoutput_decode", "s8_pgoutput_materialize",
+      "s8_pgoutput_binary_decode",
       "s8_pgoutput_tx_stream", "s9_binlog_decode", "s9_binlog_materialize",
       "s10_logminer_decode",
       "s10_logminer_poll_stream",

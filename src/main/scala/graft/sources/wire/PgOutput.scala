@@ -331,7 +331,7 @@ object PgOutput {
   private def jsonValue(v: Value, typeOid: Int): String = v match {
     case VNull => "null"
     case VUnchangedToast => "\"" + UnchangedToastSentinel + "\""
-    case VBinary(b) => "\"" + java.util.Base64.getEncoder.encodeToString(b) + "\""
+    case VBinary(b) => binaryJson(b, typeOid)
     case VText(s) => typeOid match {
       case 16 => if (s == "t") "true" else "false"
       case 20 | 21 | 23 | 26 | 700 | 701 | 1700 => s
@@ -377,6 +377,112 @@ object PgOutput {
         jsonValue(VText(unq), elemOid)
       } else jsonValue(VText(raw), elemOid)
     }.mkString("[", ",", "]")
+  }
+
+  // ------------------------------------------- binary-format columns
+  // PG 14+ subscriptions can request `binary = true`; tuple columns then
+  // arrive as the type's `send()` wire bytes (tag 'b') instead of text.
+  // All scalars are network byte order.
+
+  /** PG epochs: `date` is days and `timestamp[tz]` micros since
+    * 2000-01-01 (not the Unix epoch).
+    */
+  private val PgEpochDate = java.time.LocalDate.of(2000, 1, 1)
+  private val PgEpochMicros =
+    java.time.LocalDateTime.of(2000, 1, 1, 0, 0)
+
+  /** `numeric` wire format → decimal text: u16 ndigits, i16 weight (in
+    * base-10000 groups), u16 sign (0x4000 = negative, 0xC000 = NaN),
+    * u16 dscale, then ndigits base-10000 groups, most significant first.
+    */
+  def numericBinaryToString(bytes: Array[Byte]): String = {
+    val b = ByteBuffer.wrap(bytes)
+    val nd = b.getShort().toInt & 0xffff
+    val weight = b.getShort().toInt
+    val sign = b.getShort().toInt & 0xffff
+    val dscale = b.getShort().toInt & 0xffff
+    val digits = Array.fill(nd)(b.getShort().toInt & 0xffff)
+    if (sign == 0xC000) return "NaN"
+    val sb = new StringBuilder
+    if (sign == 0x4000) sb += '-'
+    if (weight < 0) sb += '0'
+    else (0 to weight).foreach { i =>
+      val d = if (i < nd) digits(i) else 0
+      if (i == 0) sb.append(d.toString) else sb.append(f"$d%04d")
+    }
+    if (dscale > 0) {
+      sb += '.'
+      val frac = new StringBuilder
+      var i = weight + 1
+      while (frac.length < dscale) {
+        frac.append(f"${if (i >= 0 && i < nd) digits(i) else 0}%04d")
+        i += 1
+      }
+      sb.append(frac.substring(0, dscale))
+    }
+    sb.result()
+  }
+
+  /** Decimal text → `numeric` wire bytes (fixture builder, the inverse
+    * of [[numericBinaryToString]]).
+    */
+  def numericStringToBinary(s: String): Array[Byte] = {
+    val neg = s.startsWith("-")
+    val t = if (neg) s.substring(1) else s
+    val dot = t.indexOf('.')
+    val intPart = if (dot < 0) t else t.substring(0, dot)
+    val fracPart = if (dot < 0) "" else t.substring(dot + 1)
+    val dscale = fracPart.length
+    // group into base-10000 digits aligned on the decimal point
+    val intPad = intPart.reverse.padTo(((intPart.length + 3) / 4) * 4, '0')
+      .reverse.grouped(4).map(_.toInt).toVector
+    val fracPad = fracPart.padTo(((fracPart.length + 3) / 4) * 4, '0')
+      .grouped(4).map(_.toInt).toVector
+    var digits = intPad ++ fracPad
+    var weight = intPad.length - 1
+    while (digits.headOption.contains(0) && digits.length > 1) {
+      digits = digits.tail; weight -= 1
+    }
+    while (digits.lastOption.contains(0) && digits.length > 1) {
+      digits = digits.dropRight(1)
+    }
+    if (digits == Vector(0)) { digits = Vector.empty; weight = 0 }
+    val b = ByteBuffer.allocate(8 + digits.length * 2)
+    b.putShort(digits.length.toShort); b.putShort(weight.toShort)
+    b.putShort((if (neg) 0x4000 else 0).toShort); b.putShort(dscale.toShort)
+    digits.foreach(d => b.putShort(d.toShort))
+    b.array()
+  }
+
+  /** One binary-format column value → JSON literal, per the column's
+    * type OID from the Relation message; unknown OIDs stay base64 (the
+    * previous behavior, and the right fallback for custom types).
+    */
+  private def binaryJson(bytes: Array[Byte], typeOid: Int): String = {
+    val b = ByteBuffer.wrap(bytes)
+    typeOid match {
+      case 16 => if (bytes(0) == 1) "true" else "false"
+      case 21 => b.getShort().toString
+      case 23 => b.getInt().toString
+      case 20 => b.getLong().toString
+      case 26 => uint32(b).toString
+      case 700 => java.lang.Float.intBitsToFloat(b.getInt()).toString
+      case 701 => java.lang.Double.longBitsToDouble(b.getLong()).toString
+      case 1700 => numericBinaryToString(bytes)
+      case 25 | 1043 | 18 | 19 =>
+        jsonString(new String(bytes, StandardCharsets.UTF_8))
+      case 1082 =>
+        jsonString(PgEpochDate.plusDays(b.getInt().toLong).toString)
+      case 1114 | 1184 =>
+        val micros = b.getLong()
+        val dt = PgEpochMicros.plus(micros, java.time.temporal.ChronoUnit.MICROS)
+        jsonString(dt.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")))
+      case 2950 =>
+        jsonString(new java.util.UUID(b.getLong(), b.getLong()).toString)
+      case _ =>
+        "\"" + java.util.Base64.getEncoder.encodeToString(bytes) + "\""
+    }
   }
 
   private def jsonString(s: String): String = {

@@ -122,6 +122,64 @@ object WireFixtures {
   def pgoutputStreamedRowCount: Long =
     PgOutput.segmentRows(pgoutputStreamedSegment).size.toLong
 
+  /** Binary-format tuples (PG 14+ `binary = true` subscriptions): every
+    * column arrives as the type's `send()` wire bytes with tag 'b'.
+    * Covers bool, int2/int8, float8, numeric (base-10000 wire format),
+    * text, bytea, date, timestamp, uuid — plus the int4 key.
+    */
+  val BinRel: PgOutput.Relation = PgOutput.Relation(5004, "public", "cdc_bin", 'd',
+    Seq(PgOutput.Column(1, "id", 23, -1),      // int4, key
+      PgOutput.Column(0, "flag", 16, -1),      // bool
+      PgOutput.Column(0, "s2", 21, -1),        // int2
+      PgOutput.Column(0, "i8", 20, -1),        // int8
+      PgOutput.Column(0, "f8", 701, -1),       // float8
+      PgOutput.Column(0, "dec", 1700, -1),     // numeric
+      PgOutput.Column(0, "name", 25, -1),      // text
+      PgOutput.Column(0, "raw", 17, -1),       // bytea
+      PgOutput.Column(0, "d", 1082, -1),       // date
+      PgOutput.Column(0, "ts", 1114, -1),      // timestamp
+      PgOutput.Column(0, "uid", 2950, -1)))    // uuid
+
+  def pgoutputBinarySegment: Array[Byte] = {
+    import PgOutput._
+    def be16(v: Int): Array[Byte] =
+      ByteBuffer.allocate(2).putShort(v.toShort).array()
+    def be32(v: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(v).array()
+    def be64(v: Long): Array[Byte] = ByteBuffer.allocate(8).putLong(v).array()
+    val pgEpochDay = java.time.LocalDate.of(2000, 1, 1).toEpochDay
+    val pgEpoch = java.time.LocalDateTime.of(2000, 1, 1, 0, 0)
+
+    val frames = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+    def f(wal: Long, m: Message): Unit = frames += ((wal, encode(m)))
+    f(7999, Begin(8999, 770000004000000L, 504))
+    f(7999, BinRel)
+    (0 until 12).foreach { i =>
+      val sign = if (i % 4 == 3) "-" else ""
+      val dec = f"$sign${i * 1234 + 7}%d.${i * 37}%03d"
+      val day = java.time.LocalDate.of(2022, 3, 1).plusDays(i)
+      val ts = java.time.LocalDateTime.of(2023, 5, 6, 7, 8, i,
+        (i * 80000 + 40) * 1000)
+      f(8000L + i, Insert(5004, Seq(
+        VBinary(be32(i)),
+        VBinary(Array((if (i % 2 == 0) 1 else 0).toByte)),
+        VBinary(be16(i * 3 - 5)),
+        VBinary(be64(3000000000L + i)),
+        VBinary(be64(java.lang.Double.doubleToLongBits(i + 0.5))),
+        VBinary(numericStringToBinary(dec)),
+        VBinary(s"bin_$i".getBytes(StandardCharsets.UTF_8)),
+        VBinary(Array[Byte]((i + 1).toByte, (i + 2).toByte, (i * 7 + 1).toByte)),
+        VBinary(be32((day.toEpochDay - pgEpochDay).toInt)),
+        VBinary(be64(java.time.temporal.ChronoUnit.MICROS.between(pgEpoch, ts))),
+        VBinary(be64(0x1122334455667788L) ++
+          be64(java.lang.Long.parseLong(f"$i%012d", 16))))))
+    }
+    f(8999, Commit(0, 8999, 9000, 770000004000000L))
+    writeSegment(frames.toSeq)
+  }
+
+  def pgoutputBinaryRowCount: Long =
+    PgOutput.segmentRows(pgoutputBinarySegment).size.toLong
+
   // --------------------------------------------------------------- binlog
   // One table, multi-row events (10 rows per WRITE event), an UPDATE with
   // before+after images and a NULL in the after image, a DELETE, an XID.
@@ -404,6 +462,7 @@ object WireFixtures {
     Files.createDirectories(dir)
     Files.write(dir.resolve("pgoutput_segment.pgo"), pgoutputSegment)
     Files.write(dir.resolve("pgoutput_streamed.pgo"), pgoutputStreamedSegment)
+    Files.write(dir.resolve("pgoutput_binary.pgo"), pgoutputBinarySegment)
     Files.write(dir.resolve("binlog_segment.blog"), binlogSegment)
     Files.write(dir.resolve("sqlserver_ct.jsonl"),
       sqlServerCtJsonl.getBytes(StandardCharsets.UTF_8))

@@ -147,6 +147,41 @@ class WireDecoderSpec extends AnyFunSuite {
       "committed fixture drifted from WireFixtures builder")
   }
 
+  test("pgoutput binary fixture: committed bytes equal the builder's output") {
+    val in = getClass.getResourceAsStream("/graft/fixtures/pgoutput_binary.pgo")
+    assert(in != null, "fixture missing from classpath")
+    val committed = try in.readAllBytes() finally in.close()
+    assert(committed.sameElements(WireFixtures.pgoutputBinarySegment),
+      "committed fixture drifted from WireFixtures builder")
+  }
+
+  test("pgoutput numeric wire codec: round trip and digit-group alignment") {
+    import PgOutput._
+    // values exercising: multi-group ints, leading/trailing zero groups,
+    // weight < 0 (pure fractions), negatives, zero, dscale padding
+    Seq("0", "1", "-1", "9999", "10000", "123456789", "0.5", "0.0001",
+      "-0.070", "12345678.000100", "7.007", "-99999999.999999",
+      "20001.000", "0.000000001").foreach { s =>
+      assert(numericBinaryToString(numericStringToBinary(s)) == s,
+        s"numeric round-trip failed for $s")
+    }
+    // NaN sign word decodes to the NaN sentinel
+    val nan = java.nio.ByteBuffer.allocate(8)
+      .putShort(0).putShort(0).putShort(0xC000.toShort).putShort(0).array()
+    assert(numericBinaryToString(nan) == "NaN")
+  }
+
+  test("pgoutput binary tuples decode per type OID through segmentRows") {
+    val rows = PgOutput.segmentRows(WireFixtures.pgoutputBinarySegment).toSeq
+    assert(rows.size == 12)
+    val r3 = rows.find(_.keyJson == """{"id":3}""").get
+    assert(r3.payloadJson ==
+      """{"id":3,"flag":false,"s2":4,"i8":3000000003,"f8":3.5,""" +
+        """"dec":-3709.111,"name":"bin_3","raw":"BAUW",""" +
+        """"d":"2022-03-04","ts":"2023-05-06 07:08:03.240040",""" +
+        """"uid":"11223344-5566-7788-0000-000000000003"}""")
+  }
+
   test("pgoutput segmentRows: ops, keys from REPLICA IDENTITY, toast sentinel") {
     val rows = PgOutput.segmentRows(WireFixtures.pgoutputSegment).toSeq
     assert(rows.size == WireFixtures.pgoutputRowCount)
