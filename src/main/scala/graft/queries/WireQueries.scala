@@ -428,7 +428,8 @@ object WireQueries extends QueryGroup {
             "CREATE TABLE testdb.bl_types (id INT PRIMARY KEY, t TINYINT, s SMALLINT," +
             " i3 MEDIUMINT, f REAL, d DOUBLE, y SMALLINT, dt DATE, ts DATETIME," +
             " dec DECIMAL(12,3), b BLOB);" +
-            "CREATE TABLE testdb.bl_json (id INT PRIMARY KEY, j JSON)")
+            "CREATE TABLE testdb.bl_json (id INT PRIMARY KEY, j JSON);" +
+            "CREATE TABLE testdb.bl_geo (id INT PRIMARY KEY, g TEXT)")
         .load()
     })
   )
@@ -703,7 +704,21 @@ object WireQueries extends QueryGroup {
         |  ',"flags":['||(CASE WHEN i%2=0 THEN 'true' ELSE 'false' END)||
         |    ',null,'||(i*1000)||']'||
         |  ',"nested":{"big":'||(100000+i)||',"depth":2}}}'
-        | FROM range(10) t(i)""".stripMargin
+        | FROM range(10) t(i)
+        |UNION ALL
+        |-- wkb literals: base64(struct.pack('<BIdd', 1, 1, i, i+0.5)) —
+        |-- the documented WKB little-endian POINT layout, derived
+        |-- independently of the engine's encoder (python struct)
+        |SELECT 'testdb.bl_geo', 'c', 961, '{"id":'||i||'}',
+        |  '{"id":'||i||',"g":{"srid":4326,"wkb":"'||
+        |  (CASE i
+        |    WHEN 0 THEN 'AQEAAAAAAAAAAAAAAAAAAAAAAOA/'
+        |    WHEN 1 THEN 'AQEAAAAAAAAAAADwPwAAAAAAAPg/'
+        |    WHEN 2 THEN 'AQEAAAAAAAAAAAAAQAAAAAAAAARA'
+        |    WHEN 3 THEN 'AQEAAAAAAAAAAAAIQAAAAAAAAAxA'
+        |    WHEN 4 THEN 'AQEAAAAAAAAAAAAQQAAAAAAAABJA'
+        |    WHEN 5 THEN 'AQEAAAAAAAAAAAAUQAAAAAAAABZA' END)||'"}}'
+        | FROM range(6) t(i)""".stripMargin
   )
 
   // range()/string-concat dialect is DuckDB-only

@@ -50,6 +50,7 @@ object MySqlBinlog {
   val TYPE_INT24 = 9; val TYPE_DATE = 10; val TYPE_YEAR = 13
   val TYPE_VARCHAR = 15; val TYPE_DATETIME2 = 18
   val TYPE_NEWDECIMAL = 246; val TYPE_JSON = 245; val TYPE_BLOB = 252
+  val TYPE_GEOMETRY = 255
 
   /** A decoded DATE/DATETIME2 value, kept symbolic (no timezone walk). */
   final case class Dt(year: Int, month: Int, day: Int,
@@ -66,6 +67,12 @@ object MySqlBinlog {
 
   /** Decoded NEWDECIMAL, exact digits (no float detour). */
   final case class Dec(text: String)
+
+  /** GEOMETRY column value: MySQL stores a 4-byte LE SRID followed by
+    * standard WKB (the reference converts exactly this layout into its
+    * `{wkb, srid}` geometry struct — `spatial/MySqlGeometry`).
+    */
+  final case class Geom(srid: Int, wkb: Array[Byte])
 
   final case class TableMap(tableId: Long, schema: String, table: String,
                             colTypes: Seq[Int], colMeta: Seq[Int])
@@ -409,6 +416,14 @@ object MySqlBinlog {
       val bytes = new Array[Byte](len.toInt)
       b.get(bytes)
       Js(decodeJsonBinary(bytes))
+    case TYPE_GEOMETRY => // blob-style length prefix, then SRID + WKB
+      var len = 0L
+      (0 until meta).foreach(i => len |= (b.get() & 0xffL) << (8 * i))
+      val srid = (b.get() & 0xff) | ((b.get() & 0xff) << 8) |
+        ((b.get() & 0xff) << 16) | ((b.get() & 0xff) << 24)
+      val wkb = new Array[Byte](len.toInt - 4)
+      b.get(wkb)
+      Geom(srid, wkb)
     case TYPE_VARCHAR =>
       val len = if (meta < 256) b.get() & 0xff else b.getShort() & 0xffff
       val bytes = new Array[Byte](len)
@@ -471,7 +486,7 @@ object MySqlBinlog {
             val meta = types.map {
               case TYPE_VARCHAR => buf.getShort() & 0xffff
               case TYPE_FLOAT | TYPE_DOUBLE | TYPE_BLOB | TYPE_DATETIME2 |
-                   TYPE_JSON =>
+                   TYPE_JSON | TYPE_GEOMETRY =>
                 buf.get() & 0xff
               case TYPE_NEWDECIMAL => // precision byte, scale byte
                 ((buf.get() & 0xff) << 8) | (buf.get() & 0xff)
@@ -599,6 +614,11 @@ object MySqlBinlog {
         val bytes = encodeJsonBinary(jv)
         (0 until meta).foreach(i => b.put(((bytes.length >> (8 * i)) & 0xff).toByte))
         b.put(bytes)
+      case (TYPE_GEOMETRY, Geom(srid, wkb)) =>
+        val len = wkb.length + 4
+        (0 until meta).foreach(i => b.put(((len >> (8 * i)) & 0xff).toByte))
+        (0 until 4).foreach(i => b.put(((srid >> (8 * i)) & 0xff).toByte))
+        b.put(wkb)
       case (TYPE_VARCHAR, s: String) =>
         val bytes = s.getBytes(StandardCharsets.UTF_8)
         if (meta < 256) b.put(bytes.length.toByte) else b.putShort(bytes.length.toShort)
@@ -640,7 +660,7 @@ object MySqlBinlog {
     map.colTypes.zip(map.colMeta).foreach {
       case (TYPE_VARCHAR, m) => metaBytes.putShort(m.toShort)
       case (TYPE_FLOAT | TYPE_DOUBLE | TYPE_BLOB | TYPE_DATETIME2 |
-            TYPE_JSON, m) =>
+            TYPE_JSON | TYPE_GEOMETRY, m) =>
         metaBytes.put(m.toByte)
       case (TYPE_NEWDECIMAL, m) =>
         metaBytes.put(((m >> 8) & 0xff).toByte); metaBytes.put((m & 0xff).toByte)
@@ -705,6 +725,9 @@ object MySqlBinlog {
     case Some(Dec(t)) => t            // exact digits, unquoted
     case Some(Js(text)) => text       // decoded JSON subtree, verbatim
     case Some(dt: Dt) => jsonString(dt.toString)
+    case Some(Geom(srid, wkb)) => // the reference's geometry struct shape
+      s"""{"srid":$srid,"wkb":${jsonString(
+        java.util.Base64.getEncoder.encodeToString(wkb))}}"""
     case Some(b: Array[Byte]) =>
       jsonString(java.util.Base64.getEncoder.encodeToString(b))
     case Some(s: String) => jsonString(s)

@@ -230,6 +230,22 @@ object WireFixtures {
       "huge" -> JInt(3000000000L + i))))))
   }
 
+  /** GEOMETRY column: 4-byte LE SRID + WKB (little-endian point). */
+  val GeoMap: MySqlBinlog.TableMap = MySqlBinlog.TableMap(904L, "testdb", "bl_geo",
+    Seq(MySqlBinlog.TYPE_LONG, MySqlBinlog.TYPE_GEOMETRY), Seq(0, 4))
+
+  /** WKB for POINT(x y), little-endian byte order marker. */
+  def wkbPoint(x: Double, y: Double): Array[Byte] = {
+    val b = ByteBuffer.allocate(21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte); b.putInt(1); b.putDouble(x); b.putDouble(y)
+    b.array()
+  }
+
+  def geoRow(i: Int): MySqlBinlog.Row = {
+    import MySqlBinlog._
+    Row(Seq(Some(i), Some(Geom(4326, wkbPoint(i.toDouble, i + 0.5)))))
+  }
+
   def binlogSegment: Array[Byte] = {
     import MySqlBinlog._
     def row(i: Int): Row =
@@ -254,6 +270,9 @@ object WireFixtures {
     events += encodeTableMap(950, JsonMap)
     events += encodeRows(WRITE_ROWS_V2, 951, JsonMap, (0 until 10).map(jsonRow))
     events += encodeXid(952, 9003L)
+    events += encodeTableMap(960, GeoMap)
+    events += encodeRows(WRITE_ROWS_V2, 961, GeoMap, (0 until 6).map(geoRow))
+    events += encodeXid(962, 9004L)
     writeSegment(events.toSeq)
   }
 

@@ -429,6 +429,17 @@ class WireDecoderSpec extends AnyFunSuite {
         """"flags":[false,null,3000],"nested":{"big":100003,"depth":2}}}""")
   }
 
+  test("GEOMETRY columns decode SRID + WKB through segmentRows") {
+    val names = Map("testdb.bl_geo" -> Seq("id", "g"))
+    val rows = MySqlBinlog.segmentRows(WireFixtures.binlogSegment, names)
+      .filter(_.table == "testdb.bl_geo").toSeq
+    assert(rows.size == 6)
+    val r2 = rows.find(_.keyJson == """{"id":2}""").get
+    // POINT(2 2.5), little-endian WKB, SRID 4326
+    assert(r2.payloadJson ==
+      """{"id":2,"g":{"srid":4326,"wkb":"AQEAAAAAAAAAAAAAQAAAAAAAAARA"}}""")
+  }
+
   test("NEWDECIMAL decodes from hand-built packed bytes (sign-bit + NOT)") {
     import MySqlBinlog._
     // DECIMAL(12,3) 1234.567: int group 1234 -> 4B big-endian 0x000004D2,
