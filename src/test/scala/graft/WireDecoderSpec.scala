@@ -308,11 +308,12 @@ class WireDecoderSpec extends AnyFunSuite {
       "testdb.bl_items" -> Seq("id", "qty", "label"),
       "testdb.bl_types" -> Seq("id", "t", "s", "i3", "f", "d", "y", "dt",
         "ts", "dec", "b"),
-      "testdb.bl_json" -> Seq("id", "j"))
+      "testdb.bl_json" -> Seq("id", "j"),
+      "testdb.bl_geo" -> Seq("id", "g"))
     val rows = MySqlBinlog.segmentRows(WireFixtures.binlogSegment, names).toSeq
     assert(rows.size == WireFixtures.binlogRowCount)
     val byOp = rows.groupBy(_.op).view.mapValues(_.size).toMap
-    assert(byOp == Map("c" -> 50, "u" -> 8, "d" -> 4))
+    assert(byOp == Map("c" -> 56, "u" -> 8, "d" -> 4))
     val w12 = rows.find(r => r.op == "c" && r.table == "testdb.bl_items" &&
       r.keyJson == """{"id":12}""").get
     assert(w12.pos == 501) // second WRITE event (rows 10..19)
