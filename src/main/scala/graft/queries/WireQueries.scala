@@ -248,10 +248,15 @@ object WireQueries extends QueryGroup {
         StructField("sql_redo", StringType)))
       graft.sources.wire.LogMiner.decode(
         s.read.schema(schema).json(path),
-        schemas = Map("ORA.PRODUCTS" -> Seq(
-          "ID" -> "long", "NAME" -> "string", "PRICE" -> "double",
-          "CREATED" -> "timestamp")),
-        keys = Map("ORA.PRODUCTS" -> Seq("ID")))
+        schemas = Map(
+          "ORA.PRODUCTS" -> Seq(
+            "ID" -> "long", "NAME" -> "string", "PRICE" -> "double",
+            "CREATED" -> "timestamp"),
+          "ORA.NOTES" -> Seq(
+            "ID" -> "long", "TITLE" -> "string", "BODY" -> "string"),
+          "ORA.FILES" -> Seq("ID" -> "long", "DATA" -> "string")),
+        keys = Map("ORA.PRODUCTS" -> Seq("ID"),
+          "ORA.NOTES" -> Seq("ID"), "ORA.FILES" -> Seq("ID")))
     }),
 
     // S12: recorded MongoDB change-stream cursor (JSONL): pure-column
@@ -331,7 +336,10 @@ object WireQueries extends QueryGroup {
         StructField("seg_owner", StringType),
         StructField("table_name", StringType),
         StructField("sql_redo", StringType)))
+      // the reference's mining query carries the table include-list;
+      // this poll captures only PRODUCTS
       val contents = s.read.schema(schema).json(path)
+        .filter(col("table_name") === "PRODUCTS")
       val wireDir = Files.createTempDirectory("lm-wire").toString
       def poll(fromScn: Long, toScn: Long): Unit =
         graft.sources.wire.LogMiner.decode(
@@ -577,7 +585,23 @@ object WireQueries extends QueryGroup {
         |  ',"PRICE":'||(CASE WHEN i=0 THEN '100.25' ELSE i||'.25' END)||
         |  ',"CREATED":"2021-03-15 10:00:'||lpad(i::VARCHAR,2,'0')||'"}',
         |  CAST(NULL AS VARCHAR)
-        | FROM range(30) t(i) WHERE i%7=0""".stripMargin,
+        | FROM range(30) t(i) WHERE i%7=0
+        |UNION ALL
+        |-- LOB chains: tx5 insert + 2 CLOB chunks merged into the
+        |-- after image; tx6 direct LOB mutation (write 8 chars, trim 5)
+        |-- -> synthetic update, TITLE unavailable; tx7 BLOB hex chunks
+        |-- at byte offsets; rolled-back tx8 absent
+        |SELECT 'ORA.NOTES', 'c', 5800, 5810, '0E0005', '{"ID":1}',
+        |  CAST(NULL AS VARCHAR),
+        |  '{"ID":1,"TITLE":"n1","BODY":"hello world"}'
+        |UNION ALL
+        |SELECT 'ORA.NOTES', 'u', 5820, 5830, '0E0006', '{"ID":2}',
+        |  CAST(NULL AS VARCHAR),
+        |  '{"ID":2,"TITLE":"__unavailable","BODY":"abcde"}'
+        |UNION ALL
+        |SELECT 'ORA.FILES', 'c', 5840, 5850, '0E0007', '{"ID":3}',
+        |  CAST(NULL AS VARCHAR),
+        |  '{"ID":3,"DATA":"DEADBEEF"}'""".stripMargin,
 
     "s12_change_stream_decode" ->
       s"""SELECT 'shop.items' AS "table", 'c' AS op,

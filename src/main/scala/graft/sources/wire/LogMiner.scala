@@ -51,6 +51,9 @@ object LogMiner {
   val OpUpdate = 3
   val OpStart = 6
   val OpCommit = 7
+  val OpSelLobLocator = 9
+  val OpLobWrite = 10
+  val OpLobTrim = 11
   val OpRollback = 36
 
   /** One parsed DML: maps are name → Some(text) | None (SQL NULL); a
@@ -225,6 +228,80 @@ object LogMiner {
     }
   }
 
+  // --------------------------------------------------- LOB chain parse
+  // With `lob.enabled`, CLOB/BLOB mutations arrive as PL/SQL blocks:
+  // SEL_LOB_LOCATOR (9) locks the target row and names the column,
+  // then LOB_WRITE (10) rows carry chunks (`dbms_lob.write(loc, len,
+  // offset, buf)`) and LOB_TRIM (11) truncates — ref
+  // `SelectLobParser` + `TransactionCommitConsumer` merge semantics.
+
+  /** Parsed SEL_LOB_LOCATOR: target column, table, and row conditions. */
+  final case class LobLocator(owner: String, table: String, column: String,
+                              where: Map[String, Option[String]])
+
+  /** `select "COL" into loc from "O"."T" where <conds> for update;`
+    * possibly inside a declare/begin block.
+    */
+  def parseSelectLob(sql: String): LobLocator = {
+    val at = sql.indexOf("select \"")
+    require(at >= 0, s"not a SEL_LOB_LOCATOR redo: $sql")
+    val c = new Cursor(sql.substring(at))
+    c.expect("select ")
+    val column = parseQuotedIdent(c)
+    val from = c.s.indexOf(" from ", c.i)
+    c.i = from + " from ".length
+    val (owner, table) = parseQualifiedName(c)
+    c.skipSpaces()
+    val wh = c.s.indexOf("where ", c.i)
+    val tail0 = c.s.substring(wh + 6)
+    val cut = tail0.indexOf(" for update")
+    val condText = (if (cut >= 0) tail0.substring(0, cut) else tail0).trim
+    val wc = new Cursor(condText + ";")
+    LobLocator(owner, table, column, parseWhere(wc))
+  }
+
+  /** One parsed LOB_WRITE chunk: 1-based offset (chars for CLOB, bytes
+    * for BLOB) and the data — quoted text, or hex when the buffer was
+    * assigned `HEXTORAW('…')`.
+    */
+  final case class LobWrite(offset: Int, data: String, isHex: Boolean)
+
+  def parseLobWrite(sql: String): LobWrite = {
+    // buffer assignment: `buf_X := '<data>';` or `buf_X := HEXTORAW('…');`
+    val asg = sql.indexOf(":= ")
+    require(asg >= 0, s"no buffer assignment in LOB_WRITE redo: $sql")
+    val vc = new Cursor(sql.substring(asg + 3))
+    val data = parseValue(vc, Seq(";")).get
+    val (payload, isHex) =
+      if (data.startsWith("HEXTORAW(")) {
+        val a = data.indexOf('\''); val b = data.indexOf('\'', a + 1)
+        (data.substring(a + 1, b), true)
+      } else (data, false)
+    val call = sql.indexOf("dbms_lob.write(")
+    require(call >= 0, s"no dbms_lob.write call in redo: $sql")
+    val args = sql.substring(call + "dbms_lob.write(".length)
+    val offset = args.split(",")(2).trim.toInt
+    LobWrite(offset, payload, isHex)
+  }
+
+  /** `dbms_lob.trim(loc, <newLen>)` → new length. */
+  def parseLobTrim(sql: String): Int = {
+    val call = sql.indexOf("dbms_lob.trim(")
+    require(call >= 0, s"no dbms_lob.trim call in redo: $sql")
+    sql.substring(call + "dbms_lob.trim(".length)
+      .split(",")(1).takeWhile(ch => ch.isDigit || ch == ' ').trim.toInt
+  }
+
+  /** One assembled LOB chain: the final column value for a (tx, row),
+    * plus everything needed to merge it into that row's DML — or to
+    * synthesize an update when the tx touched only the LOB (direct
+    * `dbms_lob` mutation), where non-key non-LOB columns are
+    * unavailable exactly as the reference emits them.
+    */
+  final case class LobChain(xid: String, row_id: String, table: String,
+                            column: String, value: String, scn: Long,
+                            key_json: String, synthetic_after_json: String)
+
   // ------------------------------------------------ value → JSON typing
 
   /** Render one parsed text value as a typed JSON literal. Dispatch on
@@ -310,24 +387,131 @@ object LogMiner {
       .select("scn", "commit_scn", "xid", "row_id", "seg_owner",
         "table_name", "sql")
 
-    // 4. per-row parse + typed JSON rendering in executors
-    committed.as(Encoders.row(committed.schema)).mapPartitions {
+    // 3b. LOB chains: per-tx cursor-order fold attributes every
+    //     LOB_WRITE/LOB_TRIM to the most recent SEL_LOB_LOCATOR (the
+    //     reference's TransactionCommitConsumer association), and
+    //     chunk offsets assemble the final column value. One group per
+    //     transaction — bounded by tx size like TxReassembly.
+    val chains = assembleLobChains(assembled, schemas, keys)
+    val overrides = chains.toDF()
+      .groupBy(col("xid").as("o_xid"), col("row_id").as("o_row_id"))
+      .agg(collect_list(struct(col("column").as("c"), col("value").as("v")))
+        .as("lobs"))
+    val committedL = committed.join(overrides,
+      col("xid") === col("o_xid") && col("row_id") === col("o_row_id"),
+      "left").drop("o_xid", "o_row_id")
+
+    // 4. per-row parse + typed JSON rendering in executors; assembled
+    //    LOB values override their column in the DML's after image
+    val dmlEvents = committedL.as(Encoders.row(committedL.schema)).mapPartitions {
       (rows: Iterator[Row]) =>
         rows.map { r =>
           val entry = parseDml(r.getAs[String]("sql"))
+          val lobCols = Option(r.getAs[Seq[Row]]("lobs")).getOrElse(Nil)
+            .map(l => l.getAs[String]("c") -> Option(l.getAs[String]("v")))
+            .toMap
           val tableId = s"${entry.owner}.${entry.table}"
           val schema = schemas.getOrElse(tableId,
             throw new IllegalArgumentException(s"no schema for $tableId"))
           val keyCols = keys.getOrElse(tableId, Nil)
-          val keyImg = if (entry.op == "d") entry.before else entry.after
+          val after =
+            if (entry.op == "d" || lobCols.isEmpty) entry.after
+            else entry.after ++ lobCols
+          val keyImg = if (entry.op == "d") entry.before else after
           val keySchema = schema.filter { case (n, _) => keyCols.contains(n) }
           WireEvent(tableId, entry.op, r.getAs[Long]("scn"),
             r.getAs[Long]("commit_scn"), r.getAs[String]("xid"),
             imageJson(keyImg.filter { case (k, _) => keyCols.contains(k) },
               keySchema),
             imageJson(entry.before, schema),
-            imageJson(entry.after, schema))
+            imageJson(after, schema))
         }
     }(Encoders.product[WireEvent]).toDF()
+
+    // 3c. chains whose tx had NO DML for the row (direct dbms_lob
+    //     mutation) synthesize an update: key + LOB columns set, other
+    //     columns unavailable — committed txs only, like everything else
+    val dmlKeys = events.select(col("xid").as("d_xid"),
+      col("row_id").as("d_row_id")).distinct()
+    val synthetic = chains.toDF()
+      .join(dmlKeys, col("xid") === col("d_xid") &&
+        col("row_id") === col("d_row_id"), "left_anti")
+      .join(commits, col("xid") === col("c_xid"))
+      .dropDuplicates("xid", "row_id", "table")
+      .select(col("table"), lit("u").as("op"), col("scn"),
+        col("commit_scn"), col("xid"), col("key_json"),
+        lit(null).cast("string").as("before_json"),
+        col("synthetic_after_json").as("after_json"))
+
+    dmlEvents.unionByName(synthetic)
+  }
+
+  /** Fold the LOB operation rows of each transaction in cursor order
+    * into assembled [[LobChain]]s (see decode step 3b/3c).
+    */
+  private def assembleLobChains(assembled: DataFrame,
+                                schemas: Map[String, Seq[(String, String)]],
+                                keys: Map[String, Seq[String]]): Dataset[LobChain] = {
+    val lobRows = assembled
+      .filter(col("opcode").isin(OpSelLobLocator, OpLobWrite, OpLobTrim))
+      .select("rownum", "scn", "opcode", "xid", "row_id", "sql")
+    lobRows.as(Encoders.row(lobRows.schema))
+      .groupByKey(_.getAs[String]("xid"))(Encoders.STRING)
+      .flatMapGroups { (xid: String, it: Iterator[Row]) =>
+        final class Tgt(val rowId: String, val loc: LobLocator,
+                        val scn: Long) {
+          val sb = new StringBuilder
+          var hex = false
+        }
+        val targets = scala.collection.mutable.LinkedHashMap[(String, String), Tgt]()
+        var cur: Option[Tgt] = None
+        it.toSeq.sortBy(_.getAs[Long]("rownum")).foreach { r =>
+          r.getAs[Int]("opcode") match {
+            case OpSelLobLocator =>
+              val loc = parseSelectLob(r.getAs[String]("sql"))
+              val rowId = r.getAs[String]("row_id")
+              cur = Some(targets.getOrElseUpdate((rowId, loc.column),
+                new Tgt(rowId, loc, r.getAs[Long]("scn"))))
+            case OpLobWrite =>
+              val t = cur.getOrElse(throw new IllegalStateException(
+                "LOB_WRITE before any SEL_LOB_LOCATOR"))
+              val w = parseLobWrite(r.getAs[String]("sql"))
+              if (w.isHex) t.hex = true
+              val pos = if (w.isHex) (w.offset - 1) * 2 else w.offset - 1
+              while (t.sb.length < pos) t.sb += (if (t.hex) '0' else ' ')
+              t.sb.replace(pos, pos + w.data.length, w.data): Unit
+            case OpLobTrim =>
+              val t = cur.getOrElse(throw new IllegalStateException(
+                "LOB_TRIM before any SEL_LOB_LOCATOR"))
+              val n = parseLobTrim(r.getAs[String]("sql"))
+              val len = if (t.hex) n * 2 else n
+              if (t.sb.length > len) t.sb.setLength(len)
+          }
+        }
+        // synthetic after-image per ROW (all of the row's LOB columns
+        // set, keys from the locator WHERE, the rest unavailable)
+        val byRow = targets.values.toSeq.groupBy(_.rowId)
+        targets.values.iterator.map { t =>
+          val tableId = s"${t.loc.owner}.${t.loc.table}"
+          val schema = schemas.getOrElse(tableId,
+            throw new IllegalArgumentException(s"no schema for $tableId"))
+          val keyCols = keys.getOrElse(tableId, Nil)
+          val keySchema = schema.filter { case (n, _) => keyCols.contains(n) }
+          val rowTs = byRow(t.rowId)
+          val lobVals = rowTs.map(x => x.loc.column -> x.sb.toString).toMap
+          val synth = schema.map { case (n, tp) =>
+            val v: Option[String] =
+              if (lobVals.contains(n)) Some(lobVals(n))
+              else if (keyCols.contains(n)) t.loc.where.getOrElse(n, None)
+              else Some(UnavailableValue)
+            "\"" + n + "\":" + jsonLiteral(v, tp)
+          }.mkString("{", ",", "}")
+          LobChain(xid, t.rowId, tableId, t.loc.column, t.sb.toString,
+            t.scn,
+            imageJson(t.loc.where.filter { case (k, _) => keyCols.contains(k) },
+              keySchema),
+            synth)
+        }
+      }(Encoders.product[LobChain])
   }
 }

@@ -343,14 +343,17 @@ object WireFixtures {
     var rn = 0L
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
-    def row(scn: Long, opcode: Int, xid: String, csf: Int, rbk: Int,
-            rowId: String, rsId: String, sql: String): Unit = {
+    def rowT(scn: Long, opcode: Int, xid: String, csf: Int, rbk: Int,
+             rowId: String, rsId: String, table: String, sql: String): Unit = {
       rn += 1
       lines += s"""{"rownum":$rn,"scn":$scn,"opcode":$opcode,""" +
         s""""xid":"$xid","csf":$csf,"rbk":$rbk,"row_id":"$rowId",""" +
-        s""""rs_id":"$rsId","seg_owner":"ORA","table_name":"PRODUCTS",""" +
+        s""""rs_id":"$rsId","seg_owner":"ORA","table_name":"$table",""" +
         s""""sql_redo":"${esc(sql)}"}"""
     }
+    def row(scn: Long, opcode: Int, xid: String, csf: Int, rbk: Int,
+            rowId: String, rsId: String, sql: String): Unit =
+      rowT(scn, opcode, xid, csf, rbk, rowId, rsId, "PRODUCTS", sql)
     def ss(i: Int) = f"${i % 60}%02d"
     def nameSql(i: Int) = if (i == 7) "it''s_7" else s"ora_$i"
     def created(i: Int) =
@@ -407,6 +410,56 @@ object WireFixtures {
       row(5500 + j, 1, tx4, 0, 0, f"AAA$j%03d", s"R${5500 + j}", sql)
     }
     row(5700, 36, tx4, 0, 0, "", "R5700", "rollback;")
+
+    // LOB chains (lob.enabled): SEL_LOB_LOCATOR(9) names the column and
+    // locks the row, LOB_WRITE(10) chunks land at dbms_lob.write
+    // offsets, LOB_TRIM(11) truncates. tx5 = insert + 2-chunk CLOB
+    // merged into the insert's after image; tx6 = direct LOB mutation
+    // with no DML (write + trim) → synthetic update with unavailable
+    // non-key columns; tx7 = BLOB via HEXTORAW chunks (byte offsets);
+    // tx8 = locator + write ended by ROLLBACK — never emitted.
+    def selLob(col: String, table: String, id: Int): String =
+      s"""declare  loc_c clob;begin  select "$col" into loc_c from """ +
+        s""""ORA"."$table" where "ID" = '$id' for update;end;"""
+    def lobWrite(data: String, len: Int, off: Int): String =
+      s"declare  loc_c clob;  buf_c varchar2($len);begin  " +
+        s"buf_c := $data;  dbms_lob.write(loc_c, $len, $off, buf_c);end;"
+    val (tx5, tx6, tx7, tx8) = ("0E0005", "0E0006", "0E0007", "0E0008")
+    rowT(5800, 1, tx5, 0, 0, "BBB001", "R5800", "NOTES",
+      "insert into \"ORA\".\"NOTES\"(\"ID\",\"TITLE\",\"BODY\") values " +
+        "('1','n1',EMPTY_CLOB());")
+    rowT(5801, 9, tx5, 0, 0, "BBB001", "R5801", "NOTES",
+      selLob("BODY", "NOTES", 1))
+    rowT(5802, 10, tx5, 0, 0, "BBB001", "R5802", "NOTES",
+      lobWrite("'hello '", 6, 1))
+    rowT(5803, 10, tx5, 0, 0, "BBB001", "R5803", "NOTES",
+      lobWrite("'world'", 5, 7))
+    rowT(5810, 7, tx5, 0, 0, "", "R5810", "NOTES", "commit;")
+
+    rowT(5820, 9, tx6, 0, 0, "BBB002", "R5820", "NOTES",
+      selLob("BODY", "NOTES", 2))
+    rowT(5821, 10, tx6, 0, 0, "BBB002", "R5821", "NOTES",
+      lobWrite("'abcdefgh'", 8, 1))
+    rowT(5822, 11, tx6, 0, 0, "BBB002", "R5822", "NOTES",
+      "declare  loc_c clob;begin  dbms_lob.trim(loc_c, 5);end;")
+    rowT(5830, 7, tx6, 0, 0, "", "R5830", "NOTES", "commit;")
+
+    rowT(5840, 1, tx7, 0, 0, "CCC003", "R5840", "FILES",
+      "insert into \"ORA\".\"FILES\"(\"ID\",\"DATA\") values " +
+        "('3',EMPTY_BLOB());")
+    rowT(5841, 9, tx7, 0, 0, "CCC003", "R5841", "FILES",
+      selLob("DATA", "FILES", 3))
+    rowT(5842, 10, tx7, 0, 0, "CCC003", "R5842", "FILES",
+      lobWrite("HEXTORAW('DEAD')", 2, 1))
+    rowT(5843, 10, tx7, 0, 0, "CCC003", "R5843", "FILES",
+      lobWrite("HEXTORAW('BEEF')", 2, 3))
+    rowT(5850, 7, tx7, 0, 0, "", "R5850", "FILES", "commit;")
+
+    rowT(5860, 9, tx8, 0, 0, "BBB009", "R5860", "NOTES",
+      selLob("BODY", "NOTES", 9))
+    rowT(5861, 10, tx8, 0, 0, "BBB009", "R5861", "NOTES",
+      lobWrite("'zzz'", 3, 1))
+    rowT(5870, 36, tx8, 0, 0, "", "R5870", "NOTES", "rollback;")
     lines.mkString("", "\n", "\n")
   }
 

@@ -607,7 +607,11 @@ class WireDecoderSpec extends AnyFunSuite {
       StructField("seg_owner", StringType),
       StructField("table_name", StringType),
       StructField("sql_redo", StringType)))
-    val out = LogMiner.decode(spark.read.schema(schema).json(path.toString),
+    // include-list poll: only PRODUCTS rows (the LOB tables have their
+    // own chain-focused test below)
+    val out = LogMiner.decode(
+      spark.read.schema(schema).json(path.toString)
+        .filter(col("table_name") === "PRODUCTS"),
       schemas = Map("ORA.PRODUCTS" -> Seq("ID" -> "long", "NAME" -> "string",
         "PRICE" -> "double", "CREATED" -> "timestamp")),
       keys = Map("ORA.PRODUCTS" -> Seq("ID"))).cache()
@@ -623,6 +627,71 @@ class WireDecoderSpec extends AnyFunSuite {
     // commit SCN attached from the commit record
     assert(out.filter(col("op") === "u").head()
       .getAs[Long]("commit_scn") == 5300L)
+    out.unpersist(); ()
+  }
+
+  test("logminer LOB parsers: locator select, write chunks, trim") {
+    import graft.sources.wire.LogMiner
+    val loc = LogMiner.parseSelectLob(
+      """declare  loc_c clob;begin  select "BODY" into loc_c from """ +
+        """"ORA"."NOTES" where "ID" = '7' and "T" IS NULL for update;end;""")
+    assert(loc == LogMiner.LobLocator("ORA", "NOTES", "BODY",
+      Map("ID" -> Some("7"), "T" -> None)))
+    val w = LogMiner.parseLobWrite(
+      "declare  loc_c clob;  buf_c varchar2(9);begin  " +
+        "buf_c := 'it''s ok, x';  dbms_lob.write(loc_c, 9, 4, buf_c);end;")
+    assert(w == LogMiner.LobWrite(4, "it's ok, x", isHex = false))
+    val wh = LogMiner.parseLobWrite(
+      "declare  loc_b blob;  buf_b raw(2);begin  " +
+        "buf_b := HEXTORAW('CAFE');  dbms_lob.write(loc_b, 2, 5, buf_b);end;")
+    assert(wh == LogMiner.LobWrite(5, "CAFE", isHex = true))
+    assert(LogMiner.parseLobTrim(
+      "declare  loc_c clob;begin  dbms_lob.trim(loc_c, 42);end;") == 42)
+  }
+
+  test("logminer LOB chains: merge into DML, synthetic update, rollback drop") {
+    import graft.sources.wire.LogMiner
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("rownum", LongType), StructField("scn", LongType),
+      StructField("opcode", IntegerType), StructField("xid", StringType),
+      StructField("csf", IntegerType), StructField("rbk", IntegerType),
+      StructField("row_id", StringType), StructField("rs_id", StringType),
+      StructField("seg_owner", StringType),
+      StructField("table_name", StringType),
+      StructField("sql_redo", StringType)))
+    val path = java.nio.file.Files.createTempFile("lm-lob", ".jsonl")
+    java.nio.file.Files.write(path,
+      WireFixtures.logMinerContentsJsonl.getBytes("UTF-8"))
+    val out = LogMiner.decode(spark.read.schema(schema).json(path.toString),
+      schemas = Map(
+        "ORA.PRODUCTS" -> Seq("ID" -> "long", "NAME" -> "string",
+          "PRICE" -> "double", "CREATED" -> "timestamp"),
+        "ORA.NOTES" -> Seq("ID" -> "long", "TITLE" -> "string",
+          "BODY" -> "string"),
+        "ORA.FILES" -> Seq("ID" -> "long", "DATA" -> "string")),
+      keys = Map("ORA.PRODUCTS" -> Seq("ID"), "ORA.NOTES" -> Seq("ID"),
+        "ORA.FILES" -> Seq("ID"))).cache()
+    // chunks at offsets 1 and 7 assemble into the insert's after image
+    val n1 = out.filter(col("table") === "ORA.NOTES" && col("op") === "c")
+      .head()
+    assert(n1.getAs[String]("after_json") ==
+      """{"ID":1,"TITLE":"n1","BODY":"hello world"}""")
+    // direct dbms_lob mutation: synthetic update, write 8 then trim 5,
+    // non-key non-LOB columns unavailable
+    val n2 = out.filter(col("table") === "ORA.NOTES" && col("op") === "u")
+      .head()
+    assert(n2.getAs[String]("key_json") == """{"ID":2}""")
+    assert(n2.getAs[String]("after_json") ==
+      """{"ID":2,"TITLE":"__unavailable","BODY":"abcde"}""")
+    assert(n2.getAs[Long]("commit_scn") == 5830L)
+    // BLOB hex chunks land at byte offsets
+    val f3 = out.filter(col("table") === "ORA.FILES").head()
+    assert(f3.getAs[String]("after_json") ==
+      """{"ID":3,"DATA":"DEADBEEF"}""")
+    // tx8's chain ended in ROLLBACK: NOTES row 9 never appears
+    assert(out.filter(col("table") === "ORA.NOTES" &&
+      col("key_json") === """{"ID":9}""").count() == 0)
     out.unpersist(); ()
   }
 
