@@ -57,9 +57,29 @@ object Ivf {
       })
     }
 
+  /** Data-fitted cell count: k ≈ √N (the standard IVF sizing — per-cell
+    * scan cost and probe count balance at the square root), clamped to
+    * [4, 65536]. At 1B vectors this gives ~32k cells; `nprobe` then
+    * trades recall for cells scanned without retraining.
+    */
+  def heuristicK(n: Long): Int =
+    math.max(4L, math.min(65536L, math.round(math.sqrt(n.toDouble)))).toInt
+
+  /** Fit centroids with the √N heuristic cell count. One `count()` job
+    * sizes k; the sample grows with k (≥ ~40 points per cell, the usual
+    * k-means training floor) but stays bounded and driver-side.
+    */
+  def fitCentroidsAuto(corpus: DataFrame, idCol: String, embCol: String,
+                       iters: Int = 10): (Int, Seq[Centroid]) = {
+    val k = heuristicK(corpus.count())
+    (k, fitCentroids(corpus, idCol, embCol, k, iters,
+      sampleN = math.max(2000, 40 * k)))
+  }
+
   /** Deterministic Lloyd's k-means on a bounded sample (first `sampleN`
-    * vectors in vec_id order; init = first k distinct vectors), on the
-    * unit sphere.
+    * vectors in vec_id order — `orderBy().limit()` plans as
+    * TakeOrderedAndProject, a per-partition top-N + driver merge, not a
+    * global sort; init = first k distinct vectors), on the unit sphere.
     */
   def fitCentroids(corpus: DataFrame, idCol: String, embCol: String,
                    k: Int, iters: Int = 10, sampleN: Int = 2000): Seq[Centroid] = {

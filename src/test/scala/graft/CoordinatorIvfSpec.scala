@@ -66,4 +66,25 @@ class CoordinatorIvfSpec extends AnyFunSuite {
     // every IVF hit must be a real corpus vector pair (sanity)
     assert(ivf.forall { case (q, n) => q != n })
   }
+
+  test("IVF auto-fit sizes cells at sqrt(N) and keeps recall") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = embs.count()
+    val (k, centroids) = Ivf.fitCentroidsAuto(embs, "vec_id", "embedding")
+    assert(k == Ivf.heuristicK(n) && centroids.size == k)
+    // clamps and the sqrt curve
+    assert(Ivf.heuristicK(1) == 4)
+    assert(Ivf.heuristicK(1000000) == 1000)
+    assert(Ivf.heuristicK(Long.MaxValue) == 65536)
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val ivf = Ivf.searchTopK(embs, queries, centroids, k = 5,
+      nprobe = math.max(2, k / 4))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(queries, embs, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.count(brute).toDouble / brute.size
+    assert(recall >= 0.5, s"auto-fit IVF recall too low: $recall")
+  }
 }
