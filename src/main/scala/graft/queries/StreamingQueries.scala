@@ -1,5 +1,6 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Heartbeat, IncrementalSnapshot}
@@ -26,6 +27,75 @@ object StreamingQueries extends QueryGroup {
     // FIRST doc per fingerprint wins across epochs through the bucketed
     // sink's latest-by-pos merge — cross-epoch dedup state lives in the
     // sink, replay-idempotent, no unbounded executor state
+    // Incremental sequence packing: pack ids assigned AT INGEST, one
+    // micro-batch at a time, with per-shard token bases persisted
+    // between epochs (epoch-stamped state files — a replayed epoch
+    // re-reads its predecessor's bases, so the step is idempotent; the
+    // bases map is ≤ `shards` entries, the only cross-epoch state).
+    // Result must equal batch `SequencePack.pack` of the whole corpus —
+    // which is exactly what the oracle computes.
+    "stream_incremental_pack" -> ((s, dir) => {
+      import graft.analytics.{SequencePack, TextAnalysis}
+      import java.nio.file.{Files => nio}
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // four arrival waves in document order, with ascending mtimes so
+      // the file source triggers them in arrival order
+      val transport = nio.createTempDirectory("ipack-transport")
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val waves = 4
+      val waveSpan = maxId / waves + 1
+      (0 until waves).foreach { wv =>
+        val tmp = nio.createTempDirectory(s"ipack-wave$wv")
+        docs.filter(col("doc_id") >= wv * waveSpan &&
+            col("doc_id") < (wv + 1) * waveSpan)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = scala.util.Using.resource(nio.list(tmp)) { st =>
+          st.iterator().asScala.find(_.getFileName.toString
+            .endsWith(".parquet")).get
+        }
+        val dst = transport.resolve(f"wave-$wv%03d.parquet")
+        nio.move(part, dst)
+        nio.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+          .fromMillis(1700000000000L + wv * 2000L)): Unit
+      }
+      val stateDir = nio.createTempDirectory("ipack-state")
+      val outDir = nio.createTempDirectory("ipack-out").toString
+      val StateName = """state_e(\d+)""".r
+      def readBases(before: Long): Map[Long, Long] = {
+        val prior = scala.util.Using.resource(nio.list(stateDir)) { st =>
+          st.iterator().asScala.flatMap(p => p.getFileName.toString match {
+            case StateName(e) if e.toLong < before => Some(e.toLong -> p)
+            case _ => None
+          }).toSeq
+        }
+        if (prior.isEmpty) Map.empty
+        else nio.readAllLines(prior.maxBy(_._1)._2).asScala
+          .filter(_.nonEmpty).map { l =>
+            val Array(k, v) = l.split(","); k.toLong -> v.toLong
+          }.toMap
+      }
+      val ckpt = nio.createTempDirectory("ipack-ckpt").toString
+      val schema = s.read.parquet(transport.toString).schema
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(transport.toString)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          val (assigned, advanced) = SequencePack.packIncrement(batch,
+            TextAnalysis.tokenCount(col("text")), budget = 2048, shards = 8,
+            bases = readBases(epochId))
+          assigned.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+          nio.write(stateDir.resolve(s"state_e$epochId"),
+            advanced.map { case (k, v) => s"$k,$v" }.toSeq.sorted
+              .mkString("\n").getBytes("UTF-8")): Unit
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("pack_id"), col("pack_offset"))
+    }),
+
     "stream_curation" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       import graft.analytics.TextAnalysis
@@ -396,6 +466,18 @@ object StreamingQueries extends QueryGroup {
 
     // min doc per fingerprint among quality-passing docs — what the
     // incremental run must converge to regardless of epoch boundaries
+    // identical to the batch packer's oracle: incremental == batch
+    "stream_incremental_pack" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  len(string_split(text,' '))::BIGINT AS n_tokens FROM documents),
+        | c AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        | CAST(floor((cum - n_tokens)/2048) AS BIGINT) AS pack_id,
+        | (cum - n_tokens) % 2048 AS pack_offset
+        |FROM c""".stripMargin,
+
     "stream_curation" ->
       """WITH b AS (SELECT doc_id, lang, text,
         |  len(string_split(text,' '))*1.0 AS nt,
@@ -419,5 +501,5 @@ object StreamingQueries extends QueryGroup {
   // `interval` is reserved in Spark SQL; epoch_us is DuckDB-only
   override val duckdbOnly: Set[String] =
     Set("p5_heartbeat", "stream_windowed_agg", "stream_session_window",
-      "stream_curation")
+      "stream_curation", "stream_incremental_pack")
 }

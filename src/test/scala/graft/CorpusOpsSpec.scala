@@ -95,6 +95,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("pack_id")).max == 9)
   }
 
+  test("incremental packing equals batch packing; replayed epochs are idempotent") {
+    val many = spark.range(100).select(col("id").as("doc_id"),
+      concat_ws(" ", array_repeat(lit("w"), (col("id") % 37 + 3).cast("int")))
+        .as("text"))
+    val tc = size(split(col("text"), " "))
+    val batch = SequencePack.pack(many, tc, budget = 64, shards = 4)
+      .collect().map(_.toSeq).toSet
+    // feed in three doc-ordered waves, threading bases
+    var bases = Map.empty[Long, Long]
+    val waves = Seq(0L -> 40L, 40L -> 70L, 70L -> 100L)
+    val incremental = waves.flatMap { case (lo, hi) =>
+      val (assigned, advanced) = SequencePack.packIncrement(
+        many.filter(col("doc_id") >= lo && col("doc_id") < hi), tc,
+        budget = 64, shards = 4, bases)
+      val rows = assigned.collect().map(_.toSeq)
+      bases = advanced
+      rows
+    }.toSet
+    assert(incremental == batch,
+      "incremental assignment diverged from batch packing")
+    // replaying an epoch against its predecessor's bases reproduces it
+    val (replay, _) = SequencePack.packIncrement(
+      many.filter(col("doc_id") >= 40L && col("doc_id") < 70L), tc,
+      budget = 64, shards = 4,
+      waves.take(1).foldLeft(Map.empty[Long, Long]) { case (b, (lo, hi)) =>
+        SequencePack.packIncrement(
+          many.filter(col("doc_id") >= lo && col("doc_id") < hi), tc,
+          budget = 64, shards = 4, b)._2
+      })
+    assert(replay.collect().map(_.toSeq).toSet ==
+      incremental.filter(r => {
+        val id = r.head.asInstanceOf[Long]; id >= 40L && id < 70L
+      }))
+  }
+
   test("incremental dedup: bloom prefilter has no false negatives; verify is exact") {
     import graft.analytics.Dedup
     val history = Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("doc_id", "text")
