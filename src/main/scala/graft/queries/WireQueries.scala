@@ -461,7 +461,10 @@ object WireQueries extends QueryGroup {
         |UNION ALL
         |SELECT 'public.cdc_items', 'd', 3000+i, '{"id":'||i||'}', 'null'
         | FROM range(40) t(i) WHERE i%6=0
-        |UNION ALL SELECT 'public.cdc_tags', 't', 4000, 'null', 'null'
+        |UNION ALL SELECT 'public.cdc_tags', 't', 4000, 'null',
+        |  '{"cascade":false,"restart_identity":false}'
+        |UNION ALL SELECT 'public.cdc_tags', 't', 4050, 'null',
+        |  '{"cascade":true,"restart_identity":true}'
         |UNION ALL SELECT '', 'm', 4100, 'null',
         |  '{"prefix":"graft","content":"hello"}'
         |UNION ALL

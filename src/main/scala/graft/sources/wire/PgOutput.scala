@@ -530,10 +530,13 @@ object PgOutput {
         val r = rel(id)
         Seq(WireRow(s"${r.namespace}.${r.name}", "d", wal,
           keyOf(r, ot), "null"))
-      case Truncate(_, relIds) =>
+      case Truncate(flags, relIds) =>
+        // option bits: 1 = CASCADE, 2 = RESTART IDENTITY
+        val opts = s"""{"cascade":${(flags & 1) != 0},""" +
+          s""""restart_identity":${(flags & 2) != 0}}"""
         relIds.map { id =>
           val r = rel(id)
-          WireRow(s"${r.namespace}.${r.name}", "t", wal, "null", "null")
+          WireRow(s"${r.namespace}.${r.name}", "t", wal, "null", opts)
         }
       case LogicalMessage(_, _, prefix, content) =>
         Seq(WireRow("", "m", wal, "null",

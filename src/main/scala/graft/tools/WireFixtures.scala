@@ -72,6 +72,7 @@ object WireFixtures {
         VText(i.toString), VNull, VNull)))
     }
     f(4000, Truncate(0, Seq(5002)))
+    f(4050, Truncate(3, Seq(5002))) // CASCADE | RESTART IDENTITY
     f(4100, LogicalMessage(1, 4100, "graft", "hello".getBytes("UTF-8")))
     f(4150, ArraysRel)
     (0 until 5).foreach { i =>

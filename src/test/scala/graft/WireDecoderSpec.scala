@@ -186,7 +186,12 @@ class WireDecoderSpec extends AnyFunSuite {
     val rows = PgOutput.segmentRows(WireFixtures.pgoutputSegment).toSeq
     assert(rows.size == WireFixtures.pgoutputRowCount)
     val byOp = rows.groupBy(_.op).view.mapValues(_.size).toMap
-    assert(byOp == Map("c" -> 55, "u" -> 8, "d" -> 7, "t" -> 1, "m" -> 1))
+    assert(byOp == Map("c" -> 55, "u" -> 8, "d" -> 7, "t" -> 2, "m" -> 1))
+    // truncate option bits surface in the payload
+    val truncs = rows.filter(_.op == "t").sortBy(_.pos)
+    assert(truncs.map(_.payloadJson) == Seq(
+      """{"cascade":false,"restart_identity":false}""",
+      """{"cascade":true,"restart_identity":true}"""))
     // array columns: pg text form → typed JSON arrays (quotes, escapes, NULL)
     val arr3 = rows.find(r => r.table == "public.cdc_arrays" &&
       r.keyJson == """{"id":3}""").get
