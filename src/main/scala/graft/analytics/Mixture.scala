@@ -1,0 +1,70 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data mixture construction: turn per-source target WEIGHTS
+  * into per-document REPEAT factors so the assembled corpus hits the
+  * target proportions by token count — the standard pretraining recipe
+  * step (upweighted sources repeat across epochs, downweighted ones
+  * subsample; cf. the published LLaMA / Gopher / DoReMi mixture
+  * tables).
+  *
+  * For source s with weight w_s, natural token count T_s, and a total
+  * token budget B: the sampling rate is `r_s = (w_s / Σw) · B / T_s`.
+  * Every document of s emits `floor(r_s)` full copies plus one more
+  * when its md5 bucket falls under `frac(r_s)` — deterministic,
+  * rerun-stable, and exact in expectation per source.
+  *
+  * Cross-engine exactness: r_s is ONE IEEE division of two exactly-
+  * representable integers, the threshold is `floor(frac · 10⁴)`, and
+  * the bucket is integer md5 arithmetic — no libm anywhere, so the
+  * oracle reproduces the factors bit-for-bit.
+  *
+  * 100 TB shape: one map-side-combinable aggregation for the
+  * per-source token counts (|sources| rows → broadcast back), then a
+  * map-only pass assigning factors. Emitting the physical copies is a
+  * later `explode(sequence(1, n_repeats))` the caller fuses with its
+  * write — the factor table itself stays one row per document.
+  */
+object Mixture {
+
+  /** Finer-grained deterministic bucket than `Sampling.hashBucket`:
+    * uniform in [0, 10000) from the first 6 md5 hex chars of the id.
+    */
+  def hashBucket10k(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 6), 16, 10)
+      .cast("long") % 10000
+
+  /** `(doc_id, source, n_tokens, n_repeats)` per document.
+    *
+    * @param weights      relative target weight per source (missing
+    *                     sources get weight 0 → dropped)
+    * @param budgetFactor total token budget as a multiple of the
+    *                     corpus's natural token count
+    */
+  def repeatFactors(docs: DataFrame, weights: Map[String, Long],
+                    budgetFactor: Int = 2): DataFrame = {
+    val toks = graft.analytics.TextAnalysis.tokenCount(col("text"))
+      .cast("long")
+    val base = docs.select(col("doc_id"), col("source"),
+      toks.as("n_tokens"))
+    val perSource = base.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("t_s"))
+    val totalTokens = perSource.agg(sum(col("t_s"))).head().getLong(0)
+    val wsum = weights.values.sum
+    val weightOf = coalesce(
+      element_at(typedLit(weights), col("source")), lit(0L))
+    val rates = perSource.select(col("source").as("r_source"),
+      ((weightOf * budgetFactor * totalTokens).cast("double") /
+        (col("t_s") * wsum)).as("rate"))
+    base.join(broadcast(rates), col("source") === col("r_source"))
+      .withColumn("n_repeats",
+        (floor(col("rate")).cast("long") +
+          when(hashBucket10k(col("doc_id")) <
+            floor((col("rate") - floor(col("rate"))) * 10000), 1L)
+            .otherwise(0L)).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("n_repeats"))
+  }
+}

@@ -273,6 +273,18 @@ object CorpusQueries extends QueryGroup {
           max(col("jaccard")).as("max_jaccard"))
     }),
 
+    // Mixture construction: per-source target weights → deterministic
+    // per-document repeat factors hitting the token-budget proportions
+    // (sources with index % 4 == 1 upweighted 3:1, budget = 2× corpus)
+    "a_mixture_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sources = docs.select(col("source")).distinct()
+        .collect().map(_.getString(0))
+      val weights = sources.map(src => src ->
+        (if (src.stripPrefix("src").toInt % 4 == 1) 3L else 1L)).toMap
+      graft.analytics.Mixture.repeatFactors(docs, weights, budgetFactor = 2)
+    }),
+
     // IVF ANN with pretrained cells: the oracle replays the identical
     // cell-assignment + probe + rank computation from centroid literals
     // (the data-fitted k-means trainer is exercised by CoordinatorIvfSpec,
@@ -746,6 +758,32 @@ object CorpusQueries extends QueryGroup {
         |   / greatest(coalesce(agg.n_bigrams, 0), 1)) AS BIGINT) AS avg_prob_q9
         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
 
+    // identical integer-exact mixture arithmetic: one IEEE division per
+    // source, floor-quantized fractional threshold, md5 bucket
+    "a_mixture_sample" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  len(string_split(text,' '))::BIGINT AS n_tokens FROM documents),
+        | ps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_s
+        |  FROM t GROUP BY source),
+        | tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS ttot FROM ps),
+        | ws AS (SELECT source,
+        |   CASE WHEN CAST(substr(source, 4, 10) AS INT) % 4 = 1
+        |        THEN 3 ELSE 1 END AS w FROM ps),
+        | wsum AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM ws),
+        | r AS (SELECT ps.source,
+        |   (ws.w * 2 * tot.ttot)::DOUBLE / (ps.t_s * wsum.wsum) AS rate
+        |  FROM ps JOIN ws USING (source), tot, wsum),
+        | b AS (SELECT t.doc_id, t.source, t.n_tokens, r.rate,
+        |   CAST(list_sum([(strpos('0123456789abcdef',
+        |       substr(md5(t.doc_id::VARCHAR), i, 1))-1)::BIGINT
+        |       << (4*(6-i)) for i in range(1, 7)]) AS BIGINT) % 10000 AS bucket
+        |  FROM t JOIN r USING (source))
+        |SELECT doc_id, source, n_tokens,
+        | CAST(floor(rate) + (CASE WHEN bucket <
+        |   floor((rate - floor(rate)) * 10000) THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_repeats
+        |FROM b""".stripMargin,
+
     // same pair derivation as a_jaccard_pairs, rolled up by source pair
     "a_source_overlap" ->
       """WITH s AS (SELECT doc_id, source,
@@ -772,5 +810,6 @@ object CorpusQueries extends QueryGroup {
     "a_embed_norms", "a_ann_topk",
     "a_cosine_pairs", "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh",
     "a_ann_ivf", "a_semantic_dedup",
-    "a_passage_dedup", "a_lm_score", "a_source_overlap")
+    "a_passage_dedup", "a_lm_score", "a_source_overlap",
+    "a_mixture_sample")
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.analytics.{Boilerplate, Decontaminate, LanguageModel, Sampling, SequencePack, TextAnalysis}
+import graft.analytics.{Boilerplate, Decontaminate, LanguageModel, Mixture, Sampling, SequencePack, TextAnalysis}
 
 /** Invariant tests for the corpus-curation operators (decontamination,
   * repetition signals, sequence packing, deterministic sampling); the
@@ -93,6 +93,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
     // 25 docs/shard × 100 tokens / 256 budget → packs 0..9 per shard
     assert(rows.map(_.getAs[Long]("pack_id")).max == 9)
+  }
+
+  test("mixture repeat factors hit target token proportions in expectation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val weights = docs.select(col("source")).distinct().collect()
+      .map(_.getString(0)).map(s => s ->
+        (if (s.stripPrefix("src").toInt % 2 == 0) 4L else 1L)).toMap
+    val out = Mixture.repeatFactors(docs, weights, budgetFactor = 3).cache()
+    // deterministic: a rerun assigns identical factors
+    val again = Mixture.repeatFactors(docs, weights, budgetFactor = 3)
+    assert(out.collect().toSet == again.collect().toSet)
+    // realized per-source token share tracks the target share
+    val realized = out.groupBy(col("source"))
+      .agg(sum(col("n_tokens") * col("n_repeats")).as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = realized.values.sum.toDouble
+    val wsum = weights.values.sum.toDouble
+    weights.foreach { case (s, w) =>
+      val target = w / wsum
+      val got = realized.getOrElse(s, 0L) / total
+      assert(math.abs(got - target) < 0.02,
+        s"source $s realized share $got vs target $target")
+    }
+    out.unpersist(); ()
   }
 
   test("incremental packing equals batch packing; replayed epochs are idempotent") {

@@ -111,6 +111,14 @@ class PlanSpec extends AnyFunSuite {
       "expected a broadcast for the 1-row vocab side")
   }
 
+  test("mixture factors broadcast the per-source rate table; corpus map-only") {
+    val p = plan("a_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |sources|-row rate table should broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus side must not shuffle for the rate join")
+  }
+
   test("semantic dedup assigns cells natively and never cross-joins") {
     // assert on the candidate stage: the full query checkpoints the pair
     // graph eagerly, which hides the cell computation from its final plan
