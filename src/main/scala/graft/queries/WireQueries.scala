@@ -733,6 +733,16 @@ object WireQueries extends QueryGroup {
         |  ',"nested":{"big":'||(100000+i)||',"depth":2}}}'
         | FROM range(10) t(i)
         |UNION ALL
+        |-- PARTIAL_UPDATE_ROWS: diffs applied to the before image;
+        |-- re-encoded post-image renders keys in storage order
+        |SELECT 'testdb.bl_json', 'u', 970, '{"id":'||i||'}',
+        |  '{"id":'||i||',"j":{"id":'||i||',"huge":'||(3000000000+i)||
+        |  ',"name":"js_'||i||'_patched","extra":'||(i*5)||
+        |  ',"flags":['||(CASE WHEN i%2=0 THEN 'true' ELSE 'false' END)||
+        |    ',null,'||(i*1000+1)||']'||
+        |  ',"nested":{"big":'||(100000+i)||'}}}'
+        | FROM range(10) t(i) WHERE i%3=0
+        |UNION ALL
         |-- wkb literals: base64(struct.pack('<BIdd', 1, 1, i, i+0.5)) —
         |-- the documented WKB little-endian POINT layout, derived
         |-- independently of the engine's encoder (python struct)

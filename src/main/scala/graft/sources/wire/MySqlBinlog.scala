@@ -43,6 +43,7 @@ object MySqlBinlog {
   val QUERY = 2; val ROTATE = 4; val XID = 16; val FORMAT_DESCRIPTION = 15
   val TABLE_MAP = 19
   val WRITE_ROWS_V2 = 30; val UPDATE_ROWS_V2 = 31; val DELETE_ROWS_V2 = 32
+  val PARTIAL_UPDATE_ROWS = 39 // mysql-8.0 binlog_row_value_options=PARTIAL_JSON
 
   // column type codes (MYSQL_TYPE_*)
   val TYPE_TINY = 1; val TYPE_SHORT = 2; val TYPE_LONG = 3
@@ -281,6 +282,157 @@ object MySqlBinlog {
   def decodeJsonBinary(bytes: Array[Byte]): String =
     jsRender(bytes, bytes(0) & 0xff, 1)
 
+  // ------------------------------------------- partial JSON (diffs)
+  // With `binlog_row_value_options=PARTIAL_JSON` (mysql 8.0), JSON
+  // columns in UPDATE after-images may carry a json_diff SEQUENCE
+  // instead of the full document: { op byte (0=REPLACE, 1=INSERT,
+  // 2=REMOVE), lenenc path length + path ($.key, $.arr[N], …), and for
+  // non-REMOVE ops lenenc value length + a json_binary value }. The
+  // reference requires the option OFF; applying the diffs to the
+  // before image reconstructs the full post-image, so partial events
+  // decode to the same wire rows full events would.
+
+  /** Parse one json_binary value into the typed tree — the inverse of
+    * the renderer, needed to apply diffs to a before image.
+    */
+  private def jsParse(b: Array[Byte], t: Int, off: Int): JsonVal = t match {
+    case JT_LITERAL => (b(off) & 0xff) match {
+      case 0 => JNull; case 1 => JBool(true); case 2 => JBool(false)
+      case x => throw new IllegalArgumentException(s"bad literal $x")
+    }
+    case JT_INT16 => JInt(jsLe(b, off, 2).toShort.toLong)
+    case JT_UINT16 => JInt(jsLe(b, off, 2) & 0xffff)
+    case JT_INT32 => JInt(jsLe(b, off, 4).toInt.toLong)
+    case JT_UINT32 => JInt(jsLe(b, off, 4) & 0xffffffffL)
+    case JT_INT64 => JInt(jsLe(b, off, 8))
+    case JT_STRING =>
+      var len = 0; var shift = 0; var p = off
+      var cont = true
+      while (cont) {
+        val x = b(p) & 0xff; p += 1
+        len |= (x & 0x7f) << shift; shift += 7; cont = (x & 0x80) != 0
+      }
+      JStr(new String(b, p, len, StandardCharsets.UTF_8))
+    case JT_SMALL_OBJ | JT_LARGE_OBJ | JT_SMALL_ARR | JT_LARGE_ARR =>
+      val large = t == JT_LARGE_OBJ || t == JT_LARGE_ARR
+      val isObj = t == JT_SMALL_OBJ || t == JT_LARGE_OBJ
+      val w = if (large) 4 else 2
+      val count = jsLe(b, off, w).toInt
+      val entryBase = off + 2 * w
+      val keyEntrySize = w + 2
+      val valEntrySize = 1 + w
+      def valueAt(slot: Int): JsonVal = {
+        val vt = b(slot) & 0xff
+        val inlined = vt == JT_LITERAL || vt == JT_INT16 || vt == JT_UINT16 ||
+          (large && (vt == JT_INT32 || vt == JT_UINT32))
+        if (inlined) jsParse(b, vt, slot + 1)
+        else jsParse(b, vt, off + jsLe(b, slot + 1, w).toInt)
+      }
+      if (isObj) {
+        val valBase = entryBase + count * keyEntrySize
+        JObj((0 until count).map { i =>
+          val ke = entryBase + i * keyEntrySize
+          val kOff = off + jsLe(b, ke, w).toInt
+          val kLen = jsLe(b, ke + w, 2).toInt
+          new String(b, kOff, kLen, StandardCharsets.UTF_8) ->
+            valueAt(valBase + i * valEntrySize)
+        })
+      } else JArr((0 until count).map(i =>
+        valueAt(entryBase + i * valEntrySize)))
+    case other => throw new IllegalArgumentException(s"json type $other")
+  }
+
+  def parseJsonBinary(bytes: Array[Byte]): JsonVal =
+    jsParse(bytes, bytes(0) & 0xff, 1)
+
+  /** One json_diff entry; ops follow mysql json_diff.h. */
+  final case class JsonDiff(op: Int, path: String, value: Option[JsonVal])
+  val DIFF_REPLACE = 0; val DIFF_INSERT = 1; val DIFF_REMOVE = 2
+
+  /** `$`-rooted member/index path → legs (Left = object key,
+    * Right = array index).
+    */
+  private[wire] def parseJsonPath(path: String): Seq[Either[String, Int]] = {
+    require(path.startsWith("$"), s"json path must start at root: $path")
+    val legs = Seq.newBuilder[Either[String, Int]]
+    var i = 1
+    while (i < path.length) path.charAt(i) match {
+      case '.' =>
+        val start = i + 1
+        var j = start
+        while (j < path.length && path.charAt(j) != '.' && path.charAt(j) != '[')
+          j += 1
+        legs += Left(path.substring(start, j)); i = j
+      case '[' =>
+        val close = path.indexOf(']', i)
+        legs += Right(path.substring(i + 1, close).toInt); i = close + 1
+      case other =>
+        throw new IllegalArgumentException(s"bad json path char '$other' in $path")
+    }
+    legs.result()
+  }
+
+  /** Apply diffs in order to a document tree (REPLACE overwrites an
+    * existing member/element, INSERT adds a missing object key or
+    * splices an array element, REMOVE deletes).
+    */
+  def applyJsonDiffs(doc: JsonVal, diffs: Seq[JsonDiff]): JsonVal = {
+    def applyOne(node: JsonVal, legs: Seq[Either[String, Int]],
+                 d: JsonDiff): JsonVal = legs match {
+      case Seq() =>
+        require(d.op == DIFF_REPLACE, s"op ${d.op} needs a non-root path")
+        d.value.get
+      case Seq(leg) => (node, leg) match {
+        case (JObj(fs), Left(key)) => d.op match {
+          case DIFF_REPLACE => JObj(fs.map { case (k, v) =>
+            if (k == key) k -> d.value.get else k -> v })
+          case DIFF_INSERT =>
+            if (fs.exists(_._1 == key)) JObj(fs) // mysql: insert never overwrites
+            else JObj(fs :+ (key -> d.value.get))
+          case DIFF_REMOVE => JObj(fs.filterNot(_._1 == key))
+        }
+        case (JArr(xs), Right(idx)) => d.op match {
+          case DIFF_REPLACE => JArr(xs.updated(idx, d.value.get))
+          case DIFF_INSERT =>
+            val at = math.min(idx, xs.size)
+            JArr((xs.take(at) :+ d.value.get) ++ xs.drop(at))
+          case DIFF_REMOVE => JArr(xs.patch(idx, Nil, 1))
+        }
+        case other =>
+          throw new IllegalArgumentException(s"path/doc mismatch at $other")
+      }
+      case leg +: rest => (node, leg) match {
+        case (JObj(fs), Left(key)) => JObj(fs.map { case (k, v) =>
+          if (k == key) k -> applyOne(v, rest, d) else k -> v })
+        case (JArr(xs), Right(idx)) =>
+          JArr(xs.updated(idx, applyOne(xs(idx), rest, d)))
+        case other =>
+          throw new IllegalArgumentException(s"path/doc mismatch at $other")
+      }
+    }
+    diffs.foldLeft(doc)((acc, d) => applyOne(acc, parseJsonPath(d.path), d))
+  }
+
+  /** Parse a JSON cell payload that carries a diff sequence. */
+  private def parseDiffSeq(bytes: Array[Byte]): Seq[JsonDiff] = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = Seq.newBuilder[JsonDiff]
+    while (b.hasRemaining) {
+      val op = b.get() & 0xff
+      val pathLen = lenenc(b).toInt
+      val pathB = new Array[Byte](pathLen); b.get(pathB)
+      val value =
+        if (op == DIFF_REMOVE) None
+        else {
+          val vLen = lenenc(b).toInt
+          val vB = new Array[Byte](vLen); b.get(vB)
+          Some(parseJsonBinary(vB))
+        }
+      out += JsonDiff(op, new String(pathB, StandardCharsets.UTF_8), value)
+    }
+    out.result()
+  }
+
   /** Encode a JSON tree in the SMALL container variants (fixture
     * builder; decode handles large too).
     */
@@ -433,8 +585,22 @@ object MySqlBinlog {
       s"unsupported column type $other")
   }
 
+  /** Raw JSON cell (partial-update reconstruction carriers). */
+  private final case class JsBytes(bytes: Array[Byte])
+  private final case class JsDiffsCell(diffs: Seq[JsonDiff])
+
+  private def blobBytes(b: ByteBuffer, meta: Int): Array[Byte] = {
+    var len = 0L
+    (0 until meta).foreach(i => len |= (b.get() & 0xffL) << (8 * i))
+    val bytes = new Array[Byte](len.toInt)
+    b.get(bytes)
+    bytes
+  }
+
   private def rowImage(b: ByteBuffer, map: TableMap,
-                       present: Array[Boolean]): Row = {
+                       present: Array[Boolean],
+                       jsonRaw: Boolean = false,
+                       jsonPartial: Set[Int] = Set.empty): Row = {
     val nPresent = present.count(identity)
     val nulls = bitmap(b, nPresent)
     var pi = 0
@@ -443,6 +609,10 @@ object MySqlBinlog {
       else {
         val isNull = nulls(pi); pi += 1
         if (isNull) None
+        else if (map.colTypes(i) == TYPE_JSON && jsonPartial(i))
+          Some(JsDiffsCell(parseDiffSeq(blobBytes(b, map.colMeta(i)))))
+        else if (map.colTypes(i) == TYPE_JSON && jsonRaw)
+          Some(JsBytes(blobBytes(b, map.colMeta(i))))
         else Some(cell(b, map.colTypes(i), map.colMeta(i)))
       }
     }
@@ -519,6 +689,58 @@ object MySqlBinlog {
               } else before += rowImage(buf, map, present)
             }
             RowsEvent(nextPos, kind, tableId, before.toSeq, after.toSeq)
+          case PARTIAL_UPDATE_ROWS =>
+            val tableId = uint48(buf)
+            buf.getShort() // flags
+            val extraLen = buf.getShort() & 0xffff
+            buf.position(buf.position() + (extraLen - 2))
+            val map = maps.getOrElse(tableId, throw new IllegalStateException(
+              s"rows event for unmapped table id $tableId"))
+            val nCols = lenenc(buf).toInt
+            require(nCols == map.colTypes.size, "column count mismatch vs TABLE_MAP")
+            val present = bitmap(buf, nCols)
+            val presentAfter = bitmap(buf, nCols)
+            val jsonCols = map.colTypes.indices
+              .filter(i => map.colTypes(i) == TYPE_JSON)
+            val before = scala.collection.mutable.ArrayBuffer[Row]()
+            val after = scala.collection.mutable.ArrayBuffer[Row]()
+            while (buf.position() < end) {
+              val b0 = rowImage(buf, map, present, jsonRaw = true)
+              // after image: value_options, then (if PARTIAL_JSON) one
+              // partial bit per JSON column, then the usual image
+              val valueOptions = lenenc(buf)
+              val partial: Set[Int] =
+                if ((valueOptions & 1) == 0) Set.empty
+                else {
+                  val bits = bitmap(buf, jsonCols.size)
+                  jsonCols.zip(bits).filter(_._2).map(_._1).toSet
+                }
+              val a0 = rowImage(buf, map, presentAfter, jsonRaw = true,
+                jsonPartial = partial)
+              def full(r: Row): Row = Row(r.cells.map {
+                case Some(JsBytes(bytes)) => Some(Js(decodeJsonBinary(bytes)))
+                case c => c
+              })
+              val aFull = Row(a0.cells.zipWithIndex.map {
+                case (Some(JsDiffsCell(ds)), i) =>
+                  val baseBytes = b0.cells(i) match {
+                    case Some(JsBytes(bytes)) => bytes
+                    case other => throw new IllegalStateException(
+                      s"partial JSON diff without a before image: $other")
+                  }
+                  val applied = applyJsonDiffs(parseJsonBinary(baseBytes), ds)
+                  // re-encode → decode: renders the post-image exactly as
+                  // the server would store it (sorted keys, canon layout)
+                  Some(Js(decodeJsonBinary(encodeJsonBinary(applied))))
+                case (Some(JsBytes(bytes)), _) =>
+                  Some(Js(decodeJsonBinary(bytes)))
+                case (c, _) => c
+              })
+              before += full(b0)
+              after += aFull
+            }
+            RowsEvent(nextPos, PARTIAL_UPDATE_ROWS, tableId, before.toSeq,
+              after.toSeq)
           case XID =>
             XidEvent(nextPos, buf.getLong())
           case other =>
@@ -673,6 +895,53 @@ object MySqlBinlog {
     event(TABLE_MAP, nextPos, body)
   }
 
+  /** Fixture encoder for PARTIAL_UPDATE_ROWS: each row = (full before
+    * image, after image whose non-partial cells carry values, partial
+    * diffs per JSON column index). Partial JSON cells encode the diff
+    * sequence under the usual blob-style length prefix.
+    */
+  def encodePartialUpdateRows(nextPos: Long, map: TableMap,
+      rows: Seq[(Row, Row, Map[Int, Seq[JsonDiff]])]): Array[Byte] = {
+    val b = leBuf(1 << 20)
+    putUint48(b, map.tableId); b.putShort(0)
+    b.putShort(2)
+    putLenenc(b, map.colTypes.size.toLong)
+    val present = map.colTypes.map(_ => true)
+    putBitmap(b, present); putBitmap(b, present)
+    val jsonCols = map.colTypes.indices.filter(i => map.colTypes(i) == TYPE_JSON)
+    rows.foreach { case (beforeRow, afterRow, diffs) =>
+      putRow(b, map, present, beforeRow)
+      putLenenc(b, 1L) // value_options: PARTIAL_JSON
+      putBitmap(b, jsonCols.map(diffs.contains))
+      // after image: null bitmap + cells, diff sequences for partial cols
+      val presentCells = afterRow.cells.indices.filter(present)
+      putBitmap(b, presentCells.map(i =>
+        afterRow.cells(i).isEmpty && !diffs.contains(i)))
+      presentCells.foreach { i =>
+        if (diffs.contains(i)) {
+          val body = leBuf(1 << 16)
+          diffs(i).foreach { d =>
+            body.put(d.op.toByte)
+            val pb = d.path.getBytes(StandardCharsets.UTF_8)
+            putLenenc(body, pb.length.toLong); body.put(pb)
+            d.value.foreach { v =>
+              val vb = encodeJsonBinary(v)
+              putLenenc(body, vb.length.toLong); body.put(vb)
+            }
+          }
+          val bytes = new Array[Byte](body.position()); body.flip(); body.get(bytes)
+          val meta = map.colMeta(i)
+          (0 until meta).foreach(k =>
+            b.put(((bytes.length >> (8 * k)) & 0xff).toByte))
+          b.put(bytes)
+        } else afterRow.cells(i).foreach(v =>
+          putCell(b, map.colTypes(i), map.colMeta(i), v))
+      }
+    }
+    val body = new Array[Byte](b.position()); b.flip(); b.get(body)
+    event(PARTIAL_UPDATE_ROWS, nextPos, body)
+  }
+
   def encodeRows(kind: Int, nextPos: Long, map: TableMap,
                  rows: Seq[Row], afterRows: Seq[Row] = Seq.empty): Array[Byte] = {
     val b = leBuf(1 << 20)
@@ -784,8 +1053,9 @@ object MySqlBinlog {
         kind match {
           case WRITE_ROWS_V2 => rows.map(r => PgOutput.WireRow(full, "c", pos,
             jsonObject(names, r, Some(kidx)), jsonObject(names, r)))
-          case UPDATE_ROWS_V2 => afterRows.map(r => PgOutput.WireRow(full, "u", pos,
-            jsonObject(names, r, Some(kidx)), jsonObject(names, r)))
+          case UPDATE_ROWS_V2 | PARTIAL_UPDATE_ROWS =>
+            afterRows.map(r => PgOutput.WireRow(full, "u", pos,
+              jsonObject(names, r, Some(kidx)), jsonObject(names, r)))
           case DELETE_ROWS_V2 => rows.map(r => PgOutput.WireRow(full, "d", pos,
             jsonObject(names, r, Some(kidx)), "null"))
           case _ => Nil

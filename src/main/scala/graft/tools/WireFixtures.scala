@@ -274,6 +274,19 @@ object WireFixtures {
     events += encodeTableMap(960, GeoMap)
     events += encodeRows(WRITE_ROWS_V2, 961, GeoMap, (0 until 6).map(geoRow))
     events += encodeXid(962, 9004L)
+    // PARTIAL_UPDATE_ROWS (binlog_row_value_options=PARTIAL_JSON): the
+    // JSON column carries a json_diff sequence — replace a member and
+    // an array element, remove a nested member, insert a new key
+    val partialRows = Seq(0, 3, 6, 9).map { i =>
+      val diffs = Seq(
+        JsonDiff(DIFF_REPLACE, "$.name", Some(JStr(s"js_${i}_patched"))),
+        JsonDiff(DIFF_REPLACE, "$.flags[2]", Some(JInt(i * 1000 + 1))),
+        JsonDiff(DIFF_REMOVE, "$.nested.depth", None),
+        JsonDiff(DIFF_INSERT, "$.extra", Some(JInt(i * 5L))))
+      (jsonRow(i), Row(Seq(Some(i), None)), Map(1 -> diffs))
+    }
+    events += encodePartialUpdateRows(970, JsonMap, partialRows)
+    events += encodeXid(971, 9005L)
     writeSegment(events.toSeq)
   }
 

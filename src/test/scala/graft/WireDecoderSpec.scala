@@ -318,7 +318,7 @@ class WireDecoderSpec extends AnyFunSuite {
     val rows = MySqlBinlog.segmentRows(WireFixtures.binlogSegment, names).toSeq
     assert(rows.size == WireFixtures.binlogRowCount)
     val byOp = rows.groupBy(_.op).view.mapValues(_.size).toMap
-    assert(byOp == Map("c" -> 56, "u" -> 8, "d" -> 4))
+    assert(byOp == Map("c" -> 56, "u" -> 12, "d" -> 4))
     val w12 = rows.find(r => r.op == "c" && r.table == "testdb.bl_items" &&
       r.keyJson == """{"id":12}""").get
     assert(w12.pos == 501) // second WRITE event (rows 10..19)
@@ -427,12 +427,69 @@ class WireDecoderSpec extends AnyFunSuite {
   test("binlog JSON column rows decode through segmentRows") {
     val names = Map("testdb.bl_json" -> Seq("id", "j"))
     val rows = MySqlBinlog.segmentRows(WireFixtures.binlogSegment, names)
-      .filter(_.table == "testdb.bl_json").toSeq
+      .filter(r => r.table == "testdb.bl_json" && r.op == "c").toSeq
     assert(rows.size == 10)
     val r3 = rows.find(_.keyJson == """{"id":3}""").get
     assert(r3.payloadJson ==
       """{"id":3,"j":{"id":3,"huge":3000000003,"name":"js_3",""" +
         """"flags":[false,null,3000],"nested":{"big":100003,"depth":2}}}""")
+  }
+
+  test("json_binary tree parser is the encoder's inverse (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import MySqlBinlog._
+    val genScalar: Gen[JsonVal] = Gen.oneOf(
+      Gen.const(JNull), Gen.oneOf(true, false).map(JBool),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(JInt(_)),
+      Gen.alphaNumStr.map(s => JStr(s.take(8))))
+    def genTree(depth: Int): Gen[JsonVal] =
+      if (depth == 0) genScalar
+      else Gen.frequency(
+        3 -> genScalar,
+        1 -> Gen.listOfN(3, genTree(depth - 1)).map(JArr(_)),
+        1 -> Gen.listOfN(3, Gen.zip(Gen.alphaLowerStr.map(_.take(5)),
+          genTree(depth - 1))).map(JObj(_)))
+    // parse(encode(v)) == v up to the encoder's canonical key order —
+    // so compare through a second encode
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(genTree(3)) { v =>
+        val bytes = encodeJsonBinary(v)
+        encodeJsonBinary(parseJsonBinary(bytes)).sameElements(bytes)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("json diffs: replace member + element, remove nested, insert key") {
+    import MySqlBinlog._
+    val doc = JObj(Seq("id" -> JInt(1), "name" -> JStr("a"),
+      "flags" -> JArr(Seq(JBool(true), JNull, JInt(7))),
+      "nested" -> JObj(Seq("depth" -> JInt(2), "big" -> JInt(9)))))
+    val out = applyJsonDiffs(doc, Seq(
+      JsonDiff(DIFF_REPLACE, "$.name", Some(JStr("b"))),
+      JsonDiff(DIFF_REPLACE, "$.flags[2]", Some(JInt(8))),
+      JsonDiff(DIFF_REMOVE, "$.nested.depth", None),
+      JsonDiff(DIFF_INSERT, "$.extra", Some(JInt(5))),
+      JsonDiff(DIFF_INSERT, "$.flags[1]", Some(JStr("mid"))),
+      JsonDiff(DIFF_REMOVE, "$.flags[0]", None)))
+    assert(decodeJsonBinary(encodeJsonBinary(out)) ==
+      """{"id":1,"name":"b","extra":5,"flags":["mid",null,8],""" +
+        """"nested":{"big":9}}""")
+    // mysql semantics: INSERT never overwrites an existing member
+    val keep = applyJsonDiffs(doc,
+      Seq(JsonDiff(DIFF_INSERT, "$.name", Some(JStr("zz")))))
+    assert(keep == doc)
+  }
+
+  test("PARTIAL_UPDATE_ROWS reconstructs post-images from diff cells") {
+    val names = Map("testdb.bl_json" -> Seq("id", "j"))
+    val rows = MySqlBinlog.segmentRows(WireFixtures.binlogSegment, names)
+      .filter(r => r.table == "testdb.bl_json" && r.op == "u").toSeq
+    assert(rows.size == 4)
+    val r3 = rows.find(_.keyJson == """{"id":3}""").get
+    assert(r3.payloadJson ==
+      """{"id":3,"j":{"id":3,"huge":3000000003,"name":"js_3_patched",""" +
+        """"extra":15,"flags":[false,null,3001],"nested":{"big":100003}}}""")
   }
 
   test("GEOMETRY columns decode SRID + WKB through segmentRows") {
