@@ -391,7 +391,46 @@ object LogMiner {
     //     LOB_WRITE/LOB_TRIM to the most recent SEL_LOB_LOCATOR (the
     //     reference's TransactionCommitConsumer association), and
     //     chunk offsets assemble the final column value. One group per
-    //     transaction — bounded by tx size like TxReassembly.
+    //     transaction — bounded by tx size like TxReassembly. Most polls
+    //     carry no LOB rows at all (lob.enabled off, or no LOB DML in
+    //     the window): one cheap emptiness probe on the already-grouped
+    //     poll skips the chain fold and its joins entirely.
+    // 4 (shared). per-row parse + typed JSON rendering in executors;
+    //   assembled LOB values (the `lobs` column, possibly all-null)
+    //   override their column in the DML's after image
+    def render(committedWithLobs: DataFrame): DataFrame =
+      committedWithLobs.as(Encoders.row(committedWithLobs.schema)).mapPartitions {
+        (rows: Iterator[Row]) =>
+          rows.map { r =>
+            val entry = parseDml(r.getAs[String]("sql"))
+            val lobCols = Option(r.getAs[Seq[Row]]("lobs")).getOrElse(Nil)
+              .map(l => l.getAs[String]("c") -> Option(l.getAs[String]("v")))
+              .toMap
+            val tableId = s"${entry.owner}.${entry.table}"
+            val schema = schemas.getOrElse(tableId,
+              throw new IllegalArgumentException(s"no schema for $tableId"))
+            val keyCols = keys.getOrElse(tableId, Nil)
+            val after =
+              if (entry.op == "d" || lobCols.isEmpty) entry.after
+              else entry.after ++ lobCols
+            val keyImg = if (entry.op == "d") entry.before else after
+            val keySchema = schema.filter { case (n, _) => keyCols.contains(n) }
+            WireEvent(tableId, entry.op, r.getAs[Long]("scn"),
+              r.getAs[Long]("commit_scn"), r.getAs[String]("xid"),
+              imageJson(keyImg.filter { case (k, _) => keyCols.contains(k) },
+                keySchema),
+              imageJson(entry.before, schema),
+              imageJson(after, schema))
+          }
+      }(Encoders.product[WireEvent]).toDF()
+
+    val hasLobOps = !assembled
+      .filter(col("opcode").isin(OpSelLobLocator, OpLobWrite, OpLobTrim))
+      .isEmpty
+    if (!hasLobOps)
+      return render(committed.withColumn("lobs",
+        lit(null).cast("array<struct<c:string,v:string>>")))
+
     val chains = assembleLobChains(assembled, schemas, keys)
     val overrides = chains.toDF()
       .groupBy(col("xid").as("o_xid"), col("row_id").as("o_row_id"))
@@ -400,33 +439,7 @@ object LogMiner {
     val committedL = committed.join(overrides,
       col("xid") === col("o_xid") && col("row_id") === col("o_row_id"),
       "left").drop("o_xid", "o_row_id")
-
-    // 4. per-row parse + typed JSON rendering in executors; assembled
-    //    LOB values override their column in the DML's after image
-    val dmlEvents = committedL.as(Encoders.row(committedL.schema)).mapPartitions {
-      (rows: Iterator[Row]) =>
-        rows.map { r =>
-          val entry = parseDml(r.getAs[String]("sql"))
-          val lobCols = Option(r.getAs[Seq[Row]]("lobs")).getOrElse(Nil)
-            .map(l => l.getAs[String]("c") -> Option(l.getAs[String]("v")))
-            .toMap
-          val tableId = s"${entry.owner}.${entry.table}"
-          val schema = schemas.getOrElse(tableId,
-            throw new IllegalArgumentException(s"no schema for $tableId"))
-          val keyCols = keys.getOrElse(tableId, Nil)
-          val after =
-            if (entry.op == "d" || lobCols.isEmpty) entry.after
-            else entry.after ++ lobCols
-          val keyImg = if (entry.op == "d") entry.before else after
-          val keySchema = schema.filter { case (n, _) => keyCols.contains(n) }
-          WireEvent(tableId, entry.op, r.getAs[Long]("scn"),
-            r.getAs[Long]("commit_scn"), r.getAs[String]("xid"),
-            imageJson(keyImg.filter { case (k, _) => keyCols.contains(k) },
-              keySchema),
-            imageJson(entry.before, schema),
-            imageJson(after, schema))
-        }
-    }(Encoders.product[WireEvent]).toDF()
+    val dmlEvents = render(committedL)
 
     // 3c. chains whose tx had NO DML for the row (direct dbms_lob
     //     mutation) synthesize an update: key + LOB columns set, other
