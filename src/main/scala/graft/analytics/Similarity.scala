@@ -35,6 +35,20 @@ object Similarity {
     graft.expressions.GraftFunctions.cosine(a, b)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * storage/serving compression at corpus scale (4x smaller than
+    * float32 before encoding; the dequantized error bound is
+    * scale/254). Per-vector absmax scale, `q = floor(x·127/scale + ½)`
+    * — every step is a correctly-rounded IEEE op on exact inputs, so
+    * the quantized codes reproduce bit-for-bit on any engine. Map-only.
+    */
+  def quantizeInt8(emb: Column): Column = {
+    val scale = array_max(transform(emb, x => abs(x.cast("double"))))
+    when(scale === 0.0, transform(emb, _ => lit(0).cast("int")))
+      .otherwise(transform(emb,
+        x => floor(x.cast("double") * 127 / scale + 0.5).cast("int")))
+  }
+
   /** SemDeDup-style embedding near-dup resolution: IVF cells provide
     * CONTENT-based blocking (vectors land with their geometric
     * neighbours regardless of id order), candidate pairs are the

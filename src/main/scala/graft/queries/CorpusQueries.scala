@@ -273,6 +273,38 @@ object CorpusQueries extends QueryGroup {
           max(col("jaccard")).as("max_jaccard"))
     }),
 
+    // int8 embedding quantization (absmax symmetric): the 4x storage
+    // compression step; codes verified via exact sum + content hash
+    "a_embed_quantize" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(col("embedding"))
+      t(s, dir, "embeddings").select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          .as("scale"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+        md5(concat_ws(",", transform(q, _.cast("string")))).as("q_hash"))
+    }),
+
+    // Vocabulary induction: top-200 token bigrams by corpus count (the
+    // first step of merge-based tokenizer training), deterministic
+    // tie-break by the pair itself
+    "a_vocab_induction" -> ((s, dir) => {
+      val withToks = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("toks"))
+      val pairs = withToks.select(
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("w1"), col("w2"))))
+        .filter(col("rk") <= 200)
+        .select(col("rk").cast("long").as("rk"), col("w1"), col("w2"),
+          col("cnt"))
+    }),
+
     // Mixture construction: per-source target weights → deterministic
     // per-document repeat factors hitting the token-budget proportions
     // (sources with index % 4 == 1 upweighted 3:1, budget = 2× corpus)
@@ -758,6 +790,33 @@ object CorpusQueries extends QueryGroup {
         |   / greatest(coalesce(agg.n_bigrams, 0), 1)) AS BIGINT) AS avg_prob_q9
         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
 
+    // identical absmax arithmetic: x*127/scale + 0.5 floored, in that
+    // operation order (a different order rounds differently)
+    "a_embed_quantize" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        | s AS (SELECT vec_id, e,
+        |   list_max(list_transform(e, x -> abs(x))) AS scale FROM n),
+        | q AS (SELECT vec_id, e, scale,
+        |   CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+        |        ELSE list_transform(e, x ->
+        |          CAST(floor(x*127/scale + 0.5) AS INT)) END AS qv
+        |  FROM s)
+        |SELECT vec_id, len(e) AS dim, scale,
+        | CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        | md5(array_to_string(qv, ',')) AS q_hash
+        |FROM q""".stripMargin,
+
+    "a_vocab_induction" ->
+      """WITH t AS (SELECT string_split(text,' ') AS tk FROM documents),
+        | bg AS (SELECT
+        |   unnest([tk[i] for i in range(1, len(tk))]) AS w1,
+        |   unnest([tk[i+1] for i in range(1, len(tk))]) AS w2
+        |  FROM t),
+        | c AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w1, w2) AS BIGINT)
+        |   AS rk, w1, w2, cnt
+        |FROM c QUALIFY rk <= 200""".stripMargin,
+
     // identical integer-exact mixture arithmetic: one IEEE division per
     // source, floor-quantized fractional threshold, md5 bucket
     "a_mixture_sample" ->
@@ -811,5 +870,5 @@ object CorpusQueries extends QueryGroup {
     "a_cosine_pairs", "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh",
     "a_ann_ivf", "a_semantic_dedup",
     "a_passage_dedup", "a_lm_score", "a_source_overlap",
-    "a_mixture_sample")
+    "a_mixture_sample", "a_embed_quantize", "a_vocab_induction")
 }

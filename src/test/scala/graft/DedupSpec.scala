@@ -45,6 +45,26 @@ class DedupSpec extends AnyFunSuite {
     assert(paired.count() == 3)
   }
 
+  test("int8 quantization: dequant error within scale/254, zero-vector safe") {
+    import spark.implicits._
+    val out = embs.select(col("embedding"),
+      Similarity.quantizeInt8(col("embedding")).as("q"))
+      .collect()
+    out.foreach { r =>
+      val e = r.getSeq[Float](0).map(_.toDouble)
+      val q = r.getSeq[Int](1)
+      val scale = e.map(math.abs).max
+      assert(q.forall(v => v >= -127 && v <= 127))
+      e.zip(q).foreach { case (x, v) =>
+        assert(math.abs(x - v * scale / 127) <= scale / 254 + 1e-12,
+          s"dequant error above the absmax bound for $x -> $v")
+      }
+    }
+    val zero = Seq((1L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding")
+      .select(Similarity.quantizeInt8(col("embedding"))).head().getSeq[Int](0)
+    assert(zero == Seq(0, 0, 0))
+  }
+
   test("dedupClusters resolves pair graphs to min-id components") {
     import spark.implicits._
     // two chains and a singleton: {1,2,3} via 1-2,2-3; {5,6}; 4 and 7 alone
