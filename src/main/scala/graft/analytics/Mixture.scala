@@ -38,8 +38,10 @@ object Mixture {
 
   /** `(doc_id, source, n_tokens, n_repeats)` per document.
     *
-    * @param weights      relative target weight per source (missing
-    *                     sources get weight 0 → dropped)
+    * @param weights      relative target weight per source; a source
+    *                     missing from the map gets weight 0, so its
+    *                     documents emit `n_repeats = 0` (dropped from
+    *                     the assembled corpus, kept in the factor table)
     * @param budgetFactor total token budget as a multiple of the
     *                     corpus's natural token count
     */

@@ -204,6 +204,7 @@ object MySqlBinlog {
   case object JNull extends JsonVal
   final case class JBool(b: Boolean) extends JsonVal
   final case class JInt(l: Long) extends JsonVal
+  final case class JDouble(d: Double) extends JsonVal
   final case class JStr(s: String) extends JsonVal
   final case class JArr(items: Seq[JsonVal]) extends JsonVal
   final case class JObj(fields: Seq[(String, JsonVal)]) extends JsonVal
@@ -305,6 +306,8 @@ object MySqlBinlog {
     case JT_INT32 => JInt(jsLe(b, off, 4).toInt.toLong)
     case JT_UINT32 => JInt(jsLe(b, off, 4) & 0xffffffffL)
     case JT_INT64 => JInt(jsLe(b, off, 8))
+    case JT_DOUBLE =>
+      JDouble(java.lang.Double.longBitsToDouble(jsLe(b, off, 8)))
     case JT_STRING =>
       var len = 0; var shift = 0; var p = off
       var cont = true
@@ -460,6 +463,9 @@ object MySqlBinlog {
       (JT_INT32, (0 until 4).map(i => ((l >> (8 * i)) & 0xff).toByte).toArray)
     case JInt(l) =>
       (JT_INT64, (0 until 8).map(i => ((l >> (8 * i)) & 0xff).toByte).toArray)
+    case JDouble(d) =>
+      val bits = java.lang.Double.doubleToLongBits(d)
+      (JT_DOUBLE, (0 until 8).map(i => ((bits >> (8 * i)) & 0xff).toByte).toArray)
     case JStr(s) =>
       val sb = s.getBytes(StandardCharsets.UTF_8)
       var len = sb.length

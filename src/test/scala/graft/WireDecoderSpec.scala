@@ -381,6 +381,7 @@ class WireDecoderSpec extends AnyFunSuite {
       Gen.oneOf(true, false).map(JBool),
       Gen.chooseNum(Long.MinValue, Long.MaxValue).map(JInt(_)),
       Gen.chooseNum(-40000L, 40000L).map(JInt(_)), // exercise int16/int32
+      Gen.chooseNum(-1e12, 1e12).map(JDouble(_)),
       Gen.alphaNumStr.map(s => JStr(s.take(8))),
       Gen.oneOf("q\"x", "b\\s", "ué中", "").map(JStr))
     def genTree(depth: Int): Gen[JsonVal] =
@@ -405,6 +406,7 @@ class WireDecoderSpec extends AnyFunSuite {
       case JNull => "null"
       case JBool(b) => b.toString
       case JInt(l) => l.toString
+      case JDouble(d) => d.toString
       case JStr(s) => "\"" + esc(s) + "\""
       case JArr(xs) => xs.map(render).mkString("[", ",", "]")
       case JObj(fs) =>
@@ -441,6 +443,7 @@ class WireDecoderSpec extends AnyFunSuite {
     val genScalar: Gen[JsonVal] = Gen.oneOf(
       Gen.const(JNull), Gen.oneOf(true, false).map(JBool),
       Gen.chooseNum(Long.MinValue, Long.MaxValue).map(JInt(_)),
+      Gen.chooseNum(-1e12, 1e12).map(JDouble(_)),
       Gen.alphaNumStr.map(s => JStr(s.take(8))))
     def genTree(depth: Int): Gen[JsonVal] =
       if (depth == 0) genScalar
