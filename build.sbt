@@ -26,7 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g intermittently OOMs the bench's 24M-row sink-crossover workload
-  // (local[32] shuffles the whole synthetic table); the host has 128g
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("SPARK_DRIVER_MEM").map(m => s"-Xmx$m").toSeq
+// No fixed -Xmx by default: JVM ergonomics cap the heap at 1/4 of the
+// HOST's RAM, which scales from dev laptops to this 128g bench host
+// (a hard 8g intermittently OOM'd the 24M-row sink-crossover workload);
+// set SPARK_DRIVER_MEM to pin it explicitly.

@@ -48,8 +48,12 @@ object LanguageModel {
     val vocab = uni.agg(count(lit(1)).as("v"))
 
     // shared by the count aggregation and the scoring join — persist so
-    // the explode runs once (the bench harness clears cache per query)
-    val bigrams = withToks.select(col("doc_id"),
+    // the explode runs once (the bench harness clears cache per query).
+    // Single-token docs are filtered BEFORE the sequence: Spark's
+    // sequence(1, 0) counts DOWN to [1, 0] and element_at(_, 0) throws —
+    // the left join below restores such docs with 0 bigrams.
+    val bigrams = withToks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("toks")) - 1),
           i => struct(element_at(col("toks"), i).as("w1"),
             element_at(col("toks"), i + 1).as("w2")))).as("b"))

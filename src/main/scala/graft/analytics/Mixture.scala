@@ -29,12 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
-  /** Finer-grained deterministic bucket than `Sampling.hashBucket`:
-    * uniform in [0, 10000) from the first 6 md5 hex chars of the id.
+  /** Finer-grained deterministic bucket for fractional repeat rates:
+    * uniform in [0, 10000), same md5 derivation as `Sampling.hashBucket`
+    * so one oracle-side reconstruction covers both.
     */
-  def hashBucket10k(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 6), 16, 10)
-      .cast("long") % 10000
+  def hashBucket10k(id: Column): Column = Sampling.hashBucket(id, 10000)
 
   /** `(doc_id, source, n_tokens, n_repeats)` per document.
     *

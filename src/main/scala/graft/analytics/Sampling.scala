@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform [0, 100) bucket from the first 6 md5 hex digits of `id`. */
-  def hashBucket(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long") % 100
+  /** Uniform [0, mod) bucket from the first 6 md5 hex digits of `id`
+    * (default percentage buckets; pass a larger modulus for finer
+    * thresholds, e.g. Mixture's 1e4 fractional-rate buckets).
+    */
+  def hashBucket(id: Column, mod: Int = 100): Column =
+    conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long") % mod
 
   /** Keep rows whose stratum has a configured rate and whose hash
     * bucket falls under it: `rates` maps stratum value → percentage

@@ -291,6 +291,7 @@ object CorpusQueries extends QueryGroup {
     "a_vocab_induction" -> ((s, dir) => {
       val withToks = t(s, dir, "documents")
         .select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2) // sequence(1,0) counts DOWN
       val pairs = withToks.select(
         explode(transform(sequence(lit(1), size(col("toks")) - 1),
           i => struct(element_at(col("toks"), i).as("w1"),

@@ -424,7 +424,9 @@ object LogMiner {
           }
       }(Encoders.product[WireEvent]).toDF()
 
-    val hasLobOps = !assembled
+    // map-only probe on the RAW poll (CSF chunks carry their record's
+    // opcode, so no reassembly is needed to answer "any LOB rows?")
+    val hasLobOps = !contents
       .filter(col("opcode").isin(OpSelLobLocator, OpLobWrite, OpLobTrim))
       .isEmpty
     if (!hasLobOps)
@@ -450,11 +452,16 @@ object LogMiner {
       .join(dmlKeys, col("xid") === col("d_xid") &&
         col("row_id") === col("d_row_id"), "left_anti")
       .join(commits, col("xid") === col("c_xid"))
-      .dropDuplicates("xid", "row_id", "table")
+      // one update per mutated row; a row with several LOB columns has
+      // one chain per column (identical key/synthetic images), so min()
+      // collapses them DETERMINISTICALLY — the scn is the row's first
+      // locator, not whichever chain a partition happened to order first
+      .groupBy(col("xid"), col("row_id"), col("table"), col("commit_scn"))
+      .agg(min(col("scn")).as("scn"), min(col("key_json")).as("key_json"),
+        min(col("synthetic_after_json")).as("after_json"))
       .select(col("table"), lit("u").as("op"), col("scn"),
         col("commit_scn"), col("xid"), col("key_json"),
-        lit(null).cast("string").as("before_json"),
-        col("synthetic_after_json").as("after_json"))
+        lit(null).cast("string").as("before_json"), col("after_json"))
 
     dmlEvents.unionByName(synthetic)
   }

@@ -377,14 +377,17 @@ object MySqlBinlog {
 
   /** Apply diffs in order to a document tree (REPLACE overwrites an
     * existing member/element, INSERT adds a missing object key or
-    * splices an array element, REMOVE deletes).
+    * splices an array element, REMOVE deletes). A path that does not
+    * exist in the document — missing key, array index past the end, or
+    * a leg whose node has the wrong shape — is a NO-OP for that diff
+    * (the server's seek-then-apply semantics), never an error: one
+    * stray diff must not kill the whole segment decode.
     */
   def applyJsonDiffs(doc: JsonVal, diffs: Seq[JsonDiff]): JsonVal = {
     def applyOne(node: JsonVal, legs: Seq[Either[String, Int]],
                  d: JsonDiff): JsonVal = legs match {
       case Seq() =>
-        require(d.op == DIFF_REPLACE, s"op ${d.op} needs a non-root path")
-        d.value.get
+        if (d.op == DIFF_REPLACE) d.value.get else node
       case Seq(leg) => (node, leg) match {
         case (JObj(fs), Left(key)) => d.op match {
           case DIFF_REPLACE => JObj(fs.map { case (k, v) =>
@@ -395,22 +398,22 @@ object MySqlBinlog {
           case DIFF_REMOVE => JObj(fs.filterNot(_._1 == key))
         }
         case (JArr(xs), Right(idx)) => d.op match {
-          case DIFF_REPLACE => JArr(xs.updated(idx, d.value.get))
+          case DIFF_REPLACE =>
+            if (idx < xs.size) JArr(xs.updated(idx, d.value.get)) else node
           case DIFF_INSERT =>
             val at = math.min(idx, xs.size)
             JArr((xs.take(at) :+ d.value.get) ++ xs.drop(at))
           case DIFF_REMOVE => JArr(xs.patch(idx, Nil, 1))
         }
-        case other =>
-          throw new IllegalArgumentException(s"path/doc mismatch at $other")
+        case _ => node // wrong-shape leg: nothing to apply
       }
       case leg +: rest => (node, leg) match {
         case (JObj(fs), Left(key)) => JObj(fs.map { case (k, v) =>
           if (k == key) k -> applyOne(v, rest, d) else k -> v })
         case (JArr(xs), Right(idx)) =>
-          JArr(xs.updated(idx, applyOne(xs(idx), rest, d)))
-        case other =>
-          throw new IllegalArgumentException(s"path/doc mismatch at $other")
+          if (idx < xs.size) JArr(xs.updated(idx, applyOne(xs(idx), rest, d)))
+          else node
+        case _ => node
       }
     }
     diffs.foldLeft(doc)((acc, d) => applyOne(acc, parseJsonPath(d.path), d))

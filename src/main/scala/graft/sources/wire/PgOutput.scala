@@ -390,6 +390,10 @@ object PgOutput {
   private val PgEpochDate = java.time.LocalDate.of(2000, 1, 1)
   private val PgEpochMicros =
     java.time.LocalDateTime.of(2000, 1, 1, 0, 0)
+  // immutable + thread-safe; per-cell ofPattern would re-parse the
+  // pattern on the decode hot path
+  private val PgTimestampFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
 
   /** `numeric` wire format → decimal text: u16 ndigits, i16 weight (in
     * base-10000 groups), u16 sign (0x4000 = negative, 0xC000 = NaN),
@@ -468,7 +472,9 @@ object PgOutput {
       case 26 => uint32(b).toString
       case 700 => java.lang.Float.intBitsToFloat(b.getInt()).toString
       case 701 => java.lang.Double.longBitsToDouble(b.getLong()).toString
-      case 1700 => numericBinaryToString(bytes)
+      case 1700 =>
+        val s = numericBinaryToString(bytes)
+        if (s == "NaN") jsonString(s) else s // bare NaN is not JSON
       case 25 | 1043 | 18 | 19 =>
         jsonString(new String(bytes, StandardCharsets.UTF_8))
       case 1082 =>
@@ -476,8 +482,7 @@ object PgOutput {
       case 1114 | 1184 =>
         val micros = b.getLong()
         val dt = PgEpochMicros.plus(micros, java.time.temporal.ChronoUnit.MICROS)
-        jsonString(dt.format(java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")))
+        jsonString(dt.format(PgTimestampFmt))
       case 2950 =>
         jsonString(new java.util.UUID(b.getLong(), b.getLong()).toString)
       case _ =>

@@ -134,8 +134,10 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
     }
     val dead = versionDirs.filterNot(p => live(p.getFileName.toString))
     dead.foreach { d =>
-      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-        .forEach(Files.delete(_))
+      Using.resource(Files.walk(d)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(Files.delete(_))
+      }
     }
     dead.size
   }
