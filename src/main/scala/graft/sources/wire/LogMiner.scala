@@ -326,7 +326,7 @@ object LogMiner {
           "\"\""
         else dataType match {
           case "long" | "double" | "int" => v
-          case _ => "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          case _ => JsonText.jsonString(v) // quotes, backslashes, ctrl chars
         }
     }
 

@@ -153,6 +153,17 @@ object MongoChangeStream {
           } else None
         }
       complete.flatMap(toWireRow)
+    } ++ new Iterator[PgOutput.WireRow] {
+      // a segment ending mid-split is a protocol error, same as a
+      // non-split event following a partial buffer — dropping the
+      // buffered fragments silently would lose the event
+      def hasNext: Boolean = {
+        if (buffer.nonEmpty)
+          throw new IllegalStateException(
+            "segment truncated inside a split event")
+        false
+      }
+      def next(): PgOutput.WireRow = throw new NoSuchElementException
     }
   }
 

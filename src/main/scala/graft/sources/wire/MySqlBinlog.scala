@@ -983,16 +983,7 @@ object MySqlBinlog {
 
   // ------------------------------------------------- wire-row projection
 
-  private def jsonString(s: String): String = {
-    val sb = new StringBuilder("\"")
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.append('"').result()
-  }
+  private def jsonString(s: String): String = JsonText.jsonString(s)
 
   private def jsonCell(v: Option[Any]): String = v match {
     case None => "null"

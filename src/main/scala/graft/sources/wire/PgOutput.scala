@@ -81,10 +81,12 @@ object PgOutput {
   // ---------------------------------------------------------------- decode
 
   private def cstr(b: ByteBuffer): String = {
-    val sb = new StringBuilder
+    // collect raw bytes to the NUL, then decode as UTF-8 — per-byte
+    // toChar garbles any multi-byte identifier (e.g. a table named café)
+    val bytes = new java.io.ByteArrayOutputStream()
     var c = b.get()
-    while (c != 0) { sb.append(c.toChar); c = b.get() }
-    sb.result()
+    while (c != 0) { bytes.write(c.toInt); c = b.get() }
+    new String(bytes.toByteArray, StandardCharsets.UTF_8)
   }
 
   private def tuple(b: ByteBuffer): Seq[Value] = {
@@ -196,6 +198,18 @@ object PgOutput {
   private def bytesOf(bb: ByteBuffer): Array[Byte] = {
     val a = new Array[Byte](bb.position()); bb.flip(); bb.get(a); a
   }
+  /** UTF-8 byte length (buffers must be sized in bytes, not chars). */
+  private def utf8Len(s: String): Int =
+    s.getBytes(StandardCharsets.UTF_8).length
+  /** Wire size of a tuple: count word + per-column tag (+ length word
+    * and body for text/binary values).
+    */
+  private def tupleLen(vs: Seq[Value]): Int =
+    2 + vs.map {
+      case VNull | VUnchangedToast => 1
+      case VText(s) => 5 + utf8Len(s)
+      case VBinary(b) => 5 + b.length
+    }.sum
   private def putCstr(bb: ByteBuffer, s: String): Unit = {
     bb.put(s.getBytes(StandardCharsets.UTF_8)); bb.put(0.toByte)
   }
@@ -220,10 +234,12 @@ object PgOutput {
       val b = out(); b.put('C'.toByte); b.put(flags.toByte); b.putLong(clsn)
       b.putLong(elsn); b.putLong(ts); bytesOf(b)
     case Origin(lsn, name) =>
-      val b = out(name.length + 16); b.put('O'.toByte); b.putLong(lsn)
+      val b = out(utf8Len(name) + 16); b.put('O'.toByte); b.putLong(lsn)
       putCstr(b, name); bytesOf(b)
     case Relation(relId, ns, name, ident, cols) =>
-      val b = out(4096); b.put('R'.toByte); b.putInt(relId)
+      val b = out(16 + utf8Len(ns) + utf8Len(name) +
+        cols.map(c => 12 + utf8Len(c.name)).sum)
+      b.put('R'.toByte); b.putInt(relId)
       putCstr(b, ns); putCstr(b, name); b.put(ident.toByte)
       b.putShort(cols.size.toShort)
       cols.foreach { c =>
@@ -232,27 +248,28 @@ object PgOutput {
       }
       bytesOf(b)
     case TypeMsg(oid, ns, name) =>
-      val b = out(ns.length + name.length + 16); b.put('Y'.toByte)
+      val b = out(utf8Len(ns) + utf8Len(name) + 16); b.put('Y'.toByte)
       b.putInt(oid); putCstr(b, ns); putCstr(b, name); bytesOf(b)
     case Insert(relId, nt) =>
-      val b = out(1 << 16); b.put('I'.toByte); b.putInt(relId)
+      val b = out(8 + tupleLen(nt)); b.put('I'.toByte); b.putInt(relId)
       b.put('N'.toByte); putTuple(b, nt); bytesOf(b)
     case Update(relId, oldTag, oldTuple, nt) =>
-      val b = out(1 << 16); b.put('U'.toByte); b.putInt(relId)
+      val b = out(8 + oldTuple.map(tupleLen).getOrElse(0) + 2 + tupleLen(nt))
+      b.put('U'.toByte); b.putInt(relId)
       (oldTag, oldTuple) match {
         case (Some(t), Some(ot)) => b.put(t.toByte); putTuple(b, ot)
         case _ => ()
       }
       b.put('N'.toByte); putTuple(b, nt); bytesOf(b)
     case Delete(relId, tag, ot) =>
-      val b = out(1 << 16); b.put('D'.toByte); b.putInt(relId)
+      val b = out(8 + tupleLen(ot)); b.put('D'.toByte); b.putInt(relId)
       b.put(tag.toByte); putTuple(b, ot); bytesOf(b)
     case Truncate(flags, relIds) =>
       val b = out(16 + 4 * relIds.size); b.put('T'.toByte)
       b.putInt(relIds.size); b.put(flags.toByte)
       relIds.foreach(b.putInt); bytesOf(b)
     case LogicalMessage(flags, lsn, prefix, content) =>
-      val b = out(prefix.length + content.length + 32); b.put('M'.toByte)
+      val b = out(utf8Len(prefix) + content.length + 32); b.put('M'.toByte)
       b.put(flags.toByte); b.putLong(lsn); putCstr(b, prefix)
       b.putInt(content.length); b.put(content); bytesOf(b)
     case StreamStart(xid, first) =>
@@ -334,7 +351,8 @@ object PgOutput {
     case VBinary(b) => binaryJson(b, typeOid)
     case VText(s) => typeOid match {
       case 16 => if (s == "t") "true" else "false"
-      case 20 | 21 | 23 | 26 | 700 | 701 | 1700 => s
+      case 20 | 21 | 23 | 26 => s
+      case 700 | 701 | 1700 => numericJson(s)
       case 17 if s.startsWith("\\x") => // bytea hex text rep → base64
         "\"" + java.util.Base64.getEncoder.encodeToString(
           s.drop(2).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray) + "\""
@@ -470,11 +488,9 @@ object PgOutput {
       case 23 => b.getInt().toString
       case 20 => b.getLong().toString
       case 26 => uint32(b).toString
-      case 700 => java.lang.Float.intBitsToFloat(b.getInt()).toString
-      case 701 => java.lang.Double.longBitsToDouble(b.getLong()).toString
-      case 1700 =>
-        val s = numericBinaryToString(bytes)
-        if (s == "NaN") jsonString(s) else s // bare NaN is not JSON
+      case 700 => numericJson(java.lang.Float.intBitsToFloat(b.getInt()).toString)
+      case 701 => numericJson(java.lang.Double.longBitsToDouble(b.getLong()).toString)
+      case 1700 => numericJson(numericBinaryToString(bytes))
       case 25 | 1043 | 18 | 19 =>
         jsonString(new String(bytes, StandardCharsets.UTF_8))
       case 1082 =>
@@ -490,15 +506,15 @@ object PgOutput {
     }
   }
 
-  private def jsonString(s: String): String = {
-    val sb = new StringBuilder("\"")
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.append('"').result()
+  private def jsonString(s: String): String = JsonText.jsonString(s)
+
+  /** Float/numeric text → JSON literal: finite values pass through
+    * bare; PostgreSQL's legal non-finite spellings (NaN, [-]Infinity)
+    * must be quoted — bare they are not JSON.
+    */
+  private def numericJson(s: String): String = s match {
+    case "NaN" | "Infinity" | "-Infinity" => jsonString(s)
+    case _ => s
   }
 
   private def jsonObject(cols: Seq[Column], vs: Seq[Value]): String =

@@ -55,14 +55,19 @@ object SqlServerCdc {
       substring(hex(c), 1, 8), substring(hex(c), 9, 8), substring(hex(c), 17, 4)))
 
   /** Bit `ordinal` (0-based captured-column index) of the varbinary
-    * update mask; NULL or too-short masks count as changed (ref
-    * `SqlServerChangeTablePointer.java:199-217`).
+    * update mask. The mask is RIGHT-aligned: ordinal 0 is the least-
+    * significant bit of the LAST byte (`data.length - i/8 - 1`, ref
+    * `SqlServerChangeTablePointer.java:199-217` and
+    * `sys.fn_cdc_is_bit_set`) — left-indexed reads go wrong the moment
+    * a table captures more than 8 columns. NULL or too-short masks
+    * count as changed.
     */
   def maskBitSet(mask: Column, ordinal: Int): Column = {
-    val byteIdx = ordinal / 8
+    val byteFromEnd = ordinal / 8 // 0 = last byte
     val bit = 1 << (ordinal % 8)
-    val byteVal = conv(hex(substring(mask, byteIdx + 1, 1)), 16, 10).cast("int")
-    mask.isNull || (length(mask) <= byteIdx) ||
+    val byteVal = conv(hex(
+      mask.substr(length(mask) - byteFromEnd, lit(1))), 16, 10).cast("int")
+    mask.isNull || (length(mask) <= byteFromEnd) ||
       (byteVal.bitwiseAND(lit(bit)) =!= lit(0))
   }
 

@@ -147,6 +147,42 @@ class WireDecoderSpec extends AnyFunSuite {
       "committed fixture drifted from WireFixtures builder")
   }
 
+  test("pgoutput cstr decodes UTF-8 identifiers; encode sizes by bytes") {
+    import PgOutput._
+    // multi-byte table/column names must round-trip intact (per-byte
+    // toChar garbled them; char-sized buffers overflowed)
+    val rel = Relation(7, "pübliç", "café_页", 'd',
+      Seq(Column(1, "idé", 23, -1), Column(0, "名前", 25, -1)))
+    assert(decode(encode(rel)) == rel)
+    val o = Origin(5L, "origine_données_中文")
+    assert(decode(encode(o)) == o)
+    // a tuple value larger than the old fixed 64 KiB cap encodes fine
+    val big = Insert(7, Seq(VText("x" * 200000), VNull))
+    decode(encode(big)) match {
+      case Insert(_, Seq(VText(s), VNull)) => assert(s.length == 200000)
+      case other => fail(s"bad round-trip: $other")
+    }
+  }
+
+  test("pgoutput non-finite floats and numerics render as quoted JSON") {
+    import PgOutput._
+    val rel = Relation(5008, "public", "cdc_f", 'd',
+      Seq(Column(1, "id", 23, -1), Column(0, "f", 701, -1),
+        Column(0, "n", 1700, -1)))
+    def row(f: Double, n: String) = Insert(5008, Seq(
+      VText("1"),
+      VBinary(java.nio.ByteBuffer.allocate(8)
+        .putLong(java.lang.Double.doubleToLongBits(f)).array()),
+      VText(n)))
+    val seg = writeSegment(Seq(
+      (10L, encode(rel)),
+      (11L, encode(row(Double.NaN, "NaN"))),
+      (12L, encode(row(Double.PositiveInfinity, "Infinity")))))
+    val rows = segmentRows(seg).toSeq
+    assert(rows(0).payloadJson == """{"id":1,"f":"NaN","n":"NaN"}""")
+    assert(rows(1).payloadJson == """{"id":1,"f":"Infinity","n":"Infinity"}""")
+  }
+
   test("pgoutput binary fixture: committed bytes equal the builder's output") {
     val in = getClass.getResourceAsStream("/graft/fixtures/pgoutput_binary.pgo")
     assert(in != null, "fixture missing from classpath")
@@ -622,6 +658,24 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2) && r.getBoolean(3))
   }
 
+  test("sqlserver CT: multi-byte masks are right-aligned (ordinal 0 = last byte)") {
+    // server mask 0x0001 over >8 columns: only ordinal 0 changed —
+    // ref SqlServerChangeTablePointer reads byte length - i/8 - 1
+    val mask = Array[Byte](0x00, 0x01)
+    val df = ctFixtureDf.limit(1).select(
+      SqlServerCdc.maskBitSet(lit(mask), 0).as("b0"),
+      SqlServerCdc.maskBitSet(lit(mask), 1).as("b1"),
+      SqlServerCdc.maskBitSet(lit(mask), 8).as("b8"),
+      SqlServerCdc.maskBitSet(lit(Array[Byte](0x01, 0x00)), 8).as("hi8"),
+      SqlServerCdc.maskBitSet(lit(Array[Byte](0x01, 0x00)), 0).as("hi0"))
+    val r = df.head()
+    assert(r.getBoolean(0), "ordinal 0 lives in the LAST byte")
+    assert(!r.getBoolean(1) && !r.getBoolean(2),
+      "no other ordinal may read as changed")
+    assert(r.getBoolean(3) && !r.getBoolean(4),
+      "ordinal 8 lives in the second byte from the end")
+  }
+
   // ---------------------------------------------------- Oracle LogMiner
 
   import graft.sources.wire.LogMiner
@@ -861,6 +915,13 @@ class WireDecoderSpec extends AnyFunSuite {
       MongoChangeStream.segmentRows(Iterator(
         """{"_id":{"_data":"aa"},"splitEvent":{"fragment":1,"of":2}}""",
         """{"_id":{"_data":"bb"},"operationType":"insert","ns":{"db":"d","coll":"c"},"clusterTime":{"t":1,"i":1},"documentKey":{"_id":1},"fullDocument":{}}"""))
+        .toSeq
+    }
+    // ... and so is a segment that ENDS inside a split event — silently
+    // dropping the buffered fragments would lose the event
+    assertThrows[IllegalStateException] {
+      MongoChangeStream.segmentRows(Iterator(
+        """{"_id":{"_data":"aa"},"splitEvent":{"fragment":1,"of":2}}"""))
         .toSeq
     }
   }
