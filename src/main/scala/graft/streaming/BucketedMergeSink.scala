@@ -25,6 +25,23 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
 
   private def bucketCol = pmod(xxhash64(col("key")), lit(buckets))
 
+  /** The bucket count is part of the on-disk layout: reopening an
+    * existing sink with a different count would route keys to other
+    * buckets than their state lives in (duplicate/stale rows, silent).
+    * Persisted once at first commit, asserted on every later one.
+    */
+  private def checkBucketCount(): Unit = {
+    val f = root.resolve("_buckets")
+    if (Files.exists(f)) {
+      val stored = Files.readString(f).trim.toInt
+      require(stored == buckets,
+        s"sink $dir was written with buckets=$stored, opened with $buckets")
+    } else {
+      Files.createDirectories(root)
+      Files.writeString(f, buckets.toString): Unit
+    }
+  }
+
   /** bucket -> (data directory, schema DDL) of its current version. The
     * DDL travels in the manifest so reads never open parquet footers to
     * discover schemas — at thousands of buckets a mergeSchema footer
@@ -32,15 +49,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
     */
   def manifest: Map[Int, (String, String)] =
     if (!Files.exists(pointer)) Map.empty
-    else {
-      val mf = root.resolve(Files.readString(pointer).trim)
-      Files.readAllLines(mf).asScala.filter(_.nonEmpty).map { l =>
-        l.split("\t", 3) match {
-          case Array(b, p, ddl) => b.toInt -> (p, ddl)
-          case Array(b, p) => b.toInt -> (p, "") // pre-DDL manifest
-        }
-      }.toMap
-    }
+    else parseManifest(root.resolve(Files.readString(pointer).trim))
 
   /** Read bucket dirs grouped by schema version: one schema-known read
     * per distinct DDL (zero footer I/O), `unionByName` across versions —
@@ -79,19 +88,21 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
         .toSeq
     }.sorted
 
+  private def parseManifest(mf: java.nio.file.Path): Map[Int, (String, String)] =
+    Files.readAllLines(mf).asScala.filter(_.nonEmpty).map { l =>
+      l.split("\t", 3) match {
+        case Array(b, p, ddl) => b.toInt -> (p, ddl)
+        case Array(b, p) => b.toInt -> (p, "") // pre-DDL manifest
+      }
+    }.toMap
+
   /** The manifest as of `epochId`: the newest committed version ≤ it
     * (Delta/Iceberg VERSION AS OF semantics).
     */
   def manifestAt(epochId: Long): Map[Int, (String, String)] = {
     val v = versions.filter(_ <= epochId)
     if (v.isEmpty) Map.empty
-    else {
-      val mf = root.resolve(s"m${v.last}.manifest")
-      Files.readAllLines(mf).asScala.filter(_.nonEmpty).map { l =>
-        val Array(b, p, ddl) = l.split("\t", 3)
-        b.toInt -> (p, ddl)
-      }.toMap
-    }
+    else parseManifest(root.resolve(s"m${v.last}.manifest"))
   }
 
   /** Time-travel read: full state AS OF `epochId`. Strict about erosion:
@@ -143,6 +154,12 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
   }
 
   def merge(batch: DataFrame, epochId: Long): Unit = {
+    // foreachBatch retry of an ALREADY-committed epoch (crash between
+    // the manifest swap and Spark's checkpoint commit): overwriting
+    // v<epoch> would delete bucket files the current manifest points
+    // at. Committed versions are monotonic — replaying one is a no-op.
+    if (versions.exists(_ >= epochId)) return
+    checkBucketCount()
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)
     // persist the reduced batch: the touched-bucket probe AND the merge

@@ -43,7 +43,11 @@ object ChangeLogPipeline {
           sinkFactory: String => CdcSink =
             d => new BucketedMergeSink(d)): DataFrame = {
     val sink = sinkFactory(sinkDir)
-    val ckpt = Files.createTempDirectory("graft-wire-ckpt").toString
+    // checkpoint lives WITH the sink: a re-run over the same dirs
+    // resumes from the committed offsets and epoch ids instead of
+    // replaying from segment 0 with epoch ids that collide with the
+    // sink's existing v0/m0 artifacts
+    val ckpt = java.nio.file.Paths.get(sinkDir, "_checkpoint").toString
     val q = spark.readStream
       .format(classOf[ChangeLogSource].getName)
       .option("path", wireDir)

@@ -42,6 +42,21 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
 
   private def bucketCol = pmod(xxhash64(col("key")), lit(buckets))
 
+  /** Same on-disk-layout guard as the bucketed sink: a different bucket
+    * count on reopen would route keys away from their existing state.
+    */
+  private def checkBucketCount(): Unit = {
+    val f = root.resolve("_buckets")
+    if (Files.exists(f)) {
+      val stored = Files.readString(f).trim.toInt
+      require(stored == buckets,
+        s"sink $dir was written with buckets=$stored, opened with $buckets")
+    } else {
+      Files.createDirectories(root)
+      Files.writeString(f, buckets.toString): Unit
+    }
+  }
+
   case class Manifest(base: Map[Int, (String, String)],
                       deltas: Seq[(Long, String, String, Seq[Int])]) {
     def deltaLeafs: Seq[(String, String)] = deltas.flatMap {
@@ -155,6 +170,12 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
   }
 
   def merge(batch: DataFrame, epochId: Long): Unit = {
+    // replay of an already-committed epoch (foreachBatch retry between
+    // the sink's manifest swap and Spark's checkpoint commit) must be a
+    // no-op: re-appending would duplicate the d<epoch> delta entry and
+    // skew the compaction cadence. Committed versions are monotonic.
+    if (versions.exists(_ >= epochId)) return
+    checkBucketCount()
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)
     val reduced = Materialize.reduceByKey(batch)

@@ -63,6 +63,15 @@ class MergeSink(dir: String) extends CdcSink {
     *   - "update": matched-only — keys NOT already in state are dropped
     */
   def merge(batch: DataFrame, epochId: Long, mode: String): Unit = {
+    // foreachBatch retries an epoch when the job crashed between the
+    // sink's commit and Spark's checkpoint commit. The epoch is already
+    // durable then — re-merging would overwrite v<epoch> WHILE reading
+    // the CURRENT state that lives in it. Epochs are monotonic, so
+    // "committed version >= epoch" means this is such a replay: no-op.
+    val committed = currentVersion
+      .flatMap(v => scala.util.Try(v.stripPrefix("v").toLong).toOption)
+    if (committed.exists(_ >= epochId)) return
+
     val spark = batch.sparkSession
     val reduced0 = Materialize.reduceByKey(batch)
       .select(col("key"), col("after"), col("op"), col("source.pos").as("pos"))
@@ -73,9 +82,11 @@ class MergeSink(dir: String) extends CdcSink {
         graft.expressions.GraftFunctions.register(spark)
         mode match {
           case "insert" =>
-            // append-only: existing keys keep their state untouched
-            prev.unionAll(
-              reduced0.join(prev.select(col("key")), Seq("key"), "left_anti"))
+            // append-only: existing keys keep their state untouched;
+            // by-name union so evolved batch schemas merge like upsert
+            prev.unionByName(
+              reduced0.join(prev.select(col("key")), Seq("key"), "left_anti"),
+              allowMissingColumns = true)
           case m =>
             val reduced =
               if (m == "update")

@@ -30,15 +30,21 @@ object Notifications {
     started.unionAll(perChunk).unionAll(total)
   }
 
-  /** Listener capturing per-batch progress (query name, batch id, rows). */
+  /** Listener capturing per-batch progress (query name, batch id, rows).
+    * The listener bus appends from its own thread; read through
+    * [[ProgressCollector.progress]] (a synchronized snapshot) — the
+    * buffer itself stays private so no unsynchronized read can race the
+    * bus (JMM visibility).
+    */
   final class ProgressCollector extends StreamingQueryListener {
-    val progress = mutable.ArrayBuffer.empty[(String, Long, Long)]
+    private val buf = mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def progress: Seq[(String, Long, Long)] = buf.synchronized(buf.toList)
     override def onQueryStarted(
         e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(
         e: StreamingQueryListener.QueryProgressEvent): Unit =
-      progress.synchronized {
-        progress += ((Option(e.progress.name).getOrElse(""),
+      buf.synchronized {
+        buf += ((Option(e.progress.name).getOrElse(""),
           e.progress.batchId, e.progress.numInputRows))
       }
     override def onQueryTerminated(

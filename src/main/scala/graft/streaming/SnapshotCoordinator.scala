@@ -31,7 +31,7 @@ object SnapshotCoordinator {
     * column (from IncrementalSnapshot.chunked over the envelope frame).
     * Returns the progress log; state lands in `sink`.
     */
-  def run(chunkEnvelopes: DataFrame, sink: MergeSink,
+  def run(chunkEnvelopes: DataFrame, sink: CdcSink,
           actions: Seq[Action]): Progress = {
     val chunkIds = chunkEnvelopes.select(col("chunk")).distinct()
       .orderBy(col("chunk")).collect().map(_.getLong(0))

@@ -31,7 +31,10 @@ object StreamingMaterialize {
             d => new MergeSink(d)): DataFrame = {
     val schema = spark.read.parquet(transportDir).schema
     val sink = sinkFactory(sinkDir)
-    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    // checkpoint co-located with the sink so re-runs RESUME (same
+    // rationale as ChangeLogPipeline.run) instead of replaying epoch 0
+    // over committed sink state
+    val ckpt = java.nio.file.Paths.get(sinkDir, "_checkpoint").toString
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger)

@@ -26,6 +26,32 @@ class BucketedMergeSinkSpec extends AnyFunSuite {
     assert(canon(sink.view(spark)) == canon(Materialize.latestState(feed)))
   }
 
+  test("replaying a committed epoch is a no-op; bucket count is pinned") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "supplier"), "supplier")
+    val dir = Files.createTempDirectory("bsink-replay").toString
+    val sink = new BucketedMergeSink(dir, buckets = 8)
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    sink.merge(feed.filter(col("op") =!= "r"), 1L)
+    val committed = canon(sink.view(spark))
+    // foreachBatch-style retry of epoch 1 (crash between sink commit and
+    // checkpoint commit): must not overwrite v1 while reading it — and
+    // must not change state
+    sink.merge(feed.filter(col("op") =!= "r"), 1L)
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    assert(canon(sink.view(spark)) == committed)
+    assert(sink.versions == Seq(0L, 1L), "replays must not add versions")
+    // reopening with a different bucket count would misroute keys
+    assertThrows[IllegalArgumentException] {
+      new BucketedMergeSink(dir, buckets = 32)
+        .merge(feed.filter(col("op") =!= "r"), 2L)
+    }
+    // same count reopens fine
+    new BucketedMergeSink(dir, buckets = 8)
+      .merge(feed.filter(col("op") =!= "r"), 2L)
+    assert(canon(sink.view(spark)) == committed)
+  }
+
   test("a narrow batch rewrites only the buckets it touches") {
     val feed = ChangeFeedGen.standardFeed(
       Tables.load(spark, sfDir, "customer"), "customer")
