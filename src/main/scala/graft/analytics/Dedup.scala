@@ -116,6 +116,12 @@ object Dedup {
       labels = next
       it += 1
     }
+    // rounds needed = component diameter; exiting non-converged would
+    // SILENTLY split a component into several clusters, each with its
+    // own is_canonical row — duplicates survive with no warning
+    require(converged,
+      s"cluster resolution did not converge in $maxIter rounds — a " +
+        "near-dup component has diameter > maxIter; raise maxIter")
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -123,13 +129,12 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
-  /** `n`-token shingles of a text column. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => array_join(slice(toks, i, lit(n)), " ")))
-  }
+  /** `n`-token shingles of a text column — delegates to the single
+    * implementation in TextAnalysis: decontamination and dedup
+    * verification MUST shingle identically (two drifting copies would
+    * desynchronize them silently).
+    */
+  def shingles(text: Column, n: Int): Column = TextAnalysis.shingles(text, n)
 
   /** Shingle-set Jaccard — the similarity MinHash approximates (must use
     * the same shingle size as the signature stage).
@@ -268,7 +273,10 @@ object Dedup {
   private def simhashPairsFrom(signatures: DataFrame, maxHamming: Int,
                                bits: Int, nBands: Int): DataFrame = {
     val bandBits = bits / nBands
-    val bandMask = (1L << bandBits) - 1
+    // Java shifts are mod 64: 1L << 64 == 1, so a single 64-bit band
+    // would mask to 0 and collapse the corpus into ONE bucket (an
+    // all-pairs cross join — the explosion the banding exists to stop)
+    val bandMask = if (bandBits >= 64) -1L else (1L << bandBits) - 1
     // persist the per-doc signature (16 bytes/doc, spillable): the band
     // self-join below evaluates its input once per leg, and without the
     // persist each leg re-runs the signature stage twice. (MLlib's LSH

@@ -87,7 +87,13 @@ object Ivf {
       .select(col(embCol)).collect()
       .map(r => unit(r.getSeq[Float](0).map(_.toDouble).toArray))
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
-    var centroids: Array[Centroid] = sample.take(k).map(_.clone())
+    // seed with the first k DISTINCT vectors: duplicate seeds (the norm
+    // in a dedup-target corpus) would start identical centroids, and the
+    // strict-< assignment starves the later twin into a dead cell
+    val distinctSeeds = sample.iterator.map(_.toSeq).distinct.take(k).toVector
+    require(distinctSeeds.size >= k,
+      s"only ${distinctSeeds.size} distinct vectors in the sample for k=$k")
+    var centroids: Array[Centroid] = distinctSeeds.map(_.toArray).toArray
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](centroids(0).length))
       val counts = new Array[Long](k)

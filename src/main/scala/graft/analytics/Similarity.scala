@@ -68,8 +68,13 @@ object Similarity {
     */
   def semanticPairs(corpus: DataFrame, centroids: Seq[Ivf.Centroid],
                     minSim: Double): DataFrame = {
+    // persist the per-vector cell assignment: both legs of the
+    // self-join consume it, and without the cache each leg re-runs the
+    // k × dims NearestCell loop over the corpus (same rationale as the
+    // simhash signature persist)
     val cells = corpus.select(col("vec_id"), col("embedding"),
       Ivf.cellOfNative(corpus)(col("embedding"), centroids).as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = cells.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("ea"))
     val r = cells.select(col("cell").as("cell_r"), col("vec_id").as("id_b"),
@@ -137,8 +142,11 @@ object Similarity {
 
   /** ANN via LSH: exact cosine only within shared buckets. */
   def annLsh(corpus: DataFrame, dims: Int, nBits: Int, minSim: Double): DataFrame = {
+    // persist: both join legs read the bucketed frame, and the nBits ×
+    // dims projection is the expensive stage (see semanticPairs)
     val b = corpus.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), dims, nBits).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
     val r = b.select(col("bucket").as("bucket_r"), col("vec_id").as("id_b"),
       col("embedding").as("eb"))

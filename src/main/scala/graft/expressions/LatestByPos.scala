@@ -27,6 +27,19 @@ case class LatestByPos(
   override def nullable: Boolean = true
   override def dataType: DataType = value.dataType
 
+  // SQL-registered for every session: a wrong-typed call must fail at
+  // analysis, not ClassCastException mid-job in update()
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (value.dataType, pos.dataType) match {
+      case (_: StructType, org.apache.spark.sql.types.LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (v, p) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"latest_by_pos expects (struct, bigint), got " +
+            s"${v.simpleString}, ${p.simpleString}")
+    }
+
   private lazy val valueSchema = value.dataType.asInstanceOf[StructType]
   @transient private lazy val proj = UnsafeProjection.create(valueSchema)
 

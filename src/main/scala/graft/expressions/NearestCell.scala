@@ -21,6 +21,10 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
 
   override def dataType: DataType = IntegerType
 
+  // a vector whose dimension differs from the centroids' is corrupt
+  // input: NULL, never a confident cell computed from a prefix
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) =>
@@ -33,9 +37,12 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private val dims = if (centroids.isEmpty) 0 else centroids(0).length
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val m = x.numElements()
+    if (m != dims) return null
     val f = elemIsFloat
     var s = 0.0
     var i = 0
@@ -48,9 +55,8 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
     var c = 0
     while (c < centroids.length) {
       val cc = centroids(c)
-      val lim = math.min(m, cc.length)
       var d = 0.0; var j = 0
-      while (j < lim) {
+      while (j < m) {
         val xv: Double = if (f) x.getFloat(j).toDouble else x.getDouble(j)
         val dj = xv / n - cc(j)
         d += dj * dj; j += 1
@@ -77,28 +83,30 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
       val bd = ctx.freshName("bd")
       val d = ctx.freshName("d")
       val cc = ctx.freshName("cc")
-      val lim = ctx.freshName("lim")
       val dj = ctx.freshName("dj")
       s"""
          |int $m = $a.numElements();
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $m; $i++) {
-         |  double xv = (double) $a.$get($i);
-         |  $s += xv * xv;
-         |}
-         |double $n = java.lang.Math.sqrt($s);
-         |int $best = 0; double $bd = Double.MAX_VALUE;
-         |for (int $c = 0; $c < $mat.length; $c++) {
-         |  double[] $cc = $mat[$c];
-         |  int $lim = java.lang.Math.min($m, $cc.length);
-         |  double $d = 0.0;
-         |  for (int $j = 0; $j < $lim; $j++) {
-         |    double $dj = ((double) $a.$get($j)) / $n - $cc[$j];
-         |    $d += $dj * $dj;
+         |if ($mat.length == 0 || $m != $mat[0].length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    double xv = (double) $a.$get($i);
+         |    $s += xv * xv;
          |  }
-         |  if ($d < $bd) { $bd = $d; $best = $c; }
+         |  double $n = java.lang.Math.sqrt($s);
+         |  int $best = 0; double $bd = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $mat.length; $c++) {
+         |    double[] $cc = $mat[$c];
+         |    double $d = 0.0;
+         |    for (int $j = 0; $j < $m; $j++) {
+         |      double $dj = ((double) $a.$get($j)) / $n - $cc[$j];
+         |      $d += $dj * $dj;
+         |    }
+         |    if ($d < $bd) { $bd = $d; $best = $c; }
+         |  }
+         |  ${ev.value} = $best;
          |}
-         |${ev.value} = $best;
        """.stripMargin
     })
   }
