@@ -179,7 +179,7 @@ object Ivf {
     val scored = cell.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
-        round(Similarity.cosineNative(corpus)(col("qe"), col("ce")), 6))
+        Similarity.q6(Similarity.cosineNative(corpus)(col("qe"), col("ce"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))

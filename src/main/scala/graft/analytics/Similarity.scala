@@ -26,6 +26,15 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dotD(a, b) / (norm(a) * norm(b))
 
+  /** Floor-quantize to 6 decimals — the repo's cross-engine convention
+    * for float comparison boundaries: both engines compute the identical
+    * IEEE product/floor/quotient, whereas `round()` half-up on a
+    * shortest-representation .xxxxx5 boundary can differ between Spark
+    * and DuckDB (NOTES "round-vs-floor"). Every similarity emitted at an
+    * oracle boundary goes through this.
+    */
+  def q6(c: Column): Column = floor(c * 1000000) / 1000000.0
+
   /** Native-expression cosine (graft.expressions.CosineSimilarity): same
     * double-sequential accumulation as `cosine`, evaluated as a codegen
     * loop — use on hot paths. Registers the function on first use.
@@ -80,7 +89,7 @@ object Similarity {
     val r = cells.select(col("cell").as("cell_r"), col("vec_id").as("id_b"),
       col("embedding").as("eb"))
     l.join(r, col("cell") === col("cell_r") && col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosineNative(corpus)(col("ea"), col("eb")), 6))
+      .withColumn("sim", q6(cosineNative(corpus)(col("ea"), col("eb"))))
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
@@ -102,7 +111,7 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosineNative(corpus)(col("qe"), col("ce")), 6))
+      .withColumn("sim", q6(cosineNative(corpus)(col("qe"), col("ce"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -151,7 +160,7 @@ object Similarity {
     val r = b.select(col("bucket").as("bucket_r"), col("vec_id").as("id_b"),
       col("embedding").as("eb"))
     l.join(r, col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosineNative(corpus)(col("ea"), col("eb")), 6))
+      .withColumn("sim", q6(cosineNative(corpus)(col("ea"), col("eb"))))
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("sim"), col("bucket"))
   }

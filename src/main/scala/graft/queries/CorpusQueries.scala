@@ -133,7 +133,7 @@ object CorpusQueries extends QueryGroup {
     "a_embed_norms" -> ((s, dir) =>
       t(s, dir, "embeddings").select(col("vec_id"), col("label"),
         size(col("embedding")).as("dim"),
-        round(Similarity.norm(col("embedding")), 6).as("norm"))),
+        Similarity.q6(Similarity.norm(col("embedding"))).as("norm"))),
 
     "a_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -149,7 +149,7 @@ object CorpusQueries extends QueryGroup {
       val r = b.select(col("bucket").as("bucket_r"), col("vec_id").as("id_b"),
         col("embedding").as("eb"))
       l.join(r, col("bucket") === col("bucket_r") && col("id_a") < col("id_b"))
-        .withColumn("sim", round(Similarity.cosineNative(e)(col("ea"), col("eb")), 6))
+        .withColumn("sim", Similarity.q6(Similarity.cosineNative(e)(col("ea"), col("eb"))))
         .filter(col("sim") >= 0.3)
         .select(col("id_a"), col("id_b"), col("sim"))
     }),
@@ -399,7 +399,7 @@ object CorpusQueries extends QueryGroup {
        |     p -> p[2])[1:$nprobe]) AS cell
        |  FROM d WHERE vec_id % 100 = 0),
        | sc AS (SELECT query_id, neighbor_id,
-       |   round(list_cosine_similarity(ce, qe), 6) AS sim
+       |   floor(list_cosine_similarity(ce, qe) * 1000000) / 1000000.0 AS sim
        |  FROM cells JOIN probes USING (cell) WHERE query_id <> neighbor_id)
        |SELECT query_id,
        | CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rk,
@@ -428,7 +428,7 @@ object CorpusQueries extends QueryGroup {
        |   list_indexof(dists, list_min(dists)) - 1 AS cell FROM d),
        | pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |  WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= $minSim),
+       |  WHERE floor(list_cosine_similarity(a.emb, b.emb) * 1000000) / 1000000.0 >= $minSim),
        | e AS (SELECT id_a AS src, id_b AS dst FROM pr
        |  UNION ALL SELECT id_b, id_a FROM pr),
        | reach(id, r) AS (
@@ -457,7 +457,7 @@ object CorpusQueries extends QueryGroup {
        |  $bucket AS bucket FROM embeddings)
        |SELECT id_a, id_b, sim, bucket FROM (
        | SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-       |  round(list_cosine_similarity(a.e, c.e), 6) AS sim, a.bucket AS bucket
+       |  floor(list_cosine_similarity(a.e, c.e) * 1000000) / 1000000.0 AS sim, a.bucket AS bucket
        | FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) p
        |WHERE sim >= 0.3""".stripMargin
   }
@@ -592,14 +592,14 @@ object CorpusQueries extends QueryGroup {
 
     "a_embed_norms" ->
       """SELECT vec_id, label, len(embedding) AS dim,
-        | round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6) AS norm
+        | floor(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) * 1000000) / 1000000.0 AS norm
         |FROM embeddings""".stripMargin,
 
     "a_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
         |  FROM embeddings WHERE vec_id%100 = 0),
         | sc AS (SELECT qid, vec_id AS neighbor_id,
-        |   round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS sim
+        |   floor(list_cosine_similarity(embedding::DOUBLE[], qe) * 1000000) / 1000000.0 AS sim
         |  FROM embeddings, q WHERE vec_id <> qid)
         |SELECT qid AS query_id,
         | CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS INT) AS rk,
@@ -612,7 +612,7 @@ object CorpusQueries extends QueryGroup {
         |  embedding::DOUBLE[] AS e FROM embeddings)
         |SELECT id_a, id_b, sim FROM (
         | SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.e, c.e), 6) AS sim
+        |  floor(list_cosine_similarity(a.e, c.e) * 1000000) / 1000000.0 AS sim
         | FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) p
         |WHERE sim >= 0.3""".stripMargin,
 

@@ -39,8 +39,9 @@ object FunctionQueries extends QueryGroup {
       val rt = Vectors.parseFloatVector(Vectors.toText(col("embedding")))
       t(s, dir, "embeddings").select(col("vec_id"),
         size(rt).as("dims"),
-        round(aggregate(rt, lit(0.0), (acc, x) => acc + x.cast("double")), 4)
-          .as("checksum"))
+        // floor-quantize, not round(): cross-engine convention (NOTES)
+        (floor(aggregate(rt, lit(0.0), (acc, x) => acc + x.cast("double")) * 10000)
+          / 10000.0).as("checksum"))
     }),
 
     // sparse vector projection: dims, nnz, value checksum
@@ -50,8 +51,8 @@ object FunctionQueries extends QueryGroup {
       sp.select(col("vec_id"),
         col("sv.dimensions").as("dims"),
         size(map_values(col("sv.vector"))).as("nnz"),
-        round(aggregate(map_values(col("sv.vector")), lit(0.0), _ + _), 4)
-          .as("checksum"))
+        (floor(aggregate(map_values(col("sv.vector")), lit(0.0), _ + _) * 10000)
+          / 10000.0).as("checksum"))
     }),
 
     // §2.8 CloudEvents converter attributes
@@ -126,13 +127,13 @@ object FunctionQueries extends QueryGroup {
 
     "f_vector_roundtrip" ->
       """SELECT vec_id, len(embedding) AS dims,
-        | round(list_sum(embedding::DOUBLE[]), 4) AS checksum
+        | floor(list_sum(embedding::DOUBLE[]) * 10000) / 10000.0 AS checksum
         |FROM embeddings""".stripMargin,
 
     "f_vector_sparse" ->
       """SELECT vec_id, len(embedding) AS dims,
         | len(list_filter(embedding::DOUBLE[], x -> abs(x) > 0.3)) AS nnz,
-        | round(coalesce(list_sum(list_filter(embedding::DOUBLE[], x -> abs(x) > 0.3)), 0.0), 4) AS checksum
+        | floor(coalesce(list_sum(list_filter(embedding::DOUBLE[], x -> abs(x) > 0.3)), 0.0) * 10000) / 10000.0 AS checksum
         |FROM embeddings""".stripMargin,
 
     "f_cloudevents" ->
