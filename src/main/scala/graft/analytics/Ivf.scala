@@ -65,15 +65,93 @@ object Ivf {
   def heuristicK(n: Long): Int =
     math.max(4L, math.min(65536L, math.round(math.sqrt(n.toDouble)))).toInt
 
+  /** Largest k the single-threaded driver-side Lloyd's is allowed to
+    * handle: beyond this, one iteration is O(k · 40k · dims) ≈ 10⁹+
+    * multiply-adds on one core while the cluster idles — the distributed
+    * trainer takes over.
+    */
+  val driverKMax = 1024
+
   /** Fit centroids with the √N heuristic cell count. One `count()` job
-    * sizes k; the sample grows with k (≥ ~40 points per cell, the usual
-    * k-means training floor) but stays bounded and driver-side.
+    * sizes k. Small k (≤ [[driverKMax]]) trains driver-side on a bounded
+    * ordered sample; large k (the 100 TB / 1B-vector regime, k up to
+    * 65536) trains with [[fitCentroidsDistributed]] over a deterministic
+    * hash-sample of ~40·k vectors — the sample never lands on the
+    * driver, only the k centroids do.
     */
   def fitCentroidsAuto(corpus: DataFrame, idCol: String, embCol: String,
                        iters: Int = 10): (Int, Seq[Centroid]) = {
-    val k = heuristicK(corpus.count())
-    (k, fitCentroids(corpus, idCol, embCol, k, iters,
-      sampleN = math.max(2000, 40 * k)))
+    val n = corpus.count()
+    val k = heuristicK(n)
+    if (k <= driverKMax)
+      (k, fitCentroids(corpus, idCol, embCol, k, iters,
+        sampleN = math.max(2000, 40 * k)))
+    else {
+      // deterministic distributed downsample to ~40·k training vectors:
+      // hash-mod keeps the choice reproducible and shuffle-free
+      val target = 40L * k
+      val mod = math.max(1L, n / target)
+      val sample =
+        if (mod <= 1L) corpus
+        else corpus.filter(pmod(xxhash64(col(idCol)), lit(mod)) === 0)
+      (k, fitCentroidsDistributed(sample, idCol, embCol, k, iters))
+    }
+  }
+
+  /** Distributed Lloyd's on the unit sphere — the ≥ [[driverKMax]] path.
+    * Per iteration: cell assignment is the native codegen
+    * [[graft.expressions.NearestCell]] over a persisted normalized frame,
+    * and the centroid update is `groupBy(cell).agg(vector_sum, count)`
+    * with the native [[graft.expressions.VectorSum]] aggregate — map-side
+    * partials fold each partition into ≤ cells × dims doubles before the
+    * shuffle, and only k rows (the new centroids themselves, ~33 MB at
+    * k=65536·d=64) reach the driver — never the vectors. (No posexplode:
+    * a per-dimension Generate both multiplies rows by dims and lets the
+    * optimizer collapse the O(k·d) assignment above it, re-evaluating it
+    * once per exploded row — measured 64× slower at d=64.)
+    * Seeding matches [[fitCentroids]]: first k distinct vectors in id
+    * order. Unlike the driver path, per-cell float sums fold in
+    * partition order, so centroids can differ in final ulps across runs
+    * — callers needing bit-reproducible cells use
+    * [[pretrainedCentroids]] or the driver path.
+    */
+  def fitCentroidsDistributed(corpus: DataFrame, idCol: String, embCol: String,
+                              k: Int, iters: Int = 10): Seq[Centroid] = {
+    val ne = corpus
+      .select(col(idCol).as("_id"), normalized(col(embCol)).as("_ne"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedPool = ne.orderBy(col("_id")).limit(4 * k)
+        .select(col("_ne")).collect()
+        .map(_.getSeq[Double](0))
+      val seeds = seedPool.iterator.distinct.take(k).toVector
+      require(seeds.size >= k,
+        s"only ${seeds.size} distinct vectors in the ${seedPool.length}-row " +
+          s"seed pool for k=$k")
+      var centroids: Array[Centroid] = seeds.map(_.toArray).toArray
+      for (_ <- 0 until iters) {
+        graft.expressions.GraftFunctions.register(corpus.sparkSession)
+        val stats = ne
+          .select(graft.expressions.GraftFunctions
+            .nearestCell(col("_ne"), centroids.toSeq.map(_.toSeq))
+            .cast("int").as("cell"), col("_ne"))
+          .groupBy(col("cell"))
+          .agg(graft.expressions.GraftFunctions.vectorSum(col("_ne")).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val next = centroids.clone()
+        stats.foreach { r =>
+          require(!r.isNullAt(0),
+            "nearest_cell returned NULL during training: corrupt vector dims")
+          val c = r.getInt(0)
+          val s = r.getSeq[Double](1)
+          val n = r.getLong(2)
+          next(c) = s.map(_ / n).toArray
+        }
+        centroids = next
+      }
+      centroids.toSeq
+    } finally ne.unpersist()
   }
 
   /** Deterministic Lloyd's k-means on a bounded sample (first `sampleN`

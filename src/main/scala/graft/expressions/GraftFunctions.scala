@@ -43,6 +43,8 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Boolean])
     }),
+    "graft_vector_sum" -> ((exprs: Seq[Expression]) =>
+      VectorSum(exprs(0)).toAggregateExpression()),
     "graft_nearest_cell" -> ((exprs: Seq[Expression]) => {
       // 2nd arg must be a foldable array<array<double>> literal — the
       // centroid matrix is evaluated once at plan time, not per row
@@ -78,6 +80,9 @@ object GraftFunctions {
   def nearestCell(emb: Column, centroids: Seq[Seq[Double]]): Column =
     call_function("graft_nearest_cell", emb,
       org.apache.spark.sql.functions.typedLit(centroids))
+
+  /** Elementwise array<double> sum aggregate (register(spark) first). */
+  def vectorSum(v: Column): Column = call_function("graft_vector_sum", v)
 
   /** One-pass MinHash signature array (register(spark) first). */
   def minhash(shingles: Column, numPerm: Int): Column =

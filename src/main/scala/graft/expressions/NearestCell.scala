@@ -42,7 +42,10 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val m = x.numElements()
-    if (m != dims) return null
+    // empty centroids => NULL in BOTH paths (codegen guards mat.length == 0;
+    // without this an empty input array would slip past the m != dims check
+    // — 0 == 0 — and return cell 0 into zero centroids)
+    if (centroids.isEmpty || m != dims) return null
     val f = elemIsFloat
     var s = 0.0
     var i = 0

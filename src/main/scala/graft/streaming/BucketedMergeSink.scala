@@ -88,6 +88,8 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
         .toSeq
     }.sorted
 
+  override def committedEpoch: Option[Long] = versions.lastOption
+
   private def parseManifest(mf: java.nio.file.Path): Map[Int, (String, String)] =
     Files.readAllLines(mf).asScala.filter(_.nonEmpty).map { l =>
       l.split("\t", 3) match {
@@ -158,7 +160,11 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
     // the manifest swap and Spark's checkpoint commit): overwriting
     // v<epoch> would delete bucket files the current manifest points
     // at. Committed versions are monotonic — replaying one is a no-op.
-    if (versions.exists(_ >= epochId)) return
+    val committed = committedEpoch
+    if (committed.exists(_ >= epochId)) {
+      CdcSink.warnReplay(s"BucketedMergeSink($dir)", epochId, committed.get)
+      return
+    }
     checkBucketCount()
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)

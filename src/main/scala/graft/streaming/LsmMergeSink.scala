@@ -81,6 +81,8 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
         .toSeq
     }.sorted
 
+  override def committedEpoch: Option[Long] = versions.lastOption
+
   /** Manifest as of `epochId` (newest committed ≤ it — VERSION AS OF). */
   def manifestAt(epochId: Long): Manifest = {
     val v = versions.filter(_ <= epochId)
@@ -174,7 +176,11 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     // the sink's manifest swap and Spark's checkpoint commit) must be a
     // no-op: re-appending would duplicate the d<epoch> delta entry and
     // skew the compaction cadence. Committed versions are monotonic.
-    if (versions.exists(_ >= epochId)) return
+    val committed = committedEpoch
+    if (committed.exists(_ >= epochId)) {
+      CdcSink.warnReplay(s"LsmMergeSink($dir)", epochId, committed.get)
+      return
+    }
     checkBucketCount()
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)

@@ -31,6 +31,27 @@ import graft.operators.Materialize
 trait CdcSink {
   def merge(batch: DataFrame, epochId: Long): Unit
   def view(spark: SparkSession): DataFrame
+
+  /** Newest committed epoch, if any. The replay guard silently no-ops any
+    * `merge` whose epochId is ≤ this (a foreachBatch retry of a durable
+    * epoch) — so a caller RESUMING over an existing sink dir must seed its
+    * epoch counter ABOVE this value (see `SnapshotCoordinator.run`), or
+    * every one of its merges is dropped as a phantom replay.
+    */
+  def committedEpoch: Option[Long]
+}
+
+private[streaming] object CdcSink {
+  /** One visible line when a merge is dropped as an epoch replay: a
+    * correct retry is silent in effect but should not be silent in the
+    * log — a caller whose epoch numbering restarted at 0 over existing
+    * state would otherwise see every merge vanish with no trace.
+    */
+  def warnReplay(sink: String, epochId: Long, committed: Long): Unit =
+    Console.err.println(
+      s"[graft] $sink: skipping merge of epoch $epochId — already committed " +
+        s"through v$committed (foreachBatch replay, or a caller whose epoch " +
+        s"counter restarted below the sink's committed version)")
 }
 
 class MergeSink(dir: String) extends CdcSink {
@@ -39,6 +60,9 @@ class MergeSink(dir: String) extends CdcSink {
 
   private def currentVersion: Option[String] =
     if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
+
+  override def committedEpoch: Option[Long] = currentVersion
+    .flatMap(v => scala.util.Try(v.stripPrefix("v").toLong).toOption)
 
   /** Reduced state as envelope rows (including tombstones). */
   def state(spark: SparkSession): Option[DataFrame] =
@@ -68,9 +92,11 @@ class MergeSink(dir: String) extends CdcSink {
     // durable then — re-merging would overwrite v<epoch> WHILE reading
     // the CURRENT state that lives in it. Epochs are monotonic, so
     // "committed version >= epoch" means this is such a replay: no-op.
-    val committed = currentVersion
-      .flatMap(v => scala.util.Try(v.stripPrefix("v").toLong).toOption)
-    if (committed.exists(_ >= epochId)) return
+    val committed = committedEpoch
+    if (committed.exists(_ >= epochId)) {
+      CdcSink.warnReplay(s"MergeSink($dir)", epochId, committed.get)
+      return
+    }
 
     val spark = batch.sparkSession
     val reduced0 = Materialize.reduceByKey(batch)

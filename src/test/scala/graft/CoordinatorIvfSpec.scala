@@ -36,6 +36,31 @@ class CoordinatorIvfSpec extends AnyFunSuite {
       "coordinator result differs from full merge")
   }
 
+  test("re-snapshot over an existing sink seeds epochs above the committed version") {
+    import SnapshotCoordinator._
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "orders"), "orders")
+    val reads = feed.filter(col("op") === "r")
+    val snap = IncrementalSnapshot.chunked(reads, Seq(col("source.pos")), 256)
+    val sink = new MergeSink(Files.createTempDirectory("coord2").toString)
+    // first run: a partial snapshot (first two chunks only)
+    val p1 = SnapshotCoordinator.run(snap.filter(col("chunk") < 2), sink,
+      Seq(ExecuteSnapshot))
+    assert(!p1.aborted && p1.chunksDone.size == 2)
+    val committed1 = sink.committedEpoch.get
+    // second run over the SAME sink dir: its epoch counter must start
+    // above the committed version — with a 0-seeded counter the replay
+    // guard would silently drop every chunk and the view would keep only
+    // the first two chunks' keys
+    val p2 = SnapshotCoordinator.run(snap, sink, Seq(ExecuteSnapshot))
+    assert(!p2.aborted && p2.chunksDone.size > 2)
+    assert(sink.committedEpoch.get > committed1,
+      "second run committed nothing — epoch counter restarted below the sink")
+    assert(canon(sink.view(spark)) ==
+      canon(reads.select(col("after.*"))),
+      "re-snapshot result differs from the full read state")
+  }
+
   test("stop-snapshot aborts remaining chunks") {
     import SnapshotCoordinator._
     val feed = ChangeFeedGen.standardFeed(
@@ -65,6 +90,45 @@ class CoordinatorIvfSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall (${ivf.size} vs ${brute.size})")
     // every IVF hit must be a real corpus vector pair (sanity)
     assert(ivf.forall { case (q, n) => q != n })
+  }
+
+  test("distributed Lloyd's trains k=4096 cells and keeps search recall") {
+    // synthetic 20k x 64 corpus, deterministic per-id hash components
+    val corpus = spark.range(20000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        d => (pmod(xxhash64(col("id"), d), lit(1000)).cast("double") / 500.0
+          - 1.0).cast("float")).as("embedding"))
+      .persist()
+    try {
+      val centroids = Ivf.fitCentroidsDistributed(
+        corpus, "vec_id", "embedding", k = 4096, iters = 2)
+      assert(centroids.size == 4096 && centroids.head.length == 64)
+      // means of unit vectors stay inside the unit ball, and no cell
+      // collapsed to the origin
+      val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+      assert(norms.forall(n => n > 0.0 && n <= 1.0 + 1e-9))
+      val queries = corpus.filter(col("vec_id") % 1000 === 0)
+      val ivf = Ivf.searchTopK(corpus, queries, centroids, k = 5, nprobe = 256)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = Similarity.bruteForceTopK(queries, corpus, 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = ivf.count(brute).toDouble / brute.size
+      assert(recall >= 0.5, s"distributed-fit IVF recall too low: $recall")
+    } finally corpus.unpersist()
+  }
+
+  test("auto-fit routes k > driverKMax to the distributed trainer") {
+    // 1.15M tiny vectors push heuristicK past driverKMax=1024
+    val corpus = spark.range(1150000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (pmod(xxhash64(col("id"), d), lit(1000)).cast("double") / 500.0
+          - 1.0).cast("float")).as("embedding"))
+    val (k, centroids) = Ivf.fitCentroidsAuto(corpus, "vec_id", "embedding",
+      iters = 2)
+    assert(k == Ivf.heuristicK(1150000) && k > Ivf.driverKMax)
+    assert(centroids.size == k && centroids.head.length == 4)
   }
 
   test("IVF auto-fit sizes cells at sqrt(N) and keeps recall") {

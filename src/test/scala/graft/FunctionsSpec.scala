@@ -26,6 +26,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff == 0, "native expression drifted from declarative cosine")
   }
 
+  test("vector_sum aggregate: elementwise sums, null vectors skipped, dims strict") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(Seq(1.0, 2.0))),
+      ("a", None),
+      ("a", Some(Seq(0.5, -1.0))),
+      ("b", Some(Seq(10.0, 20.0)))
+    ).toDF("g", "v")
+    val got = df.groupBy("g")
+      .agg(GraftFunctions.vectorSum(col("v")).as("s"), count(col("v")).as("n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Double](1), r.getLong(2)))).toMap
+    assert(got("a") == ((Seq(1.5, 1.0), 2L)))
+    assert(got("b") == ((Seq(10.0, 20.0), 1L)))
+    // all-null group evaluates to NULL, not a zero vector
+    val nullOnly = Seq(("c", Option.empty[Seq[Double]])).toDF("g", "v")
+      .groupBy("g").agg(GraftFunctions.vectorSum(col("v")).as("s")).head()
+    assert(nullOnly.isNullAt(1))
+    // mixed dimensions are corrupt input: raise, never sum a prefix
+    val ex = intercept[Exception] {
+      Seq(("d", Seq(1.0)), ("d", Seq(1.0, 2.0))).toDF("g", "v")
+        .groupBy("g").agg(GraftFunctions.vectorSum(col("v"))).collect()
+    }
+    assert(ex.getMessage.contains("dimension mismatch") ||
+      ex.getCause != null)
+  }
+
   test("WKB point roundtrip is exact, including byte-order handling") {
     assert(Geo.decodePointWkb(Geo.encodePointWkb(1.5, -2.25)) ===
       Some((1.5, -2.25)))

@@ -119,6 +119,30 @@ class PlanSpec extends AnyFunSuite {
       "corpus side must not shuffle for the rate join")
   }
 
+  test("coordinator chunk merges read the chunk cache, not the source") {
+    // the SnapshotCoordinator shape: repartition(chunk) + persist before
+    // the chunk loop — each per-chunk filter must plan as an
+    // InMemoryTableScan (batch-pruned on chunk min/max), never a rescan
+    // of the source parquet per chunk
+    import org.apache.spark.sql.functions._
+    val feed = graft.sources.ChangeFeedGen.standardFeed(
+      graft.sources.Tables.load(spark, sfDir, "orders"), "orders")
+    val snap = graft.operators.IncrementalSnapshot.chunked(
+      feed.filter(col("op") === "r"), Seq(col("source.pos")), 256)
+    val byChunk = snap.repartition(col("chunk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      byChunk.count()
+      val p = byChunk.filter(col("chunk") === 1).drop("chunk")
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("InMemoryTableScan"),
+        "chunk filter should read the persisted chunk frame")
+      assert(!p.contains("Scan parquet"),
+        "chunk filter rescans the source parquet")
+    } finally byChunk.unpersist()
+  }
+
   test("semantic dedup assigns cells natively and never cross-joins") {
     // assert on the candidate stage: the full query checkpoints the pair
     // graph eagerly, which hides the cell computation from its final plan
