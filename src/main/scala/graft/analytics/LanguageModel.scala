@@ -48,7 +48,12 @@ object LanguageModel {
     val vocab = uni.agg(count(lit(1)).as("v"))
 
     // shared by the count aggregation and the scoring join — persist so
-    // the explode runs once (the bench harness clears cache per query).
+    // the explode runs once. CACHE CONTRACT (same as Similarity
+    // .semanticPairs): the returned frame is lazy and reads this cache,
+    // which outlives the call; the bench/verify harnesses clear cache
+    // per query, and a long-lived session should unpersist or clear
+    // after materializing. (An eager checkpoint inside would hide the
+    // scoring joins from the plan guards.)
     // Single-token docs are filtered BEFORE the sequence: Spark's
     // sequence(1, 0) counts DOWN to [1, 0] and element_at(_, 0) throws —
     // the left join below restores such docs with 0 bigrams.

@@ -74,9 +74,25 @@ object Similarity {
   /** The candidate stage of [[semanticDedup]]: within-cell cosine pairs
     * above `minSim` — exposed separately so callers (and plan guards)
     * can audit the pair computation before cluster resolution.
+    *
+    * CACHE CONTRACT: the returned frame is LAZY and reads a persisted
+    * cell-assignment frame that stays cached until the session evicts
+    * it. A long-lived session should consume it the way
+    * [[semanticDedup]] does — materialize, then unpersist the returned
+    * handle's cache via the composite — or clear the cache between
+    * pipeline stages. (The lazy form is deliberate: the plan guards
+    * audit the cell computation, which an eager checkpoint would hide.)
     */
   def semanticPairs(corpus: DataFrame, centroids: Seq[Ivf.Centroid],
-                    minSim: Double): DataFrame = {
+                    minSim: Double): DataFrame =
+    semanticPairsWithCache(corpus, centroids, minSim)._1
+
+  /** [[semanticPairs]] plus the persisted cell frame, so composites can
+    * unpersist once the pairs are materialized.
+    */
+  private def semanticPairsWithCache(
+      corpus: DataFrame, centroids: Seq[Ivf.Centroid], minSim: Double)
+      : (DataFrame, DataFrame) = {
     // persist the per-vector cell assignment: both legs of the
     // self-join consume it, and without the cache each leg re-runs the
     // k × dims NearestCell loop over the corpus (same rationale as the
@@ -88,19 +104,25 @@ object Similarity {
       col("embedding").as("ea"))
     val r = cells.select(col("cell").as("cell_r"), col("vec_id").as("id_b"),
       col("embedding").as("eb"))
-    l.join(r, col("cell") === col("cell_r") && col("id_a") < col("id_b"))
+    val pairs = l.join(r,
+      col("cell") === col("cell_r") && col("id_a") < col("id_b"))
       .withColumn("sim", q6(cosineNative(corpus)(col("ea"), col("eb"))))
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("sim"))
+    (pairs, cells)
   }
 
   def semanticDedup(corpus: DataFrame, centroids: Seq[Ivf.Centroid],
                     minSim: Double): DataFrame = {
-    val pairs = semanticPairs(corpus, centroids, minSim)
-      .select(col("id_a"), col("id_b"))
-    Dedup.dedupClusters(corpus.select(col("vec_id").as("doc_id")), pairs)
-      .select(col("doc_id").as("vec_id"), col("cluster_id"),
-        col("is_canonical").cast("int").as("is_canonical"))
+    val (pairs0, cells) = semanticPairsWithCache(corpus, centroids, minSim)
+    val pairs = pairs0.select(col("id_a"), col("id_b"))
+    try {
+      // dedupClusters eagerly checkpoints the edge list up front — after
+      // it returns, nothing references the cell cache any more
+      Dedup.dedupClusters(corpus.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"),
+          col("is_canonical").cast("int").as("is_canonical"))
+    } finally cells.unpersist()
   }
 
   /** Brute-force cosine top-k: a small query set against the full corpus.
@@ -149,7 +171,12 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** ANN via LSH: exact cosine only within shared buckets. */
+  /** ANN via LSH: exact cosine only within shared buckets.
+    *
+    * CACHE CONTRACT: same as [[semanticPairs]] — the lazy result reads a
+    * persisted bucket frame that outlives this call; long-lived sessions
+    * unpersist (or clear the cache) after materializing.
+    */
   def annLsh(corpus: DataFrame, dims: Int, nBits: Int, minSim: Double): DataFrame = {
     // persist: both join legs read the bucketed frame, and the nBits ×
     // dims projection is the expensive stage (see semanticPairs)

@@ -254,9 +254,12 @@ object WireQueries extends QueryGroup {
             "CREATED" -> "timestamp"),
           "ORA.NOTES" -> Seq(
             "ID" -> "long", "TITLE" -> "string", "BODY" -> "string"),
-          "ORA.FILES" -> Seq("ID" -> "long", "DATA" -> "string")),
+          "ORA.FILES" -> Seq("ID" -> "long", "DATA" -> "string"),
+          "ORA.PAGES" -> Seq("ID" -> "long", "XDOC" -> "string")),
         keys = Map("ORA.PRODUCTS" -> Seq("ID"),
-          "ORA.NOTES" -> Seq("ID"), "ORA.FILES" -> Seq("ID")))
+          "ORA.NOTES" -> Seq("ID"), "ORA.FILES" -> Seq("ID"),
+          "ORA.PAGES" -> Seq("ID")),
+        lobEnabled = true)
     }),
 
     // S12: recorded MongoDB change-stream cursor (JSONL): pure-column
@@ -479,7 +482,8 @@ object WireQueries extends QueryGroup {
         |  '{"id":'||i||
         |  ',"flag":'||(CASE WHEN i%2=0 THEN 'true' ELSE 'false' END)||
         |  ',"s2":'||(i*3-5)||',"i8":'||(3000000000+i)||
-        |  ',"f8":'||((i+0.5)::DOUBLE)||
+        |  ',"f8":'||(CASE WHEN i=7 THEN '1.25e+23' WHEN i=10 THEN '2.5e-07'
+        |             ELSE ((i+0.5)::DOUBLE)::VARCHAR END)||
         |  ',"dec":'||(CASE WHEN i%4=3 THEN '-' ELSE '' END)||(i*1234+7)||'.'||
         |    lpad((i*37)::VARCHAR,3,'0')||
         |  ',"name":"bin_'||i||'"'||
@@ -604,7 +608,24 @@ object WireQueries extends QueryGroup {
         |UNION ALL
         |SELECT 'ORA.FILES', 'c', 5840, 5850, '0E0007', '{"ID":3}',
         |  CAST(NULL AS VARCHAR),
-        |  '{"ID":3,"DATA":"DEADBEEF"}'""".stripMargin,
+        |  '{"ID":3,"DATA":"DEADBEEF"}'
+        |UNION ALL
+        |-- XML chains: tx9 insert + 2 concatenating fragments merged
+        |-- into the after image; tx10 direct mutation (binary begin +
+        |-- HEXTORAW fragment with the missing-end-quote bug) ->
+        |-- synthetic update; tx12 XML_REDO := NULL -> null column;
+        |-- rolled-back tx11 absent
+        |SELECT 'ORA.PAGES', 'c', 5880, 5890, '0F0009', '{"ID":1}',
+        |  CAST(NULL AS VARCHAR),
+        |  '{"ID":1,"XDOC":"<page>hello</page>"}'
+        |UNION ALL
+        |SELECT 'ORA.PAGES', 'u', 5900, 5905, '0F000A', '{"ID":2}',
+        |  CAST(NULL AS VARCHAR),
+        |  '{"ID":2,"XDOC":"<p>ab</p>"}'
+        |UNION ALL
+        |SELECT 'ORA.PAGES', 'u', 5920, 5925, '0F000C', '{"ID":4}',
+        |  CAST(NULL AS VARCHAR),
+        |  '{"ID":4,"XDOC":null}'""".stripMargin,
 
     "s12_change_stream_decode" ->
       s"""SELECT 'shop.items' AS "table", 'c' AS op,

@@ -55,6 +55,9 @@ object LogMiner {
   val OpLobWrite = 10
   val OpLobTrim = 11
   val OpRollback = 36
+  val OpXmlBegin = 68
+  val OpXmlWrite = 70
+  val OpXmlEnd = 71
 
   /** One parsed DML: maps are name → Some(text) | None (SQL NULL); a
     * column absent from a map was not mentioned in that clause.
@@ -260,6 +263,74 @@ object LogMiner {
     LobLocator(owner, table, column, parseWhere(wc))
   }
 
+  // ----------------------------------------------- XML chain parse
+  // XMLTYPE columns mutate as their own chain grammar (same fold shape
+  // as LOBs, different redo): XML_BEGIN (68) names the target column and
+  // row, XML_WRITE (70) rows carry document fragments that CONCATENATE
+  // in cursor order (no offsets, unlike dbms_lob.write), XML_END (71)
+  // closes the chain — ref `logminer/parser/XmlBeginParser.java`,
+  // `XmlWriteParser.java`, fold `TransactionCommitConsumer.java:200-290`
+  // (XmlUnderConstruction.merge appends fragments).
+
+  /** XML_BEGIN redo → target column/table/row. Two grammars:
+    * binary-serialized storage `XML DOC BEGIN: select "COL" from
+    * "O"."T" where … for update;` (same select shape as
+    * SEL_LOB_LOCATOR), and text storage `update "O"."T" a set
+    * a."COL" = XMLTYPE() where …;` — ref `XmlBeginParser`'s
+    * binary/text parser pair.
+    */
+  def parseXmlBegin(sql: String): LobLocator =
+    if (sql.contains("select \"")) parseSelectLob(sql)
+    else {
+      val at = sql.indexOf("update \"")
+      require(at >= 0, s"not an XML_BEGIN redo: $sql")
+      val c = new Cursor(sql.substring(at))
+      c.expect("update ")
+      val (owner, table) = parseQualifiedName(c)
+      val setAt = c.s.indexOf(" set a.", c.i)
+      require(setAt >= 0, s"no aliased SET clause in XML_BEGIN redo: $sql")
+      c.i = setAt + " set a.".length
+      val column = parseQuotedIdent(c)
+      val wh = c.s.indexOf("where ", c.i)
+      require(wh >= 0, s"no WHERE clause in XML_BEGIN redo: $sql")
+      var cond = c.s.substring(wh + 6).trim
+      val cut = cond.indexOf(" for update")
+      if (cut >= 0) cond = cond.substring(0, cut)
+      if (cond.endsWith(";")) cond = cond.dropRight(1)
+      val wc = new Cursor(cond + ";")
+      LobLocator(owner, table, column, parseWhere(wc))
+    }
+
+  /** XML_WRITE redo → document fragment. `XML_REDO := NULL` sets the
+    * column to SQL NULL (None); `XML_REDO := '<text>' [: len]` is the
+    * text between the first and LAST quote (no `''` unescaping — the
+    * reference takes the raw slice); `XML_REDO := HEXTORAW('…') [: len]`
+    * decodes hex→UTF-8, tolerating Oracle's missing-end-quote bug where
+    * the final chunk closes with `)` instead of `')` (ref
+    * `XmlWriteParser.parseBinary`). A redo WITHOUT the preamble is
+    * text-serialized storage: the whole redo is the fragment.
+    */
+  def parseXmlWrite(sql: String): Option[String] = {
+    val P = "XML_REDO := "
+    if (!sql.startsWith(P)) return Some(sql)
+    val rest = sql.substring(P.length)
+    if (rest.trim == "NULL") None
+    else if (rest.startsWith("'")) {
+      val last = rest.lastIndexOf('\'')
+      require(last > 0, s"unterminated XML_WRITE text: $sql")
+      Some(rest.substring(1, last))
+    } else {
+      require(rest.startsWith("HEXTORAW('"), s"bad XML_WRITE redo: $sql")
+      val lastParen = rest.lastIndexOf(')')
+      require(lastParen > 0, s"unterminated HEXTORAW in XML_WRITE: $sql")
+      var hex = rest.substring("HEXTORAW('".length, lastParen)
+      if (hex.endsWith("'")) hex = hex.dropRight(1)
+      Some(new String(
+        hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   /** One parsed LOB_WRITE chunk: 1-based offset (chars for CLOB, bytes
     * for BLOB) and the data — quoted text, or hex when the buffer was
     * assigned `HEXTORAW('…')`.
@@ -345,12 +416,23 @@ object LogMiner {
 
   /** Decode a recorded contents poll into committed change events.
     *
-    * @param schemas per "OWNER.TABLE": ordered (column, type) with type
-    *                in {long, int, double, string, timestamp}
-    * @param keys    per "OWNER.TABLE": key column names
+    * Purely lazy: builds the plan, runs no Spark action — safe to call
+    * per poll in a stream loop.
+    *
+    * @param schemas    per "OWNER.TABLE": ordered (column, type) with type
+    *                   in {long, int, double, string, timestamp}
+    * @param keys       per "OWNER.TABLE": key column names
+    * @param lobEnabled decode SEL_LOB_LOCATOR/LOB_WRITE/LOB_TRIM chains.
+    *                   Mirrors the reference's `lob.enabled` switch
+    *                   (default off — `OracleConnectorConfig.java` LOB_ENABLED):
+    *                   off skips the chain fold and its joins entirely
+    *                   (LOB opcodes pass through undecoded); on pays the
+    *                   fold every poll, present or not, instead of an
+    *                   eager per-poll emptiness probe.
     */
   def decode(contents: DataFrame, schemas: Map[String, Seq[(String, String)]],
-             keys: Map[String, Seq[String]]): DataFrame = {
+             keys: Map[String, Seq[String]],
+             lobEnabled: Boolean = false): DataFrame = {
     val spark = contents.sparkSession
 
     // 1. CSF reassembly: chunks of one redo record share rs_id; cursor
@@ -387,14 +469,12 @@ object LogMiner {
       .select("scn", "commit_scn", "xid", "row_id", "seg_owner",
         "table_name", "sql")
 
-    // 3b. LOB chains: per-tx cursor-order fold attributes every
-    //     LOB_WRITE/LOB_TRIM to the most recent SEL_LOB_LOCATOR (the
-    //     reference's TransactionCommitConsumer association), and
-    //     chunk offsets assemble the final column value. One group per
-    //     transaction — bounded by tx size like TxReassembly. Most polls
-    //     carry no LOB rows at all (lob.enabled off, or no LOB DML in
-    //     the window): one cheap emptiness probe on the already-grouped
-    //     poll skips the chain fold and its joins entirely.
+    // 3b. LOB chains (lobEnabled only): per-tx cursor-order fold
+    //     attributes every LOB_WRITE/LOB_TRIM to the most recent
+    //     SEL_LOB_LOCATOR (the reference's TransactionCommitConsumer
+    //     association), and chunk offsets assemble the final column
+    //     value. One group per transaction — bounded by tx size like
+    //     TxReassembly.
     // 4 (shared). per-row parse + typed JSON rendering in executors;
     //   assembled LOB values (the `lobs` column, possibly all-null)
     //   override their column in the DML's after image
@@ -424,12 +504,7 @@ object LogMiner {
           }
       }(Encoders.product[WireEvent]).toDF()
 
-    // map-only probe on the RAW poll (CSF chunks carry their record's
-    // opcode, so no reassembly is needed to answer "any LOB rows?")
-    val hasLobOps = !contents
-      .filter(col("opcode").isin(OpSelLobLocator, OpLobWrite, OpLobTrim))
-      .isEmpty
-    if (!hasLobOps)
+    if (!lobEnabled)
       return render(committed.withColumn("lobs",
         lit(null).cast("array<struct<c:string,v:string>>")))
 
@@ -473,7 +548,8 @@ object LogMiner {
                                 schemas: Map[String, Seq[(String, String)]],
                                 keys: Map[String, Seq[String]]): Dataset[LobChain] = {
     val lobRows = assembled
-      .filter(col("opcode").isin(OpSelLobLocator, OpLobWrite, OpLobTrim))
+      .filter(col("opcode").isin(OpSelLobLocator, OpLobWrite, OpLobTrim,
+        OpXmlBegin, OpXmlWrite, OpXmlEnd))
       .select("rownum", "scn", "opcode", "xid", "row_id", "sql")
     lobRows.as(Encoders.row(lobRows.schema))
       .groupByKey(_.getAs[String]("xid"))(Encoders.STRING)
@@ -482,9 +558,13 @@ object LogMiner {
                         val scn: Long) {
           val sb = new StringBuilder
           var hex = false
+          var explicitNull = false // XML_REDO := NULL
         }
         val targets = scala.collection.mutable.LinkedHashMap[(String, String), Tgt]()
         var cur: Option[Tgt] = None
+        // XML chains track their own open target, like the reference's
+        // separate currentXmlDetails construction state
+        var curXml: Option[Tgt] = None
         it.toSeq.sortBy(_.getAs[Long]("rownum")).foreach { r =>
           r.getAs[Int]("opcode") match {
             case OpSelLobLocator =>
@@ -506,6 +586,21 @@ object LogMiner {
               val n = parseLobTrim(r.getAs[String]("sql"))
               val len = if (t.hex) n * 2 else n
               if (t.sb.length > len) t.sb.setLength(len)
+            case OpXmlBegin =>
+              val loc = parseXmlBegin(r.getAs[String]("sql"))
+              val rowId = r.getAs[String]("row_id")
+              curXml = Some(targets.getOrElseUpdate((rowId, loc.column),
+                new Tgt(rowId, loc, r.getAs[Long]("scn"))))
+            case OpXmlWrite =>
+              val t = curXml.getOrElse(throw new IllegalStateException(
+                "XML_WRITE before any XML_BEGIN"))
+              parseXmlWrite(r.getAs[String]("sql")) match {
+                case None => t.explicitNull = true; t.sb.setLength(0)
+                case Some(frag) => // fragments concatenate in cursor order
+                  t.explicitNull = false; t.sb.append(frag): Unit
+              }
+            case OpXmlEnd =>
+              curXml = None // chain closed; value already assembled
           }
         }
         // synthetic after-image per ROW (all of the row's LOB columns
@@ -518,15 +613,18 @@ object LogMiner {
           val keyCols = keys.getOrElse(tableId, Nil)
           val keySchema = schema.filter { case (n, _) => keyCols.contains(n) }
           val rowTs = byRow(t.rowId)
-          val lobVals = rowTs.map(x => x.loc.column -> x.sb.toString).toMap
+          val lobVals: Map[String, Option[String]] = rowTs.map(x =>
+            x.loc.column ->
+              (if (x.explicitNull) None else Some(x.sb.toString))).toMap
           val synth = schema.map { case (n, tp) =>
             val v: Option[String] =
-              if (lobVals.contains(n)) Some(lobVals(n))
+              if (lobVals.contains(n)) lobVals(n)
               else if (keyCols.contains(n)) t.loc.where.getOrElse(n, None)
               else Some(UnavailableValue)
             "\"" + n + "\":" + jsonLiteral(v, tp)
           }.mkString("{", ",", "}")
-          LobChain(xid, t.rowId, tableId, t.loc.column, t.sb.toString,
+          LobChain(xid, t.rowId, tableId, t.loc.column,
+            if (t.explicitNull) null else t.sb.toString,
             t.scn,
             imageJson(t.loc.where.filter { case (k, _) => keyCols.contains(k) },
               keySchema),

@@ -488,8 +488,10 @@ object PgOutput {
       case 23 => b.getInt().toString
       case 20 => b.getLong().toString
       case 26 => uint32(b).toString
-      case 700 => numericJson(java.lang.Float.intBitsToFloat(b.getInt()).toString)
-      case 701 => numericJson(java.lang.Double.longBitsToDouble(b.getLong()).toString)
+      case 700 => numericJson(
+        pgFloatText(java.lang.Float.intBitsToFloat(b.getInt()).toString, 6))
+      case 701 => numericJson(
+        pgFloatText(java.lang.Double.longBitsToDouble(b.getLong()).toString, 15))
       case 1700 => numericJson(numericBinaryToString(bytes))
       case 25 | 1043 | 18 | 19 =>
         jsonString(new String(bytes, StandardCharsets.UTF_8))
@@ -515,6 +517,59 @@ object PgOutput {
   private def numericJson(s: String): String = s match {
     case "NaN" | "Infinity" | "-Infinity" => jsonString(s)
     case _ => s
+  }
+
+  /** Re-render a Java `Float/Double.toString` value in PostgreSQL's text
+    * form (PG ≥ 12 shortest-round-trip output, `float8out`/`float4out`):
+    * plain decimal while the leading digit's decimal exponent is in
+    * [-4, maxPlainExp) — 15 for float8, 6 for float4 — else `d.ddde±XX`
+    * with a two-digit-minimum signed exponent. Java's scientific form
+    * (`1.0E23`) differs from PG's (`1e+23`) in case, sign, padding, and
+    * the `.0`; without this, binary-mode and text-mode decodes of the
+    * same column would spell the same number differently.
+    */
+  private[graft] def pgFloatText(javaText: String, maxPlainExp: Int): String = {
+    if (javaText == "NaN" || javaText.endsWith("Infinity")) return javaText
+    val neg = javaText.startsWith("-")
+    val s = if (neg) javaText.substring(1) else javaText
+    val (mant, e10) = s.indexOf('E') match {
+      case -1 => (s, 0)
+      case ix => (s.substring(0, ix), s.substring(ix + 1).toInt)
+    }
+    val dot = mant.indexOf('.')
+    val allDigits = mant.substring(0, dot) + mant.substring(dot + 1)
+    val fracLen = mant.length - dot - 1
+    val lz = allDigits.indexWhere(_ != '0')
+    if (lz < 0) return if (neg) "-0" else "0"
+    val sig0 = allDigits.substring(lz)
+    val sig = sig0.substring(0,
+      sig0.length - sig0.reverse.indexWhere(_ != '0'))
+    // decimal exponent of the leading significant digit
+    val exp = (allDigits.length - lz - 1) - fracLen + e10
+    val sb = new StringBuilder(if (neg) "-" else "")
+    if (exp >= -4 && exp < maxPlainExp) {
+      if (exp >= 0) {
+        val intLen = exp + 1
+        if (sig.length <= intLen) {
+          sb ++= sig
+          (sig.length until intLen).foreach(_ => sb += '0')
+        } else {
+          sb ++= sig.substring(0, intLen) += '.' ++= sig.substring(intLen)
+        }
+      } else {
+        sb ++= "0."
+        (0 until (-exp - 1)).foreach(_ => sb += '0')
+        sb ++= sig
+      }
+    } else {
+      sb ++= sig.substring(0, 1)
+      if (sig.length > 1) { sb += '.' ++= sig.substring(1) }
+      sb += 'e' += (if (exp < 0) '-' else '+')
+      val ae = math.abs(exp)
+      if (ae < 10) sb += '0'
+      sb ++= ae.toString
+    }
+    sb.toString
   }
 
   private def jsonObject(cols: Seq[Column], vs: Seq[Value]): String =

@@ -165,7 +165,10 @@ object WireFixtures {
         VBinary(Array((if (i % 2 == 0) 1 else 0).toByte)),
         VBinary(be16(i * 3 - 5)),
         VBinary(be64(3000000000L + i)),
-        VBinary(be64(java.lang.Double.doubleToLongBits(i + 0.5))),
+        // i=7/i=10 pin the scientific renderings ('1.25e+23'/'2.5e-07'
+        // in PG text form, not Java's '1.25E23'/'2.5E-7')
+        VBinary(be64(java.lang.Double.doubleToLongBits(
+          if (i == 7) 1.25e23 else if (i == 10) 2.5e-7 else i + 0.5))),
         VBinary(numericStringToBinary(dec)),
         VBinary(s"bin_$i".getBytes(StandardCharsets.UTF_8)),
         VBinary(Array[Byte]((i + 1).toByte, (i + 2).toByte, (i * 7 + 1).toByte)),
@@ -474,6 +477,52 @@ object WireFixtures {
     rowT(5861, 10, tx8, 0, 0, "BBB009", "R5861", "NOTES",
       lobWrite("'zzz'", 3, 1))
     rowT(5870, 36, tx8, 0, 0, "", "R5870", "NOTES", "rollback;")
+
+    // XML chains: XML_BEGIN(68) names the column (text-storage `update
+    // "O"."T" a set a."COL" = XMLTYPE()` or binary `XML DOC BEGIN:
+    // select …`), XML_WRITE(70) fragments CONCATENATE (`XML_REDO :=`,
+    // quoted or HEXTORAW incl. Oracle's missing-end-quote bug, or NULL),
+    // XML_END(71) closes. tx9 = insert + 2-fragment chain merged into
+    // the insert; tx10 = direct mutation, binary begin + buggy HEXTORAW
+    // → synthetic update; tx11 = chain ended by ROLLBACK — never
+    // emitted; tx12 = explicit XML_REDO := NULL → null column.
+    val (tx9, tx10, tx11, tx12) = ("0F0009", "0F000A", "0F000B", "0F000C")
+    rowT(5880, 1, tx9, 0, 0, "DDD001", "R5880", "PAGES",
+      "insert into \"ORA\".\"PAGES\"(\"ID\",\"XDOC\") values " +
+        "('1',Unsupported Type);")
+    rowT(5881, 68, tx9, 0, 0, "DDD001", "R5881", "PAGES",
+      "update \"ORA\".\"PAGES\" a set a.\"XDOC\" = XMLTYPE() " +
+        "where \"ID\" = '1';")
+    rowT(5882, 70, tx9, 0, 0, "DDD001", "R5882", "PAGES",
+      "XML_REDO := '<page>hel' : 9")
+    rowT(5883, 70, tx9, 0, 0, "DDD001", "R5883", "PAGES",
+      "XML_REDO := 'lo</page>' : 9")
+    rowT(5884, 71, tx9, 0, 0, "DDD001", "R5884", "PAGES", "XML DOC END")
+    rowT(5890, 7, tx9, 0, 0, "", "R5890", "PAGES", "commit;")
+
+    rowT(5900, 68, tx10, 0, 0, "DDD002", "R5900", "PAGES",
+      "XML DOC BEGIN:  select \"XDOC\" from \"ORA\".\"PAGES\" where " +
+        "\"ID\" = '2' for update;")
+    // <p>ab</p> as HEXTORAW, final chunk missing the closing quote
+    rowT(5901, 70, tx10, 0, 0, "DDD002", "R5901", "PAGES",
+      "XML_REDO := HEXTORAW('3C703E61623C2F703E) : 9")
+    rowT(5902, 71, tx10, 0, 0, "DDD002", "R5902", "PAGES", "XML DOC END")
+    rowT(5905, 7, tx10, 0, 0, "", "R5905", "PAGES", "commit;")
+
+    rowT(5910, 68, tx11, 0, 0, "DDD003", "R5910", "PAGES",
+      "update \"ORA\".\"PAGES\" a set a.\"XDOC\" = XMLTYPE() " +
+        "where \"ID\" = '3';")
+    rowT(5911, 70, tx11, 0, 0, "DDD003", "R5911", "PAGES",
+      "XML_REDO := '<dead/>' : 7")
+    rowT(5915, 36, tx11, 0, 0, "", "R5915", "PAGES", "rollback;")
+
+    rowT(5920, 68, tx12, 0, 0, "DDD004", "R5920", "PAGES",
+      "XML DOC BEGIN:  select \"XDOC\" from \"ORA\".\"PAGES\" where " +
+        "\"ID\" = '4' for update;")
+    rowT(5921, 70, tx12, 0, 0, "DDD004", "R5921", "PAGES",
+      "XML_REDO := NULL")
+    rowT(5922, 71, tx12, 0, 0, "DDD004", "R5922", "PAGES", "XML DOC END")
+    rowT(5925, 7, tx12, 0, 0, "", "R5925", "PAGES", "commit;")
     lines.mkString("", "\n", "\n")
   }
 

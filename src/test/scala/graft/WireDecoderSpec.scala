@@ -216,6 +216,29 @@ class WireDecoderSpec extends AnyFunSuite {
         """"dec":-3709.111,"name":"bin_3","raw":"BAUW",""" +
         """"d":"2022-03-04","ts":"2023-05-06 07:08:03.240040",""" +
         """"uid":"11223344-5566-7788-0000-000000000003"}""")
+    // scientific-range floats render in PG text form, not Java's
+    val r7 = rows.find(_.keyJson == """{"id":7}""").get
+    assert(r7.payloadJson.contains(""""f8":1.25e+23,"""), r7.payloadJson)
+    val r10 = rows.find(_.keyJson == """{"id":10}""").get
+    assert(r10.payloadJson.contains(""""f8":2.5e-07,"""), r10.payloadJson)
+  }
+
+  test("pgFloatText matches PostgreSQL float8out/float4out form") {
+    import PgOutput.pgFloatText
+    def f8(d: Double): String = pgFloatText(d.toString, 15)
+    assert(f8(0.5) == "0.5" && f8(7.5) == "7.5" && f8(100.0) == "100")
+    assert(f8(0.0001) == "0.0001")      // Java says 1.0E-4
+    assert(f8(0.00001) == "1e-05")
+    assert(f8(1e14) == "100000000000000")
+    assert(f8(1e15) == "1e+15")         // PG switches at 1e15
+    assert(f8(1.25e23) == "1.25e+23" && f8(-1.25e23) == "-1.25e+23")
+    assert(f8(2.5e-7) == "2.5e-07")
+    assert(f8(0.0) == "0" && f8(-0.0) == "-0")
+    assert(f8(Double.NaN) == "NaN" && f8(Double.PositiveInfinity) == "Infinity")
+    def f4(f: Float): String = pgFloatText(f.toString, 6)
+    assert(f4(123456f) == "123456")
+    assert(f4(1234567f) == "1.234567e+06") // PG float4 switches at 1e6
+    assert(f4(0.25f) == "0.25")
   }
 
   test("pgoutput segmentRows: ops, keys from REPLICA IDENTITY, toast sentinel") {
@@ -788,9 +811,11 @@ class WireDecoderSpec extends AnyFunSuite {
           "PRICE" -> "double", "CREATED" -> "timestamp"),
         "ORA.NOTES" -> Seq("ID" -> "long", "TITLE" -> "string",
           "BODY" -> "string"),
-        "ORA.FILES" -> Seq("ID" -> "long", "DATA" -> "string")),
+        "ORA.FILES" -> Seq("ID" -> "long", "DATA" -> "string"),
+        "ORA.PAGES" -> Seq("ID" -> "long", "XDOC" -> "string")),
       keys = Map("ORA.PRODUCTS" -> Seq("ID"), "ORA.NOTES" -> Seq("ID"),
-        "ORA.FILES" -> Seq("ID"))).cache()
+        "ORA.FILES" -> Seq("ID"), "ORA.PAGES" -> Seq("ID")),
+      lobEnabled = true).cache()
     // chunks at offsets 1 and 7 assemble into the insert's after image
     val n1 = out.filter(col("table") === "ORA.NOTES" && col("op") === "c")
       .head()
@@ -811,6 +836,25 @@ class WireDecoderSpec extends AnyFunSuite {
     // tx8's chain ended in ROLLBACK: NOTES row 9 never appears
     assert(out.filter(col("table") === "ORA.NOTES" &&
       col("key_json") === """{"ID":9}""").count() == 0)
+    // XML chain fragments concatenate into the insert's after image
+    val x1 = out.filter(col("table") === "ORA.PAGES" && col("op") === "c")
+      .head()
+    assert(x1.getAs[String]("after_json") ==
+      """{"ID":1,"XDOC":"<page>hello</page>"}""")
+    // direct XML mutation (binary begin + HEXTORAW with the
+    // missing-end-quote bug) → synthetic update
+    val x2 = out.filter(col("table") === "ORA.PAGES" &&
+      col("key_json") === """{"ID":2}""").head()
+    assert(x2.getAs[String]("op") == "u")
+    assert(x2.getAs[String]("after_json") == """{"ID":2,"XDOC":"<p>ab</p>"}""")
+    assert(x2.getAs[Long]("commit_scn") == 5905L)
+    // XML_REDO := NULL nulls the column
+    val x4 = out.filter(col("table") === "ORA.PAGES" &&
+      col("key_json") === """{"ID":4}""").head()
+    assert(x4.getAs[String]("after_json") == """{"ID":4,"XDOC":null}""")
+    // tx11's chain ended in ROLLBACK: PAGES row 3 never appears
+    assert(out.filter(col("table") === "ORA.PAGES" &&
+      col("key_json") === """{"ID":3}""").count() == 0)
     out.unpersist(); ()
   }
 
