@@ -39,8 +39,22 @@ object Geo {
     udf((wkb: Array[Byte]) => decodePointWkb(wkb).map(_._1))
   private val decodeYUdf =
     udf((wkb: Array[Byte]) => decodePointWkb(wkb).map(_._2))
+  // any-geometry byte-level swap (Wkb.swapAxes); point WKB output is
+  // byte-identical to the old decode→re-encode point path
   private val swapUdf = udf { (wkb: Array[Byte]) =>
-    decodePointWkb(wkb).map { case (x, y) => encodePointWkb(y, x) }
+    if (wkb == null || wkb.length < 9) None else Some(Wkb.swapAxes(wkb))
+  }
+  private val ordinatesUdf = udf { (wkb: Array[Byte]) =>
+    if (wkb == null || wkb.length < 9) None else Some(Wkb.ordinates(wkb))
+  }
+  private val geomTypeUdf = udf { (wkb: Array[Byte]) =>
+    if (wkb == null || wkb.length < 9) None else Some(Wkb.geometryType(wkb))
+  }
+  private val toEwkbUdf = udf { (wkb: Array[Byte], srid: Int) =>
+    if (wkb == null || wkb.length < 9) None else Some(Wkb.toEwkb(wkb, srid))
+  }
+  private val fromEwkbUdf = udf { (wkb: Array[Byte]) =>
+    if (wkb == null || wkb.length < 9) None else Some(Wkb.toWkb(wkb)._1)
   }
 
   /** point struct column: STRUCT<wkb, srid> */
@@ -50,7 +64,29 @@ object Geo {
   def pointX(geom: Column): Column = decodeXUdf(geom.getField("wkb"))
   def pointY(geom: Column): Column = decodeYUdf(geom.getField("wkb"))
 
-  /** T17 SwapGeometryCoordinates: axis-order swap without re-projecting. */
+  /** T17 SwapGeometryCoordinates: axis-order swap without re-projecting —
+    * any geometry type, nested and Z/M-flagged included (Wkb.swapAxes).
+    */
   def swapCoordinates(geom: Column): Column =
     struct(swapUdf(geom.getField("wkb")).as("wkb"), geom.getField("srid").as("srid"))
+
+  /** Flat ordinate list of any (E)WKB geometry, traversal order. */
+  def ordinates(geom: Column): Column = ordinatesUdf(geom.getField("wkb"))
+
+  /** Base geometry type code of the top-level header. */
+  def geometryType(geom: Column): Column = geomTypeUdf(geom.getField("wkb"))
+
+  /** T17 GeometryFormatTransformer: WKB → EWKB, folding the struct's
+    * srid into the byte-level SRID word.
+    */
+  def toEwkb(geom: Column): Column =
+    struct(toEwkbUdf(geom.getField("wkb"), geom.getField("srid")).as("wkb"),
+      geom.getField("srid").as("srid"))
+
+  /** T17 GeometryFormatTransformer: EWKB → plain WKB (srid stays in the
+    * struct field).
+    */
+  def fromEwkb(geom: Column): Column =
+    struct(fromEwkbUdf(geom.getField("wkb")).as("wkb"),
+      geom.getField("srid").as("srid"))
 }

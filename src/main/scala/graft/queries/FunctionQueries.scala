@@ -32,6 +32,55 @@ object FunctionQueries extends QueryGroup {
         Geo.pointX(col("geom")).as("sx"), Geo.pointY(col("geom")).as("sy"))
     }),
 
+    // T17 full WKB traverser: polygon/linestring/multipoint built
+    // per-row, then EWKB → big-endian → axis swap → little-endian →
+    // plain WKB; the decoded coordinates must equal the swapped inputs
+    // and the byte-level conversions must be exact inverses
+    // (roundtrip_ok). Oracle is pure arithmetic — the geometry
+    // machinery cancels out exactly when every byte transform is right.
+    "f_geo_traverse" -> ((s, dir) => {
+      val pipeline = udf { (v: Double) =>
+        def run(wkb: Array[Byte]): (Array[Byte], Int) = {
+          val le = graft.functions.Wkb.toLittleEndian(
+            graft.functions.Wkb.swapAxes(graft.functions.Wkb.toBigEndian(
+              graft.functions.Wkb.toEwkb(wkb, 4326))))
+          val (plain, srid) = graft.functions.Wkb.toWkb(le)
+          (plain, srid.getOrElse(-1))
+        }
+        val poly = graft.functions.Wkb.makePolygon(Seq(Seq(
+          (v, v * 2), (v + 1, v * 2), (v + 1, v * 2 + 1),
+          (v, v * 2 + 1), (v, v * 2))))
+        val ls = graft.functions.Wkb.makeLineString(
+          Seq((v, v * 2), (v + 4, v * 2 + 4), (v + 8, v * 2 + 8)))
+        val mp = graft.functions.Wkb.makeMultiPoint(
+          Seq((v, v * 2), (v - 1, v * 2 - 1)))
+        val (p2, srid) = run(poly)
+        val (l2, _) = run(ls)
+        val (m2, _) = run(mp)
+        val po = graft.functions.Wkb.ordinates(p2)
+        val lo = graft.functions.Wkb.ordinates(l2)
+        val mo = graft.functions.Wkb.ordinates(m2)
+        val ok =
+          java.util.Arrays.equals(graft.functions.Wkb.toLittleEndian(
+            graft.functions.Wkb.toBigEndian(poly)), poly) &&
+            java.util.Arrays.equals(graft.functions.Wkb.swapAxes(
+              graft.functions.Wkb.swapAxes(ls)), ls)
+        (graft.functions.Wkb.geometryType(p2), po.size, po.head, po(1),
+          graft.functions.Wkb.geometryType(l2), lo.size, lo.head,
+          graft.functions.Wkb.geometryType(m2), mo.size, mo(2), srid, ok)
+      }
+      t(s, dir, "events").select(col("event_id"),
+        pipeline(col("value")).as("r"))
+        .select(col("event_id"),
+          col("r._1").as("poly_type"), col("r._2").as("poly_ords"),
+          col("r._3").as("poly_x0"), col("r._4").as("poly_y0"),
+          col("r._5").as("ls_type"), col("r._6").as("ls_ords"),
+          col("r._7").as("ls_x0"),
+          col("r._8").as("mp_type"), col("r._9").as("mp_ords"),
+          col("r._10").as("mp_x1"),
+          col("r._11").as("srid"), col("r._12").cast("int").as("roundtrip_ok"))
+    }),
+
     // §1.3 vectors: pg-text render→parse roundtrip is the identity.
     // Projected to scalars (dims + checksum) — raw list columns are not
     // hashable by the driver's comparator.
@@ -124,6 +173,17 @@ object FunctionQueries extends QueryGroup {
 
     "f_geo_swap" ->
       "SELECT event_id, value*2 AS sx, value AS sy FROM events",
+
+    // the EWKB/endianness/swap pipeline cancels to pure arithmetic when
+    // every byte transform is exact — see the query comment
+    "f_geo_traverse" ->
+      """SELECT event_id,
+        | 3 AS poly_type, 10 AS poly_ords,
+        | value*2 AS poly_x0, value AS poly_y0,
+        | 2 AS ls_type, 6 AS ls_ords, value*2 AS ls_x0,
+        | 4 AS mp_type, 4 AS mp_ords, value*2-1 AS mp_x1,
+        | 4326 AS srid, 1 AS roundtrip_ok
+        |FROM events""".stripMargin,
 
     "f_vector_roundtrip" ->
       """SELECT vec_id, len(embedding) AS dims,

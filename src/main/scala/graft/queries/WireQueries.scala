@@ -775,8 +775,10 @@ object WireQueries extends QueryGroup {
         |    WHEN 2 THEN 'AQEAAAAAAAAAAAAAQAAAAAAAAARA'
         |    WHEN 3 THEN 'AQEAAAAAAAAAAAAIQAAAAAAAAAxA'
         |    WHEN 4 THEN 'AQEAAAAAAAAAAAAQQAAAAAAAABJA'
-        |    WHEN 5 THEN 'AQEAAAAAAAAAAAAUQAAAAAAAABZA' END)||'"}}'
-        | FROM range(6) t(i)""".stripMargin
+        |    WHEN 5 THEN 'AQEAAAAAAAAAAAAUQAAAAAAAABZA'
+        |    WHEN 6 THEN 'AQIAAAACAAAAAAAAAAAA+D8AAAAAAAAEQAAAAAAAAAxAAAAAAAAAEkA='
+        |    WHEN 7 THEN 'AQMAAAABAAAABAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAADwPwAAAAAAAAAAAAAAAAAA8D8AAAAAAADwPwAAAAAAAAAAAAAAAAAAAAA=' END)||'"}}'
+        | FROM range(8) t(i)""".stripMargin
   )
 
   // range()/string-concat dialect is DuckDB-only

@@ -247,7 +247,15 @@ object WireFixtures {
 
   def geoRow(i: Int): MySqlBinlog.Row = {
     import MySqlBinlog._
-    Row(Seq(Some(i), Some(Geom(4326, wkbPoint(i.toDouble, i + 0.5)))))
+    // rows 0-5 points; 6 = LINESTRING, 7 = POLYGON — the GEOMETRY column
+    // carries any WKB, and the full Wkb traverser handles it downstream
+    val wkb = i match {
+      case 6 => graft.functions.Wkb.makeLineString(Seq((1.5, 2.5), (3.5, 4.5)))
+      case 7 => graft.functions.Wkb.makePolygon(Seq(Seq(
+        (0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0))))
+      case _ => wkbPoint(i.toDouble, i + 0.5)
+    }
+    Row(Seq(Some(i), Some(Geom(4326, wkb))))
   }
 
   def binlogSegment: Array[Byte] = {
@@ -275,7 +283,7 @@ object WireFixtures {
     events += encodeRows(WRITE_ROWS_V2, 951, JsonMap, (0 until 10).map(jsonRow))
     events += encodeXid(952, 9003L)
     events += encodeTableMap(960, GeoMap)
-    events += encodeRows(WRITE_ROWS_V2, 961, GeoMap, (0 until 6).map(geoRow))
+    events += encodeRows(WRITE_ROWS_V2, 961, GeoMap, (0 until 8).map(geoRow))
     events += encodeXid(962, 9004L)
     // PARTIAL_UPDATE_ROWS (binlog_row_value_options=PARTIAL_JSON): the
     // JSON column carries a json_diff sequence — replace a member and

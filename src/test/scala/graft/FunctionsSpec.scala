@@ -64,6 +64,69 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Geo.decodePointWkb(Array[Byte](1, 2, 3)) === None)
   }
 
+  test("Wkb traverser: all geometry types, mixed endianness, Z/M, EWKB") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.functions.Wkb
+    // hand-built: little-endian GEOMETRYCOLLECTION holding a BIG-endian
+    // POINT and a little-endian LINESTRING — per-scope byte orders
+    val bePoint = {
+      val bb = ByteBuffer.allocate(21).order(ByteOrder.BIG_ENDIAN)
+      bb.put(0.toByte); bb.putInt(1); bb.putDouble(1.5); bb.putDouble(-2.5)
+      bb.array()
+    }
+    val leLine = Wkb.makeLineString(Seq((10.0, 20.0), (30.0, 40.0)))
+    val coll = {
+      val bb = ByteBuffer.allocate(9 + bePoint.length + leLine.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte); bb.putInt(Wkb.GeometryCollection); bb.putInt(2)
+      bb.put(bePoint); bb.put(leLine)
+      bb.array()
+    }
+    assert(Wkb.geometryType(coll) == Wkb.GeometryCollection)
+    assert(Wkb.ordinates(coll) == Seq(1.5, -2.5, 10.0, 20.0, 30.0, 40.0))
+    // swap preserves each scope's byte order, swaps every pair
+    val swapped = Wkb.swapAxes(coll)
+    assert(swapped(9) == 0.toByte, "nested big-endian marker preserved")
+    assert(Wkb.ordinates(swapped) == Seq(-2.5, 1.5, 20.0, 10.0, 40.0, 30.0))
+    assert(java.util.Arrays.equals(Wkb.swapAxes(swapped), coll))
+    // endianness conversion normalizes every scope and round-trips
+    val le = Wkb.toLittleEndian(coll)
+    assert(le(9) == 1.toByte, "nested point rewritten little-endian")
+    assert(Wkb.ordinates(le) == Wkb.ordinates(coll))
+    assert(java.util.Arrays.equals(
+      Wkb.toLittleEndian(Wkb.toBigEndian(coll)), le))
+    // EWKB: srid flag + word at the top level only; strip recovers both
+    val ewkb = Wkb.toEwkb(leLine, 4326)
+    assert(Wkb.sridOf(ewkb) == Some(4326) && Wkb.sridOf(leLine).isEmpty)
+    assert(java.util.Arrays.equals(Wkb.toEwkb(ewkb, 9999), ewkb),
+      "toEwkb is idempotent")
+    val (plain, srid) = Wkb.toWkb(ewkb)
+    assert(java.util.Arrays.equals(plain, leLine) && srid == Some(4326))
+    // Z-flagged polygon: stride 3, only the leading pair swaps
+    val polyZ = {
+      val bb = ByteBuffer.allocate(9 + 4 + 3 * 24)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte); bb.putInt(Wkb.Polygon | Wkb.ZFlag); bb.putInt(1)
+      bb.putInt(3)
+      Seq((1.0, 2.0, 9.0), (3.0, 4.0, 9.5), (1.0, 2.0, 9.0)).foreach {
+        case (x, y, z) => bb.putDouble(x); bb.putDouble(y); bb.putDouble(z)
+      }
+      bb.array()
+    }
+    assert(Wkb.ordinates(Wkb.swapAxes(polyZ)) ==
+      Seq(2.0, 1.0, 9.0, 4.0, 3.0, 9.5, 2.0, 1.0, 9.0))
+    // multipolygon via the sub-geometry path
+    val mp = {
+      val p1 = Wkb.makePolygon(Seq(Seq((0.0, 0.0), (1.0, 0.0), (0.0, 0.0))))
+      val bb = ByteBuffer.allocate(9 + p1.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte); bb.putInt(Wkb.MultiPolygon); bb.putInt(1); bb.put(p1)
+      bb.array()
+    }
+    assert(Wkb.geometryType(mp) == Wkb.MultiPolygon &&
+      Wkb.ordinates(mp).size == 6)
+  }
+
   test("sparse vector text parse") {
     import spark.implicits._
     val df = Seq("{0:0.5,3:-1.25}/8").toDF("s")

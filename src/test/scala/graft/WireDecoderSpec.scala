@@ -377,7 +377,7 @@ class WireDecoderSpec extends AnyFunSuite {
     val rows = MySqlBinlog.segmentRows(WireFixtures.binlogSegment, names).toSeq
     assert(rows.size == WireFixtures.binlogRowCount)
     val byOp = rows.groupBy(_.op).view.mapValues(_.size).toMap
-    assert(byOp == Map("c" -> 56, "u" -> 12, "d" -> 4))
+    assert(byOp == Map("c" -> 58, "u" -> 12, "d" -> 4))
     val w12 = rows.find(r => r.op == "c" && r.table == "testdb.bl_items" &&
       r.keyJson == """{"id":12}""").get
     assert(w12.pos == 501) // second WRITE event (rows 10..19)
@@ -558,11 +558,26 @@ class WireDecoderSpec extends AnyFunSuite {
     val names = Map("testdb.bl_geo" -> Seq("id", "g"))
     val rows = MySqlBinlog.segmentRows(WireFixtures.binlogSegment, names)
       .filter(_.table == "testdb.bl_geo").toSeq
-    assert(rows.size == 6)
+    assert(rows.size == 8)
     val r2 = rows.find(_.keyJson == """{"id":2}""").get
     // POINT(2 2.5), little-endian WKB, SRID 4326
     assert(r2.payloadJson ==
       """{"id":2,"g":{"srid":4326,"wkb":"AQEAAAAAAAAAAAAAQAAAAAAAAARA"}}""")
+    // non-point geometries ride the same SRID+WKB channel and decode
+    // through the full Wkb traverser
+    def wkbOf(r: graft.sources.wire.PgOutput.WireRow): Array[Byte] = {
+      val b64 = """"wkb":"([^"]+)"""".r
+        .findFirstMatchIn(r.payloadJson).get.group(1)
+      java.util.Base64.getDecoder.decode(b64)
+    }
+    val r6 = wkbOf(rows.find(_.keyJson == """{"id":6}""").get)
+    assert(graft.functions.Wkb.geometryType(r6) == graft.functions.Wkb.LineString)
+    assert(graft.functions.Wkb.ordinates(r6) == Seq(1.5, 2.5, 3.5, 4.5))
+    val r7 = wkbOf(rows.find(_.keyJson == """{"id":7}""").get)
+    assert(graft.functions.Wkb.geometryType(r7) == graft.functions.Wkb.Polygon)
+    assert(graft.functions.Wkb.ordinates(
+      graft.functions.Wkb.swapAxes(r7)) ==
+      Seq(0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0))
   }
 
   test("NEWDECIMAL decodes from hand-built packed bytes (sign-bit + NOT)") {
