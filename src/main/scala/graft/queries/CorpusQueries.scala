@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analytics.{Boilerplate, Decontaminate, Dedup, LanguageModel, Sampling, SequencePack, Similarity, TextAnalysis}
+import graft.analytics.{Boilerplate, Decontaminate, Dedup, LanguageModel, Sampling, SequencePack, Similarity, SubstringDedup, TextAnalysis}
 
 /** LLM-training-corpus operators over `documents` / `embeddings`:
   * deduplication (exact, Jaccard, MinHash+LSH, SimHash), similarity search
@@ -243,6 +243,14 @@ object CorpusQueries extends QueryGroup {
     // fully-boilerplate docs)
     "a_passage_dedup" -> ((s, dir) =>
       Boilerplate.removeBoilerplate(t(s, dir, "documents"),
+        width = 16, minDocs = 2)),
+
+    // Suffix-array-style exact substring dedup (windowed-hash
+    // approximation): stride-1 16-token windows find shared substrings
+    // at ANY offset; overlapping duplicated windows fold into spans
+    // with exact token coverage
+    "a_substring_dedup" -> ((s, dir) =>
+      SubstringDedup.substringStats(t(s, dir, "documents"),
         width = 16, minDocs = 2)),
 
     // KenLM-style corpus-LM quality score: add-one-smoothed bigram
@@ -767,6 +775,35 @@ object CorpusQueries extends QueryGroup {
         | CAST(ceil(len(t.tk)/16.0) AS BIGINT) - coalesce(rb.n_kept, 0) AS n_dropped
         |FROM t LEFT JOIN rb USING (doc_id)""".stripMargin,
 
+    // stride-1 window duplication joins on window TEXT (md5 collision-
+    // free at this scale); islands via the same lag/sum gaps pattern
+    "a_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        | b AS (SELECT doc_id, len(tk) AS n, tk FROM t),
+        | w AS (SELECT doc_id,
+        |   unnest(range(0, n - 15)) AS o,
+        |   unnest([array_to_string(tk[(i+1):(i+16)],' ')
+        |     for i in range(0, n - 15)]) AS wtext
+        |  FROM b WHERE n >= 16),
+        | c AS (SELECT wtext, count(DISTINCT doc_id) AS nd FROM w GROUP BY wtext),
+        | d AS (SELECT doc_id, o FROM w JOIN c USING (wtext) WHERE nd >= 2),
+        | m AS (SELECT doc_id, o, CASE WHEN o - lag(o) OVER
+        |     (PARTITION BY doc_id ORDER BY o) <= 16 THEN 0 ELSE 1 END AS brk
+        |  FROM d),
+        | g AS (SELECT doc_id, o, sum(brk) OVER
+        |     (PARTITION BY doc_id ORDER BY o) AS grp FROM m),
+        | isl AS (SELECT doc_id, grp, min(o) AS s, max(o) AS e
+        |  FROM g GROUP BY doc_id, grp),
+        | cov AS (SELECT doc_id, count(*) AS n_dup_spans,
+        |   CAST(sum(e - s + 16) AS BIGINT) AS dup_tokens
+        |  FROM isl GROUP BY doc_id),
+        | cnt AS (SELECT doc_id, count(*) AS n_dup_windows FROM d GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(greatest(n - 15, 0) AS BIGINT) AS n_windows,
+        | coalesce(cnt.n_dup_windows, 0) AS n_dup_windows,
+        | coalesce(cov.n_dup_spans, 0) AS n_dup_spans,
+        | coalesce(cov.dup_tokens, 0) AS dup_tokens
+        |FROM b LEFT JOIN cnt USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin,
+
     // identical add-one bigram model: integer counts, one IEEE division
     // per term, floor-quantize at 1e-9, exact integer sums
     "a_lm_score" ->
@@ -870,6 +907,6 @@ object CorpusQueries extends QueryGroup {
     "a_embed_norms", "a_ann_topk",
     "a_cosine_pairs", "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh",
     "a_ann_ivf", "a_semantic_dedup",
-    "a_passage_dedup", "a_lm_score", "a_source_overlap",
+    "a_passage_dedup", "a_substring_dedup", "a_lm_score", "a_source_overlap",
     "a_mixture_sample", "a_embed_quantize", "a_vocab_induction")
 }

@@ -103,6 +103,13 @@ class PlanSpec extends AnyFunSuite {
       "window counts should be a hash aggregation (map-side combinable)")
   }
 
+  test("substring dedup: no cartesian, window counts partially aggregate") {
+    val p = plan("a_substring_dedup")
+    assert(!p.contains("CartesianProduct"), "no all-pairs stage allowed")
+    assert(p.contains("HashAggregate"),
+      "window duplication counts should hash-aggregate (map-side combine)")
+  }
+
   test("LM scoring never cross-joins; vocab scalar broadcasts") {
     val p = plan("a_lm_score")
     assert(!p.contains("CartesianProduct"),
