@@ -44,6 +44,41 @@ object Mixture {
     * @param budgetFactor total token budget as a multiple of the
     *                     corpus's natural token count
     */
+  /** Mixture → physical corpus assembly in ONE pass: the factor table's
+    * `explode(sequence(1, n_repeats))` fuses directly with sequence
+    * packing, so the assembled (repeated) corpus gets pack ids without
+    * materializing an intermediate copy table. Output one row per
+    * physical COPY: `(doc_id, source, copy, shard, n_tokens, pack_id,
+    * pack_offset)`, ordered within each shard by (doc_id, copy) — the
+    * deterministic extension of `SequencePack.pack`'s doc_id order to
+    * repeated documents.
+    *
+    * Plan shape: the explode is map-only on top of the broadcast rate
+    * join, so the ONLY shuffle is the pack's shard hash — identical to
+    * packing alone; repeating the corpus adds zero extra shuffles.
+    * Equals the two-step composition (repeatFactors → explode →
+    * pack-by-(doc_id, copy)) bit-for-bit; `MixturePackSpec` asserts it.
+    */
+  def packMixture(docs: DataFrame, weights: Map[String, Long],
+                  budgetFactor: Int, budget: Int, shards: Int): DataFrame = {
+    val copies = repeatFactors(docs, weights, budgetFactor)
+      .filter(col("n_repeats") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_repeats"))).as("copy"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"), col("copy"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    copies
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("copy"), col("shard"),
+        col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budget).cast("long")
+          .as("pack_id"),
+        ((col("cum") - col("n_tokens")) % budget).as("pack_offset"))
+  }
+
   def repeatFactors(docs: DataFrame, weights: Map[String, Long],
                     budgetFactor: Int = 2): DataFrame = {
     val toks = graft.analytics.TextAnalysis.tokenCount(col("text"))

@@ -326,6 +326,19 @@ object CorpusQueries extends QueryGroup {
       graft.analytics.Mixture.repeatFactors(docs, weights, budgetFactor = 2)
     }),
 
+    // mixture → physical assembly fused with packing: one row per
+    // physical copy with its pack id, zero extra shuffles vs packing
+    // alone (explode is map-only over the broadcast rate join)
+    "a_mixture_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sources = docs.select(col("source")).distinct()
+        .collect().map(_.getString(0))
+      val weights = sources.map(src => src ->
+        (if (src.stripPrefix("src").toInt % 4 == 1) 3L else 1L)).toMap
+      graft.analytics.Mixture.packMixture(docs, weights,
+        budgetFactor = 2, budget = 2048, shards = 8)
+    }),
+
     // IVF ANN with pretrained cells: the oracle replays the identical
     // cell-assignment + probe + rank computation from centroid literals
     // (the data-fitted k-means trainer is exercised by CoordinatorIvfSpec,
@@ -881,6 +894,42 @@ object CorpusQueries extends QueryGroup {
         |   AS BIGINT) AS n_repeats
         |FROM b""".stripMargin,
 
+    // the mixture CTEs compose with the pack CTEs: copies unnest from
+    // the factor table, the pack window orders by (doc_id, copy)
+    "a_mixture_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  len(string_split(text,' '))::BIGINT AS n_tokens FROM documents),
+        | ps AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_s
+        |  FROM t GROUP BY source),
+        | tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS ttot FROM ps),
+        | ws AS (SELECT source,
+        |   CASE WHEN CAST(substr(source, 4, 10) AS INT) % 4 = 1
+        |        THEN 3 ELSE 1 END AS w FROM ps),
+        | wsum AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM ws),
+        | r AS (SELECT ps.source,
+        |   (ws.w * 2 * tot.ttot)::DOUBLE / (ps.t_s * wsum.wsum) AS rate
+        |  FROM ps JOIN ws USING (source), tot, wsum),
+        | b AS (SELECT t.doc_id, t.source, t.n_tokens, r.rate,
+        |   CAST(list_sum([(strpos('0123456789abcdef',
+        |       substr(md5(t.doc_id::VARCHAR), i, 1))-1)::BIGINT
+        |       << (4*(6-i)) for i in range(1, 7)]) AS BIGINT) % 10000 AS bucket
+        |  FROM t JOIN r USING (source)),
+        | mr AS (SELECT doc_id, source, n_tokens,
+        |   CAST(floor(rate) + (CASE WHEN bucket <
+        |     floor((rate - floor(rate)) * 10000) THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_repeats FROM b),
+        | cp AS (SELECT doc_id, source, n_tokens,
+        |   unnest(range(1, n_repeats + 1)) AS copy
+        |  FROM mr WHERE n_repeats > 0),
+        | c AS (SELECT doc_id, source, copy, doc_id % 8 AS shard, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY doc_id % 8
+        |    ORDER BY doc_id, copy ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM cp)
+        |SELECT doc_id, source, copy, shard, n_tokens,
+        | CAST(floor((cum - n_tokens)/2048) AS BIGINT) AS pack_id,
+        | (cum - n_tokens) % 2048 AS pack_offset
+        |FROM c""".stripMargin,
+
     // same pair derivation as a_jaccard_pairs, rolled up by source pair
     "a_source_overlap" ->
       """WITH s AS (SELECT doc_id, source,
@@ -908,5 +957,6 @@ object CorpusQueries extends QueryGroup {
     "a_cosine_pairs", "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh",
     "a_ann_ivf", "a_semantic_dedup",
     "a_passage_dedup", "a_substring_dedup", "a_lm_score", "a_source_overlap",
-    "a_mixture_sample", "a_embed_quantize", "a_vocab_induction")
+    "a_mixture_sample", "a_mixture_pack", "a_embed_quantize",
+    "a_vocab_induction")
 }

@@ -119,6 +119,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist(); ()
   }
 
+  test("packMixture equals the two-step repeatFactors → explode → pack composition") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val weights = docs.select(col("source")).distinct().collect()
+      .map(_.getString(0)).map(s => s ->
+        (if (s.stripPrefix("src").toInt % 2 == 0) 4L else 1L)).toMap
+    val fused = Mixture.packMixture(docs, weights,
+      budgetFactor = 3, budget = 1024, shards = 4)
+    // independent two-step: materialize the factor table, explode the
+    // copies, then run the pack window over (doc_id, copy)
+    val copies = Mixture.repeatFactors(docs, weights, budgetFactor = 3)
+      .filter(col("n_repeats") > 0)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_repeats"))).as("copy"))
+    copies.createOrReplaceTempView("mix_copies")
+    val twoStep = spark.sql(
+      """SELECT doc_id, source, copy, doc_id % 4 AS shard, n_tokens,
+        | CAST(floor((cum - n_tokens)/1024) AS BIGINT) AS pack_id,
+        | (cum - n_tokens) % 1024 AS pack_offset
+        |FROM (SELECT *, SUM(n_tokens) OVER (PARTITION BY doc_id % 4
+        |  ORDER BY doc_id, copy ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM mix_copies)""".stripMargin)
+    val a = fused.collect().map(_.toSeq).toSet
+    val b = twoStep.collect().map(_.toSeq).toSet
+    assert(a == b, s"fused ${a.size} rows != two-step ${b.size} rows")
+    // every copy of every surviving document is placed exactly once
+    val expected = Mixture.repeatFactors(docs, weights, budgetFactor = 3)
+      .agg(sum(col("n_repeats"))).head().getLong(0)
+    assert(a.size.toLong == expected)
+  }
+
   test("incremental packing equals batch packing; replayed epochs are idempotent") {
     val many = spark.range(100).select(col("id").as("doc_id"),
       concat_ws(" ", array_repeat(lit("w"), (col("id") % 37 + 3).cast("int")))
