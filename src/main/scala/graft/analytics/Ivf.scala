@@ -236,12 +236,27 @@ object Ivf {
       .cast("int")
   }
 
-  /** Columns: indices of the `nprobe` nearest centroids. */
+  /** Columns: indices of the `nprobe` nearest centroids. Interpreted
+    * form — prefer `probeCellsNative` on hot query sides.
+    */
   def probeCells(emb: Column, centroids: Seq[Centroid], nprobe: Int): Column =
     probeCellsNe(normalized(emb), centroids, nprobe)
 
-  /** Top-k per query, probing `nprobe` cells. The normalized vector is
-    * projected once per row and shared by all centroid distances.
+  /** Query-side probe as a native codegen expression — bit-identical to
+    * `probeCells` (same distances, tie order, NaN placement) but one
+    * bounded insertion-sort loop per row instead of k × dims interpreted
+    * lambdas plus a k-element sort. The difference between batch-ANN
+    * over millions of query rows finishing and not.
+    */
+  def probeCellsNative(df: DataFrame)(emb: Column, centroids: Seq[Centroid],
+                                      nprobe: Int): Column = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    graft.expressions.GraftFunctions
+      .nearestCells(emb, centroids.map(_.toSeq), nprobe)
+  }
+
+  /** Top-k per query, probing `nprobe` cells. Both the corpus-side cell
+    * assignment and the query-side probe are native codegen expressions.
     */
   def searchTopK(corpus: DataFrame, queries: DataFrame,
                  centroids: Seq[Centroid], k: Int, nprobe: Int): DataFrame = {
@@ -250,10 +265,10 @@ object Ivf {
         col("embedding").as("ce"),
         cellOfNative(corpus)(col("embedding"), centroids).as("cell"))
     val q = queries
-      .withColumn("_ne", normalized(col("embedding")))
       .select(col("vec_id").as("query_id"),
         col("embedding").as("qe"),
-        explode(probeCellsNe(col("_ne"), centroids, nprobe)).as("cell"))
+        explode(probeCellsNative(queries)(col("embedding"), centroids,
+          nprobe)).as("cell"))
     val scored = cell.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",

@@ -54,6 +54,16 @@ object GraftFunctions {
       val mat = Array.tabulate(ad.numElements())(i =>
         ad.getArray(i).toDoubleArray())
       NearestCell(exprs(0), mat)
+    }),
+    "graft_nearest_cells" -> ((exprs: Seq[Expression]) => {
+      require(exprs(1).foldable && exprs(2).foldable,
+        "nearest_cells centroids/nprobe must be literals")
+      val ad = exprs(1).eval().asInstanceOf[
+        org.apache.spark.sql.catalyst.util.ArrayData]
+      val mat = Array.tabulate(ad.numElements())(i =>
+        ad.getArray(i).toDoubleArray())
+      NearestCells(exprs(0), mat,
+        exprs(2).eval().asInstanceOf[Number].intValue())
     })
   )
 
@@ -80,6 +90,15 @@ object GraftFunctions {
   def nearestCell(emb: Column, centroids: Seq[Seq[Double]]): Column =
     call_function("graft_nearest_cell", emb,
       org.apache.spark.sql.functions.typedLit(centroids))
+
+  /** Indices of the nprobe nearest centroids via the native expression
+    * (register(spark) first).
+    */
+  def nearestCells(emb: Column, centroids: Seq[Seq[Double]],
+                   nprobe: Int): Column =
+    call_function("graft_nearest_cells", emb,
+      org.apache.spark.sql.functions.typedLit(centroids),
+      org.apache.spark.sql.functions.lit(nprobe))
 
   /** Elementwise array<double> sum aggregate (register(spark) first). */
   def vectorSum(v: Column): Column = call_function("graft_vector_sum", v)

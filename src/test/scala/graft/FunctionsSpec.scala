@@ -26,6 +26,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff == 0, "native expression drifted from declarative cosine")
   }
 
+  test("native nearest_cells matches the interpreted probe exactly") {
+    GraftFunctions.register(spark)
+    import graft.analytics.Ivf
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // duplicated centroids force distance ties — tie order (lower index
+    // first) must match array_sort's struct ordering
+    val cents = Ivf.pretrainedCentroids(14, 64) ++
+      Ivf.pretrainedCentroids(2, 64)
+    Seq(3, 7, 16, 99).foreach { nprobe => // 99 > k exercises the clamp
+      val diff = e.select(
+        Ivf.probeCells(col("embedding"), cents, nprobe).as("a"),
+        Ivf.probeCellsNative(e)(col("embedding"), cents, nprobe).as("b"))
+        .filter(not(col("a") === col("b"))).count()
+      assert(diff == 0, s"native probe drifted at nprobe=$nprobe")
+    }
+  }
+
   test("vector_sum aggregate: elementwise sums, null vectors skipped, dims strict") {
     GraftFunctions.register(spark)
     import spark.implicits._
