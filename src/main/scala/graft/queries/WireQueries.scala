@@ -255,10 +255,11 @@ object WireQueries extends QueryGroup {
           "ORA.NOTES" -> Seq(
             "ID" -> "long", "TITLE" -> "string", "BODY" -> "string"),
           "ORA.FILES" -> Seq("ID" -> "long", "DATA" -> "string"),
-          "ORA.PAGES" -> Seq("ID" -> "long", "XDOC" -> "string")),
+          "ORA.PAGES" -> Seq("ID" -> "long", "XDOC" -> "string"),
+          "ORA.MEMOS" -> Seq("ID" -> "long", "BODY" -> "string")),
         keys = Map("ORA.PRODUCTS" -> Seq("ID"),
           "ORA.NOTES" -> Seq("ID"), "ORA.FILES" -> Seq("ID"),
-          "ORA.PAGES" -> Seq("ID")),
+          "ORA.PAGES" -> Seq("ID"), "ORA.MEMOS" -> Seq("ID")),
         lobEnabled = true)
     }),
 
@@ -625,7 +626,13 @@ object WireQueries extends QueryGroup {
         |UNION ALL
         |SELECT 'ORA.PAGES', 'u', 5920, 5925, '0F000C', '{"ID":4}',
         |  CAST(NULL AS VARCHAR),
-        |  '{"ID":4,"XDOC":null}'""".stripMargin,
+        |  '{"ID":4,"XDOC":null}'
+        |UNION ALL
+        |-- 32K chain: fragments concatenate into the insert's after
+        |-- image; rolled-back tx14 absent
+        |SELECT 'ORA.MEMOS', 'c', 5930, 5940, '0F000D', '{"ID":1}',
+        |  CAST(NULL AS VARCHAR),
+        |  '{"ID":1,"BODY":"long text part one and part two"}'""".stripMargin,
 
     "s12_change_stream_decode" ->
       s"""SELECT 'shop.items' AS "table", 'c' AS op,

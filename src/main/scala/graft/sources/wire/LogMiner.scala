@@ -58,6 +58,9 @@ object LogMiner {
   val OpXmlBegin = 68
   val OpXmlWrite = 70
   val OpXmlEnd = 71
+  val OpXsBegin = 91  // 32K extended-string (VARCHAR2(32767)) chains
+  val OpXsWrite = 92
+  val OpXsEnd = 93
 
   /** One parsed DML: maps are name → Some(text) | None (SQL NULL); a
     * column absent from a map was not mentioned in that clause.
@@ -331,6 +334,52 @@ object LogMiner {
     }
   }
 
+  // ------------------------------------- 32K extended-string chains
+  // VARCHAR2(32767) columns (MAX_STRING_SIZE = EXTENDED) mutate as
+  // 32K_BEGIN (91) / 32K_WRITE (92) / 32K_END (93) chains — same
+  // concatenating fold as XML, different redo grammar: the BEGIN wraps
+  // an UPDATE statement in a PL/SQL `Stmt := '…';` assignment with ''
+  // escaping, the WRITE carries a raw data slice — ref
+  // `logminer/parser/ExtendedStringParser.java`,
+  // `AbstractLogMinerStreamingChangeEventSource.java:744-795` (write
+  // data = substring(12, second-last ';' - 1)).
+
+  /** 32K_BEGIN redo → target column/table/row:
+    * `declare … begin  Stmt := 'update "O"."T" set "COL" = :V where
+    * …';end;` — the embedded statement unescapes `''` before parsing.
+    */
+  def parseExtendedStringBegin(sql: String): LobLocator = {
+    val p = " Stmt := '"
+    val at = sql.indexOf(p)
+    require(at >= 0, s"not a 32K_BEGIN redo: $sql")
+    val close = sql.lastIndexOf("';")
+    require(close > at, s"unterminated Stmt in 32K_BEGIN redo: $sql")
+    val stmt = sql.substring(at + p.length, close).replace("''", "'")
+    val c = new Cursor(stmt)
+    c.expect("update ")
+    val (owner, table) = parseQualifiedName(c)
+    c.skipSpaces(); c.expect("set ")
+    val column = parseQuotedIdent(c)
+    val wh = c.s.indexOf("where ", c.i)
+    require(wh >= 0, s"no WHERE clause in 32K_BEGIN redo: $sql")
+    var cond = c.s.substring(wh + 6).trim
+    if (cond.endsWith(";")) cond = cond.dropRight(1)
+    val wc = new Cursor(cond + ";")
+    LobLocator(owner, table, column, parseWhere(wc))
+  }
+
+  /** 32K_WRITE redo → raw data slice: characters from fixed offset 12
+    * to just before the second-to-last `;` (exclusive of the closing
+    * quote) — the reference's exact extraction.
+    */
+  def parseExtendedStringWrite(sql: String): String = {
+    val last = sql.lastIndexOf(";")
+    require(last >= 0, "no terminator in 32K_WRITE redo")
+    val end = sql.lastIndexOf(";", last - 1)
+    require(end >= 12, s"no data terminator in 32K_WRITE redo: $sql")
+    sql.substring(12, end - 1)
+  }
+
   /** One parsed LOB_WRITE chunk: 1-based offset (chars for CLOB, bytes
     * for BLOB) and the data — quoted text, or hex when the buffer was
     * assigned `HEXTORAW('…')`.
@@ -549,7 +598,7 @@ object LogMiner {
                                 keys: Map[String, Seq[String]]): Dataset[LobChain] = {
     val lobRows = assembled
       .filter(col("opcode").isin(OpSelLobLocator, OpLobWrite, OpLobTrim,
-        OpXmlBegin, OpXmlWrite, OpXmlEnd))
+        OpXmlBegin, OpXmlWrite, OpXmlEnd, OpXsBegin, OpXsWrite, OpXsEnd))
       .select("rownum", "scn", "opcode", "xid", "row_id", "sql")
     lobRows.as(Encoders.row(lobRows.schema))
       .groupByKey(_.getAs[String]("xid"))(Encoders.STRING)
@@ -562,9 +611,10 @@ object LogMiner {
         }
         val targets = scala.collection.mutable.LinkedHashMap[(String, String), Tgt]()
         var cur: Option[Tgt] = None
-        // XML chains track their own open target, like the reference's
-        // separate currentXmlDetails construction state
+        // XML and 32K chains each track their own open target, like the
+        // reference's separate per-kind construction state
         var curXml: Option[Tgt] = None
+        var curXs: Option[Tgt] = None
         it.toSeq.sortBy(_.getAs[Long]("rownum")).foreach { r =>
           r.getAs[Int]("opcode") match {
             case OpSelLobLocator =>
@@ -601,6 +651,17 @@ object LogMiner {
               }
             case OpXmlEnd =>
               curXml = None // chain closed; value already assembled
+            case OpXsBegin =>
+              val loc = parseExtendedStringBegin(r.getAs[String]("sql"))
+              val rowId = r.getAs[String]("row_id")
+              curXs = Some(targets.getOrElseUpdate((rowId, loc.column),
+                new Tgt(rowId, loc, r.getAs[Long]("scn"))))
+            case OpXsWrite =>
+              val t = curXs.getOrElse(throw new IllegalStateException(
+                "32K_WRITE before any 32K_BEGIN"))
+              t.sb.append(parseExtendedStringWrite(r.getAs[String]("sql"))): Unit
+            case OpXsEnd =>
+              curXs = None
           }
         }
         // synthetic after-image per ROW (all of the row's LOB columns

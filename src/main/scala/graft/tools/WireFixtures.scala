@@ -531,6 +531,32 @@ object WireFixtures {
       "XML_REDO := NULL")
     rowT(5922, 71, tx12, 0, 0, "DDD004", "R5922", "PAGES", "XML DOC END")
     rowT(5925, 7, tx12, 0, 0, "", "R5925", "PAGES", "commit;")
+
+    // 32K extended-string chains (VARCHAR2(32767)): 32K_BEGIN(91) wraps
+    // an UPDATE in a `Stmt := '…';` assignment with '' escaping,
+    // 32K_WRITE(92) carries a raw slice at fixed offset 12, fragments
+    // concatenate, 32K_END(93) closes. tx13 merges into its insert;
+    // tx14's chain ends in ROLLBACK and never emits.
+    def xsBegin(id: Int): String =
+      "declare  v varchar2(32767);begin  Stmt := 'update \"ORA\"." +
+        s""""MEMOS" set "BODY" = :1 where "ID" = ''$id''';end;"""
+    def xsWrite(data: String): String = s"esw_buf := '$data';end;"
+    val (tx13, tx14) = ("0F000D", "0F000E")
+    rowT(5930, 1, tx13, 0, 0, "EEE001", "R5930", "MEMOS",
+      "insert into \"ORA\".\"MEMOS\"(\"ID\",\"BODY\") values " +
+        "('1',Unsupported Type);")
+    rowT(5931, 91, tx13, 0, 0, "EEE001", "R5931", "MEMOS", xsBegin(1))
+    rowT(5932, 92, tx13, 0, 0, "EEE001", "R5932", "MEMOS",
+      xsWrite("long text part one "))
+    rowT(5933, 92, tx13, 0, 0, "EEE001", "R5933", "MEMOS",
+      xsWrite("and part two"))
+    rowT(5934, 93, tx13, 0, 0, "EEE001", "R5934", "MEMOS", "32K DOC END")
+    rowT(5940, 7, tx13, 0, 0, "", "R5940", "MEMOS", "commit;")
+
+    rowT(5950, 91, tx14, 0, 0, "EEE002", "R5950", "MEMOS", xsBegin(2))
+    rowT(5951, 92, tx14, 0, 0, "EEE002", "R5951", "MEMOS",
+      xsWrite("doomed"))
+    rowT(5955, 36, tx14, 0, 0, "", "R5955", "MEMOS", "rollback;")
     lines.mkString("", "\n", "\n")
   }
 

@@ -827,9 +827,11 @@ class WireDecoderSpec extends AnyFunSuite {
         "ORA.NOTES" -> Seq("ID" -> "long", "TITLE" -> "string",
           "BODY" -> "string"),
         "ORA.FILES" -> Seq("ID" -> "long", "DATA" -> "string"),
-        "ORA.PAGES" -> Seq("ID" -> "long", "XDOC" -> "string")),
+        "ORA.PAGES" -> Seq("ID" -> "long", "XDOC" -> "string"),
+        "ORA.MEMOS" -> Seq("ID" -> "long", "BODY" -> "string")),
       keys = Map("ORA.PRODUCTS" -> Seq("ID"), "ORA.NOTES" -> Seq("ID"),
-        "ORA.FILES" -> Seq("ID"), "ORA.PAGES" -> Seq("ID")),
+        "ORA.FILES" -> Seq("ID"), "ORA.PAGES" -> Seq("ID"),
+        "ORA.MEMOS" -> Seq("ID")),
       lobEnabled = true).cache()
     // chunks at offsets 1 and 7 assemble into the insert's after image
     val n1 = out.filter(col("table") === "ORA.NOTES" && col("op") === "c")
@@ -870,6 +872,13 @@ class WireDecoderSpec extends AnyFunSuite {
     // tx11's chain ended in ROLLBACK: PAGES row 3 never appears
     assert(out.filter(col("table") === "ORA.PAGES" &&
       col("key_json") === """{"ID":3}""").count() == 0)
+    // 32K extended-string fragments concatenate into the insert
+    val m1 = out.filter(col("table") === "ORA.MEMOS").head()
+    assert(m1.getAs[String]("op") == "c")
+    assert(m1.getAs[String]("after_json") ==
+      """{"ID":1,"BODY":"long text part one and part two"}""")
+    // tx14's 32K chain ended in ROLLBACK: MEMOS row 2 never appears
+    assert(out.filter(col("table") === "ORA.MEMOS").count() == 1)
     out.unpersist(); ()
   }
 
