@@ -54,6 +54,7 @@ object LogMiner {
   val OpSelLobLocator = 9
   val OpLobWrite = 10
   val OpLobTrim = 11
+  val OpLobErase = 29
   val OpRollback = 36
   val OpXmlBegin = 68
   val OpXmlWrite = 70
@@ -598,6 +599,7 @@ object LogMiner {
                                 keys: Map[String, Seq[String]]): Dataset[LobChain] = {
     val lobRows = assembled
       .filter(col("opcode").isin(OpSelLobLocator, OpLobWrite, OpLobTrim,
+        OpLobErase,
         OpXmlBegin, OpXmlWrite, OpXmlEnd, OpXsBegin, OpXsWrite, OpXsEnd))
       .select("rownum", "scn", "opcode", "xid", "row_id", "sql")
     lobRows.as(Encoders.row(lobRows.schema))
@@ -636,6 +638,12 @@ object LogMiner {
               val n = parseLobTrim(r.getAs[String]("sql"))
               val len = if (t.hex) n * 2 else n
               if (t.sb.length > len) t.sb.setLength(len)
+            case OpLobErase =>
+              // unsupported manipulation: the reference warns and
+              // DISCARDS the open chain's merge state
+              // (TransactionCommitConsumer.acceptLobManipulationEvent)
+              cur.foreach(t => targets.remove((t.rowId, t.loc.column)))
+              cur = None
             case OpXmlBegin =>
               val loc = parseXmlBegin(r.getAs[String]("sql"))
               val rowId = r.getAs[String]("row_id")

@@ -557,6 +557,18 @@ object WireFixtures {
     rowT(5951, 92, tx14, 0, 0, "EEE002", "R5951", "MEMOS",
       xsWrite("doomed"))
     rowT(5955, 36, tx14, 0, 0, "", "R5955", "MEMOS", "rollback;")
+
+    // LOB_ERASE(29) is unsupported in the reference: it warns and
+    // DISCARDS the open chain's merge state — tx15's committed chain
+    // produces nothing despite the earlier write
+    val tx15 = "0F000F"
+    rowT(5960, 9, tx15, 0, 0, "BBB005", "R5960", "NOTES",
+      selLob("BODY", "NOTES", 5))
+    rowT(5961, 10, tx15, 0, 0, "BBB005", "R5961", "NOTES",
+      lobWrite("'gone'", 4, 1))
+    rowT(5962, 29, tx15, 0, 0, "BBB005", "R5962", "NOTES",
+      "declare  loc_c clob;begin  dbms_lob.erase(loc_c, 2, 1);end;")
+    rowT(5965, 7, tx15, 0, 0, "", "R5965", "NOTES", "commit;")
     lines.mkString("", "\n", "\n")
   }
 

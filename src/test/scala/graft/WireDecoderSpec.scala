@@ -879,6 +879,10 @@ class WireDecoderSpec extends AnyFunSuite {
       """{"ID":1,"BODY":"long text part one and part two"}""")
     // tx14's 32K chain ended in ROLLBACK: MEMOS row 2 never appears
     assert(out.filter(col("table") === "ORA.MEMOS").count() == 1)
+    // LOB_ERASE discards tx15's chain: NOTES row 5 never appears even
+    // though the tx committed after a write
+    assert(out.filter(col("table") === "ORA.NOTES" &&
+      col("key_json") === """{"ID":5}""").count() == 0)
     out.unpersist(); ()
   }
 
