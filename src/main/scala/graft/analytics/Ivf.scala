@@ -117,7 +117,14 @@ object Ivf {
     */
   def fitCentroidsDistributed(corpus: DataFrame, idCol: String, embCol: String,
                               k: Int, iters: Int = 10): Seq[Centroid] = {
-    val ne = corpus
+    // a zero vector has no direction: normalized() would make it NaN and
+    // one NaN permanently poisons whichever centroid's sum it lands in —
+    // exclude it from TRAINING (the driver path's unit() guards n == 0
+    // the same way; search-time behavior is unchanged)
+    val nonZero = corpus.filter(
+      aggregate(col(embCol), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")) > 0.0)
+    val ne = nonZero
       .select(col(idCol).as("_id"), normalized(col(embCol)).as("_ne"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -57,7 +57,8 @@ object Mixture {
     * join, so the ONLY shuffle is the pack's shard hash — identical to
     * packing alone; repeating the corpus adds zero extra shuffles.
     * Equals the two-step composition (repeatFactors → explode →
-    * pack-by-(doc_id, copy)) bit-for-bit; `MixturePackSpec` asserts it.
+    * pack-by-(doc_id, copy)) bit-for-bit; `CorpusOpsSpec`'s
+    * "packMixture equals the two-step" test asserts it.
     */
   def packMixture(docs: DataFrame, weights: Map[String, Long],
                   budgetFactor: Int, budget: Int, shards: Int): DataFrame = {

@@ -80,10 +80,15 @@ case class VectorSum(
   override def eval(buf: VectorSum.Buffer): Any =
     if (buf.sums == null) null else new GenericArrayData(buf.sums)
 
+  // 1-byte presence flag: a null buffer (no vectors seen) and a
+  // ZERO-LENGTH sums array (all inputs were empty arrays) must stay
+  // distinct across partial-aggregation shuffles, or the result would
+  // depend on whether a map-side merge happened (empty array vs NULL)
   override def serialize(buf: VectorSum.Buffer): Array[Byte] = {
-    if (buf.sums == null) Array.emptyByteArray
+    if (buf.sums == null) Array[Byte](0)
     else {
-      val bb = ByteBuffer.allocate(8 * buf.sums.length)
+      val bb = ByteBuffer.allocate(1 + 8 * buf.sums.length)
+      bb.put(1.toByte)
       var i = 0
       while (i < buf.sums.length) { bb.putDouble(buf.sums(i)); i += 1 }
       bb.array()
@@ -91,10 +96,10 @@ case class VectorSum(
   }
 
   override def deserialize(bytes: Array[Byte]): VectorSum.Buffer =
-    if (bytes.isEmpty) new VectorSum.Buffer(null)
+    if (bytes(0) == 0) new VectorSum.Buffer(null)
     else {
-      val bb = ByteBuffer.wrap(bytes)
-      val sums = new Array[Double](bytes.length / 8)
+      val bb = ByteBuffer.wrap(bytes, 1, bytes.length - 1)
+      val sums = new Array[Double]((bytes.length - 1) / 8)
       var i = 0
       while (i < sums.length) { sums(i) = bb.getDouble; i += 1 }
       new VectorSum.Buffer(sums)

@@ -40,21 +40,25 @@ object Geo {
   private val decodeYUdf =
     udf((wkb: Array[Byte]) => decodePointWkb(wkb).map(_._2))
   // any-geometry byte-level swap (Wkb.swapAxes); point WKB output is
-  // byte-identical to the old decode→re-encode point path
-  private val swapUdf = udf { (wkb: Array[Byte]) =>
-    if (wkb == null || wkb.length < 9) None else Some(Wkb.swapAxes(wkb))
-  }
+  // byte-identical to the old decode→re-encode point path. Malformed,
+  // truncated, or unsupported WKB (e.g. ISO-Z type codes) yields SQL
+  // NULL, never a thrown task — one corrupt CDC row must not kill a
+  // stream (same contract as the old point decoder's Option).
+  private def safely[T](wkb: Array[Byte])(f: Array[Byte] => T): Option[T] =
+    if (wkb == null || wkb.length < 9) None
+    else scala.util.Try(f(wkb)).toOption
+  private val swapUdf = udf { (wkb: Array[Byte]) => safely(wkb)(Wkb.swapAxes) }
   private val ordinatesUdf = udf { (wkb: Array[Byte]) =>
-    if (wkb == null || wkb.length < 9) None else Some(Wkb.ordinates(wkb))
+    safely(wkb)(Wkb.ordinates)
   }
   private val geomTypeUdf = udf { (wkb: Array[Byte]) =>
-    if (wkb == null || wkb.length < 9) None else Some(Wkb.geometryType(wkb))
+    safely(wkb)(Wkb.geometryType)
   }
   private val toEwkbUdf = udf { (wkb: Array[Byte], srid: Int) =>
-    if (wkb == null || wkb.length < 9) None else Some(Wkb.toEwkb(wkb, srid))
+    safely(wkb)(Wkb.toEwkb(_, srid))
   }
   private val fromEwkbUdf = udf { (wkb: Array[Byte]) =>
-    if (wkb == null || wkb.length < 9) None else Some(Wkb.toWkb(wkb)._1)
+    safely(wkb)(Wkb.toWkb(_)._1)
   }
 
   /** point struct column: STRUCT<wkb, srid> */

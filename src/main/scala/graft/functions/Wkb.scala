@@ -43,11 +43,16 @@ object Wkb {
   private def orderByte(o: ByteOrder): Byte =
     if (o == ByteOrder.LITTLE_ENDIAN) 1 else 0
 
-  /** Base geometry type of the (E)WKB's top-level header. */
+  /** Base geometry type of the (E)WKB's top-level header; raises on a
+    * type code outside the supported set (e.g. ISO-WKB Z codes).
+    */
   def geometryType(wkb: Array[Byte]): Int = {
     val in = ByteBuffer.wrap(wkb)
     in.order(orderOf(in.get()))
-    in.getInt() & TypeMask
+    val t = in.getInt() & TypeMask
+    require(t >= Point && t <= GeometryCollection,
+      s"invalid geometry type: $t")
+    t
   }
 
   /** SRID if the top-level header carries the EWKB SRID flag. */

@@ -632,7 +632,12 @@ object WireQueries extends QueryGroup {
         |-- image; rolled-back tx14 absent
         |SELECT 'ORA.MEMOS', 'c', 5930, 5940, '0F000D', '{"ID":1}',
         |  CAST(NULL AS VARCHAR),
-        |  '{"ID":1,"BODY":"long text part one and part two"}'""".stripMargin,
+        |  '{"ID":1,"BODY":"long text part one and part two"}'
+        |UNION ALL
+        |-- re-begin on the same column: the SECOND document wins
+        |SELECT 'ORA.PAGES', 'u', 5970, 5978, '0F0010', '{"ID":6}',
+        |  CAST(NULL AS VARCHAR),
+        |  '{"ID":6,"XDOC":"<b/>"}'""".stripMargin,
 
     "s12_change_stream_decode" ->
       s"""SELECT 'shop.items' AS "table", 'c' AS op,

@@ -647,8 +647,14 @@ object LogMiner {
             case OpXmlBegin =>
               val loc = parseXmlBegin(r.getAs[String]("sql"))
               val rowId = r.getAs[String]("row_id")
-              curXml = Some(targets.getOrElseUpdate((rowId, loc.column),
-                new Tgt(rowId, loc, r.getAs[Long]("scn"))))
+              val t = targets.getOrElseUpdate((rowId, loc.column),
+                new Tgt(rowId, loc, r.getAs[Long]("scn")))
+              // a re-begin STARTS A NEW DOCUMENT: fragments concatenate
+              // with no offsets, so the old builder must not leak into
+              // the new value (ref initConstructable builds a fresh
+              // XmlUnderConstruction per XML_BEGIN)
+              t.sb.setLength(0); t.explicitNull = false
+              curXml = Some(t)
             case OpXmlWrite =>
               val t = curXml.getOrElse(throw new IllegalStateException(
                 "XML_WRITE before any XML_BEGIN"))
@@ -662,8 +668,10 @@ object LogMiner {
             case OpXsBegin =>
               val loc = parseExtendedStringBegin(r.getAs[String]("sql"))
               val rowId = r.getAs[String]("row_id")
-              curXs = Some(targets.getOrElseUpdate((rowId, loc.column),
-                new Tgt(rowId, loc, r.getAs[Long]("scn"))))
+              val t = targets.getOrElseUpdate((rowId, loc.column),
+                new Tgt(rowId, loc, r.getAs[Long]("scn")))
+              t.sb.setLength(0); t.explicitNull = false // new document
+              curXs = Some(t)
             case OpXsWrite =>
               val t = curXs.getOrElse(throw new IllegalStateException(
                 "32K_WRITE before any 32K_BEGIN"))

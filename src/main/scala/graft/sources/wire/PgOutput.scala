@@ -488,10 +488,12 @@ object PgOutput {
       case 23 => b.getInt().toString
       case 20 => b.getLong().toString
       case 26 => uint32(b).toString
-      case 700 => numericJson(
-        pgFloatText(java.lang.Float.intBitsToFloat(b.getInt()).toString, 6))
-      case 701 => numericJson(
-        pgFloatText(java.lang.Double.longBitsToDouble(b.getLong()).toString, 15))
+      case 700 => numericJson(pgFloatText(
+        java.lang.Float.intBitsToFloat(b.getInt()).toDouble, 6,
+        float4 = true))
+      case 701 => numericJson(pgFloatText(
+        java.lang.Double.longBitsToDouble(b.getLong()), 15,
+        float4 = false))
       case 1700 => numericJson(numericBinaryToString(bytes))
       case 25 | 1043 | 18 | 19 =>
         jsonString(new String(bytes, StandardCharsets.UTF_8))
@@ -519,33 +521,41 @@ object PgOutput {
     case _ => s
   }
 
-  /** Re-render a Java `Float/Double.toString` value in PostgreSQL's text
-    * form (PG ≥ 12 shortest-round-trip output, `float8out`/`float4out`):
-    * plain decimal while the leading digit's decimal exponent is in
-    * [-4, maxPlainExp) — 15 for float8, 6 for float4 — else `d.ddde±XX`
-    * with a two-digit-minimum signed exponent. Java's scientific form
-    * (`1.0E23`) differs from PG's (`1e+23`) in case, sign, padding, and
-    * the `.0`; without this, binary-mode and text-mode decodes of the
-    * same column would spell the same number differently.
+  /** Render a float in PostgreSQL's text form (PG ≥ 12 shortest-
+    * round-trip Ryu output, `float8out`/`float4out`): the FEWEST
+    * significant digits that parse back to the exact value (correctly
+    * rounded — Java 17's `toString` is unique but not always minimal,
+    * JDK-4511638), plain decimal while the leading digit's decimal
+    * exponent is in [-4, maxPlainExp) — 15 for float8, 6 for float4 —
+    * else `d.ddde±XX` with a two-digit-minimum signed exponent. Without
+    * this, binary-mode and text-mode decodes of the same column can
+    * spell the same number differently.
     */
-  private[graft] def pgFloatText(javaText: String, maxPlainExp: Int): String = {
-    if (javaText == "NaN" || javaText.endsWith("Infinity")) return javaText
-    val neg = javaText.startsWith("-")
-    val s = if (neg) javaText.substring(1) else javaText
-    val (mant, e10) = s.indexOf('E') match {
-      case -1 => (s, 0)
-      case ix => (s.substring(0, ix), s.substring(ix + 1).toInt)
+  private[graft] def pgFloatText(value: Double, maxPlainExp: Int,
+                                 float4: Boolean): String = {
+    if (value.isNaN) return "NaN"
+    if (value.isInfinite) return if (value > 0) "Infinity" else "-Infinity"
+    if (value == 0.0)
+      return if (java.lang.Double.doubleToRawLongBits(value) != 0L) "-0"
+      else "0"
+    val neg = value < 0
+    val abs = math.abs(value)
+    // shortest digits: round the exact binary value to n significant
+    // digits (half-even = nearest) for growing n until it round-trips
+    val exact = new java.math.BigDecimal(abs)
+    var nd = 1
+    var r = exact.round(new java.math.MathContext(nd,
+      java.math.RoundingMode.HALF_EVEN))
+    while ((if (float4) r.floatValue() != abs.toFloat
+            else r.doubleValue() != abs) && nd < 17) {
+      nd += 1
+      r = exact.round(new java.math.MathContext(nd,
+        java.math.RoundingMode.HALF_EVEN))
     }
-    val dot = mant.indexOf('.')
-    val allDigits = mant.substring(0, dot) + mant.substring(dot + 1)
-    val fracLen = mant.length - dot - 1
-    val lz = allDigits.indexWhere(_ != '0')
-    if (lz < 0) return if (neg) "-0" else "0"
-    val sig0 = allDigits.substring(lz)
-    val sig = sig0.substring(0,
-      sig0.length - sig0.reverse.indexWhere(_ != '0'))
+    val stripped = r.stripTrailingZeros
+    val sig = stripped.unscaledValue.toString
     // decimal exponent of the leading significant digit
-    val exp = (allDigits.length - lz - 1) - fracLen + e10
+    val exp = sig.length - 1 - stripped.scale
     val sb = new StringBuilder(if (neg) "-" else "")
     if (exp >= -4 && exp < maxPlainExp) {
       if (exp >= 0) {

@@ -558,6 +558,23 @@ object WireFixtures {
       xsWrite("doomed"))
     rowT(5955, 36, tx14, 0, 0, "", "R5955", "MEMOS", "rollback;")
 
+    // re-begin on the same (row, column) starts a NEW document: only
+    // the second chain's value survives (fragments have no offsets)
+    val tx16 = "0F0010"
+    rowT(5970, 68, tx16, 0, 0, "DDD006", "R5970", "PAGES",
+      "update \"ORA\".\"PAGES\" a set a.\"XDOC\" = XMLTYPE() " +
+        "where \"ID\" = '6';")
+    rowT(5971, 70, tx16, 0, 0, "DDD006", "R5971", "PAGES",
+      "XML_REDO := '<a/>' : 4")
+    rowT(5972, 71, tx16, 0, 0, "DDD006", "R5972", "PAGES", "XML DOC END")
+    rowT(5973, 68, tx16, 0, 0, "DDD006", "R5973", "PAGES",
+      "update \"ORA\".\"PAGES\" a set a.\"XDOC\" = XMLTYPE() " +
+        "where \"ID\" = '6';")
+    rowT(5974, 70, tx16, 0, 0, "DDD006", "R5974", "PAGES",
+      "XML_REDO := '<b/>' : 4")
+    rowT(5975, 71, tx16, 0, 0, "DDD006", "R5975", "PAGES", "XML DOC END")
+    rowT(5978, 7, tx16, 0, 0, "", "R5978", "PAGES", "commit;")
+
     // LOB_ERASE(29) is unsupported in the reference: it warns and
     // DISCARDS the open chain's merge state — tx15's committed chain
     // produces nothing despite the earlier write

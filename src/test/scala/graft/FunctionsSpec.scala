@@ -62,6 +62,12 @@ class FunctionsSpec extends AnyFunSuite {
     val nullOnly = Seq(("c", Option.empty[Seq[Double]])).toDF("g", "v")
       .groupBy("g").agg(GraftFunctions.vectorSum(col("v")).as("s")).head()
     assert(nullOnly.isNullAt(1))
+    // all-EMPTY-ARRAY group is an empty array, not NULL — and stays so
+    // across a forced shuffle (serialize must keep the two distinct)
+    val emptyOnly = Seq(("e", Seq.empty[Double]), ("e", Seq.empty[Double]))
+      .toDF("g", "v").repartition(4, col("v"))
+      .groupBy("g").agg(GraftFunctions.vectorSum(col("v")).as("s")).head()
+    assert(!emptyOnly.isNullAt(1) && emptyOnly.getSeq[Double](1).isEmpty)
     // mixed dimensions are corrupt input: raise, never sum a prefix
     val ex = intercept[Exception] {
       Seq(("d", Seq(1.0)), ("d", Seq(1.0, 2.0))).toDF("g", "v")
@@ -142,6 +148,24 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(Wkb.geometryType(mp) == Wkb.MultiPolygon &&
       Wkb.ordinates(mp).size == 6)
+    // column-level contract: malformed / truncated / unsupported WKB
+    // yields SQL NULL, never a thrown task
+    import spark.implicits._
+    val bad = Seq(
+      Array[Byte](1, 2, 3),                       // truncated header
+      Array[Byte](9) ++ Array.fill[Byte](20)(0),  // bad byte-order marker
+      {                                            // ISO-Z type code 1001
+        val bb = ByteBuffer.allocate(29).order(ByteOrder.LITTLE_ENDIAN)
+        bb.put(1.toByte); bb.putInt(1001)
+        bb.putDouble(1); bb.putDouble(2); bb.putDouble(3); bb.array()
+      })
+      .toDF("wkb").select(struct(col("wkb"), lit(0).as("srid")).as("geom"))
+    val r = bad.select(
+      graft.functions.Geo.swapCoordinates(col("geom"))("wkb").as("sw"),
+      graft.functions.Geo.ordinates(col("geom")).as("o"),
+      graft.functions.Geo.geometryType(col("geom")).as("t")).collect()
+    assert(r.forall(row => row.isNullAt(0) && row.isNullAt(1) &&
+      row.isNullAt(2)))
   }
 
   test("sparse vector text parse") {

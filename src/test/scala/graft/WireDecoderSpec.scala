@@ -225,7 +225,7 @@ class WireDecoderSpec extends AnyFunSuite {
 
   test("pgFloatText matches PostgreSQL float8out/float4out form") {
     import PgOutput.pgFloatText
-    def f8(d: Double): String = pgFloatText(d.toString, 15)
+    def f8(d: Double): String = pgFloatText(d, 15, float4 = false)
     assert(f8(0.5) == "0.5" && f8(7.5) == "7.5" && f8(100.0) == "100")
     assert(f8(0.0001) == "0.0001")      // Java says 1.0E-4
     assert(f8(0.00001) == "1e-05")
@@ -235,10 +235,31 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(f8(2.5e-7) == "2.5e-07")
     assert(f8(0.0) == "0" && f8(-0.0) == "-0")
     assert(f8(Double.NaN) == "NaN" && f8(Double.PositiveInfinity) == "Infinity")
-    def f4(f: Float): String = pgFloatText(f.toString, 6)
+    // JDK-4511638: Java 17's toString emits 17 digits here, but the
+    // shortest round-trip (what PG's Ryu prints) needs only 16
+    assert(f8(5.7223519193314771e17) == "5.722351919331477e+17")
+    // general shortest-digits property across magnitudes
+    (1 to 400).foreach { i =>
+      val d = java.lang.Double.longBitsToDouble(
+        0x3FF0000000000000L + i * 0x000F2D3A9E000000L)
+      val s = f8(math.abs(d))
+      assert(java.lang.Double.parseDouble(s) == math.abs(d), s"$d -> $s")
+      // no representation one digit shorter round-trips
+      val digits = s.takeWhile(_ != 'e').replace("-", "").replace(".", "")
+        .dropWhile(_ == '0').reverse.dropWhile(_ == '0').reverse
+      if (digits.length > 1) {
+        val shorter = new java.math.BigDecimal(math.abs(d)).round(
+          new java.math.MathContext(digits.length - 1,
+            java.math.RoundingMode.HALF_EVEN))
+        assert(shorter.doubleValue() != math.abs(d),
+          s"$s is not shortest for $d")
+      }
+    }
+    def f4(f: Float): String = pgFloatText(f.toDouble, 6, float4 = true)
     assert(f4(123456f) == "123456")
     assert(f4(1234567f) == "1.234567e+06") // PG float4 switches at 1e6
     assert(f4(0.25f) == "0.25")
+    assert(java.lang.Float.parseFloat(f4(3.4028235e38f)) == 3.4028235e38f)
   }
 
   test("pgoutput segmentRows: ops, keys from REPLICA IDENTITY, toast sentinel") {
@@ -883,6 +904,11 @@ class WireDecoderSpec extends AnyFunSuite {
     // though the tx committed after a write
     assert(out.filter(col("table") === "ORA.NOTES" &&
       col("key_json") === """{"ID":5}""").count() == 0)
+    // re-begin on the same (row, column): only the second document
+    // survives — the first chain's fragments must not leak
+    val x6 = out.filter(col("table") === "ORA.PAGES" &&
+      col("key_json") === """{"ID":6}""").head()
+    assert(x6.getAs[String]("after_json") == """{"ID":6,"XDOC":"<b/>"}""")
     out.unpersist(); ()
   }
 
