@@ -271,19 +271,61 @@ object Ivf {
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ce"),
         cellOfNative(corpus)(col("embedding"), centroids).as("cell"))
+    searchCells(cell, queries, centroids, k, nprobe)
+  }
+
+  /** Shared scoring tail: `cells` is (neighbor_id, ce, cell). */
+  private def searchCells(cells: DataFrame, queries: DataFrame,
+                          centroids: Seq[Centroid], k: Int,
+                          nprobe: Int): DataFrame = {
     val q = queries
       .select(col("vec_id").as("query_id"),
         col("embedding").as("qe"),
         explode(probeCellsNative(queries)(col("embedding"), centroids,
           nprobe)).as("cell"))
-    val scored = cell.join(broadcast(q), Seq("cell"))
+    val scored = cells.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
-        Similarity.q6(Similarity.cosineNative(corpus)(col("qe"), col("ce"))))
+        Similarity.q6(Similarity.cosineNative(cells)(col("qe"), col("ce"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Materialize the IVF INDEX: the corpus with its cell assignment,
+    * written as cell-PARTITIONED parquet. Build once, search many — the
+    * production IVF split the reference's in-memory search cannot make.
+    * At 100 TB the index build is one map-only pass (native cell
+    * assignment, no shuffle — partitionBy splits files per cell within
+    * each task's partition).
+    */
+  def writeIndex(corpus: DataFrame, centroids: Seq[Centroid],
+                 path: String): Unit =
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        cellOfNative(corpus)(col("embedding"), centroids).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Search a written index: the probed cell set (≤ queries × nprobe
+    * distinct values, collected driver-side — bounded by the query
+    * batch, never the corpus) becomes a PARTITION FILTER on the index
+    * scan, so only the probed cells' files are read — at 100 TB with
+    * k = 65536 cells and nprobe = 64, 1/1000th of the corpus. The scan
+    * shape is asserted in PlanSpec (PartitionFilters, not a full scan).
+    */
+  def searchIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, centroids: Seq[Centroid],
+                      k: Int, nprobe: Int): DataFrame = {
+    val probed = queries
+      .select(explode(probeCellsNative(queries)(col("embedding"), centroids,
+        nprobe)).as("cell"))
+      .distinct().collect().map(_.getInt(0))
+    val index = spark.read.parquet(path)
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col("cell").cast("int").as("cell"),
+        col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    searchCells(index, queries, centroids, k, nprobe)
   }
 }

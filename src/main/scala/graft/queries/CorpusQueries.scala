@@ -348,6 +348,19 @@ object CorpusQueries extends QueryGroup {
       val centroids = graft.analytics.Ivf.pretrainedCentroids(k = 16, dims = 64)
       graft.analytics.Ivf.searchTopK(e, e.filter(col("vec_id") % 100 === 0),
         centroids, k = 5, nprobe = 4)
+    }),
+
+    // IVF with a MATERIALIZED index: cell-partitioned parquet built
+    // once (map-only), searches read ONLY the probed cells' partitions
+    // (partition filter — PlanSpec asserts the pruned scan). Same
+    // results as the in-memory a_ann_ivf, so the same oracle replays it.
+    "a_ann_ivf_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = graft.analytics.Ivf.pretrainedCentroids(k = 16, dims = 64)
+      val idx = java.nio.file.Files.createTempDirectory("ivf-index").toString
+      graft.analytics.Ivf.writeIndex(e, centroids, idx)
+      graft.analytics.Ivf.searchIndexTopK(s, idx,
+        e.filter(col("vec_id") % 100 === 0), centroids, k = 5, nprobe = 4)
     })
   )
 
@@ -764,6 +777,8 @@ object CorpusQueries extends QueryGroup {
         |FROM f WHERE doc_id >= 250""".stripMargin,
 
     "a_ann_ivf" -> annIvfOracle,
+    // index-backed search returns exactly the in-memory IVF results
+    "a_ann_ivf_index" -> annIvfOracle,
 
     "a_simhash_pairs" -> simhashOracle,
 
@@ -955,7 +970,7 @@ object CorpusQueries extends QueryGroup {
     "a_stratified_sample", "a_train_split",
     "a_embed_norms", "a_ann_topk",
     "a_cosine_pairs", "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh",
-    "a_ann_ivf", "a_semantic_dedup",
+    "a_ann_ivf", "a_ann_ivf_index", "a_semantic_dedup",
     "a_passage_dedup", "a_substring_dedup", "a_lm_score", "a_source_overlap",
     "a_mixture_sample", "a_mixture_pack", "a_embed_quantize",
     "a_vocab_induction")

@@ -103,6 +103,22 @@ class PlanSpec extends AnyFunSuite {
       "window counts should be a hash aggregation (map-side combinable)")
   }
 
+  test("IVF index search prunes the scan to the probed cells' partitions") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = graft.analytics.Ivf.pretrainedCentroids(16, 64)
+    val idx = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    graft.analytics.Ivf.writeIndex(e, centroids, idx)
+    val q = graft.analytics.Ivf.searchIndexTopK(spark, idx,
+      e.filter(col("vec_id") % 50 === 0), centroids, k = 5, nprobe = 4)
+    val p = q.queryExecution.executedPlan.toString
+    // the index scan must carry the probed cell set as a partition
+    // filter (the queries-side plain parquet scan legitimately has none)
+    assert(p.contains("PartitionFilters: [cell") &&
+      p.contains("INSET"),
+      "probed cells must reach the index scan as a partition filter")
+  }
+
   test("substring dedup: no cartesian, window counts partially aggregate") {
     val p = plan("a_substring_dedup")
     assert(!p.contains("CartesianProduct"), "no all-pairs stage allowed")
