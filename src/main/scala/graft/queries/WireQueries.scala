@@ -103,6 +103,26 @@ object WireQueries extends QueryGroup {
         .option("path", dir).load()
     }),
 
+    // S8 over a REAL SOCKET: the same WAL served by the loopback
+    // fixture postmaster (graft.tools.PgWireServer) and streamed by the
+    // live replication client — v3 startup with replication=database,
+    // START_REPLICATION over CopyBoth, XLogData/keepalive frames — then
+    // through the standard DSv2 transport. Same oracle as
+    // s8_pgoutput_decode: the socket path must be invisible in the data.
+    "s8_pgoutput_socket_stream" -> ((s, _) => {
+      val frames = graft.sources.wire.PgOutput
+        .readSegmentFrames(graft.tools.WireFixtures.pgoutputSegment).toSeq
+      val (port, _, _) = graft.tools.PgWireServer.serve(frames)
+      val seg = graft.sources.net.PgReplicationClient.fetchSegment(
+        "127.0.0.1", port, "graft", "testdb", "s1", "pub")
+      val n = graft.sources.wire.PgOutput.segmentRows(seg).size
+      val dir = Files.createTempDirectory("pgo-socket").toString
+      Files.write(Paths.get(dir,
+        f"part-g${1L}%012d-b-p${0}%05d-n$n.pgo"), seg)
+      s.read.format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", dir).load()
+    }),
+
     // S8 protocol v2: STREAMED in-progress transactions (pg14
     // streaming=on) — interleaved S..E chunks with xid-tagged data
     // messages, decoded to tx-attributed events in executors and
@@ -446,7 +466,11 @@ object WireQueries extends QueryGroup {
     })
   )
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = baseOracles ++ Map(
+    // the socket round-trip reassembles the same WAL byte-identically
+    "s8_pgoutput_socket_stream" -> baseOracles("s8_pgoutput_decode"))
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "s8_pgoutput_decode" ->
       """SELECT 'public.cdc_items' AS "table", 'c' AS op, 1000+i AS pos,
         |  '{"id":'||i||'}' AS key_json,
@@ -795,7 +819,8 @@ object WireQueries extends QueryGroup {
 
   // range()/string-concat dialect is DuckDB-only
   override val duckdbOnly: Set[String] =
-    Set("s8_pgoutput_decode", "s8_pgoutput_materialize",
+    Set("s8_pgoutput_decode", "s8_pgoutput_socket_stream",
+      "s8_pgoutput_materialize",
       "s8_pgoutput_binary_decode",
       "s8_pgoutput_tx_stream", "s9_binlog_decode", "s9_binlog_materialize",
       "s10_logminer_decode",

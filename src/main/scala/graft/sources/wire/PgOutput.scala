@@ -310,6 +310,27 @@ object PgOutput {
     o.toByteArray
   }
 
+  /** Raw container split: (wal, payload) frames without decoding — the
+    * replication client/server round-trip reframes these over the
+    * socket and the result must reassemble byte-identically.
+    */
+  def readSegmentFrames(bytes: Array[Byte]): Iterator[(Long, Array[Byte])] = {
+    val b = ByteBuffer.wrap(bytes)
+    val magic = new Array[Byte](Magic.length)
+    b.get(magic)
+    require(java.util.Arrays.equals(magic, Magic),
+      "not a pgoutput segment (bad magic)")
+    new Iterator[(Long, Array[Byte])] {
+      def hasNext: Boolean = b.remaining() >= 12
+      def next(): (Long, Array[Byte]) = {
+        val wal = b.getLong(); val len = b.getInt()
+        val payload = new Array[Byte](len)
+        b.get(payload)
+        (wal, payload)
+      }
+    }
+  }
+
   def readSegment(bytes: Array[Byte]): Iterator[(Long, Message)] = {
     val b = ByteBuffer.wrap(bytes)
     val magic = new Array[Byte](Magic.length)

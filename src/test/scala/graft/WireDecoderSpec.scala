@@ -262,6 +262,31 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(java.lang.Float.parseFloat(f4(3.4028235e38f)) == 3.4028235e38f)
   }
 
+  test("pgoutput streams over a real socket: handshake, keepalive, byte-identical WAL") {
+    import graft.sources.net.PgReplicationClient
+    import graft.tools.{PgWireServer, WireFixtures}
+    val original = WireFixtures.pgoutputSegment
+    val frames = PgOutput.readSegmentFrames(original).toSeq
+    val (port, session, server) = PgWireServer.serve(frames)
+    val seg = PgReplicationClient.fetchSegment("127.0.0.1", port,
+      user = "graft", database = "testdb", slot = "slot1",
+      publication = "pub1")
+    server.join(10000)
+    // the WAL survives the v3-protocol round trip byte-identically
+    assert(java.util.Arrays.equals(seg, original))
+    assert(PgOutput.segmentRows(seg).size == WireFixtures.pgoutputRowCount)
+    // the client spoke the protocol: replication startup parameter,
+    // slot + publication in START_REPLICATION, a standby status update
+    // answering the keepalive, and a CopyDone ack
+    assert(session.sawReplicationParam, "replication=database param missing")
+    assert(session.replicationQuery.contains("SLOT \"slot1\"") &&
+      session.replicationQuery.contains("publication_names 'pub1'") &&
+      session.replicationQuery.contains("proto_version '1'"),
+      session.replicationQuery)
+    assert(session.statusUpdates.get == 1, "keepalive went unanswered")
+    assert(session.copyDoneAcked, "CopyDone not acknowledged")
+  }
+
   test("pgoutput segmentRows: ops, keys from REPLICA IDENTITY, toast sentinel") {
     val rows = PgOutput.segmentRows(WireFixtures.pgoutputSegment).toSeq
     assert(rows.size == WireFixtures.pgoutputRowCount)
