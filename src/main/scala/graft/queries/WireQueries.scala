@@ -463,12 +463,42 @@ object WireQueries extends QueryGroup {
             "CREATE TABLE testdb.bl_json (id INT PRIMARY KEY, j JSON);" +
             "CREATE TABLE testdb.bl_geo (id INT PRIMARY KEY, g TEXT)")
         .load()
+    }),
+
+    // S8 over a REAL SOCKET: the same binlog served by the loopback
+    // fixture mysqld (graft.tools.MySqlWireServer) and streamed by the
+    // live binlog-dump client — v10 handshake, verified
+    // mysql_native_password token, COM_BINLOG_DUMP, per-event packets —
+    // then through the standard DSv2 transport. Same oracle as
+    // s9_binlog_decode.
+    "s9_binlog_socket_stream" -> ((s, _) => {
+      val events = graft.tools.MySqlWireServer.segmentEvents(
+        graft.tools.WireFixtures.binlogSegment)
+      val (port, _, _) = graft.tools.MySqlWireServer.serve(events, "sekrit")
+      val seg = graft.sources.net.MySqlBinlogClient.fetchSegment(
+        "127.0.0.1", port, "repl", "sekrit", serverId = 7,
+        binlogFile = "binlog.000001")
+      val n = graft.tools.WireFixtures.binlogRowCount
+      val dir = Files.createTempDirectory("blog-socket").toString
+      Files.write(Paths.get(dir, f"part-g${1L}%012d-b-p${0}%05d-n$n.blog"), seg)
+      s.read.format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", dir)
+        .option("binlogDdl",
+          "CREATE TABLE testdb.bl_items (id INT PRIMARY KEY, qty BIGINT, label VARCHAR(40));" +
+            "CREATE TABLE testdb.bl_types (id INT PRIMARY KEY, t TINYINT, s SMALLINT," +
+            " i3 MEDIUMINT, f REAL, d DOUBLE, y SMALLINT, dt DATE, ts DATETIME," +
+            " dec DECIMAL(12,3), b BLOB);" +
+            "CREATE TABLE testdb.bl_json (id INT PRIMARY KEY, j JSON);" +
+            "CREATE TABLE testdb.bl_geo (id INT PRIMARY KEY, g TEXT)")
+        .load()
     })
   )
 
   def oracles: Map[String, String] = baseOracles ++ Map(
-    // the socket round-trip reassembles the same WAL byte-identically
-    "s8_pgoutput_socket_stream" -> baseOracles("s8_pgoutput_decode"))
+    // the socket round-trips reassemble the same WAL/binlog
+    // byte-identically
+    "s8_pgoutput_socket_stream" -> baseOracles("s8_pgoutput_decode"),
+    "s9_binlog_socket_stream" -> baseOracles("s9_binlog_decode"))
 
   private lazy val baseOracles: Map[String, String] = Map(
     "s8_pgoutput_decode" ->
@@ -823,6 +853,7 @@ object WireQueries extends QueryGroup {
       "s8_pgoutput_materialize",
       "s8_pgoutput_binary_decode",
       "s8_pgoutput_tx_stream", "s9_binlog_decode", "s9_binlog_materialize",
+      "s9_binlog_socket_stream",
       "s10_logminer_decode",
       "s10_logminer_poll_stream",
       "s11_cdc_tables_decode", "s11_cdc_poll_stream",

@@ -287,6 +287,33 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(session.copyDoneAcked, "CopyDone not acknowledged")
   }
 
+  test("binlog streams over a real socket: native-password auth, byte-identical events") {
+    import graft.sources.net.MySqlBinlogClient
+    import graft.tools.{MySqlWireServer, WireFixtures}
+    val original = WireFixtures.binlogSegment
+    val events = MySqlWireServer.segmentEvents(original)
+    assert(events.nonEmpty && events.map(_.length).sum == original.length - 4)
+    val (port, session, server) = MySqlWireServer.serve(events, "sekrit")
+    val seg = MySqlBinlogClient.fetchSegment("127.0.0.1", port,
+      user = "repl", password = "sekrit", serverId = 7,
+      binlogFile = "binlog.000001")
+    server.join(10000)
+    assert(java.util.Arrays.equals(seg, original))
+    assert(session.user == "repl" && session.authOk,
+      "native-password token rejected")
+    assert(session.requestedFile == "binlog.000001" &&
+      session.requestedPos == 4 && session.requestedServerId == 7)
+    // a wrong password is REJECTED server-side (the token is verified,
+    // not waved through) and surfaces as ERR 1045 on the client
+    val (port2, session2, _) = MySqlWireServer.serve(events, "sekrit")
+    val ex = intercept[java.io.IOException] {
+      MySqlBinlogClient.fetchSegment("127.0.0.1", port2,
+        user = "repl", password = "wrong", serverId = 7,
+        binlogFile = "binlog.000001")
+    }
+    assert(ex.getMessage.contains("1045") && !session2.authOk)
+  }
+
   test("pgoutput segmentRows: ops, keys from REPLICA IDENTITY, toast sentinel") {
     val rows = PgOutput.segmentRows(WireFixtures.pgoutputSegment).toSeq
     assert(rows.size == WireFixtures.pgoutputRowCount)
