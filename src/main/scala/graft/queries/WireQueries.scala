@@ -180,6 +180,76 @@ object WireQueries extends QueryGroup {
         .withColumn("changed_cols", array_join(col("changed_cols"), ","))
     }),
 
+    // S11 over a REAL SOCKET: the same change table served by the
+    // loopback fixture SQL Server (graft.tools.MsSqlWireServer) and
+    // polled by the live TDS client — PRELOGIN, LOGIN7 with verified
+    // password obfuscation, fn_cdc_get_max_lsn, then the reference's
+    // fn_cdc_get_all_changes windows as SQLBatch round trips (the
+    // server evaluates the @from_lsn/@to_lsn hex literals) — then
+    // rendered back to the recording shape and decoded identically.
+    // Same oracle as s11_cdc_tables_decode: the wire is invisible.
+    "s11_cdc_socket_poll" -> ((s, _) => {
+      import graft.serde.Bson
+      import graft.tools.MsSqlWireServer._
+      import graft.tools.WireFixtures.sqlServerLsn
+      val b64 = java.util.Base64.getDecoder
+      val cols = Seq(Col("__$start_lsn", TVarBinary),
+        Col("__$seqval", TVarBinary), Col("__$operation", TIntN),
+        Col("__$update_mask", TVarBinary), Col("id", TIntN),
+        Col("name", TVarChar), Col("price", TFltN),
+        Col("notes", TVarChar))
+      val rows: Seq[Row] = WireFixtures.sqlServerCtJsonl.linesIterator
+        .map { line =>
+          val doc = Bson.parseJson(line).asInstanceOf[Bson.BDoc]
+          cols.map { c =>
+            doc.get(c.name).get match {
+              case Bson.BNull => None
+              case Bson.BStr(v) if c.tpe == TVarBinary =>
+                Some(b64.decode(v))
+              case Bson.BStr(v) => Some(v)
+              case Bson.BInt64(v) => Some(v.toInt)
+              case Bson.BDouble(v) => Some(v)
+              case other => throw new IllegalArgumentException(s"$other")
+            }
+          }
+        }.toSeq
+      val (port, _, _) = serve(cols, rows, password = "cdc-pass")
+      val conn = graft.sources.net.SqlServerTdsClient.connect(
+        "127.0.0.1", port, "cdc_reader", "cdc-pass", "testdb")
+      val jsonl = try {
+        val hi = graft.sources.net.SqlServerTdsClient.maxLsn(conn)
+        val windows = Seq(
+          sqlServerLsn(0, 0, 0) -> sqlServerLsn(0x25, 0x1ff, 0xffff),
+          sqlServerLsn(0x25, 0x200, 0) -> sqlServerLsn(0x25, 0x2ff, 0xffff),
+          sqlServerLsn(0x25, 0x300, 0) -> hi)
+        windows.map { case (from, to) =>
+          val (meta, fetched) = graft.sources.net.SqlServerTdsClient
+            .pollChanges(conn, "dbo_products", from, to)
+          graft.sources.net.SqlServerTdsClient.rowsToJsonl(meta, fetched)
+        }.mkString
+      } finally conn.close()
+      val dir = Files.createTempDirectory("ct-socket")
+      val f = dir.resolve("poll.jsonl")
+      Files.write(f, jsonl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val ctSchema = StructType(Seq(
+        StructField("__$start_lsn", StringType),
+        StructField("__$seqval", StringType),
+        StructField("__$operation", IntegerType),
+        StructField("__$update_mask", StringType),
+        StructField("id", IntegerType), StructField("name", StringType),
+        StructField("price", DoubleType), StructField("notes", StringType)))
+      val ct = s.read.schema(ctSchema).json(f.toString)
+        .select(
+          unbase64(col("`__$start_lsn`")).as("__$start_lsn"),
+          unbase64(col("`__$seqval`")).as("__$seqval"),
+          col("`__$operation`").as("__$operation"),
+          unbase64(col("`__$update_mask`")).as("__$update_mask"),
+          col("id"), col("name"), col("price"), col("notes"))
+      graft.sources.wire.SqlServerCdc
+        .decode(ct, "dbo.products", Seq("id"), maxTypeCols = Seq("notes"))
+        .withColumn("changed_cols", array_join(col("changed_cols"), ","))
+    }),
+
     // S11 end-to-end, the POLL-source shape: three successive LSN-window
     // polls of the change table each decode DECLARATIVELY and append to
     // the change-log transport via the DSv2 WRITE path; the wire dir
@@ -291,6 +361,33 @@ object WireQueries extends QueryGroup {
     "s12_change_stream_decode" -> ((s, _) => {
       val path = stageResource("mongo_changestream.jsonl")
       graft.sources.wire.MongoChangeStream.decode(s.read.text(path))
+    }),
+
+    // S12 over a REAL SOCKET: the same recorded events served by the
+    // loopback fixture mongod (graft.tools.MongoWireServer) and fetched
+    // by the live OP_MSG client — hello handshake, aggregate opening a
+    // $changeStream cursor with the reference's server-side $match and
+    // $changeStreamSplitLargeEvent stages, getMore batches until the
+    // cursor closes — then rendered to the `.cs` transport and decoded
+    // through the standard DSv2 source. Same oracle as the recording
+    // path: the socket must be invisible in the data (the server-side
+    // $match drops the collection-level `drop` event before its bytes
+    // ever leave the server).
+    "s12_change_stream_socket" -> ((s, _) => {
+      val docs = WireFixtures.mongoChangeStreamJsonl.linesIterator
+        .map(l => graft.serde.Bson.parseJson(l)
+          .asInstanceOf[graft.serde.Bson.BDoc])
+        .toSeq
+      val (port, _, _) = graft.tools.MongoWireServer.serve(docs)
+      val jsonl = graft.sources.net.MongoWireClient.fetchJsonl(
+        "127.0.0.1", port, "shop", "items")
+      val n = graft.sources.wire.MongoChangeStream
+        .segmentRows(jsonl.linesIterator).size.toLong
+      val dir = Files.createTempDirectory("cs-socket").toString
+      Files.write(Paths.get(dir, f"part-g${1L}%012d-b-p${0}%05d-n$n.cs"),
+        jsonl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s.read.format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", dir).load()
     }),
 
     // S12 through the DSv2 source: the recording tails as a `.cs`
@@ -498,7 +595,9 @@ object WireQueries extends QueryGroup {
     // the socket round-trips reassemble the same WAL/binlog
     // byte-identically
     "s8_pgoutput_socket_stream" -> baseOracles("s8_pgoutput_decode"),
-    "s9_binlog_socket_stream" -> baseOracles("s9_binlog_decode"))
+    "s9_binlog_socket_stream" -> baseOracles("s9_binlog_decode"),
+    "s12_change_stream_socket" -> baseOracles("s12_change_stream_dsv2"),
+    "s11_cdc_socket_poll" -> baseOracles("s11_cdc_tables_decode"))
 
   private lazy val baseOracles: Map[String, String] = Map(
     "s8_pgoutput_decode" ->
@@ -857,6 +956,7 @@ object WireQueries extends QueryGroup {
       "s10_logminer_decode",
       "s10_logminer_poll_stream",
       "s11_cdc_tables_decode", "s11_cdc_poll_stream",
+      "s11_cdc_socket_poll",
       "s12_change_stream_decode", "s12_change_stream_dsv2",
-      "s12_change_stream_materialize")
+      "s12_change_stream_socket", "s12_change_stream_materialize")
 }

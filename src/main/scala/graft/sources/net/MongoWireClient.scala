@@ -1,0 +1,152 @@
+package graft.sources.net
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.serde.Bson
+import graft.serde.Bson.{BArr, BDoc, BInt32, BInt64, BStr}
+
+/** Real MongoDB change-stream client over TCP — the live half of the
+  * S12 connector (reference
+  * `debezium-connector-mongodb/.../MongoDbStreamingChangeEventSource.java`,
+  * pipeline construction `ChangeStreamPipelineFactory.java`), speaking
+  * OP_MSG from the published wire-protocol spec: `hello` handshake,
+  * `aggregate` with a `$changeStream` pipeline carrying the
+  * reference's server-side `$match` (operationType ∈ insert/update/
+  * replace/delete — collection-level drop/rename/invalidate never
+  * leave the server) and `$changeStreamSplitLargeEvent` for >16 MB
+  * events, then a `getMore` loop until the server closes the cursor.
+  *
+  * Zero egress in this environment, so the client is exercised against
+  * the in-process `graft.tools.MongoWireServer` — the bytes on the
+  * socket are the real protocol either way. Fetched event documents
+  * render to JSON lines (`Bson.renderJson`, field order preserved)
+  * that drop straight into `MongoChangeStream.decode` / the `.cs`
+  * DSv2 transport.
+  */
+object MongoWireClient {
+
+  private val OpMsg = 2013
+  private val reqIds = new AtomicInteger(1)
+
+  private def roundTrip(in: DataInputStream, out: DataOutputStream,
+                        cmd: BDoc): BDoc = {
+    val body = Bson.encode(cmd)
+    val reqId = reqIds.getAndIncrement()
+    val bb = ByteBuffer.allocate(16 + 4 + 1 + body.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(bb.capacity()); bb.putInt(reqId); bb.putInt(0)
+    bb.putInt(OpMsg)
+    bb.putInt(0) // flagBits
+    bb.put(0.toByte) // kind-0 section
+    bb.put(body)
+    out.write(bb.array()); out.flush()
+
+    val header = new Array[Byte](16)
+    in.readFully(header)
+    val hb = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN)
+    val len = hb.getInt()
+    hb.getInt() // requestID
+    val responseTo = hb.getInt()
+    val opCode = hb.getInt()
+    require(opCode == OpMsg, s"expected OP_MSG reply, got opcode $opCode")
+    require(responseTo == reqId,
+      s"reply responseTo=$responseTo for request $reqId")
+    val rest = new Array[Byte](len - 16)
+    in.readFully(rest)
+    val rb = ByteBuffer.wrap(rest).order(ByteOrder.LITTLE_ENDIAN)
+    rb.getInt() // flagBits
+    require(rb.get() == 0, "expected kind-0 reply section")
+    val (doc, _) = Bson.decode(rest, rb.position())
+    doc.get("ok") match {
+      case Some(Bson.BDouble(1.0)) | Some(BInt32(1)) => doc
+      case other => throw new IllegalStateException(
+        s"command failed: ok=$other in ${Bson.renderJson(doc)}")
+    }
+  }
+
+  private def cursorBatch(reply: BDoc, field: String): (Long, Seq[BDoc]) = {
+    val cursor = reply.get("cursor") match {
+      case Some(d: BDoc) => d
+      case other => throw new IllegalStateException(s"no cursor in $other")
+    }
+    val id = cursor.get("id") match {
+      case Some(BInt64(v)) => v
+      case other => throw new IllegalStateException(s"bad cursor id $other")
+    }
+    val batch = cursor.get(field) match {
+      case Some(BArr(items)) => items.collect { case d: BDoc => d }
+      case _ => Nil
+    }
+    (id, batch)
+  }
+
+  /** The reference's server-side pipeline: `$changeStream` (with
+    * post-image lookup), the operation-type `$match`
+    * (`ChangeStreamPipelineFactory.java:61-71`), and large-event
+    * splitting. Order matters: mongod applies `$match` before the
+    * split stage, so fragments are never match-filtered.
+    */
+  private def pipeline: BArr = BArr(Seq(
+    BDoc(Seq("$changeStream" -> BDoc(Seq(
+      "fullDocument" -> BStr("updateLookup"))))),
+    BDoc(Seq("$match" -> BDoc(Seq(
+      "operationType" -> BDoc(Seq("$in" -> BArr(Seq(
+        BStr("insert"), BStr("update"), BStr("replace"),
+        BStr("delete"))))))))),
+    BDoc(Seq("$changeStreamSplitLargeEvent" -> BDoc(Nil)))))
+
+  /** Connect, handshake, open the change-stream cursor, drain it via
+    * getMore, and return every event document in cursor order.
+    */
+  def fetchAll(host: String, port: Int, db: String, coll: String,
+               batchSize: Int = 16): Seq[BDoc] = {
+    val socket = new Socket(host, port)
+    try {
+      socket.setTcpNoDelay(true)
+      val in = new DataInputStream(socket.getInputStream)
+      val out = new DataOutputStream(socket.getOutputStream)
+
+      val hello = roundTrip(in, out, BDoc(Seq(
+        "hello" -> BInt32(1), "$db" -> BStr("admin"))))
+      val maxWire = hello.get("maxWireVersion") match {
+        case Some(BInt32(v)) => v; case _ => 0
+      }
+      // $changeStreamSplitLargeEvent needs 7.0+ (wire 21); the split
+      // events in our fixtures predate that gate server-side, so only
+      // require OP_MSG-era wire (6+, MongoDB 3.6).
+      require(maxWire >= 6, s"server wire version $maxWire too old")
+
+      val first = roundTrip(in, out, BDoc(Seq(
+        "aggregate" -> BStr(coll),
+        "pipeline" -> pipeline,
+        "cursor" -> BDoc(Seq("batchSize" -> BInt32(batchSize))),
+        "$db" -> BStr(db))))
+      var (cursorId, batch) = cursorBatch(first, "firstBatch")
+      val events = Seq.newBuilder[BDoc]
+      events ++= batch
+      while (cursorId != 0) {
+        val more = roundTrip(in, out, BDoc(Seq(
+          "getMore" -> BInt64(cursorId),
+          "collection" -> BStr(coll),
+          "batchSize" -> BInt32(batchSize),
+          "$db" -> BStr(db))))
+        val (nextId, nextBatch) = cursorBatch(more, "nextBatch")
+        cursorId = nextId
+        events ++= nextBatch
+      }
+      roundTrip(in, out, BDoc(Seq(
+        "endSessions" -> BArr(Nil), "$db" -> BStr("admin"))))
+      events.result()
+    } finally socket.close()
+  }
+
+  /** Fetch and render as JSONL — the `.cs` transport / decoder input. */
+  def fetchJsonl(host: String, port: Int, db: String, coll: String,
+                 batchSize: Int = 16): String =
+    fetchAll(host, port, db, coll, batchSize)
+      .map(Bson.renderJson)
+      .mkString("", "\n", "\n")
+}

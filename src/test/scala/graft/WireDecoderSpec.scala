@@ -314,6 +314,129 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("1045") && !session2.authOk)
   }
 
+  test("BSON bridge round-trips the change-stream corpus byte-identically") {
+    import graft.serde.Bson
+    val lines = graft.tools.WireFixtures.mongoChangeStreamJsonl
+      .linesIterator.toSeq
+    assert(lines.nonEmpty)
+    lines.foreach { line =>
+      val parsed = Bson.parseJson(line)
+      // JSON → BSON tree → wire bytes → BSON tree → JSON is identity
+      val (decoded, n) = Bson.decode(
+        Bson.encode(parsed.asInstanceOf[Bson.BDoc]))
+      assert(n == Bson.encode(parsed.asInstanceOf[Bson.BDoc]).length)
+      assert(Bson.renderJson(decoded) == line, line)
+    }
+    // the codec survives the types the fixture happens not to cover
+    val exotic = Bson.BDoc(Seq(
+      "neg" -> Bson.BInt64(-42L), "i32" -> Bson.BInt32(7),
+      "big" -> Bson.BInt64(Long.MaxValue), "d" -> Bson.BDouble(-0.5),
+      "b" -> Bson.BBool(false), "z" -> Bson.BNull,
+      "esc" -> Bson.BStr("a\"b\\c\nd"),
+      "arr" -> Bson.BArr(Seq(Bson.BInt64(1), Bson.BStr("x")))))
+    val (back, _) = Bson.decode(Bson.encode(exotic))
+    assert(back == exotic)
+    assert(Bson.parseJson(Bson.renderJson(exotic)) == Bson.BDoc(
+      exotic.fields.map { // int32 widens to int64 across the JSON bridge
+        case (k, Bson.BInt32(v)) => k -> Bson.BInt64(v.toLong)
+        case kv => kv
+      }))
+  }
+
+  test("change stream over a real socket: OP_MSG cursor, server-side $match") {
+    import graft.serde.Bson
+    import graft.sources.net.MongoWireClient
+    import graft.tools.{MongoWireServer, WireFixtures}
+    val lines = WireFixtures.mongoChangeStreamJsonl.linesIterator.toSeq
+    val docs = lines.map(l => Bson.parseJson(l).asInstanceOf[Bson.BDoc])
+    val (port, session, server) = MongoWireServer.serve(docs, batchSize = 10)
+    val jsonl = MongoWireClient.fetchJsonl("127.0.0.1", port,
+      db = "shop", coll = "items", batchSize = 10)
+    server.join(10000)
+    // the client spoke the protocol: hello first, the reference's
+    // pipeline stages on aggregate, getMore until the cursor closed
+    assert(session.helloSeen, "no hello handshake")
+    assert(session.sawChangeStreamStage, "$changeStream stage missing")
+    assert(session.sawSplitStage, "$changeStreamSplitLargeEvent missing")
+    assert(session.matchedOpTypes ==
+      Seq("insert", "update", "replace", "delete"))
+    assert(session.getMores.get > 0, "cursor drained in one batch")
+    // the server-side $match removed exactly the collection-level drop
+    // (split fragments carry no operationType and must pass)
+    assert(session.filteredCount == 1)
+    val fetched = jsonl.linesIterator.toSeq
+    assert(fetched == lines.filterNot(_.contains("\"drop\"")))
+    // and the fetched cursor decodes identically to the recording
+    assert(graft.sources.wire.MongoChangeStream
+      .segmentRows(fetched.iterator).size.toLong ==
+      WireFixtures.mongoRowCount)
+  }
+
+  test("CDC table over a real socket: TDS login, LSN-window polls, round-trip rows") {
+    import graft.serde.Bson
+    import graft.sources.net.SqlServerTdsClient
+    import graft.tools.MsSqlWireServer
+    import graft.tools.MsSqlWireServer._
+    import graft.tools.WireFixtures
+    import graft.tools.WireFixtures.sqlServerLsn
+    val lines = WireFixtures.sqlServerCtJsonl.linesIterator.toSeq
+    val b64 = java.util.Base64.getDecoder
+    val cols = Seq(Col("__$start_lsn", TVarBinary),
+      Col("__$seqval", TVarBinary), Col("__$operation", TIntN),
+      Col("__$update_mask", TVarBinary), Col("id", TIntN),
+      Col("name", TVarChar), Col("price", TFltN), Col("notes", TVarChar))
+    val rows: Seq[MsSqlWireServer.Row] = lines.map { line =>
+      val doc = Bson.parseJson(line).asInstanceOf[Bson.BDoc]
+      cols.map(c => doc.get(c.name).get match {
+        case Bson.BNull => None
+        case Bson.BStr(v) if c.tpe == TVarBinary => Some(b64.decode(v))
+        case Bson.BStr(v) => Some(v)
+        case Bson.BInt64(v) => Some(v.toInt)
+        case Bson.BDouble(v) => Some(v)
+        case other => fail(s"unexpected $other")
+      })
+    }
+    val (port, session, _) = MsSqlWireServer.serve(cols, rows, "cdc-pass")
+    val conn = SqlServerTdsClient.connect("127.0.0.1", port,
+      "cdc_reader", "cdc-pass", "testdb")
+    val jsonl = try {
+      assert(session.authOk && session.user == "cdc_reader" &&
+        session.database == "testdb")
+      assert(session.tdsVersion == 0x74000004, "TDS 7.4 expected")
+      val hi = SqlServerTdsClient.maxLsn(conn)
+      assert(java.util.Arrays.equals(hi, sqlServerLsn(0x25, 0x327, 3)))
+      // one full-range poll must round-trip every fixture row, in order,
+      // byte-identically through COLMETADATA/ROW tokens and back to JSONL
+      val (meta, fetched) = SqlServerTdsClient.pollChanges(conn,
+        "dbo_products", sqlServerLsn(0, 0, 0), hi)
+      assert(meta.map(_.name) == cols.map(_.name))
+      SqlServerTdsClient.rowsToJsonl(meta, fetched)
+    } finally conn.close()
+    assert(jsonl.linesIterator.toSeq == lines)
+    // the server evaluated the hex-literal window, reference query shape
+    assert(session.queries.exists(q =>
+      q.contains("fn_cdc_get_all_changes_dbo_products") &&
+        q.contains("0x00000000000000000000") &&
+        q.contains("all update old")))
+    // a narrow window genuinely filters server-side
+    val (port2, _, _) = MsSqlWireServer.serve(cols, rows, "cdc-pass")
+    val conn2 = SqlServerTdsClient.connect("127.0.0.1", port2,
+      "cdc_reader", "cdc-pass", "testdb")
+    try {
+      val (_, sub) = SqlServerTdsClient.pollChanges(conn2, "dbo_products",
+        sqlServerLsn(0x25, 0x300, 0), sqlServerLsn(0x25, 0x3ff, 0xffff))
+      assert(sub.size == 7) // exactly the deletes
+      assert(sub.forall(_(2).contains(1)))
+    } finally conn2.close()
+    // wrong password is rejected server-side with ERROR 18456
+    val (port3, session3, _) = MsSqlWireServer.serve(cols, rows, "cdc-pass")
+    val ex = intercept[java.io.IOException] {
+      SqlServerTdsClient.connect("127.0.0.1", port3,
+        "cdc_reader", "wrong", "testdb")
+    }
+    assert(ex.getMessage.contains("18456") && !session3.authOk)
+  }
+
   test("pgoutput segmentRows: ops, keys from REPLICA IDENTITY, toast sentinel") {
     val rows = PgOutput.segmentRows(WireFixtures.pgoutputSegment).toSeq
     assert(rows.size == WireFixtures.pgoutputRowCount)
