@@ -141,6 +141,31 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
   }
 
+  /** Semi-hard negative mining for contrastive/embedding training: for
+    * each query, the top-k most-similar corpus vectors whose cosine
+    * falls in [lo, hi) — similar enough to be informative negatives,
+    * capped below the near-duplicate band so positives never leak into
+    * the negative set. Same 100 TB shape as [[bruteForceTopK]]: the
+    * query side broadcasts, the corpus scans once without shuffling,
+    * and the band filter runs BEFORE the per-query ranking window so
+    * window state holds only in-band candidates.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    lo: Double, hi: Double): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", q6(cosineNative(corpus)(col("qe"), col("ce"))))
+      .filter(col("sim") >= lo && col("sim") < hi)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+  }
+
   /** Random-hyperplane LSH bucketing: `nBits` deterministic pseudo-random
     * hyperplanes (component h_{b,d} derived from xxhash64(b,d), zero-mean);
     * the bucket id is the sign pattern. Candidate pairs share a bucket —

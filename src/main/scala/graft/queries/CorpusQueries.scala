@@ -140,6 +140,15 @@ object CorpusQueries extends QueryGroup {
       Similarity.bruteForceTopK(e.filter(col("vec_id") % 100 === 0), e, 5)
     }),
 
+    // Contrastive-training data prep: semi-hard negatives per query —
+    // the most-similar candidates inside [0.1, 0.5), informative but
+    // safely below the near-duplicate band
+    "a_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e.filter(col("vec_id") % 100 === 0), e, 5,
+        lo = 0.1, hi = 0.5)
+    }),
+
     "a_cosine_pairs" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val b = e.select(floor(col("vec_id") / 50).cast("long").as("bucket"),
@@ -641,6 +650,18 @@ object CorpusQueries extends QueryGroup {
         |FROM sc
         |QUALIFY rk <= 5""".stripMargin,
 
+    "a_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |  FROM embeddings WHERE vec_id%100 = 0),
+        | sc AS (SELECT qid, vec_id AS neighbor_id,
+        |   floor(list_cosine_similarity(embedding::DOUBLE[], qe) * 1000000) / 1000000.0 AS sim
+        |  FROM embeddings, q WHERE vec_id <> qid)
+        |SELECT qid AS query_id,
+        | CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS INT) AS rk,
+        | neighbor_id, sim
+        |FROM sc WHERE sim >= 0.1 AND sim < 0.5
+        |QUALIFY rk <= 5""".stripMargin,
+
     "a_cosine_pairs" ->
       """WITH b AS (SELECT CAST(floor(vec_id/50) AS BIGINT) AS bucket, vec_id,
         |  embedding::DOUBLE[] AS e FROM embeddings)
@@ -968,7 +989,7 @@ object CorpusQueries extends QueryGroup {
     "a_sequence_pack", "a_pii_redact", "a_corpus_stats",
     "a_curation_pipeline", "a_vocab_coverage",
     "a_stratified_sample", "a_train_split",
-    "a_embed_norms", "a_ann_topk",
+    "a_embed_norms", "a_ann_topk", "a_hard_negatives",
     "a_cosine_pairs", "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh",
     "a_ann_ivf", "a_ann_ivf_index", "a_semantic_dedup",
     "a_passage_dedup", "a_substring_dedup", "a_lm_score", "a_source_overlap",

@@ -30,6 +30,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(1L) == 3L && out(3L) == 1L)
   }
 
+  test("hard negatives: in-band only, near-dups excluded, per-query top-k") {
+    import graft.analytics.Similarity
+    // query 0 has: an exact duplicate (sim 1.0, must be excluded), two
+    // in-band semi-hard candidates, and an orthogonal vector (below lo)
+    val vecs = Seq(
+      0L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      1L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),   // near-dup: sim 1.0 >= hi
+      2L -> Seq(1.0f, 1.0f, 0.0f, 0.0f),   // sim ~0.707 — above hi=0.6
+      3L -> Seq(1.0f, 2.0f, 0.0f, 0.0f),   // sim ~0.447 in band
+      4L -> Seq(1.0f, 3.0f, 0.0f, 0.0f),   // sim ~0.316 in band
+      5L -> Seq(0.0f, 0.0f, 1.0f, 0.0f))   // sim 0.0 below lo=0.1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(
+      vecs.filter(col("vec_id") === 0), vecs, k = 5, lo = 0.1, hi = 0.6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.map(_._3).toSet == Set(3L, 4L),
+      s"expected only the in-band vectors, got ${out.toSeq}")
+    assert(out.forall(r => r._4 >= 0.1 && r._4 < 0.6))
+    // ranked by similarity descending, ranks contiguous from 1
+    assert(out.sortBy(_._2).map(_._3).toSeq == Seq(3L, 4L))
+    // k caps the per-query set
+    val capped = Similarity.hardNegatives(
+      vecs.filter(col("vec_id") === 0), vecs, k = 1, lo = 0.1, hi = 0.6)
+      .collect()
+    assert(capped.length == 1 && capped.head.getLong(2) == 3L)
+  }
+
   test("repetition signals: distinct text scores 0, repeated text scores high") {
     val r = docs.select(col("doc_id"),
       TextAnalysis.dupTokenFrac(col("text")).as("dup"),
