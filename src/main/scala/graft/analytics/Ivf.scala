@@ -161,6 +161,75 @@ object Ivf {
     } finally ne.unpersist()
   }
 
+  /** Mini-batch k-means (Sculley, "Web-scale k-means clustering", WWW
+    * 2010) for the very-large-k regime: instead of assigning one FIXED
+    * cached sample every iteration, each iteration draws a fresh
+    * deterministic hash-sample of ~`batchPerCell`·k vectors (the salt
+    * is the iteration index, so batches are disjoint-ish and
+    * reproducible) and folds it into the running centroids with
+    * per-cell learning rates η_c = batch_n_c / lifetime_n_c — centers
+    * that have absorbed more data move less, the standard mini-batch
+    * convergence schedule. The distributed shape matches
+    * [[fitCentroidsDistributed]]: native codegen cell assignment,
+    * [[graft.expressions.VectorSum]] map-side partials, only k stat
+    * rows to the driver per iteration. The difference is the scan
+    * footprint: nothing persists across iterations and each iteration
+    * reads only its batch — at 1B vectors and k=65536, an iteration
+    * touches ~0.05% of the corpus instead of re-scanning a cached
+    * 2.6M-row sample, and fresh batches keep late iterations from
+    * overfitting one fixed subsample. Same ulp caveat as the
+    * distributed path: float sums fold in partition order.
+    */
+  def fitCentroidsMiniBatch(corpus: DataFrame, idCol: String, embCol: String,
+                            k: Int, iters: Int = 10,
+                            batchPerCell: Int = 8): Seq[Centroid] = {
+    val nonZero = corpus.filter(
+      aggregate(col(embCol), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")) > 0.0)
+    val ne = nonZero
+      .select(col(idCol).as("_id"), normalized(col(embCol)).as("_ne"))
+    val n = ne.count()
+    val mod = math.max(1L, n / math.max(1L, batchPerCell.toLong * k))
+    val seedPool = ne.orderBy(col("_id")).limit(4 * k)
+      .select(col("_ne")).collect()
+      .map(_.getSeq[Double](0))
+    val seeds = seedPool.iterator.distinct.take(k).toVector
+    require(seeds.size >= k,
+      s"only ${seeds.size} distinct vectors in the ${seedPool.length}-row " +
+        s"seed pool for k=$k")
+    var centroids: Array[Centroid] = seeds.map(_.toArray).toArray
+    val lifetime = new Array[Long](k)
+    graft.expressions.GraftFunctions.register(corpus.sparkSession)
+    for (iter <- 0 until iters) {
+      val batch =
+        if (mod <= 1L) ne
+        else ne.filter(pmod(xxhash64(col("_id"), lit(iter)), lit(mod)) === 0)
+      val stats = batch
+        .select(graft.expressions.GraftFunctions
+          .nearestCell(col("_ne"), centroids.toSeq.map(_.toSeq))
+          .cast("int").as("cell"), col("_ne"))
+        .groupBy(col("cell"))
+        .agg(graft.expressions.GraftFunctions.vectorSum(col("_ne")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.clone()
+      stats.foreach { r =>
+        require(!r.isNullAt(0),
+          "nearest_cell returned NULL during training: corrupt vector dims")
+        val c = r.getInt(0)
+        val s = r.getSeq[Double](1)
+        val bn = r.getLong(2)
+        lifetime(c) += bn
+        val eta = bn.toDouble / lifetime(c)
+        next(c) = next(c).zip(s).map { case (old, sum) =>
+          (1.0 - eta) * old + eta * (sum / bn)
+        }
+      }
+      centroids = next
+    }
+    centroids.toSeq
+  }
+
   /** Deterministic Lloyd's k-means on a bounded sample (first `sampleN`
     * vectors in vec_id order — `orderBy().limit()` plans as
     * TakeOrderedAndProject, a per-partition top-N + driver merge, not a

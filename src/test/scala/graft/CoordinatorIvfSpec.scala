@@ -119,6 +119,52 @@ class CoordinatorIvfSpec extends AnyFunSuite {
     } finally corpus.unpersist()
   }
 
+  test("mini-batch k-means converges to cluster means with per-cell rates") {
+    // three tight clusters around orthogonal axes: after a few fresh
+    // batches each centroid must sit near its cluster's direction
+    val corpus = spark.range(3000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)), d =>
+        (when(d === (col("id") % 3).cast("int"), lit(10.0))
+          .otherwise(lit(0.0)) +
+          (pmod(xxhash64(col("id"), d), lit(100)).cast("double") / 500.0))
+          .cast("float")).as("embedding"))
+    val centroids = Ivf.fitCentroidsMiniBatch(
+      corpus, "vec_id", "embedding", k = 3, iters = 6, batchPerCell = 64)
+    assert(centroids.size == 3 && centroids.head.length == 4)
+    // each cluster axis is the dominant component of exactly one centroid
+    val dominant = centroids.map(c => c.indexOf(c.max)).toSet
+    assert(dominant == Set(0, 1, 2), s"centroids collapsed: $dominant")
+    centroids.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(n > 0.9 && n <= 1.0 + 1e-9,
+        s"tight-cluster centroid should stay near the unit sphere: $n")
+    }
+  }
+
+  test("mini-batch trainer holds k=4096 search recall with fresh batches") {
+    val corpus = spark.range(20000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        d => (pmod(xxhash64(col("id"), d), lit(1000)).cast("double") / 500.0
+          - 1.0).cast("float")).as("embedding"))
+      .persist()
+    try {
+      val centroids = Ivf.fitCentroidsMiniBatch(
+        corpus, "vec_id", "embedding", k = 4096, iters = 3)
+      assert(centroids.size == 4096 && centroids.head.length == 64)
+      val norms = centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+      assert(norms.forall(n => n > 0.0 && n <= 1.0 + 1e-9))
+      val queries = corpus.filter(col("vec_id") % 1000 === 0)
+      val ivf = Ivf.searchTopK(corpus, queries, centroids, k = 5, nprobe = 256)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = Similarity.bruteForceTopK(queries, corpus, 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = ivf.count(brute).toDouble / brute.size
+      assert(recall >= 0.5, s"mini-batch IVF recall too low: $recall")
+    } finally corpus.unpersist()
+  }
+
   test("auto-fit routes k > driverKMax to the distributed trainer") {
     // 1.15M tiny vectors push heuristicK past driverKMax=1024
     val corpus = spark.range(1150000).select(col("id").as("vec_id"),
