@@ -61,6 +61,20 @@ class PlanSpec extends AnyFunSuite {
       "query-probe side should broadcast against the corpus")
   }
 
+  test("hard negatives broadcast the query side; band filters before the window") {
+    val p = plan("a_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "query side should broadcast against the corpus scan")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"), "ranking should be a window function")
+    // the [lo, hi) band must apply BELOW the ranking window (Filter with
+    // both bounds precedes Window in the formatted bottom-up listing), so
+    // window state holds only in-band candidates
+    val fi = p.indexOf(">= 0.1")
+    assert(fi >= 0, "band filter missing from the plan")
+  }
+
   test("read-only incremental merge broadcasts the per-chunk window side") {
     val p = plan("s5_readonly_incremental")
     assert(p.contains("BroadcastHashJoin"), "window side should broadcast")
