@@ -89,4 +89,35 @@ object LanguageModel {
         floor(col("prob_q9_sum").cast("double") /
           greatest(col("n_bigrams"), lit(1L))).cast("long"))
   }
+
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus LM, then cut each LANGUAGE into `buckets` equal tiles by
+    * score — head (most corpus-typical) / middle / tail — the partition
+    * CCNet publishes its corpus in and the standard mixture axis
+    * ("train on head+middle, drop tail"). Returns per-(lang, bucket)
+    * doc and token counts with the score range per tile.
+    *
+    * Exact `ntile` sorts within each language partition — correct at any
+    * scale but the per-language sort is the cost; the 100 TB fast path
+    * computes the two cut scores per language with `approx_percentile`
+    * and buckets map-only (identical tiles up to quantile error). Kept
+    * exact here so the oracle reproduces tiles bit-for-bit.
+    */
+  def ccnetBuckets(docs: DataFrame, buckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramScore(docs)
+      .join(docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")), "doc_id")
+    val tile = ntile(buckets).over(Window.partitionBy(col("lang"))
+      .orderBy(col("avg_prob_q9").desc, col("doc_id")))
+    scored.withColumn("tile", tile)
+      .withColumn("bucket",
+        when(col("tile") === 1, "head")
+          .when(col("tile") === buckets, "tail").otherwise("middle"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("avg_prob_q9")).as("min_q9"),
+        max(col("avg_prob_q9")).as("max_q9"))
+  }
 }

@@ -173,6 +173,77 @@ object ConfigQueries extends QueryGroup {
           max(col("source.pos")).as("max_pos"))
     }),
 
+    // K7: JDBC storage backend (reference debezium-storage-jdbc) — offsets
+    // committed through embedded Derby survive a restart (fresh store over
+    // the same database); a >65000-char schema-history record splits across
+    // rows and reassembles byte-identically on recovery
+    "k7_jdbc_store" -> ((s, dir) => {
+      import graft.model.{JdbcHistoryStorage, JdbcOffsetBackingStore}
+      val fd = feed(s, dir, "orders")
+      val cut = t(s, dir, "orders")
+        .agg(max(col("o_orderkey")).cast("long")).head.getLong(0) * 3
+      val dbDir = java.nio.file.Files.createTempDirectory("k7-jdbc")
+      val url = s"jdbc:derby:$dbDir/store;create=true"
+      val st = new JdbcOffsetBackingStore(url)
+      st.set("orders", cut.toString)
+      st.set("lineitem", "41")
+      st.close()
+      val st2 = new JdbcOffsetBackingStore(url) // restart
+      val recovered = st2.get("orders").get.toLong
+      require(st2.snapshot == Map("orders" -> cut.toString, "lineitem" -> "41"),
+        s"jdbc offset restart mismatch: ${st2.snapshot}")
+      st2.close()
+      val hs = new JdbcHistoryStorage(url)
+      val big = "h" * 70000 + "!" // 2 parts at the 65000 split
+      hs.append("first")
+      hs.append(big)
+      hs.close()
+      val hs2 = new JdbcHistoryStorage(url) // restart
+      hs2.append("third") // must sort after pre-restart records
+      val recs = hs2.readAll()
+      hs2.close()
+      require(recs == Seq("first", big, "third"),
+        s"jdbc history mismatch: ${recs.map(_.length)}")
+      fd.filter(col("source.pos") > recovered)
+        .groupBy(col("op")).agg(count(lit(1)).as("n"),
+          min(col("source.pos")).as("min_pos"),
+          max(col("source.pos")).as("max_pos"))
+    }),
+
+    // K7: RocksDB storage backend (reference debezium-storage-rocksdb) —
+    // one durable put per offset flush (no full-file rewrite), append-only
+    // history under sequence keys; both survive a restart
+    "k7_rocksdb_store" -> ((s, dir) => {
+      import graft.model.{RocksDbHistoryStorage, RocksDbOffsetBackingStore}
+      val fd = feed(s, dir, "orders")
+      val cut = t(s, dir, "orders")
+        .agg(max(col("o_orderkey")).cast("long")).head.getLong(0) * 7
+      val dbDir = java.nio.file.Files.createTempDirectory("k7-rocks")
+      val st = new RocksDbOffsetBackingStore(s"$dbDir/offsets")
+      st.set("orders", "0")
+      st.set("orders", cut.toString) // overwrite, not append
+      st.set("lineitem", "41")
+      st.close()
+      val st2 = new RocksDbOffsetBackingStore(s"$dbDir/offsets") // restart
+      val recovered = st2.get("orders").get.toLong
+      require(st2.snapshot == Map("orders" -> cut.toString, "lineitem" -> "41"),
+        s"rocksdb offset restart mismatch: ${st2.snapshot}")
+      st2.close()
+      val hs = new RocksDbHistoryStorage(s"$dbDir/history")
+      hs.append("first"); hs.append("second")
+      hs.close()
+      val hs2 = new RocksDbHistoryStorage(s"$dbDir/history") // restart
+      hs2.append("third")
+      val recs = hs2.readAll()
+      hs2.close()
+      require(recs == Seq("first", "second", "third"),
+        s"rocksdb history mismatch: $recs")
+      fd.filter(col("source.pos") > recovered)
+        .groupBy(col("op")).agg(count(lit(1)).as("n"),
+          min(col("source.pos")).as("min_pos"),
+          max(col("source.pos")).as("max_pos"))
+    }),
+
     "k7_schema_history" -> ((s, dir) => {
       import graft.model.SchemaHistory
       import graft.operators.SchemaEvolution.{AddColumn, DropColumn}
@@ -337,6 +408,28 @@ object ConfigQueries extends QueryGroup {
 
     "k7_offset_store" ->
       """WITH c AS (SELECT CAST(max(o_orderkey)*5 AS BIGINT) AS cut FROM orders),
+        | ev AS (
+        |  SELECT 'r' AS op, o_orderkey*10 AS pos FROM orders
+        |  UNION ALL
+        |  SELECT 'u', o_orderkey*10+1 FROM orders WHERE o_orderkey%7=3
+        |  UNION ALL
+        |  SELECT 'd', o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6)
+        |SELECT op, count(*) AS n, min(pos) AS min_pos, max(pos) AS max_pos
+        |FROM ev, c WHERE pos > cut GROUP BY op""".stripMargin,
+
+    "k7_jdbc_store" ->
+      """WITH c AS (SELECT CAST(max(o_orderkey)*3 AS BIGINT) AS cut FROM orders),
+        | ev AS (
+        |  SELECT 'r' AS op, o_orderkey*10 AS pos FROM orders
+        |  UNION ALL
+        |  SELECT 'u', o_orderkey*10+1 FROM orders WHERE o_orderkey%7=3
+        |  UNION ALL
+        |  SELECT 'd', o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6)
+        |SELECT op, count(*) AS n, min(pos) AS min_pos, max(pos) AS max_pos
+        |FROM ev, c WHERE pos > cut GROUP BY op""".stripMargin,
+
+    "k7_rocksdb_store" ->
+      """WITH c AS (SELECT CAST(max(o_orderkey)*7 AS BIGINT) AS cut FROM orders),
         | ev AS (
         |  SELECT 'r' AS op, o_orderkey*10 AS pos FROM orders
         |  UNION ALL
