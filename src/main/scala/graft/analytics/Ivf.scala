@@ -363,6 +363,39 @@ object Ivf {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
   }
 
+  /** Topic-cluster profile — the report a corpus-clustering run releases:
+    * assign every vector to its nearest centroid (spherical k-means
+    * cells, the same geometry the IVF index partitions by) and roll up
+    * per cluster: size and the majority label with its count (the
+    * "purity" signal when an external label exists; with unlabeled data
+    * pass a constant). Integer-exact output, so any engine reproduces it
+    * from centroid literals.
+    *
+    * 100 TB shape: assignment is the native codegen [[cellOfNative]]
+    * (map-only); the (cell, label) count is map-side combinable; the
+    * majority pick is a window over ≤ k·|labels| rows — the corpus
+    * shuffles once, on the tiny (cell, label) key.
+    */
+  def clusterProfile(vecs: DataFrame, centroids: Seq[Centroid]): DataFrame = {
+    val assigned = vecs.select(
+      cellOfNative(vecs)(col("embedding"), centroids).cast("int").as("cluster"),
+      col("label"))
+    val byLabel = assigned.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n").desc, col("label"))
+    byLabel
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_vecs", sum(col("n")).over(
+        Window.partitionBy(col("cluster"))))
+      .withColumn("n_labels", count(lit(1)).over(
+        Window.partitionBy(col("cluster"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("n_vecs").cast("long").as("n_vecs"),
+        col("n_labels").cast("long").as("n_labels"),
+        col("label").as("top_label"), col("n").as("top_label_n"))
+  }
+
   /** Materialize the IVF INDEX: the corpus with its cell assignment,
     * written as cell-PARTITIONED parquet. Build once, search many — the
     * production IVF split the reference's in-memory search cannot make.

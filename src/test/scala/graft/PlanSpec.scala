@@ -110,6 +110,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tf-idf: corpus-size scalar broadcasts, counts hash-aggregate") {
+    val p = plan("a_tfidf_terms")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row n_docs scalar must broadcast, not cartesian")
+    assert(p.contains("HashAggregate"),
+      "tf/df counts should be hash aggregations (map-side combinable)")
+  }
+
+  test("cluster profile assigns cells natively, one shuffle on (cluster,label)") {
+    val p = plan("a_doc_clusters")
+    assert(p.contains("nearestcell") || p.contains("NearestCell"),
+      "assignment should be the native codegen NearestCell")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"),
+      "(cluster,label) counts should hash-aggregate")
+  }
+
   test("passage dedup: no cartesian, boilerplate counts partially aggregate") {
     val p = plan("a_passage_dedup")
     assert(!p.contains("CartesianProduct"))
