@@ -23,6 +23,73 @@ object Vocabulary {
     docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
+  /** BPE tokenizer training (the merge-learning loop of byte-pair
+    * encoding): start from the per-word character sequence, then
+    * `nMerges` times pick the most frequent adjacent symbol pair
+    * (corpus-weighted, ties by pair lexicographically) and fuse it
+    * everywhere. Returns the learned merge table
+    * `(step, w1, w2, merged, n)` — the artifact a tokenizer ships.
+    *
+    * Scale shape: the corpus is scanned ONCE (map-side-combinable word
+    * counts); every iteration then runs on the word-frequency table —
+    * vocab-sized, not corpus-sized — and only the single winning pair
+    * row is collected per step. Symbol state lives in one string column
+    * and the merge application is a literal `replace` — left-to-right
+    * non-overlapping over the pre-replacement string, identical in
+    * every engine. (For a run of 3+ repeats of one symbol, e.g.
+    * `aaaa`, the shared-space scan fuses one pair per step instead of
+    * all at once; the leftover pairs fuse on later iterations, so the
+    * segmentation still converges — only the merge PATH for degenerate
+    * same-char runs can differ from a symbol-array BPE; on natural
+    * text the learned table does not.)
+    * Production tokenizers run tens of thousands of
+    * merges: there the same word table, pruned to the top ~1M words,
+    * collects once and the loop runs in memory — this distributed loop
+    * is the memory-unbounded path and the oracle-checked reference of
+    * that optimization.
+    */
+  def bpeMerges(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    // " c h a r s " — space-sentineled symbol string; filter guards the
+    // empty fragments some engines emit for empty-pattern splits
+    var syms = words.withColumn("syms",
+      concat(lit(" "),
+        array_join(filter(split(col("word"), ""), x => x =!= ""), " "),
+        lit(" ")))
+      .persist()
+    syms.count()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    try {
+      for (step <- 1 to nMerges) {
+        val tk = split(trim(col("syms")), " ")
+        val best = syms
+          .filter(size(tk) >= 2)
+          .select(col("freq"),
+            explode(transform(sequence(lit(1), size(tk) - 1),
+              i => struct(element_at(tk, i).as("w1"),
+                element_at(tk, i + 1).as("w2")))).as("b"))
+          .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("w1"), col("w2"))
+          .limit(1).collect()(0)
+        val (w1, w2, n) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((step, w1, w2, w1 + w2, n))
+        val prev = syms
+        syms = syms.withColumn("syms",
+          call_function("replace", col("syms"),
+            lit(s" $w1 $w2 "), lit(s" $w1$w2 ")))
+          .persist()
+        syms.count()
+        prev.unpersist()
+      }
+      merges.toSeq.toDF("step", "w1", "w2", "merged", "n")
+    } finally syms.unpersist()
+  }
+
   /** Per-document coverage: total tokens, tokens with corpus frequency
     * below `rareBelow`, and tokens inside the top-`topM` vocabulary
     * (rank by count desc, token asc — a deterministic tie-break).

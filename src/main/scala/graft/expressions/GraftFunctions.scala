@@ -64,6 +64,17 @@ object GraftFunctions {
         ad.getArray(i).toDoubleArray())
       NearestCells(exprs(0), mat,
         exprs(2).eval().asInstanceOf[Number].intValue())
+    }),
+    "graft_pq_encode" -> ((exprs: Seq[Expression]) => {
+      // codebooks must be a foldable array<array<array<double>>> literal
+      require(exprs(1).foldable, "pq_encode codebooks must be a literal")
+      val ad = exprs(1).eval().asInstanceOf[
+        org.apache.spark.sql.catalyst.util.ArrayData]
+      val cbs = Array.tabulate(ad.numElements()) { i =>
+        val sub = ad.getArray(i)
+        Array.tabulate(sub.numElements())(j => sub.getArray(j).toDoubleArray())
+      }
+      PqEncode(exprs(0), cbs)
     })
   )
 
@@ -102,6 +113,13 @@ object GraftFunctions {
 
   /** Elementwise array<double> sum aggregate (register(spark) first). */
   def vectorSum(v: Column): Column = call_function("graft_vector_sum", v)
+
+  /** Product-quantization codes via the native expression
+    * (register(spark) first). `codebooks` is m × ksub × dsub.
+    */
+  def pqEncode(emb: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    call_function("graft_pq_encode", emb,
+      org.apache.spark.sql.functions.typedLit(codebooks))
 
   /** One-pass MinHash signature array (register(spark) first). */
   def minhash(shingles: Column, numPerm: Int): Column =

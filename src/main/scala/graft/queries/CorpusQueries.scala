@@ -387,7 +387,25 @@ object CorpusQueries extends QueryGroup {
     // language into head/middle/tail tiles — the published-corpus
     // partition and the standard "drop the tail" mixture axis
     "a_ccnet_buckets" -> ((s, dir) =>
-      LanguageModel.ccnetBuckets(t(s, dir, "documents")))
+      LanguageModel.ccnetBuckets(t(s, dir, "documents"))),
+
+    // BPE tokenizer training: the merge-learning loop — one corpus scan
+    // for word counts, then vocab-sized iterations picking the top
+    // adjacent symbol pair; output is the merge table a tokenizer ships
+    "a_bpe_merges" -> ((s, dir) =>
+      graft.analytics.Vocabulary.bpeMerges(t(s, dir, "documents"),
+        nMerges = 6)),
+
+    // Product-quantization ANN (the 1B-vector memory path): corpus
+    // collapses to m=8 codes/vector via the native codegen PqEncode;
+    // search is asymmetric — exact query vs codebook reconstruction
+    "a_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cbs = graft.analytics.Pq.pretrainedCodebooks(m = 8, ksub = 16,
+        dsub = 8)
+      graft.analytics.Pq.searchTopK(e, e.filter(col("vec_id") % 100 === 0),
+        cbs, k = 5)
+    })
   )
 
   private val enIn = enList.map(w => s"'$w'").mkString("(", ",", ")")
@@ -550,6 +568,91 @@ object CorpusQueries extends QueryGroup {
        | CAST(n_labels AS BIGINT) AS n_labels, label AS top_label,
        | CAST(n AS BIGINT) AS top_label_n
        |FROM pr WHERE rk = 1""".stripMargin
+  }
+
+  /** The BPE merge loop unrolled to `nMerges` SQL layers: each layer
+    * recomputes weighted adjacent-pair counts from the previous symbol
+    * state, picks the (n desc, pair asc) winner, and applies it with
+    * the same literal space-sentineled `replace` as the engine — both
+    * engines scan left-to-right over the pre-replacement string, so the
+    * application order is identical by construction. Every layer is
+    * MATERIALIZED: each merge CTE is referenced three times by the next
+    * layer, and DuckDB's default inlining would re-expand the whole
+    * chain ~3^n times (measured: never finishes at n=6; 0.08 s
+    * materialized).
+    */
+  private def bpeOracle(nMerges: Int): String = {
+    def pairCtes(src: String, p: String, m: String) =
+      s"""$p AS MATERIALIZED (
+         | SELECT w1, w2, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |  SELECT freq,
+         |   unnest([tk[i] for i in range(1, len(tk))]) AS w1,
+         |   unnest([tk[i+1] for i in range(1, len(tk))]) AS w2
+         |  FROM (SELECT freq, string_split(trim(syms),' ') AS tk FROM $src))
+         | GROUP BY w1, w2),
+         |$m AS MATERIALIZED (SELECT w1, w2, n FROM $p ORDER BY n DESC, w1, w2 LIMIT 1)""".stripMargin
+    def mergeCte(src: String, m: String, s: String) =
+      s"""$s AS MATERIALIZED (SELECT word, freq,
+         | replace(syms, ' '||(SELECT w1 FROM $m)||' '||(SELECT w2 FROM $m)||' ',
+         |               ' '||(SELECT w1 FROM $m)||(SELECT w2 FROM $m)||' ') AS syms
+         | FROM $src)""".stripMargin
+    val base =
+      """w AS (
+        | SELECT term AS word, count(*) AS freq
+        | FROM (SELECT unnest(string_split(text,' ')) AS term FROM documents)
+        | GROUP BY term),
+        |s0 AS MATERIALIZED (SELECT word, freq,
+        | ' ' || array_to_string(string_split(word,''),' ') || ' ' AS syms
+        | FROM w)""".stripMargin
+    val layers = (1 to nMerges).flatMap { i =>
+      Seq(pairCtes(s"s${i - 1}", s"p$i", s"m$i")) ++
+        (if (i < nMerges) Seq(mergeCte(s"s${i - 1}", s"m$i", s"s$i")) else Nil)
+    }
+    val sel = (1 to nMerges)
+      .map(i => s"SELECT $i AS step, w1, w2, w1||w2 AS merged, n FROM m$i")
+      .mkString(" UNION ALL ")
+    s"WITH ${(base +: layers).mkString(",\n")}\n$sel ORDER BY step"
+  }
+
+  /** PQ encode + ADC search replayed from the codebook literals: per
+    * subspace, L2 distances of the normalized subvector slice to the 16
+    * centroid literals → first argmin is the code; reconstruction
+    * concatenates the coded centroids; scoring/ranking mirror
+    * annIvfOracle's cosine conventions.
+    */
+  private def pqTopkOracle: String = {
+    val m = 8; val dsub = 8; val topK = 5
+    val cbs = graft.analytics.Pq.pretrainedCodebooks(m, ksub = 16, dsub)
+    val distCols = (0 until m).map { s =>
+      val dists = cbs(s).map { c =>
+        val lit = c.mkString("[", ",", "]")
+        s"list_sum(list_transform(list_zip(ne[${s * dsub + 1}:${(s + 1) * dsub}], $lit::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])))"
+      }.mkString("[", ", ", "]")
+      s"list_indexof($dists, list_min($dists)) - 1 AS c$s"
+    }.mkString(",\n   ")
+    val recon = (0 until m).map { s =>
+      val cbLit = cbs(s).map(_.mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      s"($cbLit::DOUBLE[][])[c$s + 1]"
+    }.mkString(" || ")
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |   list_transform(embedding::DOUBLE[], x ->
+       |     x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS ne
+       |  FROM embeddings),
+       | enc AS (SELECT vec_id, emb,
+       |   $distCols
+       |  FROM n),
+       | rec AS (SELECT vec_id, $recon AS recon FROM enc),
+       | q AS (SELECT vec_id AS query_id, emb AS qe FROM n
+       |  WHERE vec_id % 100 = 0),
+       | sc AS (SELECT query_id, vec_id AS neighbor_id,
+       |   floor(list_cosine_similarity(qe, recon) * 1000000) / 1000000.0 AS sim_pq
+       |  FROM rec, q WHERE vec_id <> query_id)
+       |SELECT query_id,
+       | CAST(row_number() OVER (PARTITION BY query_id
+       |   ORDER BY sim_pq DESC, neighbor_id) AS INT) AS rk,
+       | neighbor_id, sim_pq
+       |FROM sc QUALIFY rk <= $topK""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -1029,6 +1132,10 @@ object CorpusQueries extends QueryGroup {
 
     "a_doc_clusters" -> docClustersOracle,
 
+    "a_bpe_merges" -> bpeOracle(6),
+
+    "a_pq_topk" -> pqTopkOracle,
+
     // identical integer tf·idf: counts, one exact-quantized reciprocal
     // idf (no libm log at the boundary), integer score, (score, term)
     // deterministic rank
@@ -1099,5 +1206,5 @@ object CorpusQueries extends QueryGroup {
     "a_passage_dedup", "a_substring_dedup", "a_lm_score", "a_source_overlap",
     "a_mixture_sample", "a_mixture_pack", "a_embed_quantize",
     "a_vocab_induction", "a_doc_clusters", "a_tfidf_terms",
-    "a_ccnet_buckets")
+    "a_ccnet_buckets", "a_bpe_merges", "a_pq_topk")
 }

@@ -277,6 +277,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(b("head")._2 >= b("middle")._3 && b("middle")._2 >= b("tail")._3)
   }
 
+  test("BPE merges: frequency-greedy, lexicographic ties, deterministic") {
+    import graft.analytics.Vocabulary
+    val docs = Seq((1L, "low lower lowest"), (2L, "low lowest"))
+      .toDF("doc_id", "text")
+    // pair counts over {low:2, lower:1, lowest:2}: (l,o)=5 ties (o,w)=5,
+    // 'l' < 'o' wins; then (lo,w)=5; then (low,e)=3
+    val m = Vocabulary.bpeMerges(docs, 3).collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq((1, "lo", 5L), (2, "low", 5L), (3, "lowe", 3L)),
+      s"unexpected merge table: ${m.toSeq}")
+    // determinism across runs
+    val m2 = Vocabulary.bpeMerges(docs, 3).collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(m.toSeq == m2.toSeq)
+  }
+
   test("sampling: deterministic, rate-monotone, splits partition the corpus") {
     val ids = spark.range(1000).select(col("id").as("doc_id"),
       when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))

@@ -43,6 +43,60 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("pq_encode: codes match driver-side arithmetic; dim mismatch is NULL") {
+    GraftFunctions.register(spark)
+    import graft.analytics.Pq
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+    val m = 8; val ksub = 16; val dsub = 8
+    val cbs = Pq.pretrainedCodebooks(m, ksub, dsub)
+    val rows = e.select(col("vec_id"), col("embedding"),
+      Pq.encodeNative(e)(col("embedding"), cbs).as("codes")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](1).map(_.toDouble).toArray
+      val n = math.sqrt(emb.map(x => x * x).sum)
+      val expect = (0 until m).map { sub =>
+        val d = (0 until ksub).map { c =>
+          (0 until dsub).map { j =>
+            val dj = emb(sub * dsub + j) / n - cbs(sub)(c)(j)
+            dj * dj
+          }.sum
+        }
+        d.indexOf(d.min)
+      }
+      assert(r.getSeq[Int](2) == expect,
+        s"codes drifted for vec ${r.getLong(0)}")
+      r.getSeq[Int](2).foreach(c => assert(c >= 0 && c < ksub))
+    }
+    // wrong dims (codebooks for 32-dim input vs 64-dim vectors) => NULL
+    val bad = Pq.pretrainedCodebooks(4, ksub, dsub)
+    val nulls = e.select(Pq.encodeNative(e)(col("embedding"), bad).as("c"))
+      .filter(col("c").isNotNull).count()
+    assert(nulls == 0, "dimension mismatch must yield NULL, not prefix codes")
+  }
+
+  test("pq reconstruction has full dims; ADC search is deterministic top-k") {
+    GraftFunctions.register(spark)
+    import graft.analytics.Pq
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cbs = Pq.pretrainedCodebooks(8, 16, 8)
+    val rec = e.limit(50).select(
+      size(Pq.reconstruct(Pq.encodeNative(e)(col("embedding"), cbs), cbs))
+        .as("d")).collect()
+    assert(rec.forall(_.getInt(0) == 64), "reconstruction must restore dims")
+    val res = Pq.searchTopK(e, e.filter(col("vec_id") % 100 === 0), cbs, 5)
+      .collect()
+    val res2 = Pq.searchTopK(e, e.filter(col("vec_id") % 100 === 0), cbs, 5)
+      .collect()
+    assert(res.map(_.toString).sorted.sameElements(
+      res2.map(_.toString).sorted), "ADC search must be deterministic")
+    val byQuery = res.groupBy(_.getLong(0))
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+      assert(rs.length <= 5)
+    }
+  }
+
   test("vector_sum aggregate: elementwise sums, null vectors skipped, dims strict") {
     GraftFunctions.register(spark)
     import spark.implicits._
