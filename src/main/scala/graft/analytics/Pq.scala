@@ -102,6 +102,35 @@ object Pq {
       .withColumn("sim_pq", Similarity.q6(
         Similarity.cosineNative(corpus)(col("qe"),
           reconstruct(col("codes"), cbs))))
+    rank(scored, k)
+  }
+
+  /** IVF-PQ: the standard 1B-vector layout — coarse cells prune the
+    * candidate set (queries probe `nprobe` cells), PQ codes bound
+    * memory. The corpus side of the join carries only (cell, codes):
+    * one map-only pass assigns both with native codegen expressions,
+    * raw vectors never enter the join, and the probed-cells equi-join
+    * replaces the brute-force cross join.
+    */
+  def searchTopKIvf(corpus: DataFrame, queries: DataFrame,
+                    centroids: Seq[Ivf.Centroid], cbs: Codebooks,
+                    k: Int, nprobe: Int): DataFrame = {
+    val coded = corpus.select(col("vec_id").as("neighbor_id"),
+      Ivf.cellOfNative(corpus)(col("embedding"), centroids).as("cell"),
+      encodeNative(corpus)(col("embedding"), cbs).as("codes"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"),
+      explode(Ivf.probeCellsNative(queries)(col("embedding"), centroids,
+        nprobe)).as("cell"))
+    val scored = coded.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_pq", Similarity.q6(
+        Similarity.cosineNative(corpus)(col("qe"),
+          reconstruct(col("codes"), cbs))))
+    rank(scored, k)
+  }
+
+  private def rank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_pq").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("int"))

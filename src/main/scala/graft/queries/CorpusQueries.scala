@@ -405,6 +405,17 @@ object CorpusQueries extends QueryGroup {
         dsub = 8)
       graft.analytics.Pq.searchTopK(e, e.filter(col("vec_id") % 100 === 0),
         cbs, k = 5)
+    }),
+
+    // IVF-PQ: coarse cells prune (nprobe equi-join), PQ codes bound
+    // memory — the corpus join side carries only (cell, 8 code ints)
+    "a_ivf_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = graft.analytics.Ivf.pretrainedCentroids(k = 16, dims = 64)
+      val cbs = graft.analytics.Pq.pretrainedCodebooks(m = 8, ksub = 16,
+        dsub = 8)
+      graft.analytics.Pq.searchTopKIvf(e,
+        e.filter(col("vec_id") % 100 === 0), cents, cbs, k = 5, nprobe = 4)
     })
   )
 
@@ -648,6 +659,57 @@ object CorpusQueries extends QueryGroup {
        | sc AS (SELECT query_id, vec_id AS neighbor_id,
        |   floor(list_cosine_similarity(qe, recon) * 1000000) / 1000000.0 AS sim_pq
        |  FROM rec, q WHERE vec_id <> query_id)
+       |SELECT query_id,
+       | CAST(row_number() OVER (PARTITION BY query_id
+       |   ORDER BY sim_pq DESC, neighbor_id) AS INT) AS rk,
+       | neighbor_id, sim_pq
+       |FROM sc QUALIFY rk <= $topK""".stripMargin
+  }
+
+  /** IVF-PQ replayed in SQL: annIvfOracle's cell assignment + nprobe
+    * probe list composed with pqTopkOracle's encode/reconstruct/ADC
+    * scoring — candidates come from the probed-cell equi-join instead of
+    * the cross join, everything else (normalization, argmin tie order,
+    * floor-quantized cosine, rank) is shared convention.
+    */
+  private def ivfPqTopkOracle: String = {
+    val k = 16; val dims = 64; val nprobe = 4; val topK = 5
+    val m = 8; val dsub = 8
+    val cents = graft.analytics.Ivf.pretrainedCentroids(k, dims)
+    val cbs = graft.analytics.Pq.pretrainedCodebooks(m, ksub = 16, dsub)
+    val distList = cents.map { c =>
+      val lit = c.mkString("[", ",", "]")
+      s"list_sum(list_transform(list_zip(ne, $lit::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    }.mkString("[", ", ", "]")
+    val distCols = (0 until m).map { s =>
+      val dists = cbs(s).map { c =>
+        val lit = c.mkString("[", ",", "]")
+        s"list_sum(list_transform(list_zip(ne[${s * dsub + 1}:${(s + 1) * dsub}], $lit::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])))"
+      }.mkString("[", ", ", "]")
+      s"list_indexof($dists, list_min($dists)) - 1 AS c$s"
+    }.mkString(",\n   ")
+    val recon = (0 until m).map { s =>
+      val cbLit = cbs(s).map(_.mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      s"($cbLit::DOUBLE[][])[c$s + 1]"
+    }.mkString(" || ")
+    s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+       |   list_transform(embedding::DOUBLE[], x ->
+       |     x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS ne
+       |  FROM embeddings),
+       | d AS (SELECT vec_id, emb, ne, $distList AS dists FROM n),
+       | enc AS (SELECT vec_id AS neighbor_id,
+       |   list_indexof(dists, list_min(dists)) - 1 AS cell,
+       |   $distCols
+       |  FROM d),
+       | rec AS (SELECT neighbor_id, cell, $recon AS recon FROM enc),
+       | probes AS (SELECT vec_id AS query_id, emb AS qe,
+       |   unnest(list_transform(list_sort(list_zip(dists, range(0, $k))),
+       |     p -> p[2])[1:$nprobe]) AS cell
+       |  FROM d WHERE vec_id % 100 = 0),
+       | sc AS (SELECT query_id, neighbor_id,
+       |   floor(list_cosine_similarity(qe, recon) * 1000000) / 1000000.0 AS sim_pq
+       |  FROM rec JOIN probes USING (cell) WHERE query_id <> neighbor_id)
        |SELECT query_id,
        | CAST(row_number() OVER (PARTITION BY query_id
        |   ORDER BY sim_pq DESC, neighbor_id) AS INT) AS rk,
@@ -1136,6 +1198,8 @@ object CorpusQueries extends QueryGroup {
 
     "a_pq_topk" -> pqTopkOracle,
 
+    "a_ivf_pq_topk" -> ivfPqTopkOracle,
+
     // identical integer tf·idf: counts, one exact-quantized reciprocal
     // idf (no libm log at the boundary), integer score, (score, term)
     // deterministic rank
@@ -1206,5 +1270,5 @@ object CorpusQueries extends QueryGroup {
     "a_passage_dedup", "a_substring_dedup", "a_lm_score", "a_source_overlap",
     "a_mixture_sample", "a_mixture_pack", "a_embed_quantize",
     "a_vocab_induction", "a_doc_clusters", "a_tfidf_terms",
-    "a_ccnet_buckets", "a_bpe_merges", "a_pq_topk")
+    "a_ccnet_buckets", "a_bpe_merges", "a_pq_topk", "a_ivf_pq_topk")
 }

@@ -97,6 +97,31 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq search: sims agree with brute-force ADC on returned pairs") {
+    GraftFunctions.register(spark)
+    import graft.analytics.{Ivf, Pq}
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Ivf.pretrainedCentroids(16, 64)
+    val cbs = Pq.pretrainedCodebooks(8, 16, 8)
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val ivf = Pq.searchTopKIvf(e, q, cents, cbs, k = 5, nprobe = 4).collect()
+    assert(ivf.nonEmpty, "ivf-pq returned no rows")
+    // rank structure per query: 1..n, n <= k
+    ivf.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+      assert(rs.length <= 5)
+    }
+    // every returned sim must equal the brute-force ADC score of the same
+    // pair (cells prune candidates; they must not change scores)
+    val brute = Pq.searchTopK(e, q, cbs, k = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute.get(key).contains(r.getDouble(3)),
+        s"sim mismatch vs brute-force ADC at $key")
+    }
+  }
+
   test("vector_sum aggregate: elementwise sums, null vectors skipped, dims strict") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -209,4 +209,17 @@ class PlanSpec extends AnyFunSuite {
       "cell assignment should use the native NearestCell expression")
     assert(!p.contains("CartesianProduct"), "no all-pairs stage allowed")
   }
+
+  test("IVF-PQ search: native encode+cells, probe equi-join, no raw-vector corpus join") {
+    val p = plan("a_ivf_pq_topk")
+    assert(p.toLowerCase.contains("pqencode"),
+      "corpus codes should come from the native PqEncode expression")
+    assert(p.toLowerCase.contains("nearestcell"),
+      "cell assignment/probe should use the native expressions")
+    assert(p.contains("BroadcastHashJoin"),
+      "probed-cells join must be a broadcast equi-join on cell")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "IVF-PQ must not fall back to an all-pairs join")
+  }
 }
