@@ -81,6 +81,38 @@ object Dedup {
       .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
         col("jaccard"))
 
+  /** Asymmetric shingle CONTAINMENT within blocking buckets:
+    * `|A∩B| / |A|` and `|A∩B| / |B|` per candidate pair — the
+    * quote/superset detector symmetric Jaccard misses (a short document
+    * wholly embedded in a long one has high containment but low
+    * Jaccard, since the union is dominated by the long side). Same
+    * one-shuffle grouped-combinations shape as [[jaccardPairsBy]]; a
+    * pair survives if EITHER direction clears `minContainment`.
+    */
+  def containmentPairs(docs: DataFrame, bucket: Column, shingles: Column,
+                       minContainment: Double): DataFrame =
+    docs
+      .select(bucket.as("bucket"),
+        struct(col("doc_id"), shingles.as("toks")).as("m"))
+      .filter(col("bucket").isNotNull)
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .withColumn("inter",
+        size(array_intersect(col("p.a.toks"), col("p.b.toks"))).cast("double"))
+      // floor-quantize (engine-stable), not round() (.xxxx5 disagreement)
+      .withColumn("containment_a", floor(
+        col("inter") / size(col("p.a.toks")).cast("double") * 10000) / 10000.0)
+      .withColumn("containment_b", floor(
+        col("inter") / size(col("p.b.toks")).cast("double") * 10000) / 10000.0)
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= minContainment)
+      .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
+        col("containment_a"), col("containment_b"))
+
   /** Resolve near-dup PAIRS into duplicate CLUSTERS — the step a dedup
     * pipeline actually acts on: every document gets a `cluster_id` (the
     * minimum doc_id of its connected component in the pair graph) and a

@@ -46,4 +46,23 @@ object Sampling {
       case ((name, upper), acc) =>
         when(hashBucket(id) < upper, lit(name)).otherwise(acc)
     }
+
+  /** Per-source document cap: rank within each source by quality
+    * (best-first, doc_id tiebreak) and keep the top `cap` — the
+    * anti-domination rule web-corpus curation applies per domain so one
+    * crawl host can't swamp the mixture. One shuffle on the source key;
+    * at 100 TB source cardinality is high (domains), so partitions stay
+    * balanced and the window never sees more than one source's rows.
+    * `quality` must already be engine-quantized if it will be compared
+    * across engines (ranking ties break on doc_id either way).
+    */
+  def sourceCaps(docs: DataFrame, quality: Column, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    docs.withColumn("quality", quality)
+      .withColumn("src_rank", row_number().over(w).cast("int"))
+      .filter(col("src_rank") <= cap)
+      .select(col("doc_id"), col("source"), col("quality"), col("src_rank"))
+  }
 }

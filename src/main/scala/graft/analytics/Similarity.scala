@@ -216,4 +216,47 @@ object Similarity {
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("sim"), col("bucket"))
   }
+
+  /** 1-bit (sign) quantization: `dims` sign bits packed into one BIGINT
+    * — 64 float dims (256 B) collapse to 8 bytes, the most aggressive
+    * published embedding-compression point (the cheap first tier of a
+    * binary-rerank retrieval stack). XOR-fold of distinct powers (not a
+    * sum) so bit 63's sign wrap needs no special case on either engine.
+    * Integer-only: cross-engine parity is exact by construction.
+    */
+  def signBits(emb: Column, dims: Int): Column = {
+    require(dims <= 64, s"signBits packs into one long; dims $dims > 64")
+    aggregate(sequence(lit(0), lit(dims - 1)), lit(0L),
+      (acc, i) => acc.bitwiseXOR(
+        when(element_at(emb, (i + 1).cast("int")) >= 0,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
+  }
+
+  /** Hamming-distance ANN over sign-quantized embeddings: corpus and
+    * queries collapse to one BIGINT signature each (map-only), the
+    * query side broadcasts, and ranking is `bit_count(xor)` — a POPCNT
+    * per candidate, no floats anywhere. At 100 TB the signature table
+    * is ~30× smaller than the raw corpus and the scan is pure
+    * whole-stage-codegen integer work; compose with IVF cells (like
+    * [[graft.analytics.Pq.searchTopKIvf]]) when even the signature
+    * cross-product is too wide. Output (query_id, rk, neighbor_id,
+    * hamming), deterministic via (hamming, neighbor_id) order.
+    */
+  def annHamming(corpus: DataFrame, queries: DataFrame, dims: Int,
+                 k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      signBits(col("embedding"), dims).as("csig"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      signBits(col("embedding"), dims).as("qsig"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        bit_count(col("csig").bitwiseXOR(col("qsig"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        col("hamming"))
+  }
 }

@@ -55,6 +55,20 @@ object CorpusQueries extends QueryGroup {
         TextAnalysis.prefixFingerprint(col("text"), 8),
         Dedup.charNgrams(col("text"), 3), 0.8)),
 
+    // Per-source cap: top-N docs per source by quality — the
+    // anti-domination rule (one domain can't swamp the corpus)
+    "a_source_caps" -> ((s, dir) =>
+      Sampling.sourceCaps(t(s, dir, "documents"),
+        TextAnalysis.qualityScore(col("text")), cap = 10)),
+
+    // Asymmetric containment: |A∩B|/|A| vs /|B| — flags near-supersets
+    // (quotes, expansions) whose Jaccard stays low because the union is
+    // dominated by the long side; same blocked candidate stage
+    "a_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"),
+        TextAnalysis.prefixFingerprint(col("text"), 8),
+        array_distinct(split(col("text"), " ")), 0.9)),
+
     // Pair lists become an actionable keep/drop set: connected components
     // over the near-dup pair graph, canonical = min doc_id per cluster
     "a_dedup_clusters" -> ((s, dir) => {
@@ -407,6 +421,15 @@ object CorpusQueries extends QueryGroup {
         cbs, k = 5)
     }),
 
+    // Binary (sign) quantization ANN: 64 dims → one BIGINT signature,
+    // ranking is bit_count(xor) — integer-only POPCNT retrieval, the
+    // cheapest tier of a binary-rerank stack
+    "a_ann_hamming" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.annHamming(e, e.filter(col("vec_id") % 100 === 0),
+        dims = 64, k = 5)
+    }),
+
     // IVF-PQ: coarse cells prune (nprobe equi-join), PQ codes bound
     // memory — the corpus join side carries only (cell, 8 code ints)
     "a_ivf_pq_topk" -> ((s, dir) => {
@@ -666,6 +689,32 @@ object CorpusQueries extends QueryGroup {
        |FROM sc QUALIFY rk <= $topK""".stripMargin
   }
 
+  /** Sign-bit signature + hamming top-k replayed in SQL. The signature
+    * is an XOR fold of distinct powers of two (bit 63 spelled as the
+    * Long.MinValue literal — DuckDB raises on `1::BIGINT << 63` where
+    * Spark's shiftleft wraps); everything downstream is integer, so
+    * parity is exact with no quantization convention at all.
+    */
+  private def annHammingOracle: String = {
+    val dims = 64; val topK = 5
+    s"""WITH s AS (SELECT vec_id, list_aggregate(
+       |  [CASE WHEN embedding[i+1] < 0 THEN 0::BIGINT
+       |        WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |        ELSE CAST(1 AS BIGINT) << i END
+       |   for i in range(0, $dims)], 'bit_xor') AS sig
+       |  FROM embeddings),
+       | q AS (SELECT vec_id AS query_id, sig AS qsig FROM s
+       |  WHERE vec_id % 100 = 0),
+       | sc AS (SELECT query_id, vec_id AS neighbor_id,
+       |   bit_count(xor(sig, qsig)) AS hamming
+       |  FROM s, q WHERE vec_id <> query_id)
+       |SELECT query_id,
+       | CAST(row_number() OVER (PARTITION BY query_id
+       |   ORDER BY hamming, neighbor_id) AS INT) AS rk,
+       | neighbor_id, hamming
+       |FROM sc QUALIFY rk <= $topK""".stripMargin
+  }
+
   /** IVF-PQ replayed in SQL: annIvfOracle's cell assignment + nprobe
     * probe list composed with pqTopkOracle's encode/reconstruct/ADC
     * scoring — candidates come from the probed-cell equi-join instead of
@@ -787,6 +836,35 @@ object CorpusQueries extends QueryGroup {
         |    / len(list_distinct(list_concat(a.toks, b.toks))) * 10000) / 10000.0 AS jaccard
         | FROM s a JOIN s b ON a.b = b.b AND a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.9""".stripMargin,
+
+    "a_source_caps" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |  len(string_split(text,' '))*1.0 AS nt,
+         |  len(list_filter(string_split(text,' '), w -> w IN $allStop))*1.0 AS sh,
+         |  length(text)*1.0 AS lc
+         | FROM documents),
+         | q AS (SELECT doc_id, source, floor((
+         |  least(nt/50.0, 1.0)*0.4
+         |  + least((sh/nt)*5.0, 1.0)*0.3
+         |  + greatest(1.0 - abs(((lc-nt+1)/nt) - 5.0)/10.0, 0.0)*0.3) * 10000) / 10000.0 AS quality
+         | FROM b)
+         |SELECT doc_id, source, quality,
+         | CAST(row_number() OVER (PARTITION BY source
+         |   ORDER BY quality DESC, doc_id) AS INT) AS src_rank
+         |FROM q QUALIFY src_rank <= 10""".stripMargin,
+
+    "a_containment_pairs" ->
+      """WITH s AS (SELECT doc_id,
+        |  md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS b,
+        |  list_distinct(string_split(text,' ')) AS toks FROM documents)
+        |SELECT id_a, id_b, containment_a, containment_b FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  floor(len(list_intersect(a.toks, b.toks))::DOUBLE
+        |    / len(a.toks) * 10000) / 10000.0 AS containment_a,
+        |  floor(len(list_intersect(a.toks, b.toks))::DOUBLE
+        |    / len(b.toks) * 10000) / 10000.0 AS containment_b
+        | FROM s a JOIN s b ON a.b = b.b AND a.doc_id < b.doc_id) p
+        |WHERE greatest(containment_a, containment_b) >= 0.9""".stripMargin,
 
     "a_decontaminate" ->
       """WITH tk AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
@@ -1200,6 +1278,8 @@ object CorpusQueries extends QueryGroup {
 
     "a_ivf_pq_topk" -> ivfPqTopkOracle,
 
+    "a_ann_hamming" -> annHammingOracle,
+
     // identical integer tf·idf: counts, one exact-quantized reciprocal
     // idf (no libm log at the boundary), integer score, (score, term)
     // deterministic rank
@@ -1258,7 +1338,8 @@ object CorpusQueries extends QueryGroup {
 
   override val duckdbOnly: Set[String] = Set(
     "a_text_stats", "a_lang_id", "a_quality_score", "a_fingerprint",
-    "a_jaccard_pairs", "a_ngram_jaccard", "a_dedup_clusters",
+    "a_jaccard_pairs", "a_ngram_jaccard", "a_containment_pairs",
+    "a_source_caps", "a_dedup_clusters",
     "a_decontaminate", "a_neardup_decontaminate", "a_incremental_dedup",
     "a_repetition_stats",
     "a_sequence_pack", "a_pii_redact", "a_corpus_stats",
@@ -1270,5 +1351,6 @@ object CorpusQueries extends QueryGroup {
     "a_passage_dedup", "a_substring_dedup", "a_lm_score", "a_source_overlap",
     "a_mixture_sample", "a_mixture_pack", "a_embed_quantize",
     "a_vocab_induction", "a_doc_clusters", "a_tfidf_terms",
-    "a_ccnet_buckets", "a_bpe_merges", "a_pq_topk", "a_ivf_pq_topk")
+    "a_ccnet_buckets", "a_bpe_merges", "a_pq_topk", "a_ivf_pq_topk",
+    "a_ann_hamming")
 }

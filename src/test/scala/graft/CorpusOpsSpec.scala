@@ -312,4 +312,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(splits.keySet == Set("valid", "test", "train"))
     assert(splits("train") > splits("test") && splits("test") >= splits("valid"))
   }
+
+  test("sourceCaps keeps exactly the top-N per source, best quality first") {
+    val d = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 4).cast("string")).as("source"),
+      // quality descends with doc_id so the expected keep-set is exact
+      (lit(100) - col("id")).cast("double").as("q"))
+    val got = Sampling.sourceCaps(d, col("q"), cap = 5).collect()
+    assert(got.length == 20, "4 sources x cap 5")
+    got.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.sameElements(1 to 5))
+      // within a source the kept docs are the 5 lowest doc_ids (highest q)
+      val kept = rs.map(_.getLong(0)).sorted
+      val all = (0L until 100L).filter(i => s"s${i % 4}" == rs.head.getString(1))
+      assert(kept.sameElements(all.sorted.take(5)))
+    }
+  }
 }

@@ -138,4 +138,52 @@ class DedupSpec extends AnyFunSuite {
     assert(got.subsetOf(truth), s"ANN false positives: ${(got -- truth).take(5)}")
     assert(got.nonEmpty, "LSH buckets should capture some close pairs")
   }
+
+  test("containment flags a near-superset pair whose Jaccard stays low") {
+    import spark.implicits._
+    // doc 1 is wholly contained in doc 2 (a 4× expansion): containment_a
+    // = 1.0 but Jaccard = 5/20 — symmetric near-dup misses it entirely
+    val short = (1 to 5).map(i => s"w$i").mkString(" ")
+    val long = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, short), (2L, long), (3L, "unrelated other stuff"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, lit("b"),
+      array_distinct(split(col("text"), " ")), 0.9).collect()
+    assert(got.length == 1, s"expected one pair, got ${got.toSeq}")
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0, "short side must be fully contained")
+    assert(r.getDouble(3) == 0.25, "long side containment = 5/20")
+    // and Jaccard at the same threshold finds nothing
+    assert(Dedup.jaccardPairsBy(d, lit("b"),
+      array_distinct(split(col("text"), " ")), 0.9).count() == 0)
+  }
+
+  test("annHamming: signature matches driver bit math; ranks deterministic") {
+    val e = embs.limit(200)
+    val sigs = e.select(col("vec_id"),
+      Similarity.signBits(col("embedding"), 64).as("sig"),
+      col("embedding")).collect()
+    sigs.foreach { r =>
+      val emb = r.getSeq[Float](2)
+      var expected = 0L
+      emb.indices.foreach { i =>
+        if (emb(i) >= 0) expected ^= (1L << i)
+      }
+      assert(r.getLong(1) == expected, s"sig mismatch at vec ${r.getLong(0)}")
+    }
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val res = Similarity.annHamming(e, q, 64, 5).collect()
+    assert(res.nonEmpty)
+    // hamming values agree with the signatures; ranks are 1..n per query
+    val sigMap = sigs.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    res.foreach { r =>
+      val expect = java.lang.Long.bitCount(
+        sigMap(r.getLong(0)) ^ sigMap(r.getLong(2)))
+      assert(r.getInt(3) == expect, "hamming disagrees with signatures")
+    }
+    res.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+    }
+  }
 }
