@@ -121,12 +121,15 @@ object AnalyticsQueries extends QueryGroup {
     }),
 
     // Streaming-style event-time windowed aggregation over the events table
-    // (ns timestamps arrive as epoch-ns longs; window = 1h tumbling)
-    "q_event_window" -> ((s, dir) =>
-      t(s, dir, "events")
-        .withColumn("hour_bucket", floor(col("ts") / lit(3600000000000L)).cast("long"))
+    // (event time normalized to epoch-µs, window = 1h tumbling; works for
+    // both fixture generations — ns BIGINT and µs TIMESTAMP_NTZ)
+    "q_event_window" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.withColumn("hour_bucket",
+          floor(graft.sources.Tables.epochUs(e) / lit(3600000000L)).cast("long"))
         .groupBy(col("hour_bucket"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value")))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    })
   )
 
   def oracles: Map[String, String] = Map(

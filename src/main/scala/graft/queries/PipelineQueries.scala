@@ -109,8 +109,8 @@ object PipelineQueries extends QueryGroup {
     // (ts normalized to epoch-µs: DuckDB's timestamp type is µs-precision,
     // so the oracle can only see µs — both sides compute on the same axis)
     "a_asof_join" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .withColumn("ts_us", expr("ts div 1000"))
+      val e0 = t(s, dir, "events")
+      val e = e0.withColumn("ts_us", graft.sources.Tables.epochUs(e0))
       val clicks = e.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts_us"))
       val purchases = e.filter(col("event_type") === "purchase")
@@ -123,11 +123,12 @@ object PipelineQueries extends QueryGroup {
     }),
 
     // §2.6 sessionization (1h gap over µs timestamps)
-    "a_sessionize" -> ((s, dir) =>
+    "a_sessionize" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
       Sessionize.sessions(
-        t(s, dir, "events")
-          .withColumn("ts_us", expr("ts div 1000")),
-        col("user_id"), col("ts_us"), 3600000000L, col("value"))),
+        e0.withColumn("ts_us", graft.sources.Tables.epochUs(e0)),
+        col("user_id"), col("ts_us"), 3600000000L, col("value"))
+    }),
 
     // scale mechanics: two-phase salted aggregation == direct aggregation
     "a_salted_agg" -> ((s, dir) =>

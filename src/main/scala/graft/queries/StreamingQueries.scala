@@ -291,7 +291,8 @@ object StreamingQueries extends QueryGroup {
     }),
 
     // Structured Streaming event-time windowed aggregation with a watermark
-    // (real readStream over the events table; ns longs → µs timestamps)
+    // (real readStream over the events table; event time normalized to
+    // µs-precision TimestampType for either fixture encoding)
     "stream_windowed_agg" -> ((s, dir) => {
       val schema = t(s, dir, "events").schema
       val name = s"win_${System.nanoTime()}"
@@ -299,7 +300,7 @@ object StreamingQueries extends QueryGroup {
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet") // source dir holds all tables
         .parquet(dir)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ets", timestamp_micros(graft.sources.Tables.epochUs(schema)))
         .withWatermark("ets", "1 hour")
         .groupBy(window(col("ets"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
@@ -325,7 +326,7 @@ object StreamingQueries extends QueryGroup {
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ets", timestamp_micros(graft.sources.Tables.epochUs(schema)))
         .groupBy(session_window(col("ets"), "1 hour"), col("user_id"))
         // integer-quantized sum (deterministic under any agg order)
         .agg(count(lit(1)).as("n_events"),

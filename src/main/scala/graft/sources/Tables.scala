@@ -40,4 +40,25 @@ object Tables {
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
+
+  /** Epoch-µs event time from an event-time column, whichever physical
+    * encoding the fixture generation stored: epoch-ns BIGINT (parquet
+    * ns-int64 read under `nanosAsLong`) or µs-precision TIMESTAMP /
+    * TIMESTAMP_NTZ. The reference normalizes temporal encodings the same
+    * way at ingest (debezium-core io/debezium/time/MicroTimestamp.java:30
+    * — everything becomes epoch-µs before downstream math). Session tz is
+    * UTC in every entrypoint, so the NTZ→timestamp cast is wall-clock
+    * identity and matches DuckDB's `epoch_us(ts)` exactly.
+    */
+  def epochUs(schema: StructType, name: String = "ts"): Column =
+    schema(name).dataType match {
+      case LongType                         => expr(s"$name div 1000")
+      case TimestampType | TimestampNTZType => unix_micros(col(name).cast("timestamp"))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported event-time dtype for $name: $other")
+    }
+
+  def epochUs(df: DataFrame): Column = epochUs(df.schema, "ts")
 }
