@@ -88,12 +88,17 @@ object Dedup {
     * Jaccard, since the union is dominated by the long side). Same
     * one-shuffle grouped-combinations shape as [[jaccardPairsBy]]; a
     * pair survives if EITHER direction clears `minContainment`.
+    *
+    * `shingles` is deduplicated internally (once, before the pair
+    * stage): the numerator `array_intersect` is set-semantics, so a
+    * duplicate-preserving denominator would understate containment on
+    * non-distinct inputs.
     */
   def containmentPairs(docs: DataFrame, bucket: Column, shingles: Column,
                        minContainment: Double): DataFrame =
     docs
       .select(bucket.as("bucket"),
-        struct(col("doc_id"), shingles.as("toks")).as("m"))
+        struct(col("doc_id"), array_distinct(shingles).as("toks")).as("m"))
       .filter(col("bucket").isNotNull)
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(col("m"))).as("ms"))
@@ -113,23 +118,92 @@ object Dedup {
       .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
         col("containment_a"), col("containment_b"))
 
+  /** Edge-count cap for the driver-side union-find fast path of
+    * [[dedupClusters]]: 4M undirected edges ≈ 64 MB of longs on the
+    * driver — the same bounded-collect discipline as
+    * [[Ivf.driverKMax]]. Above it, the distributed label-propagation
+    * loop takes over.
+    */
+  val driverEdgeMax = 4000000L
+
   /** Resolve near-dup PAIRS into duplicate CLUSTERS — the step a dedup
     * pipeline actually acts on: every document gets a `cluster_id` (the
     * minimum doc_id of its connected component in the pair graph) and a
-    * keep/drop verdict (`is_canonical` = it IS that minimum). Connected
-    * components by iterative min-label propagation: each round every
-    * node adopts the smallest label among itself and its neighbors;
-    * rounds needed = graph diameter (near-dup clusters are tiny, so a
-    * handful). Each round is one join + one aggregation over the EDGE
-    * list only (docs outside any pair never enter the loop), with an
-    * eager localCheckpoint per round to truncate lineage — the same
-    * shape GraphX/GraphFrames connected components uses, minus the
-    * framework.
+    * keep/drop verdict (`is_canonical` = it IS that minimum).
+    *
+    * Two paths, split like the IVF trainers ([[Ivf.driverKMax]]):
+    *  - edge list ≤ `driverMax` (the common case — near-dup graphs are
+    *    a small fraction of the corpus): ONE bounded collect, a
+    *    union-find with path compression on the driver, and one
+    *    broadcast-joined label table back out. Constant job count; no
+    *    per-round plan/codegen cost.
+    *  - larger: distributed min-label propagation WITH pointer
+    *    doubling — each round every node adopts the smallest label
+    *    among itself and its neighbors, then compresses one pointer hop
+    *    (`label ← label(label)`, valid because `label(x) ≤ x` always
+    *    holds under min-propagation), so rounds = O(log diameter), the
+    *    Shiloach–Vishkin shortcut. Each round materializes two eager
+    *    localCheckpoints over the EDGE-derived frames only (docs
+    *    outside any pair never enter the loop) and the convergence
+    *    check is a plain scan of checkpointed partitions (the previous
+    *    label rides along as `prev`).
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
-                    maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+                    maxIter: Int = 20,
+                    driverMax: Long = driverEdgeMax): DataFrame = {
+    val spark = docs.sparkSession
+    val undirected = pairs.select(col("id_a").cast("long").as("src"),
+      col("id_b").cast("long").as("dst"))
+      .localCheckpoint(true)
+    val nEdges = undirected.count()
+    val labelsDf =
+      if (nEdges <= driverMax) driverClusters(spark, undirected)
+      else distributedClusters(undirected, maxIter)
+    docs.select(col("doc_id"))
+      .join(labelsDf.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
+  /** Union-find with path compression over a bounded collected edge
+    * list; returns the (id, label = component min) table, broadcast-
+    * sized by construction.
+    */
+  private def driverClusters(spark: org.apache.spark.sql.SparkSession,
+                             undirected: DataFrame): DataFrame = {
+    val edges = undirected.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      // path compression
+      var cur = x
+      while (parent.getOrElse(cur, cur) != root) {
+        val nxt = parent.getOrElse(cur, cur)
+        parent.update(cur, root)
+        cur = nxt
+      }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      // union by MIN root so the final find() is the component minimum
+      if (ra < rb) parent.update(rb, ra)
+      else if (rb < ra) parent.update(ra, rb)
+    }
+    val ids = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    val rows = ids.iterator.map(id => (id, find(id))).toSeq
+    import spark.implicits._
+    broadcast(rows.toDF("id", "label"))
+  }
+
+  /** The distributed path of [[dedupClusters]] (see its scaladoc). */
+  private def distributedClusters(undirected: DataFrame,
+                                  maxIter: Int): DataFrame = {
+    val edges = undirected.select(col("src"), col("dst"))
+      .unionAll(undirected.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
@@ -139,26 +213,43 @@ object Dedup {
     while (!converged && it < maxIter) {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("label"))
-      val next = neighborLabels.unionAll(labels)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .select(col("src").as("id"), col("label"), lit(false).as("self"))
+      // the self row is tagged into the same aggregation, so the node's
+      // previous label (`prev`, for the convergence check) comes out of
+      // the one grouped pass — no separate labels join
+      // eager checkpoint BEFORE the pointer hop: the self-join below
+      // consumes the propagation twice (child and parent side), and the
+      // two legs carry different projections so ReuseExchange cannot
+      // dedupe them — without the checkpoint the whole union+agg
+      // subtree would run twice per round
+      val prop = neighborLabels
+        .unionAll(labels.select(col("id"), col("label"),
+          lit(true).as("self")))
+        .groupBy(col("id")).agg(min(col("label")).as("label"),
+          max(when(col("self"), col("label"))).as("prev"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).isEmpty
-      labels = next
+      // pointer doubling: every label is itself a node id in `prop`
+      // (min-propagation only ever emits ids, and every id keeps a
+      // row), so one self-join hops label → label(label) — fresh
+      // pointers, halving the remaining diameter every round. Inner
+      // join is safe for the same reason.
+      val next = prop
+        .join(prop.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"))
+        .select(col("id"), col("ll").as("label"), col("prev"))
+        .localCheckpoint(true)
+      // scan of checkpointed partitions — no recompute, no shuffle
+      converged = next.filter(col("label") < col("prev")).isEmpty
+      labels = next.select(col("id"), col("label"))
       it += 1
     }
-    // rounds needed = component diameter; exiting non-converged would
-    // SILENTLY split a component into several clusters, each with its
-    // own is_canonical row — duplicates survive with no warning
+    // exiting non-converged would SILENTLY split a component into
+    // several clusters, each with its own is_canonical row — duplicates
+    // survive with no warning
     require(converged,
       s"cluster resolution did not converge in $maxIter rounds — a " +
-        "near-dup component has diameter > maxIter; raise maxIter")
-    docs.select(col("doc_id"))
-      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        s"near-dup component has diameter > 2^$maxIter; raise maxIter")
+    labels
   }
 
   /** `n`-token shingles of a text column — delegates to the single

@@ -47,13 +47,15 @@ object LanguageModel {
     val uni = tokens.groupBy(col("w")).agg(count(lit(1)).as("cu"))
     val vocab = uni.agg(count(lit(1)).as("v"))
 
-    // shared by the count aggregation and the scoring join — persist so
-    // the explode runs once. CACHE CONTRACT (same as Similarity
-    // .semanticPairs): the returned frame is lazy and reads this cache,
-    // which outlives the call; the bench/verify harnesses clear cache
-    // per query, and a long-lived session should unpersist or clear
-    // after materializing. (An eager checkpoint inside would hide the
-    // scoring joins from the plan guards.)
+    // shared by the count aggregation and the scoring join — materialize
+    // so the explode runs once. Eager localCheckpoint, NOT persist(): the
+    // blocks are owned by the checkpointed RDD, which the ContextCleaner
+    // reclaims as soon as the result frame is unreferenced — a persist()
+    // here outlives the call in the session's CacheManager with no
+    // handle to unpersist it by (the r5 ADVICE leak). Only the bigram
+    // EXPLODE subtree is truncated; the count tables, scoring joins and
+    // vocab broadcast stay in the visible plan (PlanSpec's a_lm_score
+    // guard still sees them).
     // Single-token docs are filtered BEFORE the sequence: Spark's
     // sequence(1, 0) counts DOWN to [1, 0] and element_at(_, 0) throws —
     // the left join below restores such docs with 0 bigrams.
@@ -63,7 +65,7 @@ object LanguageModel {
           i => struct(element_at(col("toks"), i).as("w1"),
             element_at(col("toks"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .persist()
+      .localCheckpoint(true)
 
     val big = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cb"))
@@ -114,6 +116,52 @@ object LanguageModel {
       .withColumn("bucket",
         when(col("tile") === 1, "head")
           .when(col("tile") === buckets, "tail").otherwise("middle"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("avg_prob_q9")).as("min_q9"),
+        max(col("avg_prob_q9")).as("max_q9"))
+  }
+
+  /** The 100 TB fast path of [[ccnetBuckets]]: instead of per-language
+    * `ntile` (a sort of EVERY row of a language on one reducer — a
+    * single-reducer global sort under web-corpus skew, where one
+    * language dominates), compute the two tile cut scores per language
+    * with `approx_percentile` — a mergeable Greenwald-Khanna sketch:
+    * map-side partials, one |langs|-row cut table out of the
+    * aggregation, never a row sort — then bucket map-only against the
+    * broadcast cut table.
+    *
+    * Tile semantics: head = score strictly above the 2/3 cut, tail =
+    * at or below the 1/3 cut; ties collapse into the lower bucket, so
+    * tile populations differ from exact `ntile` by the tie mass at the
+    * cuts (the approximation contract — CCNet itself publishes fixed
+    * perplexity cutoffs, not exact tiles).
+    *
+    * Cross-engine exactness at verification scale: with `accuracy` 1e6
+    * and fewer than ~500k docs per language the sketch's target rank
+    * error is below one, so it returns EXACTLY the `ceil(p·n)`-th
+    * smallest score and the DuckDB oracle reproduces it with a rank
+    * window. At larger scale the cuts drift within the ±1/accuracy
+    * rank guarantee and bucket counts move by at most that rank mass.
+    */
+  def ccnetBucketsApprox(docs: DataFrame, accuracy: Int = 1000000): DataFrame = {
+    val scored = bigramScore(docs)
+      .join(docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")), "doc_id")
+      // consumed by the cut sketch AND the bucketing scan — materialize
+      // once; ContextCleaner-owned, same contract as the bigrams frame
+      .localCheckpoint(true)
+    val cuts = scored.groupBy(col("lang"))
+      .agg(percentile_approx(col("avg_prob_q9"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("cs"))
+      .select(col("lang"), element_at(col("cs"), 1).as("c1"),
+        element_at(col("cs"), 2).as("c2"))
+    scored.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        when(col("avg_prob_q9") > col("c2"), "head")
+          .when(col("avg_prob_q9") > col("c1"), "middle")
+          .otherwise("tail"))
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),

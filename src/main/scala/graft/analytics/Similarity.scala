@@ -223,13 +223,24 @@ object Similarity {
     * binary-rerank retrieval stack). XOR-fold of distinct powers (not a
     * sum) so bit 63's sign wrap needs no special case on either engine.
     * Integer-only: cross-engine parity is exact by construction.
+    *
+    * NULL contract (matches PqEncode's dim-mismatch convention): a NULL
+    * or missing element anywhere in the first `dims` positions nulls
+    * the whole signature — there is no silent "treat as positive"
+    * bit, and [[annHamming]] then excludes such vectors from both
+    * sides rather than ranking them at an arbitrary distance.
     */
   def signBits(emb: Column, dims: Int): Column = {
     require(dims <= 64, s"signBits packs into one long; dims $dims > 64")
     aggregate(sequence(lit(0), lit(dims - 1)), lit(0L),
-      (acc, i) => acc.bitwiseXOR(
-        when(element_at(emb, (i + 1).cast("int")) >= 0,
-          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
+      (acc, i) => {
+        val e = element_at(emb, (i + 1).cast("int"))
+        // no otherwise(): a NULL element falls through both branches,
+        // XORs NULL into the accumulator and stays NULL to the end
+        acc.bitwiseXOR(
+          when(e >= 0, call_function("shiftleft", lit(1L), i))
+            .when(e < 0, lit(0L)))
+      })
   }
 
   /** Hamming-distance ANN over sign-quantized embeddings: corpus and
@@ -246,8 +257,10 @@ object Similarity {
                  k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       signBits(col("embedding"), dims).as("csig"))
+      .filter(col("csig").isNotNull)
     val q = queries.select(col("vec_id").as("query_id"),
       signBits(col("embedding"), dims).as("qsig"))
+      .filter(col("qsig").isNotNull)
     val scored = c.join(broadcast(q),
         col("query_id") =!= col("neighbor_id"))
       .withColumn("hamming",

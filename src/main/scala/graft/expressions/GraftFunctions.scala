@@ -65,6 +65,21 @@ object GraftFunctions {
       NearestCells(exprs(0), mat,
         exprs(2).eval().asInstanceOf[Number].intValue())
     }),
+    "graft_wkb_swap" -> ((exprs: Seq[Expression]) => WkbSwapAxes(exprs(0))),
+    "graft_wkb_from_ewkb" ->
+      ((exprs: Seq[Expression]) => WkbFromEwkb(exprs(0))),
+    "graft_wkb_ordinates" ->
+      ((exprs: Seq[Expression]) => WkbOrdinates(exprs(0))),
+    "graft_wkb_geomtype" ->
+      ((exprs: Seq[Expression]) => WkbGeometryType(exprs(0))),
+    "graft_wkb_point_x" ->
+      ((exprs: Seq[Expression]) => WkbPointCoord(exprs(0), isX = true)),
+    "graft_wkb_point_y" ->
+      ((exprs: Seq[Expression]) => WkbPointCoord(exprs(0), isX = false)),
+    "graft_wkb_to_ewkb" ->
+      ((exprs: Seq[Expression]) => WkbToEwkb(exprs(0), exprs(1))),
+    "graft_wkb_point" ->
+      ((exprs: Seq[Expression]) => WkbEncodePoint(exprs(0), exprs(1))),
     "graft_pq_encode" -> ((exprs: Seq[Expression]) => {
       // codebooks must be a foldable array<array<array<double>>> literal
       require(exprs(1).foldable, "pq_encode codebooks must be a literal")

@@ -33,64 +33,54 @@ object Geo {
     Some((bb.getDouble, bb.getDouble))
   }
 
-  private val encodeUdf =
-    udf((x: Double, y: Double) => encodePointWkb(x, y))
-  private val decodeXUdf =
-    udf((wkb: Array[Byte]) => decodePointWkb(wkb).map(_._1))
-  private val decodeYUdf =
-    udf((wkb: Array[Byte]) => decodePointWkb(wkb).map(_._2))
-  // any-geometry byte-level swap (Wkb.swapAxes); point WKB output is
-  // byte-identical to the old decode→re-encode point path. Malformed,
-  // truncated, or unsupported WKB (e.g. ISO-Z type codes) yields SQL
-  // NULL, never a thrown task — one corrupt CDC row must not kill a
-  // stream (same contract as the old point decoder's Option).
-  private def safely[T](wkb: Array[Byte])(f: Array[Byte] => T): Option[T] =
-    if (wkb == null || wkb.length < 9) None
-    else scala.util.Try(f(wkb)).toOption
-  private val swapUdf = udf { (wkb: Array[Byte]) => safely(wkb)(Wkb.swapAxes) }
-  private val ordinatesUdf = udf { (wkb: Array[Byte]) =>
-    safely(wkb)(Wkb.ordinates)
-  }
-  private val geomTypeUdf = udf { (wkb: Array[Byte]) =>
-    safely(wkb)(Wkb.geometryType)
-  }
-  private val toEwkbUdf = udf { (wkb: Array[Byte], srid: Int) =>
-    safely(wkb)(Wkb.toEwkb(_, srid))
-  }
-  private val fromEwkbUdf = udf { (wkb: Array[Byte]) =>
-    safely(wkb)(Wkb.toWkb(_)._1)
+  // All column-level ops are native Catalyst expressions
+  // (graft.expressions.WkbExprs, full whole-stage codegen via a single
+  // static body shared with eval) — no Scala UDF closures anywhere, per
+  // SURVEY §7.3's escalation rule. Malformed, truncated, or unsupported
+  // WKB (e.g. ISO-Z type codes) yields SQL NULL, never a thrown task —
+  // one corrupt CDC row must not kill a stream.
+  private def fn(name: String, args: Column*): Column = {
+    graft.expressions.GraftFunctions.register(SparkSession.active)
+    call_function(name, args: _*)
   }
 
   /** point struct column: STRUCT<wkb, srid> */
   def point(x: Column, y: Column, srid: Column): Column =
-    struct(encodeUdf(x, y).as("wkb"), srid.cast("int").as("srid"))
+    struct(fn("graft_wkb_point", x.cast("double"), y.cast("double")).as("wkb"),
+      srid.cast("int").as("srid"))
 
-  def pointX(geom: Column): Column = decodeXUdf(geom.getField("wkb"))
-  def pointY(geom: Column): Column = decodeYUdf(geom.getField("wkb"))
+  def pointX(geom: Column): Column =
+    fn("graft_wkb_point_x", geom.getField("wkb"))
+  def pointY(geom: Column): Column =
+    fn("graft_wkb_point_y", geom.getField("wkb"))
 
   /** T17 SwapGeometryCoordinates: axis-order swap without re-projecting —
     * any geometry type, nested and Z/M-flagged included (Wkb.swapAxes).
     */
   def swapCoordinates(geom: Column): Column =
-    struct(swapUdf(geom.getField("wkb")).as("wkb"), geom.getField("srid").as("srid"))
+    struct(fn("graft_wkb_swap", geom.getField("wkb")).as("wkb"),
+      geom.getField("srid").as("srid"))
 
   /** Flat ordinate list of any (E)WKB geometry, traversal order. */
-  def ordinates(geom: Column): Column = ordinatesUdf(geom.getField("wkb"))
+  def ordinates(geom: Column): Column =
+    fn("graft_wkb_ordinates", geom.getField("wkb"))
 
   /** Base geometry type code of the top-level header. */
-  def geometryType(geom: Column): Column = geomTypeUdf(geom.getField("wkb"))
+  def geometryType(geom: Column): Column =
+    fn("graft_wkb_geomtype", geom.getField("wkb"))
 
   /** T17 GeometryFormatTransformer: WKB → EWKB, folding the struct's
     * srid into the byte-level SRID word.
     */
   def toEwkb(geom: Column): Column =
-    struct(toEwkbUdf(geom.getField("wkb"), geom.getField("srid")).as("wkb"),
+    struct(fn("graft_wkb_to_ewkb", geom.getField("wkb"),
+        geom.getField("srid").cast("int")).as("wkb"),
       geom.getField("srid").as("srid"))
 
   /** T17 GeometryFormatTransformer: EWKB → plain WKB (srid stays in the
     * struct field).
     */
   def fromEwkb(geom: Column): Column =
-    struct(fromEwkbUdf(geom.getField("wkb")).as("wkb"),
+    struct(fn("graft_wkb_from_ewkb", geom.getField("wkb")).as("wkb"),
       geom.getField("srid").as("srid"))
 }

@@ -403,6 +403,12 @@ object CorpusQueries extends QueryGroup {
     "a_ccnet_buckets" -> ((s, dir) =>
       LanguageModel.ccnetBuckets(t(s, dir, "documents"))),
 
+    // the scale default of the same bucketing: approx_percentile cut
+    // scores + map-only bucketing — no per-language row sort anywhere
+    // (exact ntile kept above for the bit-exact tile oracle)
+    "a_ccnet_buckets_approx" -> ((s, dir) =>
+      LanguageModel.ccnetBucketsApprox(t(s, dir, "documents"))),
+
     // BPE tokenizer training: the merge-learning loop — one corpus scan
     // for word counts, then vocab-sized iterations picking the top
     // adjacent symbol pair; output is the merge table a tokenizer ships
@@ -697,12 +703,20 @@ object CorpusQueries extends QueryGroup {
     */
   private def annHammingOracle: String = {
     val dims = 64; val topK = 5
-    s"""WITH s AS (SELECT vec_id, list_aggregate(
+    // NULL contract mirrors Similarity.signBits: a NULL or missing
+    // element in the first `dims` positions nulls the signature and the
+    // vector drops out of both sides (bit_xor would silently SKIP a
+    // NULL term, setting the bit — the r5 ADVICE parity gap)
+    s"""WITH s0 AS (SELECT vec_id, CASE
+       |  WHEN len(list_filter(embedding[1:$dims], x -> x IS NOT NULL))
+       |       < $dims THEN NULL
+       |  ELSE list_aggregate(
        |  [CASE WHEN embedding[i+1] < 0 THEN 0::BIGINT
        |        WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
        |        ELSE CAST(1 AS BIGINT) << i END
-       |   for i in range(0, $dims)], 'bit_xor') AS sig
+       |   for i in range(0, $dims)], 'bit_xor') END AS sig
        |  FROM embeddings),
+       | s AS (SELECT vec_id, sig FROM s0 WHERE sig IS NOT NULL),
        | q AS (SELECT vec_id AS query_id, sig AS qsig FROM s
        |  WHERE vec_id % 100 = 0),
        | sc AS (SELECT query_id, vec_id AS neighbor_id,
@@ -1333,7 +1347,50 @@ object CorpusQueries extends QueryGroup {
         | CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         | min(avg_q9) AS min_q9, max(avg_q9) AS max_q9
-        |FROM lb GROUP BY 1, 2""".stripMargin
+        |FROM lb GROUP BY 1, 2""".stripMargin,
+
+    // same LM model; cut scores = the ceil(p·n)-th smallest per
+    // language (what approx_percentile at accuracy 1e6 returns exactly
+    // while the per-language target rank error stays below one — n up
+    // to ~500k), then the map-only tie-collapsing bucket rule
+    "a_ccnet_buckets_approx" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        | tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+        | cu AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+        | v AS (SELECT count(*) AS v FROM cu),
+        | bg AS (SELECT doc_id,
+        |   unnest([tk[i] for i in range(1, len(tk))]) AS w1,
+        |   unnest([tk[i+1] for i in range(1, len(tk))]) AS w2
+        |  FROM t),
+        | cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        | q AS (SELECT bg.doc_id,
+        |   CAST(floor((cb.cb + 1)::DOUBLE / (cu.cu + v.v) * 1e9) AS BIGINT) AS q
+        |  FROM bg JOIN cb USING (w1, w2) JOIN cu ON bg.w1 = cu.w, v),
+        | agg AS (SELECT doc_id, count(*) AS n_bigrams,
+        |   CAST(sum(q) AS BIGINT) AS prob_q9_sum FROM q GROUP BY doc_id),
+        | sc AS (SELECT t.doc_id,
+        |   CAST(floor(coalesce(agg.prob_q9_sum, 0)::DOUBLE
+        |     / greatest(coalesce(agg.n_bigrams, 0), 1)) AS BIGINT) AS avg_q9,
+        |   len(tk) AS n_tokens
+        |  FROM t LEFT JOIN agg USING (doc_id)),
+        | lb AS (SELECT d.lang, sc.avg_q9, sc.n_tokens
+        |  FROM sc JOIN documents d USING (doc_id)),
+        | rk AS (SELECT lang, avg_q9,
+        |   row_number() OVER (PARTITION BY lang ORDER BY avg_q9) AS rk,
+        |   count(*) OVER (PARTITION BY lang) AS n FROM lb),
+        | cuts AS (SELECT lang,
+        |   max(CASE WHEN rk = CAST(ceil(n * (1.0/3)) AS BIGINT)
+        |       THEN avg_q9 END) AS c1,
+        |   max(CASE WHEN rk = CAST(ceil(n * (2.0/3)) AS BIGINT)
+        |       THEN avg_q9 END) AS c2
+        |  FROM rk GROUP BY lang)
+        |SELECT lb.lang,
+        | CASE WHEN avg_q9 > c2 THEN 'head'
+        |      WHEN avg_q9 > c1 THEN 'middle' ELSE 'tail' END AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        | min(avg_q9) AS min_q9, max(avg_q9) AS max_q9
+        |FROM lb JOIN cuts USING (lang) GROUP BY 1, 2""".stripMargin
   )
 
   override val duckdbOnly: Set[String] = Set(
@@ -1351,6 +1408,6 @@ object CorpusQueries extends QueryGroup {
     "a_passage_dedup", "a_substring_dedup", "a_lm_score", "a_source_overlap",
     "a_mixture_sample", "a_mixture_pack", "a_embed_quantize",
     "a_vocab_induction", "a_doc_clusters", "a_tfidf_terms",
-    "a_ccnet_buckets", "a_bpe_merges", "a_pq_topk", "a_ivf_pq_topk",
-    "a_ann_hamming")
+    "a_ccnet_buckets", "a_ccnet_buckets_approx", "a_bpe_merges",
+    "a_pq_topk", "a_ivf_pq_topk", "a_ann_hamming")
 }

@@ -89,6 +89,27 @@ class DedupSpec extends AnyFunSuite {
     assert((10L to 17L).forall(got(_) == 10L))
   }
 
+  test("dedupClusters distributed path matches the driver union-find") {
+    import spark.implicits._
+    // force the label-propagation loop (driverMax = 0) on a graph with
+    // several shapes: a 30-hop path (pointer doubling must cover
+    // diameter >> rounds), a star, a triangle, singletons
+    val pathPairs = (100L until 130L).map(i => (i, i + 1))
+    val star = Seq((50L, 51L), (50L, 52L), (50L, 53L))
+    val tri = Seq((60L, 61L), (61L, 62L), (60L, 62L))
+    val pairs = (pathPairs ++ star ++ tri).toDF("id_a", "id_b")
+    val docs = ((100L to 130L) ++ (50L to 53L) ++ (60L to 62L) ++ Seq(999L))
+      .toDF("doc_id")
+    val viaDriver = Dedup.dedupClusters(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val viaLoop = Dedup.dedupClusters(docs, pairs, driverMax = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(viaDriver == viaLoop)
+    assert(viaDriver.contains((999L, 999L, true)))
+    assert((100L to 130L).forall(i =>
+      viaDriver.contains((i, 100L, i == 100L))))
+  }
+
   test("minhash-LSH finds most true near-dup pairs, no false positives") {
     val truth = exactPairs(0.8, shingleN = 3)
     val got = Dedup.minhashLshPairs(docs, 3, 8, 4, 0.8)

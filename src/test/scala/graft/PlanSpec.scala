@@ -157,6 +157,18 @@ class PlanSpec extends AnyFunSuite {
       "window duplication counts should hash-aggregate (map-side combine)")
   }
 
+  test("approx ccnet bucketing: no per-language sort, cut table broadcasts") {
+    val p = plan("a_ccnet_buckets_approx")
+    assert(!p.contains("Window"),
+      "approx path must not fall back to the exact ntile window")
+    assert(!p.contains("Sort "),
+      "approx path must not sort rows anywhere (cuts come from a sketch)")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |langs|-row cut table should broadcast for the bucketing join")
+    assert(p.contains("percentile_approx") || p.contains("ApproximatePercentile"),
+      "cut scores should come from the mergeable percentile sketch")
+  }
+
   test("LM scoring never cross-joins; vocab scalar broadcasts") {
     val p = plan("a_lm_score")
     assert(!p.contains("CartesianProduct"),
