@@ -90,6 +90,20 @@ object Vocabulary {
     } finally syms.unpersist()
   }
 
+  /** Tokenizer APPLICATION: run a trained merge table over the corpus
+    * via the native `BpeEncode` expression — a map-only projection (the
+    * merge table rides as a codegen reference object; no join, no
+    * explode), trainer-identical replace semantics so the segmentation
+    * matches [[bpeMerges]]' learned path bit-for-bit.
+    */
+  def bpeTokenize(docs: DataFrame,
+                  merges: Seq[(String, String)]): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      graft.expressions.GraftFunctions.bpeEncode(col("text"), merges)
+        .as("bpe_tokens"))
+  }
+
   /** Per-document coverage: total tokens, tokens with corpus frequency
     * below `rareBelow`, and tokens inside the top-`topM` vocabulary
     * (rank by count desc, token asc — a deterministic tie-break).

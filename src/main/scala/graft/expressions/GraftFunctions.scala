@@ -90,6 +90,19 @@ object GraftFunctions {
         Array.tabulate(sub.numElements())(j => sub.getArray(j).toDoubleArray())
       }
       PqEncode(exprs(0), cbs)
+    }),
+    "graft_bpe_encode" -> ((exprs: Seq[Expression]) => {
+      // merge halves must be two foldable array<string> literals (same
+      // length, rank = position)
+      require(exprs(1).foldable && exprs(2).foldable,
+        "bpe_encode merge tables must be literals")
+      def strs(e: Expression): Seq[String] = {
+        val ad = e.eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+        Array.tabulate(ad.numElements())(i =>
+          ad.getUTF8String(i).toString).toSeq
+      }
+      BpeEncode(exprs(0), strs(exprs(1)).zip(strs(exprs(2))))
     })
   )
 
@@ -158,4 +171,13 @@ object GraftFunctions {
   /** Probe a serialized bloom filter literal with an xxhash64 column. */
   def bloomMightContain(bloom: Column, hash64: Column): Column =
     call_function("graft_bloom_might_contain", bloom, hash64)
+
+  /** BPE-tokenize a text column with a trained merge table
+    * (register(spark) first): merges in rank order, trainer-identical
+    * replace semantics, final subword array out.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("graft_bpe_encode", text,
+      org.apache.spark.sql.functions.typedLit(merges.map(_._1)),
+      org.apache.spark.sql.functions.typedLit(merges.map(_._2)))
 }

@@ -316,6 +316,20 @@ object CorpusQueries extends QueryGroup {
         md5(concat_ws(",", transform(q, _.cast("string")))).as("q_hash"))
     }),
 
+    // DSIR importance resampling (Xie et al. 2023): hashed-feature
+    // target-vs-raw log-likelihood ratio per doc, integer micro-units
+    // for exact cross-engine sums; target domain = English docs
+    "a_dsir_scores" -> ((s, dir) =>
+      graft.analytics.Dsir.importanceScores(
+        t(s, dir, "documents"), col("lang") === "en")),
+
+    // Overlapping token-window chunking (window 128, stride 96): the
+    // RAG/pretraining chunker as a map-only explode; chunk content
+    // addressed by (doc_id, start_tok, n_tokens) + md5 fingerprint
+    "a_doc_chunks" -> ((s, dir) =>
+      graft.analytics.Chunking.chunk(t(s, dir, "documents"),
+        window = 128, stride = 96)),
+
     // Vocabulary induction: top-200 token bigrams by corpus count (the
     // first step of merge-based tokenizer training), deterministic
     // tie-break by the pair itself
@@ -415,6 +429,21 @@ object CorpusQueries extends QueryGroup {
     "a_bpe_merges" -> ((s, dir) =>
       graft.analytics.Vocabulary.bpeMerges(t(s, dir, "documents"),
         nMerges = 6)),
+
+    // Tokenizer application: the 6 trained merges applied corpus-wide
+    // via the native BpeEncode expression (map-only, merge table as a
+    // codegen reference — no join/explode); per-doc token count + a
+    // fingerprint of the full subword stream
+    "a_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.analytics.Vocabulary.bpeMerges(docs, nMerges = 6)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.analytics.Vocabulary.bpeTokenize(docs, merges)
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"),
+          md5(array_join(col("bpe_tokens"), " ")).as("tok_hash"))
+    }),
 
     // Product-quantization ANN (the 1B-vector memory path): corpus
     // collapses to m=8 codes/vector via the native codegen PqEncode;
@@ -621,7 +650,11 @@ object CorpusQueries extends QueryGroup {
     * chain ~3^n times (measured: never finishes at n=6; 0.08 s
     * materialized).
     */
-  private def bpeOracle(nMerges: Int): String = {
+  /** The shared training ladder (word table → s0 → p_i/m_i/s_i CTEs);
+    * `bpeOracle` selects the merge winners, `bpeEncodeOracle` applies
+    * them to the documents.
+    */
+  private def bpeLadder(nMerges: Int): String = {
     def pairCtes(src: String, p: String, m: String) =
       s"""$p AS MATERIALIZED (
          | SELECT w1, w2, CAST(sum(freq) AS BIGINT) AS n FROM (
@@ -648,10 +681,44 @@ object CorpusQueries extends QueryGroup {
       Seq(pairCtes(s"s${i - 1}", s"p$i", s"m$i")) ++
         (if (i < nMerges) Seq(mergeCte(s"s${i - 1}", s"m$i", s"s$i")) else Nil)
     }
+    (base +: layers).mkString(",\n")
+  }
+
+  private def bpeOracle(nMerges: Int): String = {
     val sel = (1 to nMerges)
       .map(i => s"SELECT $i AS step, w1, w2, w1||w2 AS merged, n FROM m$i")
       .mkString(" UNION ALL ")
-    s"WITH ${(base +: layers).mkString(",\n")}\n$sel ORDER BY step"
+    s"WITH ${bpeLadder(nMerges)}\n$sel ORDER BY step"
+  }
+
+  /** Tokenizer application: the same merge winners applied to each
+    * document as chained `replace` over per-word space-sentineled char
+    * strings (words joined directly — the doubled boundary space blocks
+    * cross-word merges), exactly the native expression's contract.
+    */
+  private def bpeEncodeOracle(nMerges: Int): String = {
+    val d0 =
+      """d0 AS (SELECT doc_id,
+        | array_to_string(list_transform(string_split(text,' '),
+        |   w -> ' ' || array_to_string(string_split(w,''),' ') || ' '), '')
+        |   AS syms
+        | FROM documents)""".stripMargin
+    val dLayers = (1 to nMerges).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT doc_id,
+         | replace(syms,
+         |  ' '||(SELECT w1 FROM m$i)||' '||(SELECT w2 FROM m$i)||' ',
+         |  ' '||(SELECT w1 FROM m$i)||(SELECT w2 FROM m$i)||' ') AS syms
+         | FROM d${i - 1})""".stripMargin
+    }
+    s"""WITH ${bpeLadder(nMerges)},
+       |$d0,
+       |${dLayers.mkString(",\n")}
+       |SELECT doc_id,
+       | CAST(len(list_filter(string_split(syms,' '), x -> x <> ''))
+       |   AS BIGINT) AS n_bpe_tokens,
+       | md5(array_to_string(list_filter(string_split(syms,' '),
+       |   x -> x <> ''), ' ')) AS tok_hash
+       |FROM d$nMerges""".stripMargin
   }
 
   /** PQ encode + ADC search replayed from the codebook literals: per
@@ -1197,6 +1264,41 @@ object CorpusQueries extends QueryGroup {
         | md5(array_to_string(qv, ',')) AS q_hash
         |FROM q""".stripMargin,
 
+    // same md5-bucket hash, same add-1 smoothing, and the same
+    // integer-micro quantization BEFORE the per-doc sum (sum of BIGINTs
+    // is order-exact; a float sum would not be)
+    "a_dsir_scores" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |   unnest(string_split(text,' ')) AS tok FROM documents),
+        | b AS (SELECT doc_id, lang,
+        |   CAST(list_sum([(strpos('0123456789abcdef',
+        |       substr(md5(tok), i, 1))-1)::BIGINT << (4*(6-i))
+        |       for i in range(1, 7)]) % 64 AS BIGINT) AS bucket
+        |  FROM toks),
+        | cnt AS (SELECT bucket, count(*) AS raw_c,
+        |   count(*) FILTER (lang = 'en') AS tgt_c FROM b GROUP BY 1),
+        | tot AS (SELECT sum(raw_c) AS n_raw, sum(tgt_c) AS n_tgt FROM cnt),
+        | lr AS (SELECT bucket,
+        |   CAST(floor(1e6 * (ln(tgt_c + 1.0) - ln(n_tgt + 64.0)
+        |     - ln(raw_c + 1.0) + ln(n_raw + 64.0))) AS BIGINT) AS lr_micro
+        |  FROM cnt, tot),
+        | scored AS (SELECT b.doc_id, sum(lr.lr_micro) AS s
+        |  FROM b JOIN lr USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        | len(string_split(d.text,' '))::BIGINT AS n_tokens,
+        | CAST(s.s AS BIGINT) AS score_micro, s.s > 0 AS selected
+        |FROM documents d JOIN scored s USING (doc_id)""".stripMargin,
+
+    "a_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        | s AS (SELECT doc_id, tk,
+        |   unnest(range(0, len(tk), 96)) AS start FROM t)
+        |SELECT doc_id,
+        | CAST(floor(start/96.0) AS BIGINT) AS chunk_idx, start AS start_tok,
+        | CAST(least(128, len(tk) - start) AS BIGINT) AS n_tokens,
+        | md5(array_to_string(tk[start+1:start+128], ' ')) AS chunk_md5
+        |FROM s""".stripMargin,
+
     "a_vocab_induction" ->
       """WITH t AS (SELECT string_split(text,' ') AS tk FROM documents),
         | bg AS (SELECT
@@ -1287,6 +1389,8 @@ object CorpusQueries extends QueryGroup {
     "a_doc_clusters" -> docClustersOracle,
 
     "a_bpe_merges" -> bpeOracle(6),
+
+    "a_bpe_encode" -> bpeEncodeOracle(6),
 
     "a_pq_topk" -> pqTopkOracle,
 
@@ -1409,5 +1513,6 @@ object CorpusQueries extends QueryGroup {
     "a_mixture_sample", "a_mixture_pack", "a_embed_quantize",
     "a_vocab_induction", "a_doc_clusters", "a_tfidf_terms",
     "a_ccnet_buckets", "a_ccnet_buckets_approx", "a_bpe_merges",
-    "a_pq_topk", "a_ivf_pq_topk", "a_ann_hamming")
+    "a_pq_topk", "a_ivf_pq_topk", "a_ann_hamming",
+    "a_dsir_scores", "a_doc_chunks", "a_bpe_encode")
 }

@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Signals, Transforms}
+import graft.streaming.KafkaTopicSink
+
+/** K7 wire-backed storage backends (kafka / redis / s3 / azure-blob) and
+  * the K1 topic sink over live loopback sockets (SURVEY §2.2; reference
+  * `debezium-storage-kafka`, `debezium-storage-redis`,
+  * `debezium-storage-s3`, `debezium-storage-azure-blob`, and the Connect
+  * producer behind every topic sink). Each query drives the REAL wire
+  * protocol against an in-process fixture server — the engine-side
+  * bytes are identical to what a production broker/redis/object store
+  * would receive — then verifies recovery/read-back against a DuckDB
+  * oracle on the same source tables.
+  */
+object StorageQueries extends QueryGroup {
+
+  /** The shared post-recovery verification: resume the change feed past
+    * the recovered offset (the reference's restart path) and aggregate.
+    */
+  private def resumeAggregate(s: SparkSession, dir: String,
+                              recovered: Long): DataFrame =
+    feed(s, dir, "orders").filter(col("source.pos") > recovered)
+      .groupBy(col("op")).agg(count(lit(1)).as("n"),
+        min(col("source.pos")).as("min_pos"),
+        max(col("source.pos")).as("max_pos"))
+
+  private def cutFor(s: SparkSession, dir: String, mult: Long): Long =
+    t(s, dir, "orders")
+      .agg(max(col("o_orderkey")).cast("long")).head.getLong(0) * mult
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // K7 kafka: offsets in a compacted topic (last-wins + tombstone),
+    // history replayed in offset order; restart = full topic read through
+    // a FRESH client. The broker CRC32C-verifies every produced batch.
+    "k7_kafka_store" -> ((s, dir) => {
+      import graft.model.{KafkaHistoryStorage, KafkaOffsetBackingStore}
+      val (port, broker, _) = graft.tools.KafkaWireServer.serve()
+      val cut = cutFor(s, dir, 9)
+      val st = new KafkaOffsetBackingStore("127.0.0.1", port, "graft-offsets")
+      st.set("orders", "0")
+      st.set("orders", cut.toString) // compacted overwrite
+      st.set("lineitem", "41")
+      st.set("doomed", "x"); st.remove("doomed") // tombstone
+      st.close()
+      val st2 = new KafkaOffsetBackingStore("127.0.0.1", port, "graft-offsets")
+      val recovered = st2.get("orders").get.toLong
+      require(st2.snapshot == Map("orders" -> cut.toString, "lineitem" -> "41"),
+        s"kafka offset restart mismatch: ${st2.snapshot}")
+      st2.close()
+      val hs = new KafkaHistoryStorage("127.0.0.1", port, "graft-history")
+      val lines = (0 until 23).map(i => s"ddl-$i") // > one fetch batch
+      lines.foreach(hs.append)
+      hs.close()
+      val hs2 = new KafkaHistoryStorage("127.0.0.1", port, "graft-history")
+      hs2.append("ddl-post-restart")
+      val recs = hs2.readAll()
+      hs2.close()
+      require(recs == lines :+ "ddl-post-restart",
+        s"kafka history mismatch: $recs")
+      require(broker.apiVersionsSeen, "client skipped version negotiation")
+      require(broker.batchesVerified.get >= 28,
+        s"broker verified ${broker.batchesVerified.get} batches")
+      resumeAggregate(s, dir, recovered)
+    }),
+
+    // K7 redis: offsets as one hash (HSET/HGETALL/HDEL), history as a
+    // stream (XADD/XRANGE), RESP2 over a real socket with AUTH enforced.
+    "k7_redis_store" -> ((s, dir) => {
+      import graft.model.{RedisHistoryStorage, RedisOffsetBackingStore}
+      val (port, state, _) = graft.tools.RedisWireServer.serve("sekrit")
+      val cut = cutFor(s, dir, 4)
+      val st = new RedisOffsetBackingStore("127.0.0.1", port, "sekrit",
+        "metadata:graft:offsets")
+      st.set("orders", "0")
+      st.set("orders", cut.toString)
+      st.set("lineitem", "41")
+      st.set("doomed", "x"); st.remove("doomed")
+      st.close()
+      val st2 = new RedisOffsetBackingStore("127.0.0.1", port, "sekrit",
+        "metadata:graft:offsets")
+      val recovered = st2.get("orders").get.toLong
+      require(st2.snapshot == Map("orders" -> cut.toString, "lineitem" -> "41"),
+        s"redis offset restart mismatch: ${st2.snapshot}")
+      st2.close()
+      val hs = new RedisHistoryStorage("127.0.0.1", port, "sekrit",
+        "metadata:graft:history")
+      hs.append("first"); hs.append("second")
+      hs.close()
+      val hs2 = new RedisHistoryStorage("127.0.0.1", port, "sekrit",
+        "metadata:graft:history")
+      hs2.append("third")
+      val recs = hs2.readAll()
+      hs2.close()
+      require(recs == Seq("first", "second", "third"),
+        s"redis history mismatch: $recs")
+      require(state.authSeen, "AUTH never reached the server")
+      require(state.streamLen("metadata:graft:history") == 3,
+        "stream length mismatch")
+      resumeAggregate(s, dir, recovered)
+    }),
+
+    // K7 s3: whole-object rewrite per store (object stores can't append),
+    // GET-at-construct recovery, ListObjectsV2 visibility.
+    "k7_s3_store" -> ((s, dir) => {
+      import graft.model.{S3HistoryStorage, S3OffsetBackingStore}
+      val (port, state, server) = graft.tools.BlobHttpServer.serve()
+      val endpoint = s"http://127.0.0.1:$port"
+      val cut = cutFor(s, dir, 6)
+      val st = new S3OffsetBackingStore(endpoint, "graft-bucket", "offsets.dat")
+      st.set("orders", "0")
+      st.set("orders", cut.toString)
+      st.set("lineitem", "41")
+      val st2 = new S3OffsetBackingStore(endpoint, "graft-bucket", "offsets.dat")
+      val recovered = st2.get("orders").get.toLong
+      require(st2.snapshot == Map("orders" -> cut.toString, "lineitem" -> "41"),
+        s"s3 offset restart mismatch: ${st2.snapshot}")
+      val hs = new S3HistoryStorage(endpoint, "graft-bucket", "history.jsonl")
+      hs.append("first"); hs.append("second")
+      val hs2 = new S3HistoryStorage(endpoint, "graft-bucket", "history.jsonl")
+      hs2.append("third")
+      require(hs2.readAll() == Seq("first", "second", "third"),
+        s"s3 history mismatch: ${hs2.readAll()}")
+      // the keys are visible via ListObjectsV2
+      val (code, listing) = graft.model.BlobHttp.request("GET",
+        s"$endpoint/graft-bucket?list-type=2&prefix=", null, Nil)
+      require(code == 200 && {
+        val l = new String(listing, "UTF-8")
+        l.contains("<Key>offsets.dat</Key>") && l.contains("<Key>history.jsonl</Key>")
+      }, "ListObjectsV2 missing keys")
+      server.stop(0)
+      resumeAggregate(s, dir, recovered)
+    }),
+
+    // K7 azure-blob: BlockBlob PUT (x-ms-blob-type REQUIRED, 201 reply),
+    // download recovery; a PUT without the header is rejected like the
+    // real service rejects it.
+    "k7_azure_store" -> ((s, dir) => {
+      import graft.model.AzureBlobHistoryStorage
+      val (port, state, server) = graft.tools.BlobHttpServer.serve()
+      val endpoint = s"http://127.0.0.1:$port"
+      val cut = cutFor(s, dir, 8)
+      val hs = new AzureBlobHistoryStorage(endpoint, "graft-container",
+        "debezium-history.jsonl")
+      hs.append("first"); hs.append("second")
+      val hs2 = new AzureBlobHistoryStorage(endpoint, "graft-container",
+        "debezium-history.jsonl")
+      hs2.append("third")
+      require(hs2.readAll() == Seq("first", "second", "third"),
+        s"azure history mismatch: ${hs2.readAll()}")
+      require(state.azureBlobTypeSeen, "x-ms-blob-type never sent")
+      // headerless PUT is rejected (400), exactly like the service
+      val (badCode, _) = graft.model.BlobHttp.request("PUT",
+        s"$endpoint/graft-container/bad", "x".getBytes("UTF-8"),
+        Seq("x-ms-version" -> "2021-08-06"))
+      require(badCode == 400, s"headerless Azure PUT returned $badCode")
+      server.stop(0)
+      resumeAggregate(s, dir, cut)
+    }),
+
+    // K1 topic sink over the live socket: route the change feed to
+    // per-status topics (T7 content router), produce every envelope
+    // through per-partition clients, then read every topic back via
+    // Fetch and aggregate — counts must match the routed feed exactly.
+    "k1_topic_sink_socket" -> ((s, dir) => {
+      val (port, broker, _) = graft.tools.KafkaWireServer.serve()
+      val routed = Transforms.contentRouter(feed(s, dir, "orders"),
+        concat(lit("orders."),
+          coalesce(col("after.o_orderstatus"), col("before.o_orderstatus"))))
+        .select(col("topic"), to_json(col("key")).as("key"),
+          to_json(struct(col("op"), col("source.pos").as("pos"))).as("value"))
+      KafkaTopicSink.write(routed, "127.0.0.1", port).collect() // materialize
+      require(broker.batchesVerified.get > 0, "no batches reached the broker")
+      KafkaTopicSink.readBack(s, "127.0.0.1", port)
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("key")).as("n_keys"),
+          sum(get_json_object(col("value"), "$.pos").cast("long")).as("sum_pos"))
+    }),
+
+    // S13 kafka signal channel: signals produced to a topic, fetched and
+    // parsed into actions (reference KafkaSignalChannel.java).
+    "s13_kafka_signals" -> ((s, dir) => {
+      val (port, _, _) = graft.tools.KafkaWireServer.serve()
+      val sig = t(s, dir, "events")
+        .filter(col("event_id") % 97 === 0)
+        .select(
+          col("event_id").cast("string").as("k"),
+          to_json(struct(
+            when(col("event_type") === "signup", lit("execute-snapshot"))
+              .when(col("event_type") === "error", lit("stop-snapshot"))
+              .when(col("event_type") === "view", lit("log"))
+              .otherwise(lit("bogus-type")).as("type"),
+            concat(lit("{\"data-collections\":[\"orders\"],\"type\":\"incremental\"}"))
+              .as("data"))).as("v"))
+      val client = new graft.sources.net.KafkaClient("127.0.0.1", port)
+      sig.collect().grouped(500).foreach { chunk =>
+        client.produceStrings("graft-signals", 0,
+          chunk.map(r => (r.getString(0), r.getString(1))).toSeq)
+      }
+      val fetched = client.fetchAll("graft-signals", 0)
+      client.close()
+      import s.implicits._
+      val raw = fetched.map(r => (new String(r.key, "UTF-8"),
+        new String(r.value, "UTF-8"))).toDF("id", "json")
+      Signals.parse(raw
+        .withColumn("type", get_json_object(col("json"), "$.type"))
+        .withColumn("data", get_json_object(col("json"), "$.data")))
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    def resumeOracle(mult: Int): String =
+      s"""WITH c AS (SELECT CAST(max(o_orderkey)*$mult AS BIGINT) AS cut FROM orders),
+         | ev AS (
+         |  SELECT 'r' AS op, o_orderkey*10 AS pos FROM orders
+         |  UNION ALL
+         |  SELECT 'u', o_orderkey*10+1 FROM orders WHERE o_orderkey%7=3
+         |  UNION ALL
+         |  SELECT 'd', o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6)
+         |SELECT op, count(*) AS n, min(pos) AS min_pos, max(pos) AS max_pos
+         |FROM ev, c WHERE pos > cut GROUP BY op""".stripMargin
+    Map(
+      "k7_kafka_store" -> resumeOracle(9),
+      "k7_redis_store" -> resumeOracle(4),
+      "k7_s3_store" -> resumeOracle(6),
+      "k7_azure_store" -> resumeOracle(8),
+      "k1_topic_sink_socket" ->
+        """WITH ev AS (
+          |  SELECT o_orderkey, 'orders.'||o_orderstatus AS topic, o_orderkey*10 AS pos FROM orders
+          |  UNION ALL
+          |  SELECT o_orderkey, 'orders.U', o_orderkey*10+1 FROM orders WHERE o_orderkey%7=3
+          |  UNION ALL
+          |  SELECT o_orderkey, 'orders.'||o_orderstatus, o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6)
+          |SELECT topic, count(*) AS n,
+          |  count(DISTINCT o_orderkey) AS n_keys,
+          |  CAST(sum(pos) AS BIGINT) AS sum_pos
+          |FROM ev GROUP BY 1""".stripMargin,
+      "s13_kafka_signals" ->
+        """SELECT CAST(event_id AS STRING) AS signal_id,
+          | CASE WHEN event_type='signup' THEN 'execute-snapshot'
+          |      WHEN event_type='error' THEN 'stop-snapshot'
+          |      WHEN event_type='view' THEN 'log'
+          |      ELSE 'ignore' END AS action,
+          | 'orders' AS collection, 'incremental' AS snapshot_type
+          |FROM events WHERE event_id % 97 = 0""".stripMargin)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.sources.net.KafkaClient
+
+/** K1 topic sink over the live wire client (SURVEY §2.2 K1; reference
+  * emits one topic per table with the record key = PK through the Kafka
+  * producer — `schema/DefaultTopicNamingStrategy.java` names the topic,
+  * Connect's producer does the write; the client jars are env-blocked so
+  * the produce path speaks the published protocol directly via
+  * `KafkaClient`).
+  *
+  * Distributed shape: one client per PARTITION (executor task), records
+  * grouped by topic inside the partition and produced in bounded batches
+  * — the same per-task-producer + per-topic-batch shape the real
+  * producer's record accumulator gives. No driver collect; the driver
+  * only sees the returned per-topic counts (bounded by topic
+  * cardinality). At 1000 executors this is 1000 concurrent connections,
+  * which is exactly how Connect deploys.
+  */
+object KafkaTopicSink {
+
+  /** Write (topic, key, value) string rows; returns per-topic produced
+    * counts as a DataFrame for verification.
+    */
+  def write(df: DataFrame, host: String, port: Int,
+            batchSize: Int = 500): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.select(
+      col("topic").cast("string"),
+      col("key").cast("string"),
+      col("value").cast("string"))
+    val counts = cols.mapPartitions { it: Iterator[Row] =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val client = new KafkaClient(host, port, clientId = "graft-sink")
+        try {
+          val acc = scala.collection.mutable.Map.empty[String, Long]
+          it.grouped(batchSize).foreach { chunk =>
+            chunk.groupBy(_.getString(0)).foreach { case (topic, rows) =>
+              client.produceStrings(topic, 0,
+                rows.map(r => (r.getString(1), r.getString(2))).toSeq)
+              acc(topic) = acc.getOrElse(topic, 0L) + rows.size
+            }
+          }
+          acc.iterator.map { case (t, n) => (t, n) }
+        } finally {
+          // client closes after the iterator drains; mapPartitions fully
+          // consumes `it` above so this runs post-produce
+          client.close()
+        }
+      }
+    }.toDF("topic", "n")
+    counts.groupBy("topic").agg(sum("n").as("produced"))
+  }
+
+  /** Read every record of every topic back (driver-side verification
+    * read — bounded by what the verifying query needs, not a data path).
+    */
+  def readBack(spark: org.apache.spark.sql.SparkSession, host: String,
+               port: Int): DataFrame = {
+    import spark.implicits._
+    val client = new KafkaClient(host, port, clientId = "graft-verify")
+    try {
+      val rows = client.listTopics().flatMap { topic =>
+        client.fetchAll(topic, 0).map { r =>
+          (topic, r.offset,
+            if (r.key == null) null else new String(r.key, "UTF-8"),
+            if (r.value == null) null else new String(r.value, "UTF-8"))
+        }
+      }
+      rows.toDF("topic", "offset", "key", "value")
+    } finally client.close()
+  }
+}

@@ -328,4 +328,70 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(kept.sameElements(all.sorted.take(5)))
     }
   }
+
+  test("chunking: window/stride starts, sizes and overlap fingerprints") {
+    val d = Seq((7L, (1 to 20).map(i => s"t$i").mkString(" ")),
+      (8L, "solo")).toDF("doc_id", "text")
+    val got = graft.analytics.Chunking.chunk(d, window = 8, stride = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    // 20 tokens, stride 6 → starts 0,6,12,18; sizes 8,8,8,2
+    val doc7 = got.filter(_._1 == 7L)
+    assert(doc7.map(_._3).sameElements(Seq(0L, 6L, 12L, 18L)))
+    assert(doc7.map(_._2).sameElements(Seq(0L, 1L, 2L, 3L)))
+    assert(doc7.map(_._4).sameElements(Seq(8L, 8L, 8L, 2L)))
+    // overlap: chunk 1 starts at token 7 ("t7") — windows genuinely overlap
+    assert(doc7.map(_._5).distinct.length == 4, "chunks must differ")
+    // a 1-token doc still yields exactly one chunk
+    val doc8 = got.filter(_._1 == 8L)
+    assert(doc8.length == 1 && doc8.head._4 == 1L)
+  }
+
+  test("BpeEncode: trainer-identical replace semantics, incl. overlap skip") {
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    def enc(text: String): Seq[String] = {
+      val d = Seq((0L, text)).toDF("doc_id", "text")
+      graft.analytics.Vocabulary.bpeTokenize(d, merges)
+        .collect()(0).getSeq[String](1)
+    }
+    assert(enc("abc") == Seq("abc"))           // cascading merges
+    assert(enc("cab dab") == Seq("c", "ab", "d", "ab"))
+    // the replace contract: " a b a b " fuses only the FIRST pair per
+    // pass (the second match's leading sentinel was consumed), exactly
+    // what chained SQL replace does
+    assert(enc("abab") == Seq("ab", "a", "b"))
+    // ...and a doubled boundary space blocks nothing across words
+    assert(enc("ab ab") == Seq("ab", "ab"))
+    // reference check vs literal java replace on the sentineled string
+    def viaReplace(word: String): Seq[String] = {
+      var s = " " + word.toCharArray.mkString(" ") + " "
+      merges.foreach { case (x, y) =>
+        s = s.replace(s" $x $y ", s" $x$y ")
+      }
+      s.split(" ").filter(_.nonEmpty).toSeq
+    }
+    for (w <- Seq("abab", "aabbcc", "abcabc", "babab", "cabab"))
+      assert(enc(w) == viaReplace(w), s"word $w diverged from replace")
+  }
+
+  test("DSIR: target-like docs score positive, off-domain negative") {
+    // target (en) docs use one vocabulary, raw-only (xx) docs another;
+    // a fresh en-vocab doc must score positive, an xx-vocab doc negative
+    val base = (0 until 20).map(i => (i.toLong, "en",
+      "alpha beta gamma delta epsilon zeta")) ++
+      (20 until 40).map(i => (i.toLong, "xx",
+        "uno dos tres cuatro cinco seis"))
+    val probe = Seq((100L, "qq", "alpha beta gamma delta"),
+      (101L, "qq", "uno dos tres cuatro"))
+    val df = (base ++ probe).toDF("doc_id", "lang", "text")
+    val got = graft.analytics.Dsir.importanceScores(df, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(100L)._1 > 0 && got(100L)._2, "target-vocab doc must be selected")
+    assert(got(101L)._1 < 0 && !got(101L)._2, "off-domain doc must score negative")
+    // scores are exact integer sums: rerun bit-identical
+    val again = graft.analytics.Dsir.importanceScores(df, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.view.mapValues(_._1).toMap == again)
+  }
 }

@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.serde.KafkaProto
+import graft.serde.KafkaProto.Record
+import graft.sources.net.{KafkaClient, RedisClient}
+import graft.tools.{BlobHttpServer, KafkaWireServer, RedisWireServer}
+
+/** Protocol-level coverage for the K7 wire backends: Kafka record-batch
+  * v2 codec + broker log semantics, RESP2 framing + auth, and the two
+  * blob REST dialects. The oracle-checked queries exercise the store
+  * recovery paths; these tests pin the byte-layer edge cases.
+  */
+class StorageWireSpec extends AnyFunSuite {
+
+  // ---- Kafka codec ----
+
+  test("record batch v2 round-trips keys, values, nulls and timestamps") {
+    val recs = Seq(
+      Record(100L, 1000L, "k0".getBytes, "v0".getBytes),
+      Record(101L, 990L, null, "tombstone-key-null".getBytes),
+      Record(102L, 1020L, "k2".getBytes, null),
+      Record(103L, 1010L, Array.emptyByteArray, Array.emptyByteArray))
+    val bytes = KafkaProto.encodeBatch(100L, recs)
+    val back = KafkaProto.decodeBatches(bytes)
+    assert(back.map(_.offset) == Seq(100L, 101L, 102L, 103L))
+    assert(back.map(_.timestamp) == Seq(1000L, 990L, 1020L, 1010L))
+    assert(new String(back.head.value) == "v0")
+    assert(back(1).key == null && back(2).value == null)
+    assert(back(3).key.length == 0 && back(3).value.length == 0)
+  }
+
+  test("decode rejects a CRC-corrupted batch") {
+    val bytes = KafkaProto.encodeBatch(0L,
+      Seq(Record(0L, 1L, "k".getBytes, "v".getBytes)))
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x40).toByte
+    assertThrows[IllegalArgumentException](KafkaProto.decodeBatches(bytes))
+  }
+
+  test("decode concatenated batches and tolerates a truncated tail") {
+    val b1 = KafkaProto.encodeBatch(0L, Seq(Record(0L, 1L, null, "a".getBytes)))
+    val b2 = KafkaProto.encodeBatch(1L, Seq(Record(1L, 2L, null, "b".getBytes)))
+    val joined = b1 ++ b2
+    assert(KafkaProto.decodeBatches(joined).map(r => new String(r.value)) ==
+      Seq("a", "b"))
+    // a broker may cut the last batch at the fetch byte cap
+    val truncated = b1 ++ b2.take(b2.length - 3)
+    assert(KafkaProto.decodeBatches(truncated).map(r => new String(r.value)) ==
+      Seq("a"))
+  }
+
+  test("zigzag varints cover negative and multi-byte values") {
+    val w = new KafkaProto.Writer()
+    Seq(0, -1, 1, 63, -64, 64, 12345, -12345, Int.MaxValue, Int.MinValue)
+      .foreach(w.varint)
+    val r = new KafkaProto.Reader(w.result())
+    Seq(0, -1, 1, 63, -64, 64, 12345, -12345, Int.MaxValue, Int.MinValue)
+      .foreach(v => assert(r.varint() == v))
+  }
+
+  // ---- Kafka broker + client ----
+
+  test("client produces and fetch-loops across byte-capped batches") {
+    val (port, broker, _) = KafkaWireServer.serve(recordsPerFetch = 7)
+    val client = new KafkaClient("127.0.0.1", port)
+    val base = client.produceStrings("t1", 0,
+      (0 until 23).map(i => (s"k$i", s"v$i")))
+    assert(base == 0L)
+    val more = client.produceStrings("t1", 0, Seq(("k23", "v23")))
+    assert(more == 23L) // broker assigns contiguous offsets
+    val all = client.fetchAll("t1", 0)
+    assert(all.size == 24)
+    assert(all.map(_.offset) == (0L until 24L))
+    assert(new String(all(23).value) == "v23")
+    assert(broker.fetchRequests.get >= 4) // 24 records / 7 per fetch
+    // fetch from the high watermark returns empty, not an error
+    val (hw, tail) = client.fetchOnce("t1", 0, 24L)
+    assert(hw == 24L && tail.isEmpty)
+    // unknown topic surfaces the protocol error code as empty
+    assert(client.fetchAll("nope", 0).isEmpty)
+    assert(client.listTopics() == Seq("t1"))
+    client.close()
+  }
+
+  test("kafka offset store folds compaction semantics on restart") {
+    val (port, _, _) = KafkaWireServer.serve()
+    val st = new graft.model.KafkaOffsetBackingStore("127.0.0.1", port, "off")
+    st.set("a", "1"); st.set("a", "2"); st.set("b", "3")
+    st.set("c", "9"); st.remove("c")
+    st.close()
+    val st2 = new graft.model.KafkaOffsetBackingStore("127.0.0.1", port, "off")
+    assert(st2.snapshot == Map("a" -> "2", "b" -> "3"))
+    st2.close()
+  }
+
+  // ---- Redis ----
+
+  test("RESP2 replies parse across all five types and AUTH is enforced") {
+    val (port, state, _) = RedisWireServer.serve("pw")
+    // unauthenticated commands are rejected
+    val bad = new RedisClient("127.0.0.1", port)
+    bad.command("PING") match {
+      case RedisClient.Err(e) => assert(e.contains("NOAUTH"))
+      case other => fail(s"expected NOAUTH, got $other")
+    }
+    bad.close()
+    assertThrows[IllegalStateException](new RedisClient("127.0.0.1", port, "wrong"))
+    val c = new RedisClient("127.0.0.1", port, "pw")
+    assert(c.command("PING") == RedisClient.Simple("PONG"))
+    assert(c.hset("h", "f1", "v1") == 1L)
+    assert(c.hset("h", "f1", "v2") == 0L) // overwrite adds no field
+    assert(c.hgetAll("h") == Map("f1" -> "v2"))
+    assert(c.hdel("h", "f1") == 1L)
+    assert(c.hgetAll("h") == Map.empty[String, String])
+    val id1 = c.xadd("st", "schema" -> "one")
+    val id2 = c.xadd("st", "schema" -> "two")
+    assert(id1 < id2) // monotone stream ids
+    assert(c.xrangeAll("st").map(_._2("schema")) == Seq("one", "two"))
+    assert(c.command("HGET", "h", "missing") == RedisClient.Bulk(null))
+    assert(state.authSeen)
+    c.close()
+  }
+
+  // ---- Blob REST ----
+
+  test("S3 dialect: 404 NoSuchKey, put/get round-trip, prefix listing") {
+    val (port, state, server) = BlobHttpServer.serve()
+    val base = s"http://127.0.0.1:$port"
+    val (miss, missBody) =
+      graft.model.BlobHttp.request("GET", s"$base/b/nope", null, Nil)
+    assert(miss == 404 && new String(missBody).contains("NoSuchKey"))
+    val (put, _) = graft.model.BlobHttp.request("PUT", s"$base/b/k1",
+      "hello".getBytes, Nil)
+    assert(put == 200)
+    graft.model.BlobHttp.request("PUT", s"$base/b/other", "x".getBytes, Nil)
+    val (got, body) = graft.model.BlobHttp.request("GET", s"$base/b/k1", null, Nil)
+    assert(got == 200 && new String(body) == "hello")
+    val (_, listing) = graft.model.BlobHttp.request("GET",
+      s"$base/b?list-type=2&prefix=k", null, Nil)
+    val l = new String(listing)
+    assert(l.contains("<Key>k1</Key>") && !l.contains("<Key>other</Key>"))
+    assert(state.puts.get == 2)
+    server.stop(0)
+  }
+
+  test("Azure dialect: BlockBlob header required, 201 on put") {
+    val (port, _, server) = BlobHttpServer.serve()
+    val base = s"http://127.0.0.1:$port"
+    val az = Seq("x-ms-version" -> "2021-08-06", "x-ms-blob-type" -> "BlockBlob")
+    val (noHeader, _) = graft.model.BlobHttp.request("PUT", s"$base/c/b1",
+      "x".getBytes, Seq("x-ms-version" -> "2021-08-06"))
+    assert(noHeader == 400)
+    val (ok, _) = graft.model.BlobHttp.request("PUT", s"$base/c/b1",
+      "data".getBytes, az)
+    assert(ok == 201)
+    val (got, body) = graft.model.BlobHttp.request("GET", s"$base/c/b1",
+      null, Seq("x-ms-version" -> "2021-08-06"))
+    assert(got == 200 && new String(body) == "data")
+    server.stop(0)
+  }
+}
