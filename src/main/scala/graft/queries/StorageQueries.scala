@@ -162,6 +162,35 @@ object StorageQueries extends QueryGroup {
       resumeAggregate(s, dir, cut)
     }),
 
+    // K7 configmap: offsets in one Kubernetes ConfigMap's data map —
+    // GET recovery (404 = fresh), POST create, whole-object PUT per
+    // save with server-validated manifests and key alphabet.
+    "k7_configmap_store" -> ((s, dir) => {
+      import graft.model.ConfigMapOffsetBackingStore
+      val (port, state, server) = graft.tools.KubeApiServer.serve()
+      val endpoint = s"http://127.0.0.1:$port"
+      val cut = cutFor(s, dir, 2)
+      val st = new ConfigMapOffsetBackingStore(endpoint, "graft", "offsets")
+      st.set("orders", "0")
+      st.set("orders", cut.toString)
+      st.set("lineitem", "41")
+      st.set("weird/key:name", "x") // outside the ConfigMap key alphabet
+      st.remove("weird/key:name")
+      val st2 = new ConfigMapOffsetBackingStore(endpoint, "graft", "offsets")
+      val recovered = st2.get("orders").get.toLong
+      require(st2.snapshot == Map("orders" -> cut.toString, "lineitem" -> "41"),
+        s"configmap restart mismatch: ${st2.snapshot}")
+      require(state.writes.get >= 5, s"writes=${state.writes.get}")
+      // a round-trip through an encoded key survives too
+      val st3 = new ConfigMapOffsetBackingStore(endpoint, "graft", "offsets")
+      st3.set("pg:slot/main", "LSN/9A0")
+      val st4 = new ConfigMapOffsetBackingStore(endpoint, "graft", "offsets")
+      require(st4.get("pg:slot/main").contains("LSN/9A0"),
+        "encoded key lost on restart")
+      server.stop(0)
+      resumeAggregate(s, dir, recovered)
+    }),
+
     // K1 topic sink over the live socket: route the change feed to
     // per-status topics (T7 content router), produce every envelope
     // through per-partition clients, then read every topic back via
@@ -229,6 +258,7 @@ object StorageQueries extends QueryGroup {
       "k7_redis_store" -> resumeOracle(4),
       "k7_s3_store" -> resumeOracle(6),
       "k7_azure_store" -> resumeOracle(8),
+      "k7_configmap_store" -> resumeOracle(2),
       "k1_topic_sink_socket" ->
         """WITH ev AS (
           |  SELECT o_orderkey, 'orders.'||o_orderstatus AS topic, o_orderkey*10 AS pos FROM orders

@@ -234,4 +234,30 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       "IVF-PQ must not fall back to an all-pairs join")
   }
+
+  test("chunking is a map-only explode: no shuffle, no join") {
+    val p = plan("a_doc_chunks")
+    assert(!p.contains("Exchange"), "chunker must not shuffle")
+    assert(!p.contains("Join"), "chunker must not join")
+    assert(p.contains("Generate"), "expected the explode stage")
+  }
+
+  test("DSIR scoring is a pure projection: no join, no shuffle, no explode") {
+    // bucketLogRatios aggregates during CONSTRUCTION (B-bounded result);
+    // the returned scoring frame must then be scan→project only — the
+    // log-ratio table rides as a literal array, never a join
+    val p = plan("a_dsir_scores")
+    assert(!p.contains("Exchange"), "scoring stage must not shuffle")
+    assert(!p.contains("Join"), "log-ratios must be a literal, not a join")
+    assert(!p.contains("Generate"),
+      "scoring must aggregate over the token array in place, not explode")
+  }
+
+  test("BPE encode runs as the native expression, map-only") {
+    val p = plan("a_bpe_encode")
+    assert(p.toLowerCase.contains("bpeencode"),
+      "tokenization should use the native BpeEncode expression")
+    assert(!p.contains("Exchange"), "tokenizer application must not shuffle")
+    assert(!p.contains("Join"), "merge table must ride as a literal, not a join")
+  }
 }

@@ -144,6 +144,39 @@ class StorageWireSpec extends AnyFunSuite {
     server.stop(0)
   }
 
+  test("Kube apiserver: manifest validation, resourceVersion bumps, 404/409") {
+    val (port, state, server) = graft.tools.KubeApiServer.serve()
+    val base = s"http://127.0.0.1:$port/api/v1/namespaces/ns1/configmaps"
+    def put(url: String, body: String) =
+      graft.model.BlobHttp.request("PUT", url, body.getBytes("UTF-8"), Nil)
+    def post(body: String) =
+      graft.model.BlobHttp.request("POST", base, body.getBytes("UTF-8"), Nil)
+    def get(url: String) = graft.model.BlobHttp.request("GET", url, null, Nil)
+    // missing object is a Status/NotFound document
+    val (miss, missBody) = get(s"$base/cm1")
+    assert(miss == 404 && new String(missBody).contains("NotFound"))
+    // PUT before create is 404; wrong kind is rejected
+    assert(put(s"$base/cm1",
+      """{"kind":"ConfigMap","apiVersion":"v1","metadata":{"name":"cm1"},"data":{"a":"1"}}""")._1 == 404)
+    assert(post("""{"kind":"Secret","apiVersion":"v1","metadata":{"name":"cm1"}}""")._1 == 400)
+    // create, duplicate create conflicts, resourceVersion bumps on PUT
+    val (created, createdBody) = post(
+      """{"kind":"ConfigMap","apiVersion":"v1","metadata":{"name":"cm1"},"data":{"a":"1"}}""")
+    assert(created == 201 && new String(createdBody).contains("\"resourceVersion\""))
+    assert(post("""{"kind":"ConfigMap","apiVersion":"v1","metadata":{"name":"cm1"},"data":{}}""")._1 == 409)
+    val (ok, okBody) = put(s"$base/cm1",
+      """{"kind":"ConfigMap","apiVersion":"v1","metadata":{"name":"cm1"},"data":{"a":"2","b":"3"}}""")
+    assert(ok == 200)
+    assert(state.data("ns1", "cm1") == Map("a" -> "2", "b" -> "3"))
+    // path/metadata name mismatch and bad key alphabet are rejected
+    assert(put(s"$base/cm1",
+      """{"kind":"ConfigMap","apiVersion":"v1","metadata":{"name":"other"},"data":{}}""")._1 == 400)
+    assert(put(s"$base/cm1",
+      """{"kind":"ConfigMap","apiVersion":"v1","metadata":{"name":"cm1"},"data":{"bad/key":"x"}}""")._1 == 422)
+    assert(state.rejectedKeys == 1)
+    server.stop(0)
+  }
+
   test("Azure dialect: BlockBlob header required, 201 on put") {
     val (port, _, server) = BlobHttpServer.serve()
     val base = s"http://127.0.0.1:$port"
