@@ -162,6 +162,60 @@ object StorageQueries extends QueryGroup {
       resumeAggregate(s, dir, cut)
     }),
 
+    // K7 rocketmq: schema history on a single-queue topic over the live
+    // remoting protocol (JSON RemotingCommand headers, SEND_MESSAGE
+    // validated server-side, PULL_MESSAGE re-encoding the CommitLog
+    // message layout, pull loop to the max offset).
+    "k7_rocketmq_store" -> ((s, dir) => {
+      import graft.model.RocketMqHistoryStorage
+      val (port, broker, _) = graft.tools.RocketMqWireServer.serve(maxPerPull = 7)
+      val hs = new RocketMqHistoryStorage("127.0.0.1", port, "graft-history")
+      val lines = (0 until 23).map(i => s"ddl-$i") // > one pull batch
+      lines.foreach(hs.append)
+      hs.close()
+      val hs2 = new RocketMqHistoryStorage("127.0.0.1", port, "graft-history")
+      hs2.append("ddl-post-restart")
+      val recs = hs2.readAll()
+      hs2.close()
+      require(recs == lines :+ "ddl-post-restart",
+        s"rocketmq history mismatch: $recs")
+      require(broker.pulls.get >= 4, // 24 messages / 7 per pull
+        s"pull loop too short: ${broker.pulls.get}")
+      resumeAggregate(s, dir, cutFor(s, dir, 5))
+    }),
+
+    // P1 queue provider with chronicle-style mmap spill: every executor
+    // task routes its partition through its OWN hybrid queue (bounded
+    // memory deque, oldest evicted to mmap'd cycle files, spill drained
+    // first) and asserts strict FIFO across the spill boundary — the
+    // same per-process buffering shape the reference deploys; no driver
+    // collect anywhere.
+    "p1_spill_queue" -> ((s, dir) => {
+      import graft.model.HybridQueueProvider
+      import s.implicits._
+      val fd = feed(s, dir, "orders")
+        .select(to_json(struct(col("op"), col("source.pos").as("pos"))))
+        .as[String]
+      val polled = fd.mapPartitions { it =>
+        val q = new HybridQueueProvider(maxMemory = 16, segmentBytes = 1 << 14)
+        try {
+          val in = it.toVector
+          in.foreach(q.enqueue)
+          require(in.size <= 16 || q.spillCount > 0,
+            "expected the queue to spill")
+          val out = Iterator.continually(q.poll())
+            .takeWhile(_.isDefined).map(_.get).toVector
+          require(out == in, "FIFO violated across the spill boundary")
+          out.iterator
+        } finally q.close()
+      }
+      polled.toDF("j").select(
+        get_json_object(col("j"), "$.op").as("op"),
+        get_json_object(col("j"), "$.pos").cast("long").as("pos"))
+        .groupBy(col("op")).agg(count(lit(1)).as("n"),
+          min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
+    }),
+
     // K7 configmap: offsets in one Kubernetes ConfigMap's data map —
     // GET recovery (404 = fresh), POST create, whole-object PUT per
     // save with server-validated manifests and key alphabet.
@@ -259,6 +313,16 @@ object StorageQueries extends QueryGroup {
       "k7_s3_store" -> resumeOracle(6),
       "k7_azure_store" -> resumeOracle(8),
       "k7_configmap_store" -> resumeOracle(2),
+      "k7_rocketmq_store" -> resumeOracle(5),
+      "p1_spill_queue" ->
+        """WITH ev AS (
+          |  SELECT 'r' AS op, o_orderkey*10 AS pos FROM orders
+          |  UNION ALL
+          |  SELECT 'u', o_orderkey*10+1 FROM orders WHERE o_orderkey%7=3
+          |  UNION ALL
+          |  SELECT 'd', o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6)
+          |SELECT op, count(*) AS n, min(pos) AS min_pos, max(pos) AS max_pos
+          |FROM ev GROUP BY op""".stripMargin,
       "k1_topic_sink_socket" ->
         """WITH ev AS (
           |  SELECT o_orderkey, 'orders.'||o_orderstatus AS topic, o_orderkey*10 AS pos FROM orders

@@ -94,6 +94,94 @@ class StorageWireSpec extends AnyFunSuite {
     st2.close()
   }
 
+  // ---- RocketMQ ----
+
+  test("rocketmq: send validated, pull loops, properties survive, CRC checked") {
+    val (port, broker, _) = graft.tools.RocketMqWireServer.serve(maxPerPull = 3)
+    val c = new graft.sources.net.RocketMqClient("127.0.0.1", port)
+    (0 until 8).foreach { i =>
+      val off = c.sendString("t1", 0, s"msg-$i",
+        properties = Seq("k" -> s"v$i", "shared" -> "x"))
+      assert(off == i.toLong) // broker assigns contiguous queue offsets
+    }
+    assert(c.maxOffset("t1", 0) == 8L)
+    val all = c.pullAll("t1", 0)
+    assert(all.map(m => new String(m.body)) == (0 until 8).map(i => s"msg-$i"))
+    assert(all.map(_.queueOffset) == (0L until 8L))
+    assert(all(3).properties.toMap == Map("k" -> "v3", "shared" -> "x"))
+    assert(broker.pulls.get >= 3) // 8 msgs / 3 per pull
+    // pull past the end is PULL_NOT_FOUND, surfaced as empty
+    assert(c.pullOnce("t1", 0, 8L)._2.isEmpty)
+    c.close()
+  }
+
+  test("rocketmq codec: frame and message round-trip, corrupt body rejected") {
+    import graft.serde.RocketMqProto
+    val cmd = RocketMqProto.Command(10, 7, 0, Some("note"),
+      Map("topic" -> "t", "queueId" -> "0"), "payload".getBytes)
+    val frame = RocketMqProto.encodeFrame(cmd)
+    // strip the outer length prefix like the socket reader does
+    val inner = java.util.Arrays.copyOfRange(frame, 4, frame.length)
+    val back = RocketMqProto.decodeFrame(inner)
+    assert(back.code == 10 && back.opaque == 7 &&
+      back.remark.contains("note") && back.extFields("topic") == "t" &&
+      new String(back.body) == "payload")
+    val msg = RocketMqProto.encodeMessage("topic9", 2,
+      RocketMqProto.StoredMessage(5L, 123L, Seq("a" -> "b"), "body!".getBytes))
+    val Seq((topic, decoded)) = RocketMqProto.decodeMessages(msg)
+    assert(topic == "topic9" && decoded.queueOffset == 5L &&
+      decoded.bornTimestamp == 123L &&
+      decoded.properties == Seq("a" -> "b") &&
+      new String(decoded.body) == "body!")
+    msg(msg.length - "body!".length - "topic9".length - 3 - 2) =
+      'X'.toByte // corrupt a body byte
+    assertThrows[IllegalArgumentException](RocketMqProto.decodeMessages(msg))
+  }
+
+  // ---- queue providers (chronicle-style spill) ----
+
+  test("spill queue: FIFO across many cycle rolls, segments reclaimed") {
+    val q = new graft.model.SpillQueueProvider(null, segmentBytes = 256)
+    val n = 500 // hundreds of rolls at 256-byte segments
+    (0 until n).foreach(i => q.enqueue(s"event-$i-${"x" * (i % 40)}"))
+    assert(q.size == n)
+    val out = Iterator.continually(q.poll()).takeWhile(_.isDefined)
+      .map(_.get).toVector
+    assert(out == (0 until n).map(i => s"event-$i-${"x" * (i % 40)}"))
+    assert(q.poll().isEmpty)
+    assert(q.segmentsOnDisk <= 2, "drained segments must be reclaimed")
+    q.close()
+  }
+
+  test("spill queue: interleaved produce/consume stays FIFO") {
+    val q = new graft.model.SpillQueueProvider(null, segmentBytes = 128)
+    var next = 0; var expect = 0
+    val rnd = new scala.util.Random(42)
+    (0 until 2000).foreach { _ =>
+      if (rnd.nextBoolean() || q.size == 0) {
+        q.enqueue(s"e$next"); next += 1
+      } else {
+        assert(q.poll().contains(s"e$expect")); expect += 1
+      }
+    }
+    while (q.size > 0) { assert(q.poll().contains(s"e$expect")); expect += 1 }
+    assert(expect == next)
+    q.close()
+  }
+
+  test("hybrid queue: no disk under capacity, strict FIFO once spilling") {
+    val q = new graft.model.HybridQueueProvider(maxMemory = 4)
+    (0 until 4).foreach(i => q.enqueue(s"m$i"))
+    assert(q.spillCount == 0, "under capacity must stay in memory")
+    (4 until 20).foreach(i => q.enqueue(s"m$i"))
+    assert(q.spillCount == 16, "oldest events must spill on overflow")
+    val out = Iterator.continually(q.poll()).takeWhile(_.isDefined)
+      .map(_.get).toVector
+    assert(out == (0 until 20).map(i => s"m$i"),
+      "FIFO must hold across the spill boundary")
+    q.close()
+  }
+
   // ---- Redis ----
 
   test("RESP2 replies parse across all five types and AUTH is enforced") {
