@@ -28,6 +28,62 @@ object Embeddings {
     }
   }
 
+  /** A REAL model session: parses an ONNX file with the in-repo
+    * executor ([[Onnx]]) and embeds text as hashed-bag-of-tokens
+    * features → MLP forward → L2 normalization. The feature hash is the
+    * engine's portable md5 bucket (same arithmetic as
+    * `Sampling.hashBucket`), and the forward pass accumulates float64
+    * left-to-right, so the whole pipeline replays exactly in a SQL
+    * oracle from the model's weight literals.
+    */
+  final class OnnxEmbeddingModel(modelBytes: Array[Byte], features: Int) {
+    private val model = Onnx.parse(modelBytes)
+    private val md5 = java.security.MessageDigest.getInstance("MD5")
+
+    private def bucket(token: String): Int = {
+      val d = md5.digest(token.getBytes("UTF-8"))
+      val hex = d.take(3).map(b => f"$b%02x").mkString // first 6 hex chars
+      (java.lang.Long.parseLong(hex, 16) % features).toInt
+    }
+
+    def featurize(text: String): Array[Double] = {
+      val f = new Array[Double](features)
+      if (text != null)
+        text.split(" ", -1).foreach(t => f(bucket(t)) += 1.0)
+      f
+    }
+
+    def embed(text: String): Array[Double] = {
+      val out = Onnx.run(model,
+        Onnx.Tensor(1, features, featurize(text))).data
+      var acc = 0.0
+      var i = 0
+      while (i < out.length) { acc += out(i) * out(i); i += 1 }
+      val n = math.sqrt(acc)
+      if (n == 0.0) out else out.map(_ / n)
+    }
+  }
+
+  /** Add `<outCol>: ARRAY<DOUBLE>` computed by an ONNX model file —
+    * one parsed session per PARTITION, exactly the reference's
+    * in-process-session shape (the sink's FloatVector conversion
+    * downcasts to float32 at the boundary; the pipeline keeps f64).
+    */
+  def fieldToEmbeddingOnnx(df: DataFrame, textCol: String, outCol: String,
+                           modelBytes: Array[Byte],
+                           features: Int): DataFrame = {
+    val outSchema = df.schema.add(outCol, ArrayType(DoubleType),
+      nullable = true)
+    val idx = df.schema.fieldIndex(textCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val model = new OnnxEmbeddingModel(modelBytes, features) // per partition
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ model.embed(r.getString(idx)).toSeq)
+      }
+    }(enc)
+  }
+
   /** Add `<outCol>: ARRAY<FLOAT>` computed from `textCol`. */
   def fieldToEmbedding(df: DataFrame, textCol: String, outCol: String,
                        dims: Int = 64): DataFrame = {

@@ -164,6 +164,22 @@ object FunctionQueries extends QueryGroup {
         "text", "emb", dims = 64)
       emb.select(col("doc_id"), size(col("emb")).as("dim"),
         round(graft.analytics.Similarity.norm(col("emb")), 4).as("norm"))
+    }),
+
+    // T19 with a REAL model file: a deterministic .onnx MLP generated
+    // in-repo, parsed and executed by the engine's ONNX subset
+    // (MatMul/Add/Relu), one session per partition; every embedding dim
+    // is pinned by the oracle's replay of the same weights
+    "a_onnx_embedding" -> ((s, dir) => {
+      val m = graft.tools.OnnxModelGen.mlp(features = 32, hidden = 16,
+        dims = 8, seed = 7)
+      val df = Embeddings.fieldToEmbeddingOnnx(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "emb", m.bytes, features = 32)
+      val q = transform(col("emb"), x => floor(x * lit(1e6)).cast("long"))
+      df.select(col("doc_id"), size(col("emb")).cast("long").as("dims"),
+        aggregate(q, lit(0L), (a, b) => a + b).as("sum_q6"),
+        md5(concat_ws(",", transform(q, _.cast("string")))).as("emb_hash"))
     })
   )
 
@@ -241,10 +257,57 @@ object FunctionQueries extends QueryGroup {
         | FROM documents) x""".stripMargin,
 
     "a_field_to_embedding" ->
-      "SELECT doc_id, 64 AS dim, CAST(1.0 AS DOUBLE) AS norm FROM documents"
+      "SELECT doc_id, 64 AS dim, CAST(1.0 AS DOUBLE) AS norm FROM documents",
+
+    "a_onnx_embedding" -> onnxEmbeddingOracle
   )
+
+  /** Replay the generated MLP from its weight literals: hashed-count
+    * features (portable md5 bucket), unrolled left-associated matmul
+    * sums in the executor's exact accumulation order, Relu, L2
+    * normalization, then per-dim q6 floor-quantization. float64
+    * arithmetic over float32-quantized weights — bit-identical across
+    * engines because every operation and its ORDER match.
+    */
+  private def onnxEmbeddingOracle: String = {
+    val m = graft.tools.OnnxModelGen.mlp(features = 32, hidden = 16,
+      dims = 8, seed = 7)
+    val (f, h, d) = (32, 16, 8)
+    def dot(terms: Seq[String]): String = terms.reduce((a, b) => s"($a + $b)")
+    val featCols = (0 until f).map(b =>
+      s"sum(CASE WHEN bucket=$b THEN 1 ELSE 0 END)::DOUBLE AS f$b")
+      .mkString(", ")
+    val hidCols = (0 until h).map { j =>
+      val s = dot((0 until f).map(k => s"f$k*${m.w1(k)(j)}"))
+      s"greatest(0.0, ($s + ${m.b1(j)})) AS h$j"
+    }.mkString(", ")
+    val outCols = (0 until d).map { k =>
+      val s = dot((0 until h).map(j => s"h$j*${m.w2(j)(k)}"))
+      s"($s + ${m.b2(k)}) AS o$k"
+    }.mkString(", ")
+    val nrm = dot((0 until d).map(k => s"o$k*o$k"))
+    val embList = (0 until d).map(k => s"o$k/nn").mkString("[", ", ", "]")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+       |  FROM documents),
+       | b AS (SELECT doc_id,
+       |   CAST(list_sum([(strpos('0123456789abcdef',
+       |       substr(md5(tok), i, 1))-1)::BIGINT << (4*(6-i))
+       |       for i in range(1, 7)]) % $f AS BIGINT) AS bucket
+       |  FROM tok),
+       | feat AS (SELECT doc_id, $featCols FROM b GROUP BY doc_id),
+       | hid AS (SELECT doc_id, $hidCols FROM feat),
+       | outp AS (SELECT doc_id, $outCols FROM hid),
+       | nrm AS (SELECT *, sqrt($nrm) AS nn FROM outp),
+       | emb AS (SELECT doc_id, $embList AS e FROM nrm)
+       |SELECT doc_id, CAST($d AS BIGINT) AS dims,
+       | CAST(list_sum(list_transform(e,
+       |   x -> CAST(floor(x*1e6) AS BIGINT))) AS BIGINT) AS sum_q6,
+       | md5(array_to_string(list_transform(e,
+       |   x -> CAST(floor(x*1e6) AS BIGINT)), ',')) AS emb_hash
+       |FROM emb""".stripMargin
+  }
 
   override val duckdbOnly: Set[String] = Set(
     "f_vector_roundtrip", "f_vector_sparse", "f_name_adjust",
-    "p6_signal_actions", "m_frame_sample")
+    "p6_signal_actions", "m_frame_sample", "a_onnx_embedding")
 }
