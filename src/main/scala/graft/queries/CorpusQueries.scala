@@ -330,6 +330,15 @@ object CorpusQueries extends QueryGroup {
       graft.analytics.Chunking.chunk(t(s, dir, "documents"),
         window = 128, stride = 96)),
 
+    // Learned quality classifier: 3 full-batch GD steps of logistic
+    // regression over hashed token counts, gradients exact-summed in
+    // integer micro-units (tree-aggregated — one B+1-number agg per
+    // pass); output = the trained weight vector, bit-pinned
+    "a_quality_classifier" -> ((s, dir) =>
+      graft.analytics.QualityClassifier.trainedWeights(
+        t(s, dir, "documents"), col("lang") === "en",
+        buckets = 16, iters = 3, lr = 0.1)),
+
     // Vocabulary induction: top-200 token bigrams by corpus count (the
     // first step of merge-based tokenizer training), deterministic
     // tie-break by the pair itself
@@ -650,6 +659,55 @@ object CorpusQueries extends QueryGroup {
     * chain ~3^n times (measured: never finishes at n=6; 0.08 s
     * materialized).
     */
+  /** Replay of [[graft.analytics.QualityClassifier.train]]: feature
+    * counts per md5 bucket, then unrolled GD iterations — each
+    * iteration's gradient is a BIGINT sum of per-doc floor-quantized
+    * contributions (exact, order-free) and each weight update is scalar
+    * double arithmetic in the same pinned order as the Scala trainer.
+    */
+  private def qualityClassifierOracle(buckets: Int, iters: Int,
+                                      lr: String): String = {
+    val featCols = (0 until buckets).map(b =>
+      s"sum(CASE WHEN bucket=$b THEN 1 ELSE 0 END) AS f$b").mkString(", ")
+    def marginExpr(p: String): String =
+      (0 until buckets).foldLeft(s"$p.wb") { (acc, j) =>
+        s"($acc + f$j*$p.w$j)"
+      }
+    val w0 = ((0 until buckets).map(j => s"0.0 AS w$j") :+ "0.0 AS wb")
+      .mkString(", ")
+    val layers = (1 to iters).flatMap { i =>
+      val e = s"(1.0/(1.0 + exp(0.0 - ${marginExpr("p")})) - y)"
+      val gCols = ((0 until buckets).map(j =>
+        s"sum(CAST(floor((1e6 * $e) * f$j) AS BIGINT)) AS g$j") :+
+        s"sum(CAST(floor(1e6 * $e) AS BIGINT)) AS gb").mkString(", ")
+      val wCols = ((0 until buckets).map(j =>
+        s"p.w$j - $lr*((g.g$j/1e6)/nn.n) AS w$j") :+
+        s"p.wb - $lr*((g.gb/1e6)/nn.n) AS wb").mkString(", ")
+      Seq(
+        s"g$i AS MATERIALIZED (SELECT $gCols FROM feat, w${i - 1} p)",
+        s"w$i AS MATERIALIZED (SELECT $wCols FROM w${i - 1} p, g$i g, nn)")
+    }
+    val out = ((0 until buckets).map(j =>
+      s"SELECT CAST($j AS BIGINT) AS j, CAST(floor(w$j*1e6) AS BIGINT) AS w_micro FROM w$iters") :+
+      s"SELECT CAST($buckets AS BIGINT), CAST(floor(wb*1e6) AS BIGINT) FROM w$iters")
+      .mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+       |  FROM documents),
+       | b AS (SELECT doc_id,
+       |   CAST(list_sum([(strpos('0123456789abcdef',
+       |       substr(md5(tok), i, 1))-1)::BIGINT << (4*(6-i))
+       |       for i in range(1, 7)]) % $buckets AS BIGINT) AS bucket
+       |  FROM tok),
+       | cnt AS (SELECT doc_id, $featCols FROM b GROUP BY doc_id),
+       | feat AS (SELECT d.doc_id,
+       |   CASE WHEN d.lang='en' THEN 1.0 ELSE 0.0 END AS y, cnt.*
+       |  FROM documents d JOIN cnt USING (doc_id)),
+       | nn AS (SELECT count(*) AS n FROM feat),
+       | w0 AS (SELECT $w0),
+       |${layers.mkString(",\n")}
+       |$out""".stripMargin
+  }
+
   /** The shared training ladder (word table → s0 → p_i/m_i/s_i CTEs);
     * `bpeOracle` selects the merge winners, `bpeEncodeOracle` applies
     * them to the documents.
@@ -1392,6 +1450,8 @@ object CorpusQueries extends QueryGroup {
 
     "a_bpe_encode" -> bpeEncodeOracle(6),
 
+    "a_quality_classifier" -> qualityClassifierOracle(16, 3, "0.1"),
+
     "a_pq_topk" -> pqTopkOracle,
 
     "a_ivf_pq_topk" -> ivfPqTopkOracle,
@@ -1514,5 +1574,6 @@ object CorpusQueries extends QueryGroup {
     "a_vocab_induction", "a_doc_clusters", "a_tfidf_terms",
     "a_ccnet_buckets", "a_ccnet_buckets_approx", "a_bpe_merges",
     "a_pq_topk", "a_ivf_pq_topk", "a_ann_hamming",
-    "a_dsir_scores", "a_doc_chunks", "a_bpe_encode")
+    "a_dsir_scores", "a_doc_chunks", "a_bpe_encode",
+    "a_quality_classifier")
 }

@@ -60,6 +60,23 @@ object ExtendedQueries extends QueryGroup {
         length(col("markdown")).as("md_len"))
     }),
 
+    // T20 over the LIVE service socket: every document POSTed to the
+    // docling-serve REST endpoint, conversion done server-side,
+    // md_content parsed from the JSON response
+    "t20_docling_socket" -> ((s, dir) => {
+      val (port, state, server) = graft.tools.DoclingHttpServer.serve()
+      val md = Docling.fieldToDoclingHttp(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", "markdown", "127.0.0.1", port)
+      val out = md.select(col("doc_id"), md5(col("markdown")).as("md_hash"),
+        length(col("markdown")).as("md_len"))
+      out.cache().count() // materialize before asserting on the service
+      require(state.requests.get > 0 && state.badRequests == 0,
+        s"service saw ${state.requests.get} requests, ${state.badRequests} bad")
+      server.stop(0)
+      out
+    }),
+
     // R4: TimescaleDB chunk→hypertable routing
     "r4_timescale_router" -> ((s, dir) => {
       val chunks = t(s, dir, "part").select(col("p_partkey"),
@@ -163,6 +180,12 @@ object ExtendedQueries extends QueryGroup {
         | 8 + length(CAST(doc_id AS VARCHAR)) + length(text) AS md_len
         |FROM documents""".stripMargin,
 
+    "t20_docling_socket" ->
+      """SELECT doc_id,
+        | md5('# doc ' || doc_id || chr(10) || chr(10) || text) AS md_hash,
+        | 8 + length(CAST(doc_id AS VARCHAR)) + length(text) AS md_len
+        |FROM documents""".stripMargin,
+
     "r4_timescale_router" ->
       """SELECT p_partkey,
         | '_hyper_' || (p_size%5) || '_' || p_partkey || '_chunk' AS physical_table,
@@ -206,8 +229,8 @@ object ExtendedQueries extends QueryGroup {
   )
 
   override val duckdbOnly: Set[String] = Set(
-    "pl_pipeline_dsl", "t20_docling", "r4_timescale_router",
-    "q_stats_summary", "t11_extract_schema")
+    "pl_pipeline_dsl", "t20_docling", "t20_docling_socket",
+    "r4_timescale_router", "q_stats_summary", "t11_extract_schema")
 }
 
 /** Typed key/payload views for the serde query (by-name subsets of the

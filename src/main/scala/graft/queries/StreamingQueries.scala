@@ -221,6 +221,22 @@ object StreamingQueries extends QueryGroup {
       sink.viewAt(s, 0L)
     }),
 
+    // K2 version diff: re-derive the change feed between two time-travel
+    // versions of the materialized table (one full-outer key join,
+    // unchanged rows dropped by codegen struct comparison)
+    "k2_version_diff" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val sink = new graft.streaming.BucketedMergeSink(
+        java.nio.file.Files.createTempDirectory("vdiff").toString, buckets = 16)
+      sink.merge(fd.filter(col("op") === "r"), 0L)
+      sink.merge(fd.filter(col("op") =!= "r"), 1L)
+      graft.streaming.VersionDiff.diff(
+        sink.viewAt(s, 0L), sink.viewAt(s, 1L), Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("change_type"),
+          col("before.o_orderstatus").as("before_status"),
+          col("after.o_orderstatus").as("after_status"))
+    }),
+
     // K2 bench trio: ten ~0.014%-key update batches merged after one full
     // snapshot — the steady-state CDC shape — through all three sink
     // designs. The full-state sink rewrites the WHOLE table once per
@@ -384,6 +400,16 @@ object StreamingQueries extends QueryGroup {
         |FROM orders""".stripMargin,
 
     "k2_lsm_materialize" -> ordersLatest,
+
+    // delete wins over update at the same key (higher change position),
+    // so %13=6 keys diff as deletes even when %7=3 also updated them
+    "k2_version_diff" ->
+      """SELECT o_orderkey, 'delete' AS change_type,
+        | o_orderstatus AS before_status, CAST(NULL AS STRING) AS after_status
+        |FROM orders WHERE o_orderkey%13=6
+        |UNION ALL
+        |SELECT o_orderkey, 'update', o_orderstatus, 'U'
+        |FROM orders WHERE o_orderkey%7=3 AND NOT o_orderkey%13=6""".stripMargin,
 
     "k2_small_batch_lsm" ->
       """SELECT o_orderkey, o_custkey,

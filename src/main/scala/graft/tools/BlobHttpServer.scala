@@ -47,7 +47,10 @@ object BlobHttpServer {
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool { r =>
       val t = new Thread(r, "blob-fixture"); t.setDaemon(true); t
     })
-    server.start()
+    // start from a daemon thread: the JDK dispatcher inherits daemon
+    // status, so a fixture left running can never pin the JVM open
+    val starter = new Thread(() => server.start(), "blob-fixture-start")
+    starter.setDaemon(true); starter.start(); starter.join()
     (server.getAddress.getPort, state, server)
   }
 

@@ -375,6 +375,27 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(enc(w) == viaReplace(w), s"word $w diverged from replace")
   }
 
+  test("quality classifier: GD separates classes, trajectory deterministic") {
+    import graft.analytics.QualityClassifier
+    val d = ((0 until 30).map(i => (i.toLong, "en",
+      "good well written prose here")) ++
+      (30 until 60).map(i => (i.toLong, "xx",
+        "zz yy xx ww vv uu"))).toDF("doc_id", "lang", "text")
+    val m = QualityClassifier.train(d, col("lang") === "en",
+      buckets = 16, iters = 3, lr = 0.5)
+    assert(m.docs == 60)
+    val scored = QualityClassifier.score(d, m, buckets = 16)
+      .select(col("lang"), col("quality_margin")).collect()
+    val en = scored.filter(_.getString(0) == "en").map(_.getDouble(1))
+    val xx = scored.filter(_.getString(0) == "xx").map(_.getDouble(1))
+    assert(en.min > xx.max,
+      s"classes must separate: en min ${en.min} vs xx max ${xx.max}")
+    // exact-integer gradients → the weight trajectory is reproducible
+    val again = QualityClassifier.train(d, col("lang") === "en",
+      buckets = 16, iters = 3, lr = 0.5)
+    assert(m.weights.toSeq == again.weights.toSeq && m.bias == again.bias)
+  }
+
   test("DSIR: target-like docs score positive, off-domain negative") {
     // target (en) docs use one vocabulary, raw-only (xx) docs another;
     // a fresh en-vocab doc must score positive, an xx-vocab doc negative
