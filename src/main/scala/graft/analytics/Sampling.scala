@@ -56,6 +56,26 @@ object Sampling {
     * `quality` must already be engine-quantized if it will be compared
     * across engines (ranking ties break on doc_id either way).
     */
+  /** Reproducible global corpus shuffle: the training-order shuffle as
+    * a pure function of (seed, id) — every epoch seed yields a new
+    * order, reruns and cluster resizes yield the SAME order, and no
+    * `rand()` state ever leaks into lineage. Key = md5(seed ':' id);
+    * shard = portable hash bucket of the key; position = rank of the
+    * key within its shard (id tiebreak for hash collisions). One
+    * shuffle; at 100 TB this is `bucketBy(shard)` sorted by the key, so
+    * readers stream each shard in final order with no extra sort.
+    */
+  def deterministicShuffle(docs: DataFrame, id: Column, shards: Int,
+                           seed: String): DataFrame = {
+    val key = md5(concat(lit(seed), lit(":"), id.cast("string")))
+    val shard = conv(substring(key, 1, 6), 16, 10).cast("long") % shards
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shuffle_key"), id)
+    docs.withColumn("shuffle_key", key)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   def sourceCaps(docs: DataFrame, quality: Column, cap: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))

@@ -330,6 +330,13 @@ object CorpusQueries extends QueryGroup {
       graft.analytics.Chunking.chunk(t(s, dir, "documents"),
         window = 128, stride = 96)),
 
+    // Reproducible global training-order shuffle: seed-keyed md5 order,
+    // rerun- and cluster-size-stable, one shuffle
+    "a_corpus_shuffle" -> ((s, dir) =>
+      graft.analytics.Sampling.deterministicShuffle(
+        t(s, dir, "documents"), col("doc_id"), shards = 8, seed = "42")
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
     // Learned quality classifier: 3 full-batch GD steps of logistic
     // regression over hashed token counts, gradients exact-summed in
     // integer micro-units (tree-aggregated — one B+1-number agg per
@@ -1452,6 +1459,18 @@ object CorpusQueries extends QueryGroup {
 
     "a_quality_classifier" -> qualityClassifierOracle(16, 3, "0.1"),
 
+    "a_corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id, md5('42:'||doc_id) AS h FROM documents),
+        | s AS (SELECT doc_id, h,
+        |   CAST(list_sum([(strpos('0123456789abcdef',
+        |       substr(h, i, 1))-1)::BIGINT << (4*(6-i))
+        |       for i in range(1, 7)]) % 8 AS BIGINT) AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |   AS BIGINT) AS pos
+        |FROM s""".stripMargin,
+
     "a_pq_topk" -> pqTopkOracle,
 
     "a_ivf_pq_topk" -> ivfPqTopkOracle,
@@ -1575,5 +1594,5 @@ object CorpusQueries extends QueryGroup {
     "a_ccnet_buckets", "a_ccnet_buckets_approx", "a_bpe_merges",
     "a_pq_topk", "a_ivf_pq_topk", "a_ann_hamming",
     "a_dsir_scores", "a_doc_chunks", "a_bpe_encode",
-    "a_quality_classifier")
+    "a_quality_classifier", "a_corpus_shuffle")
 }
