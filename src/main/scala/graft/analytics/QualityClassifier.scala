@@ -28,17 +28,18 @@ object QualityClassifier {
                                 docs: Long)
 
   /** Per-row feature vector: token counts over `buckets` md5 buckets
-    * (same portable hash as [[Dsir.tokenBucket]]).
+    * (same portable hash as [[Dsir.tokenBucket]]). The bucket is
+    * materialized per TOKEN first so the md5 evaluates once per token,
+    * not once per (token, bucket) pair inside the fold.
     */
   def features(text: Column, buckets: Int): Column =
     aggregate(
-      TextAnalysis.tokens(text),
+      transform(TextAnalysis.tokens(text),
+        t => Dsir.tokenBucket(t, buckets)),
       array((0 until buckets).map(_ => lit(0L)): _*),
-      (acc, t) => {
-        val b = Dsir.tokenBucket(t, buckets)
+      (acc, b) =>
         transform(acc, (v, i) => v + when(b === i.cast("long"), 1L)
-          .otherwise(0L))
-      })
+          .otherwise(0L)))
 
   /** The pinned margin arithmetic: ((bias + x0*w0) + x1*w1) + … */
   private def margin(feats: Column, w: Array[Double], bias: Double): Column =

@@ -253,6 +253,25 @@ class PlanSpec extends AnyFunSuite {
       "scoring must aggregate over the token array in place, not explode")
   }
 
+  test("corpus shuffle is one shuffle: rank window, no join") {
+    val p = plan("a_corpus_shuffle")
+    // formatted mode prints each operator in the tree AND the detail
+    // section, so one physical Exchange appears twice
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "deterministic shuffle must shuffle exactly once")
+    assert(!p.contains("Join"), "shuffle must not join")
+    assert(p.contains("Window"), "expected the in-shard rank window")
+  }
+
+  test("version diff is one full-outer key join, no cartesian") {
+    val p = plan("k2_version_diff")
+    assert(p.contains("FullOuter") || p.contains("SortMergeJoin"),
+      "expected the full-outer key join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "diff must be an equi-join on the key")
+  }
+
   test("BPE encode runs as the native expression, map-only") {
     val p = plan("a_bpe_encode")
     assert(p.toLowerCase.contains("bpeencode"),
