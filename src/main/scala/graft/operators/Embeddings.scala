@@ -84,6 +84,59 @@ object Embeddings {
     }(enc)
   }
 
+  /** REMOTE model client (the reference's Ollama/HuggingFace/VoyageAI
+    * factory family — REST-backed embedding services): POSTs each
+    * record's text to an Ollama-style `/api/embeddings` endpoint and
+    * parses the float64 `embedding` array. One client per partition;
+    * exercised against `graft.tools.EmbeddingHttpServer` (which runs
+    * the in-repo ONNX model server-side, so both T19 paths produce the
+    * same embedding and share one oracle).
+    */
+  final class HttpEmbeddingClient(host: String, port: Int, modelName: String) {
+    import graft.serde.Bson
+    import graft.serde.Bson.{BArr, BDoc, BStr, BVal}
+    private val url = s"http://$host:$port/api/embeddings"
+
+    def embed(text: String): Array[Double] = {
+      val req = Bson.renderJson(BDoc(Seq(
+        "model" -> BStr(modelName),
+        "prompt" -> (BStr(if (text == null) "" else text): BVal))))
+      val (code, body) = graft.model.BlobHttp.request("POST", url,
+        req.getBytes("UTF-8"), Seq("Content-Type" -> "application/json"))
+      require(code == 200, s"embedding service returned $code")
+      Bson.parseJson(new String(body, "UTF-8")) match {
+        case d: BDoc => d.get("embedding") match {
+          case Some(BArr(items)) => items.map {
+            case Bson.BDouble(v) => v
+            case Bson.BInt32(v) => v.toDouble
+            case Bson.BInt64(v) => v.toDouble
+            case other => throw new IllegalStateException(s"bad element $other")
+          }.toArray
+          case other => throw new IllegalStateException(s"no embedding: $other")
+        }
+        case other => throw new IllegalStateException(s"bad response: $other")
+      }
+    }
+  }
+
+  /** Add `<outCol>: ARRAY<DOUBLE>` computed by the REMOTE service —
+    * per-partition HTTP clients, the reference's remote-factory shape.
+    */
+  def fieldToEmbeddingHttp(df: DataFrame, textCol: String, outCol: String,
+                           host: String, port: Int,
+                           modelName: String): DataFrame = {
+    val outSchema = df.schema.add(outCol, ArrayType(DoubleType),
+      nullable = true)
+    val idx = df.schema.fieldIndex(textCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val client = new HttpEmbeddingClient(host, port, modelName)
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ client.embed(r.getString(idx)).toSeq)
+      }
+    }(enc)
+  }
+
   /** Add `<outCol>: ARRAY<FLOAT>` computed from `textCol`. */
   def fieldToEmbedding(df: DataFrame, textCol: String, outCol: String,
                        dims: Int = 64): DataFrame = {

@@ -170,6 +170,30 @@ object FunctionQueries extends QueryGroup {
     // in-repo, parsed and executed by the engine's ONNX subset
     // (MatMul/Add/Relu), one session per partition; every embedding dim
     // is pinned by the oracle's replay of the same weights
+    // T19 remote-factory path: same documents POSTed to an Ollama-style
+    // REST embedding service that runs the SAME ONNX model server-side
+    // — both T19 paths share the weight-replay oracle
+    "a_embedding_http" -> ((s, dir) => {
+      val m = graft.tools.OnnxModelGen.mlp(features = 32, hidden = 16,
+        dims = 8, seed = 7)
+      val (port, state, server) =
+        graft.tools.EmbeddingHttpServer.serve(m.bytes, features = 32)
+      val df = Embeddings.fieldToEmbeddingHttp(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "emb", "127.0.0.1", port, modelName = "graft-mlp")
+      val q = transform(col("emb"), x => floor(x * lit(1e6)).cast("long"))
+      val out = df.select(col("doc_id"),
+        size(col("emb")).cast("long").as("dims"),
+        aggregate(q, lit(0L), (a, b) => a + b).as("sum_q6"),
+        md5(concat_ws(",", transform(q, _.cast("string")))).as("emb_hash"))
+      out.cache().count() // materialize before asserting on the service
+      require(state.requests.get > 0 &&
+        state.modelNamesSeen == Set("graft-mlp"),
+        s"service saw ${state.requests.get} requests for ${state.modelNamesSeen}")
+      server.stop(0)
+      out
+    }),
+
     "a_onnx_embedding" -> ((s, dir) => {
       val m = graft.tools.OnnxModelGen.mlp(features = 32, hidden = 16,
         dims = 8, seed = 7)
@@ -259,7 +283,10 @@ object FunctionQueries extends QueryGroup {
     "a_field_to_embedding" ->
       "SELECT doc_id, 64 AS dim, CAST(1.0 AS DOUBLE) AS norm FROM documents",
 
-    "a_onnx_embedding" -> onnxEmbeddingOracle
+    "a_onnx_embedding" -> onnxEmbeddingOracle,
+
+    // the remote path computes the same model server-side
+    "a_embedding_http" -> onnxEmbeddingOracle
   )
 
   /** Replay the generated MLP from its weight literals: hashed-count
@@ -309,5 +336,6 @@ object FunctionQueries extends QueryGroup {
 
   override val duckdbOnly: Set[String] = Set(
     "f_vector_roundtrip", "f_vector_sparse", "f_name_adjust",
-    "p6_signal_actions", "m_frame_sample", "a_onnx_embedding")
+    "p6_signal_actions", "m_frame_sample", "a_onnx_embedding",
+    "a_embedding_http")
 }
