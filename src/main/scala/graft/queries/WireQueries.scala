@@ -568,6 +568,22 @@ object WireQueries extends QueryGroup {
     // mysql_native_password token, COM_BINLOG_DUMP, per-event packets —
     // then through the standard DSv2 transport. Same oracle as
     // s9_binlog_decode.
+    // S8 MariaDB flavor: GTID-opened event groups (domain-server-seq),
+    // ANNOTATE_ROWS statement text attached to the rows it produced,
+    // GTID_LIST replication state surfaced at the segment head
+    "s8_mariadb_gtid_decode" -> ((s, _) => {
+      import s.implicits._
+      val (rows, gtidList) = graft.sources.wire.MySqlBinlog.segmentRowsMaria(
+        graft.tools.WireFixtures.mariadbSegment,
+        Map("testdb.bl_items" -> Seq("id", "qty", "label")))
+      require(gtidList == """["0-1-41","1-1-6"]""",
+        s"unexpected GTID_LIST state: $gtidList")
+      rows.map { case (w, gtid, annotation) =>
+        (w.table, w.op, w.pos, w.keyJson, w.payloadJson, gtid, annotation)
+      }.toDF("table", "op", "pos", "key_json", "payload_json", "gtid",
+        "annotation")
+    }),
+
     "s9_binlog_socket_stream" -> ((s, _) => {
       val events = graft.tools.MySqlWireServer.segmentEvents(
         graft.tools.WireFixtures.binlogSegment)
@@ -597,7 +613,20 @@ object WireQueries extends QueryGroup {
     "s8_pgoutput_socket_stream" -> baseOracles("s8_pgoutput_decode"),
     "s9_binlog_socket_stream" -> baseOracles("s9_binlog_decode"),
     "s12_change_stream_socket" -> baseOracles("s12_change_stream_dsv2"),
-    "s11_cdc_socket_poll" -> baseOracles("s11_cdc_tables_decode"))
+    "s11_cdc_socket_poll" -> baseOracles("s11_cdc_tables_decode"),
+    "s8_mariadb_gtid_decode" ->
+      """SELECT 'testdb.bl_items' AS "table", 'c' AS op,
+        |  CAST(200 AS BIGINT) AS pos, '{"id":'||i||'}' AS key_json,
+        |  '{"id":'||i||',"qty":'||(i*5)||',"label":"md_'||i||'"}' AS payload_json,
+        |  '0-1-42' AS gtid,
+        |  'INSERT INTO testdb.bl_items SELECT seq, seq*5, concat(''md_'', seq)' AS annotation
+        | FROM range(12) t(i)
+        |UNION ALL
+        |SELECT 'testdb.bl_items', 'u', CAST(400 AS BIGINT), '{"id":'||i||'}',
+        |  '{"id":'||i||',"qty":'||(i*5+1000)||',"label":"md_'||i||'"}',
+        |  '1-1-7',
+        |  'UPDATE testdb.bl_items SET qty = qty + 1000 WHERE id % 3 = 0'
+        | FROM range(12) t(i) WHERE i%3=0""".stripMargin)
 
   private lazy val baseOracles: Map[String, String] = Map(
     "s8_pgoutput_decode" ->
@@ -958,5 +987,6 @@ object WireQueries extends QueryGroup {
       "s11_cdc_tables_decode", "s11_cdc_poll_stream",
       "s11_cdc_socket_poll",
       "s12_change_stream_decode", "s12_change_stream_dsv2",
-      "s12_change_stream_socket", "s12_change_stream_materialize")
+      "s12_change_stream_socket", "s12_change_stream_materialize",
+      "s8_mariadb_gtid_decode")
 }

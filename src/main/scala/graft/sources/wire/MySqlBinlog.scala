@@ -43,6 +43,14 @@ object MySqlBinlog {
   val QUERY = 2; val ROTATE = 4; val XID = 16; val FORMAT_DESCRIPTION = 15
   val TABLE_MAP = 19
   val WRITE_ROWS_V2 = 30; val UPDATE_ROWS_V2 = 31; val DELETE_ROWS_V2 = 32
+  // MariaDB-specific events (reference debezium-connector-mariadb;
+  // MariaDB replication protocol docs): SQL annotation before row
+  // events, per-transaction GTID, and the GTID_LIST state at rotate
+  val MARIADB_ANNOTATE_ROWS = 160
+  val MARIADB_GTID = 162
+  val MARIADB_GTID_LIST = 163
+  /** MariaDB GTID flags2: standalone event group (no terminating COMMIT). */
+  val FL_STANDALONE = 1
   val PARTIAL_UPDATE_ROWS = 39 // mysql-8.0 binlog_row_value_options=PARTIAL_JSON
 
   // column type codes (MYSQL_TYPE_*)
@@ -85,6 +93,16 @@ object MySqlBinlog {
   final case class RowsEvent(nextPos: Long, kind: Int, tableId: Long,
                              rows: Seq[Row], afterRows: Seq[Row]) extends Event
   final case class XidEvent(nextPos: Long, xid: Long) extends Event
+  /** MariaDB GTID (domain-server-seq): opens an event group. */
+  final case class MariaGtidEvent(nextPos: Long, domain: Long, server: Long,
+                                  seqNo: Long, standalone: Boolean) extends Event {
+    def gtid: String = s"$domain-$server-$seqNo"
+  }
+  /** MariaDB ANNOTATE_ROWS: the statement text for following row events. */
+  final case class AnnotateRowsEvent(nextPos: Long, sql: String) extends Event
+  /** MariaDB GTID_LIST: replication state at binlog rotation. */
+  final case class MariaGtidListEvent(nextPos: Long,
+                                      gtids: Seq[(Long, Long, Long)]) extends Event
   final case class SkippedEvent(nextPos: Long, kind: Int) extends Event
 
   // ---------------------------------------------------------------- decode
@@ -645,7 +663,7 @@ object MySqlBinlog {
         val start = buf.position()
         /* timestamp */ buf.getInt()
         val kind = buf.get() & 0xff
-        /* serverId */ buf.getInt()
+        val serverId = buf.getInt()
         val eventSize = buf.getInt()
         val nextPos = buf.getInt().toLong & 0xffffffffL
         /* flags */ buf.getShort()
@@ -752,6 +770,25 @@ object MySqlBinlog {
               after.toSeq)
           case XID =>
             XidEvent(nextPos, buf.getLong())
+          case MARIADB_GTID =>
+            // payload: seqno(8) domainId(4) flags2(1); server from header
+            val seqNo = buf.getLong()
+            val domain = buf.getInt().toLong & 0xffffffffL
+            val flags2 = buf.get() & 0xff
+            MariaGtidEvent(nextPos, domain, serverId.toLong & 0xffffffffL,
+              seqNo, (flags2 & FL_STANDALONE) != 0)
+          case MARIADB_ANNOTATE_ROWS =>
+            val sqlB = new Array[Byte](end - buf.position())
+            buf.get(sqlB)
+            AnnotateRowsEvent(nextPos, new String(sqlB, StandardCharsets.UTF_8))
+          case MARIADB_GTID_LIST =>
+            val count = (buf.getInt() & 0x0fffffff) // low 28 bits
+            MariaGtidListEvent(nextPos, (0 until count).map { _ =>
+              val d = buf.getInt().toLong & 0xffffffffL
+              val s = buf.getInt().toLong & 0xffffffffL
+              val q = buf.getLong()
+              (d, s, q)
+            })
           case other =>
             SkippedEvent(nextPos, other)
         }
@@ -974,6 +1011,27 @@ object MySqlBinlog {
     event(XID, nextPos, b.array())
   }
 
+  def encodeMariaGtid(nextPos: Long, domain: Long, seqNo: Long,
+                      standalone: Boolean = false): Array[Byte] = {
+    val b = leBuf(13)
+    b.putLong(seqNo); b.putInt(domain.toInt)
+    b.put((if (standalone) FL_STANDALONE else 0).toByte)
+    event(MARIADB_GTID, nextPos, b.array())
+  }
+
+  def encodeAnnotateRows(nextPos: Long, sql: String): Array[Byte] =
+    event(MARIADB_ANNOTATE_ROWS, nextPos, sql.getBytes(StandardCharsets.UTF_8))
+
+  def encodeMariaGtidList(nextPos: Long,
+                          gtids: Seq[(Long, Long, Long)]): Array[Byte] = {
+    val b = leBuf(4 + gtids.size * 16)
+    b.putInt(gtids.size)
+    gtids.foreach { case (d, s, q) =>
+      b.putInt(d.toInt); b.putInt(s.toInt); b.putLong(q)
+    }
+    event(MARIADB_GTID_LIST, nextPos, b.array())
+  }
+
   def writeSegment(events: Seq[Array[Byte]]): Array[Byte] = {
     val o = new ByteArrayOutputStream()
     o.write(Magic)
@@ -1062,5 +1120,53 @@ object MySqlBinlog {
         }
       case _ => Nil
     }
+  }
+
+  /** MariaDB projection (reference `debezium-connector-mariadb`): row
+    * events carry the OWNING GTID (`domain-server-seq` — the GTID event
+    * opens the group, XID or a standalone flag closes it) and the
+    * ANNOTATE_ROWS statement text that produced them. `gtidListJson`
+    * surfaces the GTID_LIST replication state seen at the segment head
+    * (the resume position a MariaDB client hands to
+    * `BINLOG_GTID_DUMP`).
+    */
+  def segmentRowsMaria(bytes: Array[Byte],
+                       colNames: Map[String, Seq[String]],
+                       keyCols: Map[String, Seq[Int]] = Map.empty)
+  : (Seq[(PgOutput.WireRow, String, String)], String) = {
+    val maps = scala.collection.mutable.Map[Long, TableMap]()
+    var gtid = ""
+    var annotation = ""
+    var gtidList = "[]"
+    val out = Seq.newBuilder[(PgOutput.WireRow, String, String)]
+    readSegment(bytes).foreach {
+      case TableMapEvent(_, m) => maps(m.tableId) = m
+      case g: MariaGtidEvent =>
+        gtid = g.gtid
+        annotation = "" // a new event group resets the statement text
+      case AnnotateRowsEvent(_, sql) => annotation = sql
+      case MariaGtidListEvent(_, gtids) =>
+        gtidList = gtids.map { case (d, s, q) => s""""$d-$s-$q"""" }
+          .mkString("[", ",", "]")
+      case XidEvent(_, _) => annotation = ""
+      case RowsEvent(pos, kind, tableId, rows, afterRows) =>
+        val m = maps(tableId)
+        val full = s"${m.schema}.${m.table}"
+        val names = colNames.getOrElse(full, m.colTypes.indices.map(i => s"c$i"))
+        val kidx = keyCols.getOrElse(full, Seq(0)).toSet
+        val wireRows = kind match {
+          case WRITE_ROWS_V2 => rows.map(r => PgOutput.WireRow(full, "c", pos,
+            jsonObject(names, r, Some(kidx)), jsonObject(names, r)))
+          case UPDATE_ROWS_V2 | PARTIAL_UPDATE_ROWS =>
+            afterRows.map(r => PgOutput.WireRow(full, "u", pos,
+              jsonObject(names, r, Some(kidx)), jsonObject(names, r)))
+          case DELETE_ROWS_V2 => rows.map(r => PgOutput.WireRow(full, "d", pos,
+            jsonObject(names, r, Some(kidx)), "null"))
+          case _ => Nil
+        }
+        wireRows.foreach(w => out += ((w, gtid, annotation)))
+      case _ => ()
+    }
+    (out.result(), gtidList)
   }
 }

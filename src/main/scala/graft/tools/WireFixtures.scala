@@ -258,6 +258,32 @@ object WireFixtures {
     Row(Seq(Some(i), Some(Geom(4326, wkb))))
   }
 
+  /** MariaDB-flavored segment: GTID_LIST state at the head, then two
+    * GTID-opened event groups (domain 0 and domain 1), each with an
+    * ANNOTATE_ROWS statement text before its row events and an XID
+    * commit (reference debezium-connector-mariadb event stream shape).
+    */
+  def mariadbSegment: Array[Byte] = {
+    import MySqlBinlog._
+    def row(i: Int): Row = Row(Seq(Some(i), Some(i * 5L), Some(s"md_$i")))
+    val events = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    events += encodeMariaGtidList(90, Seq((0L, 1L, 41L), (1L, 1L, 6L)))
+    events += encodeMariaGtid(100, domain = 0, seqNo = 42)
+    events += encodeAnnotateRows(110,
+      "INSERT INTO testdb.bl_items SELECT seq, seq*5, concat('md_', seq)")
+    events += encodeTableMap(120, BlMap)
+    events += encodeRows(WRITE_ROWS_V2, 200, BlMap, (0 until 12).map(row))
+    events += encodeXid(300, 7001L)
+    events += encodeMariaGtid(310, domain = 1, seqNo = 7)
+    events += encodeAnnotateRows(320,
+      "UPDATE testdb.bl_items SET qty = qty + 1000 WHERE id % 3 = 0")
+    val upd = (0 until 12).filter(_ % 3 == 0)
+    events += encodeRows(UPDATE_ROWS_V2, 400, BlMap, upd.map(row),
+      upd.map(i => Row(Seq(Some(i), Some(i * 5L + 1000), Some(s"md_$i")))))
+    events += encodeXid(500, 7002L)
+    writeSegment(events.toSeq)
+  }
+
   def binlogSegment: Array[Byte] = {
     import MySqlBinlog._
     def row(i: Int): Row =
