@@ -1206,4 +1206,34 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(committed,
       WireFixtures.mongoChangeStreamJsonl.getBytes("UTF-8")))
   }
+
+  test("mariadb: gtid groups, annotation scoping, standalone flag, gtid list") {
+    import graft.sources.wire.MySqlBinlog
+    import graft.sources.wire.MySqlBinlog._
+    def row(i: Int): Row = Row(Seq(Some(i), Some(i * 2L), Some(s"x$i")))
+    val seg = writeSegment(Seq(
+      encodeMariaGtidList(50, Seq((5L, 9L, 100L))),
+      encodeMariaGtid(60, domain = 5, seqNo = 101, standalone = true),
+      encodeAnnotateRows(70, "stmt-A"),
+      encodeTableMap(80, graft.tools.WireFixtures.BlMap),
+      encodeRows(WRITE_ROWS_V2, 90, graft.tools.WireFixtures.BlMap,
+        Seq(row(1))),
+      // a second GTID group WITHOUT an annotation: its rows must NOT
+      // inherit stmt-A (group start resets the statement text)
+      encodeMariaGtid(100, domain = 5, seqNo = 102),
+      encodeRows(WRITE_ROWS_V2, 110, graft.tools.WireFixtures.BlMap,
+        Seq(row(2))),
+      encodeXid(120, 1L)))
+    // raw event parse: flags round-trip
+    val events = readSegment(seg).toSeq
+    val gtids = events.collect { case g: MariaGtidEvent => g }
+    assert(gtids.map(_.gtid) == Seq("5-1-101", "5-1-102"))
+    assert(gtids.map(_.standalone) == Seq(true, false))
+    val (rows, gtidList) = MySqlBinlog.segmentRowsMaria(seg,
+      Map("testdb.bl_items" -> Seq("id", "qty", "label")))
+    assert(gtidList == "[\"5-9-100\"]")
+    assert(rows.map(_._2) == Seq("5-1-101", "5-1-102"))
+    assert(rows.map(_._3) == Seq("stmt-A", ""),
+      "second group must not inherit the first group's annotation")
+  }
 }
