@@ -36,6 +36,14 @@ object TypeHandling {
       * source column's declared fractional `precision`.
       */
     case object Structured extends TimePrecisionMode
+    /** 3.x `isostring`: every temporal rendered as an ISO-8601 string
+      * (ref `RelationalDatabaseConnectorConfig` TemporalPrecisionMode
+      * ISOSTRING; `time/IsoTimestamp.java` family) — µs fraction for
+      * timestamps, plain dates for DATE.
+      */
+    case object IsoString extends TimePrecisionMode
+    /** `nanoseconds`: epoch-ns INT64 (ref `time/NanoTimestamp.java`). */
+    case object Nanoseconds extends TimePrecisionMode
   }
 
   /** ref `binary.handling.mode`: bytes | base64 | hex. */
@@ -94,11 +102,16 @@ object TypeHandling {
       case TimePrecisionMode.Adaptive => unix_micros(c.cast(TimestampType))
       case TimePrecisionMode.Connect => unix_millis(c.cast(TimestampType))
       case TimePrecisionMode.Structured => structuredTimestamp(c.cast(TimestampType), cfg)
+      case TimePrecisionMode.IsoString =>
+        date_format(c.cast(TimestampType), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      case TimePrecisionMode.Nanoseconds =>
+        unix_micros(c.cast(TimestampType)) * lit(1000L)
     }
     case DateType => cfg.timePrecision match {
       case TimePrecisionMode.Native => c
       case TimePrecisionMode.Structured => structuredDate(c, cfg)
-      // both epoch modes surface DATE as epoch days (ref `data/Date`)
+      case TimePrecisionMode.IsoString => date_format(c, "yyyy-MM-dd")
+      // the epoch modes surface DATE as epoch days (ref `data/Date`)
       case _ => datediff(c, lit("1970-01-01")).cast(IntegerType)
     }
     case BinaryType => cfg.binaryMode match {

@@ -52,6 +52,21 @@ object ConfigQueries extends QueryGroup {
       adaptive.join(connect, "o_orderkey")
     }),
 
+    // time.precision.mode isostring (3.x) and nanoseconds: ISO-8601 µs
+    // strings and epoch-ns INT64 from the same temporal column
+    "c_time_isostring" -> ((s, dir) => {
+      val fd = readsFeed(s, t(s, dir, "orders"))
+      val iso = convertEnvelope(fd,
+        Config(timePrecision = TimePrecisionMode.IsoString))
+        .select(col("after.o_orderkey").as("o_orderkey"),
+          col("after.o_orderdate").as("ts_iso"))
+      val ns = convertEnvelope(fd,
+        Config(timePrecision = TimePrecisionMode.Nanoseconds))
+        .select(col("after.o_orderkey").as("o_orderkey"),
+          col("after.o_orderdate").as("ts_ns"))
+      iso.join(ns, "o_orderkey")
+    }),
+
     // 3.x structured temporals: value+precision calendar struct, no epoch
     // conversion (ref time/StructuredTimestamp.java) — flattened here so
     // the oracle checks every component; ts2 adds per-row sub-day and
@@ -364,6 +379,12 @@ object ConfigQueries extends QueryGroup {
         | epoch_ms(o_orderdate) AS ts_connect_ms
         |FROM orders""".stripMargin,
 
+    "c_time_isostring" ->
+      """SELECT o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%f') AS ts_iso,
+        | epoch_ns(o_orderdate) AS ts_ns
+        |FROM orders""".stripMargin,
+
     "c_structured_temporal" ->
       """WITH x AS (SELECT o_orderkey,
         |  make_timestamp(epoch_us(o_orderdate) + o_orderkey*1000001) AS ts2
@@ -487,6 +508,7 @@ object ConfigQueries extends QueryGroup {
   )
 
   override val duckdbOnly: Set[String] = Set(
-    "c_decimal_handling", "c_time_precision", "c_binary_handling",
+    "c_decimal_handling", "c_time_precision", "c_time_isostring",
+    "c_binary_handling",
     "c_custom_converter", "c_structured_temporal", "t9_document_infer")
 }
