@@ -167,6 +167,29 @@ object StreamingQueries extends QueryGroup {
         t(s, dir, "orders").select(col("o_orderkey")),
         col("o_orderkey"), 1024)),
 
+    // S3 signal-scoped snapshot: the execute-snapshot signal carries an
+    // additional-condition (reference `AdditionalCondition` /
+    // `signal.actions.ExecuteSnapshot` additional-conditions) whose
+    // filter SQL scopes the chunked backfill — applied as a pushed
+    // filter BEFORE chunking, so chunks paginate only qualifying keys
+    "s3_conditional_snapshot" -> ((s, dir) => {
+      import s.implicits._
+      val sigJson =
+        """{"data-collections":["orders"],"type":"incremental",
+          |"additional-conditions":[{"data-collection":"orders",
+          |"filter":"o_totalprice > 200000"}]}""".stripMargin.replace("\n", "")
+      val sig = Seq(("adhoc-1", "execute-snapshot", sigJson))
+        .toDF("id", "type", "data")
+      val row = graft.operators.Signals.parse(sig).head()
+      require(row.getString(1) == "execute-snapshot" &&
+        row.getString(2) == "orders", s"signal misparsed: $row")
+      val cond = sig.select(get_json_object(col("data"),
+        "$.additional-conditions[0].filter")).head().getString(0)
+      IncrementalSnapshot.chunkStats(
+        t(s, dir, "orders").filter(expr(cond)).select(col("o_orderkey")),
+        col("o_orderkey"), 256)
+    }),
+
     // S3: chunked backfill merged with the concurrent stream (watermark
     // dedup invariant: newer stream position wins over the chunk row)
     "s3_incremental_merge" -> ((s, dir) => {
@@ -474,6 +497,14 @@ object StreamingQueries extends QueryGroup {
         |FROM (SELECT o_orderkey,
         |  CAST(floor((row_number() OVER (ORDER BY o_orderkey)-1)/1024) AS BIGINT) AS chunk
         | FROM orders) x
+        |GROUP BY chunk""".stripMargin,
+
+    "s3_conditional_snapshot" ->
+      """SELECT chunk, count(*) AS n, min(o_orderkey) AS min_k,
+        | max(o_orderkey) AS max_k
+        |FROM (SELECT o_orderkey,
+        |  CAST(floor((row_number() OVER (ORDER BY o_orderkey)-1)/256) AS BIGINT) AS chunk
+        | FROM orders WHERE o_totalprice > 200000) x
         |GROUP BY chunk""".stripMargin,
 
     "s3_incremental_merge" ->
