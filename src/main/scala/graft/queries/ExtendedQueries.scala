@@ -144,6 +144,37 @@ object ExtendedQueries extends QueryGroup {
         .flatMap(e => e.value.map(v =>
           (e.key.o_orderkey, v.o_orderstatus, e.source.pos, e.op)))
         .toDF("o_orderkey", "o_orderstatus", "pos", "op")
+    }),
+
+    // embedded-engine Avro format: flat change values encoded to Avro
+    // BINARY per partition (real org.apache.avro codec, nullable-union
+    // schema) and decoded back — the round trip must be identity, so
+    // the oracle checks the decoded values directly
+    "f_avro_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val flat = feed(s, dir, "orders").select(
+        coalesce(col("after.o_orderkey"), col("before.o_orderkey"))
+          .as("o_orderkey"),
+        coalesce(col("after.o_orderstatus"), col("before.o_orderstatus"))
+          .as("o_orderstatus"),
+        col("source.pos").as("pos"), col("op"))
+      val schema = flat.schema
+      val bytesDs = flat.mapPartitions { rows =>
+        val avro = graft.serde.AvroFormat.avroSchema(schema) // per partition
+        rows.map(r => graft.serde.AvroFormat.encode(r, schema, avro))
+      }
+      bytesDs.mapPartitions { payloads =>
+        val avro = graft.serde.AvroFormat.avroSchema(schema)
+        payloads.map { b =>
+          // 4 union tags + varints + 2 strings: anything shorter is a
+          // truncated payload
+          require(b.length >= 8, s"implausible avro payload: ${b.length}B")
+          val vs = graft.serde.AvroFormat.decode(b, schema, avro)
+          (vs(0).asInstanceOf[Long], vs(1).asInstanceOf[String],
+            vs(2).asInstanceOf[Long], vs(3).asInstanceOf[String])
+        }
+      }.toDF("o_orderkey", "o_orderstatus", "pos", "op")
     })
   )
 
@@ -225,7 +256,18 @@ object ExtendedQueries extends QueryGroup {
         | FROM orders
         |UNION ALL
         |SELECT o_orderkey, 'U' AS o_orderstatus, o_orderkey*10+1 AS pos,
-        | 'u' AS op FROM orders WHERE o_orderkey%7=3""".stripMargin
+        | 'u' AS op FROM orders WHERE o_orderkey%7=3""".stripMargin,
+
+    // deletes round-trip too (their before-image rides the value)
+    "f_avro_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderkey*10 AS pos, 'r' AS op
+        | FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'U', o_orderkey*10+1, 'u'
+        | FROM orders WHERE o_orderkey%7=3
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_orderkey*10+2, 'd'
+        | FROM orders WHERE o_orderkey%13=6""".stripMargin
   )
 
   override val duckdbOnly: Set[String] = Set(
