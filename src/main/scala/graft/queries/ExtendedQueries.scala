@@ -175,6 +175,32 @@ object ExtendedQueries extends QueryGroup {
             vs(2).asInstanceOf[Long], vs(3).asInstanceOf[String])
         }
       }.toDF("o_orderkey", "o_orderstatus", "pos", "op")
+    }),
+
+    // embedded-engine Protobuf format: positional proto3 message over
+    // the in-repo wire codec (varint/fixed64/length-delimited, absent =
+    // null presence), identity round trip incl. a double field
+    "f_protobuf_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val flat = feed(s, dir, "orders").select(
+        coalesce(col("after.o_orderkey"), col("before.o_orderkey"))
+          .as("o_orderkey"),
+        coalesce(col("after.o_orderstatus"), col("before.o_orderstatus"))
+          .as("o_orderstatus"),
+        coalesce(col("after.o_totalprice"), col("before.o_totalprice"))
+          .as("o_totalprice"),
+        col("source.pos").as("pos"), col("op"))
+      val schema = flat.schema
+      flat.mapPartitions { rows =>
+        rows.map(r => graft.serde.ProtoFormat.encode(r, schema))
+      }.mapPartitions { payloads =>
+        payloads.map { b =>
+          val vs = graft.serde.ProtoFormat.decode(b, schema)
+          (vs(0).asInstanceOf[Long], vs(1).asInstanceOf[String],
+            vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Long],
+            vs(4).asInstanceOf[String])
+        }
+      }.toDF("o_orderkey", "o_orderstatus", "o_totalprice", "pos", "op")
     })
   )
 
@@ -267,6 +293,16 @@ object ExtendedQueries extends QueryGroup {
         | FROM orders WHERE o_orderkey%7=3
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_orderkey*10+2, 'd'
+        | FROM orders WHERE o_orderkey%13=6""".stripMargin,
+
+    "f_protobuf_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        | o_orderkey*10 AS pos, 'r' AS op FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'U', o_totalprice, o_orderkey*10+1, 'u'
+        | FROM orders WHERE o_orderkey%7=3
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderkey*10+2, 'd'
         | FROM orders WHERE o_orderkey%13=6""".stripMargin
   )
 

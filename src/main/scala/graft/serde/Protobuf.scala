@@ -81,6 +81,11 @@ object Protobuf {
     def varint(no: Int, v: Long): this.type = {
       varintRaw((no.toLong << 3) | 0L); varintRaw(v); this
     }
+    def fixed64(no: Int, v: Long): this.type = {
+      varintRaw((no.toLong << 3) | 1L)
+      (0 until 8).foreach(i => buf += ((v >>> (8 * i)) & 0xff).toByte)
+      this
+    }
     def bytes(no: Int, b: Array[Byte]): this.type = {
       varintRaw((no.toLong << 3) | 2L); varintRaw(b.length.toLong)
       buf ++= b; this
