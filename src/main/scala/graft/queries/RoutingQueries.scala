@@ -18,6 +18,28 @@ object RoutingQueries extends QueryGroup {
         .select(coalesce(col("after.o_orderkey"), col("before.o_orderkey"))
           .as("o_orderkey"), col("op"), col("source.pos").as("pos"), col("topic"))),
 
+    // T6 predicated chain (Connect transforms.X.predicate/negate): mask
+    // applies ONLY to records routed to the update topic; read→insert
+    // rewrite applies ONLY outside it (negate) — untouched records pass
+    // through both links unchanged
+    "t6_predicated_chain" -> ((s, dir) => {
+      import graft.operators.Predicates
+      val routed = Transforms.contentRouter(feed(s, dir, "orders"),
+        concat(lit("orders."),
+          coalesce(col("after.o_orderstatus"), col("before.o_orderstatus"))))
+      val masked = Predicates.predicated(routed,
+        Predicates.topicNameMatches("orders\\.U"))(df =>
+        df.withColumn("after",
+          col("after").withField("o_orderstatus", lit("***"))))
+      val out = Predicates.predicated(masked,
+        Predicates.topicNameMatches("orders\\.U"), negate = true)(
+        Transforms.readToInsert)
+      out.select(col("key.o_orderkey").as("o_orderkey"), col("op"),
+        col("source.pos").as("pos"), col("topic"),
+        coalesce(col("after.o_orderstatus"), col("before.o_orderstatus"))
+          .as("status"))
+    }),
+
     // R1: logical table router — shard topics collapse to one logical topic,
     // physical table id folded into the key
     "r1_logical_router" -> ((s, dir) =>
@@ -78,6 +100,18 @@ object RoutingQueries extends QueryGroup {
         |SELECT o_orderkey, 'u', o_orderkey*10+1, 'orders.U' FROM orders WHERE o_orderkey%7=3
         |UNION ALL
         |SELECT o_orderkey, 'd', o_orderkey*10+2, 'orders.' || o_orderstatus FROM orders WHERE o_orderkey%13=6""".stripMargin,
+
+    "t6_predicated_chain" ->
+      """SELECT o_orderkey, 'c' AS op, o_orderkey*10 AS pos,
+        | 'orders.'||o_orderstatus AS topic, o_orderstatus AS status
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'u', o_orderkey*10+1, 'orders.U', '***'
+        |FROM orders WHERE o_orderkey%7=3
+        |UNION ALL
+        |SELECT o_orderkey, 'd', o_orderkey*10+2,
+        | 'orders.'||o_orderstatus, o_orderstatus
+        |FROM orders WHERE o_orderkey%13=6""".stripMargin,
 
     "r1_logical_router" ->
       """SELECT o_orderkey, 'orders' AS physical_table,
