@@ -1,0 +1,467 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.operators.{Predicates, Router, Transforms}
+import graft.operators.TypeHandling
+
+/** The reference-keyed configuration surface (SURVEY §3.1): a user of the
+  * reference configures an embedded engine with a flat `Properties` map —
+  * `connector.class`, `table.include.list`, `transforms=unwrap,route` with
+  * `transforms.<name>.type` class names, `snapshot.mode`, storage backend
+  * class names, and the dynamic `column.mask.*`/`column.truncate.*` key
+  * families. This object accepts THE SAME KEY NAMES and class-name values
+  * (reference `debezium-embedded/src/main/java/io/debezium/embedded/
+  * EmbeddedEngineConfig.java:29-139`, `debezium-connector-common/.../config/
+  * CommonConnectorConfig.java:670-892`, `.../relational/
+  * RelationalDatabaseConnectorConfig.java:283-533`) and compiles them into
+  * the engine's native `Pipeline.Spec` + an ordered SMT chain of
+  * `DataFrame => DataFrame` links — so a reference user's connector
+  * `.properties` file drives this engine unchanged.
+  *
+  * Everything compiles to ONE declarative Column/DataFrame expression chain;
+  * Catalyst optimizes across the whole configured pipeline exactly as it
+  * does for the programmatic `Pipeline.Spec` path.
+  *
+  * Documented divergence: scripted SMTs (`io.debezium.transforms.Filter` /
+  * `ContentBasedRouter`) accept `language=spark.sql` here — conditions are
+  * Spark SQL expressions, not Groovy/GraalJS scripts (SURVEY §2.8: the
+  * script engines are a deliberate non-goal; `expr()` replaces them).
+  */
+object EngineConfig {
+
+  /** One configured SMT chain link (reference `embedded/Transformations.java:
+    * 50-55` builds the same ordered list from the `transforms` value).
+    */
+  final case class Link(name: String, smtClass: String,
+                        apply: DataFrame => DataFrame)
+
+  final case class Compiled(
+      engineName: String,
+      connectorClass: String,
+      topicPrefix: String,
+      /** ref `tombstones.on.delete` (`CommonConnectorConfig.java:690`),
+        * default true — the FEED emits post-delete tombstones.
+        */
+      tombstonesOnDelete: Boolean,
+      /** ref `message.key.columns` (`RelationalDatabaseConnectorConfig
+        * .java:323`): `db.table:col1,col2;...` → per-table key override.
+        */
+      messageKeyColumns: Map[String, Seq[String]],
+      spec: Pipeline.Spec,
+      /** payload columns kept by `column.include.list` (applied as the
+        * first chain stage; None = keep all).
+        */
+      columnInclude: Option[String => Boolean],
+      chain: Seq[Link],
+      offsetStore: Option[() => OffsetBackingStore],
+      history: Option[() => HistoryStorage]) {
+
+    def keyOverrideFor(table: String): Option[Seq[String]] =
+      messageKeyColumns.get(table)
+
+    /** Run the compiled pipeline over an envelope feed: connector-level
+      * spec first (include lists, snapshot gate, masks, type handling),
+      * then the SMT chain in configured order — the reference's
+      * source-connector → `Transformations.transform` shape.
+      */
+    def run(feed: DataFrame): DataFrame = {
+      val base = Pipeline(feed, spec)
+      val included = columnInclude match {
+        case Some(keep) => Transforms.columnFilter(base, keep)
+        case None       => base
+      }
+      chain.foldLeft(included)((df, l) => l.apply(df))
+    }
+  }
+
+  // Dynamic key families (reference `RelationalDatabaseConnectorConfig
+  // .java:472-488` — the key itself carries the parameter, the value is a
+  // comma list of fully-qualified columns).
+  private val MaskHashKey = "^column\\.mask\\.hash\\.([^.]+)\\.with\\.salt\\.(.+)$".r
+  private val MaskCharsKey = "^column\\.mask\\.with\\.(\\d+)\\.chars$".r
+  private val TruncateKey = "^column\\.truncate\\.to\\.(\\d+)\\.chars$".r
+
+  /** Resolve a comma list of fully-qualified `db.table.column` (or
+    * `table.column`, or bare `column`) names against the configured table:
+    * entries naming another table are dropped, matching the reference's
+    * per-table column-mapper resolution (`relational/ColumnMappers.java`).
+    */
+  private def columnsFor(value: String, table: String): Seq[String] =
+    value.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { fq =>
+      val parts = fq.split("\\.")
+      if (parts.length == 1) Some(parts(0))
+      else if (table.isEmpty || parts(parts.length - 2) == table)
+        Some(parts.last)
+      else None
+    }
+
+  /** Comma-separated regex list → one alternation regex (the reference's
+    * include/exclude lists are comma-separated regexes —
+    * `RelationalDatabaseConnectorConfig.java:283-314`).
+    */
+  private def regexAlternation(value: String): String =
+    value.split(",").map(_.trim).filter(_.nonEmpty)
+      .map(r => s"(?:$r)").mkString("|")
+
+  private def parseSnapshotter(props: Map[String, String],
+                               custom: Map[String, Snapshotter]): Snapshotter =
+    props.getOrElse("snapshot.mode", "initial") match {
+      case "initial"      => Snapshotter.Initial
+      case "initial_only" => Snapshotter.InitialOnly
+      case "always"       => Snapshotter.Always
+      case "no_data" | "never" => Snapshotter.NoData
+      case "when_needed"  => Snapshotter.WhenNeeded
+      case "recovery"     => Snapshotter.Recovery
+      case "configuration_based" =>
+        // ref CommonConnectorConfig.java:1168-1212
+        def b(k: String) = props.get(k).exists(_.toBoolean)
+        Snapshotter.ConfigurationBased(
+          snapshotData = b("snapshot.mode.configuration.based.snapshot.data"),
+          snapshotSchema = b("snapshot.mode.configuration.based.snapshot.schema"),
+          stream = b("snapshot.mode.configuration.based.start.stream"))
+      case "custom" =>
+        // ref snapshot.mode.custom.name (CommonConnectorConfig.java:1088)
+        // resolved against the caller-registered SPI implementations
+        val name = props.getOrElse("snapshot.mode.custom.name",
+          fail("snapshot.mode.custom.name is required for snapshot.mode=custom"))
+        custom.getOrElse(name,
+          fail(s"no custom snapshotter registered under '$name'"))
+      case other => fail(s"unsupported snapshot.mode '$other'")
+    }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  /** Sub-view of the properties under a prefix, prefix stripped —
+    * the reference's `Configuration.subset(prefix, true)`.
+    */
+  private def subset(props: Map[String, String], prefix: String): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v }
+
+  private def scriptLanguage(conf: Map[String, String], smt: String): Unit =
+    conf.get("language").foreach { l =>
+      if (l != "spark.sql")
+        fail(s"$smt language '$l' unsupported: this engine evaluates " +
+          "conditions as Spark SQL expressions (language=spark.sql)")
+    }
+
+  /** The tombstone test every scripted SMT's `null.handling.mode` gates on
+    * (reference `ScriptingTransformation.java:121` — a record with a null
+    * value).
+    */
+  private val isTombstone: Column = col("after").isNull && col("before").isNull
+
+  private def buildSmt(smtClass: String, conf: Map[String, String],
+                       topicPrefix: String): DataFrame => DataFrame =
+    smtClass match {
+      case "io.debezium.transforms.ExtractNewRecordState" =>
+        // ref ExtractNewRecordStateConfigDefinition.java:72-121
+        val mode = conf.getOrElse("delete.tombstone.handling.mode", "drop")
+        val addFields = conf.get("add.fields").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val deleteMode = mode match {
+          case "drop"                    => "drop"
+          case "rewrite"                 => "rewrite"
+          case "rewrite-with-tombstone"  => "rewrite"
+          case "tombstone"               => "tombstone"
+          case other => fail(s"unsupported delete.tombstone.handling.mode '$other'")
+        }
+        df => {
+          val pre = if (mode == "rewrite-with-tombstone") df
+                    else df.filter(col("op") =!= Envelope.OpTombstone)
+          Transforms.unwrap(pre, deleteMode, addFields)
+        }
+
+      case "io.debezium.transforms.Filter" =>
+        // ref debezium-scripting/.../transforms/Filter.java:23 (condition),
+        // ScriptingTransformation.java:112-121 (language, null.handling.mode)
+        scriptLanguage(conf, "Filter")
+        val cond = conf.getOrElse("condition", fail("Filter requires 'condition'"))
+        conf.getOrElse("null.handling.mode", "keep") match {
+          case "keep"     => df => df.filter(isTombstone || expr(cond))
+          case "drop"     => df => df.filter(!isTombstone && expr(cond))
+          case "evaluate" => df => df.filter(expr(cond))
+          case other => fail(s"unsupported null.handling.mode '$other'")
+        }
+
+      case "io.debezium.transforms.ContentBasedRouter" =>
+        // ref ContentBasedRouter.java:25 (topic.expression)
+        scriptLanguage(conf, "ContentBasedRouter")
+        val e = conf.getOrElse("topic.expression",
+          fail("ContentBasedRouter requires 'topic.expression'"))
+        df => Transforms.contentRouter(df, expr(e))
+
+      case "io.debezium.transforms.ByLogicalTableRouter" |
+           "io.debezium.transforms.ToLogicalTopicRouter" =>
+        // ref ToLogicalTopicRouter.java:59-112
+        val pattern = conf.getOrElse("topic.regex",
+          fail("router requires 'topic.regex'"))
+        val replacement = conf.getOrElse("topic.replacement",
+          fail("router requires 'topic.replacement'"))
+        val keyField = conf.getOrElse("key.field.name",
+          "__dbz__physicalTableIdentifier")
+        df => Router.logicalTableRouter(df, pattern, replacement, keyField)
+
+      case "io.debezium.transforms.outbox.EventRouter" =>
+        // ref outbox/EventRouterConfigDefinition.java:239-305; the reference
+        // SMT internally after-extracts the envelope before routing
+        // (EventRouterDelegate.java:96 afterExtractor) — same here: deletes
+        // and tombstones are skipped, the after image is the outbox row
+        val routeBy = conf.getOrElse("route.by.field", "aggregatetype")
+        val keyField = conf.getOrElse("table.field.event.key", "aggregateid")
+        val payload = conf.getOrElse("table.field.event.payload", "payload")
+        df => {
+          val rows = df
+            .filter(!col("op").isin(Envelope.OpDelete, Envelope.OpTombstone))
+            .select(col("after.*"))
+          Router.outbox(rows, routeBy, keyField, payload)
+        }
+
+      case "io.debezium.transforms.TimezoneConverter" =>
+        // ref TimezoneConverter.java:60-82
+        val tz = conf.getOrElse("converted.timezone",
+          fail("TimezoneConverter requires 'converted.timezone'"))
+        val fields = conf.get("include.list").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        df => Transforms.convertTimezone(df, fields, tz)
+
+      case "io.debezium.transforms.HeaderToValue" =>
+        // ref HeaderToValue.java:72-93
+        def list(k: String) = conf.getOrElse(k, fail(s"HeaderToValue requires '$k'"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val headers = list("headers")
+        val fields = list("fields")
+        require(headers.length == fields.length,
+          "HeaderToValue: 'headers' and 'fields' must have the same length")
+        val move = conf.getOrElse("operation", "copy") == "move"
+        df => headers.zip(fields).foldLeft(df) { case (d, (h, f)) =>
+          Transforms.headerToValue(d, h, f, move)
+        }
+
+      case "io.debezium.transforms.ExtractChangedRecordState" =>
+        df => Transforms.changedFields(df)
+
+      case other => fail(s"unsupported transform type '$other'")
+    }
+
+  private def predicateColumn(ptype: String, conf: Map[String, String]): Column =
+    ptype match {
+      // ref embedded/Predicates.java binds these three Connect predicates
+      case "org.apache.kafka.connect.transforms.predicates.TopicNameMatches" =>
+        Predicates.topicNameMatches(conf.getOrElse("pattern",
+          fail("TopicNameMatches requires 'pattern'")))
+      case "org.apache.kafka.connect.transforms.predicates.HasHeaderKey" =>
+        Predicates.hasHeaderKey(conf.getOrElse("name",
+          fail("HasHeaderKey requires 'name'")))
+      case "org.apache.kafka.connect.transforms.predicates.RecordIsTombstone" =>
+        Predicates.recordIsTombstone
+      case other => fail(s"unsupported predicate type '$other'")
+    }
+
+  private def parseOffsetStore(props: Map[String, String])
+      : Option[() => OffsetBackingStore] =
+    props.get("offset.storage").map {
+      case "org.apache.kafka.connect.storage.MemoryOffsetBackingStore" =>
+        () => new MemoryOffsetBackingStore
+      case "org.apache.kafka.connect.storage.FileOffsetBackingStore" =>
+        val f = props.getOrElse("offset.storage.file.filename",
+          fail("offset.storage.file.filename is required"))
+        () => new FileOffsetBackingStore(Paths.get(f))
+      case "io.debezium.storage.jdbc.offset.JdbcOffsetBackingStore" =>
+        // ref JdbcOffsetBackingStoreConfig.java:34-61
+        val url = props.getOrElse("offset.storage.jdbc.url",
+          fail("offset.storage.jdbc.url is required"))
+        () => new JdbcOffsetBackingStore(url)
+      case "io.debezium.storage.redis.offset.RedisOffsetBackingStore" =>
+        // ref RedisOffsetBackingStoreConfig: offset.storage.redis.address
+        val (host, port) = hostPort(props, "offset.storage.redis.address")
+        val pw = props.getOrElse("offset.storage.redis.password", "")
+        val key = props.getOrElse("offset.storage.redis.key", "metadata:debezium:offsets")
+        () => new RedisOffsetBackingStore(host, port, pw, key)
+      case "io.debezium.storage.configmap.ConfigMapOffsetStore" =>
+        val endpoint = props.getOrElse("offset.storage.configmap.endpoint",
+          fail("offset.storage.configmap.endpoint is required"))
+        val ns = props.getOrElse("offset.storage.configmap.namespace", "default")
+        val name = props.getOrElse("offset.storage.configmap.name",
+          fail("offset.storage.configmap.name is required"))
+        () => new ConfigMapOffsetBackingStore(endpoint, ns, name)
+      case other => fail(s"unsupported offset.storage '$other'")
+    }
+
+  private def parseHistory(props: Map[String, String])
+      : Option[() => HistoryStorage] = {
+    val P = "schema.history.internal"
+    props.get(P).map {
+      case "io.debezium.relational.history.MemorySchemaHistory" =>
+        () => new MemoryHistoryStorage
+      case "io.debezium.storage.file.history.FileSchemaHistory" =>
+        val f = props.getOrElse(s"$P.file.filename",
+          fail(s"$P.file.filename is required"))
+        () => new FileHistoryStorage(Paths.get(f))
+      case "io.debezium.storage.jdbc.history.JdbcSchemaHistory" =>
+        val url = props.getOrElse(s"$P.jdbc.url", fail(s"$P.jdbc.url is required"))
+        () => new JdbcHistoryStorage(url)
+      case "io.debezium.storage.kafka.history.KafkaSchemaHistory" =>
+        val (host, port) = hostPort(props, s"$P.kafka.bootstrap.servers")
+        val topic = props.getOrElse(s"$P.kafka.topic", fail(s"$P.kafka.topic is required"))
+        () => new KafkaHistoryStorage(host, port, topic)
+      case "io.debezium.storage.redis.history.RedisSchemaHistory" =>
+        val (host, port) = hostPort(props, s"$P.redis.address")
+        val pw = props.getOrElse(s"$P.redis.password", "")
+        val key = props.getOrElse(s"$P.redis.key", "metadata:debezium:schema_history")
+        () => new RedisHistoryStorage(host, port, pw, key)
+      case "io.debezium.storage.s3.history.S3SchemaHistory" =>
+        // ref S3SchemaHistory: bucket.name / object.name / endpoint
+        val endpoint = props.getOrElse(s"$P.s3.endpoint", fail(s"$P.s3.endpoint is required"))
+        val bucket = props.getOrElse(s"$P.s3.bucket.name", fail(s"$P.s3.bucket.name is required"))
+        val key = props.getOrElse(s"$P.s3.object.name", "debezium-history.log")
+        () => new S3HistoryStorage(endpoint, bucket, key)
+      case "io.debezium.storage.azure.blob.history.AzureBlobSchemaHistory" =>
+        val endpoint = props.getOrElse(s"$P.azure.storage.account.endpoint",
+          fail(s"$P.azure.storage.account.endpoint is required"))
+        val container = props.getOrElse(s"$P.azure.storage.account.container.name",
+          fail(s"$P.azure.storage.account.container.name is required"))
+        val blob = props.getOrElse(s"$P.azure.storage.blob.name", "debezium-history.log")
+        () => new AzureBlobHistoryStorage(endpoint, container, blob)
+      case "io.debezium.storage.rocketmq.history.RocketMqSchemaHistory" =>
+        val (host, port) = hostPort(props, s"$P.rocketmq.name.srv.addr")
+        val topic = props.getOrElse(s"$P.rocketmq.topic", fail(s"$P.rocketmq.topic is required"))
+        () => new RocketMqHistoryStorage(host, port, topic)
+      case other => fail(s"unsupported schema history '$other'")
+    }
+  }
+
+  private def hostPort(props: Map[String, String], key: String): (String, Int) = {
+    val v = props.getOrElse(key, fail(s"$key is required"))
+    v.split(":") match {
+      case Array(h, p) => (h, p.toInt)
+      case _           => fail(s"$key must be host:port, got '$v'")
+    }
+  }
+
+  private def parseTypeHandling(props: Map[String, String])
+      : Option[TypeHandling.Config] = {
+    import TypeHandling._
+    val dec = props.get("decimal.handling.mode").map {
+      case "precise" => DecimalMode.Precise
+      case "double"  => DecimalMode.AsDouble
+      case "string"  => DecimalMode.AsString
+      case other => fail(s"unsupported decimal.handling.mode '$other'")
+    }
+    val time = props.get("time.precision.mode").map {
+      case "adaptive" | "adaptive_time_microseconds" => TimePrecisionMode.Adaptive
+      case "connect"     => TimePrecisionMode.Connect
+      case "isostring"   => TimePrecisionMode.IsoString
+      case "nanoseconds" => TimePrecisionMode.Nanoseconds
+      case "structured"  => TimePrecisionMode.Structured
+      case other => fail(s"unsupported time.precision.mode '$other'")
+    }
+    val bin = props.get("binary.handling.mode").map {
+      case "bytes"  => BinaryMode.Bytes
+      case "base64" => BinaryMode.Base64
+      case "hex"    => BinaryMode.Hex
+      case other => fail(s"unsupported binary.handling.mode '$other'")
+    }
+    if (dec.isEmpty && time.isEmpty && bin.isEmpty) None
+    else Some(Config(
+      decimalMode = dec.getOrElse(DecimalMode.Precise),
+      timePrecision = time.getOrElse(TimePrecisionMode.Native),
+      binaryMode = bin.getOrElse(BinaryMode.Bytes)))
+  }
+
+  /** Compile a reference-keyed properties map for one captured table.
+    *
+    * @param table   the physical table this pipeline instance serves —
+    *                fully-qualified column keys resolve against it
+    * @param custom  `snapshot.mode=custom` SPI registry
+    *                (`snapshot.mode.custom.name` → implementation)
+    */
+  def compile(props: Map[String, String], table: String = "",
+              custom: Map[String, Snapshotter] = Map.empty): Compiled = {
+    // --- connector-level spec ---
+    val masks = scala.collection.mutable.LinkedHashMap.empty[String, Pipeline.Mask]
+    val truncates = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    props.foreach {
+      case (MaskHashKey(algo, salt), cols) =>
+        if (algo.toUpperCase != "SHA-256")
+          fail(s"unsupported mask hash algorithm '$algo' (SHA-256 only)")
+        columnsFor(cols, table).foreach(c => masks(c) = Pipeline.Mask.SaltedHash(salt))
+      case (MaskCharsKey(n), cols) =>
+        columnsFor(cols, table).foreach(c => masks(c) = Pipeline.Mask.Constant("*" * n.toInt))
+      case (TruncateKey(n), cols) =>
+        columnsFor(cols, table).foreach(c => truncates(c) = n.toInt)
+      case _ =>
+    }
+
+    val columnExclude = props.get("column.exclude.list")
+      .map(v => columnsFor(v, table).toSet).getOrElse(Set.empty)
+    val columnInclude = props.get("column.include.list").map { v =>
+      val keep = columnsFor(v, table).toSet
+      (c: String) => keep(c)
+    }
+
+    val skipped = props.get("skipped.operations") match {
+      case Some("none") => Nil
+      case Some(v)      => v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None         => Seq("t") // ref default (CommonConnectorConfig.java:865)
+    }
+
+    val spec = Pipeline.Spec(
+      tableInclude = props.get("table.include.list").map(regexAlternation),
+      tableExclude = props.get("table.exclude.list").map(regexAlternation),
+      snapshotter = parseSnapshotter(props, custom),
+      columnExclude = columnExclude,
+      masks = masks.toMap,
+      truncates = truncates.toMap,
+      skippedOperations = skipped,
+      typeHandling = parseTypeHandling(props),
+      tableName = table)
+
+    // --- SMT chain (ref embedded/Transformations.java:43-88) ---
+    val chain = props.get("transforms").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map { name =>
+        val conf = subset(props, s"transforms.$name.")
+        val smtClass = conf.getOrElse("type",
+          fail(s"transforms.$name.type is required"))
+        val base = buildSmt(smtClass, conf,
+          props.getOrElse("topic.prefix", "graft"))
+        val gated = conf.get("predicate") match {
+          case Some(pname) =>
+            val pconf = subset(props, s"predicates.$pname.")
+            val ptype = pconf.getOrElse("type",
+              fail(s"predicates.$pname.type is required"))
+            val pcol = predicateColumn(ptype, pconf)
+            val negate = conf.get("negate").exists(_.toBoolean)
+            (df: DataFrame) => Predicates.predicated(df, pcol, negate)(base)
+          case None => base
+        }
+        Link(name, smtClass, gated)
+      }
+
+    val msgKeyCols = props.get("message.key.columns").map { v =>
+      // ref format: db.table1:col1,col2;db.table2:col3
+      v.split(";").map(_.trim).filter(_.nonEmpty).map { entry =>
+        val Array(tbl, cols) = entry.split(":", 2)
+        tbl.split("\\.").last ->
+          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      }.toMap
+    }.getOrElse(Map.empty)
+
+    Compiled(
+      engineName = props.getOrElse("name", "graft-engine"),
+      connectorClass = props.getOrElse("connector.class", ""),
+      topicPrefix = props.getOrElse("topic.prefix", "graft"),
+      tombstonesOnDelete = props.get("tombstones.on.delete").forall(_.toBoolean),
+      messageKeyColumns = msgKeyCols,
+      spec = spec,
+      columnInclude = columnInclude,
+      chain = chain,
+      offsetStore = parseOffsetStore(props),
+      history = parseHistory(props))
+  }
+}

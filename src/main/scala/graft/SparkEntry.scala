@@ -19,7 +19,8 @@ object SparkEntry {
   val groups: Seq[QueryGroup] =
     Seq(CoreCdcQueries, TransformQueries, RoutingQueries, AnalyticsQueries,
       CorpusQueries, StreamingQueries, FunctionQueries, PipelineQueries,
-      ExtendedQueries, ConfigQueries, WireQueries, StorageQueries)
+      ExtendedQueries, ConfigQueries, WireQueries, StorageQueries,
+      EngineQueries)
 
   /** Flagship: materialize the orders change stream into latest table state
     * on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -77,7 +77,12 @@ object Transforms {
       case "drop" => df.filter(!isDelete)
       case _      => df
     }
-    val image = when(isDelete, col("before")).otherwise(col("after"))
+    // "tombstone" (ref ExtractNewRecordStateConfigDefinition.java:72
+    // delete.tombstone.handling.mode=tombstone): a delete flattens to its
+    // null AFTER image — the record becomes a tombstone-shaped all-null row
+    val image =
+      if (deleteMode == "tombstone") col("after")
+      else when(isDelete, col("before")).otherwise(col("after"))
     val flat = fields.map(f => image.getField(f).as(f))
     val added = addFields.map {
       case "op"    => col("op").as("__op")

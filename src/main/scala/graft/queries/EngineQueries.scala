@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.EngineConfig
+import graft.sources.ChangeFeedGen
+
+/** §3.1 embedded-engine entry: pipelines configured from a flat
+  * reference-keyed properties map (`graft.EngineConfig`) — the exact key
+  * names and SMT/storage class-name values a reference user's connector
+  * `.properties` file carries, compiled to the engine's declarative
+  * pipeline and verified against DuckDB oracles.
+  */
+object EngineQueries extends QueryGroup {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The full connector-properties surface on one pipeline: include list,
+    // column exclude, dynamic mask/truncate key families, a ContentBasedRouter,
+    // a predicated scripted Filter (TopicNameMatches gate), and
+    // ExtractNewRecordState with delete rewrite + add.fields — all from
+    // reference property keys, nothing programmatic.
+    "e_props_pipeline" -> ((s, dir) => {
+      val props = Map(
+        "name" -> "graft-engine-test",
+        "connector.class" -> "io.debezium.connector.postgresql.PostgresConnector",
+        "topic.prefix" -> "graft",
+        "tombstones.on.delete" -> "true",
+        "snapshot.mode" -> "initial",
+        "table.include.list" -> "^part$",
+        "column.exclude.list" -> "main.part.p_brand",
+        "column.mask.hash.SHA-256.with.salt.s3cr3t" -> "main.part.p_name",
+        "column.truncate.to.5.chars" -> "main.part.p_type",
+        "transforms" -> "route,filter,unwrap",
+        "transforms.route.type" -> "io.debezium.transforms.ContentBasedRouter",
+        "transforms.route.language" -> "spark.sql",
+        "transforms.route.topic.expression" ->
+          "concat('part-', CAST(pmod(key.p_partkey, 2) AS STRING))",
+        "transforms.filter.type" -> "io.debezium.transforms.Filter",
+        "transforms.filter.language" -> "spark.sql",
+        "transforms.filter.condition" ->
+          "coalesce(after.p_size, before.p_size) > 25",
+        "transforms.filter.null.handling.mode" -> "drop",
+        "transforms.filter.predicate" -> "oddtopic",
+        "transforms.filter.negate" -> "false",
+        "predicates" -> "oddtopic",
+        "predicates.oddtopic.type" ->
+          "org.apache.kafka.connect.transforms.predicates.TopicNameMatches",
+        "predicates.oddtopic.pattern" -> "part-1",
+        "transforms.unwrap.type" -> "io.debezium.transforms.ExtractNewRecordState",
+        "transforms.unwrap.delete.tombstone.handling.mode" -> "rewrite",
+        "transforms.unwrap.add.fields" -> "op")
+      val compiled = EngineConfig.compile(props, table = "part")
+      val fd = ChangeFeedGen.standardFeed(t(s, dir, "part"), "part",
+        tombstonesOnDelete = compiled.tombstonesOnDelete)
+      compiled.run(fd)
+        .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_size"),
+          col("p_retailprice"), col("__deleted"), col("__op"))
+    }),
+
+    // Outbox routing from properties only (reference outbox quick-start
+    // config: one EventRouter SMT with the table.field.event.* keys)
+    "e_props_outbox" -> ((s, dir) => {
+      val ob = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("id"),
+        col("o_orderstatus").as("aggregatetype"),
+        col("o_custkey").cast("string").as("aggregateid"),
+        col("o_orderpriority").as("type"),
+        concat(lit("{\"order\":"), col("o_orderkey"), lit("}")).as("payload"))
+      val fd = ChangeFeedGen.feed(ob, "outbox", col("id").cast("long"),
+        Map.empty, pkOverride = Some(Seq("id")))
+      val compiled = EngineConfig.compile(Map(
+        "snapshot.mode" -> "initial",
+        "transforms" -> "outbox",
+        "transforms.outbox.type" -> "io.debezium.transforms.outbox.EventRouter",
+        "transforms.outbox.route.by.field" -> "aggregatetype",
+        "transforms.outbox.table.field.event.key" -> "aggregateid",
+        "transforms.outbox.table.field.event.payload" -> "payload"),
+        table = "outbox")
+      compiled.run(fd).select(col("topic"), col("key"), col("value"),
+        col("id"), col("type"))
+    }),
+
+    // Storage backends resolved from reference class names: offsets commit
+    // through a properties-selected FileOffsetBackingStore and survive a
+    // "restart" (fresh instance over the same file); the schema history
+    // replays through the properties-selected FileSchemaHistory.
+    "e_props_storage" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("e-props-store")
+      val compiled = EngineConfig.compile(Map(
+        "offset.storage" -> "org.apache.kafka.connect.storage.FileOffsetBackingStore",
+        "offset.storage.file.filename" -> s"$tmp/offsets.dat",
+        "schema.history.internal" -> "io.debezium.storage.file.history.FileSchemaHistory",
+        "schema.history.internal.file.filename" -> s"$tmp/history.dat"))
+      val cut = t(s, dir, "orders")
+        .agg(max(col("o_orderkey")).cast("long")).head.getLong(0) * 7
+      compiled.offsetStore.get.apply().set("orders", cut.toString)
+      val recovered = compiled.offsetStore.get.apply().get("orders").get.toLong
+      val h = compiled.history.get.apply()
+      h.append("CREATE TABLE t (id INT)")
+      h.append("ALTER TABLE t ADD COLUMN v VARCHAR")
+      val replayed = compiled.history.get.apply().readAll()
+      require(replayed.size == 2 && replayed.head.startsWith("CREATE"),
+        s"history replay mismatch: $replayed")
+      feed(s, dir, "orders").filter(col("source.pos") > recovered)
+        .groupBy(col("op")).agg(count(lit(1)).as("n"),
+          min(col("source.pos")).as("min_pos"),
+          max(col("source.pos")).as("max_pos"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "e_props_pipeline" ->
+      """WITH ev AS (
+        |  SELECT p_partkey AS k, 'r' AS op, p_name, p_type, p_size, p_retailprice FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'u', p_name, p_type, p_size, p_retailprice + 1.0 FROM part WHERE p_partkey % 7 = 3
+        |  UNION ALL
+        |  SELECT p_partkey, 'd', p_name, p_type, p_size, p_retailprice FROM part WHERE p_partkey % 13 = 6),
+        | filt AS (
+        |  SELECT * FROM ev WHERE (k % 2 = 0) OR (p_size > 25))
+        |SELECT k AS p_partkey, sha256('s3cr3t' || p_name) AS p_name,
+        | substring(p_type, 1, 5) AS p_type, p_size, p_retailprice,
+        | CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS __deleted,
+        | op AS __op
+        |FROM filt""".stripMargin,
+
+    "e_props_outbox" ->
+      """WITH ob AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR(30)) AS id, o_orderstatus AS aggregatetype,
+        |   CAST(o_custkey AS VARCHAR(30)) AS key, o_orderpriority AS type,
+        |   concat('{"order":', o_orderkey, '}') AS value, o_orderkey AS k
+        |  FROM orders)
+        |SELECT 'outbox.event.' || aggregatetype AS topic, key, value, id, type FROM ob
+        |UNION ALL
+        |SELECT 'outbox.event.' || aggregatetype, key, value, id, type FROM ob WHERE k % 7 = 3""".stripMargin,
+
+    "e_props_storage" ->
+      """WITH c AS (SELECT CAST(max(o_orderkey)*7 AS BIGINT) AS cut FROM orders),
+        | ev AS (
+        |  SELECT 'r' AS op, o_orderkey*10 AS pos FROM orders
+        |  UNION ALL
+        |  SELECT 'u', o_orderkey*10+1 FROM orders WHERE o_orderkey%7=3
+        |  UNION ALL
+        |  SELECT 'd', o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6)
+        |SELECT op, count(*) AS n, min(pos) AS min_pos, max(pos) AS max_pos
+        |FROM ev, c WHERE pos > cut GROUP BY op""".stripMargin
+  )
+
+  override val duckdbOnly: Set[String] = Set("e_props_pipeline")
+}

@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Snapshotter
+import graft.operators.TypeHandling
+
+/** Key-by-key parsing of the reference-properties surface
+  * (`graft.EngineConfig` ← reference `EmbeddedEngineConfig.java` /
+  * `CommonConnectorConfig.java` / `RelationalDatabaseConnectorConfig.java`
+  * key names). The end-to-end pipeline semantics are oracled in
+  * `EngineQueries` (`e_props_*`); this spec pins the config → spec
+  * translation itself.
+  */
+class EngineConfigSpec extends AnyFunSuite {
+
+  test("dynamic column key families resolve fully-qualified names per table") {
+    val c = EngineConfig.compile(Map(
+      "column.mask.hash.SHA-256.with.salt.pep" -> "db.part.p_name,db.other.o_x",
+      "column.mask.with.6.chars" -> "db.part.p_type,bare_col",
+      "column.truncate.to.12.chars" -> "db.part.p_comment"),
+      table = "part")
+    assert(c.spec.masks("p_name") == Pipeline.Mask.SaltedHash("pep"))
+    // other-table entries are dropped
+    assert(!c.spec.masks.contains("o_x"))
+    assert(c.spec.masks("p_type") == Pipeline.Mask.Constant("******"))
+    // bare column names always apply
+    assert(c.spec.masks.contains("bare_col"))
+    assert(c.spec.truncates("p_comment") == 12)
+  }
+
+  test("non-SHA-256 mask algorithms are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      EngineConfig.compile(Map(
+        "column.mask.hash.MD5.with.salt.s" -> "part.p_name"), table = "part")
+    }
+    assert(e.getMessage.contains("SHA-256"))
+  }
+
+  test("include lists become alternation regexes; skipped.operations parses") {
+    val c = EngineConfig.compile(Map(
+      "table.include.list" -> "inventory\\.orders, inventory\\.cust.*",
+      "skipped.operations" -> "u,d"))
+    assert(c.spec.tableInclude.contains("(?:inventory\\.orders)|(?:inventory\\.cust.*)"))
+    assert(c.spec.skippedOperations == Seq("u", "d"))
+    assert(EngineConfig.compile(Map("skipped.operations" -> "none"))
+      .spec.skippedOperations.isEmpty)
+    // reference default: truncates skipped
+    assert(EngineConfig.compile(Map.empty).spec.skippedOperations == Seq("t"))
+  }
+
+  test("snapshot.mode matrix incl. configuration_based and custom SPI") {
+    def mode(m: String, extra: (String, String)*) =
+      EngineConfig.compile(Map("snapshot.mode" -> m) ++ extra,
+        custom = Map("my_snap" -> Snapshotter.Always)).spec.snapshotter
+    assert(mode("initial") == Snapshotter.Initial)
+    assert(mode("initial_only") == Snapshotter.InitialOnly)
+    assert(mode("no_data") == Snapshotter.NoData)
+    assert(mode("never") == Snapshotter.NoData) // legacy alias
+    assert(mode("when_needed") == Snapshotter.WhenNeeded)
+    assert(mode("recovery") == Snapshotter.Recovery)
+    assert(mode("configuration_based",
+      "snapshot.mode.configuration.based.snapshot.data" -> "true",
+      "snapshot.mode.configuration.based.start.stream" -> "true") ==
+      Snapshotter.ConfigurationBased(snapshotData = true,
+        snapshotSchema = false, stream = true))
+    assert(mode("custom", "snapshot.mode.custom.name" -> "my_snap") ==
+      Snapshotter.Always)
+    intercept[IllegalArgumentException](mode("custom"))
+    intercept[IllegalArgumentException](mode("bogus"))
+  }
+
+  test("type handling modes parse; absent keys leave handling unset") {
+    val c = EngineConfig.compile(Map(
+      "decimal.handling.mode" -> "string",
+      "time.precision.mode" -> "isostring",
+      "binary.handling.mode" -> "hex"))
+    val th = c.spec.typeHandling.get
+    assert(th.decimalMode == TypeHandling.DecimalMode.AsString)
+    assert(th.timePrecision == TypeHandling.TimePrecisionMode.IsoString)
+    assert(th.binaryMode == TypeHandling.BinaryMode.Hex)
+    assert(EngineConfig.compile(Map.empty).spec.typeHandling.isEmpty)
+    intercept[IllegalArgumentException](
+      EngineConfig.compile(Map("decimal.handling.mode" -> "float")))
+  }
+
+  test("transform chain preserves order, resolves predicates, rejects unknowns") {
+    val c = EngineConfig.compile(Map(
+      "transforms" -> "a, b",
+      "transforms.a.type" -> "io.debezium.transforms.ExtractChangedRecordState",
+      "transforms.b.type" -> "io.debezium.transforms.Filter",
+      "transforms.b.language" -> "spark.sql",
+      "transforms.b.condition" -> "op = 'u'",
+      "transforms.b.predicate" -> "p1",
+      "transforms.b.negate" -> "true",
+      "predicates" -> "p1",
+      "predicates.p1.type" ->
+        "org.apache.kafka.connect.transforms.predicates.RecordIsTombstone"))
+    assert(c.chain.map(_.name) == Seq("a", "b"))
+    assert(c.chain.head.smtClass.endsWith("ExtractChangedRecordState"))
+
+    intercept[IllegalArgumentException](EngineConfig.compile(Map(
+      "transforms" -> "x", "transforms.x.type" -> "com.example.Unknown")))
+    // scripted SMTs only evaluate Spark SQL here (documented divergence)
+    val e = intercept[IllegalArgumentException](EngineConfig.compile(Map(
+      "transforms" -> "f",
+      "transforms.f.type" -> "io.debezium.transforms.Filter",
+      "transforms.f.language" -> "jsr223.groovy",
+      "transforms.f.condition" -> "value.op == 'u'")))
+    assert(e.getMessage.contains("spark.sql"))
+  }
+
+  test("message.key.columns parses the db.table:cols;... grammar") {
+    val c = EngineConfig.compile(Map(
+      "message.key.columns" ->
+        "inventory.orders:o_custkey,o_orderdate;inventory.customer:c_name"))
+    assert(c.keyOverrideFor("orders").contains(Seq("o_custkey", "o_orderdate")))
+    assert(c.keyOverrideFor("customer").contains(Seq("c_name")))
+    assert(c.keyOverrideFor("part").isEmpty)
+  }
+
+  test("storage backends resolve from reference class names and round-trip") {
+    val tmp = Files.createTempDirectory("ec-store")
+    val c = EngineConfig.compile(Map(
+      "offset.storage" -> "org.apache.kafka.connect.storage.FileOffsetBackingStore",
+      "offset.storage.file.filename" -> s"$tmp/o.dat",
+      "schema.history.internal" -> "io.debezium.storage.file.history.FileSchemaHistory",
+      "schema.history.internal.file.filename" -> s"$tmp/h.dat"))
+    c.offsetStore.get.apply().set("k", "v1")
+    assert(c.offsetStore.get.apply().get("k").contains("v1"))
+    c.history.get.apply().append("ddl-1")
+    assert(c.history.get.apply().readAll() == Seq("ddl-1"))
+
+    val mem = EngineConfig.compile(Map(
+      "offset.storage" -> "org.apache.kafka.connect.storage.MemoryOffsetBackingStore",
+      "schema.history.internal" -> "io.debezium.relational.history.MemorySchemaHistory"))
+    assert(mem.offsetStore.get.apply().snapshot.isEmpty)
+    assert(mem.history.get.apply().readAll().isEmpty)
+
+    // missing backend parameter is a config-time error
+    intercept[IllegalArgumentException](EngineConfig.compile(Map(
+      "offset.storage" -> "org.apache.kafka.connect.storage.FileOffsetBackingStore")))
+    intercept[IllegalArgumentException](EngineConfig.compile(Map(
+      "offset.storage" -> "com.example.UnknownStore")))
+  }
+
+  test("tombstones.on.delete defaults true; engine identity fields surface") {
+    val c = EngineConfig.compile(Map(
+      "name" -> "engine-1",
+      "connector.class" -> "io.debezium.connector.mysql.MySqlConnector",
+      "topic.prefix" -> "prod"))
+    assert(c.tombstonesOnDelete)
+    assert(!EngineConfig.compile(Map("tombstones.on.delete" -> "false"))
+      .tombstonesOnDelete)
+    assert(c.engineName == "engine-1")
+    assert(c.connectorClass.endsWith("MySqlConnector"))
+    assert(c.topicPrefix == "prod")
+  }
+}
