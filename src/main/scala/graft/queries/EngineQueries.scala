@@ -106,6 +106,45 @@ object EngineQueries extends QueryGroup {
         .groupBy(col("op")).agg(count(lit(1)).as("n"),
           min(col("source.pos")).as("min_pos"),
           max(col("source.pos")).as("max_pos"))
+    }),
+
+    // §3.3 JDBC sink, LIVE: the orders change feed applies to an embedded
+    // Derby target through the reference-keyed sink config (upsert +
+    // delete.enabled + record_key + basic evolution), partition-parallel
+    // executor connections; the target table reads back declaratively and
+    // must equal the latest materialized state.
+    "k_jdbc_sink_upsert" -> ((s, dir) => {
+      import graft.sinks.JdbcChangeEventSink
+      val u = s"jdbc:derby:${java.nio.file.Files.createTempDirectory("k-jdbc-sink")}/db;create=true"
+      val cfg = JdbcChangeEventSink.fromProps(Map(
+        "connection.url" -> u,
+        "insert.mode" -> "upsert",
+        "delete.enabled" -> "true",
+        "primary.key.mode" -> "record_key",
+        "schema.evolution" -> "basic"))
+      JdbcChangeEventSink.write(feed(s, dir, "orders"), "orders_sink", cfg,
+        numPartitions = 8)
+      val back = JdbcChangeEventSink.readTable(s, u, "orders_sink")
+      back.toDF(back.columns.map(_.toLowerCase).toIndexedSeq: _*)
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    }),
+
+    // §3.3 dialect statement shapes (reference per-database dialects) pinned
+    // as data: every row is one generated statement.
+    "k_jdbc_sink_dialects" -> ((s, dir) => {
+      import graft.sinks.SqlDialects
+      val k = Seq("id"); val v = Seq("name", "score")
+      val rows = Seq(
+        ("postgres", "upsert", SqlDialects.Postgres.upsert("t", k, v)),
+        ("postgres", "upsert_keyonly", SqlDialects.Postgres.upsert("t", k, Nil)),
+        ("mysql", "upsert", SqlDialects.MySql.upsert("t", k, v)),
+        ("sqlserver", "upsert", SqlDialects.SqlServer.upsert("t", k, v)),
+        ("oracle", "upsert", SqlDialects.Oracle.upsert("t", k, v)),
+        ("postgres", "insert", SqlDialects.Postgres.insert("t", k, v)),
+        ("postgres", "update", SqlDialects.Postgres.update("t", k, v)),
+        ("postgres", "delete", SqlDialects.Postgres.delete("t", k)))
+      import s.implicits._
+      rows.toDF("dialect", "kind", "sql")
     })
   )
 
@@ -144,7 +183,25 @@ object EngineQueries extends QueryGroup {
         |  UNION ALL
         |  SELECT 'd', o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6)
         |SELECT op, count(*) AS n, min(pos) AS min_pos, max(pos) AS max_pos
-        |FROM ev, c WHERE pos > cut GROUP BY op""".stripMargin
+        |FROM ev, c WHERE pos > cut GROUP BY op""".stripMargin,
+
+    "k_jdbc_sink_upsert" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey%7=3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        | o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey%13<>6""".stripMargin,
+
+    "k_jdbc_sink_dialects" ->
+      """SELECT * FROM (VALUES
+        | ('postgres', 'upsert', 'INSERT INTO t (id,name,score) VALUES (?,?,?) ON CONFLICT (id) DO UPDATE SET name=EXCLUDED.name,score=EXCLUDED.score'),
+        | ('postgres', 'upsert_keyonly', 'INSERT INTO t (id) VALUES (?) ON CONFLICT (id) DO NOTHING'),
+        | ('mysql', 'upsert', 'INSERT INTO t (id, name, score) VALUES (?, ?, ?) AS new ON DUPLICATE KEY UPDATE name=new.name,score=new.score'),
+        | ('sqlserver', 'upsert', 'MERGE INTO t WITH (HOLDLOCK) AS TARGET USING (SELECT ? AS id, ? AS name, ? AS score) AS INCOMING ON (TARGET.id=INCOMING.id) WHEN MATCHED THEN UPDATE SET name=INCOMING.name,score=INCOMING.score WHEN NOT MATCHED THEN INSERT (name, score, id) VALUES (INCOMING.name,INCOMING.score,INCOMING.id);'),
+        | ('oracle', 'upsert', 'MERGE INTO t USING (SELECT ? id, ? name, ? score FROM dual) INCOMING ON (t.id=INCOMING.id) WHEN MATCHED THEN UPDATE SET t.name=INCOMING.name,t.score=INCOMING.score WHEN NOT MATCHED THEN INSERT (name,score,id) VALUES (INCOMING.name,INCOMING.score,INCOMING.id)'),
+        | ('postgres', 'insert', 'INSERT INTO t (id, name, score) VALUES (?, ?, ?)'),
+        | ('postgres', 'update', 'UPDATE t SET name=?, score=? WHERE id=?'),
+        | ('postgres', 'delete', 'DELETE FROM t WHERE id=?')
+        |) AS t(dialect, kind, sql)""".stripMargin
   )
 
   override val duckdbOnly: Set[String] = Set("e_props_pipeline")

@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Materialize
+import graft.sinks.{JdbcChangeEventSink => Sink, SqlDialects}
+import graft.sources.{ChangeFeedGen, Tables}
+
+/** §3.3 JDBC sink: live Derby execution of the configured consume path
+  * (insert/upsert/update modes, delete.enabled, reduction buffer, basic
+  * schema evolution) and the reference dialect statement shapes.
+  */
+class JdbcSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def url() =
+    s"jdbc:derby:${Files.createTempDirectory("jdbc-sink")}/db;create=true"
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.map(c => col(c).cast("string")): _*)
+      .collect().map(_.mkString("|")).sorted.toSeq
+  }
+
+  lazy val feed = ChangeFeedGen.standardFeed(
+    Tables.load(spark, sfDir, "supplier"), "supplier").cache()
+
+  test("upsert + delete.enabled materializes exactly the latest state") {
+    val u = url()
+    val cfg = Sink.fromProps(Map(
+      "connection.url" -> u,
+      "insert.mode" -> "upsert",
+      "delete.enabled" -> "true",
+      "primary.key.mode" -> "record_key",
+      "schema.evolution" -> "basic"))
+    Sink.write(feed, "supplier_sink", cfg, numPartitions = 4)
+    val got = Sink.readTable(spark, u, "supplier_sink")
+    assert(canon(got) == canon(Materialize.latestState(feed)))
+  }
+
+  test("reduction buffer produces the same terminal state") {
+    val u = url()
+    val cfg = Sink.fromProps(Map(
+      "connection.url" -> u,
+      "insert.mode" -> "upsert",
+      "delete.enabled" -> "true",
+      "primary.key.mode" -> "record_key",
+      "schema.evolution" -> "basic",
+      "use.reduction.buffer" -> "true"))
+    Sink.write(feed, "supplier_red", cfg, numPartitions = 4)
+    assert(canon(Sink.readTable(spark, u, "supplier_red")) ==
+      canon(Materialize.latestState(feed)))
+  }
+
+  test("insert mode with primary.key.mode=none appends every row event") {
+    val u = url()
+    val cfg = Sink.fromProps(Map(
+      "connection.url" -> u,
+      "insert.mode" -> "insert",
+      "primary.key.mode" -> "none",
+      "schema.evolution" -> "basic"))
+    val rowEvents = feed.filter(col("op").isin("r", "c", "u"))
+    Sink.write(rowEvents, "supplier_log", cfg, numPartitions = 4)
+    assert(Sink.readTable(spark, u, "supplier_log").count() == rowEvents.count())
+  }
+
+  test("update mode never creates rows; delete.enabled=false ignores deletes") {
+    val u = url()
+    // seed with the snapshot only
+    Sink.write(feed.filter(col("op") === "r"), "supplier_upd", Sink.fromProps(Map(
+      "connection.url" -> u, "insert.mode" -> "insert",
+      "primary.key.mode" -> "record_key", "schema.evolution" -> "basic")),
+      numPartitions = 4)
+    // apply updates + deletes in update mode with deletes disabled
+    Sink.write(feed.filter(col("op").isin("u", "d")), "supplier_upd",
+      Sink.fromProps(Map(
+        "connection.url" -> u, "insert.mode" -> "update",
+        "primary.key.mode" -> "record_key", "schema.evolution" -> "basic")),
+      numPartitions = 4)
+    val got = Sink.readTable(spark, u, "supplier_upd")
+    // every key still present (no deletes applied), update images applied
+    val want = Materialize.latestState(
+      feed.filter(col("op").isin("r", "u")))
+    assert(canon(got) == canon(want))
+  }
+
+  test("schema.evolution=basic adds missing target columns via ALTER") {
+    val u = url()
+    val narrow = feed.withColumn("after",
+        struct(col("after.s_suppkey").as("s_suppkey"), col("after.s_name").as("s_name")))
+      .withColumn("before",
+        struct(col("before.s_suppkey").as("s_suppkey"), col("before.s_name").as("s_name")))
+    val cfg = Sink.fromProps(Map(
+      "connection.url" -> u, "insert.mode" -> "upsert",
+      "primary.key.mode" -> "record_key", "schema.evolution" -> "basic",
+      "delete.enabled" -> "true"))
+    Sink.write(narrow, "supplier_evo", cfg, numPartitions = 2)
+    assert(Sink.readTable(spark, u, "supplier_evo").columns.length == 2)
+    // evolved payload: the full supplier row set flows into the same table
+    Sink.write(feed, "supplier_evo", cfg, numPartitions = 2)
+    val got = Sink.readTable(spark, u, "supplier_evo")
+    assert(got.columns.map(_.toLowerCase).toSet ==
+      Set("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+    assert(canon(got) == canon(Materialize.latestState(feed)))
+    // schema.evolution=none refuses a widened payload against a narrow table
+    val u2 = url()
+    Sink.write(narrow, "supplier_evo2", cfg.copy(url = u2), numPartitions = 2)
+    intercept[IllegalStateException] {
+      Sink.write(feed, "supplier_evo2",
+        cfg.copy(url = u2, schemaEvolution = "none"), numPartitions = 2)
+    }
+  }
+
+  test("dialect upsert statements match the reference shapes") {
+    val k = Seq("id"); val v = Seq("name", "score")
+    assert(SqlDialects.Postgres.upsert("t", k, v) ==
+      "INSERT INTO t (id,name,score) VALUES (?,?,?) ON CONFLICT (id) " +
+        "DO UPDATE SET name=EXCLUDED.name,score=EXCLUDED.score")
+    assert(SqlDialects.Postgres.upsert("t", k, Nil) ==
+      "INSERT INTO t (id) VALUES (?) ON CONFLICT (id) DO NOTHING")
+    assert(SqlDialects.MySql.upsert("t", k, v) ==
+      "INSERT INTO t (id, name, score) VALUES (?, ?, ?) AS new " +
+        "ON DUPLICATE KEY UPDATE name=new.name,score=new.score")
+    assert(SqlDialects.SqlServer.upsert("t", k, v) ==
+      "MERGE INTO t WITH (HOLDLOCK) AS TARGET USING " +
+        "(SELECT ? AS id, ? AS name, ? AS score) AS INCOMING ON (TARGET.id=INCOMING.id)" +
+        " WHEN MATCHED THEN UPDATE SET name=INCOMING.name,score=INCOMING.score" +
+        " WHEN NOT MATCHED THEN INSERT (name, score, id) " +
+        "VALUES (INCOMING.name,INCOMING.score,INCOMING.id);")
+    assert(SqlDialects.Oracle.upsert("t", k, v) ==
+      "MERGE INTO t USING (SELECT ? id, ? name, ? score FROM dual) INCOMING " +
+        "ON (t.id=INCOMING.id)" +
+        " WHEN MATCHED THEN UPDATE SET t.name=INCOMING.name,t.score=INCOMING.score" +
+        " WHEN NOT MATCHED THEN INSERT (name,score,id) " +
+        "VALUES (INCOMING.name,INCOMING.score,INCOMING.id)")
+    // shared kinds (GeneralDatabaseDialect.java:355-415)
+    assert(SqlDialects.Postgres.insert("t", k, v) ==
+      "INSERT INTO t (id, name, score) VALUES (?, ?, ?)")
+    assert(SqlDialects.Postgres.update("t", k, v) ==
+      "UPDATE t SET name=?, score=? WHERE id=?")
+    assert(SqlDialects.Postgres.delete("t", k) == "DELETE FROM t WHERE id=?")
+    // quoting styles
+    assert(SqlDialects.MySql.quote("a") == "`a`")
+    assert(SqlDialects.SqlServer.quote("a") == "[a]")
+    assert(SqlDialects.Postgres.quote("a") == "\"a\"")
+  }
+}
