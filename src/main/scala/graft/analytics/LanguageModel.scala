@@ -168,4 +168,92 @@ object LanguageModel {
         min(col("avg_prob_q9")).as("min_q9"),
         max(col("avg_prob_q9")).as("max_q9"))
   }
+
+  /** Stupid-Backoff trigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the backoff the web-scale MT LMs
+    * shipped, chosen over Kneser-Ney precisely because its relative
+    * frequencies need no normalization pass and distribute trivially):
+    *
+    *   S(w3|w1 w2) = c(w1w2w3)/c(w1w2)          if the trigram is in train
+    *               = 0.4 · c(w2w3)/c(w2)        else if the bigram is
+    *               = 0.4² · c(w3)/N             else if the unigram is
+    *               = 0                          else (OOV)
+    *
+    * The model trains on `train` and scores `target` — the CCNet shape
+    * (LM fit on a clean reference corpus, applied to the crawl), and the
+    * reason the backoff paths actually fire.
+    *
+    * Cross-engine exactness: each path is ONE division of exact integer
+    * counts times an EXACT constant (1e9, 4e8 = 0.4·1e9, 1.6e8 = 0.4²·1e9
+    * — all representable), floored to an integer before the per-document
+    * sum; no libm, no float literals with decimal/double ambiguity.
+    *
+    * 100 TB shape: the three count tables are map-side-combinable
+    * aggregations of the train scan; scoring is three left joins keyed by
+    * the (Zipf-skewed — AQE skew case) n-gram columns; the token-count
+    * scalar broadcasts. Per-position rows stream through the joins — no
+    * per-document state.
+    */
+  def stupidBackoffScore(train: DataFrame, target: DataFrame): DataFrame = {
+    def toks(d: DataFrame) =
+      d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+
+    val trainToks = toks(train)
+    val unigrams = trainToks.select(explode(col("toks")).as("w"))
+    val cu = unigrams.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val total = unigrams.agg(count(lit(1)).as("n_tokens"))
+    val trainBi = trainToks.filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = trainBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val trainTri = trainToks.filter(size(col("toks")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2"),
+          element_at(col("toks"), i + 2).as("w3")))).as("t"))
+      .select(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+    val ct = trainTri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("ct"))
+
+    val positions = toks(target).filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2"),
+            element_at(col("toks"), i + 2).as("w3")))).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+
+    val scored = positions
+      .join(ct, Seq("w1", "w2", "w3"), "left")
+      .join(cb, Seq("w1", "w2"), "left")                       // history c(w1 w2)
+      .join(cb.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cb").as("cb23")), Seq("w2", "w3"), "left")        // backoff c(w2 w3)
+      .join(cu.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
+      .join(cu.select(col("w").as("w3"), col("cu").as("cu3")), Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("s_q9",
+        when(col("ct").isNotNull,
+          floor(col("ct").cast("double") / col("cb") * lit(1e9)))
+          .when(col("cb23").isNotNull,
+            floor(col("cb23").cast("double") / col("cu2") * lit(4e8)))
+          .when(col("cu3").isNotNull,
+            floor(col("cu3").cast("double") / col("n_tokens") * lit(1.6e8)))
+          .otherwise(lit(0L)).cast("long"))
+
+    val agg = scored.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_scored"),
+      sum(col("s_q9")).as("backoff_q9_sum"),
+      sum(when(col("ct").isNotNull, 0L)
+        .when(col("cb23").isNotNull, 1L)
+        .when(col("cu3").isNotNull, 2L).otherwise(3L)).as("backoff_depth_sum"))
+
+    target.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("backoff_q9_sum"), lit(0L)).as("backoff_q9_sum"),
+        coalesce(col("backoff_depth_sum"), lit(0L)).as("backoff_depth_sum"))
+  }
 }

@@ -283,6 +283,24 @@ object CorpusQueries extends QueryGroup {
     "a_lm_score" -> ((s, dir) =>
       LanguageModel.bigramScore(t(s, dir, "documents"))),
 
+    // Stupid-Backoff trigram scoring (Brants et al. 2007): LM trained on
+    // the even-doc split, applied to the odd-doc split — the CCNet shape
+    // (reference-corpus model scoring the crawl), with the backoff paths
+    // live (held-out trigrams miss the train counts)
+    "a_backoff_trigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      LanguageModel.stupidBackoffScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
+
+    // Okapi BM25 lexical retrieval (odds-ratio IDF, engine-exact): top-20
+    // documents for a query term bag — decontamination probes and corpus
+    // slicing, the lexical leg of hybrid retrieval
+    "a_bm25_topk" -> ((s, dir) =>
+      graft.analytics.Bm25.topK(t(s, dir, "documents"),
+        Seq("spark", "merge", "window"), k = 20)),
+
     // Near-dup overlap matrix across sources: where is the duplication
     // coming from? (the report a crawl-curation run starts from)
     "a_source_overlap" -> ((s, dir) => {
@@ -1313,6 +1331,71 @@ object CorpusQueries extends QueryGroup {
         |   / greatest(coalesce(agg.n_bigrams, 0), 1)) AS BIGINT) AS avg_prob_q9
         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
 
+    // train counts from even docs, positions from odd docs; each backoff
+    // path is one integer-count division times an exact constant
+    // (1e9 / 4e8 / 1.6e8), floored before the per-doc sum
+    "a_backoff_trigram" ->
+      """WITH tr AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents WHERE doc_id % 2 = 0),
+        | tg AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents WHERE doc_id % 2 = 1),
+        | tok AS (SELECT unnest(tk) AS w FROM tr),
+        | cu AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+        | total AS (SELECT count(*) AS n_tokens FROM tok),
+        | bg AS (SELECT unnest([tk[i] for i in range(1, len(tk))]) AS w1,
+        |        unnest([tk[i+1] for i in range(1, len(tk))]) AS w2 FROM tr),
+        | cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        | tgm AS (SELECT unnest([tk[i] for i in range(1, len(tk)-1)]) AS w1,
+        |         unnest([tk[i+1] for i in range(1, len(tk)-1)]) AS w2,
+        |         unnest([tk[i+2] for i in range(1, len(tk)-1)]) AS w3 FROM tr),
+        | ct AS (SELECT w1, w2, w3, count(*) AS ct FROM tgm GROUP BY w1, w2, w3),
+        | pos AS (SELECT doc_id,
+        |         unnest([tk[i] for i in range(1, len(tk)-1)]) AS w1,
+        |         unnest([tk[i+1] for i in range(1, len(tk)-1)]) AS w2,
+        |         unnest([tk[i+2] for i in range(1, len(tk)-1)]) AS w3 FROM tg),
+        | sc AS (SELECT pos.doc_id,
+        |   CASE WHEN ct.ct IS NOT NULL THEN CAST(floor(ct.ct::DOUBLE / cb1.cb * 1e9) AS BIGINT)
+        |        WHEN cb2.cb IS NOT NULL THEN CAST(floor(cb2.cb::DOUBLE / cu2.cu * 4e8) AS BIGINT)
+        |        WHEN cu3.cu IS NOT NULL THEN CAST(floor(cu3.cu::DOUBLE / total.n_tokens * 1.6e8) AS BIGINT)
+        |        ELSE 0 END AS s_q9,
+        |   CASE WHEN ct.ct IS NOT NULL THEN 0 WHEN cb2.cb IS NOT NULL THEN 1
+        |        WHEN cu3.cu IS NOT NULL THEN 2 ELSE 3 END AS depth
+        |  FROM pos
+        |  LEFT JOIN ct ON pos.w1=ct.w1 AND pos.w2=ct.w2 AND pos.w3=ct.w3
+        |  LEFT JOIN cb cb1 ON pos.w1=cb1.w1 AND pos.w2=cb1.w2
+        |  LEFT JOIN cb cb2 ON pos.w2=cb2.w1 AND pos.w3=cb2.w2
+        |  LEFT JOIN cu cu2 ON pos.w2=cu2.w
+        |  LEFT JOIN cu cu3 ON pos.w3=cu3.w, total),
+        | agg AS (SELECT doc_id, count(*) AS n_scored,
+        |         CAST(sum(s_q9) AS BIGINT) AS backoff_q9_sum,
+        |         CAST(sum(depth) AS BIGINT) AS backoff_depth_sum FROM sc GROUP BY doc_id)
+        |SELECT tg.doc_id, coalesce(agg.n_scored, 0) AS n_scored,
+        | coalesce(agg.backoff_q9_sum, 0) AS backoff_q9_sum,
+        | coalesce(agg.backoff_depth_sum, 0) AS backoff_depth_sum
+        |FROM tg LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // expression tree mirrored op-for-op from Bm25.topK; every decimal
+    // literal cast to DOUBLE (bare decimals are DECIMAL in DuckDB)
+    "a_bm25_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        | lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t),
+        | corpus AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens FROM lens),
+        | tok AS (SELECT doc_id, unnest(tk) AS term FROM t),
+        | hit AS (SELECT doc_id, term FROM tok WHERE term IN ('spark','merge','window')),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM hit GROUP BY doc_id, term),
+        | dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        | contrib AS (SELECT tf.doc_id,
+        |   CAST(floor(
+        |     ((2*(c.n_docs - dfx.df) + 1)::DOUBLE / (2*dfx.df + 1))
+        |     * (tf.tf * CAST(2.2 AS DOUBLE))
+        |     / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |        + CAST(0.75 AS DOUBLE) * ((lens.dl * c.n_docs)::DOUBLE / c.total_tokens)))
+        |     * 1e6) AS BIGINT) AS c_q6
+        |  FROM tf JOIN dfx USING (term) JOIN lens USING (doc_id), corpus c),
+        | perdoc AS (SELECT doc_id, count(*) AS n_terms,
+        |            CAST(sum(c_q6) AS BIGINT) AS score_q6 FROM contrib GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score_q6 DESC, doc_id) AS INT) AS rk,
+        | doc_id, n_terms, score_q6
+        |FROM perdoc ORDER BY score_q6 DESC, doc_id LIMIT 20""".stripMargin,
+
     // identical absmax arithmetic: x*127/scale + 0.5 floored, in that
     // operation order (a different order rounds differently)
     "a_embed_quantize" ->
@@ -1594,5 +1677,6 @@ object CorpusQueries extends QueryGroup {
     "a_ccnet_buckets", "a_ccnet_buckets_approx", "a_bpe_merges",
     "a_pq_topk", "a_ivf_pq_topk", "a_ann_hamming",
     "a_dsir_scores", "a_doc_chunks", "a_bpe_encode",
-    "a_quality_classifier", "a_corpus_shuffle")
+    "a_quality_classifier", "a_corpus_shuffle",
+    "a_backoff_trigram", "a_bm25_topk")
 }

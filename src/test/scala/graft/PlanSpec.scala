@@ -279,4 +279,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "tokenizer application must not shuffle")
     assert(!p.contains("Join"), "merge table must ride as a literal, not a join")
   }
+
+  test("BM25 top-k is a distributed TakeOrdered, df/corpus broadcast") {
+    val p = plan("a_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must plan as TakeOrderedAndProject, not a global sort window")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "df table and corpus scalars should broadcast")
+    assert(!p.contains("CartesianProduct"), "cartesian in the BM25 plan")
+  }
+
+  test("Stupid-Backoff scoring: count joins, no cartesian, scalar broadcast") {
+    val p = plan("a_backoff_trigram")
+    assert(!p.contains("CartesianProduct"), "cartesian in the backoff plan")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "token-count scalar should broadcast")
+  }
 }
