@@ -24,11 +24,20 @@ object DdlParser {
   final case class RenameTable(table: Envelope.TableId,
                                to: Envelope.TableId) extends Parsed
 
-  /** SQL type name → Spark type (the common relational spellings). */
+  /** SQL type name → Spark type (the common relational spellings, incl.
+    * MySQL width/charset suffixes: `UNSIGNED` promotes one width exactly
+    * as the reference's binlog type registry does —
+    * `debezium-connector-binlog` maps `INT UNSIGNED`→INT64,
+    * `BIGINT UNSIGNED`→DECIMAL(20,0); `ZEROFILL` implies UNSIGNED).
+    */
   def sqlType(t: String): DataType = {
-    val norm = t.trim.toUpperCase
+    var norm = t.trim.toUpperCase.replaceAll("\\s+", " ")
+    val zerofill = norm.endsWith(" ZEROFILL")
+    if (zerofill) norm = norm.dropRight(9).trim
+    val unsigned = zerofill || norm.endsWith(" UNSIGNED")
+    if (norm.endsWith(" UNSIGNED")) norm = norm.dropRight(9).trim
     val Paren = """([A-Z0-9 ]+)\s*\(([^)]*)\)""".r
-    norm match {
+    val base = norm match {
       case "TINYINT"                       => ByteType
       case "SMALLINT" | "INT2"             => ShortType
       case "INT" | "INTEGER" | "INT4" | "MEDIUMINT" => IntegerType
@@ -37,13 +46,29 @@ object DdlParser {
       case "DOUBLE" | "DOUBLE PRECISION" | "FLOAT8" | "FLOAT" => DoubleType
       case "BOOLEAN" | "BOOL"              => BooleanType
       case "DATE"                          => DateType
-      case "TEXT" | "STRING" | "CLOB" | "JSON" => StringType
-      case "BLOB" | "BYTEA" | "BINARY" | "VARBINARY" => BinaryType
+      case "TEXT" | "STRING" | "CLOB" | "JSON" | "UUID" |
+           "TINYTEXT" | "MEDIUMTEXT" | "LONGTEXT" | "NCLOB" | "XML" => StringType
+      case "BLOB" | "BYTEA" | "BINARY" | "VARBINARY" |
+           "TINYBLOB" | "MEDIUMBLOB" | "LONGBLOB" => BinaryType
       case "TIMESTAMP" | "DATETIME"        => TimestampType
-      case Paren(base, args) => base.trim match {
-        case "VARCHAR" | "CHAR" | "CHARACTER VARYING" | "NVARCHAR" => StringType
+      // µs-since-midnight INT64 (ref io.debezium.time.MicroTime)
+      case "TIME"                          => LongType
+      case "YEAR"                          => IntegerType
+      case Paren(b, args) => b.trim match {
+        case "VARCHAR" | "CHAR" | "CHARACTER VARYING" | "NVARCHAR" |
+             "NCHAR" | "CHARACTER" => StringType
+        case "ENUM" | "SET"                => StringType
         case "VARBINARY" | "BINARY"        => BinaryType
         case "TIMESTAMP" | "DATETIME"      => TimestampType
+        case "TIME"                        => LongType
+        case "TINYINT" =>
+          // MySQL display width: TINYINT(1) is the BOOLEAN convention
+          if (args.trim == "1") BooleanType else ByteType
+        case "SMALLINT"                    => ShortType
+        case "INT" | "INTEGER" | "MEDIUMINT" => IntegerType
+        case "BIGINT"                      => LongType
+        case "BIT" =>
+          if (args.trim == "1") BooleanType else BinaryType
         case "DECIMAL" | "NUMERIC" =>
           args.split(",").map(_.trim) match {
             case Array(p)    => DecimalType(p.toInt, 0)
@@ -54,8 +79,17 @@ object DdlParser {
         case other =>
           throw new IllegalArgumentException(s"unsupported type: $other")
       }
+      case "BIT" => BooleanType // bare BIT == BIT(1)
       case other =>
         throw new IllegalArgumentException(s"unsupported type: $other")
+    }
+    if (!unsigned) base
+    else base match { // one-width promotion (ref binlog unsigned handling)
+      case ByteType    => ShortType
+      case ShortType   => IntegerType
+      case IntegerType => LongType
+      case LongType    => DecimalType(20, 0)
+      case other       => other
     }
   }
 
@@ -91,8 +125,8 @@ object DdlParser {
     out.result().map(_.trim)
   }
 
-  private val Create =
-    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\S+)\s*\((.*)\)\s*;?\s*""".r
+  private val Create = // trailing table options (ENGINE=…, CHARSET=…) allowed
+    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\S+)\s*\((.*)\)\s*[^;()]*;?\s*""".r
   private val Drop =
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\S+?);?\s*""".r
   private val Truncate =
@@ -124,7 +158,7 @@ object DdlParser {
       RenameTable(Envelope.TableId.parse(unquote(from)),
         Envelope.TableId.parse(unquote(to)))
     case Alter(name, actions) =>
-      val changes = splitTop(actions).map(parseAction)
+      val changes = splitTop(actions).flatMap(parseAction)
       AlterTable(Envelope.TableId.parse(unquote(name)), changes)
     case Truncate(name) =>
       TruncateTable(Envelope.TableId.parse(unquote(name)))
@@ -157,14 +191,20 @@ object DdlParser {
     case _ => Nil
   }
 
-  /** Drop trailing column options (NOT NULL, DEFAULT …, comments). */
-  private def stripColumnOptions(rest: String): String = {
-    val stop = Seq("NOT NULL", "NULL", "DEFAULT", "COMMENT", "PRIMARY",
-      "UNIQUE", "AUTO_INCREMENT", "REFERENCES", "GENERATED")
-    val upper = rest.toUpperCase
-    val cut = stop.map(upper.indexOf).filter(_ >= 0)
-    if (cut.isEmpty) rest else rest.substring(0, cut.min)
-  }
+  /** Drop trailing column options — constraints, defaults, charset and
+    * collation clauses, generated-column bodies, MySQL position markers
+    * (`FIRST` / `AFTER c`), `ON UPDATE` actions (word-boundary matched so
+    * type names like JSON never truncate).
+    */
+  private val ColumnOptionStart =
+    ("(?i)\\b(NOT NULL|NULL|DEFAULT|COMMENT|PRIMARY|UNIQUE|AUTO_INCREMENT|" +
+      "REFERENCES|GENERATED|AFTER|FIRST|CHARACTER SET|CHARSET|COLLATE|" +
+      "ON UPDATE|CHECK|STORED|VIRTUAL|KEY|CONSTRAINT|AS\\s*\\()").r
+  private def stripColumnOptions(rest: String): String =
+    ColumnOptionStart.findFirstMatchIn(rest) match {
+      case Some(m) => rest.substring(0, m.start)
+      case None    => rest
+    }
 
   private val AddCol =
     """(?is)ADD\s+(?:COLUMN\s+)?(\S+)\s+(.+)""".r
@@ -179,16 +219,45 @@ object DdlParser {
   private val ChangeCol = // MySQL CHANGE [COLUMN] old new type (rename keeps type in this subset)
     """(?is)CHANGE\s+(?:COLUMN\s+)?(\S+)\s+(\S+)\s+(.+)""".r
 
-  private def parseAction(action: String): SchemaChange = action match {
-    case AlterColType(n, t) => WidenColumn(unquote(n), sqlType(stripColumnOptions(t)))
-    case RenameCol(f, to)   => RenameColumn(unquote(f), unquote(to))
-    case ModifyCol(n, t)    => WidenColumn(unquote(n), sqlType(stripColumnOptions(t)))
+  /** ALTER actions that do not change the row schema — index/constraint
+    * management, default mutation, storage and lock hints — parse and drop,
+    * as the reference's listeners do (`debezium-ddl-parser` alter parsers
+    * consume them without emitting a table change).
+    */
+  private val IgnorableAction =
+    ("(?is)\\s*(ADD\\s+(INDEX|KEY|UNIQUE|FULLTEXT|SPATIAL|CONSTRAINT|" +
+      "PRIMARY\\s+KEY|FOREIGN\\s+KEY)|" +
+      "DROP\\s+(INDEX|KEY|PRIMARY\\s+KEY|FOREIGN\\s+KEY|CONSTRAINT)|" +
+      "ALTER\\s+(COLUMN\\s+)?\\S+\\s+(SET|DROP)\\s+DEFAULT|" +
+      "RENAME\\s+(INDEX|KEY)|" +
+      "ALGORITHM\\s*=|LOCK\\s*=|ENGINE\\s*=|AUTO_INCREMENT\\s*=|" +
+      "CONVERT\\s+TO\\s+CHARACTER\\s+SET|DEFAULT\\s+CHARACTER\\s+SET|" +
+      "CHARACTER\\s+SET|COMMENT\\s*=|ROW_FORMAT\\s*=|" +
+      "ENABLE\\s+KEYS|DISABLE\\s+KEYS|FORCE|ORDER\\s+BY).*").r
+
+  private val ParenAdd = // MySQL multi-add: ADD [COLUMN] (a INT, b TEXT)
+    """(?is)\s*ADD\s+(?:COLUMN\s+)?\((.*)\)\s*""".r
+
+  private def parseAction(action: String): Seq[SchemaChange] = action match {
+    case IgnorableAction(_*) => Nil
+    case ParenAdd(body) =>
+      splitTop(body).map { colDef =>
+        val parts = colDef.trim.split("\\s+", 2)
+        AddColumn(unquote(parts(0)), sqlType(stripColumnOptions(parts(1))))
+      }
+    case other => parseSingleAction(other).toSeq
+  }
+
+  private def parseSingleAction(action: String): Option[SchemaChange] = action match {
+    case AlterColType(n, t) => Some(WidenColumn(unquote(n), sqlType(stripColumnOptions(t))))
+    case RenameCol(f, to)   => Some(RenameColumn(unquote(f), unquote(to)))
+    case ModifyCol(n, t)    => Some(WidenColumn(unquote(n), sqlType(stripColumnOptions(t))))
     case ChangeCol(f, to, t) =>
       if (unquote(f) == unquote(to))
-        WidenColumn(unquote(f), sqlType(stripColumnOptions(t)))
-      else RenameColumn(unquote(f), unquote(to))
-    case AddCol(n, t)       => AddColumn(unquote(n), sqlType(stripColumnOptions(t)))
-    case DropCol(n)         => DropColumn(unquote(n))
+        Some(WidenColumn(unquote(f), sqlType(stripColumnOptions(t))))
+      else Some(RenameColumn(unquote(f), unquote(to)))
+    case AddCol(n, t)       => Some(AddColumn(unquote(n), sqlType(stripColumnOptions(t))))
+    case DropCol(n)         => Some(DropColumn(unquote(n)))
     case other =>
       throw new IllegalArgumentException(s"unsupported ALTER action: $other")
   }

@@ -203,6 +203,74 @@ class ConfigSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("DDL parser: real-world MySQL forms — table options, unsigned, " +
+    "enum, position markers, index actions ignored") {
+    import graft.model.DdlParser
+    import graft.model.DdlParser.{AlterTable, CreateTable}
+    import graft.operators.SchemaEvolution.{AddColumn, DropColumn, WidenColumn}
+    import org.apache.spark.sql.types._
+    // trailing table options after the column list (every mysqldump emits these)
+    DdlParser.parse(
+      """CREATE TABLE inventory.orders (
+        | id INT UNSIGNED NOT NULL AUTO_INCREMENT,
+        | qty BIGINT UNSIGNED,
+        | flag TINYINT(1) DEFAULT 1,
+        | status ENUM('open','closed') NOT NULL,
+        | note MEDIUMTEXT CHARACTER SET utf8mb4 COLLATE utf8mb4_bin,
+        | t TIME,
+        | yr YEAR,
+        | b BIT(1),
+        | mask BIT(8),
+        | updated DATETIME ON UPDATE CURRENT_TIMESTAMP,
+        | PRIMARY KEY (id),
+        | KEY idx_status (status)
+        |) ENGINE=InnoDB AUTO_INCREMENT=17 DEFAULT CHARSET=utf8mb4""".stripMargin) match {
+      case CreateTable(tid, schema) =>
+        assert(tid.table == "orders")
+        assert(schema == StructType(Seq(
+          StructField("id", LongType),          // INT UNSIGNED promotes
+          StructField("qty", DecimalType(20, 0)), // BIGINT UNSIGNED
+          StructField("flag", BooleanType),     // TINYINT(1) convention
+          StructField("status", StringType),
+          StructField("note", StringType),
+          StructField("t", LongType),           // µs-time INT64
+          StructField("yr", IntegerType),
+          StructField("b", BooleanType),
+          StructField("mask", BinaryType),
+          StructField("updated", TimestampType))))
+        assert(DdlParser.primaryKeyOf(
+          "CREATE TABLE t (id INT, PRIMARY KEY (id))") == Seq("id"))
+      case other => fail(s"expected CreateTable, got $other")
+    }
+    // index/constraint/hint actions parse-and-drop; position markers strip
+    DdlParser.parse(
+      "ALTER TABLE t ADD COLUMN c INT UNSIGNED AFTER b, ADD INDEX idx_c (c)," +
+        " DROP INDEX idx_old, ALTER COLUMN d SET DEFAULT 5," +
+        " ALGORITHM=INPLACE, LOCK=NONE, ADD COLUMN e TEXT FIRST") match {
+      case AlterTable(_, changes) =>
+        assert(changes == Seq(AddColumn("c", LongType), AddColumn("e", StringType)))
+      case other => fail(s"expected AlterTable, got $other")
+    }
+    // MySQL parenthesized multi-add
+    DdlParser.parse("ALTER TABLE t ADD (x INT, y VARCHAR(4) NOT NULL)") match {
+      case AlterTable(_, changes) =>
+        assert(changes == Seq(AddColumn("x", IntegerType), AddColumn("y", StringType)))
+      case other => fail(s"expected AlterTable, got $other")
+    }
+    // generated column body never parses as a type
+    DdlParser.parse("ALTER TABLE t ADD g INT AS (a + b) STORED, DROP h") match {
+      case AlterTable(_, changes) =>
+        assert(changes == Seq(AddColumn("g", IntegerType), DropColumn("h")))
+      case other => fail(s"expected AlterTable, got $other")
+    }
+    // JSON type survives the ON-UPDATE stop token (word boundary)
+    DdlParser.parse("ALTER TABLE t MODIFY j JSON") match {
+      case AlterTable(_, changes) =>
+        assert(changes == Seq(WidenColumn("j", StringType)))
+      case other => fail(s"expected AlterTable, got $other")
+    }
+  }
+
   test("tombstones: emitted after deletes, ignored by materialization") {
     val df = spark.read.parquet(s"$sfDir/orders.parquet")
     val plain = ChangeFeedGen.standardFeed(df, "orders")
