@@ -329,6 +329,67 @@ object StreamingQueries extends QueryGroup {
       s.table(name).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     }),
 
+    // Watermark-bounded streaming dedup (`dropDuplicatesWithinWatermark`):
+    // same at-least-once collapse as stream_dedup but the key state AGES
+    // OUT past the watermark — the 100 TB form, where unbounded
+    // dropDuplicates state would grow with every key ever seen
+    "stream_dedup_watermark" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .withColumn("ets",
+          timestamp_micros(graft.sources.Tables.epochUs(schema)))
+        .select(col("event_id"), col("event_type"), col("ets"))
+      val name = s"dedupwm_${System.nanoTime()}"
+      val q = src.union(src)
+        .withWatermark("ets", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
+
+    // Stream-stream event-time INTERVAL JOIN (Spark-only capability the
+    // reference has no counterpart for, SURVEY §2.6): click events join
+    // purchase events of the same user within the following 6 hours, both
+    // sides watermarked so join state is bounded by the interval + slack
+    // instead of retaining each stream forever
+    "stream_stream_join" -> ((s, dir) => {
+      val schema = t(s, dir, "events").schema
+      def src(tp: String) = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .withColumn("ets",
+          timestamp_micros(graft.sources.Tables.epochUs(schema)))
+        .filter(col("event_type") === tp)
+      val clicks = src("click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ets").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = src("purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ets").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val name = s"ssj_${System.nanoTime()}"
+      val q = clicks.join(purchases, expr(
+        "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 6 hours"))
+        .select(col("click_id"), col("purchase_id"),
+          col("c_user").as("user_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     // Structured Streaming event-time windowed aggregation with a watermark
     // (real readStream over the events table; event time normalized to
     // µs-precision TimestampType for either fixture encoding)
@@ -458,6 +519,19 @@ object StreamingQueries extends QueryGroup {
     "stream_dedup" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
 
+    // both copies of every event land inside the watermark in the bounded
+    // replay, so the aged-state dedup collapses them identically
+    "stream_dedup_watermark" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+
+    "stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        | c.user_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin,
+
     // session_window semantics reconstructed independently: new session
     // when the gap REACHES 1h (window end is exclusive), session_end =
     // last event + gap
@@ -559,5 +633,5 @@ object StreamingQueries extends QueryGroup {
   // `interval` is reserved in Spark SQL; epoch_us is DuckDB-only
   override val duckdbOnly: Set[String] =
     Set("p5_heartbeat", "stream_windowed_agg", "stream_session_window",
-      "stream_curation", "stream_incremental_pack")
+      "stream_curation", "stream_incremental_pack", "stream_stream_join")
 }
