@@ -53,6 +53,12 @@ object EngineConfig {
         */
       messageKeyColumns: Map[String, Seq[String]],
       spec: Pipeline.Spec,
+      /** ref `schema.name.adjustment.mode` / `field.name.adjustment.mode`
+        * (`CommonConnectorConfig.java:904,915`): identifier sanitizers for
+        * sink-side catalog/field names (avro → `Names.avroSafe`).
+        */
+      schemaNameAdjuster: String => String,
+      fieldNameAdjuster: String => String,
       /** payload columns kept by `column.include.list` (applied as the
         * first chain stage; None = keep all).
         */
@@ -162,8 +168,13 @@ object EngineConfig {
       case "io.debezium.transforms.ExtractNewRecordState" =>
         // ref ExtractNewRecordStateConfigDefinition.java:72-121
         val mode = conf.getOrElse("delete.tombstone.handling.mode", "drop")
-        val addFields = conf.get("add.fields").toSeq
+        def csv(k: String) = conf.get(k).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val addFields = csv("add.fields")
+        val addHeaders = csv("add.headers")
+        val fieldPrefix = conf.getOrElse("add.fields.prefix", "__")
+        val headerPrefix = conf.getOrElse("add.headers.prefix", "__")
+        val routeBy = conf.get("route.by.field")
         val deleteMode = mode match {
           case "drop"                    => "drop"
           case "rewrite"                 => "rewrite"
@@ -174,7 +185,8 @@ object EngineConfig {
         df => {
           val pre = if (mode == "rewrite-with-tombstone") df
                     else df.filter(col("op") =!= Envelope.OpTombstone)
-          Transforms.unwrap(pre, deleteMode, addFields)
+          Transforms.unwrap(pre, deleteMode, addFields, addHeaders,
+            fieldPrefix, headerPrefix, routeBy)
         }
 
       case "io.debezium.transforms.Filter" =>
@@ -381,8 +393,15 @@ object EngineConfig {
     * @param custom  `snapshot.mode=custom` SPI registry
     *                (`snapshot.mode.custom.name` → implementation)
     */
+  /** `converters` SPI factories keyed by the `<name>.type` class-name value
+    * (ref `CommonConnectorConfig.java:847` + `CustomConverter.configure` —
+    * the sub-keyed properties reach the factory as its parameter map).
+    */
+  type ConverterFactory = Map[String, String] => graft.operators.CustomConverter
+
   def compile(props: Map[String, String], table: String = "",
-              custom: Map[String, Snapshotter] = Map.empty): Compiled = {
+              custom: Map[String, Snapshotter] = Map.empty,
+              converterRegistry: Map[String, ConverterFactory] = Map.empty): Compiled = {
     // --- connector-level spec ---
     val masks = scala.collection.mutable.LinkedHashMap.empty[String, Pipeline.Mask]
     val truncates = scala.collection.mutable.LinkedHashMap.empty[String, Int]
@@ -411,6 +430,16 @@ object EngineConfig {
       case None         => Seq("t") // ref default (CommonConnectorConfig.java:865)
     }
 
+    // converters=<n1,n2> with <n>.type resolving through the SPI registry
+    // (ref CommonConnectorConfig.java:847 CUSTOM_CONVERTERS)
+    val converters = props.get("converters").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map { name =>
+        val sub = subset(props, s"$name.")
+        val tpe = sub.getOrElse("type", fail(s"$name.type is required"))
+        converterRegistry.getOrElse(tpe,
+          fail(s"no converter factory registered for '$tpe'")).apply(sub)
+      }
+
     val spec = Pipeline.Spec(
       tableInclude = props.get("table.include.list").map(regexAlternation),
       tableExclude = props.get("table.exclude.list").map(regexAlternation),
@@ -420,6 +449,7 @@ object EngineConfig {
       truncates = truncates.toMap,
       skippedOperations = skipped,
       typeHandling = parseTypeHandling(props),
+      converters = converters,
       tableName = table)
 
     // --- SMT chain (ref embedded/Transformations.java:43-88) ---
@@ -452,6 +482,13 @@ object EngineConfig {
       }.toMap
     }.getOrElse(Map.empty)
 
+    def nameAdjuster(key: String): String => String =
+      props.getOrElse(key, "none") match {
+        case "none"                    => identity
+        case "avro" | "avro_unicode"   => graft.functions.Names.avroSafe(_: String)
+        case other => fail(s"unsupported $key '$other'")
+      }
+
     Compiled(
       engineName = props.getOrElse("name", "graft-engine"),
       connectorClass = props.getOrElse("connector.class", ""),
@@ -459,6 +496,8 @@ object EngineConfig {
       tombstonesOnDelete = props.get("tombstones.on.delete").forall(_.toBoolean),
       messageKeyColumns = msgKeyCols,
       spec = spec,
+      schemaNameAdjuster = nameAdjuster("schema.name.adjustment.mode"),
+      fieldNameAdjuster = nameAdjuster("field.name.adjustment.mode"),
       columnInclude = columnInclude,
       chain = chain,
       offsetStore = parseOffsetStore(props),

@@ -70,7 +70,11 @@ object Transforms {
   //     deleteMode: "rewrite" keeps deletes with __deleted=true using the
   //     before image; "drop" removes them; "none" passes after (null fields). ---
   def unwrap(df: DataFrame, deleteMode: String = "rewrite",
-             addFields: Seq[String] = Nil): DataFrame = {
+             addFields: Seq[String] = Nil,
+             addHeaders: Seq[String] = Nil,
+             fieldPrefix: String = "__",
+             headerPrefix: String = "__",
+             routeByField: Option[String] = None): DataFrame = {
     val fields = payloadFields(df)
     val isDelete = col("op") === Envelope.OpDelete
     val base0 = deleteMode match {
@@ -84,18 +88,35 @@ object Transforms {
       if (deleteMode == "tombstone") col("after")
       else when(isDelete, col("before")).otherwise(col("after"))
     val flat = fields.map(f => image.getField(f).as(f))
-    val added = addFields.map {
-      case "op"    => col("op").as("__op")
-      case "ts_ms" => col("ts_ms").as("__ts_ms")
-      case s if s.startsWith("source.") =>
-        col(s).as("__" + s.stripPrefix("source."))
-      case other => col(other).as("__" + other)
+    def envelopeRef(name: String): (String, Column) = name match {
+      case "op"    => ("op", col("op"))
+      case "ts_ms" => ("ts_ms", col("ts_ms"))
+      case s if s.startsWith("source.") => (s.stripPrefix("source."), col(s))
+      case other   => (other, col(other))
     }
+    // add.fields / add.fields.prefix (ref ExtractNewRecordStateConfigDefinition
+    // .java:94-102): envelope metadata carried as prefixed flat columns
+    val added = addFields.map { f =>
+      val (n, c) = envelopeRef(f); c.as(fieldPrefix + n)
+    }
+    // add.headers / add.headers.prefix (ref :113-121): the same metadata as
+    // a transport-header map column (the frame shape HeaderToValue and the
+    // HasHeaderKey predicate consume)
+    val headerCol =
+      if (addHeaders.isEmpty) Nil
+      else Seq(map(addHeaders.flatMap { h =>
+        val (n, c) = envelopeRef(h)
+        Seq(lit(headerPrefix + n), c.cast(StringType))
+      }: _*).as("headers"))
+    // route.by.field (ref :86): the routed topic becomes the value of one
+    // payload field
+    val routed = routeByField.toSeq.map(f => image.getField(f)
+      .cast(StringType).as("topic"))
     val deleted =
       if (deleteMode == "rewrite")
         Seq(isDelete.cast(StringType).as("__deleted"))
       else Nil
-    base0.select(flat ++ deleted ++ added: _*)
+    base0.select(flat ++ deleted ++ added ++ headerCol ++ routed: _*)
   }
 
   // --- T10: ExtractChangedRecordState — names of fields that differ between

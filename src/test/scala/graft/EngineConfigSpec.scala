@@ -146,6 +146,68 @@ class EngineConfigSpec extends AnyFunSuite {
       "offset.storage" -> "com.example.UnknownStore")))
   }
 
+  test("converters resolve through the SPI factory registry with their params") {
+    import org.apache.spark.sql.types.StructField
+    var seenParams: Map[String, String] = Map.empty
+    val factory: EngineConfig.ConverterFactory = params => {
+      seenParams = params
+      new graft.operators.CustomConverter {
+        def converterFor(table: String, field: StructField) = None
+      }
+    }
+    val c = EngineConfig.compile(Map(
+      "converters" -> "isbn",
+      "isbn.type" -> "com.example.IsbnConverter",
+      "isbn.schema.name" -> "io.example.isbn"),
+      converterRegistry = Map("com.example.IsbnConverter" -> factory))
+    assert(c.spec.converters.size == 1)
+    assert(seenParams("schema.name") == "io.example.isbn")
+    intercept[IllegalArgumentException](EngineConfig.compile(Map(
+      "converters" -> "x", "x.type" -> "com.example.Unregistered")))
+  }
+
+  test("name adjustment modes map to the avro-safe sanitizer") {
+    val c = EngineConfig.compile(Map(
+      "schema.name.adjustment.mode" -> "avro",
+      "field.name.adjustment.mode" -> "none"))
+    assert(c.schemaNameAdjuster("9my-topic.x") == "_9my_topic_x")
+    assert(c.fieldNameAdjuster("9my-topic.x") == "9my-topic.x")
+    intercept[IllegalArgumentException](EngineConfig.compile(Map(
+      "schema.name.adjustment.mode" -> "bogus")))
+  }
+
+  test("unwrap SMT: add.headers, custom prefixes, route.by.field from properties") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq((5L, "A", "c"), (6L, "B", "u")).toDF("id", "v", "opv")
+    val payload = struct(col("id"), col("v"))
+    val fd = rows.select(
+      struct(col("id")).as("key"),
+      lit(null).cast("struct<id:bigint,v:string>").as("before"),
+      payload.as("after"),
+      col("opv").as("op"),
+      graft.model.Envelope.sourceStruct("t", lit(1L), lit("tx1"),
+        lit("false")).as("source"),
+      lit(null).cast(graft.model.Envelope.transactionSchema).as("transaction"),
+      lit(1700000000000L).as("ts_ms"))
+    val c = EngineConfig.compile(Map(
+      "transforms" -> "u",
+      "transforms.u.type" -> "io.debezium.transforms.ExtractNewRecordState",
+      "transforms.u.delete.tombstone.handling.mode" -> "rewrite",
+      "transforms.u.add.fields" -> "op,source.pos",
+      "transforms.u.add.fields.prefix" -> "meta_",
+      "transforms.u.add.headers" -> "op",
+      "transforms.u.route.by.field" -> "v"))
+    val out = c.run(fd)
+    assert(out.columns.toSeq ==
+      Seq("id", "v", "__deleted", "meta_op", "meta_pos", "headers", "topic"))
+    val r = out.orderBy("id").collect()
+    assert(r(0).getAs[Map[String, String]]("headers") == Map("__op" -> "c"))
+    assert(r(0).getAs[String]("topic") == "A")
+    assert(r(1).getAs[Long]("meta_pos") == 1L)
+  }
+
   test("tombstones.on.delete defaults true; engine identity fields surface") {
     val c = EngineConfig.compile(Map(
       "name" -> "engine-1",
