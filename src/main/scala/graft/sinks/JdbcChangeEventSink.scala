@@ -199,16 +199,47 @@ object JdbcChangeEventSink {
     private val stmts = scala.collection.mutable.Map.empty[String, PreparedStatement]
     private var batched: PreparedStatement = null
     private var batchedSql: String = null
+    // buffered rows of the two-statement (Derby) upsert path: the UPDATE
+    // half executes as ONE batch whose per-row counts select which rows
+    // fall through to the INSERT batch — 2 round trips per run instead of
+    // 2 per row. A key recurring inside the buffer forces a flush first
+    // (its INSERT must land before the later event's UPDATE can match).
+    private val pairBuf =
+      scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Seq[Any])]
+    private val pairKeys = scala.collection.mutable.HashSet.empty[Seq[Any]]
+    private var pairSql: Array[String] = null
 
     private def prep(sql: String): PreparedStatement =
       stmts.getOrElseUpdate(sql, conn.prepareStatement(sql))
 
+    private def flushPairs(): Unit = {
+      if (pairBuf.nonEmpty) {
+        val Array(upd, ins) = pairSql
+        val ups = prep(upd)
+        pairBuf.foreach { case (keyVals, valVals) =>
+          bindVals(ups, valVals ++ keyVals); ups.addBatch()
+        }
+        val counts = ups.executeBatch()
+        val misses = pairBuf.zip(counts).collect { case (row, 0) => row }
+        if (misses.nonEmpty) {
+          val ips = prep(ins)
+          misses.foreach { case (keyVals, valVals) =>
+            bindVals(ips, keyVals ++ valVals); ips.addBatch()
+          }
+          ips.executeBatch()
+        }
+        pairBuf.clear(); pairKeys.clear()
+      }
+    }
+
     def flush(): Unit = {
+      flushPairs()
       if (batched != null) batched.executeBatch()
       batched = null; batchedSql = null
     }
 
     private def addToBatch(sql: String, bind: PreparedStatement => Unit): Unit = {
+      flushPairs() // statement-kind change ends a pair run
       if (batchedSql != null && batchedSql != sql) flush()
       val ps = prep(sql)
       bind(ps)
@@ -252,15 +283,13 @@ object JdbcChangeEventSink {
               d.upsert(table, kf, nk).split("\n") match {
                 case Array(single) =>
                   addToBatch(single, bindVals(_, keyVals ++ valVals(nk)))
-                case Array(upd, ins) => // Derby pair: needs the update count
-                  flush()
-                  val ups = prep(upd)
-                  bindVals(ups, valVals(nk) ++ keyVals)
-                  if (ups.executeUpdate() == 0) {
-                    val ips = prep(ins)
-                    bindVals(ips, keyVals ++ valVals(nk))
-                    ips.executeUpdate()
-                  }
+                case pair @ Array(_, _) => // Derby pair: buffered, see flushPairs
+                  if (batched != null) flush()
+                  if (pairKeys.contains(keyVals)) flushPairs()
+                  pairSql = pair
+                  pairBuf += ((keyVals, valVals(nk)))
+                  pairKeys += keyVals
+                  if (pairBuf.size >= 1000) flushPairs()
               }
             case other =>
               throw new IllegalArgumentException(s"unsupported insert.mode '$other'")
