@@ -404,11 +404,22 @@ object Ivf {
     * each task's partition).
     */
   def writeIndex(corpus: DataFrame, centroids: Seq[Centroid],
-                 path: String): Unit =
+                 path: String, mode: String = "overwrite"): Unit =
     corpus
       .select(col("vec_id"), col("embedding"),
         cellOfNative(corpus)(col("embedding"), centroids).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .write.mode(mode).partitionBy("cell").parquet(path)
+
+  /** Streaming index maintenance: append one micro-batch of new vectors
+    * into the cell-partitioned index — the same map-only cell assignment,
+    * `mode=append` so existing cell directories gain files and new cells
+    * appear; partition pruning in [[searchIndexTopK]] is unaffected. At
+    * 100 TB this is the crawl-ingest path: the index grows per batch
+    * without ever rewriting the corpus.
+    */
+  def appendIndex(batch: DataFrame, centroids: Seq[Centroid],
+                  path: String): Unit =
+    writeIndex(batch, centroids, path, mode = "append")
 
   /** Search a written index: the probed cell set (≤ queries × nprobe
     * distinct values, collected driver-side — bounded by the query

@@ -434,6 +434,34 @@ object CorpusQueries extends QueryGroup {
         e.filter(col("vec_id") % 100 === 0), centroids, k = 5, nprobe = 4)
     }),
 
+    // Streaming IVF index MAINTENANCE: two thirds of the corpus build the
+    // base index; the remaining third arrives as a stream and appends into
+    // the cell-partitioned layout per micro-batch (map-only foreachBatch,
+    // no rewrite). A search over the maintained index must equal one over
+    // an index built from the whole corpus at once.
+    "stream_ivf_append" -> ((s, dir) => {
+      import graft.analytics.Ivf
+      val e = t(s, dir, "embeddings")
+      val centroids = Ivf.pretrainedCentroids(k = 16, dims = 64)
+      val idx = java.nio.file.Files.createTempDirectory("ivf-stream").toString
+      Ivf.writeIndex(e.filter(col("vec_id") % 3 =!= 0), centroids, idx)
+      val q = s.readStream.schema(e.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .filter(col("vec_id") % 3 === 0)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Ivf.appendIndex(batch, centroids, idx)
+        }
+        .option("checkpointLocation", s"$idx-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Ivf.searchIndexTopK(s, idx,
+        e.filter(col("vec_id") % 97 === 0), centroids, k = 5, nprobe = 4)
+    }),
+
     // Topic-cluster profile: spherical k-means cell per vector (the IVF
     // geometry), rolled up to cluster size + majority label (purity)
     "a_doc_clusters" -> ((s, dir) =>
@@ -561,7 +589,10 @@ object CorpusQueries extends QueryGroup {
     * cells, exact cosine within probed cells, per-query ranking — the same
     * computation `Ivf.searchTopK` runs, step for step.
     */
-  private def annIvfOracle: String = {
+  private def annIvfOracle: String = annIvfOracle("% 100 = 0")
+
+  /** IVF search oracle parameterized by the query-set predicate. */
+  private def annIvfOracle(queryPred: String): String = {
     val k = 16; val dims = 64; val nprobe = 4; val topK = 5
     val cents = graft.analytics.Ivf.pretrainedCentroids(k, dims)
     val distList = cents.map { c =>
@@ -578,7 +609,7 @@ object CorpusQueries extends QueryGroup {
        | probes AS (SELECT vec_id AS query_id, emb AS qe,
        |   unnest(list_transform(list_sort(list_zip(dists, range(0, $k))),
        |     p -> p[2])[1:$nprobe]) AS cell
-       |  FROM d WHERE vec_id % 100 = 0),
+       |  FROM d WHERE vec_id $queryPred),
        | sc AS (SELECT query_id, neighbor_id,
        |   floor(list_cosine_similarity(ce, qe) * 1000000) / 1000000.0 AS sim
        |  FROM cells JOIN probes USING (cell) WHERE query_id <> neighbor_id)
@@ -1254,6 +1285,9 @@ object CorpusQueries extends QueryGroup {
     "a_ann_ivf" -> annIvfOracle,
     // index-backed search returns exactly the in-memory IVF results
     "a_ann_ivf_index" -> annIvfOracle,
+    // maintained index == whole-corpus index: same search oracle, the
+    // stream query set
+    "stream_ivf_append" -> annIvfOracle("% 97 = 0"),
 
     "a_simhash_pairs" -> simhashOracle,
 
@@ -1678,5 +1712,5 @@ object CorpusQueries extends QueryGroup {
     "a_pq_topk", "a_ivf_pq_topk", "a_ann_hamming",
     "a_dsir_scores", "a_doc_chunks", "a_bpe_encode",
     "a_quality_classifier", "a_corpus_shuffle",
-    "a_backoff_trigram", "a_bm25_topk")
+    "a_backoff_trigram", "a_bm25_topk", "stream_ivf_append")
 }
