@@ -59,6 +59,10 @@ object EngineConfig {
         */
       schemaNameAdjuster: String => String,
       fieldNameAdjuster: String => String,
+      /** ref `event.processing.failure.handling.mode`
+        * (`CommonConnectorConfig.java:836`): fail | warn | skip.
+        */
+      failureHandlingMode: String,
       /** payload columns kept by `column.include.list` (applied as the
         * first chain stage; None = keep all).
         */
@@ -83,6 +87,23 @@ object EngineConfig {
       }
       chain.foldLeft(included)((df, l) => l.apply(df))
     }
+
+    /** Apply the configured failure handling to records failing `valid`
+      * (ref `pipeline/ErrorHandler.java` + EventProcessingFailureHandling
+      * Mode): `fail` raises on the first invalid record AT EXECUTION (a
+      * codegen'd conditional, no extra pass), `warn`/`skip` drop them —
+      * `warn` keeps the dead letters observable via
+      * `ErrorHandling.quarantine` downstream.
+      */
+    def handleFailures(df: DataFrame, valid: Column): DataFrame =
+      failureHandlingMode match {
+        case "fail" =>
+          df.filter(coalesce(assert_true(coalesce(valid, lit(false)),
+            lit("event processing failed and " +
+              "event.processing.failure.handling.mode=fail")), lit(true)))
+        case "warn" | "skip" => df.filter(coalesce(valid, lit(false)))
+        case other => fail(s"unsupported failure handling mode '$other'")
+      }
   }
 
   // Dynamic key families (reference `RelationalDatabaseConnectorConfig
@@ -498,6 +519,8 @@ object EngineConfig {
       spec = spec,
       schemaNameAdjuster = nameAdjuster("schema.name.adjustment.mode"),
       fieldNameAdjuster = nameAdjuster("field.name.adjustment.mode"),
+      failureHandlingMode = props.getOrElse(
+        "event.processing.failure.handling.mode", "fail"),
       columnInclude = columnInclude,
       chain = chain,
       offsetStore = parseOffsetStore(props),

@@ -208,6 +208,25 @@ class EngineConfigSpec extends AnyFunSuite {
     assert(r(1).getAs[Long]("meta_pos") == 1L)
   }
 
+  test("failure handling: fail raises at execution, warn/skip drop") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, "ok"), (2, "bad")).toDF("id", "st")
+    val skip = EngineConfig.compile(Map(
+      "event.processing.failure.handling.mode" -> "skip"))
+    assert(skip.handleFailures(df, col("st") === "ok").count() == 1)
+    val failMode = EngineConfig.compile(Map.empty) // reference default: fail
+    assert(failMode.failureHandlingMode == "fail")
+    val e = intercept[Exception] {
+      failMode.handleFailures(df, col("st") === "ok").count()
+    }
+    assert(e.getMessage.contains("event processing failed") ||
+      Option(e.getCause).exists(_.getMessage.contains("event processing failed")))
+    // all-valid passes untouched under fail
+    assert(failMode.handleFailures(df, lit(true)).count() == 2)
+  }
+
   test("tombstones.on.delete defaults true; engine identity fields surface") {
     val c = EngineConfig.compile(Map(
       "name" -> "engine-1",
