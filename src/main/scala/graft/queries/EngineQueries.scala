@@ -129,6 +129,29 @@ object EngineQueries extends QueryGroup {
         .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
     }),
 
+    // MongoDB sink over the LIVE wire (reference debezium-connector-mongodb
+    // sink): row events as bulk replaceOne-upserts on _id, deletes as bulk
+    // deleteOne, one OP_MSG session per executor partition against the
+    // protocol-faithful write fixture server; the collection reads back via
+    // `find` and must equal the latest materialized state.
+    "k_mongo_sink_socket" -> ((s, dir) => {
+      import graft.sinks.MongoChangeEventSink
+      val (port, _, stats, server) = graft.tools.MongoSinkServer.serve()
+      try {
+        val cfg = MongoChangeEventSink.Config("127.0.0.1", port)
+        MongoChangeEventSink.write(feed(s, dir, "orders"), "orders", cfg,
+          numPartitions = 8)
+        require(stats.deletes.get() > 0 && stats.upserts.get() > 0,
+          s"sink must exercise upsert AND delete write models: $stats")
+        MongoChangeEventSink.readCollection(s, cfg, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"),
+            timestamp_micros(col("o_orderdate")).cast("timestamp_ntz")
+              .as("o_orderdate"),
+            col("o_orderpriority"))
+      } finally server.close()
+    }),
+
     // §3.3 dialect statement shapes (reference per-database dialects) pinned
     // as data: every row is one generated statement.
     "k_jdbc_sink_dialects" -> ((s, dir) => {
@@ -184,6 +207,12 @@ object EngineQueries extends QueryGroup {
         |  SELECT 'd', o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6)
         |SELECT op, count(*) AS n, min(pos) AS min_pos, max(pos) AS max_pos
         |FROM ev, c WHERE pos > cut GROUP BY op""".stripMargin,
+
+    "k_mongo_sink_socket" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey%7=3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        | o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey%13<>6""".stripMargin,
 
     "k_jdbc_sink_upsert" ->
       """SELECT o_orderkey, o_custkey,

@@ -1,0 +1,168 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.serde.Bson
+import graft.serde.Bson.{BArr, BBool, BDoc, BDouble, BInt32, BInt64, BStr, BVal}
+import graft.sources.net.MongoWireClient
+
+/** The MongoDB consume-side sink (reference
+  * `debezium-connector-mongodb/.../sink/MongoDbChangeEventSink.java` +
+  * `MongoDbSinkConnectorConfig.java:34-39`): change events become the
+  * reference's write models — row events a replaceOne-with-upsert on
+  * `_id` (`ReplaceDefaultStrategy.java:25-39`), deletes/tombstones a
+  * deleteOne on `_id` (`DeleteDefaultStrategy`) — issued as BULK OP_MSG
+  * `update`/`delete` commands over the live wire client
+  * (`MongoWireClient.CommandSession`), `field.include/exclude.list`
+  * projections applied sink-side.
+  *
+  * Spark shape: identical to the JDBC sink — repartition by key, sort by
+  * source position, one wire session per executor partition, consecutive
+  * same-kind write models batched into one bulk command (the reference's
+  * `bulkWrite` per collection batch). The fixture target is
+  * `tools.MongoSinkServer` (zero egress); the bytes are the real protocol.
+  */
+object MongoChangeEventSink {
+
+  final case class Config(
+      host: String,
+      port: Int,
+      /** ref `sink.database` */
+      database: String = "sink",
+      fieldInclude: Option[Set[String]] = None,
+      fieldExclude: Set[String] = Set.empty,
+      deleteEnabled: Boolean = true,
+      bulkSize: Int = 100)
+
+  private def toB(v: Any): BVal = v match {
+    case null                         => Bson.BNull
+    case b: Boolean                   => BBool(b)
+    case i: Int                       => BInt32(i)
+    case l: Long                      => BInt64(l)
+    case s: Short                     => BInt32(s.toInt)
+    case b: Byte                      => BInt32(b.toInt)
+    case d: Double                    => BDouble(d)
+    case f: Float                     => BDouble(f.toDouble)
+    case s: String                    => BStr(s)
+    case d: java.math.BigDecimal      => BStr(d.toPlainString)
+    case t: java.time.LocalDateTime   => // µs precision survives as epoch-µs
+      BInt64(t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+        t.getNano / 1000L)
+    case t: java.sql.Timestamp        => BInt64(t.getTime * 1000L)
+    case d: java.time.LocalDate       => BStr(d.toString)
+    case d: java.sql.Date             => BStr(d.toString)
+    case other => throw new IllegalArgumentException(
+      s"unsupported sink value ${other.getClass}")
+  }
+
+  /** Apply an envelope feed. The key struct's single/composite value
+    * becomes `_id` (composite keys as a sub-document, the reference's
+    * `IdStrategy` full-key mode).
+    */
+  def write(envelope: DataFrame, collection: String, cfg: Config,
+            numPartitions: Int = 8): Unit = {
+    val keyFields = envelope.schema("key").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq
+    val payloadFields0 = envelope.schema("after").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq
+    val payloadFields = payloadFields0
+      .filter(f => cfg.fieldInclude.forall(_.contains(f)))
+      .filterNot(cfg.fieldExclude.contains)
+
+    val routed = envelope
+      .withColumn("__pos", col("source.pos"))
+      .repartition(numPartitions, keyFields.map(f => col(s"key.`$f`")): _*)
+      .sortWithinPartitions(col("__pos"))
+      .select(
+        col("op") +:
+          keyFields.map(f => col(s"key.`$f`").as(s"__k_$f")) ++:
+          payloadFields.map(f => col(s"after.`$f`").as(s"__v_$f")): _*)
+
+    val host = cfg.host; val port = cfg.port; val db = cfg.database
+    val deleteEnabled = cfg.deleteEnabled; val bulk = cfg.bulkSize
+    val kf = keyFields; val pf = payloadFields
+
+    routed.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val session = new MongoWireClient.CommandSession(host, port)
+        try {
+          def idVal(r: Row): BVal =
+            if (kf.length == 1) toB(r.get(r.fieldIndex(s"__k_${kf.head}")))
+            else BDoc(kf.map(f => f -> toB(r.get(r.fieldIndex(s"__k_$f")))))
+
+          // consecutive same-kind run batching into one bulk command
+          val buf = scala.collection.mutable.ArrayBuffer.empty[BDoc]
+          var kind: String = null
+          def flush(): Unit = {
+            if (buf.nonEmpty) {
+              val cmd = kind match {
+                case "update" => BDoc(Seq(
+                  "update" -> BStr(collection),
+                  "updates" -> BArr(buf.toSeq),
+                  "ordered" -> BBool(true),
+                  "$db" -> BStr(db)))
+                case "delete" => BDoc(Seq(
+                  "delete" -> BStr(collection),
+                  "deletes" -> BArr(buf.toSeq),
+                  "ordered" -> BBool(true),
+                  "$db" -> BStr(db)))
+              }
+              session.command(cmd)
+              buf.clear()
+            }
+          }
+          def add(k: String, model: BDoc): Unit = {
+            if (kind != k) { flush(); kind = k }
+            buf += model
+            if (buf.size >= bulk) flush()
+          }
+
+          rows.foreach { r =>
+            val id = idVal(r)
+            r.getString(r.fieldIndex("op")) match {
+              case "d" | "x" =>
+                if (deleteEnabled)
+                  add("delete", BDoc(Seq(
+                    "q" -> BDoc(Seq("_id" -> id)),
+                    "limit" -> BInt32(1))))
+              case "t" => () // collection truncation is not a write model
+              case _ =>
+                val doc = BDoc(("_id" -> id) +:
+                  pf.map(f => f -> toB(r.get(r.fieldIndex(s"__v_$f")))))
+                add("update", BDoc(Seq(
+                  "q" -> BDoc(Seq("_id" -> id)),
+                  "u" -> doc,
+                  "upsert" -> BBool(true),
+                  "multi" -> BBool(false))))
+            }
+          }
+          flush()
+        } finally session.close()
+      }
+    }
+  }
+
+  /** Read a collection back as a DataFrame of JSON documents
+    * (verification path; `find` over the same wire).
+    */
+  def readCollection(spark: SparkSession, cfg: Config,
+                     collection: String): DataFrame = {
+    val session = new MongoWireClient.CommandSession(cfg.host, cfg.port)
+    val docs =
+      try {
+        val reply = session.command(BDoc(Seq(
+          "find" -> BStr(collection), "$db" -> BStr(cfg.database))))
+        reply.get("cursor") match {
+          case Some(c: BDoc) => c.get("firstBatch") match {
+            case Some(BArr(items)) => items.collect { case d: BDoc => d }
+            case _ => Nil
+          }
+          case _ => Nil
+        }
+      } finally session.close()
+    import spark.implicits._
+    spark.read.json(docs.map(Bson.renderJson).toDS())
+  }
+}

@@ -149,4 +149,25 @@ object MongoWireClient {
     fetchAll(host, port, db, coll, batchSize)
       .map(Bson.renderJson)
       .mkString("", "\n", "\n")
+
+  /** A held-open command connection (hello done) for write workloads —
+    * the sink side's `MongoClient` analogue: one session per executor
+    * partition, arbitrary OP_MSG commands in order.
+    */
+  final class CommandSession(host: String, port: Int) extends AutoCloseable {
+    private val socket = new Socket(host, port)
+    socket.setTcpNoDelay(true)
+    private val in = new DataInputStream(socket.getInputStream)
+    private val out = new DataOutputStream(socket.getOutputStream)
+    roundTrip(in, out, BDoc(Seq(
+      "hello" -> BInt32(1), "$db" -> BStr("admin"))))
+
+    def command(cmd: BDoc): BDoc = roundTrip(in, out, cmd)
+
+    override def close(): Unit = {
+      try roundTrip(in, out, BDoc(Seq(
+        "endSessions" -> BArr(Nil), "$db" -> BStr("admin"))))
+      finally socket.close()
+    }
+  }
 }
