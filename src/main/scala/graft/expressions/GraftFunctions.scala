@@ -45,6 +45,8 @@ object GraftFunctions {
     }),
     "graft_vector_sum" -> ((exprs: Seq[Expression]) =>
       VectorSum(exprs(0)).toAggregateExpression()),
+    "graft_misra_gries" -> ((exprs: Seq[Expression]) =>
+      MisraGries(exprs(0), exprs(1)).toAggregateExpression()),
     "graft_nearest_cell" -> ((exprs: Seq[Expression]) => {
       // 2nd arg must be a foldable array<array<double>> literal — the
       // centroid matrix is evaluated once at plan time, not per row
@@ -141,6 +143,13 @@ object GraftFunctions {
 
   /** Elementwise array<double> sum aggregate (register(spark) first). */
   def vectorSum(v: Column): Column = call_function("graft_vector_sum", v)
+
+  /** Misra–Gries heavy-hitters summary aggregate: array<(term, count)>
+    * with at most `capacity` counters (register(spark) first).
+    */
+  def misraGries(term: Column, capacity: Int): Column =
+    call_function("graft_misra_gries", term,
+      org.apache.spark.sql.functions.lit(capacity))
 
   /** Product-quantization codes via the native expression
     * (register(spark) first). `codebooks` is m × ksub × dsub.

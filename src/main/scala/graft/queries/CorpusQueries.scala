@@ -301,6 +301,14 @@ object CorpusQueries extends QueryGroup {
       graft.analytics.Bm25.topK(t(s, dir, "documents"),
         Seq("spark", "merge", "window"), k = 20)),
 
+    // Misra-Gries heavy hitters: per-language top-5 terms through the
+    // mergeable bounded-counter summary (exact here — capacity exceeds
+    // the per-language vocabulary; the N/(capacity+1) error regime is
+    // spec-asserted)
+    "a_heavy_hitters" -> ((s, dir) =>
+      graft.analytics.HeavyHitters.topTermsByLang(
+        t(s, dir, "documents"), k = 5, capacity = 4096)),
+
     // Near-dup overlap matrix across sources: where is the duplication
     // coming from? (the report a crawl-curation run starts from)
     "a_source_overlap" -> ((s, dir) => {
@@ -1406,6 +1414,16 @@ object CorpusQueries extends QueryGroup {
         | coalesce(agg.backoff_depth_sum, 0) AS backoff_depth_sum
         |FROM tg LEFT JOIN agg USING (doc_id)""".stripMargin,
 
+    // capacity > per-language vocabulary => the MG summary is exact and
+    // the oracle is the exact per-language term ranking
+    "a_heavy_hitters" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        | c AS (SELECT lang, term, count(*) AS n FROM tok GROUP BY lang, term),
+        | r AS (SELECT lang, term, n,
+        |   CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS INT) AS rk
+        |  FROM c)
+        |SELECT lang, rk, term, n FROM r WHERE rk <= 5""".stripMargin,
+
     // expression tree mirrored op-for-op from Bm25.topK; every decimal
     // literal cast to DOUBLE (bare decimals are DECIMAL in DuckDB)
     "a_bm25_topk" ->
@@ -1712,5 +1730,6 @@ object CorpusQueries extends QueryGroup {
     "a_pq_topk", "a_ivf_pq_topk", "a_ann_hamming",
     "a_dsir_scores", "a_doc_chunks", "a_bpe_encode",
     "a_quality_classifier", "a_corpus_shuffle",
-    "a_backoff_trigram", "a_bm25_topk", "stream_ivf_append")
+    "a_backoff_trigram", "a_bm25_topk", "stream_ivf_append",
+    "a_heavy_hitters")
 }

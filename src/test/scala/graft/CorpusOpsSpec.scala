@@ -415,4 +415,48 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got.view.mapValues(_._1).toMap == again)
   }
+
+  test("Misra-Gries: exact within capacity, bounded error beyond it") {
+    import graft.expressions.GraftFunctions
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    // skewed stream: 'hot' 60×, 'warm' 25×, 10 tail terms 3× each
+    val terms = (Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++
+      (0 until 10).flatMap(i => Seq.fill(3)(s"tail$i")))
+    val n = terms.length
+    val df = spark.createDataset(scala.util.Random.shuffle(terms))(
+      org.apache.spark.sql.Encoders.STRING).toDF("term").repartition(8)
+
+    // capacity 64 > 12 distinct => exact
+    val exact = df.agg(GraftFunctions.misraGries(col("term"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.count")).as[(String, Long)]
+      .collect().toMap
+    assert(exact("hot") == 60 && exact("warm") == 25 &&
+      exact("tail0") == 3 && exact.size == 12)
+
+    // capacity 4: counters are underestimates within N/(capacity+1),
+    // and every term above that threshold is present
+    val cap = 4
+    val sketched = df.coalesce(1) // deterministic single-stream MG bound
+      .agg(GraftFunctions.misraGries(col("term"), cap).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.count")).as[(String, Long)]
+      .collect().toMap
+    assert(sketched.size <= cap)
+    val err = n / (cap + 1)
+    sketched.foreach { case (t, c) =>
+      val truth = exact(t)
+      assert(c <= truth && c >= truth - err, s"$t: sketch $c vs true $truth")
+    }
+    assert(sketched.contains("hot") && sketched.contains("warm"))
+
+    // mergeability: 8-partition partials merge within the same bound
+    val merged = df.agg(GraftFunctions.misraGries(col("term"), cap).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.count")).as[(String, Long)]
+      .collect().toMap
+    assert(merged.contains("hot"))
+    assert(merged("hot") <= 60 && merged("hot") >= 60 - err)
+  }
 }
