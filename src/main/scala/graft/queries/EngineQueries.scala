@@ -129,6 +129,45 @@ object EngineQueries extends QueryGroup {
         .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
     }),
 
+    // The COMPLETE reference user story in two properties maps: a source
+    // config (snapshot mode, include list, dynamic mask key, file offset
+    // store) feeding a sink config (upsert + delete into Derby) — engine
+    // wiring end to end with the offset committed after the flush, exactly
+    // the embedded-engine lifecycle.
+    "e_props_end_to_end" -> ((s, dir) => {
+      import graft.sinks.JdbcChangeEventSink
+      val tmp = java.nio.file.Files.createTempDirectory("e2e-props")
+      val src = EngineConfig.compile(Map(
+        "name" -> "orders-e2e",
+        "snapshot.mode" -> "initial",
+        "table.include.list" -> "^orders$",
+        "column.mask.with.1.chars" -> "main.orders.o_orderpriority",
+        "offset.storage" ->
+          "org.apache.kafka.connect.storage.FileOffsetBackingStore",
+        "offset.storage.file.filename" -> s"$tmp/offsets.dat"),
+        table = "orders")
+      val events = src.run(ChangeFeedGen.standardFeed(
+        t(s, dir, "orders"), "orders",
+        tombstonesOnDelete = src.tombstonesOnDelete))
+      val url = s"jdbc:derby:$tmp/db;create=true"
+      val sink = JdbcChangeEventSink.fromProps(Map(
+        "connection.url" -> url,
+        "insert.mode" -> "upsert",
+        "delete.enabled" -> "true",
+        "primary.key.mode" -> "record_key",
+        "schema.evolution" -> "basic"))
+      JdbcChangeEventSink.write(events, "orders_e2e", sink, numPartitions = 8)
+      // the embedded-engine offset commit: flushed position -> store,
+      // recovered by a fresh instance (the restart path)
+      val maxPos = events.agg(max(col("source.pos"))).head.getLong(0)
+      src.offsetStore.get.apply().set("orders", maxPos.toString)
+      require(src.offsetStore.get.apply().get("orders")
+        .contains(maxPos.toString), "offset restart recovery failed")
+      val back = JdbcChangeEventSink.readTable(s, url, "orders_e2e")
+      back.toDF(back.columns.map(_.toLowerCase).toIndexedSeq: _*)
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    }),
+
     // MongoDB sink over the LIVE wire (reference debezium-connector-mongodb
     // sink): row events as bulk replaceOne-upserts on _id, deletes as bulk
     // deleteOne, one OP_MSG session per executor partition against the
@@ -207,6 +246,14 @@ object EngineQueries extends QueryGroup {
         |  SELECT 'd', o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6)
         |SELECT op, count(*) AS n, min(pos) AS min_pos, max(pos) AS max_pos
         |FROM ev, c WHERE pos > cut GROUP BY op""".stripMargin,
+
+    // mask.with.1.chars renders o_orderpriority as a single star in BOTH
+    // images before the sink sees the event
+    "e_props_end_to_end" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey%7=3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        | o_totalprice, o_orderdate, '*' AS o_orderpriority
+        |FROM orders WHERE o_orderkey%13<>6""".stripMargin,
 
     "k_mongo_sink_socket" ->
       """SELECT o_orderkey, o_custkey,
