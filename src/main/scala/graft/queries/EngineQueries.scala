@@ -191,6 +191,46 @@ object EngineQueries extends QueryGroup {
       } finally server.close()
     }),
 
+    // STREAMING JDBC sink with exactly-once epochs: the change feed streams
+    // through a pos-ordered parquet transport in micro-batches, each
+    // foreachBatch applies through the epoch-guarded writer; a deliberate
+    // replay of epoch 0 afterwards must be skipped. Terminal Derby state ==
+    // latest materialized state.
+    "stream_jdbc_sink" -> ((s, dir) => {
+      import graft.sinks.JdbcChangeEventSink
+      import graft.streaming.StreamingMaterialize
+      val tmp = java.nio.file.Files.createTempDirectory("stream-jdbc")
+      val fd = feed(s, dir, "orders")
+      val transport = s"$tmp/transport"
+      StreamingMaterialize.writeTransport(fd, transport)
+      val url = s"jdbc:derby:$tmp/db;create=true"
+      val cfg = JdbcChangeEventSink.fromProps(Map(
+        "connection.url" -> url, "insert.mode" -> "upsert",
+        "delete.enabled" -> "true", "primary.key.mode" -> "record_key",
+        "schema.evolution" -> "basic"))
+      val schema = s.read.parquet(transport).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(transport)
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          JdbcChangeEventSink.writeEpoch(batch, "orders_stream", cfg, epochId)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      // replay guard: re-delivering an already-committed epoch is a no-op
+      require(!JdbcChangeEventSink.writeEpoch(fd, "orders_stream", cfg, 0L),
+        "epoch replay must be skipped")
+      require(JdbcChangeEventSink.committedEpoch(cfg, "orders_stream")
+        .exists(_ >= 1), "multiple epochs must have committed")
+      val back = JdbcChangeEventSink.readTable(s, url, "orders_stream")
+      back.toDF(back.columns.map(_.toLowerCase).toIndexedSeq: _*)
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    }),
+
     // §3.3 dialect statement shapes (reference per-database dialects) pinned
     // as data: every row is one generated statement.
     "k_jdbc_sink_dialects" -> ((s, dir) => {
@@ -256,6 +296,12 @@ object EngineQueries extends QueryGroup {
         |FROM orders WHERE o_orderkey%13<>6""".stripMargin,
 
     "k_mongo_sink_socket" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey%7=3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        | o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey%13<>6""".stripMargin,
+
+    "stream_jdbc_sink" ->
       """SELECT o_orderkey, o_custkey,
         | CASE WHEN o_orderkey%7=3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
         | o_totalprice, o_orderdate, o_orderpriority

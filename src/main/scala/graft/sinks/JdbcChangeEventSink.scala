@@ -301,4 +301,60 @@ object JdbcChangeEventSink {
   /** Declarative read-back of a sink target (verification path). */
   def readTable(spark: SparkSession, url: String, table: String): DataFrame =
     spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+
+  // --- exactly-once streaming (the MergeSink epoch contract on a JDBC
+  //     target): upsert/delete statements are idempotent, so at-least-once
+  //     redelivery inside a batch is harmless; the epoch table makes a
+  //     WHOLE replayed foreachBatch a no-op, which together gives
+  //     exactly-once effective state ---
+
+  private def ensureEpochTable(conn: Connection): Unit =
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE graft_sink_epochs (sink VARCHAR(128), epoch BIGINT)")
+      conn.commit()
+    } catch {
+      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => // exists
+    }
+
+  /** Newest committed epoch for `sinkName`, if any. */
+  def committedEpoch(cfg: Config, sinkName: String): Option[Long] = {
+    val conn = Jdbc.connect(cfg.url)
+    try {
+      ensureEpochTable(conn)
+      val ps = conn.prepareStatement(
+        "SELECT MAX(epoch) FROM graft_sink_epochs WHERE sink = ?")
+      ps.setString(1, sinkName)
+      val rs = ps.executeQuery()
+      val out = if (rs.next() && rs.getObject(1) != null)
+        Some(rs.getLong(1)) else None
+      rs.close()
+      out
+    } finally { conn.commit(); conn.close() }
+  }
+
+  /** Epoch-guarded write for `foreachBatch`: a batch whose epoch is ≤ the
+    * committed epoch (a Structured Streaming retry/replay) is skipped with
+    * a visible warning; otherwise the batch applies and the epoch commits.
+    * Returns whether the batch was applied.
+    */
+  def writeEpoch(envelope: DataFrame, table: String, cfg: Config,
+                 epochId: Long, numPartitions: Int = 8): Boolean =
+    committedEpoch(cfg, table) match {
+      case Some(c) if epochId <= c =>
+        System.err.println(s"[graft] jdbc sink $table: skipping epoch " +
+          s"$epochId — already committed through $c")
+        false
+      case _ =>
+        write(envelope, table, cfg, numPartitions)
+        val conn = Jdbc.connect(cfg.url)
+        try {
+          val ps = conn.prepareStatement(
+            "INSERT INTO graft_sink_epochs (sink, epoch) VALUES (?, ?)")
+          ps.setString(1, table); ps.setLong(2, epochId)
+          ps.executeUpdate()
+          conn.commit()
+        } finally conn.close()
+        true
+    }
 }
