@@ -63,6 +63,13 @@ object EngineConfig {
         * (`CommonConnectorConfig.java:836`): fail | warn | skip.
         */
       failureHandlingMode: String,
+      /** ref `snapshot.select.statement.overrides`
+        * (`RelationalDatabaseConnectorConfig.java:348`): the WHERE clause
+        * of this table's snapshot override statement, applied to op=r
+        * events only (`SELECT *` form — projections belong to
+        * `column.include.list`).
+        */
+      snapshotOverrideWhere: Option[String],
       /** payload columns kept by `column.include.list` (applied as the
         * first chain stage; None = keep all).
         */
@@ -80,7 +87,19 @@ object EngineConfig {
       * source-connector → `Transformations.transform` shape.
       */
     def run(feed: DataFrame): DataFrame = {
-      val base = Pipeline(feed, spec)
+      val base0 = Pipeline(feed, spec)
+      // snapshot override WHERE: bare payload column refs resolve against
+      // the after image; stream events (op != r) are untouched — the
+      // reference applies the statement only to the snapshot SELECT
+      val base = snapshotOverrideWhere match {
+        case Some(pred) =>
+          val cols = feed.schema("after").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+          val rewritten = cols.foldLeft(pred)((p, c) =>
+            p.replaceAll(s"\\b$c\\b", s"after.$c"))
+          base0.filter(col("op") =!= Envelope.OpRead || expr(rewritten))
+        case None => base0
+      }
       val included = columnInclude match {
         case Some(keep) => Transforms.columnFilter(base, keep)
         case None       => base
@@ -163,6 +182,32 @@ object EngineConfig {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(msg)
+
+  private val OverrideStmt =
+    """(?is)\s*SELECT\s+(.+?)\s+FROM\s+\S+(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+
+  /** ref `snapshot.select.statement.overrides` = fq-table list, with the
+    * statement under `snapshot.select.statement.overrides.<db>.<table>`
+    * (`RelationalDatabaseConnectorConfig.java:348`). Only the `SELECT *
+    * … WHERE` form carries information here (projection belongs to
+    * `column.include.list`); returns the WHERE clause for this table.
+    */
+  private def parseSnapshotOverride(props: Map[String, String],
+                                    table: String): Option[String] = {
+    val P = "snapshot.select.statement.overrides."
+    props.collectFirst {
+      case (k, stmt) if k.startsWith(P) &&
+          k.split("\\.").last == table && table.nonEmpty =>
+        stmt match {
+          case OverrideStmt(sel, where) =>
+            if (sel.trim != "*")
+              fail("snapshot override projections are unsupported — use " +
+                "column.include.list; only SELECT * [WHERE …] is accepted")
+            Option(where)
+          case _ => fail(s"unparseable snapshot override statement: $stmt")
+        }
+    }.flatten
+  }
 
   /** Sub-view of the properties under a prefix, prefix stripped —
     * the reference's `Configuration.subset(prefix, true)`.
@@ -521,6 +566,7 @@ object EngineConfig {
       fieldNameAdjuster = nameAdjuster("field.name.adjustment.mode"),
       failureHandlingMode = props.getOrElse(
         "event.processing.failure.handling.mode", "fail"),
+      snapshotOverrideWhere = parseSnapshotOverride(props, table),
       columnInclude = columnInclude,
       chain = chain,
       offsetStore = parseOffsetStore(props),

@@ -58,6 +58,21 @@ object EngineQueries extends QueryGroup {
           col("p_retailprice"), col("__deleted"), col("__op"))
     }),
 
+    // snapshot.select.statement.overrides from properties: the snapshot
+    // phase reads only rows matching the override WHERE; the stream phase
+    // is untouched (ref RelationalDatabaseConnectorConfig.java:348)
+    "e_props_snapshot_override" -> ((s, dir) => {
+      val compiled = EngineConfig.compile(Map(
+        "snapshot.mode" -> "initial",
+        "snapshot.select.statement.overrides" -> "inventory.orders",
+        "snapshot.select.statement.overrides.inventory.orders" ->
+          "SELECT * FROM inventory.orders WHERE o_totalprice > 200000"),
+        table = "orders")
+      compiled.run(feed(s, dir, "orders"))
+        .select(coalesce(col("after.o_orderkey"), col("before.o_orderkey"))
+          .as("o_orderkey"), col("op"), col("source.pos").as("pos"))
+    }),
+
     // Outbox routing from properties only (reference outbox quick-start
     // config: one EventRouter SMT with the table.field.event.* keys)
     "e_props_outbox" -> ((s, dir) => {
@@ -265,6 +280,13 @@ object EngineQueries extends QueryGroup {
         | CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS __deleted,
         | op AS __op
         |FROM filt""".stripMargin,
+
+    "e_props_snapshot_override" ->
+      """SELECT o_orderkey, 'r' AS op, o_orderkey*10 AS pos FROM orders WHERE o_totalprice > 200000
+        |UNION ALL
+        |SELECT o_orderkey, 'u', o_orderkey*10+1 FROM orders WHERE o_orderkey%7=3
+        |UNION ALL
+        |SELECT o_orderkey, 'd', o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6""".stripMargin,
 
     "e_props_outbox" ->
       """WITH ob AS (

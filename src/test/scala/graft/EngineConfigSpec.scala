@@ -208,6 +208,27 @@ class EngineConfigSpec extends AnyFunSuite {
     assert(r(1).getAs[Long]("meta_pos") == 1L)
   }
 
+  test("snapshot override parses SELECT * WHERE; projections rejected") {
+    val c = EngineConfig.compile(Map(
+      "snapshot.select.statement.overrides" -> "db.orders",
+      "snapshot.select.statement.overrides.db.orders" ->
+        "SELECT * FROM db.orders WHERE price > 10"),
+      table = "orders")
+    assert(c.snapshotOverrideWhere.contains("price > 10"))
+    // no override declared for this table
+    assert(EngineConfig.compile(Map(
+      "snapshot.select.statement.overrides.db.customer" -> "SELECT * FROM db.customer"),
+      table = "orders").snapshotOverrideWhere.isEmpty)
+    // bare SELECT * (no WHERE) is a no-op override
+    assert(EngineConfig.compile(Map(
+      "snapshot.select.statement.overrides.db.orders" -> "SELECT * FROM db.orders"),
+      table = "orders").snapshotOverrideWhere.isEmpty)
+    val e = intercept[IllegalArgumentException](EngineConfig.compile(Map(
+      "snapshot.select.statement.overrides.db.orders" ->
+        "SELECT a, b FROM db.orders"), table = "orders"))
+    assert(e.getMessage.contains("column.include.list"))
+  }
+
   test("failure handling: fail raises at execution, warn/skip drop") {
     val spark = SparkTestSession.get
     import spark.implicits._
