@@ -106,6 +106,7 @@ object StreamingQueries extends QueryGroup {
       t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
         .repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(transport)
+      graft.streaming.StreamingMaterialize.stampLogOrder(transport)
       val sink = new graft.streaming.BucketedMergeSink(
         java.nio.file.Files.createTempDirectory("curation-sink").toString,
         buckets = 8)

@@ -148,6 +148,7 @@ object WireQueries extends QueryGroup {
         .sortWithinPartitions(col("pos"))
         .select(col("txId"), col("k"), col("op"), col("pos"))
         .write.mode("overwrite").parquet(transport)
+      graft.streaming.StreamingMaterialize.stampLogOrder(transport)
       graft.streaming.TxReassembly.runOnTransport(s, transport,
         filesPerTrigger = 2)
         .select(col("txId").as("tx_id"), col("k"), col("op"), col("pos"),

@@ -16,11 +16,38 @@ object StreamingMaterialize {
     * range-partitioned by position so file order == log order (stands in
     * for a Kafka topic / binlog transport; file listing order is the
     * replayable offset axis).
+    *
+    * Spark's file stream source admits files in MODIFICATION-TIME order
+    * (ties broken by listing order, which is nondeterministic), while the
+    * parallel write gives all part files near-identical mtimes — so
+    * without correction a later-pos file can enter an EARLIER micro-batch
+    * than its predecessor. Order-sensitive sinks (the JDBC sink applies
+    * statements in arrival order, like any consumer of a real log) then
+    * see history out of order across batches. Stamp strictly increasing
+    * mtimes in part-file (= pos-range) order so the transport honours the
+    * log contract it stands in for.
     */
   def writeTransport(feed: DataFrame, dir: String, files: Int = 4,
-                     orderCol: String = "source.pos"): Unit =
+                     orderCol: String = "source.pos"): Unit = {
     feed.repartitionByRange(files, col(orderCol))
       .write.mode("overwrite").parquet(dir)
+    stampLogOrder(dir)
+  }
+
+  /** Stamp strictly increasing mtimes over a transport directory's part
+    * files in name order (range partitioning makes name order == order-key
+    * order), so the file stream source admits them as a log.
+    */
+  def stampLogOrder(dir: String): Unit = {
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 1000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(base + i * 1000L),
+        s"could not stamp transport order on ${f.getName}")
+    }
+  }
 
   /** Stream the transport into a MergeSink, `filesPerTrigger` files per
     * micro-batch, until all available data is processed. Returns the
