@@ -93,6 +93,14 @@ object GraftFunctions {
       }
       PqEncode(exprs(0), cbs)
     }),
+    "graft_hll_agg" -> ((exprs: Seq[Expression]) =>
+      HllSketchAgg(exprs(0), exprs(1)).toAggregateExpression()),
+    "graft_hll_merge" -> ((exprs: Seq[Expression]) =>
+      HllMergeAgg(exprs(0)).toAggregateExpression()),
+    "graft_hll_estimate" ->
+      ((exprs: Seq[Expression]) => HllEstimate(exprs(0))),
+    "graft_hll_registers" ->
+      ((exprs: Seq[Expression]) => HllRegisters(exprs(0))),
     "graft_bpe_encode" -> ((exprs: Seq[Expression]) => {
       // merge halves must be two foldable array<string> literals (same
       // length, rank = position)
@@ -180,6 +188,27 @@ object GraftFunctions {
   /** Probe a serialized bloom filter literal with an xxhash64 column. */
   def bloomMightContain(bloom: Column, hash64: Column): Column =
     call_function("graft_bloom_might_contain", bloom, hash64)
+
+  /** Portable-hash HLL sketch aggregate → binary registers
+    * (register(spark) first). `value` must be a string column.
+    */
+  def hllSketch(value: Column, p: Int): Column =
+    call_function("graft_hll_agg", value,
+      org.apache.spark.sql.functions.lit(p))
+
+  /** Merge stored HLL sketches (register-wise max) — the re-aggregation
+    * aggregate over persisted per-source/per-epoch sketches.
+    */
+  def hllMerge(sketch: Column): Column =
+    call_function("graft_hll_merge", sketch)
+
+  /** Distinct-count estimate of an HLL sketch. */
+  def hllEstimate(sketch: Column): Column =
+    call_function("graft_hll_estimate", sketch)
+
+  /** Registers of an HLL sketch in bucket order (array<int>). */
+  def hllRegisters(sketch: Column): Column =
+    call_function("graft_hll_registers", sketch)
 
   /** BPE-tokenize a text column with a trained merge table
     * (register(spark) first): merges in rank order, trainer-identical

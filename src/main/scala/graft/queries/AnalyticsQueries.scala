@@ -129,6 +129,49 @@ object AnalyticsQueries extends QueryGroup {
           floor(graft.sources.Tables.epochUs(e) / lit(3600000000L)).cast("long"))
         .groupBy(col("hour_bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    }),
+
+    // Portable-hash HLL sketch (expressions/Hll.scala): per-event-type
+    // distinct-user sketches as PLAIN register bytes — persistable and
+    // re-aggregatable, unlike approx_count_distinct's opaque buffer. The
+    // oracle recomputes every register bit-for-bit in DuckDB SQL (md5
+    // nibble arithmetic + bin() zero counts), so the sketch itself — not
+    // just a final estimate — is cross-engine verified. One map-side-
+    // combinable agg; partial state = 256 bytes per group regardless of
+    // input size.
+    "a_hll_registers" -> ((s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      import graft.expressions.GraftFunctions
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(GraftFunctions.hllSketch(col("user_id").cast("string"), 8)
+          .as("sketch"))
+        .select(col("event_type"),
+          posexplode(GraftFunctions.hllRegisters(col("sketch")))
+            .as(Seq("bucket", "reg")))
+        .filter(col("reg") > 0)
+        .select(col("event_type"), col("bucket").cast("long").as("bucket"),
+          col("reg").cast("long").as("reg"))
+    }),
+
+    // Sketch roll-up: the per-type sketches above merged (register-wise
+    // max) into one corpus sketch — the per-epoch/per-source rollup path
+    // at 100 TB: stored sketches re-aggregate without re-reading the
+    // corpus. Oracle = registers computed over ALL users directly, so
+    // merge(sketch_1..n) == sketch(union) is verified exactly.
+    "a_hll_union" -> ((s, dir) => {
+      graft.expressions.GraftFunctions.register(s)
+      import graft.expressions.GraftFunctions
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(GraftFunctions.hllSketch(col("user_id").cast("string"), 8)
+          .as("sketch"))
+        .agg(GraftFunctions.hllMerge(col("sketch")).as("sketch"))
+        .select(posexplode(GraftFunctions.hllRegisters(col("sketch")))
+          .as(Seq("bucket", "reg")))
+        .filter(col("reg") > 0)
+        .select(col("bucket").cast("long").as("bucket"),
+          col("reg").cast("long").as("reg"))
     })
   )
 
@@ -212,9 +255,41 @@ object AnalyticsQueries extends QueryGroup {
     "q_event_window" ->
       """SELECT CAST(floor(epoch_ns(ts) / 3600000000000) AS BIGINT) AS hour_bucket,
         | event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Register-exact HLL recomputation: bucket = md5 nibbles 1-2,
+    // w = nibbles 3-15 (52 bits), rank = 53 - bitlength(w) (53 at w=0)
+    "a_hll_registers" ->
+      """WITH h AS (SELECT event_type,
+        |  CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(user_id::VARCHAR), i, 1))-1)::BIGINT
+        |      << (4*(2-i)) for i in range(1, 3)]) AS BIGINT) AS bucket,
+        |  CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(user_id::VARCHAR), i+2, 1))-1)::BIGINT
+        |      << (4*(13-i)) for i in range(1, 14)]) AS BIGINT) AS w
+        | FROM events)
+        |SELECT event_type, bucket,
+        | max(CASE WHEN w = 0 THEN 53
+        |          ELSE 53 - length(bin(w)) END)::BIGINT AS reg
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "a_hll_union" ->
+      """WITH h AS (SELECT
+        |  CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(user_id::VARCHAR), i, 1))-1)::BIGINT
+        |      << (4*(2-i)) for i in range(1, 3)]) AS BIGINT) AS bucket,
+        |  CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(user_id::VARCHAR), i+2, 1))-1)::BIGINT
+        |      << (4*(13-i)) for i in range(1, 14)]) AS BIGINT) AS w
+        | FROM events)
+        |SELECT bucket,
+        | max(CASE WHEN w = 0 THEN 53
+        |          ELSE 53 - length(bin(w)) END)::BIGINT AS reg
+        |FROM h GROUP BY 1""".stripMargin
   )
 
-  // q_pivot: FILTER-with-quoted-identifiers oracle is DuckDB dialect
-  override val duckdbOnly: Set[String] = Set("q_event_window", "q_pivot")
+  // q_pivot: FILTER-with-quoted-identifiers oracle is DuckDB dialect;
+  // a_hll_*: list-comprehension register recomputation is DuckDB dialect
+  override val duckdbOnly: Set[String] =
+    Set("q_event_window", "q_pivot", "a_hll_registers", "a_hll_union")
 }
