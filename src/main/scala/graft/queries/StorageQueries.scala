@@ -265,6 +265,28 @@ object StorageQueries extends QueryGroup {
           sum(get_json_object(col("value"), "$.pos").cast("long")).as("sum_pos"))
     }),
 
+    // K1-family Redis Streams sink (debezium-server redis sink shape):
+    // the routed change feed XADDed one stream per topic as {key, value}
+    // pairs via RESP-pipelined batches, AUTH-gated, then read back over
+    // XRANGE and aggregated — stream content == routed feed.
+    "k_redis_stream_sink" -> ((s, dir) => {
+      import graft.streaming.RedisStreamSink
+      val (port, state, _) = graft.tools.RedisWireServer.serve("sekrit")
+      val routed = Transforms.contentRouter(feed(s, dir, "orders"),
+        concat(lit("orders."),
+          coalesce(col("after.o_orderstatus"), col("before.o_orderstatus"))))
+        .select(col("topic"), to_json(col("key")).as("key"),
+          to_json(struct(col("op"), col("source.pos").as("pos"))).as("value"))
+      RedisStreamSink.write(routed, "127.0.0.1", port,
+        password = "sekrit").collect() // materialize the produce
+      require(state.authSeen, "sink connections must authenticate")
+      RedisStreamSink.readBack(s, "127.0.0.1", port, password = "sekrit")
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("key")).as("n_keys"),
+          sum(get_json_object(col("value"), "$.pos").cast("long")).as("sum_pos"))
+    }),
+
     // S13 kafka signal channel: signals produced to a topic, fetched and
     // parsed into actions (reference KafkaSignalChannel.java).
     "s13_kafka_signals" -> ((s, dir) => {
@@ -323,6 +345,17 @@ object StorageQueries extends QueryGroup {
           |  SELECT 'd', o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6)
           |SELECT op, count(*) AS n, min(pos) AS min_pos, max(pos) AS max_pos
           |FROM ev GROUP BY op""".stripMargin,
+      "k_redis_stream_sink" ->
+        """WITH ev AS (
+          |  SELECT o_orderkey, 'orders.'||o_orderstatus AS topic, o_orderkey*10 AS pos FROM orders
+          |  UNION ALL
+          |  SELECT o_orderkey, 'orders.U', o_orderkey*10+1 FROM orders WHERE o_orderkey%7=3
+          |  UNION ALL
+          |  SELECT o_orderkey, 'orders.'||o_orderstatus, o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6)
+          |SELECT topic, count(*) AS n,
+          |  count(DISTINCT o_orderkey) AS n_keys,
+          |  CAST(sum(pos) AS BIGINT) AS sum_pos
+          |FROM ev GROUP BY 1""".stripMargin,
       "k1_topic_sink_socket" ->
         """WITH ev AS (
           |  SELECT o_orderkey, 'orders.'||o_orderstatus AS topic, o_orderkey*10 AS pos FROM orders

@@ -28,6 +28,12 @@ final class RedisClient(host: String, port: Int, password: String = null) {
   }
 
   def command(args: String*): RedisClient.Reply = {
+    writeCommand(args)
+    out.flush()
+    readReply(in)
+  }
+
+  private def writeCommand(args: Seq[String]): Unit = {
     val sb = new StringBuilder
     sb.append('*').append(args.size).append("\r\n")
     args.foreach { a =>
@@ -35,8 +41,16 @@ final class RedisClient(host: String, port: Int, password: String = null) {
       sb.append('$').append(b.length).append("\r\n").append(a).append("\r\n")
     }
     out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** RESP pipelining: send every command, THEN read every reply — one
+    * network round trip per batch instead of per command (the transport
+    * shape the reference's Redis sink gets from Jedis `Pipeline`).
+    */
+  def pipeline(cmds: Seq[Seq[String]]): Seq[RedisClient.Reply] = {
+    cmds.foreach(writeCommand)
     out.flush()
-    readReply(in)
+    cmds.map(_ => readReply(in))
   }
 
   private def readLine(s: InputStream): String = {

@@ -158,6 +158,12 @@ object RedisWireServer {
                 s.synchronized { s += ((id, fields)) }
                 bulk(out, id)
               case "XLEN" => integer(out, state.streamLen(cmd(1)).toLong)
+              case "KEYS" =>
+                // '*' pattern only (all the verification read uses)
+                require(cmd(1) == "*", s"KEYS pattern '${cmd(1)}' unsupported")
+                val ks = (state.hashes.keySet ++ state.streams.keySet).toSeq.sorted
+                arrayHeader(out, ks.size)
+                ks.foreach(bulk(out, _))
               case "XRANGE" =>
                 // XRANGE key - +  (full range is all the backends use)
                 val entries = state.streams.get(cmd(1))

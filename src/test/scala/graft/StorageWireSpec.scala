@@ -265,6 +265,43 @@ class StorageWireSpec extends AnyFunSuite {
     server.stop(0)
   }
 
+  test("redis pipeline: one flush, ordered replies, stream order kept") {
+    import graft.sources.net.RedisClient
+    val (port, state, _) = graft.tools.RedisWireServer.serve("pw")
+    val c = new RedisClient("127.0.0.1", port, "pw")
+    val replies = c.pipeline((1 to 50).map(i =>
+      Seq("XADD", "s", "*", "key", s"k$i", "value", s"v$i")))
+    assert(replies.size == 50)
+    assert(replies.forall { case RedisClient.Bulk(id) => id != null; case _ => false })
+    val entries = c.xrangeAll("s")
+    assert(entries.map(_._2("key")) == (1 to 50).map(i => s"k$i"))
+    // KEYS surfaces the stream for the verification read
+    assert(c.command("KEYS", "*") ==
+      RedisClient.Arr(Seq(RedisClient.Bulk("s"))))
+    c.close()
+    assert(state.streamLen("s") == 50)
+  }
+
+  test("redis stream sink: per-topic counts match, AUTH enforced") {
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val (port, _, _) = graft.tools.RedisWireServer.serve("pw")
+    val df = (1 to 300).map(i => (s"t${i % 3}", s"k$i", s"v$i"))
+      .toDF("topic", "key", "value")
+    intercept[Exception] {
+      graft.streaming.RedisStreamSink.write(df, "127.0.0.1", port,
+        password = "wrong").collect()
+    }
+    val counts = graft.streaming.RedisStreamSink
+      .write(df, "127.0.0.1", port, batchSize = 64, password = "pw")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("t0" -> 100L, "t1" -> 100L, "t2" -> 100L))
+    val back = graft.streaming.RedisStreamSink
+      .readBack(spark, "127.0.0.1", port, password = "pw")
+    assert(back.count() == 300)
+    assert(back.select("topic").distinct().count() == 3)
+  }
+
   test("Azure dialect: BlockBlob header required, 201 on put") {
     val (port, _, server) = BlobHttpServer.serve()
     val base = s"http://127.0.0.1:$port"
