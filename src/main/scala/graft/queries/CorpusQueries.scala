@@ -309,6 +309,33 @@ object CorpusQueries extends QueryGroup {
       graft.analytics.HeavyHitters.topTermsByLang(
         t(s, dir, "documents"), k = 5, capacity = 4096)),
 
+    // HDR-histogram length sketch (analytics/Histogram.scala): per-lang
+    // token-count distribution as log2/16-sub-bucket rows — one
+    // map-side-combinable count agg, bit-identical across engines and
+    // merge orders; bounds decoded back for inspection.
+    "a_hdr_histogram" -> ((s, dir) => {
+      import graft.analytics.Histogram
+      Histogram.hdrHistogram(t(s, dir, "documents"), col("lang"),
+          TextAnalysis.tokenCount(col("text")), s = 4)
+        .select(col("group").as("lang"), col("bucket"),
+          Histogram.lowerBound(col("bucket"), 4).as("lo"),
+          Histogram.upperBound(col("bucket"), 4).as("hi"), col("n"))
+    }),
+
+    // Quantiles from the histogram sketch: nearest-rank p50/p90/p99 per
+    // language over ≤ a few hundred bucket rows — the scale path that
+    // replaces an exact per-group percentile sort; ≤ 2^-4 relative
+    // error by construction, integer-exact cross-engine.
+    "a_hdr_quantiles" -> ((s, dir) => {
+      import graft.analytics.Histogram
+      Histogram.quantiles(
+          Histogram.hdrHistogram(t(s, dir, "documents"), col("lang"),
+            TextAnalysis.tokenCount(col("text")), s = 4),
+          s = 4,
+          qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .select(col("group").as("lang"), col("qname"), col("est"))
+    }),
+
     // Near-dup overlap matrix across sources: where is the duplication
     // coming from? (the report a crawl-curation run starts from)
     "a_source_overlap" -> ((s, dir) => {
@@ -1424,6 +1451,39 @@ object CorpusQueries extends QueryGroup {
         |  FROM c)
         |SELECT lang, rk, term, n FROM r WHERE rk <= 5""".stripMargin,
 
+    // HDR bucket math recomputed in integer SQL: e = bitlength-1 via
+    // length(bin(x)); s = 4 sub-bucket bits (exact region x < 32)
+    "a_hdr_histogram" ->
+      """WITH v AS (SELECT lang, CAST(len(string_split(text,' ')) AS BIGINT) AS x FROM documents),
+        | b AS (SELECT lang, CASE WHEN x < 32 THEN x
+        |   ELSE (length(bin(x))-1-4)*16 + (x >> (length(bin(x))-1-4)) END AS bucket FROM v),
+        | h AS (SELECT lang, bucket, count(*) AS n FROM b GROUP BY 1, 2)
+        |SELECT lang, bucket,
+        | CASE WHEN bucket < 32 THEN bucket
+        |  ELSE (bucket - ((bucket//16)-1)*16) << ((bucket//16)-1) END AS lo,
+        | CASE WHEN bucket < 32 THEN bucket
+        |  ELSE ((bucket - ((bucket//16)-1)*16) << ((bucket//16)-1))
+        |       + (1 << ((bucket//16)-1)) - 1 END AS hi,
+        | n
+        |FROM h""".stripMargin,
+
+    "a_hdr_quantiles" ->
+      """WITH v AS (SELECT lang, CAST(len(string_split(text,' ')) AS BIGINT) AS x FROM documents),
+        | b AS (SELECT lang, CASE WHEN x < 32 THEN x
+        |   ELSE (length(bin(x))-1-4)*16 + (x >> (length(bin(x))-1-4)) END AS bucket FROM v),
+        | h AS (SELECT lang, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+        | tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total FROM h GROUP BY 1),
+        | cum AS (SELECT lang, bucket, sum(n) OVER (PARTITION BY lang ORDER BY bucket) AS cum FROM h),
+        | t AS (SELECT lang, qname, (num*total + den - 1) // den AS target
+        |   FROM tot CROSS JOIN (VALUES ('p50',1,2),('p90',9,10),('p99',99,100)) AS q(qname,num,den)),
+        | pick AS (SELECT t.lang, t.qname, min(cum.bucket) AS bucket
+        |   FROM t JOIN cum ON cum.lang = t.lang AND cum.cum >= t.target
+        |   GROUP BY 1, 2)
+        |SELECT lang, qname,
+        | CASE WHEN bucket < 32 THEN bucket
+        |  ELSE (bucket - ((bucket//16)-1)*16) << ((bucket//16)-1) END AS est
+        |FROM pick""".stripMargin,
+
     // expression tree mirrored op-for-op from Bm25.topK; every decimal
     // literal cast to DOUBLE (bare decimals are DECIMAL in DuckDB)
     "a_bm25_topk" ->
@@ -1731,5 +1791,5 @@ object CorpusQueries extends QueryGroup {
     "a_dsir_scores", "a_doc_chunks", "a_bpe_encode",
     "a_quality_classifier", "a_corpus_shuffle",
     "a_backoff_trigram", "a_bm25_topk", "stream_ivf_append",
-    "a_heavy_hitters")
+    "a_heavy_hitters", "a_hdr_histogram", "a_hdr_quantiles")
 }
