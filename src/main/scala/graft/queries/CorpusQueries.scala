@@ -336,6 +336,15 @@ object CorpusQueries extends QueryGroup {
         .select(col("group").as("lang"), col("qname"), col("est"))
     }),
 
+    // Windowed co-occurrence + PMI (analytics/Cooccurrence.scala):
+    // collocation strength over a ±2 token window — pair/unigram hash
+    // counts, scalar-total broadcast, min-count pruning before the
+    // vocab-bounded joins.
+    "a_cooccurrence_pmi" -> ((s, dir) =>
+      graft.analytics.Cooccurrence.pmiPairs(
+        t(s, dir, "documents"), col("text"), window = 2,
+        minPair = 5, minTerm = 10)),
+
     // Near-dup overlap matrix across sources: where is the duplication
     // coming from? (the report a crawl-curation run starts from)
     "a_source_overlap" -> ((s, dir) => {
@@ -1451,6 +1460,31 @@ object CorpusQueries extends QueryGroup {
         |  FROM c)
         |SELECT lang, rk, term, n FROM r WHERE rk <= 5""".stripMargin,
 
+    // pair construction mirrored: list zipped against itself at shift 1
+    // and 2, unordered (least/greatest), self-pairs dropped; the PMI
+    // quotient is one double division of exact integer products, floored
+    // after a single ln — operation order matches the Scala side exactly
+    "a_cooccurrence_pmi" ->
+      """WITH t AS (SELECT string_split(text,' ') AS tk FROM documents),
+        | pr AS (SELECT unnest(flatten([
+        |   [struct_pack(a := least(tk[i], tk[i+1]), b := greatest(tk[i], tk[i+1]))
+        |      for i in range(1, len(tk))],
+        |   [struct_pack(a := least(tk[i], tk[i+2]), b := greatest(tk[i], tk[i+2]))
+        |      for i in range(1, len(tk)-1)]])) AS p FROM t),
+        | pc AS (SELECT p.a AS a, p.b AS b, count(*) AS n_ab FROM pr
+        |   WHERE p.a <> p.b GROUP BY 1, 2 HAVING count(*) >= 5),
+        | uni AS (SELECT unnest(tk) AS term FROM t),
+        | uc AS (SELECT term, count(*) AS n_t FROM uni GROUP BY 1),
+        | tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS total FROM uc)
+        |SELECT a, b, n_ab,
+        | floor(ln((n_ab * total)::DOUBLE / (ua.n_t * ub.n_t)) * 10000)
+        |   / 10000.0 AS pmi_q4
+        |FROM pc
+        | JOIN uc ua ON ua.term = pc.a
+        | JOIN uc ub ON ub.term = pc.b
+        | CROSS JOIN tot
+        |WHERE ua.n_t >= 10 AND ub.n_t >= 10""".stripMargin,
+
     // HDR bucket math recomputed in integer SQL: e = bitlength-1 via
     // length(bin(x)); s = 4 sub-bucket bits (exact region x < 32)
     "a_hdr_histogram" ->
@@ -1791,5 +1825,6 @@ object CorpusQueries extends QueryGroup {
     "a_dsir_scores", "a_doc_chunks", "a_bpe_encode",
     "a_quality_classifier", "a_corpus_shuffle",
     "a_backoff_trigram", "a_bm25_topk", "stream_ivf_append",
-    "a_heavy_hitters", "a_hdr_histogram", "a_hdr_quantiles")
+    "a_heavy_hitters", "a_hdr_histogram", "a_hdr_quantiles",
+    "a_cooccurrence_pmi")
 }
