@@ -246,6 +246,25 @@ object EngineQueries extends QueryGroup {
         .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
     }),
 
+    // Sink-side field filtering (reference debezium-sink
+    // FieldFilterFactory): field.exclude.list drops value columns by
+    // `column` or `topic:column` entry before DDL and DML — the target
+    // table is created without them and rows never carry them. Keys
+    // always pass. Exercises both entry grammars in one list.
+    "k_jdbc_sink_field_filter" -> ((s, dir) => {
+      import graft.sinks.JdbcChangeEventSink
+      val tmp = java.nio.file.Files.createTempDirectory("jdbc-ff")
+      val url = s"jdbc:derby:$tmp/db;create=true"
+      val cfg = JdbcChangeEventSink.fromProps(Map(
+        "connection.url" -> url, "insert.mode" -> "upsert",
+        "delete.enabled" -> "true", "primary.key.mode" -> "record_key",
+        "schema.evolution" -> "basic",
+        "field.exclude.list" -> "supplier:s_name, s_nationkey"))
+      JdbcChangeEventSink.write(feed(s, dir, "supplier"), "supplier", cfg)
+      val back = JdbcChangeEventSink.readTable(s, url, "supplier")
+      back.toDF(back.columns.map(_.toLowerCase).toIndexedSeq: _*)
+    }),
+
     // §3.3 dialect statement shapes (reference per-database dialects) pinned
     // as data: every row is one generated statement.
     "k_jdbc_sink_dialects" -> ((s, dir) => {
@@ -334,6 +353,11 @@ object EngineQueries extends QueryGroup {
         | CASE WHEN o_orderkey%7=3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
         | o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey%13<>6""".stripMargin,
+
+    "k_jdbc_sink_field_filter" ->
+      """SELECT s_suppkey,
+        | CASE WHEN s_suppkey%7=3 THEN s_acctbal+100.0 ELSE s_acctbal END AS s_acctbal
+        |FROM supplier WHERE s_suppkey%13<>6""".stripMargin,
 
     "k_jdbc_sink_dialects" ->
       """SELECT * FROM (VALUES

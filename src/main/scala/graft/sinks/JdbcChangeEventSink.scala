@@ -43,7 +43,15 @@ object JdbcChangeEventSink {
       primaryKeyFields: Seq[String] = Nil,
       schemaEvolution: String = "basic",
       useReductionBuffer: Boolean = false,
-      quoteIdentifiers: Boolean = false)
+      quoteIdentifiers: Boolean = false,
+      fieldIncludeList: String = "",
+      fieldExcludeList: String = "") {
+    /** Sink-side field filter (ref FieldFilterFactory); key fields are
+      * never filtered — only value columns are subject to the lists.
+      */
+    def fieldFilter: FieldFilters.FieldNameFilter =
+      FieldFilters.forLists(fieldIncludeList, fieldExcludeList)
+  }
 
   /** Reference-keyed properties → Config (`JdbcSinkConnectorConfig.java`
     * key constants; composes with `graft.EngineConfig` sink-side).
@@ -60,7 +68,9 @@ object JdbcChangeEventSink {
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
     schemaEvolution = props.getOrElse("schema.evolution", "none"),
     useReductionBuffer = props.get("use.reduction.buffer").exists(_.toBoolean),
-    quoteIdentifiers = props.get("quote.identifiers").exists(_.toBoolean))
+    quoteIdentifiers = props.get("quote.identifiers").exists(_.toBoolean),
+    fieldIncludeList = props.getOrElse("field.include.list", ""),
+    fieldExcludeList = props.getOrElse("field.exclude.list", ""))
 
   /** Key column names per `primary.key.mode` (ref
     * `JdbcSinkConnectorConfig.PrimaryKeyMode` + `JdbcKafkaSinkRecord`
@@ -136,7 +146,11 @@ object JdbcChangeEventSink {
   def write(envelope: DataFrame, table: String, cfg: Config,
             numPartitions: Int = 8): Unit = {
     val keyFields = keyFieldsFor(envelope, cfg)
-    val payload = payloadSchema(envelope)
+    val filter = cfg.fieldFilter
+    // field.include.list / field.exclude.list apply to value columns;
+    // key fields always pass (they identify the target row)
+    val payload = StructType(payloadSchema(envelope).fields.filter(f =>
+      keyFields.contains(f.name) || filter(table, f.name)))
     val nonKey = payload.fieldNames.toSeq.filterNot(keyFields.contains)
     ensureTable(cfg, table, payload, keyFields)
 

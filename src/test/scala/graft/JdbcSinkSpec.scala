@@ -148,4 +148,22 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(SqlDialects.SqlServer.quote("a") == "[a]")
     assert(SqlDialects.Postgres.quote("a") == "\"a\"")
   }
+
+  test("field filters: exclude wins, topic-scoped entries, default include") {
+    import graft.sinks.FieldFilters
+    val none = FieldFilters.forLists("", "")
+    assert(none("t", "anything"))
+    // bare and topic-scoped entries in one exclude list
+    val ex = FieldFilters.forLists("ignored", "orders:secret, phone")
+    assert(!ex("orders", "secret"))
+    assert(ex("customer", "secret"), "topic-scoped entry must not leak")
+    assert(!ex("orders", "phone") && !ex("customer", "phone"))
+    assert(ex("orders", "name"))
+    // include list: only listed fields pass
+    val in = FieldFilters.forLists("orders:id, name", "")
+    assert(in("orders", "id") && in("anything", "name"))
+    assert(!in("customer", "id") && !in("orders", "other"))
+    // reference trims whitespace around entries and matches
+    assert(!FieldFilters.forLists("", " a : b ")("a", "b"))
+  }
 }
