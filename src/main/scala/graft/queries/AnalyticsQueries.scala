@@ -172,6 +172,47 @@ object AnalyticsQueries extends QueryGroup {
         .filter(col("reg") > 0)
         .select(col("bucket").cast("long").as("bucket"),
           col("reg").cast("long").as("reg"))
+    }),
+
+    // Incremental sketch maintenance: the events stream in arrival-order
+    // micro-batches, each epoch persists ONE 256-byte sketch row, and the
+    // rollup merges the stored sketches WITHOUT re-reading the corpus —
+    // the per-epoch distinct-count pattern at 100 TB (a day's sketch is
+    // bytes; history re-aggregates in milliseconds). Merged registers ==
+    // whole-input registers, exactly.
+    "stream_hll_rollup" -> ((s, dir) => {
+      import graft.expressions.GraftFunctions
+      GraftFunctions.register(s)
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"))
+      val tmp = java.nio.file.Files.createTempDirectory("hll-roll")
+      val transport = s"$tmp/transport"
+      e.repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(transport)
+      graft.streaming.StreamingMaterialize.stampLogOrder(transport)
+      val skDir = s"$tmp/sketches"
+      val schema = s.read.parquet(transport).schema
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(transport)
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          GraftFunctions.register(batch.sparkSession)
+          batch.agg(GraftFunctions
+              .hllSketch(col("user_id").cast("string"), 8).as("sketch"))
+            .withColumn("epoch", lit(epochId))
+            .write.mode("append").parquet(skDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val stored = s.read.parquet(skDir)
+      require(stored.count() >= 4, "one sketch row per micro-batch epoch")
+      stored.agg(GraftFunctions.hllMerge(col("sketch")).as("sketch"))
+        .select(posexplode(GraftFunctions.hllRegisters(col("sketch")))
+          .as(Seq("bucket", "reg")))
+        .filter(col("reg") > 0)
+        .select(col("bucket").cast("long").as("bucket"),
+          col("reg").cast("long").as("reg"))
     })
   )
 
@@ -285,11 +326,28 @@ object AnalyticsQueries extends QueryGroup {
         |SELECT bucket,
         | max(CASE WHEN w = 0 THEN 53
         |          ELSE 53 - length(bin(w)) END)::BIGINT AS reg
+        |FROM h GROUP BY 1""".stripMargin,
+
+    // identical whole-input registers: merged per-epoch sketches must
+    // reproduce them exactly
+    "stream_hll_rollup" ->
+      """WITH h AS (SELECT
+        |  CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(user_id::VARCHAR), i, 1))-1)::BIGINT
+        |      << (4*(2-i)) for i in range(1, 3)]) AS BIGINT) AS bucket,
+        |  CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(user_id::VARCHAR), i+2, 1))-1)::BIGINT
+        |      << (4*(13-i)) for i in range(1, 14)]) AS BIGINT) AS w
+        | FROM events)
+        |SELECT bucket,
+        | max(CASE WHEN w = 0 THEN 53
+        |          ELSE 53 - length(bin(w)) END)::BIGINT AS reg
         |FROM h GROUP BY 1""".stripMargin
   )
 
   // q_pivot: FILTER-with-quoted-identifiers oracle is DuckDB dialect;
   // a_hll_*: list-comprehension register recomputation is DuckDB dialect
   override val duckdbOnly: Set[String] =
-    Set("q_event_window", "q_pivot", "a_hll_registers", "a_hll_union")
+    Set("q_event_window", "q_pivot", "a_hll_registers", "a_hll_union",
+      "stream_hll_rollup")
 }
