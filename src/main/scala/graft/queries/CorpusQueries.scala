@@ -345,6 +345,28 @@ object CorpusQueries extends QueryGroup {
         t(s, dir, "documents"), col("text"), window = 2,
         minPair = 5, minTerm = 10)),
 
+    // Count-Min frequency sketch (analytics/CountMin.scala): 4×1024
+    // counter cells over the document tokens — bounded-size point-
+    // frequency summary, mergeable by cell sum, register-exact oracle.
+    "a_countmin_sketch" -> ((s, dir) =>
+      graft.analytics.CountMin.sketch(
+        t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term")),
+        col("term"), depth = 4, width = 1024)),
+
+    // CMS probes: min-of-cells estimates for present AND absent terms
+    // (overestimate-only contract; the ≤ true + εN bound is
+    // spec-asserted against exact counts)
+    "a_countmin_estimate" -> ((s, dir) => {
+      val sk = graft.analytics.CountMin.sketch(
+        t(s, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term")),
+        col("term"), depth = 4, width = 1024)
+      graft.analytics.CountMin.estimate(sk,
+        Seq("spark", "merge", "window", "table", "row", "key",
+          "never_seen_term"), depth = 4, width = 1024)
+    }),
+
     // Near-dup overlap matrix across sources: where is the duplication
     // coming from? (the report a crawl-curation run starts from)
     "a_source_overlap" -> ((s, dir) => {
@@ -1460,6 +1482,37 @@ object CorpusQueries extends QueryGroup {
         |  FROM c)
         |SELECT lang, rk, term, n FROM r WHERE rk <= 5""".stripMargin,
 
+    // CMS cells recomputed: bucket = 32-bit md5 hex prefix of
+    // 'row:term' mod width, via the strpos nibble trick
+    "a_countmin_sketch" ->
+      """WITH tok AS (SELECT unnest(string_split(text,' ')) AS term FROM documents),
+        | cells AS (SELECT i AS row,
+        |   CAST(list_sum([(strpos('0123456789abcdef',
+        |       substr(md5(CAST(i AS VARCHAR)||':'||term), j, 1))-1)::BIGINT
+        |       << (4*(8-j)) for j in range(1, 9)]) AS BIGINT) % 1024 AS bucket
+        |  FROM tok CROSS JOIN (VALUES (0),(1),(2),(3)) t(i))
+        |SELECT row, bucket, count(*) AS n FROM cells GROUP BY 1, 2""".stripMargin,
+
+    "a_countmin_estimate" ->
+      """WITH tok AS (SELECT unnest(string_split(text,' ')) AS term FROM documents),
+        | cells AS (SELECT i AS row,
+        |   CAST(list_sum([(strpos('0123456789abcdef',
+        |       substr(md5(CAST(i AS VARCHAR)||':'||term), j, 1))-1)::BIGINT
+        |       << (4*(8-j)) for j in range(1, 9)]) AS BIGINT) % 1024 AS bucket
+        |  FROM tok CROSS JOIN (VALUES (0),(1),(2),(3)) t(i)),
+        | sk AS (SELECT row, bucket, count(*) AS n FROM cells GROUP BY 1, 2),
+        | probes AS (SELECT term, i AS row,
+        |   CAST(list_sum([(strpos('0123456789abcdef',
+        |       substr(md5(CAST(i AS VARCHAR)||':'||term), j, 1))-1)::BIGINT
+        |       << (4*(8-j)) for j in range(1, 9)]) AS BIGINT) % 1024 AS bucket
+        |  FROM (VALUES ('spark'),('merge'),('window'),('table'),('row'),
+        |        ('key'),('never_seen_term')) p(term)
+        |   CROSS JOIN (VALUES (0),(1),(2),(3)) t(i))
+        |SELECT probes.term, min(coalesce(sk.n, 0)) AS est
+        |FROM probes LEFT JOIN sk
+        |  ON sk.row = probes.row AND sk.bucket = probes.bucket
+        |GROUP BY 1""".stripMargin,
+
     // pair construction mirrored: list zipped against itself at shift 1
     // and 2, unordered (least/greatest), self-pairs dropped; the PMI
     // quotient is one double division of exact integer products, floored
@@ -1826,5 +1879,5 @@ object CorpusQueries extends QueryGroup {
     "a_quality_classifier", "a_corpus_shuffle",
     "a_backoff_trigram", "a_bm25_topk", "stream_ivf_append",
     "a_heavy_hitters", "a_hdr_histogram", "a_hdr_quantiles",
-    "a_cooccurrence_pmi")
+    "a_cooccurrence_pmi", "a_countmin_sketch", "a_countmin_estimate")
 }
