@@ -295,4 +295,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "token-count scalar should broadcast")
   }
+
+  test("HLL sketch aggregates under ObjectHashAggregate, one shuffle") {
+    val p = plan("a_hll_registers")
+    assert(p.contains("ObjectHashAggregate"),
+      "graft_hll_agg should run under ObjectHashAggregate")
+    assert(!p.contains("SortAggregate"), "HLL fell back to sort agg")
+  }
+
+  test("HDR histogram is a pure hash aggregate; quantiles window only buckets") {
+    val h = plan("a_hdr_histogram")
+    assert(h.contains("HashAggregate"), "bucket count must hash-aggregate")
+    assert(!h.contains("Window") && !h.contains("Sort\n"),
+      "histogram build must not sort or window raw values")
+    val q = plan("a_hdr_quantiles")
+    // the quantile window is allowed — it runs over bucket rows, which the
+    // plan shows as a window AFTER the count aggregate, never before
+    assert(q.indexOf("HashAggregate") >= 0 && q.contains("Window"))
+  }
+
+  test("count-min sketch plan: map-only cell explode into one hash agg") {
+    val p = plan("a_countmin_sketch")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortAggregate") && !p.contains("CartesianProduct"))
+    // formatted mode prints each node in the tree AND a detail block:
+    // one physical exchange = 2 matches
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "CMS build must shuffle only the bounded cell table")
+  }
+
+  test("PMI joins run on count tables, no cartesian, no sort") {
+    val p = plan("a_cooccurrence_pmi")
+    assert(!p.contains("CartesianProduct"), "PMI join must not be cartesian")
+    assert(!p.contains("SortAggregate"), "PMI counts must hash-aggregate")
+  }
 }
