@@ -131,6 +131,30 @@ object AnalyticsQueries extends QueryGroup {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
     }),
 
+    // Per-user event-type transition matrix (first-order Markov counts
+    // + row-normalized probabilities): ONE shuffle on user_id for the
+    // lead() window — per-user event history is bounded, so partitions
+    // stay balanced at any corpus size; the from-type totals join runs
+    // on the (type² bounded) count table.
+    "a_event_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val trans = e
+        .withColumn("ts_us", graft.sources.Tables.epochUs(e))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("tn"))
+      trans.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          (floor(col("n").cast("double") / col("tn") * 10000) / 10000.0)
+            .as("p_q4"))
+    }),
+
     // Portable-hash HLL sketch (expressions/Hll.scala): per-event-type
     // distinct-user sketches as PLAIN register bytes — persistable and
     // re-aggregatable, unlike approx_count_distinct's opaque buffer. The
@@ -298,6 +322,18 @@ object AnalyticsQueries extends QueryGroup {
         | event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "a_event_transitions" ->
+      """WITH e2 AS (SELECT user_id, event_type,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY epoch_us(ts), event_id) AS to_type
+        | FROM events),
+        | c AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |   FROM e2 WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        | tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n,
+        | floor(n::DOUBLE / tn * 10000) / 10000.0 AS p_q4
+        |FROM c JOIN tot USING (from_type)""".stripMargin,
+
     // Register-exact HLL recomputation: bucket = md5 nibbles 1-2,
     // w = nibbles 3-15 (52 bits), rank = 53 - bitlength(w) (53 at w=0)
     "a_hll_registers" ->
@@ -349,5 +385,5 @@ object AnalyticsQueries extends QueryGroup {
   // a_hll_*: list-comprehension register recomputation is DuckDB dialect
   override val duckdbOnly: Set[String] =
     Set("q_event_window", "q_pivot", "a_hll_registers", "a_hll_union",
-      "stream_hll_rollup")
+      "stream_hll_rollup", "a_event_transitions")
 }

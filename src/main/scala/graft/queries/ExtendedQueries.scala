@@ -128,6 +128,17 @@ object ExtendedQueries extends QueryGroup {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // §2.6: CUBE — all grouping-set combinations incl. grouping ids
+    // (distinguishes "NULL because aggregated away" from data NULLs)
+    "q_cube" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("c_mktsegment")).cast("long").as("g_seg"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"))
+    }),
+
     // §2.6: quantile summary (exact interpolated percentiles)
     "q_stats_summary" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
@@ -270,6 +281,13 @@ object ExtendedQueries extends QueryGroup {
       """SELECT c_mktsegment, o_orderstatus, count(*) AS n
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+        | CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+        | CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderstatus)""".stripMargin,
 
     "q_stats_summary" ->
       """SELECT l_returnflag,
