@@ -57,7 +57,25 @@ object CoreCdcQueries extends QueryGroup {
 
     // T8: ExtractNewRecordState, rewrite-delete mode
     "t8_unwrap_rewrite" -> ((s, dir) =>
-      Transforms.unwrap(feed(s, dir, "orders"), "rewrite", Seq("op", "source.pos")))
+      Transforms.unwrap(feed(s, dir, "orders"), "rewrite", Seq("op", "source.pos"))),
+
+    // SCD-2 history table (operators/Scd2.scala): every key version with
+    // its validity interval — updates close the prior version, deletes
+    // close without a successor; one lead() shuffle on the key.
+    "k2_history_table" -> ((s, dir) =>
+      graft.operators.Scd2.historyTable(feed(s, dir, "orders"))),
+
+    // As-of read from the history: pure range filter, no join. The log
+    // interleaves snapshot reads with stream events (pos = k*10 + phase),
+    // so state as of the LAST read position has every earlier key's
+    // update/delete applied and the final key's pending — exactly what
+    // the oracle re-derives.
+    "k2_history_asof" -> ((s, dir) => {
+      val asOfPos = t(s, dir, "orders")
+        .agg(max(col("o_orderkey")).cast("long")).head.getLong(0) * 10
+      graft.operators.Scd2.asOf(
+        graft.operators.Scd2.historyTable(feed(s, dir, "orders")), asOfPos)
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -81,6 +99,29 @@ object CoreCdcQueries extends QueryGroup {
          |UNION ALL
          |SELECT $ordersMut, 'false' AS __deleted, 'u' AS __op, o_orderkey*10+1 AS __pos FROM orders WHERE o_orderkey%7=3
          |UNION ALL
-         |SELECT $ordersCols, 'true' AS __deleted, 'd' AS __op, o_orderkey*10+2 AS __pos FROM orders WHERE o_orderkey%13=6""".stripMargin
+         |SELECT $ordersCols, 'true' AS __deleted, 'd' AS __op, o_orderkey*10+2 AS __pos FROM orders WHERE o_orderkey%13=6""".stripMargin,
+
+    // r versions: closed by the update (k%7=3) or the delete (k%13=6);
+    // u versions: exist for k%7=3, closed only by the delete
+    "k2_history_table" ->
+      s"""SELECT $ordersCols, o_orderkey*10 AS valid_from_pos,
+         | CASE WHEN o_orderkey%7=3 THEN o_orderkey*10+1
+         |      WHEN o_orderkey%13=6 THEN o_orderkey*10+2 END AS valid_to_pos,
+         | (o_orderkey%7<>3 AND o_orderkey%13<>6) AS is_current
+         |FROM orders
+         |UNION ALL
+         |SELECT $ordersMut, o_orderkey*10+1,
+         | CASE WHEN o_orderkey%13=6 THEN o_orderkey*10+2 END,
+         | o_orderkey%13<>6
+         |FROM orders WHERE o_orderkey%7=3""".stripMargin,
+
+    "k2_history_asof" ->
+      """WITH mk AS (SELECT max(o_orderkey) AS m FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey%7=3 AND o_orderkey < m THEN 'U'
+        |      ELSE o_orderstatus END AS o_orderstatus,
+        | o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders, mk
+        |WHERE NOT (o_orderkey%13=6 AND o_orderkey < m)""".stripMargin
   )
 }
