@@ -34,21 +34,36 @@ import graft.model.Envelope
   */
 object Scd2 {
 
-  def historyTable(feed: DataFrame): DataFrame = {
-    val payloadCols = feed.schema("after").dataType
-      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+  /** Interval algebra over flat (key, op, after, pos) events: each
+    * non-delete event opens a version at its pos; the key's next event
+    * closes it exclusively. Also the incremental-maintenance core
+    * ([[graft.streaming.Scd2Sink]]): a stored OPEN version re-enters as
+    * a synthetic read event and the algebra reproduces or closes it.
+    */
+  def intervals(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("key")).orderBy(col("pos"))
-    feed
-      .filter(col("op") =!= Envelope.OpTombstone)
-      .select(col("key"), col("op"), col("after"),
-        col("source.pos").as("pos"))
+    events
       .withColumn("valid_to_pos", lead(col("pos"), 1).over(w))
       .filter(col("op") =!= Envelope.OpDelete)
-      .select(
-        payloadCols.toIndexedSeq.map(c => col(s"after.`$c`").as(c)) ++
-          Seq(col("pos").as("valid_from_pos"), col("valid_to_pos"),
-            col("valid_to_pos").isNull.as("is_current")): _*)
+      .select(col("key"), col("after"),
+        col("pos").as("valid_from_pos"), col("valid_to_pos"))
   }
+
+  /** Flatten interval rows to the user-facing history shape. */
+  def present(iv: DataFrame): DataFrame = {
+    val payloadCols = iv.schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    iv.select(
+      payloadCols.toIndexedSeq.map(c => col(s"after.`$c`").as(c)) ++
+        Seq(col("valid_from_pos"), col("valid_to_pos"),
+          col("valid_to_pos").isNull.as("is_current")): _*)
+  }
+
+  def historyTable(feed: DataFrame): DataFrame =
+    present(intervals(
+      feed.filter(col("op") =!= Envelope.OpTombstone)
+        .select(col("key"), col("op"), col("after"),
+          col("source.pos").as("pos"))))
 
   /** State as of position `p` from the history table: a pure filter +
     * projection (no join, no window).

@@ -140,6 +140,28 @@ object StreamingQueries extends QueryGroup {
     "stream_k2_materialize" -> ((s, dir) =>
       StreamingMaterialize.materializeFeed(s, feed(s, dir, "orders"))),
 
+    // Streaming SCD-2 maintenance (streaming/Scd2Sink): the history
+    // table kept current across micro-batches — closed versions append
+    // once, only touched buckets' open versions rewrite per epoch. Final
+    // history == the batch interval computation over the whole feed.
+    "stream_scd2_history" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("scd2")
+      val transport = s"$tmp/transport"
+      StreamingMaterialize.writeTransport(feed(s, dir, "orders"), transport)
+      val sink = new graft.streaming.Scd2Sink(s"$tmp/sink", buckets = 16)
+      val schema = s.read.parquet(transport).schema
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(transport)
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          sink.merge(batch, epochId)
+        }
+        .start()
+      q.awaitTermination()
+      sink.history(s)
+    }),
+
     // P9/S10: buffered transaction reassembly (commit-marker release)
     "stream_tx_reassembly" -> ((s, dir) => {
       val fd = feed(s, dir, "orders").filter(col("op") =!= "r")
@@ -473,6 +495,22 @@ object StreamingQueries extends QueryGroup {
 
   def oracles: Map[String, String] = Map(
     "stream_k2_materialize" -> ordersLatest,
+
+    // same interval oracle as the batch history table (CoreCdcQueries
+    // k2_history_table): streaming maintenance must converge to it
+    "stream_scd2_history" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        | o_orderkey*10 AS valid_from_pos,
+        | CASE WHEN o_orderkey%7=3 THEN o_orderkey*10+1
+        |      WHEN o_orderkey%13=6 THEN o_orderkey*10+2 END AS valid_to_pos,
+        | (o_orderkey%7<>3 AND o_orderkey%13<>6) AS is_current
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'U', o_totalprice, o_orderdate, o_orderpriority,
+        | o_orderkey*10+1,
+        | CASE WHEN o_orderkey%13=6 THEN o_orderkey*10+2 END,
+        | o_orderkey%13<>6
+        |FROM orders WHERE o_orderkey%7=3""".stripMargin,
     "stream_dsv2_changelog" -> ordersLatest,
     "s5_readonly_incremental" -> ordersLatest,
 

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Scd2
+import graft.sources.{ChangeFeedGen, Tables}
+
+class Scd2Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.map(col): _*).collect().map(_.mkString("|")).sorted.toSeq
+  }
+
+  test("batch history: every version intervals correctly, deletes close") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "orders"), "orders")
+    val h = Scd2.historyTable(feed).cache()
+    try {
+      // current rows == latest materialized state
+      val current = h.filter(col("is_current"))
+        .drop("valid_from_pos", "valid_to_pos", "is_current")
+      assert(canon(current) ==
+        canon(graft.operators.Materialize.latestState(feed)))
+      // intervals are well-formed and non-overlapping per key
+      val bad = h.filter(col("valid_to_pos").isNotNull &&
+        col("valid_to_pos") <= col("valid_from_pos")).count()
+      assert(bad == 0, "empty or inverted validity interval")
+      val overlaps = h.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("valid_from_pos")).as("d"))
+        .filter(col("n") =!= col("d")).count()
+      assert(overlaps == 0, "duplicate version start within a key")
+    } finally { h.unpersist(); () }
+  }
+
+  test("streaming sink converges to batch history; epochs idempotent") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "supplier"), "supplier")
+    val dir = java.nio.file.Files.createTempDirectory("scd2sink").toString
+    val sink = new graft.streaming.Scd2Sink(dir, buckets = 8)
+    // three epochs split by op (reads, then updates, then deletes —
+    // strictly increasing pos across epochs for each key)
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    val afterSnapshot = canon(sink.history(spark))
+    sink.merge(feed.filter(col("op") === "u"), 1L)
+    sink.merge(feed.filter(col("op") === "d"), 2L)
+    val streamed = canon(sink.history(spark))
+    assert(streamed == canon(Scd2.historyTable(feed)))
+    // replaying a committed epoch must change nothing
+    sink.merge(feed.filter(col("op") === "u"), 1L)
+    assert(canon(sink.history(spark)) == streamed)
+    // snapshot-only history had every version open
+    assert(afterSnapshot.size ==
+      Tables.load(spark, sfDir, "supplier").count())
+    // view == latest state
+    assert(canon(sink.view(spark)) ==
+      canon(graft.operators.Materialize.latestState(feed)))
+  }
+
+  test("as-of read reproduces state at any historical position") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "part"), "part")
+    val h = Scd2.historyTable(feed)
+    val maxK = Tables.load(spark, sfDir, "part")
+      .agg(max(col("p_partkey")).cast("long")).head.getLong(0)
+    // at the very last event position: equals latest state
+    assert(canon(Scd2.asOf(h, maxK * 10 + 2)) ==
+      canon(graft.operators.Materialize.latestState(feed)))
+    // before any event: empty (key 0's read sits at pos 0)
+    assert(Scd2.asOf(h, -1L).count() == 0)
+  }
+}
