@@ -122,6 +122,25 @@ object PipelineQueries extends QueryGroup {
           col("asof_purchase_id"), col("asof_value"))
     }),
 
+    // Temporal dimension join: each fact row joined to the DIMENSION
+    // VERSION valid at its log position — the SCD-2 history table's
+    // purpose (training-data reproducibility: the feature value as it
+    // WAS, not as it is). Equi-join on the key with interval predicates:
+    // one keyed shuffle, no range/cartesian join; history per key is its
+    // change count, so the join side stays balanced.
+    "a_temporal_dim_join" -> ((s, dir) => {
+      val hist = graft.operators.Scd2.historyTable(feed(s, dir, "customer"))
+      val facts = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), (col("o_orderkey") * 10).cast("long").as("p"))
+      facts.join(hist,
+          facts("o_custkey") === hist("c_custkey") &&
+            hist("valid_from_pos") <= facts("p") &&
+            (hist("valid_to_pos").isNull || hist("valid_to_pos") > facts("p")),
+          "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("p"),
+          col("c_acctbal"))
+    }),
+
     // §2.6 sessionization (1h gap over µs timestamps)
     "a_sessionize" -> ((s, dir) => {
       val e0 = t(s, dir, "events")
@@ -199,6 +218,18 @@ object PipelineQueries extends QueryGroup {
       """SELECT 'graft.public.orders' AS topic, 'public_orders' AS collection
         |UNION ALL SELECT 'graft.public.customer', 'public_customer'
         |UNION ALL SELECT 'graft.public.part', 'public_part'""".stripMargin,
+
+    // dimension version valid at p, re-derived from the scripted feed:
+    // before the customer's read → none; after its delete → none; after
+    // its update → mutated acctbal; else the snapshot value
+    "a_temporal_dim_join" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderkey*10 AS p FROM orders)
+        |SELECT o.o_orderkey, o.o_custkey, o.p,
+        | CASE WHEN o.p < c_custkey*10 THEN NULL
+        |      WHEN c_custkey%13=6 AND o.p >= c_custkey*10+2 THEN NULL
+        |      WHEN c_custkey%7=3 AND o.p >= c_custkey*10+1 THEN c_acctbal+100.0
+        |      ELSE c_acctbal END AS c_acctbal
+        |FROM o JOIN customer ON o.o_custkey = c_custkey""".stripMargin,
 
     "a_asof_join" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events

@@ -329,4 +329,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "PMI join must not be cartesian")
     assert(!p.contains("SortAggregate"), "PMI counts must hash-aggregate")
   }
+
+  test("temporal dimension join is a keyed join, never nested-loop") {
+    val p = plan("a_temporal_dim_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "interval predicates must ride a key equi-join, not a range join")
+  }
 }
