@@ -74,6 +74,28 @@ class Scd2Sink(dir: String, buckets: Int = 16) extends CdcSink {
       .drop("valid_from_pos", "valid_to_pos", "is_current")
   }
 
+  /** Delete version directories no longer referenced by the current
+    * manifest (VACUUM; same erosion contract as BucketedMergeSink).
+    */
+  def vacuum(): Int = {
+    val live = manifest.values
+      .map(p => Paths.get(p).getParent.getFileName.toString).toSet
+    val versionDirs = Using.resource(Files.list(root)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("v"))
+        .toSeq
+    }
+    val dead = versionDirs.filterNot(p => live(p.getFileName.toString))
+    dead.foreach { d =>
+      Using.resource(Files.walk(d)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(Files.delete(_))
+      }
+    }
+    dead.size
+  }
+
   def merge(batch: DataFrame, epochId: Long): Unit = {
     val committed = committedEpoch
     if (committed.exists(_ >= epochId)) {

@@ -60,6 +60,33 @@ class Scd2Spec extends AnyFunSuite {
       canon(graft.operators.Materialize.latestState(feed)))
   }
 
+  test("any pos-ordered epoch split converges to batch history (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "nation"), "nation").cache()
+    try {
+      val maxPos = feed.agg(max(col("source.pos"))).head().getLong(0)
+      val want = canon(Scd2.historyTable(feed))
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(6),
+        Prop.forAll(Gen.chooseNum(0L, maxPos), Gen.chooseNum(0L, maxPos)) {
+          (a, b) =>
+            val (c1, c2) = (math.min(a, b), math.max(a, b))
+            val dir = java.nio.file.Files
+              .createTempDirectory("scd2prop").toString
+            val sink = new graft.streaming.Scd2Sink(dir, buckets = 4)
+            sink.merge(feed.filter(col("source.pos") <= c1), 0L)
+            sink.merge(feed.filter(
+              col("source.pos") > c1 && col("source.pos") <= c2), 1L)
+            sink.merge(feed.filter(col("source.pos") > c2), 2L)
+            // vacuum must not change the current history
+            sink.vacuum()
+            canon(sink.history(spark)) == want
+        })
+      assert(res.passed, res.status.toString)
+    } finally { feed.unpersist(); () }
+  }
+
   test("as-of read reproduces state at any historical position") {
     val feed = ChangeFeedGen.standardFeed(
       Tables.load(spark, sfDir, "part"), "part")
