@@ -85,4 +85,26 @@ object Sampling {
       .filter(col("src_rank") <= cap)
       .select(col("doc_id"), col("source"), col("quality"), col("src_rank"))
   }
+
+  /** Deterministic training-shard manifest — the export contract of a
+    * curation run: docs route to `shards` by the portable hash of their
+    * id (a pure function of the row, stable across reruns and cluster
+    * sizes), and each shard gets an integrity row: doc count, token
+    * total, and an ORDER-INSENSITIVE id checksum (sum of each id's
+    * 32-bit md5 hex prefix) — map-side combinable, no per-shard sort or
+    * collect, integer-exact in any engine with md5. A consumer
+    * recomputes the same manifest after transport and diffs it; a
+    * mismatch names the shard, not just "something differs".
+    */
+  def shardManifest(docs: DataFrame, id: Column, tokens: Column,
+                    shards: Int): DataFrame =
+    docs.select(
+        hashBucket(id, shards).as("shard"),
+        id.cast("string").as("id_s"),
+        tokens.cast("long").as("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(conv(substring(md5(col("id_s")), 1, 8), 16, 10).cast("long"))
+          .as("id_checksum"))
 }

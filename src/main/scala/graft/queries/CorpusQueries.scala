@@ -345,6 +345,13 @@ object CorpusQueries extends QueryGroup {
         t(s, dir, "documents"), col("text"), window = 2,
         minPair = 5, minTerm = 10)),
 
+    // Deterministic shard manifest (Sampling.shardManifest): the export
+    // integrity contract — per-shard doc/token counts + order-
+    // insensitive id checksum, reproducible by any engine with md5.
+    "a_corpus_shards" -> ((s, dir) =>
+      Sampling.shardManifest(t(s, dir, "documents"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), shards = 16)),
+
     // Count-Min frequency sketch (analytics/CountMin.scala): 4×1024
     // counter cells over the document tokens — bounded-size point-
     // frequency summary, mergeable by cell sum, register-exact oracle.
@@ -1482,6 +1489,21 @@ object CorpusQueries extends QueryGroup {
         |  FROM c)
         |SELECT lang, rk, term, n FROM r WHERE rk <= 5""".stripMargin,
 
+    "a_corpus_shards" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(doc_id::VARCHAR), i, 1))-1)::BIGINT
+        |      << (4*(6-i)) for i in range(1, 7)]) AS BIGINT) % 16 AS shard,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(doc_id::VARCHAR), i, 1))-1)::BIGINT
+        |      << (4*(8-i)) for i in range(1, 9)]) AS BIGINT) AS ck
+        | FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        | CAST(sum(ck) AS BIGINT) AS id_checksum
+        |FROM d GROUP BY 1""".stripMargin,
+
     // CMS cells recomputed: bucket = 32-bit md5 hex prefix of
     // 'row:term' mod width, via the strpos nibble trick
     "a_countmin_sketch" ->
@@ -1879,5 +1901,6 @@ object CorpusQueries extends QueryGroup {
     "a_quality_classifier", "a_corpus_shuffle",
     "a_backoff_trigram", "a_bm25_topk", "stream_ivf_append",
     "a_heavy_hitters", "a_hdr_histogram", "a_hdr_quantiles",
-    "a_cooccurrence_pmi", "a_countmin_sketch", "a_countmin_estimate")
+    "a_cooccurrence_pmi", "a_countmin_sketch", "a_countmin_estimate",
+    "a_corpus_shards")
 }
