@@ -162,6 +162,42 @@ object StreamingQueries extends QueryGroup {
       sink.history(s)
     }),
 
+    // Streaming observability: Dataset.observe metrics accumulated from
+    // the per-batch progress events — the engine's monitoring hook (the
+    // reference exposes stream counters over JMX MBeans; Spark's
+    // equivalent surface is observed metrics on the query progress).
+    // value quantized to integer cents BEFORE summing so the
+    // batch-order-dependent float addition can't drift cross-engine.
+    "stream_observed_metrics" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("obs")
+      val transport = s"$tmp/transport"
+      e.repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(transport)
+      graft.streaming.StreamingMaterialize.stampLogOrder(transport)
+      val schema = s.read.parquet(transport).schema
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(transport)
+        .observe("graft_metrics",
+          count(lit(1)).as("rows"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      q.awaitTermination()
+      val observed = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("graft_metrics")))
+      require(observed.size >= 4, s"one observation per micro-batch " +
+        s"(got ${observed.size})")
+      val rows = observed.map(_.getLong(0)).sum
+      val cents = observed.map(_.getLong(1)).sum
+      import s.implicits._
+      Seq((rows, cents)).toDF("n_rows", "value_cents")
+    }),
+
     // P9/S10: buffered transaction reassembly (commit-marker release)
     "stream_tx_reassembly" -> ((s, dir) => {
       val fd = feed(s, dir, "orders").filter(col("op") =!= "r")
@@ -495,6 +531,11 @@ object StreamingQueries extends QueryGroup {
 
   def oracles: Map[String, String] = Map(
     "stream_k2_materialize" -> ordersLatest,
+
+    "stream_observed_metrics" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events""".stripMargin,
 
     // same interval oracle as the batch history table (CoreCdcQueries
     // k2_history_table): streaming maintenance must converge to it
