@@ -93,6 +93,15 @@ object FunctionQueries extends QueryGroup {
           / 10000.0).as("checksum"))
     }),
 
+    // Z-order (Morton) clustering key (functions/ZOrder.scala): bits of
+    // two bucketed dims interleaved — the multi-dim layout key behind
+    // lakehouse OPTIMIZE ZORDER; map-only projection, integer-exact.
+    "f_zorder_curve" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        graft.functions.ZOrder.zValue(
+          pmod(col("o_custkey"), lit(1024)),
+          pmod(col("o_orderkey"), lit(1024)), bits = 10).as("z"))),
+
     // sparse vector projection: dims, nnz, value checksum
     "f_vector_sparse" -> ((s, dir) => {
       val sp = t(s, dir, "embeddings").select(col("vec_id"),
@@ -230,6 +239,14 @@ object FunctionQueries extends QueryGroup {
         | floor(list_sum(embedding::DOUBLE[]) * 10000) / 10000.0 AS checksum
         |FROM embeddings""".stripMargin,
 
+    "f_zorder_curve" ->
+      """SELECT o_orderkey,
+        | CAST(list_sum([
+        |   ((((o_custkey % 1024) >> i) & 1) << (2*i)) +
+        |   ((((o_orderkey % 1024) >> i) & 1) << (2*i+1))
+        |  for i in range(0, 10)]) AS BIGINT) AS z
+        |FROM orders""".stripMargin,
+
     "f_vector_sparse" ->
       """SELECT vec_id, len(embedding) AS dims,
         | len(list_filter(embedding::DOUBLE[], x -> abs(x) > 0.3)) AS nnz,
@@ -336,6 +353,7 @@ object FunctionQueries extends QueryGroup {
 
   override val duckdbOnly: Set[String] = Set(
     "f_vector_roundtrip", "f_vector_sparse", "f_name_adjust",
+    "f_zorder_curve",
     "p6_signal_actions", "m_frame_sample", "a_onnx_embedding",
     "a_embedding_http")
 }
