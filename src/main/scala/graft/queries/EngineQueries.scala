@@ -183,6 +183,50 @@ object EngineQueries extends QueryGroup {
         .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
     }),
 
+    // Multi-table connector run: ONE properties map whose
+    // table.include.list admits two tables (and excludes a third —
+    // verified to produce zero events), each table's feed flowing
+    // through the compiled pipeline into its own sink table on one
+    // Derby target — the reference's one-connector-many-tables shape.
+    // Output: per-table integrity summary (integer-exact).
+    "e_props_multi_table" -> ((s, dir) => {
+      import graft.sinks.JdbcChangeEventSink
+      val tmp = java.nio.file.Files.createTempDirectory("mt-props")
+      val url = s"jdbc:derby:$tmp/db;create=true"
+      val props = Map(
+        "name" -> "multi-e2e",
+        "snapshot.mode" -> "initial",
+        "table.include.list" -> "^(orders|supplier)$")
+      val sinkCfg = JdbcChangeEventSink.fromProps(Map(
+        "connection.url" -> url, "insert.mode" -> "upsert",
+        "delete.enabled" -> "true", "primary.key.mode" -> "record_key",
+        "schema.evolution" -> "basic"))
+      Seq("orders", "supplier").foreach { tbl =>
+        val src = EngineConfig.compile(props, table = tbl)
+        val events = src.run(ChangeFeedGen.standardFeed(
+          t(s, dir, tbl), tbl, tombstonesOnDelete = src.tombstonesOnDelete))
+        JdbcChangeEventSink.write(events, s"${tbl}_mt", sinkCfg)
+      }
+      // the include list must FILTER a non-admitted table to nothing
+      val excluded = EngineConfig.compile(props, table = "part")
+        .run(ChangeFeedGen.standardFeed(t(s, dir, "part"), "part"))
+      require(excluded.isEmpty, "excluded table leaked events")
+      def back(tbl: String) = {
+        val b = JdbcChangeEventSink.readTable(s, url, s"${tbl}_mt")
+        b.toDF(b.columns.map(_.toLowerCase).toIndexedSeq: _*)
+      }
+      back("orders").agg(
+          lit("orders").as("tbl"), count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"),
+          sum(floor(col("o_totalprice") * 100).cast("long"))
+            .as("check_cents"))
+        .unionAll(back("supplier").agg(
+          lit("supplier").as("tbl"), count(lit(1)).as("n_rows"),
+          sum(col("s_suppkey")).cast("long").as("key_sum"),
+          sum(floor(col("s_acctbal") * 100).cast("long"))
+            .as("check_cents")))
+    }),
+
     // MongoDB sink over the LIVE wire (reference debezium-connector-mongodb
     // sink): row events as bulk replaceOne-upserts on _id, deletes as bulk
     // deleteOne, one OP_MSG session per executor partition against the
@@ -335,6 +379,21 @@ object EngineQueries extends QueryGroup {
         | CASE WHEN o_orderkey%7=3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
         | o_totalprice, o_orderdate, '*' AS o_orderpriority
         |FROM orders WHERE o_orderkey%13<>6""".stripMargin,
+
+    "e_props_multi_table" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey%13<>6),
+        | sp AS (SELECT s_suppkey,
+        |   CASE WHEN s_suppkey%7=3 THEN s_acctbal+100.0 ELSE s_acctbal END AS bal
+        |  FROM supplier WHERE s_suppkey%13<>6)
+        |SELECT 'orders' AS tbl, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS check_cents
+        |FROM o
+        |UNION ALL
+        |SELECT 'supplier', count(*),
+        | CAST(sum(s_suppkey) AS BIGINT),
+        | CAST(sum(CAST(floor(bal*100) AS BIGINT)) AS BIGINT)
+        |FROM sp""".stripMargin,
 
     "k_mongo_sink_socket" ->
       """SELECT o_orderkey, o_custkey,
