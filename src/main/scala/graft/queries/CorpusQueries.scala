@@ -345,6 +345,13 @@ object CorpusQueries extends QueryGroup {
         t(s, dir, "documents"), col("text"), window = 2,
         minPair = 5, minTerm = 10)),
 
+    // Fill-in-the-middle transform (analytics/Fim.scala): PSM/SPM
+    // sentinel serialization with md5-derived cut points — map-only,
+    // reproducible, the code/text infilling prep of modern pretraining.
+    "a_fim_transform" -> ((s, dir) =>
+      graft.analytics.Fim.transform(t(s, dir, "documents"),
+        col("doc_id"), col("text"))),
+
     // Deterministic shard manifest (Sampling.shardManifest): the export
     // integrity contract — per-shard doc/token counts + order-
     // insensitive id checksum, reproducible by any engine with md5.
@@ -1489,6 +1496,36 @@ object CorpusQueries extends QueryGroup {
         |  FROM c)
         |SELECT lang, rk, term, n FROM r WHERE rk <= 5""".stripMargin,
 
+    // cut points = 32-bit md5 prefixes of seeded ids mod (len-1), + 1
+    "a_fim_transform" ->
+      """WITH h AS (SELECT doc_id, text, length(text) AS len,
+        |  CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5('fim-a:'||doc_id::VARCHAR), i, 1))-1)::BIGINT
+        |      << (4*(8-i)) for i in range(1, 9)]) AS BIGINT) AS ha,
+        |  CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5('fim-b:'||doc_id::VARCHAR), i, 1))-1)::BIGINT
+        |      << (4*(8-i)) for i in range(1, 9)]) AS BIGINT) AS hb,
+        |  CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5('fim-m:'||doc_id::VARCHAR), i, 1))-1)::BIGINT
+        |      << (4*(8-i)) for i in range(1, 9)]) AS BIGINT) AS hm
+        | FROM documents),
+        | c AS (SELECT doc_id, text, len, hm,
+        |   least(ha % greatest(len-1, 1) + 1, hb % greatest(len-1, 1) + 1) AS c1,
+        |   greatest(ha % greatest(len-1, 1) + 1, hb % greatest(len-1, 1) + 1) AS c2
+        |  FROM h)
+        |SELECT doc_id,
+        | CASE WHEN len < 3 THEN 'raw'
+        |      WHEN hm % 2 = 0 THEN 'spm' ELSE 'psm' END AS mode,
+        | CASE WHEN len < 3 THEN text
+        |      WHEN hm % 2 = 0 THEN
+        |        '<SUF>' || substr(text, c2+1, len-c2) || '<PRE>' ||
+        |        substr(text, 1, c1) || '<MID>' || substr(text, c1+1, c2-c1)
+        |      ELSE
+        |        '<PRE>' || substr(text, 1, c1) || '<SUF>' ||
+        |        substr(text, c2+1, len-c2) || '<MID>' || substr(text, c1+1, c2-c1)
+        | END AS fim
+        |FROM c""".stripMargin,
+
     "a_corpus_shards" ->
       """WITH d AS (SELECT doc_id,
         |  CAST(list_sum([(strpos('0123456789abcdef',
@@ -1902,5 +1939,5 @@ object CorpusQueries extends QueryGroup {
     "a_backoff_trigram", "a_bm25_topk", "stream_ivf_append",
     "a_heavy_hitters", "a_hdr_histogram", "a_hdr_quantiles",
     "a_cooccurrence_pmi", "a_countmin_sketch", "a_countmin_estimate",
-    "a_corpus_shards")
+    "a_corpus_shards", "a_fim_transform")
 }
