@@ -154,6 +154,18 @@ object CorpusQueries extends QueryGroup {
       Similarity.bruteForceTopK(e.filter(col("vec_id") % 100 === 0), e, 5)
     }),
 
+    // Matryoshka retrieval (Kusupati et al. 2022): search on the FIRST
+    // 32 dims only — the MRL cheap first tier (half the bytes scanned,
+    // same broadcast/no-corpus-shuffle shape); rankings verified exactly
+    // on the truncated space.
+    "a_matryoshka_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val trunc = e.select(col("vec_id"),
+        slice(col("embedding"), 1, 32).as("embedding"))
+      Similarity.bruteForceTopK(
+        trunc.filter(col("vec_id") % 100 === 0), trunc, 5)
+    }),
+
     // Contrastive-training data prep: semi-hard negatives per query —
     // the most-similar candidates inside [0.1, 0.5), informative but
     // safely below the near-duplicate band
@@ -1215,6 +1227,18 @@ object CorpusQueries extends QueryGroup {
         |FROM sc
         |QUALIFY rk <= 5""".stripMargin,
 
+    "a_matryoshka_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, (embedding::DOUBLE[])[1:32] AS qe
+        |  FROM embeddings WHERE vec_id%100 = 0),
+        | sc AS (SELECT qid, vec_id AS neighbor_id,
+        |   floor(list_cosine_similarity((embedding::DOUBLE[])[1:32], qe) * 1000000) / 1000000.0 AS sim
+        |  FROM embeddings, q WHERE vec_id <> qid)
+        |SELECT qid AS query_id,
+        | CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id) AS INT) AS rk,
+        | neighbor_id, sim
+        |FROM sc
+        |QUALIFY rk <= 5""".stripMargin,
+
     "a_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
         |  FROM embeddings WHERE vec_id%100 = 0),
@@ -1926,7 +1950,7 @@ object CorpusQueries extends QueryGroup {
     "a_sequence_pack", "a_pii_redact", "a_corpus_stats",
     "a_curation_pipeline", "a_vocab_coverage",
     "a_stratified_sample", "a_train_split",
-    "a_embed_norms", "a_ann_topk", "a_hard_negatives",
+    "a_embed_norms", "a_ann_topk", "a_hard_negatives", "a_matryoshka_topk",
     "a_cosine_pairs", "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh",
     "a_ann_ivf", "a_ann_ivf_index", "a_semantic_dedup",
     "a_passage_dedup", "a_substring_dedup", "a_lm_score", "a_source_overlap",
