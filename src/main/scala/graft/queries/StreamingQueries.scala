@@ -162,6 +162,42 @@ object StreamingQueries extends QueryGroup {
       sink.history(s)
     }),
 
+    // STREAM-STATIC temporal enrichment: streaming facts joined inside
+    // the streaming query (not foreachBatch) against the static SCD-2
+    // history with interval predicates — Spark's stream-static join is
+    // stateless per micro-batch, so the dimension lookup costs one
+    // broadcast/shuffle per batch and no state store. Result must equal
+    // the batch temporal join.
+    "stream_temporal_enrich" -> ((s, dir) => {
+      val hist = graft.operators.Scd2.historyTable(feed(s, dir, "customer"))
+      val tmp = java.nio.file.Files.createTempDirectory("tenrich")
+      val transport = s"$tmp/transport"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") * 10).cast("long").as("p"))
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.mode("overwrite").parquet(transport)
+      StreamingMaterialize.stampLogOrder(transport)
+      val outDir = s"$tmp/out"
+      val schema = s.read.parquet(transport).schema
+      val facts = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(transport)
+      val enriched = facts.join(hist,
+          facts("o_custkey") === hist("c_custkey") &&
+            hist("valid_from_pos") <= facts("p") &&
+            (hist("valid_to_pos").isNull || hist("valid_to_pos") > facts("p")),
+          "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("p"),
+          col("c_acctbal"))
+      val q = enriched.writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    }),
+
     // Streaming observability: Dataset.observe metrics accumulated from
     // the per-batch progress events — the engine's monitoring hook (the
     // reference exposes stream counters over JMX MBeans; Spark's
@@ -531,6 +567,17 @@ object StreamingQueries extends QueryGroup {
 
   def oracles: Map[String, String] = Map(
     "stream_k2_materialize" -> ordersLatest,
+
+    // identical to the batch temporal join oracle (PipelineQueries
+    // a_temporal_dim_join): stream-static must converge to it
+    "stream_temporal_enrich" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderkey*10 AS p FROM orders)
+        |SELECT o.o_orderkey, o.o_custkey, o.p,
+        | CASE WHEN o.p < c_custkey*10 THEN NULL
+        |      WHEN c_custkey%13=6 AND o.p >= c_custkey*10+2 THEN NULL
+        |      WHEN c_custkey%7=3 AND o.p >= c_custkey*10+1 THEN c_acctbal+100.0
+        |      ELSE c_acctbal END AS c_acctbal
+        |FROM o JOIN customer ON o.o_custkey = c_custkey""".stripMargin,
 
     "stream_observed_metrics" ->
       """SELECT count(*) AS n_rows,
