@@ -196,12 +196,12 @@ object EngineQueries extends QueryGroup {
       val props = Map(
         "name" -> "multi-e2e",
         "snapshot.mode" -> "initial",
-        "table.include.list" -> "^(orders|supplier)$")
+        "table.include.list" -> "^(customer|supplier)$")
       val sinkCfg = JdbcChangeEventSink.fromProps(Map(
         "connection.url" -> url, "insert.mode" -> "upsert",
         "delete.enabled" -> "true", "primary.key.mode" -> "record_key",
         "schema.evolution" -> "basic"))
-      Seq("orders", "supplier").foreach { tbl =>
+      Seq("customer", "supplier").foreach { tbl =>
         val src = EngineConfig.compile(props, table = tbl)
         val events = src.run(ChangeFeedGen.standardFeed(
           t(s, dir, tbl), tbl, tombstonesOnDelete = src.tombstonesOnDelete))
@@ -215,10 +215,10 @@ object EngineQueries extends QueryGroup {
         val b = JdbcChangeEventSink.readTable(s, url, s"${tbl}_mt")
         b.toDF(b.columns.map(_.toLowerCase).toIndexedSeq: _*)
       }
-      back("orders").agg(
-          lit("orders").as("tbl"), count(lit(1)).as("n_rows"),
-          sum(col("o_orderkey")).cast("long").as("key_sum"),
-          sum(floor(col("o_totalprice") * 100).cast("long"))
+      back("customer").agg(
+          lit("customer").as("tbl"), count(lit(1)).as("n_rows"),
+          sum(col("c_custkey")).cast("long").as("key_sum"),
+          sum(floor(col("c_acctbal") * 100).cast("long"))
             .as("check_cents"))
         .unionAll(back("supplier").agg(
           lit("supplier").as("tbl"), count(lit(1)).as("n_rows"),
@@ -381,14 +381,16 @@ object EngineQueries extends QueryGroup {
         |FROM orders WHERE o_orderkey%13<>6""".stripMargin,
 
     "e_props_multi_table" ->
-      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey%13<>6),
+      """WITH c AS (SELECT c_custkey,
+        |   CASE WHEN c_custkey%7=3 THEN c_acctbal+100.0 ELSE c_acctbal END AS bal
+        |  FROM customer WHERE c_custkey%13<>6),
         | sp AS (SELECT s_suppkey,
         |   CASE WHEN s_suppkey%7=3 THEN s_acctbal+100.0 ELSE s_acctbal END AS bal
         |  FROM supplier WHERE s_suppkey%13<>6)
-        |SELECT 'orders' AS tbl, count(*) AS n_rows,
-        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-        | CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS check_cents
-        |FROM o
+        |SELECT 'customer' AS tbl, count(*) AS n_rows,
+        | CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(floor(bal*100) AS BIGINT)) AS BIGINT) AS check_cents
+        |FROM c
         |UNION ALL
         |SELECT 'supplier', count(*),
         | CAST(sum(s_suppkey) AS BIGINT),
