@@ -287,6 +287,50 @@ object StorageQueries extends QueryGroup {
           sum(get_json_object(col("value"), "$.pos").cast("long")).as("sum_pos"))
     }),
 
+    // STREAMING exactly-once into Redis Streams: records XADD with
+    // explicit pos-derived ids, so the SERVER fences replays (real
+    // redis rejects an id ≤ the stream top) — no sink-side epoch state.
+    // After the stream drains, a full deliberate re-delivery must be
+    // rejected record-by-record; stream content == the routed feed.
+    "stream_redis_sink" -> ((s, dir) => {
+      import graft.streaming.RedisStreamSink
+      val (port, _, _) = graft.tools.RedisWireServer.serve("sekrit")
+      val routed = Transforms.contentRouter(feed(s, dir, "orders"),
+        concat(lit("orders."),
+          coalesce(col("after.o_orderstatus"), col("before.o_orderstatus"))))
+        .select(col("topic"), col("source.pos").as("pos"),
+          to_json(col("key")).as("key"),
+          to_json(struct(col("op"), col("source.pos").as("pos"))).as("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("redis-stream")
+      val transport = s"$tmp/transport"
+      routed.repartitionByRange(4, col("pos"))
+        .write.mode("overwrite").parquet(transport)
+      graft.streaming.StreamingMaterialize.stampLogOrder(transport)
+      val schema = s.read.parquet(transport).schema
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 2)
+        .parquet(transport)
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          RedisStreamSink.writeIdempotent(batch, "127.0.0.1", port,
+            password = "sekrit").collect()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      // at-least-once replay of EVERYTHING: the server must reject all
+      val replay = RedisStreamSink.writeIdempotent(routed, "127.0.0.1",
+          port, password = "sekrit")
+        .agg(sum(col("produced")), sum(col("skipped"))).head
+      require(replay.getLong(0) == 0, s"replay produced ${replay.getLong(0)}")
+      require(replay.getLong(1) > 0, "replay skipped nothing")
+      RedisStreamSink.readBack(s, "127.0.0.1", port, password = "sekrit")
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("key")).as("n_keys"),
+          sum(get_json_object(col("value"), "$.pos").cast("long")).as("sum_pos"))
+    }),
+
     // S13 kafka signal channel: signals produced to a topic, fetched and
     // parsed into actions (reference KafkaSignalChannel.java).
     "s13_kafka_signals" -> ((s, dir) => {
@@ -345,6 +389,17 @@ object StorageQueries extends QueryGroup {
           |  SELECT 'd', o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6)
           |SELECT op, count(*) AS n, min(pos) AS min_pos, max(pos) AS max_pos
           |FROM ev GROUP BY op""".stripMargin,
+      "stream_redis_sink" ->
+        """WITH ev AS (
+          |  SELECT o_orderkey, 'orders.'||o_orderstatus AS topic, o_orderkey*10 AS pos FROM orders
+          |  UNION ALL
+          |  SELECT o_orderkey, 'orders.U', o_orderkey*10+1 FROM orders WHERE o_orderkey%7=3
+          |  UNION ALL
+          |  SELECT o_orderkey, 'orders.'||o_orderstatus, o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6)
+          |SELECT topic, count(*) AS n,
+          |  count(DISTINCT o_orderkey) AS n_keys,
+          |  CAST(sum(pos) AS BIGINT) AS sum_pos
+          |FROM ev GROUP BY 1""".stripMargin,
       "k_redis_stream_sink" ->
         """WITH ev AS (
           |  SELECT o_orderkey, 'orders.'||o_orderstatus AS topic, o_orderkey*10 AS pos FROM orders

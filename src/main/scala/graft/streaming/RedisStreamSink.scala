@@ -59,6 +59,59 @@ object RedisStreamSink {
     counts.groupBy("topic").agg(sum("n").as("produced"))
   }
 
+  /** Exactly-once append: each record is XADDed with an EXPLICIT id
+    * derived from its source position (`<pos>-0`), produced in pos
+    * order per topic. Real Redis rejects an explicit id ≤ the stream's
+    * top item, so a replayed batch is rejected record-by-record by the
+    * SERVER — at-least-once delivery composes to exactly-once stream
+    * content with no sink-side epoch state at all (the log position IS
+    * the fence). `df`: (topic, pos, key, value) rows; returns per-topic
+    * (produced, skipped) counts.
+    */
+  def writeIdempotent(df: DataFrame, host: String, port: Int,
+                      batchSize: Int = 500, password: String = null,
+                      numPartitions: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val routed = df.select(
+        col("topic").cast("string"),
+        col("pos").cast("long"),
+        col("key").cast("string"),
+        col("value").cast("string"))
+      // per-topic pos order within each partition: explicit stream ids
+      // must arrive ascending
+      .repartition(numPartitions, col("topic"))
+      .sortWithinPartitions(col("topic"), col("pos"))
+    val counts = routed.mapPartitions { it: Iterator[Row] =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val client = new RedisClient(host, port, password)
+        try {
+          val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+          it.grouped(batchSize).foreach { chunk =>
+            chunk.groupBy(_.getString(0)).foreach { case (topic, rows) =>
+              val replies = client.pipeline(rows.map(r =>
+                Seq("XADD", topic, s"${r.getLong(1)}-0", "key",
+                  r.getString(2), "value", r.getString(3))))
+              var (p, sk) = acc.getOrElse(topic, (0L, 0L))
+              replies.foreach {
+                case RedisClient.Bulk(id) if id != null => p += 1
+                case RedisClient.Err(m)
+                    if m.contains("equal or smaller") => sk += 1
+                case other =>
+                  throw new IllegalStateException(s"XADD failed: $other")
+              }
+              acc(topic) = (p, sk)
+            }
+          }
+          acc.iterator.map { case (t, (p, sk)) => (t, p, sk) }
+        } finally client.close()
+      }
+    }.toDF("topic", "p", "s")
+    counts.groupBy("topic")
+      .agg(sum("p").as("produced"), sum("s").as("skipped"))
+  }
+
   /** Read every entry of every stream back (driver-side verification
     * read): (stream, id, key, value).
     */

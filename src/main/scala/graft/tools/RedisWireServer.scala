@@ -148,15 +148,33 @@ object RedisWireServer {
                 val removed = cmd.drop(2).count(f => h.exists(_.remove(f).isDefined))
                 integer(out, removed.toLong)
               case "XADD" =>
-                // XADD key <*|id> field value [field value ...]
+                // XADD key <*|ms[-seq]> field value [field value ...]
                 val key = cmd(1)
-                val id =
-                  if (cmd(2) == "*") s"${state.streamSeq.incrementAndGet()}-0"
-                  else cmd(2)
                 val fields = cmd.drop(3).grouped(2).map { case Seq(f, v) => (f, v) }.toSeq
                 val s = state.streams.getOrElseUpdate(key, ArrayBuffer.empty)
-                s.synchronized { s += ((id, fields)) }
-                bulk(out, id)
+                def parse(id: String): (Long, Long) = id.split("-") match {
+                  case Array(ms)      => (ms.toLong, 0L)
+                  case Array(ms, seq) => (ms.toLong, seq.toLong)
+                }
+                s.synchronized {
+                  val id =
+                    if (cmd(2) == "*") s"${state.streamSeq.incrementAndGet()}-0"
+                    else if (cmd(2).contains("-")) cmd(2)
+                    else s"${cmd(2)}-0"
+                  // real redis: explicit IDs must be strictly greater than
+                  // the stream's top item
+                  val ok = s.isEmpty || {
+                    import scala.math.Ordering.Implicits._
+                    parse(id) > parse(s.last._1)
+                  }
+                  if (!ok)
+                    err(out, "The ID specified in XADD is equal or smaller " +
+                      "than the target stream top item")
+                  else {
+                    s += ((id, fields))
+                    bulk(out, id)
+                  }
+                }
               case "XLEN" => integer(out, state.streamLen(cmd(1)).toLong)
               case "KEYS" =>
                 // '*' pattern only (all the verification read uses)

@@ -282,6 +282,27 @@ class StorageWireSpec extends AnyFunSuite {
     assert(state.streamLen("s") == 50)
   }
 
+  test("redis XADD explicit ids: server rejects non-increasing (replay fence)") {
+    import graft.sources.net.RedisClient
+    val (port, _, _) = graft.tools.RedisWireServer.serve("pw")
+    val c = new RedisClient("127.0.0.1", port, "pw")
+    assert(c.command("XADD", "s", "10-0", "key", "a", "value", "1") ==
+      RedisClient.Bulk("10-0"))
+    assert(c.command("XADD", "s", "20", "key", "b", "value", "2") ==
+      RedisClient.Bulk("20-0"))
+    // equal and smaller both rejected, like real redis
+    c.command("XADD", "s", "20-0", "key", "x", "value", "x") match {
+      case RedisClient.Err(m) => assert(m.contains("equal or smaller"))
+      case other => fail(s"expected error, got $other")
+    }
+    c.command("XADD", "s", "5-0", "key", "x", "value", "x") match {
+      case RedisClient.Err(m) => assert(m.contains("equal or smaller"))
+      case other => fail(s"expected error, got $other")
+    }
+    assert(c.xrangeAll("s").map(_._1) == Seq("10-0", "20-0"))
+    c.close()
+  }
+
   test("redis stream sink: per-topic counts match, AUTH enforced") {
     val spark = SparkTestSession.get
     import spark.implicits._
