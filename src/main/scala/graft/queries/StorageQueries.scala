@@ -287,6 +287,28 @@ object StorageQueries extends QueryGroup {
           sum(get_json_object(col("value"), "$.pos").cast("long")).as("sum_pos"))
     }),
 
+    // KIP-98 idempotent producer on the K1 sink: per-task producer ids
+    // + per-topic base sequences, EVERY batch deliberately sent twice
+    // (simulated ack-lost retry) — the broker dedups server-side and
+    // the topic content still equals the routed feed exactly.
+    "k1_idempotent_producer" -> ((s, dir) => {
+      val (port, broker, _) = graft.tools.KafkaWireServer.serve()
+      val routed = Transforms.contentRouter(feed(s, dir, "orders"),
+        concat(lit("orders."),
+          coalesce(col("after.o_orderstatus"), col("before.o_orderstatus"))))
+        .select(col("topic"), to_json(col("key")).as("key"),
+          to_json(struct(col("op"), col("source.pos").as("pos"))).as("value"))
+      KafkaTopicSink.writeIdempotent(routed, "127.0.0.1", port,
+        retryEach = true).collect()
+      require(broker.duplicatesDropped.get > 0,
+        "no retries reached the broker's dedup path")
+      KafkaTopicSink.readBack(s, "127.0.0.1", port)
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("key")).as("n_keys"),
+          sum(get_json_object(col("value"), "$.pos").cast("long")).as("sum_pos"))
+    }),
+
     // STREAMING exactly-once into Redis Streams: records XADD with
     // explicit pos-derived ids, so the SERVER fences replays (real
     // redis rejects an id ≤ the stream top) — no sink-side epoch state.
@@ -390,6 +412,17 @@ object StorageQueries extends QueryGroup {
           |SELECT op, count(*) AS n, min(pos) AS min_pos, max(pos) AS max_pos
           |FROM ev GROUP BY op""".stripMargin,
       "stream_redis_sink" ->
+        """WITH ev AS (
+          |  SELECT o_orderkey, 'orders.'||o_orderstatus AS topic, o_orderkey*10 AS pos FROM orders
+          |  UNION ALL
+          |  SELECT o_orderkey, 'orders.U', o_orderkey*10+1 FROM orders WHERE o_orderkey%7=3
+          |  UNION ALL
+          |  SELECT o_orderkey, 'orders.'||o_orderstatus, o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6)
+          |SELECT topic, count(*) AS n,
+          |  count(DISTINCT o_orderkey) AS n_keys,
+          |  CAST(sum(pos) AS BIGINT) AS sum_pos
+          |FROM ev GROUP BY 1""".stripMargin,
+      "k1_idempotent_producer" ->
         """WITH ev AS (
           |  SELECT o_orderkey, 'orders.'||o_orderstatus AS topic, o_orderkey*10 AS pos FROM orders
           |  UNION ALL

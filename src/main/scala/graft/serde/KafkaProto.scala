@@ -114,7 +114,9 @@ object KafkaProto {
     * magic-2 batch: CRC32C over attributes..end, zigzag-varint record
     * bodies, no compression (attributes=0).
     */
-  def encodeBatch(baseOffset: Long, records: Seq[Record]): Array[Byte] = {
+  def encodeBatch(baseOffset: Long, records: Seq[Record],
+                  producerId: Long = -1L, producerEpoch: Short = -1,
+                  baseSequence: Int = -1): Array[Byte] = {
     require(records.nonEmpty, "empty batch")
     val baseTs = records.map(_.timestamp).min
     val maxTs = records.map(_.timestamp).max
@@ -123,9 +125,9 @@ object KafkaProto {
     body.int32((records.last.offset - baseOffset).toInt) // lastOffsetDelta
     body.int64(baseTs)
     body.int64(maxTs)
-    body.int64(-1L)                                 // producerId
-    body.int16(-1)                                  // producerEpoch
-    body.int32(-1)                                  // baseSequence
+    body.int64(producerId)
+    body.int16(producerEpoch.toInt)
+    body.int32(baseSequence)
     body.int32(records.size)
     records.foreach { r =>
       val rec = new Writer(64)
@@ -151,6 +153,24 @@ object KafkaProto {
     out.int32(crc.getValue.toInt)
     out.raw(bodyBytes)
     out.result()
+  }
+
+  /** (producerId, producerEpoch, baseSequence) of the FIRST batch in a
+    * record set — the produce path sends one batch per partition, and
+    * the broker's idempotence bookkeeping reads exactly these fields.
+    */
+  def batchProducerMeta(data: Array[Byte]): (Long, Short, Int) = {
+    val r = new Reader(data)
+    r.int64(); r.int32(); r.int32()                 // baseOffset/len/leaderEpoch
+    require(r.int8() == 2, "unsupported record-batch magic")
+    r.int32()                                       // crc
+    r.int16()                                       // attributes
+    r.int32()                                       // lastOffsetDelta
+    r.int64(); r.int64()                            // timestamps
+    val pid = r.int64()
+    val epoch = r.int16().toShort
+    val seq = r.int32()
+    (pid, epoch, seq)
   }
 
   /** Decode every batch in a record set (a fetch can return several
@@ -247,9 +267,11 @@ object KafkaProto {
   val ApiFetch = 1
   val ApiMetadata = 3
   val ApiApiVersions = 18
+  val ApiInitProducerId = 22
 
   // error codes
   val ErrNone = 0
   val ErrUnknownTopicOrPartition = 3
   val ErrCorruptMessage = 2
+  val ErrOutOfOrderSequenceNumber = 45
 }

@@ -61,6 +61,21 @@ final class KafkaClient(host: String, port: Int, clientId: String = "graft") {
     require(supports(KafkaProto.ApiMetadata, 1), "broker lacks Metadata v1")
   }
 
+  /** InitProducerId v0 (KIP-98): obtain a (producerId, epoch) for
+    * idempotent produces.
+    */
+  def initProducerId(): (Long, Short) = {
+    val r = roundTrip(KafkaProto.ApiInitProducerId, 0, { w =>
+      w.nullableString(null) // transactional_id (idempotence only)
+      w.int32(60000)         // transaction_timeout_ms
+    })
+    r.int32() // throttle_time_ms
+    require(r.int16() == 0, "InitProducerId returned an error")
+    val pid = r.int64()
+    val epoch = r.int16().toShort
+    (pid, epoch)
+  }
+
   /** Topic names known to the broker (Metadata v1 with a null topic
     * array = all topics).
     */
@@ -84,14 +99,21 @@ final class KafkaClient(host: String, port: Int, clientId: String = "graft") {
     }
   }
 
-  /** Produce one batch; returns the broker-assigned base offset. */
+  /** Produce one batch; returns the broker-assigned base offset. With a
+    * non-negative `producerId`, the batch carries (pid, epoch, baseSeq)
+    * and the broker applies KIP-98 idempotence: an exact retry of the
+    * last batch is deduplicated server-side (original offset returned),
+    * a sequence gap is rejected with OUT_OF_ORDER_SEQUENCE_NUMBER.
+    */
   def produce(topic: String, partition: Int,
               records: Seq[(Array[Byte], Array[Byte])],
-              timestamp: Long = 0L): Long = {
+              timestamp: Long = 0L,
+              producerId: Long = -1L, producerEpoch: Short = -1,
+              baseSequence: Int = -1): Long = {
     val batch = KafkaProto.encodeBatch(0L,
       records.zipWithIndex.map { case ((k, v), i) =>
         Record(i.toLong, timestamp, k, v)
-      })
+      }, producerId, producerEpoch, baseSequence)
     val r = roundTrip(KafkaProto.ApiProduce, 3, { w =>
       w.nullableString(null) // transactional_id
       w.int16(-1)            // acks=all

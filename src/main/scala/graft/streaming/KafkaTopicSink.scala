@@ -57,6 +57,62 @@ object KafkaTopicSink {
     counts.groupBy("topic").agg(sum("n").as("produced"))
   }
 
+  /** KIP-98 idempotent produce path: each executor task obtains a
+    * producer id (InitProducerId) and stamps every batch with a
+    * per-topic base sequence, so the BROKER deduplicates ack-lost
+    * retries — exactly-once append under at-least-once sending, the
+    * mechanism Connect's producer gives the reference. With
+    * `retryEach = true` every batch is deliberately sent twice
+    * (simulated ack timeout); the broker must return the ORIGINAL base
+    * offset for the retry and append nothing.
+    */
+  def writeIdempotent(df: DataFrame, host: String, port: Int,
+                      batchSize: Int = 500,
+                      retryEach: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.select(
+      col("topic").cast("string"),
+      col("key").cast("string"),
+      col("value").cast("string"))
+    val counts = cols.mapPartitions { it: Iterator[Row] =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val client = new KafkaClient(host, port, clientId = "graft-idem")
+        try {
+          val (pid, epoch) = client.initProducerId()
+          val seqs = scala.collection.mutable.Map.empty[String, Int]
+          val acc = scala.collection.mutable.Map.empty[String, Long]
+          it.grouped(batchSize).foreach { chunk =>
+            chunk.groupBy(_.getString(0)).foreach { case (topic, rows) =>
+              val seq = seqs.getOrElse(topic, 0)
+              val recs = rows.map(r => (
+                if (r.getString(1) == null) null
+                else r.getString(1).getBytes("UTF-8"),
+                if (r.getString(2) == null) null
+                else r.getString(2).getBytes("UTF-8")))
+              val base = client.produce(topic, 0, recs.toSeq,
+                producerId = pid, producerEpoch = epoch, baseSequence = seq)
+              if (retryEach) {
+                // ack-lost retry: same pid/seq — broker must dedup and
+                // return the same base offset
+                val again = client.produce(topic, 0, recs.toSeq,
+                  producerId = pid, producerEpoch = epoch,
+                  baseSequence = seq)
+                require(again == base,
+                  s"retry re-appended: base $base vs $again")
+              }
+              seqs(topic) = seq + rows.size
+              acc(topic) = acc.getOrElse(topic, 0L) + rows.size
+            }
+          }
+          acc.iterator.map { case (t, n) => (t, n) }
+        } finally client.close()
+      }
+    }.toDF("topic", "n")
+    counts.groupBy("topic").agg(sum("n").as("produced"))
+  }
+
   /** Read every record of every topic back (driver-side verification
     * read — bounded by what the verifying query needs, not a data path).
     */

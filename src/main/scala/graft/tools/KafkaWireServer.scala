@@ -37,8 +37,17 @@ object KafkaWireServer {
     val produceRequests = new AtomicInteger(0)
     val fetchRequests = new AtomicInteger(0)
     val batchesVerified = new AtomicInteger(0)
+    val duplicatesDropped = new AtomicInteger(0)
     @volatile var apiVersionsSeen = false
     @volatile private[KafkaWireServer] var recordsPerFetch = 500
+    /** next producer id handed out by InitProducerId */
+    private[KafkaWireServer] val nextPid = new java.util.concurrent.atomic.AtomicLong(1000L)
+    /** (topic, partition, pid) -> (lastBaseSeq, lastCount, lastBaseOffset):
+      * the KIP-98 idempotence window (depth-1, like a real broker's most
+      * recent cached batch — enough to dedup an ack-lost retry).
+      */
+    private[KafkaWireServer] val producerSeqs =
+      TrieMap.empty[(String, Int, Long), (Int, Int, Long)]
 
     private[KafkaWireServer] def log(topic: String, partition: Int): Log =
       logs.getOrElseUpdate((topic, partition), new Log)
@@ -97,6 +106,8 @@ object KafkaWireServer {
             case KafkaProto.ApiMetadata => metadata(r, correlationId, apiVersion, broker)
             case KafkaProto.ApiProduce => produce(r, correlationId, apiVersion, broker)
             case KafkaProto.ApiFetch => fetch(r, correlationId, apiVersion, broker)
+            case KafkaProto.ApiInitProducerId =>
+              initProducerId(r, correlationId, broker)
             case other =>
               throw new IllegalStateException(s"unsupported api key $other")
           }
@@ -116,7 +127,8 @@ object KafkaWireServer {
         (KafkaProto.ApiProduce, 3, 3),
         (KafkaProto.ApiFetch, 4, 4),
         (KafkaProto.ApiMetadata, 0, 1),
-        (KafkaProto.ApiApiVersions, 0, 0))
+        (KafkaProto.ApiApiVersions, 0, 0),
+        (KafkaProto.ApiInitProducerId, 0, 0))
       w.int32(apis.size)
       apis.foreach { case (k, lo, hi) => w.int16(k); w.int16(lo); w.int16(hi) }
     })
@@ -153,6 +165,23 @@ object KafkaWireServer {
     })
   }
 
+  /** InitProducerId v0 (KIP-98): assign a fresh (pid, epoch 0). Request
+    * carries a nullable transactional id (unused here — idempotence
+    * only) and a transaction timeout.
+    */
+  private def initProducerId(r: Reader, correlationId: Int,
+                             broker: Broker): Array[Byte] = {
+    r.nullableString() // transactional_id
+    r.int32()          // transaction_timeout_ms
+    val pid = broker.nextPid.getAndIncrement()
+    KafkaProto.responseFrame(correlationId, { w =>
+      w.int32(0)  // throttle_time_ms
+      w.int16(0)  // error_code
+      w.int64(pid)
+      w.int16(0)  // producer_epoch
+    })
+  }
+
   private def produce(r: Reader, correlationId: Int, version: Int,
                       broker: Broker): Array[Byte] = {
     require(version == 3, s"fixture speaks Produce v3, got v$version")
@@ -172,14 +201,42 @@ object KafkaWireServer {
         val (err, baseOffset) =
           try {
             val recs = KafkaProto.decodeBatches(recordSet) // verifies CRC32C
+            val (pid, _, baseSeq) = KafkaProto.batchProducerMeta(recordSet)
             broker.batchesVerified.incrementAndGet()
             val log = broker.log(topic, partition)
             log.synchronized {
-              val base = log.highWatermark
-              recs.zipWithIndex.foreach { case (rec, i) =>
-                log.records += Record(base + i, rec.timestamp, rec.key, rec.value)
+              def append(): (Int, Long) = {
+                val base = log.highWatermark
+                recs.zipWithIndex.foreach { case (rec, i) =>
+                  log.records += Record(base + i, rec.timestamp, rec.key, rec.value)
+                }
+                (KafkaProto.ErrNone, base)
               }
-              (KafkaProto.ErrNone, base)
+              if (pid < 0) append() // non-idempotent producer: plain append
+              else {
+                // KIP-98 idempotence: dedup an exact retry of the most
+                // recent batch (return its ORIGINAL offset, append
+                // nothing); reject sequence gaps; else append and advance
+                val key = (topic, partition, pid)
+                broker.producerSeqs.get(key) match {
+                  case Some((lastSeq, lastCount, lastBase))
+                      if baseSeq == lastSeq =>
+                    broker.duplicatesDropped.incrementAndGet()
+                    require(recs.size == lastCount,
+                      "duplicate batch with different record count")
+                    (KafkaProto.ErrNone, lastBase)
+                  case Some((lastSeq, lastCount, _))
+                      if baseSeq != lastSeq + lastCount =>
+                    (KafkaProto.ErrOutOfOrderSequenceNumber, -1L)
+                  case None if baseSeq != 0 =>
+                    (KafkaProto.ErrOutOfOrderSequenceNumber, -1L)
+                  case _ =>
+                    val res = append()
+                    broker.producerSeqs.put(key,
+                      (baseSeq, recs.size, res._2))
+                    res
+                }
+              }
             }
           } catch {
             case _: IllegalArgumentException | _: IllegalStateException =>

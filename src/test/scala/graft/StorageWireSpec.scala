@@ -282,6 +282,45 @@ class StorageWireSpec extends AnyFunSuite {
     assert(state.streamLen("s") == 50)
   }
 
+  test("kafka idempotence: dedup exact retry, reject gaps, pid starts at 0") {
+    import graft.sources.net.KafkaClient
+    val (port, broker, _) = graft.tools.KafkaWireServer.serve()
+    val c = new KafkaClient("127.0.0.1", port)
+    val (pid, epoch) = c.initProducerId()
+    assert(pid >= 1000L && epoch == 0)
+    def recs(tag: String) =
+      Seq((s"k-$tag".getBytes("UTF-8"), s"v-$tag".getBytes("UTF-8")))
+    // first batch from a pid must start at sequence 0
+    intercept[Exception] {
+      c.produce("t", 0, recs("bad"), producerId = pid,
+        producerEpoch = epoch, baseSequence = 5)
+    }
+    val b0 = c.produce("t", 0, recs("a"), producerId = pid,
+      producerEpoch = epoch, baseSequence = 0)
+    // exact retry: same offset back, nothing appended
+    val b0r = c.produce("t", 0, recs("a"), producerId = pid,
+      producerEpoch = epoch, baseSequence = 0)
+    assert(b0r == b0 && broker.recordCount("t") == 1)
+    assert(broker.duplicatesDropped.get == 1)
+    // a sequence gap is rejected
+    intercept[Exception] {
+      c.produce("t", 0, recs("gap"), producerId = pid,
+        producerEpoch = epoch, baseSequence = 7)
+    }
+    // the successor sequence appends
+    val b1 = c.produce("t", 0, recs("b"), producerId = pid,
+      producerEpoch = epoch, baseSequence = 1)
+    assert(b1 == b0 + 1 && broker.recordCount("t") == 2)
+    // a second producer id has its own sequence space
+    val c2 = new KafkaClient("127.0.0.1", port)
+    val (pid2, e2) = c2.initProducerId()
+    assert(pid2 != pid)
+    c2.produce("t", 0, recs("c"), producerId = pid2,
+      producerEpoch = e2, baseSequence = 0)
+    assert(broker.recordCount("t") == 3)
+    c.close(); c2.close()
+  }
+
   test("redis XADD explicit ids: server rejects non-increasing (replay fence)") {
     import graft.sources.net.RedisClient
     val (port, _, _) = graft.tools.RedisWireServer.serve("pw")
