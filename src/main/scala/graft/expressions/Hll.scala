@@ -90,6 +90,7 @@ object Hll {
     */
   def estimate(regs: Array[Byte]): Double = {
     val m = regs.length
+    if (m == 0) return 0.0 // merge over zero sketches (empty marker)
     var sum = 0.0
     var zeros = 0
     var j = 0
