@@ -47,16 +47,20 @@ object Cooccurrence {
 
     val uni = toks.select(explode(col("tk")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n_t"))
-    val total = uni.agg(sum(col("n_t"))).head.getLong(0)
+    // corpus-total as a broadcast 1-row frame, NOT a driver action: no
+    // eager job, and the vocab-sized `uni` lineage is reused by Catalyst
+    // instead of a third full corpus scan
+    val total = uni.agg(sum(col("n_t")).as("total"))
 
     pairs
       .join(uni.select(col("term").as("a"), col("n_t").as("n_a")), "a")
       .join(uni.select(col("term").as("b"), col("n_t").as("n_b")), "b")
+      .crossJoin(broadcast(total))
       .filter(col("n_a") >= minTerm && col("n_b") >= minTerm)
       .select(col("a"), col("b"), col("n_ab"),
         // quotient of exact (< 2^53) integer products → identical double
         // in any IEEE engine; floor-quantize after the single ln
-        (floor(log((col("n_ab") * total).cast("double") /
+        (floor(log((col("n_ab") * col("total")).cast("double") /
           (col("n_a") * col("n_b"))) * 10000) / 10000.0).as("pmi_q4"))
   }
 }

@@ -89,9 +89,10 @@ object Histogram {
     val qdf = qs.toDF("qname", "num", "den")
     val targets = totals.crossJoin(qdf)
       .select(col("group"), col("qname"),
-        // integer ceil(num·total/den); the double quotient is exact
-        // whenever the true quotient is an integer, so floor is safe
-        floor((col("num") * col("total") + col("den") - 1) / col("den"))
+        // integer ceil(num·total/den) via INTEGRAL divide (`div`), never
+        // double division — exact at any total, matching the oracle's `//`
+        call_function("div",
+          col("num") * col("total") + col("den") - 1, col("den"))
           .cast("long").as("target"))
     targets.join(cum, Seq("group"))
       .filter(col("cum") >= col("target"))

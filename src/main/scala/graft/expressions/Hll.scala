@@ -56,9 +56,17 @@ object Hll {
     a
   }
 
+  /** per-thread digest: update() runs per input row — a fresh
+    * getInstance per row would dominate the aggregate's hot path
+    */
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** (bucket, rank) of one value under precision p. */
   def bucketRank(bytes: Array[Byte], p: Int): (Int, Int) = {
-    val digest = MessageDigest.getInstance("MD5").digest(bytes)
+    val md = md5Local.get()
+    md.reset()
+    val digest = md.digest(bytes)
     // nibble i of the hex rendering
     def nib(i: Int): Int = {
       val b = digest(i >> 1) & 0xff

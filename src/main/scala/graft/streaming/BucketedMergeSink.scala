@@ -88,7 +88,17 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
         .toSeq
     }.sorted
 
-  override def committedEpoch: Option[Long] = versions.lastOption
+  /** The commit point is the CURRENT swap, so the replay guard must read
+    * the POINTER, not manifest-file existence: a crash between writing
+    * `m<e>.manifest` and moving CURRENT would otherwise mark epoch e
+    * committed while CURRENT still serves e-1 — the replay gets skipped
+    * and the epoch's data is silently lost.
+    */
+  override def committedEpoch: Option[Long] =
+    if (!Files.exists(pointer)) None
+    else """m(\d+)\.manifest""".r
+      .findFirstMatchIn(Files.readString(pointer).trim)
+      .map(_.group(1).toLong)
 
   private def parseManifest(mf: java.nio.file.Path): Map[Int, (String, String)] =
     Files.readAllLines(mf).asScala.filter(_.nonEmpty).map { l =>

@@ -81,7 +81,14 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
         .toSeq
     }.sorted
 
-  override def committedEpoch: Option[Long] = versions.lastOption
+  /** Read the CURRENT pointer, not manifest existence — the commit point
+    * is the atomic swap (see BucketedMergeSink.committedEpoch).
+    */
+  override def committedEpoch: Option[Long] =
+    if (!Files.exists(pointer)) None
+    else """m(\d+)\.manifest""".r
+      .findFirstMatchIn(Files.readString(pointer).trim)
+      .map(_.group(1).toLong)
 
   /** Manifest as of `epochId` (newest committed ≤ it — VERSION AS OF). */
   def manifestAt(epochId: Long): Manifest = {

@@ -22,6 +22,18 @@ import graft.sources.net.RedisClient
   */
 object RedisStreamSink {
 
+  /** Field pairs of one entry: a NULL key or value (tombstones are the
+    * standard null-value delete representation) is OMITTED rather than
+    * sent — `readBack`'s `getOrElse(..., null)` recovers the null
+    * exactly. XADD needs at least one field, so the both-null case
+    * carries an explicit tombstone marker.
+    */
+  private def entryFields(key: String, value: String): Seq[String] = {
+    val fs = (if (key == null) Nil else Seq("key", key)) ++
+      (if (value == null) Nil else Seq("value", value))
+    if (fs.nonEmpty) fs else Seq("tombstone", "1")
+  }
+
   /** Write (topic, key, value) string rows; returns per-topic produced
     * counts for verification.
     */
@@ -42,8 +54,8 @@ object RedisStreamSink {
           it.grouped(batchSize).foreach { chunk =>
             chunk.groupBy(_.getString(0)).foreach { case (topic, rows) =>
               val replies = client.pipeline(rows.map(r =>
-                Seq("XADD", topic, "*", "key", r.getString(1),
-                  "value", r.getString(2))))
+                Seq("XADD", topic, "*") ++
+                  RedisStreamSink.entryFields(r.getString(1), r.getString(2))))
               replies.foreach {
                 case RedisClient.Bulk(id) if id != null => ()
                 case other =>
@@ -91,8 +103,8 @@ object RedisStreamSink {
           it.grouped(batchSize).foreach { chunk =>
             chunk.groupBy(_.getString(0)).foreach { case (topic, rows) =>
               val replies = client.pipeline(rows.map(r =>
-                Seq("XADD", topic, s"${r.getLong(1)}-0", "key",
-                  r.getString(2), "value", r.getString(3))))
+                Seq("XADD", topic, s"${r.getLong(1)}-0") ++
+                  RedisStreamSink.entryFields(r.getString(2), r.getString(3))))
               var (p, sk) = acc.getOrElse(topic, (0L, 0L))
               replies.foreach {
                 case RedisClient.Bulk(id) if id != null => p += 1

@@ -44,15 +44,32 @@ class Scd2Sink(dir: String, buckets: Int = 16) extends CdcSink {
         val Array(b, p) = l.split("\t", 2); b.toInt -> p
       }.toMap
 
-  private def versions: Seq[Long] =
-    if (!Files.exists(root)) Nil
-    else Using.resource(Files.list(root)) { st =>
-      val M = """m(\d+)\.manifest""".r
-      st.iterator().asScala.map(_.getFileName.toString)
-        .collect { case M(e) => e.toLong }.toSeq
-    }.sorted
+  /** The bucket count is part of the on-disk layout (same hazard as
+    * BucketedMergeSink.checkBucketCount): reopening with a different
+    * count would route keys away from their stored open versions —
+    * silent duplicate/contradictory history rows. Persisted at first
+    * commit, asserted on every later one.
+    */
+  private def checkBucketCount(): Unit = {
+    val f = root.resolve("_buckets")
+    if (Files.exists(f)) {
+      val stored = Files.readString(f).trim.toInt
+      require(stored == buckets,
+        s"history $dir was written with buckets=$stored, opened with $buckets")
+    } else {
+      Files.createDirectories(root)
+      Files.writeString(f, buckets.toString): Unit
+    }
+  }
 
-  override def committedEpoch: Option[Long] = versions.lastOption
+  /** Read the CURRENT pointer, not manifest existence — the commit point
+    * is the atomic swap (see BucketedMergeSink.committedEpoch).
+    */
+  override def committedEpoch: Option[Long] =
+    if (!Files.exists(pointer)) None
+    else """m(\d+)\.manifest""".r
+      .findFirstMatchIn(Files.readString(pointer).trim)
+      .map(_.group(1).toLong)
 
   private def readBuckets(spark: SparkSession,
                           dirs: Seq[String]): Option[DataFrame] = {
@@ -102,6 +119,7 @@ class Scd2Sink(dir: String, buckets: Int = 16) extends CdcSink {
       CdcSink.warnReplay(s"Scd2Sink($dir)", epochId, committed.get)
       return
     }
+    checkBucketCount()
     val spark = batch.sparkSession
     val events = batch
       .filter(col("op") =!= Envelope.OpTombstone)

@@ -158,7 +158,14 @@ object RedisWireServer {
                 }
                 s.synchronized {
                   val id =
-                    if (cmd(2) == "*") s"${state.streamSeq.incrementAndGet()}-0"
+                    if (cmd(2) == "*") {
+                      // real redis: an auto id is ALWAYS greater than the
+                      // stream's top item, even after explicit-id appends
+                      val floor = if (s.isEmpty) 0L else parse(s.last._1)._1
+                      val ms = state.streamSeq
+                        .updateAndGet(cur => math.max(cur + 1, floor + 1))
+                      s"$ms-0"
+                    }
                     else if (cmd(2).contains("-")) cmd(2)
                     else s"${cmd(2)}-0"
                   // real redis: explicit IDs must be strictly greater than

@@ -119,4 +119,22 @@ class BucketedMergeSinkSpec extends AnyFunSuite {
     sink.merge(feed.filter(col("op") === "r"), 1L) // stale replay
     assert(canon(sink.view(spark)) == canon(Materialize.latestState(feed)))
   }
+
+  test("orphaned manifest (crash before CURRENT swap) is not a committed epoch") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "part"), "part")
+    val dir = Files.createTempDirectory("bsink-orphan")
+    val sink = new BucketedMergeSink(dir.toString, buckets = 8)
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    // simulate the crash window: epoch 1's manifest lands on disk but the
+    // CURRENT pointer was never swapped
+    Files.writeString(dir.resolve("m1.manifest"), "0\t/nowhere\t\n")
+    assert(sink.committedEpoch.contains(0L),
+      "an unswapped manifest must not count as committed")
+    // the foreachBatch replay of epoch 1 must APPLY, not be skipped
+    sink.merge(feed.filter(col("op") =!= "r"), 1L)
+    assert(canon(sink.view(spark)) ==
+      canon(Materialize.latestState(feed)))
+    assert(sink.committedEpoch.contains(1L))
+  }
 }
