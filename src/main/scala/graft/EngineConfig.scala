@@ -93,11 +93,16 @@ object EngineConfig {
       // reference applies the statement only to the snapshot SELECT
       val base = snapshotOverrideWhere match {
         case Some(pred) =>
-          val cols = feed.schema("after").dataType
-            .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
-          val rewritten = cols.foldLeft(pred)((p, c) =>
-            p.replaceAll(s"\\b$c\\b", s"after.$c"))
-          base0.filter(col("op") =!= Envelope.OpRead || expr(rewritten))
+          // resolve the WHERE against the after image by EXPANDING the
+          // struct into scope (after.* wins name resolution), never by
+          // text rewriting — a regex replace would corrupt string
+          // literals containing column names, columns named like
+          // envelope fields, and names with regex metacharacters
+          val keep = base0.columns.map(col)
+          base0
+            .select(keep :+ col("after.*"): _*)
+            .filter(col("op") =!= Envelope.OpRead || expr(pred))
+            .select(keep: _*)
         case None => base0
       }
       val included = columnInclude match {
@@ -355,6 +360,13 @@ object EngineConfig {
         val url = props.getOrElse("offset.storage.jdbc.url",
           fail("offset.storage.jdbc.url is required"))
         () => new JdbcOffsetBackingStore(url)
+      case "org.apache.kafka.connect.storage.KafkaOffsetBackingStore" =>
+        // Connect's standard embedded-engine value; topic + bootstrap
+        // keys as the reference passes them through
+        val (host, port) = hostPort(props, "offset.storage.kafka.bootstrap.servers")
+        val topic = props.getOrElse("offset.storage.topic",
+          fail("offset.storage.topic is required"))
+        () => new graft.model.KafkaOffsetBackingStore(host, port, topic)
       case "io.debezium.storage.redis.offset.RedisOffsetBackingStore" =>
         // ref RedisOffsetBackingStoreConfig: offset.storage.redis.address
         val (host, port) = hostPort(props, "offset.storage.redis.address")
@@ -414,12 +426,22 @@ object EngineConfig {
     }
   }
 
+  /** Parse a connection address the way reference configs write them:
+    * a comma-separated bootstrap LIST is legal (the engine connects to
+    * the first entry), the port is everything after the LAST colon (so
+    * `[::1]:9092` IPv6 forms parse), and a bare `host:port` still works.
+    */
   private def hostPort(props: Map[String, String], key: String): (String, Int) = {
     val v = props.getOrElse(key, fail(s"$key is required"))
-    v.split(":") match {
-      case Array(h, p) => (h, p.toInt)
-      case _           => fail(s"$key must be host:port, got '$v'")
-    }
+    val first = v.split(",").head.trim
+    val cut = first.lastIndexOf(':')
+    if (cut <= 0 || cut == first.length - 1)
+      fail(s"$key must be host:port, got '$v'")
+    val host = first.substring(0, cut).stripPrefix("[").stripSuffix("]")
+    val port = try first.substring(cut + 1).toInt
+      catch { case _: NumberFormatException =>
+        fail(s"$key must be host:port, got '$v'") }
+    (host, port)
   }
 
   private def parseTypeHandling(props: Map[String, String])

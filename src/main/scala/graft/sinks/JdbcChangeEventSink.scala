@@ -2,7 +2,7 @@ package graft.sinks
 
 import java.sql.{Connection, PreparedStatement}
 
-import graft.model.Jdbc
+import graft.model.{Envelope, Jdbc}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -92,6 +92,10 @@ object JdbcChangeEventSink {
         throw new IllegalArgumentException(s"unsupported primary.key.mode '$other'")
     }
 
+  private def quoted(name: String, cfg: Config): String =
+    SqlDialects.forName(cfg.dialect)
+      .quoteIfRequested(name, cfg.quoteIdentifiers)
+
   private def payloadSchema(envelope: DataFrame): StructType =
     envelope.schema("after").dataType.asInstanceOf[StructType]
 
@@ -107,7 +111,10 @@ object JdbcChangeEventSink {
     try {
       val meta = conn.getMetaData
       val existing = {
-        val rs = meta.getColumns(null, null, table.toUpperCase, null)
+        // quoted identifiers are stored case-exact; unquoted ones are
+        // upper-cased by Derby's catalog
+        val lookup = if (cfg.quoteIdentifiers) table else table.toUpperCase
+        val rs = meta.getColumns(null, null, lookup, null)
         val b = Seq.newBuilder[String]
         while (rs.next()) b += rs.getString("COLUMN_NAME").toLowerCase
         rs.close()
@@ -119,7 +126,9 @@ object JdbcChangeEventSink {
         if (cfg.schemaEvolution != "basic")
           throw new IllegalStateException(
             s"table $table does not exist and schema.evolution=${cfg.schemaEvolution}")
-        conn.createStatement().execute(d.createTable(table, cols, pk))
+        val qCols = cols.map { case (n, t, nl) => (quoted(n, cfg), t, nl) }
+        conn.createStatement().execute(d.createTable(quoted(table, cfg),
+          qCols, pk.map(quoted(_, cfg))))
       } else {
         val missing = cols.filterNot { case (n, _, _) => existing.contains(n.toLowerCase) }
         if (missing.nonEmpty) {
@@ -128,7 +137,8 @@ object JdbcChangeEventSink {
               s"table $table is missing columns ${missing.map(_._1)} and " +
                 s"schema.evolution=${cfg.schemaEvolution}")
           // evolved columns are always nullable on the target (existing rows)
-          d.alterStatements(table, missing.map { case (n, t, _) => (n, t, true) })
+          d.alterStatements(quoted(table, cfg),
+            missing.map { case (n, t, _) => (quoted(n, cfg), t, true) })
             .foreach(conn.createStatement().execute(_))
           conn.commit()
         }
@@ -146,6 +156,9 @@ object JdbcChangeEventSink {
   def write(envelope: DataFrame, table: String, cfg: Config,
             numPartitions: Int = 8): Unit = {
     val keyFields = keyFieldsFor(envelope, cfg)
+    require(keyFields.nonEmpty || !cfg.useReductionBuffer,
+      "use.reduction.buffer dedups BY KEY; with primary.key.mode=none it " +
+        "would reduce the whole batch to one row — rejected")
     val filter = cfg.fieldFilter
     // field.include.list / field.exclude.list apply to value columns;
     // key fields always pass (they identify the target row)
@@ -154,13 +167,47 @@ object JdbcChangeEventSink {
     val nonKey = payload.fieldNames.toSeq.filterNot(keyFields.contains)
     ensureTable(cfg, table, payload, keyFields)
 
+    // key VALUES come from the key struct for record_key, but from the
+    // RECORD VALUE for record_value (ref PrimaryKeyMode.RECORD_VALUE —
+    // the named fields live in the payload; deletes carry them in the
+    // before image)
+    val keyCol: String => org.apache.spark.sql.Column =
+      if (cfg.primaryKeyMode == "record_value")
+        f => coalesce(col(s"after.`$f`"), col(s"before.`$f`"))
+      else f => col(s"key.`$f`")
+
+    // TRUNCATE is a table-wide barrier: it cannot ride the per-key
+    // partition order (another partition's earlier rows would wipe
+    // nondeterministically). Execute the LAST truncate driver-side
+    // first, then apply only the events after it — everything before
+    // would be wiped anyway.
+    val afterTruncate =
+      if (!cfg.truncateEnabled) envelope
+      else {
+        val t = envelope.filter(col("op") === Envelope.OpTruncate)
+          .agg(max(col("source.pos"))).head
+        if (t.isNullAt(0)) envelope
+        else {
+          val cut = t.getLong(0)
+          val conn = Jdbc.connect(cfg.url)
+          try {
+            conn.createStatement()
+              .execute(SqlDialects.forName(cfg.dialect).truncate(
+                quoted(table, cfg)))
+            conn.commit()
+          } finally conn.close()
+          envelope.filter(col("source.pos") > cut &&
+            col("op") =!= Envelope.OpTruncate)
+        }
+      }
+
     // ReducedRecordBuffer (ref ReducedRecordBuffer.java): only each key's
     // latest event reaches the target — one statement per key per flush
-    val ordered0 = envelope.withColumn("__pos", col("source.pos"))
+    val ordered0 = afterTruncate.withColumn("__pos", col("source.pos"))
     val ordered =
       if (!cfg.useReductionBuffer) ordered0
       else {
-        val w = Window.partitionBy(keyFields.map(f => col(s"key.`$f`")): _*)
+        val w = Window.partitionBy(keyFields.map(keyCol): _*)
           .orderBy(col("__pos").desc)
         ordered0.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
@@ -170,7 +217,7 @@ object JdbcChangeEventSink {
     val routed =
       if (keyFields.isEmpty) ordered.repartition(numPartitions)
       else ordered
-        .repartition(numPartitions, keyFields.map(f => col(s"key.`$f`")): _*)
+        .repartition(numPartitions, keyFields.map(keyCol): _*)
         .sortWithinPartitions(col("__pos"))
 
     val url = cfg.url
@@ -178,11 +225,12 @@ object JdbcChangeEventSink {
     val insertMode = cfg.insertMode
     val deleteEnabled = cfg.deleteEnabled
     val truncateEnabled = cfg.truncateEnabled
+    val quoteIds = cfg.quoteIdentifiers
     val kf = keyFields
     val nk = nonKey
     val flat = routed.select(
       col("op") +:
-        kf.map(f => col(s"key.`$f`").as(s"__k_$f")) ++:
+        kf.map(f => keyCol(f).as(s"__k_$f")) ++:
         payload.fieldNames.toSeq.map(f => col(s"after.`$f`").as(s"__v_$f")): _*)
 
     flat.foreachPartition { (rows: Iterator[Row]) =>
@@ -191,7 +239,7 @@ object JdbcChangeEventSink {
         val conn = Jdbc.connect(url) // autoCommit already off
         try {
           val exec = new PartitionWriter(conn, d, table, kf, nk,
-            insertMode, deleteEnabled, truncateEnabled)
+            insertMode, deleteEnabled, truncateEnabled, quoteIds)
           rows.foreach(exec.apply)
           exec.flush()
           conn.commit()
@@ -209,7 +257,14 @@ object JdbcChangeEventSink {
   private final class PartitionWriter(conn: Connection, d: SqlDialect,
                                       table: String, kf: Seq[String], nk: Seq[String],
                                       insertMode: String, deleteEnabled: Boolean,
-                                      truncateEnabled: Boolean) extends Serializable {
+                                      truncateEnabled: Boolean,
+                                      quoteIds: Boolean) extends Serializable {
+    // identifiers as they appear in SQL (quote.identifiers=true quotes
+    // every one); row access keeps the raw names
+    private def q(s: String): String = d.quoteIfRequested(s, quoteIds)
+    private val qTable = q(table)
+    private val qKf = kf.map(q)
+    private val qNk = nk.map(q)
     private val stmts = scala.collection.mutable.Map.empty[String, PreparedStatement]
     private var batched: PreparedStatement = null
     private var batchedSql: String = null
@@ -279,22 +334,25 @@ object JdbcChangeEventSink {
       def valVals(names: Seq[String]) = names.map(f => r.get(r.fieldIndex(s"__v_$f")))
       op match {
         case "t" =>
-          if (truncateEnabled) { flush(); prep(d.truncate(table)).execute() }
+          // with truncate.enabled the driver already executed the barrier
+          // truncate and filtered 't' events out; reaching here means the
+          // feature is off — ignore, like deletes with delete.enabled=off
+          ()
         case "d" | "x" =>
           if (deleteEnabled) {
             require(kf.nonEmpty, "delete.enabled requires a primary key mode with keys")
-            addToBatch(d.delete(table, kf), bindVals(_, keyVals))
+            addToBatch(d.delete(qTable, qKf), bindVals(_, keyVals))
           }
         case _ =>
           insertMode match {
             case "insert" =>
-              addToBatch(d.insert(table, kf, nk),
+              addToBatch(d.insert(qTable, qKf, qNk),
                 bindVals(_, keyVals ++ valVals(nk)))
             case "update" =>
-              addToBatch(d.update(table, kf, nk),
+              addToBatch(d.update(qTable, qKf, qNk),
                 bindVals(_, valVals(nk) ++ keyVals))
             case "upsert" =>
-              d.upsert(table, kf, nk).split("\n") match {
+              d.upsert(qTable, qKf, qNk).split("\n") match {
                 case Array(single) =>
                   addToBatch(single, bindVals(_, keyVals ++ valVals(nk)))
                 case pair @ Array(_, _) => // Derby pair: buffered, see flushPairs

@@ -50,7 +50,8 @@ object MongoChangeEventSink {
     case t: java.time.LocalDateTime   => // µs precision survives as epoch-µs
       BInt64(t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
         t.getNano / 1000L)
-    case t: java.sql.Timestamp        => BInt64(t.getTime * 1000L)
+    case t: java.sql.Timestamp        => // keep the sub-ms digits getTime drops
+      BInt64(t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
     case d: java.time.LocalDate       => BStr(d.toString)
     case d: java.sql.Date             => BStr(d.toString)
     case other => throw new IllegalArgumentException(
@@ -152,15 +153,36 @@ object MongoChangeEventSink {
     val session = new MongoWireClient.CommandSession(cfg.host, cfg.port)
     val docs =
       try {
-        val reply = session.command(BDoc(Seq(
-          "find" -> BStr(collection), "$db" -> BStr(cfg.database))))
-        reply.get("cursor") match {
-          case Some(c: BDoc) => c.get("firstBatch") match {
-            case Some(BArr(items)) => items.collect { case d: BDoc => d }
-            case _ => Nil
+        // follow the cursor with getMore until it closes (cursor id 0) —
+        // firstBatch alone silently truncates at the server batch size
+        val acc = Seq.newBuilder[BDoc]
+        def drainBatch(c: BDoc, batchKey: String): Long = {
+          c.get(batchKey) match {
+            case Some(BArr(items)) =>
+              acc ++= items.collect { case d: BDoc => d }
+            case _ => ()
           }
-          case _ => Nil
+          c.get("id") match {
+            case Some(Bson.BInt64(id)) => id
+            case _                     => 0L
+          }
         }
+        val first = session.command(BDoc(Seq(
+          "find" -> BStr(collection), "$db" -> BStr(cfg.database))))
+        var cursorId = first.get("cursor") match {
+          case Some(c: BDoc) => drainBatch(c, "firstBatch")
+          case _             => 0L
+        }
+        while (cursorId != 0L) {
+          val more = session.command(BDoc(Seq(
+            "getMore" -> Bson.BInt64(cursorId),
+            "collection" -> BStr(collection), "$db" -> BStr(cfg.database))))
+          cursorId = more.get("cursor") match {
+            case Some(c: BDoc) => drainBatch(c, "nextBatch")
+            case _             => 0L
+          }
+        }
+        acc.result()
       } finally session.close()
     import spark.implicits._
     spark.read.json(docs.map(Bson.renderJson).toDS())

@@ -122,8 +122,15 @@ object SqlDialects {
   object MySql extends SqlDialect {
     val name = "mysql"
     override def quote(id: String): String = s"`$id`"
-    override protected def alterColumnPrefix = "ADD COLUMN ("
-    override protected def alterSuffix = ")"
+    /** MySQL's multi-add form is ONE parenthesized group:
+      * `ADD COLUMN (a INT NULL, b INT NULL)` — a per-column prefix with
+      * a single closing paren would be malformed for 2+ columns.
+      */
+    override def alterAddColumns(table: String,
+                                 columns: Seq[(String, String, Boolean)]): String =
+      s"ALTER TABLE $table ADD COLUMN (" + columns.map {
+        case (n, t, nullable) => s"$n $t" + nullConstraint(nullable)
+      }.mkString(", ") + ")"
     override def sqlType(dt: DataType): String = dt match {
       case StringType => "LONGTEXT"
       case DoubleType => "DOUBLE"

@@ -75,6 +75,10 @@ object MongoSinkServer {
 
     def handle(socket: Socket): Unit = {
       stats.connections.incrementAndGet()
+      // per-connection cursors (real cursors are session-bound)
+      val openCursors =
+        scala.collection.mutable.Map.empty[Long, (String, Seq[BDoc])]
+      val nextCursorId = new java.util.concurrent.atomic.AtomicLong(7000L)
       try {
         socket.setTcpNoDelay(true)
         val in = new DataInputStream(socket.getInputStream)
@@ -142,12 +146,37 @@ object MongoSinkServer {
 
             case Some(("find", BStr(c))) =>
               import scala.jdk.CollectionConverters._
+              // real mongod caps the first batch at 101 documents and
+              // opens a cursor for the rest — a read-back that ignores
+              // getMore must SEE the truncation, not be saved by the
+              // fixture
               val docs = coll(c).values().asScala.toSeq
+              val (first, rest) = docs.splitAt(101)
+              val cid =
+                if (rest.isEmpty) 0L
+                else {
+                  val id = nextCursorId.incrementAndGet()
+                  openCursors(id) = (c, rest)
+                  id
+                }
               writeOpMsg(out, reqId, ok(
                 "cursor" -> BDoc(Seq(
-                  "id" -> BInt64(0L),
+                  "id" -> BInt64(cid),
                   "ns" -> BStr(s"db.$c"),
-                  "firstBatch" -> BArr(docs)))))
+                  "firstBatch" -> BArr(first)))))
+
+            case Some(("getMore", BInt64(cid))) =>
+              val (c, rest) = openCursors.getOrElse(cid,
+                throw new IllegalStateException(s"unknown cursor $cid"))
+              val (batch, more) = rest.splitAt(1000)
+              val nid =
+                if (more.isEmpty) { openCursors.remove(cid); 0L }
+                else { openCursors(cid) = (c, more); cid }
+              writeOpMsg(out, reqId, ok(
+                "cursor" -> BDoc(Seq(
+                  "id" -> BInt64(nid),
+                  "ns" -> BStr(s"db.$c"),
+                  "nextBatch" -> BArr(batch)))))
 
             case Some(("endSessions", _)) =>
               writeOpMsg(out, reqId, ok())

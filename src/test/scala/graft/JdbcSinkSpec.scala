@@ -166,4 +166,75 @@ class JdbcSinkSpec extends AnyFunSuite {
     // reference trims whitespace around entries and matches
     assert(!FieldFilters.forLists("", " a : b ")("a", "b"))
   }
+
+  test("record_value keys come from the VALUE, not the key struct") {
+    val u = url()
+    val cfg = Sink.fromProps(Map(
+      "connection.url" -> u,
+      "insert.mode" -> "upsert",
+      "delete.enabled" -> "true",
+      "primary.key.mode" -> "record_value",
+      "primary.key.fields" -> "s_suppkey",
+      "schema.evolution" -> "basic"))
+    Sink.write(feed, "supplier_rv", cfg, numPartitions = 4)
+    assert(canon(Sink.readTable(spark, u, "supplier_rv")) ==
+      canon(Materialize.latestState(feed)))
+  }
+
+  test("reduction buffer with primary.key.mode=none is rejected") {
+    val cfg = Sink.fromProps(Map(
+      "connection.url" -> url(),
+      "insert.mode" -> "insert",
+      "primary.key.mode" -> "none",
+      "schema.evolution" -> "basic",
+      "use.reduction.buffer" -> "true"))
+    intercept[IllegalArgumentException] {
+      Sink.write(feed, "supplier_bad", cfg)
+    }
+  }
+
+  test("mysql multi-column ALTER is one parenthesized group") {
+    assert(SqlDialects.MySql.alterAddColumns("t",
+      Seq(("a", "INT", true), ("b", "BIGINT", false))) ==
+      "ALTER TABLE t ADD COLUMN (a INT NULL, b BIGINT NOT NULL)")
+  }
+
+  test("truncate is a barrier: only post-truncate events survive") {
+    val u = url()
+    val cfg = Sink.fromProps(Map(
+      "connection.url" -> u,
+      "insert.mode" -> "upsert",
+      "delete.enabled" -> "true",
+      "truncate.enabled" -> "true",
+      "primary.key.mode" -> "record_key",
+      "schema.evolution" -> "basic"))
+    // truncate positioned between the snapshot reads and the stream
+    val maxReadPos = feed.filter(col("op") === "r")
+      .agg(max(col("source.pos"))).head.getLong(0)
+    val tEvent = feed.limit(1).select(
+      col("key"), col("before"), col("after"),
+      lit("t").as("op"),
+      col("source").withField("pos", lit(maxReadPos + 1)).as("source"),
+      col("transaction"), col("ts_ms"))
+    Sink.write(feed.unionAll(tEvent), "supplier_tr", cfg, numPartitions = 4)
+    // expected: snapshot wiped; only the u/d stream (pos > truncate) applied
+    val want = feed.filter(col("source.pos") > maxReadPos + 1 &&
+      col("op") === "u").select(col("after.*"))
+    assert(canon(Sink.readTable(spark, u, "supplier_tr")) == canon(want))
+  }
+
+  test("quote.identifiers quotes DDL and DML end-to-end on Derby") {
+    val u = url()
+    val cfg = Sink.fromProps(Map(
+      "connection.url" -> u,
+      "insert.mode" -> "upsert",
+      "delete.enabled" -> "true",
+      "primary.key.mode" -> "record_key",
+      "schema.evolution" -> "basic",
+      "quote.identifiers" -> "true"))
+    Sink.write(feed, "supplier_q", cfg, numPartitions = 4)
+    // quoted create keeps the exact-case (lowercase) table name
+    val got = Sink.readTable(spark, u, "\"supplier_q\"")
+    assert(canon(got) == canon(Materialize.latestState(feed)))
+  }
 }
