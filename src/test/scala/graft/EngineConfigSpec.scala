@@ -260,4 +260,44 @@ class EngineConfigSpec extends AnyFunSuite {
     assert(c.connectorClass.endsWith("MySqlConnector"))
     assert(c.topicPrefix == "prod")
   }
+
+  test("bootstrap lists and IPv6 addresses parse; kafka offset store resolves") {
+    // multi-host bootstrap list: first entry wins
+    val (port, _, _) = graft.tools.KafkaWireServer.serve()
+    val c = graft.EngineConfig.compile(Map(
+      "offset.storage" ->
+        "org.apache.kafka.connect.storage.KafkaOffsetBackingStore",
+      "offset.storage.kafka.bootstrap.servers" ->
+        s"127.0.0.1:$port, other-host:9092",
+      "offset.storage.topic" -> "cfg-offsets"))
+    val st = c.offsetStore.get.apply()
+    st.set("orders", "42")
+    assert(st.get("orders").contains("42"))
+    // IPv6 form parses (connection not attempted — parse only)
+    intercept[IllegalArgumentException] {
+      graft.EngineConfig.compile(Map(
+        "offset.storage" ->
+          "org.apache.kafka.connect.storage.KafkaOffsetBackingStore",
+        "offset.storage.kafka.bootstrap.servers" -> "no-port-here",
+        "offset.storage.topic" -> "t"))
+    }
+  }
+
+  test("snapshot override WHERE survives literals containing column names") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.get
+    val df = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val compiled = graft.EngineConfig.compile(Map(
+      "snapshot.mode" -> "initial",
+      "snapshot.select.statement.overrides" -> "inventory.orders",
+      "snapshot.select.statement.overrides.inventory.orders" ->
+        "SELECT * FROM inventory.orders WHERE o_orderpriority <> 'no o_orderkey here' AND o_totalprice > 200000"),
+      table = "orders")
+    val out = compiled.run(graft.sources.ChangeFeedGen.standardFeed(df, "orders"))
+    val reads = out.filter(col("op") === "r")
+    // the literal containing a column name must NOT be rewritten: the
+    // predicate filters on price only (priority literal never matches)
+    assert(reads.count() ==
+      df.filter(col("o_totalprice") > 200000).count())
+  }
 }
