@@ -38,9 +38,9 @@ object Fim {
     val spm = h32("fim-m:", id) % 2 === 0
     docs.select(
       id.as("doc_id"),
-      when(len < 3, lit("raw"))
+      when(len.isNull || len < 3, lit("raw"))
         .when(spm, lit("spm")).otherwise(lit("psm")).as("mode"),
-      when(len < 3, text)
+      when(len.isNull || len < 3, text)
         .when(spm, concat(lit("<SUF>"), sfx, lit("<PRE>"), p,
           lit("<MID>"), m))
         .otherwise(concat(lit("<PRE>"), p, lit("<SUF>"), sfx,

@@ -30,11 +30,15 @@ import org.apache.spark.sql.functions._
   */
 object Histogram {
 
-  /** HDR bucket index of a non-negative integer column. */
+  /** HDR bucket index of a non-negative integer column; a negative or
+    * null input yields NULL (surfaced as its own bucket row) instead of
+    * silently corrupting the bucket order.
+    */
   def hdrBucket(x0: Column, s: Int): Column = {
     val x = x0.cast("long")
     val e = (length(bin(x)) - 1).cast("int")
-    when(x < (1L << (s + 1)), x)
+    when(x.isNull || x < 0, lit(null).cast("long"))
+      .when(x < (1L << (s + 1)), x)
       .otherwise((e - s).cast("long") * (1L << s) +
         call_function("shiftright", x, e - lit(s)))
   }

@@ -28,13 +28,11 @@ object ZOrder {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     val x = x0.cast("long")
     val y = y0.cast("long")
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-      (acc, i) =>
-        acc +
-          call_function("shiftleft",
-            call_function("shiftright", x, i).bitwiseAND(lit(1L)), i * 2) +
-          call_function("shiftleft",
-            call_function("shiftright", y, i).bitwiseAND(lit(1L)),
-            i * 2 + lit(1)))
+    // statically unrolled: a flat codegen-friendly expression tree, no
+    // per-row array or lambda evaluation on the clustering sort path
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
   }
 }

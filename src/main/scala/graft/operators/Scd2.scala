@@ -41,7 +41,10 @@ object Scd2 {
     * a synthetic read event and the algebra reproduces or closes it.
     */
   def intervals(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("key")).orderBy(col("pos"))
+    // pos is the collision-free log order; the op tiebreak makes the
+    // result deterministic even if a caller violates that invariant
+    // (e.g. a stored open version re-entering at its own valid_from_pos)
+    val w = Window.partitionBy(col("key")).orderBy(col("pos"), col("op"))
     events
       .withColumn("valid_to_pos", lead(col("pos"), 1).over(w))
       .filter(col("op") =!= Envelope.OpDelete)

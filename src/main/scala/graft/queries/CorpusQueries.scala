@@ -1538,9 +1538,9 @@ object CorpusQueries extends QueryGroup {
         |   greatest(ha % greatest(len-1, 1) + 1, hb % greatest(len-1, 1) + 1) AS c2
         |  FROM h)
         |SELECT doc_id,
-        | CASE WHEN len < 3 THEN 'raw'
+        | CASE WHEN len IS NULL OR len < 3 THEN 'raw'
         |      WHEN hm % 2 = 0 THEN 'spm' ELSE 'psm' END AS mode,
-        | CASE WHEN len < 3 THEN text
+        | CASE WHEN len IS NULL OR len < 3 THEN text
         |      WHEN hm % 2 = 0 THEN
         |        '<SUF>' || substr(text, c2+1, len-c2) || '<PRE>' ||
         |        substr(text, 1, c1) || '<MID>' || substr(text, c1+1, c2-c1)

@@ -54,7 +54,7 @@ object KafkaTopicSink {
         }
       }
     }.toDF("topic", "n")
-    counts.groupBy("topic").agg(sum("n").as("produced"))
+    eagerCounts(spark, counts, "produced")
   }
 
   /** KIP-98 idempotent produce path: each executor task obtains a
@@ -65,6 +65,13 @@ object KafkaTopicSink {
     * `retryEach = true` every batch is deliberately sent twice
     * (simulated ack timeout); the broker must return the ORIGINAL base
     * offset for the retry and append nothing.
+    */
+  /** NOTE: like real Kafka idempotence (KIP-98 without transactions),
+    * the dedup window is per PRODUCER SESSION — it fences ack-lost
+    * RETRIES within a task attempt; a full Spark task re-execution gets
+    * a fresh pid and re-appends. Cross-attempt exactly-once needs a
+    * data-derived fence (see RedisStreamSink.writeIdempotent) or
+    * transactional produce.
     */
   def writeIdempotent(df: DataFrame, host: String, port: Int,
                       batchSize: Int = 500,
@@ -110,7 +117,20 @@ object KafkaTopicSink {
         } finally client.close()
       }
     }.toDF("topic", "n")
-    counts.groupBy("topic").agg(sum("n").as("produced"))
+    eagerCounts(spark, counts, "produced")
+  }
+
+  /** Produce side effects must run EXACTLY ONCE per call: the
+    * mapPartitions above is lazy, so the counts materialize HERE (one
+    * action) and the caller gets a local frame — re-collecting it
+    * cannot re-produce the records.
+    */
+  private def eagerCounts(spark: org.apache.spark.sql.SparkSession,
+                          counts: DataFrame, alias: String): DataFrame = {
+    import spark.implicits._
+    counts.groupBy("topic").agg(sum("n").as(alias))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("topic", alias)
   }
 
   /** Read every record of every topic back (driver-side verification

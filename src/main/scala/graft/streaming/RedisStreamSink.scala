@@ -68,7 +68,12 @@ object RedisStreamSink {
         } finally client.close()
       }
     }.toDF("topic", "n")
+    // produce exactly once: materialize the lazy mapPartitions HERE and
+    // hand back a local frame (re-collecting must not re-XADD)
+    import spark.implicits._
     counts.groupBy("topic").agg(sum("n").as("produced"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("topic", "produced")
   }
 
   /** Exactly-once append: each record is XADDed with an EXPLICIT id
@@ -77,7 +82,10 @@ object RedisStreamSink {
     * top item, so a replayed batch is rejected record-by-record by the
     * SERVER — at-least-once delivery composes to exactly-once stream
     * content with no sink-side epoch state at all (the log position IS
-    * the fence). `df`: (topic, pos, key, value) rows; returns per-topic
+    * the fence). `df`: (topic, pos, key, value) rows; POS MUST BE
+    * UNIQUE WITHIN A TOPIC and non-negative (the envelope's pos is a
+    * collision-free total order by contract) — a violated invariant
+    * would be misread as a replay. Returns per-topic
     * (produced, skipped) counts.
     */
   def writeIdempotent(df: DataFrame, host: String, port: Int,
@@ -120,8 +128,11 @@ object RedisStreamSink {
         } finally client.close()
       }
     }.toDF("topic", "p", "s")
+    import spark.implicits._
     counts.groupBy("topic")
       .agg(sum("p").as("produced"), sum("s").as("skipped"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .toDF("topic", "produced", "skipped")
   }
 
   /** Read every entry of every stream back (driver-side verification
@@ -132,11 +143,16 @@ object RedisStreamSink {
     import spark.implicits._
     val client = new RedisClient(host, port, password)
     try {
-      val streams = client.command("KEYS", "*") match {
+      val keys = client.command("KEYS", "*") match {
         case RedisClient.Arr(items) => items.collect {
           case RedisClient.Bulk(k) => k
         }
         case other => throw new IllegalStateException(s"KEYS failed: $other")
+      }
+      // the instance may also hold non-stream keys (e.g. the hash-based
+      // offset store); XRANGE on those is WRONGTYPE on real redis
+      val streams = keys.filter { k =>
+        client.command("TYPE", k) == RedisClient.Simple("stream")
       }
       val rows = streams.flatMap { stream =>
         client.xrangeAll(stream).map { case (id, fields) =>

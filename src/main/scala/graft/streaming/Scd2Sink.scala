@@ -75,7 +75,9 @@ class Scd2Sink(dir: String, buckets: Int = 16) extends CdcSink {
                           dirs: Seq[String]): Option[DataFrame] = {
     val existing = dirs.distinct.filter(d => Files.exists(Paths.get(d)))
     if (existing.isEmpty) None
-    else Some(spark.read.parquet(existing: _*))
+    // versions written under different (evolved) schemas must surface
+    // every column
+    else Some(spark.read.option("mergeSchema", "true").parquet(existing: _*))
   }
 
   /** The full history table (user-facing shape). */
@@ -146,9 +148,13 @@ class Scd2Sink(dir: String, buckets: Int = 16) extends CdcSink {
             .select(col("key"), lit(Envelope.OpRead).as("op"),
               col("after"), col("valid_from_pos").as("pos"),
               col("_bucket"))
+          // allowMissingColumns: a batch under an EVOLVED after-schema
+          // must merge into history written before the evolution
           closed.unionByName(
-            Scd2.intervals(reopened.unionByName(events))
-              .withColumn("_bucket", bucketCol))
+            Scd2.intervals(reopened.unionByName(events,
+              allowMissingColumns = true))
+              .withColumn("_bucket", bucketCol),
+            allowMissingColumns = true)
       }
       val vdir = root.resolve(s"v$epochId").toString
       val writeTasks = math.min(touched.size.max(1),

@@ -183,6 +183,11 @@ object RedisWireServer {
                   }
                 }
               case "XLEN" => integer(out, state.streamLen(cmd(1)).toLong)
+              case "TYPE" =>
+                simple(out,
+                  if (state.streams.contains(cmd(1))) "stream"
+                  else if (state.hashes.contains(cmd(1))) "hash"
+                  else "none")
               case "KEYS" =>
                 // '*' pattern only (all the verification read uses)
                 require(cmd(1) == "*", s"KEYS pattern '${cmd(1)}' unsupported")
