@@ -48,6 +48,13 @@ object Scd2 {
     events
       .withColumn("valid_to_pos", lead(col("pos"), 1).over(w))
       .filter(col("op") =!= Envelope.OpDelete)
+      // zero-width versions (valid_to_pos == valid_from_pos) arise only
+      // when two events share a pos — e.g. a batch event redelivered at
+      // the exact pos of a stored open version re-entering as a
+      // synthetic read. A zero-width version is never observable by any
+      // as-of read, so drop it rather than emit a degenerate row.
+      .filter(col("valid_to_pos").isNull ||
+        col("valid_to_pos") =!= col("pos"))
       .select(col("key"), col("after"),
         col("pos").as("valid_from_pos"), col("valid_to_pos"))
   }

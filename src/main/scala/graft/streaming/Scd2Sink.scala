@@ -1,48 +1,97 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 import graft.model.Envelope
 import graft.operators.Scd2
 
 /** Streaming SCD-2 maintenance: the history table kept current under
-  * micro-batch change feeds. Closed versions are immutable — they append
-  * once and are never rewritten; only the OPEN version of a key can
-  * change (the next event closes it). Each epoch:
+  * micro-batch change feeds, with the [[LsmMergeSink]] cost model —
+  * closed versions physically APPEND ONCE and are never re-read or
+  * rewritten on the hot path; only the bounded OPEN-version set of the
+  * touched buckets rewrites per epoch. Each epoch:
   *
   *  1. routes batch events by key hash into `buckets`;
-  *  2. reads ONLY the touched buckets' stored rows; closed rows pass
-  *     through untouched;
+  *  2. reads ONLY the touched buckets' OPEN versions (one row per live
+  *     key — bounded by key count, never by history length); closed
+  *     history is not read at all;
   *  3. re-enters each stored open version as a synthetic read event and
-  *     runs the same interval algebra ([[Scd2.intervals]]) over
+  *     runs the interval algebra ([[Scd2.intervals]]) over
   *     (synthetic ∪ batch) — a key with no batch events reproduces its
-  *     open row bit-for-bit, a key with events closes it and appends the
-  *     new versions;
-  *  4. commits by manifest + atomic CURRENT swap (the
+  *     open row bit-for-bit, a key with events closes it;
+  *  4. ONE partitioned write splits the result: rows that gained a
+  *     `valid_to_pos` are NEW closures (they were open or batch-internal
+  *     a moment ago) and land in this epoch's closed-version DELTA —
+  *     O(|batch|) bytes; still-open rows replace the touched buckets'
+  *     open set. Untouched buckets keep every file byte-for-byte;
+  *  5. once `compactEvery` closed deltas are outstanding, a compaction
+  *     folds them into the closed-base buckets they touch (pure
+  *     re-grouping — closed rows are immutable so no merge logic runs),
+  *     resetting read amplification;
+  *  6. commits by manifest + atomic CURRENT swap (the
   *     [[BucketedMergeSink]] idempotent-epoch contract: replaying a
   *     committed epoch is a no-op).
   *
-  * 100 TB shape: per-epoch work is O(touched buckets), not O(history);
-  * the unbounded closed-version history is append-only cold data while
-  * the rewrite set is bounded by the batch's key spread.
+  * 100 TB shape: per-epoch write I/O is O(|batch| + open keys of
+  * touched buckets) — with a hot key hammering one bucket every epoch,
+  * cost tracks the CHANGE RATE, while the unbounded closed history
+  * stays append-only cold data (the prior design re-read and re-wrote a
+  * touched bucket's full history each epoch, i.e. I/O grew linearly
+  * with history length under exactly that workload).
+  *
+  * Layout under `dir`: `e<epoch>/` per-epoch dirs partitioned by
+  * (`_closed`,`_bucket`) — `_closed=true` is the closed delta,
+  * `_closed=false/_bucket=b` the rewritten open sets — plus
+  * `b<epoch>/` compacted closed-base dirs, `m<epoch>.manifest` version
+  * files and the `CURRENT` pointer. Manifest lines: `O <bucket> <path>
+  * <ddl>` open sets, `B <bucket> <path> <ddl>` closed base, `C <seq>
+  * <path> <ddl> <b0,b1,...>` closed deltas in arrival order (the
+  * bucket list lets compaction enumerate leaf dirs with no listing or
+  * footer I/O; the DDL keys schema-evolution-safe reads, K4).
   */
-class Scd2Sink(dir: String, buckets: Int = 16) extends CdcSink {
+class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
+    extends CdcSink {
   private val root = Paths.get(dir)
   private val pointer = root.resolve("CURRENT")
 
   private def bucketCol = pmod(xxhash64(col("key")), lit(buckets))
 
-  private def manifest: Map[Int, String] =
-    if (!Files.exists(pointer)) Map.empty
-    else Files.readAllLines(root.resolve(Files.readString(pointer).trim))
-      .asScala.filter(_.nonEmpty).map { l =>
-        val Array(b, p) = l.split("\t", 2); b.toInt -> p
-      }.toMap
+  /** Open sets per bucket, closed base per bucket, closed deltas in
+    * arrival order (seq, path, ddl, touched buckets).
+    */
+  case class Manifest(open: Map[Int, (String, String)],
+                      base: Map[Int, (String, String)],
+                      deltas: Seq[(Long, String, String, Seq[Int])]) {
+    def deltaLeafs: Seq[(String, String)] = deltas.flatMap {
+      case (_, p, ddl, bs) => bs.map(b => (s"$p/_bucket=$b", ddl))
+    }
+    def closedDirs: Seq[(String, String)] =
+      base.values.toSeq ++ deltaLeafs
+  }
+
+  def manifest: Manifest =
+    if (!Files.exists(pointer)) Manifest(Map.empty, Map.empty, Seq.empty)
+    else parseManifest(root.resolve(Files.readString(pointer).trim))
+
+  private def parseManifest(mf: Path): Manifest = {
+    val lines = Files.readAllLines(mf).asScala.filter(_.nonEmpty)
+    def byBucket(tag: String) = lines.filter(_.startsWith(tag)).map { l =>
+      val Array(_, b, p, ddl) = l.split("\t", 4)
+      b.toInt -> (p, ddl)
+    }.toMap
+    val deltas = lines.filter(_.startsWith("C\t")).map { l =>
+      val Array(_, seq, p, ddl, bs) = l.split("\t", 5)
+      (seq.toLong, p, ddl,
+        bs.split(",").iterator.filter(_.nonEmpty).map(_.toInt).toSeq)
+    }.toSeq.sortBy(_._1)
+    Manifest(byBucket("O\t"), byBucket("B\t"), deltas)
+  }
 
   /** The bucket count is part of the on-disk layout (same hazard as
     * BucketedMergeSink.checkBucketCount): reopening with a different
@@ -71,48 +120,44 @@ class Scd2Sink(dir: String, buckets: Int = 16) extends CdcSink {
       .findFirstMatchIn(Files.readString(pointer).trim)
       .map(_.group(1).toLong)
 
-  private def readBuckets(spark: SparkSession,
-                          dirs: Seq[String]): Option[DataFrame] = {
-    val existing = dirs.distinct.filter(d => Files.exists(Paths.get(d)))
-    if (existing.isEmpty) None
-    // versions written under different (evolved) schemas must surface
-    // every column
-    else Some(spark.read.option("mergeSchema", "true").parquet(existing: _*))
-  }
-
-  /** The full history table (user-facing shape). */
-  def history(spark: SparkSession): DataFrame =
-    Scd2.present(readBuckets(spark, manifest.values.toSeq).getOrElse(
-      throw new IllegalStateException(s"no committed history in $dir"))
-      .drop("_bucket"))
-
-  /** CdcSink view = current rows (open versions' payloads). */
-  override def view(spark: SparkSession): DataFrame = {
-    val h = history(spark)
-    h.filter(col("is_current"))
-      .drop("valid_from_pos", "valid_to_pos", "is_current")
-  }
-
-  /** Delete version directories no longer referenced by the current
-    * manifest (VACUUM; same erosion contract as BucketedMergeSink).
+  /** One schema-known read per distinct DDL, `unionByName` across schema
+    * versions (K4 evolution without per-read footer merging); entries
+    * whose dir is absent (a touched bucket that ended with zero rows of
+    * that class) read as empty.
     */
-  def vacuum(): Int = {
-    val live = manifest.values
-      .map(p => Paths.get(p).getParent.getFileName.toString).toSet
-    val versionDirs = Using.resource(Files.list(root)) { st =>
-      st.iterator().asScala
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("v"))
-        .toSeq
+  private def readByDdl(spark: SparkSession,
+                        dirs: Seq[(String, String)]): Option[DataFrame] = {
+    val existing = dirs.distinct.filter(d => Files.exists(Paths.get(d._1)))
+    if (existing.isEmpty) return None
+    val parts = existing.groupBy(_._2).toSeq.sortBy(_._1).map { case (ddl, ds) =>
+      spark.read.schema(StructType.fromDDL(ddl)).parquet(ds.map(_._1): _*)
     }
-    val dead = versionDirs.filterNot(p => live(p.getFileName.toString))
-    dead.foreach { d =>
-      Using.resource(Files.walk(d)) { st =>
-        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(Files.delete(_))
-      }
-    }
-    dead.size
+    Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /** The full history table (user-facing shape): closed base + closed
+    * deltas + open sets, a pure union — no merge work at read time
+    * because every row is already a finalized version interval.
+    */
+  def history(spark: SparkSession): DataFrame = {
+    val m = manifest
+    Scd2.present(readByDdl(spark, m.closedDirs ++ m.open.values.toSeq)
+      .getOrElse(
+        throw new IllegalStateException(s"no committed history in $dir")))
+  }
+
+  /** CdcSink view = current rows (open versions' payloads) — reads the
+    * open sets ONLY, never the closed history.
+    */
+  override def view(spark: SparkSession): DataFrame = {
+    val m = manifest
+    val open = readByDdl(spark, m.open.values.toSeq)
+      // every key deleted: empty current state with the history's schema
+      .orElse(readByDdl(spark, m.closedDirs).map(_.limit(0)))
+      .getOrElse(
+        throw new IllegalStateException(s"no committed history in $dir"))
+    Scd2.present(open)
+      .drop("valid_from_pos", "valid_to_pos", "is_current")
   }
 
   def merge(batch: DataFrame, epochId: Long): Unit = {
@@ -133,46 +178,133 @@ class Scd2Sink(dir: String, buckets: Int = 16) extends CdcSink {
       val touched = events.select(col("_bucket")).distinct()
         .collect().map(_.getLong(0).toInt).toSet
       if (touched.isEmpty) return
-      val prevManifest = manifest
-      val prev = readBuckets(spark,
-        prevManifest.filter(kv => touched(kv._1)).values.toSeq)
-        .map(_.withColumn("_bucket", bucketCol)
-          .filter(col("_bucket").isin(touched.toSeq.map(_.toLong): _*)))
-      val merged = prev match {
-        case None => Scd2.intervals(events).withColumn("_bucket", bucketCol)
+      val m = manifest
+      // bounded read: open versions of touched buckets only (≤ one row
+      // per live key there). Closed history is NOT read.
+      val prevOpen = readByDdl(spark,
+        m.open.filter(kv => touched(kv._1)).values.toSeq)
+      val ivals = prevOpen match {
+        case None => Scd2.intervals(events.drop("_bucket"))
         case Some(p) =>
-          val closed = p.filter(col("valid_to_pos").isNotNull)
           // stored open versions re-enter as synthetic reads; the
-          // interval algebra closes them iff the batch has later events
-          val reopened = p.filter(col("valid_to_pos").isNull)
-            .select(col("key"), lit(Envelope.OpRead).as("op"),
-              col("after"), col("valid_from_pos").as("pos"),
-              col("_bucket"))
+          // interval algebra closes them iff the batch has later events.
           // allowMissingColumns: a batch under an EVOLVED after-schema
-          // must merge into history written before the evolution
-          closed.unionByName(
-            Scd2.intervals(reopened.unionByName(events,
-              allowMissingColumns = true))
-              .withColumn("_bucket", bucketCol),
-            allowMissingColumns = true)
+          // must merge with open rows written before the evolution
+          val reopened = p.select(col("key"),
+            lit(Envelope.OpRead).as("op"), col("after"),
+            col("valid_from_pos").as("pos"))
+          Scd2.intervals(reopened.unionByName(events.drop("_bucket"),
+            allowMissingColumns = true))
       }
-      val vdir = root.resolve(s"v$epochId").toString
+      // ONE write: rows with a valid_to_pos are NEW closures (append-once
+      // delta, O(|batch|)); open rows replace the touched buckets' sets
+      val out = ivals
+        .withColumn("_bucket", bucketCol)
+        .withColumn("_closed", col("valid_to_pos").isNotNull)
+      val edir = root.resolve(s"e$epochId")
       val writeTasks = math.min(touched.size.max(1),
         spark.sparkContext.defaultParallelism * 2)
-      merged.repartition(writeTasks, col("_bucket"))
-        .sortWithinPartitions(col("_bucket"), col("key"), col("valid_from_pos"))
-        .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
-      val newManifest = prevManifest ++
-        touched.map(b => b -> s"$vdir/_bucket=$b").toMap
-      val mfName = s"m$epochId.manifest"
-      Files.createDirectories(root)
-      Files.writeString(root.resolve(mfName),
-        newManifest.toSeq.sortBy(_._1)
-          .map { case (b, p) => s"$b\t$p" }.mkString("", "\n", "\n"))
-      val tmp = root.resolve(s"CURRENT.tmp$epochId")
-      Files.writeString(tmp, mfName)
-      Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE): Unit
+      out.repartition(writeTasks, col("_bucket"))
+        .sortWithinPartitions(col("_closed"), col("_bucket"), col("key"),
+          col("valid_from_pos"))
+        .write.mode("overwrite").partitionBy("_closed", "_bucket")
+        .parquet(edir.toString)
+      val ddl = StructType(out.schema
+        .filterNot(f => f.name == "_bucket" || f.name == "_closed")).toDDL
+      // driver metadata listing (≤ buckets entries), no data read
+      def writtenBuckets(cls: String): Seq[Int] = {
+        val d = edir.resolve(s"_closed=$cls")
+        if (!Files.exists(d)) Nil
+        else Using.resource(Files.list(d)) { st =>
+          st.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("_bucket="))
+            .map(_.stripPrefix("_bucket=").toInt).toSeq
+        }.sorted
+      }
+      val closedBuckets = writtenBuckets("true")
+      val openBuckets = writtenBuckets("false")
+      // every touched bucket's open set is replaced: buckets that ended
+      // with zero open rows (all keys deleted) lose their entry
+      val newOpen = (m.open -- touched) ++ openBuckets.map(b =>
+        b -> (s"$edir/_closed=false/_bucket=$b", ddl))
+      val nextSeq = (m.deltas.map(_._1) :+ 0L).max + 1
+      val newDeltas =
+        if (closedBuckets.isEmpty) m.deltas
+        else m.deltas :+
+          ((nextSeq, s"$edir/_closed=true", ddl, closedBuckets))
+      val next = Manifest(newOpen, m.base, newDeltas)
+      if (next.deltas.size >= compactEvery) compactClosed(spark, next, epochId)
+      else writeManifest(next, epochId)
     } finally { events.unpersist(); () }
+  }
+
+  /** Fold outstanding closed deltas into the closed-base buckets they
+    * touch. Closed versions are immutable, so this is pure re-grouping
+    * I/O (no merge logic, no window): read touched base buckets + delta
+    * leaves, rewrite those buckets. Untouched base buckets and all open
+    * sets keep their files byte-for-byte.
+    */
+  private def compactClosed(spark: SparkSession, m: Manifest,
+                            epochId: Long): Unit = {
+    val touched = m.deltas.flatMap(_._4).toSet
+    val all = readByDdl(spark,
+      m.base.filter(kv => touched(kv._1)).values.toSeq ++ m.deltaLeafs)
+      .getOrElse { writeManifest(m.copy(deltas = Seq.empty), epochId); return }
+    val merged = all.withColumn("_bucket", bucketCol)
+    val vdir = root.resolve(s"b$epochId").toString
+    val ddl = StructType(merged.schema.filterNot(_.name == "_bucket")).toDDL
+    val writeTasks = math.min(touched.size.max(1),
+      spark.sparkContext.defaultParallelism * 2)
+    merged.repartition(writeTasks, col("_bucket"))
+      .sortWithinPartitions(col("_bucket"), col("key"), col("valid_from_pos"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+    val newBase = m.base ++ touched.map(b => b -> (s"$vdir/_bucket=$b", ddl))
+    writeManifest(Manifest(m.open, newBase, Seq.empty), epochId)
+  }
+
+  private def writeManifest(m: Manifest, epochId: Long): Unit = {
+    val mfName = s"m$epochId.manifest"
+    Files.createDirectories(root)
+    val openLines = m.open.toSeq.sortBy(_._1).map {
+      case (b, (p, d)) => s"O\t$b\t$p\t$d"
+    }
+    val baseLines = m.base.toSeq.sortBy(_._1).map {
+      case (b, (p, d)) => s"B\t$b\t$p\t$d"
+    }
+    val deltaLines = m.deltas.map {
+      case (seq, p, d, bs) => s"C\t$seq\t$p\t$d\t${bs.mkString(",")}"
+    }
+    Files.writeString(root.resolve(mfName),
+      (openLines ++ baseLines ++ deltaLines).mkString("", "\n", "\n"))
+    val tmp = root.resolve(s"CURRENT.tmp$epochId")
+    Files.writeString(tmp, mfName)
+    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  /** Delete `e*`/`b*` dirs no longer referenced by the current manifest
+    * (VACUUM; same erosion contract as BucketedMergeSink). A referenced
+    * dir stays whole even if only some of its partitions are live.
+    */
+  def vacuum(): Int = {
+    val m = manifest
+    // top-level dir under root for each referenced path
+    val live = (m.open.values.map(_._1) ++ m.base.values.map(_._1) ++
+      m.deltas.map(_._2))
+      .map(p => root.relativize(Paths.get(p)).getName(0).toString).toSet
+    val dead = Using.resource(Files.list(root)) { st =>
+      st.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isDirectory(p) && (n.startsWith("e") || n.startsWith("b")) &&
+          !live(n)
+      }.toSeq
+    }
+    dead.foreach { d =>
+      Using.resource(Files.walk(d)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(Files.delete(_))
+      }
+    }
+    dead.size
   }
 }

@@ -87,6 +87,56 @@ class Scd2Spec extends AnyFunSuite {
     } finally { feed.unpersist(); () }
   }
 
+  test("hot key: per-epoch sink I/O tracks the batch, not history length") {
+    // 8 keys in ONE bucket; 30 epochs each update key 1. Closed history
+    // for the bucket grows to ~30 versions, but every epoch must write
+    // only O(|batch| + open set) = 1 closed + 8 open rows — the e<N>
+    // dir size stays flat. (The prior design re-read and re-wrote the
+    // touched bucket's FULL history per epoch: linear growth exactly
+    // here.)
+    import spark.implicits._
+    def ev(id: Long, op: String, pos: Long, v: Long) =
+      (id, op, pos, v)
+    def frame(rows: Seq[(Long, String, Long, Long)]) =
+      rows.toDF("id", "op", "pos", "v").select(
+        struct(col("id")).as("key"), col("op"),
+        struct(col("id"), col("v")).as("after"),
+        struct(col("pos"), lit("t").as("table")).as("source"))
+    val dir = java.nio.file.Files.createTempDirectory("scd2hot")
+    val sink = new graft.streaming.Scd2Sink(dir.toString, buckets = 1,
+      compactEvery = 8)
+    val snapshot = (1L to 8L).map(k => ev(k, "r", k, 0L))
+    sink.merge(frame(snapshot), 0L)
+    val epochs = 30
+    val all = scala.collection.mutable.ArrayBuffer(snapshot: _*)
+    for (e <- 1 to epochs) {
+      val u = ev(1L, "u", 100L + e, e.toLong)
+      all += u
+      sink.merge(frame(Seq(u)), e.toLong)
+    }
+    def dirBytes(p: java.nio.file.Path): Long =
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      }
+    val sizes = (5 to epochs).map(e => dirBytes(dir.resolve(s"e$e")))
+    assert(sizes.max <= (sizes.min * 3) / 2,
+      s"per-epoch write I/O grew with history length: $sizes")
+    // and the maintained history still equals the batch computation
+    val want = canon(Scd2.intervals(
+      frame(all.toSeq).select(col("key"), col("op"), col("after"),
+        col("source.pos").as("pos"))))
+    assert(canon(sink.history(spark)
+      .select(struct(col("id"), col("v")).as("after"),
+        col("valid_from_pos"), col("valid_to_pos"))
+      .select(struct(col("after.id")).as("key"), col("after"),
+        col("valid_from_pos"), col("valid_to_pos"))) == want)
+    // compaction ran (30 epochs / compactEvery=8) and bounded the
+    // outstanding delta count
+    assert(sink.manifest.deltas.size < 8)
+  }
+
   test("as-of read reproduces state at any historical position") {
     val feed = ChangeFeedGen.standardFeed(
       Tables.load(spark, sfDir, "part"), "part")
