@@ -94,15 +94,26 @@ object EngineConfig {
       val base = snapshotOverrideWhere match {
         case Some(pred) =>
           // resolve the WHERE against the after image by EXPANDING the
-          // struct into scope (after.* wins name resolution), never by
-          // text rewriting — a regex replace would corrupt string
-          // literals containing column names, columns named like
-          // envelope fields, and names with regex metacharacters
-          val keep = base0.columns.map(col)
-          base0
-            .select(keep :+ col("after.*"): _*)
-            .filter(col("op") =!= Envelope.OpRead || expr(pred))
-            .select(keep: _*)
+          // struct into scope, never by text rewriting — a regex replace
+          // would corrupt string literals containing column names and
+          // names with regex metacharacters. Every envelope column is
+          // first moved to a reserved-prefix temporary so the payload
+          // fields are the ONLY bare names in scope: a payload field
+          // named like an envelope column (key, op, source, ts_ms …)
+          // neither collides (AMBIGUOUS_REFERENCE) nor loses resolution
+          // to the envelope — matching the reference, where the override
+          // statement is SQL against the source table and sees only its
+          // columns (`snapshot.select.statement.overrides`,
+          // `RelationalDatabaseConnectorConfig.java:348`).
+          val envCols = base0.columns.toSeq
+          def tmp(c: String) = s"__graft_env_$c"
+          val renamed = base0.select(
+            envCols.map(c => base0(s"`$c`").as(tmp(c))): _*)
+          renamed
+            .select(envCols.map(c => col(tmp(c))) :+
+              col(s"${tmp("after")}.*"): _*)
+            .filter(col(tmp("op")) =!= Envelope.OpRead || expr(pred))
+            .select(envCols.map(c => col(tmp(c)).as(c)): _*)
         case None => base0
       }
       val included = columnInclude match {

@@ -58,9 +58,13 @@ object Cooccurrence {
       .crossJoin(broadcast(total))
       .filter(col("n_a") >= minTerm && col("n_b") >= minTerm)
       .select(col("a"), col("b"), col("n_ab"),
-        // quotient of exact (< 2^53) integer products → identical double
-        // in any IEEE engine; floor-quantize after the single ln
-        (floor(log((col("n_ab") * col("total")).cast("double") /
-          (col("n_a") * col("n_b"))) * 10000) / 10000.0).as("pmi_q4"))
+        // each count casts to double BEFORE the multiply: at 100 TB
+        // corpus scale (total tokens ~1e13) the int64 products n_ab*total
+        // would overflow; double*double is IEEE-identical in any engine
+        // (the oracle mirrors the exact operation order), floor-quantized
+        // after the single ln
+        (floor(log((col("n_ab").cast("double") * col("total").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))) * 10000)
+          / 10000.0).as("pmi_q4"))
   }
 }

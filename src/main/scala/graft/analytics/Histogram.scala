@@ -88,8 +88,14 @@ object Histogram {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group")).orderBy(col("bucket"))
-    val cum = hist.withColumn("cum", sum(col("n")).over(w))
-    val totals = hist.groupBy(col("group")).agg(sum(col("n")).as("total"))
+    // the NULL bucket (negative/null inputs) is a data-quality signal,
+    // not a value: it must not count toward totals or the cumulative
+    // rank (and engines disagree on NULL sort order — Spark NULLS FIRST
+    // asc, DuckDB NULLS LAST — so including it would also diverge
+    // cross-engine). Callers read invalid counts off the histogram rows.
+    val valid = hist.filter(col("bucket").isNotNull)
+    val cum = valid.withColumn("cum", sum(col("n")).over(w))
+    val totals = valid.groupBy(col("group")).agg(sum(col("n")).as("total"))
     val qdf = qs.toDF("qname", "num", "den")
     val targets = totals.crossJoin(qdf)
       .select(col("group"), col("qname"),

@@ -1597,9 +1597,10 @@ object CorpusQueries extends QueryGroup {
         |GROUP BY 1""".stripMargin,
 
     // pair construction mirrored: list zipped against itself at shift 1
-    // and 2, unordered (least/greatest), self-pairs dropped; the PMI
-    // quotient is one double division of exact integer products, floored
-    // after a single ln — operation order matches the Scala side exactly
+    // and 2, unordered (least/greatest), self-pairs dropped; each PMI
+    // count casts to DOUBLE before multiplying (no int64 product — it
+    // would wrap at real corpus scale), floored after a single ln —
+    // operation order matches the Scala side exactly
     "a_cooccurrence_pmi" ->
       """WITH t AS (SELECT string_split(text,' ') AS tk FROM documents),
         | pr AS (SELECT unnest(flatten([
@@ -1613,7 +1614,8 @@ object CorpusQueries extends QueryGroup {
         | uc AS (SELECT term, count(*) AS n_t FROM uni GROUP BY 1),
         | tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS total FROM uc)
         |SELECT a, b, n_ab,
-        | floor(ln((n_ab * total)::DOUBLE / (ua.n_t * ub.n_t)) * 10000)
+        | floor(ln((n_ab::DOUBLE * total::DOUBLE)
+        |           / (ua.n_t::DOUBLE * ub.n_t::DOUBLE)) * 10000)
         |   / 10000.0 AS pmi_q4
         |FROM pc
         | JOIN uc ua ON ua.term = pc.a

@@ -300,4 +300,28 @@ class EngineConfigSpec extends AnyFunSuite {
     assert(reads.count() ==
       df.filter(col("o_totalprice") > 200000).count())
   }
+
+  test("override WHERE resolves payload fields shadowing envelope columns") {
+    // a payload column named like an envelope field (op, ts_ms, key …)
+    // must neither throw AMBIGUOUS_REFERENCE nor resolve to the
+    // envelope: the reference's override statement is SQL against the
+    // SOURCE table and sees only its columns
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val base = Seq((1L, "keep", 5L), (2L, "drop", 6L), (3L, "keep", 0L))
+      .toDF("id", "op", "ts_ms")
+    val fd = graft.sources.ChangeFeedGen.feed(
+      base, "t", base("id"), Map.empty, Some(Seq("id")))
+    val compiled = graft.EngineConfig.compile(Map(
+      "snapshot.select.statement.overrides" -> "db.t",
+      "snapshot.select.statement.overrides.db.t" ->
+        "SELECT * FROM db.t WHERE op = 'keep' AND ts_ms > 0"), table = "t")
+    val out = compiled.run(fd)
+    // envelope op is still the frame's op column after the rewrite
+    val reads = out.filter(col("op") === "r")
+    assert(reads.count() == 1)
+    assert(reads.select(col("after.id")).head.getLong(0) == 1L)
+    assert(out.columns.toSeq == fd.columns.toSeq)
+  }
 }

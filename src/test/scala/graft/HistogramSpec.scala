@@ -48,6 +48,26 @@ class HistogramSpec extends AnyFunSuite {
     }
   }
 
+  test("null/negative inputs land in the NULL bucket and never shift quantiles") {
+    import spark.implicits._
+    val clean = (1L to 1000L).map(Option(_))
+    val dirty = clean ++ Seq.fill(300)(None) ++ (1 to 300).map(i => Option(-i.toLong))
+    def q(xs: Seq[Option[Long]]) = {
+      val hist = Histogram.hdrHistogram(
+        xs.toDF("x").withColumn("g", lit("g")), col("g"), col("x"), s)
+      Histogram.quantiles(hist, s, Seq(("p50", 1, 2), ("p99", 99, 100)))
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    }
+    // invalid values must not count toward totals or cumulative rank
+    assert(q(dirty) == q(clean))
+    // but they are surfaced: the NULL bucket carries their count
+    val hist = Histogram.hdrHistogram(
+      dirty.toDF("x").withColumn("g", lit("g")), col("g"), col("x"), s)
+    val nullN = hist.filter(col("bucket").isNull)
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(nullN == 600L)
+  }
+
   test("sum-merge of partial histograms equals the whole-data histogram") {
     import spark.implicits._
     val xs = (1 to 5000).map(i => (i * 37 % 4096).toLong)
