@@ -116,14 +116,18 @@ object GraftFunctions {
     })
   )
 
-  @volatile private var registered = false
-
   def register(spark: SparkSession): Unit = {
+    // idempotent per session: the extension path (GraftExtensions) and
+    // explicit register() calls both land in the same session registry —
+    // re-registering an existing name would spew a "function X replaced"
+    // warning per function at every session touch
+    val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
-    registered = true
   }
 
   /** Cosine similarity via the native expression (register(spark) first). */

@@ -341,15 +341,17 @@ object StreamingQueries extends QueryGroup {
 
     // K2 version diff: re-derive the change feed between two time-travel
     // versions of the materialized table (one full-outer key join,
-    // unchanged rows dropped by codegen struct comparison)
+    // unchanged rows dropped by codegen struct comparison) — manifest
+    // pruned: buckets whose paths are identical in both versions are
+    // excluded before any scan (PlanSpec pins the file-pruning)
     "k2_version_diff" -> ((s, dir) => {
       val fd = feed(s, dir, "orders")
       val sink = new graft.streaming.BucketedMergeSink(
         java.nio.file.Files.createTempDirectory("vdiff").toString, buckets = 16)
       sink.merge(fd.filter(col("op") === "r"), 0L)
       sink.merge(fd.filter(col("op") =!= "r"), 1L)
-      graft.streaming.VersionDiff.diff(
-        sink.viewAt(s, 0L), sink.viewAt(s, 1L), Seq("o_orderkey"))
+      graft.streaming.VersionDiff.diffVersions(sink, s, 0L, 1L,
+        Seq("o_orderkey"))
         .select(col("o_orderkey"), col("change_type"),
           col("before.o_orderstatus").as("before_status"),
           col("after.o_orderstatus").as("after_status"))

@@ -136,6 +136,35 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
       throw new IllegalStateException(s"no committed state at epoch $epochId"))
       .filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
 
+  /** Buckets whose data can differ between two committed epochs: the
+    * two manifests name each bucket's version directory, so a bucket
+    * pointing at the SAME path in both versions is byte-identical and
+    * is excluded with zero data I/O — the manifest diff is pure driver
+    * metadata (≤ `buckets` map lookups).
+    */
+  def changedBuckets(e1: Long, e2: Long): Set[Int] = {
+    val m1 = manifestAt(e1)
+    val m2 = manifestAt(e2)
+    (m1.keySet ++ m2.keySet)
+      .filter(b => m1.get(b).map(_._1) != m2.get(b).map(_._1))
+  }
+
+  /** `viewAt` restricted to a bucket subset — only those buckets' files
+    * are scanned (same erosion strictness, applied to the subset).
+    */
+  def viewAt(spark: SparkSession, epochId: Long,
+             only: Set[Int]): DataFrame = {
+    val m = manifestAt(epochId).filter(kv => only(kv._1))
+    val gone = m.values.map(_._1).filterNot(p => Files.exists(Paths.get(p)))
+    require(gone.isEmpty,
+      s"version data vacuumed away for epoch $epochId: ${gone.take(3).mkString(", ")}")
+    readBuckets(spark, m.values.toSeq) match {
+      case Some(df) =>
+        df.filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
+      case None => viewAt(spark, epochId).limit(0) // schema-only frame
+    }
+  }
+
   def view(spark: SparkSession): DataFrame = {
     val s = state(spark).getOrElse(
       throw new IllegalStateException(s"no committed state in $dir"))

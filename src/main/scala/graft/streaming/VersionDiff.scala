@@ -41,4 +41,20 @@ object VersionDiff {
       .filter(col("before").isNull || col("after").isNull ||
         !(col("before") <=> col("after")))
   }
+
+  /** Manifest-aware diff between two committed epochs of a bucketed
+    * sink: the two version manifests name exactly which buckets' paths
+    * changed, so untouched buckets are EXCLUDED before any scan — the
+    * join reads only changed buckets' files on both sides. At 100 TB
+    * with a few hot buckets per epoch window, the diff cost tracks the
+    * changed data, not the table (the naive two-full-reads diff is the
+    * `diff(viewAt, viewAt, …)` composition above).
+    */
+  def diffVersions(sink: BucketedMergeSink,
+                   spark: org.apache.spark.sql.SparkSession,
+                   e1: Long, e2: Long, keys: Seq[String]): DataFrame = {
+    val changed = sink.changedBuckets(e1, e2)
+    diff(sink.viewAt(spark, e1, changed),
+      sink.viewAt(spark, e2, changed), keys)
+  }
 }

@@ -272,6 +272,44 @@ class PlanSpec extends AnyFunSuite {
       "diff must be an equi-join on the key")
   }
 
+  test("manifest-aware version diff never scans untouched buckets' files") {
+    // epoch 1 updates ONE key: its bucket's path changes in the m1
+    // manifest, every other bucket keeps its epoch-0 path. The diff
+    // must read only the changed bucket's files — on both sides.
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = (1L to 64L).map(k => (k, s"v$k")).toDF("id", "v")
+    val fd = graft.sources.ChangeFeedGen.feed(
+      base, "t", base("id"), Map.empty, Some(Seq("id")))
+    val dir = java.nio.file.Files.createTempDirectory("vdiffplan").toString
+    val sink = new graft.streaming.BucketedMergeSink(dir, buckets = 8)
+    sink.merge(fd.filter(col("op") === "r"), 0L)
+    // one-key update batch at a later pos
+    val upd = Seq((5L, "changed")).toDF("id", "v").select(
+      struct(col("id")).as("key"), lit("u").as("op"),
+      lit(null).cast(fd.schema("before").dataType).as("before"),
+      struct(col("id"), col("v")).as("after"),
+      struct(lit(100000L).as("pos"), lit("t").as("table")).as("source"),
+      lit(null).cast(fd.schema("transaction").dataType).as("transaction"),
+      lit(0L).as("ts_ms"))
+    sink.merge(upd, 1L)
+    val changed = sink.changedBuckets(0L, 1L)
+    assert(changed.size == 1, s"one key updated -> one changed bucket: $changed")
+    val d = graft.streaming.VersionDiff.diffVersions(sink, spark, 0L, 1L,
+      Seq("id"))
+    // analysis-level file set: every scanned file lives under a changed
+    // bucket's directory
+    val files = d.inputFiles
+    assert(files.nonEmpty)
+    val okDirs = changed.map(b => s"_bucket=$b")
+    assert(files.forall(f => okDirs.exists(f.contains)),
+      s"diff scanned untouched buckets: ${files.filterNot(f => okDirs.exists(f.contains)).take(3).mkString(", ")}")
+    // and the result is exactly the one update
+    val rows = d.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("change_type") == "update")
+  }
+
   test("BPE encode runs as the native expression, map-only") {
     val p = plan("a_bpe_encode")
     assert(p.toLowerCase.contains("bpeencode"),
