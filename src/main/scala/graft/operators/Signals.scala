@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Control-plane signals (SURVEY P6/S13): a second small stream of command
   * records interpreted into engine actions (reference signal table channel
@@ -33,4 +34,27 @@ object Signals {
   def snapshotCommands(parsed: DataFrame): DataFrame =
     parsed.filter(col("action").isin("execute-snapshot", "stop-snapshot",
       "pause-snapshot", "resume-snapshot"))
+
+  /** Signal-line schema of the file channel (ref `FileSignalChannel
+    * .java:36-43`): one JSON object per line — id STRING, type STRING,
+    * data STRING (itself JSON, passed to the action).
+    */
+  val fileSchema: StructType =
+    StructType.fromDDL("id STRING, type STRING, data STRING")
+
+  /** File signal channel, batch read (ref
+    * `pipeline/signal/channels/FileSignalChannel.java:93`): parse every
+    * JSONL signal currently in `path` (a file or a directory of signal
+    * files) into typed action rows.
+    */
+  def fromFile(spark: SparkSession, path: String): DataFrame =
+    parse(spark.read.schema(fileSchema).json(path))
+
+  /** File signal channel as a STREAM: tail a signal directory — each
+    * new file's lines surface as action rows in arrival order, the
+    * `SignalProcessor` poll loop as a Structured Streaming source (no
+    * driver-side tailing thread; files admit per micro-batch).
+    */
+  def fileChannel(spark: SparkSession, dir: String): DataFrame =
+    parse(spark.readStream.schema(fileSchema).json(dir))
 }

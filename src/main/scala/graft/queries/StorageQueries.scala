@@ -381,6 +381,42 @@ object StorageQueries extends QueryGroup {
       Signals.parse(raw
         .withColumn("type", get_json_object(col("json"), "$.type"))
         .withColumn("data", get_json_object(col("json"), "$.data")))
+    }),
+
+    // S13 file signal channel (reference FileSignalChannel.java): JSONL
+    // signal files tailed as a STREAM through Signals.fileChannel —
+    // lines {id, type, data} arrive per micro-batch, parse to actions.
+    "s13_file_signals" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("sigfile")
+      val sigDir = tmp.resolve("signals")
+      java.nio.file.Files.createDirectories(sigDir)
+      val lines = t(s, dir, "events")
+        .filter(col("event_id") % 89 === 0)
+        .select(col("event_id").cast("long").as("eid"), to_json(struct(
+          col("event_id").cast("string").as("id"),
+          when(col("event_type") === "signup", lit("execute-snapshot"))
+            .when(col("event_type") === "error", lit("stop-snapshot"))
+            .when(col("event_type") === "view", lit("log"))
+            .otherwise(lit("bogus-type")).as("type"),
+          lit("""{"data-collections":["orders"],"type":"incremental"}""")
+            .as("data"))).as("l"))
+        .orderBy(col("eid"))
+        .collect().map(_.getString(1))
+      // the channel tails a DIRECTORY: split across two signal files
+      val (a, b) = lines.splitAt(lines.length / 2)
+      java.nio.file.Files.write(sigDir.resolve("sig-1.jsonl"),
+        a.mkString("", "\n", "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(sigDir.resolve("sig-2.jsonl"),
+        b.mkString("", "\n", "\n").getBytes("UTF-8"))
+      val outDir = tmp.resolve("out").toString
+      val q = Signals.fileChannel(s, sigDir.toString)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", outDir)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
     })
   )
 
@@ -462,6 +498,14 @@ object StorageQueries extends QueryGroup {
           |      WHEN event_type='view' THEN 'log'
           |      ELSE 'ignore' END AS action,
           | 'orders' AS collection, 'incremental' AS snapshot_type
-          |FROM events WHERE event_id % 97 = 0""".stripMargin)
+          |FROM events WHERE event_id % 97 = 0""".stripMargin,
+      "s13_file_signals" ->
+        """SELECT CAST(event_id AS STRING) AS signal_id,
+          | CASE WHEN event_type='signup' THEN 'execute-snapshot'
+          |      WHEN event_type='error' THEN 'stop-snapshot'
+          |      WHEN event_type='view' THEN 'log'
+          |      ELSE 'ignore' END AS action,
+          | 'orders' AS collection, 'incremental' AS snapshot_type
+          |FROM events WHERE event_id % 89 = 0""".stripMargin)
   }
 }

@@ -103,6 +103,19 @@ object WireQueries extends QueryGroup {
         .option("path", dir).load()
     }),
 
+    // S8 second decode path: recorded decoderbufs protobuf RowMessages
+    // (pg_logicaldec.proto — ref `pgproto/PgProtoMessageDecoder.java`)
+    // decoded through the in-repo protobuf wire codec into the same
+    // envelope rows as pgoutput; covers int32/int64/string datums,
+    // datum_missing (TOAST), bool, double, Point, BEGIN/COMMIT skip and
+    // the old_tuple replica-identity key on update/delete
+    "s8_pgproto_decode" -> ((s, _) => {
+      val dir = stageFixture("pgproto_segment.pbo", "pbo",
+        WireFixtures.pgprotoRowCount)
+      s.read.format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", dir).load()
+    }),
+
     // S8 over a REAL SOCKET: the same WAL served by the loopback
     // fixture postmaster (graft.tools.PgWireServer) and streamed by the
     // live replication client — v3 startup with replication=database,
@@ -679,6 +692,28 @@ object WireQueries extends QueryGroup {
         |  ',"uid":"11223344-5566-7788-0000-'||lpad(i::VARCHAR,12,'0')||'"}'
         |  AS payload_json
         | FROM range(12) t(i)""".stripMargin,
+
+    // decoderbufs fixture reconstructed by formula: same shape as the
+    // pgoutput oracles — see WireFixtures.pgprotoSegment
+    "s8_pgproto_decode" ->
+      """SELECT 'public.pb_items' AS "table", 'c' AS op, 5000+i AS pos,
+        |  '{"id":'||i||'}' AS key_json,
+        |  '{"id":'||i||',"qty":'||(i*3)||',"label":"pb_'||i||'"}' AS payload_json
+        | FROM range(12) t(i)
+        |UNION ALL
+        |SELECT 'public.pb_items', 'u', 6000+i, '{"id":'||i||'}',
+        |  '{"id":'||i||',"qty":'||(i*3+500)||',"label":'||
+        |   (CASE WHEN i%8=4 THEN '"__graft_unchanged_toast__"'
+        |         ELSE '"pb_'||i||'"' END)||'}'
+        | FROM range(12) t(i) WHERE i%4=0
+        |UNION ALL
+        |SELECT 'public.pb_items', 'd', 7000+i, '{"id":'||i||'}', 'null'
+        | FROM range(12) t(i) WHERE i%5=0
+        |UNION ALL
+        |SELECT 'public.pb_geo', 'c', 8000+i, '{"id":'||i||'}',
+        |  '{"id":'||i||',"active":'||(CASE WHEN i%2=0 THEN 'true' ELSE 'false' END)||
+        |  ',"score":'||(i*3)||'.5,"loc":{"x":'||i||'.0,"y":'||(i*2)||'.0}}'
+        | FROM range(3) t(i)""".stripMargin,
 
     "s8_pgoutput_materialize" ->
       """SELECT i AS id,

@@ -86,6 +86,11 @@ object Protobuf {
       (0 until 8).foreach(i => buf += ((v >>> (8 * i)) & 0xff).toByte)
       this
     }
+    def fixed32(no: Int, v: Int): this.type = {
+      varintRaw((no.toLong << 3) | 5L)
+      (0 until 4).foreach(i => buf += ((v >>> (8 * i)) & 0xff).toByte)
+      this
+    }
     def bytes(no: Int, b: Array[Byte]): this.type = {
       varintRaw((no.toLong << 3) | 2L); varintRaw(b.length.toLong)
       buf ++= b; this

@@ -83,6 +83,9 @@ object ChangeLogSource {
     val n = p.getFileName.toString
     if (n.endsWith(".pgo"))
       graft.sources.wire.PgOutput.segmentRows(Files.readAllBytes(p)).size.toLong
+    else if (n.endsWith(".pbo"))
+      graft.sources.wire.PgProtoDecoder
+        .segmentRows(Files.readAllBytes(p)).size.toLong
     else if (n.endsWith(".blog"))
       graft.sources.wire.MySqlBinlog.segmentRows(
         Files.readAllBytes(p), Map.empty).size.toLong
@@ -93,7 +96,7 @@ object ChangeLogSource {
     else countLines(p)
   }
 
-  private val CountInName = """.*-n(\d+)\.(?:log|pgo|blog|cs)$""".r
+  private val CountInName = """.*-n(\d+)\.(?:log|pgo|pbo|blog|cs)$""".r
   private val GenInName = """^part-g(\d+)-.*""".r
 
   /** Record count from the committed segment name, if our writer named it. */
@@ -440,6 +443,9 @@ class ChangeLogPartitionReader(part: ChangeLogInputPartition)
     if (name.endsWith(".pgo"))
       graft.sources.wire.PgOutput.segmentRows(Files.readAllBytes(path))
         .map(wireRow)
+    else if (name.endsWith(".pbo"))
+      graft.sources.wire.PgProtoDecoder
+        .segmentRows(Files.readAllBytes(path)).map(wireRow)
     else if (name.endsWith(".blog")) {
       val (names, keys) =
         if (part.binlogDdl.nonEmpty)

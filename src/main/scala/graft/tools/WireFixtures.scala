@@ -679,6 +679,81 @@ object WireFixtures {
     graft.sources.wire.MongoChangeStream
       .segmentRows(mongoChangeStreamJsonl.linesIterator).size.toLong
 
+  // ---------------------------------------------------------- decoderbufs
+  // One protobuf RowMessage per WAL frame (pg_logicaldec.proto): the
+  // legacy logical-decoding plugin the reference supports next to
+  // pgoutput. Exercises int32/int64/string datums, datum_missing
+  // (TOAST), bool, double, Point, and the BEGIN/COMMIT frames.
+
+  def pgprotoSegment: Array[Byte] = {
+    import graft.serde.Protobuf
+    def datum(name: String, oid: Long)(f: Protobuf.Writer => Unit): Array[Byte] = {
+      val w = new Protobuf.Writer
+      w.string(1, name); w.varint(2, oid); f(w); w.result()
+    }
+    def int4(n: String, v: Int) = datum(n, 23)(_.varint(3, v.toLong))
+    def int8(n: String, v: Long) = datum(n, 20)(_.varint(4, v))
+    def text(n: String, v: String) = datum(n, 25)(_.string(8, v))
+    def boolD(n: String, v: Boolean) =
+      datum(n, 16)(_.varint(7, if (v) 1L else 0L))
+    def dbl(n: String, v: Double) =
+      datum(n, 701)(_.fixed64(6, java.lang.Double.doubleToLongBits(v)))
+    def point(n: String, x: Double, y: Double) = datum(n, 600)(_.msgField(10,
+      p => {
+        p.fixed64(1, java.lang.Double.doubleToLongBits(x))
+        p.fixed64(2, java.lang.Double.doubleToLongBits(y)): Unit
+      }))
+    def missing(n: String, oid: Long) = datum(n, oid)(_.varint(11, 1L))
+    def row(tx: Long, table: String, op: Int, nt: Seq[Array[Byte]],
+            ot: Seq[Array[Byte]] = Nil): Array[Byte] = {
+      val w = new Protobuf.Writer
+      w.varint(1, tx)
+      w.varint(2, 1700000000000000L + tx)
+      if (table.nonEmpty) w.string(3, table)
+      w.varint(4, op.toLong)
+      nt.foreach(w.bytes(5, _))
+      ot.foreach(w.bytes(6, _))
+      w.result()
+    }
+    import graft.sources.wire.PgProtoDecoder._
+    val frames = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
+    def f(wal: Long, b: Array[Byte]): Unit = frames += ((wal, b))
+
+    f(4900, row(601, "", OpBegin, Nil))
+    (0 until 12).foreach { i =>
+      f(5000L + i, row(601, "public.pb_items", OpInsert, Seq(
+        int4("id", i), int8("qty", i * 3L), text("label", s"pb_$i"))))
+    }
+    f(5999, row(601, "", OpCommit, Nil))
+
+    f(5999, row(602, "", OpBegin, Nil))
+    (0 until 12).filter(_ % 4 == 0).foreach { i =>
+      val label = if (i % 8 == 4) missing("label", 25) else text("label", s"pb_$i")
+      f(6000L + i, row(602, "public.pb_items", OpUpdate,
+        Seq(int4("id", i), int8("qty", i * 3L + 500), label),
+        ot = Seq(int4("id", i))))
+    }
+    (0 until 12).filter(_ % 5 == 0).foreach { i =>
+      f(7000L + i, row(602, "public.pb_items", OpDelete, Nil,
+        ot = Seq(int4("id", i))))
+    }
+    f(7999, row(602, "", OpCommit, Nil))
+
+    f(7999, row(603, "", OpBegin, Nil))
+    (0 until 3).foreach { i =>
+      f(8000L + i, row(603, "public.pb_geo", OpInsert, Seq(
+        int4("id", i), boolD("active", i % 2 == 0),
+        dbl("score", i * 3 + 0.5), point("loc", i.toDouble, i * 2.0))))
+    }
+    f(8999, row(603, "", OpCommit, Nil))
+
+    graft.sources.wire.PgOutput.writeSegment(frames.toSeq)
+  }
+
+  /** Wire rows the decoderbufs fixture decodes to. */
+  def pgprotoRowCount: Long =
+    graft.sources.wire.PgProtoDecoder.segmentRows(pgprotoSegment).size.toLong
+
   val FixtureDir = "src/main/resources/graft/fixtures"
 
   def main(args: Array[String]): Unit = {
@@ -687,6 +762,7 @@ object WireFixtures {
     Files.write(dir.resolve("pgoutput_segment.pgo"), pgoutputSegment)
     Files.write(dir.resolve("pgoutput_streamed.pgo"), pgoutputStreamedSegment)
     Files.write(dir.resolve("pgoutput_binary.pgo"), pgoutputBinarySegment)
+    Files.write(dir.resolve("pgproto_segment.pbo"), pgprotoSegment)
     Files.write(dir.resolve("binlog_segment.blog"), binlogSegment)
     Files.write(dir.resolve("sqlserver_ct.jsonl"),
       sqlServerCtJsonl.getBytes(StandardCharsets.UTF_8))

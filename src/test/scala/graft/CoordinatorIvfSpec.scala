@@ -177,6 +177,42 @@ class CoordinatorIvfSpec extends AnyFunSuite {
     assert(centroids.size == k && centroids.head.length == 4)
   }
 
+  test("file signal channel drives the coordinator: execute-snapshot from disk") {
+    import SnapshotCoordinator._
+    val sigDir = Files.createTempDirectory("sigchan")
+    Files.write(sigDir.resolve("signals.jsonl"),
+      ("""{"id":"s-1","type":"log","data":"{\"message\":\"hi\"}"}""" + "\n" +
+        """{"id":"s-2","type":"execute-snapshot",""" +
+        """"data":"{\"data-collections\":[\"orders\"],\"type\":\"incremental\"}"}""" + "\n" +
+        """{"id":"s-3","type":"mystery-op","data":"{}"}""" + "\n")
+        .getBytes("UTF-8"))
+    val parsed = graft.operators.Signals.fromFile(spark, sigDir.toString)
+      .orderBy(col("signal_id")).collect()
+    assert(parsed.map(_.getAs[String]("action")).toSeq ==
+      Seq("log", "execute-snapshot", "ignore"))
+    assert(parsed(1).getAs[String]("collection") == "orders")
+    // interpret file signals into coordinator actions, exactly the
+    // SignalProcessor -> ExecuteSnapshot path of the reference
+    val actions = graft.operators.Signals.snapshotCommands(
+      graft.operators.Signals.fromFile(spark, sigDir.toString))
+      .orderBy(col("signal_id"))
+      .collect().map(_.getAs[String]("action")).toSeq.collect {
+        case "execute-snapshot" => ExecuteSnapshot
+        case "pause-snapshot"   => PauseSnapshot
+        case "resume-snapshot"  => ResumeSnapshot
+        case "stop-snapshot"    => StopSnapshot
+      }
+    assert(actions == Seq(ExecuteSnapshot))
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "nation"), "nation")
+    val reads = feed.filter(col("op") === "r")
+    val snap = IncrementalSnapshot.chunked(reads, Seq(col("source.pos")), 8)
+    val sink = new MergeSink(Files.createTempDirectory("sigcoord").toString)
+    val progress = SnapshotCoordinator.run(snap, sink, actions)
+    assert(!progress.aborted && progress.chunksDone.nonEmpty)
+    assert(canon(sink.view(spark)) == canon(reads.select(col("after.*"))))
+  }
+
   test("IVF auto-fit sizes cells at sqrt(N) and keeps recall") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = embs.count()

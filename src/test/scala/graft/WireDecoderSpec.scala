@@ -191,6 +191,59 @@ class WireDecoderSpec extends AnyFunSuite {
       "committed fixture drifted from WireFixtures builder")
   }
 
+  test("pgproto fixture: committed bytes equal the builder's output") {
+    val in = getClass.getResourceAsStream("/graft/fixtures/pgproto_segment.pbo")
+    assert(in != null, "fixture missing from classpath")
+    val committed = try in.readAllBytes() finally in.close()
+    assert(committed.sameElements(WireFixtures.pgprotoSegment),
+      "committed fixture drifted from WireFixtures builder")
+  }
+
+  test("pgproto decoderbufs: datum variety, keys, BEGIN/COMMIT/UNKNOWN skip") {
+    import graft.sources.wire.PgProtoDecoder
+    import graft.serde.Protobuf
+    val rows = PgProtoDecoder.segmentRows(WireFixtures.pgprotoSegment).toSeq
+    // 12 inserts + 3 updates + 3 deletes + 3 geo inserts, no tx frames
+    assert(rows.size == 21)
+    assert(rows.count(_.op == "c") == 15)
+    val ins0 = rows.find(r => r.op == "c" && r.pos == 5000L).get
+    assert(ins0.table == "public.pb_items")
+    assert(ins0.keyJson == """{"id":0}""")
+    assert(ins0.payloadJson == """{"id":0,"qty":0,"label":"pb_0"}""")
+    // update keys come from old_tuple (replica identity), TOAST marker
+    val upd4 = rows.find(r => r.op == "u" && r.pos == 6004L).get
+    assert(upd4.keyJson == """{"id":4}""")
+    assert(upd4.payloadJson.contains("__graft_unchanged_toast__"))
+    // delete carries only the old-tuple key
+    val del5 = rows.find(r => r.op == "d" && r.pos == 7005L).get
+    assert(del5.keyJson == """{"id":5}""" && del5.payloadJson == "null")
+    // bool/double/point rendering
+    val geo1 = rows.find(_.pos == 8001L).get
+    assert(geo1.payloadJson ==
+      """{"id":1,"active":false,"score":3.5,"loc":{"x":1.0,"y":2.0}}""")
+    // float (fixed32), bytea, int32 sign-extension, UNKNOWN op tolerance
+    def datum(name: String, oid: Long)(f: Protobuf.Writer => Unit) = {
+      val w = new Protobuf.Writer
+      w.string(1, name); w.varint(2, oid); f(w); w.result()
+    }
+    val w = new Protobuf.Writer
+    w.varint(1, 9L); w.string(3, "public.x"); w.varint(4, 0L)
+    w.bytes(5, datum("f4", 700)(_.fixed32(5,
+      java.lang.Float.floatToIntBits(2.5f))))
+    w.bytes(5, datum("neg", 23)(_.varint(3, -7L))) // sign-extended varint
+    w.bytes(5, datum("raw", 17)(_.bytes(9, Array[Byte](0x0a, 0x7f))))
+    val unknown = {
+      val u = new Protobuf.Writer
+      u.varint(1, 9L); u.varint(4, -1L); u.result() // Op.UNKNOWN
+    }
+    val seg = graft.sources.wire.PgOutput.writeSegment(
+      Seq((1L, w.result()), (2L, unknown)))
+    val extra = PgProtoDecoder.segmentRows(seg).toSeq
+    assert(extra.size == 1, "UNKNOWN op must be tolerated and skipped")
+    assert(extra.head.payloadJson ==
+      """{"f4":2.5,"neg":-7,"raw":"\\x0a7f"}""")
+  }
+
   test("pgoutput numeric wire codec: round trip and digit-group alignment") {
     import PgOutput._
     // values exercising: multi-group ints, leading/trailing zero groups,
