@@ -43,7 +43,20 @@ object Bench {
     val ioJson = sinkIo(spark, sfDir)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val xJson = sinkCrossover(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sink_io_bytes":$ioJson,"sink_crossover":$xJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sink_io_bytes":$ioJson,"sink_crossover":$xJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's BENCH_r*.json keeps only a ~2KB tail of this line, so
+    // two-thirds of the per-query history is lost round-over-round; also
+    // persist the FULL record (override path via SPARK_GRAFT_BENCH_OUT)
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest_times.json"))
+      .toAbsolutePath
+    try {
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n"): Unit
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not persist $out: ${e.getMessage}")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

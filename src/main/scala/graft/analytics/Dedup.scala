@@ -306,10 +306,29 @@ object Dedup {
         transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
           struct(x.as("a"), y.as("b")))))).as("p"))
 
+  /** Banding is a RECALL/CANDIDATE-VOLUME dial, and the dial scales with
+    * corpus size: candidates = true near-dups (∝N) + chance band
+    * collisions (∝N² · P[band match at background similarity s_bg] =
+    * N² · s_bg^rowsPerBand · bands). rowsPerBand=2 at a 0.8 threshold
+    * admits moderately-similar pairs almost surely (P ≥ 1-(1-s²)^b),
+    * so the verify stage goes quadratic as the corpus grows — measured
+    * 33× candidate growth for 10× docs on the synthetic corpus.
+    * rowsPerBand=3 / bands=24 keeps the threshold-0.8 miss probability
+    * at (1-0.8³)^24 ≈ 3.4e-8 (BETTER than r=2/b=16's 8e-8) while
+    * cutting the background collision rate per pair by ~s_bg — at 100 TB
+    * raise rowsPerBand further (r≈6..8) so FP candidates stay ∝N·k.
+    */
   def minhashLshPairs(docs: DataFrame, shingleSize: Int, bands: Int,
                       rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
     val numPerm = bands * rowsPerBand
-    val sig = minhashSignatures(docs, shingleSize, numPerm)
+    // shingle sets computed ONCE PER DOC and carried to the verify —
+    // never recomputed per candidate pair (at 10× scale the per-pair
+    // recompute dominated wall-clock)
+    val sh = docs.select(col("doc_id"),
+      shingles(col("text"), shingleSize).as("sh"))
+    val sig = sh.select(col("doc_id"),
+      graft.expressions.GraftFunctions.minhash(col("sh"), numPerm).as("sig"))
     val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("sig"))
@@ -318,24 +337,24 @@ object Dedup {
     val cand = bucketPairs(banded, Seq(col("band"), col("sig")), col("doc_id"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
-    // fetch candidate texts with ONE scan of the corpus: melt each pair
-    // into its two member ids, broadcast-probe the (tiny) side table
-    // against the streamed corpus, regroup per pair — instead of two
-    // separate joins each re-scanning the text column
-    val texts = docs.select(col("doc_id"), col("text"))
+    // fetch candidate shingle sets with ONE scan of the corpus: melt
+    // each pair into its two member ids, probe the side table against
+    // the streamed corpus, regroup per pair — instead of two separate
+    // joins each re-scanning and re-shingling the text column
     val sides = cand.select(col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-    sides.join(texts, Seq("doc_id"))
+    sides.join(sh, Seq("doc_id"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(
-        first(when(col("doc_id") === col("id_a"), col("text")),
-          ignoreNulls = true).as("text_a"),
-        first(when(col("doc_id") === col("id_b"), col("text")),
-          ignoreNulls = true).as("text_b"))
+        first(when(col("doc_id") === col("id_a"), col("sh")),
+          ignoreNulls = true).as("sh_a"),
+        first(when(col("doc_id") === col("id_b"), col("sh")),
+          ignoreNulls = true).as("sh_b"))
       // floor-quantize, not round(): identical IEEE quotients floor the
       // same in every engine; round() disagrees at exact .xxxx5 boundaries
       .withColumn("jaccard",
-        floor(jaccardShingles(col("text_a"), col("text_b"), shingleSize)
+        floor(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")
           * 10000) / 10000.0)
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -83,9 +83,12 @@ object CorpusQueries extends QueryGroup {
     // LSH is a candidate *generator*; the emitted pairs are verified by
     // exact shingle-Jaccard, so with enough bands the result equals the
     // exact all-pairs computation — which is what the oracle computes.
+    // r=3/b=24: threshold-0.8 miss probability (1-0.8³)^24 ≈ 3.4e-8 and
+    // ~s_bg× fewer chance candidates than r=2 (see minhashLshPairs doc —
+    // the 10× scale run measured r=2 candidates growing 33× for 10× docs)
     "a_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"),
-        shingleSize = 3, bands = 16, rowsPerBand = 2, minJaccard = 0.8)),
+        shingleSize = 3, bands = 24, rowsPerBand = 3, minJaccard = 0.8)),
 
     // Portable 32-bit simhash (md5-derived token hash) in 4 bands of 8
     // bits: hamming <= 3 < nBands pairs provably share a band (recall 1.0),

@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off diagnostic: LSH candidate-pair volume vs corpus size (the
+  * scale-validation probe behind NOTES' sf0.1→sf1 table).
+  */
+object LshProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.expressions.GraftFunctions.register(spark)
+    args.foreach { dir =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val sig = graft.analytics.Dedup.minhashSignatures(docs, 3, 32)
+      val banded = sig.select(col("doc_id"),
+        explode(array((0 until 16).map { b =>
+          struct(lit(b).as("band"),
+            hash(slice(col("sig"), b * 2 + 1, 2)).as("sig"))
+        }: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"),
+          col("bs.sig").as("sig"))
+      val occ = banded.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      val stats = occ.agg(sum(col("n") * (col("n") - 1) / 2).as("pairs"),
+        max(col("n")).as("maxBucket"), count(lit(1)).as("buckets")).head
+      println(s"PROBE $dir pairs=${stats.get(0)} maxBucket=${stats.get(1)} buckets=${stats.get(2)}")
+    }
+    spark.stop()
+  }
+}
