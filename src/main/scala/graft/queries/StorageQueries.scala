@@ -417,6 +417,34 @@ object StorageQueries extends QueryGroup {
         .start()
       q.awaitTermination()
       s.read.parquet(outDir)
+    }),
+
+    // S13 JMX signal channel (reference JmxSignalChannel.java): signals
+    // invoked THROUGH the platform MBean server — the identical code
+    // path a remote JMX console drives over the RMI connector — queued
+    // on the channel and drained into parsed action rows.
+    "s13_jmx_signals" -> ((s, dir) => {
+      val chan = new graft.operators.JmxChannels.SignalChannel(
+        "graft", s"q${System.nanoTime()}").register()
+      try {
+        val mbs = java.lang.management.ManagementFactory.getPlatformMBeanServer
+        t(s, dir, "events")
+          .filter(col("event_id") % 83 === 0)
+          .select(col("event_id").cast("long").as("eid"),
+            col("event_id").cast("string").as("id"),
+            when(col("event_type") === "signup", lit("execute-snapshot"))
+              .when(col("event_type") === "error", lit("stop-snapshot"))
+              .when(col("event_type") === "view", lit("log"))
+              .otherwise(lit("bogus-type")).as("type"))
+          .orderBy(col("eid"))
+          .collect().foreach { r =>
+            mbs.invoke(chan.objectName, "signal",
+              Array[AnyRef](r.getString(1), r.getString(2),
+                """{"data-collections":["orders"],"type":"incremental"}"""),
+              Array("java.lang.String", "java.lang.String", "java.lang.String"))
+          }
+        chan.read(s)
+      } finally chan.close()
     })
   )
 
@@ -506,6 +534,14 @@ object StorageQueries extends QueryGroup {
           |      WHEN event_type='view' THEN 'log'
           |      ELSE 'ignore' END AS action,
           | 'orders' AS collection, 'incremental' AS snapshot_type
-          |FROM events WHERE event_id % 89 = 0""".stripMargin)
+          |FROM events WHERE event_id % 89 = 0""".stripMargin,
+      "s13_jmx_signals" ->
+        """SELECT CAST(event_id AS STRING) AS signal_id,
+          | CASE WHEN event_type='signup' THEN 'execute-snapshot'
+          |      WHEN event_type='error' THEN 'stop-snapshot'
+          |      WHEN event_type='view' THEN 'log'
+          |      ELSE 'ignore' END AS action,
+          | 'orders' AS collection, 'incremental' AS snapshot_type
+          |FROM events WHERE event_id % 83 = 0""".stripMargin)
   }
 }

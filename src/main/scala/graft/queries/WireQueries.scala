@@ -1015,7 +1015,7 @@ object WireQueries extends QueryGroup {
   override val duckdbOnly: Set[String] =
     Set("s8_pgoutput_decode", "s8_pgoutput_socket_stream",
       "s8_pgoutput_materialize",
-      "s8_pgoutput_binary_decode",
+      "s8_pgoutput_binary_decode", "s8_pgproto_decode",
       "s8_pgoutput_tx_stream", "s9_binlog_decode", "s9_binlog_materialize",
       "s9_binlog_socket_stream",
       "s10_logminer_decode",
