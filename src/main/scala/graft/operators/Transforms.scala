@@ -177,6 +177,36 @@ object Transforms {
     df.withColumn("__doc", from_json(col(jsonCol), schema))
   }
 
+  // --- T23: DecodeLogicalDecodingMessageContent (reference
+  //     `debezium-connector-postgres/.../transforms/
+  //     DecodeLogicalDecodingMessageContent.java:96-135,166-205`): convert
+  //     the binary JSON content of a pg logical decoding message
+  //     (`pg_logical_emit_message`, surfaced by LogicalDecodingMessageMonitor
+  //     as op="m" records with a `message {prefix, content}` struct) into a
+  //     structured `after` image so the record reads as an INSERT (op="c")
+  //     and is routable by the outbox EventRouter. The `message` struct is
+  //     dropped and the key cleared (the reference emits a null key/schema).
+  //     `fields.null.include=false` (the reference default) omits fields
+  //     that are null in every message: Spark's `dropFieldIfAllNull` JSON
+  //     inference option is the engine-level analog of the reference's
+  //     JsonPayloadNullFieldBehavior.IGNORE. Inference samples a bounded
+  //     prefix (one schema for the frame, as the reference caches one
+  //     schema per content shape). ---
+  def decodeMessageContent(df: DataFrame, fieldsNullInclude: Boolean = false,
+                           sampleN: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val contentStr = col("message.content").cast("string")
+    val sample = df.select(contentStr).limit(sampleN).as[String]
+    val schema = spark.read
+      .option("dropFieldIfAllNull", (!fieldsNullInclude).toString)
+      .json(sample).schema
+    df.withColumn("after", from_json(contentStr, schema))
+      .withColumn("op", lit("c"))
+      .withColumn("key", lit(null).cast(StringType))
+      .drop("message")
+  }
+
   // --- T14: TimezoneConverter (reference `TimezoneConverter.java:57-128`):
   //     shift designated timestamp payload fields to a target zone. ---
   def convertTimezone(df: DataFrame, columns: Seq[String], tz: String): DataFrame =

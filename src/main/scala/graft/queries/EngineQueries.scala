@@ -320,6 +320,17 @@ object EngineQueries extends QueryGroup {
         ("mysql", "upsert", SqlDialects.MySql.upsert("t", k, v)),
         ("sqlserver", "upsert", SqlDialects.SqlServer.upsert("t", k, v)),
         ("oracle", "upsert", SqlDialects.Oracle.upsert("t", k, v)),
+        ("db2", "upsert", SqlDialects.Db2.upsert("t", k, v)),
+        ("db2", "upsert_keyonly", SqlDialects.Db2.upsert("t", k, Nil)),
+        ("db2i", "upsert", SqlDialects.Db2i.upsert("t", k, v)),
+        ("mariadb", "upsert", SqlDialects.MariaDb.upsert("t", k, v)),
+        ("cockroachdb", "upsert", SqlDialects.CockroachDb.upsert("t", k, v)),
+        ("singlestore", "upsert", SqlDialects.SingleStore.upsert("t", k, v)),
+        ("starrocks", "upsert", SqlDialects.StarRocks.upsert("t", k, v)),
+        ("starrocks", "create_table",
+          SqlDialects.StarRocks.createTable("t",
+            Seq(("name", "STRING", true), ("id", "BIGINT", false),
+              ("score", "DOUBLE", true)), k)),
         ("postgres", "insert", SqlDialects.Postgres.insert("t", k, v)),
         ("postgres", "update", SqlDialects.Postgres.update("t", k, v)),
         ("postgres", "delete", SqlDialects.Postgres.delete("t", k)))
@@ -427,6 +438,14 @@ object EngineQueries extends QueryGroup {
         | ('mysql', 'upsert', 'INSERT INTO t (id, name, score) VALUES (?, ?, ?) AS new ON DUPLICATE KEY UPDATE name=new.name,score=new.score'),
         | ('sqlserver', 'upsert', 'MERGE INTO t WITH (HOLDLOCK) AS TARGET USING (SELECT ? AS id, ? AS name, ? AS score) AS INCOMING ON (TARGET.id=INCOMING.id) WHEN MATCHED THEN UPDATE SET name=INCOMING.name,score=INCOMING.score WHEN NOT MATCHED THEN INSERT (name, score, id) VALUES (INCOMING.name,INCOMING.score,INCOMING.id);'),
         | ('oracle', 'upsert', 'MERGE INTO t USING (SELECT ? id, ? name, ? score FROM dual) INCOMING ON (t.id=INCOMING.id) WHEN MATCHED THEN UPDATE SET t.name=INCOMING.name,t.score=INCOMING.score WHEN NOT MATCHED THEN INSERT (name,score,id) VALUES (INCOMING.name,INCOMING.score,INCOMING.id)'),
+        | ('db2', 'upsert', 'merge into t using (values(?,?,?)) as DAT(id,name,score) on t.id=DAT.id WHEN MATCHED THEN UPDATE SET t.name=DAT.name, t.score=DAT.score WHEN NOT MATCHED THEN INSERT(name,score,id) values (DAT.name,DAT.score,DAT.id)'),
+        | ('db2', 'upsert_keyonly', 'merge into t using (values(?)) as DAT(id) on t.id=DAT.id WHEN NOT MATCHED THEN INSERT(id) values (DAT.id)'),
+        | ('db2i', 'upsert', 'merge into t as TGT using (select ? as id,? as name,? as score from sysibm.sysdummy1) as DAT on TGT.id=DAT.id WHEN MATCHED THEN UPDATE SET name=DAT.name, score=DAT.score WHEN NOT MATCHED THEN INSERT(name,score,id) values (DAT.name,DAT.score,DAT.id)'),
+        | ('mariadb', 'upsert', 'INSERT INTO t (id, name, score) VALUES (?, ?, ?) ON DUPLICATE KEY UPDATE name=VALUES(name),score=VALUES(score)'),
+        | ('cockroachdb', 'upsert', 'INSERT INTO t (id,name,score) VALUES (?,?,?) ON CONFLICT (id) DO UPDATE SET name=EXCLUDED.name,score=EXCLUDED.score'),
+        | ('singlestore', 'upsert', 'INSERT INTO t (id, name, score) VALUES (?, ?, ?) ON DUPLICATE KEY UPDATE name=VALUES(name),score=VALUES(score)'),
+        | ('starrocks', 'upsert', 'INSERT INTO t (id, name, score) VALUES (?, ?, ?)'),
+        | ('starrocks', 'create_table', 'CREATE TABLE t (id BIGINT NOT NULL, name STRING NULL, score DOUBLE NULL) PRIMARY KEY (id) DISTRIBUTED BY HASH (id)'),
         | ('postgres', 'insert', 'INSERT INTO t (id, name, score) VALUES (?, ?, ?)'),
         | ('postgres', 'update', 'UPDATE t SET name=?, score=? WHERE id=?'),
         | ('postgres', 'delete', 'DELETE FROM t WHERE id=?')

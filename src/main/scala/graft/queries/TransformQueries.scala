@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Transforms
+import graft.sources.Tables
 
 /** Projection / filter / per-record transforms (SURVEY T1-T16, P11). */
 object TransformQueries extends QueryGroup {
@@ -82,7 +83,29 @@ object TransformQueries extends QueryGroup {
     // P11: skipped operations (drop op codes)
     "p11_skip_ops" -> ((s, dir) =>
       Transforms.skipOperations(feed(s, dir, "orders"), Seq("u"))
-        .groupBy(col("op")).agg(count(lit(1)).as("n")))
+        .groupBy(col("op")).agg(count(lit(1)).as("n"))),
+
+    // T23: logical-decoding-message content decode — a message-monitor feed
+    // (op="m", `message {prefix, content}`; content = JSON bytes as
+    // pg_logical_emit_message would carry) becomes INSERT-shaped records
+    // with a structured after image. `note` is null in EVERY message, so
+    // the default fields.null.include=false drops it from the decoded
+    // schema (the reference's IGNORE behavior) — the oracle never sees it.
+    "t23_decode_message" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val msgs = docs.select(
+        struct(lit("outbox").as("prefix")).as("key"),
+        struct(lit("outbox").as("prefix"),
+          to_json(struct(col("doc_id"), col("lang"),
+              lit(null).cast("string").as("note")),
+            Map("ignoreNullFields" -> "false")).cast("binary").as("content"))
+          .as("message"),
+        lit("m").as("op"),
+        struct((col("doc_id") * 10).as("pos")).as("source"),
+        (col("doc_id") * 10).as("ts_ms"))
+      Transforms.decodeMessageContent(msgs)
+        .select(col("op"), col("ts_ms"), col("after.*"))
+    })
   )
 
   /** surrogate key column per table for t1 (both tables' PKs as one name) */
@@ -140,7 +163,11 @@ object TransformQueries extends QueryGroup {
 
     "p11_skip_ops" ->
       """SELECT 'r' AS op, count(*) AS n FROM orders
-        |UNION ALL SELECT 'd', count(*) FROM orders WHERE o_orderkey%13=6""".stripMargin
+        |UNION ALL SELECT 'd', count(*) FROM orders WHERE o_orderkey%13=6""".stripMargin,
+
+    "t23_decode_message" ->
+      """SELECT 'c' AS op, doc_id*10 AS ts_ms, doc_id, lang
+        |FROM documents""".stripMargin
   )
 
   // sha256() is the DuckDB spelling (Spark: sha2(x, 256))

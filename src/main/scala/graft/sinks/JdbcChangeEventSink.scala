@@ -28,7 +28,9 @@ import org.apache.spark.sql.types.StructType
   * like the reference sink task does at schema-change boundaries.
   *
   * Live execution target is embedded Derby (the same vehicle as the K7
-  * JDBC stores); the four production dialect shapes are pinned by oracle in
+  * JDBC stores); the ten production dialect shapes (matching the reference's
+  * `dialect/` registry: postgres, mysql, sqlserver, oracle, db2, db2i,
+  * mariadb, cockroachdb, singlestore, starrocks) are pinned by oracle in
   * `k_jdbc_sink_dialects`.
   */
 object JdbcChangeEventSink {

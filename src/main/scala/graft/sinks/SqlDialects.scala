@@ -220,7 +220,150 @@ object SqlDialects {
       columns.map(c => alterAddColumns(table, Seq(c)))
   }
 
-  val all: Seq[SqlDialect] = Seq(Postgres, MySql, SqlServer, Oracle, Derby)
+  /** Db2 LUW (ref `dialect/db2/Db2DatabaseDialect.java:143-170`): lowercase
+    * MERGE against a `(values(…)) as DAT(cols)` derived table; the SET side
+    * qualifies the target (`t.c=DAT.c`, ref `getMergeDatClause`:167-170);
+    * the INSERT branch lists non-key columns before key columns; a key-only
+    * record renders no WHEN MATCHED branch.
+    */
+  object Db2 extends SqlDialect {
+    val name = "db2"
+    override def sqlType(dt: DataType): String = dt match {
+      case StringType => "CLOB"
+      case DoubleType => "DOUBLE"
+      case other      => super.sqlType(other)
+    }
+    def upsert(table: String, key: Seq[String], nonKey: Seq[String]): String = {
+      val all = key ++ nonKey
+      val matched =
+        if (nonKey.isEmpty) ""
+        else " WHEN MATCHED THEN UPDATE SET " +
+          nonKey.map(c => s"$table.$c=DAT.$c").mkString(", ")
+      s"merge into $table using (values(${all.map(_ => "?").mkString(",")}))" +
+        s" as DAT(${all.mkString(",")}) on " +
+        key.map(c => s"$table.$c=DAT.$c").mkString(" AND ") + matched +
+        s" WHEN NOT MATCHED THEN INSERT(${(nonKey ++ key).mkString(",")})" +
+        s" values (${(nonKey ++ key).map(c => s"DAT.$c").mkString(",")})"
+    }
+  }
+
+  /** Db2 for i (ref `dialect/db2i/Db2iDatabaseDialect.java:193-234`): the
+    * derived table is a `select … from sysibm.sysdummy1` projection (column
+    * aliases, not a DAT(cols) list), the target carries an explicit TGT
+    * alias used in the ON clause, and — where Db2 for i differs from LUW —
+    * the SET clause does NOT qualify column names (`c=DAT.c`).
+    */
+  object Db2i extends SqlDialect {
+    val name = "db2i"
+    override def sqlType(dt: DataType): String = Db2.sqlType(dt)
+    def upsert(table: String, key: Seq[String], nonKey: Seq[String]): String = {
+      val all = key ++ nonKey
+      val matched =
+        if (nonKey.isEmpty) ""
+        else " WHEN MATCHED THEN UPDATE SET " +
+          nonKey.map(c => s"$c=DAT.$c").mkString(", ")
+      s"merge into $table as TGT using (select " +
+        all.map(c => s"? as $c").mkString(",") +
+        " from sysibm.sysdummy1) as DAT on " +
+        key.map(c => s"TGT.$c=DAT.$c").mkString(" AND ") + matched +
+        s" WHEN NOT MATCHED THEN INSERT(${(nonKey ++ key).mkString(",")})" +
+        s" values (${(nonKey ++ key).map(c => s"DAT.$c").mkString(",")})"
+    }
+  }
+
+  /** MariaDB (ref `dialect/mysql/MariaDbDatabaseDialect.java:65-91`):
+    * MySQL-family quoting/DDL, but the upsert keeps the pre-8.0.20
+    * `VALUES(col)` form — MariaDB has not followed MySQL's deprecation of
+    * it in favor of row aliases.
+    */
+  object MariaDb extends SqlDialect {
+    val name = "mariadb"
+    override def quote(id: String): String = MySql.quote(id)
+    override def alterAddColumns(table: String,
+                                 columns: Seq[(String, String, Boolean)]): String =
+      MySql.alterAddColumns(table, columns)
+    override def sqlType(dt: DataType): String = MySql.sqlType(dt)
+    def upsert(table: String, key: Seq[String], nonKey: Seq[String]): String = {
+      val updateCols = if (nonKey.isEmpty) key else nonKey
+      s"INSERT INTO $table (${(key ++ nonKey).mkString(", ")}) VALUES (" +
+        (key ++ nonKey).map(_ => "?").mkString(", ") +
+        ") ON DUPLICATE KEY UPDATE " +
+        updateCols.map(c => s"$c=VALUES($c)").mkString(",")
+    }
+  }
+
+  /** CockroachDB (ref `dialect/cockroachdb/CockroachDBDatabaseDialect.java:32`
+    * — `extends PostgresDatabaseDialect`): identical statement shapes to
+    * Postgres; the reference subclass changes only type registrations and
+    * the retriable-conflict exception set, not SQL generation.
+    */
+  object CockroachDb extends SqlDialect {
+    val name = "cockroachdb"
+    override protected def alterColumnPrefix = "ADD COLUMN "
+    override def sqlType(dt: DataType): String = Postgres.sqlType(dt)
+    def upsert(table: String, key: Seq[String], nonKey: Seq[String]): String =
+      Postgres.upsert(table, key, nonKey)
+  }
+
+  /** SingleStore (ref `dialect/singlestore/SingleStoreDatabaseDialect.java:22`
+    * — `extends MariaDbDatabaseDialect`): MariaDB-shaped statements (the
+    * `VALUES(col)` upsert form); the subclass changes only type
+    * registrations (JSON / GEOGRAPHY / VECTOR).
+    */
+  object SingleStore extends SqlDialect {
+    val name = "singlestore"
+    override def quote(id: String): String = MySql.quote(id)
+    override def alterAddColumns(table: String,
+                                 columns: Seq[(String, String, Boolean)]): String =
+      MySql.alterAddColumns(table, columns)
+    override def sqlType(dt: DataType): String = MySql.sqlType(dt)
+    def upsert(table: String, key: Seq[String], nonKey: Seq[String]): String =
+      MariaDb.upsert(table, key, nonKey)
+  }
+
+  /** StarRocks (ref `dialect/starrocks/StarRocksDatabaseDialect.java:
+    * 224-313`): no ON DUPLICATE KEY — an INSERT listing all columns of a
+    * PRIMARY KEY table executes as an upsert (`getUpsertStatement`:304-308);
+    * CREATE TABLE orders key columns first and places the PRIMARY KEY and
+    * DISTRIBUTED BY HASH clauses OUTSIDE the column list (:256-266); keys
+    * are NOT NULL and the NULL/NOT NULL constraint precedes any DEFAULT;
+    * ALTER adds columns as one `ADD COLUMN (…)` group (:311-313).
+    */
+  object StarRocks extends SqlDialect {
+    val name = "starrocks"
+    override def quote(id: String): String = s"`$id`"
+    override def sqlType(dt: DataType): String = dt match {
+      case StringType  => "STRING"
+      case DoubleType  => "DOUBLE"
+      case BinaryType  => "VARBINARY"
+      case TimestampType | TimestampNTZType => "DATETIME"
+      case other       => super.sqlType(other)
+    }
+    def upsert(table: String, key: Seq[String], nonKey: Seq[String]): String =
+      insert(table, key, nonKey)
+    override def createTable(table: String,
+                             columns: Seq[(String, String, Boolean)],
+                             pk: Seq[String]): String = {
+      val (keys, rest) = columns.partition { case (n, _, _) => pk.contains(n) }
+      val cols = (keys ++ rest).map { case (n, t, nullable) =>
+        s"$n $t" + (if (pk.contains(n) || !nullable) " NOT NULL" else " NULL")
+      }
+      val pkClause =
+        if (pk.isEmpty) ""
+        else s" PRIMARY KEY (${pk.mkString(", ")})" +
+          s" DISTRIBUTED BY HASH (${pk.mkString(", ")})"
+      s"CREATE TABLE $table (${cols.mkString(", ")})$pkClause"
+    }
+    override def alterAddColumns(table: String,
+                                 columns: Seq[(String, String, Boolean)]): String =
+      s"ALTER TABLE $table ADD COLUMN (" + columns.map {
+        case (n, t, nullable) => s"$n $t" + nullConstraint(nullable)
+      }.mkString(", ") + ")"
+  }
+
+  val all: Seq[SqlDialect] =
+    Seq(Postgres, MySql, SqlServer, Oracle, Derby,
+      Db2, Db2i, MariaDb, CockroachDb, SingleStore, StarRocks)
 
   def forName(n: String): SqlDialect =
     all.find(_.name == n).getOrElse(

@@ -293,6 +293,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!out("b").metadata.contains("__graft.source.column.type"))
   }
 
+  test("decodeMessageContent: INSERT-shaped after, null-field flag (T23)") {
+    import graft.operators.Transforms
+    import spark.implicits._
+    // two messages; `note` is null in BOTH, `extra` only in the second
+    val msgs = Seq(
+      ("""{"id":1,"name":"a","note":null}""", 10L),
+      ("""{"id":2,"name":"b","note":null,"extra":7}""", 20L))
+      .toDF("json", "ts_ms")
+      .select(
+        struct(lit("pfx").as("prefix")).as("key"),
+        struct(lit("pfx").as("prefix"),
+          col("json").cast("binary").as("content")).as("message"),
+        lit("m").as("op"), col("ts_ms"))
+    // default fields.null.include=false: all-null `note` is dropped from
+    // the decoded schema; partially-present `extra` survives (null where
+    // absent) — the reference's IGNORE null-field behavior
+    val dec = Transforms.decodeMessageContent(msgs)
+    assert(!dec.columns.contains("message"))
+    val after = dec.schema("after").dataType.asInstanceOf[StructType]
+    assert(after.fieldNames.toSet == Set("id", "name", "extra"))
+    val rows = dec.select(col("op"), col("key"), col("after.id"),
+      col("after.extra")).collect()
+    assert(rows.forall(_.getString(0) == "c"), "op rewritten to INSERT")
+    assert(rows.forall(_.isNullAt(1)), "key cleared like the reference")
+    assert(rows.map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSet == Set((1L, -1L), (2L, 7L)))
+    // fields.null.include=true: the all-null field is kept in the schema
+    val keep = Transforms.decodeMessageContent(msgs, fieldsNullInclude = true)
+    val afterKeep = keep.schema("after").dataType.asInstanceOf[StructType]
+    assert(afterKeep.fieldNames.contains("note"))
+  }
+
   test("avroSafe column and scala twins agree") {
     import spark.implicits._
     val samples = Seq("PROMO BURNISHED", "9abc", "x-y.z", "ok_name")

@@ -149,6 +149,55 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(SqlDialects.Postgres.quote("a") == "\"a\"")
   }
 
+  test("extended dialect family matches the reference shapes") {
+    val k = Seq("id"); val v = Seq("name", "score")
+    // Db2 LUW: qualified SET, non-key-first INSERT branch
+    // (Db2DatabaseDialect.java:143-170)
+    assert(SqlDialects.Db2.upsert("t", k, v) ==
+      "merge into t using (values(?,?,?)) as DAT(id,name,score) on t.id=DAT.id" +
+        " WHEN MATCHED THEN UPDATE SET t.name=DAT.name, t.score=DAT.score" +
+        " WHEN NOT MATCHED THEN INSERT(name,score,id)" +
+        " values (DAT.name,DAT.score,DAT.id)")
+    // key-only record: no WHEN MATCHED branch at all
+    assert(SqlDialects.Db2.upsert("t", k, Nil) ==
+      "merge into t using (values(?)) as DAT(id) on t.id=DAT.id" +
+        " WHEN NOT MATCHED THEN INSERT(id) values (DAT.id)")
+    // Db2 for i: TGT alias in ON, UNqualified SET, sysdummy1 projection
+    // (Db2iDatabaseDialect.java:193-234)
+    assert(SqlDialects.Db2i.upsert("t", k, v) ==
+      "merge into t as TGT using (select ? as id,? as name,? as score" +
+        " from sysibm.sysdummy1) as DAT on TGT.id=DAT.id" +
+        " WHEN MATCHED THEN UPDATE SET name=DAT.name, score=DAT.score" +
+        " WHEN NOT MATCHED THEN INSERT(name,score,id)" +
+        " values (DAT.name,DAT.score,DAT.id)")
+    // MariaDB keeps the pre-8.0.20 VALUES() form
+    // (MariaDbDatabaseDialect.java:65-91); SingleStore inherits it
+    assert(SqlDialects.MariaDb.upsert("t", k, v) ==
+      "INSERT INTO t (id, name, score) VALUES (?, ?, ?)" +
+        " ON DUPLICATE KEY UPDATE name=VALUES(name),score=VALUES(score)")
+    assert(SqlDialects.SingleStore.upsert("t", k, v) ==
+      SqlDialects.MariaDb.upsert("t", k, v))
+    // CockroachDB statement shapes ARE Postgres'
+    // (CockroachDBDatabaseDialect.java:32)
+    assert(SqlDialects.CockroachDb.upsert("t", k, v) ==
+      SqlDialects.Postgres.upsert("t", k, v))
+    // StarRocks: upsert is a plain INSERT against a PRIMARY KEY table;
+    // create orders keys first and hangs PK/DISTRIBUTED BY outside the
+    // column list (StarRocksDatabaseDialect.java:224-313)
+    assert(SqlDialects.StarRocks.upsert("t", k, v) ==
+      SqlDialects.StarRocks.insert("t", k, v))
+    assert(SqlDialects.StarRocks.createTable("t",
+      Seq(("name", "STRING", true), ("id", "BIGINT", false),
+        ("score", "DOUBLE", true)), k) ==
+      "CREATE TABLE t (id BIGINT NOT NULL, name STRING NULL, score DOUBLE NULL)" +
+        " PRIMARY KEY (id) DISTRIBUTED BY HASH (id)")
+    // every dialect resolves by name (the sink's `dialect` property)
+    Seq("postgres", "mysql", "sqlserver", "oracle", "derby", "db2", "db2i",
+      "mariadb", "cockroachdb", "singlestore", "starrocks").foreach { n =>
+      assert(SqlDialects.forName(n).name == n)
+    }
+  }
+
   test("field filters: exclude wins, topic-scoped entries, default include") {
     import graft.sinks.FieldFilters
     val none = FieldFilters.forLists("", "")
