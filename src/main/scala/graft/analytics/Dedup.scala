@@ -166,6 +166,27 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Representative selection by QUALITY: within each duplicate cluster
+    * keep the highest-quality member (ties → lowest doc_id) instead of
+    * the arbitrary min-id canonical — the curation policy when near-dups
+    * differ in extraction quality (one crawl of the page is boilerplate-
+    * stripped, another is not). Input is the cluster table joined with a
+    * per-doc `quality` column; output adds `kept` (1 for the
+    * representative).
+    *
+    * 100 TB shape: one hash shuffle on cluster_id; the per-cluster sort
+    * is bounded by cluster size (near-dup clusters are small by
+    * construction — a giant cluster means the blocking key collapsed and
+    * should be fixed upstream, not absorbed here).
+    */
+  def keepBest(clustersWithQuality: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    clustersWithQuality.withColumn("kept",
+      (row_number().over(w) === 1).cast("int"))
+  }
+
   /** Union-find with path compression over a bounded collected edge
     * list; returns the (id, label = component min) table, broadcast-
     * sized by construction.

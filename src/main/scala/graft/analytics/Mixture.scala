@@ -80,6 +80,57 @@ object Mixture {
         ((col("cum") - col("n_tokens")) % budget).as("pack_offset"))
   }
 
+  /** Temperature-scaled multilingual sampling (the mBERT / XLM-R
+    * exponential-smoothing recipe): languages are sampled with
+    * probability q_l ∝ p_l^α where p_l is the natural token share —
+    * α < 1 upsamples low-resource languages without hand-written weight
+    * tables. This is `repeatFactors` with the weight table DERIVED from
+    * the data instead of supplied.
+    *
+    * α is fixed at 1/2 — the one exponent where the power is IEEE
+    * sqrt (correctly rounded by spec in every engine), so the factors
+    * stay bit-identical cross-engine. Since q_l ∝ √(T_l/T) ∝ √T_l, the
+    * per-language weight is s_l = floor(√T_l · 10⁶) (exact integer),
+    * S = Σ s_l is an exact integer sum, and the rate
+    * `r_l = (s_l · B) / (S · T_l)` is computed as ONE division of two
+    * exact int64 products (≲10¹⁷ at tested scales; overflow-checked
+    * under ANSI), each cast to double once. General-α
+    * smoothing would go through libm `pow`, whose last-ulp rounding is
+    * NOT portable across engines — callers needing α ≠ 1/2 should
+    * accept an approximate (rows-only) check.
+    *
+    * 100 TB shape: identical to `repeatFactors` — one map-side
+    * combinable per-language count aggregation (|languages| rows →
+    * broadcast back), then a map-only factor pass.
+    */
+  def temperatureFactors(docs: DataFrame, budgetFactor: Int = 2,
+                         langCol: String = "lang"): DataFrame = {
+    val toks = graft.analytics.TextAnalysis.tokenCount(col("text"))
+      .cast("long")
+    val base = docs.select(col("doc_id"), col(langCol).as("lang"),
+      toks.as("n_tokens"))
+    val perLang = base.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("t_s"))
+      .withColumn("s_l",
+        floor(sqrt(col("t_s").cast("double")) * 1000000.0).cast("long"))
+    val Array(totalTokens, sSum) = perLang
+      .agg(sum(col("t_s")), sum(col("s_l"))).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val bt = budgetFactor.toLong * totalTokens
+    val rates = perLang.select(col("lang").as("r_lang"),
+      ((col("s_l") * lit(bt)).cast("double") /
+        (lit(sSum) * col("t_s")).cast("double")).as("rate"))
+    base.join(broadcast(rates), col("lang") === col("r_lang"))
+      .withColumn("n_repeats",
+        (floor(col("rate")).cast("long") +
+          when(hashBucket10k(col("doc_id")) <
+            floor((col("rate") - floor(col("rate"))) * 10000), 1L)
+            .otherwise(0L)).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("n_repeats"))
+  }
+
   def repeatFactors(docs: DataFrame, weights: Map[String, Long],
                     budgetFactor: Int = 2): DataFrame = {
     val toks = graft.analytics.TextAnalysis.tokenCount(col("text"))

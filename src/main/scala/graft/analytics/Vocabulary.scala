@@ -104,6 +104,39 @@ object Vocabulary {
         .as("bpe_tokens"))
   }
 
+  /** Tokenizer fertility per language — the standard tokenizer-quality
+    * metric (subword tokens per whitespace word, and raw bytes per
+    * subword token): a vocabulary trained on one language family shows
+    * fertility ≫ 1 on scripts it fragments, which inflates effective
+    * sequence length and training cost there. Computed against a given
+    * merge table via the native `bpe_encode` expression.
+    *
+    * Sums are exact BIGINTs; each ratio is ONE floor-quantized double
+    * division, so the per-language rows are bit-stable cross-engine.
+    * 100 TB shape: map-only encode (codegen expression) feeding one
+    * map-side-combinable per-language aggregate — |languages| rows out.
+    */
+  def tokenFertility(docs: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("lang"),
+      graft.analytics.TextAnalysis.tokenCount(col("text")).cast("long")
+        .as("n_words"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      size(graft.expressions.GraftFunctions.bpeEncode(col("text"), merges))
+        .cast("long").as("n_bpe"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_words")).as("words"),
+        sum(col("n_bytes")).as("bytes"),
+        sum(col("n_bpe")).as("bpe_tokens"))
+      .select(col("lang"), col("words"), col("bytes"), col("bpe_tokens"),
+        (floor(col("bpe_tokens").cast("double") /
+          col("words").cast("double") * 10000) / 10000.0).as("fertility"),
+        (floor(col("bytes").cast("double") /
+          col("bpe_tokens").cast("double") * 10000) / 10000.0)
+          .as("bytes_per_token"))
+  }
+
   /** Per-document coverage: total tokens, tokens with corpus frequency
     * below `rareBelow`, and tokens inside the top-`topM` vocabulary
     * (rank by count desc, token asc — a deterministic tie-break).

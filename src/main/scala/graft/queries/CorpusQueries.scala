@@ -80,6 +80,20 @@ object CorpusQueries extends QueryGroup {
           col("is_canonical").cast("int").as("is_canonical"))
     }),
 
+    // representative selection by quality: within each near-dup cluster
+    // keep the highest-quality member (ties → lowest doc_id) — curation
+    // policy when crawls of the same page differ in extraction quality
+    "a_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs,
+        TextAnalysis.prefixFingerprint(col("text"), 8), 0.9)
+      val clusters = Dedup.dedupClusters(docs, pairs)
+        .select(col("doc_id"), col("cluster_id"))
+      val quality = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      Dedup.keepBest(clusters.join(quality, "doc_id"))
+    }),
+
     // LSH is a candidate *generator*; the emitted pairs are verified by
     // exact shingle-Jaccard, so with enough bands the result equals the
     // exact all-pairs computation — which is what the oracle computes.
@@ -505,6 +519,14 @@ object CorpusQueries extends QueryGroup {
         budgetFactor = 2, budget = 2048, shards = 8)
     }),
 
+    // temperature-scaled multilingual sampling (q_l ∝ p_l^0.5): the
+    // weight table is DERIVED from per-language token counts instead of
+    // hand-written — α = 1/2 rides IEEE sqrt so factors are bit-exact
+    // cross-engine (see Mixture.temperatureFactors)
+    "a_temperature_mixture" -> ((s, dir) =>
+      graft.analytics.Mixture.temperatureFactors(
+        t(s, dir, "documents"), budgetFactor = 2)),
+
     // IVF ANN with pretrained cells: the oracle replays the identical
     // cell-assignment + probe + rank computation from centroid literals
     // (the data-fitted k-means trainer is exercised by CoordinatorIvfSpec,
@@ -600,6 +622,18 @@ object CorpusQueries extends QueryGroup {
         .select(col("doc_id"),
           size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"),
           md5(array_join(col("bpe_tokens"), " ")).as("tok_hash"))
+    }),
+
+    // tokenizer fertility by language (subword tokens per word, bytes
+    // per subword token) against the corpus-trained merge table — the
+    // metric that exposes a vocabulary fragmenting scripts it wasn't
+    // trained on
+    "a_token_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.analytics.Vocabulary.bpeMerges(docs, nMerges = 6)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.analytics.Vocabulary.tokenFertility(docs, merges)
     }),
 
     // Product-quantization ANN (the 1B-vector memory path): corpus
@@ -928,6 +962,42 @@ object CorpusQueries extends QueryGroup {
        | md5(array_to_string(list_filter(string_split(syms,' '),
        |   x -> x <> ''), ' ')) AS tok_hash
        |FROM d$nMerges""".stripMargin
+  }
+
+  /** Fertility = the bpeEncodeOracle ladder carried per (doc, lang,
+    * word-count, byte-count) and aggregated per language: sums are exact
+    * BIGINTs, each ratio one floor-quantized double division.
+    */
+  private def tokenFertilityOracle(nMerges: Int): String = {
+    val d0 =
+      """d0 AS (SELECT doc_id, lang,
+        | len(string_split(text,' '))::BIGINT AS n_words,
+        | strlen(text)::BIGINT AS n_bytes,
+        | array_to_string(list_transform(string_split(text,' '),
+        |   w -> ' ' || array_to_string(string_split(w,''),' ') || ' '), '')
+        |   AS syms
+        | FROM documents)""".stripMargin
+    val dLayers = (1 to nMerges).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT doc_id, lang, n_words, n_bytes,
+         | replace(syms,
+         |  ' '||(SELECT w1 FROM m$i)||' '||(SELECT w2 FROM m$i)||' ',
+         |  ' '||(SELECT w1 FROM m$i)||(SELECT w2 FROM m$i)||' ') AS syms
+         | FROM d${i - 1})""".stripMargin
+    }
+    s"""WITH ${bpeLadder(nMerges)},
+       |$d0,
+       |${dLayers.mkString(",\n")},
+       |agg AS (SELECT lang, CAST(sum(n_words) AS BIGINT) AS words,
+       |  CAST(sum(n_bytes) AS BIGINT) AS bytes,
+       |  CAST(sum(len(list_filter(string_split(syms,' '), x -> x <> '')))
+       |    AS BIGINT) AS bpe_tokens
+       | FROM d$nMerges GROUP BY lang)
+       |SELECT lang, words, bytes, bpe_tokens,
+       | floor(bpe_tokens::DOUBLE / words::DOUBLE * 10000) / 10000.0
+       |   AS fertility,
+       | floor(bytes::DOUBLE / bpe_tokens::DOUBLE * 10000) / 10000.0
+       |   AS bytes_per_token
+       |FROM agg""".stripMargin
   }
 
   /** PQ encode + ADC search replayed from the codebook literals: per
@@ -1285,6 +1355,42 @@ object CorpusQueries extends QueryGroup {
         | CAST(d.doc_id = coalesce(min(reach.r), d.doc_id) AS INTEGER) AS is_canonical
         |FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
         |GROUP BY d.doc_id""".stripMargin,
+
+    // clusters replayed as in a_dedup_clusters, quality as in
+    // a_quality_score; representative = row_number() = 1 over
+    // (quality DESC, doc_id ASC) within the cluster
+    "a_dedup_keep_best" ->
+      s"""WITH RECURSIVE s AS (SELECT doc_id,
+         |  md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS b,
+         |  list_distinct(string_split(text,' ')) AS toks FROM documents),
+         | pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM s a JOIN s b ON a.b = b.b AND a.doc_id < b.doc_id
+         |  WHERE floor(len(list_intersect(a.toks, b.toks))::DOUBLE
+         |    / len(list_distinct(list_concat(a.toks, b.toks))) * 10000) / 10000.0 >= 0.9),
+         | e AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |  UNION ALL SELECT id_b, id_a FROM pr),
+         | reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+         | cl AS (SELECT d.doc_id,
+         |  coalesce(min(reach.r), d.doc_id) AS cluster_id
+         | FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+         | GROUP BY d.doc_id),
+         | qb AS (SELECT doc_id,
+         |  len(string_split(text,' '))*1.0 AS nt,
+         |  len(list_filter(string_split(text,' '), w -> w IN $allStop))*1.0 AS sh,
+         |  length(text)*1.0 AS lc
+         | FROM documents),
+         | q AS (SELECT doc_id, floor((
+         |  least(nt/50.0, 1.0)*0.4
+         |  + least((sh/nt)*5.0, 1.0)*0.3
+         |  + greatest(1.0 - abs(((lc-nt+1)/nt) - 5.0)/10.0, 0.0)*0.3) * 10000) / 10000.0 AS quality
+         | FROM qb)
+         |SELECT cl.doc_id, cl.cluster_id, q.quality,
+         | CAST(row_number() OVER (PARTITION BY cl.cluster_id
+         |   ORDER BY q.quality DESC, cl.doc_id ASC) = 1 AS INTEGER) AS kept
+         |FROM cl JOIN q USING (doc_id)""".stripMargin,
 
     "a_minhash_lsh" -> minhashOracle,
 
@@ -1771,6 +1877,34 @@ object CorpusQueries extends QueryGroup {
         |   AS BIGINT) AS n_repeats
         |FROM b""".stripMargin,
 
+    // α = 1/2 smoothing: the per-language weight is floor(sqrt(T_l)·1e6)
+    // (IEEE sqrt is correctly rounded by spec, so both engines floor the
+    // same bits); the rate is one division of two exact int64 products
+    "a_temperature_mixture" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  len(string_split(text,' '))::BIGINT AS n_tokens FROM documents),
+        | ps AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t_s
+        |  FROM t GROUP BY lang),
+        | sl AS (SELECT lang, t_s,
+        |   CAST(floor(sqrt(t_s::DOUBLE) * 1000000.0) AS BIGINT) AS s_l
+        |  FROM ps),
+        | tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS ttot FROM sl),
+        | ssum AS (SELECT CAST(sum(s_l) AS BIGINT) AS s FROM sl),
+        | r AS (SELECT sl.lang,
+        |   (sl.s_l * 2 * tot.ttot)::DOUBLE / (ssum.s * sl.t_s)::DOUBLE
+        |     AS rate
+        |  FROM sl, tot, ssum),
+        | b AS (SELECT t.doc_id, t.lang, t.n_tokens, r.rate,
+        |   CAST(list_sum([(strpos('0123456789abcdef',
+        |       substr(md5(t.doc_id::VARCHAR), i, 1))-1)::BIGINT
+        |       << (4*(6-i)) for i in range(1, 7)]) AS BIGINT) % 10000 AS bucket
+        |  FROM t JOIN r USING (lang))
+        |SELECT doc_id, lang, n_tokens,
+        | CAST(floor(rate) + (CASE WHEN bucket <
+        |   floor((rate - floor(rate)) * 10000) THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_repeats
+        |FROM b""".stripMargin,
+
     // the mixture CTEs compose with the pack CTEs: copies unnest from
     // the factor table, the pack window orders by (doc_id, copy)
     "a_mixture_pack" ->
@@ -1826,6 +1960,8 @@ object CorpusQueries extends QueryGroup {
     "a_bpe_merges" -> bpeOracle(6),
 
     "a_bpe_encode" -> bpeEncodeOracle(6),
+
+    "a_token_fertility" -> tokenFertilityOracle(6),
 
     "a_quality_classifier" -> qualityClassifierOracle(16, 3, "0.1"),
 
@@ -1963,7 +2099,8 @@ object CorpusQueries extends QueryGroup {
     "a_vocab_induction", "a_doc_clusters", "a_tfidf_terms",
     "a_ccnet_buckets", "a_ccnet_buckets_approx", "a_bpe_merges",
     "a_pq_topk", "a_ivf_pq_topk", "a_ann_hamming",
-    "a_dsir_scores", "a_doc_chunks", "a_bpe_encode",
+    "a_dsir_scores", "a_doc_chunks", "a_bpe_encode", "a_token_fertility",
+    "a_temperature_mixture", "a_dedup_keep_best",
     "a_quality_classifier", "a_corpus_shuffle",
     "a_backoff_trigram", "a_bm25_topk", "stream_ivf_append",
     "a_heavy_hitters", "a_hdr_histogram", "a_hdr_quantiles",

@@ -147,6 +147,61 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist(); ()
   }
 
+  test("temperature mixture flattens shares toward sqrt; budget holds") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Mixture.temperatureFactors(docs, budgetFactor = 2).cache()
+    val natural = docs
+      .select(col("lang"),
+        graft.analytics.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("nt"))
+      .groupBy(col("lang")).agg(sum(col("nt")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = natural.values.sum.toDouble
+    val realized = out.groupBy(col("lang"))
+      .agg(sum(col("n_tokens") * col("n_repeats")).as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rTotal = realized.values.sum.toDouble
+    // q_l ∝ sqrt(p_l): every realized share must land close to the
+    // sqrt-normalized target, i.e. ABOVE natural for low-resource
+    // languages and BELOW for the head
+    val sSum = natural.values.map(t => math.sqrt(t.toDouble)).sum
+    natural.foreach { case (l, t) =>
+      val target = math.sqrt(t.toDouble) / sSum
+      val got = realized.getOrElse(l, 0L) / rTotal
+      assert(math.abs(got - target) < 0.02,
+        s"lang $l realized share $got vs sqrt target $target")
+    }
+    // total assembled tokens track the 2x budget
+    assert(math.abs(rTotal / total - 2.0) < 0.05, s"budget: ${rTotal / total}")
+    // deterministic rerun
+    assert(out.collect().toSet ==
+      Mixture.temperatureFactors(docs, budgetFactor = 2).collect().toSet)
+    out.unpersist(); ()
+  }
+
+  test("keepBest: one representative per cluster, max quality wins") {
+    import graft.analytics.{Dedup, TextAnalysis}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.jaccardPairs(docs,
+      TextAnalysis.prefixFingerprint(col("text"), 8), 0.9)
+    val clusters = Dedup.dedupClusters(docs, pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val q = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val kept = Dedup.keepBest(clusters.join(q, "doc_id")).cache()
+    // exactly one representative per cluster; every doc appears once
+    val perCluster = kept.groupBy(col("cluster_id"))
+      .agg(sum(col("kept")).as("n")).collect()
+    assert(perCluster.forall(_.getLong(1) == 1L))
+    assert(kept.count() == docs.count())
+    // the representative's quality is the cluster max
+    val bad = kept.filter(col("kept") === 1).as("r")
+      .join(kept.as("o"), col("r.cluster_id") === col("o.cluster_id"))
+      .filter(col("o.quality") > col("r.quality")).count()
+    assert(bad == 0, "a kept doc was outranked in its own cluster")
+    kept.unpersist(); ()
+  }
+
   test("packMixture equals the two-step repeatFactors → explode → pack composition") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val weights = docs.select(col("source")).distinct().collect()

@@ -185,6 +185,14 @@ class PlanSpec extends AnyFunSuite {
       "corpus side must not shuffle for the rate join")
   }
 
+  test("temperature mixture keeps the repeatFactors shape: broadcast rates") {
+    val p = plan("a_temperature_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |languages|-row rate table should broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus side must not shuffle for the rate join")
+  }
+
   test("coordinator chunk merges read the chunk cache, not the source") {
     // the SnapshotCoordinator shape: repartition(chunk) + persist before
     // the chunk loop — each per-chunk filter must plan as an
