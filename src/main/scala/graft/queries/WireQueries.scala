@@ -598,6 +598,28 @@ object WireQueries extends QueryGroup {
         "annotation")
     }),
 
+    // S8 MySQL-GTID flavor: GTID_LOG_EVENT transaction framing (sid:gno
+    // + 5.7 logical clock), PREVIOUS_GTIDS resume state at the head, and
+    // the gtid.source.includes server-UUID filter dropping a whole
+    // foreign-server transaction (reference debezium-connector-mysql
+    // gtid/ + BinlogConnectorConfig.GTID_SOURCE_INCLUDES)
+    "s8_mysql_gtid_decode" -> ((s, _) => {
+      import s.implicits._
+      import graft.sources.wire.GtidSet
+      val keep = GtidSet.sourceFilter(includes = Some("a.*"), excludes = None)
+      val (rows, previous) = graft.sources.wire.MySqlBinlog.segmentRowsGtid(
+        graft.tools.WireFixtures.mysqlGtidSegment,
+        Map("testdb.bl_items" -> Seq("id", "qty", "label")),
+        sourceFilter = keep)
+      require(previous.text ==
+        s"${graft.tools.WireFixtures.GtidSidA}:1-41," +
+          s"${graft.tools.WireFixtures.GtidSidB}:1-6",
+        s"unexpected PREVIOUS_GTIDS state: ${previous.text}")
+      rows.map { case (w, gtid) =>
+        (w.table, w.op, w.pos, w.keyJson, w.payloadJson, gtid)
+      }.toDF("table", "op", "pos", "key_json", "payload_json", "gtid")
+    }),
+
     "s9_binlog_socket_stream" -> ((s, _) => {
       val events = graft.tools.MySqlWireServer.segmentEvents(
         graft.tools.WireFixtures.binlogSegment)
@@ -640,7 +662,20 @@ object WireQueries extends QueryGroup {
         |  '{"id":'||i||',"qty":'||(i*5+1000)||',"label":"md_'||i||'"}',
         |  '1-1-7',
         |  'UPDATE testdb.bl_items SET qty = qty + 1000 WHERE id % 3 = 0'
-        | FROM range(12) t(i) WHERE i%3=0""".stripMargin)
+        | FROM range(12) t(i) WHERE i%3=0""".stripMargin,
+
+    // the sid-B update transaction is filtered out wholesale; the
+    // anonymous group survives with an empty gtid
+    "s8_mysql_gtid_decode" ->
+      """SELECT 'testdb.bl_items' AS "table", 'c' AS op,
+        |  CAST(200 AS BIGINT) AS pos, '{"id":'||i||'}' AS key_json,
+        |  '{"id":'||i||',"qty":'||(i*5)||',"label":"mg_'||i||'"}' AS payload_json,
+        |  'aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa:42' AS gtid
+        | FROM range(12) t(i)
+        |UNION ALL
+        |SELECT 'testdb.bl_items', 'c', CAST(600 AS BIGINT), '{"id":'||i||'}',
+        |  '{"id":'||i||',"qty":'||(i*5)||',"label":"mg_'||i||'"}', ''
+        | FROM range(100, 102) t(i)""".stripMargin)
 
   private lazy val baseOracles: Map[String, String] = Map(
     "s8_pgoutput_decode" ->

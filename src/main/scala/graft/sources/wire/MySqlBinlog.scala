@@ -51,6 +51,13 @@ object MySqlBinlog {
   val MARIADB_GTID_LIST = 163
   /** MariaDB GTID flags2: standalone event group (no terminating COMMIT). */
   val FL_STANDALONE = 1
+  // MySQL-flavor GTID events (reference debezium-connector-mysql; MySQL
+  // binlog event spec): GTID_LOG_EVENT opens each transaction with its
+  // sid:gno, PREVIOUS_GTIDS_LOG_EVENT records the executed set at the
+  // binlog head (the MySQL analog of MariaDB's GTID_LIST)
+  val GTID_LOG = 33
+  val ANONYMOUS_GTID_LOG = 34
+  val PREVIOUS_GTIDS_LOG = 35
   val PARTIAL_UPDATE_ROWS = 39 // mysql-8.0 binlog_row_value_options=PARTIAL_JSON
 
   // column type codes (MYSQL_TYPE_*)
@@ -103,9 +110,39 @@ object MySqlBinlog {
   /** MariaDB GTID_LIST: replication state at binlog rotation. */
   final case class MariaGtidListEvent(nextPos: Long,
                                       gtids: Seq[(Long, Long, Long)]) extends Event
+  /** MySQL GTID (sid:gno): opens the next transaction; since 5.7 also
+    * carries the logical-clock pair (last_committed, sequence_number)
+    * that parallel appliers schedule by. `anonymous` marks
+    * ANONYMOUS_GTID_LOG_EVENT groups (gtid_mode=OFF).
+    */
+  final case class MySqlGtidEvent(nextPos: Long, sid: String, gno: Long,
+                                  lastCommitted: Long, seqNo: Long,
+                                  anonymous: Boolean = false) extends Event {
+    def gtid: String = if (anonymous) "" else s"$sid:$gno"
+  }
+  /** MySQL PREVIOUS_GTIDS: the executed GTID set at the binlog head
+    * (intervals stored end-EXCLUSIVE on the wire, surfaced in the
+    * canonical inclusive text form).
+    */
+  final case class PreviousGtidsEvent(nextPos: Long,
+                                      set: GtidSet) extends Event
   final case class SkippedEvent(nextPos: Long, kind: Int) extends Event
 
   // ---------------------------------------------------------------- decode
+
+  /** 16 raw SID bytes → canonical lowercase 8-4-4-4-12 UUID text (byte
+    * order is positional, independent of the buffer's endianness).
+    */
+  private def uuidText(b: ByteBuffer): String = {
+    val raw = new Array[Byte](16); b.get(raw)
+    val hex = raw.map(x => f"${x & 0xff}%02x").mkString
+    s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
+      s"${hex.substring(16, 20)}-${hex.substring(20)}"
+  }
+
+  private def uuidBytes(sid: String): Array[Byte] =
+    sid.replace("-", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
 
   private def lenenc(b: ByteBuffer): Long = (b.get() & 0xff) match {
     case v if v < 0xfb => v
@@ -777,6 +814,33 @@ object MySqlBinlog {
             val flags2 = buf.get() & 0xff
             MariaGtidEvent(nextPos, domain, serverId.toLong & 0xffffffffL,
               seqNo, (flags2 & FL_STANDALONE) != 0)
+          case GTID_LOG | ANONYMOUS_GTID_LOG =>
+            // payload: flags(1) sid(16) gno(8 LE), then since 5.7 the
+            // logical-clock block: typecode(1)=2 last_committed(8)
+            // sequence_number(8); later servers append commit
+            // timestamps we tolerate and skip (positioned to `end`)
+            buf.get() // commit flag (rbr_only)
+            val sid = uuidText(buf)
+            val gno = buf.getLong()
+            val (lc, sn) =
+              if (end - buf.position() >= 17 && (buf.get() & 0xff) == 2)
+                (buf.getLong(), buf.getLong())
+              else (0L, 0L)
+            MySqlGtidEvent(nextPos, sid, gno, lc, sn,
+              anonymous = kind == ANONYMOUS_GTID_LOG)
+          case PREVIOUS_GTIDS_LOG =>
+            // payload: n_sids(8 LE){ sid(16) n_ivs(8){ start(8) end(8)
+            // EXCLUSIVE }} — converted to the inclusive canonical form
+            val nSids = buf.getLong()
+            val sets = (0L until nSids).map { _ =>
+              val sid = uuidText(buf)
+              val nIvs = buf.getLong()
+              sid -> (0L until nIvs).map { _ =>
+                val a = buf.getLong(); val b = buf.getLong()
+                (a, b - 1)
+              }
+            }.toMap
+            PreviousGtidsEvent(nextPos, GtidSet(sets))
           case MARIADB_ANNOTATE_ROWS =>
             val sqlB = new Array[Byte](end - buf.position())
             buf.get(sqlB)
@@ -1022,6 +1086,31 @@ object MySqlBinlog {
   def encodeAnnotateRows(nextPos: Long, sql: String): Array[Byte] =
     event(MARIADB_ANNOTATE_ROWS, nextPos, sql.getBytes(StandardCharsets.UTF_8))
 
+  def encodeMySqlGtid(nextPos: Long, sid: String, gno: Long,
+                      lastCommitted: Long = 0L, seqNo: Long = 0L,
+                      anonymous: Boolean = false): Array[Byte] = {
+    val b = leBuf(1 + 16 + 8 + 17)
+    b.put(1.toByte)            // commit flag
+    b.put(uuidBytes(sid))
+    b.putLong(gno)
+    b.put(2.toByte)            // logical-clock typecode
+    b.putLong(lastCommitted)
+    b.putLong(seqNo)
+    event(if (anonymous) ANONYMOUS_GTID_LOG else GTID_LOG, nextPos, b.array())
+  }
+
+  def encodePreviousGtids(nextPos: Long, set: GtidSet): Array[Byte] = {
+    val ivCount = set.sets.valuesIterator.map(_.size).sum
+    val b = leBuf(8 + set.sets.size * 24 + ivCount * 16)
+    b.putLong(set.sets.size.toLong)
+    set.sets.toSeq.sortBy(_._1).foreach { case (sid, ivs) =>
+      b.put(uuidBytes(sid))
+      b.putLong(ivs.size.toLong)
+      ivs.foreach { case (a, inclB) => b.putLong(a); b.putLong(inclB + 1) }
+    }
+    event(PREVIOUS_GTIDS_LOG, nextPos, b.array())
+  }
+
   def encodeMariaGtidList(nextPos: Long,
                           gtids: Seq[(Long, Long, Long)]): Array[Byte] = {
     val b = leBuf(4 + gtids.size * 16)
@@ -1120,6 +1209,55 @@ object MySqlBinlog {
         }
       case _ => Nil
     }
+  }
+
+  /** MySQL-GTID projection (reference `debezium-connector-mysql` +
+    * `debezium-connector-binlog/gtid/`): row events carry the OWNING
+    * gtid (`sid:gno` — the GTID_LOG_EVENT opens the transaction, XID
+    * closes it; anonymous groups carry ""), and `sourceFilter` applies
+    * the reference's `gtid.source.includes`/`excludes` server-UUID
+    * projection — a filtered-out transaction's row events are DROPPED
+    * WHOLESALE, exactly as the reference skips events between a
+    * non-matching GTID and its terminator. Returns the rows plus the
+    * PREVIOUS_GTIDS executed set seen at the segment head (the resume
+    * position MySQL hands to `COM_BINLOG_DUMP_GTID`).
+    */
+  def segmentRowsGtid(bytes: Array[Byte],
+                      colNames: Map[String, Seq[String]],
+                      keyCols: Map[String, Seq[Int]] = Map.empty,
+                      sourceFilter: String => Boolean = _ => true)
+  : (Seq[(PgOutput.WireRow, String)], GtidSet) = {
+    val maps = scala.collection.mutable.Map[Long, TableMap]()
+    var gtid = ""
+    var admitted = true
+    var previous = GtidSet.empty
+    val out = Seq.newBuilder[(PgOutput.WireRow, String)]
+    readSegment(bytes).foreach {
+      case TableMapEvent(_, m) => maps(m.tableId) = m
+      case g: MySqlGtidEvent =>
+        gtid = g.gtid
+        admitted = g.anonymous || sourceFilter(g.sid)
+      case PreviousGtidsEvent(_, set) => previous = set
+      case XidEvent(_, _) => gtid = ""; admitted = true
+      case RowsEvent(pos, kind, tableId, rows, afterRows) if admitted =>
+        val m = maps(tableId)
+        val full = s"${m.schema}.${m.table}"
+        val names = colNames.getOrElse(full, m.colTypes.indices.map(i => s"c$i"))
+        val kidx = keyCols.getOrElse(full, Seq(0)).toSet
+        val wireRows = kind match {
+          case WRITE_ROWS_V2 => rows.map(r => PgOutput.WireRow(full, "c", pos,
+            jsonObject(names, r, Some(kidx)), jsonObject(names, r)))
+          case UPDATE_ROWS_V2 | PARTIAL_UPDATE_ROWS =>
+            afterRows.map(r => PgOutput.WireRow(full, "u", pos,
+              jsonObject(names, r, Some(kidx)), jsonObject(names, r)))
+          case DELETE_ROWS_V2 => rows.map(r => PgOutput.WireRow(full, "d", pos,
+            jsonObject(names, r, Some(kidx)), "null"))
+          case _ => Nil
+        }
+        wireRows.foreach(w => out += ((w, gtid)))
+      case _ => ()
+    }
+    (out.result(), previous)
   }
 
   /** MariaDB projection (reference `debezium-connector-mariadb`): row

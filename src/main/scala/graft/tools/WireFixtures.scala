@@ -284,6 +284,38 @@ object WireFixtures {
     writeSegment(events.toSeq)
   }
 
+  val GtidSidA = "aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa"
+  val GtidSidB = "bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb"
+
+  /** MySQL-GTID flavor: PREVIOUS_GTIDS head state, two GTID-framed
+    * transactions from different server UUIDs (the second is dropped by
+    * the `gtid.source.includes` filter in the query), and one anonymous
+    * group (gtid_mode=OFF interop — always admitted).
+    */
+  def mysqlGtidSegment: Array[Byte] = {
+    import MySqlBinlog._
+    import graft.sources.wire.GtidSet
+    def row(i: Int): Row = Row(Seq(Some(i), Some(i * 5L), Some(s"mg_$i")))
+    val events = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    events += encodePreviousGtids(90, GtidSet(Map(
+      GtidSidA -> Seq((1L, 41L)), GtidSidB -> Seq((1L, 6L)))))
+    events += encodeMySqlGtid(100, GtidSidA, gno = 42,
+      lastCommitted = 41, seqNo = 42)
+    events += encodeTableMap(120, BlMap)
+    events += encodeRows(WRITE_ROWS_V2, 200, BlMap, (0 until 12).map(row))
+    events += encodeXid(300, 9001L)
+    events += encodeMySqlGtid(310, GtidSidB, gno = 7)
+    val upd = (0 until 12).filter(_ % 3 == 0)
+    events += encodeRows(UPDATE_ROWS_V2, 400, BlMap, upd.map(row),
+      upd.map(i => Row(Seq(Some(i), Some(i * 5L + 1000), Some(s"mg_$i")))))
+    events += encodeXid(500, 9002L)
+    events += encodeMySqlGtid(510, GtidSidA, gno = 0, anonymous = true)
+    events += encodeRows(WRITE_ROWS_V2, 600, BlMap,
+      Seq(row(100), row(101)))
+    events += encodeXid(700, 9003L)
+    writeSegment(events.toSeq)
+  }
+
   def binlogSegment: Array[Byte] = {
     import MySqlBinlog._
     def row(i: Int): Row =

@@ -1289,4 +1289,64 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(rows.map(_._3) == Seq("stmt-A", ""),
       "second group must not inherit the first group's annotation")
   }
+
+  test("gtid set: parse/format, contains, containment, subtract, filter") {
+    import graft.sources.wire.GtidSet
+    val a = GtidSet.parse(
+      "AAAAAAAA-aaaa-aaaa-aaaa-aaaaaaaaaaaa:1-5:7-9,\n" +
+        "bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb:1-3")
+    // canonical: lowercase sids, sorted, single points without dash
+    assert(a.text == "aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa:1-5:7-9," +
+      "bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb:1-3")
+    assert(GtidSet.parse(a.text) == a, "text form round-trips")
+    assert(a.contains("aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa", 8))
+    assert(!a.contains("aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa", 6))
+    // adjacent add coalesces: 6 bridges 1-5 and 7-9
+    assert(a.add("aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa", 6).text
+      .startsWith("aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa:1-9"))
+    // containment (the resume-position validity check)
+    val sub = GtidSet.parse("aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa:2-4")
+    assert(sub.isContainedWithin(a) && !a.isContainedWithin(sub))
+    // subtract carves their intervals out of ours
+    val diff = a.subtract(GtidSet.parse(
+      "aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa:3-7," +
+        "bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb:1-3"))
+    assert(diff.text == "aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa:1-2:8-9")
+    // gtid.source.includes / excludes projections
+    val inc = GtidSet.sourceFilter(Some("a.*"), None)
+    assert(a.retainAll(inc).sets.keySet ==
+      Set("aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa"))
+    val exc = GtidSet.sourceFilter(None, Some("a.*"))
+    assert(a.retainAll(exc).sets.keySet ==
+      Set("bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb"))
+  }
+
+  test("mysql gtid: event framing, previous-gtids roundtrip, source filter") {
+    import graft.sources.wire.{GtidSet, MySqlBinlog}
+    import graft.sources.wire.MySqlBinlog._
+    val seg = graft.tools.WireFixtures.mysqlGtidSegment
+    // raw parse: logical clock carried; previous-gtids wire form
+    // (end-exclusive) decodes to the inclusive canonical set
+    val events = readSegment(seg).toSeq
+    val g = events.collect { case e: MySqlGtidEvent => e }
+    assert(g.map(_.gtid) == Seq(
+      s"${graft.tools.WireFixtures.GtidSidA}:42",
+      s"${graft.tools.WireFixtures.GtidSidB}:7", ""))
+    assert(g.head.lastCommitted == 41 && g.head.seqNo == 42)
+    val prev = events.collect { case PreviousGtidsEvent(_, s) => s }.head
+    assert(prev == GtidSet(Map(
+      graft.tools.WireFixtures.GtidSidA -> Seq((1L, 41L)),
+      graft.tools.WireFixtures.GtidSidB -> Seq((1L, 6L)))))
+    // unfiltered projection: every tx's rows, attributed
+    val (all, _) = MySqlBinlog.segmentRowsGtid(seg,
+      Map("testdb.bl_items" -> Seq("id", "qty", "label")))
+    assert(all.count(_._2 == s"${graft.tools.WireFixtures.GtidSidA}:42") == 12)
+    assert(all.count(_._2 == s"${graft.tools.WireFixtures.GtidSidB}:7") == 4)
+    assert(all.count(_._2 == "") == 2, "anonymous group rows carry ''")
+    // includes filter drops the sid-B transaction WHOLESALE
+    val (kept, _) = MySqlBinlog.segmentRowsGtid(seg,
+      Map("testdb.bl_items" -> Seq("id", "qty", "label")),
+      sourceFilter = GtidSet.sourceFilter(Some("a.*"), None))
+    assert(kept.size == 14 && !kept.exists(_._2.contains("bbbb")))
+  }
 }
