@@ -93,4 +93,46 @@ object IncrementalSnapshot {
       .drop("chunk", "lo_pos", "hi_pos")
     Materialize.latestState(survivors.unionByName(stream))
   }
+
+  /** S5 with the reference's ACTUAL watermark representation: the low and
+    * high watermarks are executed-GTID-SET snapshots captured around the
+    * chunk SELECT (`SHOW MASTER STATUS`, ref
+    * `MySqlReadOnlyIncrementalSnapshotContext.updateWindowState`:53-71 —
+    * the window opens when the stream's current gtid leaves the low set
+    * and closes when it leaves the high set), so an event is inside
+    * chunk c's dedup window iff its gtid ∈ hi_c \ lo_c.
+    *
+    * `windows` is driver-side — one (chunk, lo, hi) per chunk, the same
+    * bounded cardinality the pos-variant broadcasts. The set difference
+    * runs ONCE on the driver (`GtidSet.subtract`), explodes to
+    * (chunk, sid, gno-interval) rows, and broadcasts; membership is then
+    * a pure Column predicate (sid equality + gno range) over the
+    * stream's `gtid` column — no UDF, one broadcast join + the keyed
+    * anti-join, identical plan shape to `readOnlyChunkMerge`.
+    */
+  def readOnlyChunkMergeGtid(chunkRows: DataFrame,
+                             windows: Seq[(Long, graft.sources.wire.GtidSet,
+                               graft.sources.wire.GtidSet)],
+                             stream: DataFrame): DataFrame = {
+    val spark = chunkRows.sparkSession
+    import spark.implicits._
+    val ivs = windows.flatMap { case (c, lo, hi) =>
+      hi.subtract(lo).sets.toSeq.flatMap { case (sid, ranges) =>
+        ranges.map { case (a, b) => (c, sid, a, b) }
+      }
+    }
+    val ivDf = ivs.toDF("_wc", "_sid", "_glo", "_ghi")
+    val inWindow = stream.select(col("key").as("_sk"),
+      substring_index(col("gtid"), ":", 1).as("_esid"),
+      substring_index(col("gtid"), ":", -1).cast("long").as("_gno"))
+      .join(broadcast(ivDf),
+        col("_esid") === col("_sid") &&
+          col("_gno") >= col("_glo") && col("_gno") <= col("_ghi"))
+      .select(col("_sk"), col("_wc"))
+    val survivors = chunkRows.join(inWindow,
+      chunkRows("key") === col("_sk") && chunkRows("chunk") === col("_wc"),
+      "left_anti")
+      .drop("chunk")
+    Materialize.latestState(survivors.unionByName(stream.drop("gtid")))
+  }
 }

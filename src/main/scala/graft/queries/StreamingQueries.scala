@@ -316,6 +316,32 @@ object StreamingQueries extends QueryGroup {
         fd.filter(col("op") =!= "r"))
     }),
 
+    // S5 with the reference's ACTUAL watermark representation: executed
+    // GTID-SET snapshots around each chunk select; an event dedups a
+    // chunk row iff its gtid lies in hi \ lo (GtidSet.subtract on the
+    // driver, broadcast interval join in the plan). Stream events get
+    // transaction attribution by batching 1000 log positions per gno.
+    "s5_readonly_gtid" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val sidA = "aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa"
+      val stream = fd.filter(col("op") =!= "r")
+        .withColumn("gtid", concat(lit(sidA + ":"),
+          call_function("div", col("source.pos"), lit(1000L))))
+      val chunkRows = IncrementalSnapshot.chunked(
+        fd.filter(col("op") === "r"), Seq(col("source.pos")), 1024)
+      val wrows = chunkRows.groupBy(col("chunk"))
+        .agg(min(col("source.pos")).as("lo"), max(col("source.pos")).as("hi"))
+        .collect() // bounded: one row per chunk (the broadcast side)
+      val windows = wrows.map { r =>
+        val lo = r.getLong(1) / 1000; val hi = r.getLong(2) / 1000 + 1
+        (r.getLong(0),
+          if (lo < 1) graft.sources.wire.GtidSet.empty
+          else graft.sources.wire.GtidSet.parse(s"$sidA:1-$lo"),
+          graft.sources.wire.GtidSet.parse(s"$sidA:1-$hi"))
+      }.toSeq
+      IncrementalSnapshot.readOnlyChunkMergeGtid(chunkRows, windows, stream)
+    }),
+
     // K2 through the bucket-partitioned MERGE sink: only touched buckets
     // are rewritten per batch (file-pruned MERGE, the 100 TB path)
     "k2_bucketed_materialize" -> ((s, dir) => {
@@ -603,6 +629,10 @@ object StreamingQueries extends QueryGroup {
         |FROM orders WHERE o_orderkey%7=3""".stripMargin,
     "stream_dsv2_changelog" -> ordersLatest,
     "s5_readonly_incremental" -> ordersLatest,
+    // the GTID-window variant converges to the same latest state: every
+    // discarded chunk row's key is re-asserted by the in-window stream
+    // event that displaced it
+    "s5_readonly_gtid" -> ordersLatest,
 
     "k2_bucketed_materialize" -> ordersLatest,
 

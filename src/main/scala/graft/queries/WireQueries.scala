@@ -1048,7 +1048,8 @@ object WireQueries extends QueryGroup {
 
   // range()/string-concat dialect is DuckDB-only
   override val duckdbOnly: Set[String] =
-    Set("s8_pgoutput_decode", "s8_pgoutput_socket_stream",
+    Set("s8_mysql_gtid_decode",
+      "s8_pgoutput_decode", "s8_pgoutput_socket_stream",
       "s8_pgoutput_materialize",
       "s8_pgoutput_binary_decode", "s8_pgproto_decode",
       "s8_pgoutput_tx_stream", "s9_binlog_decode", "s9_binlog_materialize",

@@ -18,6 +18,38 @@ class StreamingSpec extends AnyFunSuite {
     df.select(cols.map(col): _*).collect().map(_.mkString("|")).sorted.toSeq
   }
 
+  test("gtid-set watermark window: in-window dedup, out-of-window survival") {
+    import spark.implicits._
+    import graft.operators.IncrementalSnapshot
+    import graft.sources.wire.GtidSet
+    val sid = "aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa"
+    // chunk rows (op=r): chunk 0 holds keys 1-2, chunk 1 holds keys 5-6
+    val chunkRows = Seq((1L, 10L, 0L, 100L), (2L, 20L, 0L, 110L),
+      (5L, 50L, 1L, 200L), (6L, 60L, 1L, 210L))
+      .toDF("k", "v", "chunk", "pos")
+      .select(struct(col("k")).as("key"), lit("r").as("op"),
+        struct(col("k"), col("v")).as("after"),
+        struct(col("pos")).as("source"), col("chunk"))
+    // stream: key 2's event gno=15 is INSIDE chunk 0's window (hi\lo =
+    // 11-19); key 6's event gno=25 is OUTSIDE chunk 1's (21-22). Both
+    // carry LOWER pos than their chunk rows, so window semantics are
+    // observable through latest-by-pos: a discarded chunk row lets the
+    // (older) stream value through; a surviving one wins on pos.
+    val stream = Seq((2L, 21L, 15L, 50L), (6L, 61L, 25L, 60L))
+      .toDF("k", "v", "gno", "pos")
+      .select(struct(col("k")).as("key"), lit("u").as("op"),
+        struct(col("k"), col("v")).as("after"),
+        struct(col("pos")).as("source"),
+        concat(lit(sid + ":"), col("gno")).as("gtid"))
+    val windows = Seq(
+      (0L, GtidSet.parse(s"$sid:1-10"), GtidSet.parse(s"$sid:1-19")),
+      (1L, GtidSet.parse(s"$sid:1-20"), GtidSet.parse(s"$sid:1-22")))
+    val out = IncrementalSnapshot
+      .readOnlyChunkMergeGtid(chunkRows, windows, stream)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 10L, 2L -> 21L, 5L -> 50L, 6L -> 60L))
+  }
+
   test("tx retention evicts committed state: late replays re-buffer, not re-emit") {
     import spark.implicits._
     import graft.streaming.TxReassembly
