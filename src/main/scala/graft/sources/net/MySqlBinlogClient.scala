@@ -22,6 +22,7 @@ import java.security.MessageDigest
 object MySqlBinlogClient {
 
   val ComBinlogDump = 0x12
+  val ComBinlogDumpGtid = 0x1e
 
   // capability bits (public protocol constants)
   val ClientLongPassword = 0x00000001
@@ -82,12 +83,17 @@ object MySqlBinlogClient {
       new String(payload.drop(3), StandardCharsets.UTF_8))
   }
 
-  /** Connect, authenticate, COM_BINLOG_DUMP, and collect every binlog
-    * event (network OK byte stripped) until the server's EOF.
+  /** Connect, authenticate, COM_BINLOG_DUMP (or, when `executedGtids`
+    * is set, COM_BINLOG_DUMP_GTID — the GTID-based resume: the server
+    * replays only transactions NOT contained in the client's executed
+    * set), and collect every binlog event (network OK byte stripped)
+    * until the server's EOF.
     */
   def fetchEvents(host: String, port: Int, user: String, password: String,
                   serverId: Int, binlogFile: String,
-                  binlogPos: Long): Seq[Array[Byte]] = {
+                  binlogPos: Long,
+                  executedGtids: Option[graft.sources.wire.GtidSet] = None)
+  : Seq[Array[Byte]] = {
     val socket = new Socket(host, port)
     try {
       val io = new PacketIo(socket)
@@ -131,17 +137,35 @@ object MySqlBinlogClient {
       require((authResult(0) & 0xff) == 0x00,
         f"expected OK after auth, got 0x${authResult(0)}%02x")
 
-      // COM_BINLOG_DUMP: cmd(1) pos(4) flags(2) server-id(4) file(EOF)
       io.seq = 0 // each command restarts the sequence
       val fileB = binlogFile.getBytes(StandardCharsets.UTF_8)
-      val dump = ByteBuffer.allocate(1 + 4 + 2 + 4 + fileB.length)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      dump.put(ComBinlogDump.toByte)
-      dump.putInt(binlogPos.toInt)
-      dump.putShort(0)
-      dump.putInt(serverId)
-      dump.put(fileB)
-      io.write(dump.array())
+      executedGtids match {
+        case None =>
+          // COM_BINLOG_DUMP: cmd(1) pos(4) flags(2) server-id(4) file(EOF)
+          val dump = ByteBuffer.allocate(1 + 4 + 2 + 4 + fileB.length)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          dump.put(ComBinlogDump.toByte)
+          dump.putInt(binlogPos.toInt)
+          dump.putShort(0)
+          dump.putInt(serverId)
+          dump.put(fileB)
+          io.write(dump.array())
+        case Some(set) =>
+          // COM_BINLOG_DUMP_GTID: cmd(1) flags(2) server-id(4)
+          // name-len(4) name(n) pos(8) data-size(4) gtid-set(body)
+          val body = graft.sources.wire.MySqlBinlog.encodeGtidSetBody(set)
+          val dump = ByteBuffer.allocate(1 + 2 + 4 + 4 + fileB.length +
+            8 + 4 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+          dump.put(ComBinlogDumpGtid.toByte)
+          dump.putShort(0)
+          dump.putInt(serverId)
+          dump.putInt(fileB.length)
+          dump.put(fileB)
+          dump.putLong(binlogPos)
+          dump.putInt(body.length)
+          dump.put(body)
+          io.write(dump.array())
+      }
 
       val events = Seq.newBuilder[Array[Byte]]
       var done = false
@@ -165,8 +189,10 @@ object MySqlBinlogClient {
     */
   def fetchSegment(host: String, port: Int, user: String, password: String,
                    serverId: Int, binlogFile: String,
-                   binlogPos: Long = 4L): Array[Byte] =
+                   binlogPos: Long = 4L,
+                   executedGtids: Option[graft.sources.wire.GtidSet] = None)
+  : Array[Byte] =
     graft.sources.wire.MySqlBinlog.writeSegment(
       fetchEvents(host, port, user, password, serverId, binlogFile,
-        binlogPos))
+        binlogPos, executedGtids))
 }

@@ -1099,7 +1099,11 @@ object MySqlBinlog {
     event(if (anonymous) ANONYMOUS_GTID_LOG else GTID_LOG, nextPos, b.array())
   }
 
-  def encodePreviousGtids(nextPos: Long, set: GtidSet): Array[Byte] = {
+  /** The executed-set binary form shared by PREVIOUS_GTIDS_LOG_EVENT and
+    * the COM_BINLOG_DUMP_GTID command payload: n_sids(8 LE){ sid(16)
+    * n_ivs(8){ start(8) end(8) EXCLUSIVE }}.
+    */
+  def encodeGtidSetBody(set: GtidSet): Array[Byte] = {
     val ivCount = set.sets.valuesIterator.map(_.size).sum
     val b = leBuf(8 + set.sets.size * 24 + ivCount * 16)
     b.putLong(set.sets.size.toLong)
@@ -1108,8 +1112,24 @@ object MySqlBinlog {
       b.putLong(ivs.size.toLong)
       ivs.foreach { case (a, inclB) => b.putLong(a); b.putLong(inclB + 1) }
     }
-    event(PREVIOUS_GTIDS_LOG, nextPos, b.array())
+    java.util.Arrays.copyOf(b.array(), b.position())
   }
+
+  def decodeGtidSetBody(bytes: Array[Byte]): GtidSet = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nSids = b.getLong()
+    GtidSet((0L until nSids).map { _ =>
+      val sid = uuidText(b)
+      val nIvs = b.getLong()
+      sid -> (0L until nIvs).map { _ =>
+        val a = b.getLong(); val e = b.getLong()
+        (a, e - 1)
+      }
+    }.toMap)
+  }
+
+  def encodePreviousGtids(nextPos: Long, set: GtidSet): Array[Byte] =
+    event(PREVIOUS_GTIDS_LOG, nextPos, encodeGtidSetBody(set))
 
   def encodeMariaGtidList(nextPos: Long,
                           gtids: Seq[(Long, Long, Long)]): Array[Byte] = {

@@ -21,6 +21,10 @@ object MySqlWireServer {
     @volatile var requestedFile: String = _
     @volatile var requestedPos: Long = -1
     @volatile var requestedServerId: Int = -1
+    /** Canonical text of the COM_BINLOG_DUMP_GTID executed set (null for
+      * a plain position dump).
+      */
+    @volatile var requestedGtids: String = _
   }
 
   /** Deterministic scramble (a real server randomizes; determinism
@@ -61,6 +65,41 @@ object MySqlWireServer {
       p += size
     }
     events.result()
+  }
+
+  /** Transaction-granular GTID skip (what a real mysqld does for
+    * COM_BINLOG_DUMP_GTID): a GTID_LOG_EVENT whose sid:gno the client
+    * has already executed suppresses every event through its XID; an
+    * ANONYMOUS group always replays; head events outside any group
+    * (FORMAT, PREVIOUS_GTIDS, ROTATE) always replay.
+    */
+  private def filterExecuted(events: Seq[Array[Byte]],
+                             executed: graft.sources.wire.GtidSet)
+  : Seq[Array[Byte]] = {
+    var skip = false
+    events.flatMap { ev =>
+      val kind = ev(4) & 0xff
+      kind match {
+        case 33 => // GTID_LOG_EVENT: flags(1) sid(16) gno(8 LE) at body
+          val b = ByteBuffer.wrap(ev, 19, ev.length - 19)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.get()
+          val raw = new Array[Byte](16); b.get(raw)
+          val hex = raw.map(x => f"${x & 0xff}%02x").mkString
+          val sid = s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
+            s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-" +
+            hex.substring(20)
+          val gno = b.getLong()
+          skip = executed.contains(sid, gno)
+          if (skip) Nil else Seq(ev)
+        case 34 => skip = false; Seq(ev) // anonymous group
+        case 16 => // XID closes the group
+          val r = if (skip) Nil else Seq(ev)
+          skip = false
+          r
+        case _ => if (skip) Nil else Seq(ev)
+      }
+    }
   }
 
   /** Serve ONE binlog-dump session on an ephemeral port. */
@@ -117,21 +156,44 @@ object MySqlWireServer {
         } else {
           writePacket(out, 2, Array[Byte](0, 0, 0, 2, 0, 0, 0)) // OK
 
-          // COM_BINLOG_DUMP
+          // COM_BINLOG_DUMP or COM_BINLOG_DUMP_GTID
           val (_, cmd) = readPacket(in)
-          require((cmd(0) & 0xff) == 0x12,
-            f"expected COM_BINLOG_DUMP, got 0x${cmd(0)}%02x")
-          val cb = ByteBuffer.wrap(cmd).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          cb.get()
-          session.requestedPos = cb.getInt().toLong & 0xffffffffL
-          cb.getShort()
-          session.requestedServerId = cb.getInt()
-          session.requestedFile = new String(cmd, 11, cmd.length - 11,
-            StandardCharsets.UTF_8)
+          val toSend = (cmd(0) & 0xff) match {
+            case 0x12 =>
+              val cb = ByteBuffer.wrap(cmd)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              cb.get()
+              session.requestedPos = cb.getInt().toLong & 0xffffffffL
+              cb.getShort()
+              session.requestedServerId = cb.getInt()
+              session.requestedFile = new String(cmd, 11, cmd.length - 11,
+                StandardCharsets.UTF_8)
+              events
+            case 0x1e =>
+              // cmd(1) flags(2) server-id(4) name-len(4) name(n) pos(8)
+              // data-size(4) gtid-set(body) — the server replays only
+              // transactions NOT contained in the client's executed set
+              val cb = ByteBuffer.wrap(cmd)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              cb.get(); cb.getShort()
+              session.requestedServerId = cb.getInt()
+              val nameLen = cb.getInt()
+              val nameB = new Array[Byte](nameLen); cb.get(nameB)
+              session.requestedFile = new String(nameB, StandardCharsets.UTF_8)
+              session.requestedPos = cb.getLong()
+              val dataSize = cb.getInt()
+              val body = new Array[Byte](dataSize); cb.get(body)
+              val executed =
+                graft.sources.wire.MySqlBinlog.decodeGtidSetBody(body)
+              session.requestedGtids = executed.text
+              filterExecuted(events, executed)
+            case other => throw new IllegalStateException(
+              f"expected COM_BINLOG_DUMP(_GTID), got 0x$other%02x")
+          }
 
           // the stream: one packet per event, OK-byte prefixed; then EOF
           var seq = 1
-          events.foreach { ev =>
+          toSend.foreach { ev =>
             writePacket(out, seq, 0.toByte +: ev)
             seq += 1
           }

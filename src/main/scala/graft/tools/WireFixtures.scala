@@ -304,12 +304,16 @@ object WireFixtures {
     events += encodeTableMap(120, BlMap)
     events += encodeRows(WRITE_ROWS_V2, 200, BlMap, (0 until 12).map(row))
     events += encodeXid(300, 9001L)
+    // each transaction re-logs its TABLE_MAP (as a real binlog does) so
+    // GTID-granular skipping never orphans a later group's row events
     events += encodeMySqlGtid(310, GtidSidB, gno = 7)
+    events += encodeTableMap(390, BlMap)
     val upd = (0 until 12).filter(_ % 3 == 0)
     events += encodeRows(UPDATE_ROWS_V2, 400, BlMap, upd.map(row),
       upd.map(i => Row(Seq(Some(i), Some(i * 5L + 1000), Some(s"mg_$i")))))
     events += encodeXid(500, 9002L)
     events += encodeMySqlGtid(510, GtidSidA, gno = 0, anonymous = true)
+    events += encodeTableMap(590, BlMap)
     events += encodeRows(WRITE_ROWS_V2, 600, BlMap,
       Seq(row(100), row(101)))
     events += encodeXid(700, 9003L)

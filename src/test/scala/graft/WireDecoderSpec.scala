@@ -367,6 +367,31 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("1045") && !session2.authOk)
   }
 
+  test("binlog-dump-gtid over a socket: executed transactions are skipped") {
+    import graft.sources.net.MySqlBinlogClient
+    import graft.sources.wire.{GtidSet, MySqlBinlog}
+    import graft.tools.{MySqlWireServer, WireFixtures}
+    val events = MySqlWireServer.segmentEvents(WireFixtures.mysqlGtidSegment)
+    val (port, session, server) = MySqlWireServer.serve(events, "sekrit")
+    // client already executed everything from sid A (incl. gno 42): the
+    // server must replay ONLY the sid-B transaction + the anonymous group
+    val executed = GtidSet.parse(s"${WireFixtures.GtidSidA}:1-42")
+    val seg = MySqlBinlogClient.fetchSegment("127.0.0.1", port,
+      user = "repl", password = "sekrit", serverId = 7,
+      binlogFile = "binlog.000001", executedGtids = Some(executed))
+    server.join(10000)
+    assert(session.requestedGtids == executed.text,
+      "the executed set must round-trip through the command payload")
+    val (rows, prev) = MySqlBinlog.segmentRowsGtid(seg,
+      Map("testdb.bl_items" -> Seq("id", "qty", "label")))
+    // sid-A's 12 inserts skipped wholesale; B's 4 updates + 2 anonymous
+    // inserts replayed; the head PREVIOUS_GTIDS still present
+    assert(rows.size == 6)
+    assert(rows.count(_._2 == s"${WireFixtures.GtidSidB}:7") == 4)
+    assert(rows.count(_._2 == "") == 2)
+    assert(!prev.isEmpty, "head PREVIOUS_GTIDS must replay")
+  }
+
   test("BSON bridge round-trips the change-stream corpus byte-identically") {
     import graft.serde.Bson
     val lines = graft.tools.WireFixtures.mongoChangeStreamJsonl
