@@ -92,9 +92,11 @@ object Mixture {
     * stay bit-identical cross-engine. Since q_l ∝ √(T_l/T) ∝ √T_l, the
     * per-language weight is s_l = floor(√T_l · 10⁶) (exact integer),
     * S = Σ s_l is an exact integer sum, and the rate
-    * `r_l = (s_l · B) / (S · T_l)` is computed as ONE division of two
-    * exact int64 products (≲10¹⁷ at tested scales; overflow-checked
-    * under ANSI), each cast to double once. General-α
+    * `r_l = (s_l · B) / (S · T_l)` is evaluated in DOUBLE — each factor
+    * cast once, two correctly-rounded multiplications and one division
+    * in a pinned order, bit-identical cross-engine and overflow-free at
+    * any corpus size (int64 products would wrap silently past ~5·10⁸
+    * tokens per language: s_l·B grows as 2·10⁶·T^1.5). General-α
     * smoothing would go through libm `pow`, whose last-ulp rounding is
     * NOT portable across engines — callers needing α ≠ 1/2 should
     * accept an approximate (rows-only) check.
@@ -119,8 +121,8 @@ object Mixture {
     }
     val bt = budgetFactor.toLong * totalTokens
     val rates = perLang.select(col("lang").as("r_lang"),
-      ((col("s_l") * lit(bt)).cast("double") /
-        (lit(sSum) * col("t_s")).cast("double")).as("rate"))
+      ((col("s_l").cast("double") * lit(bt.toDouble)) /
+        (lit(sSum.toDouble) * col("t_s").cast("double"))).as("rate"))
     base.join(broadcast(rates), col("lang") === col("r_lang"))
       .withColumn("n_repeats",
         (floor(col("rate")).cast("long") +

@@ -189,18 +189,22 @@ object Transforms {
   //     `fields.null.include=false` (the reference default) omits fields
   //     that are null in every message: Spark's `dropFieldIfAllNull` JSON
   //     inference option is the engine-level analog of the reference's
-  //     JsonPayloadNullFieldBehavior.IGNORE. Inference samples a bounded
-  //     prefix (one schema for the frame, as the reference caches one
-  //     schema per content shape). ---
+  //     JsonPayloadNullFieldBehavior.IGNORE. Inference reads EVERY
+  //     message by default (one extra pass; the reference derives fields
+  //     per record, so a field appearing only late in the frame must
+  //     still make the schema) — pass sampleN > 0 to trade that pass for
+  //     a bounded prefix when the content shape is known uniform. ---
   def decodeMessageContent(df: DataFrame, fieldsNullInclude: Boolean = false,
-                           sampleN: Int = 1000): DataFrame = {
+                           sampleN: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val contentStr = col("message.content").cast("string")
-    val sample = df.select(contentStr).limit(sampleN).as[String]
+    val sampled =
+      if (sampleN > 0) df.select(contentStr).limit(sampleN)
+      else df.select(contentStr)
     val schema = spark.read
       .option("dropFieldIfAllNull", (!fieldsNullInclude).toString)
-      .json(sample).schema
+      .json(sampled.as[String]).schema
     df.withColumn("after", from_json(contentStr, schema))
       .withColumn("op", lit("c"))
       .withColumn("key", lit(null).cast(StringType))

@@ -1891,8 +1891,8 @@ object CorpusQueries extends QueryGroup {
         | tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS ttot FROM sl),
         | ssum AS (SELECT CAST(sum(s_l) AS BIGINT) AS s FROM sl),
         | r AS (SELECT sl.lang,
-        |   (sl.s_l * 2 * tot.ttot)::DOUBLE / (ssum.s * sl.t_s)::DOUBLE
-        |     AS rate
+        |   (sl.s_l::DOUBLE * (2 * tot.ttot)::DOUBLE)
+        |     / (ssum.s::DOUBLE * sl.t_s::DOUBLE) AS rate
         |  FROM sl, tot, ssum),
         | b AS (SELECT t.doc_id, t.lang, t.n_tokens, r.rate,
         |   CAST(list_sum([(strpos('0123456789abcdef',

@@ -14,7 +14,7 @@ package graft.sources.wire
   * `gtid.source.includes`/`excludes` server-UUID filter), `add`
   * (advance by one executed gtid).
   */
-final case class GtidSet(sets: Map[String, Seq[(Long, Long)]]) {
+final class GtidSet private (val sets: Map[String, Seq[(Long, Long)]]) {
 
   def isEmpty: Boolean = sets.isEmpty
 
@@ -71,9 +71,25 @@ final case class GtidSet(sets: Map[String, Seq[(Long, Long)]]) {
         if (a == b) s"$a" else s"$a-$b"
       }.mkString(":")
     }.mkString(",")
+
+  override def equals(other: Any): Boolean = other match {
+    case g: GtidSet => sets == g.sets
+    case _          => false
+  }
+  override def hashCode: Int = sets.hashCode
+  override def toString: String = s"GtidSet($text)"
 }
 
 object GtidSet {
+
+  /** The ONLY constructor — normalizes every server UUID to lowercase
+    * and sorts/coalesces intervals, so a set built directly from
+    * uppercase `SHOW MASTER STATUS` output behaves identically to one
+    * parsed or decoded off the wire (a raw mixed-case map would
+    * silently fail every membership/containment lookup).
+    */
+  def apply(sets: Map[String, Seq[(Long, Long)]]): GtidSet =
+    new GtidSet(sets.map { case (k, v) => k.toLowerCase -> norm(v) })
 
   val empty: GtidSet = GtidSet(Map.empty)
 

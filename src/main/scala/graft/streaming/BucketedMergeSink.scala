@@ -161,7 +161,22 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
     readBuckets(spark, m.values.toSeq) match {
       case Some(df) =>
         df.filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
-      case None => viewAt(spark, epochId).limit(0) // schema-only frame
+      case None =>
+        // schema-only frame with ZERO file I/O: rebuild the union schema
+        // readBuckets would produce from the manifest's recorded DDLs
+        // (falling back to a full viewAt().limit(0) would list and
+        // erosion-check EVERY bucket of the version — and throw if
+        // untouched buckets were since vacuumed — just to emit no rows)
+        val ddls = manifestAt(epochId).values.map(_._2).toSeq
+          .distinct.filter(_.nonEmpty).sorted
+        if (ddls.isEmpty) viewAt(spark, epochId).limit(0) // legacy dirs
+        else {
+          val parts = ddls.map(d => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(d)))
+          parts.reduce(_.unionByName(_, allowMissingColumns = true))
+            .filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
+        }
     }
   }
 

@@ -81,6 +81,17 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
 
   private def parseManifest(mf: Path): Manifest = {
     val lines = Files.readAllLines(mf).asScala.filter(_.nonEmpty)
+    // fail FAST on a pre-LSM layout (untagged '<bucket>\t<path>' lines):
+    // silently matching nothing would discard the stored history while
+    // committedEpoch still reports the old epoch — replayed epochs would
+    // be skipped as "already committed" and the history rebuilt wrong
+    val legacy = lines.filterNot(l =>
+      l.startsWith("O\t") || l.startsWith("B\t") || l.startsWith("C\t"))
+    require(legacy.isEmpty,
+      s"$mf contains ${legacy.size} pre-LSM manifest line(s) " +
+        s"(e.g. '${legacy.head.take(60)}'): this directory was written by " +
+        "the rewrite-on-merge Scd2Sink layout, which this version does " +
+        "not read — re-materialize the history into a fresh directory")
     def byBucket(tag: String) = lines.filter(_.startsWith(tag)).map { l =>
       val Array(_, b, p, ddl) = l.split("\t", 4)
       b.toInt -> (p, ddl)

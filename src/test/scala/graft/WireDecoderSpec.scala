@@ -1344,6 +1344,13 @@ class WireDecoderSpec extends AnyFunSuite {
     val exc = GtidSet.sourceFilter(None, Some("a.*"))
     assert(a.retainAll(exc).sets.keySet ==
       Set("bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb"))
+    // the direct constructor normalizes too: an uppercase-keyed set (as
+    // pasted from SHOW MASTER STATUS) equals its lowercase twin and
+    // answers membership — a verbatim map would silently fail both
+    val up = GtidSet(Map(
+      "AAAAAAAA-AAAA-AAAA-AAAA-AAAAAAAAAAAA" -> Seq((7L, 9L), (1L, 5L))))
+    assert(up.contains("aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa", 3))
+    assert(up == GtidSet.parse("aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa:1-5:7-9"))
   }
 
   test("mysql gtid: event framing, previous-gtids roundtrip, source filter") {
