@@ -598,6 +598,45 @@ object WireQueries extends QueryGroup {
         "annotation")
     }),
 
+    // S10 OpenLogReplicator flavor (the reference's third Oracle adapter,
+    // published protocol — OraProtoBuf.proto): length-prefixed protobuf
+    // RedoResponses decoded into the shared envelope rows; pos is the
+    // confirmable (c_scn, c_idx) pair
+    "s10_olr_decode" -> ((s, _) => {
+      val n = graft.tools.WireFixtures.olrRowCount
+      val dir = Files.createTempDirectory("olr-fix").toString
+      Files.write(Paths.get(dir, f"part-g${1L}%012d-b-p${0}%05d-n$n.olr"),
+        graft.tools.WireFixtures.olrSegment)
+      s.read.format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", dir).load()
+    }),
+
+    // S10 OLR over a REAL SOCKET: INFO → READY → START(scn) → REPLICATE
+    // handshake against the loopback fixture server, every PAYLOAD
+    // confirmed with its (c_scn, c_idx); the collected stream is
+    // byte-identical to the recorded segment. Same oracle as the decode.
+    "s10_olr_socket_stream" -> ((s, _) => {
+      val (port, session, server) = graft.tools.OlrServer.serve(
+        graft.tools.WireFixtures.olrResponses, "ORCLPDB1")
+      val seg = graft.sources.net.OlrClient.fetchSegment(
+        "127.0.0.1", port, "ORCLPDB1", scn = 990L)
+      server.join(10000)
+      require(session.startScn == 990L,
+        s"unexpected START scn ${session.startScn}")
+      require(session.confirms.size == 5 &&
+        session.confirms.peek() == ((1000L, 1L)),
+        s"confirm stream wrong: ${session.confirms}")
+      require(java.util.Arrays.equals(seg,
+        graft.tools.WireFixtures.olrSegment),
+        "socket stream drifted from the recorded segment")
+      val n = graft.sources.wire.OlrDecoder.segmentRows(seg).size
+      val dir = Files.createTempDirectory("olr-socket").toString
+      Files.write(Paths.get(dir, f"part-g${1L}%012d-b-p${0}%05d-n$n.olr"),
+        seg)
+      s.read.format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", dir).load()
+    }),
+
     // S8 MySQL-GTID flavor: GTID_LOG_EVENT transaction framing (sid:gno
     // + 5.7 logical clock), PREVIOUS_GTIDS resume state at the head, and
     // the gtid.source.includes server-UUID filter dropping a whole
@@ -664,6 +703,10 @@ object WireQueries extends QueryGroup {
         |  'UPDATE testdb.bl_items SET qty = qty + 1000 WHERE id % 3 = 0'
         | FROM range(12) t(i) WHERE i%3=0""".stripMargin,
 
+    "s10_olr_decode" -> olrOracle,
+    // the socket round-trip is byte-identical to the recording
+    "s10_olr_socket_stream" -> olrOracle,
+
     // the sid-B update transaction is filtered out wholesale; the
     // anonymous group survives with an empty gtid
     "s8_mysql_gtid_decode" ->
@@ -676,6 +719,25 @@ object WireQueries extends QueryGroup {
         |SELECT 'testdb.bl_items', 'c', CAST(600 AS BIGINT), '{"id":'||i||'}',
         |  '{"id":'||i||',"qty":'||(i*5)||',"label":"mg_'||i||'"}', ''
         | FROM range(100, 102) t(i)""".stripMargin)
+
+  private val olrOracle: String =
+    """SELECT 'GRAFT.OLR_ITEMS' AS "table", 'c' AS op,
+      |  CAST(1000*65536+1 AS BIGINT) AS pos, '{"ID":'||i||'}' AS key_json,
+      |  '{"ID":'||i||',"QTY":'||(i*3)||',"LABEL":"olr_'||i||'","SCORE":'||(i*0.5)||'}' AS payload_json
+      | FROM range(12) t(i)
+      |UNION ALL
+      |SELECT 'GRAFT.OLR_ITEMS', 'u', CAST(1010*65536+1 AS BIGINT),
+      |  '{"ID":'||i||'}',
+      |  '{"ID":'||i||',"QTY":'||(i*3+100)||',"LABEL":"olr_'||i||'","SCORE":'||(i*0.5)||'}'
+      | FROM range(12) t(i) WHERE i%4=0
+      |UNION ALL
+      |SELECT 'GRAFT.OLR_ITEMS', 'd', CAST(1020*65536+1 AS BIGINT),
+      |  '{"ID":'||i||'}', 'null'
+      | FROM range(12) t(i) WHERE i%5=0
+      |UNION ALL
+      |SELECT 'GRAFT.OLR_ITEMS', 'm', CAST(1030*65536+1 AS BIGINT),
+      |  'null',
+      |  '{"ddl":"ALTER TABLE GRAFT.OLR_ITEMS ADD NOTE VARCHAR2(30)"}'""".stripMargin
 
   private lazy val baseOracles: Map[String, String] = Map(
     "s8_pgoutput_decode" ->
@@ -1048,7 +1110,7 @@ object WireQueries extends QueryGroup {
 
   // range()/string-concat dialect is DuckDB-only
   override val duckdbOnly: Set[String] =
-    Set("s8_mysql_gtid_decode",
+    Set("s8_mysql_gtid_decode", "s10_olr_decode", "s10_olr_socket_stream",
       "s8_pgoutput_decode", "s8_pgoutput_socket_stream",
       "s8_pgoutput_materialize",
       "s8_pgoutput_binary_decode", "s8_pgproto_decode",

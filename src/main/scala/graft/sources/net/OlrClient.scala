@@ -1,0 +1,106 @@
+package graft.sources.net
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.sources.wire.OlrDecoder
+
+/** LIVE OpenLogReplicator network client (reference
+  * `debezium-connector-oracle/.../olr/client/OlrNetworkClient.java`):
+  * 4-byte LE length-prefixed protobuf frames over TCP, the INFO →
+  * START/CONTINUE → REPLICATE handshake, then streamed PAYLOAD
+  * responses, each acknowledged with a CONFIRM carrying the response's
+  * (c_scn, c_idx) — the server-side resume fence (the reference sends
+  * the same confirm after dispatching each event batch).
+  *
+  * A fresh source answers INFO with READY and is started with
+  * START(scn); an already-running source answers REPLICATE and is
+  * resumed with CONTINUE(c_scn, c_idx) — sending a bare scn there would
+  * make the server restart from whatever it last confirmed (the exact
+  * trap the reference documents in `OlrNetworkClient.startFrom`).
+  * External OpenLogReplicator servers are env-blocked; the loopback
+  * fixture (`graft.tools.OlrServer`) speaks the same frames.
+  */
+object OlrClient {
+
+  private final class FrameIo(socket: Socket) {
+    private val in = new DataInputStream(socket.getInputStream)
+    private val out = new DataOutputStream(socket.getOutputStream)
+    def write(body: Array[Byte]): Unit = {
+      val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(body.length)
+      out.write(b.array()); out.write(body); out.flush()
+    }
+    /** None on clean EOF before a frame starts. */
+    def read(): Option[Array[Byte]] = {
+      val sz = new Array[Byte](4)
+      var got = 0
+      while (got < 4) {
+        val n = in.read(sz, got, 4 - got)
+        if (n < 0) {
+          if (got == 0) return None
+          throw new java.io.EOFException("mid-frame EOF in size prefix")
+        }
+        got += n
+      }
+      val len = ByteBuffer.wrap(sz).order(ByteOrder.LITTLE_ENDIAN).getInt()
+      val body = new Array[Byte](len)
+      in.readFully(body)
+      Some(body)
+    }
+  }
+
+  /** Connect, handshake, stream every PAYLOAD frame until the server
+    * closes, confirming each. Returns the raw response bodies in arrival
+    * order (`OlrDecoder.writeSegment` turns them back into the
+    * byte-identical `.olr` stream).
+    */
+  def fetchResponses(host: String, port: Int, sourceName: String,
+                     scn: Long, cScn: Long = 0L, cIdx: Long = 0L)
+  : Seq[Array[Byte]] = {
+    val socket = new Socket(host, port)
+    try {
+      val io = new FrameIo(socket)
+      io.write(OlrDecoder.encodeRequest(OlrDecoder.ReqInfo, sourceName))
+      val info = OlrDecoder.decodeResponse(io.read().getOrElse(
+        throw new java.io.IOException("no INFO response")))
+      info.code match {
+        case OlrDecoder.RespReady =>
+          io.write(OlrDecoder.encodeRequest(OlrDecoder.ReqStart,
+            sourceName, scn = scn))
+        case OlrDecoder.RespReplicate =>
+          // already started: resume by confirmed (c_scn, c_idx), NOT scn
+          io.write(OlrDecoder.encodeRequest(OlrDecoder.ReqContinue,
+            sourceName, cScn = cScn, cIdx = cIdx))
+        case other => throw new java.io.IOException(
+          s"unexpected INFO response code $other")
+      }
+      val started = OlrDecoder.decodeResponse(io.read().getOrElse(
+        throw new java.io.IOException("no start response")))
+      require(started.code == OlrDecoder.RespReplicate,
+        s"source did not enter replicate mode: code ${started.code}")
+
+      val frames = Seq.newBuilder[Array[Byte]]
+      var open = true
+      while (open) {
+        io.read() match {
+          case Some(body) =>
+            frames += body
+            val r = OlrDecoder.decodeResponse(body)
+            if (r.code == OlrDecoder.RespPayload)
+              io.write(OlrDecoder.encodeRequest(OlrDecoder.ReqConfirm,
+                sourceName, cScn = r.cScn, cIdx = r.cIdx))
+          case None => open = false
+        }
+      }
+      frames.result()
+    } finally socket.close()
+  }
+
+  def fetchSegment(host: String, port: Int, sourceName: String,
+                   scn: Long, cScn: Long = 0L, cIdx: Long = 0L)
+  : Array[Byte] =
+    OlrDecoder.writeSegment(
+      fetchResponses(host, port, sourceName, scn, cScn, cIdx))
+}

@@ -89,6 +89,9 @@ object ChangeLogSource {
     else if (n.endsWith(".blog"))
       graft.sources.wire.MySqlBinlog.segmentRows(
         Files.readAllBytes(p), Map.empty).size.toLong
+    else if (n.endsWith(".olr"))
+      graft.sources.wire.OlrDecoder
+        .segmentRows(Files.readAllBytes(p)).size.toLong
     else if (n.endsWith(".cs"))
       Using.resource(Files.lines(p))(s =>
         graft.sources.wire.MongoChangeStream
@@ -96,7 +99,7 @@ object ChangeLogSource {
     else countLines(p)
   }
 
-  private val CountInName = """.*-n(\d+)\.(?:log|pgo|pbo|blog|cs)$""".r
+  private val CountInName = """.*-n(\d+)\.(?:log|pgo|pbo|blog|cs|olr)$""".r
   private val GenInName = """^part-g(\d+)-.*""".r
 
   /** Record count from the committed segment name, if our writer named it. */
@@ -454,6 +457,9 @@ class ChangeLogPartitionReader(part: ChangeLogInputPartition)
       graft.sources.wire.MySqlBinlog.segmentRows(
         Files.readAllBytes(path), names, keys).map(wireRow)
     }
+    else if (name.endsWith(".olr"))
+      graft.sources.wire.OlrDecoder
+        .segmentRows(Files.readAllBytes(path)).map(wireRow)
     else if (name.endsWith(".cs")) {
       lines = Files.lines(path)
       graft.sources.wire.MongoChangeStream

@@ -320,6 +320,56 @@ object WireFixtures {
     writeSegment(events.toSeq)
   }
 
+  /** OpenLogReplicator stream: three committed transactions (inserts /
+    * updates-with-before-image / deletes), one DDL, one checkpoint —
+    * each a PAYLOAD RedoResponse with its confirmable (c_scn, c_idx).
+    */
+  def olrResponses: Seq[Array[Byte]] = {
+    import graft.sources.wire.OlrDecoder._
+    val schema = encodeSchema("GRAFT", "OLR_ITEMS", 51234L)
+    def afterRow(i: Int): Seq[Array[Byte]] = Seq(
+      encodeValueLong("ID", i.toLong),
+      encodeValueLong("QTY", i * 3L),
+      encodeValueString("LABEL", s"olr_$i"),
+      encodeValueDouble("SCORE", i * 0.5))
+    def keyOnly(i: Int): Seq[Array[Byte]] =
+      Seq(encodeValueLong("ID", i.toLong))
+    val begin = encodePayload(OpBegin, schema, "")
+    val commit = encodePayload(OpCommit, schema, "")
+    val inserts = (0 until 12).map(i =>
+      encodePayload(OpInsert, schema, f"AAAT5/AAB$i%03d", Nil, afterRow(i)))
+    val updates = (0 until 12).filter(_ % 4 == 0).map { i =>
+      val after = Seq(
+        encodeValueLong("ID", i.toLong),
+        encodeValueLong("QTY", i * 3L + 100),
+        encodeValueString("LABEL", s"olr_$i"),
+        encodeValueDouble("SCORE", i * 0.5))
+      encodePayload(OpUpdate, schema, f"AAAT5/AAB$i%03d", keyOnly(i), after)
+    }
+    val deletes = (0 until 12).filter(_ % 5 == 0).map(i =>
+      encodePayload(OpDelete, schema, f"AAAT5/AAB$i%03d", keyOnly(i), Nil))
+    Seq(
+      encodeResponse(RespPayload, scn = 990L, xid = "7.34.123",
+        payloads = begin +: inserts :+ commit, cScn = 1000L, cIdx = 1L),
+      encodeResponse(RespPayload, scn = 1005L, xid = "7.35.124",
+        payloads = begin +: updates :+ commit, cScn = 1010L, cIdx = 1L),
+      encodeResponse(RespPayload, scn = 1015L, xid = "7.36.125",
+        payloads = begin +: deletes :+ commit, cScn = 1020L, cIdx = 1L),
+      encodeResponse(RespPayload, scn = 1025L, xid = "7.37.126",
+        payloads = Seq(encodePayload(OpDdl, schema, "", Nil, Nil,
+          "ALTER TABLE GRAFT.OLR_ITEMS ADD NOTE VARCHAR2(30)")),
+        cScn = 1030L, cIdx = 1L),
+      encodeResponse(RespPayload, scn = 1035L,
+        payloads = Seq(encodePayload(OpChkpt, schema, "")),
+        cScn = 1040L, cIdx = 1L))
+  }
+
+  def olrSegment: Array[Byte] =
+    graft.sources.wire.OlrDecoder.writeSegment(olrResponses)
+
+  def olrRowCount: Long =
+    graft.sources.wire.OlrDecoder.segmentRows(olrSegment).size.toLong
+
   def binlogSegment: Array[Byte] = {
     import MySqlBinlog._
     def row(i: Int): Row =

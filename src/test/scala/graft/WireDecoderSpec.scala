@@ -392,6 +392,38 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(!prev.isEmpty, "head PREVIOUS_GTIDS must replay")
   }
 
+  test("olr: continue path resumes by confirmed pair; wrong source rejected") {
+    import graft.sources.net.OlrClient
+    import graft.sources.wire.OlrDecoder
+    import graft.tools.{OlrServer, WireFixtures}
+    // an already-started source answers INFO with REPLICATE: the client
+    // must resume with CONTINUE(c_scn, c_idx), never a bare scn (the
+    // reference documents the restart-from-last-confirmed trap)
+    val (port, session, server) = OlrServer.serve(
+      WireFixtures.olrResponses.drop(1), "ORCLPDB1", alreadyStarted = true)
+    val seg = OlrClient.fetchSegment("127.0.0.1", port, "ORCLPDB1",
+      scn = 990L, cScn = 1000L, cIdx = 1L)
+    server.join(10000)
+    assert(session.continueCScn == 1000L && session.continueCIdx == 1L)
+    assert(session.startScn == -1, "CONTINUE path must not send START")
+    // resumed stream carries everything after the confirmed commit
+    val rows = OlrDecoder.segmentRows(seg).toSeq
+    assert(rows.map(_.op).groupBy(identity).view.mapValues(_.size).toMap ==
+      Map("u" -> 3, "d" -> 3, "m" -> 1))
+    // request codec: every field round-trips
+    val req = OlrDecoder.decodeRequest(OlrDecoder.encodeRequest(
+      OlrDecoder.ReqContinue, "SRC", scn = 7L, cScn = 9L, cIdx = 2L))
+    assert(req == OlrDecoder.RedoRequest(OlrDecoder.ReqContinue, "SRC",
+      7L, 9L, 2L))
+    // a wrong source name is rejected with INVALID_DATABASE
+    val (port2, _, _) = OlrServer.serve(
+      WireFixtures.olrResponses, "ORCLPDB1")
+    val ex = intercept[java.io.IOException] {
+      OlrClient.fetchSegment("127.0.0.1", port2, "WRONGDB", scn = 990L)
+    }
+    assert(ex.getMessage.contains("6"), ex.getMessage)
+  }
+
   test("BSON bridge round-trips the change-stream corpus byte-identically") {
     import graft.serde.Bson
     val lines = graft.tools.WireFixtures.mongoChangeStreamJsonl
