@@ -654,9 +654,10 @@ object WireQueries extends QueryGroup {
         s"${graft.tools.WireFixtures.GtidSidA}:1-41," +
           s"${graft.tools.WireFixtures.GtidSidB}:1-6",
         s"unexpected PREVIOUS_GTIDS state: ${previous.text}")
-      rows.map { case (w, gtid) =>
-        (w.table, w.op, w.pos, w.keyJson, w.payloadJson, gtid)
-      }.toDF("table", "op", "pos", "key_json", "payload_json", "gtid")
+      rows.map { case (w, gtid, stmt) =>
+        (w.table, w.op, w.pos, w.keyJson, w.payloadJson, gtid, stmt)
+      }.toDF("table", "op", "pos", "key_json", "payload_json", "gtid",
+        "stmt")
     }),
 
     "s9_binlog_socket_stream" -> ((s, _) => {
@@ -713,11 +714,12 @@ object WireQueries extends QueryGroup {
       """SELECT 'testdb.bl_items' AS "table", 'c' AS op,
         |  CAST(200 AS BIGINT) AS pos, '{"id":'||i||'}' AS key_json,
         |  '{"id":'||i||',"qty":'||(i*5)||',"label":"mg_'||i||'"}' AS payload_json,
-        |  'aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa:42' AS gtid
+        |  'aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa:42' AS gtid,
+        |  'INSERT INTO testdb.bl_items SELECT seq, seq*5, concat(''mg_'', seq)' AS stmt
         | FROM range(12) t(i)
         |UNION ALL
         |SELECT 'testdb.bl_items', 'c', CAST(600 AS BIGINT), '{"id":'||i||'}',
-        |  '{"id":'||i||',"qty":'||(i*5)||',"label":"mg_'||i||'"}', ''
+        |  '{"id":'||i||',"qty":'||(i*5)||',"label":"mg_'||i||'"}', '', ''
         | FROM range(100, 102) t(i)""".stripMargin)
 
   private val olrOracle: String =

@@ -58,6 +58,12 @@ object MySqlBinlog {
   val GTID_LOG = 33
   val ANONYMOUS_GTID_LOG = 34
   val PREVIOUS_GTIDS_LOG = 35
+  /** MySQL's statement-text event (`binlog_rows_query_log_events=ON`,
+    * surfaced by the reference's `include.query` — ref
+    * `BinlogConnectorConfig.INCLUDE_SQL_QUERY`:466); the MySQL analog of
+    * MariaDB's ANNOTATE_ROWS.
+    */
+  val ROWS_QUERY = 29
   val PARTIAL_UPDATE_ROWS = 39 // mysql-8.0 binlog_row_value_options=PARTIAL_JSON
 
   // column type codes (MYSQL_TYPE_*)
@@ -126,6 +132,10 @@ object MySqlBinlog {
     */
   final case class PreviousGtidsEvent(nextPos: Long,
                                       set: GtidSet) extends Event
+  /** MySQL ROWS_QUERY: the originating statement for following row
+    * events (same role as MariaDB's ANNOTATE_ROWS).
+    */
+  final case class RowsQueryEvent(nextPos: Long, sql: String) extends Event
   final case class SkippedEvent(nextPos: Long, kind: Int) extends Event
 
   // ---------------------------------------------------------------- decode
@@ -828,6 +838,13 @@ object MySqlBinlog {
               else (0L, 0L)
             MySqlGtidEvent(nextPos, sid, gno, lc, sn,
               anonymous = kind == ANONYMOUS_GTID_LOG)
+          case ROWS_QUERY =>
+            // body: query-length(1, possibly truncated — ignored, as the
+            // mysql-binlog-connector does) then the statement text
+            buf.get()
+            val qB = new Array[Byte](end - buf.position())
+            buf.get(qB)
+            RowsQueryEvent(nextPos, new String(qB, StandardCharsets.UTF_8))
           case PREVIOUS_GTIDS_LOG =>
             // payload: n_sids(8 LE){ sid(16) n_ivs(8){ start(8) end(8)
             // EXCLUSIVE }} — converted to the inclusive canonical form
@@ -1086,6 +1103,14 @@ object MySqlBinlog {
   def encodeAnnotateRows(nextPos: Long, sql: String): Array[Byte] =
     event(MARIADB_ANNOTATE_ROWS, nextPos, sql.getBytes(StandardCharsets.UTF_8))
 
+  def encodeRowsQuery(nextPos: Long, sql: String): Array[Byte] = {
+    val qB = sql.getBytes(StandardCharsets.UTF_8)
+    val b = leBuf(1 + qB.length)
+    b.put(math.min(qB.length, 255).toByte)
+    b.put(qB)
+    event(ROWS_QUERY, nextPos, b.array())
+  }
+
   def encodeMySqlGtid(nextPos: Long, sid: String, gno: Long,
                       lastCommitted: Long = 0L, seqNo: Long = 0L,
                       anonymous: Boolean = false): Array[Byte] = {
@@ -1238,27 +1263,33 @@ object MySqlBinlog {
     * the reference's `gtid.source.includes`/`excludes` server-UUID
     * projection — a filtered-out transaction's row events are DROPPED
     * WHOLESALE, exactly as the reference skips events between a
-    * non-matching GTID and its terminator. Returns the rows plus the
-    * PREVIOUS_GTIDS executed set seen at the segment head (the resume
-    * position MySQL hands to `COM_BINLOG_DUMP_GTID`).
+    * non-matching GTID and its terminator. Row events also carry the
+    * ROWS_QUERY statement text that produced them (MySQL's
+    * `binlog_rows_query_log_events`, the reference's `include.query` —
+    * reset at group boundaries like MariaDB's ANNOTATE_ROWS). Returns
+    * the rows plus the PREVIOUS_GTIDS executed set seen at the segment
+    * head (the resume position MySQL hands to `COM_BINLOG_DUMP_GTID`).
     */
   def segmentRowsGtid(bytes: Array[Byte],
                       colNames: Map[String, Seq[String]],
                       keyCols: Map[String, Seq[Int]] = Map.empty,
                       sourceFilter: String => Boolean = _ => true)
-  : (Seq[(PgOutput.WireRow, String)], GtidSet) = {
+  : (Seq[(PgOutput.WireRow, String, String)], GtidSet) = {
     val maps = scala.collection.mutable.Map[Long, TableMap]()
     var gtid = ""
+    var query = ""
     var admitted = true
     var previous = GtidSet.empty
-    val out = Seq.newBuilder[(PgOutput.WireRow, String)]
+    val out = Seq.newBuilder[(PgOutput.WireRow, String, String)]
     readSegment(bytes).foreach {
       case TableMapEvent(_, m) => maps(m.tableId) = m
       case g: MySqlGtidEvent =>
         gtid = g.gtid
+        query = "" // a new group resets the statement text
         admitted = g.anonymous || sourceFilter(g.sid)
+      case RowsQueryEvent(_, sql) => query = sql
       case PreviousGtidsEvent(_, set) => previous = set
-      case XidEvent(_, _) => gtid = ""; admitted = true
+      case XidEvent(_, _) => gtid = ""; query = ""; admitted = true
       case RowsEvent(pos, kind, tableId, rows, afterRows) if admitted =>
         val m = maps(tableId)
         val full = s"${m.schema}.${m.table}"
@@ -1274,7 +1305,7 @@ object MySqlBinlog {
             jsonObject(names, r, Some(kidx)), "null"))
           case _ => Nil
         }
-        wireRows.foreach(w => out += ((w, gtid)))
+        wireRows.foreach(w => out += ((w, gtid, query)))
       case _ => ()
     }
     (out.result(), previous)

@@ -301,6 +301,8 @@ object WireFixtures {
       GtidSidA -> Seq((1L, 41L)), GtidSidB -> Seq((1L, 6L)))))
     events += encodeMySqlGtid(100, GtidSidA, gno = 42,
       lastCommitted = 41, seqNo = 42)
+    events += encodeRowsQuery(110,
+      "INSERT INTO testdb.bl_items SELECT seq, seq*5, concat('mg_', seq)")
     events += encodeTableMap(120, BlMap)
     events += encodeRows(WRITE_ROWS_V2, 200, BlMap, (0 until 12).map(row))
     events += encodeXid(300, 9001L)

@@ -392,6 +392,49 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(!prev.isEmpty, "head PREVIOUS_GTIDS must replay")
   }
 
+  test("gtid set algebra holds under random sets (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.sources.wire.{GtidSet, MySqlBinlog}
+    val sids = Seq(
+      "aaaaaaaa-aaaa-aaaa-aaaa-aaaaaaaaaaaa",
+      "bbbbbbbb-bbbb-bbbb-bbbb-bbbbbbbbbbbb",
+      "cccccccc-cccc-cccc-cccc-cccccccccccc")
+    val genSet: Gen[GtidSet] = for {
+      n <- Gen.chooseNum(0, 3)
+      entries <- Gen.listOfN(n, for {
+        sid <- Gen.oneOf(sids)
+        ivs <- Gen.nonEmptyListOf(for {
+          a <- Gen.chooseNum(1L, 60L); w <- Gen.chooseNum(0L, 10L)
+        } yield (a, a + w))
+      } yield sid -> ivs)
+    } yield entries.foldLeft(GtidSet.empty) { case (acc, (sid, ivs)) =>
+      ivs.foldLeft(acc) { case (s, (a, b)) =>
+        (a to b).foldLeft(s)((t, g) => t.add(sid, g))
+      }
+    }
+    val gno = Gen.chooseNum(1L, 75L)
+    val sid = Gen.oneOf(sids)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(genSet, genSet, sid, gno) { (x, y, s, g) =>
+        // text form is a lossless canonical encoding
+        (GtidSet.parse(x.text) == x) &&
+          // wire body (end-exclusive intervals) round-trips
+          (MySqlBinlog.decodeGtidSetBody(
+            MySqlBinlog.encodeGtidSetBody(x)) == x) &&
+          // subtract removes exactly y's members: membership algebra
+          (x.subtract(y).contains(s, g) ==
+            (x.contains(s, g) && !y.contains(s, g))) &&
+          // subtraction result is always contained in the minuend
+          x.subtract(y).isContainedWithin(x) &&
+          // add then contains
+          x.add(s, g).contains(s, g) &&
+          // containment is consistent with emptiness of the difference
+          (x.isContainedWithin(y) == x.subtract(y).isEmpty)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("olr: continue path resumes by confirmed pair; wrong source rejected") {
     import graft.sources.net.OlrClient
     import graft.sources.wire.OlrDecoder
