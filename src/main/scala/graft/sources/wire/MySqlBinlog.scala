@@ -64,6 +64,18 @@ object MySqlBinlog {
     * MariaDB's ANNOTATE_ROWS.
     */
   val ROWS_QUERY = 29
+  /** MySQL 8.0.20 compressed transactions
+    * (`binlog_transaction_compression=ON` — the whole transaction's
+    * event stream zstd-compressed inside ONE event; ref
+    * `BinlogStreamingChangeEventSource.handleTransactionPayload`:500,
+    * `event/TransactionPayloadDeserializer.java`).
+    */
+  val TRANSACTION_PAYLOAD = 40
+  /** TRANSACTION_PAYLOAD compression type codes (MySQL
+    * libbinlogevents/include/compression/base.h).
+    */
+  val CompressZstd = 0
+  val CompressNone = 255
   val PARTIAL_UPDATE_ROWS = 39 // mysql-8.0 binlog_row_value_options=PARTIAL_JSON
 
   // column type codes (MYSQL_TYPE_*)
@@ -136,6 +148,13 @@ object MySqlBinlog {
     * events (same role as MariaDB's ANNOTATE_ROWS).
     */
   final case class RowsQueryEvent(nextPos: Long, sql: String) extends Event
+  /** MySQL TRANSACTION_PAYLOAD: a whole transaction's event stream,
+    * zstd-compressed (or stored raw) inside one event. `readSegment`
+    * flattens the inner events in place, so downstream projections see
+    * compressed and plain transactions identically.
+    */
+  final case class TransactionPayloadEvent(nextPos: Long, compression: Int,
+                                           inner: Seq[Event]) extends Event
   final case class SkippedEvent(nextPos: Long, kind: Int) extends Event
 
   // ---------------------------------------------------------------- decode
@@ -845,6 +864,46 @@ object MySqlBinlog {
             val qB = new Array[Byte](end - buf.position())
             buf.get(qB)
             RowsQueryEvent(nextPos, new String(qB, StandardCharsets.UTF_8))
+          case TRANSACTION_PAYLOAD =>
+            // TLV header (libbinlogevents Transaction_payload_event):
+            // field-type(lenenc) [length(lenenc) value(lenenc)]* until
+            // HEADER_END_MARK(0); then the payload bytes. Fields:
+            // 1=payload_size 2=compression_type 3=uncompressed_size
+            var compression = CompressNone.toLong
+            var payloadSize = -1L
+            var uncompressedSize = -1L
+            var headerDone = false
+            while (!headerDone) {
+              val t = lenenc(buf)
+              if (t == 0L) headerDone = true
+              else {
+                val len = lenenc(buf).toInt
+                val valEnd = buf.position() + len
+                t match {
+                  case 1 => payloadSize = lenenc(buf)
+                  case 2 => compression = lenenc(buf)
+                  case 3 => uncompressedSize = lenenc(buf)
+                  case _ => () // unknown field: skip by length
+                }
+                buf.position(valEnd)
+              }
+            }
+            val n =
+              if (payloadSize >= 0) payloadSize.toInt
+              else end - buf.position()
+            val payload = new Array[Byte](n); buf.get(payload)
+            val raw = compression match {
+              case CompressZstd =>
+                require(uncompressedSize >= 0,
+                  "zstd payload without uncompressed_size")
+                com.github.luben.zstd.Zstd
+                  .decompress(payload, uncompressedSize.toInt)
+              case CompressNone => payload
+              case other => throw new IllegalArgumentException(
+                s"unsupported transaction payload compression $other")
+            }
+            TransactionPayloadEvent(nextPos, compression.toInt,
+              readSegment(Magic ++ raw).toSeq)
           case PREVIOUS_GTIDS_LOG =>
             // payload: n_sids(8 LE){ sid(16) n_ivs(8){ start(8) end(8)
             // EXCLUSIVE }} — converted to the inclusive canonical form
@@ -876,6 +935,11 @@ object MySqlBinlog {
         buf.position(end)
         ev
       }
+    }.flatMap {
+      // compressed transactions splice their inner events in place —
+      // downstream projections never see the container
+      case TransactionPayloadEvent(_, _, inner) => inner
+      case e => Seq(e)
     }
   }
 
@@ -1102,6 +1166,34 @@ object MySqlBinlog {
 
   def encodeAnnotateRows(nextPos: Long, sql: String): Array[Byte] =
     event(MARIADB_ANNOTATE_ROWS, nextPos, sql.getBytes(StandardCharsets.UTF_8))
+
+  def encodeTransactionPayload(nextPos: Long,
+                               innerEvents: Seq[Array[Byte]],
+                               compress: Boolean = true): Array[Byte] = {
+    val inner = innerEvents.flatten.toArray
+    val raw =
+      if (compress) com.github.luben.zstd.Zstd.compress(inner, 3)
+      else inner
+    def lenencBytes(v: Long): Array[Byte] = {
+      val b = leBuf(9); putLenenc(b, v)
+      java.util.Arrays.copyOf(b.array(), b.position())
+    }
+    val fields = new ByteArrayOutputStream()
+    def field(t: Long, value: Long): Unit = {
+      val vb = lenencBytes(value)
+      fields.write(lenencBytes(t))
+      fields.write(lenencBytes(vb.length.toLong))
+      fields.write(vb)
+    }
+    field(2, if (compress) CompressZstd.toLong else CompressNone.toLong)
+    if (compress) field(3, inner.length.toLong)
+    field(1, raw.length.toLong)
+    fields.write(lenencBytes(0L)) // HEADER_END_MARK
+    val hdr = fields.toByteArray
+    val b = leBuf(hdr.length + raw.length)
+    b.put(hdr); b.put(raw)
+    event(TRANSACTION_PAYLOAD, nextPos, b.array())
+  }
 
   def encodeRowsQuery(nextPos: Long, sql: String): Array[Byte] = {
     val qB = sql.getBytes(StandardCharsets.UTF_8)

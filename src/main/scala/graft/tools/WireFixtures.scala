@@ -314,11 +314,15 @@ object WireFixtures {
     events += encodeRows(UPDATE_ROWS_V2, 400, BlMap, upd.map(row),
       upd.map(i => Row(Seq(Some(i), Some(i * 5L + 1000), Some(s"mg_$i")))))
     events += encodeXid(500, 9002L)
+    // the anonymous transaction arrives as a zstd-compressed
+    // TRANSACTION_PAYLOAD (binlog_transaction_compression=ON): the
+    // decoder splices the inner events in place, so the oracle sees the
+    // same rows a plain transaction would produce
     events += encodeMySqlGtid(510, GtidSidA, gno = 0, anonymous = true)
-    events += encodeTableMap(590, BlMap)
-    events += encodeRows(WRITE_ROWS_V2, 600, BlMap,
-      Seq(row(100), row(101)))
-    events += encodeXid(700, 9003L)
+    events += encodeTransactionPayload(700, Seq(
+      encodeTableMap(590, BlMap),
+      encodeRows(WRITE_ROWS_V2, 600, BlMap, Seq(row(100), row(101))),
+      encodeXid(700, 9003L)))
     writeSegment(events.toSeq)
   }
 

@@ -392,6 +392,32 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(!prev.isEmpty, "head PREVIOUS_GTIDS must replay")
   }
 
+  test("transaction payload: zstd and raw compressed txs decode like plain") {
+    import graft.sources.wire.MySqlBinlog
+    import graft.sources.wire.MySqlBinlog._
+    def row(i: Int): Row = Row(Seq(Some(i), Some(i * 2L), Some(s"tp$i")))
+    val body = Seq(
+      encodeTableMap(80, graft.tools.WireFixtures.BlMap),
+      encodeRows(WRITE_ROWS_V2, 90, graft.tools.WireFixtures.BlMap,
+        (0 until 5).map(row)),
+      encodeXid(100, 3L))
+    def rows(seg: Array[Byte]) = MySqlBinlog.segmentRows(seg,
+      Map("testdb.bl_items" -> Seq("id", "qty", "label"))).toSeq
+    val plain = rows(writeSegment(body))
+    // zstd-compressed payload produces identical rows
+    val zstd = rows(writeSegment(Seq(
+      encodeTransactionPayload(120, body, compress = true))))
+    assert(zstd == plain)
+    // uncompressed (compression_type NONE, lenenc 255 > one byte) too
+    val none = rows(writeSegment(Seq(
+      encodeTransactionPayload(120, body, compress = false))))
+    assert(none == plain)
+    // the container never leaks: flattened stream has no payload event
+    assert(readSegment(writeSegment(Seq(
+      encodeTransactionPayload(120, body)))).toSeq
+      .forall(!_.isInstanceOf[TransactionPayloadEvent]))
+  }
+
   test("gtid set algebra holds under random sets (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import graft.sources.wire.{GtidSet, MySqlBinlog}
