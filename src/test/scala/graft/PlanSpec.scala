@@ -185,6 +185,14 @@ class PlanSpec extends AnyFunSuite {
       "corpus side must not shuffle for the rate join")
   }
 
+  test("gtid watermark windows broadcast; no cartesian in the dedup join") {
+    val p = plan("s5_readonly_gtid")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-chunk gno-interval table should broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "interval membership must not plan as a cartesian product")
+  }
+
   test("temperature mixture keeps the repeatFactors shape: broadcast rates") {
     val p = plan("a_temperature_mixture")
     assert(p.contains("BroadcastHashJoin"),
