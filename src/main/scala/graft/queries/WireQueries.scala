@@ -603,10 +603,11 @@ object WireQueries extends QueryGroup {
     // RedoResponses decoded into the shared envelope rows; pos is the
     // confirmable (c_scn, c_idx) pair
     "s10_olr_decode" -> ((s, _) => {
-      val n = graft.tools.WireFixtures.olrRowCount
+      val seg = graft.tools.WireFixtures.olrSegment
+      val n = graft.sources.wire.OlrDecoder.segmentRows(seg).size
       val dir = Files.createTempDirectory("olr-fix").toString
       Files.write(Paths.get(dir, f"part-g${1L}%012d-b-p${0}%05d-n$n.olr"),
-        graft.tools.WireFixtures.olrSegment)
+        seg)
       s.read.format(classOf[graft.sources.v2.ChangeLogSource].getName)
         .option("path", dir).load()
     }),

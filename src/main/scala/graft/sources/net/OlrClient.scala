@@ -24,31 +24,17 @@ import graft.sources.wire.OlrDecoder
   */
 object OlrClient {
 
+  /** Thin socket wrapper over the SHARED framing codec
+    * (`OlrDecoder.frame`/`readFrame`) — one implementation for client,
+    * server, and segment files.
+    */
   private final class FrameIo(socket: Socket) {
     private val in = new DataInputStream(socket.getInputStream)
     private val out = new DataOutputStream(socket.getOutputStream)
     def write(body: Array[Byte]): Unit = {
-      val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-      b.putInt(body.length)
-      out.write(b.array()); out.write(body); out.flush()
+      out.write(OlrDecoder.frame(body)); out.flush()
     }
-    /** None on clean EOF before a frame starts. */
-    def read(): Option[Array[Byte]] = {
-      val sz = new Array[Byte](4)
-      var got = 0
-      while (got < 4) {
-        val n = in.read(sz, got, 4 - got)
-        if (n < 0) {
-          if (got == 0) return None
-          throw new java.io.EOFException("mid-frame EOF in size prefix")
-        }
-        got += n
-      }
-      val len = ByteBuffer.wrap(sz).order(ByteOrder.LITTLE_ENDIAN).getInt()
-      val body = new Array[Byte](len)
-      in.readFully(body)
-      Some(body)
-    }
+    def read(): Option[Array[Byte]] = OlrDecoder.readFrame(in)
   }
 
   /** Connect, handshake, stream every PAYLOAD frame until the server
@@ -78,6 +64,9 @@ object OlrClient {
       }
       val started = OlrDecoder.decodeResponse(io.read().getOrElse(
         throw new java.io.IOException("no start response")))
+      // the reference is equally strict here: anything but REPLICATE
+      // after START/CONTINUE shuts the client down
+      // (OlrNetworkClient.startFrom:284-291)
       require(started.code == OlrDecoder.RespReplicate,
         s"source did not enter replicate mode: code ${started.code}")
 

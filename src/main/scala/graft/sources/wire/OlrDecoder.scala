@@ -86,11 +86,22 @@ object OlrDecoder {
 
   // -------------------------------------------------------------- decode
 
+  /** float datums render at FLOAT precision (Java's shortest-round-trip
+    * float text) — widening to double first would print noise digits
+    * (0.1f → 0.10000000149011612), the trap `PgOutput.pgFloatText`
+    * exists to avoid.
+    */
+  private def float32Json(f: Float): String =
+    if (f.isNaN) "\"NaN\""
+    else if (f.isPosInfinity) "\"Infinity\""
+    else if (f.isNegInfinity) "\"-Infinity\""
+    else f.toString
+
   private def decodeValue(m: Protobuf.Msg): OlrValue = {
     val json = m.fields.collectFirst {
       case (2, Protobuf.VarInt(v)) => v.toString
       case (3, Protobuf.Fixed32(v)) =>
-        floatJson(java.lang.Float.intBitsToFloat(v).toDouble)
+        float32Json(java.lang.Float.intBitsToFloat(v))
       case (4, Protobuf.Fixed64(v)) =>
         floatJson(java.lang.Double.longBitsToDouble(v))
       case (5, Protobuf.Bytes(b)) =>
@@ -145,6 +156,9 @@ object OlrDecoder {
   def encodeValueDouble(name: String, v: Double): Array[Byte] =
     new Protobuf.Writer().string(1, name)
       .fixed64(4, java.lang.Double.doubleToLongBits(v)).result()
+  def encodeValueFloat(name: String, v: Float): Array[Byte] =
+    new Protobuf.Writer().string(1, name)
+      .fixed32(3, java.lang.Float.floatToIntBits(v)).result()
 
   def encodeSchema(owner: String, name: String, obj: Long): Array[Byte] =
     new Protobuf.Writer().string(1, owner).string(2, name)
@@ -191,6 +205,28 @@ object OlrDecoder {
     b.array()
   }
 
+  /** Read one frame from a blocking stream: None on clean EOF before a
+    * size prefix, EOFException mid-frame. THE shared read side of the
+    * framing — the client and the fixture server both delegate here so
+    * the codec cannot diverge between them.
+    */
+  def readFrame(in: java.io.DataInputStream): Option[Array[Byte]] = {
+    val sz = new Array[Byte](4)
+    var got = 0
+    while (got < 4) {
+      val n = in.read(sz, got, 4 - got)
+      if (n < 0) {
+        if (got == 0) return None
+        throw new java.io.EOFException("mid-frame EOF in size prefix")
+      }
+      got += n
+    }
+    val len = ByteBuffer.wrap(sz).order(ByteOrder.LITTLE_ENDIAN).getInt()
+    val body = new Array[Byte](len)
+    in.readFully(body)
+    Some(body)
+  }
+
   /** Split a recorded stream back into frame bodies. */
   def frames(bytes: Array[Byte]): Iterator[Array[Byte]] =
     new Iterator[Array[Byte]] {
@@ -215,13 +251,21 @@ object OlrDecoder {
     * the before image when present (Oracle supplemental logging puts the
     * identifying columns there), else the first after column — the same
     * positional convention as the decoderbufs path. `pos` is the
-    * confirmable (c_scn, c_idx) pair packed into one orderable long.
+    * confirmable (c_scn, c_idx) pair packed into one orderable long —
+    * and because no lossless packing of two arbitrary 64-bit values
+    * exists, out-of-range pairs FAIL FAST instead of silently aliasing
+    * (c_idx ≥ 2¹⁶ or c_scn ≥ 2⁴⁷ would collide or go negative; Oracle
+    * SCNs are 48-bit, so the guard trips before the sign bit does).
     */
   def segmentRows(bytes: Array[Byte]): Iterator[PgOutput.WireRow] =
     frames(bytes).map(decodeResponse)
       .filter(_.code == RespPayload)
       .flatMap { r =>
-        val pos = (r.cScn << 16) | (r.cIdx & 0xffffL)
+        require(r.cIdx >= 0 && r.cIdx < (1L << 16) &&
+          r.cScn >= 0 && r.cScn < (1L << 47),
+          s"(c_scn=${r.cScn}, c_idx=${r.cIdx}) outside the packable " +
+            "range — widen the pos scheme before ingesting this source")
+        val pos = (r.cScn << 16) | r.cIdx
         r.payloads.flatMap { p =>
           val table = s"${p.schema.owner}.${p.schema.name}"
           p.op match {

@@ -97,6 +97,15 @@ object MySqlWireServer {
           val r = if (skip) Nil else Seq(ev)
           skip = false
           r
+        case 40 =>
+          // TRANSACTION_PAYLOAD carries the WHOLE transaction body
+          // (including its XID) inside the container: dropping or
+          // sending it ENDS the group either way — without this reset a
+          // skipped compressed tx would suppress every event until the
+          // next GTID (rotates, heartbeats, segment tails)
+          val r = if (skip) Nil else Seq(ev)
+          skip = false
+          r
         case _ => if (skip) Nil else Seq(ev)
       }
     }

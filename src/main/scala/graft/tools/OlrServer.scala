@@ -26,18 +26,14 @@ object OlrServer {
     val confirms = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
   }
 
+  // framing delegates to the SHARED codec (OlrDecoder.frame/readFrame)
   private def writeFrame(out: DataOutputStream, body: Array[Byte]): Unit = {
-    val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-    b.putInt(body.length)
-    out.write(b.array()); out.write(body); out.flush()
+    out.write(OlrDecoder.frame(body)); out.flush()
   }
 
-  private def readFrame(in: DataInputStream): Array[Byte] = {
-    val sz = new Array[Byte](4); in.readFully(sz)
-    val len = ByteBuffer.wrap(sz).order(ByteOrder.LITTLE_ENDIAN).getInt()
-    val body = new Array[Byte](len); in.readFully(body)
-    body
-  }
+  private def readFrame(in: DataInputStream): Array[Byte] =
+    OlrDecoder.readFrame(in).getOrElse(
+      throw new java.io.EOFException("client closed mid-handshake"))
 
   /** Serve ONE streaming session on an ephemeral port. `responses` are
     * pre-encoded RedoResponse bodies (typically PAYLOAD frames).

@@ -390,6 +390,35 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(rows.count(_._2 == s"${WireFixtures.GtidSidB}:7") == 4)
     assert(rows.count(_._2 == "") == 2)
     assert(!prev.isEmpty, "head PREVIOUS_GTIDS must replay")
+
+    // a skipped transaction shipped COMPRESSED must still terminate its
+    // group: dropping the TRANSACTION_PAYLOAD ends the skip, so the
+    // following sid-B transaction replays in full
+    import graft.sources.wire.MySqlBinlog._
+    def row(i: Int): Row = Row(Seq(Some(i), Some(i * 2L), Some(s"z$i")))
+    val packed = writeSegment(Seq(
+      encodeMySqlGtid(100, WireFixtures.GtidSidA, gno = 42),
+      encodeTransactionPayload(200, Seq(
+        encodeTableMap(120, WireFixtures.BlMap),
+        encodeRows(WRITE_ROWS_V2, 130, WireFixtures.BlMap, Seq(row(1))),
+        encodeXid(140, 1L))),
+      encodeMySqlGtid(210, WireFixtures.GtidSidB, gno = 7),
+      encodeTableMap(220, WireFixtures.BlMap),
+      encodeRows(WRITE_ROWS_V2, 230, WireFixtures.BlMap, Seq(row(2))),
+      encodeXid(240, 2L)))
+    val (p2, s2, srv2) = MySqlWireServer.serve(
+      MySqlWireServer.segmentEvents(packed), "sekrit")
+    val seg2 = MySqlBinlogClient.fetchSegment("127.0.0.1", p2,
+      user = "repl", password = "sekrit", serverId = 7,
+      binlogFile = "binlog.000001",
+      executedGtids = Some(GtidSet.parse(s"${WireFixtures.GtidSidA}:1-42")))
+    srv2.join(10000)
+    assert(s2.authOk)
+    val (rows2, _) = MySqlBinlog.segmentRowsGtid(seg2,
+      Map("testdb.bl_items" -> Seq("id", "qty", "label")))
+    assert(rows2.map(r => (r._1.payloadJson.contains("z2"), r._2)) ==
+      Seq((true, s"${WireFixtures.GtidSidB}:7")),
+      s"compressed skip must not swallow the next group: $rows2")
   }
 
   test("transaction payload: zstd and raw compressed txs decode like plain") {
@@ -484,6 +513,27 @@ class WireDecoderSpec extends AnyFunSuite {
       OlrDecoder.ReqContinue, "SRC", scn = 7L, cScn = 9L, cIdx = 2L))
     assert(req == OlrDecoder.RedoRequest(OlrDecoder.ReqContinue, "SRC",
       7L, 9L, 2L))
+    // float datums render at FLOAT precision, not double-widened noise
+    val fseg = OlrDecoder.writeSegment(Seq(OlrDecoder.encodeResponse(
+      OlrDecoder.RespPayload, scn = 1L,
+      payloads = Seq(OlrDecoder.encodePayload(OlrDecoder.OpInsert,
+        OlrDecoder.encodeSchema("S", "T", 1L), "r1",
+        after = Seq(OlrDecoder.encodeValueLong("ID", 1L),
+          OlrDecoder.encodeValueFloat("F", 0.1f)))),
+      cScn = 10L, cIdx = 1L)))
+    val frow = OlrDecoder.segmentRows(fseg).next()
+    assert(frow.payloadJson.contains("\"F\":0.1"),
+      s"float widened to double noise: ${frow.payloadJson}")
+    // out-of-range confirm pairs fail fast instead of aliasing pos
+    val badSeg = OlrDecoder.writeSegment(Seq(OlrDecoder.encodeResponse(
+      OlrDecoder.RespPayload, scn = 1L,
+      payloads = Seq(OlrDecoder.encodePayload(OlrDecoder.OpInsert,
+        OlrDecoder.encodeSchema("S", "T", 1L), "r1",
+        after = Seq(OlrDecoder.encodeValueLong("ID", 1L)))),
+      cScn = 10L, cIdx = 70000L)))
+    intercept[IllegalArgumentException] {
+      OlrDecoder.segmentRows(badSeg).toSeq
+    }
     // a wrong source name is rejected with INVALID_DATABASE
     val (port2, _, _) = OlrServer.serve(
       WireFixtures.olrResponses, "ORCLPDB1")
