@@ -638,6 +638,45 @@ object WireQueries extends QueryGroup {
         .option("path", dir).load()
     }),
 
+    // S10 OLR end-to-end: streamed .olr segments merged into table state
+    // through the bucketed sink — the same socket→DSv2→merge shape the
+    // other four protocols have
+    "s10_olr_materialize" -> ((s, _) => {
+      val seg = graft.tools.WireFixtures.olrSegment
+      val n = graft.sources.wire.OlrDecoder.segmentRows(seg).size
+      val dir = Files.createTempDirectory("olr-m").toString
+      Files.write(Paths.get(dir, f"part-g${1L}%012d-b-p${0}%05d-n$n.olr"),
+        seg)
+      val olrSchema = StructType(Seq(
+        StructField("ID", LongType), StructField("QTY", LongType),
+        StructField("LABEL", StringType), StructField("SCORE", DoubleType)))
+      val sink = new graft.streaming.BucketedMergeSink(
+        Files.createTempDirectory("olr-sink").toString, buckets = 8)
+      val ckpt = Files.createTempDirectory("olr-ckpt").toString
+      val q = s.readStream
+        .format(classOf[graft.sources.v2.ChangeLogSource].getName)
+        .option("path", dir).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          val env = batch
+            .filter(col("table") === "GRAFT.OLR_ITEMS" &&
+              col("op").isin("c", "u", "d"))
+            .select(
+              from_json(col("key_json"), StructType(Seq(
+                StructField("ID", LongType)))).as("key"),
+              lit(null).cast(olrSchema).as("before"),
+              from_json(col("payload_json"), olrSchema).as("after"),
+              col("op"), struct(col("pos")).as("source"),
+              lit(null).cast("string").as("transaction"),
+              col("pos").as("ts_ms"))
+          sink.merge(env, epochId): Unit
+        }
+        .start()
+      q.awaitTermination()
+      sink.view(s)
+    }),
+
     // S8 MySQL-GTID flavor: GTID_LOG_EVENT transaction framing (sid:gno
     // + 5.7 logical clock), PREVIOUS_GTIDS resume state at the head, and
     // the gtid.source.includes server-UUID filter dropping a whole
@@ -708,6 +747,13 @@ object WireQueries extends QueryGroup {
     "s10_olr_decode" -> olrOracle,
     // the socket round-trip is byte-identical to the recording
     "s10_olr_socket_stream" -> olrOracle,
+
+    // latest state: inserts 0-11, qty+100 where i%4=0, i%5=0 deleted
+    "s10_olr_materialize" ->
+      """SELECT CAST(i AS BIGINT) AS "ID",
+        | CAST(CASE WHEN i%4=0 THEN i*3+100 ELSE i*3 END AS BIGINT) AS "QTY",
+        | 'olr_'||i AS "LABEL", i*0.5 AS "SCORE"
+        |FROM range(12) t(i) WHERE i%5<>0""".stripMargin,
 
     // the sid-B update transaction is filtered out wholesale; the
     // anonymous group survives with an empty gtid
@@ -1114,6 +1160,7 @@ object WireQueries extends QueryGroup {
   // range()/string-concat dialect is DuckDB-only
   override val duckdbOnly: Set[String] =
     Set("s8_mysql_gtid_decode", "s10_olr_decode", "s10_olr_socket_stream",
+      "s10_olr_materialize",
       "s8_pgoutput_decode", "s8_pgoutput_socket_stream",
       "s8_pgoutput_materialize",
       "s8_pgoutput_binary_decode", "s8_pgproto_decode",
