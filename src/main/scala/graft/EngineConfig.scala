@@ -340,6 +340,14 @@ object EngineConfig {
       case "io.debezium.transforms.ExtractChangedRecordState" =>
         df => Transforms.changedFields(df)
 
+      case "io.debezium.connector.postgresql.transforms.DecodeLogicalDecodingMessageContent" =>
+        // ref DecodeLogicalDecodingMessageContent.java:57-64 (the single
+        // fields.null.include config) — a message-monitor frame's binary
+        // JSON content becomes the structured after image
+        val keepNulls =
+          conf.getOrElse("fields.null.include", "false").toBoolean
+        df => Transforms.decodeMessageContent(df, keepNulls)
+
       case other => fail(s"unsupported transform type '$other'")
     }
 

@@ -112,6 +112,28 @@ class EngineConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("spark.sql"))
   }
 
+  test("DecodeLogicalDecodingMessageContent resolves from properties") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.StructType
+    val spark = SparkTestSession.get
+    import spark.implicits._
+    val c = EngineConfig.compile(Map(
+      "transforms" -> "dm",
+      "transforms.dm.type" ->
+        "io.debezium.connector.postgresql.transforms.DecodeLogicalDecodingMessageContent"))
+    val msgs = Seq(("""{"id":9,"who":"a"}""", 5L)).toDF("json", "ts_ms")
+      .select(
+        struct(lit("pfx").as("prefix")).as("key"),
+        struct(lit("pfx").as("prefix"),
+          col("json").cast("binary").as("content")).as("message"),
+        lit("m").as("op"), col("ts_ms"))
+    val out = c.chain.foldLeft(msgs)((df, l) => l.apply(df))
+    val after = out.schema("after").dataType.asInstanceOf[StructType]
+    assert(after.fieldNames.toSet == Set("id", "who"))
+    val r = out.select(col("op"), col("after.id")).head()
+    assert(r.getString(0) == "c" && r.getLong(1) == 9L)
+  }
+
   test("message.key.columns parses the db.table:cols;... grammar") {
     val c = EngineConfig.compile(Map(
       "message.key.columns" ->
