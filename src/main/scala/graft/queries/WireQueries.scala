@@ -700,6 +700,21 @@ object WireQueries extends QueryGroup {
         "stmt")
     }),
 
+    // S8 `binlog_row_metadata=FULL` + `binlog_checksum=CRC32`: the
+    // TABLE_MAP's WL#4618 optional metadata supplies column names,
+    // UNSIGNED signedness and the primary key (no external DDL anywhere
+    // in this query), and every event's trailing CRC32 is verified and
+    // stripped. The values sit past the signed boundaries, so a signed
+    // misread would corrupt every numeric column; unsigned BIGINT
+    // surfaces as exact digits beyond int64
+    "s9_binlog_metadata_decode" -> ((s, _) => {
+      import s.implicits._
+      val rows = graft.sources.wire.MySqlBinlog.segmentRows(
+        graft.tools.WireFixtures.binlogMetadataSegment, Map.empty).toSeq
+      rows.map(w => (w.table, w.op, w.pos, w.keyJson, w.payloadJson))
+        .toDF("table", "op", "pos", "key_json", "payload_json")
+    }),
+
     "s9_binlog_socket_stream" -> ((s, _) => {
       val events = graft.tools.MySqlWireServer.segmentEvents(
         graft.tools.WireFixtures.binlogSegment)
@@ -767,7 +782,30 @@ object WireQueries extends QueryGroup {
         |UNION ALL
         |SELECT 'testdb.bl_items', 'c', CAST(600 AS BIGINT), '{"id":'||i||'}',
         |  '{"id":'||i||',"qty":'||(i*5)||',"label":"mg_'||i||'"}', '', ''
-        | FROM range(100, 102) t(i)""".stripMargin)
+        | FROM range(100, 102) t(i)""".stripMargin,
+
+    "s9_binlog_metadata_decode" ->
+      """SELECT 'testdb.bl_unsigned' AS "table", 'c' AS op,
+        |  CAST(200 AS BIGINT) AS pos, '{"id":'||i||'}' AS key_json,
+        |  '{"id":'||i||',"name":"ux_'||i||'","u8":'||(200+i)||
+        |  ',"u16":'||(65000+i*3)||',"u24":'||(16000000+i)||
+        |  ',"u32":'||(4000000000+i)||
+        |  ',"u64":'||CAST(CAST('9223372036854775808' AS HUGEINT)+i*7 AS VARCHAR)||
+        |  ',"s64":'||(-1000-i)||',"ratio":'||CAST(i-0.5 AS VARCHAR)||'}'
+        |    AS payload_json
+        | FROM range(8) t(i)
+        |UNION ALL
+        |SELECT 'testdb.bl_unsigned', 'u', CAST(400 AS BIGINT),
+        |  '{"id":'||i||'}',
+        |  '{"id":'||i||',"name":"ux_'||i||'","u8":'||(200+i)||
+        |  ',"u16":'||(65000+i*3)||',"u24":'||(16000000+i)||
+        |  ',"u32":'||(4000000000+i)||
+        |  ',"u64":'||CAST(CAST('9223372036854775808' AS HUGEINT)+i*7+1 AS VARCHAR)||
+        |  ',"s64":'||(-1000-i)||',"ratio":'||CAST(i+99.5 AS VARCHAR)||'}'
+        | FROM (VALUES (0),(4)) t(i)
+        |UNION ALL
+        |SELECT 'testdb.bl_unsigned', 'd', CAST(500 AS BIGINT),
+        |  '{"id":5}', 'null'""".stripMargin)
 
   private val olrOracle: String =
     """SELECT 'GRAFT.OLR_ITEMS' AS "table", 'c' AS op,
@@ -1172,5 +1210,5 @@ object WireQueries extends QueryGroup {
       "s11_cdc_socket_poll",
       "s12_change_stream_decode", "s12_change_stream_dsv2",
       "s12_change_stream_socket", "s12_change_stream_materialize",
-      "s8_mariadb_gtid_decode")
+      "s8_mariadb_gtid_decode", "s9_binlog_metadata_decode")
 }

@@ -92,7 +92,8 @@ object MySqlBinlogClient {
   def fetchEvents(host: String, port: Int, user: String, password: String,
                   serverId: Int, binlogFile: String,
                   binlogPos: Long,
-                  executedGtids: Option[graft.sources.wire.GtidSet] = None)
+                  executedGtids: Option[graft.sources.wire.GtidSet] = None,
+                  confirmChecksum: Boolean = false)
   : Seq[Array[Byte]] = {
     val socket = new Socket(host, port)
     try {
@@ -136,6 +137,18 @@ object MySqlBinlogClient {
       if ((authResult(0) & 0xff) == 0xff) err(authResult)
       require((authResult(0) & 0xff) == 0x00,
         f"expected OK after auth, got 0x${authResult(0)}%02x")
+
+      if (confirmChecksum) {
+        // confirm checksum support before the dump (the server refuses
+        // to stream a CRC32-checksummed binlog otherwise — ref the
+        // connector's BinaryLogClient.confirmSupportOfChecksum)
+        io.seq = 0
+        io.write(0x03.toByte +: // COM_QUERY
+          "SET @master_binlog_checksum= @@global.binlog_checksum"
+            .getBytes(StandardCharsets.UTF_8))
+        val ok = io.read()
+        if ((ok(0) & 0xff) == 0xff) err(ok)
+      }
 
       io.seq = 0 // each command restarts the sequence
       val fileB = binlogFile.getBytes(StandardCharsets.UTF_8)
@@ -190,9 +203,10 @@ object MySqlBinlogClient {
   def fetchSegment(host: String, port: Int, user: String, password: String,
                    serverId: Int, binlogFile: String,
                    binlogPos: Long = 4L,
-                   executedGtids: Option[graft.sources.wire.GtidSet] = None)
+                   executedGtids: Option[graft.sources.wire.GtidSet] = None,
+                   confirmChecksum: Boolean = false)
   : Array[Byte] =
     graft.sources.wire.MySqlBinlog.writeSegment(
       fetchEvents(host, port, user, password, serverId, binlogFile,
-        binlogPos, executedGtids))
+        binlogPos, executedGtids, confirmChecksum))
 }

@@ -15,8 +15,11 @@ import java.nio.charset.StandardCharsets
   * binlog FILE: the 4-byte magic `0xfe 'b' 'i' 'n'` followed by events
   * back-to-back. Events are framed by the 19-byte v4 header:
   *   timestamp(4) type(1) serverId(4) eventSize(4) nextPos(4) flags(2)
-  * Fixtures are recorded with `binlog_checksum = NONE`, so there is no
-  * trailing CRC32 (the decoder consumes to the eventSize boundary).
+  * `binlog_checksum` is handled per WL#2540: a FORMAT_DESCRIPTION event
+  * declaring CRC32 switches the stream to checksummed framing — every
+  * later event ends in a 4-byte CRC32 over its header+body, which the
+  * decoder VERIFIES and strips before the body parse (a stream with no
+  * FDE, or an FDE declaring NONE, consumes to the eventSize boundary).
   *
   * Event bodies handled:
   *   - TABLE_MAP (19):     tableId(6) flags(2) schemaLen(1) schema NUL
@@ -86,6 +89,33 @@ object MySqlBinlog {
   val TYPE_NEWDECIMAL = 246; val TYPE_JSON = 245; val TYPE_BLOB = 252
   val TYPE_GEOMETRY = 255
 
+  /** TABLE_MAP optional-metadata field types (WL#4618,
+    * libbinlogevents `Table_map_event::Optional_metadata_field_type`).
+    * Only the fields the reference consumes are materialized
+    * (signedness, column names, simple primary key); the rest are
+    * length-skipped.
+    */
+  val META_SIGNEDNESS = 1
+  val META_COLUMN_NAME = 4
+  val META_SIMPLE_PRIMARY_KEY = 8
+
+  /** Signedness bits cover NUMERIC columns only, in column order
+    * (libbinlogevents `is_numeric_type`: TINY/SHORT/INT24/LONG/
+    * LONGLONG/FLOAT/DOUBLE/NEWDECIMAL — YEAR is excluded).
+    */
+  def isNumericType(t: Int): Boolean = t match {
+    case TYPE_TINY | TYPE_SHORT | TYPE_INT24 | TYPE_LONG | TYPE_LONGLONG |
+         TYPE_FLOAT | TYPE_DOUBLE | TYPE_NEWDECIMAL => true
+    case _ => false
+  }
+
+  /** `binlog_checksum` algorithm codes (WL#2540): every event after a
+    * FORMAT_DESCRIPTION that declares CRC32 carries a trailing 4-byte
+    * CRC32 (ISO-3309, java.util.zip) over the event's header+body.
+    */
+  val ChecksumNone = 0
+  val ChecksumCrc32 = 1
+
   /** A decoded DATE/DATETIME2 value, kept symbolic (no timezone walk). */
   final case class Dt(year: Int, month: Int, day: Int,
                       hour: Int = -1, minute: Int = 0, second: Int = 0,
@@ -108,8 +138,21 @@ object MySqlBinlog {
     */
   final case class Geom(srid: Int, wkb: Array[Byte])
 
+  /** TABLE_MAP state. `names`/`unsigned`/`primaryKey` carry MySQL 8.0's
+    * OPTIONAL metadata (WL#4618, `binlog_row_metadata=FULL` — ref the
+    * connector's `TableMapEventMetadata`): empty means the server logged
+    * MINIMAL metadata and the caller must supply names/keys externally
+    * (the reference then resolves them from its schema history).
+    * `unsigned` is per-COLUMN (already expanded from the wire's
+    * numeric-columns-only bitmap).
+    */
   final case class TableMap(tableId: Long, schema: String, table: String,
-                            colTypes: Seq[Int], colMeta: Seq[Int])
+                            colTypes: Seq[Int], colMeta: Seq[Int],
+                            names: Seq[String] = Nil,
+                            unsigned: Seq[Boolean] = Nil,
+                            primaryKey: Seq[Int] = Nil) {
+    def isUnsigned(i: Int): Boolean = unsigned.nonEmpty && unsigned(i)
+  }
 
   final case class Row(cells: Seq[Option[Any]])
 
@@ -631,14 +674,27 @@ object MySqlBinlog {
       (JT_SMALL_OBJ, out)
   }
 
-  private def cell(b: ByteBuffer, colType: Int, meta: Int): Any = colType match {
-    case TYPE_TINY => b.get().toInt
-    case TYPE_SHORT => b.getShort().toInt
-    case TYPE_LONG => b.getInt()
-    case TYPE_LONGLONG => b.getLong()
+  /** Decode one storage cell. `unsigned` comes from WL#4618 signedness
+    * metadata (absent ⇒ signed, the pre-8.0 behavior): the stored bytes
+    * are identical either way — only the reinterpretation differs.
+    * Unsigned BIGINT can exceed Long range, so it surfaces as exact
+    * digits (`Dec`), matching the reference's precise handling mode
+    * (`bigint.unsigned.handling.mode=precise`).
+    */
+  private def cell(b: ByteBuffer, colType: Int, meta: Int,
+                   unsigned: Boolean = false): Any = colType match {
+    case TYPE_TINY =>
+      val v = b.get(); if (unsigned) v & 0xff else v.toInt
+    case TYPE_SHORT =>
+      val v = b.getShort(); if (unsigned) v & 0xffff else v.toInt
+    case TYPE_LONG =>
+      val v = b.getInt(); if (unsigned) v & 0xffffffffL else v
+    case TYPE_LONGLONG =>
+      val v = b.getLong()
+      if (unsigned && v < 0) Dec(java.lang.Long.toUnsignedString(v)) else v
     case TYPE_INT24 =>
       val v = (b.get() & 0xff) | ((b.get() & 0xff) << 8) | ((b.get() & 0xff) << 16)
-      (v << 8) >> 8 // sign-extend 24 bits
+      if (unsigned) v else (v << 8) >> 8 // sign-extend 24 bits
     case TYPE_FLOAT => java.lang.Float.intBitsToFloat(b.getInt())
     case TYPE_DOUBLE => java.lang.Double.longBitsToDouble(b.getLong())
     case TYPE_YEAR =>
@@ -706,7 +762,7 @@ object MySqlBinlog {
           Some(JsDiffsCell(parseDiffSeq(blobBytes(b, map.colMeta(i)))))
         else if (map.colTypes(i) == TYPE_JSON && jsonRaw)
           Some(JsBytes(blobBytes(b, map.colMeta(i))))
-        else Some(cell(b, map.colTypes(i), map.colMeta(i)))
+        else Some(cell(b, map.colTypes(i), map.colMeta(i), map.isUnsigned(i)))
       }
     }
     Row(cells)
@@ -723,7 +779,19 @@ object MySqlBinlog {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     buf.position(4)
     val maps = scala.collection.mutable.Map[Long, TableMap]()
+    def crcOf(from: Int, until: Int): Long = {
+      val c = new java.util.zip.CRC32()
+      c.update(bytes, from, until - from)
+      c.getValue
+    }
+    def storedCrc(at: Int): Long =
+      (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
+        ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
     new Iterator[Event] {
+      // set once the FORMAT_DESCRIPTION declares binlog_checksum=CRC32;
+      // every later event then ends in a 4-byte CRC32 the body parse
+      // must not consume (WL#2540)
+      private var checksum = false
       def hasNext: Boolean = buf.remaining() >= 19
       def next(): Event = {
         val start = buf.position()
@@ -734,7 +802,34 @@ object MySqlBinlog {
         val nextPos = buf.getInt().toLong & 0xffffffffL
         /* flags */ buf.getShort()
         val end = start + eventSize
+        val dataEnd =
+          if (checksum && kind != FORMAT_DESCRIPTION) {
+            require(crcOf(start, end - 4) == storedCrc(end - 4),
+              s"binlog event CRC32 mismatch (type $kind at offset $start)")
+            end - 4
+          } else end
         val ev = kind match {
+          case FORMAT_DESCRIPTION =>
+            // post-header: binlog_version(2) server_version(50)
+            // create_ts(4) common_header_len(1), then the
+            // post_header_len array. The array's FORMAT_DESCRIPTION
+            // entry (index 14) is the FDE's own data length; anything
+            // beyond it is the checksum block: alg(1) [+ crc32(4)]
+            val arrayStart = start + 19 + 2 + 50 + 4 + 1
+            val fdeDataLen = bytes(arrayStart + FORMAT_DESCRIPTION - 1) & 0xff
+            val checksumBlockLen = (eventSize - 19) - fdeDataLen
+            val alg =
+              if (checksumBlockLen >= 1) bytes(start + 19 + fdeDataLen) & 0xff
+              else ChecksumNone
+            if (alg == ChecksumCrc32) {
+              require(checksumBlockLen == 5,
+                s"CRC32 declared but checksum block is $checksumBlockLen bytes")
+              require(crcOf(start, end - 4) == storedCrc(end - 4),
+                "FORMAT_DESCRIPTION CRC32 mismatch")
+              checksum = true
+            } else require(alg == ChecksumNone,
+              s"unsupported binlog_checksum algorithm $alg")
+            SkippedEvent(nextPos, kind)
           case TABLE_MAP =>
             val tableId = uint48(buf)
             buf.getShort() // flags
@@ -757,8 +852,45 @@ object MySqlBinlog {
             }
             require(buf.position() == metaEnd, "metadata block length mismatch")
             bitmap(buf, nCols) // nullability — unused by the row parser
+            // WL#4618 optional metadata (binlog_row_metadata=FULL): TLV
+            // fields to the end of the event. Signedness bits cover
+            // numeric columns only, MSB-first within each byte.
+            var unsignedCols: Seq[Boolean] = Nil
+            var colNames: Seq[String] = Nil
+            var pk: Seq[Int] = Nil
+            while (buf.position() < dataEnd) {
+              val fieldType = buf.get() & 0xff
+              val fieldLen = lenenc(buf).toInt
+              val fieldEnd = buf.position() + fieldLen
+              fieldType match {
+                case META_SIGNEDNESS =>
+                  val numericIdx = types.indices.filter(i => isNumericType(types(i)))
+                  val bits = new Array[Byte](fieldLen); buf.get(bits)
+                  val flags = Array.fill(nCols)(false)
+                  numericIdx.zipWithIndex.foreach { case (col, bit) =>
+                    if ((bits(bit / 8) & (0x80 >> (bit % 8))) != 0)
+                      flags(col) = true
+                  }
+                  unsignedCols = flags.toSeq
+                case META_COLUMN_NAME =>
+                  val b2 = Seq.newBuilder[String]
+                  while (buf.position() < fieldEnd) {
+                    val n = lenenc(buf).toInt
+                    val nb = new Array[Byte](n); buf.get(nb)
+                    b2 += new String(nb, StandardCharsets.UTF_8)
+                  }
+                  colNames = b2.result()
+                case META_SIMPLE_PRIMARY_KEY =>
+                  val b2 = Seq.newBuilder[Int]
+                  while (buf.position() < fieldEnd) b2 += lenenc(buf).toInt
+                  pk = b2.result()
+                case _ => () // DEFAULT_CHARSET, GEOMETRY_TYPE, … — skip
+              }
+              buf.position(fieldEnd)
+            }
             val m = TableMap(tableId, new String(schemaB, StandardCharsets.UTF_8),
-              new String(tableB, StandardCharsets.UTF_8), types, meta)
+              new String(tableB, StandardCharsets.UTF_8), types, meta,
+              names = colNames, unsigned = unsignedCols, primaryKey = pk)
             maps(tableId) = m
             TableMapEvent(nextPos, m)
           case WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 =>
@@ -775,7 +907,7 @@ object MySqlBinlog {
               if (kind == UPDATE_ROWS_V2) bitmap(buf, nCols) else present
             val before = scala.collection.mutable.ArrayBuffer[Row]()
             val after = scala.collection.mutable.ArrayBuffer[Row]()
-            while (buf.position() < end) {
+            while (buf.position() < dataEnd) {
               if (kind == UPDATE_ROWS_V2) {
                 before += rowImage(buf, map, present)
                 after += rowImage(buf, map, presentAfter)
@@ -797,7 +929,7 @@ object MySqlBinlog {
               .filter(i => map.colTypes(i) == TYPE_JSON)
             val before = scala.collection.mutable.ArrayBuffer[Row]()
             val after = scala.collection.mutable.ArrayBuffer[Row]()
-            while (buf.position() < end) {
+            while (buf.position() < dataEnd) {
               val b0 = rowImage(buf, map, present, jsonRaw = true)
               // after image: value_options, then (if PARTIAL_JSON) one
               // partial bit per JSON column, then the usual image
@@ -852,7 +984,7 @@ object MySqlBinlog {
             val sid = uuidText(buf)
             val gno = buf.getLong()
             val (lc, sn) =
-              if (end - buf.position() >= 17 && (buf.get() & 0xff) == 2)
+              if (dataEnd - buf.position() >= 17 && (buf.get() & 0xff) == 2)
                 (buf.getLong(), buf.getLong())
               else (0L, 0L)
             MySqlGtidEvent(nextPos, sid, gno, lc, sn,
@@ -861,7 +993,7 @@ object MySqlBinlog {
             // body: query-length(1, possibly truncated — ignored, as the
             // mysql-binlog-connector does) then the statement text
             buf.get()
-            val qB = new Array[Byte](end - buf.position())
+            val qB = new Array[Byte](dataEnd - buf.position())
             buf.get(qB)
             RowsQueryEvent(nextPos, new String(qB, StandardCharsets.UTF_8))
           case TRANSACTION_PAYLOAD =>
@@ -890,7 +1022,7 @@ object MySqlBinlog {
             }
             val n =
               if (payloadSize >= 0) payloadSize.toInt
-              else end - buf.position()
+              else dataEnd - buf.position()
             val payload = new Array[Byte](n); buf.get(payload)
             val raw = compression match {
               case CompressZstd =>
@@ -918,7 +1050,7 @@ object MySqlBinlog {
             }.toMap
             PreviousGtidsEvent(nextPos, GtidSet(sets))
           case MARIADB_ANNOTATE_ROWS =>
-            val sqlB = new Array[Byte](end - buf.position())
+            val sqlB = new Array[Byte](dataEnd - buf.position())
             buf.get(sqlB)
             AnnotateRowsEvent(nextPos, new String(sqlB, StandardCharsets.UTF_8))
           case MARIADB_GTID_LIST =>
@@ -1082,9 +1214,86 @@ object MySqlBinlog {
     val meta = new Array[Byte](metaBytes.position()); metaBytes.flip(); metaBytes.get(meta)
     putLenenc(b, meta.length); b.put(meta)
     putBitmap(b, map.colTypes.map(_ => true)) // all nullable
+    // WL#4618 optional metadata, when the map carries it
+    def tlv(fieldType: Int, bytes: Array[Byte]): Unit = {
+      b.put(fieldType.toByte); putLenenc(b, bytes.length.toLong); b.put(bytes)
+    }
+    if (map.unsigned.exists(identity)) {
+      val numericIdx = map.colTypes.indices.filter(i => isNumericType(map.colTypes(i)))
+      val bits = new Array[Byte]((numericIdx.size + 7) / 8)
+      numericIdx.zipWithIndex.foreach { case (col, bit) =>
+        if (map.unsigned(col))
+          bits(bit / 8) = (bits(bit / 8) | (0x80 >> (bit % 8))).toByte
+      }
+      tlv(META_SIGNEDNESS, bits)
+    }
+    if (map.names.nonEmpty) {
+      val nb = leBuf(2048)
+      map.names.foreach { n =>
+        val s = n.getBytes(StandardCharsets.UTF_8)
+        putLenenc(nb, s.length.toLong); nb.put(s)
+      }
+      val bytes = new Array[Byte](nb.position()); nb.flip(); nb.get(bytes)
+      tlv(META_COLUMN_NAME, bytes)
+    }
+    if (map.primaryKey.nonEmpty) {
+      val kb = leBuf(64)
+      map.primaryKey.foreach(i => putLenenc(kb, i.toLong))
+      val bytes = new Array[Byte](kb.position()); kb.flip(); kb.get(bytes)
+      tlv(META_SIMPLE_PRIMARY_KEY, bytes)
+    }
     val body = new Array[Byte](b.position()); b.flip(); b.get(body)
     event(TABLE_MAP, nextPos, body)
   }
+
+  /** Fixture FORMAT_DESCRIPTION: binlog v4, a post_header_len array
+    * whose own entry locates the checksum block (the reader's detection
+    * path), and the declared `binlog_checksum` algorithm. With CRC32 the
+    * FDE carries its own checksum like every later event.
+    */
+  def encodeFormatDescription(checksumAlg: Int = ChecksumNone,
+                              nextPos: Long = 0L): Array[Byte] = {
+    val nEntries = 41 // covers event types 1..41 (≥ TRANSACTION_PAYLOAD)
+    val b = leBuf(2 + 50 + 4 + 1 + nEntries + 1)
+    b.putShort(4)
+    val ver = "8.0.36".getBytes(StandardCharsets.UTF_8)
+    b.put(ver); (ver.length until 50).foreach(_ => b.put(0.toByte))
+    b.putInt(1700000000) // create timestamp
+    b.put(19.toByte)     // common header length
+    val dataLen = 2 + 50 + 4 + 1 + nEntries
+    (1 to nEntries).foreach { t =>
+      b.put((if (t == FORMAT_DESCRIPTION) dataLen else 0).toByte)
+    }
+    b.put(checksumAlg.toByte)
+    val body = new Array[Byte](b.position()); b.flip(); b.get(body)
+    val ev = event(FORMAT_DESCRIPTION, nextPos, body)
+    if (checksumAlg == ChecksumCrc32) appendCrc32(ev) else ev
+  }
+
+  /** Append the WL#2540 event checksum: grow eventSize by 4 and add the
+    * CRC32 of the adjusted header+body, little-endian.
+    */
+  def appendCrc32(ev: Array[Byte]): Array[Byte] = {
+    val out = java.util.Arrays.copyOf(ev, ev.length + 4)
+    val size = ev.length + 4
+    out(9) = (size & 0xff).toByte; out(10) = ((size >> 8) & 0xff).toByte
+    out(11) = ((size >> 16) & 0xff).toByte; out(12) = ((size >> 24) & 0xff).toByte
+    val c = new java.util.zip.CRC32(); c.update(out, 0, ev.length)
+    val v = c.getValue
+    out(ev.length) = (v & 0xff).toByte
+    out(ev.length + 1) = ((v >> 8) & 0xff).toByte
+    out(ev.length + 2) = ((v >> 16) & 0xff).toByte
+    out(ev.length + 3) = ((v >> 24) & 0xff).toByte
+    out
+  }
+
+  /** A segment in checksummed framing: magic, FDE declaring CRC32, then
+    * every event CRC32-suffixed — what a real `binlog_checksum=CRC32`
+    * server (the 5.6.6+ default) writes.
+    */
+  def writeSegmentCrc(events: Seq[Array[Byte]]): Array[Byte] =
+    writeSegment(encodeFormatDescription(ChecksumCrc32) +:
+      events.map(appendCrc32))
 
   /** Fixture encoder for PARTIAL_UPDATE_ROWS: each row = (full before
     * image, after image whose non-partial cells carry values, partial
@@ -1315,13 +1524,27 @@ object MySqlBinlog {
     (created.map(c => c._1 -> c._2).toMap, created.map(c => c._1 -> c._3).toMap)
   }
 
+  /** Column names for projection: explicit (schema-history) names win,
+    * then WL#4618 COLUMN_NAME metadata carried on the wire
+    * (`binlog_row_metadata=FULL`), then positional `c<i>`. */
+  private def namesOf(m: TableMap): Seq[String] =
+    if (m.names.nonEmpty) m.names else m.colTypes.indices.map(i => s"c$i")
+
+  /** Key columns: explicit indices win, then the wire's
+    * SIMPLE_PRIMARY_KEY metadata, then column 0. */
+  private def keysOf(m: TableMap): Seq[Int] =
+    if (m.primaryKey.nonEmpty) m.primaryKey else Seq(0)
+
   /** Project a binlog segment to ChangeLogSource wire rows.
     *
-    * The binlog carries NO key metadata (TABLE_MAP has types only — the
-    * reference resolves primary keys from its schema history); `keyCols`
-    * supplies per-table key column indices, defaulting to column 0, and
-    * `colNames` the column names (binlog row events are positional).
-    * `pos` is the event's end-position (`nextPos`), monotonic in a file.
+    * With `binlog_row_metadata=MINIMAL` (the server default) the binlog
+    * carries no name/key metadata — the reference resolves both from its
+    * schema history — so `colNames`/`keyCols` supply them per table.
+    * With FULL metadata (WL#4618) the TABLE_MAP itself carries
+    * COLUMN_NAME and SIMPLE_PRIMARY_KEY fields, which are used when no
+    * explicit entry is given; the last fallback is positional `c<i>`
+    * names and key = column 0. `pos` is the event's end-position
+    * (`nextPos`), monotonic in a file.
     */
   def segmentRows(bytes: Array[Byte],
                   colNames: Map[String, Seq[String]],
@@ -1332,8 +1555,8 @@ object MySqlBinlog {
       case RowsEvent(pos, kind, tableId, rows, afterRows) =>
         val m = maps(tableId)
         val full = s"${m.schema}.${m.table}"
-        val names = colNames.getOrElse(full, m.colTypes.indices.map(i => s"c$i"))
-        val kidx = keyCols.getOrElse(full, Seq(0)).toSet
+        val names = colNames.getOrElse(full, namesOf(m))
+        val kidx = keyCols.getOrElse(full, keysOf(m)).toSet
         kind match {
           case WRITE_ROWS_V2 => rows.map(r => PgOutput.WireRow(full, "c", pos,
             jsonObject(names, r, Some(kidx)), jsonObject(names, r)))
@@ -1385,8 +1608,8 @@ object MySqlBinlog {
       case RowsEvent(pos, kind, tableId, rows, afterRows) if admitted =>
         val m = maps(tableId)
         val full = s"${m.schema}.${m.table}"
-        val names = colNames.getOrElse(full, m.colTypes.indices.map(i => s"c$i"))
-        val kidx = keyCols.getOrElse(full, Seq(0)).toSet
+        val names = colNames.getOrElse(full, namesOf(m))
+        val kidx = keyCols.getOrElse(full, keysOf(m)).toSet
         val wireRows = kind match {
           case WRITE_ROWS_V2 => rows.map(r => PgOutput.WireRow(full, "c", pos,
             jsonObject(names, r, Some(kidx)), jsonObject(names, r)))
@@ -1433,8 +1656,8 @@ object MySqlBinlog {
       case RowsEvent(pos, kind, tableId, rows, afterRows) =>
         val m = maps(tableId)
         val full = s"${m.schema}.${m.table}"
-        val names = colNames.getOrElse(full, m.colTypes.indices.map(i => s"c$i"))
-        val kidx = keyCols.getOrElse(full, Seq(0)).toSet
+        val names = colNames.getOrElse(full, namesOf(m))
+        val kidx = keyCols.getOrElse(full, keysOf(m)).toSet
         val wireRows = kind match {
           case WRITE_ROWS_V2 => rows.map(r => PgOutput.WireRow(full, "c", pos,
             jsonObject(names, r, Some(kidx)), jsonObject(names, r)))

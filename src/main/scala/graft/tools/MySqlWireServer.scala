@@ -25,6 +25,11 @@ object MySqlWireServer {
       * a plain position dump).
       */
     @volatile var requestedGtids: String = _
+    /** True once the client has sent `SET @master_binlog_checksum=…`
+      * (the checksum-support confirmation a real server requires before
+      * it will stream CRC32-checksummed events).
+      */
+    @volatile var checksumAcknowledged = false
   }
 
   /** Deterministic scramble (a real server randomizes; determinism
@@ -111,8 +116,17 @@ object MySqlWireServer {
     }
   }
 
-  /** Serve ONE binlog-dump session on an ephemeral port. */
-  def serve(events: Seq[Array[Byte]], password: String)
+  /** Serve ONE binlog-dump session on an ephemeral port.
+    *
+    * `checksummed` marks the stored binlog as `binlog_checksum=CRC32`
+    * (pass events already in checksummed framing): like a real mysqld,
+    * the dump is then REFUSED with ER_MASTER_FATAL_ERROR_READING_BINLOG
+    * unless the client first confirmed checksum support via
+    * `SET @master_binlog_checksum=…` (ref the connector's
+    * `BinaryLogClient.fetchBinlogChecksum/confirmSupportOfChecksum`).
+    */
+  def serve(events: Seq[Array[Byte]], password: String,
+            checksummed: Boolean = false)
       : (Int, Session, Thread) = {
     val server = new ServerSocket(0, 1,
       java.net.InetAddress.getLoopbackAddress)
@@ -165,8 +179,31 @@ object MySqlWireServer {
         } else {
           writePacket(out, 2, Array[Byte](0, 0, 0, 2, 0, 0, 0)) // OK
 
-          // COM_BINLOG_DUMP or COM_BINLOG_DUMP_GTID
-          val (_, cmd) = readPacket(in)
+          // session commands before the dump: COM_QUERY SET statements
+          // (checksum confirmation) get an OK; then the dump command
+          var cmd: Array[Byte] = readPacket(in)._2
+          while ((cmd(0) & 0xff) == 0x03) {
+            val sql = new String(cmd, 1, cmd.length - 1,
+              StandardCharsets.UTF_8)
+            if (sql.toLowerCase.replace(" ", "")
+                .contains("set@master_binlog_checksum"))
+              session.checksumAcknowledged = true
+            writePacket(out, 1, Array[Byte](0, 0, 0, 2, 0, 0, 0)) // OK
+            cmd = readPacket(in)._2
+          }
+          if (checksummed && !session.checksumAcknowledged) {
+            // ER_MASTER_FATAL_ERROR_READING_BINLOG (1236): what a real
+            // server replies when the binlog carries checksums the
+            // client never confirmed it can handle
+            val msg = ("Replica can not handle replication events with" +
+              " the checksum that source is configured to log")
+              .getBytes(StandardCharsets.UTF_8)
+            val err = ByteBuffer.allocate(3 + msg.length)
+            err.put(0xff.toByte)
+            err.put((1236 & 0xff).toByte); err.put(((1236 >> 8) & 0xff).toByte)
+            err.put(msg)
+            writePacket(out, 1, err.array())
+          } else {
           val toSend = (cmd(0) & 0xff) match {
             case 0x12 =>
               val cb = ByteBuffer.wrap(cmd)
@@ -207,6 +244,7 @@ object MySqlWireServer {
             seq += 1
           }
           writePacket(out, seq, Array[Byte](0xfe.toByte, 0, 0, 2, 0))
+          }
         }
       } finally {
         socket.close()

@@ -326,6 +326,59 @@ object WireFixtures {
     writeSegment(events.toSeq)
   }
 
+  /** `binlog_row_metadata=FULL` + `binlog_checksum=CRC32` (both real-
+    * server defaults/options the MINIMAL fixtures don't exercise): the
+    * TABLE_MAP carries WL#4618 optional metadata — column names, a
+    * SIGNEDNESS bitmap over the numeric columns (note the non-numeric
+    * VARCHAR in the middle: its column takes no bit), and the simple
+    * primary key — so the projection needs NO external DDL; and every
+    * event (FDE included) ends in a verified CRC32. Values sit past the
+    * signed boundaries so a signed decode would visibly corrupt them:
+    * TINY>127, SMALLINT>32767, MEDIUMINT>2^23, INT>2^31, BIGINT>2^63
+    * (surfaced as exact digits).
+    */
+  val UnsignedMap: MySqlBinlog.TableMap = {
+    import MySqlBinlog._
+    TableMap(905L, "testdb", "bl_unsigned",
+      Seq(TYPE_LONG, TYPE_VARCHAR, TYPE_TINY, TYPE_SHORT, TYPE_INT24,
+        TYPE_LONG, TYPE_LONGLONG, TYPE_LONGLONG, TYPE_DOUBLE),
+      Seq(0, 40, 0, 0, 0, 0, 0, 0, 8),
+      names = Seq("id", "name", "u8", "u16", "u24", "u32", "u64", "s64",
+        "ratio"),
+      unsigned = Seq(false, false, true, true, true, true, true, false,
+        false),
+      primaryKey = Seq(0))
+  }
+
+  def unsignedRow(i: Int): MySqlBinlog.Row = MySqlBinlog.Row(Seq(
+    Some(i), Some(s"ux_$i"), Some(200 + i), Some(65000 + i * 3),
+    Some(16000000 + i), Some(((4000000000L + i) & 0xffffffffL).toInt),
+    Some(java.lang.Long.MIN_VALUE + i * 7L), Some(-1000L - i),
+    Some(i - 0.5)))
+
+  def binlogMetadataSegment: Array[Byte] = {
+    import MySqlBinlog._
+    val events = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    events += encodeTableMap(100, UnsignedMap)
+    events += encodeRows(WRITE_ROWS_V2, 200, UnsignedMap,
+      (0 until 8).map(unsignedRow))
+    events += encodeXid(300, 9101L)
+    events += encodeTableMap(310, UnsignedMap)
+    val upd = Seq(0, 4)
+    events += encodeRows(UPDATE_ROWS_V2, 400, UnsignedMap,
+      upd.map(unsignedRow),
+      upd.map { i =>
+        val r = unsignedRow(i).cells.toArray
+        r(6) = Some(java.lang.Long.MIN_VALUE + i * 7L + 1)
+        r(8) = Some(i - 0.5 + 100)
+        Row(r.toSeq)
+      })
+    events += encodeRows(DELETE_ROWS_V2, 500, UnsignedMap,
+      Seq(unsignedRow(5)))
+    events += encodeXid(600, 9102L)
+    writeSegmentCrc(events.toSeq)
+  }
+
   /** OpenLogReplicator stream: three committed transactions (inserts /
     * updates-with-before-image / deletes), one DDL, one checkpoint —
     * each a PAYLOAD RedoResponse with its confirmable (c_scn, c_idx).

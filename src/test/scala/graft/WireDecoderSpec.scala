@@ -1532,4 +1532,87 @@ class WireDecoderSpec extends AnyFunSuite {
       sourceFilter = GtidSet.sourceFilter(Some("a.*"), None))
     assert(kept.size == 14 && !kept.exists(_._2.contains("bbbb")))
   }
+
+  test("checksummed dump over a socket: refused until the client confirms" +
+      " support, then byte-identical") {
+    import graft.sources.net.MySqlBinlogClient
+    val recorded = graft.tools.WireFixtures.binlogMetadataSegment
+    val events = graft.tools.MySqlWireServer.segmentEvents(recorded)
+    // no SET @master_binlog_checksum → ER 1236, like a real server
+    val (port1, _, t1) = graft.tools.MySqlWireServer.serve(
+      events, "dbz", checksummed = true)
+    val ex = intercept[java.io.IOException](
+      MySqlBinlogClient.fetchSegment("127.0.0.1", port1, "repl", "dbz",
+        serverId = 7, binlogFile = "binlog.000001"))
+    t1.join(10000)
+    assert(ex.getMessage.contains("1236"))
+    // with confirmation the stream arrives intact, CRCs and all
+    val (port2, session, t2) = graft.tools.MySqlWireServer.serve(
+      events, "dbz", checksummed = true)
+    val seg = MySqlBinlogClient.fetchSegment("127.0.0.1", port2, "repl",
+      "dbz", serverId = 7, binlogFile = "binlog.000001",
+      confirmChecksum = true)
+    t2.join(10000)
+    assert(session.checksumAcknowledged)
+    assert(java.util.Arrays.equals(seg, recorded),
+      "socket stream drifted from the recorded checksummed binlog")
+    val rows = graft.sources.wire.MySqlBinlog.segmentRows(seg, Map.empty).toSeq
+    assert(rows.size == 11 && rows.head.keyJson == """{"id":0}""")
+  }
+
+  test("binlog CRC32 checksums: verified and stripped; corruption detected") {
+    import graft.sources.wire.MySqlBinlog._
+    val events = Seq(
+      encodeTableMap(100, graft.tools.WireFixtures.BlMap),
+      encodeRows(WRITE_ROWS_V2, 200, graft.tools.WireFixtures.BlMap,
+        (0 until 5).map(i =>
+          Row(Seq(Some(i), Some(i * 5L), Some(s"ck_$i"))))),
+      encodeXid(300, 77L))
+    val plain = writeSegment(events)
+    val crc = writeSegmentCrc(events)
+    // identical decode either way (the FDE itself surfaces as skipped)
+    val rowsOf = (seg: Array[Byte]) => segmentRows(seg,
+      Map("testdb.bl_items" -> Seq("id", "qty", "label"))).toSeq
+    assert(rowsOf(crc) == rowsOf(plain))
+    // an FDE declaring NONE adds no checksum framing
+    val none = writeSegment(encodeFormatDescription(ChecksumNone) +: events)
+    assert(rowsOf(none) == rowsOf(plain))
+    // flip one payload byte: the event's CRC check must fail loudly
+    // (offset inside the WRITE_ROWS body, past the FDE)
+    val corrupted = crc.clone()
+    corrupted(crc.length - 30) = (corrupted(crc.length - 30) ^ 0x40).toByte
+    val ex = intercept[IllegalArgumentException](rowsOf(corrupted))
+    assert(ex.getMessage.contains("CRC32"))
+  }
+
+  test("table-map optional metadata: signedness skips non-numeric columns," +
+      " wire names/pk are fallbacks, explicit DDL still wins") {
+    import graft.sources.wire.MySqlBinlog._
+    val seg = graft.tools.WireFixtures.binlogMetadataSegment
+    val maps = readSegment(seg).collect { case TableMapEvent(_, m) => m }.toSeq
+    assert(maps.head.names ==
+      Seq("id", "name", "u8", "u16", "u24", "u32", "u64", "s64", "ratio"))
+    // the VARCHAR at index 1 takes no signedness bit: 8 numeric columns,
+    // bits (id,u8,u16,u24,u32,u64,s64,ratio) = 0,1,1,1,1,1,0,0
+    assert(maps.head.unsigned ==
+      Seq(false, false, true, true, true, true, true, false, false))
+    assert(maps.head.primaryKey == Seq(0))
+    // metadata-driven projection: names and key come from the wire
+    val rows = segmentRows(seg, Map.empty).toSeq
+    assert(rows.head.keyJson == """{"id":0}""")
+    assert(rows.head.payloadJson.contains(""""u8":200"""))
+    assert(rows.head.payloadJson.contains(""""u64":9223372036854775808"""))
+    assert(rows.head.payloadJson.contains(""""u32":4000000000"""))
+    // explicit schema-history names take precedence over wire metadata
+    val renamed = segmentRows(seg, Map("testdb.bl_unsigned" ->
+      Seq("k", "n", "a", "b", "c", "d", "e", "f", "g"))).toSeq
+    assert(renamed.head.payloadJson.startsWith("""{"k":0,"n":"ux_0""""))
+    // a map WITHOUT optional metadata still falls back to c<i>/col-0
+    val plainRows = segmentRows(writeSegment(Seq(
+      encodeTableMap(10, graft.tools.WireFixtures.BlMap),
+      encodeRows(WRITE_ROWS_V2, 20, graft.tools.WireFixtures.BlMap,
+        Seq(Row(Seq(Some(1), Some(2L), Some("x"))))),
+      encodeXid(30, 1L))), Map.empty).toSeq
+    assert(plainRows.head.keyJson == """{"c0":1}""")
+  }
 }
