@@ -76,6 +76,72 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Cluster-atomic ("leak-free") train/eval split: a document inherits
+    * the split of its NEAR-DUP CLUSTER, so no near-duplicate pair can
+    * straddle train and eval — the contamination a per-document hash
+    * split cannot rule out (a paraphrase of a test document lands in
+    * train with probability = train fraction). `id` must be identical
+    * for every member of a cluster (use the cluster id from
+    * `Dedup.dedupClusters`); singleton documents cluster alone, so they
+    * split exactly like `splitColumn` would. Pure map over the
+    * clustered frame — the clustering join is the only shuffle, and the
+    * split itself adds none.
+    */
+  def leakFreeSplit(clustered: DataFrame, id: Column,
+                    cuts: Seq[(String, Int)]): DataFrame =
+    clustered.withColumn("split", splitColumn(id, cuts))
+
+  /** Token-budget corpus selection: keep the highest-quality-density
+    * (quality per token) documents whose total token count fits
+    * `budget` — the data-constrained curation rule ("best N tokens",
+    * not "best N documents", so short high-quality docs aren't crowded
+    * out by long mediocre ones).
+    *
+    * 100 TB shape: a global quality sort + running sum would funnel the
+    * corpus through one partition. Instead density is quantized to
+    * integer buckets (`floor(density·quant)`) and selection happens at
+    * the BUCKET level: (1) one map-side-combinable aggregation builds
+    * the bucket→token-mass histogram (≤ ~quant rows regardless of
+    * corpus size); (2) a window over that tiny table finds the greedy
+    * descending prefix of buckets that fits, plus the single boundary
+    * bucket that crosses the budget; (3) full buckets join back
+    * broadcast (map-only filter over the corpus); (4) only the boundary
+    * bucket's rows — at most one quantization cell — are sorted
+    * (by doc_id, within their own partition) to take the remainder
+    * deterministically. Raise `quant` to shrink the boundary cell.
+    */
+  def budgetSelect(docs: DataFrame, quality: Column, tokens: Column,
+                   budget: Long, quant: Int = 1000000): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"),
+      tokens.cast("long").as("n_tokens"),
+      floor(quality / tokens * quant).cast("long").as("qd"))
+    val hist = d.groupBy("qd").agg(sum(col("n_tokens")).as("bt"))
+    // bounded input: ≤ ~quant histogram rows flow through this window
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("qd").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("before_bt",
+      coalesce(sum(col("bt")).over(wDesc), lit(0L)))
+    // the descending bucket prefix that fits entirely …
+    val fullB = cum.filter(col("before_bt") + col("bt") <= budget)
+      .select(col("qd"))
+    // … and the one bucket the budget line crosses (its predecessors
+    // spent before_bt; slack is what remains for it)
+    val bound = cum.filter(col("before_bt") <= budget &&
+        col("before_bt") + col("bt") > budget)
+      .select(col("qd"), (lit(budget) - col("before_bt")).as("slack"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qd")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val fullSel = d.join(broadcast(fullB), Seq("qd"))
+    val boundSel = d.join(broadcast(bound), Seq("qd"))
+      .withColumn("cum", sum(col("n_tokens")).over(wIn))
+      .filter(col("cum") <= col("slack"))
+      .drop("cum", "slack")
+    fullSel.unionByName(boundSel)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("qd"))
+  }
+
   def sourceCaps(docs: DataFrame, quality: Column, cap: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))

@@ -94,6 +94,37 @@ object CorpusQueries extends QueryGroup {
       Dedup.keepBest(clusters.join(quality, "doc_id"))
     }),
 
+    // Leak-free split: near-dup clusters are assigned to
+    // train/valid/test WHOLESALE (hash of the cluster id, not the doc
+    // id), so no near-duplicate pair straddles a split boundary — the
+    // eval contamination a per-document split cannot rule out
+    "a_leakfree_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs,
+        TextAnalysis.prefixFingerprint(col("text"), 8), 0.9)
+      val clusters = Dedup.dedupClusters(docs, pairs)
+        .select(col("doc_id"), col("cluster_id"))
+      Sampling.leakFreeSplit(clusters, col("cluster_id"),
+          Seq("valid" -> 5, "test" -> 10, "train" -> 100))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+    }),
+
+    // Token-budget curation: the best 12k tokens by quality DENSITY
+    // (quality per token, so short high-quality docs beat long mediocre
+    // ones) — bucket-level greedy selection, no global sort
+    // (Sampling.budgetSelect)
+    "a_budget_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+      Sampling.budgetSelect(docs, col("quality"), col("n_toks"),
+          budget = 12000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    }),
+
     // LSH is a candidate *generator*; the emitted pairs are verified by
     // exact shingle-Jaccard, so with enough bands the result equals the
     // exact all-pairs computation — which is what the oracle computes.
@@ -1392,6 +1423,66 @@ object CorpusQueries extends QueryGroup {
          |   ORDER BY q.quality DESC, cl.doc_id ASC) = 1 AS INTEGER) AS kept
          |FROM cl JOIN q USING (doc_id)""".stripMargin,
 
+    "a_leakfree_split" ->
+      """WITH RECURSIVE s AS (SELECT doc_id,
+        |  md5(array_to_string(string_split(text,' ')[1:8], ' ')) AS b,
+        |  list_distinct(string_split(text,' ')) AS toks FROM documents),
+        | pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.b = b.b AND a.doc_id < b.doc_id
+        |  WHERE floor(len(list_intersect(a.toks, b.toks))::DOUBLE
+        |    / len(list_distinct(list_concat(a.toks, b.toks))) * 10000) / 10000.0 >= 0.9),
+        | e AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION ALL SELECT id_b, id_a FROM pr),
+        | reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        | cl AS (SELECT d.doc_id,
+        |  coalesce(min(reach.r), d.doc_id) AS cluster_id
+        | FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+        | GROUP BY d.doc_id),
+        | h AS (SELECT doc_id, cluster_id,
+        |  CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(md5(cluster_id::VARCHAR), i, 1))-1)::BIGINT
+        |      << (4*(6-i)) for i in range(1, 7)]) AS BIGINT) % 100 AS bucket
+        | FROM cl)
+        |SELECT CASE WHEN bucket < 5 THEN 'valid' WHEN bucket < 10 THEN 'test'
+        |  ELSE 'train' END AS split, count(*) AS n_docs,
+        | count(DISTINCT cluster_id) AS n_clusters
+        |FROM h GROUP BY 1""".stripMargin,
+
+    "a_budget_select" ->
+      s"""WITH qb AS (SELECT doc_id, source,
+         |  len(string_split(text,' '))*1.0 AS nt,
+         |  len(list_filter(string_split(text,' '), w -> w IN $allStop))*1.0 AS sh,
+         |  length(text)*1.0 AS lc
+         | FROM documents),
+         | d AS (SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens,
+         |  CAST(floor(floor((
+         |    least(nt/50.0, 1.0)*0.4
+         |    + least((sh/nt)*5.0, 1.0)*0.3
+         |    + greatest(1.0 - abs(((lc-nt+1)/nt) - 5.0)/10.0, 0.0)*0.3
+         |    ) * 10000) / 10000.0 / CAST(nt AS BIGINT) * 1000000) AS BIGINT) AS qd
+         | FROM qb),
+         | h AS (SELECT qd, sum(n_tokens) AS bt FROM d GROUP BY qd),
+         | c AS (SELECT qd, bt, coalesce(sum(bt) OVER (ORDER BY qd DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_bt
+         |  FROM h),
+         | fullb AS (SELECT qd FROM c WHERE before_bt + bt <= 12000),
+         | bound AS (SELECT qd, 12000 - before_bt AS slack FROM c
+         |  WHERE before_bt <= 12000 AND before_bt + bt > 12000),
+         | bsel AS (SELECT doc_id, source, n_tokens, qd FROM (
+         |   SELECT d.doc_id, d.source, d.n_tokens, d.qd, bound.slack,
+         |    sum(d.n_tokens) OVER (PARTITION BY d.qd ORDER BY d.doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |   FROM d JOIN bound USING (qd)) x WHERE cum <= slack),
+         | sel AS (SELECT d.doc_id, d.source, d.n_tokens, d.qd
+         |   FROM d JOIN fullb USING (qd)
+         |  UNION ALL SELECT * FROM bsel)
+         |SELECT source, count(*) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM sel GROUP BY source""".stripMargin,
+
     "a_minhash_lsh" -> minhashOracle,
 
     // cross-side restriction + per-training-doc aggregation of the exact
@@ -2101,6 +2192,7 @@ object CorpusQueries extends QueryGroup {
     "a_pq_topk", "a_ivf_pq_topk", "a_ann_hamming",
     "a_dsir_scores", "a_doc_chunks", "a_bpe_encode", "a_token_fertility",
     "a_temperature_mixture", "a_dedup_keep_best",
+    "a_leakfree_split", "a_budget_select",
     "a_quality_classifier", "a_corpus_shuffle",
     "a_backoff_trigram", "a_bm25_topk", "stream_ivf_append",
     "a_heavy_hitters", "a_hdr_histogram", "a_hdr_quantiles",

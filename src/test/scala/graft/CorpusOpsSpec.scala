@@ -368,6 +368,50 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(splits("train") > splits("test") && splits("test") >= splits("valid"))
   }
 
+  test("budgetSelect: greedy by density, budget honored, boundary exact") {
+    // densities descend with doc_id (quality fixed, tokens grow), so the
+    // greedy keep-set is a doc_id prefix and the budget line is exact
+    val d = spark.range(1, 21).select(col("id").as("doc_id"),
+      lit("s").as("source"), lit(1.0).as("q"),
+      (col("id") * 10).cast("long").as("nt")) // tokens 10,20,…,200
+    def selectedIds(budget: Long): Seq[Long] =
+      Sampling.budgetSelect(d, col("q"), col("nt"), budget)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    // 10+20+30+40 = 100 fits exactly; doc 5 (50 tokens) must not enter
+    assert(selectedIds(100) == Seq(1L, 2L, 3L, 4L))
+    // 120: docs 1..4 fill 100, slack 20 admits nothing (next is 50) —
+    // the boundary bucket takes docs only while the cumulative fits
+    assert(selectedIds(120) == Seq(1L, 2L, 3L, 4L))
+    // full corpus fits: everything selected
+    assert(selectedIds(100000) == (1L to 20L))
+    // budget is a hard ceiling at every level
+    Seq(35L, 100L, 777L, 2100L).foreach { b =>
+      val total = Sampling.budgetSelect(d, col("q"), col("nt"), b)
+        .agg(sum("n_tokens")).collect()(0).getLong(0)
+      assert(total <= b, s"budget $b exceeded: $total")
+    }
+    // equal-density ties (one bucket): lowest doc_ids win the slack
+    val tie = spark.range(1, 11).select(col("id").as("doc_id"),
+      lit("s").as("source"), lit(1.0).as("q"), lit(10L).as("nt"))
+    assert(Sampling.budgetSelect(tie, col("q"), col("nt"), 35)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("leakFreeSplit: a cluster never straddles splits") {
+    val clustered = spark.range(300).select(col("id").as("doc_id"),
+      (col("id") % 60).as("cluster_id")) // 60 clusters of 5
+    val out = Sampling.leakFreeSplit(clustered, col("cluster_id"),
+      Seq("valid" -> 10, "test" -> 20, "train" -> 100))
+    val perCluster = out.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .collect().map(_.getLong(1))
+    assert(perCluster.forall(_ == 1L), "every cluster maps to ONE split")
+    val splits = out.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits == Set("valid", "test", "train"))
+    assert(out.count() == 300)
+  }
+
   test("sourceCaps keeps exactly the top-N per source, best quality first") {
     val d = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("s"), (col("id") % 4).cast("string")).as("source"),

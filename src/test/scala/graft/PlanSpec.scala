@@ -390,4 +390,19 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"),
       "interval predicates must ride a key equi-join, not a range join")
   }
+
+  test("budget selection joins the bucket tables BROADCAST; only the " +
+      "tiny histogram (never the corpus) crosses the global window") {
+    val p = plan("a_budget_select")
+    assert(p.contains("BroadcastHashJoin"),
+      "full/boundary bucket sets must broadcast back onto the corpus")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the one unpartitioned window runs over the bucket histogram —
+    // its input must be an aggregate, i.e. Window above HashAggregate
+    // with a SinglePartition exchange, not a corpus-wide scan-sort
+    assert(p.contains("Window"), "bucket prefix window missing")
+    assert(p.contains("SinglePartition"),
+      "histogram window should gather the AGGREGATED buckets")
+  }
 }
