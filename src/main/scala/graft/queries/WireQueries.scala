@@ -1046,6 +1046,7 @@ object WireQueries extends QueryGroup {
          |  printf('%016x%04x', (1680000000+i)*4294967296+1, 0) AS resume_token,
          |  (1680000000+i)*4294967296+1 AS ord,
          |  '{"_id":'||i||'}' AS key_json,
+         |  CAST(NULL AS VARCHAR) AS before_json,
          |  '{"_id":'||i||',"sku":"sku_'||i||'","qty":'||(i*7)||
          |    ',"price":'||(i*1.5)||'}' AS after_json,
          |  CAST(NULL AS VARCHAR) AS updated_json,
@@ -1056,6 +1057,8 @@ object WireQueries extends QueryGroup {
          |  printf('%016x%04x', (1680000100+i)*4294967296+1, 0),
          |  (1680000100+i)*4294967296+1,
          |  '{"_id":'||i||'}',
+         |  '{"_id":'||i||',"sku":"sku_'||i||'","qty":'||(i*7)||
+         |    ',"price":'||(i*1.5)||'}',
          |  CASE WHEN i%10=5
          |    THEN '{"_id":'||i||',"sku":"sku_'||i||'","qty":'||(i*7+1000)||'}'
          |    ELSE '{"_id":'||i||',"sku":"sku_'||i||'","qty":'||(i*7+1000)||
@@ -1068,6 +1071,8 @@ object WireQueries extends QueryGroup {
          |  printf('%016x%04x', (1680000200+i)*4294967296+1, 0),
          |  (1680000200+i)*4294967296+1,
          |  '{"_id":'||i||'}',
+         |  '{"_id":'||i||',"sku":"sku_'||i||'","qty":'||(i*7)||
+         |    ',"price":'||(i*1.5)||'}',
          |  '{"_id":'||i||',"sku":"sku_'||i||'_v2","qty":'||(i*7)||
          |    ',"price":'||(i*1.5+10)||'}',
          |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
@@ -1076,7 +1081,11 @@ object WireQueries extends QueryGroup {
          |SELECT 'shop.items', 'd',
          |  printf('%016x%04x', (1680000300+i)*4294967296+1, 0),
          |  (1680000300+i)*4294967296+1,
-         |  '{"_id":'||i||'}', CAST(NULL AS VARCHAR),
+         |  '{"_id":'||i||'}',
+         |  '{"_id":'||i||',"sku":"sku_'||i||'","qty":'||
+         |    (CASE WHEN i%5=0 THEN i*7+1000 ELSE i*7 END)||
+         |    ',"price":'||(i*1.5)||'}',
+         |  CAST(NULL AS VARCHAR),
          |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
          | FROM range(40) t(i) WHERE i%6=0
          |UNION ALL
@@ -1084,6 +1093,7 @@ object WireQueries extends QueryGroup {
          |  printf('%016x%04x', 1680000500*4294967296+1, 3),
          |  1680000500*4294967296+1,
          |  '{"_id":999}',
+         |  CAST(NULL AS VARCHAR),
          |  '{"_id":999,"sku":"sku_big","qty":0,"blob":"${"x" * 64}"}',
          |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)""".stripMargin,
 

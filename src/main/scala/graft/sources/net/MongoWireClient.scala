@@ -91,7 +91,11 @@ object MongoWireClient {
     */
   private def pipeline: BArr = BArr(Seq(
     BDoc(Seq("$changeStream" -> BDoc(Seq(
-      "fullDocument" -> BStr("updateLookup"))))),
+      "fullDocument" -> BStr("updateLookup"),
+      // collection pre-images when the server has them recorded — the
+      // reference's capture.mode=*_with_pre_image family
+      // (ChangeStreamPipelineFactory: fullDocumentBeforeChange)
+      "fullDocumentBeforeChange" -> BStr("whenAvailable"))))),
     BDoc(Seq("$match" -> BDoc(Seq(
       "operationType" -> BDoc(Seq("$in" -> BArr(Seq(
         BStr("insert"), BStr("update"), BStr("replace"),

@@ -55,14 +55,17 @@ object MongoChangeStream {
 
   /** Decode a recorded change-stream cursor (one JSON event document
     * per line in `lines.value`) into change events:
-    * `(table, op, resume_token, ord, key_json, after_json,
-    * updated_json, removed_fields)`.
+    * `(table, op, resume_token, ord, key_json, before_json,
+    * after_json, updated_json, removed_fields)`.
     *
     * `after_json` is the full post-image when the capture mode recorded
     * one (inserts, replaces, and updates under update-lookup);
-    * update events additionally carry the patch (`updated_json` +
-    * `removed_fields`), mirroring the reference's change-streams
-    * capture modes.
+    * `before_json` is the collection pre-image when the server recorded
+    * one (`fullDocumentBeforeChange` — the reference's
+    * `capture.mode=*_with_pre_image` family, emitted as the envelope's
+    * `before`); update events additionally carry the patch
+    * (`updated_json` + `removed_fields`), mirroring the reference's
+    * change-streams capture modes.
     */
   def decode(lines: DataFrame): DataFrame = {
     val v = col("value")
@@ -74,6 +77,7 @@ object MongoChangeStream {
       (get_json_object(v, "$.clusterTime.t").cast("long") * lit(4294967296L) +
         get_json_object(v, "$.clusterTime.i").cast("long")).as("ord"),
       get_json_object(v, "$.documentKey").as("key_json"),
+      get_json_object(v, "$.fullDocumentBeforeChange").as("before_json"),
       get_json_object(v, "$.fullDocument").as("after_json"),
       get_json_object(v, "$.updateDescription.updatedFields").as("updated_json"),
       get_json_object(v, "$.updateDescription.removedFields").as("removed_json"),
@@ -81,8 +85,8 @@ object MongoChangeStream {
 
     val whole = parsed.filter(!col("is_split")).select(
       col("token").as("resume_token"), col("op_type"), col("db"),
-      col("coll"), col("ord"), col("key_json"), col("after_json"),
-      col("updated_json"), col("removed_json"))
+      col("coll"), col("ord"), col("key_json"), col("before_json"),
+      col("after_json"), col("updated_json"), col("removed_json"))
 
     // Fragment reassembly — split rows ONLY: group on the token's
     // position prefix; the split fields are disjoint, so max() collapses
@@ -97,6 +101,7 @@ object MongoChangeStream {
         max(col("db")).as("db"), max(col("coll")).as("coll"),
         max(col("ord")).as("ord"),
         max(col("key_json")).as("key_json"),
+        max(col("before_json")).as("before_json"),
         max(col("after_json")).as("after_json"),
         max(col("updated_json")).as("updated_json"),
         max(col("removed_json")).as("removed_json"))
@@ -109,8 +114,8 @@ object MongoChangeStream {
         when(col("op_type") === "insert", "c")
           .when(col("op_type") === "delete", "d")
           .otherwise("u").as("op"),
-        col("resume_token"), col("ord"), col("key_json"), col("after_json"),
-        col("updated_json"),
+        col("resume_token"), col("ord"), col("key_json"),
+        col("before_json"), col("after_json"), col("updated_json"),
         array_join(from_json(col("removed_json"), ArrayType(StringType)), ",")
           .as("removed_fields"))
   }

@@ -766,7 +766,11 @@ object WireFixtures {
   // 4 replaces, 7 deletes, one collection `drop` (server-filtered by the
   // reference pipeline, must not decode), and one insert split into 3
   // fragments ($changeStreamSplitLargeEvent) whose disjoint top-level
-  // fields reassemble on the resume-token position prefix.
+  // fields reassemble on the resume-token position prefix. Updates,
+  // replaces and deletes carry `fullDocumentBeforeChange` — the
+  // collection-pre-images capture the reference's
+  // `capture.mode=*_with_pre_image` family reads (each before image is
+  // the document state the prior events produced).
 
   /** Resume token: 16 hex digits of position, 4 of fragment ordinal. */
   def mongoToken(ord: Long, frag: Int): String = f"$ord%016x$frag%04x"
@@ -795,15 +799,21 @@ object WireFixtures {
       ev(1680000100L + i, "update",
         s""""documentKey":{"_id":$i}""",
         s""""fullDocument":$doc""",
+        s""""fullDocumentBeforeChange":{"_id":$i,"sku":"sku_$i","qty":${i * 7},"price":${i * 1.5}}""",
         s""""updateDescription":{"updatedFields":{"qty":${i * 7 + 1000}},"removedFields":$removed}""")
     }
     (0 until 40).filter(_ % 10 == 7).foreach { i =>
       ev(1680000200L + i, "replace",
         s""""documentKey":{"_id":$i}""",
-        s""""fullDocument":{"_id":$i,"sku":"sku_${i}_v2","qty":${i * 7},"price":${i * 1.5 + 10}}""")
+        s""""fullDocument":{"_id":$i,"sku":"sku_${i}_v2","qty":${i * 7},"price":${i * 1.5 + 10}}""",
+        s""""fullDocumentBeforeChange":{"_id":$i,"sku":"sku_$i","qty":${i * 7},"price":${i * 1.5}}""")
     }
     (0 until 40).filter(_ % 6 == 0).foreach { i =>
-      ev(1680000300L + i, "delete", s""""documentKey":{"_id":$i}""")
+      // pre-image = the state the earlier events left: the i%5==0 update
+      // bumped qty; no deleted id hit the price-removing or replace legs
+      val qty = if (i % 5 == 0) i * 7 + 1000 else i * 7
+      ev(1680000300L + i, "delete", s""""documentKey":{"_id":$i}""",
+        s""""fullDocumentBeforeChange":{"_id":$i,"sku":"sku_$i","qty":$qty,"price":${i * 1.5}}""")
     }
     ev(1680000400L, "drop")
     val splitOrd = mongoOrd(1680000500L)
