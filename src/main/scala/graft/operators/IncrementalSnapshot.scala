@@ -67,6 +67,36 @@ object IncrementalSnapshot {
   def mergeWithStream(chunkRows: DataFrame, stream: DataFrame): DataFrame =
     Materialize.latestState(chunkRows.unionAll(stream))
 
+  /** S3 watermark windows from OBSERVED signal-table events — the DBLog
+    * form the reference uses when writes are allowed: the connector
+    * WRITES `snapshot-window-open` / `snapshot-window-close` markers
+    * into the signal collection around each chunk SELECT and then
+    * OBSERVES them back in its own change log; the pair's observed
+    * positions bracket the chunk's dedup window (reference
+    * `signal/actions/snapshotting/{Open,Close}IncrementalSnapshotWindow.java`,
+    * consumed in
+    * `AbstractIncrementalSnapshotChangeEventSource.processMessage`).
+    *
+    * `signals`: the signal-collection change events — `(pos, id, type)`
+    * rows, where `id` correlates open to close (the reference's window
+    * uuid). Returns one row per COMPLETED window:
+    * `(signal_id, lo_pos, hi_pos)`. A window whose close has not been
+    * observed yet is still pending — it dedups nothing, so it is
+    * dropped here (the reference buffers the chunk until the close
+    * arrives). One tiny aggregation: cardinality = windows, not events.
+    */
+  def watermarkWindows(signals: DataFrame): DataFrame =
+    signals
+      .filter(col("type").isin("snapshot-window-open",
+        "snapshot-window-close"))
+      .groupBy(col("id").as("signal_id"))
+      .agg(
+        min(when(col("type") === "snapshot-window-open", col("pos")))
+          .as("lo_pos"),
+        min(when(col("type") === "snapshot-window-close", col("pos")))
+          .as("hi_pos"))
+      .filter(col("lo_pos").isNotNull && col("hi_pos").isNotNull)
+
   /** S5: READ-ONLY incremental snapshot — the DBLog watermark-window
     * algorithm (reference
     * `mysql/.../MySqlReadOnlyIncrementalSnapshotChangeEventSource.java`:

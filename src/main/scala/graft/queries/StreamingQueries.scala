@@ -316,6 +316,34 @@ object StreamingQueries extends QueryGroup {
         fd.filter(col("op") =!= "r"))
     }),
 
+    // S3 signal-table watermarks (DBLog with writes allowed): window
+    // open/close markers written to the signal collection, OBSERVED back
+    // in the change log, and paired by signal id into each chunk's dedup
+    // bracket; a dangling open (close not yet seen) is pending and
+    // dedups nothing (the reference buffers that chunk). Same merge
+    // invariant as the read-only path once the windows exist.
+    "s3_signal_windows" -> ((s, dir) => {
+      import s.implicits._
+      val fd = feed(s, dir, "orders")
+      val chunkRows = IncrementalSnapshot.chunked(
+        fd.filter(col("op") === "r"), Seq(col("source.pos")), 1024)
+      // the signal WRITES the connector would issue per chunk (bounded:
+      // one open/close pair per chunk), replayed as observed change rows
+      val brackets = chunkRows.groupBy(col("chunk")).agg(
+        min(col("source.pos")).as("lo"),
+        (max(col("source.pos")) + 10).as("hi")).collect()
+      val signalFeed = brackets.toSeq.flatMap { r =>
+        Seq((r.getLong(1), s"win-${r.getLong(0)}", "snapshot-window-open"),
+          (r.getLong(2), s"win-${r.getLong(0)}", "snapshot-window-close"))
+      } :+ ((999999999L, "win-999999", "snapshot-window-open"))
+      val windows = IncrementalSnapshot
+        .watermarkWindows(signalFeed.toDF("pos", "id", "type"))
+        .select(substring_index(col("signal_id"), "-", -1).cast("long")
+          .as("chunk"), col("lo_pos"), col("hi_pos"))
+      IncrementalSnapshot.readOnlyChunkMerge(chunkRows, windows,
+        fd.filter(col("op") =!= "r"))
+    }),
+
     // S5 with the reference's ACTUAL watermark representation: executed
     // GTID-SET snapshots around each chunk select; an event dedups a
     // chunk row iff its gtid lies in hi \ lo (GtidSet.subtract on the
@@ -629,6 +657,7 @@ object StreamingQueries extends QueryGroup {
         |FROM orders WHERE o_orderkey%7=3""".stripMargin,
     "stream_dsv2_changelog" -> ordersLatest,
     "s5_readonly_incremental" -> ordersLatest,
+    "s3_signal_windows" -> ordersLatest,
     // the GTID-window variant converges to the same latest state: every
     // discarded chunk row's key is re-asserted by the in-window stream
     // event that displaced it

@@ -69,4 +69,22 @@ class SignalChannelsSpec extends AnyFunSuite {
       mbs.removeNotificationListener(chan.objectName, listener)
     } finally chan.close()
   }
+
+  test("watermark windows pair open/close by id; pending opens dedup nothing") {
+    import spark.implicits._
+    val signals = Seq(
+      (100L, "w1", "snapshot-window-open"),
+      (250L, "w1", "snapshot-window-close"),
+      (300L, "w2", "snapshot-window-open"),
+      // w2 closes twice (redelivery): the FIRST observed close wins
+      (420L, "w2", "snapshot-window-close"),
+      (460L, "w2", "snapshot-window-close"),
+      (500L, "w3", "snapshot-window-open"), // pending: no close yet
+      (600L, "w4", "execute-snapshot")      // non-window signals ignored
+    ).toDF("pos", "id", "type")
+    val w = graft.operators.IncrementalSnapshot.watermarkWindows(signals)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(w == Map("w1" -> ((100L, 250L)), "w2" -> ((300L, 420L))))
+  }
 }
