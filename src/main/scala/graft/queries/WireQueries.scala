@@ -461,6 +461,22 @@ object WireQueries extends QueryGroup {
     // transport, then streamed into the bucketed sink. Unavailable
     // values ("Unsupported Type" redo) surface as JSON nulls in the
     // typed table.
+    // §2.9, Oracle leg: OPERATION_CODE=5 DDL rows project to the
+    // schema-change feed (same shape as s9_binlog_schema_changes)
+    "s10_logminer_schema_changes" -> ((s, _) => {
+      val path = stageResource("logminer_contents.jsonl")
+      val schema = StructType(Seq(
+        StructField("rownum", LongType), StructField("scn", LongType),
+        StructField("opcode", IntegerType), StructField("xid", StringType),
+        StructField("csf", IntegerType), StructField("rbk", IntegerType),
+        StructField("row_id", StringType), StructField("rs_id", StringType),
+        StructField("seg_owner", StringType),
+        StructField("table_name", StringType),
+        StructField("sql_redo", StringType)))
+      graft.sources.wire.LogMiner.schemaChanges(
+        s.read.schema(schema).json(path))
+    }),
+
     "s10_logminer_poll_stream" -> ((s, _) => {
       val path = stageResource("logminer_contents.jsonl")
       val schema = StructType(Seq(
@@ -715,6 +731,18 @@ object WireQueries extends QueryGroup {
         .toDF("table", "op", "pos", "key_json", "payload_json")
     }),
 
+    // §2.9: the schema-change feed (`include.schema.changes=true`) — DDL
+    // carried by the binlog's QUERY events projects to one record per
+    // statement (pos, database, table, kind, ddl); BEGIN and other
+    // non-DDL statements are filtered, and the same events drive the
+    // in-stream name evolution asserted by s9_binlog_decode's 993 rows
+    "s9_binlog_schema_changes" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.wire.MySqlBinlog.schemaChangeRows(
+        graft.tools.WireFixtures.binlogSegment)
+        .toDF("pos", "database", "table", "kind", "ddl")
+    }),
+
     "s9_binlog_socket_stream" -> ((s, _) => {
       val events = graft.tools.MySqlWireServer.segmentEvents(
         graft.tools.WireFixtures.binlogSegment)
@@ -743,6 +771,14 @@ object WireQueries extends QueryGroup {
     // byte-identically
     "s8_pgoutput_socket_stream" -> baseOracles("s8_pgoutput_decode"),
     "s9_binlog_socket_stream" -> baseOracles("s9_binlog_decode"),
+
+    "s9_binlog_schema_changes" ->
+      """SELECT CAST(989 AS BIGINT) AS pos, 'testdb' AS "database",
+        |  'testdb.audit_log' AS "table", 'CREATE' AS kind,
+        |  'CREATE TABLE audit_log (id INT PRIMARY KEY, msg TEXT)' AS ddl
+        |UNION ALL
+        |SELECT 991, 'testdb', 'testdb.bl_items', 'ALTER',
+        |  'ALTER TABLE bl_items ADD COLUMN note VARCHAR(20)'""".stripMargin,
     "s12_change_stream_socket" -> baseOracles("s12_change_stream_dsv2"),
     "s11_cdc_socket_poll" -> baseOracles("s11_cdc_tables_decode"),
     "s8_mariadb_gtid_decode" ->
@@ -965,6 +1001,14 @@ object WireQueries extends QueryGroup {
         | END AS "CREATED"
         |FROM range(30) t(i) WHERE i%7<>0""".stripMargin,
 
+    "s10_logminer_schema_changes" ->
+      """SELECT CAST(5990 AS BIGINT) AS scn, 'ORA' AS owner,
+        |  'PRODUCTS' AS object_name, 'ALTER' AS kind,
+        |  'ALTER TABLE "ORA"."PRODUCTS" ADD ("STOCK" NUMBER(10,0));' AS ddl
+        |UNION ALL
+        |SELECT 5995, 'ORA', 'AUDIT', 'TRUNCATE',
+        |  'truncate table "ORA"."AUDIT";'""".stripMargin,
+
     "s10_logminer_decode" ->
       """SELECT 'ORA.PRODUCTS' AS "table", 'c' AS op,
         |  5001+i AS scn, 5100 AS commit_scn, '0A0001' AS xid,
@@ -1140,7 +1184,11 @@ object WireQueries extends QueryGroup {
       """SELECT i AS id,
         | CASE WHEN i%4=0 THEN i*11+7 ELSE i*11 END AS qty,
         | CASE WHEN i%4=0 AND i%8=4 THEN NULL ELSE 'bl_'||i END AS label
-        |FROM range(30) t(i) WHERE i%9<>0""".stripMargin,
+        |FROM range(30) t(i) WHERE i%9<>0
+        |UNION ALL
+        |-- post-ALTER inserts (the static 3-column MERGE schema drops
+        |-- the added `note` field on read)
+        |SELECT i, i*11, 'bl_'||i FROM range(100,106) t(i)""".stripMargin,
 
     "s9_binlog_decode" ->
       """SELECT 'testdb.bl_items' AS "table", 'c' AS op,
@@ -1202,7 +1250,34 @@ object WireQueries extends QueryGroup {
         |    WHEN 5 THEN 'AQEAAAAAAAAAAAAUQAAAAAAAABZA'
         |    WHEN 6 THEN 'AQIAAAACAAAAAAAAAAAA+D8AAAAAAAAEQAAAAAAAAAxAAAAAAAAAEkA='
         |    WHEN 7 THEN 'AQMAAAABAAAABAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAADwPwAAAAAAAAAAAAAAAAAA8D8AAAAAAADwPwAAAAAAAAAAAAAAAAAAAAA=' END)||'"}}'
-        | FROM range(8) t(i)""".stripMargin
+        | FROM range(8) t(i)
+        |UNION ALL
+        |-- CHAR/ENUM/SET/BIT/TIME(3)/TIMESTAMP(6): names+pk+value lists
+        |-- ride the TABLE_MAP's WL#4618 metadata (no DDL for this table);
+        |-- ENUM renders its value name, SET the comma-joined members,
+        |-- TIME in MySQL text form incl. the negative duration at i=5
+        |SELECT 'testdb.bl_more', 'c', 981, '{"id":'||i||'}',
+        |  '{"id":'||i||',"ch":"ch_'||i||'"'||
+        |  ',"color":"'||(CASE i%3 WHEN 0 THEN 'red' WHEN 1 THEN 'green'
+        |    ELSE 'blue' END)||'"'||
+        |  ',"tags":"'||(CASE i WHEN 0 THEN '' WHEN 1 THEN 'a'
+        |    WHEN 2 THEN 'b' WHEN 3 THEN 'a,b' WHEN 4 THEN 'c'
+        |    ELSE 'a,c' END)||'"'||
+        |  ',"bits":'||(i*257)||
+        |  ',"dur":"'||(CASE WHEN i=5 THEN '-' ELSE '' END)||(10+i)||':'||
+        |    lpad((i*2)::VARCHAR,2,'0')||':'||lpad((i*3)::VARCHAR,2,'0')||
+        |    '.'||lpad((i*111)::VARCHAR,3,'0')||'"'||
+        |  ',"at":"2023-11-14 22:13:'||(20+i)||'.'||
+        |    lpad((i*7)::VARCHAR,6,'0')||'"}'
+        | FROM range(6) t(i)
+        |UNION ALL
+        |-- post-ALTER rows: a QUERY event added `note` mid-segment, so
+        |-- the 4th cell resolves its name from the evolved registry
+        |SELECT 'testdb.bl_items', 'c', 993, '{"id":'||i||'}',
+        |  '{"id":'||i||',"qty":'||(i*11)||',"label":"bl_'||i||'"'||
+        |  ',"note":'||(CASE WHEN i%2=0 THEN '"n_'||i||'"'
+        |    ELSE 'null' END)||'}'
+        | FROM range(100,106) t(i)""".stripMargin
   )
 
   // range()/string-concat dialect is DuckDB-only
@@ -1220,5 +1295,6 @@ object WireQueries extends QueryGroup {
       "s11_cdc_socket_poll",
       "s12_change_stream_decode", "s12_change_stream_dsv2",
       "s12_change_stream_socket", "s12_change_stream_materialize",
-      "s8_mariadb_gtid_decode", "s9_binlog_metadata_decode")
+      "s8_mariadb_gtid_decode", "s9_binlog_metadata_decode",
+      "s9_binlog_schema_changes")
 }

@@ -49,6 +49,7 @@ object LogMiner {
   val OpInsert = 1
   val OpDelete = 2
   val OpUpdate = 3
+  val OpDdl = 5
   val OpStart = 6
   val OpCommit = 7
   val OpSelLobLocator = 9
@@ -480,6 +481,23 @@ object LogMiner {
     *                   fold every poll, present or not, instead of an
     *                   eager per-poll emptiness probe.
     */
+  /** Schema-change feed — the Oracle leg of the reference's
+    * `include.schema.changes` topic: OPERATION_CODE=5 rows (ref
+    * `logminer/events/EventType.java` DDL(5), processed by the streaming
+    * source into schema history + schema-change events) carry the
+    * statement in SQL_REDO and the affected object in
+    * SEG_OWNER/TABLE_NAME; Oracle auto-commits DDL, so no transaction
+    * join applies. Declarative map-only projection of one filtered scan
+    * — `kind` is the statement's leading keyword, everything stays in
+    * whole-stage codegen, no shuffle.
+    */
+  def schemaChanges(contents: DataFrame): DataFrame =
+    contents.filter(col("opcode") === OpDdl)
+      .select(col("scn"), col("seg_owner").as("owner"),
+        col("table_name").as("object_name"),
+        upper(element_at(split(trim(col("sql_redo")), "\\s+"), 1)).as("kind"),
+        col("sql_redo").as("ddl"))
+
   def decode(contents: DataFrame, schemas: Map[String, Seq[(String, String)]],
              keys: Map[String, Seq[String]],
              lobEnabled: Boolean = false): DataFrame = {

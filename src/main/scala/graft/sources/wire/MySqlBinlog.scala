@@ -32,7 +32,10 @@ import java.nio.charset.StandardCharsets
   *                         rows*: nullBitmap((present+7)/8) + values
   *                         (UPDATE rows carry before- then after-image)
   *   - XID (16):           xid(8) — transaction commit marker
-  *   - QUERY (2), FORMAT_DESCRIPTION (15), ROTATE (4): skipped
+  *   - QUERY (2):          thread(4) exec(4) schemaLen(1) err(2)
+  *                         statusLen(2) status schema NUL sql — DDL +
+  *                         BEGIN carrier (drives schema evolution)
+  *   - FORMAT_DESCRIPTION (15), ROTATE (4): skipped
   *
   * Column types (the common relational subset): LONG(3) = int32,
   * LONGLONG(8) = int64, VARCHAR(15) with 2-byte max-length metadata and a
@@ -85,7 +88,9 @@ object MySqlBinlog {
   val TYPE_TINY = 1; val TYPE_SHORT = 2; val TYPE_LONG = 3
   val TYPE_FLOAT = 4; val TYPE_DOUBLE = 5; val TYPE_LONGLONG = 8
   val TYPE_INT24 = 9; val TYPE_DATE = 10; val TYPE_YEAR = 13
-  val TYPE_VARCHAR = 15; val TYPE_DATETIME2 = 18
+  val TYPE_VARCHAR = 15; val TYPE_BIT = 16; val TYPE_TIMESTAMP2 = 17
+  val TYPE_DATETIME2 = 18; val TYPE_TIME2 = 19
+  val TYPE_ENUM = 247; val TYPE_SET = 248; val TYPE_STRING = 254
   val TYPE_NEWDECIMAL = 246; val TYPE_JSON = 245; val TYPE_BLOB = 252
   val TYPE_GEOMETRY = 255
 
@@ -97,6 +102,8 @@ object MySqlBinlog {
     */
   val META_SIGNEDNESS = 1
   val META_COLUMN_NAME = 4
+  val META_SET_STR_VALUE = 5
+  val META_ENUM_STR_VALUE = 6
   val META_SIMPLE_PRIMARY_KEY = 8
 
   /** Signedness bits cover NUMERIC columns only, in column order
@@ -132,6 +139,27 @@ object MySqlBinlog {
   /** Decoded NEWDECIMAL, exact digits (no float detour). */
   final case class Dec(text: String)
 
+  /** Decoded TIME2 — MySQL TIME spans ±838:59:59, so it is a signed
+    * duration, not a time-of-day. Rendered in MySQL's text form.
+    */
+  final case class Tm(neg: Boolean, hour: Int, minute: Int, second: Int,
+                      micros: Int = 0, fsp: Int = 0) {
+    override def toString: String = {
+      val base = f"${if (neg) "-" else ""}%s$hour%02d:$minute%02d:$second%02d"
+      if (fsp <= 0) base else base + "." + f"$micros%06d".take(fsp)
+    }
+  }
+
+  /** Decoded ENUM ordinal (1-based; 0 is MySQL's invalid-value empty
+    * member) / SET member bitmask, resolved to their string values in
+    * `rowImage` when the TABLE_MAP carries WL#4618
+    * ENUM_STR_VALUE/SET_STR_VALUE metadata (like the reference's
+    * `EnumValueConverter`); without metadata the raw ordinal/mask
+    * surfaces.
+    */
+  final case class EnumV(ordinal: Int)
+  final case class SetV(mask: Long)
+
   /** GEOMETRY column value: MySQL stores a 4-byte LE SRID followed by
     * standard WKB (the reference converts exactly this layout into its
     * `{wkb, srid}` geometry struct — `spatial/MySqlGeometry`).
@@ -150,9 +178,25 @@ object MySqlBinlog {
                             colTypes: Seq[Int], colMeta: Seq[Int],
                             names: Seq[String] = Nil,
                             unsigned: Seq[Boolean] = Nil,
-                            primaryKey: Seq[Int] = Nil) {
+                            primaryKey: Seq[Int] = Nil,
+                            enumValues: Map[Int, Seq[String]] = Map.empty,
+                            setValues: Map[Int, Seq[String]] = Map.empty) {
     def isUnsigned(i: Int): Boolean = unsigned.nonEmpty && unsigned(i)
   }
+
+  /** TYPE_STRING's TABLE_MAP metadata packs the REAL type (CHAR=STRING,
+    * ENUM, SET) and the max byte length into its 2 bytes; lengths > 255
+    * steal two bits from the type byte (the upper-nibble trick in
+    * `log_event.cc` / the connector's `deserializeString`). Returns
+    * (realType, length).
+    */
+  def stringRealType(meta: Int): (Int, Int) =
+    if (meta < 256) (TYPE_STRING, meta)
+    else {
+      val m0 = meta >> 8; val m1 = meta & 0xff
+      if ((m0 & 0x30) != 0x30) (m0 | 0x30, m1 | (((m0 & 0x30) ^ 0x30) << 4))
+      else (m0, m1)
+    }
 
   final case class Row(cells: Seq[Option[Any]])
 
@@ -191,6 +235,16 @@ object MySqlBinlog {
     * events (same role as MariaDB's ANNOTATE_ROWS).
     */
   final case class RowsQueryEvent(nextPos: Long, sql: String) extends Event
+
+  /** QUERY event — the statement event that carries DDL (and the
+    * row-format `BEGIN`). The reference replays exactly these into its
+    * schema history and resolves later row events against the result
+    * (`MySqlStreamingChangeEventSource` QUERY handling →
+    * `relational/history/SchemaHistory`); `database` is the session
+    * default schema that qualifies unqualified table names.
+    */
+  final case class QueryEvent(nextPos: Long, database: String,
+                              sql: String) extends Event
   /** MySQL TRANSACTION_PAYLOAD: a whole transaction's event stream,
     * zstd-compressed (or stored raw) inside one event. `readSegment`
     * flattens the inner events in place, so downstream projections see
@@ -312,6 +366,59 @@ object MySqlBinlog {
     Dt(yearMonth / 13, yearMonth % 13, ((v >> 17) & 0x1f).toInt,
       ((v >> 12) & 0x1f).toInt, ((v >> 6) & 0x3f).toInt, (v & 0x3f).toInt,
       micros, fsp)
+  }
+
+  private def beLong(b: ByteBuffer, n: Int): Long = {
+    val raw = new Array[Byte](n); b.get(raw)
+    var v = 0L; raw.foreach(x => v = (v << 8) | (x & 0xffL)); v
+  }
+
+  /** TIME2 (my_time.cc `my_time_packed_from_binary`): 3 bytes BE with a
+    * 0x800000 offset carrying sign(1) hour(10) minute(6) second(6);
+    * fsp 1-4 append a BE fractional that borrows from the int part when
+    * the value is negative (the +1 / −0x100 dance below, exactly the
+    * server's); fsp 5-6 store one 6-byte offset-binary number. The
+    * unpacked `packed` is `±((hms << 24) + microseconds)`.
+    */
+  private[graft] def decodeTime2(b: ByteBuffer, fsp: Int): Tm = {
+    val packed: Long = fsp match {
+      case 0 => (beLong(b, 3) - 0x800000L) << 24
+      case 1 | 2 =>
+        var intpart = beLong(b, 3) - 0x800000L
+        var frac = beLong(b, 1)
+        if (intpart < 0 && frac != 0) { intpart += 1; frac -= 0x100 }
+        (intpart << 24) + frac * 10000L
+      case 3 | 4 =>
+        var intpart = beLong(b, 3) - 0x800000L
+        var frac = beLong(b, 2)
+        if (intpart < 0 && frac != 0) { intpart += 1; frac -= 0x10000 }
+        (intpart << 24) + frac * 100L
+      case _ => beLong(b, 6) - 0x800000000000L
+    }
+    val neg = packed < 0
+    val a = math.abs(packed)
+    val hms = (a >> 24).toInt
+    Tm(neg, (hms >> 12) & 0x3ff, (hms >> 6) & 0x3f, hms & 0x3f,
+      (a & 0xffffffL).toInt, fsp)
+  }
+
+  /** TIMESTAMP2 (`my_timestamp_from_binary`): 4-byte BE epoch seconds
+    * plus the BE fractional; rendered as a UTC wall-clock `Dt` (the
+    * reference converts the instant in the database's timezone; UTC is
+    * the fixture contract here).
+    */
+  private def decodeTimestamp2(b: ByteBuffer, fsp: Int): Dt = {
+    val sec = beLong(b, 4)
+    val micros = fracBytes(fsp) match {
+      case 0 => 0L
+      case 1 => beLong(b, 1) * 10000L
+      case 2 => beLong(b, 2) * 100L
+      case _ => beLong(b, 3)
+    }
+    val ldt = java.time.LocalDateTime.ofEpochSecond(sec, 0,
+      java.time.ZoneOffset.UTC)
+    Dt(ldt.getYear, ldt.getMonthValue, ldt.getDayOfMonth, ldt.getHour,
+      ldt.getMinute, ldt.getSecond, micros.toInt, fsp)
   }
 
   // --------------------------------------------------- MySQL binary JSON
@@ -730,6 +837,26 @@ object MySqlBinlog {
       val bytes = new Array[Byte](len)
       b.get(bytes)
       new String(bytes, StandardCharsets.UTF_8)
+    case TYPE_TIME2 => decodeTime2(b, meta)
+    case TYPE_TIMESTAMP2 => decodeTimestamp2(b, meta)
+    case TYPE_BIT => // meta = total bits; ceil(bits/8) bytes BIG-endian
+      require(meta <= 64, s"BIT($meta) exceeds the 64-bit render range")
+      beLong(b, (meta + 7) / 8)
+    case TYPE_STRING => stringRealType(meta) match {
+      // CHAR(n): varchar-like, prefix width from the unpacked length
+      case (TYPE_STRING, len) =>
+        val n = if (len < 256) b.get() & 0xff else b.getShort() & 0xffff
+        val bytes = new Array[Byte](n); b.get(bytes)
+        new String(bytes, StandardCharsets.UTF_8)
+      case (TYPE_ENUM, len) =>
+        EnumV((if (len == 1) b.get() & 0xff else b.getShort() & 0xffff))
+      case (TYPE_SET, len) =>
+        var v = 0L
+        (0 until len).foreach(i => v |= (b.get() & 0xffL) << (8 * i))
+        SetV(v)
+      case (other, _) => throw new IllegalArgumentException(
+        s"unsupported TYPE_STRING real type $other")
+    }
     case other => throw new IllegalArgumentException(
       s"unsupported column type $other")
   }
@@ -762,7 +889,25 @@ object MySqlBinlog {
           Some(JsDiffsCell(parseDiffSeq(blobBytes(b, map.colMeta(i)))))
         else if (map.colTypes(i) == TYPE_JSON && jsonRaw)
           Some(JsBytes(blobBytes(b, map.colMeta(i))))
-        else Some(cell(b, map.colTypes(i), map.colMeta(i), map.isUnsigned(i)))
+        else Some(cell(b, map.colTypes(i), map.colMeta(i),
+            map.isUnsigned(i)) match {
+          // ENUM/SET resolve to their string values when the TABLE_MAP
+          // carries WL#4618 value metadata (ordinal 0 = MySQL's
+          // invalid-value empty member; set mask renders comma-joined
+          // in member order, MySQL's own text form)
+          case EnumV(ord) => map.enumValues.get(i) match {
+            case Some(vs) if ord >= 1 && ord <= vs.size => vs(ord - 1)
+            case Some(_) => ""
+            case None => ord
+          }
+          case SetV(mask) => map.setValues.get(i) match {
+            case Some(vs) => vs.zipWithIndex
+              .collect { case (v, k) if (mask & (1L << k)) != 0 => v }
+              .mkString(",")
+            case None => mask
+          }
+          case v => v
+        })
       }
     }
     Row(cells)
@@ -844,10 +989,16 @@ object MySqlBinlog {
             val meta = types.map {
               case TYPE_VARCHAR => buf.getShort() & 0xffff
               case TYPE_FLOAT | TYPE_DOUBLE | TYPE_BLOB | TYPE_DATETIME2 |
-                   TYPE_JSON | TYPE_GEOMETRY =>
+                   TYPE_JSON | TYPE_GEOMETRY | TYPE_TIMESTAMP2 |
+                   TYPE_TIME2 =>
                 buf.get() & 0xff
               case TYPE_NEWDECIMAL => // precision byte, scale byte
                 ((buf.get() & 0xff) << 8) | (buf.get() & 0xff)
+              case TYPE_STRING => // real-type byte, length byte (packed)
+                ((buf.get() & 0xff) << 8) | (buf.get() & 0xff)
+              case TYPE_BIT => // bits%8 byte, bytes byte → total bits
+                val b0 = buf.get() & 0xff; val b1 = buf.get() & 0xff
+                b1 * 8 + b0
               case _ => 0
             }
             require(buf.position() == metaEnd, "metadata block length mismatch")
@@ -858,6 +1009,24 @@ object MySqlBinlog {
             var unsignedCols: Seq[Boolean] = Nil
             var colNames: Seq[String] = Nil
             var pk: Seq[Int] = Nil
+            var enumVals = Map.empty[Int, Seq[String]]
+            var setVals = Map.empty[Int, Seq[String]]
+            // ENUM_STR_VALUE / SET_STR_VALUE list one value-set per
+            // column OF THAT REAL TYPE, in column order
+            def strValueSets(fieldEnd: Int, realType: Int)
+            : Map[Int, Seq[String]] = {
+              val cols = types.indices.filter(i =>
+                types(i) == TYPE_STRING &&
+                  stringRealType(meta(i))._1 == realType)
+              cols.map { col =>
+                val n = lenenc(buf).toInt
+                col -> (0 until n).map { _ =>
+                  val l = lenenc(buf).toInt
+                  val vb = new Array[Byte](l); buf.get(vb)
+                  new String(vb, StandardCharsets.UTF_8)
+                }
+              }.toMap
+            }
             while (buf.position() < dataEnd) {
               val fieldType = buf.get() & 0xff
               val fieldLen = lenenc(buf).toInt
@@ -884,13 +1053,18 @@ object MySqlBinlog {
                   val b2 = Seq.newBuilder[Int]
                   while (buf.position() < fieldEnd) b2 += lenenc(buf).toInt
                   pk = b2.result()
+                case META_ENUM_STR_VALUE =>
+                  enumVals = strValueSets(fieldEnd, TYPE_ENUM)
+                case META_SET_STR_VALUE =>
+                  setVals = strValueSets(fieldEnd, TYPE_SET)
                 case _ => () // DEFAULT_CHARSET, GEOMETRY_TYPE, … — skip
               }
               buf.position(fieldEnd)
             }
             val m = TableMap(tableId, new String(schemaB, StandardCharsets.UTF_8),
               new String(tableB, StandardCharsets.UTF_8), types, meta,
-              names = colNames, unsigned = unsignedCols, primaryKey = pk)
+              names = colNames, unsigned = unsignedCols, primaryKey = pk,
+              enumValues = enumVals, setValues = setVals)
             maps(tableId) = m
             TableMapEvent(nextPos, m)
           case WRITE_ROWS_V2 | UPDATE_ROWS_V2 | DELETE_ROWS_V2 =>
@@ -968,6 +1142,20 @@ object MySqlBinlog {
               after.toSeq)
           case XID =>
             XidEvent(nextPos, buf.getLong())
+          case QUERY =>
+            // post-header: thread_id(4) exec_time(4) schema_len(1)
+            // error_code(2) status_vars_len(2); body: status vars
+            // (skipped), default schema, NUL, statement text to the end
+            buf.getInt(); buf.getInt()
+            val schemaLen = buf.get() & 0xff
+            buf.getShort()
+            val statusLen = buf.getShort() & 0xffff
+            buf.position(buf.position() + statusLen)
+            val sB = new Array[Byte](schemaLen); buf.get(sB)
+            buf.get() // NUL terminator
+            val qB = new Array[Byte](dataEnd - buf.position()); buf.get(qB)
+            QueryEvent(nextPos, new String(sB, StandardCharsets.UTF_8),
+              new String(qB, StandardCharsets.UTF_8))
           case MARIADB_GTID =>
             // payload: seqno(8) domainId(4) flags2(1); server from header
             val seqNo = buf.getLong()
@@ -1134,6 +1322,48 @@ object MySqlBinlog {
     }
   }
 
+  private def putBe(b: ByteBuffer, v: Long, n: Int): Unit =
+    (n - 1 to 0 by -1).foreach(i => b.put(((v >> (8 * i)) & 0xff).toByte))
+
+  /** Inverse of [[decodeTime2]]: fold the sign into the packed value,
+    * then split into the offset-binary int part and (for fsp 1-4) the
+    * borrowing fractional byte(s).
+    */
+  private[graft] def encodeTime2(b: ByteBuffer, t: Tm): Unit = {
+    val hms = (t.hour.toLong << 12) | (t.minute.toLong << 6) | t.second
+    val packed0 = (hms << 24) + t.micros
+    val packed = if (t.neg) -packed0 else packed0
+    def split(scale: Long, modBase: Long): (Long, Long) =
+      if (packed >= 0) (packed >> 24, (packed & 0xffffffL) / scale)
+      else {
+        val a = -packed
+        val aInt = a >> 24; val aFrac = (a & 0xffffffL) / scale
+        if (aFrac == 0) (-aInt, 0L) else (-aInt - 1, modBase - aFrac)
+      }
+    t.fsp match {
+      case 0 => putBe(b, (packed >> 24) + 0x800000L, 3)
+      case 1 | 2 =>
+        val (i0, f0) = split(10000L, 0x100L)
+        putBe(b, i0 + 0x800000L, 3); putBe(b, f0, 1)
+      case 3 | 4 =>
+        val (i0, f0) = split(100L, 0x10000L)
+        putBe(b, i0 + 0x800000L, 3); putBe(b, f0, 2)
+      case _ => putBe(b, packed + 0x800000000000L, 6)
+    }
+  }
+
+  private def encodeTimestamp2(b: ByteBuffer, dt: Dt): Unit = {
+    val sec = java.time.LocalDateTime.of(dt.year, dt.month, dt.day,
+      dt.hour, dt.minute, dt.second).toEpochSecond(java.time.ZoneOffset.UTC)
+    putBe(b, sec, 4)
+    fracBytes(dt.fsp) match {
+      case 0 => ()
+      case 1 => putBe(b, dt.micros / 10000L, 1)
+      case 2 => putBe(b, dt.micros / 100L, 2)
+      case _ => putBe(b, dt.micros.toLong, 3)
+    }
+  }
+
   private def putCell(b: ByteBuffer, colType: Int, meta: Int, v: Any): Unit =
     (colType, v) match {
       case (TYPE_TINY, i: Int) => b.put(i.toByte)
@@ -1168,6 +1398,22 @@ object MySqlBinlog {
         val bytes = s.getBytes(StandardCharsets.UTF_8)
         if (meta < 256) b.put(bytes.length.toByte) else b.putShort(bytes.length.toShort)
         b.put(bytes)
+      case (TYPE_TIME2, t: Tm) => encodeTime2(b, t)
+      case (TYPE_TIMESTAMP2, dt: Dt) => encodeTimestamp2(b, dt)
+      case (TYPE_BIT, v: Long) => putBe(b, v, (meta + 7) / 8)
+      case (TYPE_STRING, value) => (stringRealType(meta), value) match {
+        case ((TYPE_STRING, len), s: String) =>
+          val bytes = s.getBytes(StandardCharsets.UTF_8)
+          if (len < 256) b.put(bytes.length.toByte)
+          else b.putShort(bytes.length.toShort)
+          b.put(bytes)
+        case ((TYPE_ENUM, len), EnumV(ord)) =>
+          if (len == 1) b.put(ord.toByte) else b.putShort(ord.toShort)
+        case ((TYPE_SET, len), SetV(mask)) =>
+          (0 until len).foreach(i => b.put(((mask >> (8 * i)) & 0xff).toByte))
+        case other2 => throw new IllegalArgumentException(
+          s"can't encode string-typed $other2")
+      }
       case other => throw new IllegalArgumentException(s"can't encode $other")
     }
 
@@ -1205,10 +1451,12 @@ object MySqlBinlog {
     map.colTypes.zip(map.colMeta).foreach {
       case (TYPE_VARCHAR, m) => metaBytes.putShort(m.toShort)
       case (TYPE_FLOAT | TYPE_DOUBLE | TYPE_BLOB | TYPE_DATETIME2 |
-            TYPE_JSON | TYPE_GEOMETRY, m) =>
+            TYPE_JSON | TYPE_GEOMETRY | TYPE_TIMESTAMP2 | TYPE_TIME2, m) =>
         metaBytes.put(m.toByte)
-      case (TYPE_NEWDECIMAL, m) =>
+      case (TYPE_NEWDECIMAL | TYPE_STRING, m) =>
         metaBytes.put(((m >> 8) & 0xff).toByte); metaBytes.put((m & 0xff).toByte)
+      case (TYPE_BIT, m) => // bits%8 byte, bytes byte
+        metaBytes.put((m % 8).toByte); metaBytes.put((m / 8).toByte)
       case _ => ()
     }
     val meta = new Array[Byte](metaBytes.position()); metaBytes.flip(); metaBytes.get(meta)
@@ -1242,6 +1490,27 @@ object MySqlBinlog {
       val bytes = new Array[Byte](kb.position()); kb.flip(); kb.get(bytes)
       tlv(META_SIMPLE_PRIMARY_KEY, bytes)
     }
+    def strValueTlv(fieldType: Int, realType: Int,
+                    values: Map[Int, Seq[String]]): Unit = {
+      val cols = map.colTypes.indices.filter(i =>
+        map.colTypes(i) == TYPE_STRING &&
+          stringRealType(map.colMeta(i))._1 == realType)
+      if (cols.nonEmpty && values.nonEmpty) {
+        val vb = leBuf(4096)
+        cols.foreach { col =>
+          val vs = values.getOrElse(col, Nil)
+          putLenenc(vb, vs.size.toLong)
+          vs.foreach { v =>
+            val sb2 = v.getBytes(StandardCharsets.UTF_8)
+            putLenenc(vb, sb2.length.toLong); vb.put(sb2)
+          }
+        }
+        val bytes = new Array[Byte](vb.position()); vb.flip(); vb.get(bytes)
+        tlv(fieldType, bytes)
+      }
+    }
+    strValueTlv(META_SET_STR_VALUE, TYPE_SET, map.setValues)
+    strValueTlv(META_ENUM_STR_VALUE, TYPE_ENUM, map.enumValues)
     val body = new Array[Byte](b.position()); b.flip(); b.get(body)
     event(TABLE_MAP, nextPos, body)
   }
@@ -1404,6 +1673,19 @@ object MySqlBinlog {
     event(TRANSACTION_PAYLOAD, nextPos, b.array())
   }
 
+  def encodeQuery(nextPos: Long, database: String, sql: String): Array[Byte] = {
+    val dB = database.getBytes(StandardCharsets.UTF_8)
+    val qB = sql.getBytes(StandardCharsets.UTF_8)
+    val b = leBuf(4 + 4 + 1 + 2 + 2 + dB.length + 1 + qB.length)
+    b.putInt(0) // thread id
+    b.putInt(0) // execution time
+    b.put(dB.length.toByte)
+    b.putShort(0) // error code
+    b.putShort(0) // no status vars
+    b.put(dB); b.put(0.toByte); b.put(qB)
+    event(QUERY, nextPos, b.array())
+  }
+
   def encodeRowsQuery(nextPos: Long, sql: String): Array[Byte] = {
     val qB = sql.getBytes(StandardCharsets.UTF_8)
     val b = leBuf(1 + qB.length)
@@ -1487,6 +1769,7 @@ object MySqlBinlog {
     case Some(Dec(t)) => t            // exact digits, unquoted
     case Some(Js(text)) => text       // decoded JSON subtree, verbatim
     case Some(dt: Dt) => jsonString(dt.toString)
+    case Some(t: Tm) => jsonString(t.toString)
     case Some(Geom(srid, wkb)) => // the reference's geometry struct shape
       s"""{"srid":$srid,"wkb":${jsonString(
         java.util.Base64.getEncoder.encodeToString(wkb))}}"""
@@ -1535,6 +1818,101 @@ object MySqlBinlog {
   private def keysOf(m: TableMap): Seq[Int] =
     if (m.primaryKey.nonEmpty) m.primaryKey else Seq(0)
 
+  /** An unqualified DDL table name resolves against the QUERY event's
+    * session default schema, exactly as mysqld executed it.
+    */
+  private def qualifiedName(db: String, t: graft.model.Envelope.TableId): String = {
+    val parts = Seq(Option(t.catalog), Option(t.schema), Some(t.table)).flatten
+    if (parts.size == 1 && db.nonEmpty) s"$db.${t.table}"
+    else parts.mkString(".")
+  }
+
+  /** The schema-change feed — the reference's schema-change topic
+    * (`include.schema.changes=true`: `HistorizedRelationalDatabaseSchema`
+    * emits one SchemaChangeEvent per applied DDL, carrying the source
+    * position, database, affected table and the raw statement). QUERY
+    * events whose statement parses as DDL project to
+    * (pos, database, table, kind, ddl); transaction markers (BEGIN) and
+    * other non-DDL statements are skipped, like the reference's filter
+    * on its DDL parser results.
+    */
+  def schemaChangeRows(bytes: Array[Byte])
+  : Seq[(Long, String, String, String, String)] = {
+    import graft.model.DdlParser
+    readSegment(bytes).collect { case QueryEvent(pos, db, sql) =>
+      (pos, db, sql)
+    }.flatMap { case (pos, db, sql) =>
+      try {
+        val p = DdlParser.parse(sql)
+        val kind = p match {
+          case _: DdlParser.CreateTable => "CREATE"
+          case _: DdlParser.AlterTable => "ALTER"
+          case _: DdlParser.DropTable => "DROP"
+          case _: DdlParser.RenameTable => "RENAME"
+          case _: DdlParser.TruncateTable => "TRUNCATE"
+        }
+        Some((pos, db, qualifiedName(db, p.table), kind, sql))
+      } catch { case _: IllegalArgumentException => None }
+    }.toSeq
+  }
+
+  /** Replay one in-stream statement (QUERY event) onto the name/key
+    * registry — mid-segment schema evolution, the reference's
+    * schema-history mechanism: a CREATE seeds names + pk, an ALTER
+    * ADD/DROP/RENAME COLUMN rewrites the known column list (key indices
+    * shift when an earlier column drops), RENAME/DROP TABLE move or
+    * retire the entry. Non-DDL statements (BEGIN, SET, DML) and ALTERs
+    * on tables with no known schema are ignored, as is TRUNCATE (no
+    * schema change). Evolution only rewrites the registry — later row
+    * events against a post-DDL TABLE_MAP resolve their names from it.
+    */
+  private[graft] def applyDdl(
+      db: String, sql: String,
+      names: scala.collection.mutable.Map[String, Seq[String]],
+      keys: scala.collection.mutable.Map[String, Seq[Int]]): Unit = {
+    import graft.model.{DdlParser, Envelope}
+    import graft.operators.SchemaEvolution.{AddColumn, DropColumn, RenameColumn}
+    val parsed =
+      try DdlParser.parse(sql)
+      catch { case _: IllegalArgumentException => return }
+    def qual(t: Envelope.TableId): String = qualifiedName(db, t)
+    parsed match {
+      case DdlParser.CreateTable(t, schema) =>
+        val full = qual(t)
+        val cols = schema.fieldNames.toSeq
+        names(full) = cols
+        val pk = DdlParser.primaryKeyOf(sql).map(cols.indexOf).filter(_ >= 0)
+        keys(full) = if (pk.nonEmpty) pk else Seq(0)
+      case DdlParser.AlterTable(t, changes) =>
+        val full = qual(t)
+        names.get(full).foreach { cur0 =>
+          var cur = cur0
+          changes.foreach {
+            case AddColumn(n, _) => cur = cur :+ n
+            case DropColumn(n) =>
+              val at = cur.indexOf(n)
+              if (at >= 0) {
+                cur = cur.patch(at, Nil, 1)
+                keys.get(full).foreach(ks => keys(full) =
+                  ks.filter(_ != at).map(k => if (k > at) k - 1 else k))
+              }
+            case RenameColumn(from, to) =>
+              cur = cur.map(c => if (c == from) to else c)
+            case _ => () // type widening does not move names
+          }
+          names(full) = cur
+        }
+      case DdlParser.RenameTable(from0, to0) =>
+        val from = qual(from0); val to = qual(to0)
+        names.remove(from).foreach(names(to) = _)
+        keys.remove(from).foreach(keys(to) = _)
+      case DdlParser.DropTable(t) =>
+        val full = qual(t)
+        names.remove(full); keys.remove(full): Unit
+      case _: DdlParser.TruncateTable => ()
+    }
+  }
+
   /** Project a binlog segment to ChangeLogSource wire rows.
     *
     * With `binlog_row_metadata=MINIMAL` (the server default) the binlog
@@ -1544,19 +1922,24 @@ object MySqlBinlog {
     * COLUMN_NAME and SIMPLE_PRIMARY_KEY fields, which are used when no
     * explicit entry is given; the last fallback is positional `c<i>`
     * names and key = column 0. `pos` is the event's end-position
-    * (`nextPos`), monotonic in a file.
+    * (`nextPos`), monotonic in a file. In-stream DDL (QUERY events)
+    * evolves the name/key registry mid-segment via [[applyDdl]], so rows
+    * after an ALTER resolve against the post-ALTER column list.
     */
   def segmentRows(bytes: Array[Byte],
                   colNames: Map[String, Seq[String]],
                   keyCols: Map[String, Seq[Int]] = Map.empty): Iterator[PgOutput.WireRow] = {
     val maps = scala.collection.mutable.Map[Long, TableMap]()
+    val nameState = scala.collection.mutable.Map.from(colNames)
+    val keyState = scala.collection.mutable.Map.from(keyCols)
     readSegment(bytes).flatMap {
       case TableMapEvent(_, m) => maps(m.tableId) = m; Nil
+      case QueryEvent(_, db, sql) => applyDdl(db, sql, nameState, keyState); Nil
       case RowsEvent(pos, kind, tableId, rows, afterRows) =>
         val m = maps(tableId)
         val full = s"${m.schema}.${m.table}"
-        val names = colNames.getOrElse(full, namesOf(m))
-        val kidx = keyCols.getOrElse(full, keysOf(m)).toSet
+        val names = nameState.getOrElse(full, namesOf(m))
+        val kidx = keyState.getOrElse(full, keysOf(m)).toSet
         kind match {
           case WRITE_ROWS_V2 => rows.map(r => PgOutput.WireRow(full, "c", pos,
             jsonObject(names, r, Some(kidx)), jsonObject(names, r)))

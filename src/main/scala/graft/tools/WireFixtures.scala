@@ -429,6 +429,36 @@ object WireFixtures {
   def olrRowCount: Long =
     graft.sources.wire.OlrDecoder.segmentRows(olrSegment).size.toLong
 
+  /** The string/temporal tail of the type gamut: CHAR (TYPE_STRING with
+    * the packed real-type metadata), ENUM and SET (ordinal/bitmask
+    * storage, resolved to value NAMES via WL#4618
+    * ENUM_STR_VALUE/SET_STR_VALUE metadata on this map), BIT(12)
+    * (big-endian bit field), TIME(3) incl. a negative duration, and
+    * TIMESTAMP(6) (UTC seconds + fractional). Names/pk also ride the
+    * optional metadata, so this table needs no DDL anywhere.
+    */
+  val MoreMap: MySqlBinlog.TableMap = {
+    import MySqlBinlog._
+    TableMap(906L, "testdb", "bl_more",
+      Seq(TYPE_LONG, TYPE_STRING, TYPE_STRING, TYPE_STRING, TYPE_BIT,
+        TYPE_TIME2, TYPE_TIMESTAMP2),
+      Seq(0, (TYPE_STRING << 8) | 6, (TYPE_ENUM << 8) | 1,
+        (TYPE_SET << 8) | 1, 12, 3, 6),
+      names = Seq("id", "ch", "color", "tags", "bits", "dur", "at"),
+      primaryKey = Seq(0),
+      enumValues = Map(2 -> Seq("red", "green", "blue")),
+      setValues = Map(3 -> Seq("a", "b", "c")))
+  }
+
+  def moreRow(i: Int): MySqlBinlog.Row = {
+    import MySqlBinlog._
+    Row(Seq(
+      Some(i), Some(s"ch_$i"), Some(EnumV(i % 3 + 1)), Some(SetV(i % 8L)),
+      Some(i * 257L),
+      Some(Tm(neg = i == 5, 10 + i, i * 2, i * 3, i * 111 * 1000, 3)),
+      Some(Dt(2023, 11, 14, 22, 13, 20 + i, i * 7, 6))))
+  }
+
   def binlogSegment: Array[Byte] = {
     import MySqlBinlog._
     def row(i: Int): Row =
@@ -469,8 +499,37 @@ object WireFixtures {
     }
     events += encodePartialUpdateRows(970, JsonMap, partialRows)
     events += encodeXid(971, 9005L)
+    events += encodeTableMap(980, MoreMap)
+    events += encodeRows(WRITE_ROWS_V2, 981, MoreMap, (0 until 6).map(moreRow))
+    events += encodeXid(982, 9006L)
+    // In-stream DDL: a QUERY event carries the ALTER (and row-format
+    // transactions open with a QUERY "BEGIN", which must be ignored);
+    // mysqld then assigns the table a NEW table id, so the next
+    // TABLE_MAP arrives under 907 with the widened column list. Rows
+    // after the ALTER must resolve the 4th column's name from the
+    // evolved schema registry, not the stale 3-column DDL seed.
+    events += encodeQuery(989, "testdb",
+      "CREATE TABLE audit_log (id INT PRIMARY KEY, msg TEXT)")
+    events += encodeQuery(990, "testdb", "BEGIN")
+    events += encodeQuery(991, "testdb",
+      "ALTER TABLE bl_items ADD COLUMN note VARCHAR(20)")
+    events += encodeTableMap(992, BlMapV2)
+    events += encodeRows(WRITE_ROWS_V2, 993, BlMapV2,
+      (100 until 106).map(rowV2))
+    events += encodeXid(994, 9007L)
     writeSegment(events.toSeq)
   }
+
+  /** Post-ALTER shape of `bl_items` (new table id, added `note`). */
+  val BlMapV2: MySqlBinlog.TableMap = MySqlBinlog.TableMap(907L, "testdb",
+    "bl_items",
+    Seq(MySqlBinlog.TYPE_LONG, MySqlBinlog.TYPE_LONGLONG,
+      MySqlBinlog.TYPE_VARCHAR, MySqlBinlog.TYPE_VARCHAR),
+    Seq(0, 0, 40, 20))
+
+  def rowV2(i: Int): MySqlBinlog.Row = MySqlBinlog.Row(Seq(
+    Some(i), Some(i * 11L), Some(s"bl_$i"),
+    if (i % 2 == 0) Some(s"n_$i") else None))
 
   def binlogRowCount: Long =
     MySqlBinlog.segmentRows(binlogSegment, Map.empty).size.toLong
@@ -757,6 +816,18 @@ object WireFixtures {
     rowT(5962, 29, tx15, 0, 0, "BBB005", "R5962", "NOTES",
       "declare  loc_c clob;begin  dbms_lob.erase(loc_c, 2, 1);end;")
     rowT(5965, 7, tx15, 0, 0, "", "R5965", "NOTES", "commit;")
+
+    // DDL (OPERATION_CODE=5, ref EventType.DDL): the statement rides
+    // SQL_REDO, the affected object SEG_OWNER/TABLE_NAME; Oracle
+    // auto-commits DDL so each arrives in its own transaction. decode()
+    // ignores opcode 5 entirely — only the schema-change feed sees it.
+    val (txD1, txD2) = ("1D0001", "1D0002")
+    rowT(5990, 5, txD1, 0, 0, "", "R5990", "PRODUCTS",
+      "ALTER TABLE \"ORA\".\"PRODUCTS\" ADD (\"STOCK\" NUMBER(10,0));")
+    rowT(5991, 7, txD1, 0, 0, "", "R5991", "PRODUCTS", "commit;")
+    rowT(5995, 5, txD2, 0, 0, "", "R5995", "AUDIT",
+      "truncate table \"ORA\".\"AUDIT\";")
+    rowT(5996, 7, txD2, 0, 0, "", "R5996", "AUDIT", "commit;")
     lines.mkString("", "\n", "\n")
   }
 

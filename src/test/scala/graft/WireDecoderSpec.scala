@@ -802,7 +802,7 @@ class WireDecoderSpec extends AnyFunSuite {
     val rows = MySqlBinlog.segmentRows(WireFixtures.binlogSegment, names).toSeq
     assert(rows.size == WireFixtures.binlogRowCount)
     val byOp = rows.groupBy(_.op).view.mapValues(_.size).toMap
-    assert(byOp == Map("c" -> 58, "u" -> 12, "d" -> 4))
+    assert(byOp == Map("c" -> 70, "u" -> 12, "d" -> 4))
     val w12 = rows.find(r => r.op == "c" && r.table == "testdb.bl_items" &&
       r.keyJson == """{"id":12}""").get
     assert(w12.pos == 501) // second WRITE event (rows 10..19)
@@ -825,6 +825,98 @@ class WireDecoderSpec extends AnyFunSuite {
     val r2 = rows.find(_.keyJson == """{"id":2}""").get // negative decimal
     assert(r2.payloadJson.contains(""""dec":-24690.074"""))
   }
+
+  test("binlog QUERY events: in-stream ALTER evolves names, BEGIN is ignored") {
+    val names = Map("testdb.bl_items" -> Seq("id", "qty", "label"))
+    val rows = MySqlBinlog.segmentRows(WireFixtures.binlogSegment, names)
+      .filter(r => r.table == "testdb.bl_items" && r.pos == 993).toSeq
+    assert(rows.size == 6)
+    val r100 = rows.find(_.keyJson == """{"id":100}""").get
+    assert(r100.payloadJson ==
+      """{"id":100,"qty":1100,"label":"bl_100","note":"n_100"}""")
+    val r101 = rows.find(_.keyJson == """{"id":101}""").get
+    assert(r101.payloadJson.endsWith(""""note":null}"""))
+    // pre-ALTER rows are untouched by the later DDL
+    val r12 = MySqlBinlog.segmentRows(WireFixtures.binlogSegment, names)
+      .find(r => r.op == "c" && r.keyJson == """{"id":12}""").get
+    assert(r12.payloadJson == """{"id":12,"qty":132,"label":"bl_12"}""")
+  }
+
+  test("binlog QUERY DDL replay: CREATE seeds, DROP COLUMN shifts keys, RENAME moves") {
+    import MySqlBinlog._
+    def segment(ddl: (Long, String, String)*)(rows: (Long, TableMap, Seq[Row])*) = {
+      val evs = ddl.map { case (p, db, sql) => encodeQuery(p, db, sql) } ++
+        rows.flatMap { case (p, m, rs) =>
+          Seq(encodeTableMap(p - 1, m), encodeRows(WRITE_ROWS_V2, p, m, rs)) }
+      writeSegment(evs)
+    }
+    // CREATE names an unseeded table (db-qualified by the event schema);
+    // pk rides the statement, landing on the SECOND column
+    val m1 = TableMap(1L, "db1", "t", Seq(TYPE_LONG, TYPE_LONG), Seq(0, 0))
+    val created = segmentRows(segment(
+      (10L, "db1", "CREATE TABLE t (a INT, b INT PRIMARY KEY)"))(
+      (20L, m1, Seq(Row(Seq(Some(1), Some(2)))))), Map.empty).toSeq
+    assert(created.head.keyJson == """{"b":2}""" &&
+      created.head.payloadJson == """{"a":1,"b":2}""")
+    // DROP of a column BEFORE the key shifts the key index left
+    val m2 = TableMap(2L, "db1", "t", Seq(TYPE_LONG), Seq(0))
+    val dropped = segmentRows(segment(
+      (10L, "db1", "CREATE TABLE t (a INT, b INT PRIMARY KEY)"),
+      (11L, "db1", "ALTER TABLE t DROP COLUMN a"))(
+      (20L, m2, Seq(Row(Seq(Some(7)))))), Map.empty).toSeq
+    assert(dropped.head.keyJson == """{"b":7}""" &&
+      dropped.head.payloadJson == """{"b":7}""")
+    // RENAME TABLE carries the registry to the new name
+    val m3 = TableMap(3L, "db1", "t2", Seq(TYPE_LONG, TYPE_LONG), Seq(0, 0))
+    val renamed = segmentRows(segment(
+      (10L, "db1", "CREATE TABLE t (a INT, b INT PRIMARY KEY)"),
+      (11L, "db1", "RENAME TABLE t TO t2"))(
+      (20L, m3, Seq(Row(Seq(Some(3), Some(4)))))), Map.empty).toSeq
+    assert(renamed.head.table == "db1.t2" &&
+      renamed.head.payloadJson == """{"a":3,"b":4}""")
+  }
+
+  test("binlog string/temporal tail: CHAR/ENUM/SET/BIT/TIME2/TIMESTAMP2 via wire metadata") {
+    // no DDL entry for bl_more — names, pk, and ENUM/SET value lists all
+    // ride the TABLE_MAP's WL#4618 optional metadata through the encoder
+    // and back out of the decoder
+    val rows = MySqlBinlog.segmentRows(WireFixtures.binlogSegment, Map.empty)
+      .filter(_.table == "testdb.bl_more").toSeq
+    assert(rows.size == 6 && rows.forall(_.op == "c"))
+    val r0 = rows.find(_.keyJson == """{"id":0}""").get
+    assert(r0.payloadJson ==
+      """{"id":0,"ch":"ch_0","color":"red","tags":"","bits":0,""" +
+        """"dur":"10:00:00.000","at":"2023-11-14 22:13:20.000000"}""")
+    val r3 = rows.find(_.keyJson == """{"id":3}""").get // multi-member SET
+    assert(r3.payloadJson.contains(""""tags":"a,b"""") &&
+      r3.payloadJson.contains(""""bits":771"""))
+    val r5 = rows.find(_.keyJson == """{"id":5}""").get // negative TIME
+    assert(r5.payloadJson.contains(""""dur":"-15:10:15.555"""") &&
+      r5.payloadJson.contains(""""at":"2023-11-14 22:13:25.000035""""))
+  }
+
+  test("TIME2 packed binary round-trips the borrow at every fsp (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import MySqlBinlog._
+    val genTm = for {
+      neg <- Gen.oneOf(true, false)
+      h <- Gen.chooseNum(0, 838); m <- Gen.chooseNum(0, 59)
+      s <- Gen.chooseNum(0, 59); fsp <- Gen.chooseNum(0, 6)
+      us0 <- Gen.chooseNum(0, 999999)
+    } yield {
+      val us = us0 / pow10(6 - fsp) * pow10(6 - fsp) // storable at this fsp
+      Tm(neg && (h | m | s | us) != 0, h, m, s, us, fsp)
+    }
+    val prop = Prop.forAll(genTm) { t =>
+      val b = java.nio.ByteBuffer.allocate(16)
+      encodeTime2(b, t); b.flip()
+      decodeTime2(b, t.fsp) == t
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300),
+      prop).passed)
+  }
+
+  private def pow10(n: Int): Int = math.pow(10, n).toInt
 
   test("json_binary decodes from hand-built bytes (inline int16 + outlined string)") {
     // {"a":5,"st":"hi"} in the SMALL object layout, laid out by hand from
