@@ -14,6 +14,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JVM/codegen/scan init should not be billed to the first query
     spark.read.parquet(s"$sfDir/orders.parquet").count()
+    // contention telemetry: a machine-loaded run inflates every query
+    // uniformly (r7 forensics: driver tail 1.37x across unrelated
+    // queries) — record system load around the run so a reader can
+    // separate contention from regression without tail-diffing
+    val loadStart = loadAvg()
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -43,7 +48,9 @@ object Bench {
     val ioJson = sinkIo(spark, sfDir)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val xJson = sinkCrossover(spark)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sink_io_bytes":$ioJson,"sink_crossover":$xJson,"sf":"$sfDir"}"""
+    val loadEnd = loadAvg()
+    val cpus2 = Runtime.getRuntime.availableProcessors()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sink_io_bytes":$ioJson,"sink_crossover":$xJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"host_cpus":$cpus2,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_r*.json keeps only a ~2KB tail of this line, so
     // two-thirds of the per-query history is lost round-over-round; also
@@ -60,6 +67,19 @@ object Bench {
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
+
+  /** `/proc/loadavg` 1/5/15-minute load as a JSON array ("[-1]" where
+    * the proc filesystem is unavailable). Relative to `host_cpus`: a
+    * 1-minute load well above the core count means OTHER processes were
+    * competing for the machine during the run.
+    */
+  private def loadAvg(): String =
+    try {
+      val parts = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split("\\s+").take(3).map(_.toDouble)
+      parts.mkString("[", ",", "]")
+    } catch { case _: Exception => "[-1]" }
 
   /** Bytes physically written by each MERGE-sink flavor across the same
     * snapshot + 10 narrow-batch run (the k2_small_batch trio's workload):

@@ -76,8 +76,9 @@ object Bm25 {
     // the rank window then runs over only k rows
     val top = perDoc.orderBy(col("score_q6").desc, col("doc_id")).limit(k)
     top
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("score_q6").desc, col("doc_id"))))
+      .withColumn("rk", row_number().over( // k rows; constant key = global
+        Window.partitionBy(graft.functions.Windows.globalKey(col("doc_id")))
+          .orderBy(col("score_q6").desc, col("doc_id"))))
       .select(col("rk").cast("int").as("rk"), col("doc_id"),
         col("n_terms"), col("score_q6"))
   }

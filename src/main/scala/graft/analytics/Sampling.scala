@@ -116,8 +116,13 @@ object Sampling {
       tokens.cast("long").as("n_tokens"),
       floor(quality / tokens * quant).cast("long").as("qd"))
     val hist = d.groupBy("qd").agg(sum(col("n_tokens")).as("bt"))
-    // bounded input: ≤ ~quant histogram rows flow through this window
+    // bounded input: ≤ ~quant histogram rows flow through this window.
+    // The constant partition key (see Windows.globalKey) means
+    // "deliberately global" — same single-group execution, but it keeps
+    // WindowExec's "No Partition Defined" warning out of the logs so a
+    // real unbounded global window elsewhere would still stand out.
     val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.functions.Windows.globalKey(col("qd")))
       .orderBy(col("qd").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val cum = hist.withColumn("before_bt",

@@ -143,9 +143,10 @@ object Vocabulary {
     */
   def coverage(docs: DataFrame, rareBelow: Long, topM: Int): DataFrame = {
     val tf = termFrequencies(docs)
-    val top = tf
+    val top = tf // vocabulary-sized input; constant key = deliberately global
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("w"))))
+        Window.partitionBy(graft.functions.Windows.globalKey(col("cnt")))
+          .orderBy(col("cnt").desc, col("w"))))
       .filter(col("rk") <= topM)
       .select(col("w"), lit(1).as("is_top"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))

@@ -29,4 +29,44 @@ object CloudEvents {
     a.select(col("ce_id"),
       to_json(struct(a.columns.toIndexedSeq.map(col): _*)).as("ce_json"))
   }
+
+  /** Media type declared for the data per the reference's data
+    * `SerializerType` (`CloudEventsConverter.java:90,258` —
+    * `cloudevents.data.serializer.type` json|avro).
+    */
+  def dataContentType(dataSerializer: String): String = dataSerializer match {
+    case "json" => "application/json"
+    case "avro" => "application/avro"
+    case other => throw new IllegalArgumentException(
+      s"unsupported CloudEvents data serializer: $other (json|avro)")
+  }
+
+  /** BINARY content mode (`CloudEventsConverter.java:81-87`): event
+    * attributes map to `ce_`-prefixed message HEADERS per the CloudEvents
+    * Kafka protocol binding, the message value carries ONLY the event
+    * data, and the `content-type` header declares the data's media type
+    * from the data serializer (json → `application/json`, avro →
+    * `application/avro`). Returns one row per event:
+    * `(headers: array<struct<key,value>>, content_type, key, before,
+    * after, op)` — the data still structured; a wire writer serializes it
+    * per the declared type (the `f_cloudevents_binary` query round-trips
+    * the avro case through the real codec). Map-only projection.
+    */
+  def binaryMode(df: DataFrame, sourcePrefix: String = "/graft",
+                 dataSerializer: String = "json"): DataFrame = {
+    val ct = dataContentType(dataSerializer)
+    val a = attributes(df, sourcePrefix)
+    def h(name: String, v: Column) =
+      struct(lit(name).as("key"), v.cast("string").as("value"))
+    a.select(
+      array(
+        h("ce_id", col("ce_id")),
+        h("ce_source", col("ce_source")),
+        h("ce_specversion", col("ce_specversion")),
+        h("ce_type", col("ce_type")),
+        h("ce_time", col("ce_time_ms")),
+        h("content-type", lit(ct))).as("headers"),
+      lit(ct).as("content_type"),
+      col("key"), col("before"), col("after"), col("op"))
+  }
 }

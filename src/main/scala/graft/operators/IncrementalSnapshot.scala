@@ -165,4 +165,47 @@ object IncrementalSnapshot {
       .drop("chunk")
     Materialize.latestState(survivors.unionByName(stream.drop("gtid")))
   }
+
+  /** S5, the POSTGRES read-only form (reference
+    * `PostgresReadOnlyIncrementalSnapshotChangeEventSource.java` +
+    * `PgSnapshot.java`): the low/high watermarks around each chunk
+    * SELECT are `pg_current_snapshot()` captures — xmin/xmax/xip-list
+    * transaction snapshots, not log positions — and a streamed WAL
+    * event dedups a chunk row iff its TRANSACTION id lies in the
+    * chunk's bracket `[lo.xMin, max(hi.xMax, lo.xMax)]`
+    * ([[graft.sources.wire.PgSnapshot.window]], mirroring the
+    * reference's `updateWindowState` open/close rule; on an idle WAL
+    * the reference closes windows from heartbeat txids — see
+    * [[Heartbeat.actionBeats]]).
+    *
+    * `windows` is driver-side — one `(chunk, lo, hi)` per chunk, the
+    * same bounded cardinality every watermark variant broadcasts. The
+    * brackets resolve ONCE on the driver to `(chunk, tx_lo, tx_hi)`
+    * rows; the plan is then identical to [[readOnlyChunkMerge]]: one
+    * broadcast hash join on `chunk` attaches each chunk row's bracket,
+    * and one keyed anti-join (txid range as the join's secondary
+    * predicate) discards chunk rows whose key saw an in-window stream
+    * event. `stream` must carry a `txid` column (the WAL event's
+    * transaction id).
+    */
+  def readOnlyChunkMergePg(chunkRows: DataFrame,
+                           windows: Seq[(Long, graft.sources.wire.PgSnapshot,
+                             graft.sources.wire.PgSnapshot)],
+                           stream: DataFrame): DataFrame = {
+    val spark = chunkRows.sparkSession
+    import spark.implicits._
+    val win = windows.map { case (c, lo, hi) =>
+      val (txLo, txHi) = graft.sources.wire.PgSnapshot.window(lo, hi)
+      (c, txLo, txHi)
+    }.toDF("chunk", "tx_lo", "tx_hi")
+    val wc = chunkRows.join(broadcast(win), "chunk")
+    val streamTx = stream.select(col("key").as("_sk"),
+      col("txid").as("_stx"))
+    val survivors = wc.join(streamTx,
+      wc("key") === col("_sk") &&
+        col("_stx") >= col("tx_lo") && col("_stx") <= col("tx_hi"),
+      "left_anti")
+      .drop("chunk", "tx_lo", "tx_hi")
+    Materialize.latestState(survivors.unionByName(stream.drop("txid")))
+  }
 }

@@ -188,6 +188,49 @@ object ExtendedQueries extends QueryGroup {
       }.toDF("o_orderkey", "o_orderstatus", "pos", "op")
     }),
 
+    // §2.8 CloudEvents BINARY content mode with the avro data
+    // content-type: attributes ride as ce_-prefixed HEADERS (Kafka
+    // protocol binding), the value section holds ONLY the data,
+    // serialized per the declared content-type through the real Avro
+    // codec — the round trip decodes it back so the oracle can check
+    // headers AND payload in one frame
+    "f_cloudevents_binary" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val b = graft.functions.CloudEvents.binaryMode(
+        feed(s, dir, "orders"), dataSerializer = "avro")
+      val hm = map_from_entries(col("headers"))
+      val flat = b.select(
+        element_at(hm, "ce_id").as("ce_id"),
+        element_at(hm, "ce_type").as("ce_type"),
+        element_at(hm, "content-type").as("content_type"),
+        coalesce(col("after.o_orderkey"), col("before.o_orderkey"))
+          .as("o_orderkey"),
+        coalesce(col("after.o_orderstatus"), col("before.o_orderstatus"))
+          .as("o_orderstatus"),
+        col("op"))
+      val dataSchema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("op", StringType)))
+      flat.mapPartitions { rows =>
+        val avro = graft.serde.AvroFormat.avroSchema(dataSchema)
+        rows.map { r =>
+          val data = org.apache.spark.sql.Row(
+            r.getAs[Long]("o_orderkey"), r.getAs[String]("o_orderstatus"),
+            r.getAs[String]("op"))
+          val payload = graft.serde.AvroFormat.encode(data, dataSchema, avro)
+          require(payload.length >= 4,
+            s"implausible avro payload: ${payload.length}B")
+          val vs = graft.serde.AvroFormat.decode(payload, dataSchema, avro)
+          (r.getAs[String]("ce_id"), r.getAs[String]("ce_type"),
+            r.getAs[String]("content_type"), vs(0).asInstanceOf[Long],
+            vs(1).asInstanceOf[String], vs(2).asInstanceOf[String])
+        }
+      }.toDF("ce_id", "ce_type", "content_type", "o_orderkey",
+        "o_orderstatus", "op")
+    }),
+
     // embedded-engine Protobuf format: positional proto3 message over
     // the in-repo wire codec (varint/fixed64/length-delimited, absent =
     // null presence), identity round trip incl. a double field
@@ -311,6 +354,19 @@ object ExtendedQueries extends QueryGroup {
         | FROM orders WHERE o_orderkey%7=3
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_orderkey*10+2, 'd'
+        | FROM orders WHERE o_orderkey%13=6""".stripMargin,
+
+    "f_cloudevents_binary" ->
+      """SELECT concat('orders-', o_orderkey*10) AS ce_id,
+        | 'io.graft.orders.r' AS ce_type, 'application/avro' AS content_type,
+        | o_orderkey, o_orderstatus, 'r' AS op FROM orders
+        |UNION ALL
+        |SELECT concat('orders-', o_orderkey*10+1), 'io.graft.orders.u',
+        | 'application/avro', o_orderkey, 'U', 'u'
+        | FROM orders WHERE o_orderkey%7=3
+        |UNION ALL
+        |SELECT concat('orders-', o_orderkey*10+2), 'io.graft.orders.d',
+        | 'application/avro', o_orderkey, o_orderstatus, 'd'
         | FROM orders WHERE o_orderkey%13=6""".stripMargin,
 
     "f_protobuf_roundtrip" ->

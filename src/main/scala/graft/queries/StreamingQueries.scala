@@ -370,6 +370,50 @@ object StreamingQueries extends QueryGroup {
       IncrementalSnapshot.readOnlyChunkMergeGtid(chunkRows, windows, stream)
     }),
 
+    // S5, the POSTGRES read-only form: pg_current_snapshot() xmin/xmax/xip
+    // watermarks around each chunk select (parsed through the real
+    // PgSnapshot grammar, in-progress txids included); an event dedups a
+    // chunk row iff its TRANSACTION id lies in [lo.xMin,
+    // max(hi.xMax, lo.xMax)] — updateWindowState's open/close bracket.
+    // Stream events get transaction attribution by batching 1000 log
+    // positions per txid (same clock as the GTID variant).
+    "s5_readonly_pgsnapshot" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val stream = fd.filter(col("op") =!= "r")
+        .withColumn("txid", call_function("div", col("source.pos"), lit(1000L)))
+      val chunkRows = IncrementalSnapshot.chunked(
+        fd.filter(col("op") === "r"), Seq(col("source.pos")), 1024)
+      val wrows = chunkRows.groupBy(col("chunk"))
+        .agg(min(col("source.pos")).as("lo"), max(col("source.pos")).as("hi"))
+        .collect() // bounded: one row per chunk (the broadcast side)
+      val windows = wrows.map { r =>
+        val lo = r.getLong(1) / 1000; val hi = r.getLong(2) / 1000 + 1
+        // low watermark still sees txids [lo, lo+2) in flight (the xip
+        // list); the bracket math must treat them as in-window even
+        // though the snapshot's xmax has moved past them
+        (r.getLong(0),
+          graft.sources.wire.PgSnapshot.parse(s"$lo:${lo + 2}:$lo,${lo + 1}"),
+          graft.sources.wire.PgSnapshot.parse(s"$hi:$hi:"))
+      }.toSeq
+      IncrementalSnapshot.readOnlyChunkMergePg(chunkRows, windows, stream)
+    }),
+
+    // P5 ACTION heartbeat (DatabaseHeartbeatImpl): the connector WRITES
+    // to a heartbeat table every tick, so the log carries an event per
+    // interval and the committed offset keeps advancing after the
+    // monitored table goes idle (here: orders stops halfway through the
+    // log; the log keeps running to its real end) — `advanced` marks the
+    // ticks whose offset movement the heartbeat alone produced. Tick
+    // interval and idle cutoff derive from the log length so the shape
+    // (~10 ticks, idle back half) holds at every scale factor.
+    "p5_heartbeat_action" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      // bounded driver action: one max over the feed sizes the log axis
+      val logEnd = fd.agg(max(col("source.pos"))).collect()(0).getLong(0)
+      Heartbeat.actionBeats(fd.filter(col("source.pos") <= logEnd / 2),
+        every = logEnd / 10 + 1, logEnd = logEnd)
+    }),
+
     // K2 through the bucket-partitioned MERGE sink: only touched buckets
     // are rewritten per batch (file-pruned MERGE, the 100 TB path)
     "k2_bucketed_materialize" -> ((s, dir) => {
@@ -662,6 +706,32 @@ object StreamingQueries extends QueryGroup {
     // discarded chunk row's key is re-asserted by the in-window stream
     // event that displaced it
     "s5_readonly_gtid" -> ordersLatest,
+    // same invariant for the PgSnapshot-bracket variant
+    "s5_readonly_pgsnapshot" -> ordersLatest,
+
+    // replay of actionBeats: ticks on generate_series over the full log
+    // range, every = log_end//10+1; per-interval monitored max from the
+    // orders feed formulas, cut at the idle point log_end//2; running
+    // max = last_data_pos
+    "p5_heartbeat_action" ->
+      """WITH ev AS (
+        |  SELECT o_orderkey*10 AS pos FROM orders
+        |  UNION ALL SELECT o_orderkey*10+1 FROM orders WHERE o_orderkey%7=3
+        |  UNION ALL SELECT o_orderkey*10+2 FROM orders WHERE o_orderkey%13=6),
+        | bounds AS (SELECT max(pos) AS log_end,
+        |   max(pos) // 10 + 1 AS every FROM ev),
+        | mon AS (SELECT pos FROM ev WHERE pos <= (SELECT log_end // 2 FROM bounds)),
+        | ticks AS (SELECT unnest(generate_series(0,
+        |   (SELECT log_end // every FROM bounds))) AS interval),
+        | byiv AS (SELECT pos // (SELECT every FROM bounds) AS interval,
+        |   max(pos) AS mx FROM mon GROUP BY 1)
+        |SELECT t.interval,
+        | (t.interval + 1) * (SELECT every FROM bounds) AS hb_pos,
+        | max(b.mx) OVER (ORDER BY t.interval
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_data_pos,
+        | (t.interval + 1) * (SELECT every FROM bounds) AS offset_pos,
+        | b.mx IS NULL AS advanced
+        |FROM ticks t LEFT JOIN byiv b ON t.interval = b.interval""".stripMargin,
 
     "k2_bucketed_materialize" -> ordersLatest,
 
@@ -818,8 +888,10 @@ object StreamingQueries extends QueryGroup {
         |WHERE rk = 1""".stripMargin
   )
 
-  // `interval` is reserved in Spark SQL; epoch_us is DuckDB-only
+  // `interval` is reserved in Spark SQL; epoch_us is DuckDB-only;
+  // p5_heartbeat_action uses generate_series/unnest and `//`
   override val duckdbOnly: Set[String] =
-    Set("p5_heartbeat", "stream_windowed_agg", "stream_session_window",
-      "stream_curation", "stream_incremental_pack", "stream_stream_join")
+    Set("p5_heartbeat", "p5_heartbeat_action", "stream_windowed_agg",
+      "stream_session_window", "stream_curation",
+      "stream_incremental_pack", "stream_stream_join")
 }

@@ -332,4 +332,47 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(fromCol == samples.map(Names.avroSafe))
   }
+
+  test("heartbeat action: offset advances through the idle tail") {
+    import graft.operators.Heartbeat
+    import graft.sources.{ChangeFeedGen, Tables}
+    val fd = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "orders"), "orders")
+    // monitored table idle after pos 5000; log really runs to 15000
+    val beats = Heartbeat
+      .actionBeats(fd.filter(col("source.pos") <= 5000L), 1000L, 15000L)
+      .orderBy(col("interval")).collect()
+    assert(beats.length == 16) // ticks 0..logEnd/every inclusive
+    beats.foreach { r =>
+      assert(r.getLong(3) == (r.getLong(0) + 1) * 1000L,
+        "offset must advance to the tick position on EVERY tick")
+    }
+    val idle = beats.filter(_.getBoolean(4))
+    assert(idle.nonEmpty && idle.forall(_.getLong(0) >= 5),
+      "idle ticks (heartbeat-only advance) are exactly the post-cutoff tail")
+    // last_data_pos freezes at the cutoff while offset_pos keeps moving
+    val lastData = beats.last.getLong(2)
+    assert(lastData <= 5000L && beats.last.getLong(3) == 16000L)
+  }
+
+  test("CloudEvents binary mode: ce_ headers + content-type per serializer") {
+    import graft.functions.CloudEvents
+    import graft.sources.{ChangeFeedGen, Tables}
+    val fd = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "orders"), "orders")
+    val b = CloudEvents.binaryMode(fd, dataSerializer = "avro")
+    val hm = b.select(map_from_entries(col("headers")).as("h"),
+      col("content_type"), col("op")).limit(1).collect()(0)
+    val h = hm.getMap[String, String](0)
+    assert(h.keys.toSet == Set("ce_id", "ce_source", "ce_specversion",
+      "ce_type", "ce_time", "content-type"))
+    assert(h("ce_specversion") == "1.0")
+    assert(h("content-type") == "application/avro" &&
+      hm.getString(1) == "application/avro")
+    assert(CloudEvents.dataContentType("json") == "application/json")
+    intercept[IllegalArgumentException](CloudEvents.dataContentType("xml"))
+    // the value section carries ONLY data columns — no attribute fields
+    assert(b.columns.toSet ==
+      Set("headers", "content_type", "key", "before", "after", "op"))
+  }
 }

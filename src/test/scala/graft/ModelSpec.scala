@@ -74,4 +74,27 @@ class ModelSpec extends AnyFunSuite {
     assert(TableId.parse("`a``b`.t") == TableId(null, null, "a`b.t") ||
       TableId.parse("`a``b`.t") == TableId(null, "a`b", "t"))
   }
+
+  test("PgSnapshot: pg_current_snapshot grammar, visibility, dedup bracket") {
+    import graft.sources.wire.PgSnapshot
+    val s = PgSnapshot.parse("100:104:100,102")
+    assert(s == PgSnapshot(100L, 104L, Set(100L, 102L)))
+    // below xmin: visible; in [xmin,xmax) visible unless in-progress;
+    // at/after xmax: never started yet
+    assert(s.visible(99) && s.visible(101) && s.visible(103))
+    assert(!s.visible(100) && !s.visible(102) && !s.visible(104))
+    // empty xip (idle database), both with and without the trailing colon
+    assert(PgSnapshot.parse("7:7:") == PgSnapshot(7L, 7L, Set.empty))
+    assert(PgSnapshot.parse("7:7:").text == "7:7:")
+    intercept[IllegalArgumentException](PgSnapshot.parse("not-a-snapshot"))
+    // updateWindowState bracket: open at lo.xMin, close past
+    // max(hi.xMax, lo.xMax) — lo's in-flight txids land inside even when
+    // hi has not moved (the no-activity chunk is a valid point bracket)
+    assert(PgSnapshot.window(PgSnapshot.parse("100:104:100,102"),
+      PgSnapshot.parse("110:115:")) == (100L, 115L))
+    assert(PgSnapshot.window(PgSnapshot.parse("100:104:100,102"),
+      PgSnapshot.parse("100:104:100,102")) == (100L, 104L))
+    assert(PgSnapshot.window(PgSnapshot.parse("7:7:"),
+      PgSnapshot.parse("7:7:")) == (7L, 7L))
+  }
 }

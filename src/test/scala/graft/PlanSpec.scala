@@ -193,6 +193,17 @@ class PlanSpec extends AnyFunSuite {
       "interval membership must not plan as a cartesian product")
   }
 
+  test("pgsnapshot watermark brackets broadcast onto the chunk rows; " +
+      "the dedup anti-join stays keyed") {
+    val p = plan("s5_readonly_pgsnapshot")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-chunk (tx_lo, tx_hi) bracket table should broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the txid range must ride the keyed anti-join as a secondary " +
+        "predicate, never a range-only join")
+  }
+
   test("temperature mixture keeps the repeatFactors shape: broadcast rates") {
     val p = plan("a_temperature_mixture")
     assert(p.contains("BroadcastHashJoin"),
@@ -398,11 +409,14 @@ class PlanSpec extends AnyFunSuite {
       "full/boundary bucket sets must broadcast back onto the corpus")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
-    // the one unpartitioned window runs over the bucket histogram —
-    // its input must be an aggregate, i.e. Window above HashAggregate
-    // with a SinglePartition exchange, not a corpus-wide scan-sort
+    // the deliberately-global window (constant partition key, so it
+    // cannot trip WindowExec's missing-partition warning) runs over the
+    // bucket HISTOGRAM — its input must be an aggregate, i.e. Window
+    // above HashAggregate, not a corpus-wide scan-sort
     assert(p.contains("Window"), "bucket prefix window missing")
-    assert(p.contains("SinglePartition"),
-      "histogram window should gather the AGGREGATED buckets")
+    // the key is projected (`pmod(qd, 1) AS _w0`) before the exchange
+    assert(p.contains("pmod(qd"),
+      "histogram window should gather the AGGREGATED buckets under the " +
+        "constant pmod partition key (Windows.globalKey)")
   }
 }
