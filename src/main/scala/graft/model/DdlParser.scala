@@ -11,6 +11,13 @@ import graft.operators.SchemaEvolution.{AddColumn, DropColumn, RenameColumn, Sch
   * ALTER TABLE ADD/DROP/MODIFY/ALTER COLUMN (multi-action, quoted
   * identifiers) — and lowers them onto the structured `SchemaChange`
   * model that `SchemaHistory`/`SchemaEvolution` already replay.
+  *
+  * It also speaks the ORACLE dialect subset LogMiner actually emits
+  * (reference grammar `debezium-ddl-parser/.../PlSqlParser.g4`,
+  * listeners `debezium-connector-oracle/.../antlr/listener classes`): quoted
+  * `"OWNER"."NAME"` pairs, parenthesized multi-column `ADD (…)` /
+  * `MODIFY (…)` / `DROP (…)` action groups, and the
+  * NUMBER/VARCHAR2/RAW/BINARY_FLOAT type family.
   */
 object DdlParser {
 
@@ -54,13 +61,32 @@ object DdlParser {
       // µs-since-midnight INT64 (ref io.debezium.time.MicroTime)
       case "TIME"                          => LongType
       case "YEAR"                          => IntegerType
+      // Oracle: bare NUMBER / FLOAT are variable-scale (the reference
+      // emits VariableScaleDecimal structs — OracleValueConverters);
+      // this subset lowers them to the closest single Spark type
+      case "NUMBER"                        => DoubleType
+      case "BINARY_FLOAT"                  => FloatType
+      case "BINARY_DOUBLE"                 => DoubleType
+      case "RAW" | "LONG RAW"              => BinaryType
+      case "LONG"                          => StringType // Oracle LONG = text
       case Paren(b, args) => b.trim match {
         case "VARCHAR" | "CHAR" | "CHARACTER VARYING" | "NVARCHAR" |
-             "NCHAR" | "CHARACTER" => StringType
+             "NCHAR" | "CHARACTER" | "VARCHAR2" | "NVARCHAR2" => StringType
         case "ENUM" | "SET"                => StringType
-        case "VARBINARY" | "BINARY"        => BinaryType
+        case "VARBINARY" | "BINARY" | "RAW" => BinaryType
         case "TIMESTAMP" | "DATETIME"      => TimestampType
         case "TIME"                        => LongType
+        // Oracle NUMBER(p[,s]): integral scales lower to the narrowest
+        // integer width (the reference's OracleValueConverters ladder:
+        // p≤2→INT8, ≤4→INT16, ≤9→INT32, ≤18→INT64), fractional to
+        // DECIMAL(p,s); a negative scale (rounding to tens) is integral
+        case "NUMBER" =>
+          args.split(",").map(_.trim) match {
+            case Array(p) => integralNumber(p.toInt)
+            case Array(p, s) if s.toInt <= 0 => integralNumber(p.toInt)
+            case Array(p, s) => DecimalType(p.toInt, s.toInt)
+            case _ => throw new IllegalArgumentException(s"bad NUMBER: $t")
+          }
         case "TINYINT" =>
           // MySQL display width: TINYINT(1) is the BOOLEAN convention
           if (args.trim == "1") BooleanType else ByteType
@@ -92,6 +118,14 @@ object DdlParser {
       case other       => other
     }
   }
+
+  /** NUMBER(p,0) → narrowest holding integer type (see sqlType). */
+  private def integralNumber(p: Int): DataType =
+    if (p <= 2) ByteType
+    else if (p <= 4) ShortType
+    else if (p <= 9) IntegerType
+    else if (p <= 18) LongType
+    else DecimalType(p, 0)
 
   private def unquote(s: String): String = {
     val t = s.trim
@@ -148,20 +182,20 @@ object DdlParser {
           .contains(colName.toUpperCase)) None
         else Some(StructField(colName, sqlType(stripColumnOptions(parts(1)))))
       }
-      CreateTable(Envelope.TableId.parse(unquote(name)), StructType(fields))
+      CreateTable(Envelope.TableId.parse(name), StructType(fields))
     case Drop(_, name) =>
-      DropTable(Envelope.TableId.parse(unquote(name)))
+      DropTable(Envelope.TableId.parse(name))
     case RenameTo(from, to) =>
-      RenameTable(Envelope.TableId.parse(unquote(from)),
-        Envelope.TableId.parse(unquote(to)))
+      RenameTable(Envelope.TableId.parse(from),
+        Envelope.TableId.parse(to))
     case AlterRename(from, to) =>
-      RenameTable(Envelope.TableId.parse(unquote(from)),
-        Envelope.TableId.parse(unquote(to)))
+      RenameTable(Envelope.TableId.parse(from),
+        Envelope.TableId.parse(to))
     case Alter(name, actions) =>
       val changes = splitTop(actions).flatMap(parseAction)
-      AlterTable(Envelope.TableId.parse(unquote(name)), changes)
+      AlterTable(Envelope.TableId.parse(name), changes)
     case Truncate(name) =>
-      TruncateTable(Envelope.TableId.parse(unquote(name)))
+      TruncateTable(Envelope.TableId.parse(name))
     case other =>
       throw new IllegalArgumentException(
         s"unsupported DDL (CREATE/ALTER/DROP/RENAME/TRUNCATE TABLE): ${other.take(80)}")
@@ -235,8 +269,12 @@ object DdlParser {
       "CHARACTER\\s+SET|COMMENT\\s*=|ROW_FORMAT\\s*=|" +
       "ENABLE\\s+KEYS|DISABLE\\s+KEYS|FORCE|ORDER\\s+BY).*").r
 
-  private val ParenAdd = // MySQL multi-add: ADD [COLUMN] (a INT, b TEXT)
+  private val ParenAdd = // MySQL/Oracle multi-add: ADD [COLUMN] (a INT, b TEXT)
     """(?is)\s*ADD\s+(?:COLUMN\s+)?\((.*)\)\s*""".r
+  private val ParenModify = // Oracle: MODIFY ("PRICE" NUMBER(12,2), …)
+    """(?is)\s*MODIFY\s+\((.*)\)\s*""".r
+  private val ParenDrop = // Oracle: DROP ("A", "B")
+    """(?is)\s*DROP\s+\((.*)\)\s*""".r
 
   private def parseAction(action: String): Seq[SchemaChange] = action match {
     case IgnorableAction(_*) => Nil
@@ -245,6 +283,13 @@ object DdlParser {
         val parts = colDef.trim.split("\\s+", 2)
         AddColumn(unquote(parts(0)), sqlType(stripColumnOptions(parts(1))))
       }
+    case ParenModify(body) =>
+      splitTop(body).map { colDef =>
+        val parts = colDef.trim.split("\\s+", 2)
+        WidenColumn(unquote(parts(0)), sqlType(stripColumnOptions(parts(1))))
+      }
+    case ParenDrop(body) =>
+      splitTop(body).map(c => DropColumn(unquote(c.trim)))
     case other => parseSingleAction(other).toSeq
   }
 

@@ -477,6 +477,30 @@ object WireQueries extends QueryGroup {
         s.read.schema(schema).json(path))
     }),
 
+    // §2.9, Oracle leg, MID-POLL EVOLUTION: the poll's own DDL rows —
+    // Oracle dialect: quoted "OWNER"."NAME" pairs, parenthesized
+    // multi-ADD and MODIFY, NUMBER/VARCHAR2/BINARY_DOUBLE types, a
+    // CREATE TABLE discovered in-stream, index DDL skipped — replay
+    // onto the schema registry in SCN order, so each row decodes
+    // against the schema version in force AT ITS SCN (the LogMiner
+    // analogue of s9_binlog_schema_changes' mid-segment ALTER)
+    "s10_logminer_evolved_decode" -> ((s, _) => {
+      val path = stageResource("logminer_evolved.jsonl")
+      val schema = StructType(Seq(
+        StructField("rownum", LongType), StructField("scn", LongType),
+        StructField("opcode", IntegerType), StructField("xid", StringType),
+        StructField("csf", IntegerType), StructField("rbk", IntegerType),
+        StructField("row_id", StringType), StructField("rs_id", StringType),
+        StructField("seg_owner", StringType),
+        StructField("table_name", StringType),
+        StructField("sql_redo", StringType)))
+      graft.sources.wire.LogMiner.decodeEvolving(
+        s.read.schema(schema).json(path),
+        schemas = Map("ORA.PRODUCTS" -> Seq(
+          "ID" -> "long", "NAME" -> "string", "PRICE" -> "double")),
+        keys = Map("ORA.PRODUCTS" -> Seq("ID")))
+    }),
+
     "s10_logminer_poll_stream" -> ((s, _) => {
       val path = stageResource("logminer_contents.jsonl")
       val schema = StructType(Seq(
@@ -990,6 +1014,33 @@ object WireQueries extends QueryGroup {
         |      ELSE 'note_'||i END AS notes
         |FROM range(40) t(i) WHERE i%6<>3""".stripMargin,
 
+    // pre-DDL rows carry the 3-column JSON, post-DDL rows the 5-column
+    // one (STOCK/TAG), the update's images render nulls for columns
+    // absent from its redo, and RATINGS exists only via its in-stream
+    // CREATE (key from the per-column PRIMARY KEY clause)
+    "s10_logminer_evolved_decode" ->
+      """SELECT 'ORA.PRODUCTS' AS "table", 'c' AS op, 7001+i AS scn,
+        |  7010 AS commit_scn, 'AA0001' AS xid,
+        |  '{"ID":'||i||'}' AS key_json,
+        |  CAST(NULL AS VARCHAR) AS before_json,
+        |  '{"ID":'||i||',"NAME":"ev_'||i||'","PRICE":'||i||'.5}' AS after_json
+        | FROM range(6) t(i)
+        |UNION ALL
+        |SELECT 'ORA.PRODUCTS', 'c', 7024+i, 7050, 'AA0002',
+        |  '{"ID":'||i||'}', CAST(NULL AS VARCHAR),
+        |  '{"ID":'||i||',"NAME":"ev_'||i||'","PRICE":'||i||'.5'||
+        |    ',"STOCK":'||(i*10)||',"TAG":"tag_'||i||'"}'
+        | FROM range(6,12) t(i)
+        |UNION ALL
+        |SELECT 'ORA.PRODUCTS', 'u', 7045, 7050, 'AA0002', '{"ID":3}',
+        |  '{"ID":3,"NAME":"ev_3","PRICE":3.5,"STOCK":null,"TAG":null}',
+        |  '{"ID":3,"NAME":"ev_3","PRICE":3.5,"STOCK":99,"TAG":null}'
+        |UNION ALL
+        |SELECT 'ORA.RATINGS', 'c', 7070+i, 7080, 'AA0003',
+        |  '{"ID":'||i||'}', CAST(NULL AS VARCHAR),
+        |  '{"ID":'||i||',"SCORE":'||i||'.75}'
+        | FROM range(3) t(i)""".stripMargin,
+
     "s10_logminer_poll_stream" ->
       """SELECT i AS "ID",
         | CASE WHEN i IN (5,10,20,25) THEN NULL
@@ -1290,6 +1341,7 @@ object WireQueries extends QueryGroup {
       "s8_pgoutput_tx_stream", "s9_binlog_decode", "s9_binlog_materialize",
       "s9_binlog_socket_stream",
       "s10_logminer_decode",
+      "s10_logminer_evolved_decode",
       "s10_logminer_poll_stream",
       "s11_cdc_tables_decode", "s11_cdc_poll_stream",
       "s11_cdc_socket_poll",

@@ -498,15 +498,13 @@ object LogMiner {
         upper(element_at(split(trim(col("sql_redo")), "\\s+"), 1)).as("kind"),
         col("sql_redo").as("ddl"))
 
-  def decode(contents: DataFrame, schemas: Map[String, Seq[(String, String)]],
-             keys: Map[String, Seq[String]],
-             lobEnabled: Boolean = false): DataFrame = {
-    val spark = contents.sparkSession
-
-    // 1. CSF reassembly: chunks of one redo record share rs_id; cursor
-    //    order (rownum) concatenates them. min(struct(...)) carries the
-    //    head chunk's metadata without a second shuffle.
-    val assembled = contents
+  /** Step 1 of [[decode]] — CSF reassembly: chunks of one redo record
+    * share rs_id; cursor order (rownum) concatenates them.
+    * min(struct(...)) carries the head chunk's metadata without a
+    * second shuffle.
+    */
+  private def assemble(contents: DataFrame): DataFrame =
+    contents
       .groupBy(col("rs_id"))
       .agg(
         min(struct(col("rownum"), col("scn"), col("opcode"), col("xid"),
@@ -521,21 +519,38 @@ object LogMiner {
         col("m.seg_owner").as("seg_owner"),
         col("m.table_name").as("table_name"), col("sql"))
 
+  /** Steps 2-3 of [[decode]] — surviving DML of committed transactions
+    * (partial rollbacks cancelled, uncommitted/rolled-back txs dropped),
+    * with the commit SCN attached. Returns (events, committed); `events`
+    * is needed separately by the LOB synthetic-update path.
+    */
+  private def committedOf(assembled: DataFrame): (DataFrame, DataFrame) = {
     val dml = assembled.filter(col("opcode").isin(OpInsert, OpDelete, OpUpdate))
-    // 2. partial rollback: a compensating row cancels its target event
+    // partial rollback: a compensating row cancels its target event
     val rollbacks = dml.filter(col("rbk") === 1)
       .select(col("xid").as("r_xid"), col("row_id").as("r_row_id"))
     val events = dml.filter(col("rbk") === 0)
       .join(rollbacks, col("xid") === col("r_xid") &&
         col("row_id") === col("r_row_id"), "left_anti")
-    // 3. committed transactions only; attach the commit SCN. A tx ended
-    //    by ROLLBACK(36) has no commit row and drops out here.
+    // committed transactions only; attach the commit SCN. A tx ended
+    // by ROLLBACK(36) has no commit row and drops out here.
     val commits = assembled.filter(col("opcode") === OpCommit)
       .select(col("xid").as("c_xid"), col("scn").as("commit_scn"))
     val committed = events
       .join(commits, col("xid") === col("c_xid"))
       .select("scn", "commit_scn", "xid", "row_id", "seg_owner",
         "table_name", "sql")
+    (events, committed)
+  }
+
+  def decode(contents: DataFrame, schemas: Map[String, Seq[(String, String)]],
+             keys: Map[String, Seq[String]],
+             lobEnabled: Boolean = false): DataFrame = {
+    val spark = contents.sparkSession
+    val assembled = assemble(contents)
+    val (events, committed) = committedOf(assembled)
+    val commits = assembled.filter(col("opcode") === OpCommit)
+      .select(col("xid").as("c_xid"), col("scn").as("commit_scn"))
 
     // 3b. LOB chains (lobEnabled only): per-tx cursor-order fold
     //     attributes every LOB_WRITE/LOB_TRIM to the most recent
@@ -547,30 +562,10 @@ object LogMiner {
     //   assembled LOB values (the `lobs` column, possibly all-null)
     //   override their column in the DML's after image
     def render(committedWithLobs: DataFrame): DataFrame =
-      committedWithLobs.as(Encoders.row(committedWithLobs.schema)).mapPartitions {
-        (rows: Iterator[Row]) =>
-          rows.map { r =>
-            val entry = parseDml(r.getAs[String]("sql"))
-            val lobCols = Option(r.getAs[Seq[Row]]("lobs")).getOrElse(Nil)
-              .map(l => l.getAs[String]("c") -> Option(l.getAs[String]("v")))
-              .toMap
-            val tableId = s"${entry.owner}.${entry.table}"
-            val schema = schemas.getOrElse(tableId,
-              throw new IllegalArgumentException(s"no schema for $tableId"))
-            val keyCols = keys.getOrElse(tableId, Nil)
-            val after =
-              if (entry.op == "d" || lobCols.isEmpty) entry.after
-              else entry.after ++ lobCols
-            val keyImg = if (entry.op == "d") entry.before else after
-            val keySchema = schema.filter { case (n, _) => keyCols.contains(n) }
-            WireEvent(tableId, entry.op, r.getAs[Long]("scn"),
-              r.getAs[Long]("commit_scn"), r.getAs[String]("xid"),
-              imageJson(keyImg.filter { case (k, _) => keyCols.contains(k) },
-                keySchema),
-              imageJson(entry.before, schema),
-              imageJson(after, schema))
-          }
-      }(Encoders.product[WireEvent]).toDF()
+      renderTyped(committedWithLobs, (tableId, _) =>
+        (schemas.getOrElse(tableId,
+          throw new IllegalArgumentException(s"no schema for $tableId")),
+          keys.getOrElse(tableId, Nil)))
 
     if (!lobEnabled)
       return render(committed.withColumn("lobs",
@@ -607,6 +602,163 @@ object LogMiner {
         lit(null).cast("string").as("before_json"), col("after_json"))
 
     dmlEvents.unionByName(synthetic)
+  }
+
+  /** Step 4's executor-side rendering, parameterized by a SCHEMA
+    * RESOLVER `(tableId, scn) → (columns, keyColumns)` so the plain
+    * decode (one fixed schema per table) and [[decodeEvolving]] (a
+    * per-SCN timeline) share one implementation.
+    */
+  private def renderTyped(committedWithLobs: DataFrame,
+                          resolve: (String, Long) => (Seq[(String, String)],
+                            Seq[String])): DataFrame =
+    committedWithLobs.as(Encoders.row(committedWithLobs.schema)).mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val entry = parseDml(r.getAs[String]("sql"))
+          val lobCols = Option(r.getAs[Seq[Row]]("lobs")).getOrElse(Nil)
+            .map(l => l.getAs[String]("c") -> Option(l.getAs[String]("v")))
+            .toMap
+          val tableId = s"${entry.owner}.${entry.table}"
+          val scn = r.getAs[Long]("scn")
+          val (schema, keyCols) = resolve(tableId, scn)
+          val after =
+            if (entry.op == "d" || lobCols.isEmpty) entry.after
+            else entry.after ++ lobCols
+          val keyImg = if (entry.op == "d") entry.before else after
+          val keySchema = schema.filter { case (n, _) => keyCols.contains(n) }
+          WireEvent(tableId, entry.op, scn,
+            r.getAs[Long]("commit_scn"), r.getAs[String]("xid"),
+            imageJson(keyImg.filter { case (k, _) => keyCols.contains(k) },
+              keySchema),
+            imageJson(entry.before, schema),
+            imageJson(after, schema))
+        }
+    }(Encoders.product[WireEvent]).toDF()
+
+  /** Spark type → the decoder's JSON-typing tag (see [[jsonLiteral]]). */
+  private def lmType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => "long"
+      case DoubleType | FloatType | _: DecimalType => "double"
+      case TimestampType | DateType => "timestamp"
+      case _ => "string"
+    }
+  }
+
+  /** Per-table `(scn, columns, keys)` schema TIMELINE: the poll's own
+    * OPERATION_CODE=5 rows replayed in SCN order onto the initial
+    * registry through [[graft.model.DdlParser]]'s Oracle grammar —
+    * the reference's schema-history mechanism for LogMiner
+    * (`OracleDatabaseSchema.applySchemaChange`, fed by the
+    * `debezium-connector-oracle/.../antlr/listener classes` parse listeners;
+    * the binlog analogue is `MySqlBinlog.applyDdl`). DDL is rare and
+    * auto-committed, so the fold runs on the DRIVER over exactly the
+    * rows the reference writes to its schema-history topic — bounded
+    * metadata, never the DML volume. Unparseable statements (grants,
+    * index DDL) are skipped, as the reference's listeners skip
+    * non-table statements.
+    */
+  def schemaTimeline(contents: DataFrame,
+                     schemas: Map[String, Seq[(String, String)]],
+                     keys: Map[String, Seq[String]])
+      : Map[String, Seq[(Long, Seq[(String, String)], Seq[String])]] = {
+    import graft.model.DdlParser
+    import graft.operators.SchemaEvolution.{AddColumn, DropColumn, RenameColumn, WidenColumn}
+    val ddl = schemaChanges(contents)
+      .select(col("scn"), col("owner"), col("ddl"))
+      .orderBy(col("scn")).collect() // bounded: the DDL rows only
+    val state = scala.collection.mutable.Map.from(schemas)
+    val keyState = scala.collection.mutable.Map.from(keys)
+    val timeline = scala.collection.mutable.Map.from(
+      schemas.map { case (t, cols) =>
+        t -> Vector((Long.MinValue, cols, keys.getOrElse(t, Seq.empty)))
+      })
+    def push(full: String, scn: Long): Unit =
+      timeline(full) = timeline.getOrElse(full, Vector.empty) :+
+        ((scn, state.getOrElse(full, Seq.empty),
+          keyState.getOrElse(full, Seq.empty)))
+    ddl.foreach { r =>
+      val scn = r.getLong(0)
+      val sql = r.getString(2)
+      def qual(t: graft.model.Envelope.TableId): String =
+        s"${Option(t.schema).getOrElse(r.getString(1))}.${t.table}"
+      (try Some(DdlParser.parse(sql))
+       catch { case _: IllegalArgumentException => None }).foreach {
+        case DdlParser.CreateTable(t, st) =>
+          val full = qual(t)
+          val cols = st.fields.toSeq.map(f => f.name -> lmType(f.dataType))
+          state(full) = cols
+          val pk = DdlParser.primaryKeyOf(sql)
+          keyState(full) =
+            if (pk.nonEmpty) pk else cols.take(1).map(_._1)
+          push(full, scn)
+        case DdlParser.AlterTable(t, changes) =>
+          val full = qual(t)
+          state.get(full).foreach { cur0 =>
+            var cur = cur0
+            changes.foreach {
+              case AddColumn(n, dt) => cur = cur :+ (n -> lmType(dt))
+              case DropColumn(n) =>
+                cur = cur.filterNot(_._1 == n)
+                keyState.get(full).foreach(ks =>
+                  keyState(full) = ks.filter(_ != n))
+              case RenameColumn(f, to) =>
+                cur = cur.map { case (n, tp) =>
+                  (if (n == f) to else n) -> tp }
+                keyState.get(full).foreach(ks =>
+                  keyState(full) = ks.map(k => if (k == f) to else k))
+              case WidenColumn(n, dt) =>
+                cur = cur.map { case (m, tp) =>
+                  m -> (if (m == n) lmType(dt) else tp) }
+              case _ => ()
+            }
+            state(full) = cur
+            push(full, scn)
+          }
+        case DdlParser.RenameTable(from0, to0) =>
+          val from = qual(from0); val to = qual(to0)
+          state.remove(from).foreach(state(to) = _)
+          keyState.remove(from).foreach(keyState(to) = _)
+          push(to, scn)
+        case DdlParser.DropTable(t) =>
+          val full = qual(t)
+          state.remove(full); keyState.remove(full): Unit
+        case _: DdlParser.TruncateTable => () // no row-shape change
+      }
+    }
+    timeline.view.mapValues(_.sortBy(_._1)).toMap
+  }
+
+  /** [[decode]] with IN-STREAM SCHEMA EVOLUTION: rows decode against
+    * the schema version in force AT THEIR SCN, so an `ALTER TABLE …
+    * ADD (…)` mid-poll changes how later inserts of the same poll
+    * parse — the LogMiner analogue of the binlog path's mid-segment
+    * `applyDdl` (reference: `LogMinerStreamingChangeEventSource`
+    * dispatches DDL to the schema registry before later DML resolves
+    * against it). The timeline broadcasts in the render closure
+    * (driver-bounded, see [[schemaTimeline]]); resolution per row is a
+    * reverse scan of that table's few versions. Pre-ALTER rows render
+    * the old column set; columns added later are simply absent from
+    * their JSON, exactly as the reference emits them.
+    */
+  def decodeEvolving(contents: DataFrame,
+                     schemas: Map[String, Seq[(String, String)]],
+                     keys: Map[String, Seq[String]]): DataFrame = {
+    val timeline = schemaTimeline(contents, schemas, keys)
+    val (_, committed) = committedOf(assemble(contents))
+    renderTyped(
+      committed.withColumn("lobs",
+        lit(null).cast("array<struct<c:string,v:string>>")),
+      (tableId, scn) => {
+        val versions = timeline.getOrElse(tableId,
+          throw new IllegalArgumentException(s"no schema for $tableId"))
+        val v = versions.reverseIterator.find(_._1 <= scn).getOrElse(
+          throw new IllegalArgumentException(
+            s"no schema version for $tableId at scn $scn"))
+        (v._2, v._3)
+      })
   }
 
   /** Fold the LOB operation rows of each transaction in cursor order

@@ -831,6 +831,72 @@ object WireFixtures {
     lines.mkString("", "\n", "\n")
   }
 
+  /** LogMiner recording with MID-POLL SCHEMA EVOLUTION (Oracle DDL
+    * dialect): a transaction under the initial 3-column PRODUCTS
+    * schema, then a parenthesized multi-ADD + MODIFY (and an index DDL
+    * the parse listeners must skip), a transaction whose DML carries
+    * the two NEW columns, and a table CREATED in-stream (quoted
+    * owner.name pair, per-column PRIMARY KEY, NUMBER/BINARY_DOUBLE
+    * types) followed by its first inserts — `LogMiner.decodeEvolving`
+    * must resolve every row against the schema version at its SCN.
+    */
+  def logMinerEvolvedJsonl: String = {
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    var rn = 0L
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def row(scn: Long, opcode: Int, xid: String, rowId: String,
+            table: String, sql: String): Unit = {
+      rn += 1
+      lines += s"""{"rownum":$rn,"scn":$scn,"opcode":$opcode,""" +
+        s""""xid":"$xid","csf":0,"rbk":0,"row_id":"$rowId",""" +
+        s""""rs_id":"R$scn","seg_owner":"ORA","table_name":"$table",""" +
+        s""""sql_redo":"${esc(sql)}"}"""
+    }
+    // tx A: six inserts under the INITIAL (ID, NAME, PRICE) schema
+    row(7000, 6, "AA0001", "", "PRODUCTS", "start transaction")
+    (0 until 6).foreach { i =>
+      row(7001 + i, 1, "AA0001", f"AEV$i%03d", "PRODUCTS",
+        "insert into \"ORA\".\"PRODUCTS\"(\"ID\",\"NAME\",\"PRICE\") " +
+          s"values ('$i','ev_$i','$i.5');")
+    }
+    row(7010, 7, "AA0001", "", "PRODUCTS", "commit;")
+    // auto-committed DDL: paren multi-ADD, paren MODIFY (no shape
+    // change), and an index statement the intake must skip
+    row(7020, 5, "AADD01", "", "PRODUCTS",
+      "ALTER TABLE \"ORA\".\"PRODUCTS\" ADD (\"STOCK\" NUMBER(10,0), " +
+        "\"TAG\" VARCHAR2(64));")
+    row(7021, 5, "AADD02", "", "PRODUCTS",
+      "ALTER TABLE \"ORA\".\"PRODUCTS\" MODIFY (\"PRICE\" NUMBER(12,2));")
+    row(7022, 5, "AADD03", "", "PRODUCTS",
+      "CREATE UNIQUE INDEX \"ORA\".\"PRODUCTS_IX\" ON " +
+        "\"ORA\".\"PRODUCTS\" (\"NAME\");")
+    // tx B: DML under the EVOLVED 5-column schema
+    row(7029, 6, "AA0002", "", "PRODUCTS", "start transaction")
+    (6 until 12).foreach { i =>
+      row(7024 + i, 1, "AA0002", f"AEV$i%03d", "PRODUCTS",
+        "insert into \"ORA\".\"PRODUCTS\"(\"ID\",\"NAME\",\"PRICE\"," +
+          "\"STOCK\",\"TAG\") " +
+          s"values ('$i','ev_$i','$i.5','${i * 10}','tag_$i');")
+    }
+    row(7045, 3, "AA0002", "AEV003", "PRODUCTS",
+      "update \"ORA\".\"PRODUCTS\" set \"STOCK\" = '99' where " +
+        "\"ID\" = '3' and \"NAME\" = 'ev_3' and \"PRICE\" = '3.5';")
+    row(7050, 7, "AA0002", "", "PRODUCTS", "commit;")
+    // in-stream CREATE TABLE, then its first transaction
+    row(7060, 5, "AADD04", "", "RATINGS",
+      "CREATE TABLE \"ORA\".\"RATINGS\" (\"ID\" NUMBER(9,0) PRIMARY KEY, " +
+        "\"SCORE\" BINARY_DOUBLE);")
+    row(7069, 6, "AA0003", "", "RATINGS", "start transaction")
+    (0 until 3).foreach { i =>
+      row(7070 + i, 1, "AA0003", f"ARA$i%03d", "RATINGS",
+        "insert into \"ORA\".\"RATINGS\"(\"ID\",\"SCORE\") " +
+          s"values ('$i','$i.75');")
+    }
+    row(7080, 7, "AA0003", "", "RATINGS", "commit;")
+    lines.mkString("", "\n", "\n")
+  }
+
   // ------------------------------------------- MongoDB change stream
   // Recorded watch() cursor (JSONL): 40 inserts, 8 updates with
   // updateDescription (+ full post-image; i%10==5 also removes `price`),
@@ -994,6 +1060,8 @@ object WireFixtures {
       sqlServerCtJsonl.getBytes(StandardCharsets.UTF_8))
     Files.write(dir.resolve("logminer_contents.jsonl"),
       logMinerContentsJsonl.getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("logminer_evolved.jsonl"),
+      logMinerEvolvedJsonl.getBytes(StandardCharsets.UTF_8))
     Files.write(dir.resolve("mongo_changestream.jsonl"),
       mongoChangeStreamJsonl.getBytes(StandardCharsets.UTF_8))
     println(s"wrote pgoutput rows=$pgoutputRowCount " +

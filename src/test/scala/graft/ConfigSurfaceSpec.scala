@@ -271,6 +271,60 @@ class ConfigSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("DDL parser: Oracle dialect — quoted owner.name pairs, NUMBER " +
+    "ladder, paren MODIFY/DROP groups") {
+    import graft.model.DdlParser
+    import graft.model.DdlParser.{AlterTable, CreateTable}
+    import graft.operators.SchemaEvolution.{AddColumn, DropColumn, WidenColumn}
+    import org.apache.spark.sql.types._
+    // the statement LogMiner actually emits for an ADD
+    DdlParser.parse(
+      "ALTER TABLE \"ORA\".\"PRODUCTS\" ADD (\"STOCK\" NUMBER(10,0), " +
+        "\"TAG\" VARCHAR2(64))") match {
+      case AlterTable(tid, changes) =>
+        assert(tid.schema == "ORA" && tid.table == "PRODUCTS",
+          "quoted owner.name must split into schema/table, not strip one " +
+            "outer quote pair")
+        assert(changes == Seq(AddColumn("STOCK", LongType),
+          AddColumn("TAG", StringType)))
+      case other => fail(s"expected AlterTable, got $other")
+    }
+    // paren MODIFY and paren DROP (Oracle multi-column forms)
+    DdlParser.parse(
+      "ALTER TABLE \"ORA\".\"T\" MODIFY (\"P\" NUMBER(12,2))") match {
+      case AlterTable(_, changes) =>
+        assert(changes == Seq(WidenColumn("P", DecimalType(12, 2))))
+      case other => fail(s"expected AlterTable, got $other")
+    }
+    DdlParser.parse("ALTER TABLE \"ORA\".\"T\" DROP (\"A\", \"B\")") match {
+      case AlterTable(_, changes) =>
+        assert(changes == Seq(DropColumn("A"), DropColumn("B")))
+      case other => fail(s"expected AlterTable, got $other")
+    }
+    // CREATE with the Oracle type family and a per-column PRIMARY KEY
+    val createSql =
+      "CREATE TABLE \"ORA\".\"RATINGS\" (\"ID\" NUMBER(9,0) PRIMARY KEY, " +
+        "\"W\" NUMBER(3,0), \"BIGN\" NUMBER(19,0), \"F\" BINARY_FLOAT, " +
+        "\"SCORE\" BINARY_DOUBLE, \"ANY\" NUMBER, \"R\" RAW(16), " +
+        "\"NM\" NVARCHAR2(10), \"NEG\" NUMBER(5,-2))"
+    DdlParser.parse(createSql) match {
+      case CreateTable(tid, schema) =>
+        assert(tid.schema == "ORA" && tid.table == "RATINGS")
+        assert(schema == StructType(Seq(
+          StructField("ID", IntegerType),     // NUMBER(9,0) → INT32
+          StructField("W", ShortType),        // NUMBER(3,0) → INT16
+          StructField("BIGN", DecimalType(19, 0)), // p>18 stays decimal
+          StructField("F", FloatType),
+          StructField("SCORE", DoubleType),
+          StructField("ANY", DoubleType),     // variable-scale NUMBER
+          StructField("R", BinaryType),
+          StructField("NM", StringType),
+          StructField("NEG", IntegerType)))) // negative scale = integral
+        assert(DdlParser.primaryKeyOf(createSql) == Seq("ID"))
+      case other => fail(s"expected CreateTable, got $other")
+    }
+  }
+
   test("tombstones: emitted after deletes, ignored by materialization") {
     val df = spark.read.parquet(s"$sfDir/orders.parquet")
     val plain = ChangeFeedGen.standardFeed(df, "orders")
