@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.operators.IncrementalSnapshot
 import graft.tools.WireFixtures
 
 /** SURVEY S8/S9 — real wire-protocol decoders, fixture-driven: recorded
@@ -453,6 +454,52 @@ object WireQueries extends QueryGroup {
         .start()
       q.awaitTermination()
       sink.view(s)
+    }),
+
+    // S12 INCREMENTAL snapshot (ref MongoDbIncrementalSnapshotChangeEventSource,
+    // 767 LoC): the backfill reads the collection's CURRENT documents in
+    // `_id`-chunked pages — keyset pagination in BSON sort order
+    // (bsonSortKey) — while the change stream replays concurrently; each
+    // chunk's open/close window dedups chunk docs whose key saw an
+    // in-window stream event (deduplicateWindow removes the buffered doc),
+    // and the merge converges to the same latest state as the pure
+    // change-stream materialization (its oracle)
+    "s12_incremental_snapshot" -> ((s, _) => {
+      val path = stageResource("mongo_changestream.jsonl")
+      val docSchema = StructType(Seq(
+        StructField("_id", LongType), StructField("sku", StringType),
+        StructField("qty", LongType), StructField("price", DoubleType)))
+      val dec = graft.sources.wire.MongoChangeStream.decode(s.read.text(path))
+      val stream = dec.filter(col("table") === "shop.items" &&
+          get_json_object(col("key_json"), "$._id").cast("long") < 900)
+        .select(
+          from_json(col("key_json"), StructType(Seq(
+            StructField("_id", LongType)))).as("key"),
+          lit(null).cast(docSchema).as("before"),
+          from_json(col("after_json"), docSchema).as("after"),
+          col("op"),
+          struct(col("ord").as("pos")).as("source"),
+          lit(null).cast("string").as("transaction"),
+          col("ord").as("ts_ms"))
+      // the collection's current documents = what the chunked SELECTs read
+      val docs = graft.operators.Materialize.latestState(stream)
+      val snap = docs.select(
+        struct(col("_id")).as("key"),
+        lit(null).cast(docSchema).as("before"),
+        struct(col("_id"), col("sku"), col("qty"), col("price")).as("after"),
+        lit("r").as("op"),
+        struct(lit(0L).as("pos")).as("source"),
+        lit(null).cast("string").as("transaction"),
+        lit(0L).as("ts_ms"))
+      val chunkRows = IncrementalSnapshot.chunked(snap,
+        Seq(graft.sources.wire.MongoChangeStream.bsonSortKey(
+          get_json_object(to_json(col("key")), "$._id"))), 8)
+      // heavy-load degenerate bracket: every chunk's window spans the
+      // whole replayed stream (one row per chunk, broadcast side)
+      val windows = chunkRows.select(col("chunk")).distinct()
+        .select(col("chunk"), lit(0L).as("lo_pos"),
+          lit(Long.MaxValue).as("hi_pos"))
+      IncrementalSnapshot.readOnlyChunkMerge(chunkRows, windows, stream)
     }),
 
     // S10 end-to-end, same POLL shape as S11: three SCN-window polls of
@@ -1222,6 +1269,17 @@ object WireQueries extends QueryGroup {
          |  '{"_id":999}',
          |  '{"_id":999,"sku":"sku_big","qty":0,"blob":"${"x" * 64}"}'""".stripMargin,
 
+    // the _id-chunked backfill + windowed stream dedup must converge to
+    // the SAME latest state as the pure change-stream materialization
+    "s12_incremental_snapshot" ->
+      """SELECT i AS _id,
+        | CASE WHEN i%10=7 THEN 'sku_'||i||'_v2' ELSE 'sku_'||i END AS sku,
+        | CASE WHEN i%5=0 THEN i*7+1000 ELSE i*7 END AS qty,
+        | CASE WHEN i%10=5 THEN NULL
+        |      WHEN i%10=7 THEN i*1.5+10
+        |      ELSE i*1.5 END AS price
+        |FROM range(40) t(i) WHERE i%6<>0""".stripMargin,
+
     "s12_change_stream_materialize" ->
       """SELECT i AS _id,
         | CASE WHEN i%10=7 THEN 'sku_'||i||'_v2' ELSE 'sku_'||i END AS sku,
@@ -1347,6 +1405,7 @@ object WireQueries extends QueryGroup {
       "s11_cdc_socket_poll",
       "s12_change_stream_decode", "s12_change_stream_dsv2",
       "s12_change_stream_socket", "s12_change_stream_materialize",
+      "s12_incremental_snapshot",
       "s8_mariadb_gtid_decode", "s9_binlog_metadata_decode",
       "s9_binlog_schema_changes")
 }

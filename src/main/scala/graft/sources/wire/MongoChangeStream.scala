@@ -190,4 +190,33 @@ object MongoChangeStream {
       .getOrElse("null")
     Some(PgOutput.WireRow(table, op, ord, key, payload))
   }
+
+  /** BSON total-order sort key for a JSON-rendered `_id` value — the
+    * ordering the reference's `_id`-chunked incremental snapshot pages
+    * by (`MongoDbIncrementalSnapshotChangeEventSource
+    * .createDataEventsForDataCollection`: `find().sort({_id: 1})` with
+    * `$gt lastKey` keyset pagination; MongoDB sorts mixed-type `_id`s
+    * by BSON TYPE RANK first — null < numbers < string < object <
+    * array < boolean — then by value within the type). Returns a
+    * sortable struct `(rank, num, str)`: numbers compare numerically,
+    * everything else lexically on its JSON rendering.
+    *
+    * Caveat of the JSON rendering: `get_json_object` strips string
+    * quotes, so a STRING `_id` that happens to look numeric ranks as a
+    * number here; callers with typed key columns should order by the
+    * typed value instead (the rank only matters for mixed-type ids).
+    */
+  def bsonSortKey(idJson: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val num = idJson.try_cast("double") // non-numeric → null, ANSI-safe
+    struct(
+      when(idJson.isNull || idJson === "null", 5)
+        .when(num.isNotNull, 10)
+        .when(idJson.startsWith("{"), 20)
+        .when(idJson.startsWith("["), 25)
+        .when(idJson.isin("true", "false"), 40)
+        .otherwise(15).as("rank"),
+      coalesce(num, lit(0.0)).as("num"),
+      coalesce(idJson, lit("")).as("str"))
+  }
 }

@@ -1707,4 +1707,20 @@ class WireDecoderSpec extends AnyFunSuite {
       encodeXid(30, 1L))), Map.empty).toSeq
     assert(plainRows.head.keyJson == """{"c0":1}""")
   }
+
+  test("bsonSortKey orders mixed-type _ids by BSON type rank, then value") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // JSON renderings as get_json_object would surface them: numbers
+    // numeric, strings unquoted, bool/object/array literal
+    val ids = Seq("10", "2", "apple", "Banana", "true", "false",
+      """{"a":1}""", "[1,2]", "null", "-3.5")
+    val got = ids.toDF("idj")
+      .orderBy(graft.sources.wire.MongoChangeStream.bsonSortKey(col("idj")))
+      .collect().map(_.getString(0)).toSeq
+    // null < numbers (numeric order) < strings (lexical) < object <
+    // array < booleans — the BSON comparison ladder
+    assert(got == Seq("null", "-3.5", "2", "10", "Banana", "apple",
+      """{"a":1}""", "[1,2]", "false", "true"))
+  }
 }
