@@ -12,6 +12,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.queries.QueryContext.dataDir = Some(sfDir) // size-derived params
     // warm-up: JVM/codegen/scan init should not be billed to the first query
     spark.read.parquet(s"$sfDir/orders.parquet").count()
     // contention telemetry: a machine-loaded run inflates every query
@@ -97,7 +98,12 @@ object Bench {
     val fd = ChangeFeedGen.standardFeed(
       Tables.load(spark, sfDir, "orders"), "orders").cache()
     try {
-      fd.count()
+      // bucket count follows the table (heuristicBuckets, the r7 10×
+      // fix): a pinned count made bucketed sink_io grow 30× for 10× data
+      // because per-bucket bytes grew with the table. Small local target
+      // (2k rows/bucket) keeps the SHAPE of the production rule —
+      // constant per-bucket size — at bench scale.
+      val hb = graft.streaming.CdcSink.heuristicBuckets(fd.count(), 2000L)
       def run(mk: String => graft.streaming.CdcSink): Long = {
         val dir = java.nio.file.Files.createTempDirectory("bench-sink")
         val sink = mk(dir.toString)
@@ -120,9 +126,9 @@ object Bench {
       Seq(
         "full" -> run(d => new graft.streaming.MergeSink(d)),
         "bucketed" -> run(d =>
-          new graft.streaming.BucketedMergeSink(d, buckets = 128)),
+          new graft.streaming.BucketedMergeSink(d, buckets = hb)),
         "lsm" -> run(d =>
-          new graft.streaming.LsmMergeSink(d, buckets = 128, compactEvery = 8)))
+          new graft.streaming.LsmMergeSink(d, buckets = hb, compactEvery = 8)))
     } finally fd.unpersist()
   }
 

@@ -21,6 +21,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // size-derived query/oracle parameters (heuristic k, LSH banding)
+    // resolve against THIS run's data directory
+    graft.queries.QueryContext.dataDir = Some(sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

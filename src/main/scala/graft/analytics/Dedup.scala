@@ -339,6 +339,40 @@ object Dedup {
     * cutting the background collision rate per pair by ~s_bg — at 100 TB
     * raise rowsPerBand further (r≈6..8) so FP candidates stay ∝N·k.
     */
+  /** Derive LSH banding (bands, rowsPerBand) from the detection
+    * THRESHOLD and CORPUS SIZE instead of pinned constants — the r7 10×
+    * finding promoted to code: for each candidate r (ascending), size b
+    * for the target miss probability at the threshold
+    * (`(1-t^r)^b ≤ missProb`), then accept the first r whose expected
+    * CHANCE-collision volume stays bounded per document
+    * (`N/2 · b · s_bg^r ≤ fpPerDoc`, with `s_bg` the background
+    * signature-agreement rate of unrelated documents). Growing N drives
+    * r up (and b with it), so false-positive candidates stay ∝ N while
+    * recall at the threshold is held constant — at 10⁹ docs this lands
+    * at r ≈ 8, matching the documented 100 TB rule of thumb.
+    */
+  def lshParams(threshold: Double, nDocs: Long, sBg: Double = 0.05,
+                missProb: Double = 1e-7, fpPerDoc: Double = 1.0): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold $threshold not in (0,1)")
+    def bandsFor(r: Int): Int = math.max(1, math.ceil(
+      math.log(missProb) / math.log1p(-math.pow(threshold, r))).toInt)
+    (2 to 16).foreach { r =>
+      val b = bandsFor(r)
+      if (nDocs / 2.0 * b * math.pow(sBg, r) <= fpPerDoc) return (b, r)
+    }
+    (bandsFor(16), 16)
+  }
+
+  /** [[minhashLshPairs]] with [[lshParams]]-derived banding — the
+    * default entry point (one `count()` job sizes the dial).
+    */
+  def minhashLshPairsAuto(docs: DataFrame, shingleSize: Int,
+                          minJaccard: Double,
+                          sBg: Double = 0.05): DataFrame = {
+    val (bands, rowsPerBand) = lshParams(minJaccard, docs.count(), sBg)
+    minhashLshPairs(docs, shingleSize, bands, rowsPerBand, minJaccard)
+  }
+
   def minhashLshPairs(docs: DataFrame, shingleSize: Int, bands: Int,
                       rowsPerBand: Int, minJaccard: Double): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)

@@ -125,6 +125,25 @@ object Similarity {
     } finally cells.unpersist()
   }
 
+  /** [[semanticDedup]] with the cell count DERIVED FROM CORPUS SIZE —
+    * the default entry point. The r7 10× scale step showed the failure
+    * mode of a pinned k: cells are the quadratic bound, so holding k
+    * while the corpus grows makes within-cell pairs grow ~N²/k (measured
+    * 4.9× for 10× data at k=16). `Ivf.heuristicK` (k ≈ √N) keeps the
+    * EXPECTED per-cell population ≈ √N, so pair volume stays ~N·√N/2
+    * instead of N²/k. One `count()` job sizes k; the cells themselves
+    * are the deterministic pretrained (fixed-seed) centroids — blocking
+    * needs a stable space partition, not data-fitted quality; use
+    * [[Ivf.fitCentroidsAuto]] + [[semanticDedup]] when fitted cells are
+    * worth their training cost (tighter cells → fewer cross-cell missed
+    * pairs at the same minSim).
+    */
+  def semanticDedupAuto(corpus: DataFrame, minSim: Double,
+                        dims: Int = 64): DataFrame = {
+    val k = Ivf.heuristicK(corpus.count())
+    semanticDedup(corpus, Ivf.pretrainedCentroids(k, dims), minSim)
+  }
+
   /** Brute-force cosine top-k: a small query set against the full corpus.
     * The query side is broadcast; the corpus is scanned once; ranking is a
     * per-query window (k small ⇒ tiny state).

@@ -127,13 +127,15 @@ object CorpusQueries extends QueryGroup {
 
     // LSH is a candidate *generator*; the emitted pairs are verified by
     // exact shingle-Jaccard, so with enough bands the result equals the
-    // exact all-pairs computation — which is what the oracle computes.
-    // r=3/b=24: threshold-0.8 miss probability (1-0.8³)^24 ≈ 3.4e-8 and
-    // ~s_bg× fewer chance candidates than r=2 (see minhashLshPairs doc —
-    // the 10× scale run measured r=2 candidates growing 33× for 10× docs)
+    // exact all-pairs computation — which is what the oracle computes
+    // (and why the oracle needs no banding knowledge: recall at the
+    // threshold is held ≥ 1-1e-7 at every size). Banding derives from
+    // (threshold, corpus size) via Dedup.lshParams — the r8 promotion of
+    // the r7 10× finding (r=2 constants grew candidates 33× for 10×
+    // docs; the dial must climb with N)
     "a_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"),
-        shingleSize = 3, bands = 24, rowsPerBand = 3, minJaccard = 0.8)),
+      Dedup.minhashLshPairsAuto(t(s, dir, "documents"),
+        shingleSize = 3, minJaccard = 0.8)),
 
     // Portable 32-bit simhash (md5-derived token hash) in 4 bands of 8
     // bits: hamming <= 3 < nBands pairs provably share a band (recall 1.0),
@@ -314,11 +316,12 @@ object CorpusQueries extends QueryGroup {
 
     // SemDeDup: embedding near-dups via IVF-cell blocking (content-based,
     // unlike a_cosine_pairs' id-range buckets) resolved to keep/drop
-    // clusters — the embedding-space analogue of a_dedup_clusters
+    // clusters — the embedding-space analogue of a_dedup_clusters. The
+    // cell count derives from corpus size (k ≈ √N, the r7 10× fix
+    // promoted to code); the oracle inlines the same heuristicK(N)
+    // centroid literals via QueryContext
     "a_semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(t(s, dir, "embeddings"),
-        graft.analytics.Ivf.pretrainedCentroids(k = 16, dims = 64),
-        minSim = 0.3)),
+      Similarity.semanticDedupAuto(t(s, dir, "embeddings"), minSim = 0.3)),
 
     // Cross-document passage (boilerplate) dedup, the CCNet paragraph
     // shape: passages occurring in >= 2 distinct docs are dropped and
@@ -782,10 +785,15 @@ object CorpusQueries extends QueryGroup {
   /** The full SemDeDup computation replayed in SQL: unit-normalize, L2
     * cell assignment from the pretrained-centroid literals, within-cell
     * cosine pairs, then EXACT transitive closure (the oracle's connected
-    * components, vs the engine's bounded min-label propagation).
+    * components, vs the engine's bounded min-label propagation). The
+    * cell count is the SAME size-derived heuristicK(N) the engine uses
+    * (N from parquet footers via QueryContext; fallback = the sf0.01
+    * fixture's 500 vectors).
     */
   private def semanticDedupOracle: String = {
-    val k = 16; val dims = 64; val minSim = 0.3
+    val n = QueryContext.parquetRowCount("embeddings", 500L)
+    val k = graft.analytics.Ivf.heuristicK(n)
+    val dims = 64; val minSim = 0.3
     val cents = graft.analytics.Ivf.pretrainedCentroids(k, dims)
     val distList = cents.map { c =>
       val lit = c.mkString("[", ",", "]")

@@ -28,17 +28,32 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
   /** The bucket count is part of the on-disk layout: reopening an
     * existing sink with a different count would route keys to other
     * buckets than their state lives in (duplicate/stale rows, silent).
-    * Persisted once at first commit, asserted on every later one.
+    * Asserted on every commit against [[storedBucketCount]].
     */
-  private def checkBucketCount(): Unit = {
-    val f = root.resolve("_buckets")
-    if (Files.exists(f)) {
-      val stored = Files.readString(f).trim.toInt
-      require(stored == buckets,
+  private def checkBucketCount(): Unit =
+    storedBucketCount match {
+      case Some(stored) => require(stored == buckets,
         s"sink $dir was written with buckets=$stored, opened with $buckets")
-    } else {
-      Files.createDirectories(root)
-      Files.writeString(f, buckets.toString): Unit
+      case None =>
+        Files.createDirectories(root)
+        Files.writeString(root.resolve("_buckets"), buckets.toString): Unit
+    }
+
+  /** The layout's committed bucket count: the CURRENT manifest's `K`
+    * line — atomic with the file layout it describes, so a `rebucket`
+    * commits count and layout in ONE pointer swap (a separate count
+    * file could survive a crash describing the other side's layout) —
+    * falling back to the legacy `_buckets` file for pre-K manifests.
+    */
+  private def storedBucketCount: Option[Int] = {
+    val fromManifest =
+      if (!Files.exists(pointer)) None
+      else Files.readAllLines(
+        root.resolve(Files.readString(pointer).trim)).asScala
+        .find(_.startsWith("K\t")).map(_.split("\t")(1).trim.toInt)
+    fromManifest.orElse {
+      val f = root.resolve("_buckets")
+      if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
     }
   }
 
@@ -101,12 +116,14 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
       .map(_.group(1).toLong)
 
   private def parseManifest(mf: java.nio.file.Path): Map[Int, (String, String)] =
-    Files.readAllLines(mf).asScala.filter(_.nonEmpty).map { l =>
-      l.split("\t", 3) match {
-        case Array(b, p, ddl) => b.toInt -> (p, ddl)
-        case Array(b, p) => b.toInt -> (p, "") // pre-DDL manifest
-      }
-    }.toMap
+    Files.readAllLines(mf).asScala
+      .filter(l => l.nonEmpty && !l.startsWith("K\t")) // K = bucket count
+      .map { l =>
+        l.split("\t", 3) match {
+          case Array(b, p, ddl) => b.toInt -> (p, ddl)
+          case Array(b, p) => b.toInt -> (p, "") // pre-DDL manifest
+        }
+      }.toMap
 
   /** The manifest as of `epochId`: the newest committed version ≤ it
     * (Delta/Iceberg VERSION AS OF semantics).
@@ -209,6 +226,57 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
     dead.size
   }
 
+  /** RE-BUCKET COMPACTION: rewrite the full state under a NEW bucket
+    * count — the operation that lets the count FOLLOW TABLE GROWTH
+    * (see [[CdcSink.heuristicBuckets]]; a pinned count makes every
+    * touched-bucket rewrite inflate ∝ table/buckets as the table
+    * grows). Commits like any epoch: the new layout lands whole under
+    * `v<epochId>`, the manifest maps every live bucket into it, and the
+    * CURRENT swap is atomic — so time travel to PRE-rebucket epochs
+    * still reads the old layout byte-for-byte (`changedBuckets` across
+    * the boundary reports all buckets: ids mean different things on
+    * each side). O(table) I/O by design — schedule it like a
+    * compaction, not per epoch. Returns the handle for the new count;
+    * this instance keeps serving reads but refuses further merges
+    * (`checkBucketCount` fails on the persisted new count).
+    */
+  def rebucket(spark: SparkSession, newBuckets: Int,
+               epochId: Long): BucketedMergeSink = {
+    require(newBuckets > 0, s"newBuckets $newBuckets must be positive")
+    require(committedEpoch.exists(_ < epochId),
+      s"rebucket needs committed state and a fresh epoch id " +
+        s"(committed=$committedEpoch, got $epochId)")
+    val st = state(spark).get
+    val rb = st.withColumn("_bucket", pmod(xxhash64(col("key")), lit(newBuckets)))
+    val vdir = root.resolve(s"v$epochId").toString
+    val ddl = org.apache.spark.sql.types.StructType(
+      rb.schema.filterNot(_.name == "_bucket")).toDDL
+    val writeTasks = math.min(newBuckets,
+      spark.sparkContext.defaultParallelism * 2)
+    rb.repartition(writeTasks, col("_bucket"))
+      .sortWithinPartitions(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+    val written = Using.resource(Files.list(Paths.get(vdir))) { st2 =>
+      st2.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_bucket=")).map(_.stripPrefix("_bucket=").toInt)
+        .toSeq
+    }.sorted
+    val newManifest = written.map(b => b -> (s"$vdir/_bucket=$b", ddl)).toMap
+    val mfName = s"m$epochId.manifest"
+    Files.writeString(root.resolve(mfName),
+      (s"K\t$newBuckets" +: newManifest.toSeq.sortBy(_._1)
+        .map { case (b, (p, d)) => s"$b\t$p\t$d" })
+        .mkString("", "\n", "\n"))
+    // the COMMIT is the swap: the manifest's K line flips layout and
+    // count together; `_buckets` refreshes after as a legacy mirror
+    val tmp = root.resolve(s"CURRENT.tmp$epochId")
+    Files.writeString(tmp, mfName)
+    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.writeString(root.resolve("_buckets"), newBuckets.toString)
+    new BucketedMergeSink(dir, newBuckets)
+  }
+
   def merge(batch: DataFrame, epochId: Long): Unit = {
     // foreachBatch retry of an ALREADY-committed epoch (crash between
     // the manifest swap and Spark's checkpoint commit): overwriting
@@ -272,8 +340,9 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
       val mfName = s"m$epochId.manifest"
       Files.createDirectories(root)
       Files.writeString(root.resolve(mfName),
-        newManifest.toSeq.sortBy(_._1)
-          .map { case (b, (p, d)) => s"$b\t$p\t$d" }.mkString("", "\n", "\n"))
+        (s"K\t$buckets" +: newManifest.toSeq.sortBy(_._1)
+          .map { case (b, (p, d)) => s"$b\t$p\t$d" })
+          .mkString("", "\n", "\n"))
       val tmp = root.resolve(s"CURRENT.tmp$epochId")
       Files.writeString(tmp, mfName)
       Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,

@@ -44,16 +44,28 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
 
   /** Same on-disk-layout guard as the bucketed sink: a different bucket
     * count on reopen would route keys away from their existing state.
+    * The count of record is the CURRENT manifest's `K` line (atomic
+    * with the layout — see BucketedMergeSink.storedBucketCount);
+    * `_buckets` is the pre-K fallback.
     */
-  private def checkBucketCount(): Unit = {
-    val f = root.resolve("_buckets")
-    if (Files.exists(f)) {
-      val stored = Files.readString(f).trim.toInt
-      require(stored == buckets,
+  private def checkBucketCount(): Unit =
+    storedBucketCount match {
+      case Some(stored) => require(stored == buckets,
         s"sink $dir was written with buckets=$stored, opened with $buckets")
-    } else {
-      Files.createDirectories(root)
-      Files.writeString(f, buckets.toString): Unit
+      case None =>
+        Files.createDirectories(root)
+        Files.writeString(root.resolve("_buckets"), buckets.toString): Unit
+    }
+
+  private def storedBucketCount: Option[Int] = {
+    val fromManifest =
+      if (!Files.exists(pointer)) None
+      else Files.readAllLines(
+        root.resolve(Files.readString(pointer).trim)).asScala
+        .find(_.startsWith("K\t")).map(_.split("\t")(1).trim.toInt)
+    fromManifest.orElse {
+      val f = root.resolve("_buckets")
+      if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
     }
   }
 
@@ -252,7 +264,8 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     writeManifest(Manifest(newBase, Seq.empty), epochId)
   }
 
-  private def writeManifest(m: Manifest, epochId: Long): Unit = {
+  private def writeManifest(m: Manifest, epochId: Long,
+                            count: Int = buckets): Unit = {
     val mfName = s"m$epochId.manifest"
     Files.createDirectories(root)
     val baseLines = m.base.toSeq.sortBy(_._1).map {
@@ -262,11 +275,47 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       case (seq, p, d, bs) => s"D\t$seq\t$p\t$d\t${bs.mkString(",")}"
     }
     Files.writeString(root.resolve(mfName),
-      (baseLines ++ deltaLines).mkString("", "\n", "\n"))
+      (s"K\t$count" +: (baseLines ++ deltaLines)).mkString("", "\n", "\n"))
     val tmp = root.resolve(s"CURRENT.tmp$epochId")
     Files.writeString(tmp, mfName)
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** RE-BUCKET COMPACTION (see [[BucketedMergeSink.rebucket]]): the
+    * full merge-on-read state rewrites as a fresh all-base layout under
+    * the new bucket count — outstanding deltas fold in as a side
+    * effect, so the result is also a full compaction. O(table) I/O;
+    * schedule with table growth. Returns the new-count handle; this
+    * instance keeps serving reads but refuses further merges.
+    */
+  def rebucket(spark: SparkSession, newBuckets: Int,
+               epochId: Long): LsmMergeSink = {
+    require(newBuckets > 0, s"newBuckets $newBuckets must be positive")
+    require(committedEpoch.exists(_ < epochId),
+      s"rebucket needs committed state and a fresh epoch id " +
+        s"(committed=$committedEpoch, got $epochId)")
+    val st = state(spark).get
+    val rb = st.withColumn("_bucket",
+      pmod(xxhash64(col("key")), lit(newBuckets)))
+    val vdir = root.resolve(s"v$epochId").toString
+    val ddl = StructType(rb.schema.filterNot(_.name == "_bucket")).toDDL
+    val writeTasks = math.min(newBuckets,
+      spark.sparkContext.defaultParallelism * 2)
+    rb.repartition(writeTasks, col("_bucket"))
+      .sortWithinPartitions(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+    val written = Using.resource(Files.list(Paths.get(vdir))) { st2 =>
+      st2.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_bucket=")).map(_.stripPrefix("_bucket=").toInt)
+        .toSeq
+    }.sorted
+    val newBase = written.map(b => b -> (s"$vdir/_bucket=$b", ddl)).toMap
+    // commit = the swap inside writeManifest; the K line flips layout
+    // and count together, `_buckets` refreshes after as a legacy mirror
+    writeManifest(Manifest(newBase, Seq.empty), epochId, count = newBuckets)
+    Files.writeString(root.resolve("_buckets"), newBuckets.toString)
+    new LsmMergeSink(dir, newBuckets, compactEvery)
   }
 
   /** Delete `d*`/`v*` dirs not referenced by the current manifest. */

@@ -41,17 +41,39 @@ trait CdcSink {
   def committedEpoch: Option[Long]
 }
 
-private[streaming] object CdcSink {
+object CdcSink {
   /** One visible line when a merge is dropped as an epoch replay: a
     * correct retry is silent in effect but should not be silent in the
     * log — a caller whose epoch numbering restarted at 0 over existing
     * state would otherwise see every merge vanish with no trace.
     */
-  def warnReplay(sink: String, epochId: Long, committed: Long): Unit =
+  private[streaming] def warnReplay(sink: String, epochId: Long,
+                                    committed: Long): Unit =
     Console.err.println(
       s"[graft] $sink: skipping merge of epoch $epochId — already committed " +
         s"through v$committed (foreachBatch replay, or a caller whose epoch " +
         s"counter restarted below the sink's committed version)")
+
+  /** Data-sized bucket count for the bucket-partitioned sinks: one
+    * bucket per ~`targetRowsPerBucket` rows, rounded UP to a power of
+    * two and clamped to [16, 65536] — the r7 10× caveat promoted to
+    * code: a PINNED count means per-bucket bytes grow with the table,
+    * so every touched-bucket rewrite inflates ∝ table/buckets (measured
+    * sink_io 30× for 10× data at buckets=128). Size the target so one
+    * bucket lands around a few hundred MB (the default assumes
+    * ordinary ~100 B rows; pass an explicit target for narrow or wide
+    * rows). An EXISTING sink follows growth with `rebucket(...)` — the
+    * count is part of the on-disk layout and must never drift silently.
+    */
+  def heuristicBuckets(rows: Long,
+                       targetRowsPerBucket: Long = 4000000L): Int = {
+    require(targetRowsPerBucket > 0, "targetRowsPerBucket must be positive")
+    val raw = math.max(1L,
+      (rows + targetRowsPerBucket - 1) / targetRowsPerBucket)
+    val p2 = java.lang.Long.highestOneBit(raw)
+    val rounded = if (p2 == raw) raw else p2 * 2
+    math.max(16L, math.min(65536L, rounded)).toInt
+  }
 }
 
 class MergeSink(dir: String) extends CdcSink {

@@ -86,7 +86,8 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     // committedEpoch still reports the old epoch — replayed epochs would
     // be skipped as "already committed" and the history rebuilt wrong
     val legacy = lines.filterNot(l =>
-      l.startsWith("O\t") || l.startsWith("B\t") || l.startsWith("C\t"))
+      l.startsWith("O\t") || l.startsWith("B\t") || l.startsWith("C\t") ||
+        l.startsWith("K\t")) // K = the layout's bucket count
     require(legacy.isEmpty,
       s"$mf contains ${legacy.size} pre-LSM manifest line(s) " +
         s"(e.g. '${legacy.head.take(60)}'): this directory was written by " +
@@ -107,18 +108,29 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
   /** The bucket count is part of the on-disk layout (same hazard as
     * BucketedMergeSink.checkBucketCount): reopening with a different
     * count would route keys away from their stored open versions —
-    * silent duplicate/contradictory history rows. Persisted at first
-    * commit, asserted on every later one.
+    * silent duplicate/contradictory history rows. The count of record
+    * is the CURRENT manifest's `K` line (atomic with the layout it
+    * describes — see BucketedMergeSink.storedBucketCount); `_buckets`
+    * is the pre-K fallback.
     */
-  private def checkBucketCount(): Unit = {
-    val f = root.resolve("_buckets")
-    if (Files.exists(f)) {
-      val stored = Files.readString(f).trim.toInt
-      require(stored == buckets,
+  private def checkBucketCount(): Unit =
+    storedBucketCount match {
+      case Some(stored) => require(stored == buckets,
         s"history $dir was written with buckets=$stored, opened with $buckets")
-    } else {
-      Files.createDirectories(root)
-      Files.writeString(f, buckets.toString): Unit
+      case None =>
+        Files.createDirectories(root)
+        Files.writeString(root.resolve("_buckets"), buckets.toString): Unit
+    }
+
+  private def storedBucketCount: Option[Int] = {
+    val fromManifest =
+      if (!Files.exists(pointer)) None
+      else Files.readAllLines(
+        root.resolve(Files.readString(pointer).trim)).asScala
+        .find(_.startsWith("K\t")).map(_.split("\t")(1).trim.toInt)
+    fromManifest.orElse {
+      val f = root.resolve("_buckets")
+      if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
     }
   }
 
@@ -273,7 +285,8 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     writeManifest(Manifest(m.open, newBase, Seq.empty), epochId)
   }
 
-  private def writeManifest(m: Manifest, epochId: Long): Unit = {
+  private def writeManifest(m: Manifest, epochId: Long,
+                            count: Int = buckets): Unit = {
     val mfName = s"m$epochId.manifest"
     Files.createDirectories(root)
     val openLines = m.open.toSeq.sortBy(_._1).map {
@@ -286,11 +299,62 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       case (seq, p, d, bs) => s"C\t$seq\t$p\t$d\t${bs.mkString(",")}"
     }
     Files.writeString(root.resolve(mfName),
-      (openLines ++ baseLines ++ deltaLines).mkString("", "\n", "\n"))
+      (s"K\t$count" +: (openLines ++ baseLines ++ deltaLines))
+        .mkString("", "\n", "\n"))
     val tmp = root.resolve(s"CURRENT.tmp$epochId")
     Files.writeString(tmp, mfName)
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  /** RE-BUCKET COMPACTION (see [[BucketedMergeSink.rebucket]]): the
+    * full history — closed base, closed deltas, open sets — re-groups
+    * under a NEW bucket count in one partitioned write; outstanding
+    * closed deltas fold into the new base as a side effect. Closed rows
+    * are immutable, so this is pure re-grouping I/O — O(history bytes),
+    * schedule with table growth. Commits like any epoch (manifest `K`
+    * line + atomic swap). Returns the new-count handle; this instance
+    * refuses further merges.
+    */
+  def rebucket(spark: SparkSession, newBuckets: Int,
+               epochId: Long): Scd2Sink = {
+    require(newBuckets > 0, s"newBuckets $newBuckets must be positive")
+    require(committedEpoch.exists(_ < epochId),
+      s"rebucket needs committed history and a fresh epoch id " +
+        s"(committed=$committedEpoch, got $epochId)")
+    val m = manifest
+    val all = readByDdl(spark, m.closedDirs ++ m.open.values.toSeq)
+      .getOrElse(throw new IllegalStateException(s"no committed history in $dir"))
+    val out = all
+      .withColumn("_bucket", pmod(xxhash64(col("key")), lit(newBuckets)))
+      .withColumn("_closed", col("valid_to_pos").isNotNull)
+    val edir = root.resolve(s"e$epochId")
+    val writeTasks = math.min(newBuckets,
+      spark.sparkContext.defaultParallelism * 2)
+    out.repartition(writeTasks, col("_bucket"))
+      .sortWithinPartitions(col("_closed"), col("_bucket"), col("key"),
+        col("valid_from_pos"))
+      .write.mode("overwrite").partitionBy("_closed", "_bucket")
+      .parquet(edir.toString)
+    val ddl = StructType(out.schema
+      .filterNot(f => f.name == "_bucket" || f.name == "_closed")).toDDL
+    def writtenBuckets(cls: String): Seq[Int] = {
+      val d = edir.resolve(s"_closed=$cls")
+      if (!Files.exists(d)) Nil
+      else Using.resource(Files.list(d)) { st =>
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_bucket="))
+          .map(_.stripPrefix("_bucket=").toInt).toSeq
+      }.sorted
+    }
+    val newOpen = writtenBuckets("false").map(b =>
+      b -> (s"$edir/_closed=false/_bucket=$b", ddl)).toMap
+    val newBase = writtenBuckets("true").map(b =>
+      b -> (s"$edir/_closed=true/_bucket=$b", ddl)).toMap
+    writeManifest(Manifest(newOpen, newBase, Seq.empty), epochId,
+      count = newBuckets)
+    Files.writeString(root.resolve("_buckets"), newBuckets.toString)
+    new Scd2Sink(dir, newBuckets, compactEvery)
   }
 
   /** Delete `e*`/`b*` dirs no longer referenced by the current manifest

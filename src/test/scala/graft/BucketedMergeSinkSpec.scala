@@ -137,4 +137,35 @@ class BucketedMergeSinkSpec extends AnyFunSuite {
       canon(Materialize.latestState(feed)))
     assert(sink.committedEpoch.contains(1L))
   }
+
+  test("rebucket: state identical, new count merges on, old handle " +
+      "refuses, pre-rebucket time travel intact") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "orders"), "orders")
+    val dir = Files.createTempDirectory("bsink-rb").toString
+    val sink = new BucketedMergeSink(dir, buckets = 8)
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    sink.merge(feed.filter(col("op") === "u"), 1L)
+    val before = canon(sink.view(spark))
+    val grown = sink.rebucket(spark, 32, 2L)
+    assert(canon(grown.view(spark)) == before,
+      "rebucket must preserve state byte-for-byte (by value)")
+    // reopening cold also sees the NEW count (manifest K line)
+    assertThrows[IllegalArgumentException] {
+      new BucketedMergeSink(dir, buckets = 8)
+        .merge(feed.filter(col("op") === "d"), 3L)
+    }
+    // the old handle refuses further merges — its count no longer
+    // matches the committed layout
+    assertThrows[IllegalArgumentException] {
+      sink.merge(feed.filter(col("op") === "d"), 3L)
+    }
+    // new handle merges on under the new layout
+    grown.merge(feed.filter(col("op") === "d"), 3L)
+    assert(canon(grown.view(spark)) == canon(Materialize.latestState(feed)))
+    // pre-rebucket epochs still time-travel against the OLD layout
+    assert(canon(grown.viewAt(spark, 1L)) == before)
+    assert(grown.changedBuckets(1L, 2L).nonEmpty,
+      "rebucket epoch must report buckets changed (ids re-keyed)")
+  }
 }

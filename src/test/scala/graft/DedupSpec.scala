@@ -122,6 +122,47 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low (${got.size}/${truth.size})")
   }
 
+  test("lshParams: banding climbs with corpus size, recall target held") {
+    // the dial the r7 10x step showed must scale: r (and b with it)
+    // must grow as N grows, so chance candidates stay ~N
+    val byN = Seq(500L, 5000L, 50000L, 1000000000L)
+      .map(n => n -> Dedup.lshParams(0.8, n))
+    val rs = byN.map(_._2._2)
+    assert(rs == rs.sorted, s"rowsPerBand must be monotone in N: $byN")
+    assert(rs.head >= 2 && rs.last >= 7,
+      s"1e9 docs should land near the documented r~8 regime: $byN")
+    byN.foreach { case (n, (b, r)) =>
+      // recall: miss probability at the threshold stays under target
+      val miss = math.pow(1 - math.pow(0.8, r), b)
+      assert(miss <= 1e-6, s"n=$n (b=$b,r=$r) miss=$miss")
+      // bounded chance-candidate volume per doc at the default s_bg
+      assert(n / 2.0 * b * math.pow(0.05, r) <= 1.0 + 1e-9,
+        s"n=$n (b=$b,r=$r) fp volume unbounded")
+    }
+    // auto entry point delegates to the derived dial: same pairs as the
+    // explicit call with those parameters
+    val (b0, r0) = Dedup.lshParams(0.8, docs.count())
+    val auto = Dedup.minhashLshPairsAuto(docs, 3, 0.8)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val explicit = Dedup.minhashLshPairs(docs, 3, b0, r0, 0.8)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(auto == explicit)
+  }
+
+  test("semanticDedupAuto equals semanticDedup at heuristicK(N)") {
+    import graft.analytics.Ivf
+    val k = Ivf.heuristicK(embs.count())
+    assert(k == 22, s"500 vectors should size to k=22 cells, got $k")
+    val auto = Similarity.semanticDedupAuto(embs, minSim = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val explicit = Similarity.semanticDedup(embs,
+      Ivf.pretrainedCentroids(k, 64), minSim = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(auto == explicit)
+  }
+
   test("simhash pairs are mostly high-jaccard") {
     val pairs = Dedup.simhashPairs(docs, 3)
       .select("id_a", "id_b").collect()

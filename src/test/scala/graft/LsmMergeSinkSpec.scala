@@ -150,4 +150,39 @@ class LsmMergeSinkSpec extends AnyFunSuite {
     assert(canon(sink.view(spark)) ==
       canon(Materialize.latestState(feed)))
   }
+
+  test("rebucket: folds deltas, preserves state, new count merges on") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "orders"), "orders")
+    val dir = Files.createTempDirectory("lsink-rb").toString
+    val sink = new LsmMergeSink(dir, buckets = 8, compactEvery = 100)
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    sink.merge(feed.filter(col("op") === "u"), 1L)
+    val before = canon(sink.view(spark))
+    val grown = sink.rebucket(spark, 32, 2L)
+    assert(canon(grown.view(spark)) == before)
+    // rebucket is also a full compaction: all-base manifest, no deltas
+    assert(grown.manifest.deltas.isEmpty && grown.manifest.base.nonEmpty)
+    // committed count follows the manifest: old count refuses cold too
+    assertThrows[IllegalArgumentException] {
+      new LsmMergeSink(dir, buckets = 8).merge(
+        feed.filter(col("op") === "d"), 3L)
+    }
+    assertThrows[IllegalArgumentException] {
+      sink.merge(feed.filter(col("op") === "d"), 3L)
+    }
+    grown.merge(feed.filter(col("op") === "d"), 3L)
+    assert(canon(grown.view(spark)) == canon(Materialize.latestState(feed)))
+  }
+
+  test("heuristicBuckets: power-of-two, clamped, tracks table size") {
+    import graft.streaming.CdcSink.heuristicBuckets
+    assert(heuristicBuckets(0L) == 16)
+    assert(heuristicBuckets(1000000L) == 16) // below the floor
+    assert(heuristicBuckets(1000000000L) == 256) // 1e9/4e6=250 → 256
+    assert(heuristicBuckets(1000000000000L) == 65536) // capped
+    assert(heuristicBuckets(185000L, 2000L) == 128) // bench-scale target
+    // 10× data → ~10× buckets (the property the r7 caveat demanded)
+    assert(heuristicBuckets(1850000L, 2000L) == 1024)
+  }
 }

@@ -149,4 +149,26 @@ class Scd2Spec extends AnyFunSuite {
     // before any event: empty (key 0's read sits at pos 0)
     assert(Scd2.asOf(h, -1L).count() == 0)
   }
+
+  test("rebucket: full history preserved, deltas folded, new count merges") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "supplier"), "supplier")
+    val dir = java.nio.file.Files.createTempDirectory("scd2-rb").toString
+    val sink = new graft.streaming.Scd2Sink(dir, buckets = 8,
+      compactEvery = 100)
+    sink.merge(feed.filter(col("op") === "r"), 0L)
+    sink.merge(feed.filter(col("op") === "u"), 1L)
+    val before = canon(sink.history(spark))
+    val grown = sink.rebucket(spark, 32, 2L)
+    assert(canon(grown.history(spark)) == before,
+      "rebucket must preserve the full history (closed + open rows)")
+    assert(grown.manifest.deltas.isEmpty,
+      "rebucket folds outstanding closed deltas into the new base")
+    assertThrows[IllegalArgumentException] {
+      sink.merge(feed.filter(col("op") === "d"), 3L)
+    }
+    grown.merge(feed.filter(col("op") === "d"), 3L)
+    // post-rebucket maintenance converges to the batch history
+    assert(canon(grown.history(spark)) == canon(Scd2.historyTable(feed)))
+  }
 }
