@@ -41,6 +41,26 @@ object CloudEvents {
       s"unsupported CloudEvents data serializer: $other (json|avro)")
   }
 
+  /** STRUCTURED mode with the AVRO envelope serializer
+    * (`cloudevents.serializer.type=avro`, reference
+    * `CloudEventsConverter.java:70-77` — both the envelope format and
+    * the data format are independently json|avro): one flat record per
+    * event carrying the CE attribute set plus the SERIALIZED data bytes
+    * (the reference keeps the data schema under a separate `-data`
+    * registry subject, `DATA_SCHEMA_SUFFIX` — here the caller supplies
+    * it the same way). Returns `(ce_id, ce_source, ce_specversion,
+    * ce_type, ce_time_ms, ce_datacontenttype, data)` ready for the
+    * per-partition Avro codec (see the `f_cloudevents_avro` round trip).
+    */
+  def avroEnvelope(df: DataFrame, data: Column,
+                   sourcePrefix: String = "/graft",
+                   dataSerializer: String = "avro"): DataFrame =
+    attributes(df, sourcePrefix).select(
+      col("ce_id"), col("ce_source"), col("ce_specversion"),
+      col("ce_type"), col("ce_time_ms"),
+      lit(dataContentType(dataSerializer)).as("ce_datacontenttype"),
+      data.as("data"))
+
   /** BINARY content mode (`CloudEventsConverter.java:81-87`): event
     * attributes map to `ce_`-prefixed message HEADERS per the CloudEvents
     * Kafka protocol binding, the message value carries ONLY the event

@@ -231,6 +231,44 @@ object ExtendedQueries extends QueryGroup {
         "o_orderstatus", "op")
     }),
 
+    // §2.8 CloudEvents structured mode, AVRO ENVELOPE serializer: the
+    // whole envelope record (attributes + serialized data bytes)
+    // Avro-encodes through the real codec — here with the json DATA
+    // content type, the reference's avro/json serializer combination —
+    // and the round trip decodes both layers back for the oracle
+    "f_cloudevents_avro" -> ((s, dir) => {
+      import s.implicits._
+      val fd = feed(s, dir, "orders")
+      val env = graft.functions.CloudEvents.avroEnvelope(fd,
+        data = to_json(struct(
+          coalesce(col("after.o_orderkey"), col("before.o_orderkey"))
+            .as("o_orderkey"),
+          coalesce(col("after.o_orderstatus"), col("before.o_orderstatus"))
+            .as("o_orderstatus"),
+          col("op"))).cast("binary"),
+        dataSerializer = "json")
+      val envSchema = env.schema
+      val wire = env.mapPartitions { rows =>
+        val avro = graft.serde.AvroFormat.avroSchema(envSchema)
+        rows.map { r =>
+          val bytes = graft.serde.AvroFormat.encode(r, envSchema, avro)
+          require(bytes.length >= 8,
+            s"implausible avro envelope: ${bytes.length}B")
+          val vs = graft.serde.AvroFormat.decode(bytes, envSchema, avro)
+          (vs(0).asInstanceOf[String], vs(3).asInstanceOf[String],
+            vs(5).asInstanceOf[String],
+            new String(vs(6).asInstanceOf[Array[Byte]],
+              java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }.toDF("ce_id", "ce_type", "ce_datacontenttype", "data_json")
+      wire.select(col("ce_id"), col("ce_type"), col("ce_datacontenttype"),
+        get_json_object(col("data_json"), "$.o_orderkey").cast("long")
+          .as("o_orderkey"),
+        get_json_object(col("data_json"), "$.o_orderstatus")
+          .as("o_orderstatus"),
+        get_json_object(col("data_json"), "$.op").as("op"))
+    }),
+
     // embedded-engine Protobuf format: positional proto3 message over
     // the in-repo wire codec (varint/fixed64/length-delimited, absent =
     // null presence), identity round trip incl. a double field
@@ -367,6 +405,20 @@ object ExtendedQueries extends QueryGroup {
         |UNION ALL
         |SELECT concat('orders-', o_orderkey*10+2), 'io.graft.orders.d',
         | 'application/avro', o_orderkey, o_orderstatus, 'd'
+        | FROM orders WHERE o_orderkey%13=6""".stripMargin,
+
+    "f_cloudevents_avro" ->
+      """SELECT concat('orders-', o_orderkey*10) AS ce_id,
+        | 'io.graft.orders.r' AS ce_type,
+        | 'application/json' AS ce_datacontenttype,
+        | o_orderkey, o_orderstatus, 'r' AS op FROM orders
+        |UNION ALL
+        |SELECT concat('orders-', o_orderkey*10+1), 'io.graft.orders.u',
+        | 'application/json', o_orderkey, 'U', 'u'
+        | FROM orders WHERE o_orderkey%7=3
+        |UNION ALL
+        |SELECT concat('orders-', o_orderkey*10+2), 'io.graft.orders.d',
+        | 'application/json', o_orderkey, o_orderstatus, 'd'
         | FROM orders WHERE o_orderkey%13=6""".stripMargin,
 
     "f_protobuf_roundtrip" ->

@@ -16,11 +16,13 @@ object LshProbe {
     graft.expressions.GraftFunctions.register(spark)
     args.foreach { dir =>
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val sig = graft.analytics.Dedup.minhashSignatures(docs, 3, 32)
+      // the AUTO dial (Dedup.lshParams): banding follows corpus size
+      val (bands, rpb) = graft.analytics.Dedup.lshParams(0.8, docs.count())
+      val sig = graft.analytics.Dedup.minhashSignatures(docs, 3, bands * rpb)
       val banded = sig.select(col("doc_id"),
-        explode(array((0 until 16).map { b =>
+        explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
-            hash(slice(col("sig"), b * 2 + 1, 2)).as("sig"))
+            hash(slice(col("sig"), b * rpb + 1, rpb)).as("sig"))
         }: _*)).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"),
           col("bs.sig").as("sig"))
@@ -28,7 +30,9 @@ object LshProbe {
         .agg(count(lit(1)).as("n")).filter(col("n") > 1)
       val stats = occ.agg(sum(col("n") * (col("n") - 1) / 2).as("pairs"),
         max(col("n")).as("maxBucket"), count(lit(1)).as("buckets")).head
-      println(s"PROBE $dir pairs=${stats.get(0)} maxBucket=${stats.get(1)} buckets=${stats.get(2)}")
+      println(s"PROBE $dir bands=$bands rowsPerBand=$rpb " +
+        s"pairs=${stats.get(0)} maxBucket=${stats.get(1)} " +
+        s"buckets=${stats.get(2)}")
     }
     spark.stop()
   }

@@ -193,6 +193,15 @@ class PlanSpec extends AnyFunSuite {
       "interval membership must not plan as a cartesian product")
   }
 
+  test("mongo incremental snapshot: window side broadcasts, dedup " +
+      "anti-join keyed, no cartesian") {
+    val p = plan("s12_incremental_snapshot")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-chunk window table should broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("pgsnapshot watermark brackets broadcast onto the chunk rows; " +
       "the dedup anti-join stays keyed") {
     val p = plan("s5_readonly_pgsnapshot")
