@@ -333,7 +333,19 @@ object EngineQueries extends QueryGroup {
               ("score", "DOUBLE", true)), k)),
         ("postgres", "insert", SqlDialects.Postgres.insert("t", k, v)),
         ("postgres", "update", SqlDialects.Postgres.update("t", k, v)),
-        ("postgres", "delete", SqlDialects.Postgres.delete("t", k)))
+        ("postgres", "delete", SqlDialects.Postgres.delete("t", k)),
+        // postgres.unnest.insert batch mode: one ?::type[] per COLUMN —
+        // SQL text constant in batch size (single cached plan)
+        ("postgres", "unnest_insert", SqlDialects.Postgres.unnestInsert("t",
+          Seq("id" -> "int8"), Seq("name" -> "text", "score" -> "float8"))),
+        ("postgres", "unnest_upsert", SqlDialects.Postgres.unnestUpsert("t",
+          Seq("id" -> "int8"), Seq("name" -> "text", "score" -> "float8"))),
+        ("postgres", "unnest_upsert_keyonly",
+          SqlDialects.Postgres.unnestUpsert("t", Seq("id" -> "int8"), Nil)),
+        // sqlserver.identity.insert: bracket with SET IDENTITY_INSERT
+        ("sqlserver", "identity_insert",
+          SqlDialects.SqlServer.identityInsertWrap("t",
+            SqlDialects.SqlServer.insert("t", k, v))))
       import s.implicits._
       rows.toDF("dialect", "kind", "sql")
     })
@@ -448,7 +460,11 @@ object EngineQueries extends QueryGroup {
         | ('starrocks', 'create_table', 'CREATE TABLE t (id BIGINT NOT NULL, name STRING NULL, score DOUBLE NULL) PRIMARY KEY (id) DISTRIBUTED BY HASH (id)'),
         | ('postgres', 'insert', 'INSERT INTO t (id, name, score) VALUES (?, ?, ?)'),
         | ('postgres', 'update', 'UPDATE t SET name=?, score=? WHERE id=?'),
-        | ('postgres', 'delete', 'DELETE FROM t WHERE id=?')
+        | ('postgres', 'delete', 'DELETE FROM t WHERE id=?'),
+        | ('postgres', 'unnest_insert', 'INSERT INTO t (id,name,score) SELECT * FROM UNNEST(?::int8[],?::text[],?::float8[])'),
+        | ('postgres', 'unnest_upsert', 'INSERT INTO t (id,name,score) SELECT * FROM UNNEST(?::int8[],?::text[],?::float8[]) ON CONFLICT (id) DO UPDATE SET name=EXCLUDED.name,score=EXCLUDED.score'),
+        | ('postgres', 'unnest_upsert_keyonly', 'INSERT INTO t (id) SELECT * FROM UNNEST(?::int8[]) ON CONFLICT (id) DO NOTHING'),
+        | ('sqlserver', 'identity_insert', 'SET IDENTITY_INSERT t ON ;INSERT INTO t (id, name, score) VALUES (?, ?, ?);SET IDENTITY_INSERT t OFF ;')
         |) AS t(dialect, kind, sql)""".stripMargin
   )
 

@@ -113,6 +113,36 @@ object SqlDialects {
       if (nonKey.isEmpty) s"$head DO NOTHING"
       else s"$head DO UPDATE SET ${nonKey.map(c => s"$c=EXCLUDED.$c").mkString(",")}"
     }
+
+    /** Multi-row batch INSERT via UNNEST (the reference's
+      * `postgres.unnest.insert` mode, `PostgresDatabaseDialect
+      * .getBatchInsertStatement`): ONE `?::type[]` placeholder per
+      * COLUMN, each bound as a SQL array — the SQL text is identical at
+      * every batch size, so the server plans it once, and a 10k-row
+      * batch ships as |columns| array binds instead of 10k row binds.
+      * Columns arrive as (name, pg type) pairs because the array cast
+      * needs the element type.
+      */
+    def unnestInsert(table: String, key: Seq[(String, String)],
+                     nonKey: Seq[(String, String)]): String = {
+      val cols = key ++ nonKey
+      s"INSERT INTO $table (${cols.map(_._1).mkString(",")}) " +
+        "SELECT * FROM UNNEST(" +
+        cols.map { case (_, t) => s"?::$t[]" }.mkString(",") + ")"
+    }
+
+    /** The UNNEST batch form of [[upsert]] (`getBatchUpsertStatement`):
+      * batch insert + the same ON CONFLICT tail, DO NOTHING for
+      * key-only records.
+      */
+    def unnestUpsert(table: String, key: Seq[(String, String)],
+                     nonKey: Seq[(String, String)]): String = {
+      val head = unnestInsert(table, key, nonKey) +
+        s" ON CONFLICT (${key.map(_._1).mkString(",")})"
+      if (nonKey.isEmpty) s"$head DO NOTHING"
+      else s"$head DO UPDATE SET " +
+        nonKey.map { case (c, _) => s"$c=EXCLUDED.$c" }.mkString(",")
+    }
   }
 
   /** MySQL ≥ 8.0.20 (ref `dialect/mysql/MySqlDatabaseDialect.java:199-231`):
@@ -170,6 +200,14 @@ object SqlDialects {
       s"MERGE INTO $table WITH (HOLDLOCK) AS TARGET USING (SELECT $incoming) AS INCOMING ON ($on)" +
         matched + s" WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals);"
     }
+
+    /** `sqlserver.identity.insert` (reference `SqlServerDatabaseDialect
+      * .wrapWithIdentityInsert`): bracket the statement with
+      * SET IDENTITY_INSERT ON/OFF so explicit values land in identity
+      * key columns.
+      */
+    def identityInsertWrap(table: String, sql: String): String =
+      s"SET IDENTITY_INSERT $table ON ;$sql;SET IDENTITY_INSERT $table OFF ;"
   }
 
   /** Oracle (ref `dialect/oracle/OracleDatabaseDialect.java:113-134`):
