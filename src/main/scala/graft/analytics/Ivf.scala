@@ -312,6 +312,84 @@ object Ivf {
       .cast("int")
   }
 
+  /** Group `centroids` under ~√k COARSE means: a pure-driver Lloyd's
+    * over the k centroid points themselves (k rows — trivial work),
+    * deterministic (seeds = first g centroids, first-minimal
+    * assignment). Returns (coarse means, member index lists); groups
+    * that end empty are dropped. Support structure for
+    * [[cellOfTwoLevelNative]].
+    */
+  def coarseGroups(cents: Seq[Centroid],
+                   iters: Int = 10): (Seq[Centroid], Seq[Seq[Int]]) = {
+    require(cents.nonEmpty, "no centroids to group")
+    val k = cents.length
+    val g = math.max(1, math.round(math.sqrt(k.toDouble)).toInt)
+    def d2(a: Centroid, b: Centroid): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var means: IndexedSeq[Centroid] = cents.take(g).map(_.clone()).toIndexedSeq
+    var assign = new Array[Int](k)
+    (0 until iters).foreach { _ =>
+      var i = 0
+      while (i < k) {
+        var best = 0; var bd = Double.MaxValue; var gi = 0
+        while (gi < means.length) {
+          val d = d2(cents(i), means(gi))
+          if (d < bd) { bd = d; best = gi }
+          gi += 1
+        }
+        assign(i) = best; i += 1
+      }
+      means = means.indices.map { gi =>
+        val mem = (0 until k).filter(assign(_) == gi)
+        if (mem.isEmpty) means(gi)
+        else {
+          val m = new Array[Double](cents(0).length)
+          mem.foreach { i2 =>
+            var j = 0
+            while (j < m.length) { m(j) += cents(i2)(j); j += 1 }
+          }
+          var j = 0
+          while (j < m.length) { m(j) /= mem.length; j += 1 }
+          m
+        }
+      }
+    }
+    val byGroup = (0 until k).groupBy(assign(_))
+    val live = means.indices.filter(byGroup.contains)
+    (live.map(means(_)), live.map(gi => byGroup(gi).toSeq))
+  }
+
+  /** Above this cell count the flat per-row centroid scan (O(k·d)) is
+    * the dominant cost — with k following the corpus (the
+    * dedup-blocking regime) it is the N^1.5 term of the r8 scale notes
+    * — so [[graft.analytics.Similarity.semanticDedupAuto]] switches to
+    * the coarse-fine assignment at this point.
+    */
+  val twoLevelCellThreshold = 256
+
+  /** COARSE-FINE cell assignment (native codegen,
+    * [[graft.expressions.TwoLevelNearestCell]]): scan the ~√k coarse
+    * means, probe the `probeGroups` nearest groups, argmin over only
+    * their members — O(√k·d) per row instead of O(k·d). The result is
+    * the flat argmin RESTRICTED to the probed groups (boundary vectors
+    * may land in a neighboring cell — dedup blocking tolerates this:
+    * pairs are verified by exact cosine, and blocking is approximate by
+    * construction); `probeGroups = #groups` degrades to the exact flat
+    * scan.
+    */
+  def cellOfTwoLevelNative(df: DataFrame)(emb: Column,
+                                          centroids: Seq[Centroid],
+                                          probeGroups: Int = 2): Column = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val (coarse, members) = coarseGroups(centroids)
+    graft.expressions.GraftFunctions.twoLevelCell(emb,
+      coarse.map(_.toSeq), members, centroids.map(_.toSeq), probeGroups)
+      .cast("int")
+  }
+
   /** Columns: indices of the `nprobe` nearest centroids. Interpreted
     * form — prefer `probeCellsNative` on hot query sides.
     */

@@ -95,10 +95,17 @@ object Similarity {
       : (DataFrame, DataFrame) = {
     // persist the per-vector cell assignment: both legs of the
     // self-join consume it, and without the cache each leg re-runs the
-    // k × dims NearestCell loop over the corpus (same rationale as the
-    // simhash signature persist)
+    // assignment loop over the corpus (same rationale as the simhash
+    // signature persist). Above twoLevelCellThreshold cells the
+    // assignment goes COARSE-FINE (O(√k·d)/row, see
+    // Ivf.cellOfTwoLevelNative) — with k following the corpus, the flat
+    // scan is otherwise the dominant N^1.5 term
+    val assign =
+      if (centroids.length >= Ivf.twoLevelCellThreshold)
+        Ivf.cellOfTwoLevelNative(corpus)(col("embedding"), centroids)
+      else Ivf.cellOfNative(corpus)(col("embedding"), centroids)
     val cells = corpus.select(col("vec_id"), col("embedding"),
-      Ivf.cellOfNative(corpus)(col("embedding"), centroids).as("cell"))
+      assign.as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = cells.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("ea"))

@@ -67,6 +67,21 @@ object GraftFunctions {
       NearestCells(exprs(0), mat,
         exprs(2).eval().asInstanceOf[Number].intValue())
     }),
+    "graft_two_level_cell" -> ((exprs: Seq[Expression]) => {
+      require(exprs.drop(1).forall(_.foldable),
+        "two_level_cell coarse/members/centroids/probeGroups must be literals")
+      def dmat(e: Expression) = {
+        val ad = e.eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+        Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+      }
+      val adm = exprs(2).eval().asInstanceOf[
+        org.apache.spark.sql.catalyst.util.ArrayData]
+      val mem = Array.tabulate(adm.numElements())(i =>
+        adm.getArray(i).toIntArray())
+      TwoLevelNearestCell(exprs(0), dmat(exprs(1)), mem, dmat(exprs(3)),
+        exprs(4).eval().asInstanceOf[Number].intValue())
+    }),
     "graft_wkb_swap" -> ((exprs: Seq[Expression]) => WkbSwapAxes(exprs(0))),
     "graft_wkb_from_ewkb" ->
       ((exprs: Seq[Expression]) => WkbFromEwkb(exprs(0))),
@@ -152,6 +167,19 @@ object GraftFunctions {
     call_function("graft_nearest_cells", emb,
       org.apache.spark.sql.functions.typedLit(centroids),
       org.apache.spark.sql.functions.lit(nprobe))
+
+  /** Coarse-fine nearest cell via the native expression — see
+    * [[graft.analytics.Ivf.cellOfTwoLevelNative]] (register(spark)
+    * first).
+    */
+  def twoLevelCell(emb: Column, coarse: Seq[Seq[Double]],
+                   members: Seq[Seq[Int]], centroids: Seq[Seq[Double]],
+                   probeGroups: Int): Column =
+    call_function("graft_two_level_cell", emb,
+      org.apache.spark.sql.functions.typedLit(coarse),
+      org.apache.spark.sql.functions.typedLit(members),
+      org.apache.spark.sql.functions.typedLit(centroids),
+      org.apache.spark.sql.functions.lit(probeGroups))
 
   /** Elementwise array<double> sum aggregate (register(spark) first). */
   def vectorSum(v: Column): Column = call_function("graft_vector_sum", v)

@@ -333,6 +333,47 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fromCol == samples.map(Names.avroSafe))
   }
 
+  test("two-level cell assignment: full probe equals the flat scan; " +
+      "partial probe is the probed-groups argmin") {
+    import graft.analytics.Ivf
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Ivf.pretrainedCentroids(64, 64)
+    val (coarse, members) = Ivf.coarseGroups(cents)
+    assert(members.flatten.sorted == (0 until 64),
+      "groups must partition the 64 cells")
+    // probing EVERY group degrades to the exact flat scan
+    val diff = e.select(
+      Ivf.cellOfNative(e)(col("embedding"), cents).as("flat"),
+      Ivf.cellOfTwoLevelNative(e)(col("embedding"), cents,
+        probeGroups = coarse.length).as("two"))
+      .filter(col("flat") =!= col("two")).count()
+    assert(diff == 0, "full-probe two-level must equal the flat argmin")
+    // partial probe: every result is a valid cell id (approximation
+    // moves boundary vectors to a neighboring cell, never off the map)
+    // and agreement with the flat scan improves monotonically with the
+    // probe width. The absolute level is data-dependent — on THIS
+    // fixture (random vectors vs random pretrained centroids in d=64,
+    // distances concentrate) probeGroups=2 sits around 0.6; fitted
+    // centroids with real cluster structure sit far higher.
+    def res(p: Int) = e.select(
+      Ivf.cellOfNative(e)(col("embedding"), cents).as("flat"),
+      Ivf.cellOfTwoLevelNative(e)(col("embedding"), cents, p).as("two"))
+      .collect()
+    val r2 = res(2)
+    assert(r2.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 64))
+    def agree(rs: Array[org.apache.spark.sql.Row]) =
+      rs.count(r => r.getInt(0) == r.getInt(1)).toDouble / rs.length
+    val (a2, a4) = (agree(r2), agree(res(4)))
+    assert(a2 >= 0.5, s"probeGroups=2 agreement $a2 unexpectedly low")
+    assert(a4 >= a2, s"agreement must improve with probe width: $a2 -> $a4")
+    // dimension mismatch nulls, like NearestCell
+    import spark.implicits._
+    val bad = Seq(Seq(1.0f, 2.0f)).toDF("embedding")
+    assert(bad.select(Ivf.cellOfTwoLevelNative(bad)(col("embedding"),
+      cents, 2).as("c")).collect()(0).isNullAt(0))
+  }
+
   test("heartbeat action: offset advances through the idle tail") {
     import graft.operators.Heartbeat
     import graft.sources.{ChangeFeedGen, Tables}
