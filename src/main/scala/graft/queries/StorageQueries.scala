@@ -355,6 +355,53 @@ object StorageQueries extends QueryGroup {
 
     // S13 kafka signal channel: signals produced to a topic, fetched and
     // parsed into actions (reference KafkaSignalChannel.java).
+    // P7 over the SINK channel (reference SinkNotificationChannel:
+    // every engine notification becomes a record on
+    // `notification.sink.topic.name` — key = the notification id,
+    // value = the Notification struct {id, aggregate_type, type,
+    // additional_data, timestamp}) — produced to the LIVE kafka wire
+    // fixture and fetched back; the reassembled frame must carry the
+    // exact notification set the snapshot emitted
+    "p7_sink_notifications" -> ((s, dir) => {
+      val (port, _, _) = graft.tools.KafkaWireServer.serve()
+      val notes = graft.streaming.Notifications.snapshotNotifications(
+        graft.operators.IncrementalSnapshot.chunked(
+          t(s, dir, "orders").select(col("o_orderkey")),
+          Seq(col("o_orderkey")), 1024))
+        .select(
+          concat(lit("notif-"), col("notification_type"), lit("-"),
+            col("chunk")).as("k"),
+          to_json(struct(
+            concat(lit("notif-"), col("notification_type"), lit("-"),
+              col("chunk")).as("id"),
+            lit("Incremental Snapshot").as("aggregate_type"),
+            col("notification_type").as("type"),
+            struct(col("chunk").cast("string").as("chunk"),
+              col("row_count").cast("string").as("row_count"))
+              .as("additional_data"),
+            (lit(1700000000000L) + col("chunk")).as("timestamp"))).as("v"))
+      val client = new graft.sources.net.KafkaClient("127.0.0.1", port)
+      notes.collect().grouped(500).foreach { chunk =>
+        client.produceStrings("graft-notifications", 0,
+          chunk.map(r => (r.getString(0), r.getString(1))).toSeq)
+      }
+      val fetched = client.fetchAll("graft-notifications", 0)
+      client.close()
+      import s.implicits._
+      fetched.map(r => (new String(r.key, "UTF-8"),
+        new String(r.value, "UTF-8"))).toDF("id", "json")
+        .select(col("id"),
+          get_json_object(col("json"), "$.aggregate_type")
+            .as("aggregate_type"),
+          get_json_object(col("json"), "$.type").as("type"),
+          get_json_object(col("json"), "$.additional_data.chunk")
+            .cast("long").as("chunk"),
+          get_json_object(col("json"), "$.additional_data.row_count")
+            .cast("long").as("row_count"),
+          get_json_object(col("json"), "$.timestamp").cast("long")
+            .as("timestamp"))
+    }),
+
     "s13_kafka_signals" -> ((s, dir) => {
       val (port, _, _) = graft.tools.KafkaWireServer.serve()
       val sig = t(s, dir, "events")
@@ -527,6 +574,23 @@ object StorageQueries extends QueryGroup {
           |      ELSE 'ignore' END AS action,
           | 'orders' AS collection, 'incremental' AS snapshot_type
           |FROM events WHERE event_id % 97 = 0""".stripMargin,
+
+      // the p7_notifications set, wrapped in the sink channel's record
+      // shape (id key, aggregate_type, additional_data, timestamp)
+      "p7_sink_notifications" ->
+        """WITH n AS (
+          | SELECT 'snapshot-started' AS type, CAST(-1 AS BIGINT) AS chunk,
+          |  CAST(0 AS BIGINT) AS row_count
+          | UNION ALL
+          | SELECT 'snapshot-in-progress', chunk, count(*) FROM (
+          |  SELECT CAST(floor((row_number() OVER (ORDER BY o_orderkey)-1)/1024) AS BIGINT) AS chunk
+          |  FROM orders) x GROUP BY chunk
+          | UNION ALL
+          | SELECT 'snapshot-completed', -1, count(*) FROM orders)
+          |SELECT concat('notif-', type, '-', chunk) AS id,
+          | 'Incremental Snapshot' AS aggregate_type, type, chunk, row_count,
+          | 1700000000000 + chunk AS timestamp
+          |FROM n""".stripMargin,
       "s13_file_signals" ->
         """SELECT CAST(event_id AS STRING) AS signal_id,
           | CASE WHEN event_type='signup' THEN 'execute-snapshot'
