@@ -273,6 +273,42 @@ object Transforms {
     refilled.drop((s"_src_$keyCol" +: cols.map(c => s"_src_$c")): _*)
   }
 
+  /** [[reselectColumns]] with the reference's RESELECT CACHE semantics
+    * (`processors/reselect/cache/MemoryReselectColumnCache.java`): an
+    * unavailable (TOAST/LOB) value refills from the key's MOST RECENT
+    * known value already seen IN THE STREAM — the cache hit, a pure
+    * per-key window over `posCol`, no source access — and only keys
+    * with no earlier in-stream value fall back to the source-table
+    * reselect (the cache miss; the fallback join's probe side is
+    * pre-filtered to the still-missing rows, so at scale the re-query
+    * cost tracks MISSES, not unavailable volume — exactly why the
+    * reference added the cache).
+    */
+  def reselectColumnsCached(unwrapped: DataFrame, source: DataFrame,
+                            keyCol: String, posCol: String,
+                            cols: Seq[String],
+                            placeholder: String = "__unavailable"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(posCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cached = cols.foldLeft(unwrapped) { (d, c) =>
+      d.withColumn(c,
+        when(col(c) === placeholder,
+          // last_value over the preceding frame skips placeholders via
+          // the null trick (ignoreNulls), i.e. the newest CACHED value
+          coalesce(
+            last(when(col(c) =!= placeholder, col(c)), ignoreNulls = true)
+              .over(w),
+            col(c)))
+          .otherwise(col(c)))
+    }
+    val stillMissing = cols.map(c => col(c) === placeholder).reduce(_ || _)
+    val hits = cached.filter(!stillMissing)
+    val misses = reselectColumns(cached.filter(stillMissing), source,
+      keyCol, cols, placeholder)
+    hits.unionByName(misses)
+  }
+
   // --- T5: propagate source metadata into field metadata (reference
   //     `relational/mapping/PropagateSourceMetadataToSchemaParameter.java`) ---
   def propagateSourceMetadata(schema: StructType, table: String,

@@ -76,6 +76,27 @@ object PipelineQueries extends QueryGroup {
         Seq("o_orderpriority"))
     }),
 
+    // T22 with the RESELECT CACHE (MemoryReselectColumnCache): an
+    // unavailable value refills from the key's newest value already
+    // seen in the stream (cache hit — here the stream's own 'S-'
+    // prefixed reads, distinguishable from the table), and only keys
+    // with no in-stream history fall back to the source-table re-query
+    // (odd keys here fill with the PLAIN table value)
+    "t22_reselect_cached" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val reads = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), lit("r").as("op"),
+          concat(lit("S-"), col("o_orderpriority")).as("o_orderpriority"),
+          (col("o_orderkey") * 10).as("pos"))
+      val updates = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("u").as("op"),
+          lit("__unavailable").as("o_orderpriority"),
+          (col("o_orderkey") * 10 + 5).as("pos"))
+      Transforms.reselectColumnsCached(reads.unionByName(updates), orders,
+        "o_orderkey", "pos", Seq("o_orderpriority"))
+        .select(col("o_orderkey"), col("op"), col("o_orderpriority"))
+    }),
+
     // P2: dispatcher fan-out counts over a mixed stream
     "p2_dispatch_counts" -> ((s, dir) => {
       val fd = feed(s, dir, "orders")
@@ -190,6 +211,18 @@ object PipelineQueries extends QueryGroup {
     "t22_reselect" ->
       """SELECT o_orderkey, o_orderpriority, 'u' AS op
         |FROM orders WHERE o_orderkey%7=3""".stripMargin,
+
+    // hits (even keys) fill with the STREAM's S- value; misses (odd
+    // keys, no in-stream history) fill with the plain table value
+    "t22_reselect_cached" ->
+      """SELECT o_orderkey, 'r' AS op,
+        | concat('S-', o_orderpriority) AS o_orderpriority
+        |FROM orders WHERE o_orderkey%2=0
+        |UNION ALL
+        |SELECT o_orderkey, 'u',
+        | CASE WHEN o_orderkey%2=0 THEN concat('S-', o_orderpriority)
+        |      ELSE o_orderpriority END
+        |FROM orders WHERE o_orderkey%3=0""".stripMargin,
 
     "p2_dispatch_counts" ->
       """SELECT 'data' AS event_class,
