@@ -71,4 +71,29 @@ object Router {
       col(keyField).as("key"),
       col(payloadField).as("value"),
       col("*"))
+
+  /** [[outbox]] with `table.expand.json.payload=true` (reference
+    * `EventRouterConfigDefinition.java:342` +
+    * `EventRouterDelegate`'s JSON expansion): the string payload parses
+    * into a STRUCTURED `value` — schema inferred once from the payload
+    * corpus (the reference builds a schema per record; one
+    * corpus-consistent schema is the Spark-native equivalent, and
+    * fields null in every payload drop like the reference's
+    * JsonPayloadNullFieldBehavior.IGNORE). Unparseable payloads surface
+    * as a null struct rather than poisoning the batch.
+    */
+  def outboxExpanded(df: DataFrame, routeByField: String = "aggregatetype",
+                     keyField: String = "aggregateid",
+                     payloadField: String = "payload",
+                     topicPrefix: String = "outbox.event"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = spark.read.option("dropFieldIfAllNull", "true")
+      .json(df.select(col(payloadField)).as[String]).schema
+    df.select(
+      concat(lit(topicPrefix + "."), col(routeByField)).as("topic"),
+      col(keyField).as("key"),
+      from_json(col(payloadField), schema).as("value"),
+      col("*"))
+  }
 }

@@ -67,6 +67,22 @@ object RoutingQueries extends QueryGroup {
         col("id"), col("type"))
     }),
 
+    // R3 with table.expand.json.payload=true: the payload string parses
+    // into a structured value (schema inferred from the payload corpus),
+    // so consumers read typed fields instead of JSON text
+    "r3_outbox_expanded" -> ((s, dir) => {
+      val ob = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("id"),
+        col("o_orderstatus").as("aggregatetype"),
+        col("o_custkey").cast("string").as("aggregateid"),
+        concat(lit("{\"order\":"), col("o_orderkey"),
+          lit(",\"priority\":\""), col("o_orderpriority"),
+          lit("\"}")).as("payload"))
+      Router.outboxExpanded(ob).select(col("topic"), col("key"),
+        col("value.order").as("order"),
+        col("value.priority").as("priority"), col("id"))
+    }),
+
     // P4: per-event transaction ordering metadata
     "p4_tx_order" -> ((s, dir) =>
       TxMetadata.attach(feed(s, dir, "orders"))
@@ -136,6 +152,13 @@ object RoutingQueries extends QueryGroup {
         | o_orderpriority AS type
         |FROM orders""".stripMargin,
 
+    "r3_outbox_expanded" ->
+      """SELECT 'outbox.event.' || o_orderstatus AS topic,
+        | CAST(o_custkey AS VARCHAR) AS key,
+        | o_orderkey AS "order", o_orderpriority AS priority,
+        | CAST(o_orderkey AS VARCHAR) AS id
+        |FROM orders""".stripMargin,
+
     "p4_tx_order" ->
       s"""WITH ev AS ($streamEvents)
          |SELECT o_orderkey, op, pos, $txExpr AS tx_id,
@@ -157,5 +180,6 @@ object RoutingQueries extends QueryGroup {
         |FROM events WHERE event_type = 'signup'""".stripMargin
   )
 
-  override val duckdbOnly: Set[String] = Set("s13_signal_parse", "r3_outbox")
+  override val duckdbOnly: Set[String] =
+    Set("s13_signal_parse", "r3_outbox", "r3_outbox_expanded")
 }
