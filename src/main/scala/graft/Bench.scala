@@ -51,7 +51,11 @@ object Bench {
     val xJson = sinkCrossover(spark)
     val loadEnd = loadAvg()
     val cpus2 = Runtime.getRuntime.availableProcessors()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sink_io_bytes":$ioJson,"sink_crossover":$xJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"host_cpus":$cpus2,"sf":"$sfDir"}"""
+    // bench_cpus = the local[N] the run actually used. Absolute times are
+    // only comparable between runs with the SAME value: an 8-core run
+    // reads ~1.3x slower than a 16-core run uniformly, and table-rewrite
+    // legs (the crossover's full sink) degrade super-linearly.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sink_io_bytes":$ioJson,"sink_crossover":$xJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"host_cpus":$cpus2,"bench_cpus":$cpus,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_r*.json keeps only a ~2KB tail of this line, so
     // two-thirds of the per-query history is lost round-over-round; also

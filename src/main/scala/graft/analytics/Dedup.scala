@@ -366,15 +366,25 @@ object Dedup {
   /** [[minhashLshPairs]] with [[lshParams]]-derived banding — the
     * default entry point (one `count()` job sizes the dial).
     */
+  /** Above this permutation count the auto path switches the signature
+    * stage to one-permutation hashing ([[graft.expressions.OnePermMinHash]],
+    * O(shingles + k) per doc): `lshParams` drives the count into the
+    * hundreds as the corpus grows, and the classic signature's
+    * shingles × permutations inner loop comes to dominate the pipeline.
+    */
+  val OnePermCutoff = 96
+
   def minhashLshPairsAuto(docs: DataFrame, shingleSize: Int,
                           minJaccard: Double,
                           sBg: Double = 0.05): DataFrame = {
     val (bands, rowsPerBand) = lshParams(minJaccard, docs.count(), sBg)
-    minhashLshPairs(docs, shingleSize, bands, rowsPerBand, minJaccard)
+    minhashLshPairs(docs, shingleSize, bands, rowsPerBand, minJaccard,
+      onePerm = bands * rowsPerBand >= OnePermCutoff)
   }
 
   def minhashLshPairs(docs: DataFrame, shingleSize: Int, bands: Int,
-                      rowsPerBand: Int, minJaccard: Double): DataFrame = {
+                      rowsPerBand: Int, minJaccard: Double,
+                      onePerm: Boolean = false): DataFrame = {
     graft.expressions.GraftFunctions.register(docs.sparkSession)
     val numPerm = bands * rowsPerBand
     // shingle sets computed ONCE PER DOC and carried to the verify —
@@ -383,7 +393,8 @@ object Dedup {
     val sh = docs.select(col("doc_id"),
       shingles(col("text"), shingleSize).as("sh"))
     val sig = sh.select(col("doc_id"),
-      graft.expressions.GraftFunctions.minhash(col("sh"), numPerm).as("sig"))
+      (if (onePerm) graft.expressions.GraftFunctions.onePermMinhash(col("sh"), numPerm)
+       else graft.expressions.GraftFunctions.minhash(col("sh"), numPerm)).as("sig"))
     val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("sig"))

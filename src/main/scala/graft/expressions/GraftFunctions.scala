@@ -26,6 +26,11 @@ object GraftFunctions {
       MinHashSignature(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())
     }),
+    "graft_oneperm_minhash" -> ((exprs: Seq[Expression]) => {
+      require(exprs(1).foldable, "oneperm_minhash k must be a literal")
+      OnePermMinHash(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())
+    }),
     // Spark's internal runtime-filter bloom expressions surfaced as
     // callable functions: build over xxhash64 values, probe with a
     // foldable serialized-filter literal. Both codegen; no UDFs.
@@ -202,6 +207,14 @@ object GraftFunctions {
   def minhash(shingles: Column, numPerm: Int): Column =
     call_function("graft_minhash", shingles,
       org.apache.spark.sql.functions.lit(numPerm))
+
+  /** One-permutation densified MinHash signature with `k` slots
+    * (register(spark) first) — O(shingles + k) per row vs [[minhash]]'s
+    * O(shingles × k).
+    */
+  def onePermMinhash(shingles: Column, k: Int): Column =
+    call_function("graft_oneperm_minhash", shingles,
+      org.apache.spark.sql.functions.lit(k))
 
   /** One-pass SimHash of a token-set column (register(spark) first). */
   def simhash(tokens: Column, bits: Int, useMd5: Boolean): Column =

@@ -138,6 +138,116 @@ object TypeHandling {
   /** Apply the config to both envelope payload images. */
   def convertEnvelope(feed: DataFrame, cfg: Config): DataFrame =
     convertStruct(convertStruct(feed, "before", cfg), "after", cfg)
+
+  // --- interval.handling.mode (ref `PostgresConnectorConfig.java:988`,
+  // also Oracle INTERVAL YEAR/DAY TO SECOND): numeric → the approximate
+  // MicroDuration epoch-micros INT64, string → ISO-8601 `PnYnMnDTnHnMnS`.
+
+  /** The reference's month-length approximation
+    * (`time/MicroDuration.java:26` `DAYS_PER_MONTH_AVG = 365.25/12`).
+    */
+  val DaysPerMonthAvg: Double = 365.25 / 12.0
+
+  /** `interval.handling.mode=numeric`: component columns → approximate
+    * duration in microseconds, exactly the reference's double-arithmetic
+    * fold (`time/MicroDuration.java:77-86`): days = (y*12+m)*avg + d;
+    * seconds = ((days*24+h)*60+mi)*60+s; micros = trunc(seconds*1e6)+µs.
+    * All components are non-negative in a Postgres interval's normalized
+    * form, so the Java `(long)` truncation is a `floor` here (floor is
+    * also what DuckDB's `//` replays — NOTES double→int pitfall).
+    */
+  def intervalMicros(years: Column, months: Column, days: Column,
+                     hours: Column, minutes: Column, seconds: Column,
+                     micros: Column): Column = {
+    val nDays = (years * lit(12) + months).cast(DoubleType) *
+      lit(DaysPerMonthAvg) + days
+    val nSecs = ((nDays * lit(24) + hours) * lit(60) + minutes) * lit(60) +
+      seconds
+    floor(nSecs * lit(1e6) + micros.cast(DoubleType)).cast(LongType)
+  }
+
+  /** `interval.handling.mode=string`: ISO-8601 interval string, the
+    * reference's exact rendering (`time/Interval.java:73-79`): every
+    * component printed (zeroes included), fractional seconds only when
+    * micros ≠ 0 and with trailing zeroes stripped
+    * (`BigDecimal.stripTrailingZeros`).
+    */
+  def intervalIso(years: Column, months: Column, days: Column,
+                  hours: Column, minutes: Column, seconds: Column,
+                  micros: Column): Column = {
+    val frac = when(micros === 0, seconds.cast(StringType))
+      .otherwise(concat(seconds.cast(StringType), lit("."),
+        regexp_replace(lpad(micros.cast(StringType), 6, "0"), "0+$", "")))
+    concat(lit("P"), years.cast(StringType), lit("Y"),
+      months.cast(StringType), lit("M"), days.cast(StringType), lit("DT"),
+      hours.cast(StringType), lit("H"), minutes.cast(StringType), lit("M"),
+      frac, lit("S"))
+  }
+
+  // --- hstore.handling.mode (ref `PostgresConnectorConfig.java:978`,
+  // `PostgresValueConverter` convertHstoreToMap/convertHstoreToJsonString):
+  // the hstore text literal `"k"=>"v", ...` surfaces as a MAP or as a
+  // JSON object string.
+
+  /** `hstore.handling.mode=map`: parse the hstore text into
+    * `map<string,string>` (pair grammar `"k"=>"v"`; pure column
+    * expressions — two regexp extraction passes + `map_from_arrays`).
+    */
+  def hstoreToMap(c: Column): Column = {
+    val pair = "\"([^\"]*)\"=>\"([^\"]*)\""
+    map_from_arrays(
+      regexp_extract_all(c, lit(pair), lit(1)),
+      regexp_extract_all(c, lit(pair), lit(2)))
+  }
+
+  /** `hstore.handling.mode=json`: the same pairs as a JSON object string
+    * (`{"k":"v",...}`), source pair order preserved like the reference's
+    * streaming writer.
+    */
+  def hstoreToJson(c: Column): Column = to_json(hstoreToMap(c))
+
+  // --- PG MONEY through decimal.handling.mode with the scale pinned to
+  // `money.fraction.digits` (ref `PostgresConnectorConfig.java:1151`,
+  // `PostgresValueConverter.convertMoney:951`): precise → DECIMAL at the
+  // configured scale (RoundingMode.HALF_UP — ties away from zero, which
+  // both Spark's decimal re-scale cast and DuckDB's decimal cast apply),
+  // double → the plain double, string → the scaled decimal rendered.
+
+  /** `decimal.handling.mode=precise` for a money column: DECIMAL(38,d)
+    * with HALF_UP re-scale, d = `money.fraction.digits` (default 2).
+    */
+  def moneyPrecise(c: Column, fractionDigits: Int = 2): Column =
+    c.cast(DecimalType(38, fractionDigits))
+
+  /** `decimal.handling.mode=double` for a money column. */
+  def moneyDouble(c: Column): Column = c.cast(DoubleType)
+
+  /** `decimal.handling.mode=string` for a money column: the scaled
+    * decimal's plain rendering (`BigDecimal.setScale(d).toString`).
+    */
+  def moneyString(c: Column, fractionDigits: Int = 2): Column =
+    moneyPrecise(c, fractionDigits).cast(StringType)
+
+  // --- bigint.unsigned.handling.mode (ref
+  // `BinlogConnectorConfig.java:506`, `MySqlValueConverters`): how a
+  // MySQL BIGINT UNSIGNED — held in the engine as its wrapped SIGNED
+  // 64-bit image — surfaces in the payload.
+
+  private val TwoPow64 = BigDecimal(2).pow(64)
+
+  /** `long` mode: the wrapped signed INT64 as-is (values ≥ 2⁶³ appear
+    * negative — the reference's documented caveat for this mode).
+    */
+  def unsignedAsLong(wrapped: Column): Column = wrapped.cast(LongType)
+
+  /** `precise` mode: the true unsigned value as DECIMAL(20,0) —
+    * `wrapped + 2⁶⁴` when the signed image is negative.
+    */
+  def unsignedAsPrecise(wrapped: Column): Column = {
+    val d = wrapped.cast(DecimalType(20, 0))
+    when(wrapped < 0, (d + lit(TwoPow64).cast(DecimalType(21, 0)))
+      .cast(DecimalType(20, 0))).otherwise(d)
+  }
 }
 
 /** Pluggable per-column value override — the reference's `CustomConverter`

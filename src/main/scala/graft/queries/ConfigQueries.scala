@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructField
+import org.apache.spark.sql.types.{DecimalType, StringType, StructField}
 import graft.Pipeline
 import graft.model.{Envelope, Snapshotter}
 import graft.operators.{CustomConverter, Materialize, TypeHandling}
@@ -119,6 +119,80 @@ object ConfigQueries extends QueryGroup {
         .filter(col("op") === "r")
         .select(col("after.o_orderkey").as("o_orderkey"),
           col("after.o_orderdate").as("order_date_iso"))
+    }),
+
+    // interval.handling.mode (ref PostgresConnectorConfig.java:988):
+    // numeric (MicroDuration epoch-µs, the 365.25/12 month approximation)
+    // vs string (ISO-8601 PnYnMnDTnHnMnS) from the same components —
+    // synthesized per-row so every component (incl. µs=0 and the
+    // trailing-zero strip) is exercised
+    "c_interval_handling" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_orderkey") % 3).as("y"), (col("o_orderkey") % 12).as("mo"),
+        (col("o_orderkey") % 28).as("d"), (col("o_orderkey") % 24).as("h"),
+        (col("o_orderkey") % 60).as("mi"), (col("o_orderkey") % 60).as("sec"),
+        ((col("o_orderkey") * 7919) % 1000000).as("us"))
+      val fd = ChangeFeedGen.feed(o, "orders", o("o_orderkey").cast("long"),
+        Map.empty, Some(Seq("o_orderkey"))).filter(col("op") === "r")
+      def comp(n: String) = col(s"after.$n")
+      fd.select(col("after.o_orderkey").as("o_orderkey"),
+        intervalMicros(comp("y"), comp("mo"), comp("d"), comp("h"),
+          comp("mi"), comp("sec"), comp("us")).as("iv_micros"),
+        intervalIso(comp("y"), comp("mo"), comp("d"), comp("h"),
+          comp("mi"), comp("sec"), comp("us")).as("iv_iso"))
+    }),
+
+    // hstore.handling.mode (ref PostgresConnectorConfig.java:978): the
+    // hstore text literal as a real MAP (looked up per key) and as a
+    // JSON object string
+    "c_hstore_handling" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        concat(lit("\"seg\"=>\""), col("c_mktsegment"),
+          lit("\", \"nation\"=>\""), col("c_nationkey").cast("string"),
+          lit("\"")).as("attrs"))
+      val fd = ChangeFeedGen.feed(c, "customer", c("c_custkey").cast("long"),
+        Map.empty, Some(Seq("c_custkey"))).filter(col("op") === "r")
+      val m = hstoreToMap(col("after.attrs"))
+      fd.select(col("after.c_custkey").as("c_custkey"),
+        element_at(m, "seg").as("seg_val"),
+        element_at(m, "nation").as("nation_val"),
+        hstoreToJson(col("after.attrs")).as("attrs_json"))
+    }),
+
+    // bigint.unsigned.handling.mode (ref BinlogConnectorConfig.java:506):
+    // long (wrapped signed image, ≥2⁶³ appears negative) vs precise
+    // (true unsigned value as DECIMAL(20,0))
+    "c_unsigned_handling" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_orderkey") % 2 === 1,
+          -(col("o_orderkey") * 1000003 + 5))
+          .otherwise(col("o_orderkey") * 1000003 + 5).as("u64"))
+      val fd = ChangeFeedGen.feed(o, "orders", o("o_orderkey").cast("long"),
+        Map.empty, Some(Seq("o_orderkey"))).filter(col("op") === "r")
+      fd.select(col("after.o_orderkey").as("o_orderkey"),
+        unsignedAsLong(col("after.u64")).as("u_long"),
+        unsignedAsPrecise(col("after.u64")).as("u_precise"))
+    }),
+
+    // PG MONEY via decimal.handling.mode with money.fraction.digits
+    // (ref PostgresConnectorConfig.java:1151, convertMoney:951): precise
+    // (DECIMAL at the configured scale, HALF_UP — exercised by a cents
+    // value carrying 4 source decimals incl. a .xx5 tie), double, string
+    "c_money_handling" -> ((s, dir) => {
+      // exact 4-decimal source amounts built from integer parts (no
+      // float anywhere); o_orderkey ≡ 25 (mod 50) rows land on a .xx50
+      // tie, exercising the HALF_UP re-scale
+      val n = col("o_orderkey") * 25 + col("o_orderkey") % 10000
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        concat(call_function("div", n, lit(10000L)).cast(StringType),
+          lit("."), lpad((n % 10000).cast(StringType), 4, "0"))
+          .cast(DecimalType(20, 4)).as("amount"))
+      val fd = ChangeFeedGen.feed(o, "orders", o("o_orderkey").cast("long"),
+        Map.empty, Some(Seq("o_orderkey"))).filter(col("op") === "r")
+      fd.select(col("after.o_orderkey").as("o_orderkey"),
+        moneyPrecise(col("after.amount")).as("m_precise"),
+        moneyDouble(col("after.amount")).as("m_double"),
+        moneyString(col("after.amount")).as("m_string"))
     }),
 
     // tombstones.on.delete: the emitted post-delete tombstone records
@@ -404,6 +478,59 @@ object ConfigQueries extends QueryGroup {
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date_iso
         |FROM orders""".stripMargin,
 
+    // replays MicroDuration.durationMicros / Interval.toIsoString exactly:
+    // same double-arithmetic fold and operator order as the Spark side, so
+    // the IEEE result is bit-identical; floor() because the Java (long)
+    // cast truncates (components are non-negative) while DuckDB's CAST
+    // rounds
+    "c_interval_handling" ->
+      """WITH x AS (SELECT o_orderkey, o_orderkey%3 AS y, o_orderkey%12 AS mo,
+        |  o_orderkey%28 AS d, o_orderkey%24 AS h, o_orderkey%60 AS mi,
+        |  o_orderkey%60 AS s, (o_orderkey*7919)%1000000 AS us FROM orders)
+        |SELECT o_orderkey,
+        | CAST(floor((((((y*12+mo)*30.4375+d)*24+h)*60+mi)*60+s)*1e6
+        |   + us) AS BIGINT) AS iv_micros,
+        | 'P' || y || 'Y' || mo || 'M' || d || 'DT' || h || 'H' || mi || 'M'
+        |   || CASE WHEN us=0 THEN CAST(s AS VARCHAR)
+        |      ELSE s || '.' ||
+        |        regexp_replace(lpad(CAST(us AS VARCHAR),6,'0'),'0+$','')
+        |      END || 'S' AS iv_iso
+        |FROM x""".stripMargin,
+
+    "c_hstore_handling" ->
+      """SELECT c_custkey, c_mktsegment AS seg_val,
+        | CAST(c_nationkey AS VARCHAR) AS nation_val,
+        | '{"seg":"' || c_mktsegment || '","nation":"' || c_nationkey
+        |   || '"}' AS attrs_json
+        |FROM customer""".stripMargin,
+
+    "c_unsigned_handling" ->
+      """WITH x AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey%2=1 THEN -(o_orderkey*1000003+5)
+        |       ELSE o_orderkey*1000003+5 END AS u64 FROM orders)
+        |SELECT o_orderkey, u64 AS u_long,
+        | CAST(CASE WHEN u64<0
+        |   THEN CAST(u64 AS DECIMAL(21,0))
+        |     + CAST('18446744073709551616' AS DECIMAL(21,0))
+        |   ELSE CAST(u64 AS DECIMAL(21,0)) END
+        |  AS DECIMAL(20,0)) AS u_precise
+        |FROM x""".stripMargin,
+
+    // replays convertMoney: precise re-scales HALF_UP (both engines round
+    // decimal ties away from zero), double/string derive from the same
+    // exact DECIMAL(20,4) amount — no float arithmetic anywhere upstream
+    "c_money_handling" ->
+      """WITH x AS (SELECT o_orderkey,
+        |  o_orderkey*25 + o_orderkey%10000 AS n FROM orders),
+        |y AS (SELECT o_orderkey, CAST(CAST(n//10000 AS VARCHAR) || '.' ||
+        |  lpad(CAST(n%10000 AS VARCHAR),4,'0') AS DECIMAL(20,4)) AS amount
+        |  FROM x)
+        |SELECT o_orderkey,
+        | CAST(round(amount,2) AS DECIMAL(38,2)) AS m_precise,
+        | CAST(amount AS DOUBLE) AS m_double,
+        | CAST(CAST(round(amount,2) AS DECIMAL(38,2)) AS VARCHAR) AS m_string
+        |FROM y""".stripMargin,
+
     "k_tombstone_records" ->
       """SELECT o_orderkey, 'x' AS op, o_orderkey*10+3 AS pos,
         | true AS before_null, true AS after_null
@@ -509,6 +636,7 @@ object ConfigQueries extends QueryGroup {
 
   override val duckdbOnly: Set[String] = Set(
     "c_decimal_handling", "c_time_precision", "c_time_isostring",
-    "c_binary_handling",
+    "c_binary_handling", "c_interval_handling", "c_hstore_handling",
+    "c_unsigned_handling", "c_money_handling",
     "c_custom_converter", "c_structured_temporal", "t9_document_infer")
 }

@@ -137,6 +137,19 @@ object CorpusQueries extends QueryGroup {
       Dedup.minhashLshPairsAuto(t(s, dir, "documents"),
         shingleSize = 3, minJaccard = 0.8)),
 
+    // One-permutation densified MinHash (Li/Owen/Zhang OPH + Shrivastava
+    // rotation densification): every shingle hashed ONCE — the signature
+    // stage goes O(shingles + slots) instead of O(shingles × perms), the
+    // shape that dominates as lshParams drives the permutation count into
+    // the hundreds. Same banding, same exact-Jaccard verify, so the
+    // output still equals the exact all-pairs oracle.
+    "a_minhash_oph" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (bands, rowsPerBand) = Dedup.lshParams(0.8, docs.count())
+      Dedup.minhashLshPairs(docs, shingleSize = 3, bands, rowsPerBand,
+        minJaccard = 0.8, onePerm = true)
+    }),
+
     // Portable 32-bit simhash (md5-derived token hash) in 4 bands of 8
     // bits: hamming <= 3 < nBands pairs provably share a band (recall 1.0),
     // so the output is exactly the all-pairs hamming computation the
@@ -1493,6 +1506,10 @@ object CorpusQueries extends QueryGroup {
 
     "a_minhash_lsh" -> minhashOracle,
 
+    // candidates differ (OPH banding) but the exact-verified output is
+    // the same ground truth
+    "a_minhash_oph" -> minhashOracle,
+
     // cross-side restriction + per-training-doc aggregation of the exact
     // all-pairs computation a_minhash_lsh equals
     "a_neardup_decontaminate" ->
@@ -2191,7 +2208,8 @@ object CorpusQueries extends QueryGroup {
     "a_curation_pipeline", "a_vocab_coverage",
     "a_stratified_sample", "a_train_split",
     "a_embed_norms", "a_ann_topk", "a_hard_negatives", "a_matryoshka_topk",
-    "a_cosine_pairs", "a_minhash_lsh", "a_simhash_pairs", "a_ann_lsh",
+    "a_cosine_pairs", "a_minhash_lsh", "a_minhash_oph", "a_simhash_pairs",
+    "a_ann_lsh",
     "a_ann_ivf", "a_ann_ivf_index", "a_semantic_dedup",
     "a_passage_dedup", "a_substring_dedup", "a_lm_score", "a_source_overlap",
     "a_mixture_sample", "a_mixture_pack", "a_embed_quantize",

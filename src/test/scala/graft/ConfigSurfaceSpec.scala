@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructField
+import org.apache.spark.sql.types.{DecimalType, StructField}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.model.Snapshotter
 import graft.operators.{CustomConverter, CustomConverterRegistry, Materialize, TypeHandling}
@@ -323,6 +323,76 @@ class ConfigSurfaceSpec extends AnyFunSuite {
         assert(DdlParser.primaryKeyOf(createSql) == Seq("ID"))
       case other => fail(s"expected CreateTable, got $other")
     }
+  }
+
+  test("interval handling: numeric replays MicroDuration, string the ISO form") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1, 2, 3, 4, 5, 6, 780000),  // P1Y2M3DT4H5M6.78S
+      (2L, 0, 0, 0, 0, 0, 0, 0),       // zero interval — every component printed
+      (3L, 0, 0, 1, 0, 0, 30, 500000)) // trailing-zero strip: 30.5
+      .toDF("id", "y", "mo", "d", "h", "mi", "s", "us")
+    val out = df.select(col("id"),
+      intervalMicros(col("y"), col("mo"), col("d"), col("h"), col("mi"),
+        col("s"), col("us")).as("n"),
+      intervalIso(col("y"), col("mo"), col("d"), col("h"), col("mi"),
+        col("s"), col("us")).as("iso"))
+      .orderBy("id").collect()
+    // reference arithmetic (MicroDuration.durationMicros, avg=365.25/12)
+    def ref(y: Int, mo: Int, d: Int, h: Int, mi: Int, s: Int, us: Int): Long = {
+      val days = (y * 12 + mo) * (365.25 / 12.0) + d
+      val secs = ((days * 24 + h) * 60 + mi) * 60 + s
+      (secs * 1e6 + us).toLong
+    }
+    assert(out(0).getLong(1) == ref(1, 2, 3, 4, 5, 6, 780000))
+    assert(out(0).getString(2) == "P1Y2M3DT4H5M6.78S")
+    assert(out(1).getLong(1) == 0L)
+    assert(out(1).getString(2) == "P0Y0M0DT0H0M0S")
+    assert(out(2).getString(2) == "P0Y0M1DT0H0M30.5S")
+  }
+
+  test("hstore handling: map parses pairs, json renders the object") {
+    import spark.implicits._
+    val df = Seq((1L, "\"a\"=>\"x\", \"b\"=>\"2\"")).toDF("id", "hs")
+    val got = df.select(
+      element_at(hstoreToMap(col("hs")), "a").as("a"),
+      element_at(hstoreToMap(col("hs")), "b").as("b"),
+      hstoreToJson(col("hs")).as("j")).head()
+    assert(got.getString(0) == "x" && got.getString(1) == "2")
+    assert(got.getString(2) == """{"a":"x","b":"2"}""")
+  }
+
+  test("unsigned handling: long keeps the wrapped image, precise adds 2^64") {
+    import spark.implicits._
+    val df = Seq(5L, -3L).toDF("u64")
+    val got = df.select(col("u64"),
+      unsignedAsLong(col("u64")).as("l"),
+      unsignedAsPrecise(col("u64")).as("p")).orderBy(col("u64").desc).collect()
+    assert(got(0).getLong(1) == 5L &&
+      got(0).getDecimal(2) == new java.math.BigDecimal(5))
+    // -3 as u64 = 2^64 - 3 = 18446744073709551613
+    assert(got(1).getLong(1) == -3L &&
+      got(1).getDecimal(2) ==
+        new java.math.BigDecimal("18446744073709551613"))
+  }
+
+  test("money handling: precise rescales HALF_UP, double/string derive") {
+    import spark.implicits._
+    val df = Seq("1.0050", "2.3449", "7.9999").toDF("s")
+      .select(col("s").cast(DecimalType(20, 4)).as("m"))
+    val got = df.select(
+      moneyPrecise(col("m")).as("p"),
+      moneyDouble(col("m")).as("d"),
+      moneyString(col("m")).as("str")).orderBy("p").collect()
+    // .0050 is a tie — HALF_UP rounds away from zero
+    assert(got(0).getDecimal(0) == new java.math.BigDecimal("1.01"))
+    assert(got(1).getDecimal(0) == new java.math.BigDecimal("2.34"))
+    assert(got(2).getDecimal(0) == new java.math.BigDecimal("8.00"))
+    assert(got(0).getDouble(1) == 1.005)
+    assert(got(0).getString(2) == "1.01")
+    // non-default money.fraction.digits
+    val d4 = df.select(moneyString(col("m"), 3).as("s3")).orderBy("s3").head()
+    assert(d4.getString(0) == "1.005")
   }
 
   test("tombstones: emitted after deletes, ignored by materialization") {

@@ -151,6 +151,61 @@ class DedupSpec extends AnyFunSuite {
     assert(auto == explicit)
   }
 
+  test("OPH densify: rotation semantics, cyclic wrap, all-empty fill") {
+    import graft.expressions.OnePermMinHash.densify
+    val E = Long.MaxValue
+    // interior empties borrow the nearest non-empty to the cyclic RIGHT,
+    // offset by the borrow distance
+    val a = Array(E, 5L, E, E, 9L)
+    densify(a)
+    assert(a.toSeq == Seq(6L, 5L, 11L, 10L, 9L))
+    // top suffix wraps to the lowest non-empty bin
+    val b = Array(E, 7L, E, E, E)
+    densify(b)
+    assert(b.toSeq == Seq(8L, 7L, 11L, 10L, 9L))
+    // no shingles at all: deterministic position-keyed fill
+    val c1 = Array.fill(8)(E); val c2 = Array.fill(8)(E)
+    densify(c1); densify(c2)
+    assert(c1.toSeq == c2.toSeq && c1.forall(_ != E))
+  }
+
+  test("OPH signature: slot agreement tracks Jaccard; codegen = eval") {
+    import spark.implicits._
+    import graft.expressions.GraftFunctions
+    GraftFunctions.register(spark)
+    // |A ∩ B| = 90, |A ∪ B| = 110 → J ≈ 0.818
+    val A = (1 to 100).map(_.toString)
+    val B = (11 to 110).map(_.toString)
+    val df = Seq((1L, A), (2L, B)).toDF("doc_id", "sh")
+      .select(col("doc_id"), GraftFunctions.onePermMinhash(col("sh"), 200).as("sig"))
+    val rows = df.orderBy("doc_id").collect()
+      .map(_.getSeq[Long](1).toArray)
+    val agree = rows(0).zip(rows(1)).count { case (x, y) => x == y } / 200.0
+    assert(agree > 0.6 && agree < 0.95,
+      s"slot agreement $agree should track J≈0.82")
+    // interpreted eval path must match the codegen path
+    val expr = graft.expressions.OnePermMinHash(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          A.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)), 200)
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(interp.toSeq == rows(0).toSeq)
+  }
+
+  test("OPH minhash-LSH: exact-verified pairs equal ground truth") {
+    val truth = exactPairs(0.8, shingleN = 3)
+    val (b0, r0) = Dedup.lshParams(0.8, docs.count())
+    val got = Dedup.minhashLshPairs(docs, 3, b0, r0, 0.8, onePerm = true)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got.subsetOf(truth), s"false positives: ${(got -- truth).take(5)}")
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.95, s"recall $recall (${got.size}/${truth.size})")
+  }
+
   test("semanticDedupAuto equals semanticDedup at heuristicK(N)") {
     import graft.analytics.Ivf
     val k = Ivf.heuristicK(embs.count())
