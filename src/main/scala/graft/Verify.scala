@@ -9,7 +9,9 @@ object Verify {
     val outDir = args(1)
     // optional 3rd arg: comma-separated query names (local iteration aid)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2)
+        Some(args(2).stripPrefix("only=").split(",").toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,6 +26,14 @@ object Verify {
     // size-derived query/oracle parameters (heuristic k, LSH banding)
     // resolve against THIS run's data directory
     graft.queries.QueryContext.dataDir = Some(sfDir)
+    // fresh output dir: a partial `only=` run must not leave stale
+    // sibling dumps from an earlier invocation next to its results
+    val outPath = Paths.get(outDir)
+    if (Files.exists(outPath)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(outPath).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -21,7 +21,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * true nearest cell lies outside the probed groups lands in the best
   * probed cell instead; `probeGroups = coarse.length` degrades to the
   * exact flat scan. NULL contract as [[NearestCell]]: dimension
-  * mismatch or empty centroids → NULL.
+  * mismatch or empty centroids → NULL. A degenerate (zero-norm)
+  * vector — whose normalized distances are all NaN — lands in cell 0,
+  * matching the flat scan.
   */
 case class TwoLevelNearestCell(child: Expression,
                                coarse: Array[Array[Double]],
@@ -89,6 +91,10 @@ case class TwoLevelNearestCell(child: Expression,
         if (!taken(gi) && cd(gi) < sd) { sd = cd(gi); sel = gi }
         gi += 1
       }
+      // a zero-norm vector makes every coarse distance NaN, so no group
+      // is ever selected — stop probing instead of indexing taken(-1)
+      if (sel < 0) t = p
+      else {
       taken(sel) = true
       // argmin over the selected group's members
       val mem = members(sel)
@@ -105,9 +111,12 @@ case class TwoLevelNearestCell(child: Expression,
         if (d < bd || (d == bd && cell < best)) { bd = d; best = cell }
         k += 1
       }
+      }
       t += 1
     }
-    if (best < 0) null else best
+    // degenerate (zero-norm / all-NaN) vectors land in cell 0, matching
+    // the flat NearestCell scan's behavior for the same input
+    if (best < 0) 0 else best
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -153,6 +162,7 @@ case class TwoLevelNearestCell(child: Expression,
          |    for (int gi = 0; gi < $co.length; gi++) {
          |      if (!$taken[gi] && $cd[gi] < sd) { sd = $cd[gi]; sel = gi; }
          |    }
+         |    if (sel < 0) break; // zero-norm vector: every distance is NaN
          |    $taken[sel] = true;
          |    int[] mem = $me[sel];
          |    for (int k = 0; k < mem.length; k++) {
@@ -166,8 +176,7 @@ case class TwoLevelNearestCell(child: Expression,
          |      if (d < $bd || (d == $bd && cell < $best)) { $bd = d; $best = cell; }
          |    }
          |  }
-         |  if ($best < 0) { ${ev.isNull} = true; }
-         |  else { ${ev.value} = $best; }
+         |  ${ev.value} = ($best < 0) ? 0 : $best;
          |}
        """.stripMargin
     })

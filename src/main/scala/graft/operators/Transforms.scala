@@ -302,7 +302,10 @@ object Transforms {
             col(c)))
           .otherwise(col(c)))
     }
-    val stillMissing = cols.map(c => col(c) === placeholder).reduce(_ || _)
+    // null-safe equality: a legitimate NULL in a reselect column must
+    // route the row to the hit side, not evaluate the predicate to NULL
+    // (which would fail BOTH filters and silently drop the row)
+    val stillMissing = cols.map(c => col(c) <=> placeholder).reduce(_ || _)
     val hits = cached.filter(!stillMissing)
     val misses = reselectColumns(cached.filter(stillMissing), source,
       keyCol, cols, placeholder)

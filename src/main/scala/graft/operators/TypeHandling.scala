@@ -190,14 +190,26 @@ object TypeHandling {
   // JSON object string.
 
   /** `hstore.handling.mode=map`: parse the hstore text into
-    * `map<string,string>` (pair grammar `"k"=>"v"`; pure column
-    * expressions — two regexp extraction passes + `map_from_arrays`).
+    * `map<string,string>` (pure column expressions — two regexp
+    * extraction passes + `map_from_arrays`). Pair grammar `"k"=>"v"`
+    * plus the two cases PG's renderer also emits: an unquoted `NULL`
+    * value (preserved as a map null, matching the reference's
+    * `convertHstoreToMap`) and backslash escapes (`\"`, `\\`) inside
+    * quoted keys/values (unescaped on extraction).
     */
   def hstoreToMap(c: Column): Column = {
-    val pair = "\"([^\"]*)\"=>\"([^\"]*)\""
-    map_from_arrays(
-      regexp_extract_all(c, lit(pair), lit(1)),
-      regexp_extract_all(c, lit(pair), lit(2)))
+    // quoted token: any run of non-quote/non-backslash chars or escapes
+    val q = "\"((?:[^\"\\\\]|\\\\.)*)\""
+    val pair = s"$q=>($q|NULL)"
+    def unescape(s: Column): Column =
+      regexp_replace(s, "\\\\(.)", "$1")
+    val keys = transform(regexp_extract_all(c, lit(pair), lit(1)),
+      k => unescape(k))
+    // group 2 is the full value token: `"v"` (quotes kept) or `NULL`
+    val vals = transform(regexp_extract_all(c, lit(pair), lit(2)), v =>
+      when(v === "NULL", lit(null: String))
+        .otherwise(unescape(regexp_replace(v, "^\"|\"$", ""))))
+    map_from_arrays(keys, vals)
   }
 
   /** `hstore.handling.mode=json`: the same pairs as a JSON object string

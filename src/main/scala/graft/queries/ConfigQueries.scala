@@ -169,9 +169,16 @@ object ConfigQueries extends QueryGroup {
           .otherwise(col("o_orderkey") * 1000003 + 5).as("u64"))
       val fd = ChangeFeedGen.feed(o, "orders", o("o_orderkey").cast("long"),
         Map.empty, Some(Seq("o_orderkey"))).filter(col("op") === "r")
+      // u_precise surfaces as STRING in the verified output: its
+      // DECIMAL(20,0) values reach ~1.8e19 > 2^53, beyond float64's
+      // exact-integer range, so no float-side canonicalization can
+      // round-trip it (the reference ships decimal.handling.mode=string
+      // for exactly this reason). unsignedAsPrecise itself stays
+      // decimal-typed for engine users (pinned in ConfigSurfaceSpec).
       fd.select(col("after.o_orderkey").as("o_orderkey"),
         unsignedAsLong(col("after.u64")).as("u_long"),
-        unsignedAsPrecise(col("after.u64")).as("u_precise"))
+        unsignedAsPrecise(col("after.u64")).cast(StringType)
+          .as("u_precise"))
     }),
 
     // PG MONEY via decimal.handling.mode with money.fraction.digits
@@ -189,8 +196,13 @@ object ConfigQueries extends QueryGroup {
           .cast(DecimalType(20, 4)).as("amount"))
       val fd = ChangeFeedGen.feed(o, "orders", o("o_orderkey").cast("long"),
         Map.empty, Some(Seq("o_orderkey"))).filter(col("op") === "r")
+      // m_precise rendered as its plain decimal string in the verified
+      // output (hash-stable across Spark decimal128 vs DuckDB's pandas
+      // decimal→float64); moneyPrecise itself stays DECIMAL(38,2) for
+      // engine users (pinned in ConfigSurfaceSpec).
       fd.select(col("after.o_orderkey").as("o_orderkey"),
-        moneyPrecise(col("after.amount")).as("m_precise"),
+        moneyPrecise(col("after.amount")).cast(StringType)
+          .as("m_precise"),
         moneyDouble(col("after.amount")).as("m_double"),
         moneyString(col("after.amount")).as("m_string"))
     }),
@@ -509,11 +521,11 @@ object ConfigQueries extends QueryGroup {
         |  CASE WHEN o_orderkey%2=1 THEN -(o_orderkey*1000003+5)
         |       ELSE o_orderkey*1000003+5 END AS u64 FROM orders)
         |SELECT o_orderkey, u64 AS u_long,
-        | CAST(CASE WHEN u64<0
+        | CAST(CAST(CASE WHEN u64<0
         |   THEN CAST(u64 AS DECIMAL(21,0))
         |     + CAST('18446744073709551616' AS DECIMAL(21,0))
         |   ELSE CAST(u64 AS DECIMAL(21,0)) END
-        |  AS DECIMAL(20,0)) AS u_precise
+        |  AS DECIMAL(20,0)) AS VARCHAR) AS u_precise
         |FROM x""".stripMargin,
 
     // replays convertMoney: precise re-scales HALF_UP (both engines round
@@ -526,7 +538,7 @@ object ConfigQueries extends QueryGroup {
         |  lpad(CAST(n%10000 AS VARCHAR),4,'0') AS DECIMAL(20,4)) AS amount
         |  FROM x)
         |SELECT o_orderkey,
-        | CAST(round(amount,2) AS DECIMAL(38,2)) AS m_precise,
+        | CAST(CAST(round(amount,2) AS DECIMAL(38,2)) AS VARCHAR) AS m_precise,
         | CAST(amount AS DOUBLE) AS m_double,
         | CAST(CAST(round(amount,2) AS DECIMAL(38,2)) AS VARCHAR) AS m_string
         |FROM y""".stripMargin,

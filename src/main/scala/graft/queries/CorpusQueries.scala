@@ -812,13 +812,51 @@ object CorpusQueries extends QueryGroup {
       val lit = c.mkString("[", ",", "]")
       s"list_sum(list_transform(list_zip(ne, $lit::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])))"
     }.mkString("[", ", ", "]")
+    // Above Ivf.twoLevelCellThreshold the ENGINE assigns cells via the
+    // coarse-fine restricted argmin (probeGroups=2); the oracle must
+    // replay the SAME restriction or boundary vectors land in different
+    // cells exactly in the regime the optimization targets. coarseGroups
+    // is deterministic driver-side, so both sides derive identical
+    // (coarse means, members) from the same centroid literals.
+    val cellsCte =
+      if (k < graft.analytics.Ivf.twoLevelCellThreshold)
+        s""" d AS (SELECT vec_id, emb, $distList AS dists FROM n),
+           | cells AS (SELECT vec_id, emb,
+           |   list_indexof(dists, list_min(dists)) - 1 AS cell FROM d),""".stripMargin
+      else {
+        val (coarse, members) = graft.analytics.Ivf.coarseGroups(cents)
+        val g = coarse.length
+        val probe = math.min(2, g)
+        val cdistList = coarse.map { c =>
+          val lit = c.mkString("[", ",", "]")
+          s"list_sum(list_transform(list_zip(ne, $lit::DOUBLE[]), p -> (p[1]-p[2])*(p[1]-p[2])))"
+        }.mkString("[", ", ", "]")
+        // group index per cell (literal lookup list, 1-based in SQL)
+        val grpOfCell = new Array[Int](k)
+        members.zipWithIndex.foreach { case (mem, gi) =>
+          mem.foreach(c => grpOfCell(c) = gi) }
+        val grpList = grpOfCell.mkString("[", ",", "]")
+        // probed groups = the `probe` nearest coarse means by (dist, idx);
+        // non-member cells masked to +huge so the flat first-min argmin
+        // is restricted to the probed groups' members (engine tie-break:
+        // lowest cell index wins — list_indexof returns the first hit)
+        s""" d AS (SELECT vec_id, emb, $distList AS dists,
+           |   $cdistList AS cdists FROM n),
+           | p AS (SELECT vec_id, emb, dists,
+           |   list_transform(list_sort(list_zip(cdists, range(0, $g))),
+           |     q -> q[2])[1:$probe] AS pg FROM d),
+           | msk AS (SELECT vec_id, emb,
+           |   list_transform(list_zip(dists, $grpList),
+           |     q -> CASE WHEN list_contains(pg, q[2]) THEN q[1]
+           |          ELSE 1e308 END) AS m FROM p),
+           | cells AS (SELECT vec_id, emb,
+           |   list_indexof(m, list_min(m)) - 1 AS cell FROM msk),""".stripMargin
+      }
     s"""WITH RECURSIVE n AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
        |   list_transform(embedding::DOUBLE[], x ->
        |     x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS ne
        |  FROM embeddings),
-       | d AS (SELECT vec_id, emb, $distList AS dists FROM n),
-       | cells AS (SELECT vec_id, emb,
-       |   list_indexof(dists, list_min(dists)) - 1 AS cell FROM d),
+       |$cellsCte
        | pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |  WHERE floor(list_cosine_similarity(a.emb, b.emb) * 1000000) / 1000000.0 >= $minSim),

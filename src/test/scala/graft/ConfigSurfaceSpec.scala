@@ -362,6 +362,21 @@ class ConfigSurfaceSpec extends AnyFunSuite {
     assert(got.getString(2) == """{"a":"x","b":"2"}""")
   }
 
+  test("hstore handling: NULL values preserved, escaped quotes unescaped") {
+    import spark.implicits._
+    // PG renders a null value as unquoted NULL, and escapes quotes and
+    // backslashes inside keys/values (ref convertHstoreToMap keeps nulls)
+    val df = Seq((1L, """"a"=>NULL, "b\"q"=>"x\\y", "c"=>"NULL""""))
+      .toDF("id", "hs")
+    val m = df.select(hstoreToMap(col("hs")).as("m")).head()
+      .getMap[String, String](0)
+    assert(m.contains("a") && m("a") == null,
+      "unquoted NULL must map to a null value")
+    assert(m("""b"q""") == """x\y""",
+      "escapes inside keys/values must unescape")
+    assert(m("c") == "NULL", "quoted \"NULL\" stays the literal string")
+  }
+
   test("unsigned handling: long keeps the wrapped image, precise adds 2^64") {
     import spark.implicits._
     val df = Seq(5L, -3L).toDF("u64")

@@ -24,13 +24,37 @@ class OracleParitySpec extends AnyFunSuite {
     sel.collect().map(_.mkString("|")).sorted.toSeq
   }
 
+  /** Driver-hash-safe output envelope: DECIMAL columns are banned from
+    * verified query outputs. The driver's typed hash canonicalizes Spark
+    * decimal128 differently from DuckDB's decimal→float64 pandas
+    * conversion (and values > 2^53 can never round-trip through float64),
+    * so a DecimalType output is a guaranteed hash mismatch even when the
+    * values are bit-exact. Engine-level decimal semantics stay pinned in
+    * ConfigSurfaceSpec; query OUTPUTS render decimals as strings.
+    */
+  def assertNoDecimal(name: String, dt: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: DecimalType =>
+        fail(s"$name output schema contains DecimalType — render it as " +
+          "STRING (or unscaled BIGINT + scale INT) for the driver hash")
+      case s: StructType => s.fields.foreach(f => assertNoDecimal(name, f.dataType))
+      case a: ArrayType => assertNoDecimal(name, a.elementType)
+      case m: MapType =>
+        assertNoDecimal(name, m.keyType); assertNoDecimal(name, m.valueType)
+      case _ =>
+    }
+  }
+
   test("every oracle-declared query matches its oracle when run in Spark") {
     registerTables()
     val qs = SparkEntry.queries
     val skip = SparkEntry.duckdbOnlyOracles
     SparkEntry.oracleSql.filterNot(kv => skip(kv._1)).foreach { case (name, sql) =>
       assert(qs.contains(name), s"oracleSql entry $name has no query")
-      val got = canon(qs(name)(spark, sfDir))
+      val df = qs(name)(spark, sfDir)
+      assertNoDecimal(name, df.schema)
+      val got = canon(df)
       val want = canon(spark.sql(sql))
       if (got.isEmpty) fail(s"$name returned zero rows")
       if (got != want) {
@@ -51,7 +75,9 @@ class OracleParitySpec extends AnyFunSuite {
     val noOracle = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) ++
       SparkEntry.duckdbOnlyOracles
     noOracle.foreach { name =>
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      assertNoDecimal(name, df.schema)
+      val n = df.count()
       assert(n > 0, s"$name returned zero rows")
     }
   }
