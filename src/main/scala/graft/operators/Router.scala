@@ -96,4 +96,86 @@ object Router {
       from_json(col(payloadField), schema).as("value"),
       col("*"))
   }
+
+  /** Extract a field from a MongoDB extended-JSON document column and
+    * unwrap the extended-JSON scalar wrappers the outbox fields use:
+    * `{"$numberLong":"n"}` / `{"$numberInt":"n"}` (int64/int32),
+    * `{"$oid":"hex"}` (ObjectId as its hex string) and
+    * `{"$date":{"$numberLong":"ms"}}` / `{"$date":"iso"}` (epoch-millis
+    * or relaxed ISO string). A plain (relaxed-mode) scalar passes
+    * through unchanged — `get_json_object` on a non-object returns NULL
+    * and the coalesce falls back to the raw extraction.
+    */
+  def extendedJsonField(doc: Column, field: String): Column = {
+    val raw = get_json_object(doc, s"$$.$field")
+    coalesce(
+      get_json_object(raw, "$['$numberLong']"),
+      get_json_object(raw, "$['$numberInt']"),
+      get_json_object(raw, "$['$oid']"),
+      get_json_object(raw, "$['$date']['$numberLong']"),
+      get_json_object(raw, "$['$date']"),
+      raw)
+  }
+
+  /** R3 (MongoDB): outbox event router over a change-stream feed of an
+    * outbox COLLECTION (reference
+    * `mongodb/transforms/outbox/MongoEventRouter.java:71,118` +
+    * `MongoEventRouterConfigDefinition.java:22-113`). Differences from
+    * the relational [[outbox]], mirrored here:
+    *
+    *   - the captured image is not a typed struct but an extended-JSON
+    *     STRING (`after_json` from `MongoChangeStream.decode`);
+    *     `expandAfterField` parses it and this router resolves every
+    *     outbox field out of that document, unwrapping extended-JSON
+    *     scalars (`$numberLong`, `$oid`, `$date`) on the way;
+    *   - `collection.field.event.*` names replace `table.field.event.*`
+    *     (defaults: id=`_id`, type=`type`, payload=`payload`) — the
+    *     reference converts them and delegates to the shared
+    *     `EventRouterDelegate`, so routing semantics are identical:
+    *     topic = `<prefix>.<routedByValue>`, key = the aggregate id,
+    *     Kafka timestamp overridable from `collection.field.event.timestamp`;
+    *   - a sub-DOCUMENT payload stays a JSON string unless
+    *     `collection.expand.json.payload=true`, in which case it parses
+    *     into a corpus-schema struct exactly like [[outboxExpanded]];
+    *   - only insert events route (the reference expects an append-only
+    *     outbox; `operation.invalid.behavior=skip` drops the rest), and
+    *     an empty/absent payload with `route.tombstone.on.empty.payload`
+    *     emits a null-value tombstone instead of being dropped.
+    */
+  def mongoOutbox(df: DataFrame, afterCol: String = "after_json",
+                  routeByField: String = "aggregatetype",
+                  idField: String = "_id", keyField: String = "aggregateid",
+                  payloadField: String = "payload",
+                  timestampField: Option[String] = None,
+                  expandPayload: Boolean = false,
+                  tombstoneOnEmptyPayload: Boolean = false,
+                  topicPrefix: String = "outbox.event"): DataFrame = {
+    val inserts = df.filter(col("op") === "c" || col("op") === "r")
+    val doc = col(afterCol)
+    val payloadJson = get_json_object(doc, s"$$.$payloadField")
+    val keep =
+      if (tombstoneOnEmptyPayload) lit(true)
+      else payloadJson.isNotNull && payloadJson =!= ""
+    val value: Column =
+      if (expandPayload) {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val schema = spark.read.option("dropFieldIfAllNull", "true")
+          .json(inserts.select(payloadJson).as[String]).schema
+        from_json(payloadJson, schema)
+      } else when(payloadJson.isNotNull && payloadJson =!= "", payloadJson)
+    val ts = timestampField.map(f =>
+      extendedJsonField(doc, f).cast("long")).getOrElse(col("pos"))
+    inserts
+      .filter(keep)
+      .select(
+        concat(lit(topicPrefix + "."),
+          extendedJsonField(doc, routeByField)).as("topic"),
+        extendedJsonField(doc, keyField).as("key"),
+        value.as("value"),
+        extendedJsonField(doc, idField).as("id"),
+        extendedJsonField(doc, "type").as("type"),
+        ts.as("ts_ms"),
+        col("*"))
+  }
 }

@@ -83,6 +83,30 @@ object RoutingQueries extends QueryGroup {
         col("value.priority").as("priority"), col("id"))
     }),
 
+    // R3 (MongoDB): outbox router over a change-stream feed of an outbox
+    // COLLECTION — the after image is an extended-JSON STRING, fields
+    // resolve out of the document ($oid/$numberLong/$date unwrapped), a
+    // sub-document payload stays a JSON string (collection.expand.json
+    // .payload=false), Kafka timestamp overridden from the document's
+    // timestamp field (ref mongodb/transforms/outbox/MongoEventRouter.java)
+    "r3_outbox_mongo" -> ((s, dir) => {
+      Router.mongoOutbox(mongoOutboxFeed(s, dir),
+        timestampField = Some("timestamp"))
+        .select(col("topic"), col("key"), col("value"), col("id"),
+          col("type"), col("ts_ms"))
+    }),
+
+    // R3 (MongoDB) with collection.expand.json.payload=true: the payload
+    // sub-document parses into a corpus-schema struct, consumers read
+    // typed fields
+    "r3_outbox_mongo_expanded" -> ((s, dir) => {
+      Router.mongoOutbox(mongoOutboxFeed(s, dir),
+        timestampField = Some("timestamp"), expandPayload = true)
+        .select(col("topic"), col("key"),
+          col("value.order").as("order"),
+          col("value.priority").as("priority"), col("id"))
+    }),
+
     // P4: per-event transaction ordering metadata
     "p4_tx_order" -> ((s, dir) =>
       TxMetadata.attach(feed(s, dir, "orders"))
@@ -102,6 +126,30 @@ object RoutingQueries extends QueryGroup {
           get_json_object(col("props"), "$.k").cast("long").as("signal_k"))
         .filter(col("event_type") === "signup"))
   )
+
+  /** An outbox-collection change-stream feed derived from orders: each
+    * insert's `after_json` is the extended-JSON rendering of an outbox
+    * document — ObjectId `_id`, `$numberLong` aggregate id, `$date`
+    * timestamp, sub-document payload — exactly the shape
+    * `MongoChangeStream.decode` emits for a real outbox collection.
+    */
+  private def mongoOutboxFeed(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val afterJson = concat(
+      lit("{\"_id\":{\"$oid\":\""),
+      substring(md5(col("o_orderkey").cast("string")), 1, 24),
+      lit("\"},\"aggregatetype\":\""), col("o_orderstatus"),
+      lit("\",\"aggregateid\":{\"$numberLong\":\""),
+      col("o_custkey").cast("string"),
+      lit("\"},\"type\":\""), col("o_orderpriority"),
+      lit("\",\"timestamp\":{\"$date\":{\"$numberLong\":\""),
+      (col("o_orderkey") * 1000).cast("string"),
+      lit("\"}},\"payload\":{\"order\":"), col("o_orderkey").cast("string"),
+      lit(",\"priority\":\""), col("o_orderpriority"), lit("\"}}"))
+    o.select(lit("c").as("op"),
+      (col("o_orderkey") * 10).cast("long").as("pos"),
+      afterJson.as("after_json"))
+  }
 
   private val txExpr = "concat('tx', CAST(floor(o_orderkey/100) AS BIGINT))"
   private val streamEvents =
@@ -159,6 +207,22 @@ object RoutingQueries extends QueryGroup {
         | CAST(o_orderkey AS VARCHAR) AS id
         |FROM orders""".stripMargin,
 
+    "r3_outbox_mongo" ->
+      """SELECT 'outbox.event.' || o_orderstatus AS topic,
+        | CAST(o_custkey AS VARCHAR) AS key,
+        | concat('{"order":', o_orderkey, ',"priority":"', o_orderpriority, '"}') AS value,
+        | substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 24) AS id,
+        | o_orderpriority AS type,
+        | o_orderkey * 1000 AS ts_ms
+        |FROM orders""".stripMargin,
+
+    "r3_outbox_mongo_expanded" ->
+      """SELECT 'outbox.event.' || o_orderstatus AS topic,
+        | CAST(o_custkey AS VARCHAR) AS key,
+        | o_orderkey AS "order", o_orderpriority AS priority,
+        | substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 24) AS id
+        |FROM orders""".stripMargin,
+
     "p4_tx_order" ->
       s"""WITH ev AS ($streamEvents)
          |SELECT o_orderkey, op, pos, $txExpr AS tx_id,
@@ -181,5 +245,6 @@ object RoutingQueries extends QueryGroup {
   )
 
   override val duckdbOnly: Set[String] =
-    Set("s13_signal_parse", "r3_outbox", "r3_outbox_expanded")
+    Set("s13_signal_parse", "r3_outbox", "r3_outbox_expanded",
+      "r3_outbox_mongo", "r3_outbox_mongo_expanded")
 }
