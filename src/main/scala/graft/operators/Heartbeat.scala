@@ -49,7 +49,9 @@ object Heartbeat {
     */
   def actionBeats(monitored: DataFrame, every: Long, logEnd: Long): DataFrame = {
     val spark = monitored.sparkSession
-    val ticks = spark.range(0, logEnd / every + 1)
+    // logEnd/every ticks: the last tick is the largest (id+1)*every that
+    // is still <= logEnd — no tick ever points past the end of the log
+    val ticks = spark.range(0, logEnd / every)
       .select(col("id").as("interval"), ((col("id") + 1) * every).as("hb_pos"))
     val perInterval = monitored
       .select(floor(col("source.pos") / every).cast("long").as("interval"),

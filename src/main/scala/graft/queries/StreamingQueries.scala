@@ -234,6 +234,71 @@ object StreamingQueries extends QueryGroup {
       Seq((rows, cents)).toDF("n_rows", "value_cents")
     }),
 
+    // E2E apply-latency percentiles (reference debezium-e2e-benchmark/
+    // README.md methodology: insert-ts vs sink-ts deltas at commit
+    // intervals {100, 1000}): each event carries its insert position and
+    // its COMMIT position (all rows of a commit group surface in the log
+    // at the group's max position — deterministic clocks, so the oracle
+    // is exact); the stream maintains the HDR-histogram sketch
+    // incrementally — one (interval, epoch, bucket, n) sketch append per
+    // micro-batch, Dataset.observe ticking rows + commit frontier per
+    // epoch — and p50/p90/p99 come off the MERGED sketch without ever
+    // re-reading events. The 100 TB shape: per-epoch state is ≤ a few
+    // hundred integer rows regardless of corpus size.
+    "stream_latency_hdr" -> ((s, dir) => {
+      import graft.analytics.Histogram
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select(col("event_id").cast("long").as("pos"))
+      val feed = Seq(100L, 1000L).map { n =>
+        val grp = call_function("div", col("pos"), lit(n))
+        ev.select(lit(n).as("commit_interval"), col("pos"),
+          max(col("pos")).over(Window.partitionBy(grp)).as("commit_pos"))
+      }.reduce(_ unionByName _)
+      val total = 2 * ev.count()
+      val tmp = java.nio.file.Files.createTempDirectory("lat-hdr")
+      val transport = s"$tmp/transport"
+      feed.repartitionByRange(4, col("commit_interval"), col("pos"))
+        .write.mode("overwrite").parquet(transport)
+      graft.streaming.StreamingMaterialize.stampLogOrder(transport)
+      val skDir = s"$tmp/sketches"
+      val schema = s.read.parquet(transport).schema
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(transport)
+        .observe("graft_e2e",
+          count(lit(1)).as("events"),
+          max(col("commit_pos")).as("commit_frontier"))
+        .writeStream.option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          batch.select(col("commit_interval"),
+              Histogram.hdrBucket(col("commit_pos") - col("pos"), 4)
+                .as("bucket"))
+            .groupBy(col("commit_interval"), col("bucket"))
+            .agg(count(lit(1)).as("n"))
+            .withColumn("epoch", lit(epochId))
+            .write.mode("append").parquet(skDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      // the observe tick stream is load-bearing: every event must have
+      // been counted exactly once across the epochs
+      val observed = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("graft_e2e")))
+      require(observed.size >= 4,
+        s"one observation per micro-batch (got ${observed.size})")
+      require(observed.map(_.getLong(0)).sum == total,
+        "observed row count must equal the corpus across epochs")
+      val hist = s.read.parquet(skDir)
+        .groupBy(col("commit_interval").as("group"), col("bucket"))
+        .agg(sum(col("n")).as("n"))
+      Histogram.quantiles(hist, s = 4,
+          qs = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .select(col("group").as("commit_interval"), col("qname"),
+          col("est"))
+    }),
+
     // P9/S10: buffered transaction reassembly (commit-marker release)
     "stream_tx_reassembly" -> ((s, dir) => {
       val fd = feed(s, dir, "orders").filter(col("op") =!= "r")
@@ -684,6 +749,31 @@ object StreamingQueries extends QueryGroup {
         | CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events""".stripMargin,
 
+    // exact replay of the commit-group latency + HDR bucket + nearest-
+    // rank quantile math (same integer recipe as a_hdr_quantiles)
+    "stream_latency_hdr" ->
+      """WITH ev AS (SELECT CAST(event_id AS BIGINT) AS pos FROM events),
+        | f AS (SELECT CAST(n AS BIGINT) AS commit_interval, pos,
+        |   max(pos) OVER (PARTITION BY n, pos // n) AS commit_pos
+        |  FROM ev CROSS JOIN (VALUES (100),(1000)) AS i(n)),
+        | v AS (SELECT commit_interval, commit_pos - pos AS x FROM f),
+        | b AS (SELECT commit_interval, CASE WHEN x < 32 THEN x
+        |   ELSE (length(bin(x))-1-4)*16 + (x >> (length(bin(x))-1-4)) END AS bucket FROM v),
+        | h AS (SELECT commit_interval, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+        | tot AS (SELECT commit_interval, CAST(sum(n) AS BIGINT) AS total FROM h GROUP BY 1),
+        | cum AS (SELECT commit_interval, bucket,
+        |   sum(n) OVER (PARTITION BY commit_interval ORDER BY bucket) AS cum FROM h),
+        | t AS (SELECT commit_interval, qname, (num*total + den - 1) // den AS target
+        |   FROM tot CROSS JOIN (VALUES ('p50',1,2),('p90',9,10),('p99',99,100)) AS q(qname,num,den)),
+        | pick AS (SELECT t.commit_interval, t.qname, min(cum.bucket) AS bucket
+        |   FROM t JOIN cum ON cum.commit_interval = t.commit_interval
+        |     AND cum.cum >= t.target
+        |   GROUP BY 1, 2)
+        |SELECT commit_interval, qname,
+        | CASE WHEN bucket < 32 THEN bucket
+        |  ELSE (bucket - ((bucket//16)-1)*16) << ((bucket//16)-1) END AS est
+        |FROM pick""".stripMargin,
+
     // same interval oracle as the batch history table (CoreCdcQueries
     // k2_history_table): streaming maintenance must converge to it
     "stream_scd2_history" ->
@@ -722,7 +812,7 @@ object StreamingQueries extends QueryGroup {
         |   max(pos) // 10 + 1 AS every FROM ev),
         | mon AS (SELECT pos FROM ev WHERE pos <= (SELECT log_end // 2 FROM bounds)),
         | ticks AS (SELECT unnest(generate_series(0,
-        |   (SELECT log_end // every FROM bounds))) AS interval),
+        |   (SELECT log_end // every FROM bounds) - 1)) AS interval),
         | byiv AS (SELECT pos // (SELECT every FROM bounds) AS interval,
         |   max(pos) AS mx FROM mon GROUP BY 1)
         |SELECT t.interval,
@@ -893,5 +983,6 @@ object StreamingQueries extends QueryGroup {
   override val duckdbOnly: Set[String] =
     Set("p5_heartbeat", "p5_heartbeat_action", "stream_windowed_agg",
       "stream_session_window", "stream_curation",
-      "stream_incremental_pack", "stream_stream_join")
+      "stream_incremental_pack", "stream_stream_join",
+      "stream_latency_hdr")
 }

@@ -372,6 +372,35 @@ class FunctionsSpec extends AnyFunSuite {
     val bad = Seq(Seq(1.0f, 2.0f)).toDF("embedding")
     assert(bad.select(Ivf.cellOfTwoLevelNative(bad)(col("embedding"),
       cents, 2).as("c")).collect()(0).isNullAt(0))
+    // a zero-norm vector (all coarse distances NaN) must not crash and
+    // lands in cell 0, matching the flat scan on the same input
+    val zero = Seq(Seq.fill(64)(0.0f)).toDF("embedding")
+    val z = zero.select(
+      Ivf.cellOfNative(zero)(col("embedding"), cents).as("flat"),
+      Ivf.cellOfTwoLevelNative(zero)(col("embedding"), cents, 2).as("two"))
+      .collect()(0)
+    assert(z.getInt(0) == 0 && z.getInt(1) == 0)
+  }
+
+  test("reselect cache: a legitimate NULL in a reselect column survives " +
+      "(routed to the hit side, not dropped by a NULL predicate)") {
+    import graft.operators.Transforms
+    import spark.implicits._
+    val stream = Seq(
+      (1L, "r", "first", 10L),
+      (1L, "u", "__unavailable", 15L), // cache hit: refills to "first"
+      (2L, "u", null.asInstanceOf[String], 20L), // legit NULL: keep as-is
+      (3L, "u", "__unavailable", 30L) // cache miss: source fallback
+    ).toDF("id", "op", "v", "pos")
+    val source = Seq((1L, "t1"), (2L, "t2"), (3L, "t3")).toDF("id", "v")
+    val got = Transforms.reselectColumnsCached(stream, source,
+      "id", "pos", Seq("v"))
+      .select(col("id"), col("pos"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(got == Set((1L, 10L, "first"), (1L, 15L, "first"),
+      (2L, 20L, null), (3L, 30L, "t3")),
+      s"NULL row must survive with its NULL intact; got $got")
   }
 
   test("heartbeat action: offset advances through the idle tail") {
@@ -383,7 +412,9 @@ class FunctionsSpec extends AnyFunSuite {
     val beats = Heartbeat
       .actionBeats(fd.filter(col("source.pos") <= 5000L), 1000L, 15000L)
       .orderBy(col("interval")).collect()
-    assert(beats.length == 16) // ticks 0..logEnd/every inclusive
+    assert(beats.length == 15) // ticks at every..logEnd, none past logEnd
+    assert(beats.forall(_.getLong(1) <= 15000L),
+      "no tick position may exceed logEnd")
     beats.foreach { r =>
       assert(r.getLong(3) == (r.getLong(0) + 1) * 1000L,
         "offset must advance to the tick position on EVERY tick")
@@ -393,7 +424,7 @@ class FunctionsSpec extends AnyFunSuite {
       "idle ticks (heartbeat-only advance) are exactly the post-cutoff tail")
     // last_data_pos freezes at the cutoff while offset_pos keeps moving
     val lastData = beats.last.getLong(2)
-    assert(lastData <= 5000L && beats.last.getLong(3) == 16000L)
+    assert(lastData <= 5000L && beats.last.getLong(3) == 15000L)
   }
 
   test("CloudEvents binary mode: ce_ headers + content-type per serializer") {
@@ -415,5 +446,49 @@ class FunctionsSpec extends AnyFunSuite {
     // the value section carries ONLY data columns — no attribute fields
     assert(b.columns.toSet ==
       Set("headers", "content_type", "key", "before", "after", "op"))
+  }
+
+  test("mongo outbox router: extended-JSON field resolution, op filter, " +
+      "tombstone on empty payload") {
+    import graft.operators.Router
+    import spark.implicits._
+    val feed = Seq(
+      // canonical extended JSON: $oid id, $numberLong key, $date timestamp
+      ("c", 10L, """{"_id":{"$oid":"aabbccddeeff001122334455"},""" +
+        """"aggregatetype":"Order","aggregateid":{"$numberLong":"7"},""" +
+        """"type":"created","timestamp":{"$date":{"$numberLong":"1700"}},""" +
+        """"payload":{"k":1}}"""),
+      // relaxed scalars pass through unchanged
+      ("c", 20L, """{"_id":"plain","aggregatetype":"Order",""" +
+        """"aggregateid":"8","type":"upd","timestamp":1800,""" +
+        """"payload":{"k":2}}"""),
+      // empty payload — dropped unless tombstones are on
+      ("c", 30L, """{"_id":"e1","aggregatetype":"Order",""" +
+        """"aggregateid":"9","type":"del","timestamp":1900}"""),
+      // non-insert op — never routed (operation.invalid.behavior=skip)
+      ("u", 40L, """{"_id":"u1","aggregatetype":"Order",""" +
+        """"aggregateid":"10","type":"x","timestamp":2000,""" +
+        """"payload":{"k":3}}""")
+    ).toDF("op", "pos", "after_json")
+    val routed = Router.mongoOutbox(feed, timestampField = Some("timestamp"))
+      .select("topic", "key", "value", "id", "ts_ms").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(routed == Set(
+      ("outbox.event.Order", "7", """{"k":1}""",
+        "aabbccddeeff001122334455", 1700L),
+      ("outbox.event.Order", "8", """{"k":2}""", "plain", 1800L)),
+      s"got $routed")
+    // tombstone mode keeps the empty-payload event with a null value
+    val tomb = Router.mongoOutbox(feed, timestampField = Some("timestamp"),
+      tombstoneOnEmptyPayload = true)
+      .filter(col("id") === "e1").select("value").collect()
+    assert(tomb.length == 1 && tomb(0).isNullAt(0),
+      "empty payload must emit a null-value tombstone when enabled")
+    // expanded mode parses the payload into a typed struct
+    val exp = Router.mongoOutbox(feed, expandPayload = true)
+      .select(col("key"), col("value.k").as("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(exp == Set(("7", 1L), ("8", 2L)))
   }
 }
