@@ -149,6 +149,10 @@ object StreamingQueries extends QueryGroup {
       val transport = s"$tmp/transport"
       StreamingMaterialize.writeTransport(feed(s, dir, "orders"), transport)
       val sink = new graft.streaming.Scd2Sink(s"$tmp/sink", buckets = 16)
+      // measured (r9, idle 32-cpu A/B): a narrowed stream width HURTS
+      // this query (7.7 s → 11.1 s) — the per-epoch history merge inside
+      // foreachBatch wants the full session parallelism, so it keeps the
+      // default width (StreamTuning is for state-store streams)
       val schema = s.read.parquet(transport).schema
       val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(transport)
@@ -262,8 +266,9 @@ object StreamingQueries extends QueryGroup {
         .write.mode("overwrite").parquet(transport)
       graft.streaming.StreamingMaterialize.stampLogOrder(transport)
       val skDir = s"$tmp/sketches"
-      val schema = s.read.parquet(transport).schema
-      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      val ns = graft.streaming.StreamTuning.tuned(s, total)
+      val schema = ns.read.parquet(transport).schema
+      val q = ns.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(transport)
         .observe("graft_e2e",
           count(lit(1)).as("events"),
@@ -620,8 +625,14 @@ object StreamingQueries extends QueryGroup {
     // sides watermarked so join state is bounded by the interval + slack
     // instead of retaining each stream forever
     "stream_stream_join" -> ((s, dir) => {
-      val schema = t(s, dir, "events").schema
-      def src(tp: String) = s.readStream.schema(schema)
+      // stream-stream joins keep BOTH sides in the state store and pay
+      // one task per state partition per micro-batch: size the width to
+      // the stream's actual volume instead of the batch session's
+      // (measured r9, idle 32-cpu A/B at sf0.1: 8.4 s → 5.2 s)
+      val ns = graft.streaming.StreamTuning.tuned(s,
+        t(s, dir, "events").count())
+      val schema = t(ns, dir, "events").schema
+      def src(tp: String) = ns.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(dir)
@@ -647,7 +658,7 @@ object StreamingQueries extends QueryGroup {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(name)
+      ns.table(name)
     }),
 
     // Structured Streaming event-time windowed aggregation with a watermark
@@ -680,9 +691,11 @@ object StreamingQueries extends QueryGroup {
     // end = last event + gap. Complete mode so the bounded replay emits
     // every session including the tail ones a watermark would hold back.
     "stream_session_window" -> ((s, dir) => {
-      val schema = t(s, dir, "events").schema
+      val ns = graft.streaming.StreamTuning.tuned(s,
+        t(s, dir, "events").count())
+      val schema = t(ns, dir, "events").schema
       val name = s"sess_${System.nanoTime()}"
-      val q = s.readStream.schema(schema)
+      val q = ns.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
@@ -700,7 +713,7 @@ object StreamingQueries extends QueryGroup {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(name)
+      ns.table(name)
     }),
 
     // S8: DSv2 MicroBatchStream change-log tail (record-index offsets) →
