@@ -18,7 +18,15 @@ object LshProbe {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       // the AUTO dial (Dedup.lshParams): banding follows corpus size
       val (bands, rpb) = graft.analytics.Dedup.lshParams(0.8, docs.count())
-      val sig = graft.analytics.Dedup.minhashSignatures(docs, 3, bands * rpb)
+      // GRAFT_LSH_ONEPERM=1: probe the one-permutation signature's
+      // candidate volume instead of the classic per-permutation one
+      val sig =
+        if (sys.env.get("GRAFT_LSH_ONEPERM").contains("1"))
+          docs.select(col("doc_id"),
+            graft.expressions.GraftFunctions.onePermMinhash(
+              graft.analytics.Dedup.shingles(col("text"), 3),
+              bands * rpb).as("sig"))
+        else graft.analytics.Dedup.minhashSignatures(docs, 3, bands * rpb)
       val banded = sig.select(col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
