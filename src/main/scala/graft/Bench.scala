@@ -28,33 +28,42 @@ object Bench {
     // so round-over-round diffs are signal without forensic re-runs).
     // Default 1 rep: the per-round driver pass stays single-shot.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
-      .map(_.trim.toInt).filter(_ >= 1).getOrElse(1)
+      .flatMap(_.trim.toIntOption).filter(_ >= 1).getOrElse(1)
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val samples = (1 to reps).map { _ =>
+      val samples = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop write forces FULL evaluation of every output column —
         // count() lets Catalyst prune projections, under-measuring
         // projection-heavy queries
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          if (!errors.contains(name)) errors += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            if (!errors.contains(name)) errors += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // queries that persist intermediates (LSH signatures, feeds) must
         // not degrade later queries via storage-memory pressure: billed
         // eviction inside a query is real cost, leftover blocks are not
         spark.catalog.clearCache()
-        dt
+        // a failed rep's wall-clock-to-failure is not a sample — the
+        // median must mix only successful timings (a query failing on
+        // some reps would otherwise report a fail/success blend as a
+        // legitimate time); all-reps-failed records NaN, and the name
+        // is already in `errors` either way
+        if (ok) Some(dt) else None
       }.sorted
-      name -> samples(samples.length / 2)
+      name -> (if (samples.nonEmpty) samples(samples.length / 2)
+               else Double.NaN)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v.isNaN) "null" else v.toString)
+    }.mkString("{", ",", "}")
+    val total = results.values.filterNot(_.isNaN).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ioJson = sinkIo(spark, sfDir)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")

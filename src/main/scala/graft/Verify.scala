@@ -26,13 +26,37 @@ object Verify {
     // size-derived query/oracle parameters (heuristic k, LSH banding)
     // resolve against THIS run's data directory
     graft.queries.QueryContext.dataDir = Some(sfDir)
-    // fresh output dir: a partial `only=` run must not leave stale
-    // sibling dumps from an earlier invocation next to its results
+    // Refresh the output dir WITHOUT a recursive wipe: delete only the
+    // entries this program could have written — per-query dump dirs
+    // (full run: all known query names, so stale dumps of since-renamed
+    // queries don't linger; only= run: just the queries being rewritten,
+    // so sibling dumps from the full invocation survive a partial
+    // iteration) and oracle_sql.json. A mistyped outDir pointing at a
+    // real directory fails loudly instead of being silently deleted.
     val outPath = Paths.get(outDir)
     if (Files.exists(outPath)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(outPath).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      val known = SparkEntry.queries.keySet
+      val entries = scala.util.Using.resource(Files.list(outPath))(
+        _.iterator().asScala.toSeq)
+      val foreign = entries.filterNot { p =>
+        val n = p.getFileName.toString
+        n == "oracle_sql.json" || known.contains(n)
+      }
+      require(foreign.isEmpty,
+        s"refusing to clean $outDir: contains non-query entries " +
+          foreign.map(_.getFileName).take(5).mkString(", ") +
+          " — is this really a Verify output directory?")
+      val stale = entries.filter { p =>
+        val n = p.getFileName.toString
+        n == "oracle_sql.json" ||
+          (known.contains(n) && only.forall(_.contains(n)))
+      }
+      stale.foreach { p =>
+        scala.util.Using.resource(Files.walk(p)) { st =>
+          st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        }
+      }
     }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -97,11 +97,17 @@ object RoutingQueries extends QueryGroup {
     }),
 
     // R3 (MongoDB) with collection.expand.json.payload=true: the payload
-    // sub-document parses into a corpus-schema struct, consumers read
-    // typed fields
+    // sub-document parses into a DECLARED-schema struct — the caller
+    // states the payload contract, so the outbox is read exactly once
+    // (no inference pre-scan; PlanSpec guards the zero-extra-jobs
+    // property). Inference stays the default for schema-free callers
+    // (r3_outbox_expanded covers that path).
     "r3_outbox_mongo_expanded" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
       Router.mongoOutbox(mongoOutboxFeed(s, dir),
-        timestampField = Some("timestamp"), expandPayload = true)
+        timestampField = Some("timestamp"), expandPayload = true,
+        payloadSchema = Some(StructType(Seq(
+          StructField("order", LongType), StructField("priority", StringType)))))
         .select(col("topic"), col("key"),
           col("value.order").as("order"),
           col("value.priority").as("priority"), col("id"))

@@ -468,7 +468,14 @@ class FunctionsSpec extends AnyFunSuite {
       // non-insert op — never routed (operation.invalid.behavior=skip)
       ("u", 40L, """{"_id":"u1","aggregatetype":"Order",""" +
         """"aggregateid":"10","type":"x","timestamp":2000,""" +
-        """"payload":{"k":3}}""")
+        """"payload":{"k":3}}"""),
+      // relaxed-mode $date carries an ISO-8601 STRING: ts_ms must fall
+      // back through a timestamp parse to epoch millis (the reference
+      // converts ISO dates the same way)
+      ("c", 50L, """{"_id":"iso1","aggregatetype":"Order",""" +
+        """"aggregateid":"11","type":"created",""" +
+        """"timestamp":{"$date":"1970-01-01T00:00:02.1Z"},""" +
+        """"payload":{"k":4}}""")
     ).toDF("op", "pos", "after_json")
     val routed = Router.mongoOutbox(feed, timestampField = Some("timestamp"))
       .select("topic", "key", "value", "id", "ts_ms").collect()
@@ -477,7 +484,8 @@ class FunctionsSpec extends AnyFunSuite {
     assert(routed == Set(
       ("outbox.event.Order", "7", """{"k":1}""",
         "aabbccddeeff001122334455", 1700L),
-      ("outbox.event.Order", "8", """{"k":2}""", "plain", 1800L)),
+      ("outbox.event.Order", "8", """{"k":2}""", "plain", 1800L),
+      ("outbox.event.Order", "11", """{"k":4}""", "iso1", 2100L)),
       s"got $routed")
     // tombstone mode keeps the empty-payload event with a null value
     val tomb = Router.mongoOutbox(feed, timestampField = Some("timestamp"),
@@ -489,6 +497,16 @@ class FunctionsSpec extends AnyFunSuite {
     val exp = Router.mongoOutbox(feed, expandPayload = true)
       .select(col("key"), col("value.k").as("k")).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(exp == Set(("7", 1L), ("8", 2L)))
+    assert(exp == Set(("7", 1L), ("8", 2L), ("11", 4L)))
+    // collection.field.event.type is configurable (not hardwired to
+    // "type"): a collection whose event-type field is named `kind`
+    // still routes, resolving `type` out of that field
+    val kindFeed = Seq(("c", 1L,
+      """{"_id":"t1","aggregatetype":"Order","aggregateid":"12",""" +
+        """"kind":"renamed","payload":{"k":9}}"""))
+      .toDF("op", "pos", "after_json")
+    val kinds = Router.mongoOutbox(kindFeed, typeField = "kind")
+      .select("type").collect().map(_.getString(0)).toSeq
+    assert(kinds == Seq("renamed"))
   }
 }
