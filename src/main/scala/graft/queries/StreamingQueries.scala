@@ -239,8 +239,9 @@ object StreamingQueries extends QueryGroup {
     }),
 
     // E2E apply-latency percentiles (reference debezium-e2e-benchmark/
-    // README.md methodology: insert-ts vs sink-ts deltas at commit
-    // intervals {100, 1000}): each event carries its insert position and
+    // README.md methodology: insert-ts vs sink-ts deltas at the full
+    // commit-interval grid {1, 100, 1000, 10000} — the reference's
+    // py/tpc-config.json sweep): each event carries its insert position and
     // its COMMIT position (all rows of a commit group surface in the log
     // at the group's max position — deterministic clocks, so the oracle
     // is exact); the stream maintains the HDR-histogram sketch
@@ -254,12 +255,13 @@ object StreamingQueries extends QueryGroup {
       import org.apache.spark.sql.expressions.Window
       val ev = t(s, dir, "events")
         .select(col("event_id").cast("long").as("pos"))
-      val feed = Seq(100L, 1000L).map { n =>
+      val intervals = Seq(1L, 100L, 1000L, 10000L)
+      val feed = intervals.map { n =>
         val grp = call_function("div", col("pos"), lit(n))
         ev.select(lit(n).as("commit_interval"), col("pos"),
           max(col("pos")).over(Window.partitionBy(grp)).as("commit_pos"))
       }.reduce(_ unionByName _)
-      val total = 2 * ev.count()
+      val total = intervals.size * ev.count()
       val tmp = java.nio.file.Files.createTempDirectory("lat-hdr")
       val transport = s"$tmp/transport"
       feed.repartitionByRange(4, col("commit_interval"), col("pos"))
@@ -574,6 +576,37 @@ object StreamingQueries extends QueryGroup {
       sink.view(s)
     }),
 
+    // K2 through the DataSourceV2 WRITE path (sinks/v2/GraftSinkCatalog):
+    // the LSM sink driven by DataFrameWriterV2 — `create()` stores the
+    // envelope schema and writes the snapshot epoch, `append()` epochs
+    // follow, and re-appending an already-committed explicit epoch is a
+    // warned no-op (the sink's replay guard through the catalog path).
+    // Terminal state == the same k2 oracle.
+    "k2_writeto_lsm" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      // the catalog instance is cached by name on first use, so the root
+      // is pinned once per session; table names are per-run
+      if (s.conf.getOption("spark.sql.catalog.graft_wt").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_wt",
+          classOf[graft.sinks.v2.GraftSinkCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_wt.root",
+          java.nio.file.Files.createTempDirectory("wt-catalog").toString)
+      }
+      val root = s.conf.get("spark.sql.catalog.graft_wt.root")
+      val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+      fd.filter(col("op") === "r").writeTo(s"graft_wt.lsm.$tbl")
+        .tableProperty("buckets", "16").tableProperty("compactEvery", "2")
+        .create()
+      fd.filter(col("op") =!= "r").writeTo(s"graft_wt.lsm.$tbl")
+        .option("epoch", "1").append()
+      // exactly-once: replaying the committed epoch through writeTo is
+      // skipped by the sink's epoch guard
+      fd.filter(col("op") =!= "r").writeTo(s"graft_wt.lsm.$tbl")
+        .option("epoch", "1").append()
+      new graft.streaming.LsmMergeSink(s"$root/lsm/$tbl",
+        buckets = 16, compactEvery = 2).view(s)
+    }),
+
     // Streaming deduplication with cross-batch state: the same source read
     // twice (duplicate delivery) collapses via dropDuplicates on the key
     "stream_dedup" -> ((s, dir) => {
@@ -768,7 +801,7 @@ object StreamingQueries extends QueryGroup {
       """WITH ev AS (SELECT CAST(event_id AS BIGINT) AS pos FROM events),
         | f AS (SELECT CAST(n AS BIGINT) AS commit_interval, pos,
         |   max(pos) OVER (PARTITION BY n, pos // n) AS commit_pos
-        |  FROM ev CROSS JOIN (VALUES (100),(1000)) AS i(n)),
+        |  FROM ev CROSS JOIN (VALUES (1),(100),(1000),(10000)) AS i(n)),
         | v AS (SELECT commit_interval, commit_pos - pos AS x FROM f),
         | b AS (SELECT commit_interval, CASE WHEN x < 32 THEN x
         |   ELSE (length(bin(x))-1-4)*16 + (x >> (length(bin(x))-1-4)) END AS bucket FROM v),
@@ -845,6 +878,7 @@ object StreamingQueries extends QueryGroup {
         |FROM orders""".stripMargin,
 
     "k2_lsm_materialize" -> ordersLatest,
+    "k2_writeto_lsm" -> ordersLatest,
 
     // delete wins over update at the same key (higher change position),
     // so %13=6 keys diff as deletes even when %7=3 also updated them

@@ -16,6 +16,52 @@ class LsmMergeSinkSpec extends AnyFunSuite {
     df.select(cols.map(col): _*).collect().map(_.mkString("|")).sorted.toSeq
   }
 
+  test("DSv2 writeTo drives the sink family: create()=snapshot epoch, " +
+      "append()=next epoch, explicit-epoch replay is a no-op, DROP works") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "orders"), "orders")
+    val root = Files.createTempDirectory("wt-cat").toString
+    spark.conf.set("spark.sql.catalog.graft_t",
+      classOf[graft.sinks.v2.GraftSinkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_t.root", root)
+    val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+    feed.filter(col("op") === "r").writeTo(s"graft_t.lsm.$tbl")
+      .tableProperty("buckets", "8").tableProperty("compactEvery", "100")
+      .create()
+    feed.filter(col("op") =!= "r").writeTo(s"graft_t.lsm.$tbl")
+      .option("epoch", "1").append()
+    val sink = new LsmMergeSink(s"$root/lsm/$tbl", buckets = 8,
+      compactEvery = 100)
+    assert(sink.committedEpoch.contains(1L))
+    val before = canon(sink.view(spark))
+    // replaying the committed epoch through the catalog path must be
+    // skipped by the sink's replay guard — same exactly-once contract
+    // as foreachBatch retries
+    feed.filter(col("op") =!= "r").writeTo(s"graft_t.lsm.$tbl")
+      .option("epoch", "1").append()
+    assert(sink.committedEpoch.contains(1L))
+    assert(canon(sink.view(spark)) == before)
+    assert(before == canon(Materialize.latestState(feed)))
+    // a SCHEMA-DRIFTED append fails v2 output resolution up front
+    intercept[org.apache.spark.sql.AnalysisException] {
+      feed.drop("ts_ms").writeTo(s"graft_t.lsm.$tbl").append()
+    }
+    // the scd2 namespace routes to the history sink through the same path
+    val h = "hist_" + java.util.UUID.randomUUID().toString.take(8)
+    feed.filter(col("op") === "r").writeTo(s"graft_t.scd2.$h")
+      .tableProperty("buckets", "8").create()
+    feed.filter(col("op") =!= "r").writeTo(s"graft_t.scd2.$h")
+      .option("epoch", "1").append()
+    val scd = new graft.streaming.Scd2Sink(s"$root/scd2/$h", buckets = 8)
+    assert(scd.committedEpoch.contains(1L))
+    // catalog surface: SHOW/DROP through SQL against the v2 catalog
+    val listed = spark.sql(s"SHOW TABLES IN graft_t.lsm")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(listed.contains(tbl))
+    spark.sql(s"DROP TABLE graft_t.lsm.$tbl")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/lsm/$tbl")))
+  }
+
   test("merge-on-read matches latestState before any compaction") {
     val feed = ChangeFeedGen.standardFeed(
       Tables.load(spark, sfDir, "orders"), "orders")
