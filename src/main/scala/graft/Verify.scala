@@ -27,21 +27,30 @@ object Verify {
     // resolve against THIS run's data directory
     graft.queries.QueryContext.dataDir = Some(sfDir)
     // Refresh the output dir WITHOUT a recursive wipe: delete only the
-    // entries this program could have written — per-query dump dirs
-    // (full run: all known query names, so stale dumps of since-renamed
-    // queries don't linger; only= run: just the queries being rewritten,
-    // so sibling dumps from the full invocation survive a partial
-    // iteration) and oracle_sql.json. A mistyped outDir pointing at a
-    // real directory fails loudly instead of being silently deleted.
+    // entries this program could have written — per-query dump dirs and
+    // oracle_sql.json. A dump of a since-renamed or since-removed query
+    // is no longer in queries.keySet, so "is a known name" is not the
+    // test; "looks like a parquet dump dir" is — anything else (a
+    // mistyped outDir pointing at a real directory) fails loudly instead
+    // of being silently deleted. Under only=, sibling dumps from the
+    // full invocation survive a partial iteration.
     val outPath = Paths.get(outDir)
     if (Files.exists(outPath)) {
       import scala.jdk.CollectionConverters._
       val known = SparkEntry.queries.keySet
+      // a Verify-written dump: a directory whose every entry is parquet
+      // write machinery (empty = a crashed dump, also ours to clean)
+      def looksLikeDump(p: java.nio.file.Path): Boolean =
+        Files.isDirectory(p) && scala.util.Using.resource(Files.list(p))(
+          _.iterator().asScala.forall { f =>
+            val n = f.getFileName.toString
+            n == "_SUCCESS" || n.endsWith(".parquet") || n.endsWith(".crc")
+          })
       val entries = scala.util.Using.resource(Files.list(outPath))(
         _.iterator().asScala.toSeq)
       val foreign = entries.filterNot { p =>
         val n = p.getFileName.toString
-        n == "oracle_sql.json" || known.contains(n)
+        n == "oracle_sql.json" || known.contains(n) || looksLikeDump(p)
       }
       require(foreign.isEmpty,
         s"refusing to clean $outDir: contains non-query entries " +
@@ -50,7 +59,8 @@ object Verify {
       val stale = entries.filter { p =>
         val n = p.getFileName.toString
         n == "oracle_sql.json" ||
-          (known.contains(n) && only.forall(_.contains(n)))
+          ((known.contains(n) || looksLikeDump(p)) &&
+            only.forall(_.contains(n)))
       }
       stale.foreach { p =>
         scala.util.Using.resource(Files.walk(p)) { st =>

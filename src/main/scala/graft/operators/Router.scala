@@ -141,12 +141,18 @@ object Router {
     // strings / decimal digits / ISO dates — never escaped quotes — so
     // `[^"]*` is exact, and the `^...$` anchors keep the old top-level-
     // only semantics for sub-documents that nest a wrapper deeper.
+    // Legacy mongo-shell output writes the numbers UNQUOTED
+    // ({"$numberLong":5}, {"$date":1234}) — the old get_json_object
+    // chain unwrapped those too, so each numeric wrapper keeps an
+    // unquoted-number alternative alongside the canonical quoted form.
     def ex(pattern: String): Column =
       nullif(regexp_extract(raw, pattern, 1), lit(""))
     coalesce(
       ex("^\\{\\s*\"\\$(?:numberLong|numberInt|oid)\"\\s*:\\s*\"([^\"]*)\"\\s*\\}$"),
-      ex("^\\{\\s*\"\\$date\"\\s*:\\s*\\{\\s*\"\\$numberLong\"\\s*:\\s*\"([^\"]*)\"\\s*\\}\\s*\\}$"),
+      ex("^\\{\\s*\"\\$(?:numberLong|numberInt)\"\\s*:\\s*(-?\\d+)\\s*\\}$"),
+      ex("^\\{\\s*\"\\$date\"\\s*:\\s*\\{\\s*\"\\$numberLong\"\\s*:\\s*\"?(-?\\d+)\"?\\s*\\}\\s*\\}$"),
       ex("^\\{\\s*\"\\$date\"\\s*:\\s*\"([^\"]*)\"\\s*\\}$"),
+      ex("^\\{\\s*\"\\$date\"\\s*:\\s*(-?\\d+)\\s*\\}$"),
       raw)
   }
 

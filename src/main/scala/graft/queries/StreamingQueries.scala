@@ -607,6 +607,32 @@ object StreamingQueries extends QueryGroup {
         buckets = 16, compactEvery = 2).view(s)
     }),
 
+    // The READ half of the DSv2 round-trip (K2b): the writeTo-driven LSM
+    // table read back through plain SQL — the table surfaces the latest
+    // envelope per key (log-compacted-topic semantics, tombstones as
+    // op='d'), so live rows re-derive exactly the k2 oracle without ever
+    // touching the sink API. The v1 read bridge materializes the sink's
+    // bucket-pruned merge-on-read plan; column pruning flows through.
+    "k2_writeto_read" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+      writetoTable(s, fd, tbl)
+      s.sql(s"SELECT after.* FROM graft_wt.lsm.$tbl WHERE op <> 'd'")
+    }),
+
+    // Time travel through the catalog read path: `VERSION AS OF 0` pins
+    // the snapshot epoch's manifest (the create() write), so the stream
+    // epoch's updates/deletes are invisible — same oracle as
+    // k2_time_travel, but expressed as SQL against the v2 table instead
+    // of a sink-API viewAt call.
+    "k2_writeto_time_travel" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+      writetoTable(s, fd, tbl)
+      s.sql(s"SELECT after.* FROM graft_wt.lsm.$tbl VERSION AS OF 0 " +
+        "WHERE op <> 'd'")
+    }),
+
     // Streaming deduplication with cross-batch state: the same source read
     // twice (duplicate delivery) collapses via dropDuplicates on the key
     "stream_dedup" -> ((s, dir) => {
@@ -763,6 +789,26 @@ object StreamingQueries extends QueryGroup {
     })
   )
 
+  /** Create `graft_wt.lsm.<tbl>` from `fd`'s snapshot (CTAS = epoch 0)
+    * and apply the stream events as epoch 1, all through the DSv2
+    * writeTo path. The catalog instance is cached by name on first use,
+    * so the root is pinned once per session; table names are per-run.
+    */
+  private def writetoTable(s: SparkSession, fd: DataFrame,
+                           tbl: String): Unit = {
+    if (s.conf.getOption("spark.sql.catalog.graft_wt").isEmpty) {
+      s.conf.set("spark.sql.catalog.graft_wt",
+        classOf[graft.sinks.v2.GraftSinkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_wt.root",
+        java.nio.file.Files.createTempDirectory("wt-catalog").toString)
+    }
+    fd.filter(col("op") === "r").writeTo(s"graft_wt.lsm.$tbl")
+      .tableProperty("buckets", "16").tableProperty("compactEvery", "2")
+      .create()
+    fd.filter(col("op") =!= "r").writeTo(s"graft_wt.lsm.$tbl")
+      .option("epoch", "1").append()
+  }
+
   /** Snapshot epoch + 10 disjoint ~21-key update epochs through `sink`. */
   private def smallBatchRun(fd: DataFrame,
                             sink: graft.streaming.CdcSink): DataFrame = {
@@ -879,6 +925,14 @@ object StreamingQueries extends QueryGroup {
 
     "k2_lsm_materialize" -> ordersLatest,
     "k2_writeto_lsm" -> ordersLatest,
+    "k2_writeto_read" -> ordersLatest,
+
+    // as-of the CTAS epoch = the plain snapshot (same oracle shape as
+    // k2_time_travel, via SQL VERSION AS OF instead of sink.viewAt)
+    "k2_writeto_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
 
     // delete wins over update at the same key (higher change position),
     // so %13=6 keys diff as deletes even when %7=3 also updated them

@@ -47,7 +47,8 @@ object JdbcChangeEventSink {
       useReductionBuffer: Boolean = false,
       quoteIdentifiers: Boolean = false,
       fieldIncludeList: String = "",
-      fieldExcludeList: String = "") {
+      fieldExcludeList: String = "",
+      batchSize: Int = 500) {
     /** Sink-side field filter (ref FieldFilterFactory); key fields are
       * never filtered — only value columns are subject to the lists.
       */
@@ -72,7 +73,8 @@ object JdbcChangeEventSink {
     useReductionBuffer = props.get("use.reduction.buffer").exists(_.toBoolean),
     quoteIdentifiers = props.get("quote.identifiers").exists(_.toBoolean),
     fieldIncludeList = props.getOrElse("field.include.list", ""),
-    fieldExcludeList = props.getOrElse("field.exclude.list", ""))
+    fieldExcludeList = props.getOrElse("field.exclude.list", ""),
+    batchSize = props.get("batch.size").map(_.trim.toInt).getOrElse(500))
 
   /** Key column names per `primary.key.mode` (ref
     * `JdbcSinkConnectorConfig.PrimaryKeyMode` + `JdbcKafkaSinkRecord`
@@ -228,6 +230,7 @@ object JdbcChangeEventSink {
     val deleteEnabled = cfg.deleteEnabled
     val truncateEnabled = cfg.truncateEnabled
     val quoteIds = cfg.quoteIdentifiers
+    val batchSize = cfg.batchSize
     val kf = keyFields
     val nk = nonKey
     val flat = routed.select(
@@ -241,7 +244,7 @@ object JdbcChangeEventSink {
         val conn = Jdbc.connect(url) // autoCommit already off
         try {
           val exec = new PartitionWriter(conn, d, table, kf, nk,
-            insertMode, deleteEnabled, truncateEnabled, quoteIds)
+            insertMode, deleteEnabled, truncateEnabled, quoteIds, batchSize)
           rows.foreach(exec.apply)
           exec.flush()
           conn.commit()
@@ -260,7 +263,8 @@ object JdbcChangeEventSink {
                                       table: String, kf: Seq[String], nk: Seq[String],
                                       insertMode: String, deleteEnabled: Boolean,
                                       truncateEnabled: Boolean,
-                                      quoteIds: Boolean) extends Serializable {
+                                      quoteIds: Boolean,
+                                      batchSize: Int = 500) extends Serializable {
     // identifiers as they appear in SQL (quote.identifiers=true quotes
     // every one); row access keeps the raw names
     private def q(s: String): String = d.quoteIfRequested(s, quoteIds)
@@ -330,7 +334,31 @@ object JdbcChangeEventSink {
         ps.setObject(i + 1, jdbcVal)
       }
 
+    // rows applied since the last commit: the reference's `batch.size`
+    // flush cadence (DefaultRecordWriter), and on Derby specifically the
+    // lever that keeps the 8 partition writers CONCURRENT — a partition
+    // holding >~5000 row locks trips derby.locks.escalationThreshold and
+    // the transaction escalates to a TABLE lock, serializing every other
+    // writer behind it. Statements are idempotent upserts/deletes and
+    // the epoch guard is per-epoch, so a crash between bounded commits
+    // replays harmlessly (at-least-once inside the epoch, unchanged).
+    private var sinceCommit = 0
+
+    private def maybeCommit(): Unit = {
+      sinceCommit += 1
+      if (sinceCommit >= batchSize) {
+        flush()
+        conn.commit()
+        sinceCommit = 0
+      }
+    }
+
     def apply(r: Row): Unit = {
+      applyRow(r)
+      maybeCommit()
+    }
+
+    private def applyRow(r: Row): Unit = {
       val op = r.getString(r.fieldIndex("op"))
       val keyVals = kf.map(f => r.get(r.fieldIndex(s"__k_$f")))
       def valVals(names: Seq[String]) = names.map(f => r.get(r.fieldIndex(s"__v_$f")))

@@ -4,19 +4,22 @@ import java.nio.file.{Files, Path, Paths}
 import java.util
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.streaming.{BucketedMergeSink, CdcSink, LsmMergeSink, MergeSink, Scd2Sink}
 
 /** DataSourceV2 `TableCatalog` exposing the MERGE-sink family as catalog
-  * tables, so the DataFrameWriterV2 path works end-to-end:
+  * tables, so the DataFrameWriterV2 path AND plain reads work end-to-end:
   *
   * {{{
   *   spark.conf.set("spark.sql.catalog.graft",
@@ -26,6 +29,9 @@ import graft.streaming.{BucketedMergeSink, CdcSink, LsmMergeSink, MergeSink, Scd
   *   delta.writeTo("graft.lsm.orders").append()         // next epoch
   *   delta.writeTo("graft.lsm.orders")
   *     .option("epoch", "7").append()                   // exactly-once replay guard
+  *   spark.table("graft.lsm.orders")                    // latest envelope per key
+  *   spark.sql("SELECT after.* FROM graft.lsm.orders " +
+  *     "VERSION AS OF 3 WHERE op <> 'd'")               // time travel
   * }}}
   *
   * The NAMESPACE selects the sink flavor — `graft.full.*`
@@ -45,12 +51,32 @@ import graft.streaming.{BucketedMergeSink, CdcSink, LsmMergeSink, MergeSink, Scd
   * CURRENT swap + replay guard) stays the single commit path. Each
   * `append()` is one epoch: explicit via the `epoch` write option
   * (foreachBatch-style exactly-once — replaying a committed epoch is a
-  * warned no-op), else committedEpoch+1.
+  * warned no-op), else committedEpoch+1 resolved ONCE at write-build
+  * time. Exactly-once under Spark-level retries or concurrent writers
+  * requires the EXPLICIT epoch option: two concurrent default-epoch
+  * appends both resolve committedEpoch+1 and one of them is dropped by
+  * the replay guard.
   *
-  * The stored schema (`_table.ddl`, written by `create()`) is the
-  * ENVELOPE schema; appends are resolved against it by Spark's v2
-  * output resolution, so a drifted feed fails analysis instead of
-  * corrupting sink state.
+  * SCHEMA CONTRACT (strict, like the reference sink rejecting records
+  * whose schema cannot apply — `JdbcChangeEventSink.java`): the stored
+  * `_table.ddl` schema is the ENVELOPE schema, and the table declares
+  * `ACCEPT_ANY_SCHEMA` so Spark hands the write builder the QUERY's own
+  * schema instead of silently null-padding missing nullable envelope
+  * columns during by-name output resolution. The builder then validates
+  * it against the stored DDL: a missing or extra top-level column, or a
+  * retyped non-struct column, fails analysis before any job runs.
+  * Nested payload fields inside `key`/`before`/`after`/`source` are NOT
+  * frozen — K4 schema evolution (added payload columns) flows through
+  * to the sinks' `unionByName` merge.
+  *
+  * READS return the materialized latest envelope per key — the table
+  * behaves like a log-compacted topic: what you wrote is what you read,
+  * reduced. Tombstoned deletes stay visible as `op='d'` rows, so
+  * `SELECT after.* ... WHERE op <> 'd'` is exactly `sink.view`.
+  * `VERSION AS OF <epoch>` time-travels via the sinks' retained
+  * manifests (`stateAt`). Column pruning is honored at the top level
+  * (and flows into the underlying parquet scans through the sinks' own
+  * Catalyst plans); a pinned (time-travel) table refuses writes.
   */
 class GraftSinkCatalog extends TableCatalog {
   private var catalogName: String = _
@@ -66,14 +92,22 @@ class GraftSinkCatalog extends TableCatalog {
         s"catalog $name requires spark.sql.catalog.$name.root"))
   }
 
-  private def kindOf(ident: Identifier): String = {
-    require(ident.namespace.length == 1,
-      s"expected $catalogName.<kind>.<table>, got $ident")
-    val kind = ident.namespace()(0)
-    require(GraftSinkCatalog.kinds.contains(kind),
-      s"unknown sink kind '$kind' (one of ${GraftSinkCatalog.kinds.mkString("/")})")
-    kind
-  }
+  /** The sink kind an identifier names, if its namespace is valid. The
+    * TableCatalog contract wants `loadTable` to raise
+    * `NoSuchTableException` and `dropTable` to return false for unknown
+    * tables — including unknown NAMESPACES — so those paths go through
+    * this Option instead of the throwing [[kindOf]].
+    */
+  private def kindOpt(ident: Identifier): Option[String] =
+    if (ident.namespace.length == 1 &&
+        GraftSinkCatalog.kinds.contains(ident.namespace()(0)))
+      Some(ident.namespace()(0))
+    else None
+
+  private def kindOf(ident: Identifier): String =
+    kindOpt(ident).getOrElse(throw new IllegalArgumentException(
+      s"expected $catalogName.<kind>.<table> with kind one of " +
+        s"${GraftSinkCatalog.kinds.mkString("/")}, got $ident"))
 
   private def tableDir(ident: Identifier): Path =
     Paths.get(root, kindOf(ident), ident.name)
@@ -92,21 +126,39 @@ class GraftSinkCatalog extends TableCatalog {
     }
   }
 
-  override def loadTable(ident: Identifier): Table = {
-    val meta = metaFile(ident)
+  private def loadTable(ident: Identifier, asOf: Option[Long]): Table = {
+    val kind = kindOpt(ident).getOrElse(throw new NoSuchTableException(ident))
+    val meta = tableDir(ident).resolve("_table.ddl")
     if (!Files.exists(meta)) throw new NoSuchTableException(ident)
     val lines = Files.readAllLines(meta).asScala
     val schema = DataType.fromDDL(lines.head).asInstanceOf[StructType]
     val props = lines.drop(1).flatMap { l =>
       l.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
     }.toMap
-    new CdcSinkTable(kindOf(ident), tableDir(ident).toString,
-      ident.toString, schema, props)
+    new CdcSinkTable(kind, tableDir(ident).toString,
+      ident.toString, schema, props, asOf)
+  }
+
+  override def loadTable(ident: Identifier): Table = loadTable(ident, None)
+
+  /** `VERSION AS OF <epoch>` — a read-only table pinned to the newest
+    * committed epoch ≤ the requested one (the sinks' manifest-retention
+    * time travel; `vacuum()` erodes what old versions can read).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val epoch =
+      try version.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"VERSION AS OF on $ident expects a numeric epoch, got '$version'")
+      }
+    loadTable(ident, Some(epoch))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
+    val kind = kindOf(ident)
     if (Files.exists(metaFile(ident)))
       throw new TableAlreadyExistsException(ident)
     require(partitions.isEmpty,
@@ -115,11 +167,14 @@ class GraftSinkCatalog extends TableCatalog {
     Files.createDirectories(dir)
     val props = properties.asScala.toSeq.sortBy(_._1)
       .filter { case (k, _) => k == "buckets" || k == "compactEvery" }
+    props.foreach { case (k, v) =>
+      require(v.forall(_.isDigit) && v.nonEmpty,
+        s"table property '$k' must be a positive integer, got '$v'") }
     Files.writeString(metaFile(ident),
       (schema.toDDL +: props.map { case (k, v) => s"$k=$v" })
         .mkString("\n"))
-    new CdcSinkTable(kindOf(ident), dir.toString, ident.toString, schema,
-      props.toMap)
+    new CdcSinkTable(kind, dir.toString, ident.toString, schema,
+      props.toMap, None)
   }
 
   override def alterTable(ident: Identifier,
@@ -127,16 +182,19 @@ class GraftSinkCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "ALTER on sink tables: schema follows the feed (K4 evolution)")
 
-  override def dropTable(ident: Identifier): Boolean = {
-    val dir = tableDir(ident)
-    if (!Files.exists(dir)) false
-    else {
-      scala.util.Using.resource(Files.walk(dir)) { st =>
-        st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      }
-      true
+  override def dropTable(ident: Identifier): Boolean =
+    kindOpt(ident) match {
+      case None => false
+      case Some(_) =>
+        val dir = tableDir(ident)
+        if (!Files.exists(dir)) false
+        else {
+          scala.util.Using.resource(Files.walk(dir)) { st =>
+            st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          }
+          true
+        }
     }
-  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!Files.exists(metaFile(oldIdent))) throw new NoSuchTableException(oldIdent)
@@ -155,8 +213,17 @@ object GraftSinkCatalog {
   /** The sink instance a (kind, path, properties) triple denotes. */
   def sinkFor(kind: String, path: String,
               props: Map[String, String]): CdcSink = {
-    def buckets = props.get("buckets").map(_.toInt).getOrElse(16)
-    def compactEvery = props.get("compactEvery").map(_.toInt).getOrElse(8)
+    def intProp(k: String, dflt: Int): Int = props.get(k) match {
+      case None => dflt
+      case Some(v) =>
+        try v.trim.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"sink table property '$k' must be an integer, got '$v'")
+        }
+    }
+    def buckets = intProp("buckets", 16)
+    def compactEvery = intProp("compactEvery", 8)
     kind match {
       case "full"     => new MergeSink(path)
       case "bucketed" => new BucketedMergeSink(path, buckets)
@@ -166,35 +233,212 @@ object GraftSinkCatalog {
         throw new IllegalArgumentException(s"unknown sink kind '$other'")
     }
   }
+
+  /** Reduced envelope state (key, after, op, pos) of a sink, current or
+    * AS OF an epoch.
+    */
+  private[v2] def rawState(spark: SparkSession, sink: CdcSink,
+                           asOf: Option[Long]): Option[DataFrame] =
+    (sink, asOf) match {
+      case (s: LsmMergeSink, Some(e))      => s.stateAt(spark, e)
+      case (s: LsmMergeSink, None)         => s.state(spark)
+      case (s: BucketedMergeSink, Some(e)) => s.stateAt(spark, e)
+      case (s: BucketedMergeSink, None)    => s.state(spark)
+      case (s: Scd2Sink, Some(e))          => s.stateAt(spark, e)
+      case (s: Scd2Sink, None)             => s.state(spark)
+      case (s: MergeSink, Some(e))         => s.stateAt(spark, e)
+      case (s: MergeSink, None)            => s.state(spark)
+      case other =>
+        throw new IllegalStateException(s"unreachable sink shape: $other")
+    }
+
+  /** Project a column of type `from` into shape `to`: structs rebuild
+    * field-by-field BY NAME (missing target fields read null, extra
+    * source fields drop — the read-side face of K4 evolution against a
+    * create-time declared schema), everything else casts. A null struct
+    * stays null instead of becoming a struct of nulls.
+    */
+  /** Type equality ignoring nullability (`DataType.sameType` is
+    * private[sql]; `catalogString` already omits nullability).
+    */
+  private[v2] def sameType(a: DataType, b: DataType): Boolean =
+    a.catalogString == b.catalogString
+
+  private[v2] def conform(c: Column, from: DataType, to: DataType): Column =
+    (from, to) match {
+      case (f, t) if sameType(f, t) => c
+      case (f: StructType, t: StructType) =>
+        val parts = t.fields.map { tf =>
+          f.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
+            case Some(ff) =>
+              conform(c.getField(ff.name), ff.dataType, tf.dataType).as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }
+        when(c.isNull, lit(null).cast(t)).otherwise(struct(parts.toIndexedSeq: _*))
+      case (_, t) => c.cast(t)
+    }
+
+  /** The catalog-read DataFrame: latest envelope per key, conformed to
+    * the table's stored envelope schema. State carries (key, after, op,
+    * pos); the remaining envelope columns read as null except
+    * `source.pos`, which the merge preserved.
+    */
+  private[v2] def stateFrame(spark: SparkSession, kind: String, path: String,
+                             props: Map[String, String], asOf: Option[Long],
+                             envelope: StructType): DataFrame = {
+    val raw = rawState(spark, sinkFor(kind, path, props), asOf).getOrElse(
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], envelope))
+    val rawSchema = raw.schema
+    val cols = envelope.fields.map { f =>
+      rawSchema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(rf) =>
+          conform(raw(rf.name), rf.dataType, f.dataType).as(f.name)
+        case None if f.name.equalsIgnoreCase("source") =>
+          (f.dataType match {
+            case st: StructType =>
+              val parts = st.fields.map { sf =>
+                (if (sf.name.equalsIgnoreCase("pos")) raw("pos").cast(sf.dataType)
+                 else lit(null).cast(sf.dataType)).as(sf.name)
+              }
+              struct(parts.toIndexedSeq: _*)
+            case dt => lit(null).cast(dt)
+          }).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    raw.select(cols.toIndexedSeq: _*)
+  }
 }
 
 private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
                                tableSchema: StructType,
-                               props: Map[String, String])
-    extends Table with SupportsWrite {
-  override def name(): String = ident
+                               props: Map[String, String],
+                               asOf: Option[Long])
+    extends Table with SupportsWrite with SupportsRead {
+  override def name(): String =
+    asOf.map(e => s"$ident VERSION AS OF $e").getOrElse(ident)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      // the table validates write schemas ITSELF (strictly) — Spark's
+      // by-name output resolution would otherwise null-pad any missing
+      // nullable envelope column before the builder could see the drift
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  /** Strict envelope check, replacing the resolution Spark skips under
+    * ACCEPT_ANY_SCHEMA: top-level names must match the stored DDL
+    * exactly (missing → CANNOT_FIND_DATA, unknown → EXTRA_COLUMNS) and
+    * a non-struct column must keep its type; struct INTERIORS are free
+    * to evolve (K4).
+    */
+  private def validateWriteSchema(incoming: StructType): Unit = {
+    def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val in = incoming.fields.map(f => norm(f.name) -> f).toMap
+    val stored = tableSchema.fields.map(f => norm(f.name) -> f).toMap
+    tableSchema.fields.find(f => !in.contains(norm(f.name))).foreach { f =>
+      throw new AnalysisException(
+        "INCOMPATIBLE_DATA_FOR_TABLE.CANNOT_FIND_DATA",
+        Map("tableName" -> ident, "colName" -> f.name))
+    }
+    val extra = incoming.fields.filter(f => !stored.contains(norm(f.name)))
+    if (extra.nonEmpty)
+      throw new AnalysisException(
+        "INCOMPATIBLE_DATA_FOR_TABLE.EXTRA_COLUMNS",
+        Map("tableName" -> ident,
+          "extraColumns" -> extra.map(_.name).mkString(", ")))
+    incoming.fields.foreach { f =>
+      val sf = stored(norm(f.name))
+      val bothStructs = f.dataType.isInstanceOf[StructType] &&
+        sf.dataType.isInstanceOf[StructType]
+      if (!bothStructs && !GraftSinkCatalog.sameType(f.dataType, sf.dataType))
+        throw new AnalysisException(
+          "INCOMPATIBLE_DATA_FOR_TABLE.CANNOT_SAFELY_CAST",
+          Map("tableName" -> ident, "colName" -> f.name,
+            "srcType" -> f.dataType.simpleString,
+            "targetType" -> sf.dataType.simpleString))
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    asOf.foreach { e =>
+      throw new UnsupportedOperationException(
+        s"$ident VERSION AS OF $e is a read-only time-travel view")
+    }
+    validateWriteSchema(info.schema())
     new WriteBuilder {
-      override def build(): V1Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              require(!overwrite,
-                "overwrite is not an epoch — use a fresh table (createOrReplace)")
-              val sink = GraftSinkCatalog.sinkFor(kind, path, props)
-              // one append = one epoch; an explicit `epoch` option gets
-              // the sink's replay guard (exactly-once under foreachBatch
-              // retries), the default continues after the committed tip
-              val epoch = Option(info.options.get("epoch")).map(_.toLong)
-                .getOrElse(sink.committedEpoch.map(_ + 1L).getOrElse(0L))
-              sink.merge(data, epoch)
+      override def build(): V1Write = {
+        // the epoch of this write, resolved ONCE here (not per insert):
+        // explicit `epoch` option → the sink's exactly-once replay guard;
+        // default → committed tip + 1 at build time
+        val epoch = Option(info.options.get("epoch")) match {
+          case Some(v) =>
+            try v.trim.toLong
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"write option 'epoch' on $ident must be an integer, got '$v'")
             }
-          }
+          case None =>
+            GraftSinkCatalog.sinkFor(kind, path, props)
+              .committedEpoch.map(_ + 1L).getOrElse(0L)
+        }
+        new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+                require(!overwrite,
+                  "overwrite is not an epoch — use a fresh table (createOrReplace)")
+                GraftSinkCatalog.sinkFor(kind, path, props).merge(data, epoch)
+              }
+            }
+        }
       }
     }
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // top-level pruning only: a requested column keeps its FULL struct
+      // (readSchema reports exactly what the scan produces; Spark
+      // extracts nested fields above it). Nested pruning still reaches
+      // the parquet leaves through the sink view's own Catalyst plan.
+      private var required: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        val want = requiredSchema.fieldNames
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        required = StructType(tableSchema.fields.filter(f =>
+          want.contains(f.name.toLowerCase(java.util.Locale.ROOT))))
+      }
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new CdcSinkStateRelation(context, kind, path, props, asOf,
+            tableSchema, required).asInstanceOf[T]
+      }
+    }
+}
+
+/** V1 read bridge for the sink tables: `buildScan` materializes the
+  * sink's merge-on-read state plan (bucket-pruned, latest-per-key — see
+  * [[graft.streaming.LsmMergeSink.state]]) and hands Spark its RDD; the
+  * projection below the `.rdd` keeps column pruning flowing into the
+  * underlying parquet scans.
+  */
+private[v2] class CdcSinkStateRelation(ctx: SQLContext, kind: String,
+                                       path: String,
+                                       props: Map[String, String],
+                                       asOf: Option[Long],
+                                       envelope: StructType,
+                                       required: StructType)
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+  override def buildScan(): RDD[Row] = {
+    val df = GraftSinkCatalog.stateFrame(ctx.sparkSession, kind, path,
+      props, asOf, envelope)
+    df.select(required.fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*).rdd
+  }
 }

@@ -90,6 +90,33 @@ class MergeSink(dir: String) extends CdcSink {
   def state(spark: SparkSession): Option[DataFrame] =
     currentVersion.map(v => spark.read.parquet(root.resolve(v).toString))
 
+  /** Committed epoch ids whose version dirs are still on disk, ascending
+    * — each merge leaves its full `v<epoch>/` state, so the full-rewrite
+    * sink time-travels for free (until old dirs are pruned manually).
+    */
+  def versions: Seq[Long] =
+    if (!Files.exists(root)) Nil
+    else scala.util.Using.resource(Files.list(root)) { st =>
+      import scala.jdk.CollectionConverters._
+      val V = """v(\d+)""".r
+      st.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .collect { case V(e) => e.toLong }.toSeq
+    }.sorted
+
+  /** Full state AS OF `epochId`: the newest retained version ≤ it
+    * (Delta/Iceberg VERSION AS OF semantics, like the bucketed sinks).
+    */
+  def stateAt(spark: SparkSession, epochId: Long): Option[DataFrame] =
+    versions.filter(_ <= epochId).lastOption
+      .map(v => spark.read.parquet(root.resolve(s"v$v").toString))
+
+  /** Latest-row view AS OF `epochId` (tombstoned deletes excluded). */
+  def viewAt(spark: SparkSession, epochId: Long): DataFrame =
+    stateAt(spark, epochId).getOrElse(
+      throw new IllegalStateException(s"no committed state at epoch $epochId"))
+      .filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
+
   /** Latest live rows (tombstones dropped, payload flattened). */
   def view(spark: SparkSession): DataFrame = {
     val s = state(spark).getOrElse(

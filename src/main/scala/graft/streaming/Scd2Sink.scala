@@ -169,6 +169,53 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
         throw new IllegalStateException(s"no committed history in $dir")))
   }
 
+  /** Committed epoch ids with retained manifests, ascending (the
+    * time-travel index, like [[LsmMergeSink.versions]]; `vacuum()`
+    * erodes what the older ones can still read).
+    */
+  def versions: Seq[Long] =
+    if (!Files.exists(root)) Nil
+    else Using.resource(Files.list(root)) { st =>
+      val M = """m(\d+)\.manifest""".r
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case M(epoch) => epoch.toLong }
+        .toSeq
+    }.sorted
+
+  /** Manifest as of `epochId` (newest committed ≤ it — VERSION AS OF). */
+  def manifestAt(epochId: Long): Manifest = {
+    val v = versions.filter(_ <= epochId)
+    if (v.isEmpty) Manifest(Map.empty, Map.empty, Seq.empty)
+    else parseManifest(root.resolve(s"m${v.last}.manifest"))
+  }
+
+  /** Current rows as reduced envelope state (key, after, op, pos) — the
+    * shape the other sinks' `state` returns, so the catalog read surface
+    * is uniform. A stored open version is by construction the current
+    * image of its key, so it re-surfaces as a synthetic read (`op='r'`)
+    * at its `valid_from_pos` — the same re-entry convention `merge` uses.
+    */
+  def state(spark: SparkSession): Option[DataFrame] = stateOf(spark, manifest)
+
+  /** `state` AS OF a committed epoch; strict about vacuumed data. */
+  def stateAt(spark: SparkSession, epochId: Long): Option[DataFrame] = {
+    val m = manifestAt(epochId)
+    if (m.open.isEmpty && m.base.isEmpty && m.deltas.isEmpty) return None
+    val refs = m.open.values.map(_._1) ++ m.closedDirs.map(_._1)
+    val gone = refs.filterNot(p => Files.exists(Paths.get(p)))
+    require(gone.isEmpty,
+      s"version data vacuumed away for epoch $epochId: ${gone.take(3).mkString(", ")}")
+    stateOf(spark, m)
+  }
+
+  private def stateOf(spark: SparkSession, m: Manifest): Option[DataFrame] =
+    readByDdl(spark, m.open.values.toSeq)
+      // every key deleted: empty state with the history's schema
+      .orElse(readByDdl(spark, m.closedDirs).map(_.limit(0)))
+      .map(_.select(col("key"), col("after"),
+        lit(Envelope.OpRead).as("op"), col("valid_from_pos").as("pos")))
+
   /** CdcSink view = current rows (open versions' payloads) — reads the
     * open sets ONLY, never the closed history.
     */

@@ -475,7 +475,14 @@ class FunctionsSpec extends AnyFunSuite {
       ("c", 50L, """{"_id":"iso1","aggregatetype":"Order",""" +
         """"aggregateid":"11","type":"created",""" +
         """"timestamp":{"$date":"1970-01-01T00:00:02.1Z"},""" +
-        """"payload":{"k":4}}""")
+        """"payload":{"k":4}}"""),
+      // legacy mongo-shell output: UNQUOTED numbers inside the wrappers
+      // ({"$numberLong":12}, {"$date":2200}) must unwrap like the
+      // canonical quoted forms
+      ("c", 60L, """{"_id":{"$oid":"ffeeddccbbaa998877665544"},""" +
+        """"aggregatetype":"Order","aggregateid":{"$numberLong":12},""" +
+        """"type":"created","timestamp":{"$date":2200},""" +
+        """"payload":{"k":5}}""")
     ).toDF("op", "pos", "after_json")
     val routed = Router.mongoOutbox(feed, timestampField = Some("timestamp"))
       .select("topic", "key", "value", "id", "ts_ms").collect()
@@ -485,7 +492,9 @@ class FunctionsSpec extends AnyFunSuite {
       ("outbox.event.Order", "7", """{"k":1}""",
         "aabbccddeeff001122334455", 1700L),
       ("outbox.event.Order", "8", """{"k":2}""", "plain", 1800L),
-      ("outbox.event.Order", "11", """{"k":4}""", "iso1", 2100L)),
+      ("outbox.event.Order", "11", """{"k":4}""", "iso1", 2100L),
+      ("outbox.event.Order", "12", """{"k":5}""",
+        "ffeeddccbbaa998877665544", 2200L)),
       s"got $routed")
     // tombstone mode keeps the empty-payload event with a null value
     val tomb = Router.mongoOutbox(feed, timestampField = Some("timestamp"),
@@ -497,7 +506,7 @@ class FunctionsSpec extends AnyFunSuite {
     val exp = Router.mongoOutbox(feed, expandPayload = true)
       .select(col("key"), col("value.k").as("k")).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(exp == Set(("7", 1L), ("8", 2L), ("11", 4L)))
+    assert(exp == Set(("7", 1L), ("8", 2L), ("11", 4L), ("12", 5L)))
     // collection.field.event.type is configurable (not hardwired to
     // "type"): a collection whose event-type field is named `kind`
     // still routes, resolving `type` out of that field

@@ -441,20 +441,28 @@ class PlanSpec extends AnyFunSuite {
       "full document re-parsed per field — single-parse regressed")
   }
 
-  /** Jobs submitted while `body` runs (inference pre-scans are eager
-    * jobs at DataFrame-CONSTRUCTION time; execution jobs are excluded
-    * because the body never runs an action). The listener bus is async,
-    * so drain with a bounded poll after the synchronous body returns.
+  /** Jobs submitted by `body` (inference pre-scans are eager jobs at
+    * DataFrame-CONSTRUCTION time; execution jobs are excluded because
+    * the body never runs an action). The body runs under a unique JOB
+    * GROUP and only that group's JobStart events count — concurrent
+    * work on the shared session (parallel suites, lingering streams)
+    * cannot skew the tally. The listener bus is async, so drain with a
+    * bounded poll after the synchronous body returns.
     */
   private def jobsDuring(body: => Unit): Int = {
+    val group = s"plan-spec-${java.util.UUID.randomUUID()}"
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(): Unit
+        if (Option(j.properties).exists(
+            _.getProperty("spark.jobGroup.id") == group))
+          jobs.incrementAndGet(): Unit
       }
     }
     spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(group, "PlanSpec.jobsDuring",
+      interruptOnCancel = false)
     try {
       body
       val deadline = System.nanoTime + 3_000_000_000L
@@ -467,7 +475,10 @@ class PlanSpec extends AnyFunSuite {
         Thread.sleep(200)
       }
       jobs.get
-    } finally spark.sparkContext.removeSparkListener(l)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
   }
 
   test("declared payload schema expands the outbox with ZERO inference " +

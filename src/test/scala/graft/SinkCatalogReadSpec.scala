@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Materialize
+import graft.sources.{ChangeFeedGen, Tables}
+
+/** DSv2 READ path of the sink catalog (sinks/v2/GraftSinkCatalog): a
+  * sink table reads back as the latest envelope per key (log-compacted-
+  * topic semantics), `VERSION AS OF` time-travels via the sinks'
+  * retained manifests, pruning reaches the scan, and the strict write
+  * contract rejects drifted feeds up front.
+  */
+class SinkCatalogReadSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  val sfDir = "/root/testdata/sf0.001"
+
+  def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted
+    df.select(cols.map(col): _*).collect().map(_.mkString("|")).sorted.toSeq
+  }
+
+  private lazy val cat: String = {
+    val c = "graft_rd"
+    if (spark.conf.getOption(s"spark.sql.catalog.$c").isEmpty) {
+      spark.conf.set(s"spark.sql.catalog.$c",
+        classOf[graft.sinks.v2.GraftSinkCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$c.root",
+        Files.createTempDirectory("rd-cat").toString)
+    }
+    c
+  }
+  private def catRoot = spark.conf.get(s"spark.sql.catalog.$cat.root")
+
+  private def freshTable(kind: String, table: String = "orders",
+                         props: Map[String, String] =
+                           Map("buckets" -> "8", "compactEvery" -> "100"))
+      : (String, org.apache.spark.sql.DataFrame) = {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, table), table)
+    val name = s"$cat.$kind.${table}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val w = feed.filter(col("op") === "r").writeTo(name)
+    props.foldLeft(w) { case (w, (k, v)) => w.tableProperty(k, v) }.create()
+    feed.filter(col("op") =!= "r").writeTo(name).option("epoch", "1").append()
+    (name, feed)
+  }
+
+  test("spark.table reads latest envelope per key; after.*/op<>'d' == view") {
+    val (name, feed) = freshTable("lsm")
+    val read = spark.table(name)
+    assert(read.schema.fieldNames.toSeq ==
+      Seq("key", "before", "after", "op", "source", "transaction", "ts_ms"))
+    // live rows through SQL == the sink's own view == the oracle state
+    val live = spark.sql(s"SELECT after.* FROM $name WHERE op <> 'd'")
+    assert(canon(live) == canon(Materialize.latestState(feed)))
+    // tombstones stay visible as op='d' (log-compacted-topic semantics)
+    val dels = read.filter(col("op") === "d")
+    assert(dels.count() > 0)
+    assert(dels.filter(col("after").isNotNull).count() == 0,
+      "delete rows must keep after NULL (struct conform must not " +
+        "resurrect a null struct as a struct of nulls)")
+    // source.pos survived the merge; other provenance reads null
+    assert(read.filter(col("source.pos").isNull).count() == 0)
+    assert(read.filter(col("source.connector").isNotNull).count() == 0)
+  }
+
+  test("SQL aggregation over a sink table plans a pruned v1 scan") {
+    import org.apache.spark.sql.execution.{RowDataSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val (name, _) = freshTable("lsm")
+    val agg = spark.sql(
+      s"SELECT op, count(*) AS n FROM $name GROUP BY op")
+    val total = agg.collect().map(_.getLong(1)).sum // finalize the AQE plan
+    def scans(p: SparkPlan): Seq[Seq[String]] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: RowDataSourceScanExec => Seq(s.output.map(_.name))
+      case other => other.children.flatMap(scans)
+    }
+    val sc = scans(agg.queryExecution.executedPlan)
+    assert(sc.nonEmpty, "expected the v1 read bridge scan")
+    assert(sc.head == Seq("op"),
+      s"scan must prune to the queried column, got ${sc.head}")
+    assert(total == spark.table(name).count())
+  }
+
+  test("VERSION AS OF reproduces the snapshot epoch (lsm + full kinds)") {
+    for (kind <- Seq("lsm", "full")) {
+      val (name, feed) = freshTable(kind, "region")
+      val snap = spark.sql(
+        s"SELECT after.* FROM $name VERSION AS OF 0 WHERE op <> 'd'")
+      assert(canon(snap) ==
+        canon(feed.filter(col("op") === "r").select(col("after.*"))),
+        s"kind=$kind VERSION AS OF 0 must be the snapshot")
+      // epoch between commits resolves to the newest committed <= it
+      assert(canon(spark.sql(
+        s"SELECT after.* FROM $name VERSION AS OF 1 WHERE op <> 'd'")) ==
+        canon(Materialize.latestState(feed)), s"kind=$kind at tip")
+      // a pinned table refuses writes
+      val e = intercept[Exception] {
+        feed.writeTo(s"$name VERSION AS OF 0").append()
+      }
+      assert(e.getMessage != null)
+    }
+  }
+
+  test("scd2 tables read current rows; VERSION AS OF re-opens the past") {
+    val (name, feed) = freshTable("scd2", "nation",
+      Map("buckets" -> "4", "compactEvery" -> "100"))
+    val read = spark.table(name)
+    // current state: open versions only, op='r', after = live payload
+    assert(canon(read.filter(col("op") =!= "d").select(col("after.*"))) ==
+      canon(Materialize.latestState(feed)))
+    // as of the snapshot commit every key was open at its read image
+    assert(canon(spark.sql(
+      s"SELECT after.* FROM $name VERSION AS OF 0")) ==
+      canon(feed.filter(col("op") === "r").select(col("after.*"))))
+  }
+
+  test("strict write contract: extra and retyped columns fail analysis") {
+    val (name, feed) = freshTable("lsm", "nation",
+      Map("buckets" -> "4", "compactEvery" -> "100"))
+    val extra = intercept[AnalysisException] {
+      feed.withColumn("bogus", lit(1)).writeTo(name).append()
+    }
+    assert(extra.getMessage.contains("bogus"))
+    val retyped = intercept[AnalysisException] {
+      feed.withColumn("ts_ms", col("ts_ms").cast("string"))
+        .writeTo(name).append()
+    }
+    assert(retyped.getMessage.contains("ts_ms"))
+    // nested payload evolution (K4) still flows through: an ADDED after
+    // field is not drift — the table stays writable
+    val evolved = feed.filter(col("op") === "u").withColumn("after",
+      when(col("after").isNull, lit(null).cast(
+        feed.schema("after").dataType.asInstanceOf[
+          org.apache.spark.sql.types.StructType].add("n_extra", "int")))
+        .otherwise(struct(col("after.*"), lit(7).as("n_extra"))))
+      .withColumn("before", lit(null).cast(
+        feed.schema("before").dataType.asInstanceOf[
+          org.apache.spark.sql.types.StructType].add("n_extra", "int")))
+    evolved.writeTo(name).option("epoch", "2").append()
+    assert(spark.sql(s"SELECT count(*) FROM $name").head.getLong(0) > 0)
+  }
+
+  test("catalog contract: unknown namespaces no-op on DROP, not-found on read") {
+    spark.sql(s"DROP TABLE IF EXISTS $cat.badns.t") // must not throw
+    val e = intercept[AnalysisException] { spark.table(s"$cat.badns.t") }
+    assert(e.getCondition != null &&
+      e.getCondition.contains("TABLE_OR_VIEW_NOT_FOUND"))
+    val e2 = intercept[AnalysisException] { spark.table(s"$cat.lsm.nope_missing") }
+    assert(e2.getCondition != null &&
+      e2.getCondition.contains("TABLE_OR_VIEW_NOT_FOUND"))
+  }
+}
