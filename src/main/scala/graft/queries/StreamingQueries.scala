@@ -633,6 +633,18 @@ object StreamingQueries extends QueryGroup {
         "WHERE op <> 'd'")
     }),
 
+    // The scd2 sink's `$history` METADATA TABLE (Iceberg-style suffix):
+    // the full SCD-2 version history — closed intervals + open versions
+    // — queryable as plain SQL over the catalog, equal to the batch
+    // history-table operator's oracle. The suffix table is read-only
+    // and rides the same V1Scan bridge (pruning, VERSION AS OF).
+    "k2_writeto_history" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+      writetoTable(s, fd, tbl, kind = "scd2")
+      s.sql(s"SELECT * FROM graft_wt.scd2.`$tbl$$history`")
+    }),
+
     // Streaming deduplication with cross-batch state: the same source read
     // twice (duplicate delivery) collapses via dropDuplicates on the key
     "stream_dedup" -> ((s, dir) => {
@@ -795,17 +807,17 @@ object StreamingQueries extends QueryGroup {
     * so the root is pinned once per session; table names are per-run.
     */
   private def writetoTable(s: SparkSession, fd: DataFrame,
-                           tbl: String): Unit = {
+                           tbl: String, kind: String = "lsm"): Unit = {
     if (s.conf.getOption("spark.sql.catalog.graft_wt").isEmpty) {
       s.conf.set("spark.sql.catalog.graft_wt",
         classOf[graft.sinks.v2.GraftSinkCatalog].getName)
       s.conf.set("spark.sql.catalog.graft_wt.root",
         java.nio.file.Files.createTempDirectory("wt-catalog").toString)
     }
-    fd.filter(col("op") === "r").writeTo(s"graft_wt.lsm.$tbl")
+    fd.filter(col("op") === "r").writeTo(s"graft_wt.$kind.$tbl")
       .tableProperty("buckets", "16").tableProperty("compactEvery", "2")
       .create()
-    fd.filter(col("op") =!= "r").writeTo(s"graft_wt.lsm.$tbl")
+    fd.filter(col("op") =!= "r").writeTo(s"graft_wt.$kind.$tbl")
       .option("epoch", "1").append()
   }
 
@@ -926,6 +938,22 @@ object StreamingQueries extends QueryGroup {
     "k2_lsm_materialize" -> ordersLatest,
     "k2_writeto_lsm" -> ordersLatest,
     "k2_writeto_read" -> ordersLatest,
+
+    // same interval oracle as the batch/streaming history table — the
+    // $history metadata table must reproduce it through pure SQL
+    "k2_writeto_history" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        | o_orderkey*10 AS valid_from_pos,
+        | CASE WHEN o_orderkey%7=3 THEN o_orderkey*10+1
+        |      WHEN o_orderkey%13=6 THEN o_orderkey*10+2 END AS valid_to_pos,
+        | (o_orderkey%7<>3 AND o_orderkey%13<>6) AS is_current
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'U', o_totalprice, o_orderdate, o_orderpriority,
+        | o_orderkey*10+1,
+        | CASE WHEN o_orderkey%13=6 THEN o_orderkey*10+2 END,
+        | o_orderkey%13<>6
+        |FROM orders WHERE o_orderkey%7=3""".stripMargin,
 
     // as-of the CTAS epoch = the plain snapshot (same oracle shape as
     // k2_time_travel, via SQL VERSION AS OF instead of sink.viewAt)

@@ -128,15 +128,30 @@ class GraftSinkCatalog extends TableCatalog {
 
   private def loadTable(ident: Identifier, asOf: Option[Long]): Table = {
     val kind = kindOpt(ident).getOrElse(throw new NoSuchTableException(ident))
-    val meta = tableDir(ident).resolve("_table.ddl")
+    // Iceberg-style metadata-table suffix: `<name>$history` on a scd2
+    // sink reads the FULL version history (closed + open intervals)
+    val (baseName, metaSuffix) = ident.name.split('$') match {
+      case Array(b, s) => (b, Some(s))
+      case _           => (ident.name, None)
+    }
+    metaSuffix.foreach { s =>
+      if (s != "history" || kind != "scd2")
+        throw new NoSuchTableException(ident)
+    }
+    val baseIdent = Identifier.of(ident.namespace, baseName)
+    val meta = metaFile(baseIdent)
     if (!Files.exists(meta)) throw new NoSuchTableException(ident)
     val lines = Files.readAllLines(meta).asScala
     val schema = DataType.fromDDL(lines.head).asInstanceOf[StructType]
     val props = lines.drop(1).flatMap { l =>
       l.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
     }.toMap
-    new CdcSinkTable(kind, tableDir(ident).toString,
-      ident.toString, schema, props, asOf)
+    if (metaSuffix.isEmpty)
+      new CdcSinkTable(kind, tableDir(baseIdent).toString,
+        ident.toString, schema, props, asOf)
+    else
+      new Scd2HistoryTable(tableDir(baseIdent).toString, ident.toString,
+        GraftSinkCatalog.historySchemaOf(schema), props, asOf)
   }
 
   override def loadTable(ident: Identifier): Table = loadTable(ident, None)
@@ -159,6 +174,8 @@ class GraftSinkCatalog extends TableCatalog {
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     val kind = kindOf(ident)
+    require(!ident.name.contains('$'),
+      s"'$$' is reserved for metadata tables (<name>$$history): $ident")
     if (Files.exists(metaFile(ident)))
       throw new TableAlreadyExistsException(ident)
     require(partitions.isEmpty,
@@ -258,6 +275,24 @@ object GraftSinkCatalog {
     * create-time declared schema), everything else casts. A null struct
     * stays null instead of becoming a struct of nulls.
     */
+  /** The `$history` metadata-table schema a stored envelope DDL
+    * implies: the payload columns flattened (what [[graft.operators.Scd2.present]]
+    * emits) plus the validity interval and the open-version flag.
+    */
+  private[v2] def historySchemaOf(envelope: StructType): StructType = {
+    val payload = envelope.fields.find(_.name.equalsIgnoreCase("after"))
+      .map(_.dataType.asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        "stored sink schema has no 'after' payload struct"))
+    StructType(payload.fields.toIndexedSeq ++ Seq(
+      org.apache.spark.sql.types.StructField("valid_from_pos",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("valid_to_pos",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("is_current",
+        org.apache.spark.sql.types.BooleanType)))
+  }
+
   /** Type equality ignoring nullability (`DataType.sameType` is
     * private[sql]; `catalogString` already omits nullability).
     */
@@ -312,14 +347,56 @@ object GraftSinkCatalog {
   }
 }
 
+/** Shared read half of the catalog's tables: a `V1Scan` bridge over a
+  * driver-built DataFrame, with top-level column pruning (a requested
+  * column keeps its FULL struct — readSchema reports exactly what the
+  * scan produces and Spark extracts nested fields above it; nested
+  * pruning still reaches the parquet leaves through the frame's own
+  * Catalyst plan).
+  */
+private[v2] trait SinkReadTable extends Table with SupportsRead {
+  protected def readSchemaFull: StructType
+  /** The full-schema frame the scan projects from. */
+  protected def fullFrame(spark: SparkSession): DataFrame
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = readSchemaFull
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        val want = requiredSchema.fieldNames
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        required = StructType(readSchemaFull.fields.filter(f =>
+          want.contains(f.name.toLowerCase(java.util.Locale.ROOT))))
+      }
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val req = required
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = req
+            override def buildScan(): RDD[Row] =
+              fullFrame(context.sparkSession)
+                .select(req.fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*)
+                .rdd
+          }.asInstanceOf[T]
+        }
+      }
+    }
+}
+
 private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
                                tableSchema: StructType,
                                props: Map[String, String],
                                asOf: Option[Long])
-    extends Table with SupportsWrite with SupportsRead {
+    extends Table with SupportsWrite with SinkReadTable {
   override def name(): String =
     asOf.map(e => s"$ident VERSION AS OF $e").getOrElse(ident)
   override def schema(): StructType = tableSchema
+  override protected def readSchemaFull: StructType = tableSchema
+  override protected def fullFrame(spark: SparkSession): DataFrame =
+    GraftSinkCatalog.stateFrame(spark, kind, path, props, asOf, tableSchema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
@@ -398,47 +475,44 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
     }
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
-      // top-level pruning only: a requested column keeps its FULL struct
-      // (readSchema reports exactly what the scan produces; Spark
-      // extracts nested fields above it). Nested pruning still reaches
-      // the parquet leaves through the sink view's own Catalyst plan.
-      private var required: StructType = tableSchema
-      override def pruneColumns(requiredSchema: StructType): Unit = {
-        val want = requiredSchema.fieldNames
-          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-        required = StructType(tableSchema.fields.filter(f =>
-          want.contains(f.name.toLowerCase(java.util.Locale.ROOT))))
-      }
-      override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = required
-        override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T =
-          new CdcSinkStateRelation(context, kind, path, props, asOf,
-            tableSchema, required).asInstanceOf[T]
-      }
-    }
 }
 
-/** V1 read bridge for the sink tables: `buildScan` materializes the
-  * sink's merge-on-read state plan (bucket-pruned, latest-per-key — see
-  * [[graft.streaming.LsmMergeSink.state]]) and hands Spark its RDD; the
-  * projection below the `.rdd` keeps column pruning flowing into the
-  * underlying parquet scans.
+/** `<name>$history` metadata table of a scd2 sink: the FULL version
+  * history (closed intervals + open versions, [[graft.operators.Scd2.present]]
+  * shape) as a read-only catalog table — `VERSION AS OF` composes
+  * (`historyAt`). The declared schema is derived from the stored
+  * envelope DDL; evolved payload columns appear after the base table
+  * is recreated, like the main table's reads.
   */
-private[v2] class CdcSinkStateRelation(ctx: SQLContext, kind: String,
-                                       path: String,
-                                       props: Map[String, String],
-                                       asOf: Option[Long],
-                                       envelope: StructType,
-                                       required: StructType)
-    extends BaseRelation with TableScan {
-  override def sqlContext: SQLContext = ctx
-  override def schema: StructType = required
-  override def buildScan(): RDD[Row] = {
-    val df = GraftSinkCatalog.stateFrame(ctx.sparkSession, kind, path,
-      props, asOf, envelope)
-    df.select(required.fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*).rdd
+private[v2] class Scd2HistoryTable(path: String, ident: String,
+                                   historySchema: StructType,
+                                   props: Map[String, String],
+                                   asOf: Option[Long])
+    extends SinkReadTable {
+  override def name(): String =
+    asOf.map(e => s"$ident VERSION AS OF $e").getOrElse(ident)
+  override def schema(): StructType = historySchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override protected def readSchemaFull: StructType = historySchema
+  override protected def fullFrame(spark: SparkSession): DataFrame = {
+    val sink = GraftSinkCatalog.sinkFor("scd2", path, props)
+      .asInstanceOf[Scd2Sink]
+    val raw = (asOf match {
+      case Some(e) => sink.historyAt(spark, e)
+      case None    => Some(sink.history(spark))
+    }).getOrElse(
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], historySchema))
+    val rawSchema = raw.schema
+    val cols = historySchema.fields.map { f =>
+      rawSchema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(rf) =>
+          GraftSinkCatalog.conform(raw(rf.name), rf.dataType, f.dataType)
+            .as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    raw.select(cols.toIndexedSeq: _*)
   }
 }

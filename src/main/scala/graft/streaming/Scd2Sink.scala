@@ -162,12 +162,26 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     * deltas + open sets, a pure union — no merge work at read time
     * because every row is already a finalized version interval.
     */
-  def history(spark: SparkSession): DataFrame = {
-    val m = manifest
-    Scd2.present(readByDdl(spark, m.closedDirs ++ m.open.values.toSeq)
-      .getOrElse(
-        throw new IllegalStateException(s"no committed history in $dir")))
+  def history(spark: SparkSession): DataFrame =
+    historyOf(spark, manifest).getOrElse(
+      throw new IllegalStateException(s"no committed history in $dir"))
+
+  /** [[history]] AS OF a committed epoch (the `$history` metadata
+    * table's time travel); strict about vacuumed data, like `stateAt`.
+    */
+  def historyAt(spark: SparkSession, epochId: Long): Option[DataFrame] = {
+    val m = manifestAt(epochId)
+    if (m.open.isEmpty && m.base.isEmpty && m.deltas.isEmpty) return None
+    val refs = m.open.values.map(_._1) ++ m.closedDirs.map(_._1)
+    val gone = refs.filterNot(p => Files.exists(Paths.get(p)))
+    require(gone.isEmpty,
+      s"version data vacuumed away for epoch $epochId: ${gone.take(3).mkString(", ")}")
+    historyOf(spark, m)
   }
+
+  private def historyOf(spark: SparkSession,
+                        m: Manifest): Option[DataFrame] =
+    readByDdl(spark, m.closedDirs ++ m.open.values.toSeq).map(Scd2.present)
 
   /** Committed epoch ids with retained manifests, ascending (the
     * time-travel index, like [[LsmMergeSink.versions]]; `vacuum()`

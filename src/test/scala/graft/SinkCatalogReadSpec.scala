@@ -120,6 +120,28 @@ class SinkCatalogReadSpec extends AnyFunSuite {
       canon(feed.filter(col("op") === "r").select(col("after.*"))))
   }
 
+  test("scd2 $history metadata table: full history via SQL, as-of composes") {
+    val (name, feed) = freshTable("scd2", "orders",
+      Map("buckets" -> "8", "compactEvery" -> "100"))
+    val ident = name.split('.').last
+    val hist = s"$cat.scd2.`$ident$$history`"
+    // full history through SQL == the batch history-table operator
+    assert(canon(spark.sql(s"SELECT * FROM $hist")) ==
+      canon(graft.operators.Scd2.historyTable(feed)))
+    // as of the snapshot commit: every key one open version at its read
+    val h0 = spark.sql(s"SELECT * FROM $hist VERSION AS OF 0")
+    assert(h0.filter(col("is_current") === false).count() == 0)
+    assert(canon(h0.drop("valid_from_pos", "valid_to_pos", "is_current")) ==
+      canon(feed.filter(col("op") === "r").select(col("after.*"))))
+    // pruning: history is read-only and metadata suffixes stay scoped
+    intercept[AnalysisException] {
+      spark.table(s"$cat.lsm.`${ident}$$history`")
+    }
+    intercept[AnalysisException] {
+      spark.table(s"$cat.scd2.`${ident}$$snapshots`")
+    }
+  }
+
   test("strict write contract: extra and retyped columns fail analysis") {
     val (name, feed) = freshTable("lsm", "nation",
       Map("buckets" -> "4", "compactEvery" -> "100"))
