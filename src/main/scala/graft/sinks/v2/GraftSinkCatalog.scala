@@ -352,34 +352,87 @@ object GraftSinkCatalog {
   * column keeps its FULL struct — readSchema reports exactly what the
   * scan produces and Spark extracts nested fields above it; nested
   * pruning still reaches the parquet leaves through the frame's own
-  * Catalyst plan).
+  * Catalyst plan) and filter pushdown: a pushed predicate applies to
+  * the frame INSIDE the bridge, so Catalyst can push it on through to
+  * the underlying parquet scans (row-group pruning on cold buckets)
+  * and rows drop before the Row-conversion boundary — at scale the
+  * difference between scanning a table and scanning a predicate.
   */
 private[v2] trait SinkReadTable extends Table with SupportsRead {
   protected def readSchemaFull: StructType
   /** The full-schema frame the scan projects from. */
   protected def fullFrame(spark: SparkSession): DataFrame
 
+  /** A pushed v1 `Filter` as a Column over the frame, when the shape is
+    * supported: top-level attribute comparisons and boolean
+    * combinations. Anything else stays a post-scan filter (returning it
+    * unpushed is always correct — Spark re-applies residuals).
+    */
+  private def toColumn(f: org.apache.spark.sql.sources.Filter): Option[Column] = {
+    import org.apache.spark.sql.sources._
+    def ref(name: String): Option[Column] =
+      if (readSchemaFull.fieldNames.exists(_.equalsIgnoreCase(name)))
+        Some(col(s"`$name`"))
+      else None // nested/unknown refs: leave post-scan
+    f match {
+      case EqualTo(a, v)            => ref(a).map(_ === lit(v))
+      case EqualNullSafe(a, v)      => ref(a).map(_ <=> lit(v))
+      case GreaterThan(a, v)        => ref(a).map(_ > lit(v))
+      case GreaterThanOrEqual(a, v) => ref(a).map(_ >= lit(v))
+      case LessThan(a, v)           => ref(a).map(_ < lit(v))
+      case LessThanOrEqual(a, v)    => ref(a).map(_ <= lit(v))
+      case In(a, vs)                => ref(a).map(_.isin(vs.toIndexedSeq: _*))
+      case IsNull(a)                => ref(a).map(_.isNull)
+      case IsNotNull(a)             => ref(a).map(_.isNotNull)
+      case StringStartsWith(a, v)   => ref(a).map(_.startsWith(v))
+      case StringEndsWith(a, v)     => ref(a).map(_.endsWith(v))
+      case StringContains(a, v)     => ref(a).map(_.contains(v))
+      case Not(c)                   => toColumn(c).map(!_)
+      case And(l, r) =>
+        for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+      case Or(l, r) =>
+        for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+      case _ => None
+    }
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       private var required: StructType = readSchemaFull
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit = {
         val want = requiredSchema.fieldNames
           .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
         required = StructType(readSchemaFull.fields.filter(f =>
           want.contains(f.name.toLowerCase(java.util.Locale.ROOT))))
       }
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        val (ok, rest) = filters.partition(f => toColumn(f).isDefined)
+        pushed = ok
+        rest
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        pushed
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = required
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
           val req = required
+          val preds = pushed.flatMap(toColumn)
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
             override def schema: StructType = req
-            override def buildScan(): RDD[Row] =
-              fullFrame(context.sparkSession)
+            override def buildScan(): RDD[Row] = {
+              val filtered = preds.foldLeft(fullFrame(context.sparkSession))(
+                (df, p) => df.filter(p))
+              filtered
                 .select(req.fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*)
                 .rdd
+            }
           }.asInstanceOf[T]
         }
       }
