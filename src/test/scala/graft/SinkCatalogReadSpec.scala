@@ -192,6 +192,42 @@ class SinkCatalogReadSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $name").head.getLong(0) > 0)
   }
 
+  test("streaming foreachBatch drives catalog epochs exactly-once; " +
+      "a restarted stream replays harmlessly") {
+    import graft.streaming.StreamingMaterialize
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "nation"), "nation")
+    val tmp = Files.createTempDirectory("wt-stream")
+    val transport = s"$tmp/transport"
+    StreamingMaterialize.writeTransport(feed, transport, files = 4)
+    val tbl = "nation_" + java.util.UUID.randomUUID().toString.take(8)
+    val name = s"$cat.lsm.$tbl"
+    // the catalog table must exist before the stream appends epochs
+    feed.limit(0).writeTo(name).tableProperty("buckets", "4").create()
+    val schema = spark.read.parquet(transport).schema
+    def runStream(ckpt: String): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(transport)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, e: Long) =>
+          // epoch = batchId + 1: the create() wrote epoch 0
+          batch.writeTo(name).option("epoch", (e + 1).toString).append()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runStream(s"$tmp/ckpt")
+    val after = canon(spark.sql(s"SELECT after.* FROM $name WHERE op <> 'd'"))
+    assert(after == canon(Materialize.latestState(feed)))
+    // a FULL replay from a fresh checkpoint re-delivers every epoch;
+    // the sink's replay guard drops them all — state unchanged
+    runStream(s"$tmp/ckpt2")
+    assert(canon(spark.sql(s"SELECT after.* FROM $name WHERE op <> 'd'")) ==
+      after)
+  }
+
   test("catalog contract: unknown namespaces no-op on DROP, not-found on read") {
     spark.sql(s"DROP TABLE IF EXISTS $cat.badns.t") // must not throw
     val e = intercept[AnalysisException] { spark.table(s"$cat.badns.t") }
