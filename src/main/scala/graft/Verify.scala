@@ -39,13 +39,21 @@ object Verify {
       import scala.jdk.CollectionConverters._
       val known = SparkEntry.queries.keySet
       // a Verify-written dump: a directory whose every entry is parquet
-      // write machinery (empty = a crashed dump, also ours to clean)
+      // write machinery AND that matches Verify's own coalesce(1) shape
+      // (_SUCCESS + at most one part file). The shape test matters: any
+      // Spark-written dataset passes the machinery test alone, and a
+      // mistyped outDir pointing at real multi-part datasets must still
+      // fail loudly, not be silently wiped. Crashed dumps (no _SUCCESS)
+      // under a still-known name are covered by `known`; a crashed dump
+      // of a since-renamed query stays foreign and needs manual removal.
       def looksLikeDump(p: java.nio.file.Path): Boolean =
-        Files.isDirectory(p) && scala.util.Using.resource(Files.list(p))(
-          _.iterator().asScala.forall { f =>
-            val n = f.getFileName.toString
-            n == "_SUCCESS" || n.endsWith(".parquet") || n.endsWith(".crc")
-          })
+        Files.isDirectory(p) && scala.util.Using.resource(Files.list(p)) { st =>
+          val names = st.iterator().asScala.map(_.getFileName.toString).toSeq
+          names.contains("_SUCCESS") &&
+            names.forall(n => n == "_SUCCESS" || n.endsWith(".parquet") ||
+              n.endsWith(".crc")) &&
+            names.count(_.endsWith(".parquet")) <= 1
+        }
       val entries = scala.util.Using.resource(Files.list(outPath))(
         _.iterator().asScala.toSeq)
       val foreign = entries.filterNot { p =>

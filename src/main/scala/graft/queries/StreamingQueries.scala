@@ -20,6 +20,33 @@ object StreamingQueries extends QueryGroup {
       | o_totalprice, o_orderdate, o_orderpriority
       |FROM orders WHERE o_orderkey%13<>6""".stripMargin
 
+  // as-of epoch 0 = the plain snapshot, updates/deletes not yet applied
+  // (shared by the sink-API and the SQL VERSION AS OF time-travel reads)
+  private val ordersSnapshot =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      | o_orderdate, o_orderpriority
+      |FROM orders""".stripMargin
+
+  // the SCD-2 interval oracle (same derivation as CoreCdcQueries
+  // k2_history_table): r versions closed by the update (k%7=3) or the
+  // delete (k%13=6); u versions exist for k%7=3, closed only by the
+  // delete. Shared by the streaming maintenance query and the $history
+  // metadata-table read — one copy, or the two verify against
+  // silently-diverged ground truth.
+  private val scd2HistoryOracle =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+      | o_orderkey*10 AS valid_from_pos,
+      | CASE WHEN o_orderkey%7=3 THEN o_orderkey*10+1
+      |      WHEN o_orderkey%13=6 THEN o_orderkey*10+2 END AS valid_to_pos,
+      | (o_orderkey%7<>3 AND o_orderkey%13<>6) AS is_current
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, 'U', o_totalprice, o_orderdate, o_orderpriority,
+      | o_orderkey*10+1,
+      | CASE WHEN o_orderkey%13=6 THEN o_orderkey*10+2 END,
+      | o_orderkey%13<>6
+      |FROM orders WHERE o_orderkey%7=3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Streaming curation: the corpus pipeline running INCREMENTALLY over
     // a multi-epoch document stream. Per epoch: quality filter
@@ -880,19 +907,7 @@ object StreamingQueries extends QueryGroup {
 
     // same interval oracle as the batch history table (CoreCdcQueries
     // k2_history_table): streaming maintenance must converge to it
-    "stream_scd2_history" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
-        | o_orderkey*10 AS valid_from_pos,
-        | CASE WHEN o_orderkey%7=3 THEN o_orderkey*10+1
-        |      WHEN o_orderkey%13=6 THEN o_orderkey*10+2 END AS valid_to_pos,
-        | (o_orderkey%7<>3 AND o_orderkey%13<>6) AS is_current
-        |FROM orders
-        |UNION ALL
-        |SELECT o_orderkey, o_custkey, 'U', o_totalprice, o_orderdate, o_orderpriority,
-        | o_orderkey*10+1,
-        | CASE WHEN o_orderkey%13=6 THEN o_orderkey*10+2 END,
-        | o_orderkey%13<>6
-        |FROM orders WHERE o_orderkey%7=3""".stripMargin,
+    "stream_scd2_history" -> scd2HistoryOracle,
     "stream_dsv2_changelog" -> ordersLatest,
     "s5_readonly_incremental" -> ordersLatest,
     "s3_signal_windows" -> ordersLatest,
@@ -929,11 +944,7 @@ object StreamingQueries extends QueryGroup {
 
     "k2_bucketed_materialize" -> ordersLatest,
 
-    // as-of epoch 0 = the plain snapshot, updates/deletes not yet applied
-    "k2_time_travel" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        | o_orderdate, o_orderpriority
-        |FROM orders""".stripMargin,
+    "k2_time_travel" -> ordersSnapshot,
 
     "k2_lsm_materialize" -> ordersLatest,
     "k2_writeto_lsm" -> ordersLatest,
@@ -941,26 +952,10 @@ object StreamingQueries extends QueryGroup {
 
     // same interval oracle as the batch/streaming history table — the
     // $history metadata table must reproduce it through pure SQL
-    "k2_writeto_history" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
-        | o_orderkey*10 AS valid_from_pos,
-        | CASE WHEN o_orderkey%7=3 THEN o_orderkey*10+1
-        |      WHEN o_orderkey%13=6 THEN o_orderkey*10+2 END AS valid_to_pos,
-        | (o_orderkey%7<>3 AND o_orderkey%13<>6) AS is_current
-        |FROM orders
-        |UNION ALL
-        |SELECT o_orderkey, o_custkey, 'U', o_totalprice, o_orderdate, o_orderpriority,
-        | o_orderkey*10+1,
-        | CASE WHEN o_orderkey%13=6 THEN o_orderkey*10+2 END,
-        | o_orderkey%13<>6
-        |FROM orders WHERE o_orderkey%7=3""".stripMargin,
+    "k2_writeto_history" -> scd2HistoryOracle,
 
-    // as-of the CTAS epoch = the plain snapshot (same oracle shape as
-    // k2_time_travel, via SQL VERSION AS OF instead of sink.viewAt)
-    "k2_writeto_time_travel" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        | o_orderdate, o_orderpriority
-        |FROM orders""".stripMargin,
+    // as-of the CTAS epoch, via SQL VERSION AS OF instead of sink.viewAt
+    "k2_writeto_time_travel" -> ordersSnapshot,
 
     // delete wins over update at the same key (higher change position),
     // so %13=6 keys diff as deletes even when %7=3 also updated them

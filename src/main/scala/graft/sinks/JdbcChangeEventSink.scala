@@ -339,14 +339,20 @@ object JdbcChangeEventSink {
     // lever that keeps the 8 partition writers CONCURRENT — a partition
     // holding >~5000 row locks trips derby.locks.escalationThreshold and
     // the transaction escalates to a TABLE lock, serializing every other
-    // writer behind it. Statements are idempotent upserts/deletes and
-    // the epoch guard is per-epoch, so a crash between bounded commits
-    // replays harmlessly (at-least-once inside the epoch, unchanged).
+    // writer behind it. Upsert/update/delete statements are idempotent
+    // and the epoch guard is per-epoch, so a crash between bounded
+    // commits replays harmlessly (at-least-once inside the epoch).
+    // insert.mode=insert is the exception: a plain INSERT is NOT
+    // idempotent (a task retry would duplicate the committed prefix, or
+    // spin on a PK violation), so that mode keeps the original single
+    // transaction per partition — rollback-clean under retries.
+    private val commitEvery =
+      if (insertMode == "insert") Int.MaxValue else batchSize
     private var sinceCommit = 0
 
     private def maybeCommit(): Unit = {
       sinceCommit += 1
-      if (sinceCommit >= batchSize) {
+      if (sinceCommit >= commitEvery) {
         flush()
         conn.commit()
         sinceCommit = 0

@@ -184,8 +184,11 @@ class GraftSinkCatalog extends TableCatalog {
     Files.createDirectories(dir)
     val props = properties.asScala.toSeq.sortBy(_._1)
       .filter { case (k, _) => k == "buckets" || k == "compactEvery" }
+    // validate at CREATE, not first use: a bad value would otherwise
+    // produce a table that mis-partitions silently (buckets=0 makes
+    // pmod null) or can never be loaded (overflow throws in sinkFor)
     props.foreach { case (k, v) =>
-      require(v.forall(_.isDigit) && v.nonEmpty,
+      require(v.trim.toIntOption.exists(_ > 0),
         s"table property '$k' must be a positive integer, got '$v'") }
     Files.writeString(metaFile(ident),
       (schema.toDDL +: props.map { case (k, v) => s"$k=$v" })
@@ -214,6 +217,12 @@ class GraftSinkCatalog extends TableCatalog {
     }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // same '$' reservation as createTable: a rename onto `b$history`
+    // would otherwise produce a name the loader parses as a metadata
+    // suffix of table b — the data dir would become unreachable
+    require(!oldIdent.name.contains('$') && !newIdent.name.contains('$'),
+      s"'$$' is reserved for metadata tables (<name>$$history): " +
+        s"$oldIdent -> $newIdent")
     if (!Files.exists(metaFile(oldIdent))) throw new NoSuchTableException(oldIdent)
     if (Files.exists(metaFile(newIdent)))
       throw new TableAlreadyExistsException(newIdent)
@@ -551,9 +560,12 @@ private[v2] class Scd2HistoryTable(path: String, ident: String,
   override protected def fullFrame(spark: SparkSession): DataFrame = {
     val sink = GraftSinkCatalog.sinkFor("scd2", path, props)
       .asInstanceOf[Scd2Sink]
+    // historyOption, not history(): a created-but-never-fed scd2 table
+    // has no committed manifest and must read as EMPTY, like the main
+    // table and the as-of path — not crash at scan time
     val raw = (asOf match {
       case Some(e) => sink.historyAt(spark, e)
-      case None    => Some(sink.history(spark))
+      case None    => sink.historyOption(spark)
     }).getOrElse(
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], historySchema))

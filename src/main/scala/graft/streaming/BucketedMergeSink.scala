@@ -91,17 +91,24 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
 
   /** Committed epoch ids whose manifests are still on disk, ascending —
     * the sink's time-travel index (every commit keeps its manifest; only
-    * `vacuum()` erodes what the older ones can read).
+    * `vacuum()` erodes what the older ones can read). Bounded by the
+    * CURRENT pointer's epoch: a crash between writing `m<e>.manifest`
+    * and the atomic swap leaves an uncommitted manifest on disk —
+    * epochs are monotonic, so manifests past the pointer are exactly
+    * the uncommitted ones and must not be time-travel-readable.
     */
-  def versions: Seq[Long] =
+  def versions: Seq[Long] = {
+    val tip = committedEpoch.getOrElse(return Nil)
     if (!Files.exists(root)) Nil
     else Using.resource(Files.list(root)) { st =>
       val M = """m(\d+)\.manifest""".r
       st.iterator().asScala
         .map(_.getFileName.toString)
         .collect { case M(epoch) => epoch.toLong }
+        .filter(_ <= tip)
         .toSeq
     }.sorted
+  }
 
   /** The commit point is the CURRENT swap, so the replay guard must read
     * the POINTER, not manifest-file existence: a crash between writing

@@ -82,16 +82,23 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
 
   /** Committed epoch ids with retained manifests, ascending (time-travel
     * index; `vacuum()` erodes what old versions can still read).
+    * Bounded by the CURRENT pointer's epoch: a crash between writing
+    * `m<e>.manifest` and the atomic swap leaves an uncommitted manifest
+    * on disk — epochs are monotonic, so manifests past the pointer are
+    * exactly the uncommitted ones and must not be readable.
     */
-  def versions: Seq[Long] =
+  def versions: Seq[Long] = {
+    val tip = committedEpoch.getOrElse(return Nil)
     if (!Files.exists(root)) Nil
     else Using.resource(Files.list(root)) { st =>
       val M = """m(\d+)\.manifest""".r
       st.iterator().asScala
         .map(_.getFileName.toString)
         .collect { case M(epoch) => epoch.toLong }
+        .filter(_ <= tip)
         .toSeq
     }.sorted
+  }
 
   /** Read the CURRENT pointer, not manifest existence — the commit point
     * is the atomic swap (see BucketedMergeSink.committedEpoch).

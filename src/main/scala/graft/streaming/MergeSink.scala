@@ -93,16 +93,24 @@ class MergeSink(dir: String) extends CdcSink {
   /** Committed epoch ids whose version dirs are still on disk, ascending
     * — each merge leaves its full `v<epoch>/` state, so the full-rewrite
     * sink time-travels for free (until old dirs are pruned manually).
+    * Bounded by the CURRENT pointer's epoch: merge writes `v<epoch>/`
+    * BEFORE the atomic swap, so a crash in between leaves an
+    * uncommitted — possibly partial — version dir that must never be
+    * time-travel-readable (epochs are monotonic, so dirs past the
+    * pointer are exactly the uncommitted ones).
     */
-  def versions: Seq[Long] =
+  def versions: Seq[Long] = {
+    val tip = committedEpoch.getOrElse(return Nil)
     if (!Files.exists(root)) Nil
     else scala.util.Using.resource(Files.list(root)) { st =>
       import scala.jdk.CollectionConverters._
       val V = """v(\d+)""".r
       st.iterator().asScala.filter(Files.isDirectory(_))
         .map(_.getFileName.toString)
-        .collect { case V(e) => e.toLong }.toSeq
+        .collect { case V(e) => e.toLong }
+        .filter(_ <= tip).toSeq
     }.sorted
+  }
 
   /** Full state AS OF `epochId`: the newest retained version ≤ it
     * (Delta/Iceberg VERSION AS OF semantics, like the bucketed sinks).

@@ -163,21 +163,20 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     * because every row is already a finalized version interval.
     */
   def history(spark: SparkSession): DataFrame =
-    historyOf(spark, manifest).getOrElse(
+    historyOption(spark).getOrElse(
       throw new IllegalStateException(s"no committed history in $dir"))
+
+  /** [[history]] as an Option: a sink with no committed manifest reads
+    * as None instead of throwing (the catalog's empty-table read).
+    */
+  def historyOption(spark: SparkSession): Option[DataFrame] =
+    historyOf(spark, manifest)
 
   /** [[history]] AS OF a committed epoch (the `$history` metadata
     * table's time travel); strict about vacuumed data, like `stateAt`.
     */
-  def historyAt(spark: SparkSession, epochId: Long): Option[DataFrame] = {
-    val m = manifestAt(epochId)
-    if (m.open.isEmpty && m.base.isEmpty && m.deltas.isEmpty) return None
-    val refs = m.open.values.map(_._1) ++ m.closedDirs.map(_._1)
-    val gone = refs.filterNot(p => Files.exists(Paths.get(p)))
-    require(gone.isEmpty,
-      s"version data vacuumed away for epoch $epochId: ${gone.take(3).mkString(", ")}")
-    historyOf(spark, m)
-  }
+  def historyAt(spark: SparkSession, epochId: Long): Option[DataFrame] =
+    checkedManifestAt(epochId).flatMap(historyOf(spark, _))
 
   private def historyOf(spark: SparkSession,
                         m: Manifest): Option[DataFrame] =
@@ -185,23 +184,43 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
 
   /** Committed epoch ids with retained manifests, ascending (the
     * time-travel index, like [[LsmMergeSink.versions]]; `vacuum()`
-    * erodes what the older ones can still read).
+    * erodes what the older ones can still read). Bounded by the
+    * CURRENT pointer's epoch: a crash between writing `m<e>.manifest`
+    * and the atomic swap leaves an UNCOMMITTED manifest on disk —
+    * epochs are monotonic, so everything past the pointer is not
+    * durable state and must not be time-travel-readable.
     */
-  def versions: Seq[Long] =
+  def versions: Seq[Long] = {
+    val tip = committedEpoch.getOrElse(return Nil)
     if (!Files.exists(root)) Nil
     else Using.resource(Files.list(root)) { st =>
       val M = """m(\d+)\.manifest""".r
       st.iterator().asScala
         .map(_.getFileName.toString)
         .collect { case M(epoch) => epoch.toLong }
+        .filter(_ <= tip)
         .toSeq
     }.sorted
+  }
 
   /** Manifest as of `epochId` (newest committed ≤ it — VERSION AS OF). */
   def manifestAt(epochId: Long): Manifest = {
     val v = versions.filter(_ <= epochId)
     if (v.isEmpty) Manifest(Map.empty, Map.empty, Seq.empty)
     else parseManifest(root.resolve(s"m${v.last}.manifest"))
+  }
+
+  /** Manifest AS OF `epochId` if any epoch ≤ it committed; strict about
+    * vacuumed data (the shared preamble of `stateAt`/`historyAt`).
+    */
+  private def checkedManifestAt(epochId: Long): Option[Manifest] = {
+    val m = manifestAt(epochId)
+    if (m.open.isEmpty && m.base.isEmpty && m.deltas.isEmpty) return None
+    val refs = m.open.values.map(_._1) ++ m.closedDirs.map(_._1)
+    val gone = refs.filterNot(p => Files.exists(Paths.get(p)))
+    require(gone.isEmpty,
+      s"version data vacuumed away for epoch $epochId: ${gone.take(3).mkString(", ")}")
+    Some(m)
   }
 
   /** Current rows as reduced envelope state (key, after, op, pos) — the
@@ -213,15 +232,8 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
   def state(spark: SparkSession): Option[DataFrame] = stateOf(spark, manifest)
 
   /** `state` AS OF a committed epoch; strict about vacuumed data. */
-  def stateAt(spark: SparkSession, epochId: Long): Option[DataFrame] = {
-    val m = manifestAt(epochId)
-    if (m.open.isEmpty && m.base.isEmpty && m.deltas.isEmpty) return None
-    val refs = m.open.values.map(_._1) ++ m.closedDirs.map(_._1)
-    val gone = refs.filterNot(p => Files.exists(Paths.get(p)))
-    require(gone.isEmpty,
-      s"version data vacuumed away for epoch $epochId: ${gone.take(3).mkString(", ")}")
-    stateOf(spark, m)
-  }
+  def stateAt(spark: SparkSession, epochId: Long): Option[DataFrame] =
+    checkedManifestAt(epochId).flatMap(stateOf(spark, _))
 
   private def stateOf(spark: SparkSession, m: Manifest): Option[DataFrame] =
     readByDdl(spark, m.open.values.toSeq)

@@ -228,6 +228,52 @@ class SinkCatalogReadSpec extends AnyFunSuite {
       after)
   }
 
+  test("uncommitted versions are invisible: a manifest/dir written past " +
+      "the CURRENT pointer (swap-crash window) never time-travels") {
+    import graft.streaming.{LsmMergeSink, MergeSink}
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "region"), "region")
+    // LSM: fake a crash between manifest write and pointer swap by
+    // copying the committed manifest to a higher epoch number
+    val ldir = Files.createTempDirectory("crash-lsm")
+    val lsm = new LsmMergeSink(ldir.toString, buckets = 4)
+    lsm.merge(feed.filter(col("op") === "r"), 0L)
+    Files.copy(ldir.resolve("m0.manifest"), ldir.resolve("m7.manifest"))
+    assert(lsm.versions == Seq(0L), s"got ${lsm.versions}")
+    assert(lsm.committedEpoch.contains(0L))
+    // full sink: an orphaned v<epoch> dir past the pointer is not a version
+    val mdir = Files.createTempDirectory("crash-full")
+    val full = new MergeSink(mdir.toString)
+    full.merge(feed.filter(col("op") === "r"), 0L)
+    Files.createDirectories(mdir.resolve("v9"))
+    assert(full.versions == Seq(0L), s"got ${full.versions}")
+    assert(full.stateAt(spark, 9L).get.count() ==
+      full.state(spark).get.count(), "stateAt(9) must resolve to epoch 0")
+  }
+
+  test("create-time validation: bad properties and reserved names fail " +
+      "at CREATE; an empty scd2 table and its $history read as empty") {
+    val feed = ChangeFeedGen.standardFeed(
+      Tables.load(spark, sfDir, "region"), "region")
+    def create(n: String, prop: (String, String)): Unit =
+      feed.limit(0).writeTo(s"$cat.lsm.$n")
+        .tableProperty(prop._1, prop._2).create()
+    intercept[Exception] { create("bad0_" + System.nanoTime(), "buckets" -> "0") }
+    intercept[Exception] {
+      create("badbig_" + System.nanoTime(), "buckets" -> "99999999999") }
+    intercept[Exception] {
+      feed.limit(0).writeTo(s"$cat.lsm.`bad$$history`").create() }
+    // empty scd2 table: both the table and its $history read as empty
+    val t = "empty_" + java.util.UUID.randomUUID().toString.take(8)
+    feed.limit(0).writeTo(s"$cat.scd2.$t").create()
+    assert(spark.table(s"$cat.scd2.$t").count() == 0)
+    assert(spark.sql(s"SELECT * FROM $cat.scd2.`$t$$history`").count() == 0)
+    // rename cannot produce a metadata-suffix name
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.scd2.$t RENAME TO scd2.`$t$$history`")
+    }
+  }
+
   test("catalog contract: unknown namespaces no-op on DROP, not-found on read") {
     spark.sql(s"DROP TABLE IF EXISTS $cat.badns.t") // must not throw
     val e = intercept[AnalysisException] { spark.table(s"$cat.badns.t") }
