@@ -170,6 +170,32 @@ class GraftSinkCatalog extends TableCatalog {
     loadTable(ident, Some(epoch))
   }
 
+  /** `TIMESTAMP AS OF <t>` — Spark passes MICROSECONDS since epoch.
+    * Resolved to the newest epoch whose commit time (manifest/version
+    * mtime, microseconds before the atomic swap) is ≤ t, then served
+    * exactly like `VERSION AS OF` of that epoch.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val kind = kindOpt(ident).getOrElse(throw new NoSuchTableException(ident))
+    val baseIdent = Identifier.of(ident.namespace, ident.name.split('$').head)
+    if (!Files.exists(metaFile(baseIdent))) throw new NoSuchTableException(ident)
+    val tsMillis = timestamp / 1000L
+    // bucket props are irrelevant to the time->epoch lookup (no layout
+    // check runs outside merge), so an un-parameterized sink handle works
+    val epoch = (GraftSinkCatalog.sinkFor(kind, tableDir(baseIdent).toString,
+      Map.empty) match {
+      case s: LsmMergeSink      => s.epochAt(tsMillis)
+      case s: BucketedMergeSink => s.epochAt(tsMillis)
+      case s: Scd2Sink          => s.epochAt(tsMillis)
+      case s: MergeSink         => s.epochAt(tsMillis)
+      case other => throw new IllegalStateException(
+        s"unreachable sink shape: $other")
+    }).getOrElse(throw new IllegalArgumentException(
+      s"no version of $ident was committed at or before " +
+        java.time.Instant.ofEpochMilli(tsMillis)))
+    loadTable(ident, Some(epoch))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

@@ -132,6 +132,14 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
         }
       }.toMap
 
+  /** Newest committed epoch whose commit time ≤ `tsMillis` (TIMESTAMP
+    * AS OF; commit time approximated by the manifest file's mtime,
+    * which precedes the atomic CURRENT swap by microseconds).
+    */
+  def epochAt(tsMillis: Long): Option[Long] =
+    versions.filter(e => Files.getLastModifiedTime(
+      root.resolve(s"m$e.manifest")).toMillis <= tsMillis).lastOption
+
   /** The manifest as of `epochId`: the newest committed version ≤ it
     * (Delta/Iceberg VERSION AS OF semantics).
     */

@@ -112,6 +112,14 @@ class MergeSink(dir: String) extends CdcSink {
     }.sorted
   }
 
+  /** Newest committed epoch whose commit time ≤ `tsMillis` (TIMESTAMP
+    * AS OF; commit time approximated by the version dir's mtime, which
+    * precedes the atomic CURRENT swap by microseconds).
+    */
+  def epochAt(tsMillis: Long): Option[Long] =
+    versions.filter(e => Files.getLastModifiedTime(
+      root.resolve(s"v$e")).toMillis <= tsMillis).lastOption
+
   /** Full state AS OF `epochId`: the newest retained version ≤ it
     * (Delta/Iceberg VERSION AS OF semantics, like the bucketed sinks).
     */

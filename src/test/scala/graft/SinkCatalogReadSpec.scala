@@ -228,6 +228,34 @@ class SinkCatalogReadSpec extends AnyFunSuite {
       after)
   }
 
+  test("TIMESTAMP AS OF resolves commit times to epochs") {
+    val (name, feed) = freshTable("lsm", "region")
+    val dir = java.nio.file.Paths.get(catRoot, "lsm", name.split('.').last)
+    // pin deterministic commit times: epoch 0 at 22:13:20Z, epoch 1 a
+    // minute later (mtime is the commit-time stand-in)
+    val t0 = 1700000000000L
+    java.nio.file.Files.setLastModifiedTime(dir.resolve("m0.manifest"),
+      java.nio.file.attribute.FileTime.fromMillis(t0))
+    java.nio.file.Files.setLastModifiedTime(dir.resolve("m1.manifest"),
+      java.nio.file.attribute.FileTime.fromMillis(t0 + 60000L))
+    // between the two commits -> the snapshot epoch
+    val mid = spark.sql(s"SELECT after.* FROM $name " +
+      "TIMESTAMP AS OF '2023-11-14 22:13:30' WHERE op <> 'd'")
+    assert(canon(mid) ==
+      canon(feed.filter(col("op") === "r").select(col("after.*"))))
+    // after both -> the tip
+    assert(canon(spark.sql(s"SELECT after.* FROM $name " +
+      "TIMESTAMP AS OF '2023-11-14 22:15:00' WHERE op <> 'd'")) ==
+      canon(Materialize.latestState(feed)))
+    // before the first commit -> error
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $name TIMESTAMP AS OF '2023-11-14 22:13:00'")
+        .collect()
+    }
+    assert(e.getMessage.contains("no version"),
+      s"unexpected: ${e.getMessage}")
+  }
+
   test("uncommitted versions are invisible: a manifest/dir written past " +
       "the CURRENT pointer (swap-crash window) never time-travels") {
     import graft.streaming.{LsmMergeSink, MergeSink}
