@@ -461,12 +461,17 @@ private[v2] trait SinkReadTable extends Table with SupportsRead {
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
             override def schema: StructType = req
+            // rows cross the bridge as InternalRow (the JDBCRelation
+            // pattern): `.rdd` would deserialize every row to an
+            // external Row only for Spark to convert it straight back —
+            // measured +56% wall on a full-table read
+            override def needConversion: Boolean = false
             override def buildScan(): RDD[Row] = {
               val filtered = preds.foldLeft(fullFrame(context.sparkSession))(
                 (df, p) => df.filter(p))
               filtered
                 .select(req.fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*)
-                .rdd
+                .queryExecution.toRdd.asInstanceOf[RDD[Row]]
             }
           }.asInstanceOf[T]
         }
