@@ -126,10 +126,15 @@ class GraftSinkCatalog extends TableCatalog {
     }
   }
 
-  private def loadTable(ident: Identifier, asOf: Option[Long]): Table = {
+  /** Parse + validate an identifier ONCE for both loadTable paths:
+    * (kind, base-table ident, metadata suffix). The Iceberg-style
+    * `<name>$history` suffix is only valid on scd2; anything else —
+    * unknown namespace, unknown suffix, missing base table — is
+    * NoSuchTableException per the TableCatalog contract.
+    */
+  private def resolveIdent(ident: Identifier)
+      : (String, Identifier, Option[String]) = {
     val kind = kindOpt(ident).getOrElse(throw new NoSuchTableException(ident))
-    // Iceberg-style metadata-table suffix: `<name>$history` on a scd2
-    // sink reads the FULL version history (closed + open intervals)
     val (baseName, metaSuffix) = ident.name.split('$') match {
       case Array(b, s) => (b, Some(s))
       case _           => (ident.name, None)
@@ -139,9 +144,14 @@ class GraftSinkCatalog extends TableCatalog {
         throw new NoSuchTableException(ident)
     }
     val baseIdent = Identifier.of(ident.namespace, baseName)
-    val meta = metaFile(baseIdent)
-    if (!Files.exists(meta)) throw new NoSuchTableException(ident)
-    val lines = Files.readAllLines(meta).asScala
+    if (!Files.exists(metaFile(baseIdent)))
+      throw new NoSuchTableException(ident)
+    (kind, baseIdent, metaSuffix)
+  }
+
+  private def loadTable(ident: Identifier, asOf: Option[Long]): Table = {
+    val (kind, baseIdent, metaSuffix) = resolveIdent(ident)
+    val lines = Files.readAllLines(metaFile(baseIdent)).asScala
     val schema = DataType.fromDDL(lines.head).asInstanceOf[StructType]
     val props = lines.drop(1).flatMap { l =>
       l.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
@@ -176,23 +186,15 @@ class GraftSinkCatalog extends TableCatalog {
     * exactly like `VERSION AS OF` of that epoch.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val kind = kindOpt(ident).getOrElse(throw new NoSuchTableException(ident))
-    val baseIdent = Identifier.of(ident.namespace, ident.name.split('$').head)
-    if (!Files.exists(metaFile(baseIdent))) throw new NoSuchTableException(ident)
+    val (kind, baseIdent, _) = resolveIdent(ident)
     val tsMillis = timestamp / 1000L
     // bucket props are irrelevant to the time->epoch lookup (no layout
     // check runs outside merge), so an un-parameterized sink handle works
-    val epoch = (GraftSinkCatalog.sinkFor(kind, tableDir(baseIdent).toString,
-      Map.empty) match {
-      case s: LsmMergeSink      => s.epochAt(tsMillis)
-      case s: BucketedMergeSink => s.epochAt(tsMillis)
-      case s: Scd2Sink          => s.epochAt(tsMillis)
-      case s: MergeSink         => s.epochAt(tsMillis)
-      case other => throw new IllegalStateException(
-        s"unreachable sink shape: $other")
-    }).getOrElse(throw new IllegalArgumentException(
-      s"no version of $ident was committed at or before " +
-        java.time.Instant.ofEpochMilli(tsMillis)))
+    val epoch = GraftSinkCatalog.sinkFor(kind, tableDir(baseIdent).toString,
+      Map.empty).epochAt(tsMillis)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version of $ident was committed at or before " +
+          java.time.Instant.ofEpochMilli(tsMillis)))
     loadTable(ident, Some(epoch))
   }
 
@@ -287,22 +289,37 @@ object GraftSinkCatalog {
   }
 
   /** Reduced envelope state (key, after, op, pos) of a sink, current or
-    * AS OF an epoch.
+    * AS OF an epoch (state/stateAt are CdcSink members).
     */
   private[v2] def rawState(spark: SparkSession, sink: CdcSink,
                            asOf: Option[Long]): Option[DataFrame] =
-    (sink, asOf) match {
-      case (s: LsmMergeSink, Some(e))      => s.stateAt(spark, e)
-      case (s: LsmMergeSink, None)         => s.state(spark)
-      case (s: BucketedMergeSink, Some(e)) => s.stateAt(spark, e)
-      case (s: BucketedMergeSink, None)    => s.state(spark)
-      case (s: Scd2Sink, Some(e))          => s.stateAt(spark, e)
-      case (s: Scd2Sink, None)             => s.state(spark)
-      case (s: MergeSink, Some(e))         => s.stateAt(spark, e)
-      case (s: MergeSink, None)            => s.state(spark)
-      case other =>
-        throw new IllegalStateException(s"unreachable sink shape: $other")
+    asOf match {
+      case Some(e) => sink.stateAt(spark, e)
+      case None    => sink.state(spark)
     }
+
+  /** The schema with every field nullable, recursively. The READ side
+    * must report this: merged state legitimately carries nulls in
+    * columns the stored DDL declares non-nullable (deletes null `after`,
+    * provenance fields read null), and the zero-copy bridge
+    * (needConversion=false) performs NO runtime null checks — a
+    * non-nullable read schema would make the scan exec's projection
+    * read garbage instead of null, silently.
+    */
+  private[v2] def deepNullable(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(deepNullable(et),
+        containsNull = true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(deepNullable(k), deepNullable(v),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  private[v2] def deepNullable(st: StructType): StructType =
+    deepNullable(st: DataType).asInstanceOf[StructType]
 
   /** Project a column of type `from` into shape `to`: structs rebuild
     * field-by-field BY NAME (missing target fields read null, extra
@@ -486,10 +503,13 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
     extends Table with SupportsWrite with SinkReadTable {
   override def name(): String =
     asOf.map(e => s"$ident VERSION AS OF $e").getOrElse(ident)
-  override def schema(): StructType = tableSchema
-  override protected def readSchemaFull: StructType = tableSchema
+  // reads report the deep-nullable envelope (see deepNullable's doc);
+  // the strict WRITE contract still validates against the stored DDL
+  override def schema(): StructType =
+    GraftSinkCatalog.deepNullable(tableSchema)
+  override protected def readSchemaFull: StructType = schema()
   override protected def fullFrame(spark: SparkSession): DataFrame =
-    GraftSinkCatalog.stateFrame(spark, kind, path, props, asOf, tableSchema)
+    GraftSinkCatalog.stateFrame(spark, kind, path, props, asOf, schema())
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
@@ -584,10 +604,11 @@ private[v2] class Scd2HistoryTable(path: String, ident: String,
     extends SinkReadTable {
   override def name(): String =
     asOf.map(e => s"$ident VERSION AS OF $e").getOrElse(ident)
-  override def schema(): StructType = historySchema
+  override def schema(): StructType =
+    GraftSinkCatalog.deepNullable(historySchema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override protected def readSchemaFull: StructType = historySchema
+  override protected def readSchemaFull: StructType = schema()
   override protected def fullFrame(spark: SparkSession): DataFrame = {
     val sink = GraftSinkCatalog.sinkFor("scd2", path, props)
       .asInstanceOf[Scd2Sink]
@@ -599,9 +620,9 @@ private[v2] class Scd2HistoryTable(path: String, ident: String,
       case None    => sink.historyOption(spark)
     }).getOrElse(
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], historySchema))
+        spark.sparkContext.emptyRDD[Row], schema()))
     val rawSchema = raw.schema
-    val cols = historySchema.fields.map { f =>
+    val cols = schema().fields.map { f =>
       rawSchema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
         case Some(rf) =>
           GraftSinkCatalog.conform(raw(rf.name), rf.dataType, f.dataType)

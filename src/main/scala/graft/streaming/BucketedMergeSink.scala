@@ -132,13 +132,8 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
         }
       }.toMap
 
-  /** Newest committed epoch whose commit time ≤ `tsMillis` (TIMESTAMP
-    * AS OF; commit time approximated by the manifest file's mtime,
-    * which precedes the atomic CURRENT swap by microseconds).
-    */
-  def epochAt(tsMillis: Long): Option[Long] =
-    versions.filter(e => Files.getLastModifiedTime(
-      root.resolve(s"m$e.manifest")).toMillis <= tsMillis).lastOption
+  override protected def commitArtifact(epoch: Long): java.nio.file.Path =
+    root.resolve(s"m$epoch.manifest")
 
   /** The manifest as of `epochId`: the newest committed version ≤ it
     * (Delta/Iceberg VERSION AS OF semantics).

@@ -39,6 +39,34 @@ trait CdcSink {
     * every one of its merges is dropped as a phantom replay.
     */
   def committedEpoch: Option[Long]
+
+  /** Reduced envelope state (key, after, op, pos), if any committed. */
+  def state(spark: SparkSession): Option[DataFrame]
+
+  /** `state` AS OF a committed epoch (VERSION AS OF semantics). */
+  def stateAt(spark: SparkSession, epochId: Long): Option[DataFrame]
+
+  /** Committed epoch ids still readable, ascending — the time-travel
+    * index. Implementations MUST bound this by the CURRENT pointer's
+    * epoch (artifacts past the pointer are a swap-crash's uncommitted
+    * leftovers).
+    */
+  def versions: Seq[Long]
+
+  /** The filesystem artifact whose mtime stands in for `epoch`'s commit
+    * time (written microseconds before the atomic CURRENT swap).
+    */
+  protected def commitArtifact(epoch: Long): java.nio.file.Path
+
+  /** Newest committed epoch whose commit time ≤ `tsMillis` (TIMESTAMP
+    * AS OF). Lazy from the newest version down — the common
+    * recent-timestamp lookup stats O(1) artifacts, not every retained
+    * manifest (commit mtimes are monotonic with epoch).
+    */
+  def epochAt(tsMillis: Long): Option[Long] =
+    versions.reverseIterator.find(e =>
+      java.nio.file.Files.getLastModifiedTime(commitArtifact(e))
+        .toMillis <= tsMillis)
 }
 
 object CdcSink {
@@ -112,13 +140,8 @@ class MergeSink(dir: String) extends CdcSink {
     }.sorted
   }
 
-  /** Newest committed epoch whose commit time ≤ `tsMillis` (TIMESTAMP
-    * AS OF; commit time approximated by the version dir's mtime, which
-    * precedes the atomic CURRENT swap by microseconds).
-    */
-  def epochAt(tsMillis: Long): Option[Long] =
-    versions.filter(e => Files.getLastModifiedTime(
-      root.resolve(s"v$e")).toMillis <= tsMillis).lastOption
+  override protected def commitArtifact(epoch: Long): java.nio.file.Path =
+    root.resolve(s"v$epoch")
 
   /** Full state AS OF `epochId`: the newest retained version ≤ it
     * (Delta/Iceberg VERSION AS OF semantics, like the bucketed sinks).

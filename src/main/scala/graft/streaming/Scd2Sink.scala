@@ -203,13 +203,8 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     }.sorted
   }
 
-  /** Newest committed epoch whose commit time ≤ `tsMillis` (TIMESTAMP
-    * AS OF; commit time approximated by the manifest file's mtime,
-    * which precedes the atomic CURRENT swap by microseconds).
-    */
-  def epochAt(tsMillis: Long): Option[Long] =
-    versions.filter(e => Files.getLastModifiedTime(
-      root.resolve(s"m$e.manifest")).toMillis <= tsMillis).lastOption
+  override protected def commitArtifact(epoch: Long): java.nio.file.Path =
+    root.resolve(s"m$epoch.manifest")
 
   /** Manifest as of `epochId` (newest committed ≤ it — VERSION AS OF). */
   def manifestAt(epochId: Long): Manifest = {

@@ -65,6 +65,20 @@ class SinkCatalogReadSpec extends AnyFunSuite {
     // source.pos survived the merge; other provenance reads null
     assert(read.filter(col("source.pos").isNull).count() == 0)
     assert(read.filter(col("source.connector").isNotNull).count() == 0)
+    // the READ schema must be deep-nullable regardless of the stored
+    // DDL's nullability: merged state carries nulls in columns the feed
+    // declared NOT NULL (ts_ms, op on the feed side), and the zero-copy
+    // bridge performs no runtime null checks — a non-nullable read
+    // schema would let the scan projection read garbage instead of null
+    def allNullable(st: org.apache.spark.sql.types.StructType): Boolean =
+      st.fields.forall(f => f.nullable && (f.dataType match {
+        case s: org.apache.spark.sql.types.StructType => allNullable(s)
+        case _ => true
+      }))
+    assert(allNullable(read.schema), s"non-nullable read field in ${read.schema}")
+    // ts_ms is NOT NULL in the stored DDL but unset in merged state: it
+    // must read as NULL, not as a garbage zero
+    assert(read.filter(col("ts_ms").isNotNull).count() == 0)
   }
 
   test("SQL aggregation over a sink table plans a pruned v1 scan") {
