@@ -38,22 +38,16 @@ object Verify {
     if (Files.exists(outPath)) {
       import scala.jdk.CollectionConverters._
       val known = SparkEntry.queries.keySet
-      // a Verify-written dump: a directory whose every entry is parquet
-      // write machinery AND that matches Verify's own coalesce(1) shape
-      // (_SUCCESS + at most one part file). The shape test matters: any
-      // Spark-written dataset passes the machinery test alone, and a
-      // mistyped outDir pointing at real multi-part datasets must still
-      // fail loudly, not be silently wiped. Crashed dumps (no _SUCCESS)
-      // under a still-known name are covered by `known`; a crashed dump
-      // of a since-renamed query stays foreign and needs manual removal.
+      // a Verify-written dump: it carries the _GRAFT_DUMP marker this
+      // program writes into every dump it produces. A shape heuristic
+      // (coalesce(1) parquet layout) is NOT enough — other tools'
+      // single-part exports look identical, and a mistyped outDir
+      // pointing at such exports must fail loudly, never be silently
+      // wiped. Crashed dumps (no marker yet) under a still-known name
+      // are covered by `known`; a crashed dump of a since-renamed query
+      // stays foreign and needs manual removal.
       def looksLikeDump(p: java.nio.file.Path): Boolean =
-        Files.isDirectory(p) && scala.util.Using.resource(Files.list(p)) { st =>
-          val names = st.iterator().asScala.map(_.getFileName.toString).toSeq
-          names.contains("_SUCCESS") &&
-            names.forall(n => n == "_SUCCESS" || n.endsWith(".parquet") ||
-              n.endsWith(".crc")) &&
-            names.count(_.endsWith(".parquet")) <= 1
-        }
+        Files.isDirectory(p) && Files.exists(p.resolve("_GRAFT_DUMP"))
       val entries = scala.util.Using.resource(Files.list(outPath))(
         _.iterator().asScala.toSeq)
       val foreign = entries.filterNot { p =>
@@ -80,9 +74,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          // ownership marker: future runs only auto-clean dirs carrying it
+          Files.writeString(Paths.get(s"$outDir/$name/_GRAFT_DUMP"), name): Unit
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

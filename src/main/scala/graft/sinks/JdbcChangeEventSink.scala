@@ -49,6 +49,11 @@ object JdbcChangeEventSink {
       fieldIncludeList: String = "",
       fieldExcludeList: String = "",
       batchSize: Int = 500) {
+    // a non-positive batch size would make the per-partition commit
+    // cadence fire after EVERY row (commitEvery <= sinceCommit always
+    // true) — a silent pathological JDBC round-trip per row, not an error
+    require(batchSize > 0,
+      s"batch.size must be a positive integer, got $batchSize")
     /** Sink-side field filter (ref FieldFilterFactory); key fields are
       * never filtered — only value columns are subject to the lists.
       */
@@ -74,7 +79,10 @@ object JdbcChangeEventSink {
     quoteIdentifiers = props.get("quote.identifiers").exists(_.toBoolean),
     fieldIncludeList = props.getOrElse("field.include.list", ""),
     fieldExcludeList = props.getOrElse("field.exclude.list", ""),
-    batchSize = props.get("batch.size").map(_.trim.toInt).getOrElse(500))
+    batchSize = props.get("batch.size").map { v =>
+      v.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"sink property 'batch.size' must be an integer, got '$v'"))
+    }.getOrElse(500))
 
   /** Key column names per `primary.key.mode` (ref
     * `JdbcSinkConnectorConfig.PrimaryKeyMode` + `JdbcKafkaSinkRecord`

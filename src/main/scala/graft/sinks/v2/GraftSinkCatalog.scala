@@ -135,9 +135,13 @@ class GraftSinkCatalog extends TableCatalog {
   private def resolveIdent(ident: Identifier)
       : (String, Identifier, Option[String]) = {
     val kind = kindOpt(ident).getOrElse(throw new NoSuchTableException(ident))
-    val (baseName, metaSuffix) = ident.name.split('$') match {
-      case Array(b, s) => (b, Some(s))
-      case _           => (ident.name, None)
+    // split with limit -1: Java's split drops trailing empty segments, so
+    // `orders$` would silently resolve to base table `orders` and `a$b$c`
+    // would skip suffix validation — both must be NoSuchTableException
+    val (baseName, metaSuffix) = ident.name.split("\\$", -1) match {
+      case Array(b) => (b, None)
+      case Array(b, s) if b.nonEmpty && s.nonEmpty => (b, Some(s))
+      case _ => throw new NoSuchTableException(ident)
     }
     metaSuffix.foreach { s =>
       if (s != "history" || kind != "scd2")

@@ -279,6 +279,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
         .mkString("", "\n", "\n"))
     // the COMMIT is the swap: the manifest's K line flips layout and
     // count together; `_buckets` refreshes after as a legacy mirror
+    recordCommitTs(epochId)
     val tmp = root.resolve(s"CURRENT.tmp$epochId")
     Files.writeString(tmp, mfName)
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
@@ -353,6 +354,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
         (s"K\t$buckets" +: newManifest.toSeq.sortBy(_._1)
           .map { case (b, (p, d)) => s"$b\t$p\t$d" })
           .mkString("", "\n", "\n"))
+      recordCommitTs(epochId)
       val tmp = root.resolve(s"CURRENT.tmp$epochId")
       Files.writeString(tmp, mfName)
       Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,

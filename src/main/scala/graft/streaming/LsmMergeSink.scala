@@ -286,6 +286,7 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     }
     Files.writeString(root.resolve(mfName),
       (s"K\t$count" +: (baseLines ++ deltaLines)).mkString("", "\n", "\n"))
+    recordCommitTs(epochId)
     val tmp = root.resolve(s"CURRENT.tmp$epochId")
     Files.writeString(tmp, mfName)
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,

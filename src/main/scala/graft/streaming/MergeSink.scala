@@ -53,20 +53,52 @@ trait CdcSink {
     */
   def versions: Seq[Long]
 
-  /** The filesystem artifact whose mtime stands in for `epoch`'s commit
-    * time (written microseconds before the atomic CURRENT swap).
+  /** The filesystem artifact that marks `epoch`'s commit (written
+    * microseconds before the atomic CURRENT swap). Its PERSISTED
+    * sidecar timestamp — not its mtime — is the commit time of record.
     */
   protected def commitArtifact(epoch: Long): java.nio.file.Path
 
+  /** Sidecar file persisting `epoch`'s commit timestamp. Reference
+    * table formats record the commit time IN the metadata (Delta's
+    * commitInfo, Iceberg's snapshot `timestamp-ms`) precisely because
+    * file mtimes don't survive copy/restore/rsync of a table directory
+    * — a restored table would otherwise silently remap every
+    * `TIMESTAMP AS OF` to wrong epochs.
+    */
+  private def commitTsFile(epoch: Long): java.nio.file.Path = {
+    val a = commitArtifact(epoch)
+    a.resolveSibling(a.getFileName.toString + ".committs")
+  }
+
+  /** Persist the commit timestamp for `epoch`. Called by every sink's
+    * commit path immediately before the atomic CURRENT swap, so the
+    * sidecar is on disk for any epoch the pointer can ever name (a
+    * crash in between leaves a sidecar for an uncommitted epoch —
+    * harmless, `versions` is pointer-bounded).
+    */
+  protected final def recordCommitTs(epoch: Long): Unit =
+    java.nio.file.Files.writeString(commitTsFile(epoch),
+      System.currentTimeMillis().toString): Unit
+
+  /** Commit time of a committed epoch: the persisted sidecar when
+    * present, else the artifact mtime (legacy fallback for sinks
+    * written before sidecars existed).
+    */
+  def commitTimeMillis(epoch: Long): Long = {
+    val f = commitTsFile(epoch)
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim.toLong
+    else java.nio.file.Files.getLastModifiedTime(commitArtifact(epoch)).toMillis
+  }
+
   /** Newest committed epoch whose commit time ≤ `tsMillis` (TIMESTAMP
     * AS OF). Lazy from the newest version down — the common
-    * recent-timestamp lookup stats O(1) artifacts, not every retained
-    * manifest (commit mtimes are monotonic with epoch).
+    * recent-timestamp lookup reads O(1) sidecars, not every retained
+    * manifest (commit times are monotonic with epoch).
     */
   def epochAt(tsMillis: Long): Option[Long] =
-    versions.reverseIterator.find(e =>
-      java.nio.file.Files.getLastModifiedTime(commitArtifact(e))
-        .toMillis <= tsMillis)
+    versions.reverseIterator.find(e => commitTimeMillis(e) <= tsMillis)
 }
 
 object CdcSink {
@@ -222,6 +254,7 @@ class MergeSink(dir: String) extends CdcSink {
     merged.write.mode("overwrite").parquet(root.resolve(vname).toString)
     val tmp = root.resolve(s"CURRENT.tmp$epochId")
     Files.createDirectories(root)
+    recordCommitTs(epochId)
     Files.writeString(tmp, vname)
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)

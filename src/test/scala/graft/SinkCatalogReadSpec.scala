@@ -178,6 +178,15 @@ class SinkCatalogReadSpec extends AnyFunSuite {
     intercept[AnalysisException] {
       spark.table(s"$cat.scd2.`${ident}$$snapshots`")
     }
+    // malformed '$' shapes are NoSuchTableException, never a silent
+    // fallback to the base table: a trailing '$' (Java split would drop
+    // the empty suffix) and a multi-'$' name (would skip validation)
+    intercept[AnalysisException] {
+      spark.table(s"$cat.scd2.`$ident$$`")
+    }
+    intercept[AnalysisException] {
+      spark.table(s"$cat.scd2.`$ident$$history$$x`")
+    }
   }
 
   test("strict write contract: extra and retyped columns fail analysis") {
@@ -246,12 +255,18 @@ class SinkCatalogReadSpec extends AnyFunSuite {
     val (name, feed) = freshTable("lsm", "region")
     val dir = java.nio.file.Paths.get(catRoot, "lsm", name.split('.').last)
     // pin deterministic commit times: epoch 0 at 22:13:20Z, epoch 1 a
-    // minute later (mtime is the commit-time stand-in)
+    // minute later. The PERSISTED sidecar is the commit time of record;
+    // mtimes are set to garbage to prove a copy/restore (which rewrites
+    // every mtime) cannot remap TIMESTAMP AS OF to wrong epochs.
     val t0 = 1700000000000L
-    java.nio.file.Files.setLastModifiedTime(dir.resolve("m0.manifest"),
-      java.nio.file.attribute.FileTime.fromMillis(t0))
-    java.nio.file.Files.setLastModifiedTime(dir.resolve("m1.manifest"),
-      java.nio.file.attribute.FileTime.fromMillis(t0 + 60000L))
+    java.nio.file.Files.writeString(
+      dir.resolve("m0.manifest.committs"), t0.toString)
+    java.nio.file.Files.writeString(
+      dir.resolve("m1.manifest.committs"), (t0 + 60000L).toString)
+    Seq("m0.manifest", "m1.manifest").foreach { mf =>
+      java.nio.file.Files.setLastModifiedTime(dir.resolve(mf),
+        java.nio.file.attribute.FileTime.fromMillis(t0 + 9999999999L))
+    }
     // between the two commits -> the snapshot epoch
     val mid = spark.sql(s"SELECT after.* FROM $name " +
       "TIMESTAMP AS OF '2023-11-14 22:13:30' WHERE op <> 'd'")
