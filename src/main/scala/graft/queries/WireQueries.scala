@@ -405,6 +405,63 @@ object WireQueries extends QueryGroup {
         .option("path", dir).load()
     }),
 
+    // S12 BSON TYPE GAMUT over the live wire: documents carrying
+    // ObjectId (0x07), UTC datetime (0x09), Binary+subtype (0x05),
+    // internal Timestamp (0x11), Decimal128 (0x13, BID-encoded) and
+    // regex (0x0B) — the types a real mongod sends that plain JSON
+    // can't carry — served by the fixture mongod, fetched by the OP_MSG
+    // client (parse → REAL BSON bytes per element type → decode →
+    // canonical Extended JSON render), then column-extracted from the
+    // wrappers. Reference type dispatch: MongoDataConverter.java:1-891.
+    "s12_bson_types" -> ((s, _) => {
+      val docs = WireFixtures.mongoBsonTypesJsonl.linesIterator
+        .map(l => graft.serde.Bson.parseJson(l)
+          .asInstanceOf[graft.serde.Bson.BDoc])
+        .toSeq
+      val (port, _, _) = graft.tools.MongoWireServer.serve(docs)
+      val jsonl = graft.sources.net.MongoWireClient.fetchJsonl(
+        "127.0.0.1", port, "shop", "typed")
+      import s.implicits._
+      val dec = graft.sources.wire.MongoChangeStream.decode(
+        s.createDataset(jsonl.linesIterator.filter(_.nonEmpty).toSeq)
+          .toDF("value"))
+      def w(inner: StructField*): StructType = StructType(inner)
+      val keySchema = w(StructField("_id",
+        w(StructField("$oid", StringType))))
+      val docSchema = w(
+        StructField("sku", StringType),
+        StructField("created", w(StructField("$date",
+          w(StructField("$numberLong", StringType))))),
+        StructField("payload", w(StructField("$binary",
+          w(StructField("base64", StringType),
+            StructField("subType", StringType))))),
+        StructField("seen", w(StructField("$timestamp",
+          w(StructField("t", LongType), StructField("i", LongType))))),
+        StructField("amount", w(StructField("$numberDecimal", StringType))),
+        StructField("pattern", w(StructField("$regularExpression",
+          w(StructField("pattern", StringType),
+            StructField("options", StringType))))))
+      val doc = from_json(col("after_json"), docSchema)
+      dec.select(
+        col("op"), col("ord"),
+        from_json(col("key_json"), keySchema)
+          .getField("_id").getField("$oid").as("oid"),
+        doc.getField("sku").as("sku"),
+        doc.getField("created").getField("$date").getField("$numberLong")
+          .cast(LongType).as("created_ms"),
+        doc.getField("payload").getField("$binary").getField("base64")
+          .as("bin_b64"),
+        doc.getField("payload").getField("$binary").getField("subType")
+          .as("bin_subtype"),
+        doc.getField("seen").getField("$timestamp").getField("t").as("ts_t"),
+        doc.getField("seen").getField("$timestamp").getField("i").as("ts_i"),
+        doc.getField("amount").getField("$numberDecimal").as("amount"),
+        doc.getField("pattern").getField("$regularExpression")
+          .getField("pattern").as("re_pattern"),
+        doc.getField("pattern").getField("$regularExpression")
+          .getField("options").as("re_options"))
+    }),
+
     // S12 through the DSv2 source: the recording tails as a `.cs`
     // segment; the cursor-order decode (with SplitEventHandler-style
     // fragment buffering) runs inside the partition reader, so Mongo
@@ -851,6 +908,36 @@ object WireQueries extends QueryGroup {
         |SELECT 991, 'testdb', 'testdb.bl_items', 'ALTER',
         |  'ALTER TABLE bl_items ADD COLUMN note VARCHAR(20)'""".stripMargin,
     "s12_change_stream_socket" -> baseOracles("s12_change_stream_dsv2"),
+
+    // BSON type gamut: expected values reconstructed from the fixture
+    // formulas — ObjectId hex, datetime ms, base64(binary), timestamp
+    // (t,i), decimal string, regex — per op (deletes carry key only)
+    "s12_bson_types" ->
+      """WITH base AS (SELECT i,
+        |  '65e0a1b2c3d4e5f6a7b8' || printf('%04x', i) AS oid,
+        |  'tsku_' || i AS sku,
+        |  CAST(1680000000000 + i*1000 AS BIGINT) AS created_ms,
+        |  to_base64(('bin_' || i)::BLOB) AS bin_b64,
+        |  '00' AS bin_subtype,
+        |  '^doc_' || i AS re_pattern, 'i' AS re_options
+        | FROM range(12) t(i))
+        |SELECT 'c' AS op,
+        |  CAST((1690000000+i)*4294967296 + 1 AS BIGINT) AS ord,
+        |  oid, sku, created_ms, bin_b64, bin_subtype,
+        |  CAST(1690000000+i AS BIGINT) AS ts_t,
+        |  CAST(i+1 AS BIGINT) AS ts_i,
+        |  i || '.25' AS amount, re_pattern, re_options
+        |FROM base
+        |UNION ALL
+        |SELECT 'u', CAST((1690000100+i)*4294967296 + 1 AS BIGINT),
+        |  oid, sku, created_ms, bin_b64, bin_subtype,
+        |  CAST(1690000100+i AS BIGINT), CAST(i+2 AS BIGINT),
+        |  (i+100) || '.75', re_pattern, re_options
+        |FROM base WHERE i%4=0
+        |UNION ALL
+        |SELECT 'd', CAST((1690000200+i)*4294967296 + 1 AS BIGINT),
+        |  oid, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        |FROM base WHERE i IN (3,7)""".stripMargin,
     "s11_cdc_socket_poll" -> baseOracles("s11_cdc_tables_decode"),
     "s8_mariadb_gtid_decode" ->
       """SELECT 'testdb.bl_items' AS "table", 'c' AS op,
@@ -1405,7 +1492,7 @@ object WireQueries extends QueryGroup {
       "s11_cdc_socket_poll",
       "s12_change_stream_decode", "s12_change_stream_dsv2",
       "s12_change_stream_socket", "s12_change_stream_materialize",
-      "s12_incremental_snapshot",
+      "s12_incremental_snapshot", "s12_bson_types",
       "s8_mariadb_gtid_decode", "s9_binlog_metadata_decode",
       "s9_binlog_schema_changes")
 }

@@ -34,9 +34,27 @@ object MongoChangeEventSink {
       fieldInclude: Option[Set[String]] = None,
       fieldExclude: Set[String] = Set.empty,
       deleteEnabled: Boolean = true,
-      bulkSize: Int = 100)
+      bulkSize: Int = 100,
+      /** Interpret string values that are Extended JSON `$`-wrappers
+        * (`{"$oid":…}`, `{"$date":…}`, …) as their BSON types — the
+        * reference sink's `Document.parse` semantics (extended JSON in
+        * the record value becomes typed BSON), so an ObjectId `_id`
+        * captured from a change stream round-trips as an ObjectId, not
+        * a string. Off = strings write verbatim.
+        */
+      parseExtendedJson: Boolean = true)
 
-  private def toB(v: Any): BVal = v match {
+  /** A string that is an Extended JSON wrapper, as its typed BVal. */
+  private def extendedWrapper(s: String): Option[BVal] =
+    if (!(s.length > 4 && s.charAt(0) == '{' && s.charAt(1) == '"' &&
+        s.charAt(2) == '$' && s.endsWith("}"))) None
+    else scala.util.Try(Bson.parseJson(s)).toOption.collect {
+      // only a WRAPPER conversion counts — a plain JSON object string
+      // (parse returns BDoc) stays a string
+      case v if !v.isInstanceOf[BDoc] => v
+    }
+
+  private def toB(v: Any, extJson: Boolean): BVal = v match {
     case null                         => Bson.BNull
     case b: Boolean                   => BBool(b)
     case i: Int                       => BInt32(i)
@@ -45,6 +63,8 @@ object MongoChangeEventSink {
     case b: Byte                      => BInt32(b.toInt)
     case d: Double                    => BDouble(d)
     case f: Float                     => BDouble(f.toDouble)
+    case b: Array[Byte]               => Bson.BBinary(0, b)
+    case s: String if extJson         => extendedWrapper(s).getOrElse(BStr(s))
     case s: String                    => BStr(s)
     case d: java.math.BigDecimal      => BStr(d.toPlainString)
     case t: java.time.LocalDateTime   => // µs precision survives as epoch-µs
@@ -71,6 +91,9 @@ object MongoChangeEventSink {
     val payloadFields = payloadFields0
       .filter(f => cfg.fieldInclude.forall(_.contains(f)))
       .filterNot(cfg.fieldExclude.contains)
+      // the key-derived _id is prepended to every write model; a payload
+      // column of the same name would duplicate the field (malformed BSON)
+      .filterNot(_ == "_id")
 
     val routed = envelope
       .withColumn("__pos", col("source.pos"))
@@ -83,6 +106,7 @@ object MongoChangeEventSink {
 
     val host = cfg.host; val port = cfg.port; val db = cfg.database
     val deleteEnabled = cfg.deleteEnabled; val bulk = cfg.bulkSize
+    val extJson = cfg.parseExtendedJson
     val kf = keyFields; val pf = payloadFields
 
     routed.foreachPartition { (rows: Iterator[Row]) =>
@@ -90,8 +114,10 @@ object MongoChangeEventSink {
         val session = new MongoWireClient.CommandSession(host, port)
         try {
           def idVal(r: Row): BVal =
-            if (kf.length == 1) toB(r.get(r.fieldIndex(s"__k_${kf.head}")))
-            else BDoc(kf.map(f => f -> toB(r.get(r.fieldIndex(s"__k_$f")))))
+            if (kf.length == 1)
+              toB(r.get(r.fieldIndex(s"__k_${kf.head}")), extJson)
+            else BDoc(kf.map(f =>
+              f -> toB(r.get(r.fieldIndex(s"__k_$f")), extJson)))
 
           // consecutive same-kind run batching into one bulk command
           val buf = scala.collection.mutable.ArrayBuffer.empty[BDoc]
@@ -131,7 +157,7 @@ object MongoChangeEventSink {
               case "t" => () // collection truncation is not a write model
               case _ =>
                 val doc = BDoc(("_id" -> id) +:
-                  pf.map(f => f -> toB(r.get(r.fieldIndex(s"__v_$f")))))
+                  pf.map(f => f -> toB(r.get(r.fieldIndex(s"__v_$f")), extJson)))
                 add("update", BDoc(Seq(
                   "q" -> BDoc(Seq("_id" -> id)),
                   "u" -> doc,

@@ -212,6 +212,14 @@ object MongoChangeStream {
     struct(
       when(idJson.isNull || idJson === "null", 5)
         .when(num.isNotNull, 10)
+        // Extended JSON wrappers rank as their BSON type (spec order:
+        // … Array < BinData < ObjectId < Boolean < Date < Timestamp <
+        // Regex); the checks must precede the generic object case
+        .when(idJson.startsWith("{\"$binary\""), 30)
+        .when(idJson.startsWith("{\"$oid\""), 35)
+        .when(idJson.startsWith("{\"$date\""), 45)
+        .when(idJson.startsWith("{\"$timestamp\""), 50)
+        .when(idJson.startsWith("{\"$regularExpression\""), 55)
         .when(idJson.startsWith("{"), 20)
         .when(idJson.startsWith("["), 25)
         .when(idJson.isin("true", "false"), 40)

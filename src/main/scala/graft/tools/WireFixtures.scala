@@ -971,6 +971,57 @@ object WireFixtures {
     graft.sources.wire.MongoChangeStream
       .segmentRows(mongoChangeStreamJsonl.linesIterator).size.toLong
 
+  // ------------------------------------ MongoDB BSON type-gamut stream
+  // Change-stream recording whose documents carry the BSON types a real
+  // mongod emits beyond the JSON-native set — ObjectId `_id` (0x07,
+  // virtually every real collection), UTC datetime (0x09), Binary with
+  // subtype (0x05), internal Timestamp (0x11), Decimal128 (0x13) and
+  // regex (0x0B) — all as canonical Extended JSON wrappers, so the
+  // fixture-server parse → BSON wire encode → live-client decode →
+  // render round trip exercises every new element type end-to-end
+  // (reference type dispatch: MongoDataConverter.java).
+
+  /** ObjectId hex for document `i` (20-hex prefix + 4-hex counter). */
+  def bsonOid(i: Int): String = f"65e0a1b2c3d4e5f6a7b8$i%04x"
+
+  def mongoBsonTypesJsonl: String = {
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    def ev(tSec: Long, opType: String, parts: String*): Unit = {
+      val tok = mongoToken(mongoOrd(tSec), 0)
+      lines += (s"""{"_id":{"_data":"$tok"},"operationType":"$opType",""" +
+        s""""clusterTime":{"t":$tSec,"i":1},""" +
+        s""""ns":{"db":"shop","coll":"typed"}""" +
+        parts.map("," + _).mkString + "}")
+    }
+    val b64 = java.util.Base64.getEncoder
+    def doc(i: Int, amount: String, tsT: Long, tsI: Long): String = {
+      val bin = b64.encodeToString(
+        s"bin_$i".getBytes(StandardCharsets.UTF_8))
+      s"""{"_id":{"$$oid":"${bsonOid(i)}"},"sku":"tsku_$i",""" +
+        s""""created":{"$$date":{"$$numberLong":"${1680000000000L + i * 1000L}"}},""" +
+        s""""payload":{"$$binary":{"base64":"$bin","subType":"00"}},""" +
+        s""""seen":{"$$timestamp":{"t":$tsT,"i":$tsI}},""" +
+        s""""amount":{"$$numberDecimal":"$amount"},""" +
+        s""""pattern":{"$$regularExpression":{"pattern":"^doc_$i","options":"i"}}}"""
+    }
+    (0 until 12).foreach { i =>
+      ev(1690000000L + i, "insert",
+        s""""documentKey":{"_id":{"$$oid":"${bsonOid(i)}"}}""",
+        s""""fullDocument":${doc(i, s"$i.25", 1690000000L + i, i + 1L)}""")
+    }
+    (0 until 12).filter(_ % 4 == 0).foreach { i =>
+      ev(1690000100L + i, "update",
+        s""""documentKey":{"_id":{"$$oid":"${bsonOid(i)}"}}""",
+        s""""fullDocument":${doc(i, s"${i + 100}.75", 1690000100L + i, i + 2L)}""",
+        s""""updateDescription":{"updatedFields":{"amount":{"$$numberDecimal":"${i + 100}.75"}},"removedFields":[]}""")
+    }
+    Seq(3, 7).foreach { i =>
+      ev(1690000200L + i, "delete",
+        s""""documentKey":{"_id":{"$$oid":"${bsonOid(i)}"}}""")
+    }
+    lines.mkString("", "\n", "\n")
+  }
+
   // ---------------------------------------------------------- decoderbufs
   // One protobuf RowMessage per WAL frame (pg_logicaldec.proto): the
   // legacy logical-decoding plugin the reference supports next to

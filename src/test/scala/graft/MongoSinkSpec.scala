@@ -52,6 +52,42 @@ class MongoSinkSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("an ObjectId _id round-trips the sink unchanged (extended JSON " +
+      "string -> BSON ObjectId on the wire -> extended JSON on read)") {
+    import org.apache.spark.sql.types._
+    val (port, store, _, server) = MongoSinkServer.serve()
+    try {
+      import spark.implicits._
+      val oid = "65e0a1b2c3d4e5f6a7b80001"
+      val docSchema = StructType(Seq(StructField("_id", StringType),
+        StructField("label", StringType)))
+      val env = Seq((s"""{"$$oid":"$oid"}""", "doc_one", 1L))
+        .toDF("_id", "label", "pos")
+        .select(
+          struct(col("_id")).as("key"),
+          lit(null).cast(docSchema).as("before"),
+          struct(col("_id"), col("label")).as("after"),
+          lit("c").as("op"), struct(col("pos")).as("source"),
+          lit(null).cast("string").as("transaction"),
+          col("pos").as("ts_ms"))
+      val cfg = MongoChangeEventSink.Config("127.0.0.1", port)
+      MongoChangeEventSink.write(env, "typed", cfg, numPartitions = 1)
+      // the STORED _id is a typed BSON ObjectId, not a string
+      val stored = store.get("typed")
+      assert(stored.size() == 1)
+      val key = stored.keySet().iterator().next()
+      assert(key == graft.serde.Bson.BObjectId(oid), s"stored key: $key")
+      // and the read-back render is the same extended JSON wrapper
+      val got = MongoChangeEventSink.readCollection(spark, cfg, "typed")
+      assert(got.select(col("_id.`$oid`")).head.getString(0) == oid)
+      // with parseExtendedJson=false the same string stays a string
+      MongoChangeEventSink.write(env,
+        "verbatim", cfg.copy(parseExtendedJson = false), numPartitions = 1)
+      val key2 = store.get("verbatim").keySet().iterator().next()
+      assert(key2 == graft.serde.Bson.BStr(s"""{"$$oid":"$oid"}"""))
+    } finally server.close()
+  }
+
   test("the server rejects malformed write models like a real mongod") {
     import graft.serde.Bson._
     import graft.sources.net.MongoWireClient

@@ -572,6 +572,68 @@ class WireDecoderSpec extends AnyFunSuite {
       }))
   }
 
+  test("BSON type gamut: ObjectId/datetime/binary/timestamp/decimal128/" +
+      "regex round-trip wire bytes AND the Extended JSON bridge") {
+    import graft.serde.Bson
+    import graft.serde.Bson._
+    val doc = BDoc(Seq(
+      "_id" -> BObjectId("65e0a1b2c3d4e5f6a7b80001"),
+      "created" -> BDateTime(1680000123456L),
+      "neg_date" -> BDateTime(-473385600000L), // pre-epoch (signed int64)
+      "bin" -> BBinary(0, Array[Byte](1, 2, 3, -1)),
+      "uuid" -> BBinary(4, Array.tabulate[Byte](16)(_.toByte)),
+      "ts" -> BTimestamp(1690000000L, 7L),
+      "ts_max" -> BTimestamp(0xFFFFFFFFL, 0xFFFFFFFFL), // uint32 extremes
+      "dec" -> BDecimal128(new java.math.BigDecimal("123.450")),
+      "dec_neg" -> BDecimal128(new java.math.BigDecimal("-0.5")),
+      "dec_big" -> BDecimal128(
+        new java.math.BigDecimal("9999999999999999999999999999999999")),
+      "re" -> BRegex("^doc_\\d+$", "i")))
+    // wire: encode → decode is identity, including trailing-scale digits
+    val (back, n) = Bson.decode(Bson.encode(doc))
+    assert(n == Bson.encode(doc).length)
+    assert(back == doc)
+    assert(back.get("dec").get.asInstanceOf[BDecimal128]
+      .value.toString == "123.450") // scale preserved through BID bits
+    // Extended JSON: render → parse is identity for every wrapper
+    assert(Bson.parseJson(Bson.renderJson(doc)) == doc)
+    // canonical forms are the documented wrappers
+    val json = Bson.renderJson(doc)
+    assert(json.contains(""""_id":{"$oid":"65e0a1b2c3d4e5f6a7b80001"}"""))
+    assert(json.contains(""""created":{"$date":{"$numberLong":"1680000123456"}}"""))
+    assert(json.contains(""""bin":{"$binary":{"base64":"AQID/w==","subType":"00"}}"""))
+    assert(json.contains(""""ts":{"$timestamp":{"t":1690000000,"i":7}}"""))
+    assert(json.contains(""""dec":{"$numberDecimal":"123.450"}"""))
+    assert(json.contains(
+      """"re":{"$regularExpression":{"pattern":"^doc_\\d+$","options":"i"}}"""))
+    // relaxed/legacy parse forms normalize into the same typed values
+    assert(Bson.parseJson("""{"d":{"$date":1680000123456}}""") ==
+      BDoc(Seq("d" -> BDateTime(1680000123456L))))
+    assert(Bson.parseJson("""{"n":{"$numberLong":"42"}}""") ==
+      BDoc(Seq("n" -> BInt64(42L))))
+    assert(Bson.parseJson("""{"n":{"$numberInt":"7"}}""") ==
+      BDoc(Seq("n" -> BInt32(7))))
+    // a $-prefixed OPERATOR document is NOT a wrapper — stays a BDoc
+    val op = Bson.parseJson("""{"$match":{"operationType":"insert"}}""")
+    assert(op.isInstanceOf[BDoc] &&
+      op.asInstanceOf[BDoc].get("$match").isDefined)
+    // decimal128 BID bit patterns (published spec test vectors):
+    // 1E0 → high 0x3040000000000000 low 1; -0.5 → 0xB03E... low 5
+    assert(Bson.Decimal128.encode(new java.math.BigDecimal("1")) ==
+      ((0x3040000000000000L, 1L)))
+    assert(Bson.Decimal128.encode(new java.math.BigDecimal("-0.5")) ==
+      ((0xB03E000000000000L, 5L)))
+    assert(Bson.Decimal128.decode(0x3040000000000000L, 1L)
+      .compareTo(java.math.BigDecimal.ONE) == 0)
+    // >34-digit coefficient and NaN/Inf bit patterns fail loudly
+    intercept[IllegalArgumentException] {
+      Bson.Decimal128.encode(new java.math.BigDecimal("1" + "0" * 34))
+    }
+    intercept[IllegalArgumentException] {
+      Bson.Decimal128.decode(0x7C00000000000000L, 0L) // NaN
+    }
+  }
+
   test("change stream over a real socket: OP_MSG cursor, server-side $match") {
     import graft.serde.Bson
     import graft.sources.net.MongoWireClient
