@@ -22,6 +22,71 @@ import graft.operators.SchemaEvolution.{AddColumn, DropColumn, RenameColumn, Sch
 object DdlParser {
 
   sealed trait Parsed { def table: Envelope.TableId }
+
+  /** Outcome of [[parseWithPolicy]] — the reference's
+    * `schema.history.internal.skip.unparseable.ddl` semantics
+    * (`relational/history/SchemaHistory.java` config area): a DDL-shaped
+    * statement the subset grammar cannot parse either fails the pipeline
+    * (strict, the reference's default for its FULL grammars) or is
+    * skipped with a warning, surfacing the referenced table so the
+    * caller can mark its schema STALE. Non-DDL statements (BEGIN, SET,
+    * DML) are never "unparseable" — they are filtered, not failed.
+    */
+  sealed trait Outcome
+  final case class Applied(parsed: Parsed) extends Outcome
+  case object NotDdl extends Outcome
+  final case class SkippedUnparseable(table: Option[Envelope.TableId],
+                                      reason: String) extends Outcome
+
+  private val DdlVerbs = Set("CREATE", "ALTER", "DROP", "RENAME", "TRUNCATE")
+
+  /** First word is a DDL verb — the statement is subject to the policy. */
+  def isDdlShaped(sql: String): Boolean =
+    sql.trim.split("[\\s(;]+", 2).headOption
+      .exists(w => DdlVerbs.contains(w.toUpperCase))
+
+  private val TableRef =
+    """(?is).*?TABLE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?([^\s(;]+).*""".r
+
+  /** Best-effort referenced-table extraction from an unparseable DDL
+    * statement (for stale marking); None when no `TABLE <name>` appears
+    * (CREATE INDEX, CREATE DATABASE, …).
+    */
+  def tableOf(sql: String): Option[Envelope.TableId] = sql match {
+    case TableRef(name) =>
+      scala.util.Try(Envelope.TableId.parse(unquote(name))).toOption
+    case _ => None
+  }
+
+  /** [[parse]] under the unparseable-DDL policy. This engine's DEFAULT
+    * at the decode-path call sites is skip (`skipUnparseable = true`) —
+    * a hand subset grammar must degrade gracefully on a production
+    * binlog/redo tail; the strict mode matches the reference's
+    * fail-fast default and is what a schema-history RECOVERY should
+    * use, where silently diverging from the recorded history is worse
+    * than stopping.
+    */
+  def parseWithPolicy(sql: String, skipUnparseable: Boolean): Outcome = {
+    if (!isDdlShaped(sql)) return NotDdl
+    try Applied(parse(sql))
+    catch {
+      case e: IllegalArgumentException =>
+        if (!skipUnparseable)
+          throw new IllegalArgumentException(
+            "unparseable DDL under strict policy (the " +
+              "skip.unparseable.ddl analog is off — pass " +
+              "skipUnparseable=true to warn, skip, and mark the table " +
+              s"schema stale): ${sql.trim.take(120)}", e)
+        val t = tableOf(sql)
+        Console.err.println(
+          "[graft] skipping unparseable DDL" +
+            t.map(x => " (table " +
+              Seq(Option(x.catalog), Option(x.schema), Some(x.table))
+                .flatten.mkString(".") + " marked stale)").getOrElse("") +
+            s": ${sql.trim.replaceAll("\\s+", " ").take(120)}")
+        SkippedUnparseable(t, e.getMessage)
+    }
+  }
   final case class CreateTable(table: Envelope.TableId,
                                schema: StructType) extends Parsed
   final case class AlterTable(table: Envelope.TableId,

@@ -684,8 +684,20 @@ object LogMiner {
       val sql = r.getString(2)
       def qual(t: graft.model.Envelope.TableId): String =
         s"${Option(t.schema).getOrElse(r.getString(1))}.${t.table}"
-      (try Some(DdlParser.parse(sql))
-       catch { case _: IllegalArgumentException => None }).foreach {
+      // skip-unparseable policy (same as the binlog registry): an
+      // out-of-subset statement warns and marks its table stale —
+      // subsequent rows for it decode against no schema rather than a
+      // column list known to be out of date
+      (DdlParser.parseWithPolicy(sql, skipUnparseable = true) match {
+        case DdlParser.Applied(p) => Some(p)
+        case DdlParser.SkippedUnparseable(t, _) =>
+          t.foreach { tid =>
+            val full = qual(tid)
+            state.remove(full); keyState.remove(full): Unit
+          }
+          None
+        case DdlParser.NotDdl => None
+      }).foreach {
         case DdlParser.CreateTable(t, st) =>
           val full = qual(t)
           val cols = st.fields.toSeq.map(f => f.name -> lmType(f.dataType))

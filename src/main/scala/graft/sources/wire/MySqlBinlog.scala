@@ -1836,23 +1836,27 @@ object MySqlBinlog {
     * other non-DDL statements are skipped, like the reference's filter
     * on its DDL parser results.
     */
-  def schemaChangeRows(bytes: Array[Byte])
+  def schemaChangeRows(bytes: Array[Byte],
+                       skipUnparseableDdl: Boolean = true)
   : Seq[(Long, String, String, String, String)] = {
     import graft.model.DdlParser
     readSegment(bytes).collect { case QueryEvent(pos, db, sql) =>
       (pos, db, sql)
     }.flatMap { case (pos, db, sql) =>
-      try {
-        val p = DdlParser.parse(sql)
-        val kind = p match {
-          case _: DdlParser.CreateTable => "CREATE"
-          case _: DdlParser.AlterTable => "ALTER"
-          case _: DdlParser.DropTable => "DROP"
-          case _: DdlParser.RenameTable => "RENAME"
-          case _: DdlParser.TruncateTable => "TRUNCATE"
-        }
-        Some((pos, db, qualifiedName(db, p.table), kind, sql))
-      } catch { case _: IllegalArgumentException => None }
+      DdlParser.parseWithPolicy(sql, skipUnparseableDdl) match {
+        case DdlParser.Applied(p) =>
+          val kind = p match {
+            case _: DdlParser.CreateTable => "CREATE"
+            case _: DdlParser.AlterTable => "ALTER"
+            case _: DdlParser.DropTable => "DROP"
+            case _: DdlParser.RenameTable => "RENAME"
+            case _: DdlParser.TruncateTable => "TRUNCATE"
+          }
+          Some((pos, db, qualifiedName(db, p.table), kind, sql))
+        // non-DDL (BEGIN, DML) is filtered; unparseable DDL follows the
+        // policy — skip mode already warned, strict mode threw above
+        case _ => None
+      }
     }.toSeq
   }
 
@@ -1869,13 +1873,25 @@ object MySqlBinlog {
   private[graft] def applyDdl(
       db: String, sql: String,
       names: scala.collection.mutable.Map[String, Seq[String]],
-      keys: scala.collection.mutable.Map[String, Seq[Int]]): Unit = {
+      keys: scala.collection.mutable.Map[String, Seq[Int]],
+      skipUnparseableDdl: Boolean = true): Unit = {
     import graft.model.{DdlParser, Envelope}
     import graft.operators.SchemaEvolution.{AddColumn, DropColumn, RenameColumn}
-    val parsed =
-      try DdlParser.parse(sql)
-      catch { case _: IllegalArgumentException => return }
     def qual(t: Envelope.TableId): String = qualifiedName(db, t)
+    val parsed = DdlParser.parseWithPolicy(sql, skipUnparseableDdl) match {
+      case DdlParser.Applied(p) => p
+      case DdlParser.NotDdl => return // BEGIN / SET / DML: never a schema op
+      case DdlParser.SkippedUnparseable(t, _) =>
+        // mark the table STALE: drop its registry entries so later row
+        // events resolve from wire metadata / positional names instead
+        // of a column list we know is out of date (the reference's
+        // skip.unparseable.ddl leaves its history silent the same way)
+        t.foreach { tid =>
+          val full = qual(tid)
+          names.remove(full); keys.remove(full): Unit
+        }
+        return
+    }
     parsed match {
       case DdlParser.CreateTable(t, schema) =>
         val full = qual(t)

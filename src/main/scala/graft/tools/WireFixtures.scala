@@ -517,6 +517,17 @@ object WireFixtures {
     events += encodeRows(WRITE_ROWS_V2, 993, BlMapV2,
       (100 until 106).map(rowV2))
     events += encodeXid(994, 9007L)
+    // Out-of-subset DDL a production binlog eventually carries (the
+    // reference parses these with its full ANTLR grammar; this engine's
+    // subset applies the skip.unparseable.ddl policy — warn, skip, mark
+    // the table stale). Placed after every row event so stale marking
+    // has no decode side effects in this recording.
+    events += encodeQuery(995, "testdb",
+      "CREATE TABLE bl_items_like LIKE bl_items")
+    events += encodeQuery(996, "testdb",
+      "ALTER TABLE bl_types PARTITION BY RANGE (id) " +
+        "(PARTITION p0 VALUES LESS THAN (100), " +
+        "PARTITION p1 VALUES LESS THAN MAXVALUE)")
     writeSegment(events.toSeq)
   }
 

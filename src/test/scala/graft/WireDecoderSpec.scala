@@ -904,6 +904,57 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(r12.payloadJson == """{"id":12,"qty":132,"label":"bl_12"}""")
   }
 
+  test("unparseable-DDL policy: skip mode warns and marks the table " +
+      "stale; strict mode fails naming the config; non-DDL is filtered") {
+    import graft.model.DdlParser
+    import graft.model.Envelope.TableId
+    val like = "CREATE TABLE bl_items_like LIKE bl_items"
+    val part = "ALTER TABLE testdb.bl_types PARTITION BY RANGE (id) " +
+      "(PARTITION p0 VALUES LESS THAN (100))"
+    // skip mode: SkippedUnparseable carrying the referenced table
+    assert(DdlParser.parseWithPolicy(like, skipUnparseable = true) ==
+      DdlParser.SkippedUnparseable(Some(TableId.parse("bl_items_like")),
+        DdlParser.parseWithPolicy(like, true)
+          .asInstanceOf[DdlParser.SkippedUnparseable].reason))
+    // strict mode: fails fast, the message names the policy knob
+    val e = intercept[IllegalArgumentException] {
+      DdlParser.parseWithPolicy(part, skipUnparseable = false)
+    }
+    assert(e.getMessage.contains("skip.unparseable.ddl"))
+    // non-DDL statements are NotDdl under BOTH modes — never an error
+    assert(DdlParser.parseWithPolicy("BEGIN", false) == DdlParser.NotDdl)
+    assert(DdlParser.parseWithPolicy(
+      "INSERT INTO t VALUES (1)", false) == DdlParser.NotDdl)
+    // parseable DDL is unaffected by the policy flag
+    assert(DdlParser.parseWithPolicy(
+      "ALTER TABLE t ADD COLUMN c INT", false)
+      .isInstanceOf[DdlParser.Applied])
+    // registry replay: the stale mark removes the table's entries, so
+    // later rows fall back to wire metadata / positional names
+    import scala.collection.mutable
+    val names = mutable.Map("testdb.bl_types" -> Seq("id", "t", "s"))
+    val keys = mutable.Map("testdb.bl_types" -> Seq(0))
+    graft.sources.wire.MySqlBinlog.applyDdl("testdb", part, names, keys)
+    assert(!names.contains("testdb.bl_types") &&
+      !keys.contains("testdb.bl_types"))
+    // and strict replay throws instead of silently diverging
+    names("testdb.bl_types") = Seq("id", "t", "s")
+    intercept[IllegalArgumentException] {
+      graft.sources.wire.MySqlBinlog.applyDdl("testdb", part, names, keys,
+        skipUnparseableDdl = false)
+    }
+    // the committed fixture carries both statements; the schema-change
+    // feed under the default (skip) policy emits exactly the parsed DDL
+    val rows = graft.sources.wire.MySqlBinlog.schemaChangeRows(
+      graft.tools.WireFixtures.binlogSegment)
+    assert(rows.map(_._4) == Seq("CREATE", "ALTER"))
+    // strict mode refuses the same segment
+    intercept[IllegalArgumentException] {
+      graft.sources.wire.MySqlBinlog.schemaChangeRows(
+        graft.tools.WireFixtures.binlogSegment, skipUnparseableDdl = false)
+    }
+  }
+
   test("binlog QUERY DDL replay: CREATE seeds, DROP COLUMN shifts keys, RENAME moves") {
     import MySqlBinlog._
     def segment(ddl: (Long, String, String)*)(rows: (Long, TableMap, Seq[Row])*) = {
