@@ -660,6 +660,40 @@ object StreamingQueries extends QueryGroup {
         "WHERE op <> 'd'")
     }),
 
+    // K2b CHANGEFEED (the Delta CDF analog over the sink manifests):
+    // epochs written through writeTo stream back as micro-batches via
+    // `spark.readStream.table` on the `$changes` metadata table — offset
+    // = committed epoch, LSM deltas read verbatim (per-epoch I/O tracks
+    // the change rate, not the table) — and reducing the full feed
+    // latest-by-pos re-derives exactly the table's batch read, so the
+    // oracle is the same latest-state query as k2_writeto_read.
+    "stream_writeto_changefeed" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+      writetoTable(s, fd, tbl)
+      val ckpt = java.nio.file.Files.createTempDirectory("cf-ckpt").toString
+      val name = s"cf_${System.nanoTime()}"
+      val q = s.readStream.table(s"graft_wt.lsm.`$tbl$$changes`")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val envelope = s.table(s"graft_wt.lsm.$tbl").schema
+      graft.expressions.GraftFunctions.register(s)
+      s.table(name)
+        .select(
+          from_json(col("key_json"), envelope("key").dataType).as("key"),
+          from_json(col("after_json"), envelope("after").dataType).as("after"),
+          col("op"), col("pos"))
+        .groupBy(col("key"))
+        .agg(graft.expressions.GraftFunctions.latestByPos(
+          struct(col("after"), col("op")), col("pos")).as("e"))
+        .filter(col("e.op") =!= "d")
+        .select(col("e.after.*"))
+    }),
+
     // The scd2 sink's `$history` METADATA TABLE (Iceberg-style suffix):
     // the full SCD-2 version history — closed intervals + open versions
     // — queryable as plain SQL over the catalog, equal to the batch
@@ -949,6 +983,9 @@ object StreamingQueries extends QueryGroup {
     "k2_lsm_materialize" -> ordersLatest,
     "k2_writeto_lsm" -> ordersLatest,
     "k2_writeto_read" -> ordersLatest,
+
+    // the changefeed reduced latest-by-pos == the table's batch read
+    "stream_writeto_changefeed" -> ordersLatest,
 
     // same interval oracle as the batch/streaming history table — the
     // $history metadata table must reproduce it through pure SQL

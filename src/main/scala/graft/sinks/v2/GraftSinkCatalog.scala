@@ -128,9 +128,10 @@ class GraftSinkCatalog extends TableCatalog {
 
   /** Parse + validate an identifier ONCE for both loadTable paths:
     * (kind, base-table ident, metadata suffix). The Iceberg-style
-    * `<name>$history` suffix is only valid on scd2; anything else —
-    * unknown namespace, unknown suffix, missing base table — is
-    * NoSuchTableException per the TableCatalog contract.
+    * suffixes: `<name>$history` (scd2 only) and `<name>$changes`
+    * (every kind — the changefeed). Anything else — unknown namespace,
+    * unknown suffix, missing base table — is NoSuchTableException per
+    * the TableCatalog contract.
     */
   private def resolveIdent(ident: Identifier)
       : (String, Identifier, Option[String]) = {
@@ -144,8 +145,8 @@ class GraftSinkCatalog extends TableCatalog {
       case _ => throw new NoSuchTableException(ident)
     }
     metaSuffix.foreach { s =>
-      if (s != "history" || kind != "scd2")
-        throw new NoSuchTableException(ident)
+      val valid = (s == "history" && kind == "scd2") || s == "changes"
+      if (!valid) throw new NoSuchTableException(ident)
     }
     val baseIdent = Identifier.of(ident.namespace, baseName)
     if (!Files.exists(metaFile(baseIdent)))
@@ -160,12 +161,17 @@ class GraftSinkCatalog extends TableCatalog {
     val props = lines.drop(1).flatMap { l =>
       l.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
     }.toMap
-    if (metaSuffix.isEmpty)
-      new CdcSinkTable(kind, tableDir(baseIdent).toString,
-        ident.toString, schema, props, asOf)
-    else
-      new Scd2HistoryTable(tableDir(baseIdent).toString, ident.toString,
-        GraftSinkCatalog.historySchemaOf(schema), props, asOf)
+    metaSuffix match {
+      case None =>
+        new CdcSinkTable(kind, tableDir(baseIdent).toString,
+          ident.toString, schema, props, asOf)
+      case Some("changes") =>
+        new SinkChangesTable(kind, tableDir(baseIdent).toString,
+          ident.toString, props, asOf)
+      case Some(_) =>
+        new Scd2HistoryTable(tableDir(baseIdent).toString, ident.toString,
+          GraftSinkCatalog.historySchemaOf(schema), props, asOf)
+    }
   }
 
   override def loadTable(ident: Identifier): Table = loadTable(ident, None)
@@ -419,6 +425,15 @@ private[v2] trait SinkReadTable extends Table with SupportsRead {
   /** The full-schema frame the scan projects from. */
   protected def fullFrame(spark: SparkSession): DataFrame
 
+  /** Streaming hook: a table that also supports micro-batch reads
+    * (declares MICRO_BATCH_READ) overrides this; the default matches
+    * batch-only tables.
+    */
+  protected def microBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new UnsupportedOperationException(
+      s"${name()} does not support streaming reads")
+
   /** A pushed v1 `Filter` as a Column over the frame, when the shape is
     * supported: top-level attribute comparisons and boolean
     * combinations. Anything else stays a post-scan filter (returning it
@@ -475,6 +490,9 @@ private[v2] trait SinkReadTable extends Table with SupportsRead {
         pushed
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = required
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          microBatchStream(checkpointLocation)
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
           val req = required
@@ -592,6 +610,33 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
     }
   }
 
+}
+
+/** `<name>$changes` metadata table: the CHANGEFEED (see [[SinkChanges]])
+  * — batch reads return every retained epoch's change rows (bounded by
+  * `VERSION AS OF` when pinned); streaming reads
+  * (`spark.readStream.table`) deliver one micro-batch per committed
+  * epoch with exact restart at the epoch frontier.
+  */
+private[v2] class SinkChangesTable(kind: String, path: String, ident: String,
+                                   props: Map[String, String],
+                                   asOf: Option[Long])
+    extends SinkReadTable {
+  override def name(): String =
+    asOf.map(e => s"$ident VERSION AS OF $e").getOrElse(ident)
+  override def schema(): StructType = SinkChanges.schema
+  override def capabilities(): util.Set[TableCapability] =
+    if (asOf.isEmpty)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
+    else // a pinned feed is a bounded batch — no stream to follow
+      util.EnumSet.of(TableCapability.BATCH_READ)
+  override protected def readSchemaFull: StructType = schema()
+  override protected def fullFrame(spark: SparkSession): DataFrame =
+    SinkChanges.allChanges(spark, kind, path, props, asOf)
+  override protected def microBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SinkChangesMicroBatchStream(kind, path, props, checkpointLocation)
 }
 
 /** `<name>$history` metadata table of a scd2 sink: the FULL version

@@ -1,0 +1,228 @@
+package graft.sinks.v2
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CHANGEFEED of a catalog sink table — the Delta CDF / Iceberg
+  * incremental-read analog over the MERGE sinks' epoch manifests. Each
+  * committed epoch is one batch of envelope change rows `(epoch, op,
+  * pos, key_json, after_json)`; deletes appear as `op='d'` tombstone
+  * rows, so applying latest-by-pos over the feed from epoch 0
+  * reconstructs exactly the table's batch read (spec + oracle pinned).
+  *
+  * Read either as a batch table (`graft.lsm.`orders$changes``, all
+  * retained epochs, `VERSION AS OF` bounds the tip) or as a STREAM
+  * (`spark.readStream.table(...)`): the micro-batch offset is the
+  * committed epoch — restart resumes at the exact epoch frontier, and
+  * new `writeTo(...).append()` epochs arrive as new micro-batches.
+  *
+  * Per-epoch change derivation:
+  *   - LSM tables read the epoch's own DELTA dir (`d<epoch>/`) — the
+  *     reduced batch the epoch appended, zero recompute, I/O tracks the
+  *     CHANGE RATE, never the table (the changefeed-optimized kind);
+  *   - other kinds (and vacuumed LSM deltas) diff the epoch's state
+  *     against the previous retained version on `key`: a row changed iff
+  *     its merge position moved. Both derivations converge to the same
+  *     state under latest-by-pos consumption (a delta row that lost the
+  *     pos race to existing state appears in the feed but never in the
+  *     reduced result — standard at-least-once CDC semantics).
+  *
+  * Streaming transport: rows must cross to executors as InternalRows,
+  * so `planInputPartitions` spools each admitted epoch's change frame
+  * (driver-planned, executor-computed Spark write) as JSON lines under
+  * the query's CHECKPOINT dir, keyed by epoch and reused on replay —
+  * the same pattern as the engine's wire-segment transport, sized by
+  * the change rate of the admitted epochs, cleaned with the checkpoint.
+  */
+object SinkChanges {
+
+  val schema: StructType = StructType(Seq(
+    StructField("epoch", LongType),
+    StructField("op", StringType),
+    StructField("pos", LongType),
+    StructField("key_json", StringType),
+    StructField("after_json", StringType)))
+
+  /** Envelope change rows of `epoch` (committed), rendered to the feed
+    * shape. `prev` is the previous RETAINED version, None for the first.
+    */
+  def changesFor(spark: SparkSession, kind: String, path: String,
+                 props: Map[String, String], epoch: Long,
+                 prev: Option[Long]): DataFrame = {
+    val sink = GraftSinkCatalog.sinkFor(kind, path, props)
+    val deltaDir = Paths.get(path, s"d$epoch")
+    val raw =
+      if (kind == "lsm" && Files.isDirectory(deltaDir))
+        spark.read.parquet(deltaDir.toString).drop("_bucket")
+      else {
+        val cur = sink.stateAt(spark, epoch).getOrElse(
+          throw new IllegalStateException(s"no committed state at $epoch"))
+        prev.flatMap(p => sink.stateAt(spark, p)) match {
+          case None => cur
+          case Some(pr) =>
+            // changed == the merge position moved (pos is the total
+            // order; equal pos means the row did not change at `epoch`)
+            cur.join(pr.select(col("key"), col("pos").as("__prev_pos")),
+                Seq("key"), "left_outer")
+              .filter(col("__prev_pos").isNull ||
+                col("__prev_pos") =!= col("pos"))
+              .drop("__prev_pos")
+        }
+      }
+    raw.select(
+      lit(epoch).as("epoch"), col("op"), col("pos"),
+      to_json(col("key")).as("key_json"),
+      to_json(col("after")).as("after_json"))
+  }
+
+  /** All retained epochs' changes as one frame (the batch table read);
+    * `asOf` bounds the feed at a pinned epoch.
+    */
+  def allChanges(spark: SparkSession, kind: String, path: String,
+                 props: Map[String, String],
+                 asOf: Option[Long]): DataFrame = {
+    val versions = GraftSinkCatalog.sinkFor(kind, path, props).versions
+      .filter(e => asOf.forall(e <= _))
+    if (versions.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    versions.zip(None +: versions.map(Some(_)))
+      .map { case (e, prev) => changesFor(spark, kind, path, props, e, prev) }
+      .reduce(_.unionByName(_))
+  }
+}
+
+/** Offset = committed-epoch frontier (every epoch ≤ it is consumed;
+  * -1 = nothing consumed).
+  */
+case class EpochOffset(epoch: Long) extends Offset {
+  override def json(): String = s"""{"epoch":$epoch}"""
+}
+
+object EpochOffset {
+  private val FromJson = """\{"epoch":(-?\d+)\}""".r
+  def fromJson(json: String): EpochOffset = json.trim match {
+    case FromJson(e) => EpochOffset(e.toLong)
+    case other => throw new IllegalArgumentException(
+      s"not an epoch offset: $other")
+  }
+}
+
+class SinkChangesMicroBatchStream(kind: String, path: String,
+                                  props: Map[String, String],
+                                  checkpointLocation: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  private def sink = GraftSinkCatalog.sinkFor(kind, path, props)
+
+  private def committedTip: Long =
+    sink.committedEpoch.getOrElse(-1L)
+
+  override def initialOffset(): Offset = EpochOffset(-1L)
+
+  override def latestOffset(): Offset =
+    EpochOffset(availableNowTarget.getOrElse(committedTip))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(committedTip)
+
+  // admission control (SupportsAdmissionControl via TriggerAvailableNow):
+  // epochs are the admission unit; one trigger drains to the tip
+  override def latestOffset(start: Offset,
+                            limit: org.apache.spark.sql.connector.read
+                              .streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def deserializeOffset(json: String): Offset =
+    EpochOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  /** Spool dir of one epoch's change rows under the query checkpoint —
+    * stable across restarts, so a replayed batch reuses the files.
+    * Spark hands the location as a URI (`file:/...`); normalize to a
+    * local path for the java.nio side (the spool is driver+executor
+    * local in local mode; a cluster deployment would swap these four
+    * Files calls for the Hadoop FS API).
+    */
+  private def spoolDir(epoch: Long): Path = {
+    val base =
+      if (checkpointLocation.startsWith("file:"))
+        Paths.get(java.net.URI.create(checkpointLocation))
+      else Paths.get(checkpointLocation)
+    base.resolve("graft-changes").resolve(s"e$epoch")
+  }
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EpochOffset].epoch
+    val e = end.asInstanceOf[EpochOffset].epoch
+    val versions = sink.versions
+    val admitted = versions.filter(v => v > s && v <= e)
+    val spark = SparkSession.active
+    admitted.flatMap { epoch =>
+      val dir = spoolDir(epoch)
+      if (!Files.exists(dir.resolve("_SUCCESS"))) {
+        val prev = versions.filter(_ < epoch).lastOption
+        SinkChanges.changesFor(spark, kind, path, props, epoch, prev)
+          .toJSON.write.mode("overwrite").text(dir.toString)
+      }
+      Using.resource(Files.list(dir)) { st =>
+        st.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            !n.startsWith("_") && !n.startsWith(".")
+          }
+          .map(p => SinkChangesPartition(p.toString): InputPartition)
+          .toSeq
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) =>
+      new SinkChangesPartitionReader(
+        partition.asInstanceOf[SinkChangesPartition])
+}
+
+case class SinkChangesPartition(file: String) extends InputPartition
+
+/** JSON-lines reader for a spooled change segment (fixed feed schema). */
+class SinkChangesPartitionReader(part: SinkChangesPartition)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val lines = Files.lines(Paths.get(part.file))
+  private val it = lines.iterator().asScala.filter(_.nonEmpty)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    val node = mapper.readTree(it.next())
+    def str(f: String): UTF8String = {
+      val v = node.get(f)
+      // toJSON omits null fields; a missing after_json is a tombstone
+      if (v == null || v.isNull) null else UTF8String.fromString(v.asText())
+    }
+    current = InternalRow(
+      node.get("epoch").asLong(), str("op"), node.get("pos").asLong(),
+      str("key_json"), str("after_json"))
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}

@@ -251,6 +251,90 @@ class SinkCatalogReadSpec extends AnyFunSuite {
       after)
   }
 
+  test("$changes: batch changefeed reconstructs the table; VERSION AS OF " +
+      "bounds the feed; every kind serves it") {
+    val (name, feed) = freshTable("lsm")
+    val ident = name.split('.').last
+    val chg = spark.sql(s"SELECT * FROM $cat.lsm.`$ident$$changes`")
+    assert(chg.schema.fieldNames.toSeq ==
+      Seq("epoch", "op", "pos", "key_json", "after_json"))
+    assert(chg.select(col("epoch")).distinct().count() == 2)
+    // applying latest-by-pos over the full feed == the table's batch read
+    def materialized(df: org.apache.spark.sql.DataFrame,
+                     ofTable: String = name) = {
+      val keySchema = spark.table(ofTable).schema("key").dataType
+      val afterSchema = spark.table(ofTable).schema("after").dataType
+      graft.expressions.GraftFunctions.register(spark)
+      df.select(from_json(col("key_json"), keySchema).as("key"),
+          from_json(col("after_json"), afterSchema).as("after"),
+          col("op"), col("pos"))
+        .groupBy(col("key"))
+        .agg(graft.expressions.GraftFunctions.latestByPos(
+          struct(col("after"), col("op")), col("pos")).as("e"))
+        .filter(col("e.op") =!= "d").select(col("e.after.*"))
+    }
+    assert(canon(materialized(chg)) == canon(Materialize.latestState(feed)))
+    // pinned feed: only the snapshot epoch's changes
+    val chg0 = spark.sql(
+      s"SELECT * FROM $cat.lsm.`$ident$$changes` VERSION AS OF 0")
+    assert(canon(materialized(chg0)) ==
+      canon(feed.filter(col("op") === "r").select(col("after.*"))))
+    // the generic (diff-based) derivation: full + bucketed + scd2 kinds
+    Seq("full", "bucketed", "scd2").foreach { kind =>
+      val (n2, f2) = freshTable(kind, "region")
+      val i2 = n2.split('.').last
+      val c2 = spark.sql(s"SELECT * FROM $cat.$kind.`$i2$$changes`")
+      assert(canon(materialized(c2, n2)) ==
+        canon(Materialize.latestState(f2)),
+        s"kind $kind changefeed did not reconstruct the table")
+    }
+  }
+
+  test("$changes: streaming read delivers one micro-batch per epoch and " +
+      "resumes at the epoch frontier across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (name, feed) = freshTable("lsm")
+    val ident = name.split('.').last
+    val tmp = Files.createTempDirectory("chg-stream").toString
+    val gotRows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def runStream(): Unit = {
+      // foreachBatch (checkpoint-recoverable, unlike the memory sink):
+      // accumulate every delivered change row
+      val q = spark.readStream.table(s"$cat.lsm.`$ident$$changes`")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          canon(batch).foreach(gotRows.add)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runStream()
+    import scala.jdk.CollectionConverters._
+    assert(gotRows.asScala.nonEmpty)
+    // delivered rows == the batch table read (the oracle shape)
+    val batchChg = spark.sql(s"SELECT * FROM $cat.lsm.`$ident$$changes`")
+    assert(gotRows.asScala.toSeq.sorted == canon(batchChg))
+    // a NEW epoch after the first drain arrives ALONE on restart (exact
+    // resume at the epoch frontier, no re-delivery of epochs 0/1)
+    val sizeAfterFirst = gotRows.size()
+    val extra = feed.filter(col("op") === "d")
+    extra.writeTo(name).option("epoch", "7").append()
+    runStream()
+    val resumed = gotRows.asScala.toSeq.drop(sizeAfterFirst)
+    // canon sorts columns: (after_json, epoch, key_json, op, pos)
+    assert(resumed.nonEmpty &&
+      resumed.forall(_.split("\\|")(1) == "7"),
+      s"resume must deliver only epoch 7 rows, got: ${resumed.take(3)}")
+    assert(resumed.size == extra.select(col("key")).distinct().count())
+    // and a third run with nothing new delivers nothing
+    val sizeAfterSecond = gotRows.size()
+    runStream()
+    assert(gotRows.size() == sizeAfterSecond)
+  }
+
   test("TIMESTAMP AS OF resolves commit times to epochs") {
     val (name, feed) = freshTable("lsm", "region")
     val dir = java.nio.file.Paths.get(catRoot, "lsm", name.split('.').last)
