@@ -660,6 +660,23 @@ object StreamingQueries extends QueryGroup {
         "WHERE op <> 'd'")
     }),
 
+    // K2b SQL DML: `DELETE FROM` on a catalog table commits a NEW EPOCH
+    // of tombstones (matched live rows at a position past the tip) —
+    // the CDC-native delete, composing with time travel and the
+    // changefeed instead of rewriting state in place. Nested key and
+    // payload refs push through the strict predicate translation;
+    // TRUNCATE rides AlwaysTrue. UPDATE / MERGE INTO are intentionally
+    // unsupported (pinned analysis errors in SinkCatalogReadSpec): the
+    // envelope's native merge IS writeTo(...).append().
+    "k2_sql_delete" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+      writetoTable(s, fd, tbl)
+      s.sql(s"DELETE FROM graft_wt.lsm.$tbl " +
+        "WHERE after.o_orderstatus = 'U' OR key.o_orderkey < 100")
+      s.sql(s"SELECT after.* FROM graft_wt.lsm.$tbl WHERE op <> 'd'")
+    }),
+
     // K2b CHANGEFEED (the Delta CDF analog over the sink manifests):
     // epochs written through writeTo stream back as micro-batches via
     // `spark.readStream.table` on the `$changes` metadata table — offset
@@ -986,6 +1003,16 @@ object StreamingQueries extends QueryGroup {
 
     // the changefeed reduced latest-by-pos == the table's batch read
     "stream_writeto_changefeed" -> ordersLatest,
+
+    // ordersLatest minus the SQL-deleted rows (updated status 'U' keys
+    // and the low-key range) — deletes are epoch-committed tombstones
+    "k2_sql_delete" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey%7=3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        | o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey%13<>6
+        | AND NOT (CASE WHEN o_orderkey%7=3 THEN 'U' ELSE o_orderstatus END = 'U'
+        |          OR o_orderkey < 100)""".stripMargin,
 
     // same interval oracle as the batch/streaming history table — the
     // $history metadata table must reproduce it through pure SQL

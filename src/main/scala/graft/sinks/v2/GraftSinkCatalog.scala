@@ -78,7 +78,7 @@ import graft.streaming.{BucketedMergeSink, CdcSink, LsmMergeSink, MergeSink, Scd
   * (and flows into the underlying parquet scans through the sinks' own
   * Catalyst plans); a pinned (time-travel) table refuses writes.
   */
-class GraftSinkCatalog extends TableCatalog {
+class GraftSinkCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var root: String = _
 
@@ -116,6 +116,12 @@ class GraftSinkCatalog extends TableCatalog {
     tableDir(ident).resolve("_table.ddl")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    // the TableCatalog contract: listing an unknown namespace is
+    // NoSuchNamespaceException, not an empty listing (SHOW TABLES IN
+    // graft.nope must fail, not print nothing)
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
     val ns = Paths.get(root, namespace: _*)
     if (!Files.isDirectory(ns)) Array.empty
     else scala.util.Using.resource(Files.list(ns)) { st =>
@@ -125,6 +131,52 @@ class GraftSinkCatalog extends TableCatalog {
         .toArray
     }
   }
+
+  // ------------------------------------------------- SupportsNamespaces
+  // The namespaces ARE the sink kinds — a fixed, structural set (each
+  // selects an on-disk layout + merge strategy), like the reference's
+  // fixed per-connector sink writer registry. They always exist and
+  // cannot be created, altered, or dropped.
+
+  override def listNamespaces(): Array[Array[String]] =
+    GraftSinkCatalog.kinds.toArray.sorted.map(Array(_))
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // kinds don't nest
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(namespace)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && GraftSinkCatalog.kinds.contains(namespace(0))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    java.util.Collections.singletonMap(SupportsNamespaces.PROP_COMMENT,
+      GraftSinkCatalog.kindComments(namespace(0)))
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "sink namespaces are the fixed kind set " +
+        s"${GraftSinkCatalog.kinds.toSeq.sorted.mkString("/")} — " +
+        "they cannot be created")
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "sink namespaces are structural and immutable")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "sink namespaces are structural — drop the tables, not the kind")
 
   /** Parse + validate an identifier ONCE for both loadTable paths:
     * (kind, base-table ident, metadata suffix). The Iceberg-style
@@ -274,6 +326,13 @@ class GraftSinkCatalog extends TableCatalog {
 object GraftSinkCatalog {
   val kinds: Set[String] = Set("full", "bucketed", "lsm", "scd2")
 
+  /** DESCRIBE NAMESPACE comments — one line per sink kind's strategy. */
+  val kindComments: Map[String, String] = Map(
+    "full" -> "full-state rewrite MERGE sink (every epoch rewrites state)",
+    "bucketed" -> "bucket-partitioned MERGE sink (touched-bucket rewrite)",
+    "lsm" -> "merge-on-read LSM sink (delta appends + deferred compaction)",
+    "scd2" -> "SCD type-2 history sink (validity intervals, $history table)")
+
   /** The sink instance a (kind, path, properties) triple denotes. */
   def sinkFor(kind: String, path: String,
               props: Map[String, String]): CdcSink = {
@@ -353,6 +412,93 @@ object GraftSinkCatalog {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("is_current",
         org.apache.spark.sql.types.BooleanType)))
+  }
+
+  /** STRICT v2-Predicate → Column translation for the DELETE path.
+    * Spark's own v2→v1 bridge (PredicateUtils.toV1) can NARROW a
+    * disjunction whose one side doesn't convert — measured: `DELETE …
+    * WHERE key.x % 2 = 0 OR name = 'A'` reached the v1 deleteWhere as
+    * just `name = 'A'` and silently deleted a SUBSET of what the user
+    * asked. Filters may be narrowed for scan pushdown (residuals are
+    * re-applied); a DELETE predicate may not. So the table overrides
+    * the v2-side canDeleteWhere/deleteWhere and translates each
+    * predicate IN FULL — any unsupported node fails the whole
+    * predicate, surfacing Spark's standard non-deletable error instead
+    * of a wrong delete. Returns None on anything outside the supported
+    * shape (field refs resolved against `schema`, literals,
+    * comparisons, IN, null tests, string matches, AND/OR/NOT).
+    */
+  private[v2] def v2PredicateColumn(
+      schema: StructType,
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[Column] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, LiteralValue, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.{AlwaysFalse, AlwaysTrue, And => V2And, Not => V2Not, Or => V2Or, Predicate => V2Predicate}
+    def ref(parts: Seq[String]): Option[Column] = {
+      var dt: DataType = schema
+      var c: Column = null
+      parts.foreach { p =>
+        dt match {
+          case st: StructType =>
+            st.fields.find(_.name.equalsIgnoreCase(p)) match {
+              case Some(fld) =>
+                c = if (c == null) col(s"`${fld.name}`") else c.getField(fld.name)
+                dt = fld.dataType
+              case None => return None
+            }
+          case _ => return None
+        }
+      }
+      Option(c)
+    }
+    def operand(x: V2Expr): Option[Column] = x match {
+      case r: NamedReference => ref(r.fieldNames.toIndexedSeq)
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        Some(lit(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType)))
+      case _ => None
+    }
+    e match {
+      case _: AlwaysTrue  => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case a: V2And =>
+        for { l <- v2PredicateColumn(schema, a.left())
+              r <- v2PredicateColumn(schema, a.right()) } yield l && r
+      case o: V2Or =>
+        for { l <- v2PredicateColumn(schema, o.left())
+              r <- v2PredicateColumn(schema, o.right()) } yield l || r
+      case n: V2Not => v2PredicateColumn(schema, n.child()).map(!_)
+      case p: V2Predicate =>
+        val ch = p.children()
+        def bin(f: (Column, Column) => Column): Option[Column] =
+          if (ch.length != 2) None
+          else for { l <- operand(ch(0)); r <- operand(ch(1)) } yield f(l, r)
+        p.name() match {
+          case "="          => bin(_ === _)
+          case "<>" | "!="  => bin(_ =!= _)
+          case "<=>"        => bin(_ <=> _)
+          case ">"          => bin(_ > _)
+          case ">="         => bin(_ >= _)
+          case "<"          => bin(_ < _)
+          case "<="         => bin(_ <= _)
+          case "STARTS_WITH" => bin((a, b) => a.startsWith(b))
+          case "ENDS_WITH"   => bin((a, b) => a.endsWith(b))
+          case "CONTAINS"    => bin((a, b) => a.contains(b))
+          case "IS_NULL" if ch.length == 1 => operand(ch(0)).map(_.isNull)
+          case "IS_NOT_NULL" if ch.length == 1 =>
+            operand(ch(0)).map(_.isNotNull)
+          case "IN" if ch.length >= 2 =>
+            for {
+              target <- operand(ch(0))
+              vals <- ch.toSeq.drop(1).foldLeft(
+                Option(Seq.empty[Column])) { (acc, v) =>
+                  acc.flatMap(s => operand(v).map(s :+ _))
+                }
+            } yield target.isin(vals: _*)
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   /** Type equality ignoring nullability (`DataType.sameType` is
@@ -435,17 +581,43 @@ private[v2] trait SinkReadTable extends Table with SupportsRead {
       s"${name()} does not support streaming reads")
 
   /** A pushed v1 `Filter` as a Column over the frame, when the shape is
-    * supported: top-level attribute comparisons and boolean
+    * supported: attribute comparisons (top-level OR dotted nested refs
+    * like `key.o_orderkey` — resolved by walking the struct schema, so
+    * key/payload predicates reach the parquet leaves) and boolean
     * combinations. Anything else stays a post-scan filter (returning it
     * unpushed is always correct — Spark re-applies residuals).
     */
-  private def toColumn(f: org.apache.spark.sql.sources.Filter): Option[Column] = {
+  protected def toColumn(f: org.apache.spark.sql.sources.Filter): Option[Column] = {
     import org.apache.spark.sql.sources._
-    def ref(name: String): Option[Column] =
-      if (readSchemaFull.fieldNames.exists(_.equalsIgnoreCase(name)))
-        Some(col(s"`$name`"))
-      else None // nested/unknown refs: leave post-scan
+    def ref(name: String): Option[Column] = {
+      // exact top-level name wins (a field literally containing a dot);
+      // else descend struct fields along the dotted path
+      readSchemaFull.fields.find(_.name.equalsIgnoreCase(name)) match {
+        case Some(tf) => Some(col(s"`${tf.name}`"))
+        case None =>
+          val parts = name.split('.')
+          if (parts.length < 2) return None
+          var dt: DataType = readSchemaFull
+          var c: Column = null
+          parts.foreach { p =>
+            dt match {
+              case st: StructType =>
+                st.fields.find(_.name.equalsIgnoreCase(p)) match {
+                  case Some(fld) =>
+                    c = if (c == null) col(s"`${fld.name}`")
+                        else c.getField(fld.name)
+                    dt = fld.dataType
+                  case None => return None
+                }
+              case _ => return None
+            }
+          }
+          Option(c)
+      }
+    }
     f match {
+      case AlwaysTrue()             => Some(lit(true))
+      case AlwaysFalse()            => Some(lit(false))
       case EqualTo(a, v)            => ref(a).map(_ === lit(v))
       case EqualNullSafe(a, v)      => ref(a).map(_ <=> lit(v))
       case GreaterThan(a, v)        => ref(a).map(_ > lit(v))
@@ -522,7 +694,8 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
                                tableSchema: StructType,
                                props: Map[String, String],
                                asOf: Option[Long])
-    extends Table with SupportsWrite with SinkReadTable {
+    extends Table with SupportsWrite with SinkReadTable
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     asOf.map(e => s"$ident VERSION AS OF $e").getOrElse(ident)
   // reads report the deep-nullable envelope (see deepNullable's doc);
@@ -572,6 +745,91 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
             "srcType" -> f.dataType.simpleString,
             "targetType" -> sf.dataType.simpleString))
     }
+  }
+
+  /** `DELETE FROM` as a NEW EPOCH of tombstones — the CDC-native
+    * expression of SQL delete: matched live rows (the predicate runs on
+    * the table's read shape, nested key/payload refs included) are
+    * tombstoned at a position past the current tip, so the delete
+    * composes with time travel (`VERSION AS OF` the prior epoch still
+    * reads the rows), the changefeed (the tombstones ARE epoch N+1's
+    * changes), and the replay guard — no state is rewritten in place.
+    * `TRUNCATE TABLE` rides the AlwaysTrue filter for free. Predicates
+    * outside the pushable shape fail analysis (Spark's standard
+    * non-deletable error), and UPDATE / MERGE INTO are intentionally
+    * unsupported: the envelope's native merge IS `writeTo(...).append()`
+    * — spec-pinned analysis errors say so.
+    */
+  // v2 Predicate entry points — Spark's default v2→v1 bridge can NARROW
+  // a predicate (see GraftSinkCatalog.v2PredicateColumn), so the table
+  // translates v2 predicates itself, all-or-nothing
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter
+        .Predicate]): Boolean =
+    asOf.isEmpty && predicates.forall(p =>
+      GraftSinkCatalog.v2PredicateColumn(readSchemaFull, p).isDefined)
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter
+        .Predicate]): Unit = {
+    val cols = predicates.map(p =>
+      GraftSinkCatalog.v2PredicateColumn(readSchemaFull, p).getOrElse(
+        throw new UnsupportedOperationException(
+          s"unsupported DELETE predicate on $ident: $p")))
+    deleteMatching(cols.reduceOption(_ && _).getOrElse(lit(true)))
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    asOf.isEmpty && filters.forall(f => toColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val cols = filters.map(f => toColumn(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"unsupported DELETE filter on $ident: $f")))
+    deleteMatching(cols.reduceOption(_ && _).getOrElse(lit(true)))
+  }
+
+  private def deleteMatching(pred: Column): Unit = {
+    asOf.foreach { e =>
+      throw new UnsupportedOperationException(
+        s"$ident VERSION AS OF $e is a read-only time-travel view")
+    }
+    val spark = SparkSession.active
+    val sink = GraftSinkCatalog.sinkFor(kind, path, props)
+    val state = fullFrame(spark)
+    // already-tombstoned keys need no new tombstone — and excluding them
+    // keeps a repeated DELETE idempotent in feed terms
+    val matched = state.filter(pred).filter(
+      col("op").isNull || col("op") =!= lit(graft.model.Envelope.OpDelete))
+    // bounded: ONE scalar agg for the tombstones' merge position — they
+    // must outrank every live row's pos under latest-by-pos precedence
+    val tipPos = state.agg(max(col("source.pos"))).head.get(0) match {
+      case null => 0L
+      case l: java.lang.Long => l.longValue()
+      case other => other.toString.toLong
+    }
+    val delPos = tipPos + 1L
+    val cols = tableSchema.fields.map { f =>
+      f.name.toLowerCase(java.util.Locale.ROOT) match {
+        case "key" => matched(f.name)
+        case "op" => lit(graft.model.Envelope.OpDelete).cast(f.dataType)
+          .as(f.name)
+        case "source" => (f.dataType match {
+          case st: StructType =>
+            struct(st.fields.map { sf =>
+              (if (sf.name.equalsIgnoreCase("pos"))
+                 lit(delPos).cast(sf.dataType)
+               else lit(null).cast(sf.dataType)).as(sf.name)
+            }.toIndexedSeq: _*)
+          case dt => lit(null).cast(dt)
+        }).as(f.name)
+        case _ => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    val epoch = sink.committedEpoch.map(_ + 1L).getOrElse(0L)
+    sink.merge(matched.select(cols.toIndexedSeq: _*), epoch)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

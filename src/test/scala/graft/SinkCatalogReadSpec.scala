@@ -335,6 +335,110 @@ class SinkCatalogReadSpec extends AnyFunSuite {
     assert(gotRows.size() == sizeAfterSecond)
   }
 
+  test("SQL DELETE tombstones matched rows as a new epoch; TRUNCATE " +
+      "empties; time travel and the changefeed still see prior state") {
+    val (name, feed) = freshTable("lsm")
+    val tipBefore = spark.sql(s"SELECT max(source.pos) FROM $name")
+      .head.getLong(0)
+    // nested key + payload refs push into deleteWhere, incl. disjunction
+    spark.sql(s"DELETE FROM $name WHERE key.o_orderkey < 500 " +
+      "OR after.o_orderstatus = 'P'")
+    val live = spark.sql(s"SELECT after.* FROM $name WHERE op <> 'd'")
+    val want = Materialize.latestState(feed)
+      .filter(!(col("o_orderkey") < 500 || col("o_orderstatus") === "P"))
+    assert(canon(live) == canon(want))
+    // the delete is an EPOCH: VERSION AS OF 1 still reads pre-delete
+    // state, and its tombstones carry a position past the old tip
+    assert(canon(spark.sql(
+      s"SELECT after.* FROM $name VERSION AS OF 1 WHERE op <> 'd'")) ==
+      canon(Materialize.latestState(feed)))
+    val ident = name.split('.').last
+    val chg = spark.sql(s"SELECT * FROM $cat.lsm.`$ident$$changes` " +
+      s"WHERE epoch = 2")
+    assert(chg.filter(col("op") =!= "d").count() == 0)
+    assert(chg.filter(col("pos") <= tipBefore).count() == 0,
+      "tombstones must outrank every live row's position")
+    // repeated DELETE of the same predicate adds no new tombstones
+    val epochs = spark.sql(s"SELECT max(epoch) FROM $cat.lsm.`$ident$$changes`")
+      .head.getLong(0)
+    spark.sql(s"DELETE FROM $name WHERE key.o_orderkey < 500")
+    assert(spark.sql(s"SELECT max(epoch) FROM $cat.lsm.`$ident$$changes`")
+      .head.getLong(0) == epochs,
+      "re-deleting already-tombstoned keys must not commit an epoch")
+    // TRUNCATE = DELETE of everything (AlwaysTrue through SupportsDelete)
+    spark.sql(s"TRUNCATE TABLE $name")
+    assert(spark.sql(s"SELECT * FROM $name WHERE op <> 'd'").count() == 0)
+    // a pinned (time-travel) table refuses deletes
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $name VERSION AS OF 1 WHERE op <> 'x'")
+    }
+    assert(e.getMessage.toLowerCase.contains("version as of") ||
+      e.getMessage.toLowerCase.contains("time travel"), e.getMessage)
+  }
+
+  test("UPDATE and MERGE INTO are pinned analysis errors (the envelope's " +
+      "native merge is writeTo.append); non-pushable DELETE fails") {
+    val (name, _) = freshTable("lsm", "nation")
+    // UPDATE: Spark's standard capability error for tables without
+    // SupportsRowLevelOperations — intended: the envelope's native
+    // update IS an op='u' event through writeTo(...).append()
+    val up = intercept[Exception] {
+      spark.sql(s"UPDATE $name SET op = 'x' WHERE key.n_nationkey = 1")
+    }
+    assert(up.getMessage.contains("UNSUPPORTED_FEATURE.TABLE_OPERATION") &&
+      up.getMessage.contains("UPDATE TABLE"), up.getMessage)
+    // MERGE INTO: without SupportsRowLevelOperations Spark never rewrites
+    // the target, so its references stay unresolved — the surfaced error
+    // is UNRESOLVED_COLUMN against the target alias (pinned so a Spark
+    // behavior change shows up here, with this comment as the user answer)
+    val mg = intercept[Exception] {
+      spark.sql(s"MERGE INTO $name t USING $name s ON t.op = s.op " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(mg.getMessage.contains("UNRESOLVED_COLUMN") ||
+      mg.getMessage.contains("TABLE_OPERATION"), mg.getMessage)
+    // a predicate outside the pushable shape must FAIL, never narrow:
+    // Spark's own v2->v1 bridge would silently drop the unconvertible
+    // disjunct (measured) — the strict v2 translation refuses instead
+    val liveBefore = spark.sql(s"SELECT * FROM $name WHERE op <> 'd'").count()
+    val bad = intercept[Exception] {
+      spark.sql(s"DELETE FROM $name " +
+        "WHERE key.n_nationkey % 2 = 0 OR key.n_nationkey >= 0")
+    }
+    assert(bad.getMessage.contains("Cannot delete from table"),
+      bad.getMessage)
+    assert(spark.sql(s"SELECT * FROM $name WHERE op <> 'd'").count() ==
+      liveBefore,
+      "the refused DELETE must not have deleted the convertible disjunct")
+  }
+
+  test("catalog ergonomics: SHOW NAMESPACES / SHOW TABLES / DESCRIBE") {
+    val (name, _) = freshTable("lsm", "region")
+    val ident = name.split('.').last
+    // the namespaces are exactly the sink kinds
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).sorted.toSeq ==
+      Seq("bucketed", "full", "lsm", "scd2"))
+    // SHOW TABLES lists created tables in the kind
+    val listed = spark.sql(s"SHOW TABLES IN $cat.lsm").collect()
+      .map(_.getString(1))
+    assert(listed.contains(ident), s"missing $ident in ${listed.toSeq}")
+    // an unknown kind is an analysis error, not an empty listing
+    intercept[AnalysisException] {
+      spark.sql(s"SHOW TABLES IN $cat.nope").collect()
+    }
+    // DESCRIBE surfaces the envelope columns
+    val desc = spark.sql(s"DESCRIBE TABLE $name").collect()
+      .map(_.getString(0))
+    Seq("key", "before", "after", "op", "source").foreach(c =>
+      assert(desc.contains(c), s"DESCRIBE missing $c: ${desc.toSeq}"))
+    // DESCRIBE NAMESPACE carries the kind's strategy comment
+    val nsDesc = spark.sql(s"DESCRIBE NAMESPACE $cat.lsm").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(nsDesc.get("Comment").exists(_.contains("merge-on-read")),
+      nsDesc.toString)
+  }
+
   test("TIMESTAMP AS OF resolves commit times to epochs") {
     val (name, feed) = freshTable("lsm", "region")
     val dir = java.nio.file.Paths.get(catRoot, "lsm", name.split('.').last)
