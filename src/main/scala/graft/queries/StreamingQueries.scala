@@ -724,7 +724,11 @@ object StreamingQueries extends QueryGroup {
     }),
 
     // Streaming deduplication with cross-batch state: the same source read
-    // twice (duplicate delivery) collapses via dropDuplicates on the key
+    // twice (duplicate delivery) collapses via dropDuplicates on the key.
+    // NOT the production form — this variant's key state grows with every
+    // key ever seen (unbounded at 100 TB); it exists to pin the exact
+    // semantics. Deploy `stream_dedup_watermark` below, whose state ages
+    // out past the watermark, unless the key domain is provably bounded.
     "stream_dedup" -> ((s, dir) => {
       val schema = t(s, dir, "events").schema
       def src = s.readStream.schema(schema)
