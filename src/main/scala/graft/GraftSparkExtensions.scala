@@ -31,5 +31,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         builder
       ))
     }
+    // SQL UPDATE / MERGE INTO on sink-catalog tables — see
+    // graft.sinks.v2.GraftDmlResolution for why the strict write
+    // contract needs this analyzer assist
+    ext.injectResolutionRule(spark =>
+      new graft.sinks.v2.GraftDmlResolution(spark))
   }
 }

@@ -665,15 +665,69 @@ object StreamingQueries extends QueryGroup {
     // the CDC-native delete, composing with time travel and the
     // changefeed instead of rewriting state in place. Nested key and
     // payload refs push through the strict predicate translation;
-    // TRUNCATE rides AlwaysTrue. UPDATE / MERGE INTO are intentionally
-    // unsupported (pinned analysis errors in SinkCatalogReadSpec): the
-    // envelope's native merge IS writeTo(...).append().
+    // TRUNCATE rides AlwaysTrue; predicates outside the pushable shape
+    // fall back to the ROW-LEVEL path (k2_sql_update/merge below).
     "k2_sql_delete" -> ((s, dir) => {
       val fd = feed(s, dir, "orders")
       val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
       writetoTable(s, fd, tbl)
       s.sql(s"DELETE FROM graft_wt.lsm.$tbl " +
         "WHERE after.o_orderstatus = 'U' OR key.o_orderkey < 100")
+      s.sql(s"SELECT after.* FROM graft_wt.lsm.$tbl WHERE op <> 'd'")
+    }),
+
+    // K2b SQL DML, row-level half (SupportsRowLevelOperations +
+    // SupportsDelta, sinks/v2/RowLevelDml): UPDATE's touched rows are
+    // staged by executors as parquet data files and committed as ONE
+    // NEW EPOCH of op='u' envelopes — Spark's own analyzer rewrite
+    // plans the delta, the WHERE reaches the scan, and time travel /
+    // the changefeed see the statement as an ordinary epoch. Requires
+    // graft.GraftSparkExtensions (the DML resolution assist).
+    "k2_sql_update" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+      writetoTable(s, fd, tbl)
+      s.sql(s"UPDATE graft_wt.lsm.$tbl " +
+        "SET after.o_orderpriority = 'DML-PRIORITY' " +
+        "WHERE after.o_orderstatus = 'U' AND key.o_orderkey % 10 = 1")
+      s.sql(s"SELECT after.* FROM graft_wt.lsm.$tbl WHERE op <> 'd'")
+    }),
+
+    // MERGE INTO with all three clause kinds against a derived source:
+    // matched deletes (k%9=8), matched updates (k%9=4, price +1000),
+    // not-matched inserts (negated keys — never collide with live ones).
+    // `t.op <> 'd'` in ON keeps tombstones unmatched, the CDC-native
+    // reading of "row exists".
+    "k2_sql_merge" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+      writetoTable(s, fd, tbl)
+      val o = t(s, dir, "orders")
+      val src = o
+        .filter((col("o_orderkey") % 9 === 4 || col("o_orderkey") % 9 === 8)
+          && col("o_orderkey") % 13 =!= 6)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        .unionByName(o.filter(col("o_orderkey") % 9 === 0)
+          // -(k+1): strictly negative even for key 0, never collides
+          .select((-(col("o_orderkey") + 1)).as("k"),
+            col("o_totalprice").as("p")))
+      val v = s"mrg_src_${System.nanoTime()}"
+      src.createOrReplaceTempView(v)
+      s.sql(
+        s"""MERGE INTO graft_wt.lsm.$tbl t USING $v s
+           |ON t.key.o_orderkey = s.k AND t.op <> 'd'
+           |WHEN MATCHED AND s.k % 9 = 8 THEN DELETE
+           |WHEN MATCHED THEN UPDATE
+           |  SET t.after.o_totalprice = t.after.o_totalprice + 1000
+           |WHEN NOT MATCHED THEN INSERT (key, after) VALUES
+           |  (named_struct('o_orderkey', s.k),
+           |   named_struct('o_orderkey', s.k,
+           |                'o_custkey', CAST(0 AS BIGINT),
+           |                'o_orderstatus', 'N',
+           |                'o_totalprice', s.p,
+           |                'o_orderdate', CAST(NULL AS TIMESTAMP),
+           |                'o_orderpriority', 'NEW'))
+           |""".stripMargin)
       s.sql(s"SELECT after.* FROM graft_wt.lsm.$tbl WHERE op <> 'd'")
     }),
 
@@ -1017,6 +1071,40 @@ object StreamingQueries extends QueryGroup {
         |FROM orders WHERE o_orderkey%13<>6
         | AND NOT (CASE WHEN o_orderkey%7=3 THEN 'U' ELSE o_orderstatus END = 'U'
         |          OR o_orderkey < 100)""".stripMargin,
+
+    // the feed's live state (ordersLatest) with the UPDATE applied on
+    // top: priority rewritten where post-feed status is 'U' and key%10=1
+    "k2_sql_update" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | o_orderdate,
+        | CASE WHEN o_orderstatus='U' AND o_orderkey%10=1
+        |      THEN 'DML-PRIORITY' ELSE o_orderpriority END AS o_orderpriority
+        |FROM (SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey%7=3 THEN 'U' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       o_totalprice, o_orderdate, o_orderpriority
+        |      FROM orders WHERE o_orderkey%13<>6)""".stripMargin,
+
+    // live state with the MERGE applied: matched deletes drop k%9=8,
+    // matched updates add 1000 where k%9=4, inserts append negated
+    // k%9=0 keys with the INSERT clause's literals
+    "k2_sql_merge" ->
+      """WITH live AS (SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey%7=3 THEN 'U' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        | FROM orders WHERE o_orderkey%13<>6)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderkey%9=4 THEN o_totalprice + 1000
+        |      ELSE o_totalprice END AS o_totalprice,
+        | o_orderdate, o_orderpriority
+        |FROM live WHERE o_orderkey%9<>8
+        |UNION ALL
+        |SELECT -(o_orderkey+1) AS o_orderkey, CAST(0 AS BIGINT) AS o_custkey,
+        | 'N' AS o_orderstatus, o_totalprice,
+        | CASE WHEN 1=0 THEN o_orderdate END AS o_orderdate,
+        | 'NEW' AS o_orderpriority
+        |FROM orders WHERE o_orderkey%9=0""".stripMargin,
 
     // same interval oracle as the batch/streaming history table — the
     // $history metadata table must reproduce it through pure SQL

@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownR
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.streaming.{BucketedMergeSink, CdcSink, LsmMergeSink, MergeSink, Scd2Sink}
@@ -571,6 +571,20 @@ private[v2] trait SinkReadTable extends Table with SupportsRead {
   /** The full-schema frame the scan projects from. */
   protected def fullFrame(spark: SparkSession): DataFrame
 
+  /** Metadata columns this scan can additionally produce (beyond the
+    * data schema): field declaration plus the projection that derives
+    * it from the full frame. Only computed when the query asks for
+    * them — `SELECT *` and every data-only plan see no change.
+    */
+  protected def scanMetadataCols: Seq[(StructField, DataFrame => Column)] =
+    Nil
+
+  /** Data schema + the declared metadata columns — what pruning
+    * resolves requested names against.
+    */
+  private def scanSchemaFull: StructType =
+    StructType(readSchemaFull.fields.toIndexedSeq ++ scanMetadataCols.map(_._1))
+
   /** Streaming hook: a table that also supports micro-batch reads
     * (declares MICRO_BATCH_READ) overrides this; the default matches
     * batch-only tables.
@@ -648,7 +662,7 @@ private[v2] trait SinkReadTable extends Table with SupportsRead {
       override def pruneColumns(requiredSchema: StructType): Unit = {
         val want = requiredSchema.fieldNames
           .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-        required = StructType(readSchemaFull.fields.filter(f =>
+        required = StructType(scanSchemaFull.fields.filter(f =>
           want.contains(f.name.toLowerCase(java.util.Locale.ROOT))))
       }
       override def pushFilters(
@@ -680,7 +694,21 @@ private[v2] trait SinkReadTable extends Table with SupportsRead {
             override def buildScan(): RDD[Row] = {
               val filtered = preds.foldLeft(fullFrame(context.sparkSession))(
                 (df, p) => df.filter(p))
-              filtered
+              // requested metadata columns materialize here; a
+              // non-nullable one (e.g. the DML row id) also guards the
+              // zero-copy bridge with an is-not-null filter — declared
+              // non-nullable + needConversion=false would otherwise
+              // read garbage where the projection is null
+              val wantMeta = scanMetadataCols.filter { case (f, _) =>
+                req.fieldNames.exists(_.equalsIgnoreCase(f.name))
+              }
+              val withMeta = wantMeta.foldLeft(filtered) {
+                case (df, (f, proj)) =>
+                  val c = proj(df)
+                  val base = df.withColumn(f.name, c)
+                  if (f.nullable) base else base.filter(c.isNotNull)
+              }
+              withMeta
                 .select(req.fieldNames.toIndexedSeq.map(n => col(s"`$n`")): _*)
                 .queryExecution.toRdd.asInstanceOf[RDD[Row]]
             }
@@ -693,11 +721,73 @@ private[v2] trait SinkReadTable extends Table with SupportsRead {
 private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
                                tableSchema: StructType,
                                props: Map[String, String],
-                               asOf: Option[Long])
+                               asOf: Option[Long],
+                               forDml: Boolean = false)
     extends Table with SupportsWrite with SinkReadTable
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String =
     asOf.map(e => s"$ident VERSION AS OF $e").getOrElse(ident)
+
+  /** This table with ACCEPT_ANY_SCHEMA stripped, for the DML resolution
+    * swap (see [[GraftDmlResolution]]): Spark's analyzer treats an
+    * accept-any-schema relation as `skipSchemaResolution` and then
+    * refuses to resolve MERGE references or align UPDATE assignments —
+    * so under a DML command the relation carries this copy, while plain
+    * writes keep the strict-contract capability.
+    */
+  private[v2] def dmlCopy: CdcSinkTable =
+    new CdcSinkTable(kind, path, ident, tableSchema, props, asOf,
+      forDml = true)
+  private[v2] def acceptsAnySchema: Boolean = !forDml
+
+  /** The DML row id: the envelope key re-declared NON-nullable (Spark's
+    * row-id contract rejects nullable attrs; the scan guards the
+    * declaration with an is-not-null filter when it's projected — see
+    * SinkReadTable.buildScan). Declared as a metadata column so
+    * SELECT * and the write contract never see it.
+    */
+  private def rowKeyField: StructField = {
+    val keyDt = schema().fields.find(_.name.equalsIgnoreCase("key"))
+      .map(_.dataType)
+      .getOrElse(throw new IllegalStateException(
+        s"stored sink schema of $ident has no 'key' column"))
+    StructField(graft.sinks.v2.RowLevelDml.RowKeyCol, keyDt,
+      nullable = false)
+  }
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val f = rowKeyField
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = f.name
+      override def dataType(): DataType = f.dataType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "row id for SQL UPDATE/MERGE/DELETE (the envelope key)"
+    })
+  }
+
+  override protected def scanMetadataCols
+      : Seq[(StructField, DataFrame => Column)] =
+    Seq(rowKeyField -> ((df: DataFrame) => df(s"`key`")))
+
+  /** SQL UPDATE / MERGE INTO / row-level DELETE — see [[RowLevelDml]]:
+    * the statement's delta commits as one new epoch of envelopes, never
+    * an in-place rewrite. A pinned time-travel view refuses DML like it
+    * refuses writes.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    asOf.foreach { e =>
+      throw new UnsupportedOperationException(
+        s"$ident VERSION AS OF $e is a read-only time-travel view")
+    }
+    () => new SinkRowLevelOperation(
+      info.command(), kind, path, ident, props, tableSchema, this)
+  }
   // reads report the deep-nullable envelope (see deepNullable's doc);
   // the strict WRITE contract still validates against the stored DDL
   override def schema(): StructType =
@@ -706,12 +796,19 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
   override protected def fullFrame(spark: SparkSession): DataFrame =
     GraftSinkCatalog.stateFrame(spark, kind, path, props, asOf, schema())
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      // the table validates write schemas ITSELF (strictly) — Spark's
-      // by-name output resolution would otherwise null-pad any missing
-      // nullable envelope column before the builder could see the drift
-      TableCapability.ACCEPT_ANY_SCHEMA)
+    if (forDml)
+      // the DML copy drops ACCEPT_ANY_SCHEMA: the analyzer must resolve
+      // MERGE references / align UPDATE assignments against the real
+      // schema (skipSchemaResolution would block both)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+    else
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+        // the table validates write schemas ITSELF (strictly) — Spark's
+        // by-name output resolution would otherwise null-pad any missing
+        // nullable envelope column before the builder could see the drift
+        TableCapability.ACCEPT_ANY_SCHEMA)
 
   /** Strict envelope check, replacing the resolution Spark skips under
     * ACCEPT_ANY_SCHEMA: top-level names must match the stored DDL
@@ -755,10 +852,10 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
     * reads the rows), the changefeed (the tombstones ARE epoch N+1's
     * changes), and the replay guard — no state is rewritten in place.
     * `TRUNCATE TABLE` rides the AlwaysTrue filter for free. Predicates
-    * outside the pushable shape fail analysis (Spark's standard
-    * non-deletable error), and UPDATE / MERGE INTO are intentionally
-    * unsupported: the envelope's native merge IS `writeTo(...).append()`
-    * — spec-pinned analysis errors say so.
+    * outside the pushable shape fall back to the ROW-LEVEL delete path
+    * ([[RowLevelDml]]) — applied with FULL semantics, never narrowed
+    * (Spark's own v2→v1 bridge measurably drops unconvertible
+    * disjuncts; this table refuses partial conversion instead).
     */
   // v2 Predicate entry points — Spark's default v2→v1 bridge can NARROW
   // a predicate (see GraftSinkCatalog.v2PredicateColumn), so the table

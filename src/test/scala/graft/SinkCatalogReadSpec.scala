@@ -376,40 +376,22 @@ class SinkCatalogReadSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("time travel"), e.getMessage)
   }
 
-  test("UPDATE and MERGE INTO are pinned analysis errors (the envelope's " +
-      "native merge is writeTo.append); non-pushable DELETE fails") {
+  test("DELETE predicates outside the pushable shape run ROW-LEVEL with " +
+      "full semantics — never a narrowed metadata delete") {
+    // r11 pinned these as errors; r12 implements UPDATE/MERGE/row-level
+    // DELETE via SupportsRowLevelOperations (SinkDmlSpec covers them).
+    // What must STILL hold: a partially-convertible predicate is never
+    // narrowed — Spark's own v2->v1 bridge would silently drop the
+    // unconvertible disjunct (measured in r11). With the row-level path
+    // the statement now succeeds and applies BOTH disjuncts exactly.
     val (name, _) = freshTable("lsm", "nation")
-    // UPDATE: Spark's standard capability error for tables without
-    // SupportsRowLevelOperations — intended: the envelope's native
-    // update IS an op='u' event through writeTo(...).append()
-    val up = intercept[Exception] {
-      spark.sql(s"UPDATE $name SET op = 'x' WHERE key.n_nationkey = 1")
-    }
-    assert(up.getMessage.contains("UNSUPPORTED_FEATURE.TABLE_OPERATION") &&
-      up.getMessage.contains("UPDATE TABLE"), up.getMessage)
-    // MERGE INTO: without SupportsRowLevelOperations Spark never rewrites
-    // the target, so its references stay unresolved — the surfaced error
-    // is UNRESOLVED_COLUMN against the target alias (pinned so a Spark
-    // behavior change shows up here, with this comment as the user answer)
-    val mg = intercept[Exception] {
-      spark.sql(s"MERGE INTO $name t USING $name s ON t.op = s.op " +
-        "WHEN MATCHED THEN DELETE")
-    }
-    assert(mg.getMessage.contains("UNRESOLVED_COLUMN") ||
-      mg.getMessage.contains("TABLE_OPERATION"), mg.getMessage)
-    // a predicate outside the pushable shape must FAIL, never narrow:
-    // Spark's own v2->v1 bridge would silently drop the unconvertible
-    // disjunct (measured) — the strict v2 translation refuses instead
     val liveBefore = spark.sql(s"SELECT * FROM $name WHERE op <> 'd'").count()
-    val bad = intercept[Exception] {
-      spark.sql(s"DELETE FROM $name " +
-        "WHERE key.n_nationkey % 2 = 0 OR key.n_nationkey >= 0")
-    }
-    assert(bad.getMessage.contains("Cannot delete from table"),
-      bad.getMessage)
-    assert(spark.sql(s"SELECT * FROM $name WHERE op <> 'd'").count() ==
-      liveBefore,
-      "the refused DELETE must not have deleted the convertible disjunct")
+    assert(liveBefore > 0)
+    spark.sql(s"DELETE FROM $name " +
+      "WHERE key.n_nationkey % 2 = 0 OR key.n_nationkey >= 0")
+    // % 2 = 0 OR >= 0 covers every nation key: all rows tombstoned
+    assert(spark.sql(s"SELECT * FROM $name WHERE op <> 'd'").count() == 0,
+      "both disjuncts must apply — narrowing would leave rows live")
   }
 
   test("catalog ergonomics: SHOW NAMESPACES / SHOW TABLES / DESCRIBE") {
