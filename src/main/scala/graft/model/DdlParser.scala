@@ -89,6 +89,14 @@ object DdlParser {
   }
   final case class CreateTable(table: Envelope.TableId,
                                schema: StructType) extends Parsed
+  /** `CREATE TABLE a LIKE b` (MySQL) / `CREATE TABLE a (LIKE b …)`
+    * (Postgres): the new table copies `source`'s column list — resolved
+    * by the consumer from its own registry/history, since only it knows
+    * the source's current shape (the reference's MySqlAntlrDdlParser
+    * resolves LIKE from its in-memory `Tables` the same way).
+    */
+  final case class CreateTableLike(table: Envelope.TableId,
+                                   source: Envelope.TableId) extends Parsed
   final case class AlterTable(table: Envelope.TableId,
                               changes: Seq[SchemaChange]) extends Parsed
   final case class DropTable(table: Envelope.TableId) extends Parsed
@@ -224,8 +232,99 @@ object DdlParser {
     out.result().map(_.trim)
   }
 
-  private val Create = // trailing table options (ENGINE=…, CHARSET=…) allowed
-    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\S+)\s*\((.*)\)\s*[^;()]*;?\s*""".r
+  private val CreateHead =
+    """(?is)\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([^\s(;]+)\s*(.*?);?\s*""".r
+  private val LikeRest = // MySQL: CREATE TABLE a LIKE b
+    """(?is)LIKE\s+(\S+)\s*""".r
+  private val LikeBody = // Postgres: CREATE TABLE a (LIKE b [INCLUDING …])
+    """(?is)\s*LIKE\s+(\S+)(?:\s+(?:INCLUDING|EXCLUDING)\s+.*)?\s*""".r
+
+  /** Table options / partition clauses allowed AFTER the column body —
+    * parsed and dropped (partitioning changes storage layout, never the
+    * row schema the change feed carries). Anything else after the body
+    * is out of subset and follows the unparseable policy.
+    */
+  private val CreateTail =
+    ("(?is)\\s*(ENGINE|DEFAULT|CHARSET|CHARACTER|COLLATE|COMMENT|" +
+      "AUTO_INCREMENT|ROW_FORMAT|KEY_BLOCK_SIZE|STATS_|MAX_ROWS|" +
+      "MIN_ROWS|PACK_KEYS|TABLESPACE|WITH|WITHOUT|INHERITS|" +
+      "ON\\s+COMMIT|USING|PARTITION\\s+BY|DATA\\s+DIRECTORY|" +
+      "INDEX\\s+DIRECTORY|COMPRESSION|ENCRYPTION).*").r
+
+  /** Index of the ')' matching the '(' at `open` (quote-aware), or -1. */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0
+    var quote: Option[Char] = None
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      quote match {
+        case Some(q) => if (c == q) quote = None
+        case None => c match {
+          case '`' | '"' | '\'' => quote = Some(c)
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) return i
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** CREATE TABLE forms: column body (+ tolerated tail), LIKE (both
+    * dialect spellings). Returns None for a non-CREATE statement.
+    */
+  private def parseCreate(sql: String): Option[Parsed] = sql match {
+    case CreateHead(name, rest) =>
+      val table = Envelope.TableId.parse(name)
+      rest match {
+        case LikeRest(src) =>
+          Some(CreateTableLike(table, Envelope.TableId.parse(src)))
+        case _ if rest.startsWith("(") =>
+          val close = matchingParen(rest, 0)
+          if (close < 0)
+            throw new IllegalArgumentException(
+              s"unbalanced CREATE TABLE body: ${sql.take(80)}")
+          val body = rest.substring(1, close)
+          val tail = rest.substring(close + 1).trim
+          if (tail.nonEmpty && !CreateTail.pattern.matcher(tail).matches())
+            throw new IllegalArgumentException(
+              s"unsupported CREATE TABLE tail: ${tail.take(80)}")
+          body match {
+            case LikeBody(src) =>
+              Some(CreateTableLike(table, Envelope.TableId.parse(src)))
+            case _ =>
+              val fields = splitTop(body).flatMap { colDef =>
+                val parts = colDef.trim.split("\\s+", 2)
+                val colName = unquote(parts(0))
+                // skip table-level constraint clauses
+                if (Seq("PRIMARY", "UNIQUE", "KEY", "CONSTRAINT",
+                  "FOREIGN", "INDEX", "LIKE").contains(colName.toUpperCase))
+                  None
+                else Some(StructField(colName,
+                  sqlType(stripColumnOptions(parts(1)))))
+              }
+              Some(CreateTable(table, StructType(fields)))
+          }
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported CREATE TABLE form (columns or LIKE): " +
+              s"${other.take(80)}")
+      }
+    case _ => None
+  }
+
+  /** The column body of a CREATE TABLE statement, when it has one. */
+  private def createBody(sql: String): Option[String] = sql match {
+    case CreateHead(_, rest) if rest.startsWith("(") =>
+      val close = matchingParen(rest, 0)
+      if (close < 0) None else Some(rest.substring(1, close))
+    case _ => None
+  }
+
   private val Drop =
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\S+?);?\s*""".r
   private val Truncate =
@@ -238,16 +337,7 @@ object DdlParser {
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+(.*?);?\s*""".r
 
   def parse(sql: String): Parsed = sql match {
-    case Create(_, name, body) =>
-      val fields = splitTop(body).flatMap { colDef =>
-        val parts = colDef.trim.split("\\s+", 2)
-        val colName = unquote(parts(0))
-        // skip table-level constraint clauses
-        if (Seq("PRIMARY", "UNIQUE", "KEY", "CONSTRAINT", "FOREIGN", "INDEX")
-          .contains(colName.toUpperCase)) None
-        else Some(StructField(colName, sqlType(stripColumnOptions(parts(1)))))
-      }
-      CreateTable(Envelope.TableId.parse(name), StructType(fields))
+    case c if parseCreate(c).isDefined => parseCreate(c).get
     case Drop(_, name) =>
       DropTable(Envelope.TableId.parse(name))
     case RenameTo(from, to) =>
@@ -273,8 +363,8 @@ object DdlParser {
     * `relational/TableSchemaBuilder` key resolution).
     */
   def primaryKeyOf(sql: String): Seq[String] = sql match {
-    case Create(_, _, body) =>
-      splitTop(body).flatMap { part =>
+    case c if createBody(c).isDefined =>
+      splitTop(createBody(c).get).flatMap { part =>
         val up = part.toUpperCase
         val name = unquote(part.trim.split("\\s+")(0))
         if (name.equalsIgnoreCase("PRIMARY") || up.startsWith("CONSTRAINT")) {
@@ -332,7 +422,13 @@ object DdlParser {
       "ALGORITHM\\s*=|LOCK\\s*=|ENGINE\\s*=|AUTO_INCREMENT\\s*=|" +
       "CONVERT\\s+TO\\s+CHARACTER\\s+SET|DEFAULT\\s+CHARACTER\\s+SET|" +
       "CHARACTER\\s+SET|COMMENT\\s*=|ROW_FORMAT\\s*=|" +
-      "ENABLE\\s+KEYS|DISABLE\\s+KEYS|FORCE|ORDER\\s+BY).*").r
+      "ENABLE\\s+KEYS|DISABLE\\s+KEYS|FORCE|ORDER\\s+BY|" +
+      // partition management changes storage layout, never row schema
+      // (the reference's MySqlAntlrDdlParser consumes partition clauses
+      // without emitting a table change)
+      "PARTITION\\s+BY|REMOVE\\s+PARTITIONING|" +
+      "(ADD|DROP|TRUNCATE|ANALYZE|OPTIMIZE|REBUILD|REPAIR|COALESCE|" +
+      "REORGANIZE|EXCHANGE|DISCARD|IMPORT)\\s+PARTITION).*").r
 
   private val ParenAdd = // MySQL/Oracle multi-add: ADD [COLUMN] (a INT, b TEXT)
     """(?is)\s*ADD\s+(?:COLUMN\s+)?\((.*)\)\s*""".r

@@ -906,7 +906,13 @@ object WireQueries extends QueryGroup {
         |  'CREATE TABLE audit_log (id INT PRIMARY KEY, msg TEXT)' AS ddl
         |UNION ALL
         |SELECT 991, 'testdb', 'testdb.bl_items', 'ALTER',
-        |  'ALTER TABLE bl_items ADD COLUMN note VARCHAR(20)'""".stripMargin,
+        |  'ALTER TABLE bl_items ADD COLUMN note VARCHAR(20)'
+        |UNION ALL
+        |SELECT 995, 'testdb', 'testdb.bl_items_like', 'CREATE',
+        |  'CREATE TABLE bl_items_like LIKE bl_items'
+        |UNION ALL
+        |SELECT 996, 'testdb', 'testdb.bl_types', 'ALTER',
+        |  'ALTER TABLE bl_types PARTITION BY RANGE (id) (PARTITION p0 VALUES LESS THAN (100), PARTITION p1 VALUES LESS THAN MAXVALUE)'""".stripMargin,
     "s12_change_stream_socket" -> baseOracles("s12_change_stream_dsv2"),
 
     // BSON type gamut: expected values reconstructed from the fixture

@@ -729,6 +729,17 @@ object LogMiner {
             state(full) = cur
             push(full, scn)
           }
+        case DdlParser.CreateTableLike(t, src) =>
+          // copy the source's CURRENT timeline shape; unknown source →
+          // unseeded (rows for it decode positionally, like any unseen
+          // table)
+          val full = qual(t); val from = qual(src)
+          state.get(from).foreach { cols =>
+            state(full) = cols
+            keyState(full) =
+              keyState.getOrElse(from, cols.take(1).map(_._1))
+            push(full, scn)
+          }
         case DdlParser.RenameTable(from0, to0) =>
           val from = qual(from0); val to = qual(to0)
           state.remove(from).foreach(state(to) = _)

@@ -1847,6 +1847,7 @@ object MySqlBinlog {
         case DdlParser.Applied(p) =>
           val kind = p match {
             case _: DdlParser.CreateTable => "CREATE"
+            case _: DdlParser.CreateTableLike => "CREATE"
             case _: DdlParser.AlterTable => "ALTER"
             case _: DdlParser.DropTable => "DROP"
             case _: DdlParser.RenameTable => "RENAME"
@@ -1899,6 +1900,13 @@ object MySqlBinlog {
         names(full) = cols
         val pk = DdlParser.primaryKeyOf(sql).map(cols.indexOf).filter(_ >= 0)
         keys(full) = if (pk.nonEmpty) pk else Seq(0)
+      case DdlParser.CreateTableLike(t, src) =>
+        // the new table copies the source's CURRENT registry shape; an
+        // unknown source leaves the table unseeded (rows fall back to
+        // wire metadata / positional names, same as any unseen table)
+        val full = qual(t); val from = qual(src)
+        names.get(from).foreach(names(full) = _)
+        keys.get(from).foreach(keys(full) = _)
       case DdlParser.AlterTable(t, changes) =>
         val full = qual(t)
         names.get(full).foreach { cur0 =>

@@ -517,17 +517,20 @@ object WireFixtures {
     events += encodeRows(WRITE_ROWS_V2, 993, BlMapV2,
       (100 until 106).map(rowV2))
     events += encodeXid(994, 9007L)
-    // Out-of-subset DDL a production binlog eventually carries (the
-    // reference parses these with its full ANTLR grammar; this engine's
-    // subset applies the skip.unparseable.ddl policy — warn, skip, mark
-    // the table stale). Placed after every row event so stale marking
-    // has no decode side effects in this recording.
+    // Production-binlog DDL beyond the day-to-day subset: CREATE…LIKE
+    // and partition clauses PARSE as of r12 (LIKE copies the source's
+    // registry shape; partitioning is storage layout, ignored), while a
+    // CTAS stays out of subset and exercises the skip.unparseable.ddl
+    // policy — warn, skip, mark the table stale. Placed after every row
+    // event so registry changes have no decode side effects here.
     events += encodeQuery(995, "testdb",
       "CREATE TABLE bl_items_like LIKE bl_items")
     events += encodeQuery(996, "testdb",
       "ALTER TABLE bl_types PARTITION BY RANGE (id) " +
         "(PARTITION p0 VALUES LESS THAN (100), " +
         "PARTITION p1 VALUES LESS THAN MAXVALUE)")
+    events += encodeQuery(997, "testdb",
+      "CREATE TABLE bl_sel AS SELECT id, qty FROM bl_items")
     writeSegment(events.toSeq)
   }
 

@@ -908,17 +908,17 @@ class WireDecoderSpec extends AnyFunSuite {
       "stale; strict mode fails naming the config; non-DDL is filtered") {
     import graft.model.DdlParser
     import graft.model.Envelope.TableId
-    val like = "CREATE TABLE bl_items_like LIKE bl_items"
-    val part = "ALTER TABLE testdb.bl_types PARTITION BY RANGE (id) " +
-      "(PARTITION p0 VALUES LESS THAN (100))"
+    // CTAS is out of the subset grammar (the reference parses it with
+    // its full ANTLR grammar)
+    val ctas = "CREATE TABLE bl_sel AS SELECT id, qty FROM bl_items"
     // skip mode: SkippedUnparseable carrying the referenced table
-    assert(DdlParser.parseWithPolicy(like, skipUnparseable = true) ==
-      DdlParser.SkippedUnparseable(Some(TableId.parse("bl_items_like")),
-        DdlParser.parseWithPolicy(like, true)
+    assert(DdlParser.parseWithPolicy(ctas, skipUnparseable = true) ==
+      DdlParser.SkippedUnparseable(Some(TableId.parse("bl_sel")),
+        DdlParser.parseWithPolicy(ctas, true)
           .asInstanceOf[DdlParser.SkippedUnparseable].reason))
     // strict mode: fails fast, the message names the policy knob
     val e = intercept[IllegalArgumentException] {
-      DdlParser.parseWithPolicy(part, skipUnparseable = false)
+      DdlParser.parseWithPolicy(ctas, skipUnparseable = false)
     }
     assert(e.getMessage.contains("skip.unparseable.ddl"))
     // non-DDL statements are NotDdl under BOTH modes — never an error
@@ -932,27 +932,74 @@ class WireDecoderSpec extends AnyFunSuite {
     // registry replay: the stale mark removes the table's entries, so
     // later rows fall back to wire metadata / positional names
     import scala.collection.mutable
-    val names = mutable.Map("testdb.bl_types" -> Seq("id", "t", "s"))
-    val keys = mutable.Map("testdb.bl_types" -> Seq(0))
-    graft.sources.wire.MySqlBinlog.applyDdl("testdb", part, names, keys)
-    assert(!names.contains("testdb.bl_types") &&
-      !keys.contains("testdb.bl_types"))
+    val names = mutable.Map("testdb.bl_sel" -> Seq("id", "qty"))
+    val keys = mutable.Map("testdb.bl_sel" -> Seq(0))
+    graft.sources.wire.MySqlBinlog.applyDdl("testdb", ctas, names, keys)
+    assert(!names.contains("testdb.bl_sel") &&
+      !keys.contains("testdb.bl_sel"))
     // and strict replay throws instead of silently diverging
-    names("testdb.bl_types") = Seq("id", "t", "s")
+    names("testdb.bl_sel") = Seq("id", "qty")
     intercept[IllegalArgumentException] {
-      graft.sources.wire.MySqlBinlog.applyDdl("testdb", part, names, keys,
+      graft.sources.wire.MySqlBinlog.applyDdl("testdb", ctas, names, keys,
         skipUnparseableDdl = false)
     }
-    // the committed fixture carries both statements; the schema-change
-    // feed under the default (skip) policy emits exactly the parsed DDL
+    // the committed fixture carries LIKE + partition ALTER (parse as of
+    // r12) AND the CTAS; the schema-change feed under the default (skip)
+    // policy emits exactly the parsed DDL
     val rows = graft.sources.wire.MySqlBinlog.schemaChangeRows(
       graft.tools.WireFixtures.binlogSegment)
-    assert(rows.map(_._4) == Seq("CREATE", "ALTER"))
-    // strict mode refuses the same segment
+    assert(rows.map(_._4) == Seq("CREATE", "ALTER", "CREATE", "ALTER"))
+    // strict mode refuses the same segment (the CTAS)
     intercept[IllegalArgumentException] {
       graft.sources.wire.MySqlBinlog.schemaChangeRows(
         graft.tools.WireFixtures.binlogSegment, skipUnparseableDdl = false)
     }
+  }
+
+  test("DDL breadth: CREATE…LIKE (both dialect forms), partition " +
+      "clauses, expression defaults, reordering CHANGE") {
+    import graft.model.DdlParser
+    import graft.model.Envelope.TableId
+    import graft.operators.SchemaEvolution.{AddColumn, RenameColumn}
+    // MySQL LIKE form
+    assert(DdlParser.parse("CREATE TABLE a LIKE b") ==
+      DdlParser.CreateTableLike(TableId.parse("a"), TableId.parse("b")))
+    // Postgres parenthesized form with INCLUDING
+    assert(DdlParser.parse(
+      "CREATE TABLE s.a (LIKE s.b INCLUDING ALL)") ==
+      DdlParser.CreateTableLike(TableId.parse("s.a"), TableId.parse("s.b")))
+    // partitioned CREATE: the partition clause (with its own parens and
+    // commas) is storage layout — columns parse, clause drops
+    val part = DdlParser.parse(
+      "CREATE TABLE m (id INT PRIMARY KEY, v TEXT) " +
+        "PARTITION BY RANGE (id) (PARTITION p0 VALUES LESS THAN (100), " +
+        "PARTITION p1 VALUES LESS THAN MAXVALUE)")
+    assert(part.asInstanceOf[DdlParser.CreateTable]
+      .schema.fieldNames.toSeq == Seq("id", "v"))
+    // partition management ALTERs parse to zero row-schema changes
+    for (a <- Seq("ADD PARTITION (PARTITION p2 VALUES LESS THAN (200))",
+                  "DROP PARTITION p0", "TRUNCATE PARTITION p1",
+                  "REORGANIZE PARTITION p1 INTO (PARTITION p2 " +
+                    "VALUES LESS THAN (300))",
+                  "REMOVE PARTITIONING")) {
+      assert(DdlParser.parse(s"ALTER TABLE m $a") ==
+        DdlParser.AlterTable(TableId.parse("m"), Nil), a)
+    }
+    // expression default + reordering CHANGE in one multi-action ALTER
+    assert(DdlParser.parse(
+      "ALTER TABLE m ADD COLUMN u VARCHAR(36) DEFAULT (UUID()), " +
+        "CHANGE COLUMN v vv TEXT AFTER u") ==
+      DdlParser.AlterTable(TableId.parse("m"),
+        Seq(AddColumn("u", org.apache.spark.sql.types.StringType),
+            RenameColumn("v", "vv"))))
+    // LIKE replay copies the source registry entry (binlog side)
+    import scala.collection.mutable
+    val names = mutable.Map("testdb.src" -> Seq("id", "x"))
+    val keys = mutable.Map("testdb.src" -> Seq(1))
+    graft.sources.wire.MySqlBinlog.applyDdl("testdb",
+      "CREATE TABLE dst LIKE src", names, keys)
+    assert(names("testdb.dst") == Seq("id", "x") &&
+      keys("testdb.dst") == Seq(1))
   }
 
   test("binlog QUERY DDL replay: CREATE seeds, DROP COLUMN shifts keys, RENAME moves") {
