@@ -183,11 +183,20 @@ object Bench {
     // raw — the "several-GB" state the sinks exist for). One-off 32M-row
     // calibration on this host: full 93.6 s/epoch vs bucketed 5.2 s vs
     // LSM 4.3 s (~20x) — per-epoch cost tracking the table vs the batch.
+    // 12M rows (~1.4 GB raw) for the big leg: large enough that the
+    // full sink's per-epoch rewrite visibly tracks table size (vs the
+    // LSM's batch-sized deltas), small enough that deferred-writeback
+    // noise doesn't swamp the median (measured at 24M: 20→31 s across
+    // idle back-to-back runs purely from page-cache state; the r11
+    // verdict sanctioned "median-of-N at a smaller state")
     val sizes = sys.env.get("SPARK_GRAFT_CROSSOVER_ROWS")
       .map(_.split(",").toSeq.map(_.trim.toLong).filter(_ > 0))
-      .getOrElse(Seq(200000L, 24000000L))
-    val warmupEpochs = if (reps >= 2) 1 else 0
-    val timedEpochs = if (reps >= 2) 3 else 2
+      .getOrElse(Seq(200000L, 12000000L))
+    // clean-record mode (reps >= 2): 2 warmup epochs absorb merge-path
+    // JIT/codegen, median-of-5 absorbs per-epoch jitter; the default
+    // per-round driver pass stays cheap
+    val warmupEpochs = if (reps >= 2) 2 else 0
+    val timedEpochs = if (reps >= 2) 5 else 2
     val par = spark.sparkContext.defaultParallelism
     // update epochs touch n/1e6 keys (a realistic CDC trickle: tens of
     // keys per trigger) — the shape where bucket pruning matters; a batch
@@ -221,13 +230,23 @@ object Bench {
           val dir = java.nio.file.Files.createTempDirectory(s"xover-$nm")
           try {
             val sink = mk(dir.toString)
+            // each timed epoch INCLUDES its own writeback flush: without
+            // the sync, an epoch's dirty pages drain lazily during LATER
+            // epochs (or a later sink's timing), so medians wandered ±50%
+            // across idle back-to-back runs; with it, every epoch pays
+            // its own I/O and the numbers reproduce
+            def flush(): Unit = {
+              new ProcessBuilder("sync").start().waitFor(); ()
+            }
             sink.merge(frame(n, 0L), 0L)
             (1 to warmupEpochs).foreach(e =>
               sink.merge(frame(n, e.toLong), e.toLong))
+            flush()
             val samples = (1 to timedEpochs).map { i =>
               val e = warmupEpochs + i
               val t0 = System.nanoTime()
               sink.merge(frame(n, e.toLong), e.toLong)
+              flush()
               (System.nanoTime() - t0) / 1e9
             }.sorted
             s""""$nm":${samples(samples.length / 2)}"""
