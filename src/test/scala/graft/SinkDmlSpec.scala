@@ -175,6 +175,34 @@ class SinkDmlSpec extends AnyFunSuite {
       s"UPDATE predicate not pushed:\n$physical")
   }
 
+  test("INSERT INTO appends an epoch when the query matches the " +
+      "envelope by name; a drifted shape fails analysis (strict contract)") {
+    val name = freshTable()
+    spark.sql(
+      s"""INSERT INTO $name
+         |SELECT named_struct('n_nationkey', CAST(900 AS INT)) AS key,
+         |       before,
+         |       named_struct('n_nationkey', CAST(900 AS INT),
+         |                    'n_name', 'ins',
+         |                    'n_regionkey', after.n_regionkey) AS after,
+         |       'c' AS op, source, `transaction`, ts_ms
+         |FROM $name WHERE key.n_nationkey = 1
+         |""".stripMargin)
+    val row = spark.sql(s"SELECT op, after.n_name FROM $name " +
+      "WHERE key.n_nationkey = 900").collect()
+    assert(row.length == 1 && row.head.getString(0) == "c" &&
+      row.head.getString(1) == "ins", row.mkString(";"))
+    // missing envelope columns fail analysis — INSERT INTO rides the
+    // same strict write contract as writeTo.append
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $name SELECT key, after FROM $name")
+    }
+    assert(e.getMessage.contains("INCOMPATIBLE_DATA_FOR_TABLE") ||
+      e.getMessage.contains("CANNOT_FIND_DATA") ||
+      e.getMessage.toLowerCase.contains("not enough data columns"),
+      e.getMessage)
+  }
+
   test("a pinned time-travel view refuses DML") {
     val name = freshTable()
     val e = intercept[Exception] {
