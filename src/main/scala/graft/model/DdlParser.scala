@@ -70,7 +70,12 @@ object DdlParser {
     if (!isDdlShaped(sql)) return NotDdl
     try Applied(parse(sql))
     catch {
-      case e: IllegalArgumentException =>
+      // NonFatal, not just IllegalArgumentException: a type argument
+      // like Oracle's NUMBER(*,0) fails with NumberFormatException, a
+      // >38-precision decimal with Spark's own error — ALL of them are
+      // "this subset cannot parse the statement" and must follow the
+      // policy, never crash the decode path
+      case scala.util.control.NonFatal(e) =>
         if (!skipUnparseable)
           throw new IllegalArgumentException(
             "unparseable DDL under strict policy (the " +
@@ -219,7 +224,9 @@ object DdlParser {
         case Some(q) =>
           cur += c; if (c == q) quote = None
         case None => c match {
-          case '`' | '"' => cur += c; quote = Some(c)
+          // single-quoted STRINGS too (matchingParen agrees): a quoted
+          // DEFAULT like 'x,y' or 'a)b' must not steer the splitter
+          case '`' | '"' | '\'' => cur += c; quote = Some(c)
           case '(' => depth += 1; cur += c
           case ')' => depth -= 1; cur += c
           case ',' if depth == 0 => out += cur.result(); cur.clear()
@@ -249,7 +256,11 @@ object DdlParser {
       "AUTO_INCREMENT|ROW_FORMAT|KEY_BLOCK_SIZE|STATS_|MAX_ROWS|" +
       "MIN_ROWS|PACK_KEYS|TABLESPACE|WITH|WITHOUT|INHERITS|" +
       "ON\\s+COMMIT|USING|PARTITION\\s+BY|DATA\\s+DIRECTORY|" +
-      "INDEX\\s+DIRECTORY|COMPRESSION|ENCRYPTION).*").r
+      "INDEX\\s+DIRECTORY|COMPRESSION|ENCRYPTION|CHECKSUM|" +
+      "DELAY_KEY_WRITE|AVG_ROW_LENGTH|INSERT_METHOD|CONNECTION|" +
+      "SECONDARY_ENGINE|TRANSACTIONAL|UNION|PAGE_CHECKSUM|" +
+      "STATS_PERSISTENT|STATS_AUTO_RECALC|STATS_SAMPLE_PAGES|" +
+      "AUTOEXTEND_SIZE|START\\s+TRANSACTION|AS\\s+SELECT).*").r
 
   /** Index of the ')' matching the '(' at `open` (quote-aware), or -1. */
   private def matchingParen(s: String, open: Int): Int = {
@@ -336,8 +347,7 @@ object DdlParser {
   private val Alter =
     """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+(.*?);?\s*""".r
 
-  def parse(sql: String): Parsed = sql match {
-    case c if parseCreate(c).isDefined => parseCreate(c).get
+  def parse(sql: String): Parsed = parseCreate(sql).getOrElse(sql match {
     case Drop(_, name) =>
       DropTable(Envelope.TableId.parse(name))
     case RenameTo(from, to) =>
@@ -354,7 +364,7 @@ object DdlParser {
     case other =>
       throw new IllegalArgumentException(
         s"unsupported DDL (CREATE/ALTER/DROP/RENAME/TRUNCATE TABLE): ${other.take(80)}")
-  }
+  })
 
   /** Primary-key column names of a CREATE TABLE statement: per-column
     * `PRIMARY KEY` options plus table-level `[CONSTRAINT x] PRIMARY KEY
@@ -362,9 +372,9 @@ object DdlParser {
     * from schema history, since row events carry none (ref
     * `relational/TableSchemaBuilder` key resolution).
     */
-  def primaryKeyOf(sql: String): Seq[String] = sql match {
-    case c if createBody(c).isDefined =>
-      splitTop(createBody(c).get).flatMap { part =>
+  def primaryKeyOf(sql: String): Seq[String] =
+    createBody(sql).toSeq.flatMap { body =>
+      splitTop(body).flatMap { part =>
         val up = part.toUpperCase
         val name = unquote(part.trim.split("\\s+")(0))
         if (name.equalsIgnoreCase("PRIMARY") || up.startsWith("CONSTRAINT")) {
@@ -377,8 +387,7 @@ object DdlParser {
         } else if (up.contains("PRIMARY KEY")) Seq(name)
         else Nil
       }
-    case _ => Nil
-  }
+    }
 
   /** Drop trailing column options — constraints, defaults, charset and
     * collation clauses, generated-column bodies, MySQL position markers

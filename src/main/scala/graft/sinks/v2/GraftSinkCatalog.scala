@@ -900,14 +900,11 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
     // keeps a repeated DELETE idempotent in feed terms
     val matched = state.filter(pred).filter(
       col("op").isNull || col("op") =!= lit(graft.model.Envelope.OpDelete))
-    // bounded: ONE scalar agg for the tombstones' merge position — they
-    // must outrank every live row's pos under latest-by-pos precedence
-    val tipPos = state.agg(max(col("source.pos"))).head.get(0) match {
-      case null => 0L
-      case l: java.lang.Long => l.longValue()
-      case other => other.toString.toLong
-    }
-    val delPos = tipPos + 1L
+    // bounded: ONE scalar for the tombstones' merge position — they must
+    // outrank every position the table has SEEN (sink.tipPos; on scd2
+    // the reduced state's max under-counts when the newest event was a
+    // delete)
+    val delPos = sink.tipPos(spark).getOrElse(0L) + 1L
     val cols = tableSchema.fields.map { f =>
       f.name.toLowerCase(java.util.Locale.ROOT) match {
         case "key" => matched(f.name)
@@ -957,7 +954,43 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
               override def insert(data: DataFrame, overwrite: Boolean): Unit = {
                 require(!overwrite,
                   "overwrite is not an epoch — use a fresh table (createOrReplace)")
-                GraftSinkCatalog.sinkFor(kind, path, props).merge(data, epoch)
+                // An insert-ONLY MERGE bypasses the delta path: Spark's
+                // rewrite special-cases it to a plain append of the
+                // anti-joined rows, with the unassigned envelope
+                // bookkeeping null-padded (`null AS op, null AS
+                // source`). Only the DML copy can receive such a plan
+                // (plain writes keep the strict-contract table), so
+                // here — and only here — synthesize what the delta
+                // writers would have: op='c' and a position past the
+                // tip, or the merged rows would carry a NULL merge
+                // position and lose every latest-by-pos race.
+                val fixed =
+                  if (!forDml) data
+                  else {
+                    val sink = GraftSinkCatalog.sinkFor(kind, path, props)
+                    val dmlPos = sink.tipPos(data.sparkSession)
+                      .getOrElse(0L) + 1L
+                    val srcField = tableSchema.fields
+                      .find(_.name.equalsIgnoreCase("source"))
+                    val srcCol = srcField.map(_.dataType) match {
+                      case Some(st: StructType) =>
+                        struct(st.fields.toIndexedSeq.map { sf =>
+                          (if (sf.name.equalsIgnoreCase("pos"))
+                             lit(dmlPos).cast(sf.dataType)
+                           else lit(null).cast(sf.dataType)).as(sf.name)
+                        }: _*)
+                      case Some(dt) => lit(null).cast(dt)
+                      case None => lit(null)
+                    }
+                    data
+                      .withColumn("op", coalesce(col("op"),
+                        lit(graft.model.Envelope.OpCreate)))
+                      .withColumn("source",
+                        when(col("source").isNull ||
+                          col("source.pos").isNull, srcCol)
+                          .otherwise(col("source")))
+                  }
+                GraftSinkCatalog.sinkFor(kind, path, props).merge(fixed, epoch)
               }
             }
         }

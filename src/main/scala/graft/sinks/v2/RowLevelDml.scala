@@ -223,16 +223,12 @@ private[v2] object SinkDmlCommit {
   def epochFrame(staged: DataFrame, spark: SparkSession, kind: String,
                  path: String, props: Map[String, String],
                  envelope: StructType): DataFrame = {
-    val state = GraftSinkCatalog.stateFrame(
-      spark, kind, path, props, None, GraftSinkCatalog.deepNullable(envelope))
     // bounded: ONE scalar for the epoch's merge position — DML rows must
-    // outrank every live row under latest-by-pos precedence
-    val tipPos = state.agg(max(col("source.pos"))).head.get(0) match {
-      case null => 0L
-      case l: java.lang.Long => l.longValue()
-      case other => other.toString.toLong
-    }
-    val dmlPos = tipPos + 1L
+    // outrank every position the table has SEEN (sink.tipPos, which on
+    // scd2 includes closing positions the reduced state doesn't carry)
+    val dmlPos =
+      GraftSinkCatalog.sinkFor(kind, path, props).tipPos(spark)
+        .getOrElse(0L) + 1L
 
     def field(name: String): Option[StructField] =
       envelope.fields.find(_.name.equalsIgnoreCase(name))

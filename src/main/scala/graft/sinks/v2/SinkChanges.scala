@@ -66,22 +66,38 @@ object SinkChanges {
       else {
         val cur = sink.stateAt(spark, epoch).getOrElse(
           throw new IllegalStateException(s"no committed state at $epoch"))
-        prev.flatMap(p => sink.stateAt(spark, p)) match {
+        prev match {
           case None => cur
-          case Some(pr) =>
-            // changed == the merge position moved (pos is the total
-            // order; equal pos means the row did not change at `epoch`)
-            cur.join(pr.select(col("key"), col("pos").as("__prev_pos")),
-                Seq("key"), "left_outer")
-              .filter(col("__prev_pos").isNull ||
-                col("__prev_pos") =!= col("pos"))
-              .drop("__prev_pos")
+          case Some(p) => sink.stateAt(spark, p) match {
+            case None => cur
+            case Some(pr) =>
+              // changed == the merge position moved (pos is the total
+              // order; equal pos means the row did not change at `epoch`)
+              cur.join(pr.select(col("key"), col("pos").as("__prev_pos")),
+                  Seq("key"), "left_outer")
+                .filter(col("__prev_pos").isNull ||
+                  col("__prev_pos") =!= col("pos"))
+                .drop("__prev_pos")
+          }
         }
       }
-    raw.select(
+    val changed = raw.select(
       lit(epoch).as("epoch"), col("op"), col("pos"),
       to_json(col("key")).as("key_json"),
       to_json(col("after")).as("after_json"))
+    // keys that VANISHED from state between versions (scd2: a delete
+    // closes the open version, leaving no row for the diff to see) ride
+    // as synthesized tombstones at their TRUE closing position — without
+    // them, latest-by-pos over the feed would keep deleted keys alive
+    prev.flatMap(p => sink.droppedAt(spark, epoch, p)) match {
+      case None => changed
+      case Some(gone) =>
+        changed.unionByName(gone.select(
+          lit(epoch).as("epoch"),
+          lit(graft.model.Envelope.OpDelete).as("op"), col("pos"),
+          to_json(col("key")).as("key_json"),
+          lit(null).cast("string").as("after_json")))
+    }
   }
 
   /** All retained epochs' changes as one frame (the batch table read);

@@ -209,9 +209,13 @@ object MongoChangeStream {
   def bsonSortKey(idJson: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val num = idJson.try_cast("double") // non-numeric → null, ANSI-safe
+    // a $numberDecimal wrapper is a NUMBER in BSON's sort order — it
+    // ranks with doubles/ints and compares by its numeric value
+    val dec = get_json_object(idJson, "$.$numberDecimal").try_cast("double")
     struct(
       when(idJson.isNull || idJson === "null", 5)
         .when(num.isNotNull, 10)
+        .when(dec.isNotNull, 10)
         // Extended JSON wrappers rank as their BSON type (spec order:
         // … Array < BinData < ObjectId < Boolean < Date < Timestamp <
         // Regex); the checks must precede the generic object case
@@ -224,7 +228,7 @@ object MongoChangeStream {
         .when(idJson.startsWith("["), 25)
         .when(idJson.isin("true", "false"), 40)
         .otherwise(15).as("rank"),
-      coalesce(num, lit(0.0)).as("num"),
+      coalesce(num, dec, lit(0.0)).as("num"),
       coalesce(idJson, lit("")).as("str"))
   }
 }

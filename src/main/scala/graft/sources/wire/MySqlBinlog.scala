@@ -1792,19 +1792,31 @@ object MySqlBinlog {
     * replayed schema history (`relational/history/SchemaHistory`).
     */
   def schemasFromDdl(ddl: String): (Map[String, Seq[String]], Map[String, Seq[Int]]) = {
-    val created = ddl.split(";").map(_.trim).filter(_.nonEmpty).flatMap { s =>
-      graft.model.DdlParser.parse(s) match {
-        case ct: graft.model.DdlParser.CreateTable =>
-          val full = Seq(Option(ct.table.catalog), Option(ct.table.schema),
-            Some(ct.table.table)).flatten.mkString(".")
-          val names = ct.schema.fieldNames.toSeq
+    // fold in order so CREATE…LIKE resolves against earlier statements;
+    // out-of-subset statements follow the skip policy (warn + skip)
+    // instead of throwing out of the partition read
+    val names = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+    val keys = scala.collection.mutable.LinkedHashMap[String, Seq[Int]]()
+    def full(t: graft.model.Envelope.TableId): String =
+      Seq(Option(t.catalog), Option(t.schema), Some(t.table))
+        .flatten.mkString(".")
+    ddl.split(";").map(_.trim).filter(_.nonEmpty).foreach { s =>
+      graft.model.DdlParser.parseWithPolicy(s, skipUnparseable = true) match {
+        case graft.model.DdlParser.Applied(
+            ct: graft.model.DdlParser.CreateTable) =>
+          val cols = ct.schema.fieldNames.toSeq
           val pk = graft.model.DdlParser.primaryKeyOf(s)
-            .map(names.indexOf).filter(_ >= 0)
-          Some((full, names, if (pk.nonEmpty) pk else Seq(0)))
-        case _ => None
+            .map(cols.indexOf).filter(_ >= 0)
+          names(full(ct.table)) = cols
+          keys(full(ct.table)) = if (pk.nonEmpty) pk else Seq(0)
+        case graft.model.DdlParser.Applied(
+            lk: graft.model.DdlParser.CreateTableLike) =>
+          names.get(full(lk.source)).foreach(names(full(lk.table)) = _)
+          keys.get(full(lk.source)).foreach(keys(full(lk.table)) = _)
+        case _ => ()
       }
     }
-    (created.map(c => c._1 -> c._2).toMap, created.map(c => c._1 -> c._3).toMap)
+    (names.toMap, keys.toMap)
   }
 
   /** Column names for projection: explicit (schema-history) names win,

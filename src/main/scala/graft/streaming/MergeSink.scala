@@ -53,6 +53,32 @@ trait CdcSink {
     */
   def versions: Seq[Long]
 
+  /** Keys present in `stateAt(prevEpochId)` but GONE at `epochId`, as
+    * `(key, pos)` rows where `pos` is the position that removed them —
+    * the diff-based changefeed synthesizes `op='d'` tombstones from
+    * this. Default None: the merge sinks RETAIN tombstones as `op='d'`
+    * state rows, so keys never silently vanish between versions; scd2
+    * overrides (there a delete CLOSES the open version, leaving no
+    * state row at all).
+    */
+  def droppedAt(spark: SparkSession, epochId: Long,
+                prevEpochId: Long): Option[DataFrame] = None
+
+  /** Highest merge position the committed table has seen — the
+    * watermark a DML epoch must outrank under latest-by-pos. The
+    * default reads the reduced state's max `pos`; scd2 overrides
+    * because a tombstoned key's CLOSING position has no state row (the
+    * open-rows max under-counts exactly when the newest event was a
+    * delete).
+    */
+  def tipPos(spark: SparkSession): Option[Long] =
+    state(spark).flatMap { s =>
+      Option(s.agg(max(col("pos"))).head.get(0)).map {
+        case l: java.lang.Long => l.longValue()
+        case other => other.toString.toLong
+      }
+    }
+
   /** The filesystem artifact that marks `epoch`'s commit (written
     * microseconds before the atomic CURRENT swap). Its PERSISTED
     * sidecar timestamp — not its mtime — is the commit time of record.

@@ -245,6 +245,47 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       .map(_.select(col("key"), col("after"),
         lit(Envelope.OpRead).as("op"), col("valid_from_pos").as("pos")))
 
+  /** Keys whose open version at `prevEpochId` was CLOSED with no
+    * reopening by `epochId` — deletes, which leave no state row here —
+    * with the TRUE closing position from the interval history (the
+    * changefeed needs it: a synthetic position would mis-order against
+    * a later genuine re-insert under latest-by-pos).
+    */
+  override def droppedAt(spark: SparkSession, epochId: Long,
+                         prevEpochId: Long): Option[DataFrame] =
+    for {
+      mPrev <- checkedManifestAt(prevEpochId)
+      mCur <- checkedManifestAt(epochId)
+      prevOpen <- readByDdl(spark, mPrev.open.values.toSeq)
+      closed <- readByDdl(spark, mCur.closedDirs)
+    } yield {
+      val curKeys = readByDdl(spark, mCur.open.values.toSeq)
+        .map(_.select(col("key")))
+        .getOrElse(prevOpen.select(col("key")).limit(0))
+      val gone = prevOpen.select(col("key"))
+        .join(curKeys, Seq("key"), "left_anti")
+      val closePos = closed.groupBy(col("key"))
+        .agg(max(col("valid_to_pos")).as("pos"))
+      gone.join(closePos, Seq("key"), "left").select(col("key"), col("pos"))
+    }
+
+  /** Max position across ALL intervals — `valid_to_pos` included, so a
+    * table whose newest event was a delete still reports the delete's
+    * position as the tip (the open-rows max would under-count it).
+    */
+  override def tipPos(spark: SparkSession): Option[Long] = {
+    if (committedEpoch.isEmpty) return None
+    val m = manifest
+    readByDdl(spark, m.closedDirs ++ m.open.values.toSeq).flatMap { iv =>
+      Option(iv.agg(max(greatest(col("valid_from_pos"),
+        coalesce(col("valid_to_pos"), lit(Long.MinValue))))).head.get(0))
+        .map {
+          case l: java.lang.Long => l.longValue()
+          case other => other.toString.toLong
+        }
+    }
+  }
+
   /** CdcSink view = current rows (open versions' payloads) — reads the
     * open sets ONLY, never the closed history.
     */

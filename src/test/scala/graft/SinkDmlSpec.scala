@@ -203,6 +203,58 @@ class SinkDmlSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("scd2 $changes emits delete tombstones at the true closing " +
+      "position — latest-by-pos over the feed reconstructs the table") {
+    val name = freshTable("scd2")
+    spark.sql(s"DELETE FROM $name WHERE key.n_nationkey = 4")
+    val cf = spark.table(changes(name))
+      .select(col("epoch"), col("op"), col("pos"),
+        get_json_object(col("key_json"), "$.n_nationkey").cast("int")
+          .as("k"))
+    // the delete epoch carries an op='d' row for the key (scd2's state
+    // has no row for it — the tombstone is synthesized from the closed
+    // interval, at its true valid_to_pos)
+    val dels = cf.filter(col("op") === "d" && col("k") === 4).collect()
+    assert(dels.length == 1, cf.collect().mkString(";"))
+    // reconstruction: latest-by-pos over the whole feed == batch live keys
+    val reconstructed = cf
+      .groupBy(col("k"))
+      .agg(max_by(col("op"), col("pos")).as("last_op"))
+      .filter(col("last_op") =!= "d")
+      .collect().map(_.getInt(0)).toSet
+    val live = spark.sql(s"SELECT key.n_nationkey FROM $name " +
+      "WHERE op <> 'd'").collect().map(_.getInt(0)).toSet
+    assert(reconstructed == live, s"feed=$reconstructed table=$live")
+    assert(!reconstructed.contains(4))
+  }
+
+  test("DML after a delete-at-tip outranks the delete (scd2 tipPos " +
+      "includes closing positions)") {
+    val name = freshTable("scd2")
+    // delete is the newest event; its closing position is the true tip
+    spark.sql(s"DELETE FROM $name WHERE key.n_nationkey = 2")
+    // re-insert the key via MERGE; its epoch pos must exceed the
+    // delete's closing pos or pos-ordered consumers keep it deleted
+    spark.range(1).select(lit(2).cast("int").as("nk"))
+      .createOrReplaceTempView("dml_tip_src")
+    spark.sql(
+      s"""MERGE INTO $name t USING dml_tip_src s
+         |ON t.key.n_nationkey = s.nk AND t.op <> 'd'
+         |WHEN NOT MATCHED THEN INSERT (key, after) VALUES
+         |  (named_struct('n_nationkey', s.nk),
+         |   named_struct('n_nationkey', s.nk, 'n_name', 'back',
+         |                'n_regionkey', CAST(0 AS INT)))
+         |""".stripMargin)
+    val cf = spark.table(changes(name))
+      .select(col("op"), col("pos"),
+        get_json_object(col("key_json"), "$.n_nationkey").cast("int")
+          .as("k"))
+      .filter(col("k") === 2)
+    val last = cf.orderBy(col("pos").desc).limit(1).collect()
+    assert(last.head.getString(0) != "d",
+      s"re-insert lost the pos race: ${cf.collect().mkString(";")}")
+  }
+
   test("a pinned time-travel view refuses DML") {
     val name = freshTable()
     val e = intercept[Exception] {

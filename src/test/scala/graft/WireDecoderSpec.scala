@@ -1000,6 +1000,36 @@ class WireDecoderSpec extends AnyFunSuite {
       "CREATE TABLE dst LIKE src", names, keys)
     assert(names("testdb.dst") == Seq("id", "x") &&
       keys("testdb.dst") == Seq(1))
+    // schema-history DDL strings resolve LIKE in statement order and
+    // apply the skip policy (an out-of-subset statement between them
+    // must not throw out of the partition read)
+    val (hn, hk) = graft.sources.wire.MySqlBinlog.schemasFromDdl(
+      "CREATE TABLE db.a (id INT, v TEXT PRIMARY KEY); " +
+        "CREATE TABLE db.weird AS SELECT 1; " +
+        "CREATE TABLE db.b LIKE db.a")
+    assert(hn("db.b") == Seq("id", "v") && hk("db.b") == Seq(1))
+    assert(!hn.contains("db.weird"))
+  }
+
+  test("DDL robustness: skip policy survives non-IAE failures, quoted " +
+      "defaults, and the wider table-option tail") {
+    import graft.model.DdlParser
+    // Oracle NUMBER(*,0) fails with NumberFormatException — the policy
+    // must still classify it as unparseable, never crash
+    assert(DdlParser.parseWithPolicy(
+      "CREATE TABLE t (id NUMBER(*,0))", skipUnparseable = true)
+      .isInstanceOf[DdlParser.SkippedUnparseable])
+    // a quoted DEFAULT containing ',' and ')' must not steer the
+    // column splitter
+    val q = DdlParser.parse(
+      "CREATE TABLE t (a INT, b VARCHAR(10) DEFAULT 'x,y)z', c INT)")
+    assert(q.asInstanceOf[DdlParser.CreateTable]
+      .schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    // MySQL table options beyond the common set still parse
+    val opts = DdlParser.parse(
+      "CREATE TABLE t (a INT) CHECKSUM=1 DELAY_KEY_WRITE=1")
+    assert(opts.asInstanceOf[DdlParser.CreateTable]
+      .schema.fieldNames.toSeq == Seq("a"))
   }
 
   test("binlog QUERY DDL replay: CREATE seeds, DROP COLUMN shifts keys, RENAME moves") {
