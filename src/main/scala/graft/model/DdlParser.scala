@@ -213,16 +213,30 @@ object DdlParser {
     else t
   }
 
-  /** Split on top-level commas (outside parentheses/quotes). */
+  /** Split on top-level commas (outside parentheses/quotes). Inside a
+    * quoted region, a backslash escapes the next character (MySQL
+    * strings outside NO_BACKSLASH_ESCAPES: `DEFAULT 'a\'b'`) and a
+    * DOUBLED quote char is an escaped quote (standard SQL `'a''b'`,
+    * MySQL ``a``b`` identifiers) — both must not desync the tracker.
+    */
   private def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
     var quote: Option[Char] = None
-    s.foreach { c =>
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
       quote match {
         case Some(q) =>
-          cur += c; if (c == q) quote = None
+          cur += c
+          if (c == '\\' && q == '\'' && i + 1 < s.length) {
+            cur += s.charAt(i + 1); i += 1 // escaped char stays in-string
+          } else if (c == q) {
+            if (i + 1 < s.length && s.charAt(i + 1) == q) {
+              cur += q; i += 1 // doubled quote = escaped quote, stay in
+            } else quote = None
+          }
         case None => c match {
           // single-quoted STRINGS too (matchingParen agrees): a quoted
           // DEFAULT like 'x,y' or 'a)b' must not steer the splitter
@@ -233,6 +247,7 @@ object DdlParser {
           case _ => cur += c
         }
       }
+      i += 1
     }
     val last = cur.result()
     if (last.trim.nonEmpty) out += last
@@ -260,9 +275,23 @@ object DdlParser {
       "DELAY_KEY_WRITE|AVG_ROW_LENGTH|INSERT_METHOD|CONNECTION|" +
       "SECONDARY_ENGINE|TRANSACTIONAL|UNION|PAGE_CHECKSUM|" +
       "STATS_PERSISTENT|STATS_AUTO_RECALC|STATS_SAMPLE_PAGES|" +
-      "AUTOEXTEND_SIZE|START\\s+TRANSACTION|AS\\s+SELECT).*").r
+      "AUTOEXTEND_SIZE|START\\s+TRANSACTION).*").r
 
-  /** Index of the ')' matching the '(' at `open` (quote-aware), or -1. */
+  /** `AS SELECT` anywhere at top level of a CREATE tail (quoted strings
+    * blanked first so a COMMENT 'as select' cannot trip it). A column
+    * body followed by AS SELECT is a MySQL CTAS that APPENDS the
+    * query's columns to the declared ones — the declared list is NOT
+    * the full schema, so accepting it would mislabel later row events;
+    * the statement is out of subset and follows the unparseable policy.
+    */
+  private def tailHasAsSelect(tail: String): Boolean = {
+    val blanked = tail.replaceAll("'(?:[^'\\\\]|\\\\.|'')*'", "''")
+    "(?is)(?:^|\\s)AS\\s+SELECT\\b".r.findFirstIn(blanked).isDefined
+  }
+
+  /** Index of the ')' matching the '(' at `open` (quote-aware — same
+    * backslash/doubled-quote escapes as [[splitTop]]), or -1.
+    */
   private def matchingParen(s: String, open: Int): Int = {
     var depth = 0
     var quote: Option[Char] = None
@@ -270,7 +299,12 @@ object DdlParser {
     while (i < s.length) {
       val c = s.charAt(i)
       quote match {
-        case Some(q) => if (c == q) quote = None
+        case Some(q) =>
+          if (c == '\\' && q == '\'') i += 1 // escaped char stays in-string
+          else if (c == q) {
+            if (i + 1 < s.length && s.charAt(i + 1) == q) i += 1
+            else quote = None
+          }
         case None => c match {
           case '`' | '"' | '\'' => quote = Some(c)
           case '(' => depth += 1
@@ -301,6 +335,10 @@ object DdlParser {
               s"unbalanced CREATE TABLE body: ${sql.take(80)}")
           val body = rest.substring(1, close)
           val tail = rest.substring(close + 1).trim
+          if (tailHasAsSelect(tail))
+            throw new IllegalArgumentException(
+              "CREATE TABLE (columns) AS SELECT appends the query's " +
+                s"columns to the declared list — out of subset: ${sql.take(80)}")
           if (tail.nonEmpty && !CreateTail.pattern.matcher(tail).matches())
             throw new IllegalArgumentException(
               s"unsupported CREATE TABLE tail: ${tail.take(80)}")

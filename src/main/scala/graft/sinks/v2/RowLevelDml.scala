@@ -43,8 +43,10 @@ import graft.streaming.CdcSink
   *     messages.
   *  3. The driver-side commit reads the staged files back as a
   *     DataFrame, synthesizes the envelope bookkeeping — `op` from the
-  *     operation kind, `source.pos` one past the table tip so
-  *     latest-by-pos precedence applies the statement (`before` stays
+  *     operation kind, `source.pos` past the table tip so latest-by-pos
+  *     precedence applies the statement: tombstones at tip+1, data rows
+  *     at tip+2, so a key-swapping UPDATE's same-key tombstone+create
+  *     pair resolves deterministically to the create (`before` stays
   *     null: the sinks' reduced state drops it) — and commits
   *     `committedEpoch + 1` via
   *     [[graft.streaming.CdcSink.merge]].
@@ -223,12 +225,20 @@ private[v2] object SinkDmlCommit {
   def epochFrame(staged: DataFrame, spark: SparkSession, kind: String,
                  path: String, props: Map[String, String],
                  envelope: StructType): DataFrame = {
-    // bounded: ONE scalar for the epoch's merge position — DML rows must
+    // bounded: ONE scalar for the epoch's merge positions — DML rows must
     // outrank every position the table has SEEN (sink.tipPos, which on
-    // scd2 includes closing positions the reduced state doesn't carry)
-    val dmlPos =
+    // scd2 includes closing positions the reduced state doesn't carry).
+    // Tombstones land at tip+1 and data rows (update/insert/reinsert) at
+    // tip+2: one statement touches each key at most once PER SIDE, but a
+    // key-swapping UPDATE (X<->Y) emits a tombstone AND an op='c' for
+    // the SAME key — identical positions would make latest-by-pos
+    // precedence ambiguous; the split makes the create win
+    // deterministically (the statement's final image).
+    val tip =
       GraftSinkCatalog.sinkFor(kind, path, props).tipPos(spark)
-        .getOrElse(0L) + 1L
+        .getOrElse(0L)
+    val delPos = tip + 1L
+    val dataPos = tip + 2L
 
     def field(name: String): Option[StructField] =
       envelope.fields.find(_.name.equalsIgnoreCase(name))
@@ -239,7 +249,7 @@ private[v2] object SinkDmlCommit {
       * from `src` via `pass` (deletes pass nulls).
       */
     def envelope2(src: DataFrame, keyC: Column, opV: String,
-                  pass: String => Column): DataFrame =
+                  pass: String => Column, pos: Long): DataFrame =
       src.select(envelope.fields.toIndexedSeq.map { f =>
         f.name.toLowerCase(java.util.Locale.ROOT) match {
           case "key" => keyC.as(f.name)
@@ -249,7 +259,7 @@ private[v2] object SinkDmlCommit {
             case st: StructType =>
               struct(st.fields.toIndexedSeq.map { sf =>
                 (if (sf.name.equalsIgnoreCase("pos"))
-                   lit(dmlPos).cast(sf.dataType)
+                   lit(pos).cast(sf.dataType)
                  else lit(null).cast(sf.dataType)).as(sf.name)
               }: _*)
             case dt => lit(null).cast(dt)
@@ -266,7 +276,7 @@ private[v2] object SinkDmlCommit {
     // DELETE → tombstones for the old keys (before stays null, matching
     // the metadata-only DELETE path's envelopes)
     val dels = envelope2(staged.filter(col("_op") === OpDelete),
-      oldKey, graft.model.Envelope.OpDelete, passNull)
+      oldKey, graft.model.Envelope.OpDelete, passNull, delPos)
 
     // a pure DELETE's staging has no `_row` column — and no data rows
     if (!staged.schema.fieldNames.exists(_.equalsIgnoreCase("_row")))
@@ -279,17 +289,17 @@ private[v2] object SinkDmlCommit {
     val ups = staged.filter(col("_op") === OpUpdate)
     val keyKept = ups.filter(rowCol("key") <=> oldKey)
     val upSame = envelope2(keyKept, rowCol("key"),
-      graft.model.Envelope.OpUpdate, passRow)
+      graft.model.Envelope.OpUpdate, passRow, dataPos)
     val reKeyed = ups.filter(!(rowCol("key") <=> oldKey))
     val reDel = envelope2(reKeyed, oldKey,
-      graft.model.Envelope.OpDelete, passNull)
+      graft.model.Envelope.OpDelete, passNull, delPos)
     val reIns = envelope2(reKeyed, rowCol("key"),
-      graft.model.Envelope.OpCreate, passRow)
+      graft.model.Envelope.OpCreate, passRow, dataPos)
 
     // INSERT (and split-update reinserts) → op='c'
     val ins = envelope2(
       staged.filter(col("_op") === OpInsert || col("_op") === OpReinsert),
-      rowCol("key"), graft.model.Envelope.OpCreate, passRow)
+      rowCol("key"), graft.model.Envelope.OpCreate, passRow, dataPos)
 
     Seq(upSame, reDel, reIns, ins)
       .foldLeft(dels)((a, b) => a.unionByName(b))

@@ -9,9 +9,11 @@ import graft.sources.{ChangeFeedGen, Tables}
 /** SQL UPDATE / MERGE INTO / row-level DELETE on catalog tables
   * (sinks/v2/RowLevelDml): the statement's delta commits as ONE NEW
   * EPOCH of envelopes through the sink merge — op synthesized from the
-  * operation kind, before = pre-image after, source.pos past the tip —
-  * so DML composes with time travel and the changefeed instead of
-  * rewriting state in place.
+  * operation kind, before always null (the sinks' reduced state drops
+  * pre-images — synthesizing one would cost a key-join only for the
+  * merge to discard it), source.pos past the tip (tombstones at tip+1,
+  * data rows at tip+2) — so DML composes with time travel and the
+  * changefeed instead of rewriting state in place.
   */
 class SinkDmlSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.get
@@ -253,6 +255,32 @@ class SinkDmlSpec extends AnyFunSuite {
     val last = cf.orderBy(col("pos").desc).limit(1).collect()
     assert(last.head.getString(0) != "d",
       s"re-insert lost the pos race: ${cf.collect().mkString(";")}")
+  }
+
+  test("a key-SWAPPING update (X<->Y) is deterministic: the statement's " +
+      "creates outrank its tombstones (tip+2 vs tip+1)") {
+    val name = freshTable()
+    val pre = spark.sql(
+      s"SELECT key.n_nationkey AS k, after.n_name AS n FROM $name " +
+        "WHERE key.n_nationkey IN (1, 2) AND op <> 'd'").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(pre.keySet == Set(1, 2))
+    // one statement swaps the two keys: each row emits a tombstone for
+    // its OLD key and an op='c' for its NEW key — every key gets BOTH a
+    // delete and a create from the same statement
+    spark.sql(
+      s"""UPDATE $name SET
+         |  key.n_nationkey = CASE WHEN key.n_nationkey = 1 THEN 2 ELSE 1 END,
+         |  after.n_nationkey = CASE WHEN key.n_nationkey = 1 THEN 2 ELSE 1 END
+         |WHERE key.n_nationkey IN (1, 2)""".stripMargin)
+    val got = spark.sql(
+      s"SELECT key.n_nationkey AS k, op, after.n_name AS n FROM $name " +
+        "WHERE key.n_nationkey IN (1, 2) ORDER BY k").collect()
+    assert(got.length == 2, got.mkString(";"))
+    // both keys must be LIVE creates (not tombstones) with swapped payloads
+    assert(got.forall(_.getString(1) == "c"), got.mkString(";"))
+    assert(got(0).getString(2) == pre(2) && got(1).getString(2) == pre(1),
+      s"payloads not swapped: ${got.mkString(";")} vs $pre")
   }
 
   test("a pinned time-travel view refuses DML") {

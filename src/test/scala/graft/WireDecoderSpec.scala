@@ -1030,6 +1030,28 @@ class WireDecoderSpec extends AnyFunSuite {
       "CREATE TABLE t (a INT) CHECKSUM=1 DELAY_KEY_WRITE=1")
     assert(opts.asInstanceOf[DdlParser.CreateTable]
       .schema.fieldNames.toSeq == Seq("a"))
+    // a column body followed by AS SELECT is a CTAS: MySQL APPENDS the
+    // query's columns, so the declared list is NOT the schema — must
+    // follow the skip policy (never register a partial column registry),
+    // even with table options between the body and the AS SELECT
+    for (ctas <- Seq(
+        "CREATE TABLE t (a INT) AS SELECT b FROM x",
+        "CREATE TABLE t (a INT) ENGINE=InnoDB AS SELECT b FROM x"))
+      assert(DdlParser.parseWithPolicy(ctas, skipUnparseable = true)
+        .isInstanceOf[DdlParser.SkippedUnparseable], ctas)
+    // ... but 'as select' INSIDE a quoted option value is not a CTAS
+    val cmt = DdlParser.parse(
+      "CREATE TABLE t (a INT) COMMENT='loaded as select batch'")
+    assert(cmt.asInstanceOf[DdlParser.CreateTable]
+      .schema.fieldNames.toSeq == Seq("a"))
+    // backslash-escaped quote inside a DEFAULT (MySQL outside
+    // NO_BACKSLASH_ESCAPES) must not desync the quote tracker, nor a
+    // doubled '' (standard SQL escape)
+    val esc = DdlParser.parse(
+      """CREATE TABLE t (a VARCHAR(5) DEFAULT 'a\'b', b INT, """ +
+        "c VARCHAR(5) DEFAULT 'x''y', d INT)")
+    assert(esc.asInstanceOf[DdlParser.CreateTable]
+      .schema.fieldNames.toSeq == Seq("a", "b", "c", "d"))
   }
 
   test("binlog QUERY DDL replay: CREATE seeds, DROP COLUMN shifts keys, RENAME moves") {
