@@ -186,7 +186,7 @@ object StreamingQueries extends QueryGroup {
         .writeStream.option("checkpointLocation", s"$tmp/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, epochId: Long) =>
-          sink.merge(batch, epochId)
+          sink.merge(batch, epochId): Unit
         }
         .start()
       q.awaitTermination()
@@ -765,6 +765,35 @@ object StreamingQueries extends QueryGroup {
         .select(col("e.after.*"))
     }),
 
+    // K2b CHANGEFEED over the BUCKETED kind: per-epoch change rows derive
+    // from the epoch's OWN manifest diff (CdcSink.changesAt) — only the
+    // touched buckets of `epoch` and the SAME buckets at the previous
+    // version are read, never a full state-vs-state join, so per-epoch
+    // changefeed I/O tracks the change rate (ChangefeedIoSpec pins the
+    // inputFiles). Reducing the feed latest-by-pos re-derives the
+    // table's batch read — same oracle as k2_writeto_read.
+    "k2_changes_bucketed" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+      writetoTable(s, fd, tbl, kind = "bucketed")
+      changefeedReduce(s, s"graft_wt.bucketed.`$tbl$$changes`",
+        s.table(s"graft_wt.bucketed.$tbl").schema)
+    }),
+
+    // K2b CHANGEFEED over the SCD2 kind: change rows derive from the
+    // epoch's OWN partitions (e<epoch>/: the O(|batch|) closed delta +
+    // rewritten open sets) — a key changed iff it gained a closure this
+    // epoch or is brand new, and a key whose open version CLOSED with no
+    // reopen rides as an op='d' tombstone at its true closing position.
+    // Latest-by-pos over the feed == the live table — same oracle.
+    "k2_changes_scd2" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+      writetoTable(s, fd, tbl, kind = "scd2")
+      changefeedReduce(s, s"graft_wt.scd2.`$tbl$$changes`",
+        s.table(s"graft_wt.scd2.$tbl").schema)
+    }),
+
     // The scd2 sink's `$history` METADATA TABLE (Iceberg-style suffix):
     // the full SCD-2 version history — closed intervals + open versions
     // — queryable as plain SQL over the catalog, equal to the batch
@@ -942,6 +971,25 @@ object StreamingQueries extends QueryGroup {
     * writeTo path. The catalog instance is cached by name on first use,
     * so the root is pinned once per session; table names are per-run.
     */
+  /** Batch `$changes` read reduced latest-by-pos back to the live table
+    * (tombstones dropped) — the feed-consumer's state reconstruction.
+    */
+  private def changefeedReduce(s: SparkSession, changesTbl: String,
+                               envelope: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    s.table(changesTbl)
+      .select(
+        from_json(col("key_json"), envelope("key").dataType).as("key"),
+        from_json(col("after_json"), envelope("after").dataType).as("after"),
+        col("op"), col("pos"))
+      .groupBy(col("key"))
+      .agg(graft.expressions.GraftFunctions.latestByPos(
+        struct(col("after"), col("op")), col("pos")).as("e"))
+      .filter(col("e.op") =!= "d")
+      .select(col("e.after.*"))
+  }
+
   private def writetoTable(s: SparkSession, fd: DataFrame,
                            tbl: String, kind: String = "lsm"): Unit = {
     if (s.conf.getOption("spark.sql.catalog.graft_wt").isEmpty) {
@@ -1061,6 +1109,9 @@ object StreamingQueries extends QueryGroup {
 
     // the changefeed reduced latest-by-pos == the table's batch read
     "stream_writeto_changefeed" -> ordersLatest,
+    // same reconstruction over the bucketed/scd2 fast-path derivations
+    "k2_changes_bucketed" -> ordersLatest,
+    "k2_changes_scd2" -> ordersLatest,
 
     // ordersLatest minus the SQL-deleted rows (updated status 'U' keys
     // and the low-key range) — deletes are epoch-committed tombstones

@@ -51,11 +51,15 @@ import graft.streaming.{BucketedMergeSink, CdcSink, LsmMergeSink, MergeSink, Scd
   * CURRENT swap + replay guard) stays the single commit path. Each
   * `append()` is one epoch: explicit via the `epoch` write option
   * (foreachBatch-style exactly-once — replaying a committed epoch is a
-  * warned no-op), else committedEpoch+1 resolved ONCE at write-build
-  * time. Exactly-once under Spark-level retries or concurrent writers
-  * requires the EXPLICIT epoch option: two concurrent default-epoch
-  * appends both resolve committedEpoch+1 and one of them is dropped by
-  * the replay guard.
+  * warned no-op), else committedEpoch+1 under the optimistic commit
+  * loop ([[GraftSinkCatalog.commitWithRetry]]): a default-epoch append
+  * or DML statement that loses the epoch race to a concurrent writer
+  * rebases on the new tip and retries — both writers' epochs survive
+  * (the per-epoch claim in [[graft.streaming.EpochClaim]] serializes
+  * same-epoch rivals; a statement that keeps losing fails loudly,
+  * never silently). Exactly-once under Spark-level retries still
+  * requires the EXPLICIT epoch option, whose replay guard makes
+  * re-commits no-ops.
   *
   * SCHEMA CONTRACT (strict, like the reference sink rejecting records
   * whose schema cannot apply — `JdbcChangeEventSink.java`): the stored
@@ -360,6 +364,60 @@ object GraftSinkCatalog {
   /** Reduced envelope state (key, after, op, pos) of a sink, current or
     * AS OF an epoch (state/stateAt are CdcSink members).
     */
+  /** Optimistic-concurrency commit loop for DEFAULT-epoch writers (SQL
+    * DML, INSERT INTO): resolve `committedEpoch + 1`, attempt the
+    * commit, and on losing the epoch race — a rival claim
+    * ([[graft.streaming.ConcurrentEpochCommitException]]) or a rival
+    * that committed our resolved epoch between resolution and the
+    * replay guard (`merge` returns false while the tip moved) — wait
+    * for the rival's commit to land and REBASE on the new tip, exactly
+    * the Delta/Iceberg loser-retries protocol. `attempt` must recompute
+    * everything tip-dependent (tipPos-derived positions) from the sink
+    * it is handed. A false return with an unmoved tip means the attempt
+    * had nothing to commit (empty delta) — done, not a race. Gives up
+    * loudly after `maxAttempts`; never silently drops a statement.
+    *
+    * Streaming writers (foreachBatch with explicit epochs) do NOT ride
+    * this: their epoch numbering is the exactly-once contract, so a
+    * conflict there surfaces as the exception and fails the query.
+    */
+  private[v2] def commitWithRetry(kind: String, path: String,
+                                  props: Map[String, String], what: String)
+                                 (attempt: (CdcSink, Long) => Boolean)
+      : Unit = {
+    val maxAttempts = 6
+    var n = 0
+    while (true) {
+      n += 1
+      val sink = sinkFor(kind, path, props)
+      val epoch = sink.committedEpoch.map(_ + 1L).getOrElse(0L)
+      var conflicted = false
+      val didCommit =
+        try attempt(sink, epoch)
+        catch {
+          case e: graft.streaming.ConcurrentEpochCommitException =>
+            if (n >= maxAttempts) throw e
+            conflicted = true; false
+        }
+      if (didCommit) return
+      if (!conflicted) {
+        if (sink.committedEpoch.map(_ + 1L).getOrElse(0L) <= epoch)
+          return // empty delta: nothing to commit
+        if (n >= maxAttempts)
+          throw new graft.streaming.ConcurrentEpochCommitException(
+            s"$what: lost the epoch race $maxAttempts times to concurrent " +
+              "writers — giving up; re-run the statement")
+      } else {
+        // rival holds the in-flight claim: wait for its commit to land
+        // (tip moves past our epoch) or its claim to clear on failure
+        val deadline = System.nanoTime() + 15000000000L
+        while (sink.committedEpoch.map(_ + 1L).getOrElse(0L) <= epoch &&
+               System.nanoTime() < deadline)
+          Thread.sleep(50)
+      }
+    }
+  }
+
   private[v2] def rawState(spark: SparkSession, sink: CdcSink,
                            asOf: Option[Long]): Option[DataFrame] =
     asOf match {
@@ -894,36 +952,40 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
         s"$ident VERSION AS OF $e is a read-only time-travel view")
     }
     val spark = SparkSession.active
-    val sink = GraftSinkCatalog.sinkFor(kind, path, props)
-    val state = fullFrame(spark)
-    // already-tombstoned keys need no new tombstone — and excluding them
-    // keeps a repeated DELETE idempotent in feed terms
-    val matched = state.filter(pred).filter(
-      col("op").isNull || col("op") =!= lit(graft.model.Envelope.OpDelete))
-    // bounded: ONE scalar for the tombstones' merge position — they must
-    // outrank every position the table has SEEN (sink.tipPos; on scd2
-    // the reduced state's max under-counts when the newest event was a
-    // delete)
-    val delPos = sink.tipPos(spark).getOrElse(0L) + 1L
-    val cols = tableSchema.fields.map { f =>
-      f.name.toLowerCase(java.util.Locale.ROOT) match {
-        case "key" => matched(f.name)
-        case "op" => lit(graft.model.Envelope.OpDelete).cast(f.dataType)
-          .as(f.name)
-        case "source" => (f.dataType match {
-          case st: StructType =>
-            struct(st.fields.map { sf =>
-              (if (sf.name.equalsIgnoreCase("pos"))
-                 lit(delPos).cast(sf.dataType)
-               else lit(null).cast(sf.dataType)).as(sf.name)
-            }.toIndexedSeq: _*)
-          case dt => lit(null).cast(dt)
-        }).as(f.name)
-        case _ => lit(null).cast(f.dataType).as(f.name)
+    // default-epoch writer: rebases and retries if a concurrent commit
+    // takes the resolved epoch (everything tip-dependent — the state
+    // read, the tombstones' position — recomputes per attempt)
+    GraftSinkCatalog.commitWithRetry(kind, path, props,
+      s"DELETE on $ident") { (sink, epoch) =>
+      val state = fullFrame(spark)
+      // already-tombstoned keys need no new tombstone — and excluding
+      // them keeps a repeated DELETE idempotent in feed terms
+      val matched = state.filter(pred).filter(
+        col("op").isNull || col("op") =!= lit(graft.model.Envelope.OpDelete))
+      // bounded: ONE scalar for the tombstones' merge position — they
+      // must outrank every position the table has SEEN (sink.tipPos; on
+      // scd2 the reduced state's max under-counts when the newest event
+      // was a delete)
+      val delPos = sink.tipPos(spark).getOrElse(0L) + 1L
+      val cols = tableSchema.fields.map { f =>
+        f.name.toLowerCase(java.util.Locale.ROOT) match {
+          case "key" => matched(f.name)
+          case "op" => lit(graft.model.Envelope.OpDelete).cast(f.dataType)
+            .as(f.name)
+          case "source" => (f.dataType match {
+            case st: StructType =>
+              struct(st.fields.map { sf =>
+                (if (sf.name.equalsIgnoreCase("pos"))
+                   lit(delPos).cast(sf.dataType)
+                 else lit(null).cast(sf.dataType)).as(sf.name)
+              }.toIndexedSeq: _*)
+            case dt => lit(null).cast(dt)
+          }).as(f.name)
+          case _ => lit(null).cast(f.dataType).as(f.name)
+        }
       }
+      sink.merge(matched.select(cols.toIndexedSeq: _*), epoch)
     }
-    val epoch = sink.committedEpoch.map(_ + 1L).getOrElse(0L)
-    sink.merge(matched.select(cols.toIndexedSeq: _*), epoch)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -934,20 +996,18 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
     validateWriteSchema(info.schema())
     new WriteBuilder {
       override def build(): V1Write = {
-        // the epoch of this write, resolved ONCE here (not per insert):
-        // explicit `epoch` option → the sink's exactly-once replay guard;
-        // default → committed tip + 1 at build time
-        val epoch = Option(info.options.get("epoch")) match {
-          case Some(v) =>
+        // the epoch of this write: explicit `epoch` option → the sink's
+        // exactly-once replay guard (a conflict there is a genuine
+        // concurrent writer and surfaces loudly); default → resolved
+        // per attempt inside the optimistic commit loop
+        val explicitEpoch: Option[Long] = Option(info.options.get("epoch"))
+          .map { v =>
             try v.trim.toLong
             catch { case _: NumberFormatException =>
               throw new IllegalArgumentException(
                 s"write option 'epoch' on $ident must be an integer, got '$v'")
             }
-          case None =>
-            GraftSinkCatalog.sinkFor(kind, path, props)
-              .committedEpoch.map(_ + 1L).getOrElse(0L)
-        }
+          }
         new V1Write {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
@@ -964,10 +1024,9 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
                 // writers would have: op='c' and a position past the
                 // tip, or the merged rows would carry a NULL merge
                 // position and lose every latest-by-pos race.
-                val fixed =
+                def fixed(sink: graft.streaming.CdcSink): DataFrame =
                   if (!forDml) data
                   else {
-                    val sink = GraftSinkCatalog.sinkFor(kind, path, props)
                     val dmlPos = sink.tipPos(data.sparkSession)
                       .getOrElse(0L) + 1L
                     val srcField = tableSchema.fields
@@ -990,7 +1049,15 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
                           col("source.pos").isNull, srcCol)
                           .otherwise(col("source")))
                   }
-                GraftSinkCatalog.sinkFor(kind, path, props).merge(fixed, epoch)
+                explicitEpoch match {
+                  case Some(e) =>
+                    val sink = GraftSinkCatalog.sinkFor(kind, path, props)
+                    sink.merge(fixed(sink), e): Unit
+                  case None =>
+                    GraftSinkCatalog.commitWithRetry(kind, path, props,
+                      s"INSERT INTO $ident")((sink, epoch) =>
+                      sink.merge(fixed(sink), epoch))
+                }
               }
             }
         }

@@ -154,11 +154,18 @@ private[v2] class SinkDeltaWrite(
           case StagedDmlFile(p, n) if n > 0 => p
         }
         if (files.isEmpty) return // statement touched no rows: no epoch
-        val delta = SinkDmlCommit.epochFrame(
-          spark.read.schema(staged).parquet(files.toIndexedSeq: _*),
-          spark, kind, path, props, envelope)
-        val sink = GraftSinkCatalog.sinkFor(kind, path, props)
-        sink.merge(delta, sink.committedEpoch.map(_ + 1L).getOrElse(0L))
+        // default-epoch writer: on losing the epoch race to a concurrent
+        // commit (stream merge, another statement), rebase on the new
+        // tip and retry — epochFrame recomputes the tip-dependent merge
+        // positions from the staged files, which stay on disk until the
+        // final cleanup
+        GraftSinkCatalog.commitWithRetry(kind, path, props,
+          s"DML on $ident") { (sink, epoch) =>
+          val delta = SinkDmlCommit.epochFrame(
+            spark.read.schema(staged).parquet(files.toIndexedSeq: _*),
+            spark, kind, path, props, envelope)
+          sink.merge(delta, epoch)
+        }
       } finally cleanup(spark)
     }
 

@@ -54,19 +54,24 @@ object SinkChanges {
 
   /** Envelope change rows of `epoch` (committed), rendered to the feed
     * shape. `prev` is the previous RETAINED version, None for the first.
+    *
+    * Derivation order: the sink's EPOCH-LOCAL fast path first
+    * ([[graft.streaming.CdcSink.changesAt]] — LSM delta dirs, bucketed
+    * touched-bucket versions, scd2 epoch partitions; tombstones
+    * included, I/O tracks the change rate); state-vs-state diff on
+    * `key` + [[graft.streaming.CdcSink.droppedAt]] tombstones only as
+    * the fallback (full-rewrite tables, vacuumed epoch artifacts).
     */
   def changesFor(spark: SparkSession, kind: String, path: String,
                  props: Map[String, String], epoch: Long,
                  prev: Option[Long]): DataFrame = {
     val sink = GraftSinkCatalog.sinkFor(kind, path, props)
-    val deltaDir = Paths.get(path, s"d$epoch")
-    val raw =
-      if (kind == "lsm" && Files.isDirectory(deltaDir))
-        spark.read.parquet(deltaDir.toString).drop("_bucket")
-      else {
+    sink.changesAt(spark, epoch, prev) match {
+      case Some(raw) => render(raw, epoch)
+      case None =>
         val cur = sink.stateAt(spark, epoch).getOrElse(
           throw new IllegalStateException(s"no committed state at $epoch"))
-        prev match {
+        val raw = prev match {
           case None => cur
           case Some(p) => sink.stateAt(spark, p) match {
             case None => cur
@@ -80,25 +85,30 @@ object SinkChanges {
                 .drop("__prev_pos")
           }
         }
-      }
-    val changed = raw.select(
+        val changed = render(raw, epoch)
+        // keys that VANISHED from state between versions (scd2: a delete
+        // closes the open version, leaving no row for the diff to see)
+        // ride as synthesized tombstones at their TRUE closing position —
+        // without them, latest-by-pos over the feed would keep deleted
+        // keys alive
+        prev.flatMap(p => sink.droppedAt(spark, epoch, p)) match {
+          case None => changed
+          case Some(gone) =>
+            changed.unionByName(gone.select(
+              lit(epoch).as("epoch"),
+              lit(graft.model.Envelope.OpDelete).as("op"), col("pos"),
+              to_json(col("key")).as("key_json"),
+              lit(null).cast("string").as("after_json")))
+        }
+    }
+  }
+
+  /** Raw changed envelope rows (key, after, op, pos) → the feed shape. */
+  private def render(raw: DataFrame, epoch: Long): DataFrame =
+    raw.select(
       lit(epoch).as("epoch"), col("op"), col("pos"),
       to_json(col("key")).as("key_json"),
       to_json(col("after")).as("after_json"))
-    // keys that VANISHED from state between versions (scd2: a delete
-    // closes the open version, leaving no row for the diff to see) ride
-    // as synthesized tombstones at their TRUE closing position — without
-    // them, latest-by-pos over the feed would keep deleted keys alive
-    prev.flatMap(p => sink.droppedAt(spark, epoch, p)) match {
-      case None => changed
-      case Some(gone) =>
-        changed.unionByName(gone.select(
-          lit(epoch).as("epoch"),
-          lit(graft.model.Envelope.OpDelete).as("op"), col("pos"),
-          to_json(col("key")).as("key_json"),
-          lit(null).cast("string").as("after_json")))
-    }
-  }
 
   /** All retained epochs' changes as one frame (the batch table read);
     * `asOf` bounds the feed at a pinned epoch.

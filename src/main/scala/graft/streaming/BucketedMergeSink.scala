@@ -176,6 +176,50 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
       .filter(b => m1.get(b).map(_._1) != m2.get(b).map(_._1))
   }
 
+  /** Bucketed changefeed fast path: the epoch's manifest names exactly
+    * which buckets it rewrote, so the change rows derive from reading
+    * ONLY those buckets at `epoch` diffed on key against the SAME
+    * buckets at `prevEpoch` — I/O tracks the touched-bucket set (the
+    * change rate), never the full table. Tombstones are retained as
+    * op='d' state rows, so deletes surface through the pos diff like
+    * any change. Exact manifests required; vacuumed → None (diff
+    * fallback). A rebucket epoch remaps every bucket path, so touched =
+    * all and the derivation degrades to the (correct) full key diff —
+    * rebucket is already O(table) by contract.
+    */
+  override def changesAt(spark: SparkSession, epoch: Long,
+                         prevEpoch: Option[Long]): Option[DataFrame] = {
+    val curMf = root.resolve(s"m$epoch.manifest")
+    if (!Files.exists(curMf)) return None
+    val cur = parseManifest(curMf)
+    val out = prevEpoch match {
+      case None => // first epoch: everything is a change
+        readBuckets(spark, cur.values.toSeq)
+      case Some(p) =>
+        val prevMf = root.resolve(s"m$p.manifest")
+        if (!Files.exists(prevMf)) return None
+        val prev = parseManifest(prevMf)
+        val touched = (cur.keySet ++ prev.keySet)
+          .filter(b => cur.get(b).map(_._1) != prev.get(b).map(_._1))
+        readBuckets(spark, cur.filter(kv => touched(kv._1)).values.toSeq)
+          .map { c =>
+            readBuckets(spark,
+              prev.filter(kv => touched(kv._1)).values.toSeq) match {
+              case None => c
+              case Some(pr) =>
+                // changed == the merge position moved (same criterion as
+                // the diff fallback, restricted to touched buckets)
+                c.join(pr.select(col("key"), col("pos").as("__prev_pos")),
+                    Seq("key"), "left_outer")
+                  .filter(col("__prev_pos").isNull ||
+                    col("__prev_pos") =!= col("pos"))
+                  .drop("__prev_pos")
+            }
+          }
+    }
+    out.map(_.select(col("key"), col("after"), col("op"), col("pos")))
+  }
+
   /** `viewAt` restricted to a bucket subset — only those buckets' files
     * are scanned (same erosion strictness, applied to the subset).
     */
@@ -253,9 +297,17 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
   def rebucket(spark: SparkSession, newBuckets: Int,
                epochId: Long): BucketedMergeSink = {
     require(newBuckets > 0, s"newBuckets $newBuckets must be positive")
-    require(committedEpoch.exists(_ < epochId),
+    claimEpoch(epochId)
+    try rebucketClaimed(spark, newBuckets, epochId)
+    finally releaseClaim(epochId)
+  }
+
+  private def rebucketClaimed(spark: SparkSession, newBuckets: Int,
+                              epochId: Long): BucketedMergeSink = {
+    val observed = committedEpoch
+    require(observed.exists(_ < epochId),
       s"rebucket needs committed state and a fresh epoch id " +
-        s"(committed=$committedEpoch, got $epochId)")
+        s"(committed=$observed, got $epochId)")
     val st = state(spark).get
     val rb = st.withColumn("_bucket", pmod(xxhash64(col("key")), lit(newBuckets)))
     val vdir = root.resolve(s"v$epochId").toString
@@ -279,25 +331,28 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
         .mkString("", "\n", "\n"))
     // the COMMIT is the swap: the manifest's K line flips layout and
     // count together; `_buckets` refreshes after as a legacy mirror
-    recordCommitTs(epochId)
-    val tmp = root.resolve(s"CURRENT.tmp$epochId")
-    Files.writeString(tmp, mfName)
-    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    publishEpoch(root, pointer, epochId, observed, mfName)
     Files.writeString(root.resolve("_buckets"), newBuckets.toString)
     new BucketedMergeSink(dir, newBuckets)
   }
 
-  def merge(batch: DataFrame, epochId: Long): Unit = {
-    // foreachBatch retry of an ALREADY-committed epoch (crash between
-    // the manifest swap and Spark's checkpoint commit): overwriting
-    // v<epoch> would delete bucket files the current manifest points
-    // at. Committed versions are monotonic — replaying one is a no-op.
-    val committed = committedEpoch
-    if (committed.exists(_ >= epochId)) {
-      CdcSink.warnReplay(s"BucketedMergeSink($dir)", epochId, committed.get)
-      return
-    }
+  def merge(batch: DataFrame, epochId: Long): Boolean = {
+    // epoch claim first (serializes same-epoch rivals: stream merge vs
+    // SQL DML), then the replay guard under it — see MergeSink.merge
+    claimEpoch(epochId)
+    try {
+      val committed = committedEpoch
+      if (committed.exists(_ >= epochId)) {
+        CdcSink.warnReplay(s"BucketedMergeSink($dir)", epochId, committed.get)
+        return false
+      }
+      mergeClaimed(batch, epochId, committed)
+      true
+    } finally releaseClaim(epochId)
+  }
+
+  private def mergeClaimed(batch: DataFrame, epochId: Long,
+                           committed: Option[Long]): Unit = {
     checkBucketCount()
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)
@@ -354,11 +409,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
         (s"K\t$buckets" +: newManifest.toSeq.sortBy(_._1)
           .map { case (b, (p, d)) => s"$b\t$p\t$d" })
           .mkString("", "\n", "\n"))
-      recordCommitTs(epochId)
-      val tmp = root.resolve(s"CURRENT.tmp$epochId")
-      Files.writeString(tmp, mfName)
-      Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
+      publishEpoch(root, pointer, epochId, committed, mfName)
     } finally reduced.unpersist()
   }
 }

@@ -64,7 +64,7 @@ object ChangeLogPipeline {
           struct(col("pos")).as("source"),
           lit(null).cast("string").as("transaction"),
           col("pos").as("ts_ms"))
-        sink.merge(env, epochId)
+        sink.merge(env, epochId): Unit
       }
       .start()
     q.awaitTermination()

@@ -200,16 +200,39 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     s.filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
   }
 
-  def merge(batch: DataFrame, epochId: Long): Unit = {
-    // replay of an already-committed epoch (foreachBatch retry between
-    // the sink's manifest swap and Spark's checkpoint commit) must be a
-    // no-op: re-appending would duplicate the d<epoch> delta entry and
-    // skew the compaction cadence. Committed versions are monotonic.
-    val committed = committedEpoch
-    if (committed.exists(_ >= epochId)) {
-      CdcSink.warnReplay(s"LsmMergeSink($dir)", epochId, committed.get)
-      return
-    }
+  /** LSM changefeed fast path: the epoch's OWN delta dir `d<epoch>/` is
+    * exactly the reduced batch it appended — op='d' tombstones included,
+    * zero recompute, I/O = the batch's own bytes. Absent (rebucket
+    * epoch, vacuumed delta) → None, the diff fallback.
+    */
+  override def changesAt(spark: SparkSession, epoch: Long,
+                         prevEpoch: Option[Long]): Option[DataFrame] = {
+    val d = root.resolve(s"d$epoch")
+    if (!Files.isDirectory(d)) None
+    else Some(spark.read.parquet(d.toString).drop("_bucket"))
+  }
+
+  def merge(batch: DataFrame, epochId: Long): Boolean = {
+    // epoch claim first (serializes same-epoch rivals: stream merge vs
+    // SQL DML), then the replay guard under it — see MergeSink.merge
+    claimEpoch(epochId)
+    try {
+      // replay of an already-committed epoch (foreachBatch retry between
+      // the sink's manifest swap and Spark's checkpoint commit) must be a
+      // no-op: re-appending would duplicate the d<epoch> delta entry and
+      // skew the compaction cadence. Committed versions are monotonic.
+      val committed = committedEpoch
+      if (committed.exists(_ >= epochId)) {
+        CdcSink.warnReplay(s"LsmMergeSink($dir)", epochId, committed.get)
+        return false
+      }
+      mergeClaimed(batch, epochId, committed)
+    } finally releaseClaim(epochId)
+  }
+
+  /** Returns false when the batch touched no buckets (nothing commits). */
+  private def mergeClaimed(batch: DataFrame, epochId: Long,
+                           committed: Option[Long]): Boolean = {
     checkBucketCount()
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)
@@ -232,20 +255,23 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
         .filter(_.startsWith("_bucket=")).map(_.stripPrefix("_bucket=").toInt)
         .toSeq
     }.sorted
-    if (touched.isEmpty) { deleteRecursively(ddir); return }
+    if (touched.isEmpty) { deleteRecursively(ddir); return false }
     val m = manifest
     val nextSeq = (m.deltas.map(_._1) :+ 0L).max + 1
     val withDelta = m.copy(deltas =
       m.deltas :+ ((nextSeq, ddir.toString, ddl, touched)))
-    if (withDelta.deltas.size >= compactEvery) compact(spark, withDelta, epochId)
-    else writeManifest(withDelta, epochId)
+    if (withDelta.deltas.size >= compactEvery)
+      compact(spark, withDelta, epochId, committed)
+    else writeManifest(withDelta, epochId, observed = committed)
+    true
   }
 
   /** Fold all outstanding deltas into the buckets they touch: read ONLY
     * touched base buckets + the deltas, merge latest-per-key, rewrite
     * those buckets. Untouched buckets keep their files byte-for-byte.
     */
-  private def compact(spark: SparkSession, m: Manifest, epochId: Long): Unit = {
+  private def compact(spark: SparkSession, m: Manifest, epochId: Long,
+                      observed: Option[Long]): Unit = {
     val touched = m.deltas.flatMap(_._4).toSet
     val prevTouched = readByDdl(spark,
       m.base.filter(kv => touched(kv._1)).values.toSeq)
@@ -271,11 +297,15 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       .sortWithinPartitions(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
     val newBase = m.base ++ touched.map(b => b -> (s"$vdir/_bucket=$b", ddl))
-    writeManifest(Manifest(newBase, Seq.empty), epochId)
+    writeManifest(Manifest(newBase, Seq.empty), epochId, observed = observed)
   }
 
+  /** `observed` = the committed epoch the (claim-holding) caller based
+    * this manifest on — the CAS half of the commit swap.
+    */
   private def writeManifest(m: Manifest, epochId: Long,
-                            count: Int = buckets): Unit = {
+                            count: Int = buckets,
+                            observed: Option[Long]): Unit = {
     val mfName = s"m$epochId.manifest"
     Files.createDirectories(root)
     val baseLines = m.base.toSeq.sortBy(_._1).map {
@@ -286,11 +316,7 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     }
     Files.writeString(root.resolve(mfName),
       (s"K\t$count" +: (baseLines ++ deltaLines)).mkString("", "\n", "\n"))
-    recordCommitTs(epochId)
-    val tmp = root.resolve(s"CURRENT.tmp$epochId")
-    Files.writeString(tmp, mfName)
-    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    publishEpoch(root, pointer, epochId, observed, mfName)
   }
 
   /** RE-BUCKET COMPACTION (see [[BucketedMergeSink.rebucket]]): the
@@ -303,9 +329,17 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
   def rebucket(spark: SparkSession, newBuckets: Int,
                epochId: Long): LsmMergeSink = {
     require(newBuckets > 0, s"newBuckets $newBuckets must be positive")
-    require(committedEpoch.exists(_ < epochId),
+    claimEpoch(epochId)
+    try rebucketClaimed(spark, newBuckets, epochId)
+    finally releaseClaim(epochId)
+  }
+
+  private def rebucketClaimed(spark: SparkSession, newBuckets: Int,
+                              epochId: Long): LsmMergeSink = {
+    val observed = committedEpoch
+    require(observed.exists(_ < epochId),
       s"rebucket needs committed state and a fresh epoch id " +
-        s"(committed=$committedEpoch, got $epochId)")
+        s"(committed=$observed, got $epochId)")
     val st = state(spark).get
     val rb = st.withColumn("_bucket",
       pmod(xxhash64(col("key")), lit(newBuckets)))
@@ -324,7 +358,8 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     val newBase = written.map(b => b -> (s"$vdir/_bucket=$b", ddl)).toMap
     // commit = the swap inside writeManifest; the K line flips layout
     // and count together, `_buckets` refreshes after as a legacy mirror
-    writeManifest(Manifest(newBase, Seq.empty), epochId, count = newBuckets)
+    writeManifest(Manifest(newBase, Seq.empty), epochId, count = newBuckets,
+      observed = observed)
     Files.writeString(root.resolve("_buckets"), newBuckets.toString)
     new LsmMergeSink(dir, newBuckets, compactEvery)
   }

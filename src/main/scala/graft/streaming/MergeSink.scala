@@ -29,7 +29,18 @@ import graft.operators.Materialize
   */
 /** Common contract of the MERGE sinks (full-state and bucketed). */
 trait CdcSink {
-  def merge(batch: DataFrame, epochId: Long): Unit
+  /** Merge one micro-batch of envelope rows as epoch `epochId`.
+    * Returns true iff THIS call committed the epoch; false when it was
+    * dropped by the replay guard (epoch already committed — a
+    * foreachBatch retry, or a rival default-epoch writer won the epoch
+    * between the caller's resolution and this merge) or when the batch
+    * produced nothing to commit. A default-epoch caller that gets
+    * false must re-resolve the tip before retrying
+    * ([[graft.sinks.v2.GraftSinkCatalog.commitWithRetry]]).
+    * Throws [[ConcurrentEpochCommitException]] when a concurrent writer
+    * holds the in-flight claim on the same epoch.
+    */
+  def merge(batch: DataFrame, epochId: Long): Boolean
   def view(spark: SparkSession): DataFrame
 
   /** Newest committed epoch, if any. The replay guard silently no-ops any
@@ -63,6 +74,19 @@ trait CdcSink {
     */
   def droppedAt(spark: SparkSession, epochId: Long,
                 prevEpochId: Long): Option[DataFrame] = None
+
+  /** Epoch-LOCAL change derivation for the changefeed: the raw changed
+    * envelope rows of `epoch` — `(key, after, op, pos)`, deletes
+    * included as `op='d'` rows with null `after` — derived from the
+    * epoch's OWN artifacts (LSM delta dirs, bucketed touched-bucket
+    * versions, scd2 epoch partitions), so per-epoch changefeed I/O
+    * tracks the CHANGE RATE, never the table size. None when the sink
+    * keeps no epoch-local artifacts (the full-rewrite [[MergeSink]]) or
+    * they were vacuumed/rebucketed away — [[graft.sinks.v2.SinkChanges]]
+    * then falls back to the state-vs-state diff + [[droppedAt]].
+    */
+  def changesAt(spark: SparkSession, epoch: Long,
+                prevEpoch: Option[Long]): Option[DataFrame] = None
 
   /** Highest merge position the committed table has seen — the
     * watermark a DML epoch must outrank under latest-by-pos. The
@@ -125,6 +149,61 @@ trait CdcSink {
     */
   def epochAt(tsMillis: Long): Option[Long] =
     versions.reverseIterator.find(e => commitTimeMillis(e) <= tsMillis)
+
+  /** On-disk claim file marking an IN-FLIGHT commit of `epoch` (next to
+    * the commit artifact; deleted on commit or failure, so its presence
+    * means a live concurrent writer or a crashed one — see
+    * [[EpochClaim]]).
+    */
+  private def claimFile(epoch: Long): java.nio.file.Path = {
+    val a = commitArtifact(epoch)
+    a.resolveSibling(s"epoch$epoch.claim")
+  }
+
+  /** Exclusively claim `epoch` before writing any of its artifacts.
+    * Throws [[ConcurrentEpochCommitException]] when another writer holds
+    * it. MUST be paired with [[releaseClaim]] in a finally — a claim
+    * that escapes its commit wedges the epoch until the stale window.
+    */
+  protected final def claimEpoch(epoch: Long): Unit = {
+    val f = claimFile(epoch)
+    java.nio.file.Files.createDirectories(f.getParent)
+    EpochClaim.acquire(f, s"${getClass.getSimpleName}(${commitArtifact(epoch).getParent})", epoch)
+  }
+
+  protected final def releaseClaim(epoch: Long): Unit =
+    EpochClaim.release(claimFile(epoch))
+
+  /** Publish `epoch`: persist the commit timestamp and atomically swap
+    * the CURRENT pointer to `content` — AFTER re-checking the pointer
+    * still names `observed`, the committed epoch this merge read its
+    * state from. Under the epoch claim two default-epoch writers can
+    * never both get here; the check catches the remaining interleaving
+    * (a rival committing a DIFFERENT explicit epoch mid-merge), turning
+    * a silently-hidden epoch into a loud
+    * [[ConcurrentEpochCommitException]] — the epoch's artifacts stay on
+    * disk past the pointer, where `versions`' pointer bound already
+    * treats them as uncommitted.
+    */
+  protected final def publishEpoch(rootDir: java.nio.file.Path,
+                                   pointerFile: java.nio.file.Path,
+                                   epoch: Long, observed: Option[Long],
+                                   content: String): Unit = {
+    recordCommitTs(epoch)
+    val now = committedEpoch
+    if (now != observed)
+      throw new ConcurrentEpochCommitException(
+        s"${getClass.getSimpleName}($rootDir): committed tip moved from " +
+          s"$observed to $now while epoch $epoch was being written (a " +
+          "concurrent writer committed a different explicit epoch) — " +
+          "refusing the pointer swap; epoch " + epoch + "'s artifacts " +
+          "are left uncommitted past the pointer")
+    val tmp = rootDir.resolve(s"CURRENT.tmp$epoch")
+    java.nio.file.Files.writeString(tmp, content)
+    java.nio.file.Files.move(tmp, pointerFile,
+      StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE): Unit
+  }
 }
 
 object CdcSink {
@@ -221,7 +300,7 @@ class MergeSink(dir: String) extends CdcSink {
     s.filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
   }
 
-  override def merge(batch: DataFrame, epochId: Long): Unit =
+  override def merge(batch: DataFrame, epochId: Long): Boolean =
     merge(batch, epochId, "upsert")
 
   /** Merge one micro-batch of envelope rows.
@@ -232,18 +311,30 @@ class MergeSink(dir: String) extends CdcSink {
     *   - "insert": append-only — keys already in state are never replaced
     *   - "update": matched-only — keys NOT already in state are dropped
     */
-  def merge(batch: DataFrame, epochId: Long, mode: String): Unit = {
-    // foreachBatch retries an epoch when the job crashed between the
-    // sink's commit and Spark's checkpoint commit. The epoch is already
-    // durable then — re-merging would overwrite v<epoch> WHILE reading
-    // the CURRENT state that lives in it. Epochs are monotonic, so
-    // "committed version >= epoch" means this is such a replay: no-op.
-    val committed = committedEpoch
-    if (committed.exists(_ >= epochId)) {
-      CdcSink.warnReplay(s"MergeSink($dir)", epochId, committed.get)
-      return
-    }
+  def merge(batch: DataFrame, epochId: Long, mode: String): Boolean = {
+    // the epoch claim serializes concurrent writers that resolved the
+    // same epoch number (stream foreachBatch racing ad-hoc SQL DML);
+    // the replay guard runs UNDER it so "already committed" is decided
+    // against a tip no rival can move for this epoch
+    claimEpoch(epochId)
+    try {
+      // foreachBatch retries an epoch when the job crashed between the
+      // sink's commit and Spark's checkpoint commit. The epoch is already
+      // durable then — re-merging would overwrite v<epoch> WHILE reading
+      // the CURRENT state that lives in it. Epochs are monotonic, so
+      // "committed version >= epoch" means this is such a replay: no-op.
+      val committed = committedEpoch
+      if (committed.exists(_ >= epochId)) {
+        CdcSink.warnReplay(s"MergeSink($dir)", epochId, committed.get)
+        return false
+      }
+      mergeClaimed(batch, epochId, mode, committed)
+      true
+    } finally releaseClaim(epochId)
+  }
 
+  private def mergeClaimed(batch: DataFrame, epochId: Long, mode: String,
+                           committed: Option[Long]): Unit = {
     val spark = batch.sparkSession
     val reduced0 = Materialize.reduceByKey(batch)
       .select(col("key"), col("after"), col("op"), col("source.pos").as("pos"))
@@ -278,11 +369,7 @@ class MergeSink(dir: String) extends CdcSink {
     }
     val vname = s"v$epochId"
     merged.write.mode("overwrite").parquet(root.resolve(vname).toString)
-    val tmp = root.resolve(s"CURRENT.tmp$epochId")
     Files.createDirectories(root)
-    recordCommitTs(epochId)
-    Files.writeString(tmp, vname)
-    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    publishEpoch(root, pointer, epochId, committed, vname)
   }
 }

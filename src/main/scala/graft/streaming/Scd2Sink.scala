@@ -269,6 +269,89 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       gone.join(closePos, Seq("key"), "left").select(col("key"), col("pos"))
     }
 
+  /** scd2 changefeed fast path, from the epoch's OWN partitions: a key
+    * changed at `epoch` iff it gained a CLOSURE this epoch (a row in
+    * `e<epoch>/_closed=true`, O(|batch|) by construction) or is brand
+    * new (open at `epoch`, absent from the prev manifest's open sets of
+    * the touched buckets). Emitted in the sinks' raw change shape —
+    * still-open keys as (key, after, op='r', pos=valid_from_pos),
+    * matching what the state diff would produce, and deleted keys as
+    * op='d' tombstones at their true closing position. I/O = the epoch
+    * dir + the touched buckets' prev open sets — tracks the change
+    * rate, never the history length. None (diff fallback) when the
+    * epoch dir is vacuumed or the epoch is a REBUCKET (its `e<epoch>`
+    * holds the whole re-grouped history, detectable because the
+    * manifest's closed BASE points into it — a normal merge only ever
+    * points closed deltas there).
+    */
+  override def changesAt(spark: SparkSession, epoch: Long,
+                         prevEpoch: Option[Long]): Option[DataFrame] = {
+    val edir = root.resolve(s"e$epoch")
+    if (!Files.isDirectory(edir)) return None
+    val mCur = manifestAt(epoch)
+    if (mCur.base.values.exists(_._1.startsWith(edir.toString)))
+      return None // rebucket epoch: e<epoch> is the full history
+    def readClass(cls: String): Option[DataFrame] = {
+      val d = edir.resolve(s"_closed=$cls")
+      if (!Files.isDirectory(d)) None
+      else Some(spark.read.parquet(d.toString).drop("_bucket"))
+    }
+    val openNow = readClass("false")
+    val closures = readClass("true")
+    if (openNow.isEmpty && closures.isEmpty) return None
+    // touched buckets = the epoch's own partition dirs (driver listing)
+    val touched = Seq("false", "true").flatMap { cls =>
+      val d = edir.resolve(s"_closed=$cls")
+      if (!Files.isDirectory(d)) Nil
+      else Using.resource(Files.list(d)) { st =>
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_bucket="))
+          .map(_.stripPrefix("_bucket=").toInt).toSeq
+      }
+    }.toSet
+    val prevOpen = prevEpoch.flatMap { p =>
+      val m = manifestAt(p)
+      readByDdl(spark, m.open.filter(kv => touched(kv._1)).values.toSeq)
+    }
+    val prevKeys = prevOpen.map(_.select(col("key")).distinct())
+    val closureKeys = closures.map(_.select(col("key")).distinct())
+    // still-open changed rows: closed-a-predecessor OR brand-new
+    val changedOpen = openNow.map { o =>
+      val withC = closureKeys match {
+        case None => o.withColumn("__c", lit(null).cast("int"))
+        case Some(ck) =>
+          o.join(ck.withColumn("__c", lit(1)), Seq("key"), "left_outer")
+      }
+      val withP = prevKeys match {
+        case None => withC.withColumn("__p", lit(null).cast("int"))
+        case Some(pk) =>
+          withC.join(pk.withColumn("__p", lit(1)), Seq("key"), "left_outer")
+      }
+      withP.filter(col("__c").isNotNull || col("__p").isNull)
+        .select(col("key"), col("after"),
+          lit(Envelope.OpRead).as("op"), col("valid_from_pos").as("pos"))
+    }
+    // deletes: open at prev, gone from the epoch's open set — the
+    // closing position comes from the epoch's own closed delta (a key
+    // can only leave the open set by gaining a closure this epoch)
+    val afterType = openNow.orElse(closures).get.schema("after").dataType
+    val deletes = for (pk <- prevKeys; cl <- closures) yield {
+      val openKeys = openNow.map(_.select(col("key")).distinct())
+        .getOrElse(pk.limit(0))
+      pk.join(openKeys, Seq("key"), "left_anti")
+        .join(cl.groupBy(col("key"))
+          .agg(max(col("valid_to_pos")).as("pos")), Seq("key"), "inner")
+        .select(col("key"), lit(null).cast(afterType).as("after"),
+          lit(Envelope.OpDelete).as("op"), col("pos"))
+    }
+    (changedOpen, deletes) match {
+      case (Some(c), Some(d)) => Some(c.unionByName(d))
+      case (Some(c), None) => Some(c)
+      case (None, Some(d)) => Some(d)
+      case (None, None) => None
+    }
+  }
+
   /** Max position across ALL intervals — `valid_to_pos` included, so a
     * table whose newest event was a delete still reports the delete's
     * position as the tip (the open-rows max would under-count it).
@@ -300,12 +383,23 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       .drop("valid_from_pos", "valid_to_pos", "is_current")
   }
 
-  def merge(batch: DataFrame, epochId: Long): Unit = {
-    val committed = committedEpoch
-    if (committed.exists(_ >= epochId)) {
-      CdcSink.warnReplay(s"Scd2Sink($dir)", epochId, committed.get)
-      return
-    }
+  def merge(batch: DataFrame, epochId: Long): Boolean = {
+    // epoch claim first (serializes same-epoch rivals: stream merge vs
+    // SQL DML), then the replay guard under it — see MergeSink.merge
+    claimEpoch(epochId)
+    try {
+      val committed = committedEpoch
+      if (committed.exists(_ >= epochId)) {
+        CdcSink.warnReplay(s"Scd2Sink($dir)", epochId, committed.get)
+        return false
+      }
+      mergeClaimed(batch, epochId, committed)
+    } finally releaseClaim(epochId)
+  }
+
+  /** Returns false when the batch touched no buckets (nothing commits). */
+  private def mergeClaimed(batch: DataFrame, epochId: Long,
+                           committed: Option[Long]): Boolean = {
     checkBucketCount()
     val spark = batch.sparkSession
     val events = batch
@@ -317,7 +411,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     try {
       val touched = events.select(col("_bucket")).distinct()
         .collect().map(_.getLong(0).toInt).toSet
-      if (touched.isEmpty) return
+      if (touched.isEmpty) return false
       val m = manifest
       // bounded read: open versions of touched buckets only (≤ one row
       // per live key there). Closed history is NOT read.
@@ -373,8 +467,10 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
         else m.deltas :+
           ((nextSeq, s"$edir/_closed=true", ddl, closedBuckets))
       val next = Manifest(newOpen, m.base, newDeltas)
-      if (next.deltas.size >= compactEvery) compactClosed(spark, next, epochId)
-      else writeManifest(next, epochId)
+      if (next.deltas.size >= compactEvery)
+        compactClosed(spark, next, epochId, committed)
+      else writeManifest(next, epochId, observed = committed)
+      true
     } finally { events.unpersist(); () }
   }
 
@@ -385,11 +481,14 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     * sets keep their files byte-for-byte.
     */
   private def compactClosed(spark: SparkSession, m: Manifest,
-                            epochId: Long): Unit = {
+                            epochId: Long, observed: Option[Long]): Unit = {
     val touched = m.deltas.flatMap(_._4).toSet
     val all = readByDdl(spark,
       m.base.filter(kv => touched(kv._1)).values.toSeq ++ m.deltaLeafs)
-      .getOrElse { writeManifest(m.copy(deltas = Seq.empty), epochId); return }
+      .getOrElse {
+        writeManifest(m.copy(deltas = Seq.empty), epochId,
+          observed = observed); return
+      }
     val merged = all.withColumn("_bucket", bucketCol)
     val vdir = root.resolve(s"b$epochId").toString
     val ddl = StructType(merged.schema.filterNot(_.name == "_bucket")).toDDL
@@ -399,11 +498,16 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       .sortWithinPartitions(col("_bucket"), col("key"), col("valid_from_pos"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
     val newBase = m.base ++ touched.map(b => b -> (s"$vdir/_bucket=$b", ddl))
-    writeManifest(Manifest(m.open, newBase, Seq.empty), epochId)
+    writeManifest(Manifest(m.open, newBase, Seq.empty), epochId,
+      observed = observed)
   }
 
+  /** `observed` = the committed epoch the (claim-holding) caller based
+    * this manifest on — the CAS half of the commit swap.
+    */
   private def writeManifest(m: Manifest, epochId: Long,
-                            count: Int = buckets): Unit = {
+                            count: Int = buckets,
+                            observed: Option[Long]): Unit = {
     val mfName = s"m$epochId.manifest"
     Files.createDirectories(root)
     val openLines = m.open.toSeq.sortBy(_._1).map {
@@ -418,11 +522,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     Files.writeString(root.resolve(mfName),
       (s"K\t$count" +: (openLines ++ baseLines ++ deltaLines))
         .mkString("", "\n", "\n"))
-    recordCommitTs(epochId)
-    val tmp = root.resolve(s"CURRENT.tmp$epochId")
-    Files.writeString(tmp, mfName)
-    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE): Unit
+    publishEpoch(root, pointer, epochId, observed, mfName)
   }
 
   /** RE-BUCKET COMPACTION (see [[BucketedMergeSink.rebucket]]): the
@@ -437,9 +537,17 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
   def rebucket(spark: SparkSession, newBuckets: Int,
                epochId: Long): Scd2Sink = {
     require(newBuckets > 0, s"newBuckets $newBuckets must be positive")
-    require(committedEpoch.exists(_ < epochId),
+    claimEpoch(epochId)
+    try rebucketClaimed(spark, newBuckets, epochId)
+    finally releaseClaim(epochId)
+  }
+
+  private def rebucketClaimed(spark: SparkSession, newBuckets: Int,
+                              epochId: Long): Scd2Sink = {
+    val observed = committedEpoch
+    require(observed.exists(_ < epochId),
       s"rebucket needs committed history and a fresh epoch id " +
-        s"(committed=$committedEpoch, got $epochId)")
+        s"(committed=$observed, got $epochId)")
     val m = manifest
     val all = readByDdl(spark, m.closedDirs ++ m.open.values.toSeq)
       .getOrElse(throw new IllegalStateException(s"no committed history in $dir"))
@@ -470,7 +578,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     val newBase = writtenBuckets("true").map(b =>
       b -> (s"$edir/_closed=true/_bucket=$b", ddl)).toMap
     writeManifest(Manifest(newOpen, newBase, Seq.empty), epochId,
-      count = newBuckets)
+      count = newBuckets, observed = observed)
     Files.writeString(root.resolve("_buckets"), newBuckets.toString)
     new Scd2Sink(dir, newBuckets, compactEvery)
   }

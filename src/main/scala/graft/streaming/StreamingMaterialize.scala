@@ -70,7 +70,7 @@ object StreamingMaterialize {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        sink.merge(batch, epochId)
+        sink.merge(batch, epochId): Unit
       }
       .start()
     q.awaitTermination()

@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.v2.SinkChanges
+import graft.streaming.{BucketedMergeSink, Scd2Sink}
+
+/** `$changes` derivation cost (CdcSink.changesAt): per-epoch changefeed
+  * READ I/O must track the CHANGE RATE, not the table size. The r12
+  * diff derivation joined full state against full state per epoch —
+  * O(versions × table) for a batch feed read at scale; the epoch-local
+  * derivation reads only the epoch's own artifacts (plus, for
+  * bucketed/scd2, the touched buckets' previous version). Pinned here
+  * via DataFrame.inputFiles: a one-key epoch over a 16-bucket table
+  * must touch ONE bucket per side, not sixteen.
+  */
+class ChangefeedIoSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+
+  private def envBatch(markers: (Int, String, String)*): DataFrame = {
+    import spark.implicits._
+    markers.toSeq.toDF("k", "name", "o").select(
+      struct(col("k").as("n_nationkey")).as("key"),
+      lit(null).cast("struct<n_nationkey:int,n_name:string>").as("before"),
+      when(col("o") === "d", lit(null)
+        .cast("struct<n_nationkey:int,n_name:string>"))
+        .otherwise(struct(col("k").as("n_nationkey"),
+          col("name").as("n_name"))).as("after"),
+      col("o").as("op"),
+      struct((col("k") + 100000).cast("long").as("pos")).as("source"),
+      lit(null).cast("string").as("transaction"),
+      (col("k") + 100000).cast("long").as("ts_ms"))
+  }
+
+  /** Distinct `_bucket=` leaf dirs under `version` that `files` touch. */
+  private def bucketsTouched(files: Seq[String], version: String): Set[String] =
+    files.filter(_.contains(s"/$version/"))
+      .flatMap(_.split("/").find(_.startsWith("_bucket="))).toSet
+
+  test("bucketed $changes of a one-key epoch reads ONE bucket per side, " +
+      "never the full table") {
+    val dir = Files.createTempDirectory("cfio-b").toString
+    val sink = new BucketedMergeSink(dir, buckets = 16)
+    // snapshot: 64 keys spread over the 16 buckets
+    assert(sink.merge(envBatch((1 to 64).map(k =>
+      (k, s"n$k", "r")): _*), 0L))
+    // epoch 1 touches exactly one key
+    assert(sink.merge(envBatch((7, "updated", "u")).withColumn("source",
+      struct(lit(900000L).as("pos"))), 1L))
+
+    val cf = SinkChanges.changesFor(spark, "bucketed", dir, Map.empty,
+      epoch = 1L, prev = Some(0L))
+    val rows = cf.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("op") == "u" &&
+      rows.head.getAs[String]("key_json").contains("7"), rows.mkString(";"))
+    val files = cf.inputFiles.toSeq
+    assert(bucketsTouched(files, "v1").size == 1,
+      s"epoch side must read 1 bucket: $files")
+    assert(bucketsTouched(files, "v0").size == 1,
+      s"prev side must read only the touched bucket, not all 16: $files")
+  }
+
+  test("scd2 $changes of a one-update-one-delete epoch reads the epoch " +
+      "dir + touched prev open buckets only; tombstone at true closing pos") {
+    val dir = Files.createTempDirectory("cfio-s").toString
+    val sink = new Scd2Sink(dir, buckets = 16)
+    assert(sink.merge(envBatch((1 to 64).map(k =>
+      (k, s"n$k", "r")): _*), 0L))
+    // epoch 1: update key 7 (pos 900007), delete key 9 (pos 900009)
+    val b = envBatch((7, "updated", "u"), (9, null, "d"))
+      .withColumn("source",
+        struct((col("key.n_nationkey") + 900000L).as("pos")))
+    assert(sink.merge(b, 1L))
+
+    val cf = SinkChanges.changesFor(spark, "scd2", dir, Map.empty,
+      epoch = 1L, prev = Some(0L))
+    val rows = cf.collect().sortBy(_.getAs[String]("key_json"))
+    assert(rows.length == 2, rows.mkString(";"))
+    val upd = rows.find(_.getAs[String]("op") == "r").get
+    assert(upd.getAs[String]("key_json").contains("7") &&
+      upd.getAs[Long]("pos") == 900007L &&
+      upd.getAs[String]("after_json").contains("updated"))
+    val del = rows.find(_.getAs[String]("op") == "d").get
+    assert(del.getAs[String]("key_json").contains("9") &&
+      del.getAs[Long]("pos") == 900009L &&
+      del.getAs[String]("after_json") == null)
+
+    // I/O bound: nothing outside e1/ and the touched buckets' prev open
+    // sets may be read — in particular NOT the closed history and NOT
+    // the 14+ untouched open buckets
+    val files = cf.inputFiles.toSeq
+    val offenders = files.filterNot(f =>
+      f.contains("/e1/") || f.contains("/e0/_closed=false/"))
+    assert(offenders.isEmpty, s"reads outside the epoch artifacts: $offenders")
+    val prevOpen = files.filter(_.contains("/e0/_closed=false/"))
+      .flatMap(_.split("/").find(_.startsWith("_bucket="))).toSet
+    assert(prevOpen.size <= 2,
+      s"prev open reads must be bounded by touched buckets: $prevOpen")
+  }
+
+  test("scd2 fast path matches the diff fallback row-for-row") {
+    val dir = Files.createTempDirectory("cfio-eq").toString
+    val sink = new Scd2Sink(dir, buckets = 4)
+    assert(sink.merge(envBatch((1 to 20).map(k =>
+      (k, s"n$k", "r")): _*), 0L))
+    val b = envBatch((3, "u3", "u"), (4, null, "d"), (77, "new", "c"))
+      .withColumn("source",
+        struct((col("key.n_nationkey") + 500000L).as("pos")))
+    assert(sink.merge(b, 1L))
+    val fast = SinkChanges.changesFor(spark, "scd2", dir, Map.empty, 1L,
+      Some(0L)).collect().map(_.toString).sorted
+    // the reference result: the diff derivation (state-vs-state on key
+    // + droppedAt tombstones), invoked directly
+    val sink2 = new Scd2Sink(dir, buckets = 4)
+    val cur = sink2.stateAt(spark, 1L).get
+    val prev = sink2.stateAt(spark, 0L).get
+    val diffChanged = cur.join(
+        prev.select(col("key"), col("pos").as("__p")), Seq("key"), "left")
+      .filter(col("__p").isNull || col("__p") =!= col("pos"))
+      .drop("__p")
+      .select(lit(1L).as("epoch"), col("op"), col("pos"),
+        to_json(col("key")).as("key_json"),
+        to_json(col("after")).as("after_json"))
+    val dropped = sink2.droppedAt(spark, 1L, 0L).get
+      .select(lit(1L).as("epoch"), lit("d").as("op"), col("pos"),
+        to_json(col("key")).as("key_json"),
+        lit(null).cast("string").as("after_json"))
+    val slow = diffChanged.unionByName(dropped)
+      .collect().map(_.toString).sorted
+    assert(fast.toSeq == slow.toSeq,
+      s"fast=${fast.mkString("|")} slow=${slow.mkString("|")}")
+  }
+}

@@ -57,7 +57,7 @@ class RestartResumeSpec extends AnyFunSuite {
             col("op"), struct(col("pos")).as("source"),
             lit(null).cast("string").as("transaction"),
             col("pos").as("ts_ms"))
-          sink.merge(env, epoch)
+          sink.merge(env, epoch): Unit
         }.start()
       q.awaitTermination()
     }
