@@ -291,10 +291,61 @@ class GraftSinkCatalog extends TableCatalog with SupportsNamespaces {
       props.toMap, None)
   }
 
+  /** `ALTER TABLE … ADD COLUMN after.<c> <type>` (and `before.<c>`)
+    * maps to a stored-DDL update: the sinks already merge evolved
+    * payloads BY NAME (K4 — `MergeSink`'s unionByName with missing
+    * columns), and the read side conforms state to the stored envelope
+    * (`GraftSinkCatalog.conform`: missing fields read null), so
+    * widening the payload struct is pure metadata — no data rewrite,
+    * exactly Delta's ADD COLUMN. Everything else is refused: the
+    * envelope's TOP level is the feed contract (strict write schema),
+    * `key` is row identity, `source`/`op` are bookkeeping, and
+    * drop/rename/retype would orphan or mislabel already-written state.
+    */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER on sink tables: schema follows the feed (K4 evolution)")
+                          changes: TableChange*): Table = {
+    val (kind, baseIdent, metaSuffix) = resolveIdent(ident)
+    if (metaSuffix.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$ident is a read-only metadata table")
+    val meta = metaFile(baseIdent)
+    val lines = Files.readAllLines(meta).asScala
+    val envelope = DataType.fromDDL(lines.head).asInstanceOf[StructType]
+    val evolved = changes.foldLeft(envelope) { (env, ch) =>
+      ch match {
+        case add: TableChange.AddColumn
+            if add.fieldNames.length == 2 &&
+              Set("after", "before").contains(
+                add.fieldNames()(0).toLowerCase(java.util.Locale.ROOT)) =>
+          require(add.position() == null,
+            "ADD COLUMN on sink tables appends at the end of the payload " +
+              "struct — FIRST/AFTER positions are not supported (column " +
+              "order is not part of the by-name merge contract)")
+          val parent = add.fieldNames()(0)
+          val newName = add.fieldNames()(1)
+          StructType(env.fields.map { f =>
+            if (!f.name.equalsIgnoreCase(parent)) f
+            else f.dataType match {
+              case st: StructType =>
+                require(!st.fields.exists(_.name.equalsIgnoreCase(newName)),
+                  s"column $parent.$newName already exists")
+                f.copy(dataType = StructType(st.fields :+
+                  StructField(newName, add.dataType, nullable = true)))
+              case other => throw new UnsupportedOperationException(
+                s"$parent is not a struct payload (got ${other.simpleString})")
+            }
+          })
+        case other =>
+          throw new UnsupportedOperationException(
+            "ALTER on sink tables: schema follows the feed (K4 evolution); " +
+              "only ADD COLUMN inside the after/before payload structs is " +
+              s"a valid metadata evolution — got $other")
+      }
+    }
+    Files.writeString(meta,
+      (evolved.toDDL +: lines.drop(1)).mkString("\n"))
+    loadTable(Identifier.of(baseIdent.namespace, baseIdent.name))
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     kindOpt(ident) match {

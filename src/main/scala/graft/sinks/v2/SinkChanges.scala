@@ -1,8 +1,8 @@
 package graft.sinks.v2
 
-import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
-import scala.util.Using
+
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -179,19 +179,15 @@ class SinkChangesMicroBatchStream(kind: String, path: String,
   override def stop(): Unit = ()
 
   /** Spool dir of one epoch's change rows under the query checkpoint —
-    * stable across restarts, so a replayed batch reuses the files.
-    * Spark hands the location as a URI (`file:/...`); normalize to a
-    * local path for the java.nio side (the spool is driver+executor
-    * local in local mode; a cluster deployment would swap these four
-    * Files calls for the Hadoop FS API).
+    * stable across restarts, so a replayed batch reuses the files. The
+    * checkpoint location is whatever the query's cluster uses
+    * (`file:`, `hdfs://`, `s3a://`): all spool I/O goes through the
+    * Hadoop FileSystem API, so a non-local checkpoint works — driver
+    * writes/lists via the resolved FS, executors re-open the files
+    * with the shipped conf subset (see [[SinkChangesPartitionReader]]).
     */
-  private def spoolDir(epoch: Long): Path = {
-    val base =
-      if (checkpointLocation.startsWith("file:"))
-        Paths.get(java.net.URI.create(checkpointLocation))
-      else Paths.get(checkpointLocation)
-    base.resolve("graft-changes").resolve(s"e$epoch")
-  }
+  private def spoolDir(epoch: Long): HPath =
+    new HPath(checkpointLocation, s"graft-changes/e$epoch")
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
@@ -200,22 +196,23 @@ class SinkChangesMicroBatchStream(kind: String, path: String,
     val versions = sink.versions
     val admitted = versions.filter(v => v > s && v <= e)
     val spark = SparkSession.active
+    val hconf = spark.sessionState.newHadoopConf()
+    val shipped = InternalRowParquet.shippableConf(hconf)
     admitted.flatMap { epoch =>
       val dir = spoolDir(epoch)
-      if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      val fs = dir.getFileSystem(hconf)
+      if (!fs.exists(new HPath(dir, "_SUCCESS"))) {
         val prev = versions.filter(_ < epoch).lastOption
         SinkChanges.changesFor(spark, kind, path, props, epoch, prev)
           .toJSON.write.mode("overwrite").text(dir.toString)
       }
-      Using.resource(Files.list(dir)) { st =>
-        st.iterator().asScala
-          .filter { p =>
-            val n = p.getFileName.toString
-            !n.startsWith("_") && !n.startsWith(".")
-          }
-          .map(p => SinkChangesPartition(p.toString): InputPartition)
-          .toSeq
-      }
+      fs.listStatus(dir).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map(st => SinkChangesPartition(st.getPath.toString,
+          shipped): InputPartition)
     }.toArray
   }
 
@@ -225,14 +222,29 @@ class SinkChangesMicroBatchStream(kind: String, path: String,
         partition.asInstanceOf[SinkChangesPartition])
 }
 
-case class SinkChangesPartition(file: String) extends InputPartition
+case class SinkChangesPartition(file: String,
+                                confProps: Map[String, String])
+    extends InputPartition
 
-/** JSON-lines reader for a spooled change segment (fixed feed schema). */
+/** JSON-lines reader for a spooled change segment (fixed feed schema).
+  * Opens the segment through the Hadoop FS resolved from the shipped
+  * conf subset — works for `file:`, HDFS and object-store checkpoints
+  * alike (Configuration itself is not serializable, so the partition
+  * carries only the relevant `fs.*`/`dfs.*` keys).
+  */
 class SinkChangesPartitionReader(part: SinkChangesPartition)
     extends PartitionReader[InternalRow] {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-  private val lines = Files.lines(Paths.get(part.file))
-  private val it = lines.iterator().asScala.filter(_.nonEmpty)
+  private val stream = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    part.confProps.foreach { case (k, v) => conf.set(k, v) }
+    val p = new HPath(part.file)
+    p.getFileSystem(conf).open(p)
+  }
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(stream, java.nio.charset.StandardCharsets.UTF_8))
+  private val it = Iterator.continually(reader.readLine())
+    .takeWhile(_ != null).filter(_.nonEmpty)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -250,5 +262,5 @@ class SinkChangesPartitionReader(part: SinkChangesPartition)
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = lines.close()
+  override def close(): Unit = reader.close()
 }

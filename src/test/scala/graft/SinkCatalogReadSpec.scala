@@ -290,6 +290,37 @@ class SinkCatalogReadSpec extends AnyFunSuite {
     }
   }
 
+  test("$changes streaming spool rides the Hadoop FS API: an explicit " +
+      "file: URI checkpoint works and the spool lands under it") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (name, _) = freshTable("lsm")
+    val ident = name.split('.').last
+    // an explicitly URI-form checkpoint (what a cluster passes for
+    // hdfs://…/s3a://… locations; java.nio Paths would choke on it)
+    val ckptUri = "file:" +
+      Files.createTempDirectory("chg-hfs").toString + "/ckpt"
+    val qn = s"cfh_${System.nanoTime()}"
+    val q = spark.readStream.table(s"$cat.lsm.`$ident$$changes`")
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", ckptUri)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // delivered rows == the batch table read
+    assert(canon(spark.table(qn)) ==
+      canon(spark.sql(s"SELECT * FROM $cat.lsm.`$ident$$changes`")))
+    // Hadoop Path round trip: the spool landed under the URI checkpoint
+    // (Spark hands the stream its per-source subdir, <ckpt>/sources/<i>)
+    val root = new org.apache.hadoop.fs.Path(ckptUri)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(root, true)
+    var spooled = Vector.empty[String]
+    while (it.hasNext) {
+      val p = it.next().getPath.toString
+      if (p.contains("/graft-changes/e")) spooled :+= p
+    }
+    assert(spooled.nonEmpty, s"no spool files under $ckptUri")
+  }
+
   test("$changes: streaming read delivers one micro-batch per epoch and " +
       "resumes at the epoch frontier across restarts") {
     import org.apache.spark.sql.streaming.Trigger
@@ -392,6 +423,40 @@ class SinkCatalogReadSpec extends AnyFunSuite {
     // % 2 = 0 OR >= 0 covers every nation key: all rows tombstoned
     assert(spark.sql(s"SELECT * FROM $name WHERE op <> 'd'").count() == 0,
       "both disjuncts must apply — narrowing would leave rows live")
+  }
+
+  test("ALTER TABLE ADD COLUMN after.<c>: metadata-only payload " +
+      "evolution — old rows read null, DML fills it, the rest is refused") {
+    val (name, _) = freshTable("lsm")
+    spark.sql(s"ALTER TABLE $name ADD COLUMNS (after.note STRING)")
+    // stored DDL evolved; existing state conforms — the new column reads
+    // null with zero data rewrite (Delta ADD COLUMN semantics)
+    val vals = spark.sql(s"SELECT after.note FROM $name WHERE op <> 'd'")
+      .collect()
+    assert(vals.nonEmpty && vals.forall(_.isNullAt(0)))
+    // the evolved column is writable through the DML path
+    spark.sql(s"UPDATE $name SET after.note = 'evolved' " +
+      "WHERE key.o_orderkey = 32")
+    val got = spark.sql(s"SELECT after.note FROM $name " +
+      "WHERE key.o_orderkey = 32").collect()
+    assert(got.length == 1 && got.head.getString(0) == "evolved")
+    // duplicate add fails with the column named
+    val dup = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $name ADD COLUMNS (after.note STRING)")
+    }
+    assert(dup.getMessage.contains("note"), dup.getMessage)
+    // everything else stays pinned-refused: top-level adds, bookkeeping
+    // structs, drops and renames follow the feed
+    for (stmt <- Seq(
+        s"ALTER TABLE $name ADD COLUMNS (extra STRING)",
+        s"ALTER TABLE $name ADD COLUMNS (source.x INT)",
+        s"ALTER TABLE $name DROP COLUMN op",
+        s"ALTER TABLE $name RENAME COLUMN op TO operation")) {
+      val e = intercept[Exception] { spark.sql(stmt) }
+      assert(e.getMessage.contains("schema follows the feed") ||
+        e.getMessage.toLowerCase.contains("unsupported"),
+        s"$stmt => ${e.getMessage}")
+    }
   }
 
   test("catalog ergonomics: SHOW NAMESPACES / SHOW TABLES / DESCRIBE") {
