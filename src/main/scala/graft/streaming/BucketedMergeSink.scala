@@ -201,6 +201,12 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
         val prev = parseManifest(prevMf)
         val touched = (cur.keySet ++ prev.keySet)
           .filter(b => cur.get(b).map(_._1) != prev.get(b).map(_._1))
+        // vacuumed touched-bucket data on either side → diff fallback
+        // (whose stateAt raises the strict erosion error) rather than
+        // silently over-reporting changes against missing prev rows
+        val refs = (cur.filter(kv => touched(kv._1)) ++
+          prev.filter(kv => touched(kv._1))).values.map(_._1)
+        if (refs.exists(r => !Files.exists(Paths.get(r)))) return None
         readBuckets(spark, cur.filter(kv => touched(kv._1)).values.toSeq)
           .map { c =>
             readBuckets(spark,

@@ -311,7 +311,12 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     }.toSet
     val prevOpen = prevEpoch.flatMap { p =>
       val m = manifestAt(p)
-      readByDdl(spark, m.open.filter(kv => touched(kv._1)).values.toSeq)
+      val refs = m.open.filter(kv => touched(kv._1))
+      // vacuumed prev open data → diff fallback (strict erosion error
+      // there), never silently mis-derived new-key/delete sets
+      if (refs.values.exists(r => !Files.exists(Paths.get(r._1))))
+        return None
+      readByDdl(spark, refs.values.toSeq)
     }
     val prevKeys = prevOpen.map(_.select(col("key")).distinct())
     val closureKeys = closures.map(_.select(col("key")).distinct())
