@@ -794,6 +794,66 @@ object StreamingQueries extends QueryGroup {
         s.table(s"graft_wt.scd2.$tbl").schema)
     }),
 
+    // K2b CHANGEFEED over the FULL kind with `changefeed=true` — the
+    // Delta enableChangeDataFeed analog: each epoch persists its
+    // reduced batch as a `c<epoch>/` change-delta sidecar, so the feed
+    // derives epoch-locally (O(|batch|) per epoch) instead of the
+    // state-vs-state diff the kind would otherwise pay (O(table) per
+    // retained version). Latest-by-pos over the feed == the table's
+    // batch read — same oracle as the other kinds' changefeeds.
+    "k2_changes_full" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+      writetoTable(s, fd, tbl, kind = "full",
+        props = Map("changefeed" -> "true"))
+      changefeedReduce(s, s"graft_wt.full.`$tbl$$changes`",
+        s.table(s"graft_wt.full.$tbl").schema)
+    }),
+
+    // K2b MAINTENANCE PROCEDURES (Spark 4 ProcedureCatalog — the
+    // Iceberg `CALL cat.system.<proc>` surface): fold an LSM table's
+    // outstanding deltas on demand, then read the table back — the
+    // compacted state must equal the pre-compaction merge-on-read
+    // state (same oracle as every orders materialization).
+    "k2_call_compact" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+      // compactEvery=100 keeps the automatic fold out of the way so the
+      // CALL is what compacts
+      writetoTable(s, fd, tbl, props = Map("compactEvery" -> "100"))
+      val res = s.sql(
+        s"CALL graft_wt.system.compact(table => 'lsm.$tbl')").collect()
+      require(res.length == 1 && res(0).getBoolean(0),
+        s"CALL compact must fold the outstanding deltas: ${res.toSeq}")
+      s.sql(s"SELECT after.* FROM graft_wt.lsm.$tbl WHERE op <> 'd'")
+    }),
+
+    // CALL rebucket: rewrite the bucket layout under a new count (one
+    // O(table) epoch), update the stored `buckets` property, then keep
+    // USING the table — a further epoch must merge into the new layout
+    // (the stored-property rewrite is what makes the next load pass
+    // the layout check).
+    "k2_call_rebucket" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+      if (s.conf.getOption("spark.sql.catalog.graft_wt").isEmpty) {
+        s.conf.set("spark.sql.catalog.graft_wt",
+          classOf[graft.sinks.v2.GraftSinkCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_wt.root",
+          java.nio.file.Files.createTempDirectory("wt-catalog").toString)
+      }
+      fd.filter(col("op") === "r").writeTo(s"graft_wt.bucketed.$tbl")
+        .tableProperty("buckets", "16").create()
+      val res = s.sql(
+        s"CALL graft_wt.system.rebucket(table => 'bucketed.$tbl', " +
+          "buckets => 8)").collect()
+      require(res.length == 1 && res(0).getInt(0) == 16 &&
+        res(0).getInt(1) == 8, s"unexpected rebucket result: ${res.toSeq}")
+      fd.filter(col("op") =!= "r").writeTo(s"graft_wt.bucketed.$tbl")
+        .append()
+      s.sql(s"SELECT after.* FROM graft_wt.bucketed.$tbl WHERE op <> 'd'")
+    }),
+
     // The scd2 sink's `$history` METADATA TABLE (Iceberg-style suffix):
     // the full SCD-2 version history — closed intervals + open versions
     // — queryable as plain SQL over the catalog, equal to the batch
@@ -991,15 +1051,17 @@ object StreamingQueries extends QueryGroup {
   }
 
   private def writetoTable(s: SparkSession, fd: DataFrame,
-                           tbl: String, kind: String = "lsm"): Unit = {
+                           tbl: String, kind: String = "lsm",
+                           props: Map[String, String] = Map.empty): Unit = {
     if (s.conf.getOption("spark.sql.catalog.graft_wt").isEmpty) {
       s.conf.set("spark.sql.catalog.graft_wt",
         classOf[graft.sinks.v2.GraftSinkCatalog].getName)
       s.conf.set("spark.sql.catalog.graft_wt.root",
         java.nio.file.Files.createTempDirectory("wt-catalog").toString)
     }
-    fd.filter(col("op") === "r").writeTo(s"graft_wt.$kind.$tbl")
+    val w0 = fd.filter(col("op") === "r").writeTo(s"graft_wt.$kind.$tbl")
       .tableProperty("buckets", "16").tableProperty("compactEvery", "2")
+    props.foldLeft(w0) { case (w, (k, v)) => w.tableProperty(k, v) }
       .create()
     fd.filter(col("op") =!= "r").writeTo(s"graft_wt.$kind.$tbl")
       .option("epoch", "1").append()
@@ -1112,6 +1174,12 @@ object StreamingQueries extends QueryGroup {
     // same reconstruction over the bucketed/scd2 fast-path derivations
     "k2_changes_bucketed" -> ordersLatest,
     "k2_changes_scd2" -> ordersLatest,
+    // and over the full kind's opt-in change-delta sidecars
+    "k2_changes_full" -> ordersLatest,
+
+    // maintenance procedures preserve the table's read exactly
+    "k2_call_compact" -> ordersLatest,
+    "k2_call_rebucket" -> ordersLatest,
 
     // ordersLatest minus the SQL-deleted rows (updated status 'U' keys
     // and the low-key range) — deletes are epoch-committed tombstones

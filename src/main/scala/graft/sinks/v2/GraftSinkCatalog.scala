@@ -82,7 +82,8 @@ import graft.streaming.{BucketedMergeSink, CdcSink, LsmMergeSink, MergeSink, Scd
   * (and flows into the underlying parquet scans through the sinks' own
   * Catalyst plans); a pinned (time-travel) table refuses writes.
   */
-class GraftSinkCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSinkCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -182,6 +183,28 @@ class GraftSinkCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       "sink namespaces are structural — drop the tables, not the kind")
 
+  // ------------------------------------------------- ProcedureCatalog
+  // Table maintenance as SQL (`CALL graft.system.vacuum('lsm.orders')`)
+  // through Spark 4's native procedure contract — see [[SinkProcedures]].
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val known = SinkProcedures.names.sorted.mkString("/")
+    if (!ident.namespace.sameElements(Array("system")))
+      throw new IllegalArgumentException(
+        s"procedures live under the 'system' namespace — " +
+          s"CALL $catalogName.system.<$known>(...), got $ident")
+    SinkProcedures.load(root, ident.name).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown procedure $ident — expected one of $known"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      SinkProcedures.names.map(n =>
+        Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
   /** Parse + validate an identifier ONCE for both loadTable paths:
     * (kind, base-table ident, metadata suffix). The Iceberg-style
     * suffixes: `<name>$history` (scd2 only) and `<name>$changes`
@@ -277,13 +300,18 @@ class GraftSinkCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     Files.createDirectories(dir)
     val props = properties.asScala.toSeq.sortBy(_._1)
-      .filter { case (k, _) => k == "buckets" || k == "compactEvery" }
+      .filter { case (k, _) =>
+        k == "buckets" || k == "compactEvery" || k == "changefeed" }
     // validate at CREATE, not first use: a bad value would otherwise
     // produce a table that mis-partitions silently (buckets=0 makes
     // pmod null) or can never be loaded (overflow throws in sinkFor)
-    props.foreach { case (k, v) =>
-      require(v.trim.toIntOption.exists(_ > 0),
-        s"table property '$k' must be a positive integer, got '$v'") }
+    props.foreach {
+      case ("changefeed", v) =>
+        require(Set("true", "false")(v.trim.toLowerCase(java.util.Locale.ROOT)),
+          s"table property 'changefeed' must be true or false, got '$v'")
+      case (k, v) =>
+        require(v.trim.toIntOption.exists(_ > 0),
+          s"table property '$k' must be a positive integer, got '$v'") }
     Files.writeString(metaFile(ident),
       (schema.toDDL +: props.map { case (k, v) => s"$k=$v" })
         .mkString("\n"))
@@ -402,8 +430,13 @@ object GraftSinkCatalog {
     }
     def buckets = intProp("buckets", 16)
     def compactEvery = intProp("compactEvery", 8)
+    // `changefeed=true` (full kind only): persist per-epoch change-delta
+    // sidecars so `$changes` derives epoch-locally — Delta's opt-in
+    // enableChangeDataFeed analog (the other kinds are epoch-local for free)
+    def changefeed = props.get("changefeed")
+      .exists(_.trim.equalsIgnoreCase("true"))
     kind match {
-      case "full"     => new MergeSink(path)
+      case "full"     => new MergeSink(path, changefeed)
       case "bucketed" => new BucketedMergeSink(path, buckets)
       case "lsm"      => new LsmMergeSink(path, buckets, compactEvery)
       case "scd2"     => new Scd2Sink(path, buckets, compactEvery)
@@ -436,7 +469,14 @@ object GraftSinkCatalog {
                                   props: Map[String, String], what: String)
                                  (attempt: (CdcSink, Long) => Boolean)
       : Unit = {
-    val maxAttempts = 6
+    // enough attempts to outlast a realistic burst of rival commits, plus
+    // JITTERED BACKOFF on the lost-race path below: with N contending
+    // default-epoch writers and immediate retries, every loser re-resolves
+    // the same new tip in lockstep and one statement can starve through
+    // a whole attempt budget while the sink is making progress (observed
+    // with 12 writers at maxAttempts=6, no backoff) — the sleep spreads
+    // the re-resolutions so each commit round retires a different writer
+    val maxAttempts = 20
     var n = 0
     while (true) {
       n += 1
@@ -458,6 +498,11 @@ object GraftSinkCatalog {
           throw new graft.streaming.ConcurrentEpochCommitException(
             s"$what: lost the epoch race $maxAttempts times to concurrent " +
               "writers — giving up; re-run the statement")
+        // a rival committed our resolved epoch: back off a jittered
+        // beat before rebasing (capped linear — the contention window
+        // here is a commit, not a transaction)
+        Thread.sleep(25L + java.util.concurrent.ThreadLocalRandom
+          .current().nextLong(math.min(200L, 25L * n)))
       } else {
         // rival holds the in-flight claim: wait for its commit to land
         // (tip moves past our epoch) or its claim to clear on failure

@@ -26,12 +26,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * new `writeTo(...).append()` epochs arrive as new micro-batches.
   *
   * Per-epoch change derivation:
-  *   - LSM tables read the epoch's own DELTA dir (`d<epoch>/`) — the
-  *     reduced batch the epoch appended, zero recompute, I/O tracks the
-  *     CHANGE RATE, never the table (the changefeed-optimized kind);
-  *   - other kinds (and vacuumed LSM deltas) diff the epoch's state
-  *     against the previous retained version on `key`: a row changed iff
-  *     its merge position moved. Both derivations converge to the same
+  *   - every kind has an EPOCH-LOCAL fast path (LSM delta dirs,
+  *     bucketed touched-bucket versions, scd2 epoch partitions, the
+  *     full kind's opt-in `changefeed=true` change-delta sidecars):
+  *     I/O tracks the CHANGE RATE, never the table;
+  *   - the fallback (full tables without the sidecar opt-in, vacuumed
+  *     artifacts) diffs the epoch's state against the previous retained
+  *     version on `key`: a row changed iff its merge position moved.
+  *     Both derivations converge to the same
   *     state under latest-by-pos consumption (a delta row that lost the
   *     pos race to existing state appears in the feed but never in the
   *     reduced result — standard at-least-once CDC semantics).

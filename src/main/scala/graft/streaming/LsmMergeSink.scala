@@ -319,6 +319,32 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     publishEpoch(root, pointer, epochId, observed, mfName)
   }
 
+  /** Fold all outstanding deltas into their buckets NOW as a fresh
+    * epoch — the on-demand half of the compaction cadence (`CALL
+    * graft.system.compact(...)`), running the same touched-only fold
+    * as the automatic `compactEvery` trigger. Returns the committed
+    * epoch, or None when there are no outstanding deltas (nothing
+    * folds, nothing commits).
+    */
+  def compactNow(spark: SparkSession): Option[Long] = {
+    val observed = committedEpoch
+    if (observed.isEmpty) return None
+    val epochId = observed.get + 1
+    claimEpoch(epochId)
+    try {
+      // re-check under the claim: a rival committing our epoch between
+      // resolution and the claim must fail loudly, not fold stale state
+      val now = committedEpoch
+      if (now != observed)
+        throw new ConcurrentEpochCommitException(
+          s"LsmMergeSink($dir): committed tip moved from $observed to " +
+            s"$now while claiming compaction epoch $epochId — re-run")
+      val m = manifest
+      if (m.deltas.isEmpty) None
+      else { compact(spark, m, epochId, observed); Some(epochId) }
+    } finally releaseClaim(epochId)
+  }
+
   /** RE-BUCKET COMPACTION (see [[BucketedMergeSink.rebucket]]): the
     * full merge-on-read state rewrites as a fresh all-base layout under
     * the new bucket count — outstanding deltas fold in as a side

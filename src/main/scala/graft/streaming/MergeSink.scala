@@ -79,11 +79,13 @@ trait CdcSink {
     * envelope rows of `epoch` — `(key, after, op, pos)`, deletes
     * included as `op='d'` rows with null `after` — derived from the
     * epoch's OWN artifacts (LSM delta dirs, bucketed touched-bucket
-    * versions, scd2 epoch partitions), so per-epoch changefeed I/O
+    * versions, scd2 epoch partitions, the full kind's opt-in
+    * `c<epoch>/` change-delta sidecars), so per-epoch changefeed I/O
     * tracks the CHANGE RATE, never the table size. None when the sink
-    * keeps no epoch-local artifacts (the full-rewrite [[MergeSink]]) or
-    * they were vacuumed/rebucketed away — [[graft.sinks.v2.SinkChanges]]
-    * then falls back to the state-vs-state diff + [[droppedAt]].
+    * keeps no epoch-local artifacts (the full-rewrite [[MergeSink]]
+    * without `changefeed=true`) or they were vacuumed/rebucketed away —
+    * [[graft.sinks.v2.SinkChanges]] then falls back to the
+    * state-vs-state diff + [[droppedAt]].
     */
   def changesAt(spark: SparkSession, epoch: Long,
                 prevEpoch: Option[Long]): Option[DataFrame] = None
@@ -241,7 +243,19 @@ object CdcSink {
   }
 }
 
-class MergeSink(dir: String) extends CdcSink {
+/** @param changefeedDelta when true, every epoch also persists its
+  *   mode-filtered reduced batch as a `c<epoch>/` CHANGE DELTA sidecar
+  *   (the Delta Lake `enableChangeDataFeed` analog: `_change_data`
+  *   files written alongside the version), so the `$changes` feed
+  *   derives each epoch from O(|batch|) bytes instead of the
+  *   state-vs-state diff (O(table) per epoch). Opt-in like Delta's CDF
+  *   because on the full-rewrite kind the sidecar is EXTRA write I/O —
+  *   the other sink kinds keep epoch-local artifacts anyway. Epochs
+  *   written while the flag was off (or by a handle without it) simply
+  *   fall back to the diff derivation.
+  */
+class MergeSink(dir: String, changefeedDelta: Boolean = false)
+    extends CdcSink {
   private val root = Paths.get(dir)
   private val pointer = root.resolve("CURRENT")
 
@@ -338,28 +352,50 @@ class MergeSink(dir: String) extends CdcSink {
     val spark = batch.sparkSession
     val reduced0 = Materialize.reduceByKey(batch)
       .select(col("key"), col("after"), col("op"), col("source.pos").as("pos"))
-    val merged = state(spark) match {
-      case None =>
-        if (mode == "update") reduced0.limit(0) else reduced0
+    val prevState = state(spark)
+    // the epoch's own change rows: the reduced batch AFTER mode
+    // filtering — exactly what rides into the merge below, and (when
+    // changefeedDelta is on) what the `$changes` feed serves for this
+    // epoch, so feed and state derive from the same rows by construction
+    val incoming0 = prevState match {
+      case None => if (mode == "update") reduced0.limit(0) else reduced0
+      case Some(prev) => mode match {
+        case "insert" =>
+          // append-only: keys already in state never replace it
+          reduced0.join(prev.select(col("key")), Seq("key"), "left_anti")
+        case "update" =>
+          // matched-only: keys NOT already in state are dropped
+          reduced0.join(prev.select(col("key")), Seq("key"), "left_semi")
+        case _ => reduced0
+      }
+    }
+    // persist the change delta FIRST and merge from the written files:
+    // one evaluation, and the feed is bit-identical to the merge input
+    // (reduceByKey over a tied pos is free to pick either event — two
+    // evaluations could diverge)
+    val incoming =
+      if (!changefeedDelta) incoming0
+      else {
+        val cdir = root.resolve(s"c$epochId")
+        incoming0.write.mode("overwrite").parquet(cdir.toString)
+        // pinned schema: an EMPTY epoch's sidecar must still read (an
+        // inference-based read would fail on a schemaless empty dir)
+        spark.read.schema(incoming0.schema).parquet(cdir.toString)
+      }
+    val merged = prevState match {
+      case None => incoming
       case Some(prev) =>
         graft.expressions.GraftFunctions.register(spark)
         mode match {
           case "insert" =>
-            // append-only: existing keys keep their state untouched;
             // by-name union so evolved batch schemas merge like upsert
-            prev.unionByName(
-              reduced0.join(prev.select(col("key")), Seq("key"), "left_anti"),
-              allowMissingColumns = true)
-          case m =>
-            val reduced =
-              if (m == "update")
-                reduced0.join(prev.select(col("key")), Seq("key"), "left_semi")
-              else reduced0
+            prev.unionByName(incoming, allowMissingColumns = true)
+          case _ =>
             // unionByName + allowMissingColumns: a batch written under an
             // evolved payload schema (added columns) merges into older
             // state, old rows reading the new columns as null — the sink
             // half of K4 schema evolution (Delta mergeSchema semantics)
-            prev.unionByName(reduced, allowMissingColumns = true)
+            prev.unionByName(incoming, allowMissingColumns = true)
               .groupBy(col("key"))
               .agg(graft.expressions.GraftFunctions.latestByPos(
                 struct(col("after"), col("op"), col("pos")), col("pos")).as("e"))
@@ -371,5 +407,54 @@ class MergeSink(dir: String) extends CdcSink {
     merged.write.mode("overwrite").parquet(root.resolve(vname).toString)
     Files.createDirectories(root)
     publishEpoch(root, pointer, epochId, committed, vname)
+  }
+
+  /** Changefeed fast path from the `c<epoch>/` change-delta sidecar
+    * (present iff the epoch was written with `changefeedDelta`). The
+    * fast path is only valid when `prevEpoch` is the epoch's TRUE
+    * predecessor or the epoch is the table's first commit (epoch 0):
+    * after old versions are vacuumed away, `prevEpoch=None` means
+    * "serve a snapshot", and an incremental delta is not one — the
+    * diff fallback then serves the full state.
+    */
+  override def changesAt(spark: SparkSession, epoch: Long,
+                         prevEpoch: Option[Long]): Option[DataFrame] = {
+    if (prevEpoch.isEmpty && epoch != 0L) return None
+    val c = root.resolve(s"c$epoch")
+    if (!Files.isDirectory(c)) None
+    else Some(spark.read.parquet(c.toString))
+  }
+
+  /** Delete version dirs (and their change-delta sidecars and commit
+    * sidecars) BELOW the committed tip — the full-kind analog of the
+    * manifest-referenced vacuum on lsm/bucketed/scd2. Erodes time
+    * travel and the batch `$changes` read to the current version (the
+    * feed then serves the tip as one snapshot batch); the tip's own
+    * `c<epoch>/` delta is kept so subsequent epochs keep their
+    * epoch-local derivation. Returns the number of dirs deleted.
+    */
+  def vacuum(): Int = {
+    val tip = committedEpoch.getOrElse(return 0)
+    if (!Files.exists(root)) return 0
+    val N = """[vc](\d+)""".r
+    val dead = scala.util.Using.resource(Files.list(root)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.filter { p =>
+        Files.isDirectory(p) && (p.getFileName.toString match {
+          case N(e) => e.toLong < tip
+          case _ => false
+        })
+      }.toSeq
+    }
+    dead.foreach { p =>
+      scala.util.Using.resource(Files.walk(p)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(Files.delete(_))
+      }
+      // the commit-ts sidecar of a vacuumed version is dead metadata
+      Files.deleteIfExists(
+        p.resolveSibling(p.getFileName.toString + ".committs")): Unit
+    }
+    dead.size
   }
 }

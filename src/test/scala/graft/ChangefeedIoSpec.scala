@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sinks.v2.SinkChanges
-import graft.streaming.{BucketedMergeSink, Scd2Sink}
+import graft.streaming.{BucketedMergeSink, MergeSink, Scd2Sink}
 
 /** `$changes` derivation cost (CdcSink.changesAt): per-epoch changefeed
   * READ I/O must track the CHANGE RATE, not the table size. The r12
@@ -100,6 +100,63 @@ class ChangefeedIoSpec extends AnyFunSuite {
       .flatMap(_.split("/").find(_.startsWith("_bucket="))).toSet
     assert(prevOpen.size <= 2,
       s"prev open reads must be bounded by touched buckets: $prevOpen")
+  }
+
+  test("full-kind $changes with changefeed=true reads ONLY the epoch's " +
+      "change-delta sidecar, and matches the diff fallback row-for-row") {
+    val dir = Files.createTempDirectory("cfio-f").toString
+    val sink = new MergeSink(dir, changefeedDelta = true)
+    assert(sink.merge(envBatch((1 to 64).map(k =>
+      (k, s"n$k", "r")): _*), 0L))
+    // epoch 1: one update, one delete
+    val b = envBatch((7, "updated", "u"), (9, null, "d"))
+      .withColumn("source",
+        struct((col("key.n_nationkey") + 900000L).as("pos")))
+    assert(sink.merge(b, 1L))
+
+    val fastDf = SinkChanges.changesFor(spark, "full", dir,
+      Map("changefeed" -> "true"), epoch = 1L, prev = Some(0L))
+    // I/O bound: the per-epoch derivation must read the c1/ sidecar and
+    // NOTHING else — in particular neither full state version
+    val files = fastDf.inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(_.contains("/c1/")),
+      s"full-kind fast path must read only c1/: $files")
+    val fast = fastDf.collect().map(_.toString).sorted
+    // the reference result: the state-vs-state diff + droppedAt (what a
+    // table WITHOUT the sidecar opt-in pays)
+    val plain = new MergeSink(dir)
+    val cur = plain.stateAt(spark, 1L).get
+    val prev = plain.stateAt(spark, 0L).get
+    val slow = cur.join(
+        prev.select(col("key"), col("pos").as("__p")), Seq("key"), "left")
+      .filter(col("__p").isNull || col("__p") =!= col("pos"))
+      .drop("__p")
+      .select(lit(1L).as("epoch"), col("op"), col("pos"),
+        to_json(col("key")).as("key_json"),
+        to_json(col("after")).as("after_json"))
+      .collect().map(_.toString).sorted
+    assert(fast.toSeq == slow.toSeq,
+      s"fast=${fast.mkString("|")} slow=${slow.mkString("|")}")
+  }
+
+  test("full-kind vacuum erodes the feed to a tip snapshot — an " +
+      "incremental sidecar must NOT serve as the first retained epoch") {
+    val dir = Files.createTempDirectory("cfio-fv").toString
+    val sink = new MergeSink(dir, changefeedDelta = true)
+    assert(sink.merge(envBatch((1 to 20).map(k =>
+      (k, s"n$k", "r")): _*), 0L))
+    assert(sink.merge(envBatch((3, "u3", "u")).withColumn("source",
+      struct(lit(900000L).as("pos"))), 1L))
+    assert(sink.vacuum() >= 1)
+    // only the tip is retained; its c1/ sidecar holds ONE row, but the
+    // feed's first retained epoch must be the full snapshot — the guard
+    // in MergeSink.changesAt forces the diff fallback (prev=None)
+    val feed = SinkChanges.allChanges(spark, "full", dir,
+      Map("changefeed" -> "true"), asOf = None)
+    assert(feed.count() == 20L,
+      "post-vacuum feed must snapshot the whole retained state")
+    assert(feed.filter(col("key_json").contains("\"n_nationkey\":3"))
+      .head.getAs[String]("after_json").contains("u3"))
   }
 
   test("scd2 fast path matches the diff fallback row-for-row") {
