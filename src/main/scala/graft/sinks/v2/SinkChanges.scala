@@ -118,7 +118,16 @@ object SinkChanges {
   def allChanges(spark: SparkSession, kind: String, path: String,
                  props: Map[String, String],
                  asOf: Option[Long]): DataFrame = {
-    val versions = GraftSinkCatalog.sinkFor(kind, path, props).versions
+    val sink = GraftSinkCatalog.sinkFor(kind, path, props)
+    // a feed pinned entirely below the erosion floor would read as
+    // empty — it is not empty, it is GONE; loud like the stream guard
+    sink.changefeedFloor.foreach { floor =>
+      if (asOf.exists(_ < floor))
+        throw new IllegalStateException(
+          s"$path $$changes VERSION AS OF ${asOf.get} predates the vacuum " +
+            s"erosion floor $floor — those epochs were reclaimed")
+    }
+    val versions = sink.versions
       .filter(e => asOf.forall(e <= _))
     if (versions.isEmpty)
       return spark.createDataFrame(
@@ -195,7 +204,22 @@ class SinkChangesMicroBatchStream(kind: String, path: String,
                                    end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[EpochOffset].epoch
     val e = end.asInstanceOf[EpochOffset].epoch
-    val versions = sink.versions
+    val theSink = sink
+    // RETENTION-EROSION guard (the Kafka OffsetOutOfRange /
+    // Delta-CDF-vacuumed analog): a RESUMING stream whose frontier
+    // predates a vacuum must fail loudly — the eroded epochs are no
+    // longer enumerable, and admitting only the retained ones would
+    // silently skip committed changes. A FRESH stream (frontier -1) is
+    // fine: its first retained epoch serves as a snapshot batch.
+    theSink.changefeedFloor.foreach { floor =>
+      if (s >= 0 && s + 1 < floor)
+        throw new IllegalStateException(
+          s"$path $$changes: the stream's epoch frontier $s predates the " +
+            s"vacuum erosion floor $floor — epochs in between were " +
+            "reclaimed and cannot be replayed; reset the checkpoint to " +
+            "re-snapshot, or vacuum less aggressively")
+    }
+    val versions = theSink.versions
     val admitted = versions.filter(v => v > s && v <= e)
     val spark = SparkSession.active
     val hconf = spark.sessionState.newHadoopConf()

@@ -90,6 +90,16 @@ trait CdcSink {
   def changesAt(spark: SparkSession, epoch: Long,
                 prevEpoch: Option[Long]): Option[DataFrame] = None
 
+  /** Oldest epoch whose `$changes` rows are still derivable after
+    * retention erosion, if the sink TRACKS erosion (None = no erosion
+    * recorded). Kinds that retain every manifest don't need it — an
+    * eroded epoch's read fails on the missing data files — but a sink
+    * whose committed-version LISTING erodes (the full kind's version
+    * dirs) must record the floor, or a resuming changefeed stream
+    * would silently skip epochs it can no longer enumerate.
+    */
+  def changefeedFloor: Option[Long] = None
+
   /** Highest merge position the committed table has seen — the
     * watermark a DML epoch must outrank under latest-by-pos. The
     * default reads the reduced state's max `pos`; scd2 overrides
@@ -455,6 +465,22 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
       Files.deleteIfExists(
         p.resolveSibling(p.getFileName.toString + ".committs")): Unit
     }
+    // the erosion FLOOR: epochs below it existed but were vacuumed. The
+    // other kinds keep every manifest, so a changefeed read of an eroded
+    // epoch fails on the missing data — here the version dirs ARE the
+    // history, and without the marker a RESUMING `$changes` stream whose
+    // offset predates the vacuum would silently skip the eroded epochs
+    // (`versions` simply no longer lists them) instead of failing.
+    if (dead.nonEmpty)
+      Files.writeString(root.resolve("_floor"), tip.toString): Unit
     dead.size
+  }
+
+  /** Oldest epoch whose changes are still derivable, when a vacuum has
+    * eroded history (None = never vacuumed). See [[vacuum]].
+    */
+  override def changefeedFloor: Option[Long] = {
+    val f = root.resolve("_floor")
+    if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
   }
 }

@@ -159,6 +159,48 @@ class ChangefeedIoSpec extends AnyFunSuite {
       .head.getAs[String]("after_json").contains("u3"))
   }
 
+  test("a resuming $changes stream whose frontier predates a full-kind " +
+      "vacuum fails loudly; a fresh stream serves a snapshot") {
+    import graft.sinks.v2.{EpochOffset, SinkChangesMicroBatchStream, SinkChangesPartition, SinkChangesPartitionReader}
+    val dir = Files.createTempDirectory("cfio-fl").toString
+    val props = Map("changefeed" -> "true")
+    val sink = new MergeSink(dir, changefeedDelta = true)
+    assert(sink.merge(envBatch((1 to 20).map(k => (k, s"n$k", "r")): _*), 0L))
+    assert(sink.merge(envBatch((3, "u3", "u")).withColumn("source",
+      struct(lit(900000L).as("pos"))), 1L))
+    assert(sink.merge(envBatch((5, "u5", "u")).withColumn("source",
+      struct(lit(900001L).as("pos"))), 2L))
+    assert(sink.vacuum() >= 1) // floor = 2: epochs 0,1 eroded
+    val ckpt = Files.createTempDirectory("cfio-fl-ck").toString
+    val st = new SinkChangesMicroBatchStream("full", dir, props, ckpt)
+
+    // frontier 0 → epoch 1 was committed but is no longer enumerable:
+    // loud, never a silent skip
+    val e = intercept[IllegalStateException] {
+      st.planInputPartitions(EpochOffset(0L), EpochOffset(2L))
+    }
+    assert(e.getMessage.contains("erosion floor"), e.getMessage)
+
+    // frontier floor-1 is fine (nothing between it and the floor)
+    assert(st.planInputPartitions(EpochOffset(1L), EpochOffset(2L)).nonEmpty)
+
+    // a FRESH stream admits the retained tip as one snapshot batch
+    val parts = st.planInputPartitions(EpochOffset(-1L), EpochOffset(2L))
+    val n = parts.map { p =>
+      val r = new SinkChangesPartitionReader(
+        p.asInstanceOf[SinkChangesPartition])
+      try Iterator.continually(r.next()).takeWhile(identity).size
+      finally r.close()
+    }.sum
+    assert(n == 20, s"fresh stream must snapshot all 20 keys, got $n")
+
+    // batch feed pinned below the floor: gone is loud, not empty
+    val e2 = intercept[IllegalStateException] {
+      SinkChanges.allChanges(spark, "full", dir, props, asOf = Some(0L))
+    }
+    assert(e2.getMessage.contains("erosion floor"), e2.getMessage)
+  }
+
   test("scd2 fast path matches the diff fallback row-for-row") {
     val dir = Files.createTempDirectory("cfio-eq").toString
     val sink = new Scd2Sink(dir, buckets = 4)
