@@ -794,6 +794,30 @@ object StreamingQueries extends QueryGroup {
         s.table(s"graft_wt.scd2.$tbl").schema)
     }),
 
+    // K2b CHANGEFEED over bucketed/scd2 with `changefeed=true`: the
+    // feed serves each epoch's change-delta SIDECAR (O(|batch|) bytes)
+    // instead of the touched-bucket derivation, whose I/O is
+    // bucket-bound — O(table) for a scattered update epoch
+    // (ChangefeedScaleProbe: 85 MB vs 0.2 MB per 1000-row epoch at
+    // 1.5M rows). Reconstruction contract unchanged — same oracle.
+    "k2_changes_bucketed_cf" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+      writetoTable(s, fd, tbl, kind = "bucketed",
+        props = Map("changefeed" -> "true"))
+      changefeedReduce(s, s"graft_wt.bucketed.`$tbl$$changes`",
+        s.table(s"graft_wt.bucketed.$tbl").schema)
+    }),
+
+    "k2_changes_scd2_cf" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+      writetoTable(s, fd, tbl, kind = "scd2",
+        props = Map("changefeed" -> "true"))
+      changefeedReduce(s, s"graft_wt.scd2.`$tbl$$changes`",
+        s.table(s"graft_wt.scd2.$tbl").schema)
+    }),
+
     // K2b CHANGEFEED over the FULL kind with `changefeed=true` — the
     // Delta enableChangeDataFeed analog: each epoch persists its
     // reduced batch as a `c<epoch>/` change-delta sidecar, so the feed
@@ -1174,8 +1198,10 @@ object StreamingQueries extends QueryGroup {
     // same reconstruction over the bucketed/scd2 fast-path derivations
     "k2_changes_bucketed" -> ordersLatest,
     "k2_changes_scd2" -> ordersLatest,
-    // and over the full kind's opt-in change-delta sidecars
+    // and over the opt-in change-delta sidecars (changefeed=true)
     "k2_changes_full" -> ordersLatest,
+    "k2_changes_bucketed_cf" -> ordersLatest,
+    "k2_changes_scd2_cf" -> ordersLatest,
 
     // maintenance procedures preserve the table's read exactly
     "k2_call_compact" -> ordersLatest,

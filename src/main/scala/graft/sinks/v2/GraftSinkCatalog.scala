@@ -430,16 +430,19 @@ object GraftSinkCatalog {
     }
     def buckets = intProp("buckets", 16)
     def compactEvery = intProp("compactEvery", 8)
-    // `changefeed=true` (full kind only): persist per-epoch change-delta
-    // sidecars so `$changes` derives epoch-locally — Delta's opt-in
-    // enableChangeDataFeed analog (the other kinds are epoch-local for free)
+    // `changefeed=true`: persist per-epoch change-delta sidecars so
+    // `$changes` derives from O(|batch|) bytes — Delta's opt-in
+    // enableChangeDataFeed analog. On full it replaces an O(table)
+    // state diff; on bucketed/scd2 it replaces a touched-bucket read
+    // (O(table) for scattered epochs). LSM's own deltas already are the
+    // sidecar, so the property is a no-op there.
     def changefeed = props.get("changefeed")
       .exists(_.trim.equalsIgnoreCase("true"))
     kind match {
       case "full"     => new MergeSink(path, changefeed)
-      case "bucketed" => new BucketedMergeSink(path, buckets)
+      case "bucketed" => new BucketedMergeSink(path, buckets, changefeed)
       case "lsm"      => new LsmMergeSink(path, buckets, compactEvery)
-      case "scd2"     => new Scd2Sink(path, buckets, compactEvery)
+      case "scd2"     => new Scd2Sink(path, buckets, compactEvery, changefeed)
       case other =>
         throw new IllegalArgumentException(s"unknown sink kind '$other'")
     }

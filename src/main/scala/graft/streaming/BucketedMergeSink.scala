@@ -19,7 +19,17 @@ import graft.operators.Materialize
   * table and one that rewrites ~|batch keys| / |table keys| of it; bucket
   * count scales with table size (here small for tests).
   */
-class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
+/** @param changefeedDelta when true, every epoch also persists its
+  *   reduced batch as a `c<epoch>/` CHANGE-DELTA sidecar and `$changes`
+  *   serves it directly (see [[MergeSink]] — the Delta
+  *   `enableChangeDataFeed` analog). Without it the bucketed feed
+  *   derives from a touched-bucket manifest diff: exact, but its I/O is
+  *   bucket-bound, not change-bound — a SCATTERED update epoch touches
+  *   every bucket and re-reads two versions of ~the table (measured:
+  *   85 MB per 1000-row epoch at 1.5M rows; the sidecar reads 0.2 MB).
+  */
+class BucketedMergeSink(dir: String, buckets: Int = 16,
+                        changefeedDelta: Boolean = false) extends CdcSink {
   private val root = Paths.get(dir)
   private val pointer = root.resolve("CURRENT")
 
@@ -189,6 +199,12 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
     */
   override def changesAt(spark: SparkSession, epoch: Long,
                          prevEpoch: Option[Long]): Option[DataFrame] = {
+    // change-delta sidecar first (epochs written under changefeedDelta):
+    // O(|batch|) bytes, no bucket reads at all. Same first-retained-epoch
+    // guard as MergeSink: an incremental sidecar is not a snapshot.
+    val c = root.resolve(s"c$epoch")
+    if (Files.isDirectory(c) && (prevEpoch.isDefined || epoch == 0L))
+      return Some(spark.read.parquet(c.toString))
     val curMf = root.resolve(s"m$epoch.manifest")
     if (!Files.exists(curMf)) return None
     val cur = parseManifest(curMf)
@@ -373,6 +389,11 @@ class BucketedMergeSink(dir: String, buckets: Int = 16) extends CdcSink {
       // driver learns WHICH buckets are touched (tiny: ≤ `buckets` rows)
       val touched = reduced.select(col("_bucket")).distinct()
         .collect().map(_.getLong(0).toInt).toSet
+      // change-delta sidecar: one extra O(|batch|) pass over the cached
+      // reduce — these ARE the epoch's feed rows (see changesAt)
+      if (changefeedDelta)
+        reduced.drop("_bucket").write.mode("overwrite")
+          .parquet(root.resolve(s"c$epochId").toString)
       val prevManifest = manifest
       val prevTouched = readBuckets(spark,
         prevManifest.filter(kv => touched(kv._1)).values.toSeq)

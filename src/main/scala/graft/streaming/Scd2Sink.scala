@@ -55,7 +55,19 @@ import graft.operators.Scd2
   * bucket list lets compaction enumerate leaf dirs with no listing or
   * footer I/O; the DDL keys schema-evolution-safe reads, K4).
   */
-class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
+/** @param changefeedDelta when true, every epoch also persists its
+  *   LAST-EVENT-PER-KEY reduction as a `c<epoch>/` change-delta sidecar
+  *   and `$changes` serves it directly (see [[MergeSink]]) — O(|batch|)
+  *   feed I/O even for scattered updates, where the epoch-partition
+  *   derivation must re-read the touched buckets' previous OPEN sets
+  *   (bucket-bound, ~the table when every bucket is touched). Sidecar
+  *   rows keep the events' own ops (a feed consumer sees 'u'/'c'/'d' as
+  *   emitted, deletes as tombstones at their true closing position);
+  *   both derivations reconstruct the same live table under
+  *   latest-by-pos.
+  */
+class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
+               changefeedDelta: Boolean = false)
     extends CdcSink {
   private val root = Paths.get(dir)
   private val pointer = root.resolve("CURRENT")
@@ -286,6 +298,12 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     */
   override def changesAt(spark: SparkSession, epoch: Long,
                          prevEpoch: Option[Long]): Option[DataFrame] = {
+    // change-delta sidecar first (epochs written under changefeedDelta):
+    // O(|batch|) bytes, no open-set reads. Same first-retained-epoch
+    // guard as MergeSink: an incremental sidecar is not a snapshot.
+    val c = root.resolve(s"c$epoch")
+    if (Files.isDirectory(c) && (prevEpoch.isDefined || epoch == 0L))
+      return Some(spark.read.parquet(c.toString))
     val edir = root.resolve(s"e$epoch")
     if (!Files.isDirectory(edir)) return None
     val mCur = manifestAt(epoch)
@@ -417,6 +435,20 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       val touched = events.select(col("_bucket")).distinct()
         .collect().map(_.getLong(0).toInt).toSet
       if (touched.isEmpty) return false
+      // change-delta sidecar: the epoch's feed rows — last event per key
+      // off the cached batch (deletes ride as op='d' tombstones at their
+      // closing position), one extra O(|batch|) pass
+      if (changefeedDelta) {
+        graft.expressions.GraftFunctions.register(spark)
+        events.drop("_bucket")
+          .groupBy(col("key"))
+          .agg(graft.expressions.GraftFunctions.latestByPos(
+            struct(col("after"), col("op"), col("pos")), col("pos")).as("e"))
+          .select(col("key"), col("e.after").as("after"),
+            col("e.op").as("op"), col("e.pos").as("pos"))
+          .write.mode("overwrite")
+          .parquet(root.resolve(s"c$epochId").toString)
+      }
       val m = manifest
       // bounded read: open versions of touched buckets only (≤ one row
       // per live key there). Closed history is NOT read.

@@ -32,7 +32,8 @@ object ChangefeedScaleProbe {
       "usage: ChangefeedScaleProbe <sfDir> [kinds] [reps] [touchedRows]")
     val sfDir = args(0)
     val kinds = if (args.length > 1) args(1).split(",").toSeq
-                else Seq("lsm", "bucketed", "scd2", "full_cf", "full")
+                else Seq("lsm", "bucketed", "bucketed_cf", "scd2",
+                  "scd2_cf", "full_cf", "full")
     val reps = if (args.length > 2) args(2).toInt else 3
     val touched = if (args.length > 3) args(3).toLong else 1000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -72,6 +73,9 @@ object ChangefeedScaleProbe {
     for (k <- kinds) {
       val (kind, props) = k match {
         case "full_cf" => ("full", Map("changefeed" -> "true"))
+        case cf if cf.endsWith("_cf") => (cf.stripSuffix("_cf"),
+          Map("buckets" -> "64", "compactEvery" -> "1000",
+            "changefeed" -> "true"))
         case other => (other,
           Map("buckets" -> "64", "compactEvery" -> "1000"))
       }

@@ -159,6 +159,41 @@ class ChangefeedIoSpec extends AnyFunSuite {
       .head.getAs[String]("after_json").contains("u3"))
   }
 
+  test("bucketed/scd2 with changefeed=true serve $changes from the " +
+      "epoch's sidecar alone — no bucket or open-set reads") {
+    for ((kind, mk) <- Seq(
+        "bucketed" -> ((d: String) =>
+          new BucketedMergeSink(d, buckets = 16, changefeedDelta = true)
+            : graft.streaming.CdcSink),
+        "scd2" -> ((d: String) =>
+          new Scd2Sink(d, buckets = 16, changefeedDelta = true)
+            : graft.streaming.CdcSink))) {
+      val dir = Files.createTempDirectory(s"cfio-cf-$kind").toString
+      val sink = mk(dir)
+      assert(sink.merge(envBatch((1 to 64).map(k =>
+        (k, s"n$k", "r")): _*), 0L))
+      val b = envBatch((7, "updated", "u"), (9, null, "d"))
+        .withColumn("source",
+          struct((col("key.n_nationkey") + 900000L).as("pos")))
+      assert(sink.merge(b, 1L))
+      val cf = SinkChanges.changesFor(spark, kind, dir,
+        Map("changefeed" -> "true"), epoch = 1L, prev = Some(0L))
+      val rows = cf.collect().sortBy(_.getAs[String]("key_json"))
+      assert(rows.length == 2, s"$kind: ${rows.mkString(";")}")
+      val upd = rows.find(_.getAs[String]("op") == "u").get
+      assert(upd.getAs[String]("key_json").contains("7") &&
+        upd.getAs[Long]("pos") == 900007L &&
+        upd.getAs[String]("after_json").contains("updated"), s"$kind: $upd")
+      val del = rows.find(_.getAs[String]("op") == "d").get
+      assert(del.getAs[String]("key_json").contains("9") &&
+        del.getAs[Long]("pos") == 900009L &&
+        del.getAs[String]("after_json") == null, s"$kind: $del")
+      val files = cf.inputFiles.toSeq
+      assert(files.nonEmpty && files.forall(_.contains("/c1/")),
+        s"$kind sidecar path must read only c1/: $files")
+    }
+  }
+
   test("a resuming $changes stream whose frontier predates a full-kind " +
       "vacuum fails loudly; a fresh stream serves a snapshot") {
     import graft.sinks.v2.{EpochOffset, SinkChangesMicroBatchStream, SinkChangesPartition, SinkChangesPartitionReader}
