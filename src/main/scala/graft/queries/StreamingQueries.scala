@@ -794,6 +794,24 @@ object StreamingQueries extends QueryGroup {
         s.table(s"graft_wt.scd2.$tbl").schema)
     }),
 
+    // K2b POINT LOOKUP with bucket pruning: a full-key equality on a
+    // bucket-layout table resolves to ONE hash bucket, so the scan
+    // reads that bucket's files instead of the table (xxhash scatters
+    // keys, so parquet min/max stats can never prune this —
+    // PointLookupSpec pins the I/O bound; this query pins the VALUE).
+    // The looked-up key is the smallest delete-surviving orderkey,
+    // computed independently on both sides.
+    "k2_point_lookup" -> ((s, dir) => {
+      val fd = feed(s, dir, "orders")
+      val tbl = "orders_" + java.util.UUID.randomUUID().toString.take(8)
+      writetoTable(s, fd, tbl, kind = "bucketed")
+      val k = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 13 =!= 6)
+        .agg(min(col("o_orderkey"))).head.get(0).toString.toLong
+      s.sql(s"SELECT after.* FROM graft_wt.bucketed.$tbl " +
+        s"WHERE key.o_orderkey = $k AND op <> 'd'")
+    }),
+
     // K2b CHANGEFEED over bucketed/scd2 with `changefeed=true`: the
     // feed serves each epoch's change-delta SIDECAR (O(|batch|) bytes)
     // instead of the touched-bucket derivation, whose I/O is
@@ -1206,6 +1224,16 @@ object StreamingQueries extends QueryGroup {
     // maintenance procedures preserve the table's read exactly
     "k2_call_compact" -> ordersLatest,
     "k2_call_rebucket" -> ordersLatest,
+
+    // the bucket-pruned lookup returns exactly the one latest row of
+    // the smallest delete-surviving key (same CASE as ordersLatest)
+    "k2_point_lookup" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey%7=3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        | o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey%13<>6
+        | AND o_orderkey = (SELECT min(o_orderkey) FROM orders
+        |                   WHERE o_orderkey%13<>6)""".stripMargin,
 
     // ordersLatest minus the SQL-deleted rows (updated status 'U' keys
     // and the low-key range) — deletes are epoch-committed tombstones

@@ -686,8 +686,17 @@ object GraftSinkCatalog {
     */
   private[v2] def stateFrame(spark: SparkSession, kind: String, path: String,
                              props: Map[String, String], asOf: Option[Long],
-                             envelope: StructType): DataFrame = {
-    val raw = rawState(spark, sinkFor(kind, path, props), asOf).getOrElse(
+                             envelope: StructType): DataFrame =
+    stateFrameFrom(spark,
+      rawState(spark, sinkFor(kind, path, props), asOf), envelope)
+
+  /** Raw sink state rows conformed to the stored envelope schema
+    * (missing fields read null; `source.pos` rebuilt from `pos`).
+    */
+  private[v2] def stateFrameFrom(spark: SparkSession,
+                                 rawOpt: Option[DataFrame],
+                                 envelope: StructType): DataFrame = {
+    val raw = rawOpt.getOrElse(
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], envelope))
     val rawSchema = raw.schema
@@ -709,6 +718,48 @@ object GraftSinkCatalog {
       }
     }
     raw.select(cols.toIndexedSeq: _*)
+  }
+
+  /** The key-field values a pushed-filter conjunction pins exactly, in
+    * key-schema order — Some iff EVERY field of the key struct has an
+    * `EqualTo("key.<field>", value)` conjunct (then the row, if it
+    * exists, lives in exactly one hash bucket). Extra conjuncts are
+    * fine (they re-apply after the pruned read); null "equalities"
+    * never arrive as EqualTo.
+    */
+  private[v2] def keyEqualities(
+      pushed: Array[org.apache.spark.sql.sources.Filter],
+      key: StructType): Option[Seq[(StructField, Any)]] = {
+    import org.apache.spark.sql.sources.{And, EqualTo, Filter}
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def norm(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val eqs = pushed.flatMap(conjuncts).collect {
+      case EqualTo(a, v) if v != null => norm(a) -> v
+    }.toMap
+    val vals = key.fields.map(f => eqs.get(s"key.${norm(f.name)}")
+      .map(v => f -> v))
+    if (vals.nonEmpty && vals.forall(_.isDefined))
+      Some(vals.map(_.get).toIndexedSeq)
+    else None
+  }
+
+  /** The hash bucket a fully-pinned key lands in, under the SINK's own
+    * bucket expression: `pmod(xxhash64(struct(<key fields>)), n)` with
+    * each literal cast to the stored field type (xxhash64 is
+    * width-sensitive — an Int literal for a BIGINT field would hash to
+    * a different bucket than the stored column does). One local
+    * one-row job.
+    */
+  private[v2] def bucketOf(spark: SparkSession,
+                           vals: Seq[(StructField, Any)], n: Int): Int = {
+    val key = struct(vals.map { case (f, v) =>
+      lit(v).cast(f.dataType).as(f.name) }: _*)
+    spark.range(1)
+      .select(pmod(xxhash64(key), lit(n)).cast("int"))
+      .head.getInt(0)
   }
 }
 
@@ -735,6 +786,17 @@ private[v2] trait SinkReadTable extends Table with SupportsRead {
     */
   protected def scanMetadataCols: Seq[(StructField, DataFrame => Column)] =
     Nil
+
+  /** A cheaper frame the PUSHED predicates justify, if the table can
+    * build one (point-lookup bucket pruning — see
+    * [[CdcSinkTable.prunedFrame]]). Must be a sound superset of the
+    * predicates' matches over the full frame: every pushed predicate is
+    * re-applied on top, so over-returning is safe, under-returning is
+    * not. None = scan the full frame.
+    */
+  protected def prunedFrame(spark: SparkSession,
+                            pushed: Array[org.apache.spark.sql.sources.Filter])
+      : Option[DataFrame] = None
 
   /** Data schema + the declared metadata columns — what pruning
     * resolves requested names against.
@@ -849,8 +911,9 @@ private[v2] trait SinkReadTable extends Table with SupportsRead {
             // measured +56% wall on a full-table read
             override def needConversion: Boolean = false
             override def buildScan(): RDD[Row] = {
-              val filtered = preds.foldLeft(fullFrame(context.sparkSession))(
-                (df, p) => df.filter(p))
+              val base = prunedFrame(context.sparkSession, pushed)
+                .getOrElse(fullFrame(context.sparkSession))
+              val filtered = preds.foldLeft(base)((df, p) => df.filter(p))
               // requested metadata columns materialize here; a
               // non-nullable one (e.g. the DML row id) also guards the
               // zero-copy bridge with an is-not-null filter — declared
@@ -952,6 +1015,32 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
   override protected def readSchemaFull: StructType = schema()
   override protected def fullFrame(spark: SparkSession): DataFrame =
     GraftSinkCatalog.stateFrame(spark, kind, path, props, asOf, schema())
+
+  /** POINT-LOOKUP bucket pruning: when the pushed conjunction pins
+    * EVERY field of the envelope key (`WHERE key.o_orderkey = 42`),
+    * the row — if it exists — lives in exactly ONE hash bucket of the
+    * bucket-layout kinds, so the scan reads that bucket's files
+    * instead of the table (at 100 TB: one bucket + its deltas vs 10k
+    * buckets; parquet row-group stats can't do this — xxhash scatters
+    * keys, so min/max never prunes). The predicates still re-apply on
+    * top, the bucket count comes from the LAYOUT (manifest `K` line),
+    * and any erosion falls back to the full read. DML point statements
+    * (`UPDATE ... WHERE key.x = v`) ride the same path via their scan.
+    */
+  override protected def prunedFrame(spark: SparkSession,
+                                     pushed: Array[org.apache.spark.sql.sources.Filter])
+      : Option[DataFrame] =
+    tableSchema.fields.find(_.name.equalsIgnoreCase("key"))
+      .map(_.dataType).collect { case st: StructType => st }
+      .flatMap(GraftSinkCatalog.keyEqualities(pushed, _))
+      .flatMap { vals =>
+        val sink = GraftSinkCatalog.sinkFor(kind, path, props)
+        sink.layoutBucketCount.flatMap { n =>
+          val b = GraftSinkCatalog.bucketOf(spark, vals, n)
+          sink.stateBucket(spark, asOf, b).map(raw =>
+            GraftSinkCatalog.stateFrameFrom(spark, Some(raw), schema()))
+        }
+      }
   override def capabilities(): util.Set[TableCapability] =
     if (forDml)
       // the DML copy drops ACCEPT_ANY_SCHEMA: the analyzer must resolve

@@ -173,6 +173,28 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
       throw new IllegalStateException(s"no committed state at epoch $epochId"))
       .filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
 
+  override def layoutBucketCount: Option[Int] =
+    if (committedEpoch.isEmpty) None else storedBucketCount
+
+  /** Point-lookup read: ONE bucket's current rows (see
+    * [[CdcSink.stateBucket]]) — the manifest maps the bucket straight
+    * to its single live directory, so the read is one leaf dir.
+    */
+  override def stateBucket(spark: SparkSession, asOf: Option[Long],
+                           bucket: Int): Option[DataFrame] = {
+    val m = asOf.map(manifestAt).getOrElse(manifest)
+    if (m.isEmpty) return None
+    m.get(bucket) match {
+      case Some((p, _)) if !Files.exists(Paths.get(p)) => None // eroded
+      case Some(ref) => readBuckets(spark, Seq(ref))
+      case None => // the bucket holds no rows: empty frame, known schema
+        m.values.map(_._2).find(_.nonEmpty).map(ddl =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+    }
+  }
+
   /** Buckets whose data can differ between two committed epochs: the
     * two manifests name each bucket's version directory, so a bucket
     * pointing at the SAME path in both versions is byte-identical and

@@ -200,6 +200,38 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     s.filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
   }
 
+  override def layoutBucketCount: Option[Int] =
+    if (committedEpoch.isEmpty) None else storedBucketCount
+
+  /** Point-lookup read: merge-on-read over ONE bucket — its base dir
+    * plus only the deltas that touched it (see [[CdcSink.stateBucket]]).
+    * Reuses [[stateOf]] on a bucket-restricted manifest, so the
+    * untouched-bucket verbatim path and the hot merge path behave
+    * exactly like the full read, just over one bucket.
+    */
+  override def stateBucket(spark: SparkSession, asOf: Option[Long],
+                           bucket: Int): Option[DataFrame] = {
+    val m = asOf.map(manifestAt).getOrElse(manifest)
+    if (m.base.isEmpty && m.deltas.isEmpty) return None
+    val restricted = Manifest(
+      m.base.filter(_._1 == bucket),
+      m.deltas.filter(_._4.contains(bucket))
+        .map { case (s, p, d, _) => (s, p, d, Seq(bucket)) })
+    // sound only if every referenced dir is still on disk (readByDdl
+    // silently drops missing dirs — fine for the CURRENT manifest, not
+    // for a pruned historical read): eroded → full-read fallback,
+    // whose strict stateAt raises the vacuumed error
+    val refs = restricted.base.values.map(_._1) ++
+      restricted.deltaLeafs.map(_._1)
+    if (refs.exists(r => !Files.exists(Paths.get(r)))) return None
+    if (restricted.base.isEmpty && restricted.deltas.isEmpty)
+      return (m.base.values.map(_._2) ++ m.deltas.map(_._3))
+        .find(_.nonEmpty).map(ddl => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType.fromDDL(ddl)))
+    stateOf(spark, restricted)
+  }
+
   /** LSM changefeed fast path: the epoch's OWN delta dir `d<epoch>/` is
     * exactly the reduced batch it appended — op='d' tombstones included,
     * zero recompute, I/O = the batch's own bytes. Absent (rebucket

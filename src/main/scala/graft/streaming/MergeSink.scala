@@ -90,6 +90,27 @@ trait CdcSink {
   def changesAt(spark: SparkSession, epoch: Long,
                 prevEpoch: Option[Long]): Option[DataFrame] = None
 
+  /** The committed bucket count of the sink's on-disk layout, when it
+    * HAS a bucket layout (None: the full-rewrite kind, or nothing
+    * committed yet). Point-lookup pruning hashes a full-key equality
+    * predicate with this count to resolve the one bucket that can hold
+    * the key — it must be the LAYOUT's count (the manifest `K` line),
+    * never a configured value that might have drifted from it.
+    */
+  def layoutBucketCount: Option[Int] = None
+
+  /** Reduced state restricted to ONE key-hash bucket — the point-lookup
+    * read path: a full-key equality predicate resolves to exactly one
+    * bucket, so the scan reads that bucket's files instead of the
+    * table (at 100 TB: one bucket + its deltas, not 10k buckets).
+    * `asOf` bounds like [[stateAt]]. None = cannot prune soundly (no
+    * bucket layout, vacuumed artifacts) — the caller falls back to the
+    * full state; a bucket that simply holds no rows returns an EMPTY
+    * frame, not None.
+    */
+  def stateBucket(spark: SparkSession, asOf: Option[Long],
+                  bucket: Int): Option[DataFrame] = None
+
   /** Oldest epoch whose `$changes` rows are still derivable after
     * retention erosion, if the sink TRACKS erosion (None = no erosion
     * recorded). Kinds that retain every manifest don't need it — an

@@ -246,6 +246,23 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
     */
   def state(spark: SparkSession): Option[DataFrame] = stateOf(spark, manifest)
 
+  override def layoutBucketCount: Option[Int] =
+    if (committedEpoch.isEmpty) None else storedBucketCount
+
+  /** Point-lookup read: ONE bucket's open set (see
+    * [[CdcSink.stateBucket]]) — the live table is exactly the open
+    * versions, so the lookup never touches closed history.
+    */
+  override def stateBucket(spark: SparkSession, asOf: Option[Long],
+                           bucket: Int): Option[DataFrame] = {
+    val m = asOf.map(manifestAt).getOrElse(manifest)
+    if (m.open.isEmpty && m.base.isEmpty && m.deltas.isEmpty) return None
+    val ref = m.open.filter(_._1 == bucket)
+    // eroded open data → full-read fallback (strict stateAt errors)
+    if (ref.values.exists(r => !Files.exists(Paths.get(r._1)))) return None
+    stateOf(spark, m.copy(open = ref))
+  }
+
   /** `state` AS OF a committed epoch; strict about vacuumed data. */
   def stateAt(spark: SparkSession, epochId: Long): Option[DataFrame] =
     checkedManifestAt(epochId).flatMap(stateOf(spark, _))
