@@ -81,11 +81,20 @@ object DmlScaleProbe {
     }
 
     println(s"# DmlScaleProbe sfDir=$sfDir rows=$rows touched~${rows / mod}")
+    // a key the point-UPDATE leg can pin (bucket-pruned scan: the
+    // r13 point-lookup path — flat in TABLE size, unlike the
+    // non-pushable `%` predicate whose scan half is O(table))
+    val pointKey = feed.select(min(col("key.o_orderkey")))
+      .head.get(0).toString.toLong
     for (kind <- kinds) {
-      val (updT, mrgT, delT) = (Seq.newBuilder[Double],
-        Seq.newBuilder[Double], Seq.newBuilder[Double])
+      val (updT, mrgT, delT, pntT) = (Seq.newBuilder[Double],
+        Seq.newBuilder[Double], Seq.newBuilder[Double],
+        Seq.newBuilder[Double])
       for (_ <- 1 to reps) {
         val t = freshTable(kind)
+        pntT += time(spark.sql(
+          s"UPDATE $t SET after.o_orderpriority = 'PNT' " +
+            s"WHERE key.o_orderkey = $pointKey").collect())
         updT += time(spark.sql(
           s"UPDATE $t SET after.o_orderpriority = 'DSP' " +
             s"WHERE key.o_orderkey % $mod = 1").collect())
@@ -104,7 +113,8 @@ object DmlScaleProbe {
       def f(b: scala.collection.mutable.Builder[Double, Seq[Double]]) =
         "%.2f".format(median(b.result()))
       println(s"$kind update_s=${f(updT)} merge_s=${f(mrgT)} " +
-        s"delete_s=${f(delT)} (median of $reps, ~${rows / mod} rows/stmt)")
+        s"delete_s=${f(delT)} point_update_s=${f(pntT)} " +
+        s"(median of $reps, ~${rows / mod} rows/stmt)")
     }
   }
 }
