@@ -339,7 +339,53 @@ class GraftSinkCatalog extends TableCatalog with SupportsNamespaces
     val meta = metaFile(baseIdent)
     val lines = Files.readAllLines(meta).asScala
     val envelope = DataType.fromDDL(lines.head).asInstanceOf[StructType]
-    val evolved = changes.foldLeft(envelope) { (env, ch) =>
+    var storedProps = lines.drop(1).flatMap { l =>
+      l.split("=", 2) match {
+        case Array(k, v) => Some(k -> v); case _ => None }
+    }.toMap
+    // ALTER TABLE ... SET/UNSET TBLPROPERTIES on the BEHAVIORAL knobs:
+    // `changefeed` can turn the change-delta sidecars on/off for an
+    // existing table (epochs written before the flip simply serve the
+    // diff fallback — exactly Delta's enableChangeDataFeed semantics),
+    // `compactEvery` retunes the LSM fold cadence. `buckets` is part
+    // of the ON-DISK LAYOUT — changing the property without rewriting
+    // the data would route keys away from their state, so it stays
+    // refused here and changes only through CALL rebucket (which
+    // rewrites both together).
+    val structural = changes.filterNot(
+      _.isInstanceOf[TableChange.SetProperty]).filterNot(
+      _.isInstanceOf[TableChange.RemoveProperty])
+    changes.foreach {
+      case set: TableChange.SetProperty =>
+        val (k, v) = (set.property, set.value)
+        k match {
+          case "changefeed" =>
+            require(Set("true", "false")(
+              v.trim.toLowerCase(java.util.Locale.ROOT)),
+              s"table property 'changefeed' must be true or false, got '$v'")
+          case "compactEvery" =>
+            require(v.trim.toIntOption.exists(_ > 0),
+              s"table property 'compactEvery' must be a positive integer, " +
+                s"got '$v'")
+          case "buckets" => throw new UnsupportedOperationException(
+            "the bucket count is part of the on-disk layout — ALTER would " +
+              "route keys away from their state; use CALL " +
+              s"$catalogName.system.rebucket(table => '${kindOf(baseIdent)}" +
+              s".${baseIdent.name}', buckets => ...) which rewrites layout " +
+              "and property together")
+          case other => throw new UnsupportedOperationException(
+            s"unknown sink table property '$other' — settable: " +
+              "changefeed, compactEvery")
+        }
+        storedProps += (k -> v.trim)
+      case rm: TableChange.RemoveProperty =>
+        require(Set("changefeed", "compactEvery")(rm.property),
+          s"table property '${rm.property}' cannot be unset — " +
+            "unsettable: changefeed, compactEvery")
+        storedProps -= rm.property
+      case _ => ()
+    }
+    val evolved = structural.foldLeft(envelope) { (env, ch) =>
       ch match {
         case add: TableChange.AddColumn
             if add.fieldNames.length == 2 &&
@@ -371,7 +417,8 @@ class GraftSinkCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     Files.writeString(meta,
-      (evolved.toDDL +: lines.drop(1)).mkString("\n"))
+      (evolved.toDDL +: storedProps.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }).mkString("\n"))
     loadTable(Identifier.of(baseIdent.namespace, baseIdent.name))
   }
 
@@ -949,6 +996,10 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String =
     asOf.map(e => s"$ident VERSION AS OF $e").getOrElse(ident)
+
+  // stored table properties, visible to SHOW TBLPROPERTIES / DESCRIBE
+  // EXTENDED (set at CREATE or via ALTER ... SET TBLPROPERTIES)
+  override def properties(): util.Map[String, String] = props.asJava
 
   /** This table with ACCEPT_ANY_SCHEMA stripped, for the DML resolution
     * swap (see [[GraftDmlResolution]]): Spark's analyzer treats an

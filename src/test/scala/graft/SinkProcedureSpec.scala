@@ -136,6 +136,54 @@ class SinkProcedureSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.bucketed.$name").count() > 0)
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES flips the changefeed sidecar on " +
+      "for an existing table; buckets and unknown keys are refused") {
+    val name = freshTable("full", Map.empty)
+    val dir = Paths.get(s"$catRoot/full/$name")
+    assert(!Files.isDirectory(dir.resolve("c1")),
+      "setup: no sidecars before the flip")
+    spark.sql(s"ALTER TABLE $cat.full.$name " +
+      "SET TBLPROPERTIES ('changefeed' = 'true')")
+    // visible to the catalog surface
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.full.$name").collect()
+      .exists(r => r.getString(0) == "changefeed" &&
+        r.getString(1) == "true"))
+    // the NEXT epoch (SQL DML rides sink.merge) writes its sidecar —
+    // earlier epochs keep serving the diff fallback, Delta-CDF style
+    spark.sql(s"UPDATE $cat.full.$name SET after.o_orderpriority = 'CF' " +
+      "WHERE key.o_orderkey % 97 = 1")
+    val tip = new graft.streaming.MergeSink(dir.toString)
+      .committedEpoch.get
+    assert(Files.isDirectory(dir.resolve(s"c$tip")),
+      s"epoch $tip must have a change-delta sidecar after the flip")
+    val cf = graft.sinks.v2.SinkChanges.changesFor(spark, "full",
+      dir.toString, Map("changefeed" -> "true"), tip, Some(tip - 1))
+    assert(cf.inputFiles.forall(_.contains(s"/c$tip/")),
+      cf.inputFiles.mkString(";"))
+    // UNSET turns the sidecar write back off
+    spark.sql(s"ALTER TABLE $cat.full.$name " +
+      "UNSET TBLPROPERTIES ('changefeed')")
+    spark.sql(s"UPDATE $cat.full.$name SET after.o_orderpriority = 'NO' " +
+      "WHERE key.o_orderkey % 97 = 2")
+    assert(!Files.isDirectory(dir.resolve(s"c${tip + 1}")))
+    // layout and unknown keys stay refused, loudly
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.full.$name " +
+        "SET TBLPROPERTIES ('buckets' = '64')")
+    }
+    assert(e1.getMessage.contains("rebucket"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.full.$name " +
+        "SET TBLPROPERTIES ('nope' = '1')")
+    }
+    assert(e2.getMessage.contains("settable"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.full.$name " +
+        "SET TBLPROPERTIES ('changefeed' = 'maybe')")
+    }
+    assert(e3.getMessage.contains("true or false"), e3.getMessage)
+  }
+
   test("procedure errors are loud and name the contract") {
     val name = freshTable("full", Map.empty)
     val e1 = intercept[Exception] {
