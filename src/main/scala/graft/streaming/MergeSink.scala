@@ -477,6 +477,19 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
         })
       }.toSeq
     }
+    // the erosion FLOOR: epochs below it existed but were vacuumed. The
+    // other kinds keep every manifest, so a changefeed read of an eroded
+    // epoch fails on the missing data — here the version dirs ARE the
+    // history, and without the marker a RESUMING `$changes` stream whose
+    // offset predates the vacuum would silently skip the eroded epochs
+    // (`versions` simply no longer lists them) instead of failing.
+    // Written BEFORE any deletion: a crash in between leaves a floor
+    // over still-intact dirs (conservative-loud — a predating stream
+    // fails although it could have read); the reverse order would leave
+    // eroded dirs with no floor, the silent-skip window this exists to
+    // close.
+    if (dead.nonEmpty)
+      Files.writeString(root.resolve("_floor"), tip.toString): Unit
     dead.foreach { p =>
       scala.util.Using.resource(Files.walk(p)) { st =>
         st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
@@ -486,14 +499,6 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
       Files.deleteIfExists(
         p.resolveSibling(p.getFileName.toString + ".committs")): Unit
     }
-    // the erosion FLOOR: epochs below it existed but were vacuumed. The
-    // other kinds keep every manifest, so a changefeed read of an eroded
-    // epoch fails on the missing data — here the version dirs ARE the
-    // history, and without the marker a RESUMING `$changes` stream whose
-    // offset predates the vacuum would silently skip the eroded epochs
-    // (`versions` simply no longer lists them) instead of failing.
-    if (dead.nonEmpty)
-      Files.writeString(root.resolve("_floor"), tip.toString): Unit
     dead.size
   }
 
