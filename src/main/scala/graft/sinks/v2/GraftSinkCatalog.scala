@@ -845,6 +845,14 @@ private[v2] trait SinkReadTable extends Table with SupportsRead {
                             pushed: Array[org.apache.spark.sql.sources.Filter])
       : Option[DataFrame] = None
 
+  /** A frame shaped by the scan's READ OPTIONS, if the table honors
+    * any (`$changes` epoch bounds — see [[SinkChangesTable]]). Takes
+    * precedence over predicate pruning; None = options don't apply.
+    */
+  protected def optionedFrame(spark: SparkSession,
+                              options: CaseInsensitiveStringMap)
+      : Option[DataFrame] = None
+
   /** Data schema + the declared metadata columns — what pruning
     * resolves requested names against.
     */
@@ -958,7 +966,8 @@ private[v2] trait SinkReadTable extends Table with SupportsRead {
             // measured +56% wall on a full-table read
             override def needConversion: Boolean = false
             override def buildScan(): RDD[Row] = {
-              val base = prunedFrame(context.sparkSession, pushed)
+              val base = optionedFrame(context.sparkSession, options)
+                .orElse(prunedFrame(context.sparkSession, pushed))
                 .getOrElse(fullFrame(context.sparkSession))
               val filtered = preds.foldLeft(base)((df, p) => df.filter(p))
               // requested metadata columns materialize here; a
@@ -1328,6 +1337,36 @@ private[v2] class SinkChangesTable(kind: String, path: String, ident: String,
   override protected def readSchemaFull: StructType = schema()
   override protected def fullFrame(spark: SparkSession): DataFrame =
     SinkChanges.allChanges(spark, kind, path, props, asOf)
+
+  /** Epoch-bounded batch reads — the Delta CDF
+    * `startingVersion`/`endingVersion` analog:
+    * {{{
+    *   spark.read.option("fromEpoch", 3).option("toEpoch", 7)
+    *     .table("graft.lsm.`orders$changes`")
+    * }}}
+    * `fromEpoch` starts the feed at an epoch (its own changes, never a
+    * snapshot — the consumer has the earlier state), `toEpoch` bounds
+    * the tip and composes with `VERSION AS OF` by taking the tighter
+    * bound; a `fromEpoch` below the erosion floor fails loudly.
+    */
+  override protected def optionedFrame(spark: SparkSession,
+                                       options: CaseInsensitiveStringMap)
+      : Option[DataFrame] = {
+    def bound(k: String): Option[Long] = Option(options.get(k)).map { v =>
+      try v.trim.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$ident read option '$k' expects a numeric epoch, got '$v'")
+      }
+    }
+    val from = bound("fromEpoch")
+    val to = bound("toEpoch")
+    if (from.isEmpty && to.isEmpty) None
+    else Some(SinkChanges.allChanges(spark, kind, path, props,
+      (asOf.toSeq ++ to.toSeq).reduceOption((a, b) => math.min(a, b)),
+      from))
+  }
+
   override protected def microBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SinkChangesMicroBatchStream(kind, path, props, checkpointLocation)

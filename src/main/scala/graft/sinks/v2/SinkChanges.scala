@@ -113,26 +113,37 @@ object SinkChanges {
       to_json(col("after")).as("after_json"))
 
   /** All retained epochs' changes as one frame (the batch table read);
-    * `asOf` bounds the feed at a pinned epoch.
+    * `asOf` bounds the feed's TIP at a pinned epoch, `fromEpoch` bounds
+    * its START (the Delta CDF startingVersion analog — incremental
+    * batch consumption). The first included epoch keeps its TRUE
+    * predecessor for derivation: a `fromEpoch` cut must serve that
+    * epoch's own changes, never degrade it to a snapshot.
     */
   def allChanges(spark: SparkSession, kind: String, path: String,
-                 props: Map[String, String],
-                 asOf: Option[Long]): DataFrame = {
+                 props: Map[String, String], asOf: Option[Long],
+                 fromEpoch: Option[Long] = None): DataFrame = {
     val sink = GraftSinkCatalog.sinkFor(kind, path, props)
-    // a feed pinned entirely below the erosion floor would read as
-    // empty — it is not empty, it is GONE; loud like the stream guard
+    // a feed bounded below the erosion floor would read as empty or
+    // partial — it is not empty, it is GONE; loud like the stream guard
     sink.changefeedFloor.foreach { floor =>
       if (asOf.exists(_ < floor))
         throw new IllegalStateException(
           s"$path $$changes VERSION AS OF ${asOf.get} predates the vacuum " +
             s"erosion floor $floor — those epochs were reclaimed")
+      if (fromEpoch.exists(_ < floor))
+        throw new IllegalStateException(
+          s"$path $$changes fromEpoch=${fromEpoch.get} predates the vacuum " +
+            s"erosion floor $floor — epochs in between were reclaimed and " +
+            "cannot be served; start at the floor or re-snapshot")
     }
     val versions = sink.versions
-      .filter(e => asOf.forall(e <= _))
-    if (versions.isEmpty)
+    val pairs = versions.zip(None +: versions.map(Some(_)))
+      .filter { case (e, _) =>
+        asOf.forall(e <= _) && fromEpoch.forall(e >= _) }
+    if (pairs.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    versions.zip(None +: versions.map(Some(_)))
+    pairs
       .map { case (e, prev) => changesFor(spark, kind, path, props, e, prev) }
       .reduce(_.unionByName(_))
   }

@@ -236,6 +236,61 @@ class ChangefeedIoSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("erosion floor"), e2.getMessage)
   }
 
+  test("fromEpoch/toEpoch read options bound the batch $changes feed " +
+      "(Delta CDF startingVersion analog); eroded starts fail loudly") {
+    val root = Files.createTempDirectory("cfio-opt").toString
+    if (spark.conf.getOption("spark.sql.catalog.graft_cfo").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft_cfo",
+        classOf[graft.sinks.v2.GraftSinkCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_cfo.root", root)
+    }
+    val cat = spark.conf.get("spark.sql.catalog.graft_cfo.root")
+    val sink = new graft.streaming.LsmMergeSink(s"$cat/lsm/t",
+      buckets = 4, compactEvery = 100)
+    assert(sink.merge(envBatch((1 to 20).map(k =>
+      (k, s"n$k", "r")): _*), 0L))
+    assert(sink.merge(envBatch((3, "u3", "u")).withColumn("source",
+      struct(lit(900000L).as("pos"))), 1L))
+    assert(sink.merge(envBatch((5, "u5", "u")).withColumn("source",
+      struct(lit(900001L).as("pos"))), 2L))
+    Files.writeString(java.nio.file.Paths.get(s"$cat/lsm/t/_table.ddl"),
+      spark.createDataFrame(spark.sparkContext.emptyRDD[
+        org.apache.spark.sql.Row],
+        envBatch((1, "x", "r")).schema).schema.toDDL): Unit
+    val tbl = "graft_cfo.lsm.`t$changes`"
+    def epochs(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("epoch").collect().map(_.getLong(0)).sorted.toSeq
+    // unbounded: snapshot + both increments
+    assert(epochs(spark.table(tbl)) == Seq.fill(20)(0L) ++ Seq(1L, 2L))
+    // fromEpoch=1: the increments ONLY — epoch 1 serves its own one-row
+    // delta, never a snapshot (the consumer has the earlier state)
+    val from1 = spark.read.option("fromEpoch", "1").table(tbl)
+    assert(epochs(from1) == Seq(1L, 2L), epochs(from1).toString)
+    assert(from1.filter(col("epoch") === 1L).head
+      .getAs[String]("after_json").contains("u3"))
+    // toEpoch composes: [1, 1]
+    assert(epochs(spark.read.option("fromEpoch", "1")
+      .option("toEpoch", "1").table(tbl)) == Seq(1L))
+    // bad value is loud
+    val e = intercept[Exception] {
+      spark.read.option("fromEpoch", "soon").table(tbl).collect()
+    }
+    assert(e.getMessage.contains("numeric epoch"), e.getMessage)
+    // a fromEpoch below a full-kind erosion floor is loud, not partial
+    val fdir = Files.createTempDirectory("cfio-opt-f").toString
+    val fsink = new MergeSink(fdir, changefeedDelta = true)
+    assert(fsink.merge(envBatch((1 to 8).map(k =>
+      (k, s"n$k", "r")): _*), 0L))
+    assert(fsink.merge(envBatch((2, "u2", "u")).withColumn("source",
+      struct(lit(900000L).as("pos"))), 1L))
+    assert(fsink.vacuum() >= 1)
+    val e2 = intercept[IllegalStateException] {
+      SinkChanges.allChanges(spark, "full", fdir,
+        Map("changefeed" -> "true"), asOf = None, fromEpoch = Some(0L))
+    }
+    assert(e2.getMessage.contains("erosion floor"), e2.getMessage)
+  }
+
   test("scd2 fast path matches the diff fallback row-for-row") {
     val dir = Files.createTempDirectory("cfio-eq").toString
     val sink = new Scd2Sink(dir, buckets = 4)
