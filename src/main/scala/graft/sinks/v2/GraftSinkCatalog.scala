@@ -1095,7 +1095,10 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
       .flatMap(GraftSinkCatalog.keyEqualities(pushed, _))
       .flatMap { vals =>
         val sink = GraftSinkCatalog.sinkFor(kind, path, props)
-        sink.layoutBucketCount.flatMap { n =>
+        // the count of the manifest THIS read pins: after a rebucket, a
+        // VERSION AS OF lookup at a pre-rebucket epoch must hash under
+        // the old layout's count, not the current K line
+        sink.layoutBucketCount(asOf).flatMap { n =>
           val b = GraftSinkCatalog.bucketOf(spark, vals, n)
           sink.stateBucket(spark, asOf, b).map(raw =>
             GraftSinkCatalog.stateFrameFrom(spark, Some(raw), schema()))

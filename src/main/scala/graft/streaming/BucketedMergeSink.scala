@@ -58,13 +58,21 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
   private def storedBucketCount: Option[Int] = {
     val fromManifest =
       if (!Files.exists(pointer)) None
-      else Files.readAllLines(
-        root.resolve(Files.readString(pointer).trim)).asScala
-        .find(_.startsWith("K\t")).map(_.split("\t")(1).trim.toInt)
-    fromManifest.orElse {
-      val f = root.resolve("_buckets")
-      if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
-    }
+      else kLineOf(root.resolve(Files.readString(pointer).trim))
+    fromManifest.orElse(legacyBucketsFile)
+  }
+
+  private def kLineOf(mf: java.nio.file.Path): Option[Int] =
+    Files.readAllLines(mf).asScala
+      .find(_.startsWith("K\t")).map(_.split("\t")(1).trim.toInt)
+
+  /** Pre-K-line fallback. Only sound for tables never rebucketed —
+    * rebucket always writes a K line, so a legacy manifest's count
+    * cannot have drifted from `_buckets`.
+    */
+  private def legacyBucketsFile: Option[Int] = {
+    val f = root.resolve("_buckets")
+    if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
   }
 
   /** bucket -> (data directory, schema DDL) of its current version. The
@@ -173,8 +181,18 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
       throw new IllegalStateException(s"no committed state at epoch $epochId"))
       .filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
 
-  override def layoutBucketCount: Option[Int] =
-    if (committedEpoch.isEmpty) None else storedBucketCount
+  /** Layout count of the manifest a read pins: the CURRENT manifest's
+    * K line for live reads, the AS-OF manifest's for pinned ones — a
+    * rebucket between them changes what every bucket id means (see
+    * [[CdcSink.layoutBucketCount]]).
+    */
+  override def layoutBucketCount(asOf: Option[Long]): Option[Int] =
+    if (committedEpoch.isEmpty) None
+    else asOf match {
+      case None => storedBucketCount
+      case Some(e) => versions.filter(_ <= e).lastOption.flatMap(v =>
+        kLineOf(root.resolve(s"m$v.manifest")).orElse(legacyBucketsFile))
+    }
 
   /** Point-lookup read: ONE bucket's current rows (see
     * [[CdcSink.stateBucket]]) — the manifest maps the bucket straight
@@ -226,7 +244,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
     // guard as MergeSink: an incremental sidecar is not a snapshot.
     val c = root.resolve(s"c$epoch")
     if (Files.isDirectory(c) && (prevEpoch.isDefined || epoch == 0L))
-      return Some(spark.read.parquet(c.toString))
+      return Some(CdcSink.readSidecar(spark, c))
     val curMf = root.resolve(s"m$epoch.manifest")
     if (!Files.exists(curMf)) return None
     val cur = parseManifest(curMf)
@@ -412,10 +430,17 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
       val touched = reduced.select(col("_bucket")).distinct()
         .collect().map(_.getLong(0).toInt).toSet
       // change-delta sidecar: one extra O(|batch|) pass over the cached
-      // reduce — these ARE the epoch's feed rows (see changesAt)
-      if (changefeedDelta)
-        reduced.drop("_bucket").write.mode("overwrite")
+      // reduce — these ARE the epoch's feed rows (see changesAt). The
+      // .ddl file pins the read schema (an empty epoch's sidecar has no
+      // footers to infer from)
+      if (changefeedDelta) {
+        val noBucket = reduced.drop("_bucket")
+        Files.createDirectories(root)
+        Files.writeString(root.resolve(s"c$epochId.ddl"),
+          noBucket.schema.toDDL): Unit
+        noBucket.write.mode("overwrite")
           .parquet(root.resolve(s"c$epochId").toString)
+      }
       val prevManifest = manifest
       val prevTouched = readBuckets(spark,
         prevManifest.filter(kv => touched(kv._1)).values.toSeq)

@@ -60,13 +60,20 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
   private def storedBucketCount: Option[Int] = {
     val fromManifest =
       if (!Files.exists(pointer)) None
-      else Files.readAllLines(
-        root.resolve(Files.readString(pointer).trim)).asScala
-        .find(_.startsWith("K\t")).map(_.split("\t")(1).trim.toInt)
-    fromManifest.orElse {
-      val f = root.resolve("_buckets")
-      if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
-    }
+      else kLineOf(root.resolve(Files.readString(pointer).trim))
+    fromManifest.orElse(legacyBucketsFile)
+  }
+
+  private def kLineOf(mf: java.nio.file.Path): Option[Int] =
+    Files.readAllLines(mf).asScala
+      .find(_.startsWith("K\t")).map(_.split("\t")(1).trim.toInt)
+
+  /** Pre-K-line fallback — sound only for never-rebucketed tables
+    * (rebucket always writes a K line).
+    */
+  private def legacyBucketsFile: Option[Int] = {
+    val f = root.resolve("_buckets")
+    if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
   }
 
   case class Manifest(base: Map[Int, (String, String)],
@@ -200,8 +207,17 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     s.filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
   }
 
-  override def layoutBucketCount: Option[Int] =
-    if (committedEpoch.isEmpty) None else storedBucketCount
+  /** Layout count of the manifest a read pins (see
+    * [[BucketedMergeSink.layoutBucketCount]] — a rebucket between the
+    * pinned and current manifests changes what bucket ids mean).
+    */
+  override def layoutBucketCount(asOf: Option[Long]): Option[Int] =
+    if (committedEpoch.isEmpty) None
+    else asOf match {
+      case None => storedBucketCount
+      case Some(e) => versions.filter(_ <= e).lastOption.flatMap(v =>
+        kLineOf(root.resolve(s"m$v.manifest")).orElse(legacyBucketsFile))
+    }
 
   /** Point-lookup read: merge-on-read over ONE bucket — its base dir
     * plus only the deltas that touched it (see [[CdcSink.stateBucket]]).

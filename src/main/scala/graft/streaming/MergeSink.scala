@@ -95,9 +95,14 @@ trait CdcSink {
     * committed yet). Point-lookup pruning hashes a full-key equality
     * predicate with this count to resolve the one bucket that can hold
     * the key — it must be the LAYOUT's count (the manifest `K` line),
-    * never a configured value that might have drifted from it.
+    * never a configured value that might have drifted from it. With
+    * `asOf` set, the count of the manifest THAT read pins: after a
+    * rebucket (16→4), a `VERSION AS OF` lookup at a pre-rebucket epoch
+    * must hash under the OLD count — hashing with the current one would
+    * probe a bucket id that means something else in the pinned layout
+    * and silently miss the row.
     */
-  def layoutBucketCount: Option[Int] = None
+  def layoutBucketCount(asOf: Option[Long]): Option[Int] = None
 
   /** Reduced state restricted to ONE key-hash bucket — the point-lookup
     * read path: a full-key equality predicate resolves to exactly one
@@ -252,6 +257,21 @@ object CdcSink {
         s"through v$committed (foreachBatch replay, or a caller whose epoch " +
         s"counter restarted below the sink's committed version)")
 
+  /** Read a `c<epoch>/` change-delta sidecar with its schema PINNED
+    * from the `.ddl` file its writer left (an empty epoch's sidecar has
+    * no parquet footers to infer from); legacy sidecars without one
+    * fall back to inference — they were always non-empty (the .ddl file
+    * ships with the same round that made empty sidecars writable).
+    */
+  private[streaming] def readSidecar(spark: SparkSession,
+                                     cdir: java.nio.file.Path): DataFrame = {
+    val ddlFile = cdir.resolveSibling(cdir.getFileName.toString + ".ddl")
+    if (java.nio.file.Files.exists(ddlFile))
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        java.nio.file.Files.readString(ddlFile))).parquet(cdir.toString)
+    else spark.read.parquet(cdir.toString)
+  }
+
   /** Data-sized bucket count for the bucket-partitioned sinks: one
     * bucket per ~`targetRowsPerBucket` rows, rounded UP to a power of
     * two and clamped to [16, 65536] — the r7 10× caveat promoted to
@@ -327,10 +347,26 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
 
   /** Full state AS OF `epochId`: the newest retained version ≤ it
     * (Delta/Iceberg VERSION AS OF semantics, like the bucketed sinks).
+    * Strict about erosion, like the manifest kinds' stateAt: an epoch
+    * below the vacuum floor with no retained version to serve it RAISES
+    * — returning None would make the catalog serve an empty frame for
+    * state that existed and was reclaimed (silent-wrong, taxonomy
+    * class 1's read-side twin).
     */
   def stateAt(spark: SparkSession, epochId: Long): Option[DataFrame] =
-    versions.filter(_ <= epochId).lastOption
-      .map(v => spark.read.parquet(root.resolve(s"v$v").toString))
+    versions.filter(_ <= epochId).lastOption match {
+      case Some(v) =>
+        Some(spark.read.parquet(root.resolve(s"v$v").toString))
+      case None =>
+        changefeedFloor.foreach { floor =>
+          if (epochId < floor)
+            throw new IllegalStateException(
+              s"$dir: version data vacuumed away for epoch $epochId — " +
+                s"the vacuum erosion floor is $floor; older versions were " +
+                "reclaimed and cannot be read")
+        }
+        None
+    }
 
   /** Latest-row view AS OF `epochId` (tombstoned deletes excluded). */
   def viewAt(spark: SparkSession, epochId: Long): DataFrame =
@@ -408,6 +444,13 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
       if (!changefeedDelta) incoming0
       else {
         val cdir = root.resolve(s"c$epochId")
+        // the sidecar's schema travels as a .ddl file so EVERY future
+        // read pins it — an epoch with an empty change set (update-mode
+        // DML matching nothing) leaves a schemaless empty dir that
+        // inference-based reads would throw on
+        Files.createDirectories(root)
+        Files.writeString(root.resolve(s"c$epochId.ddl"),
+          incoming0.schema.toDDL): Unit
         incoming0.write.mode("overwrite").parquet(cdir.toString)
         // pinned schema: an EMPTY epoch's sidecar must still read (an
         // inference-based read would fail on a schemaless empty dir)
@@ -453,7 +496,7 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
     if (prevEpoch.isEmpty && epoch != 0L) return None
     val c = root.resolve(s"c$epoch")
     if (!Files.isDirectory(c)) None
-    else Some(spark.read.parquet(c.toString))
+    else Some(CdcSink.readSidecar(spark, c))
   }
 
   /** Delete version dirs (and their change-delta sidecars and commit
@@ -495,9 +538,12 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
         st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(Files.delete(_))
       }
-      // the commit-ts sidecar of a vacuumed version is dead metadata
+      // the commit-ts and schema sidecars of a vacuumed dir are dead
+      // metadata
       Files.deleteIfExists(
         p.resolveSibling(p.getFileName.toString + ".committs")): Unit
+      Files.deleteIfExists(
+        p.resolveSibling(p.getFileName.toString + ".ddl")): Unit
     }
     dead.size
   }

@@ -137,13 +137,20 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
   private def storedBucketCount: Option[Int] = {
     val fromManifest =
       if (!Files.exists(pointer)) None
-      else Files.readAllLines(
-        root.resolve(Files.readString(pointer).trim)).asScala
-        .find(_.startsWith("K\t")).map(_.split("\t")(1).trim.toInt)
-    fromManifest.orElse {
-      val f = root.resolve("_buckets")
-      if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
-    }
+      else kLineOf(root.resolve(Files.readString(pointer).trim))
+    fromManifest.orElse(legacyBucketsFile)
+  }
+
+  private def kLineOf(mf: Path): Option[Int] =
+    Files.readAllLines(mf).asScala
+      .find(_.startsWith("K\t")).map(_.split("\t")(1).trim.toInt)
+
+  /** Pre-K-line fallback — sound only for never-rebucketed tables
+    * (rebucket always writes a K line).
+    */
+  private def legacyBucketsFile: Option[Int] = {
+    val f = root.resolve("_buckets")
+    if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
   }
 
   /** Read the CURRENT pointer, not manifest existence — the commit point
@@ -246,8 +253,17 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
     */
   def state(spark: SparkSession): Option[DataFrame] = stateOf(spark, manifest)
 
-  override def layoutBucketCount: Option[Int] =
-    if (committedEpoch.isEmpty) None else storedBucketCount
+  /** Layout count of the manifest a read pins (see
+    * [[BucketedMergeSink.layoutBucketCount]] — a rebucket between the
+    * pinned and current manifests changes what bucket ids mean).
+    */
+  override def layoutBucketCount(asOf: Option[Long]): Option[Int] =
+    if (committedEpoch.isEmpty) None
+    else asOf match {
+      case None => storedBucketCount
+      case Some(e) => versions.filter(_ <= e).lastOption.flatMap(v =>
+        kLineOf(root.resolve(s"m$v.manifest")).orElse(legacyBucketsFile))
+    }
 
   /** Point-lookup read: ONE bucket's open set (see
     * [[CdcSink.stateBucket]]) — the live table is exactly the open
@@ -320,7 +336,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
     // guard as MergeSink: an incremental sidecar is not a snapshot.
     val c = root.resolve(s"c$epoch")
     if (Files.isDirectory(c) && (prevEpoch.isDefined || epoch == 0L))
-      return Some(spark.read.parquet(c.toString))
+      return Some(CdcSink.readSidecar(spark, c))
     val edir = root.resolve(s"e$epoch")
     if (!Files.isDirectory(edir)) return None
     val mCur = manifestAt(epoch)
@@ -457,13 +473,18 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
       // closing position), one extra O(|batch|) pass
       if (changefeedDelta) {
         graft.expressions.GraftFunctions.register(spark)
-        events.drop("_bucket")
+        val sidecar = events.drop("_bucket")
           .groupBy(col("key"))
           .agg(graft.expressions.GraftFunctions.latestByPos(
             struct(col("after"), col("op"), col("pos")), col("pos")).as("e"))
           .select(col("key"), col("e.after").as("after"),
             col("e.op").as("op"), col("e.pos").as("pos"))
-          .write.mode("overwrite")
+        // the .ddl file pins the read schema (an empty epoch's sidecar
+        // has no footers to infer from)
+        Files.createDirectories(root)
+        Files.writeString(root.resolve(s"c$epochId.ddl"),
+          sidecar.schema.toDDL): Unit
+        sidecar.write.mode("overwrite")
           .parquet(root.resolve(s"c$epochId").toString)
       }
       val m = manifest

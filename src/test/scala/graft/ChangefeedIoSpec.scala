@@ -194,6 +194,36 @@ class ChangefeedIoSpec extends AnyFunSuite {
     }
   }
 
+  test("an EMPTY epoch's change-delta sidecar (update-mode statement " +
+      "matching nothing) must not poison subsequent $changes reads") {
+    // full kind: update-mode merge whose keys are all absent commits an
+    // epoch with an empty c<epoch>/ sidecar — every later feed read
+    // crosses it and must not throw on schema inference
+    val dir = Files.createTempDirectory("cfio-empty-f").toString
+    val sink = new MergeSink(dir, changefeedDelta = true)
+    assert(sink.merge(envBatch((1 to 5).map(k => (k, s"n$k", "r")): _*), 0L))
+    assert(sink.merge(envBatch((99, "ghost", "u")).withColumn("source",
+      struct(lit(900000L).as("pos"))), 1L, mode = "update"))
+    assert(sink.merge(envBatch((2, "u2", "u")).withColumn("source",
+      struct(lit(900001L).as("pos"))), 2L))
+    val feed = SinkChanges.allChanges(spark, "full", dir,
+      Map("changefeed" -> "true"), asOf = None)
+    assert(feed.filter(col("epoch") === 1L).count() == 0L)
+    assert(feed.count() == 6L, "5 snapshot rows + the epoch-2 update")
+
+    // bucketed: an all-reduced-away batch leaves an empty sidecar too
+    val bdir = Files.createTempDirectory("cfio-empty-b").toString
+    val bsink = new BucketedMergeSink(bdir, buckets = 4,
+      changefeedDelta = true)
+    assert(bsink.merge(envBatch((1 to 5).map(k => (k, s"n$k", "r")): _*), 0L))
+    assert(bsink.merge(envBatch().withColumn("source",
+      struct(lit(900000L).as("pos"))), 1L))
+    val bfeed = SinkChanges.allChanges(spark, "bucketed", bdir,
+      Map("changefeed" -> "true"), asOf = None)
+    assert(bfeed.filter(col("epoch") === 1L).count() == 0L)
+    assert(bfeed.count() == 5L)
+  }
+
   test("a resuming $changes stream whose frontier predates a full-kind " +
       "vacuum fails loudly; a fresh stream serves a snapshot") {
     import graft.sinks.v2.{EpochOffset, SinkChangesMicroBatchStream, SinkChangesPartition, SinkChangesPartitionReader}

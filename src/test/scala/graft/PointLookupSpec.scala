@@ -135,6 +135,32 @@ class PointLookupSpec extends AnyFunSuite {
       s"WHERE key.o_orderkey = $present AND op <> 'd'")) == asOf0)
   }
 
+  test("VERSION AS OF point lookup across a rebucket hashes under the " +
+      "PINNED manifest's bucket count, not the current layout's") {
+    for (kind <- Seq("bucketed", "lsm", "scd2")) {
+      val name = freshTable(kind)
+      val (present, _) = keys(name)
+      val expectAt1 = canon(spark.sql(
+        s"SELECT after.* FROM $name VERSION AS OF 1 WHERE op <> 'd'")
+        .filter(col("o_orderkey") === present))
+      assert(expectAt1.length == 1, s"$kind setup: $expectAt1")
+      // rebucket 16 -> 4: every bucket id means something else afterwards
+      val short = name.split("\\.", 3)(2)
+      spark.sql(s"CALL $cat.system.rebucket(table => '$kind.$short', " +
+        "buckets => 4)").collect()
+      // the pre-rebucket epoch must still find the row — hashing the key
+      // under the NEW count against the OLD manifest would probe a
+      // bucket that holds different keys there and silently return none
+      assert(canon(spark.sql(s"SELECT after.* FROM $name VERSION AS OF 1 " +
+        s"WHERE key.o_orderkey = $present AND op <> 'd'")) == expectAt1,
+        s"$kind: pre-rebucket as-of lookup lost the row")
+      // and the live lookup prunes under the new count
+      assert(canon(spark.sql(s"SELECT after.* FROM $name " +
+        s"WHERE key.o_orderkey = $present AND op <> 'd'")) == expectAt1,
+        s"$kind: post-rebucket live lookup lost the row")
+    }
+  }
+
   test("partial-key equality on a composite key does NOT prune and " +
       "stays correct; pinning every field prunes") {
     import spark.implicits._

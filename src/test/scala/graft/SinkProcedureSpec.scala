@@ -96,7 +96,8 @@ class SinkProcedureSpec extends AnyFunSuite {
       s"expected a vacuumed-data error, got: ${e.getMessage}")
   }
 
-  test("CALL vacuum on a full-kind table prunes versions below the tip") {
+  test("CALL vacuum on a full-kind table prunes versions below the tip; " +
+      "eroded VERSION AS OF fails loudly, never an empty frame") {
     val name = freshTable("full", Map.empty)
     val dir = Paths.get(s"$catRoot/full/$name")
     assert(Files.isDirectory(dir.resolve("v0")))
@@ -109,6 +110,14 @@ class SinkProcedureSpec extends AnyFunSuite {
       Files.isDirectory(dir.resolve("v1")))
     assert(canon(spark.sql(
       s"SELECT after.* FROM $cat.full.$name WHERE op <> 'd'")) == before)
+    // the version dirs ARE the full kind's history: epoch 0 existed and
+    // was reclaimed — serving an empty frame would be silently wrong
+    // (the other kinds' manifestAt raises the same way)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.full.$name VERSION AS OF 0").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("vacuum"),
+      s"expected a vacuumed-data error, got: ${e.getMessage}")
   }
 
   test("CALL rebucket rewrites the layout AND the stored buckets " +
