@@ -1,7 +1,6 @@
 package graft.sinks.v2
 
-import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -11,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, Proced
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 
-import graft.streaming.{BucketedMergeSink, LsmMergeSink, MergeSink, Scd2Sink}
+import graft.streaming.{BucketedMergeSink, LsmMergeSink, MergeSink, Scd2Sink, SinkFs}
 
 /** TABLE-MAINTENANCE procedures of the sink catalog, callable as SQL —
   * Spark 4's native `ProcedureCatalog` contract (the Iceberg
@@ -84,10 +83,10 @@ private[v2] abstract class SinkProcedure(root: String, procName: String)
     require(GraftSinkCatalog.kinds.contains(kind),
       s"unknown sink kind '$kind' — one of " +
         GraftSinkCatalog.kinds.toSeq.sorted.mkString("/"))
-    val dir = Paths.get(root, kind, tbl)
-    if (!Files.exists(dir.resolve("_table.ddl")))
+    val dir = new HPath(new HPath(root, kind), tbl)
+    if (!SinkFs.exists(new HPath(dir, "_table.ddl")))
       throw new NoSuchTableException(Identifier.of(Array(kind), tbl))
-    val props = Files.readAllLines(dir.resolve("_table.ddl")).asScala
+    val props = SinkFs.readLines(new HPath(dir, "_table.ddl"))
       .drop(1).flatMap { l =>
         l.split("=", 2) match {
           case Array(k, v) => Some(k -> v)
@@ -112,11 +111,23 @@ private[v2] class VacuumProcedure(root: String)
 
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("table", StringType)
-      .comment("'<kind>.<table>'").build())
+      .comment("'<kind>.<table>'").build(),
+    // feed retention: keep the newest N epochs' change-delta sidecars,
+    // reclaim the rest (bucketed/scd2 sidecars otherwise accumulate for
+    // the table's lifetime — the versions recycle, the sidecars never
+    // did). -1 (the default) = no feed reclaim. The reclaim records the
+    // loud erosion `_floor`: a resuming $changes stream or a fromEpoch
+    // below it fails as vacuumed, never reads partial history silently.
+    ProcedureParameter.in("retain_feed_epochs", IntegerType)
+      .defaultValue("-1")
+      .comment("keep the newest N epochs' changefeed sidecars; -1 = all")
+      .build())
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val (kind, dir, props) = resolveTable(input.getUTF8String(0).toString)
-    val deleted = GraftSinkCatalog.sinkFor(kind, dir, props) match {
+    val retainFeed = if (input.isNullAt(1)) -1 else input.getInt(1)
+    val sink = GraftSinkCatalog.sinkFor(kind, dir, props)
+    val deleted = sink match {
       case s: LsmMergeSink => s.vacuum()
       case s: BucketedMergeSink => s.vacuum()
       case s: Scd2Sink => s.vacuum()
@@ -124,9 +135,32 @@ private[v2] class VacuumProcedure(root: String)
       case other => throw new IllegalStateException(
         s"no vacuum for ${other.getClass.getSimpleName}")
     }
+    val feedReclaimed =
+      if (retainFeed < 0) 0
+      else {
+        require(retainFeed >= 1,
+          s"retain_feed_epochs must be >= 1 (the tip's sidecar always " +
+            s"stays) or -1 for no feed reclaim, got $retainFeed")
+        val tip = sink.committedEpoch.getOrElse(
+          throw new IllegalStateException(
+            "feed retention needs a committed epoch"))
+        val floor = math.max(0L, tip - retainFeed + 1L)
+        sink match {
+          case s: BucketedMergeSink => s.vacuumFeed(floor)
+          case s: Scd2Sink => s.vacuumFeed(floor)
+          case s: MergeSink => s.vacuumFeed(floor)
+          case _: LsmMergeSink => throw new UnsupportedOperationException(
+            "lsm delta dirs ARE the table's pending state, not sidecars " +
+              "— plain vacuum already reclaims them once compacted; " +
+              "retain_feed_epochs does not apply")
+          case other => throw new IllegalStateException(
+            s"no feed vacuum for ${other.getClass.getSimpleName}")
+        }
+      }
     result(StructType(Seq(
-      StructField("deleted_dirs", IntegerType, nullable = false))),
-      InternalRow(deleted))
+      StructField("deleted_dirs", IntegerType, nullable = false),
+      StructField("feed_sidecars", IntegerType, nullable = false))),
+      InternalRow(deleted, feedReclaimed))
   }
 }
 
@@ -188,7 +222,7 @@ private[v2] class RebucketProcedure(root: String)
     val sink = GraftSinkCatalog.sinkFor(kind, dir, props)
     val epoch = sink.committedEpoch.map(_ + 1L).getOrElse(
       throw new IllegalStateException(
-        s"rebucket needs committed state — '$kind.${Paths.get(dir).getFileName}' " +
+        s"rebucket needs committed state — '$kind.${new HPath(dir).getName}' " +
           "has no committed epoch"))
     sink match {
       case s: LsmMergeSink => s.rebucket(spark, newBuckets, epoch): Unit
@@ -203,11 +237,11 @@ private[v2] class RebucketProcedure(root: String)
     val oldBuckets = props.get("buckets").map(_.trim.toInt).getOrElse(16)
     // the stored property must follow the layout: sinkFor passes it to
     // the sink constructors, whose layout check refuses a drifted count
-    val meta = Paths.get(dir).resolve("_table.ddl")
-    val lines = Files.readAllLines(meta).asScala
+    val meta = new HPath(new HPath(dir), "_table.ddl")
+    val lines = SinkFs.readLines(meta)
     val kept = lines.drop(1).filterNot(_.startsWith("buckets="))
-    Files.writeString(meta,
-      (lines.head +: (s"buckets=$newBuckets" +: kept)).mkString("\n")): Unit
+    SinkFs.writeString(meta,
+      (lines.head +: (s"buckets=$newBuckets" +: kept)).mkString("\n"))
     result(StructType(Seq(
       StructField("old_buckets", IntegerType, nullable = false),
       StructField("new_buckets", IntegerType, nullable = false),

@@ -1,8 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
-import scala.util.Using
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Envelope
@@ -30,8 +28,8 @@ import graft.operators.Materialize
   */
 class BucketedMergeSink(dir: String, buckets: Int = 16,
                         changefeedDelta: Boolean = false) extends CdcSink {
-  private val root = Paths.get(dir)
-  private val pointer = root.resolve("CURRENT")
+  private val root = new HPath(dir)
+  private val pointer = new HPath(root, "CURRENT")
 
   private def bucketCol = pmod(xxhash64(col("key")), lit(buckets))
 
@@ -45,8 +43,8 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
       case Some(stored) => require(stored == buckets,
         s"sink $dir was written with buckets=$stored, opened with $buckets")
       case None =>
-        Files.createDirectories(root)
-        Files.writeString(root.resolve("_buckets"), buckets.toString): Unit
+        SinkFs.mkdirs(root)
+        SinkFs.writeString(new HPath(root, "_buckets"), buckets.toString)
     }
 
   /** The layout's committed bucket count: the CURRENT manifest's `K`
@@ -57,13 +55,13 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
     */
   private def storedBucketCount: Option[Int] = {
     val fromManifest =
-      if (!Files.exists(pointer)) None
-      else kLineOf(root.resolve(Files.readString(pointer).trim))
+      if (!SinkFs.exists(pointer)) None
+      else kLineOf(new HPath(root, SinkFs.readString(pointer).trim))
     fromManifest.orElse(legacyBucketsFile)
   }
 
-  private def kLineOf(mf: java.nio.file.Path): Option[Int] =
-    Files.readAllLines(mf).asScala
+  private def kLineOf(mf: HPath): Option[Int] =
+    SinkFs.readLines(mf)
       .find(_.startsWith("K\t")).map(_.split("\t")(1).trim.toInt)
 
   /** Pre-K-line fallback. Only sound for tables never rebucketed —
@@ -71,8 +69,8 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
     * cannot have drifted from `_buckets`.
     */
   private def legacyBucketsFile: Option[Int] = {
-    val f = root.resolve("_buckets")
-    if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
+    val f = new HPath(root, "_buckets")
+    if (SinkFs.exists(f)) Some(SinkFs.readString(f).trim.toInt) else None
   }
 
   /** bucket -> (data directory, schema DDL) of its current version. The
@@ -81,8 +79,8 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
     * sweep per micro-batch is a driver-side scale killer.
     */
   def manifest: Map[Int, (String, String)] =
-    if (!Files.exists(pointer)) Map.empty
-    else parseManifest(root.resolve(Files.readString(pointer).trim))
+    if (!SinkFs.exists(pointer)) Map.empty
+    else parseManifest(new HPath(root, SinkFs.readString(pointer).trim))
 
   /** Read bucket dirs grouped by schema version: one schema-known read
     * per distinct DDL (zero footer I/O), `unionByName` across versions —
@@ -90,7 +88,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
     */
   private def readBuckets(spark: SparkSession,
                           dirs: Seq[(String, String)]): Option[DataFrame] = {
-    val existing = dirs.distinct.filter(d => Files.exists(Paths.get(d._1)))
+    val existing = dirs.distinct.filter(d => SinkFs.exists(new HPath(d._1)))
     if (existing.isEmpty) return None
     val byDdl = existing.groupBy(_._2)
     val parts = byDdl.toSeq.sortBy(_._1).map { case (ddl, ds) =>
@@ -117,15 +115,10 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
     */
   def versions: Seq[Long] = {
     val tip = committedEpoch.getOrElse(return Nil)
-    if (!Files.exists(root)) Nil
-    else Using.resource(Files.list(root)) { st =>
-      val M = """m(\d+)\.manifest""".r
-      st.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case M(epoch) => epoch.toLong }
-        .filter(_ <= tip)
-        .toSeq
-    }.sorted
+    val M = """m(\d+)\.manifest""".r
+    SinkFs.listNames(root)
+      .collect { case M(epoch) => epoch.toLong }
+      .filter(_ <= tip).sorted
   }
 
   /** The commit point is the CURRENT swap, so the replay guard must read
@@ -135,23 +128,41 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
     * and the epoch's data is silently lost.
     */
   override def committedEpoch: Option[Long] =
-    if (!Files.exists(pointer)) None
+    if (!SinkFs.exists(pointer)) None
     else """m(\d+)\.manifest""".r
-      .findFirstMatchIn(Files.readString(pointer).trim)
+      .findFirstMatchIn(SinkFs.readString(pointer).trim)
       .map(_.group(1).toLong)
 
-  private def parseManifest(mf: java.nio.file.Path): Map[Int, (String, String)] =
-    Files.readAllLines(mf).asScala
+  private def parseManifest(mf: HPath): Map[Int, (String, String)] =
+    SinkFs.readLines(mf)
       .filter(l => l.nonEmpty && !l.startsWith("K\t")) // K = bucket count
       .map { l =>
         l.split("\t", 3) match {
-          case Array(b, p, ddl) => b.toInt -> (p, ddl)
-          case Array(b, p) => b.toInt -> (p, "") // pre-DDL manifest
+          case Array(b, p, ddl) => b.toInt -> (absPath(p), ddl)
+          case Array(b, p) => b.toInt -> (absPath(p), "") // pre-DDL manifest
         }
       }.toMap
 
-  override protected def commitArtifact(epoch: Long): java.nio.file.Path =
-    root.resolve(s"m$epoch.manifest")
+  /** Manifest path entries are stored ROOT-RELATIVE (and resolved back
+    * on parse), so a table directory is relocatable as a unit — rename,
+    * restore, rsync — without orphaning its own data: an absolute path
+    * baked into a manifest keeps pointing at the OLD location and the
+    * read silently serves nothing. Absolute entries (pre-r14 manifests)
+    * still resolve as-is, in place.
+    */
+  private def relPath(p: String): String = {
+    val prefix = root.toString + "/"
+    if (p.startsWith(prefix)) p.substring(prefix.length) else p
+  }
+
+  private def absPath(p: String): String = {
+    val hp = new HPath(p)
+    if (hp.isAbsolute) p else new HPath(root, p).toString
+  }
+
+
+  override protected def commitArtifact(epoch: Long): HPath =
+    new HPath(root, s"m$epoch.manifest")
 
   /** The manifest as of `epochId`: the newest committed version ≤ it
     * (Delta/Iceberg VERSION AS OF semantics).
@@ -159,7 +170,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
   def manifestAt(epochId: Long): Map[Int, (String, String)] = {
     val v = versions.filter(_ <= epochId)
     if (v.isEmpty) Map.empty
-    else parseManifest(root.resolve(s"m${v.last}.manifest"))
+    else parseManifest(new HPath(root, s"m${v.last}.manifest"))
   }
 
   /** Time-travel read: full state AS OF `epochId`. Strict about erosion:
@@ -169,7 +180,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
   def stateAt(spark: SparkSession, epochId: Long): Option[DataFrame] = {
     val m = manifestAt(epochId)
     if (m.isEmpty) return None
-    val gone = m.values.map(_._1).filterNot(p => Files.exists(Paths.get(p)))
+    val gone = m.values.map(_._1).filterNot(p => SinkFs.exists(new HPath(p)))
     require(gone.isEmpty,
       s"version data vacuumed away for epoch $epochId: ${gone.take(3).mkString(", ")}")
     readBuckets(spark, m.values.toSeq)
@@ -191,7 +202,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
     else asOf match {
       case None => storedBucketCount
       case Some(e) => versions.filter(_ <= e).lastOption.flatMap(v =>
-        kLineOf(root.resolve(s"m$v.manifest")).orElse(legacyBucketsFile))
+        kLineOf(new HPath(root, s"m$v.manifest")).orElse(legacyBucketsFile))
     }
 
   /** Point-lookup read: ONE bucket's current rows (see
@@ -203,7 +214,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
     val m = asOf.map(manifestAt).getOrElse(manifest)
     if (m.isEmpty) return None
     m.get(bucket) match {
-      case Some((p, _)) if !Files.exists(Paths.get(p)) => None // eroded
+      case Some((p, _)) if !SinkFs.exists(new HPath(p)) => None // eroded
       case Some(ref) => readBuckets(spark, Seq(ref))
       case None => // the bucket holds no rows: empty frame, known schema
         m.values.map(_._2).find(_.nonEmpty).map(ddl =>
@@ -242,18 +253,18 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
     // change-delta sidecar first (epochs written under changefeedDelta):
     // O(|batch|) bytes, no bucket reads at all. Same first-retained-epoch
     // guard as MergeSink: an incremental sidecar is not a snapshot.
-    val c = root.resolve(s"c$epoch")
-    if (Files.isDirectory(c) && (prevEpoch.isDefined || epoch == 0L))
+    val c = new HPath(root, s"c$epoch")
+    if (SinkFs.isDirectory(c) && (prevEpoch.isDefined || epoch == 0L))
       return Some(CdcSink.readSidecar(spark, c))
-    val curMf = root.resolve(s"m$epoch.manifest")
-    if (!Files.exists(curMf)) return None
+    val curMf = new HPath(root, s"m$epoch.manifest")
+    if (!SinkFs.exists(curMf)) return None
     val cur = parseManifest(curMf)
     val out = prevEpoch match {
       case None => // first epoch: everything is a change
         readBuckets(spark, cur.values.toSeq)
       case Some(p) =>
-        val prevMf = root.resolve(s"m$p.manifest")
-        if (!Files.exists(prevMf)) return None
+        val prevMf = new HPath(root, s"m$p.manifest")
+        if (!SinkFs.exists(prevMf)) return None
         val prev = parseManifest(prevMf)
         val touched = (cur.keySet ++ prev.keySet)
           .filter(b => cur.get(b).map(_._1) != prev.get(b).map(_._1))
@@ -262,7 +273,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
         // silently over-reporting changes against missing prev rows
         val refs = (cur.filter(kv => touched(kv._1)) ++
           prev.filter(kv => touched(kv._1))).values.map(_._1)
-        if (refs.exists(r => !Files.exists(Paths.get(r)))) return None
+        if (refs.exists(r => !SinkFs.exists(new HPath(r)))) return None
         readBuckets(spark, cur.filter(kv => touched(kv._1)).values.toSeq)
           .map { c =>
             readBuckets(spark,
@@ -288,7 +299,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
   def viewAt(spark: SparkSession, epochId: Long,
              only: Set[Int]): DataFrame = {
     val m = manifestAt(epochId).filter(kv => only(kv._1))
-    val gone = m.values.map(_._1).filterNot(p => Files.exists(Paths.get(p)))
+    val gone = m.values.map(_._1).filterNot(p => SinkFs.exists(new HPath(p)))
     require(gone.isEmpty,
       s"version data vacuumed away for epoch $epochId: ${gone.take(3).mkString(", ")}")
     readBuckets(spark, m.values.toSeq) match {
@@ -325,21 +336,29 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
     */
   def vacuum(): Int = {
     val live = manifest.values
-      .map { case (p, _) => Paths.get(p).getParent.getFileName.toString }.toSet
-    val versionDirs = Using.resource(Files.list(root)) { st =>
-      st.iterator().asScala
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("v"))
-        .toSeq
-    }
-    val dead = versionDirs.filterNot(p => live(p.getFileName.toString))
-    dead.foreach { d =>
-      Using.resource(Files.walk(d)) { st =>
-        st.sorted(java.util.Comparator.reverseOrder())
-          .forEach(Files.delete(_))
-      }
-    }
+      .map { case (p, _) => new HPath(p).getParent.getName }.toSet
+    val dead = SinkFs.listDirNames(root)
+      .filter(n => n.startsWith("v") && !live(n))
+    dead.foreach(n => SinkFs.deleteRecursive(new HPath(root, n)))
     dead.size
+  }
+
+  /** Feed-retention vacuum: reclaim `c<epoch>/` change-delta sidecars
+    * below `floorEpoch` — without it a `changefeed=true` table's
+    * sidecars accumulate for its lifetime (the version dirs recycle,
+    * the sidecars never did). Records the loud `_floor` first; feed
+    * reads below it then fail as vacuumed (see
+    * [[CdcSink.vacuumSidecars]]).
+    */
+  def vacuumFeed(floorEpoch: Long): Int =
+    CdcSink.vacuumSidecars(root, floorEpoch)
+
+  /** Oldest epoch the feed still serves after a feed-retention vacuum
+    * (None = never feed-vacuumed). See [[vacuumFeed]].
+    */
+  override def changefeedFloor: Option[Long] = {
+    val f = new HPath(root, "_floor")
+    if (SinkFs.exists(f)) Some(SinkFs.readString(f).trim.toLong) else None
   }
 
   /** RE-BUCKET COMPACTION: rewrite the full state under a NEW bucket
@@ -372,7 +391,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
         s"(committed=$observed, got $epochId)")
     val st = state(spark).get
     val rb = st.withColumn("_bucket", pmod(xxhash64(col("key")), lit(newBuckets)))
-    val vdir = root.resolve(s"v$epochId").toString
+    val vdir = new HPath(root, s"v$epochId").toString
     val ddl = org.apache.spark.sql.types.StructType(
       rb.schema.filterNot(_.name == "_bucket")).toDDL
     val writeTasks = math.min(newBuckets,
@@ -380,21 +399,19 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
     rb.repartition(writeTasks, col("_bucket"))
       .sortWithinPartitions(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
-    val written = Using.resource(Files.list(Paths.get(vdir))) { st2 =>
-      st2.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("_bucket=")).map(_.stripPrefix("_bucket=").toInt)
-        .toSeq
-    }.sorted
+    val written = SinkFs.listNames(new HPath(vdir))
+      .filter(_.startsWith("_bucket=")).map(_.stripPrefix("_bucket=").toInt)
+      .sorted
     val newManifest = written.map(b => b -> (s"$vdir/_bucket=$b", ddl)).toMap
     val mfName = s"m$epochId.manifest"
-    Files.writeString(root.resolve(mfName),
+    SinkFs.writeString(new HPath(root, mfName),
       (s"K\t$newBuckets" +: newManifest.toSeq.sortBy(_._1)
-        .map { case (b, (p, d)) => s"$b\t$p\t$d" })
+        .map { case (b, (p, d)) => s"$b\t${relPath(p)}\t$d" })
         .mkString("", "\n", "\n"))
     // the COMMIT is the swap: the manifest's K line flips layout and
     // count together; `_buckets` refreshes after as a legacy mirror
     publishEpoch(root, pointer, epochId, observed, mfName)
-    Files.writeString(root.resolve("_buckets"), newBuckets.toString)
+    SinkFs.writeString(new HPath(root, "_buckets"), newBuckets.toString)
     new BucketedMergeSink(dir, newBuckets)
   }
 
@@ -435,11 +452,11 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
       // footers to infer from)
       if (changefeedDelta) {
         val noBucket = reduced.drop("_bucket")
-        Files.createDirectories(root)
-        Files.writeString(root.resolve(s"c$epochId.ddl"),
-          noBucket.schema.toDDL): Unit
+        SinkFs.mkdirs(root)
+        SinkFs.writeString(new HPath(root, s"c$epochId.ddl"),
+          noBucket.schema.toDDL)
         noBucket.write.mode("overwrite")
-          .parquet(root.resolve(s"c$epochId").toString)
+          .parquet(new HPath(root, s"c$epochId").toString)
       }
       val prevManifest = manifest
       val prevTouched = readBuckets(spark,
@@ -462,7 +479,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
             .select(col("key"), col("e.after").as("after"), col("e.op").as("op"),
               col("e.pos").as("pos"), col("e._bucket").as("_bucket"))
       }
-      val vdir = root.resolve(s"v$epochId").toString
+      val vdir = new HPath(root, s"v$epochId").toString
       val ddl = org.apache.spark.sql.types.StructType(
         merged.schema.filterNot(_.name == "_bucket")).toDDL
       // cluster by bucket, then SORT within write tasks: a task holding
@@ -478,10 +495,10 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
       val newManifest = prevManifest ++
         touched.map(b => b -> (s"$vdir/_bucket=$b", ddl)).toMap
       val mfName = s"m$epochId.manifest"
-      Files.createDirectories(root)
-      Files.writeString(root.resolve(mfName),
+      SinkFs.mkdirs(root)
+      SinkFs.writeString(new HPath(root, mfName),
         (s"K\t$buckets" +: newManifest.toSeq.sortBy(_._1)
-          .map { case (b, (p, d)) => s"$b\t$p\t$d" })
+          .map { case (b, (p, d)) => s"$b\t${relPath(p)}\t$d" })
           .mkString("", "\n", "\n"))
       publishEpoch(root, pointer, epochId, committed, mfName)
     } finally reduced.unpersist()

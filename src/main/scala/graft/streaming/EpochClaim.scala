@@ -1,8 +1,8 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{FileAlreadyExistsException, Files, Path, StandardOpenOption}
 import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.{FileAlreadyExistsException, Path => HPath}
 
 /** An epoch commit lost the optimistic-concurrency race: another writer
   * holds the claim on the same epoch, or committed a different epoch
@@ -36,10 +36,18 @@ class ConcurrentEpochCommitException(msg: String)
   *     extends the exclusion across processes. A claim file with no
   *     in-process owner is another process's in-flight commit OR a
   *     crashed writer's leftover; it is broken only once it is older
-  *     than `graft.sink.claim.stale.ms` (default 60 s — longer than any
-  *     local epoch merge, short enough that crash recovery is not
-  *     wedged). Cross-process writers whose single epoch commit exceeds
-  *     the stale window must raise the property.
+  *     than `graft.sink.claim.stale.ms` (default 60 s).
+  *
+  * A LIVE owner's claim never goes stale: a daemon HEARTBEAT refreshes
+  * the claim file's timestamp every staleMs/3 while the claim is held,
+  * so a commit that legitimately outlasts the stale window (slow remote
+  * storage, a large epoch) cannot have its claim broken by an eager
+  * rival — only a genuinely crashed writer's claim ages out. Belt and
+  * braces for the pathological remainder (a GC pause longer than the
+  * window): [[verifyHeld]] re-reads the claim at the commit swap and
+  * fails the OWNER loudly when its token was replaced — the breaker may
+  * have scribbled the epoch's artifacts, so exactly one of the two
+  * (the breaker) commits, never both and never silently.
   *
   * The claim is released in the committing code's `finally` (failure)
   * and immediately after a successful swap — so a claim file on disk
@@ -49,11 +57,26 @@ private[graft] object EpochClaim {
   /** claim-file path -> owner token, for claims held by THIS process. */
   private val live = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** claim-file path -> the heartbeat task refreshing it. */
+  private val heartbeats =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
+
+  private lazy val scheduler = {
+    val t = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      (r: Runnable) => {
+        val th = new Thread(r, "graft-claim-heartbeat")
+        th.setDaemon(true)
+        th
+      })
+    t.setRemoveOnCancelPolicy(true)
+    t
+  }
+
   def staleMs: Long = sys.props.get("graft.sink.claim.stale.ms")
     .flatMap(_.toLongOption).getOrElse(60000L)
 
-  def acquire(claim: Path, sinkDesc: String, epoch: Long): Unit = {
-    val key = claim.toAbsolutePath.toString
+  def acquire(claim: HPath, sinkDesc: String, epoch: Long): Unit = {
+    val key = SinkFs.qualified(claim).toString
     val token = java.util.UUID.randomUUID().toString
     def conflict(holder: String): Nothing =
       throw new ConcurrentEpochCommitException(
@@ -65,9 +88,9 @@ private[graft] object EpochClaim {
     if (live.putIfAbsent(key, token) != null) conflict("in-process")
     var ok = false
     try {
-      val payload = s"$token ${System.currentTimeMillis()}".getBytes(UTF_8)
+      val payload = s"$token ${System.currentTimeMillis()}"
       try {
-        Files.write(claim, payload, StandardOpenOption.CREATE_NEW)
+        SinkFs.createNew(claim, payload)
         ok = true
       } catch {
         case _: FileAlreadyExistsException =>
@@ -75,7 +98,7 @@ private[graft] object EpochClaim {
           // writer's leftover; break only past the stale window
           val age =
             try System.currentTimeMillis() -
-              Files.readString(claim).trim.split("\\s+").last.toLong
+              SinkFs.readString(claim).trim.split("\\s+").last.toLong
             catch { case NonFatal(_) => Long.MaxValue } // unreadable = junk
           if (age < staleMs) conflict("cross-process")
           Console.err.println(
@@ -83,20 +106,76 @@ private[graft] object EpochClaim {
               s"(age ${age / 1000}s > ${staleMs / 1000}s; a writer crashed " +
               "mid-commit, or a cross-process commit exceeded " +
               "graft.sink.claim.stale.ms)")
-          Files.deleteIfExists(claim)
+          SinkFs.deleteIfExists(claim)
           try {
-            Files.write(claim, payload, StandardOpenOption.CREATE_NEW)
+            SinkFs.createNew(claim, payload)
             ok = true
           } catch { // lost the break race to another claimer
             case _: FileAlreadyExistsException => conflict("cross-process")
           }
       }
-    } finally if (!ok) live.remove(key, token)
+    } finally {
+      if (!ok) live.remove(key, token)
+      else startHeartbeat(key, claim, token)
+    }
   }
 
-  def release(claim: Path): Unit = {
-    try Files.deleteIfExists(claim)
-    catch { case NonFatal(_) => () }
-    live.remove(claim.toAbsolutePath.toString): Unit
+  /** Refresh the held claim's timestamp every staleMs/3 so a LIVE
+    * owner's claim never ages past the stale window. The refresh is a
+    * temp-write + atomic rename (a rival reading mid-refresh sees the
+    * old or new content, never a torn file — a torn read parses as
+    * age=MaxValue and would break a live claim). The task re-checks
+    * ownership before each beat; a beat racing `release` can at worst
+    * leave a fresh claim file behind, which delays the NEXT claimer of
+    * the same epoch by one stale window (an epoch that already
+    * committed — replay-guard territory), never blocks a commit.
+    */
+  private def startHeartbeat(key: String, claim: HPath,
+                             token: String): Unit = {
+    val period = math.max(50L, staleMs / 3)
+    val task: Runnable = () =>
+      if (token == live.get(key)) {
+        try {
+          val tmp = new HPath(claim.getParent, claim.getName + ".hb")
+          SinkFs.writeString(tmp, s"$token ${System.currentTimeMillis()}")
+          if (token == live.get(key)) SinkFs.rename(tmp, claim)
+          else SinkFs.deleteIfExists(tmp)
+        } catch { case NonFatal(_) => () } // missed beat: next one retries
+      }
+    heartbeats.put(key, scheduler.scheduleAtFixedRate(task, period, period,
+      java.util.concurrent.TimeUnit.MILLISECONDS)): Unit
+  }
+
+  /** Verify at the commit swap that THIS process still owns `claim` —
+    * the file exists and carries our token. A replaced token means an
+    * eager rival broke the claim mid-commit (its staleMs was shorter
+    * than this commit; with the heartbeat that takes a scheduler pause
+    * longer than the stale window): the rival may have overwritten the
+    * epoch's artifacts, so the OWNER fails loudly and the breaker's
+    * commit stands — exactly one writer publishes the epoch.
+    */
+  def verifyHeld(claim: HPath, sinkDesc: String, epoch: Long): Unit = {
+    val key = SinkFs.qualified(claim).toString
+    val token = live.get(key)
+    val fileToken =
+      try SinkFs.readString(claim).trim.split("\\s+").head
+      catch { case NonFatal(_) => null }
+    if (token == null || fileToken != token)
+      throw new ConcurrentEpochCommitException(
+        s"$sinkDesc: the claim on epoch $epoch was broken by another " +
+          "writer while this commit was writing (claim file " +
+          (if (fileToken == null) "missing" else "re-owned") + s" at " +
+          s"$claim) — refusing the pointer swap; the breaker's commit " +
+          "stands. If this recurs, raise graft.sink.claim.stale.ms on " +
+          "the breaking side or investigate scheduler pauses here.")
+  }
+
+  def release(claim: HPath): Unit = {
+    val key = SinkFs.qualified(claim).toString
+    // drop ownership FIRST so an in-flight heartbeat's re-check fails
+    // and cannot recreate the file after the delete below
+    live.remove(key)
+    Option(heartbeats.remove(key)).foreach(_.cancel(false))
+    SinkFs.deleteIfExists(claim)
   }
 }

@@ -1,8 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
-import scala.util.Using
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -37,8 +35,8 @@ import graft.operators.Materialize
   */
 class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     extends CdcSink {
-  private val root = Paths.get(dir)
-  private val pointer = root.resolve("CURRENT")
+  private val root = new HPath(dir)
+  private val pointer = new HPath(root, "CURRENT")
 
   private def bucketCol = pmod(xxhash64(col("key")), lit(buckets))
 
@@ -53,27 +51,27 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       case Some(stored) => require(stored == buckets,
         s"sink $dir was written with buckets=$stored, opened with $buckets")
       case None =>
-        Files.createDirectories(root)
-        Files.writeString(root.resolve("_buckets"), buckets.toString): Unit
+        SinkFs.mkdirs(root)
+        SinkFs.writeString(new HPath(root, "_buckets"), buckets.toString)
     }
 
   private def storedBucketCount: Option[Int] = {
     val fromManifest =
-      if (!Files.exists(pointer)) None
-      else kLineOf(root.resolve(Files.readString(pointer).trim))
+      if (!SinkFs.exists(pointer)) None
+      else kLineOf(new HPath(root, SinkFs.readString(pointer).trim))
     fromManifest.orElse(legacyBucketsFile)
   }
 
-  private def kLineOf(mf: java.nio.file.Path): Option[Int] =
-    Files.readAllLines(mf).asScala
+  private def kLineOf(mf: HPath): Option[Int] =
+    SinkFs.readLines(mf)
       .find(_.startsWith("K\t")).map(_.split("\t")(1).trim.toInt)
 
   /** Pre-K-line fallback — sound only for never-rebucketed tables
     * (rebucket always writes a K line).
     */
   private def legacyBucketsFile: Option[Int] = {
-    val f = root.resolve("_buckets")
-    if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
+    val f = new HPath(root, "_buckets")
+    if (SinkFs.exists(f)) Some(SinkFs.readString(f).trim.toInt) else None
   }
 
   case class Manifest(base: Map[Int, (String, String)],
@@ -84,8 +82,8 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
   }
 
   def manifest: Manifest =
-    if (!Files.exists(pointer)) Manifest(Map.empty, Seq.empty)
-    else parseManifest(root.resolve(Files.readString(pointer).trim))
+    if (!SinkFs.exists(pointer)) Manifest(Map.empty, Seq.empty)
+    else parseManifest(new HPath(root, SinkFs.readString(pointer).trim))
 
   /** Committed epoch ids with retained manifests, ascending (time-travel
     * index; `vacuum()` erodes what old versions can still read).
@@ -96,34 +94,29 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     */
   def versions: Seq[Long] = {
     val tip = committedEpoch.getOrElse(return Nil)
-    if (!Files.exists(root)) Nil
-    else Using.resource(Files.list(root)) { st =>
-      val M = """m(\d+)\.manifest""".r
-      st.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case M(epoch) => epoch.toLong }
-        .filter(_ <= tip)
-        .toSeq
-    }.sorted
+    val M = """m(\d+)\.manifest""".r
+    SinkFs.listNames(root)
+      .collect { case M(epoch) => epoch.toLong }
+      .filter(_ <= tip).sorted
   }
 
   /** Read the CURRENT pointer, not manifest existence — the commit point
     * is the atomic swap (see BucketedMergeSink.committedEpoch).
     */
   override def committedEpoch: Option[Long] =
-    if (!Files.exists(pointer)) None
+    if (!SinkFs.exists(pointer)) None
     else """m(\d+)\.manifest""".r
-      .findFirstMatchIn(Files.readString(pointer).trim)
+      .findFirstMatchIn(SinkFs.readString(pointer).trim)
       .map(_.group(1).toLong)
 
-  override protected def commitArtifact(epoch: Long): java.nio.file.Path =
-    root.resolve(s"m$epoch.manifest")
+  override protected def commitArtifact(epoch: Long): HPath =
+    new HPath(root, s"m$epoch.manifest")
 
   /** Manifest as of `epochId` (newest committed ≤ it — VERSION AS OF). */
   def manifestAt(epochId: Long): Manifest = {
     val v = versions.filter(_ <= epochId)
     if (v.isEmpty) Manifest(Map.empty, Seq.empty)
-    else parseManifest(root.resolve(s"m${v.last}.manifest"))
+    else parseManifest(new HPath(root, s"m${v.last}.manifest"))
   }
 
   /** Merge-on-read state AS OF `epochId`; strict about vacuumed data. */
@@ -131,7 +124,7 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     val m = manifestAt(epochId)
     if (m.base.isEmpty && m.deltas.isEmpty) return None
     val refs = m.base.values.map(_._1) ++ m.deltaLeafs.map(_._1)
-    val gone = refs.filterNot(p => Files.exists(Paths.get(p)))
+    val gone = refs.filterNot(p => SinkFs.exists(new HPath(p)))
     require(gone.isEmpty,
       s"version data vacuumed away for epoch $epochId: ${gone.take(3).mkString(", ")}")
     stateOf(spark, m)
@@ -142,26 +135,44 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       throw new IllegalStateException(s"no committed state at epoch $epochId"))
       .filter(col("op") =!= Envelope.OpDelete).select(col("after.*"))
 
-  private def parseManifest(mf: java.nio.file.Path): Manifest = {
-    val lines = Files.readAllLines(mf).asScala.filter(_.nonEmpty)
+  private def parseManifest(mf: HPath): Manifest = {
+    val lines = SinkFs.readLines(mf).filter(_.nonEmpty)
     val base = lines.filter(_.startsWith("B\t")).map { l =>
       val Array(_, b, p, ddl) = l.split("\t", 4)
-      b.toInt -> (p, ddl)
+      b.toInt -> (absPath(p), ddl)
     }.toMap
     val deltas = lines.filter(_.startsWith("D\t")).map { l =>
       val Array(_, seq, p, ddl, bs) = l.split("\t", 5)
-      (seq.toLong, p, ddl,
+      (seq.toLong, absPath(p), ddl,
         bs.split(",").iterator.filter(_.nonEmpty).map(_.toInt).toSeq)
     }.toSeq.sortBy(_._1)
     Manifest(base, deltas)
   }
+
+  /** Manifest path entries are stored ROOT-RELATIVE (and resolved back
+    * on parse), so a table directory is relocatable as a unit — rename,
+    * restore, rsync — without orphaning its own data: an absolute path
+    * baked into a manifest keeps pointing at the OLD location and the
+    * read silently serves nothing. Absolute entries (pre-r14 manifests)
+    * still resolve as-is, in place.
+    */
+  private def relPath(p: String): String = {
+    val prefix = root.toString + "/"
+    if (p.startsWith(prefix)) p.substring(prefix.length) else p
+  }
+
+  private def absPath(p: String): String = {
+    val hp = new HPath(p)
+    if (hp.isAbsolute) p else new HPath(root, p).toString
+  }
+
 
   /** One schema-known read per distinct DDL, `unionByName` across schema
     * versions (K4 evolution without per-read footer merging).
     */
   private def readByDdl(spark: SparkSession,
                         dirs: Seq[(String, String)]): Option[DataFrame] = {
-    val existing = dirs.distinct.filter(d => Files.exists(Paths.get(d._1)))
+    val existing = dirs.distinct.filter(d => SinkFs.exists(new HPath(d._1)))
     if (existing.isEmpty) return None
     val parts = existing.groupBy(_._2).toSeq.sortBy(_._1).map { case (ddl, ds) =>
       spark.read.schema(StructType.fromDDL(ddl)).parquet(ds.map(_._1): _*)
@@ -216,7 +227,7 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     else asOf match {
       case None => storedBucketCount
       case Some(e) => versions.filter(_ <= e).lastOption.flatMap(v =>
-        kLineOf(root.resolve(s"m$v.manifest")).orElse(legacyBucketsFile))
+        kLineOf(new HPath(root, s"m$v.manifest")).orElse(legacyBucketsFile))
     }
 
   /** Point-lookup read: merge-on-read over ONE bucket — its base dir
@@ -239,7 +250,7 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     // whose strict stateAt raises the vacuumed error
     val refs = restricted.base.values.map(_._1) ++
       restricted.deltaLeafs.map(_._1)
-    if (refs.exists(r => !Files.exists(Paths.get(r)))) return None
+    if (refs.exists(r => !SinkFs.exists(new HPath(r)))) return None
     if (restricted.base.isEmpty && restricted.deltas.isEmpty)
       return (m.base.values.map(_._2) ++ m.deltas.map(_._3))
         .find(_.nonEmpty).map(ddl => spark.createDataFrame(
@@ -255,8 +266,8 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     */
   override def changesAt(spark: SparkSession, epoch: Long,
                          prevEpoch: Option[Long]): Option[DataFrame] = {
-    val d = root.resolve(s"d$epoch")
-    if (!Files.isDirectory(d)) None
+    val d = new HPath(root, s"d$epoch")
+    if (!SinkFs.isDirectory(d)) None
     else Some(spark.read.parquet(d.toString).drop("_bucket"))
   }
 
@@ -288,7 +299,7 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       .select(col("key"), col("after"), col("op"), col("source.pos").as("pos"))
       .withColumn("_bucket", bucketCol)
     val ddl = StructType(reduced.schema.filterNot(_.name == "_bucket")).toDDL
-    val ddir = root.resolve(s"d$epochId")
+    val ddir = new HPath(root, s"d$epochId")
     // bounded write tasks (see BucketedMergeSink): tasks stream their
     // buckets through one rolling writer via the sorted partitioned write
     val writeTasks = math.min(buckets.max(1),
@@ -298,12 +309,10 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       .write.mode("overwrite").partitionBy("_bucket").parquet(ddir.toString)
     // touched buckets from the written directory names — driver metadata
     // listing of <= `buckets` entries, no data read
-    val touched = Using.resource(Files.list(ddir)) { st =>
-      st.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("_bucket=")).map(_.stripPrefix("_bucket=").toInt)
-        .toSeq
-    }.sorted
-    if (touched.isEmpty) { deleteRecursively(ddir); return false }
+    val touched = SinkFs.listNames(ddir)
+      .filter(_.startsWith("_bucket=")).map(_.stripPrefix("_bucket=").toInt)
+      .sorted
+    if (touched.isEmpty) { SinkFs.deleteRecursive(ddir); return false }
     val m = manifest
     val nextSeq = (m.deltas.map(_._1) :+ 0L).max + 1
     val withDelta = m.copy(deltas =
@@ -337,7 +346,7 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       .select(col("key"), col("e.after").as("after"), col("e.op").as("op"),
         col("e.pos").as("pos"))
       .withColumn("_bucket", bucketCol)
-    val vdir = root.resolve(s"v$epochId").toString
+    val vdir = new HPath(root, s"v$epochId").toString
     val ddl = StructType(merged.schema.filterNot(_.name == "_bucket")).toDDL
     val writeTasks = math.min(touched.size.max(1),
       spark.sparkContext.defaultParallelism * 2)
@@ -355,14 +364,15 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
                             count: Int = buckets,
                             observed: Option[Long]): Unit = {
     val mfName = s"m$epochId.manifest"
-    Files.createDirectories(root)
+    SinkFs.mkdirs(root)
     val baseLines = m.base.toSeq.sortBy(_._1).map {
-      case (b, (p, d)) => s"B\t$b\t$p\t$d"
+      case (b, (p, d)) => s"B\t$b\t${relPath(p)}\t$d"
     }
     val deltaLines = m.deltas.map {
-      case (seq, p, d, bs) => s"D\t$seq\t$p\t$d\t${bs.mkString(",")}"
+      case (seq, p, d, bs) =>
+        s"D\t$seq\t${relPath(p)}\t$d\t${bs.mkString(",")}"
     }
-    Files.writeString(root.resolve(mfName),
+    SinkFs.writeString(new HPath(root, mfName),
       (s"K\t$count" +: (baseLines ++ deltaLines)).mkString("", "\n", "\n"))
     publishEpoch(root, pointer, epochId, observed, mfName)
   }
@@ -417,46 +427,33 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     val st = state(spark).get
     val rb = st.withColumn("_bucket",
       pmod(xxhash64(col("key")), lit(newBuckets)))
-    val vdir = root.resolve(s"v$epochId").toString
+    val vdir = new HPath(root, s"v$epochId").toString
     val ddl = StructType(rb.schema.filterNot(_.name == "_bucket")).toDDL
     val writeTasks = math.min(newBuckets,
       spark.sparkContext.defaultParallelism * 2)
     rb.repartition(writeTasks, col("_bucket"))
       .sortWithinPartitions(col("_bucket"))
       .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
-    val written = Using.resource(Files.list(Paths.get(vdir))) { st2 =>
-      st2.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("_bucket=")).map(_.stripPrefix("_bucket=").toInt)
-        .toSeq
-    }.sorted
+    val written = SinkFs.listNames(new HPath(vdir))
+      .filter(_.startsWith("_bucket=")).map(_.stripPrefix("_bucket=").toInt)
+      .sorted
     val newBase = written.map(b => b -> (s"$vdir/_bucket=$b", ddl)).toMap
     // commit = the swap inside writeManifest; the K line flips layout
     // and count together, `_buckets` refreshes after as a legacy mirror
     writeManifest(Manifest(newBase, Seq.empty), epochId, count = newBuckets,
       observed = observed)
-    Files.writeString(root.resolve("_buckets"), newBuckets.toString)
+    SinkFs.writeString(new HPath(root, "_buckets"), newBuckets.toString)
     new LsmMergeSink(dir, newBuckets, compactEvery)
   }
 
   /** Delete `d*`/`v*` dirs not referenced by the current manifest. */
   def vacuum(): Int = {
     val m = manifest
-    val live = (m.base.values.map(p => Paths.get(p._1).getParent) ++
-      m.deltas.map(d => Paths.get(d._2))).map(_.getFileName.toString).toSet
-    val dead = Using.resource(Files.list(root)) { st =>
-      st.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        Files.isDirectory(p) && (n.startsWith("v") || n.startsWith("d")) &&
-          !live(n)
-      }.toSeq
-    }
-    dead.foreach(deleteRecursively)
+    val live = (m.base.values.map(p => new HPath(p._1).getParent) ++
+      m.deltas.map(d => new HPath(d._2))).map(_.getName).toSet
+    val dead = SinkFs.listDirNames(root).filter(n =>
+      (n.startsWith("v") || n.startsWith("d")) && !live(n))
+    dead.foreach(n => SinkFs.deleteRecursive(new HPath(root, n)))
     dead.size
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    Using.resource(Files.walk(p)) { st =>
-      st.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(Files.delete(_))
-    }
 }

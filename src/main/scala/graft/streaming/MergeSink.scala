@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Envelope
@@ -144,8 +144,10 @@ trait CdcSink {
   /** The filesystem artifact that marks `epoch`'s commit (written
     * microseconds before the atomic CURRENT swap). Its PERSISTED
     * sidecar timestamp — not its mtime — is the commit time of record.
+    * A Hadoop path: sink roots live wherever the cluster's tables do
+    * (see [[SinkFs]]).
     */
-  protected def commitArtifact(epoch: Long): java.nio.file.Path
+  protected def commitArtifact(epoch: Long): HPath
 
   /** Sidecar file persisting `epoch`'s commit timestamp. Reference
     * table formats record the commit time IN the metadata (Delta's
@@ -154,9 +156,9 @@ trait CdcSink {
     * — a restored table would otherwise silently remap every
     * `TIMESTAMP AS OF` to wrong epochs.
     */
-  private def commitTsFile(epoch: Long): java.nio.file.Path = {
+  private def commitTsFile(epoch: Long): HPath = {
     val a = commitArtifact(epoch)
-    a.resolveSibling(a.getFileName.toString + ".committs")
+    new HPath(a.getParent, a.getName + ".committs")
   }
 
   /** Persist the commit timestamp for `epoch`. Called by every sink's
@@ -166,8 +168,8 @@ trait CdcSink {
     * harmless, `versions` is pointer-bounded).
     */
   protected final def recordCommitTs(epoch: Long): Unit =
-    java.nio.file.Files.writeString(commitTsFile(epoch),
-      System.currentTimeMillis().toString): Unit
+    SinkFs.writeString(commitTsFile(epoch),
+      System.currentTimeMillis().toString)
 
   /** Commit time of a committed epoch: the persisted sidecar when
     * present, else the artifact mtime (legacy fallback for sinks
@@ -175,9 +177,8 @@ trait CdcSink {
     */
   def commitTimeMillis(epoch: Long): Long = {
     val f = commitTsFile(epoch)
-    if (java.nio.file.Files.exists(f))
-      java.nio.file.Files.readString(f).trim.toLong
-    else java.nio.file.Files.getLastModifiedTime(commitArtifact(epoch)).toMillis
+    if (SinkFs.exists(f)) SinkFs.readString(f).trim.toLong
+    else SinkFs.mtime(commitArtifact(epoch))
   }
 
   /** Newest committed epoch whose commit time ≤ `tsMillis` (TIMESTAMP
@@ -193,9 +194,9 @@ trait CdcSink {
     * means a live concurrent writer or a crashed one — see
     * [[EpochClaim]]).
     */
-  private def claimFile(epoch: Long): java.nio.file.Path = {
+  private def claimFile(epoch: Long): HPath = {
     val a = commitArtifact(epoch)
-    a.resolveSibling(s"epoch$epoch.claim")
+    new HPath(a.getParent, s"epoch$epoch.claim")
   }
 
   /** Exclusively claim `epoch` before writing any of its artifacts.
@@ -205,7 +206,7 @@ trait CdcSink {
     */
   protected final def claimEpoch(epoch: Long): Unit = {
     val f = claimFile(epoch)
-    java.nio.file.Files.createDirectories(f.getParent)
+    SinkFs.mkdirs(f.getParent)
     EpochClaim.acquire(f, s"${getClass.getSimpleName}(${commitArtifact(epoch).getParent})", epoch)
   }
 
@@ -223,10 +224,14 @@ trait CdcSink {
     * disk past the pointer, where `versions`' pointer bound already
     * treats them as uncommitted.
     */
-  protected final def publishEpoch(rootDir: java.nio.file.Path,
-                                   pointerFile: java.nio.file.Path,
+  protected final def publishEpoch(rootDir: HPath, pointerFile: HPath,
                                    epoch: Long, observed: Option[Long],
                                    content: String): Unit = {
+    // the claim must STILL be ours at the swap: an eager rival that
+    // broke it mid-commit (stale window shorter than this commit) may
+    // have scribbled the epoch's artifacts — the owner fails loudly,
+    // the breaker's commit stands (see EpochClaim.verifyHeld)
+    EpochClaim.verifyHeld(claimFile(epoch), getClass.getSimpleName, epoch)
     recordCommitTs(epoch)
     val now = committedEpoch
     if (now != observed)
@@ -236,11 +241,7 @@ trait CdcSink {
           "concurrent writer committed a different explicit epoch) — " +
           "refusing the pointer swap; epoch " + epoch + "'s artifacts " +
           "are left uncommitted past the pointer")
-    val tmp = rootDir.resolve(s"CURRENT.tmp$epoch")
-    java.nio.file.Files.writeString(tmp, content)
-    java.nio.file.Files.move(tmp, pointerFile,
-      StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE): Unit
+    SinkFs.swapPointer(pointerFile, s"CURRENT.tmp$epoch", content)
   }
 }
 
@@ -264,12 +265,45 @@ object CdcSink {
     * ships with the same round that made empty sidecars writable).
     */
   private[streaming] def readSidecar(spark: SparkSession,
-                                     cdir: java.nio.file.Path): DataFrame = {
-    val ddlFile = cdir.resolveSibling(cdir.getFileName.toString + ".ddl")
-    if (java.nio.file.Files.exists(ddlFile))
+                                     cdir: HPath): DataFrame = {
+    val ddlFile = new HPath(cdir.getParent, cdir.getName + ".ddl")
+    if (SinkFs.exists(ddlFile))
       spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
-        java.nio.file.Files.readString(ddlFile))).parquet(cdir.toString)
+        SinkFs.readString(ddlFile))).parquet(cdir.toString)
     else spark.read.parquet(cdir.toString)
+  }
+
+  /** Reclaim `c<epoch>/` change-delta sidecars (and their `.ddl`
+    * files) below `floorEpoch` — the feed-retention half of vacuum for
+    * sinks whose sidecars otherwise accumulate for the table's lifetime
+    * (bucketed/scd2; the full kind's own vacuum reclaims them with the
+    * version dirs). The erosion `_floor` is written BEFORE any deletion
+    * (taxonomy class 1: a crash in between leaves a floor over intact
+    * sidecars — conservative-loud — never eroded sidecars with no
+    * floor), and the floor only ever RISES: epochs below it read loudly
+    * as vacuumed in the feed paths ([[graft.sinks.v2.SinkChanges]]),
+    * even where a manifest-diff derivation could still serve them —
+    * a retention promise that silently un-erodes is not one.
+    */
+  private[streaming] def vacuumSidecars(root: HPath,
+                                        floorEpoch: Long): Int = {
+    val C = """c(\d+)""".r
+    val dead = SinkFs.listDirNames(root).filter {
+      case C(e) => e.toLong < floorEpoch
+      case _ => false
+    }
+    if (dead.nonEmpty) {
+      val f = new HPath(root, "_floor")
+      val existing =
+        if (SinkFs.exists(f)) SinkFs.readString(f).trim.toLong
+        else Long.MinValue
+      SinkFs.writeString(f, math.max(existing, floorEpoch).toString)
+    }
+    dead.foreach { n =>
+      SinkFs.deleteRecursive(new HPath(root, n))
+      SinkFs.deleteIfExists(new HPath(root, n + ".ddl"))
+    }
+    dead.size
   }
 
   /** Data-sized bucket count for the bucket-partitioned sinks: one
@@ -307,18 +341,19 @@ object CdcSink {
   */
 class MergeSink(dir: String, changefeedDelta: Boolean = false)
     extends CdcSink {
-  private val root = Paths.get(dir)
-  private val pointer = root.resolve("CURRENT")
+  private val root = new HPath(dir)
+  private val pointer = new HPath(root, "CURRENT")
 
   private def currentVersion: Option[String] =
-    if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
+    if (SinkFs.exists(pointer)) Some(SinkFs.readString(pointer).trim)
+    else None
 
   override def committedEpoch: Option[Long] = currentVersion
     .flatMap(v => scala.util.Try(v.stripPrefix("v").toLong).toOption)
 
   /** Reduced state as envelope rows (including tombstones). */
   def state(spark: SparkSession): Option[DataFrame] =
-    currentVersion.map(v => spark.read.parquet(root.resolve(v).toString))
+    currentVersion.map(v => spark.read.parquet(new HPath(root, v).toString))
 
   /** Committed epoch ids whose version dirs are still on disk, ascending
     * — each merge leaves its full `v<epoch>/` state, so the full-rewrite
@@ -331,19 +366,14 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
     */
   def versions: Seq[Long] = {
     val tip = committedEpoch.getOrElse(return Nil)
-    if (!Files.exists(root)) Nil
-    else scala.util.Using.resource(Files.list(root)) { st =>
-      import scala.jdk.CollectionConverters._
-      val V = """v(\d+)""".r
-      st.iterator().asScala.filter(Files.isDirectory(_))
-        .map(_.getFileName.toString)
-        .collect { case V(e) => e.toLong }
-        .filter(_ <= tip).toSeq
-    }.sorted
+    val V = """v(\d+)""".r
+    SinkFs.listDirNames(root)
+      .collect { case V(e) => e.toLong }
+      .filter(_ <= tip).sorted
   }
 
-  override protected def commitArtifact(epoch: Long): java.nio.file.Path =
-    root.resolve(s"v$epoch")
+  override protected def commitArtifact(epoch: Long): HPath =
+    new HPath(root, s"v$epoch")
 
   /** Full state AS OF `epochId`: the newest retained version ≤ it
     * (Delta/Iceberg VERSION AS OF semantics, like the bucketed sinks).
@@ -356,7 +386,7 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
   def stateAt(spark: SparkSession, epochId: Long): Option[DataFrame] =
     versions.filter(_ <= epochId).lastOption match {
       case Some(v) =>
-        Some(spark.read.parquet(root.resolve(s"v$v").toString))
+        Some(spark.read.parquet(new HPath(root, s"v$v").toString))
       case None =>
         changefeedFloor.foreach { floor =>
           if (epochId < floor)
@@ -443,14 +473,14 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
     val incoming =
       if (!changefeedDelta) incoming0
       else {
-        val cdir = root.resolve(s"c$epochId")
+        val cdir = new HPath(root, s"c$epochId")
         // the sidecar's schema travels as a .ddl file so EVERY future
         // read pins it — an epoch with an empty change set (update-mode
         // DML matching nothing) leaves a schemaless empty dir that
         // inference-based reads would throw on
-        Files.createDirectories(root)
-        Files.writeString(root.resolve(s"c$epochId.ddl"),
-          incoming0.schema.toDDL): Unit
+        SinkFs.mkdirs(root)
+        SinkFs.writeString(new HPath(root, s"c$epochId.ddl"),
+          incoming0.schema.toDDL)
         incoming0.write.mode("overwrite").parquet(cdir.toString)
         // pinned schema: an EMPTY epoch's sidecar must still read (an
         // inference-based read would fail on a schemaless empty dir)
@@ -478,8 +508,8 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
         }
     }
     val vname = s"v$epochId"
-    merged.write.mode("overwrite").parquet(root.resolve(vname).toString)
-    Files.createDirectories(root)
+    merged.write.mode("overwrite").parquet(new HPath(root, vname).toString)
+    SinkFs.mkdirs(root)
     publishEpoch(root, pointer, epochId, committed, vname)
   }
 
@@ -494,8 +524,8 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
   override def changesAt(spark: SparkSession, epoch: Long,
                          prevEpoch: Option[Long]): Option[DataFrame] = {
     if (prevEpoch.isEmpty && epoch != 0L) return None
-    val c = root.resolve(s"c$epoch")
-    if (!Files.isDirectory(c)) None
+    val c = new HPath(root, s"c$epoch")
+    if (!SinkFs.isDirectory(c)) None
     else Some(CdcSink.readSidecar(spark, c))
   }
 
@@ -509,16 +539,10 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
     */
   def vacuum(): Int = {
     val tip = committedEpoch.getOrElse(return 0)
-    if (!Files.exists(root)) return 0
     val N = """[vc](\d+)""".r
-    val dead = scala.util.Using.resource(Files.list(root)) { st =>
-      import scala.jdk.CollectionConverters._
-      st.iterator().asScala.filter { p =>
-        Files.isDirectory(p) && (p.getFileName.toString match {
-          case N(e) => e.toLong < tip
-          case _ => false
-        })
-      }.toSeq
+    val dead = SinkFs.listDirNames(root).filter {
+      case N(e) => e.toLong < tip
+      case _ => false
     }
     // the erosion FLOOR: epochs below it existed but were vacuumed. The
     // other kinds keep every manifest, so a changefeed read of an eroded
@@ -532,27 +556,31 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
     // eroded dirs with no floor, the silent-skip window this exists to
     // close.
     if (dead.nonEmpty)
-      Files.writeString(root.resolve("_floor"), tip.toString): Unit
-    dead.foreach { p =>
-      scala.util.Using.resource(Files.walk(p)) { st =>
-        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(Files.delete(_))
-      }
+      SinkFs.writeString(new HPath(root, "_floor"), tip.toString)
+    dead.foreach { n =>
+      SinkFs.deleteRecursive(new HPath(root, n))
       // the commit-ts and schema sidecars of a vacuumed dir are dead
       // metadata
-      Files.deleteIfExists(
-        p.resolveSibling(p.getFileName.toString + ".committs")): Unit
-      Files.deleteIfExists(
-        p.resolveSibling(p.getFileName.toString + ".ddl")): Unit
+      SinkFs.deleteIfExists(new HPath(root, n + ".committs"))
+      SinkFs.deleteIfExists(new HPath(root, n + ".ddl"))
     }
     dead.size
   }
+
+  /** Feed-retention vacuum (`CALL vacuum(..., retain_feed_epochs)`):
+    * reclaim change-delta sidecars below `floorEpoch` without touching
+    * version dirs — see [[CdcSink.vacuumSidecars]]. Mostly redundant on
+    * the full kind (its [[vacuum]] reclaims sidecars with versions) but
+    * uniform across the sidecar-writing kinds.
+    */
+  def vacuumFeed(floorEpoch: Long): Int =
+    CdcSink.vacuumSidecars(root, floorEpoch)
 
   /** Oldest epoch whose changes are still derivable, when a vacuum has
     * eroded history (None = never vacuumed). See [[vacuum]].
     */
   override def changefeedFloor: Option[Long] = {
-    val f = root.resolve("_floor")
-    if (Files.exists(f)) Some(Files.readString(f).trim.toLong) else None
+    val f = new HPath(root, "_floor")
+    if (SinkFs.exists(f)) Some(SinkFs.readString(f).trim.toLong) else None
   }
 }

@@ -1,8 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
-import scala.util.Using
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -69,8 +67,8 @@ import graft.operators.Scd2
 class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
                changefeedDelta: Boolean = false)
     extends CdcSink {
-  private val root = Paths.get(dir)
-  private val pointer = root.resolve("CURRENT")
+  private val root = new HPath(dir)
+  private val pointer = new HPath(root, "CURRENT")
 
   private def bucketCol = pmod(xxhash64(col("key")), lit(buckets))
 
@@ -88,11 +86,11 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
   }
 
   def manifest: Manifest =
-    if (!Files.exists(pointer)) Manifest(Map.empty, Map.empty, Seq.empty)
-    else parseManifest(root.resolve(Files.readString(pointer).trim))
+    if (!SinkFs.exists(pointer)) Manifest(Map.empty, Map.empty, Seq.empty)
+    else parseManifest(new HPath(root, SinkFs.readString(pointer).trim))
 
-  private def parseManifest(mf: Path): Manifest = {
-    val lines = Files.readAllLines(mf).asScala.filter(_.nonEmpty)
+  private def parseManifest(mf: HPath): Manifest = {
+    val lines = SinkFs.readLines(mf).filter(_.nonEmpty)
     // fail FAST on a pre-LSM layout (untagged '<bucket>\t<path>' lines):
     // silently matching nothing would discard the stored history while
     // committedEpoch still reports the old epoch — replayed epochs would
@@ -107,15 +105,33 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
         "not read — re-materialize the history into a fresh directory")
     def byBucket(tag: String) = lines.filter(_.startsWith(tag)).map { l =>
       val Array(_, b, p, ddl) = l.split("\t", 4)
-      b.toInt -> (p, ddl)
+      b.toInt -> (absPath(p), ddl)
     }.toMap
     val deltas = lines.filter(_.startsWith("C\t")).map { l =>
       val Array(_, seq, p, ddl, bs) = l.split("\t", 5)
-      (seq.toLong, p, ddl,
+      (seq.toLong, absPath(p), ddl,
         bs.split(",").iterator.filter(_.nonEmpty).map(_.toInt).toSeq)
     }.toSeq.sortBy(_._1)
     Manifest(byBucket("O\t"), byBucket("B\t"), deltas)
   }
+
+  /** Manifest path entries are stored ROOT-RELATIVE (and resolved back
+    * on parse), so a table directory is relocatable as a unit — rename,
+    * restore, rsync — without orphaning its own data: an absolute path
+    * baked into a manifest keeps pointing at the OLD location and the
+    * read silently serves nothing. Absolute entries (pre-r14 manifests)
+    * still resolve as-is, in place.
+    */
+  private def relPath(p: String): String = {
+    val prefix = root.toString + "/"
+    if (p.startsWith(prefix)) p.substring(prefix.length) else p
+  }
+
+  private def absPath(p: String): String = {
+    val hp = new HPath(p)
+    if (hp.isAbsolute) p else new HPath(root, p).toString
+  }
+
 
   /** The bucket count is part of the on-disk layout (same hazard as
     * BucketedMergeSink.checkBucketCount): reopening with a different
@@ -130,36 +146,36 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
       case Some(stored) => require(stored == buckets,
         s"history $dir was written with buckets=$stored, opened with $buckets")
       case None =>
-        Files.createDirectories(root)
-        Files.writeString(root.resolve("_buckets"), buckets.toString): Unit
+        SinkFs.mkdirs(root)
+        SinkFs.writeString(new HPath(root, "_buckets"), buckets.toString)
     }
 
   private def storedBucketCount: Option[Int] = {
     val fromManifest =
-      if (!Files.exists(pointer)) None
-      else kLineOf(root.resolve(Files.readString(pointer).trim))
+      if (!SinkFs.exists(pointer)) None
+      else kLineOf(new HPath(root, SinkFs.readString(pointer).trim))
     fromManifest.orElse(legacyBucketsFile)
   }
 
-  private def kLineOf(mf: Path): Option[Int] =
-    Files.readAllLines(mf).asScala
+  private def kLineOf(mf: HPath): Option[Int] =
+    SinkFs.readLines(mf)
       .find(_.startsWith("K\t")).map(_.split("\t")(1).trim.toInt)
 
   /** Pre-K-line fallback — sound only for never-rebucketed tables
     * (rebucket always writes a K line).
     */
   private def legacyBucketsFile: Option[Int] = {
-    val f = root.resolve("_buckets")
-    if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
+    val f = new HPath(root, "_buckets")
+    if (SinkFs.exists(f)) Some(SinkFs.readString(f).trim.toInt) else None
   }
 
   /** Read the CURRENT pointer, not manifest existence — the commit point
     * is the atomic swap (see BucketedMergeSink.committedEpoch).
     */
   override def committedEpoch: Option[Long] =
-    if (!Files.exists(pointer)) None
+    if (!SinkFs.exists(pointer)) None
     else """m(\d+)\.manifest""".r
-      .findFirstMatchIn(Files.readString(pointer).trim)
+      .findFirstMatchIn(SinkFs.readString(pointer).trim)
       .map(_.group(1).toLong)
 
   /** One schema-known read per distinct DDL, `unionByName` across schema
@@ -169,7 +185,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
     */
   private def readByDdl(spark: SparkSession,
                         dirs: Seq[(String, String)]): Option[DataFrame] = {
-    val existing = dirs.distinct.filter(d => Files.exists(Paths.get(d._1)))
+    val existing = dirs.distinct.filter(d => SinkFs.exists(new HPath(d._1)))
     if (existing.isEmpty) return None
     val parts = existing.groupBy(_._2).toSeq.sortBy(_._1).map { case (ddl, ds) =>
       spark.read.schema(StructType.fromDDL(ddl)).parquet(ds.map(_._1): _*)
@@ -211,25 +227,20 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
     */
   def versions: Seq[Long] = {
     val tip = committedEpoch.getOrElse(return Nil)
-    if (!Files.exists(root)) Nil
-    else Using.resource(Files.list(root)) { st =>
-      val M = """m(\d+)\.manifest""".r
-      st.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case M(epoch) => epoch.toLong }
-        .filter(_ <= tip)
-        .toSeq
-    }.sorted
+    val M = """m(\d+)\.manifest""".r
+    SinkFs.listNames(root)
+      .collect { case M(epoch) => epoch.toLong }
+      .filter(_ <= tip).sorted
   }
 
-  override protected def commitArtifact(epoch: Long): java.nio.file.Path =
-    root.resolve(s"m$epoch.manifest")
+  override protected def commitArtifact(epoch: Long): HPath =
+    new HPath(root, s"m$epoch.manifest")
 
   /** Manifest as of `epochId` (newest committed ≤ it — VERSION AS OF). */
   def manifestAt(epochId: Long): Manifest = {
     val v = versions.filter(_ <= epochId)
     if (v.isEmpty) Manifest(Map.empty, Map.empty, Seq.empty)
-    else parseManifest(root.resolve(s"m${v.last}.manifest"))
+    else parseManifest(new HPath(root, s"m${v.last}.manifest"))
   }
 
   /** Manifest AS OF `epochId` if any epoch ≤ it committed; strict about
@@ -239,7 +250,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
     val m = manifestAt(epochId)
     if (m.open.isEmpty && m.base.isEmpty && m.deltas.isEmpty) return None
     val refs = m.open.values.map(_._1) ++ m.closedDirs.map(_._1)
-    val gone = refs.filterNot(p => Files.exists(Paths.get(p)))
+    val gone = refs.filterNot(p => SinkFs.exists(new HPath(p)))
     require(gone.isEmpty,
       s"version data vacuumed away for epoch $epochId: ${gone.take(3).mkString(", ")}")
     Some(m)
@@ -262,7 +273,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
     else asOf match {
       case None => storedBucketCount
       case Some(e) => versions.filter(_ <= e).lastOption.flatMap(v =>
-        kLineOf(root.resolve(s"m$v.manifest")).orElse(legacyBucketsFile))
+        kLineOf(new HPath(root, s"m$v.manifest")).orElse(legacyBucketsFile))
     }
 
   /** Point-lookup read: ONE bucket's open set (see
@@ -275,7 +286,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
     if (m.open.isEmpty && m.base.isEmpty && m.deltas.isEmpty) return None
     val ref = m.open.filter(_._1 == bucket)
     // eroded open data → full-read fallback (strict stateAt errors)
-    if (ref.values.exists(r => !Files.exists(Paths.get(r._1)))) return None
+    if (ref.values.exists(r => !SinkFs.exists(new HPath(r._1)))) return None
     stateOf(spark, m.copy(open = ref))
   }
 
@@ -334,17 +345,17 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
     // change-delta sidecar first (epochs written under changefeedDelta):
     // O(|batch|) bytes, no open-set reads. Same first-retained-epoch
     // guard as MergeSink: an incremental sidecar is not a snapshot.
-    val c = root.resolve(s"c$epoch")
-    if (Files.isDirectory(c) && (prevEpoch.isDefined || epoch == 0L))
+    val c = new HPath(root, s"c$epoch")
+    if (SinkFs.isDirectory(c) && (prevEpoch.isDefined || epoch == 0L))
       return Some(CdcSink.readSidecar(spark, c))
-    val edir = root.resolve(s"e$epoch")
-    if (!Files.isDirectory(edir)) return None
+    val edir = new HPath(root, s"e$epoch")
+    if (!SinkFs.isDirectory(edir)) return None
     val mCur = manifestAt(epoch)
     if (mCur.base.values.exists(_._1.startsWith(edir.toString)))
       return None // rebucket epoch: e<epoch> is the full history
     def readClass(cls: String): Option[DataFrame] = {
-      val d = edir.resolve(s"_closed=$cls")
-      if (!Files.isDirectory(d)) None
+      val d = new HPath(edir, s"_closed=$cls")
+      if (!SinkFs.isDirectory(d)) None
       else Some(spark.read.parquet(d.toString).drop("_bucket"))
     }
     val openNow = readClass("false")
@@ -352,20 +363,16 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
     if (openNow.isEmpty && closures.isEmpty) return None
     // touched buckets = the epoch's own partition dirs (driver listing)
     val touched = Seq("false", "true").flatMap { cls =>
-      val d = edir.resolve(s"_closed=$cls")
-      if (!Files.isDirectory(d)) Nil
-      else Using.resource(Files.list(d)) { st =>
-        st.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("_bucket="))
-          .map(_.stripPrefix("_bucket=").toInt).toSeq
-      }
+      SinkFs.listNames(new HPath(edir, s"_closed=$cls"))
+        .filter(_.startsWith("_bucket="))
+        .map(_.stripPrefix("_bucket=").toInt)
     }.toSet
     val prevOpen = prevEpoch.flatMap { p =>
       val m = manifestAt(p)
       val refs = m.open.filter(kv => touched(kv._1))
       // vacuumed prev open data → diff fallback (strict erosion error
       // there), never silently mis-derived new-key/delete sets
-      if (refs.values.exists(r => !Files.exists(Paths.get(r._1))))
+      if (refs.values.exists(r => !SinkFs.exists(new HPath(r._1))))
         return None
       readByDdl(spark, refs.values.toSeq)
     }
@@ -481,11 +488,11 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
             col("e.op").as("op"), col("e.pos").as("pos"))
         // the .ddl file pins the read schema (an empty epoch's sidecar
         // has no footers to infer from)
-        Files.createDirectories(root)
-        Files.writeString(root.resolve(s"c$epochId.ddl"),
-          sidecar.schema.toDDL): Unit
+        SinkFs.mkdirs(root)
+        SinkFs.writeString(new HPath(root, s"c$epochId.ddl"),
+          sidecar.schema.toDDL)
         sidecar.write.mode("overwrite")
-          .parquet(root.resolve(s"c$epochId").toString)
+          .parquet(new HPath(root, s"c$epochId").toString)
       }
       val m = manifest
       // bounded read: open versions of touched buckets only (≤ one row
@@ -510,7 +517,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
       val out = ivals
         .withColumn("_bucket", bucketCol)
         .withColumn("_closed", col("valid_to_pos").isNotNull)
-      val edir = root.resolve(s"e$epochId")
+      val edir = new HPath(root, s"e$epochId")
       val writeTasks = math.min(touched.size.max(1),
         spark.sparkContext.defaultParallelism * 2)
       out.repartition(writeTasks, col("_bucket"))
@@ -521,15 +528,10 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
       val ddl = StructType(out.schema
         .filterNot(f => f.name == "_bucket" || f.name == "_closed")).toDDL
       // driver metadata listing (≤ buckets entries), no data read
-      def writtenBuckets(cls: String): Seq[Int] = {
-        val d = edir.resolve(s"_closed=$cls")
-        if (!Files.exists(d)) Nil
-        else Using.resource(Files.list(d)) { st =>
-          st.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.startsWith("_bucket="))
-            .map(_.stripPrefix("_bucket=").toInt).toSeq
-        }.sorted
-      }
+      def writtenBuckets(cls: String): Seq[Int] =
+        SinkFs.listNames(new HPath(edir, s"_closed=$cls"))
+          .filter(_.startsWith("_bucket="))
+          .map(_.stripPrefix("_bucket=").toInt).sorted
       val closedBuckets = writtenBuckets("true")
       val openBuckets = writtenBuckets("false")
       // every touched bucket's open set is replaced: buckets that ended
@@ -565,7 +567,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
           observed = observed); return
       }
     val merged = all.withColumn("_bucket", bucketCol)
-    val vdir = root.resolve(s"b$epochId").toString
+    val vdir = new HPath(root, s"b$epochId").toString
     val ddl = StructType(merged.schema.filterNot(_.name == "_bucket")).toDDL
     val writeTasks = math.min(touched.size.max(1),
       spark.sparkContext.defaultParallelism * 2)
@@ -584,17 +586,18 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
                             count: Int = buckets,
                             observed: Option[Long]): Unit = {
     val mfName = s"m$epochId.manifest"
-    Files.createDirectories(root)
+    SinkFs.mkdirs(root)
     val openLines = m.open.toSeq.sortBy(_._1).map {
-      case (b, (p, d)) => s"O\t$b\t$p\t$d"
+      case (b, (p, d)) => s"O\t$b\t${relPath(p)}\t$d"
     }
     val baseLines = m.base.toSeq.sortBy(_._1).map {
-      case (b, (p, d)) => s"B\t$b\t$p\t$d"
+      case (b, (p, d)) => s"B\t$b\t${relPath(p)}\t$d"
     }
     val deltaLines = m.deltas.map {
-      case (seq, p, d, bs) => s"C\t$seq\t$p\t$d\t${bs.mkString(",")}"
+      case (seq, p, d, bs) =>
+        s"C\t$seq\t${relPath(p)}\t$d\t${bs.mkString(",")}"
     }
-    Files.writeString(root.resolve(mfName),
+    SinkFs.writeString(new HPath(root, mfName),
       (s"K\t$count" +: (openLines ++ baseLines ++ deltaLines))
         .mkString("", "\n", "\n"))
     publishEpoch(root, pointer, epochId, observed, mfName)
@@ -629,7 +632,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
     val out = all
       .withColumn("_bucket", pmod(xxhash64(col("key")), lit(newBuckets)))
       .withColumn("_closed", col("valid_to_pos").isNotNull)
-    val edir = root.resolve(s"e$epochId")
+    val edir = new HPath(root, s"e$epochId")
     val writeTasks = math.min(newBuckets,
       spark.sparkContext.defaultParallelism * 2)
     out.repartition(writeTasks, col("_bucket"))
@@ -639,22 +642,17 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
       .parquet(edir.toString)
     val ddl = StructType(out.schema
       .filterNot(f => f.name == "_bucket" || f.name == "_closed")).toDDL
-    def writtenBuckets(cls: String): Seq[Int] = {
-      val d = edir.resolve(s"_closed=$cls")
-      if (!Files.exists(d)) Nil
-      else Using.resource(Files.list(d)) { st =>
-        st.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("_bucket="))
-          .map(_.stripPrefix("_bucket=").toInt).toSeq
-      }.sorted
-    }
+    def writtenBuckets(cls: String): Seq[Int] =
+      SinkFs.listNames(new HPath(edir, s"_closed=$cls"))
+        .filter(_.startsWith("_bucket="))
+        .map(_.stripPrefix("_bucket=").toInt).sorted
     val newOpen = writtenBuckets("false").map(b =>
       b -> (s"$edir/_closed=false/_bucket=$b", ddl)).toMap
     val newBase = writtenBuckets("true").map(b =>
       b -> (s"$edir/_closed=true/_bucket=$b", ddl)).toMap
     writeManifest(Manifest(newOpen, newBase, Seq.empty), epochId,
       count = newBuckets, observed = observed)
-    Files.writeString(root.resolve("_buckets"), newBuckets.toString)
+    SinkFs.writeString(new HPath(root, "_buckets"), newBuckets.toString)
     new Scd2Sink(dir, newBuckets, compactEvery)
   }
 
@@ -666,21 +664,37 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
     val m = manifest
     // top-level dir under root for each referenced path
     val live = (m.open.values.map(_._1) ++ m.base.values.map(_._1) ++
-      m.deltas.map(_._2))
-      .map(p => root.relativize(Paths.get(p)).getName(0).toString).toSet
-    val dead = Using.resource(Files.list(root)) { st =>
-      st.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        Files.isDirectory(p) && (n.startsWith("e") || n.startsWith("b")) &&
-          !live(n)
-      }.toSeq
-    }
-    dead.foreach { d =>
-      Using.resource(Files.walk(d)) { st =>
-        st.sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(Files.delete(_))
-      }
-    }
+      m.deltas.map(_._2)).map(topUnderRoot).toSet
+    val dead = SinkFs.listDirNames(root).filter(n =>
+      (n.startsWith("e") || n.startsWith("b")) && !live(n) &&
+        !n.startsWith("epoch")) // epoch<N>.claim siblings are files, not
+                                // dirs, but be explicit about the prefix
+    dead.foreach(n => SinkFs.deleteRecursive(new HPath(root, n)))
     dead.size
+  }
+
+  /** Feed-retention vacuum: reclaim `c<epoch>/` change-delta sidecars
+    * below `floorEpoch` (see [[BucketedMergeSink.vacuumFeed]] — same
+    * lifetime-accumulation leak, same loud `_floor` contract).
+    */
+  def vacuumFeed(floorEpoch: Long): Int =
+    CdcSink.vacuumSidecars(root, floorEpoch)
+
+  /** Oldest epoch the feed still serves after a feed-retention vacuum
+    * (None = never feed-vacuumed). See [[vacuumFeed]].
+    */
+  override def changefeedFloor: Option[Long] = {
+    val f = new HPath(root, "_floor")
+    if (SinkFs.exists(f)) Some(SinkFs.readString(f).trim.toLong) else None
+  }
+
+  /** First path segment below the sink root (the nio `relativize(p)
+    * .getName(0)` of the manifest's stored path strings).
+    */
+  private def topUnderRoot(p: String): String = {
+    var cur = new HPath(p)
+    while (cur.getParent != null && cur.getParent.toString != root.toString)
+      cur = cur.getParent
+    cur.getName
   }
 }

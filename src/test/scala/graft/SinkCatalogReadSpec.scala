@@ -494,10 +494,13 @@ class SinkCatalogReadSpec extends AnyFunSuite {
     // mtimes are set to garbage to prove a copy/restore (which rewrites
     // every mtime) cannot remap TIMESTAMP AS OF to wrong epochs.
     val t0 = 1700000000000L
-    java.nio.file.Files.writeString(
-      dir.resolve("m0.manifest.committs"), t0.toString)
-    java.nio.file.Files.writeString(
-      dir.resolve("m1.manifest.committs"), (t0 + 60000L).toString)
+    // overwrite through SinkFs, not java.nio: the sink wrote these
+    // through Hadoop's checksummed local FS, so a raw overwrite would
+    // leave a stale .crc sidecar and fail the next read's checksum
+    graft.streaming.SinkFs.writeString(new org.apache.hadoop.fs.Path(
+      dir.toString, "m0.manifest.committs"), t0.toString)
+    graft.streaming.SinkFs.writeString(new org.apache.hadoop.fs.Path(
+      dir.toString, "m1.manifest.committs"), (t0 + 60000L).toString)
     Seq("m0.manifest", "m1.manifest").foreach { mf =>
       java.nio.file.Files.setLastModifiedTime(dir.resolve(mf),
         java.nio.file.attribute.FileTime.fromMillis(t0 + 9999999999L))

@@ -103,6 +103,87 @@ class SinkConcurrencySpec extends AnyFunSuite {
     assert(!Files.exists(claim), "claim must be released after commit")
   }
 
+  test("the claim HEARTBEAT keeps a live slow owner's claim fresh: an " +
+      "eager breaker with a short stale window stays loud while the " +
+      "owner lives, and recovery proceeds once the beats stop") {
+    val dir = Files.createTempDirectory("hb-owner").toString
+    val sink = new MergeSink(dir)
+    assert(sink.merge(envBatch(1 -> "x"), 0L))
+    val old = sys.props.get("graft.sink.claim.stale.ms")
+    sys.props("graft.sink.claim.stale.ms") = "400"
+    try {
+      // a "slow cross-process owner": a foreign-token claim file kept
+      // fresh by its own heartbeat (simulated — a real foreign owner is
+      // another JVM, whose EpochClaim does exactly this)
+      val claim = Paths.get(dir, "epoch1.claim")
+      @volatile var owner = true
+      val beats = new Thread(() => {
+        while (owner) {
+          Files.writeString(claim, s"foreign ${System.currentTimeMillis()}")
+          Thread.sleep(100)
+        }
+      })
+      beats.setDaemon(true)
+      beats.start()
+      Thread.sleep(600) // well past the 400 ms stale window
+      // the breaker must NOT break a heartbeat-fresh claim — before the
+      // heartbeat, any commit slower than the window lost its claim here
+      val e = intercept[ConcurrentEpochCommitException] {
+        sink.merge(envBatch(2 -> "steal"), 1L)
+      }
+      assert(e.getMessage.contains("cross-process"), e.getMessage)
+      // the owner "crashes": beats stop, the claim ages out, recovery
+      // breaks it and commits
+      owner = false
+      beats.join()
+      Thread.sleep(600)
+      assert(sink.merge(envBatch(2 -> "recovered"), 1L))
+      assert(sink.committedEpoch.contains(1L))
+    } finally {
+      old match {
+        case Some(v) => sys.props("graft.sink.claim.stale.ms") = v
+        case None => sys.props -= "graft.sink.claim.stale.ms"
+      }
+    }
+  }
+
+  test("our own heartbeat refreshes a held claim past the stale window, " +
+      "and verifyHeld fails the OWNER when its claim was re-owned " +
+      "mid-commit (the swap-time token check)") {
+    import graft.streaming.EpochClaim
+    val dir = Files.createTempDirectory("hb-self").toString
+    val old = sys.props.get("graft.sink.claim.stale.ms")
+    sys.props("graft.sink.claim.stale.ms") = "400"
+    val claim = new org.apache.hadoop.fs.Path(dir, "epoch7.claim")
+    try {
+      EpochClaim.acquire(claim, "hb-self", 7L)
+      Thread.sleep(1300) // > 3x the stale window
+      val ts = Files.readString(Paths.get(dir, "epoch7.claim"))
+        .trim.split("\\s+").last.toLong
+      assert(System.currentTimeMillis() - ts < 400,
+        "heartbeat must keep the claim file's timestamp fresh")
+      EpochClaim.verifyHeld(claim, "hb-self", 7L) // still ours: passes
+    } finally {
+      EpochClaim.release(claim)
+      old match {
+        case Some(v) => sys.props("graft.sink.claim.stale.ms") = v
+        case None => sys.props -= "graft.sink.claim.stale.ms"
+      }
+    }
+    // re-owned mid-commit (default 60 s window: its 20 s beat cannot
+    // race the assertions below): the owner's swap must fail loudly
+    EpochClaim.acquire(claim, "hb-self", 7L)
+    try {
+      Files.writeString(Paths.get(dir, "epoch7.claim"),
+        s"foreign ${System.currentTimeMillis()}")
+      val e = intercept[ConcurrentEpochCommitException] {
+        EpochClaim.verifyHeld(claim, "hb-self", 7L)
+      }
+      assert(e.getMessage.contains("broken by another writer"),
+        e.getMessage)
+    } finally EpochClaim.release(claim)
+  }
+
   test("a replayed epoch still no-ops (exactly-once under foreachBatch " +
       "retries is unchanged by the claims)") {
     val dir = Files.createTempDirectory("replay").toString

@@ -120,6 +120,75 @@ class SinkProcedureSpec extends AnyFunSuite {
       s"expected a vacuumed-data error, got: ${e.getMessage}")
   }
 
+  test("CALL vacuum with retain_feed_epochs reclaims old changefeed " +
+      "sidecars on bucketed/scd2; a predating feed read fails loudly; " +
+      "retained epochs and the table read stay intact") {
+    for (kind <- Seq("bucketed", "scd2")) {
+      val name = freshTable(kind,
+        Map("buckets" -> "8", "changefeed" -> "true"))
+      val feed = ChangeFeedGen.standardFeed(
+        Tables.load(spark, sfDir, "orders"), "orders")
+      // two more sidecar-writing epochs beyond freshTable's 0 and 1
+      for (e <- 2 to 3)
+        feed.filter(col("op") === "u").limit(5).writeTo(s"$cat.$kind.$name")
+          .option("epoch", e.toString).append()
+      val dir = Paths.get(s"$catRoot/$kind/$name")
+      assert((0 to 3).forall(e => Files.isDirectory(dir.resolve(s"c$e"))),
+        s"$kind setup: all four sidecars must exist")
+      val before = canon(spark.sql(
+        s"SELECT after.* FROM $cat.$kind.$name WHERE op <> 'd'"))
+
+      val res = spark.sql(s"CALL $cat.system.vacuum(" +
+        s"table => '$kind.$name', retain_feed_epochs => 2)").collect()
+      assert(res.length == 1 && res(0).getInt(1) == 2,
+        s"$kind: c0+c1 must be reclaimed, got ${res.toSeq}")
+      assert(!Files.exists(dir.resolve("c0")) &&
+        !Files.exists(dir.resolve("c1")) &&
+        !Files.exists(dir.resolve("c1.ddl")) &&
+        Files.isDirectory(dir.resolve("c2")) &&
+        Files.isDirectory(dir.resolve("c3")), s"$kind: wrong reclaim set")
+      assert(Files.readString(dir.resolve("_floor")).trim == "2")
+
+      // the retention promise is LOUD: a feed read starting below the
+      // floor refuses (eroded), one at the floor serves epochs 2..3
+      val tbl = s"$cat.$kind.`$name$$changes`"
+      val e1 = intercept[Exception] {
+        spark.read.option("fromEpoch", "1").table(tbl).collect()
+      }
+      assert(e1.getMessage.contains("erosion floor"), s"$kind: ${e1.getMessage}")
+      val served = spark.read.option("fromEpoch", "2").table(tbl)
+        .select("epoch").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(served == Seq(2L, 3L), s"$kind: $served")
+
+      // a RESUMING stream whose frontier predates the floor is loud too
+      val ckpt = Files.createTempDirectory(s"feedvac-$kind").toString
+      val st = new graft.sinks.v2.SinkChangesMicroBatchStream(kind,
+        dir.toString, Map("changefeed" -> "true"), ckpt)
+      val e2 = intercept[IllegalStateException] {
+        st.planInputPartitions(graft.sinks.v2.EpochOffset(0L),
+          graft.sinks.v2.EpochOffset(3L))
+      }
+      assert(e2.getMessage.contains("erosion floor"), s"$kind: ${e2.getMessage}")
+
+      // the TABLE read (state, not feed) is untouched by feed retention
+      assert(canon(spark.sql(
+        s"SELECT after.* FROM $cat.$kind.$name WHERE op <> 'd'")) == before)
+      // idempotent: nothing further to reclaim
+      val res2 = spark.sql(s"CALL $cat.system.vacuum(" +
+        s"table => '$kind.$name', retain_feed_epochs => 2)").collect()
+      assert(res2(0).getInt(1) == 0, s"$kind: ${res2.toSeq}")
+    }
+    // lsm refuses the argument: its deltas are state, not sidecars
+    val lsm = freshTable("lsm", Map("buckets" -> "8"))
+    val e3 = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.vacuum(table => 'lsm.$lsm', " +
+        "retain_feed_epochs => 2)").collect()
+    }
+    assert(e3.getMessage.contains("retain_feed_epochs does not apply"),
+      e3.getMessage)
+  }
+
   test("CALL rebucket rewrites the layout AND the stored buckets " +
       "property — the table keeps loading and merging afterwards") {
     val name = freshTable("bucketed", Map("buckets" -> "16"))
