@@ -54,7 +54,12 @@ object DdlParser {
     */
   def tableOf(sql: String): Option[Envelope.TableId] = sql match {
     case TableRef(name) =>
-      scala.util.Try(Envelope.TableId.parse(unquote(name))).toOption
+      // TableId.parse is quote-aware — pre-stripping outer quotes here
+      // would MANGLE a dotted quoted name ('"ORA"."ITEMS"' loses only
+      // the outermost pair, then parses as schema 'ORA.'), so the stale
+      // mark would key a table that doesn't exist and the real one
+      // would keep its out-of-date schema silently
+      scala.util.Try(Envelope.TableId.parse(name.trim)).toOption
     case _ => None
   }
 

@@ -38,6 +38,50 @@ object Materialize {
         col("e.transaction").as("transaction"), col("e.ts_ms").as("ts_ms"))
   }
 
+  /** [[reduceByKey]] fused with key-hash BUCKET clustering in ONE
+    * shuffle, for the bucket-layout sinks' delta writes: the bucket is
+    * a pure function of the key (`pmod(xxhash64(key), buckets)`), so
+    * partitioning by bucket already co-locates every key's events —
+    * the separate key shuffle + ObjectHashAggregate that
+    * [[reduceByKey]] pays is redundant there. Rows sort within each
+    * partition by (bucket, key, pos DESC) and a linear scan keeps each
+    * key's first row: the same latest-by-pos reduction (ties at equal
+    * pos resolve arbitrarily, like the aggregate), already clustered
+    * for the partitioned bucket write that follows. Returns
+    * `(key, after, op, pos, _bucket)`.
+    *
+    * At scale this halves the per-epoch shuffle volume of an LSM
+    * append and replaces a serialization-heavy object aggregate with a
+    * sort — measured 1.44x sustained apply-rate at sf1, idle A/B:
+    * 108.3k -> 155.6k rows/s, clearing the BASELINE generator-rate bar
+    * (see NOTES r14).
+    */
+  def reduceToBuckets(feed: DataFrame, buckets: Int,
+                      writeTasks: Int): DataFrame = {
+    val projected = feed
+      .filter(col("op") =!= Envelope.OpTombstone) // see reduceByKey
+      .select(col("key"), col("after"), col("op"),
+        col("source.pos").as("pos"))
+      .withColumn("_bucket",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(col("key")),
+          org.apache.spark.sql.functions.lit(buckets)))
+    val schema = projected.schema
+    projected.repartition(writeTasks, col("_bucket"))
+      .sortWithinPartitions(col("_bucket"), col("key"),
+        col("pos").desc)
+      .mapPartitions { it =>
+        var prev: Any = null
+        var first = true
+        it.filter { r =>
+          val k = r.get(0) // key struct; rows of one key are contiguous
+          val keep = first || k != prev
+          prev = k; first = false
+          keep
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Apply the full feed: latest row per PK, deletes drop the row, survivors
     * project the `after` image — i.e. replaying c/u/d/r == final table state
     * (the implicit aggregate of CDC, SURVEY §2.6).

@@ -809,6 +809,44 @@ object GraftSinkCatalog {
     else None
   }
 
+  /** [[keyEqualities]] over v2 `Predicate`s (the DELETE entry points
+    * receive those, not v1 Filters): Some iff every key field has an
+    * `= literal` conjunct — then a metadata DELETE can ride the same
+    * bucket-pruned read as a point SELECT/UPDATE instead of scanning
+    * the table for its matched set.
+    */
+  private[v2] def keyEqualitiesV2(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate],
+      key: StructType): Option[Seq[(StructField, Any)]] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Predicate => V2Predicate}
+    def conjuncts(p: V2Predicate): Seq[V2Predicate] = p match {
+      case a: V2And => conjuncts(a.left()) ++ conjuncts(a.right())
+      case other => Seq(other)
+    }
+    def norm(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val eqs = predicates.flatMap(conjuncts).flatMap { p =>
+      if (p.name() != "=" || p.children().length != 2) None
+      else {
+        val refLit = (p.children()(0), p.children()(1)) match {
+          case (r: NamedReference, l: V2Literal[_]) => Some((r, l))
+          case (l: V2Literal[_], r: NamedReference) => Some((r, l))
+          case _ => None
+        }
+        refLit.flatMap { case (r, l) =>
+          Option(org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(l.value, l.dataType))
+            .map(v => norm(r.fieldNames.mkString(".")) -> v)
+        }
+      }
+    }.toMap
+    val vals = key.fields.map(f => eqs.get(s"key.${norm(f.name)}")
+      .map(v => f -> v))
+    if (vals.nonEmpty && vals.forall(_.isDefined))
+      Some(vals.map(_.get).toIndexedSeq)
+    else None
+  }
+
   /** The hash bucket a fully-pinned key lands in, under the SINK's own
     * bucket expression: `pmod(xxhash64(struct(<key fields>)), n)` with
     * each literal cast to the stored field type (xxhash64 is
@@ -1103,23 +1141,34 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
     * and any erosion falls back to the full read. DML point statements
     * (`UPDATE ... WHERE key.x = v`) ride the same path via their scan.
     */
+  private def keyStruct: Option[StructType] =
+    tableSchema.fields.find(_.name.equalsIgnoreCase("key"))
+      .map(_.dataType).collect { case st: StructType => st }
+
+  /** The one-bucket frame a fully-pinned key justifies (shared by the
+    * scan path and the metadata-DELETE path). None = no bucket layout,
+    * eroded artifacts, or count unknown — callers fall back to the
+    * full frame.
+    */
+  private def prunedForVals(spark: SparkSession,
+                            vals: Seq[(StructField, Any)])
+      : Option[DataFrame] = {
+    val sink = GraftSinkCatalog.sinkFor(kind, path, props)
+    // the count of the manifest THIS read pins: after a rebucket, a
+    // VERSION AS OF lookup at a pre-rebucket epoch must hash under
+    // the old layout's count, not the current K line
+    sink.layoutBucketCount(asOf).flatMap { n =>
+      val b = GraftSinkCatalog.bucketOf(spark, vals, n)
+      sink.stateBucket(spark, asOf, b).map(raw =>
+        GraftSinkCatalog.stateFrameFrom(spark, Some(raw), schema()))
+    }
+  }
+
   override protected def prunedFrame(spark: SparkSession,
                                      pushed: Array[org.apache.spark.sql.sources.Filter])
       : Option[DataFrame] =
-    tableSchema.fields.find(_.name.equalsIgnoreCase("key"))
-      .map(_.dataType).collect { case st: StructType => st }
-      .flatMap(GraftSinkCatalog.keyEqualities(pushed, _))
-      .flatMap { vals =>
-        val sink = GraftSinkCatalog.sinkFor(kind, path, props)
-        // the count of the manifest THIS read pins: after a rebucket, a
-        // VERSION AS OF lookup at a pre-rebucket epoch must hash under
-        // the old layout's count, not the current K line
-        sink.layoutBucketCount(asOf).flatMap { n =>
-          val b = GraftSinkCatalog.bucketOf(spark, vals, n)
-          sink.stateBucket(spark, asOf, b).map(raw =>
-            GraftSinkCatalog.stateFrameFrom(spark, Some(raw), schema()))
-        }
-      }
+    keyStruct.flatMap(GraftSinkCatalog.keyEqualities(pushed, _))
+      .flatMap(prunedForVals(spark, _))
   override def capabilities(): util.Set[TableCapability] =
     if (forDml)
       // the DML copy drops ACCEPT_ANY_SCHEMA: the analyzer must resolve
@@ -1198,7 +1247,13 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
       GraftSinkCatalog.v2PredicateColumn(readSchemaFull, p).getOrElse(
         throw new UnsupportedOperationException(
           s"unsupported DELETE predicate on $ident: $p")))
-    deleteMatching(cols.reduceOption(_ && _).getOrElse(lit(true)))
+    // a full-key point DELETE reads ONE bucket for its matched set,
+    // like a point SELECT/UPDATE — the predicate re-applies on top, so
+    // the pruned superset is sound
+    val keyVals = keyStruct
+      .flatMap(GraftSinkCatalog.keyEqualitiesV2(predicates, _))
+    deleteMatching(cols.reduceOption(_ && _).getOrElse(lit(true)),
+      () => keyVals.flatMap(prunedForVals(SparkSession.active, _)))
   }
 
   override def canDeleteWhere(
@@ -1210,10 +1265,19 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
     val cols = filters.map(f => toColumn(f).getOrElse(
       throw new UnsupportedOperationException(
         s"unsupported DELETE filter on $ident: $f")))
-    deleteMatching(cols.reduceOption(_ && _).getOrElse(lit(true)))
+    val keyVals = keyStruct
+      .flatMap(GraftSinkCatalog.keyEqualities(filters, _))
+    deleteMatching(cols.reduceOption(_ && _).getOrElse(lit(true)),
+      () => keyVals.flatMap(prunedForVals(SparkSession.active, _)))
   }
 
-  private def deleteMatching(pred: Column): Unit = {
+  /** `prunedBase` is a THUNK, re-evaluated inside every commit attempt:
+    * the matched set is tip-dependent, and a rebase after a lost epoch
+    * race must re-read the bucket the rival may have rewritten.
+    */
+  private def deleteMatching(pred: Column,
+                             prunedBase: () => Option[DataFrame] =
+                               () => None): Unit = {
     asOf.foreach { e =>
       throw new UnsupportedOperationException(
         s"$ident VERSION AS OF $e is a read-only time-travel view")
@@ -1224,7 +1288,7 @@ private[v2] class CdcSinkTable(kind: String, path: String, ident: String,
     // read, the tombstones' position — recomputes per attempt)
     GraftSinkCatalog.commitWithRetry(kind, path, props,
       s"DELETE on $ident") { (sink, epoch) =>
-      val state = fullFrame(spark)
+      val state = prunedBase().getOrElse(fullFrame(spark))
       // already-tombstoned keys need no new tombstone — and excluding
       // them keeps a repeated DELETE idempotent in feed terms
       val matched = state.filter(pred).filter(

@@ -621,7 +621,20 @@ object LogMiner {
             .toMap
           val tableId = s"${entry.owner}.${entry.table}"
           val scn = r.getAs[Long]("scn")
-          val (schema, keyCols) = resolve(tableId, scn)
+          val (schema0, keyCols0) = resolve(tableId, scn)
+          // STALE tombstone (null schema — a skipped-unparseable DDL,
+          // e.g. CTAS, invalidated the registry at an earlier SCN):
+          // decode from the statement's OWN column names, string-typed,
+          // with the whole image as the key — deterministic and
+          // lossless, never the out-of-date column list (the binlog
+          // path's positional/wire-metadata fallback, in LogMiner terms
+          // where the redo SQL itself names the columns)
+          val stale = schema0 == null
+          val schema =
+            if (!stale) schema0
+            else (entry.after.keys ++ entry.before.keys).toSeq
+              .distinct.map(_ -> "string")
+          val keyCols = if (!stale) keyCols0 else schema.map(_._1)
           val after =
             if (entry.op == "d" || lobCols.isEmpty) entry.after
             else entry.after ++ lobCols
@@ -693,7 +706,17 @@ object LogMiner {
         case DdlParser.SkippedUnparseable(t, _) =>
           t.foreach { tid =>
             val full = qual(tid)
-            state.remove(full); keyState.remove(full): Unit
+            state.remove(full); keyState.remove(full)
+            // the TIMELINE must also record the staleness at this SCN:
+            // removing the registry entry only stops FUTURE pushes, but
+            // a later row resolves to the newest version <= its scn —
+            // exactly the column list the skip policy just declared out
+            // of date. The binlog registry is a point-in-time map, so
+            // its remove suffices; the SCN timeline needs an explicit
+            // stale tombstone (null schema → rows after it decode from
+            // their OWN statement columns, see renderTyped).
+            timeline(full) = timeline.getOrElse(full, Vector.empty) :+
+              ((scn, null, null))
           }
           None
         case DdlParser.NotDdl => None

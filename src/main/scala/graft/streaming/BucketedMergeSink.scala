@@ -205,6 +205,18 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
         kLineOf(new HPath(root, s"m$v.manifest")).orElse(legacyBucketsFile))
     }
 
+  /** Max merge position from parquet FOOTER STATISTICS of the current
+    * manifest's leaf dirs (zero row I/O — see
+    * [[SinkFs.parquetMaxLong]]); the trait's column scan is the
+    * fallback.
+    */
+  override def tipPos(spark: SparkSession): Option[Long] = {
+    if (committedEpoch.isEmpty) return None
+    SinkFs.parquetMaxLong(
+      manifest.values.map(p => new HPath(p._1)).toSeq.distinct, "pos")
+      .orElse(super.tipPos(spark))
+  }
+
   /** Point-lookup read: ONE bucket's current rows (see
     * [[CdcSink.stateBucket]]) — the manifest maps the bucket straight
     * to its single live directory, so the read is one leaf dir.
@@ -437,10 +449,10 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
     graft.expressions.GraftFunctions.register(spark)
     // persist the reduced batch: the touched-bucket probe AND the merge
     // both consume it — without the cache the feed would be scanned twice
-    // per epoch
-    val reduced = Materialize.reduceByKey(batch)
-      .select(col("key"), col("after"), col("op"), col("source.pos").as("pos"))
-      .withColumn("_bucket", bucketCol)
+    // per epoch. Reduce + bucket clustering in ONE shuffle (the bucket
+    // is a function of the key — see Materialize.reduceToBuckets)
+    val reduced = Materialize.reduceToBuckets(batch, buckets,
+      math.min(buckets.max(1), spark.sparkContext.defaultParallelism * 2))
       .persist()
     try {
       // driver learns WHICH buckets are touched (tiny: ≤ `buckets` rows)

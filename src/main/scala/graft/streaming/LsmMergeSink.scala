@@ -259,6 +259,32 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     stateOf(spark, restricted)
   }
 
+  /** Max merge position WITHOUT the merge-on-read reduce: the global
+    * max over raw base + delta events equals the reduced state's (the
+    * max IS some key's latest event; superseded events only have lower
+    * positions, and tombstones are retained rows in both). The default
+    * would run the latest-per-key object aggregate over the whole
+    * table — an O(table) shuffle on EVERY DML statement, measured as
+    * the dominant term of a point UPDATE at 15M rows; this is one
+    * column-pruned scan of `pos`, no shuffle.
+    */
+  override def tipPos(spark: SparkSession): Option[Long] = {
+    if (committedEpoch.isEmpty) return None
+    val m = manifest
+    val dirs = (m.base.values.map(_._1) ++ m.deltaLeafs.map(_._1))
+      .toSeq.distinct.map(new HPath(_))
+    // footer statistics first: O(#files) metadata, zero row I/O (the
+    // Iceberg/Delta file-stats answer); raw-file scan as the fallback
+    SinkFs.parquetMaxLong(dirs, "pos").orElse {
+      readByDdl(spark, m.base.values.toSeq ++ m.deltaLeafs).flatMap { raw =>
+        Option(raw.agg(max(col("pos"))).head.get(0)).map {
+          case l: java.lang.Long => l.longValue()
+          case other => other.toString.toLong
+        }
+      }
+    }
+  }
+
   /** LSM changefeed fast path: the epoch's OWN delta dir `d<epoch>/` is
     * exactly the reduced batch it appended — op='d' tombstones included,
     * zero recompute, I/O = the batch's own bytes. Absent (rebucket
@@ -295,18 +321,19 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     checkBucketCount()
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)
-    val reduced = Materialize.reduceByKey(batch)
-      .select(col("key"), col("after"), col("op"), col("source.pos").as("pos"))
-      .withColumn("_bucket", bucketCol)
-    val ddl = StructType(reduced.schema.filterNot(_.name == "_bucket")).toDDL
-    val ddir = new HPath(root, s"d$epochId")
-    // bounded write tasks (see BucketedMergeSink): tasks stream their
-    // buckets through one rolling writer via the sorted partitioned write
+    // ONE shuffle for reduce + bucket clustering (the bucket is a pure
+    // function of the key, so a bucket partition already co-locates
+    // every key's events — see Materialize.reduceToBuckets): the hot
+    // append path pays a single exchange + sort instead of a key
+    // shuffle, an object-hash aggregate AND a bucket shuffle. Bounded
+    // write tasks (see BucketedMergeSink): tasks stream their buckets
+    // through one rolling writer via the sorted partitioned write.
     val writeTasks = math.min(buckets.max(1),
       spark.sparkContext.defaultParallelism * 2)
-    reduced.repartition(writeTasks, col("_bucket"))
-      .sortWithinPartitions(col("_bucket"))
-      .write.mode("overwrite").partitionBy("_bucket").parquet(ddir.toString)
+    val reduced = Materialize.reduceToBuckets(batch, buckets, writeTasks)
+    val ddl = StructType(reduced.schema.filterNot(_.name == "_bucket")).toDDL
+    val ddir = new HPath(root, s"d$epochId")
+    reduced.write.mode("overwrite").partitionBy("_bucket").parquet(ddir.toString)
     // touched buckets from the written directory names — driver metadata
     // listing of <= `buckets` entries, no data read
     val touched = SinkFs.listNames(ddir)

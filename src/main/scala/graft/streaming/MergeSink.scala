@@ -567,6 +567,16 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
     dead.size
   }
 
+  /** Max merge position from parquet FOOTER STATISTICS of the current
+    * version (zero row I/O — see [[SinkFs.parquetMaxLong]]); the
+    * trait's column scan is the fallback. Every DML statement resolves
+    * its position through this.
+    */
+  override def tipPos(spark: SparkSession): Option[Long] =
+    currentVersion.flatMap(v =>
+      SinkFs.parquetMaxLong(Seq(new HPath(root, v)), "pos"))
+      .orElse(super.tipPos(spark))
+
   /** Feed-retention vacuum (`CALL vacuum(..., retain_feed_epochs)`):
     * reclaim change-delta sidecars below `floorEpoch` without touching
     * version dirs — see [[CdcSink.vacuumSidecars]]. Mostly redundant on

@@ -422,6 +422,18 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
   override def tipPos(spark: SparkSession): Option[Long] = {
     if (committedEpoch.isEmpty) return None
     val m = manifest
+    // footer statistics first (zero row I/O): the tip is the max over
+    // BOTH interval bounds. Only sound when both columns yield a footer
+    // answer — a None is ambiguous between "no closures yet" and
+    // "stats missing", so anything else falls back to the scan
+    val dirs = (m.closedDirs.map(_._1) ++ m.open.values.map(_._1))
+      .distinct.map(new HPath(_))
+    val fast = (SinkFs.parquetMaxLong(dirs, "valid_from_pos"),
+      SinkFs.parquetMaxLong(dirs, "valid_to_pos")) match {
+      case (Some(a), Some(b)) => Some(math.max(a, b))
+      case _ => None
+    }
+    if (fast.isDefined) return fast
     readByDdl(spark, m.closedDirs ++ m.open.values.toSeq).flatMap { iv =>
       Option(iv.agg(max(greatest(col("valid_from_pos"),
         coalesce(col("valid_to_pos"), lit(Long.MinValue))))).head.get(0))
@@ -666,9 +678,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
     val live = (m.open.values.map(_._1) ++ m.base.values.map(_._1) ++
       m.deltas.map(_._2)).map(topUnderRoot).toSet
     val dead = SinkFs.listDirNames(root).filter(n =>
-      (n.startsWith("e") || n.startsWith("b")) && !live(n) &&
-        !n.startsWith("epoch")) // epoch<N>.claim siblings are files, not
-                                // dirs, but be explicit about the prefix
+      (n.startsWith("e") || n.startsWith("b")) && !live(n))
     dead.foreach(n => SinkFs.deleteRecursive(new HPath(root, n)))
     dead.size
   }

@@ -136,6 +136,58 @@ private[graft] object SinkFs {
 
   def mtime(p: HPath): Long = fs(p).getFileStatus(p).getModificationTime
 
+  /** Max of an INT64 column across the parquet files under `dirs`,
+    * from FOOTER STATISTICS alone — zero row I/O, the way Iceberg/Delta
+    * answer min/max questions from file-level stats instead of scans.
+    * The sinks use it for `tipPos` (the merge position every DML
+    * statement must outrank): a column scan is O(table bytes) where
+    * this is O(#files) driver-side metadata reads. None when any
+    * row-bearing file lacks the stat (caller falls back to the scan) or
+    * no rows exist at all; all-null columns in a file (e.g. open scd2
+    * rows' valid_to_pos) simply don't contribute.
+    */
+  def parquetMaxLong(dirs: Seq[HPath], column: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val c = conf
+    var best = Long.MinValue
+    var any = false
+    dirs.foreach { d =>
+      val f = fs(d)
+      if (f.exists(d)) {
+        val files = f.listStatus(d).toSeq.filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            st.getLen > 0)
+        files.foreach { st =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(st, c))
+          try {
+            reader.getFooter.getBlocks.asScala
+              .filter(_.getRowCount > 0).foreach { block =>
+                block.getColumns.asScala
+                  .find(_.getPath.toDotString == column) match {
+                  case Some(col) =>
+                    val stats = col.getStatistics
+                    if (stats == null || stats.isEmpty)
+                      return None // stat missing where rows exist: scan
+                    if (stats.hasNonNullValue) {
+                      stats.genericGetMax match {
+                        case l: java.lang.Long =>
+                          if (l.longValue() > best) best = l.longValue()
+                          any = true
+                        case _ => return None // not INT64: scan
+                      }
+                    } // all-null block: contributes nothing
+                  case None => return None // column absent: scan
+                }
+              }
+          } finally reader.close()
+        }
+      }
+    }
+    if (any) Some(best) else None
+  }
+
   /** Atomically publish `content` at `pointer`: write a sibling temp
     * file, then rename-with-overwrite. See the class doc for the
     * per-scheme atomicity contract.

@@ -135,6 +135,29 @@ class PointLookupSpec extends AnyFunSuite {
       s"WHERE key.o_orderkey = $present AND op <> 'd'")) == asOf0)
   }
 
+  test("a full-key point DELETE reads one bucket for its matched set, " +
+      "not the table, and deletes exactly the pinned row") {
+    val name = freshTable("lsm")
+    val (present, _) = keys(name)
+    val before = spark.sql(s"SELECT count(*) FROM $name WHERE op <> 'd'")
+      .head.getLong(0)
+    val full = bytesDuring {
+      spark.sql(s"SELECT after.* FROM $name WHERE op <> 'd'")
+        .collect(): Unit
+    }
+    val pruned = bytesDuring {
+      spark.sql(s"DELETE FROM $name WHERE key.o_orderkey = $present")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $name " +
+      s"WHERE key.o_orderkey = $present AND op <> 'd'").head.getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $name WHERE op <> 'd'")
+      .head.getLong(0) == before - 1, "exactly one row tombstoned")
+    // matched-set scan = one bucket (16 here); tipPos adds a pos-only
+    // column scan — 4x margin covers both plus footers
+    assert(pruned > 0 && pruned < full / 4,
+      s"point DELETE read $pruned of $full bytes — not pruned")
+  }
+
   test("VERSION AS OF point lookup across a rebucket hashes under the " +
       "PINNED manifest's bucket count, not the current layout's") {
     for (kind <- Seq("bucketed", "lsm", "scd2")) {

@@ -110,7 +110,9 @@ class SinkConcurrencySpec extends AnyFunSuite {
     val sink = new MergeSink(dir)
     assert(sink.merge(envBatch(1 -> "x"), 0L))
     val old = sys.props.get("graft.sink.claim.stale.ms")
-    sys.props("graft.sink.claim.stale.ms") = "400"
+    // generous margins: the suite runs under heavy parallel load and a
+    // starved beat thread must not read as a stale claim
+    sys.props("graft.sink.claim.stale.ms") = "2500"
     try {
       // a "slow cross-process owner": a foreign-token claim file kept
       // fresh by its own heartbeat (simulated — a real foreign owner is
@@ -120,12 +122,12 @@ class SinkConcurrencySpec extends AnyFunSuite {
       val beats = new Thread(() => {
         while (owner) {
           Files.writeString(claim, s"foreign ${System.currentTimeMillis()}")
-          Thread.sleep(100)
+          Thread.sleep(250)
         }
       })
       beats.setDaemon(true)
       beats.start()
-      Thread.sleep(600) // well past the 400 ms stale window
+      Thread.sleep(3200) // well past the 2.5 s stale window
       // the breaker must NOT break a heartbeat-fresh claim — before the
       // heartbeat, any commit slower than the window lost its claim here
       val e = intercept[ConcurrentEpochCommitException] {
@@ -136,7 +138,7 @@ class SinkConcurrencySpec extends AnyFunSuite {
       // breaks it and commits
       owner = false
       beats.join()
-      Thread.sleep(600)
+      Thread.sleep(3000)
       assert(sink.merge(envBatch(2 -> "recovered"), 1L))
       assert(sink.committedEpoch.contains(1L))
     } finally {
@@ -153,14 +155,16 @@ class SinkConcurrencySpec extends AnyFunSuite {
     import graft.streaming.EpochClaim
     val dir = Files.createTempDirectory("hb-self").toString
     val old = sys.props.get("graft.sink.claim.stale.ms")
-    sys.props("graft.sink.claim.stale.ms") = "400"
+    sys.props("graft.sink.claim.stale.ms") = "1200"
     val claim = new org.apache.hadoop.fs.Path(dir, "epoch7.claim")
     try {
       EpochClaim.acquire(claim, "hb-self", 7L)
-      Thread.sleep(1300) // > 3x the stale window
+      Thread.sleep(4000) // > 3x the stale window
       val ts = Files.readString(Paths.get(dir, "epoch7.claim"))
         .trim.split("\\s+").last.toLong
-      assert(System.currentTimeMillis() - ts < 400,
+      // the beat period is staleMs/3 (400 ms); < staleMs proves the
+      // refresh is live even if the scheduler lagged a couple of beats
+      assert(System.currentTimeMillis() - ts < 1200,
         "heartbeat must keep the claim file's timestamp fresh")
       EpochClaim.verifyHeld(claim, "hb-self", 7L) // still ours: passes
     } finally {

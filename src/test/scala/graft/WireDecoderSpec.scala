@@ -904,6 +904,57 @@ class WireDecoderSpec extends AnyFunSuite {
     assert(r12.payloadJson == """{"id":12,"qty":132,"label":"bl_12"}""")
   }
 
+  test("a CTAS mid-poll marks the table STALE in the LogMiner SCN " +
+      "timeline: later rows decode from their own statements, never the " +
+      "pre-CTAS column list") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("rownum", LongType), StructField("scn", LongType),
+      StructField("opcode", IntegerType), StructField("xid", StringType),
+      StructField("csf", IntegerType), StructField("rbk", IntegerType),
+      StructField("row_id", StringType), StructField("rs_id", StringType),
+      StructField("seg_owner", StringType),
+      StructField("table_name", StringType),
+      StructField("sql_redo", StringType)))
+    def line(rn: Long, scn: Long, opcode: Int, xid: String,
+             sql: String): String =
+      s"""{"rownum":$rn,"scn":$scn,"opcode":$opcode,"xid":"$xid",""" +
+        s""""csf":0,"rbk":0,"row_id":"r$rn","rs_id":"R$scn",""" +
+        s""""seg_owner":"ORA","table_name":"ITEMS",""" +
+        s""""sql_redo":"${sql.replace("\"", "\\\"")}"}"""
+    val lines = Seq(
+      line(1, 10, 6, "T1", "start transaction"),
+      line(2, 11, 1, "T1",
+        "insert into \"ORA\".\"ITEMS\"(\"ID\",\"NAME\") values ('1','one');"),
+      line(3, 12, 7, "T1", "commit;"),
+      // out-of-subset DDL on the SAME table (the reference parses CTAS
+      // with its full ANTLR grammar; the subset grammar skips + stales)
+      line(4, 20, 5, "D1",
+        "CREATE TABLE \"ORA\".\"ITEMS\" AS SELECT \"ID\", \"EXTRA\" " +
+          "FROM \"ORA\".\"ITEMS_OLD\";"),
+      line(5, 29, 6, "T2", "start transaction"),
+      line(6, 30, 1, "T2",
+        "insert into \"ORA\".\"ITEMS\"(\"ID\",\"EXTRA\") values ('2','42');"),
+      line(7, 31, 7, "T2", "commit;"))
+    import spark.implicits._
+    val contents = spark.read.schema(schema).json(lines.toDS())
+    val out = graft.sources.wire.LogMiner.decodeEvolving(contents,
+      schemas = Map("ORA.ITEMS" -> Seq("ID" -> "long", "NAME" -> "string")),
+      keys = Map("ORA.ITEMS" -> Seq("ID"))).collect()
+    // pre-CTAS: the seeded typed schema
+    val pre = out.find(_.getAs[Long]("scn") == 11L).get
+    assert(pre.getAs[String]("after_json") == """{"ID":1,"NAME":"one"}""",
+      pre.toString)
+    // post-CTAS: the registry is STALE from scn 20 — the row decodes
+    // from its OWN statement's columns (string-typed, whole-image key),
+    // NOT the pre-CTAS (ID, NAME) list, which would silently drop EXTRA
+    // and emit a phantom NAME:null
+    val post = out.find(_.getAs[Long]("scn") == 30L).get
+    val after = post.getAs[String]("after_json")
+    assert(after.contains(""""EXTRA":"42"""") && !after.contains("NAME"),
+      post.toString)
+  }
+
   test("unparseable-DDL policy: skip mode warns and marks the table " +
       "stale; strict mode fails naming the config; non-DDL is filtered") {
     import graft.model.DdlParser
