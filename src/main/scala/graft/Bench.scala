@@ -143,7 +143,7 @@ object Bench {
         }
         scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
           st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(java.nio.file.Files.delete(_))
+            .forEach(java.nio.file.Files.deleteIfExists(_): Unit)
         }
         total
       }
@@ -253,7 +253,7 @@ object Bench {
           } finally {
             scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
               st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-                .forEach(java.nio.file.Files.delete(_))
+                .forEach(java.nio.file.Files.deleteIfExists(_): Unit)
             }
           }
         }

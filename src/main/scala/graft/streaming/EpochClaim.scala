@@ -61,6 +61,18 @@ private[graft] object EpochClaim {
   private val heartbeats =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
 
+  /** Per-claim monitor serializing beat I/O with [[release]]: without
+    * it, a cancelled-but-IN-FLIGHT beat can recreate claim/tmp files
+    * AFTER release returned — measured as a `Files.walk` cleanup crash
+    * (the walk listed the beat's `.hb.crc` tmp, the beat's rename
+    * removed it mid-walk). Holding the monitor across release means no
+    * beat I/O for that claim can happen once release returns.
+    */
+  private val beatLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def beatLock(key: String): Object =
+    beatLocks.computeIfAbsent(key, _ => new Object)
+
   private lazy val scheduler = {
     val t = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
       (r: Runnable) => {
@@ -134,13 +146,14 @@ private[graft] object EpochClaim {
                              token: String): Unit = {
     val period = math.max(50L, staleMs / 3)
     val task: Runnable = () =>
-      if (token == live.get(key)) {
-        try {
-          val tmp = new HPath(claim.getParent, claim.getName + ".hb")
-          SinkFs.writeString(tmp, s"$token ${System.currentTimeMillis()}")
-          if (token == live.get(key)) SinkFs.rename(tmp, claim)
-          else SinkFs.deleteIfExists(tmp)
-        } catch { case NonFatal(_) => () } // missed beat: next one retries
+      beatLock(key).synchronized {
+        if (token == live.get(key)) {
+          try {
+            val tmp = new HPath(claim.getParent, claim.getName + ".hb")
+            SinkFs.writeString(tmp, s"$token ${System.currentTimeMillis()}")
+            SinkFs.rename(tmp, claim)
+          } catch { case NonFatal(_) => () } // missed beat: next retries
+        }
       }
     heartbeats.put(key, scheduler.scheduleAtFixedRate(task, period, period,
       java.util.concurrent.TimeUnit.MILLISECONDS)): Unit
@@ -172,10 +185,15 @@ private[graft] object EpochClaim {
 
   def release(claim: HPath): Unit = {
     val key = SinkFs.qualified(claim).toString
-    // drop ownership FIRST so an in-flight heartbeat's re-check fails
-    // and cannot recreate the file after the delete below
-    live.remove(key)
-    Option(heartbeats.remove(key)).foreach(_.cancel(false))
-    SinkFs.deleteIfExists(claim)
+    beatLock(key).synchronized {
+      // under the beat monitor: ownership drops, the task cancels, and
+      // the files delete with NO beat I/O possible in between or after
+      live.remove(key)
+      Option(heartbeats.remove(key)).foreach(_.cancel(false))
+      SinkFs.deleteIfExists(new HPath(claim.getParent,
+        claim.getName + ".hb"))
+      SinkFs.deleteIfExists(claim)
+    }
+    beatLocks.remove(key): Unit
   }
 }
