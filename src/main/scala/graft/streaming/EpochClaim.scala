@@ -107,11 +107,18 @@ private[graft] object EpochClaim {
       } catch {
         case _: FileAlreadyExistsException =>
           // no in-process owner -> another process's claim or a crashed
-          // writer's leftover; break only past the stale window
+          // writer's leftover; break only past the stale window. A
+          // FAILED READ (mid-refresh rename, transient I/O, owner just
+          // released) is NOT evidence of staleness — treat it as live
+          // and conflict; only content that READS fine but parses as
+          // garbage is junk worth aging out.
           val age =
-            try System.currentTimeMillis() -
-              SinkFs.readString(claim).trim.split("\\s+").last.toLong
-            catch { case NonFatal(_) => Long.MaxValue } // unreadable = junk
+            try {
+              val txt = SinkFs.readString(claim)
+              try System.currentTimeMillis() -
+                txt.trim.split("\\s+").last.toLong
+              catch { case NonFatal(_) => Long.MaxValue } // garbage = junk
+            } catch { case NonFatal(_) => -1L } // torn/transient = live
           if (age < staleMs) conflict("cross-process")
           Console.err.println(
             s"[graft] $sinkDesc: breaking abandoned epoch-$epoch claim " +
@@ -134,9 +141,11 @@ private[graft] object EpochClaim {
 
   /** Refresh the held claim's timestamp every staleMs/3 so a LIVE
     * owner's claim never ages past the stale window. The refresh is a
-    * temp-write + atomic rename (a rival reading mid-refresh sees the
-    * old or new content, never a torn file — a torn read parses as
-    * age=MaxValue and would break a live claim). The task re-checks
+    * temp-write + atomic rename (checksum-free via [[SinkFs]], so the
+    * swap is ONE atomic step — a rival reading mid-refresh sees the
+    * old or new content; and should a read still fail transiently,
+    * [[acquire]] treats the failure as a LIVE claim, not junk). The
+    * task re-checks
     * ownership before each beat; a beat racing `release` can at worst
     * leave a fresh claim file behind, which delays the NEXT claimer of
     * the same epoch by one stale window (an epoch that already
@@ -170,9 +179,20 @@ private[graft] object EpochClaim {
   def verifyHeld(claim: HPath, sinkDesc: String, epoch: Long): Unit = {
     val key = SinkFs.qualified(claim).toString
     val token = live.get(key)
-    val fileToken =
-      try SinkFs.readString(claim).trim.split("\\s+").head
-      catch { case NonFatal(_) => null }
+    // a genuinely missing file is a broken claim; a TRANSIENT read
+    // failure must not fail the legitimate owner — bounded retry
+    var fileToken: String = null
+    var attempt = 0
+    var done = false
+    while (!done && attempt < 5) {
+      attempt += 1
+      try { fileToken = SinkFs.readString(claim).trim.split("\\s+").head; done = true }
+      catch {
+        case _: java.io.FileNotFoundException => done = true
+        case NonFatal(_) if attempt < 5 => Thread.sleep(10L * attempt)
+        case NonFatal(_) => done = true
+      }
+    }
     if (token == null || fileToken != token)
       throw new ConcurrentEpochCommitException(
         s"$sinkDesc: the claim on epoch $epoch was broken by another " +

@@ -188,6 +188,37 @@ class SinkConcurrencySpec extends AnyFunSuite {
     } finally EpochClaim.release(claim)
   }
 
+  test("committedEpoch readers hammering a live swap loop never observe " +
+      "a torn, missing, or checksum-failed pointer (regression: Hadoop's " +
+      "ChecksumFs renamed the data+.crc pair in two non-atomic steps)") {
+    val dir = Files.createTempDirectory("swap-hammer").toString
+    val sink = new MergeSink(dir)
+    assert(sink.merge(envBatch(1 -> "x"), 0L))
+    val pointer = new org.apache.hadoop.fs.Path(dir, "CURRENT")
+    @volatile var stop = false
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val readers = (1 to 8).map { _ =>
+      val t = new Thread(() => {
+        try {
+          while (!stop) {
+            val e = sink.committedEpoch
+            // every swap writes v<k>; a parse miss means a torn read
+            if (e.isEmpty) throw new AssertionError(
+              "pointer read empty or unparseable mid-swap")
+          }
+        } catch { case t: Throwable => errors.add(t); stop = true }
+      })
+      t.start(); t
+    }
+    // thousands of pointer swaps while the readers hammer; pre-fix this
+    // crashed with ChecksumException within a few hundred iterations
+    for (i <- 0 until 4000 if !stop)
+      graft.streaming.SinkFs.swapPointer(pointer, s"CURRENT.tmp", s"v${i % 9}\n")
+    stop = true
+    readers.foreach(_.join())
+    assert(errors.isEmpty, s"torn pointer read: ${errors.peek()}")
+  }
+
   test("a replayed epoch still no-ops (exactly-once under foreachBatch " +
       "retries is unchanged by the claims)") {
     val dir = Files.createTempDirectory("replay").toString
