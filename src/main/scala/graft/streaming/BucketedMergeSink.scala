@@ -56,7 +56,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
   private def storedBucketCount: Option[Int] = {
     val fromManifest =
       if (!SinkFs.exists(pointer)) None
-      else kLineOf(new HPath(root, SinkFs.readString(pointer).trim))
+      else kLineOf(new HPath(root, SinkFs.readPointer(pointer)))
     fromManifest.orElse(legacyBucketsFile)
   }
 
@@ -80,7 +80,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
     */
   def manifest: Map[Int, (String, String)] =
     if (!SinkFs.exists(pointer)) Map.empty
-    else parseManifest(new HPath(root, SinkFs.readString(pointer).trim))
+    else parseManifest(new HPath(root, SinkFs.readPointer(pointer)))
 
   /** Read bucket dirs grouped by schema version: one schema-known read
     * per distinct DDL (zero footer I/O), `unionByName` across versions —
@@ -130,7 +130,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
   override def committedEpoch: Option[Long] =
     if (!SinkFs.exists(pointer)) None
     else """m(\d+)\.manifest""".r
-      .findFirstMatchIn(SinkFs.readString(pointer).trim)
+      .findFirstMatchIn(SinkFs.readPointer(pointer))
       .map(_.group(1).toLong)
 
   private def parseManifest(mf: HPath): Map[Int, (String, String)] =
@@ -205,15 +205,18 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
         kLineOf(new HPath(root, s"m$v.manifest")).orElse(legacyBucketsFile))
     }
 
-  /** Max merge position from parquet FOOTER STATISTICS of the current
-    * manifest's leaf dirs (zero row I/O — see
-    * [[SinkFs.parquetMaxLong]]); the trait's column scan is the
-    * fallback.
+  /** Max merge position: the committed epoch's `.maxpos` sidecar first
+    * (O(1) driver metadata — see [[CdcSink.recordMaxPos]]), parquet
+    * footer statistics of the current manifest's leaf dirs second
+    * (zero row I/O, pre-sidecar epochs — see
+    * [[SinkFs.parquetMaxLong]]), the trait's column scan last.
     */
   override def tipPos(spark: SparkSession): Option[Long] = {
-    if (committedEpoch.isEmpty) return None
-    SinkFs.parquetMaxLong(
-      manifest.values.map(p => new HPath(p._1)).toSeq.distinct, "pos")
+    val tip = committedEpoch
+    if (tip.isEmpty) return None
+    tip.flatMap(storedMaxPos).orElse(
+      SinkFs.parquetMaxLong(
+        manifest.values.map(p => new HPath(p._1)).toSeq.distinct, "pos"))
       .orElse(super.tipPos(spark))
   }
 
@@ -358,20 +361,17 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
   /** Feed-retention vacuum: reclaim `c<epoch>/` change-delta sidecars
     * below `floorEpoch` — without it a `changefeed=true` table's
     * sidecars accumulate for its lifetime (the version dirs recycle,
-    * the sidecars never did). Records the loud `_floor` first; feed
-    * reads below it then fail as vacuumed (see
+    * the sidecars never did). Records the loud `_feed_floor` first;
+    * feed reads below it then fail as vacuumed (see
     * [[CdcSink.vacuumSidecars]]).
     */
   def vacuumFeed(floorEpoch: Long): Int =
     CdcSink.vacuumSidecars(root, floorEpoch)
 
   /** Oldest epoch the feed still serves after a feed-retention vacuum
-    * (None = never feed-vacuumed). See [[vacuumFeed]].
+    * (None = never feed-vacuumed). See [[CdcSink.feedFloor]].
     */
-  override def changefeedFloor: Option[Long] = {
-    val f = new HPath(root, "_floor")
-    if (SinkFs.exists(f)) Some(SinkFs.readString(f).trim.toLong) else None
-  }
+  override def changefeedFloor: Option[Long] = CdcSink.feedFloor(root)
 
   /** RE-BUCKET COMPACTION: rewrite the full state under a NEW bucket
     * count — the operation that lets the count FOLLOW TABLE GROWTH
@@ -410,11 +410,16 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
       spark.sparkContext.defaultParallelism * 2)
     rb.repartition(writeTasks, col("_bucket"))
       .sortWithinPartitions(col("_bucket"))
-      .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+      .write.mode("overwrite").options(CdcSink.writeOptions).partitionBy("_bucket").parquet(vdir)
     val written = SinkFs.listNames(new HPath(vdir))
       .filter(_.startsWith("_bucket=")).map(_.stripPrefix("_bucket=").toInt)
       .sorted
     val newManifest = written.map(b => b -> (s"$vdir/_bucket=$b", ddl)).toMap
+    // a rebucket rewrites the WHOLE table, so its own footer max is the
+    // tip — also the legacy-table sidecar upgrade path
+    recordMaxPos(epochId, SinkFs.parquetMaxLong(
+      written.map(b => new HPath(s"$vdir/_bucket=$b")), "pos")
+      .orElse(observed.flatMap(storedMaxPos)))
     val mfName = s"m$epochId.manifest"
     SinkFs.writeString(new HPath(root, mfName),
       (s"K\t$newBuckets" +: newManifest.toSeq.sortBy(_._1)
@@ -467,7 +472,7 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
         SinkFs.mkdirs(root)
         SinkFs.writeString(new HPath(root, s"c$epochId.ddl"),
           noBucket.schema.toDDL)
-        noBucket.write.mode("overwrite")
+        noBucket.write.mode("overwrite").options(CdcSink.writeOptions)
           .parquet(new HPath(root, s"c$epochId").toString)
       }
       val prevManifest = manifest
@@ -492,6 +497,10 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
               col("e.pos").as("pos"), col("e._bucket").as("_bucket"))
       }
       val vdir = new HPath(root, s"v$epochId").toString
+      // the rewritten buckets' max position rides the write job as an
+      // observed metric (zero extra I/O) — feeds the tip sidecar below
+      val obs = org.apache.spark.sql.Observation()
+      val observed = merged.observe(obs, max(col("pos")).as("maxpos"))
       val ddl = org.apache.spark.sql.types.StructType(
         merged.schema.filterNot(_.name == "_bucket")).toDDL
       // cluster by bucket, then SORT within write tasks: a task holding
@@ -501,11 +510,30 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
       // write tasks, nor tasks × buckets open writers
       val writeTasks = math.min(touched.size.max(1),
         spark.sparkContext.defaultParallelism * 2)
-      merged.repartition(writeTasks, col("_bucket"))
+      observed.repartition(writeTasks, col("_bucket"))
         .sortWithinPartitions(col("_bucket"))
-        .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+        .write.mode("overwrite").options(CdcSink.writeOptions).partitionBy("_bucket").parquet(vdir)
       val newManifest = prevManifest ++
         touched.map(b => b -> (s"$vdir/_bucket=$b", ddl)).toMap
+      // tip-position sidecar: prev epoch's sidecar (or a one-time
+      // legacy footer bootstrap over the prev manifest) + the rewritten
+      // buckets' observed max — nothing extra here, O(1) per DML read
+      val prevTip = committed.flatMap(storedMaxPos).orElse(
+        if (committed.isEmpty) None
+        else SinkFs.parquetMaxLong(
+          prevManifest.values.map(p => new HPath(p._1)).toSeq.distinct,
+          "pos"))
+      val newMax = obs.get.get("maxpos").collect {
+        case l: java.lang.Long => l.longValue()
+      }
+      recordMaxPos(epochId,
+        if (touched.isEmpty) prevTip
+        else (committed, prevTip, newMax) match {
+          case (_, _, None) => None // stats missing: keep falling back
+          case (None, _, nm) => nm // first commit
+          case (_, Some(p), Some(n)) => Some(math.max(p, n))
+          case _ => None // legacy bootstrap failed: keep falling back
+        })
       val mfName = s"m$epochId.manifest"
       SinkFs.mkdirs(root)
       SinkFs.writeString(new HPath(root, mfName),

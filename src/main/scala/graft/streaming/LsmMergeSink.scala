@@ -58,7 +58,7 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
   private def storedBucketCount: Option[Int] = {
     val fromManifest =
       if (!SinkFs.exists(pointer)) None
-      else kLineOf(new HPath(root, SinkFs.readString(pointer).trim))
+      else kLineOf(new HPath(root, SinkFs.readPointer(pointer)))
     fromManifest.orElse(legacyBucketsFile)
   }
 
@@ -83,7 +83,7 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
 
   def manifest: Manifest =
     if (!SinkFs.exists(pointer)) Manifest(Map.empty, Seq.empty)
-    else parseManifest(new HPath(root, SinkFs.readString(pointer).trim))
+    else parseManifest(new HPath(root, SinkFs.readPointer(pointer)))
 
   /** Committed epoch ids with retained manifests, ascending (time-travel
     * index; `vacuum()` erodes what old versions can still read).
@@ -106,7 +106,7 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
   override def committedEpoch: Option[Long] =
     if (!SinkFs.exists(pointer)) None
     else """m(\d+)\.manifest""".r
-      .findFirstMatchIn(SinkFs.readString(pointer).trim)
+      .findFirstMatchIn(SinkFs.readPointer(pointer))
       .map(_.group(1).toLong)
 
   override protected def commitArtifact(epoch: Long): HPath =
@@ -269,11 +269,19 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     * column-pruned scan of `pos`, no shuffle.
     */
   override def tipPos(spark: SparkSession): Option[Long] = {
-    if (committedEpoch.isEmpty) return None
+    val tip = committedEpoch
+    if (tip.isEmpty) return None
+    // the committed epoch's .maxpos sidecar first: O(1) driver
+    // metadata, flat in the outstanding delta count (see
+    // CdcSink.recordMaxPos)
+    tip.flatMap(storedMaxPos).orElse(tipPosFromFiles(spark))
+  }
+
+  private def tipPosFromFiles(spark: SparkSession): Option[Long] = {
     val m = manifest
     val dirs = (m.base.values.map(_._1) ++ m.deltaLeafs.map(_._1))
       .toSeq.distinct.map(new HPath(_))
-    // footer statistics first: O(#files) metadata, zero row I/O (the
+    // footer statistics: O(#files) metadata, zero row I/O (the
     // Iceberg/Delta file-stats answer); raw-file scan as the fallback
     SinkFs.parquetMaxLong(dirs, "pos").orElse {
       readByDdl(spark, m.base.values.toSeq ++ m.deltaLeafs).flatMap { raw =>
@@ -330,10 +338,16 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     // through one rolling writer via the sorted partitioned write.
     val writeTasks = math.min(buckets.max(1),
       spark.sparkContext.defaultParallelism * 2)
+    // the epoch's max position rides the write job as an observed
+    // metric (CollectMetrics) — zero extra I/O, zero extra job — and
+    // feeds the O(1) tip-position sidecar below
+    val obs = org.apache.spark.sql.Observation()
     val reduced = Materialize.reduceToBuckets(batch, buckets, writeTasks)
-    val ddl = StructType(reduced.schema.filterNot(_.name == "_bucket")).toDDL
+      .observe(obs, max(col("pos")).as("maxpos"))
+    val ddl = StructType(reduced.schema
+      .filterNot(_.name == "_bucket")).toDDL
     val ddir = new HPath(root, s"d$epochId")
-    reduced.write.mode("overwrite").partitionBy("_bucket").parquet(ddir.toString)
+    reduced.write.mode("overwrite").options(CdcSink.writeOptions).partitionBy("_bucket").parquet(ddir.toString)
     // touched buckets from the written directory names — driver metadata
     // listing of <= `buckets` entries, no data read
     val touched = SinkFs.listNames(ddir)
@@ -341,6 +355,25 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       .sorted
     if (touched.isEmpty) { SinkFs.deleteRecursive(ddir); return false }
     val m = manifest
+    // tip-position sidecar: prev epoch's sidecar (or a ONE-TIME legacy
+    // footer bootstrap over the whole manifest) + the new delta's own
+    // observed max — nothing extra at write time, O(1) at every DML
+    // read (compaction rewrites never change the max: latest-per-key
+    // keeps each key's newest position and tombstones are retained rows)
+    val prevTip = committed.flatMap(storedMaxPos).orElse(
+      if (committed.isEmpty) None
+      else SinkFs.parquetMaxLong(
+        (m.base.values.map(_._1) ++ m.deltaLeafs.map(_._1))
+          .toSeq.distinct.map(new HPath(_)), "pos"))
+    val newMax = obs.get.get("maxpos").collect {
+      case l: java.lang.Long => l.longValue()
+    }
+    recordMaxPos(epochId, (committed, prevTip, newMax) match {
+      case (_, _, None) => None // new files lack stats: keep falling back
+      case (None, _, nm) => nm // first commit: the delta IS the table
+      case (_, Some(p), Some(n)) => Some(math.max(p, n))
+      case _ => None // legacy bootstrap failed: keep falling back
+    })
     val nextSeq = (m.deltas.map(_._1) :+ 0L).max + 1
     val withDelta = m.copy(deltas =
       m.deltas :+ ((nextSeq, ddir.toString, ddl, touched)))
@@ -379,7 +412,7 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       spark.sparkContext.defaultParallelism * 2)
     merged.repartition(writeTasks, col("_bucket"))
       .sortWithinPartitions(col("_bucket"))
-      .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+      .write.mode("overwrite").options(CdcSink.writeOptions).partitionBy("_bucket").parquet(vdir)
     val newBase = m.base ++ touched.map(b => b -> (s"$vdir/_bucket=$b", ddl))
     writeManifest(Manifest(newBase, Seq.empty), epochId, observed = observed)
   }
@@ -426,7 +459,11 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
             s"$now while claiming compaction epoch $epochId — re-run")
       val m = manifest
       if (m.deltas.isEmpty) None
-      else { compact(spark, m, epochId, observed); Some(epochId) }
+      else {
+        // compaction adds no rows: the tip carries forward
+        recordMaxPos(epochId, observed.flatMap(storedMaxPos))
+        compact(spark, m, epochId, observed); Some(epochId)
+      }
     } finally releaseClaim(epochId)
   }
 
@@ -460,11 +497,17 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       spark.sparkContext.defaultParallelism * 2)
     rb.repartition(writeTasks, col("_bucket"))
       .sortWithinPartitions(col("_bucket"))
-      .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+      .write.mode("overwrite").options(CdcSink.writeOptions).partitionBy("_bucket").parquet(vdir)
     val written = SinkFs.listNames(new HPath(vdir))
       .filter(_.startsWith("_bucket=")).map(_.stripPrefix("_bucket=").toInt)
       .sorted
     val newBase = written.map(b => b -> (s"$vdir/_bucket=$b", ddl)).toMap
+    // a rebucket rewrites the WHOLE table (tombstones included), so its
+    // own footer max is the tip — also the upgrade path for legacy
+    // tables with no sidecar yet
+    recordMaxPos(epochId, SinkFs.parquetMaxLong(
+      written.map(b => new HPath(s"$vdir/_bucket=$b")), "pos")
+      .orElse(observed.flatMap(storedMaxPos)))
     // commit = the swap inside writeManifest; the K line flips layout
     // and count together, `_buckets` refreshes after as a legacy mirror
     writeManifest(Manifest(newBase, Seq.empty), epochId, count = newBuckets,

@@ -189,6 +189,36 @@ trait CdcSink {
   def epochAt(tsMillis: Long): Option[Long] =
     versions.reverseIterator.find(e => commitTimeMillis(e) <= tsMillis)
 
+  /** Sidecar persisting the sink's TIP POSITION (the max merge position
+    * every DML statement must outrank — see [[tipPos]]) as of `epoch`'s
+    * commit. Written at commit time from the PREVIOUS epoch's sidecar +
+    * footer statistics of only the epoch's OWN new files, so `tipPos`
+    * becomes O(1) driver metadata instead of O(#files) footer opens —
+    * the Iceberg manifest-stats design (snapshot summaries carry
+    * file-level bounds so planning never re-opens footers).
+    * [[SinkFs.parquetMaxLong]] remains the back-compat fallback for
+    * epochs committed before the sidecar existed; a one-time bootstrap
+    * at the next commit upgrades such tables permanently.
+    */
+  private def maxPosFile(epoch: Long): HPath = {
+    val a = commitArtifact(epoch)
+    new HPath(a.getParent, a.getName + ".maxpos")
+  }
+
+  /** Persist the tip-position sidecar for `epoch` (no-op when the tip
+    * is unknown — footer stats missing — so reads keep falling back).
+    */
+  protected final def recordMaxPos(epoch: Long, tip: Option[Long]): Unit =
+    tip.foreach(t => SinkFs.writeString(maxPosFile(epoch), t.toString))
+
+  /** The persisted tip position of a committed epoch, absent for
+    * pre-sidecar epochs (callers fall back to footer stats / scan).
+    */
+  protected final def storedMaxPos(epoch: Long): Option[Long] = {
+    val f = maxPosFile(epoch)
+    if (SinkFs.exists(f)) SinkFs.readString(f).trim.toLongOption else None
+  }
+
   /** On-disk claim file marking an IN-FLIGHT commit of `epoch` (next to
     * the commit artifact; deleted on commit or failure, so its presence
     * means a live concurrent writer or a crashed one — see
@@ -246,6 +276,22 @@ trait CdcSink {
 }
 
 object CdcSink {
+  /** Write options for every sink parquet write: Hadoop
+    * FileOutputCommitter ALGORITHM 2 (task commits move files straight
+    * into the destination — no serial driver-side job-commit merge
+    * pass over task directories) and no `_SUCCESS` marker (one less
+    * driver write per epoch). Algorithm 2's weaker crash contract
+    * (partially-moved files after a mid-job failure) is safe here by
+    * construction: a version/delta dir is INVISIBLE until the CURRENT
+    * pointer swap, a failed epoch's retry rewrites it `overwrite`, and
+    * artifacts past the pointer are already treated as uncommitted.
+    * Small-epoch streaming pays this commit protocol once per epoch,
+    * so it is part of the per-epoch fixed cost floor.
+    */
+  private[streaming] val writeOptions: Map[String, String] = Map(
+    "mapreduce.fileoutputcommitter.algorithm.version" -> "2",
+    "mapreduce.fileoutputcommitter.marksuccessfuljobs" -> "false")
+
   /** One visible line when a merge is dropped as an epoch replay: a
     * correct retry is silent in effect but should not be silent in the
     * log — a caller whose epoch numbering restarted at 0 over existing
@@ -277,13 +323,17 @@ object CdcSink {
     * files) below `floorEpoch` — the feed-retention half of vacuum for
     * sinks whose sidecars otherwise accumulate for the table's lifetime
     * (bucketed/scd2; the full kind's own vacuum reclaims them with the
-    * version dirs). The erosion `_floor` is written BEFORE any deletion
-    * (taxonomy class 1: a crash in between leaves a floor over intact
-    * sidecars — conservative-loud — never eroded sidecars with no
-    * floor), and the floor only ever RISES: epochs below it read loudly
-    * as vacuumed in the feed paths ([[graft.sinks.v2.SinkChanges]]),
-    * even where a manifest-diff derivation could still serve them —
-    * a retention promise that silently un-erodes is not one.
+    * version dirs). The erosion `_feed_floor` is written BEFORE any
+    * deletion (taxonomy class 1: a crash in between leaves a floor over
+    * intact sidecars — conservative-loud — never eroded sidecars with
+    * no floor), and the floor only ever RISES: epochs below it read
+    * loudly as vacuumed in the feed paths
+    * ([[graft.sinks.v2.SinkChanges]]), even where a manifest-diff
+    * derivation could still serve them — a retention promise that
+    * silently un-erodes is not one. The FEED floor is a separate file
+    * from the VERSION vacuum's `_floor`: a feed-only retention vacuum
+    * must not make `stateAt`/`VERSION AS OF` claim version erosion
+    * that never happened (versions and sidecars erode independently).
     */
   private[streaming] def vacuumSidecars(root: HPath,
                                         floorEpoch: Long): Int = {
@@ -292,18 +342,37 @@ object CdcSink {
       case C(e) => e.toLong < floorEpoch
       case _ => false
     }
-    if (dead.nonEmpty) {
-      val f = new HPath(root, "_floor")
-      val existing =
-        if (SinkFs.exists(f)) SinkFs.readString(f).trim.toLong
-        else Long.MinValue
-      SinkFs.writeString(f, math.max(existing, floorEpoch).toString)
-    }
+    if (dead.nonEmpty)
+      raiseFloor(new HPath(root, "_feed_floor"), floorEpoch)
     dead.foreach { n =>
       SinkFs.deleteRecursive(new HPath(root, n))
       SinkFs.deleteIfExists(new HPath(root, n + ".ddl"))
     }
     dead.size
+  }
+
+  /** Raise a floor file to `floorEpoch` (floors only ever rise). */
+  private[streaming] def raiseFloor(f: HPath, floorEpoch: Long): Unit = {
+    val existing =
+      if (SinkFs.exists(f)) SinkFs.readString(f).trim.toLong
+      else Long.MinValue
+    SinkFs.writeString(f, math.max(existing, floorEpoch).toString)
+  }
+
+  /** A floor file's value, absent when never written. */
+  private[streaming] def readFloor(f: HPath): Option[Long] =
+    if (SinkFs.exists(f)) Some(SinkFs.readString(f).trim.toLong) else None
+
+  /** The FEED erosion floor: the max of the version vacuum's `_floor`
+    * (version dirs backing diff-derivation are gone below it) and the
+    * feed vacuum's `_feed_floor` (sidecars are gone below it) — either
+    * erosion makes epochs below unreadable as changes. Pre-r15 tables
+    * recorded both vacuums in `_floor`; reading the max stays correct.
+    */
+  private[streaming] def feedFloor(root: HPath): Option[Long] = {
+    val vs = Seq(readFloor(new HPath(root, "_floor")),
+      readFloor(new HPath(root, "_feed_floor"))).flatten
+    if (vs.isEmpty) None else Some(vs.max)
   }
 
   /** Data-sized bucket count for the bucket-partitioned sinks: one
@@ -345,7 +414,7 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
   private val pointer = new HPath(root, "CURRENT")
 
   private def currentVersion: Option[String] =
-    if (SinkFs.exists(pointer)) Some(SinkFs.readString(pointer).trim)
+    if (SinkFs.exists(pointer)) Some(SinkFs.readPointer(pointer))
     else None
 
   override def committedEpoch: Option[Long] = currentVersion
@@ -388,7 +457,10 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
       case Some(v) =>
         Some(spark.read.parquet(new HPath(root, s"v$v").toString))
       case None =>
-        changefeedFloor.foreach { floor =>
+        // the VERSION floor only — `_feed_floor` (sidecar retention)
+        // must not make AS OF reads claim version erosion that never
+        // happened (see CdcSink.vacuumSidecars)
+        CdcSink.readFloor(new HPath(root, "_floor")).foreach { floor =>
           if (epochId < floor)
             throw new IllegalStateException(
               s"$dir: version data vacuumed away for epoch $epochId — " +
@@ -481,7 +553,7 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
         SinkFs.mkdirs(root)
         SinkFs.writeString(new HPath(root, s"c$epochId.ddl"),
           incoming0.schema.toDDL)
-        incoming0.write.mode("overwrite").parquet(cdir.toString)
+        incoming0.write.mode("overwrite").options(CdcSink.writeOptions).parquet(cdir.toString)
         // pinned schema: an EMPTY epoch's sidecar must still read (an
         // inference-based read would fail on a schemaless empty dir)
         spark.read.schema(incoming0.schema).parquet(cdir.toString)
@@ -508,8 +580,16 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
         }
     }
     val vname = s"v$epochId"
-    merged.write.mode("overwrite").parquet(new HPath(root, vname).toString)
+    // the full kind rewrites its whole state, so the write job's own
+    // observed max(pos) IS the table tip (CollectMetrics — zero extra
+    // I/O), recorded once so tipPos never re-opens footers
+    val obs = org.apache.spark.sql.Observation()
+    merged.observe(obs, max(col("pos")).as("maxpos"))
+      .write.mode("overwrite").options(CdcSink.writeOptions).parquet(new HPath(root, vname).toString)
     SinkFs.mkdirs(root)
+    recordMaxPos(epochId, obs.get.get("maxpos").collect {
+      case l: java.lang.Long => l.longValue()
+    })
     publishEpoch(root, pointer, epochId, committed, vname)
   }
 
@@ -559,22 +639,26 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
       SinkFs.writeString(new HPath(root, "_floor"), tip.toString)
     dead.foreach { n =>
       SinkFs.deleteRecursive(new HPath(root, n))
-      // the commit-ts and schema sidecars of a vacuumed dir are dead
-      // metadata
+      // the commit-ts, schema, and tip-position sidecars of a vacuumed
+      // dir are dead metadata
       SinkFs.deleteIfExists(new HPath(root, n + ".committs"))
       SinkFs.deleteIfExists(new HPath(root, n + ".ddl"))
+      SinkFs.deleteIfExists(new HPath(root, n + ".maxpos"))
     }
     dead.size
   }
 
-  /** Max merge position from parquet FOOTER STATISTICS of the current
-    * version (zero row I/O — see [[SinkFs.parquetMaxLong]]); the
-    * trait's column scan is the fallback. Every DML statement resolves
-    * its position through this.
+  /** Max merge position: the committed epoch's `.maxpos` sidecar first
+    * (O(1) driver metadata — see [[CdcSink.recordMaxPos]]), parquet
+    * footer statistics of the current version second (zero row I/O,
+    * pre-sidecar epochs — see [[SinkFs.parquetMaxLong]]), the trait's
+    * column scan last. Every DML statement resolves its position
+    * through this.
     */
   override def tipPos(spark: SparkSession): Option[Long] =
-    currentVersion.flatMap(v =>
-      SinkFs.parquetMaxLong(Seq(new HPath(root, v)), "pos"))
+    committedEpoch.flatMap(storedMaxPos)
+      .orElse(currentVersion.flatMap(v =>
+        SinkFs.parquetMaxLong(Seq(new HPath(root, v)), "pos")))
       .orElse(super.tipPos(spark))
 
   /** Feed-retention vacuum (`CALL vacuum(..., retain_feed_epochs)`):
@@ -587,10 +671,8 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
     CdcSink.vacuumSidecars(root, floorEpoch)
 
   /** Oldest epoch whose changes are still derivable, when a vacuum has
-    * eroded history (None = never vacuumed). See [[vacuum]].
+    * eroded history (None = never vacuumed): max of the version floor
+    * and the feed-retention floor (see [[CdcSink.feedFloor]]).
     */
-  override def changefeedFloor: Option[Long] = {
-    val f = new HPath(root, "_floor")
-    if (SinkFs.exists(f)) Some(SinkFs.readString(f).trim.toLong) else None
-  }
+  override def changefeedFloor: Option[Long] = CdcSink.feedFloor(root)
 }

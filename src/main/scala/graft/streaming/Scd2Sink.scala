@@ -87,7 +87,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
 
   def manifest: Manifest =
     if (!SinkFs.exists(pointer)) Manifest(Map.empty, Map.empty, Seq.empty)
-    else parseManifest(new HPath(root, SinkFs.readString(pointer).trim))
+    else parseManifest(new HPath(root, SinkFs.readPointer(pointer)))
 
   private def parseManifest(mf: HPath): Manifest = {
     val lines = SinkFs.readLines(mf).filter(_.nonEmpty)
@@ -153,7 +153,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
   private def storedBucketCount: Option[Int] = {
     val fromManifest =
       if (!SinkFs.exists(pointer)) None
-      else kLineOf(new HPath(root, SinkFs.readString(pointer).trim))
+      else kLineOf(new HPath(root, SinkFs.readPointer(pointer)))
     fromManifest.orElse(legacyBucketsFile)
   }
 
@@ -175,7 +175,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
   override def committedEpoch: Option[Long] =
     if (!SinkFs.exists(pointer)) None
     else """m(\d+)\.manifest""".r
-      .findFirstMatchIn(SinkFs.readString(pointer).trim)
+      .findFirstMatchIn(SinkFs.readPointer(pointer))
       .map(_.group(1).toLong)
 
   /** One schema-known read per distinct DDL, `unionByName` across schema
@@ -420,19 +420,14 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
     * position as the tip (the open-rows max would under-count it).
     */
   override def tipPos(spark: SparkSession): Option[Long] = {
-    if (committedEpoch.isEmpty) return None
+    val tip = committedEpoch
+    if (tip.isEmpty) return None
+    // the committed epoch's .maxpos sidecar first: O(1) driver
+    // metadata, flat in the table's file count (see
+    // CdcSink.recordMaxPos)
+    tip.flatMap(storedMaxPos).foreach(t => return Some(t))
     val m = manifest
-    // footer statistics first (zero row I/O): the tip is the max over
-    // BOTH interval bounds. Only sound when both columns yield a footer
-    // answer — a None is ambiguous between "no closures yet" and
-    // "stats missing", so anything else falls back to the scan
-    val dirs = (m.closedDirs.map(_._1) ++ m.open.values.map(_._1))
-      .distinct.map(new HPath(_))
-    val fast = (SinkFs.parquetMaxLong(dirs, "valid_from_pos"),
-      SinkFs.parquetMaxLong(dirs, "valid_to_pos")) match {
-      case (Some(a), Some(b)) => Some(math.max(a, b))
-      case _ => None
-    }
+    val fast = legacyTipFromFooters(m)
     if (fast.isDefined) return fast
     readByDdl(spark, m.closedDirs ++ m.open.values.toSeq).flatMap { iv =>
       Option(iv.agg(max(greatest(col("valid_from_pos"),
@@ -441,6 +436,22 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
           case l: java.lang.Long => l.longValue()
           case other => other.toString.toLong
         }
+    }
+  }
+
+  /** Pre-sidecar footer answer (zero row I/O): the tip is the max over
+    * BOTH interval bounds. Only sound when both columns yield a footer
+    * answer — a None is ambiguous between "no closures yet" and "stats
+    * missing" for files of unknown provenance, so anything else falls
+    * back to the scan.
+    */
+  private def legacyTipFromFooters(m: Manifest): Option[Long] = {
+    val dirs = (m.closedDirs.map(_._1) ++ m.open.values.map(_._1))
+      .distinct.map(new HPath(_))
+    (SinkFs.parquetMaxLong(dirs, "valid_from_pos"),
+      SinkFs.parquetMaxLong(dirs, "valid_to_pos")) match {
+      case (Some(a), Some(b)) => Some(math.max(a, b))
+      case _ => None
     }
   }
 
@@ -503,7 +514,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
         SinkFs.mkdirs(root)
         SinkFs.writeString(new HPath(root, s"c$epochId.ddl"),
           sidecar.schema.toDDL)
-        sidecar.write.mode("overwrite")
+        sidecar.write.mode("overwrite").options(CdcSink.writeOptions)
           .parquet(new HPath(root, s"c$epochId").toString)
       }
       val m = manifest
@@ -532,10 +543,16 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
       val edir = new HPath(root, s"e$epochId")
       val writeTasks = math.min(touched.size.max(1),
         spark.sparkContext.defaultParallelism * 2)
-      out.repartition(writeTasks, col("_bucket"))
+      // the epoch's max over BOTH interval bounds rides the write job
+      // as an observed metric (a delete's tip position lives only in
+      // valid_to_pos) — zero extra I/O, feeds the tip sidecar below
+      val obs = org.apache.spark.sql.Observation()
+      out.observe(obs, max(greatest(col("valid_from_pos"),
+          coalesce(col("valid_to_pos"), lit(Long.MinValue)))).as("maxpos"))
+        .repartition(writeTasks, col("_bucket"))
         .sortWithinPartitions(col("_closed"), col("_bucket"), col("key"),
           col("valid_from_pos"))
-        .write.mode("overwrite").partitionBy("_closed", "_bucket")
+        .write.mode("overwrite").options(CdcSink.writeOptions).partitionBy("_closed", "_bucket")
         .parquet(edir.toString)
       val ddl = StructType(out.schema
         .filterNot(f => f.name == "_bucket" || f.name == "_closed")).toDDL
@@ -550,6 +567,20 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
       // with zero open rows (all keys deleted) lose their entry
       val newOpen = (m.open -- touched) ++ openBuckets.map(b =>
         b -> (s"$edir/_closed=false/_bucket=$b", ddl))
+      // tip-position sidecar: prev epoch's sidecar (or a one-time
+      // legacy footer bootstrap) + this epoch's observed max — nothing
+      // extra here, O(1) per DML read
+      val newMax = obs.get.get("maxpos").collect {
+        case l: java.lang.Long => l.longValue()
+      }
+      val prevTip = committed.flatMap(storedMaxPos).orElse(
+        if (committed.isEmpty) None else legacyTipFromFooters(m))
+      recordMaxPos(epochId, (committed, prevTip, newMax) match {
+        case (_, _, None) => None // stats missing: keep falling back
+        case (None, _, nm) => nm // first commit
+        case (_, Some(p), Some(n)) => Some(math.max(p, n))
+        case _ => None // legacy bootstrap failed: keep falling back
+      })
       val nextSeq = (m.deltas.map(_._1) :+ 0L).max + 1
       val newDeltas =
         if (closedBuckets.isEmpty) m.deltas
@@ -585,7 +616,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
       spark.sparkContext.defaultParallelism * 2)
     merged.repartition(writeTasks, col("_bucket"))
       .sortWithinPartitions(col("_bucket"), col("key"), col("valid_from_pos"))
-      .write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+      .write.mode("overwrite").options(CdcSink.writeOptions).partitionBy("_bucket").parquet(vdir)
     val newBase = m.base ++ touched.map(b => b -> (s"$vdir/_bucket=$b", ddl))
     writeManifest(Manifest(m.open, newBase, Seq.empty), epochId,
       observed = observed)
@@ -650,7 +681,7 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
     out.repartition(writeTasks, col("_bucket"))
       .sortWithinPartitions(col("_closed"), col("_bucket"), col("key"),
         col("valid_from_pos"))
-      .write.mode("overwrite").partitionBy("_closed", "_bucket")
+      .write.mode("overwrite").options(CdcSink.writeOptions).partitionBy("_closed", "_bucket")
       .parquet(edir.toString)
     val ddl = StructType(out.schema
       .filterNot(f => f.name == "_bucket" || f.name == "_closed")).toDDL
@@ -662,6 +693,15 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
       b -> (s"$edir/_closed=false/_bucket=$b", ddl)).toMap
     val newBase = writtenBuckets("true").map(b =>
       b -> (s"$edir/_closed=true/_bucket=$b", ddl)).toMap
+    // a rebucket rewrites the WHOLE history, so its own footer max over
+    // both bounds is the tip — also the legacy-table sidecar upgrade
+    val allLeafs = (newOpen.values ++ newBase.values).map(p =>
+      new HPath(p._1)).toSeq
+    recordMaxPos(epochId, SinkFs.parquetMaxLong(allLeafs, "valid_from_pos")
+      .map(f => math.max(f,
+        SinkFs.parquetMaxLong(allLeafs, "valid_to_pos")
+          .getOrElse(Long.MinValue)))
+      .orElse(observed.flatMap(storedMaxPos)))
     writeManifest(Manifest(newOpen, newBase, Seq.empty), epochId,
       count = newBuckets, observed = observed)
     SinkFs.writeString(new HPath(root, "_buckets"), newBuckets.toString)
@@ -685,18 +725,15 @@ class Scd2Sink(dir: String, buckets: Int = 16, compactEvery: Int = 8,
 
   /** Feed-retention vacuum: reclaim `c<epoch>/` change-delta sidecars
     * below `floorEpoch` (see [[BucketedMergeSink.vacuumFeed]] — same
-    * lifetime-accumulation leak, same loud `_floor` contract).
+    * lifetime-accumulation leak, same loud `_feed_floor` contract).
     */
   def vacuumFeed(floorEpoch: Long): Int =
     CdcSink.vacuumSidecars(root, floorEpoch)
 
   /** Oldest epoch the feed still serves after a feed-retention vacuum
-    * (None = never feed-vacuumed). See [[vacuumFeed]].
+    * (None = never feed-vacuumed). See [[CdcSink.feedFloor]].
     */
-  override def changefeedFloor: Option[Long] = {
-    val f = new HPath(root, "_floor")
-    if (SinkFs.exists(f)) Some(SinkFs.readString(f).trim.toLong) else None
-  }
+  override def changefeedFloor: Option[Long] = CdcSink.feedFloor(root)
 
   /** First path segment below the sink root (the nio `relativize(p)
     * .getName(0)` of the manifest's stored path strings).

@@ -100,6 +100,126 @@ class SinkFsSpec extends AnyFunSuite {
     }
   }
 
+  test("no-atomic-rename scheme (forced): full lifecycle commits via " +
+      "framed overwrite-in-place + read-back-verify, and a reader " +
+      "hammering the swap loop never observes a torn pointer (the " +
+      "object-store commit layer — Delta S3SingleDriverLogStore role)") {
+    val old = sys.props.get("graft.sink.rename.atomic")
+    sys.props("graft.sink.rename.atomic") = "false"
+    try {
+      // lifecycle: create -> append -> DML -> time travel, every commit
+      // riding the write-in-place pointer protocol
+      val name = s"t_" + java.util.UUID.randomUUID().toString.take(8)
+      val tbl = s"$cat.lsm.$name"
+      envBatch((1 to 10).map(k => (k, s"n$k", "r")): _*).writeTo(tbl)
+        .tableProperty("buckets", "4").create()
+      assert(spark.table(tbl).count() == 10)
+      envBatch((3, "u3", "u")).withColumn("source",
+        struct(lit(900000L).as("pos")))
+        .writeTo(tbl).option("epoch", "1").append()
+      spark.sql(s"UPDATE $tbl SET after.n_name = 'dml5' " +
+        "WHERE key.n_nationkey = 5")
+      assert(spark.sql(s"SELECT after.n_name FROM $tbl " +
+        "WHERE key.n_nationkey = 5 AND op <> 'd'").head.getString(0) == "dml5")
+      assert(spark.sql(s"SELECT after.n_name FROM $tbl VERSION AS OF 1 " +
+        "WHERE key.n_nationkey = 5 AND op <> 'd'").head.getString(0) == "n5")
+
+      // swap hammer: overwrite-in-place swaps racing validating readers
+      // — the frame + retry must make every read a complete payload
+      val dir = Files.createTempDirectory("nonatomic-swap").toString
+      val pointer = new org.apache.hadoop.fs.Path(dir, "CURRENT")
+      graft.streaming.SinkFs.swapPointer(pointer, "CURRENT.tmp", "v0")
+      @volatile var stop = false
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val readers = (1 to 4).map { _ =>
+        val t = new Thread(() => {
+          try {
+            while (!stop) {
+              val c = graft.streaming.SinkFs.readPointer(pointer)
+              if (!c.startsWith("v") || c.drop(1).toLongOption.isEmpty)
+                throw new AssertionError(s"torn pointer content: '$c'")
+            }
+          } catch { case t: Throwable => errors.add(t); stop = true }
+        })
+        t.start(); t
+      }
+      // commit-scale spacing (real swaps are epoch-scale; a µs-scale
+      // hot loop over a truncate-in-place local file is harsher than
+      // any real object store, where a PUT is atomic per object)
+      for (i <- 1 until 1500 if !stop) {
+        graft.streaming.SinkFs.swapPointer(pointer, "CURRENT.tmp", s"v$i")
+        Thread.sleep(0, 500000) // ~0.5 ms between commits
+      }
+      stop = true
+      readers.foreach(_.join())
+      assert(errors.isEmpty, s"torn read on forced non-atomic scheme: " +
+        s"${errors.peek()}")
+    } finally {
+      old match {
+        case Some(v) => sys.props("graft.sink.rename.atomic") = v
+        case None => sys.props -= "graft.sink.rename.atomic"
+      }
+    }
+  }
+
+  test("a feed-only retention vacuum must not make AS OF reads claim " +
+      "version erosion (_feed_floor vs _floor separation)") {
+    val dir = Files.createTempDirectory("feedfloor").toString
+    val sink = new graft.streaming.MergeSink(dir, changefeedDelta = true)
+    // first-ever epoch is 3 (a resuming caller's seeded counter)
+    def b(k: Int, n: String) = envBatch((k, n, "u"))
+    assert(sink.merge(b(1, "a"), 3L))
+    assert(sink.merge(b(2, "b"), 4L))
+    assert(sink.merge(b(3, "c"), 5L))
+    assert(sink.vacuumFeed(5L) > 0, "feed sidecars below 5 reclaimed")
+    // pre-fix this threw "version data vacuumed away" although every
+    // version dir is intact — the FEED floor had leaked into the
+    // version-erosion check; correct: plain None (no epoch <= 1 exists)
+    assert(sink.stateAt(spark, 1L).isEmpty)
+    // the feed paths still see the erosion
+    assert(sink.changefeedFloor.contains(5L))
+    // and a REAL version vacuum still raises loudly below its floor
+    assert(sink.vacuum() > 0)
+    intercept[IllegalStateException] { sink.stateAt(spark, 4L) }
+  }
+
+  test("tipPos rides the .maxpos commit sidecar: O(1) driver metadata, " +
+      "exact across appends, DML, compaction, and delete tombstones") {
+    val dir = Files.createTempDirectory("maxpos").toString
+    val sink = new graft.streaming.LsmMergeSink(dir, buckets = 4,
+      compactEvery = 3)
+    assert(sink.merge(envBatch((1 to 5).map(k => (k, s"n$k", "r")): _*), 0L))
+    // envBatch positions are k+100000
+    assert(sink.tipPos(spark).contains(100005L))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "m0.manifest.maxpos")),
+      "commit must persist the tip sidecar")
+    // an update at a higher pos raises the tip
+    assert(sink.merge(envBatch((2, "u2", "u")).withColumn("source",
+      struct(lit(500000L).as("pos"))), 1L))
+    assert(sink.tipPos(spark).contains(500000L))
+    // a delete's position counts (tombstones are retained rows)
+    assert(sink.merge(envBatch((3, "d3", "d")).withColumn("source",
+      struct(lit(600000L).as("pos"))), 2L))
+    assert(sink.tipPos(spark).contains(600000L))
+    // epoch 2 hit compactEvery=3: the fold must carry the tip unchanged
+    assert(sink.manifest.deltas.isEmpty, "compaction should have run")
+    assert(sink.tipPos(spark).contains(600000L))
+    // legacy upgrade: drop the sidecars — footer fallback still answers,
+    // and the next commit re-bootstraps the sidecar from footers
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(_.getFileName.toString.endsWith(".maxpos"))
+      .forEach(java.nio.file.Files.delete(_))
+    assert(sink.tipPos(spark).contains(600000L), "footer fallback")
+    assert(sink.merge(envBatch((4, "u4", "u")).withColumn("source",
+      struct(lit(550000L).as("pos"))), 3L))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "m3.manifest.maxpos")),
+      "commit over a legacy table must bootstrap the sidecar")
+    // 550000 < the deleted key's 600000: the tip must NOT move backwards
+    assert(sink.tipPos(spark).contains(600000L))
+  }
+
   test("point lookups and rename work through the URI root") {
     val name = s"t_" + java.util.UUID.randomUUID().toString.take(8)
     val tbl = s"$cat.bucketed.$name"

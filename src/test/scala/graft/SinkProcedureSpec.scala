@@ -147,7 +147,11 @@ class SinkProcedureSpec extends AnyFunSuite {
         !Files.exists(dir.resolve("c1.ddl")) &&
         Files.isDirectory(dir.resolve("c2")) &&
         Files.isDirectory(dir.resolve("c3")), s"$kind: wrong reclaim set")
-      assert(Files.readString(dir.resolve("_floor")).trim == "2")
+      // the FEED floor file, not the version vacuum's `_floor`: feed
+      // retention must not masquerade as version erosion (r15)
+      assert(Files.readString(dir.resolve("_feed_floor")).trim == "2")
+      assert(!Files.exists(dir.resolve("_floor")),
+        s"$kind: feed-only vacuum must not write the version floor")
 
       // the retention promise is LOUD: a feed read starting below the
       // floor refuses (eroded), one at the floor serves epochs 2..3
