@@ -71,11 +71,28 @@ object Bench {
     val xJson = sinkCrossover(spark, reps)
     val loadEnd = loadAvg()
     val cpus2 = Runtime.getRuntime.availableProcessors()
+    // KNOWN-NOISY quarantine, carried IN the record so round-over-round
+    // comparison can be computed over the stable set mechanically
+    // (adjudicated r9–r14): the Derby-floored JDBC sinks swing ±2–3 s,
+    // streaming trigger polls ride poll-interval phase, and the reps=1
+    // sink_crossover full-kind 12M leg is page-cache-sensitive. A
+    // noisy query's swing is NOT a regression; a STABLE query's is.
+    val noisy = Seq("stream_jdbc_sink", "k_jdbc_sink_upsert",
+      "k_jdbc_sink_dialects", "k_jdbc_sink_field_filter",
+      "s10_logminer_poll_stream", "stream_windowed_agg",
+      "s8_pgoutput_tx_stream")
+    // "sink_crossover" marks the separate crossover grid's reps=1
+    // full-kind 12M leg (not a `queries` entry, excluded from totals
+    // by construction)
+    val noisyJson = (noisy :+ "sink_crossover")
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val stableTotal = results.collect {
+      case (k, v) if !v.isNaN && !noisy.contains(k) => v }.sum
     // bench_cpus = the local[N] the run actually used. Absolute times are
     // only comparable between runs with the SAME value: an 8-core run
     // reads ~1.3x slower than a 16-core run uniformly, and table-rewrite
     // legs (the crossover's full sink) degrade super-linearly.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sink_io_bytes":$ioJson,"sink_crossover":$xJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"host_cpus":$cpus2,"bench_cpus":$cpus,"bench_reps":$reps,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stable_total":$stableTotal,"noisy":$noisyJson,"queries":$qs,"errors":$errJson,"sink_io_bytes":$ioJson,"sink_crossover":$xJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"host_cpus":$cpus2,"bench_cpus":$cpus,"bench_reps":$reps,"sf":"$sfDir"}"""
     println(line)
     // the driver's BENCH_r*.json keeps only a ~2KB tail of this line, so
     // two-thirds of the per-query history is lost round-over-round; also

@@ -55,12 +55,23 @@ object ApplyRateProbe {
 
     // GENERATOR: produce the feed as `epochs` single-file slices, timed
     // — this is the rate the transport is fed at, the bar the sinks
-    // must clear (an apply rate below it means unbounded backlog)
+    // must clear (an apply rate below it means unbounded backlog).
+    // Slices are POSITION RANGES, not key-hash groups: epochs replay in
+    // commit order, so later epochs genuinely UPDATE keys written by
+    // earlier ones — the cross-epoch merge cost (prev-bucket reads,
+    // open-row closure) a real streaming arrival pays. A key-hash slice
+    // would put each key's whole history in one epoch and understate it.
     val stage = Files.createTempDirectory("aprobe-stage").toString
     val t0 = System.nanoTime()
+    val Array(posMin, posMax) = feed
+      .agg(min(col("source.pos")), max(col("source.pos")))
+      .head().toSeq.map(_.toString.toLong).toArray
+    val span = math.max(1L, posMax - posMin + 1L)
+    val sliceOf = floor((col("source.pos") - posMin) * epochs / span)
+      .cast("long")
     for (e <- 0 until epochs) {
       val tmp = Files.createTempDirectory(s"aprobe-slice$e").toString
-      feed.filter(pmod(xxhash64(col("key")), lit(epochs)) === e)
+      feed.filter(sliceOf === e)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") &&
@@ -76,7 +87,13 @@ object ApplyRateProbe {
 
     val feedSchema = feed.schema
     for (kind <- kinds) {
-      val props = Map("buckets" -> "64", "compactEvery" -> "4")
+      // the ENGINE'S OWN sizing, not a fixed override: bucket count from
+      // CdcSink.heuristicBuckets (file count is the dominant term of a
+      // small epoch's write floor — measured in EpochCostProbe: 64
+      // buckets cost ~1.35x the job time of 16 at 18k-row epochs) and
+      // the default compaction cadence
+      val props = Map("buckets" ->
+        graft.streaming.CdcSink.heuristicBuckets(rows).toString)
       val dir = Files.createTempDirectory(s"aprobe-$kind").toString
       val ckpt = Files.createTempDirectory(s"aprobe-ck-$kind").toString
       val sink = graft.sinks.v2.GraftSinkCatalog.sinkFor(kind, dir, props)
