@@ -283,7 +283,7 @@ private[graft] object SinkFs {
     * part of the commit layer for object stores — the readers'
     * validate-and-retry makes the overwrite effectively atomic to them.
     */
-  private def frame(content: String): String = {
+  private[graft] def frame(content: String): String = {
     val body = if (content.endsWith("\n")) content else content + "\n"
     val c = new java.util.zip.CRC32
     c.update(body.getBytes(UTF_8))
@@ -294,7 +294,7 @@ private[graft] object SinkFs {
     * content when unframed and `strict` is off (legacy pointers written
     * by atomic-rename code paths, which cannot tear); None = torn.
     */
-  private def unframe(raw: String, strict: Boolean): Option[String] = {
+  private[graft] def unframe(raw: String, strict: Boolean): Option[String] = {
     val idx = raw.lastIndexOf("#crc32:")
     if (idx < 0) { if (strict) None else Some(raw) }
     else {
