@@ -24,14 +24,25 @@ import org.apache.spark.sql.streaming.Trigger
   *
   *   sbt 'runMain graft.tools.ApplyRateProbe /root/testdata/sf0.1'
   *   sbt 'runMain graft.tools.ApplyRateProbe /tmp/sf1'   # 10x fixture
+  *
+  * 4th arg `filesPerTrigger` (default 1) sets `maxFilesPerTrigger` —
+  * the Spark-native epoch-sizing lever (the reference's own batching
+  * is arrival-sized: max.batch.size=2048 over a 500 ms poll, never
+  * one-transport-file-per-trigger). At small SFs the per-micro-batch
+  * fixed floor dominates slice-sized epochs (BASELINE.md breakdown);
+  * doubling the epoch is the documented Delta-style knob, measured
+  * here as an explicit A/B, not silently substituted for the
+  * one-file number.
   */
 object ApplyRateProbe {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ApplyRateProbe <sfDir> [kinds] [epochs]")
+    require(args.nonEmpty,
+      "usage: ApplyRateProbe <sfDir> [kinds] [epochs] [filesPerTrigger]")
     val sfDir = args(0)
     val kinds = if (args.length > 1) args(1).split(",").toSeq
                 else Seq("full", "bucketed", "lsm", "scd2")
     val epochs = if (args.length > 2) args(2).toInt else 10
+    val filesPerTrigger = if (args.length > 3) args(3).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,13 +52,14 @@ object ApplyRateProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, sfDir, kinds, epochs) finally spark.stop()
+    try run(spark, sfDir, kinds, epochs, filesPerTrigger)
+    finally spark.stop()
   }
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
 
   def run(spark: SparkSession, sfDir: String, kinds: Seq[String],
-          epochs: Int): Unit = {
+          epochs: Int, filesPerTrigger: Int = 1): Unit = {
     val orders = graft.sources.Tables.load(spark, sfDir, "orders")
     val feed = graft.sources.ChangeFeedGen.standardFeed(orders, "orders")
       .cache()
@@ -83,6 +95,7 @@ object ApplyRateProbe {
     // admits by mtime with nondeterministic ties)
     graft.streaming.StreamingMaterialize.stampLogOrder(stage)
     println(s"# ApplyRateProbe sfDir=$sfDir rows=$rows epochs=$epochs " +
+      s"filesPerTrigger=$filesPerTrigger " +
       f"gen_s=$genS%.1f gen_rows_per_s=${rows / genS}%.0f")
 
     val feedSchema = feed.schema
@@ -99,7 +112,8 @@ object ApplyRateProbe {
       val sink = graft.sinks.v2.GraftSinkCatalog.sinkFor(kind, dir, props)
       val t1 = System.nanoTime()
       val q = spark.readStream.schema(feedSchema)
-        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
+        .parquet(stage)
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
           sink.merge(b, id): Unit
