@@ -267,15 +267,21 @@ private[graft] object SinkFs {
       case _ =>
         Option(p.toUri.getScheme).getOrElse(defaultScheme) match {
           case "file" | "hdfs" | "viewfs" => true
-          case _ =>
+          case other => schemeAtomicCache.computeIfAbsent(other, _ =>
             try {
               FileContext.getFileContext(qualified(p).toUri, conf)
               // an AbstractFileSystem binding exists; Hadoop's contract
               // for FileContext.rename(OVERWRITE) is atomicity
               true
-            } catch { case NonFatal(_) => false }
+            } catch { case NonFatal(_) => false })
         }
     }
+
+  /** scheme -> has an AbstractFileSystem binding (settled once; this
+    * sits on the per-pointer-read path for object-store schemes).
+    */
+  private val schemeAtomicCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Frame a pointer payload with a trailing CRC line, so a reader can
     * tell a COMPLETE payload from a torn one on schemes where the
