@@ -12,6 +12,19 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Evaluate `f` over `value` with `value` BOUND to a lambda variable —
+    * `element_at(transform(array(v), f), 1)` is the pure-Column let-binding.
+    * Higher-order lambdas evaluate interpreted (no codegen, no
+    * common-subexpression elimination), so a lambda body that re-references
+    * a non-trivial subtree like `tokens(text)` re-evaluates it per element:
+    * `shingles` re-ran the split once per token window (O(tokens) splits
+    * per doc), `langId`'s argmax chain re-ran each per-language filter ~6×.
+    * Binding evaluates the subtree once per row; the lambda variable is a
+    * constant-time reference. Semantics are unchanged (pure substitution).
+    */
+  private[analytics] def bound(value: Column)(f: Column => Column): Column =
+    element_at(transform(array(value), f), 1)
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Characters excluding separators, divided by token count. */
@@ -37,13 +50,22 @@ object TextAnalysis {
   /** Language-ID: argmax of stopword-hit counts; ties resolve in list
     * order (en > de > fr > es > unknown).
     */
-  def langId(text: Column): Column = {
-    val scores = langStopwords.map { case (l, sw) => l -> stopwordHits(text, sw) }
-    val best = scores.map(_._2).reduce((a, b) => when(a >= b, a).otherwise(b))
-    scores.foldRight(lit("unknown"): Column) { case ((l, s), acc) =>
-      when(s === best && s > 0, lit(l)).otherwise(acc)
+  def langId(text: Column): Column =
+    // tokens bound once; the per-language hit counts bound as ONE array so
+    // the argmax chain references each count O(1) instead of duplicating
+    // its filter+split subtree in `best` and in every `when` arm
+    bound(tokens(text)) { tk =>
+      bound(array(langStopwords.map { case (_, sw) =>
+        size(filter(tk, t => t.isInCollection(sw)))
+      }: _*)) { sc =>
+        val best = array_max(sc)
+        langStopwords.zipWithIndex.foldRight(lit("unknown"): Column) {
+          case (((l, _), i), acc) =>
+            when(element_at(sc, i + 1) === best && element_at(sc, i + 1) > 0,
+              lit(l)).otherwise(acc)
+        }
+      }
     }
-  }
 
   /** Composite quality score in [0,1]: length factor, stopword presence,
     * token-length normality. Deterministic and SQL-expressible.
@@ -81,9 +103,11 @@ object TextAnalysis {
     * shorter than `n` yield their whole token list as one shingle).
     */
   def shingles(text: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(tokens(text)) - (n - 1), lit(1))),
-      i => array_join(slice(tokens(text), i, lit(n)), " ")))
+    bound(tokens(text)) { tk =>
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
+        i => array_join(slice(tk, i, lit(n)), " ")))
+    }
 
   /** PII scrubbing: emails, phone-shaped digit runs, and IPv4 literals
     * replaced with typed placeholders. Pure `regexp_replace` chain
@@ -113,18 +137,18 @@ object TextAnalysis {
   }
 
   /** Frequency share of the single most common token. */
-  def topTokenFrac(text: Column): Column = {
-    val tk = tokens(text)
-    val top = array_max(transform(array_distinct(tk),
-      w => size(filter(tk, t => t === w))))
-    q4(top.cast("double") / size(tk))
-  }
+  def topTokenFrac(text: Column): Column =
+    bound(tokens(text)) { tk =>
+      val top = array_max(transform(array_distinct(tk),
+        w => size(filter(tk, t => t === w))))
+      q4(top.cast("double") / size(tk))
+    }
 
   /** Fraction of 2-token windows that occur more than once. */
-  def dup2gramFrac(text: Column): Column = {
-    val tk = tokens(text)
-    val grams = transform(sequence(lit(1), greatest(size(tk) - 1, lit(1))),
-      i => array_join(slice(tk, i, lit(2)), " "))
-    q4(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
-  }
+  def dup2gramFrac(text: Column): Column =
+    bound(tokens(text)) { tk =>
+      val grams = transform(sequence(lit(1), greatest(size(tk) - 1, lit(1))),
+        i => array_join(slice(tk, i, lit(2)), " "))
+      q4(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+    }
 }
