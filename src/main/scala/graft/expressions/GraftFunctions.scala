@@ -113,6 +113,8 @@ object GraftFunctions {
       }
       PqEncode(exprs(0), cbs)
     }),
+    "graft_first_of_sorted_run" ->
+      ((exprs: Seq[Expression]) => FirstOfSortedRun(exprs(0))),
     "graft_hll_agg" -> ((exprs: Seq[Expression]) =>
       HllSketchAgg(exprs(0), exprs(1)).toAggregateExpression()),
     "graft_hll_merge" -> ((exprs: Seq[Expression]) =>
@@ -156,6 +158,13 @@ object GraftFunctions {
   /** Latest-struct-by-position aggregate (register(spark) first). */
   def latestByPos(value: Column, pos: Column): Column =
     call_function("graft_latest_by_pos", value, pos)
+
+  /** First row of each run of equal struct keys in partition iteration
+    * order — only meaningful directly above a within-partition sort on
+    * the same key (register(spark) first; see [[FirstOfSortedRun]]).
+    */
+  def firstOfSortedRun(key: Column): Column =
+    call_function("graft_first_of_sorted_run", key)
 
   /** Nearest-centroid cell id via the native expression
     * (register(spark) first).

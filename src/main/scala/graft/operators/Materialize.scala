@@ -58,6 +58,7 @@ object Materialize {
     */
   def reduceToBuckets(feed: DataFrame, buckets: Int,
                       writeTasks: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(feed.sparkSession)
     val projected = feed
       .filter(col("op") =!= Envelope.OpTombstone) // see reduceByKey
       .select(col("key"), col("after"), col("op"),
@@ -66,20 +67,17 @@ object Materialize {
         org.apache.spark.sql.functions.pmod(
           org.apache.spark.sql.functions.xxhash64(col("key")),
           org.apache.spark.sql.functions.lit(buckets)))
-    val schema = projected.schema
     projected.repartition(writeTasks, col("_bucket"))
       .sortWithinPartitions(col("_bucket"), col("key"),
         col("pos").desc)
-      .mapPartitions { it =>
-        var prev: Any = null
-        var first = true
-        it.filter { r =>
-          val k = r.get(0) // key struct; rows of one key are contiguous
-          val keep = first || k != prev
-          prev = k; first = false
-          keep
-        }
-      }(org.apache.spark.sql.Encoders.row(schema))
+      // rows of one key are contiguous after the sort; the stateful
+      // native predicate keeps each key's first (= max pos) row WITHOUT
+      // the external-row round trip a mapPartitions closure forces (the
+      // codec dominated the reduce at scale: every envelope struct was
+      // deserialized and re-serialized once per epoch just to compare
+      // adjacent keys) — see expressions.FirstOfSortedRun for why the
+      // optimizer cannot move it off the sort
+      .filter(graft.expressions.GraftFunctions.firstOfSortedRun(col("key")))
   }
 
   /** Apply the full feed: latest row per PK, deletes drop the row, survivors
