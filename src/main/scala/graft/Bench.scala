@@ -77,10 +77,13 @@ object Bench {
     // streaming trigger polls ride poll-interval phase, and the reps=1
     // sink_crossover full-kind 12M leg is page-cache-sensitive. A
     // noisy query's swing is NOT a regression; a STABLE query's is.
+    // e_props_end_to_end added r16: it rides the same Derby statement
+    // floor as the k_jdbc_* family (+3 s swings observed r15) and was
+    // poisoning stable-set deltas — adjudicated in VERDICT.md r15 item 4
     val noisy = Seq("stream_jdbc_sink", "k_jdbc_sink_upsert",
       "k_jdbc_sink_dialects", "k_jdbc_sink_field_filter",
       "s10_logminer_poll_stream", "stream_windowed_agg",
-      "s8_pgoutput_tx_stream")
+      "s8_pgoutput_tx_stream", "e_props_end_to_end")
     // "sink_crossover" marks the separate crossover grid's reps=1
     // full-kind 12M leg (not a `queries` entry, excluded from totals
     // by construction)
@@ -106,6 +109,16 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not persist $out: ${e.getMessage}")
     }
+    // COMPACT summary as the LAST stdout line (r15 verdict ask 1): the
+    // full line above is ~9 KB with 284 per-query entries and the
+    // driver's record keeps only a ~2 KB stdout tail, so it arrived
+    // truncated mid-object and round-over-round PERF comparison parsed
+    // nothing for two rounds. This totals-only line (< 1 KB) carries
+    // every aggregate the comparison needs; the full per-query map
+    // stays in the line above and in the persisted record file. Keys
+    // are a subset of the full line's — nothing is renamed or removed.
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","stable_total":$stableTotal,"noisy":$noisyJson,"errors":$errJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"host_cpus":$cpus2,"bench_cpus":$cpus,"bench_reps":$reps,"sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

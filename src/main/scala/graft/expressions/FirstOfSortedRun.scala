@@ -43,7 +43,15 @@ case class FirstOfSortedRun(child: Expression)
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: StructType => TypeCheckResult.TypeCheckSuccess
+    // orderability gate (ADVICE r15): initializeInternal builds a
+    // RowOrdering over the struct's field types, which throws at executor
+    // runtime for unorderable fields (e.g. map) — as a registered session
+    // SQL function, misuse must fail at ANALYSIS time instead
+    case s: StructType if RowOrdering.isOrderable(s) =>
+      TypeCheckResult.TypeCheckSuccess
+    case s: StructType => TypeCheckResult.TypeCheckFailure(
+      s"first_of_sorted_run key struct contains unorderable field types: " +
+        s"${s.simpleString}")
     case other => TypeCheckResult.TypeCheckFailure(
       s"first_of_sorted_run expects a struct key, got ${other.simpleString}")
   }

@@ -67,7 +67,30 @@ object Materialize {
         org.apache.spark.sql.functions.pmod(
           org.apache.spark.sql.functions.xxhash64(col("key")),
           org.apache.spark.sql.functions.lit(buckets)))
-    projected.repartition(writeTasks, col("_bucket"))
+    latestPerKeyToBuckets(projected, writeTasks)
+  }
+
+  /** The reduce half of [[reduceToBuckets]] over rows that ALREADY carry
+    * `(key, pos, _bucket)`: hash-cluster by bucket, sort within each
+    * partition by (bucket, key, pos DESC), keep each key's first row.
+    * One exchange total; also the merge-side reduce of the bucket-layout
+    * sinks (previous bucket state unioned with the epoch's events reduces
+    * to latest-per-key in the SAME single shuffle that clusters the
+    * partitioned write — the groupBy-aggregate + re-repartition form paid
+    * two).
+    *
+    * `writeTasks > 0` pins the exchange's partition count;
+    * `writeTasks <= 0` leaves it to the session (`spark.sql.shuffle
+    * .partitions` as the ceiling, AQE partition coalescing shrinks tiny
+    * epochs to few tasks and leaves large ones wide — the scale-adaptive
+    * form, guide §2).
+    */
+  def latestPerKeyToBuckets(rows: DataFrame, writeTasks: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(rows.sparkSession)
+    val clustered =
+      if (writeTasks > 0) rows.repartition(writeTasks, col("_bucket"))
+      else rows.repartition(col("_bucket"))
+    clustered
       .sortWithinPartitions(col("_bucket"), col("key"),
         col("pos").desc)
       // rows of one key are contiguous after the sort; the stateful

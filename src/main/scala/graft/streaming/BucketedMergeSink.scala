@@ -452,96 +452,102 @@ class BucketedMergeSink(dir: String, buckets: Int = 16,
     checkBucketCount()
     val spark = batch.sparkSession
     graft.expressions.GraftFunctions.register(spark)
-    // persist the reduced batch: the touched-bucket probe AND the merge
-    // both consume it — without the cache the feed would be scanned twice
-    // per epoch. Reduce + bucket clustering in ONE shuffle (the bucket
-    // is a function of the key — see Materialize.reduceToBuckets)
-    val reduced = Materialize.reduceToBuckets(batch, buckets,
-      math.min(buckets.max(1), spark.sparkContext.defaultParallelism * 2))
-      .persist()
-    try {
-      // driver learns WHICH buckets are touched (tiny: ≤ `buckets` rows)
-      val touched = reduced.select(col("_bucket")).distinct()
-        .collect().map(_.getLong(0).toInt).toSet
-      // change-delta sidecar: one extra O(|batch|) pass over the cached
-      // reduce — these ARE the epoch's feed rows (see changesAt). The
-      // .ddl file pins the read schema (an empty epoch's sidecar has no
-      // footers to infer from)
-      if (changefeedDelta) {
-        val noBucket = reduced.drop("_bucket")
+    // the epoch's incoming event rows `(key, after, op, pos, _bucket)`.
+    // r16 rewrite (guide §2.4 "remove shuffles outright" + §1.2 step 1):
+    // the old path reduced the batch in its own shuffle, persisted it,
+    // probed touched buckets off the cache, then paid TWO more payload
+    // exchanges in the merge (groupBy(key) aggregate + repartition for
+    // the partitioned write). The merge-side reduce IS the write-side
+    // clustering — latest-per-key within a bucket falls out of the same
+    // sort the bucketed write needs — so the whole epoch now pays ONE
+    // payload exchange (Materialize.latestPerKeyToBuckets below), and
+    // the touched probe is a key-only column-pruned scan (map-side
+    // distinct of ≤ `buckets` longs, no persist, no payload shuffle).
+    val incoming =
+      if (!changefeedDelta)
+        batch.filter(col("op") =!= graft.model.Envelope.OpTombstone)
+          .select(col("key"), col("after"), col("op"),
+            col("source.pos").as("pos"))
+          .withColumn("_bucket", bucketCol)
+      else {
+        // change-delta sidecar: the feed must serve the REDUCED batch,
+        // bit-identical to what merges below — write it first, read it
+        // back so feed and merge share one evaluation (see MergeSink).
+        // The .ddl file pins the read schema (an empty epoch's sidecar
+        // has no footers to infer from)
+        val noBucket = Materialize.reduceToBuckets(batch, buckets, 0)
+          .drop("_bucket")
         SinkFs.mkdirs(root)
         SinkFs.writeString(new HPath(root, s"c$epochId.ddl"),
           noBucket.schema.toDDL)
         noBucket.write.mode("overwrite").options(CdcSink.writeOptions)
           .parquet(new HPath(root, s"c$epochId").toString)
+        spark.read.schema(noBucket.schema)
+          .parquet(new HPath(root, s"c$epochId").toString)
+          .withColumn("_bucket", bucketCol)
       }
-      val prevManifest = manifest
-      val prevTouched = readBuckets(spark,
-        prevManifest.filter(kv => touched(kv._1)).values.toSeq)
-        // older versions may hold rows of untouched buckets in shared
-        // dirs; keep only touched buckets' rows
-        .map(_.withColumn("_bucket", bucketCol)
-          .filter(col("_bucket").isin(touched.toSeq.map(_.toLong): _*)))
-      val merged = prevTouched match {
-        case None => reduced
+    // driver learns WHICH buckets are touched (tiny: ≤ `buckets` rows)
+    val touched = incoming.select(col("_bucket")).distinct()
+      .collect().map(_.getLong(0).toInt).toSet
+    val prevManifest = manifest
+    val prevTouched = readBuckets(spark,
+      prevManifest.filter(kv => touched(kv._1)).values.toSeq)
+      // older versions may hold rows of untouched buckets in shared
+      // dirs; keep only touched buckets' rows
+      .map(_.withColumn("_bucket", bucketCol)
+        .filter(col("_bucket").isin(touched.toSeq.map(_.toLong): _*)))
+    // by-name union with missing columns allowed: same evolution
+    // semantics as MergeSink (a batch under an evolved schema merges
+    // into older state). Reduce + write clustering in ONE exchange;
+    // writeTasks <= 0 = session/AQE-adaptive partition count (tiny
+    // epochs coalesce to few tasks, large ones stay wide — guide §2)
+    val merged = Materialize.latestPerKeyToBuckets(
+      prevTouched match {
+        case None => incoming
         case Some(prev) =>
-          // by-name union with missing columns allowed: same evolution
-          // semantics as MergeSink (a batch under an evolved schema merges
-          // into older state)
-          prev.unionByName(reduced, allowMissingColumns = true)
-            .groupBy(col("key"))
-            .agg(graft.expressions.GraftFunctions.latestByPos(
-              struct(col("after"), col("op"), col("pos"), col("_bucket")),
-              col("pos")).as("e"))
-            .select(col("key"), col("e.after").as("after"), col("e.op").as("op"),
-              col("e.pos").as("pos"), col("e._bucket").as("_bucket"))
-      }
-      val vdir = new HPath(root, s"v$epochId").toString
-      // the rewritten buckets' max position rides the write job as an
-      // observed metric (zero extra I/O) — feeds the tip sidecar below
-      val obs = org.apache.spark.sql.Observation()
-      val observed = merged.observe(obs, max(col("pos")).as("maxpos"))
-      val ddl = org.apache.spark.sql.types.StructType(
-        merged.schema.filterNot(_.name == "_bucket")).toDDL
-      // cluster by bucket, then SORT within write tasks: a task holding
-      // several buckets streams them through ONE rolling writer (sorted
-      // dynamic-partition write), so write parallelism is bounded by the
-      // cluster, not the bucket count — 10k buckets must not mean 10k
-      // write tasks, nor tasks × buckets open writers
-      val writeTasks = math.min(touched.size.max(1),
-        spark.sparkContext.defaultParallelism * 2)
-      observed.repartition(writeTasks, col("_bucket"))
-        .sortWithinPartitions(col("_bucket"))
-        .write.mode("overwrite").options(CdcSink.writeOptions).partitionBy("_bucket").parquet(vdir)
-      val newManifest = prevManifest ++
-        touched.map(b => b -> (s"$vdir/_bucket=$b", ddl)).toMap
-      // tip-position sidecar: prev epoch's sidecar (or a one-time
-      // legacy footer bootstrap over the prev manifest) + the rewritten
-      // buckets' observed max — nothing extra here, O(1) per DML read
-      val prevTip = committed.flatMap(storedMaxPos).orElse(
-        if (committed.isEmpty) None
-        else SinkFs.parquetMaxLong(
-          prevManifest.values.map(p => new HPath(p._1)).toSeq.distinct,
-          "pos"))
-      val newMax = obs.get.get("maxpos").collect {
-        case l: java.lang.Long => l.longValue()
-      }
-      recordMaxPos(epochId,
-        if (touched.isEmpty) prevTip
-        else (committed, prevTip, newMax) match {
-          case (_, _, None) => None // stats missing: keep falling back
-          case (None, _, nm) => nm // first commit
-          case (_, Some(p), Some(n)) => Some(math.max(p, n))
-          case _ => None // legacy bootstrap failed: keep falling back
-        })
-      val mfName = s"m$epochId.manifest"
-      SinkFs.mkdirs(root)
-      SinkFs.writeString(new HPath(root, mfName),
-        (s"K\t$buckets" +: newManifest.toSeq.sortBy(_._1)
-          .map { case (b, (p, d)) => s"$b\t${relPath(p)}\t$d" })
-          .mkString("", "\n", "\n"))
-      publishEpoch(root, pointer, epochId, committed, mfName)
-    } finally reduced.unpersist()
+          prev.unionByName(incoming, allowMissingColumns = true)
+      }, writeTasks = 0)
+    val vdir = new HPath(root, s"v$epochId").toString
+    // the rewritten buckets' max position rides the write job as an
+    // observed metric (zero extra I/O) — feeds the tip sidecar below
+    val obs = org.apache.spark.sql.Observation()
+    val observed = merged.observe(obs, max(col("pos")).as("maxpos"))
+    val ddl = org.apache.spark.sql.types.StructType(
+      merged.schema.filterNot(_.name == "_bucket")).toDDL
+    // already clustered AND sorted by _bucket (latestPerKeyToBuckets):
+    // the sorted dynamic-partition write streams each task's buckets
+    // through one rolling writer with no further exchange or sort —
+    // write parallelism is bounded by the cluster, not the bucket count
+    observed
+      .write.mode("overwrite").options(CdcSink.writeOptions).partitionBy("_bucket").parquet(vdir)
+    val newManifest = prevManifest ++
+      touched.map(b => b -> (s"$vdir/_bucket=$b", ddl)).toMap
+    // tip-position sidecar: prev epoch's sidecar (or a one-time
+    // legacy footer bootstrap over the prev manifest) + the rewritten
+    // buckets' observed max — nothing extra here, O(1) per DML read
+    val prevTip = committed.flatMap(storedMaxPos).orElse(
+      if (committed.isEmpty) None
+      else SinkFs.parquetMaxLong(
+        prevManifest.values.map(p => new HPath(p._1)).toSeq.distinct,
+        "pos"))
+    val newMax = obs.get.get("maxpos").collect {
+      case l: java.lang.Long => l.longValue()
+    }
+    recordMaxPos(epochId,
+      if (touched.isEmpty) prevTip
+      else (committed, prevTip, newMax) match {
+        case (_, _, None) => None // stats missing: keep falling back
+        case (None, _, nm) => nm // first commit
+        case (_, Some(p), Some(n)) => Some(math.max(p, n))
+        case _ => None // legacy bootstrap failed: keep falling back
+      })
+    val mfName = s"m$epochId.manifest"
+    SinkFs.mkdirs(root)
+    SinkFs.writeString(new HPath(root, mfName),
+      (s"K\t$buckets" +: newManifest.toSeq.sortBy(_._1)
+        .map { case (b, (p, d)) => s"$b\t${relPath(p)}\t$d" })
+        .mkString("", "\n", "\n"))
+    publishEpoch(root, pointer, epochId, committed, mfName)
   }
 }
 

@@ -333,16 +333,17 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
     // function of the key, so a bucket partition already co-locates
     // every key's events — see Materialize.reduceToBuckets): the hot
     // append path pays a single exchange + sort instead of a key
-    // shuffle, an object-hash aggregate AND a bucket shuffle. Bounded
-    // write tasks (see BucketedMergeSink): tasks stream their buckets
-    // through one rolling writer via the sorted partitioned write.
-    val writeTasks = math.min(buckets.max(1),
-      spark.sparkContext.defaultParallelism * 2)
+    // shuffle, an object-hash aggregate AND a bucket shuffle.
+    // writeTasks <= 0 (r16): session/AQE-adaptive partition count —
+    // a trickle epoch coalesces to few write tasks, a snapshot epoch
+    // stays wide (guide §2's scale-adaptive partitioning); tasks stream
+    // their buckets through one rolling writer via the sorted
+    // partitioned write either way.
     // the epoch's max position rides the write job as an observed
     // metric (CollectMetrics) — zero extra I/O, zero extra job — and
     // feeds the O(1) tip-position sidecar below
     val obs = org.apache.spark.sql.Observation()
-    val reduced = Materialize.reduceToBuckets(batch, buckets, writeTasks)
+    val reduced = Materialize.reduceToBuckets(batch, buckets, writeTasks = 0)
       .observe(obs, max(col("pos")).as("maxpos"))
     val ddl = StructType(reduced.schema
       .filterNot(_.name == "_bucket")).toDDL
@@ -395,23 +396,22 @@ class LsmMergeSink(dir: String, buckets: Int = 16, compactEvery: Int = 8)
       .map(_.withColumn("_bucket", bucketCol)
         .filter(col("_bucket").isin(touched.toSeq.map(_.toLong): _*)))
     val deltaRows = readByDdl(spark, m.deltaLeafs).get
+      .withColumn("_bucket", bucketCol)
     val all = prevTouched match {
       case None => deltaRows
-      case Some(prev) => prev.drop("_bucket")
-        .unionByName(deltaRows, allowMissingColumns = true)
+      case Some(prev) =>
+        prev.unionByName(deltaRows, allowMissingColumns = true)
     }
-    val merged = all.groupBy(col("key"))
-      .agg(graft.expressions.GraftFunctions.latestByPos(
-        struct(col("after"), col("op"), col("pos")), col("pos")).as("e"))
-      .select(col("key"), col("e.after").as("after"), col("e.op").as("op"),
-        col("e.pos").as("pos"))
-      .withColumn("_bucket", bucketCol)
+    // latest-per-key AND write clustering in ONE exchange (r16, guide
+    // §2.4): the groupBy(key) aggregate + repartition(_bucket) form paid
+    // two payload shuffles for a fold whose reduce falls out of the same
+    // (bucket, key, pos DESC) sort the partitioned write needs.
+    // writeTasks <= 0 = session/AQE-adaptive partition count
+    val merged = graft.operators.Materialize.latestPerKeyToBuckets(
+      all, writeTasks = 0)
     val vdir = new HPath(root, s"v$epochId").toString
     val ddl = StructType(merged.schema.filterNot(_.name == "_bucket")).toDDL
-    val writeTasks = math.min(touched.size.max(1),
-      spark.sparkContext.defaultParallelism * 2)
-    merged.repartition(writeTasks, col("_bucket"))
-      .sortWithinPartitions(col("_bucket"))
+    merged
       .write.mode("overwrite").options(CdcSink.writeOptions).partitionBy("_bucket").parquet(vdir)
     val newBase = m.base ++ touched.map(b => b -> (s"$vdir/_bucket=$b", ddl))
     writeManifest(Manifest(newBase, Seq.empty), epochId, observed = observed)

@@ -519,9 +519,27 @@ class MergeSink(dir: String, changefeedDelta: Boolean = false)
   private def mergeClaimed(batch: DataFrame, epochId: Long, mode: String,
                            committed: Option[Long]): Unit = {
     val spark = batch.sparkSession
-    val reduced0 = Materialize.reduceByKey(batch)
-      .select(col("key"), col("after"), col("op"), col("source.pos").as("pos"))
     val prevState = state(spark)
+    // raw-event fast path (r16, guide §2.4): with committed prev state,
+    // default upsert mode, and no change-delta sidecar to persist, the
+    // pre-reduce shuffle is redundant — the latest-by-pos aggregate in
+    // `merged` below reduces raw events and prev rows in the SAME
+    // exchange (the aggregate is associative; pos ties resolve
+    // arbitrarily in both forms, and feed positions are collision-free
+    // by contract). The batch payload crosses one shuffle, not two.
+    // insert/update modes key their semi/anti joins on one-row-per-key
+    // batches, a first epoch's state IS the reduced batch, and a
+    // change-delta sidecar must persist exactly the reduced rows — all
+    // three keep the pre-reduce.
+    val rawUpsert =
+      mode == "upsert" && !changefeedDelta && prevState.isDefined
+    val reduced0 =
+      if (rawUpsert)
+        batch.filter(col("op") =!= Envelope.OpTombstone)
+          .select(col("key"), col("after"), col("op"),
+            col("source.pos").as("pos"))
+      else Materialize.reduceByKey(batch)
+        .select(col("key"), col("after"), col("op"), col("source.pos").as("pos"))
     // the epoch's own change rows: the reduced batch AFTER mode
     // filtering — exactly what rides into the merge below, and (when
     // changefeedDelta is on) what the `$changes` feed serves for this

@@ -40,7 +40,10 @@ class ReduceToBucketsSpec extends AnyFunSuite {
   test("per-partition predicate state is isolated across concurrent tasks") {
     // 64 partitions of interleaved duplicate keys, far more tasks than
     // cores: shared mutable state between two concurrently-running
-    // partitions would either drop first rows or keep duplicates
+    // partitions would either drop first rows or keep duplicates.
+    // buckets == writeTasks (ADVICE r15): with buckets < writeTasks the
+    // repartition hashes only `buckets` distinct values, so most of the
+    // 64 tasks would carry no rows and exercise nothing
     val n = 20000L
     val df = spark.range(0L, n, 1L, 8)
       .select(
@@ -48,7 +51,7 @@ class ReduceToBucketsSpec extends AnyFunSuite {
         struct(col("id").as("v")).as("after"),
         lit("u").as("op"),
         struct(col("id").as("pos")).as("source"))
-    val out = Materialize.reduceToBuckets(df, buckets = 16, writeTasks = 64)
+    val out = Materialize.reduceToBuckets(df, buckets = 64, writeTasks = 64)
       .select(col("key.k"), col("pos")).collect()
     assert(out.length == 500)
     // latest per key: pos == max id of the key's run == k + 39*500
